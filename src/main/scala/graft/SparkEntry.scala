@@ -1,13 +1,160 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.data.Pipelines
+import graft.perf.{Information, Returns, Turnover, Cumulative}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry derives alphalens-shaped inputs from the driver's
+  * TPC-H-ish parquet (FIXTURES.md §B1: assets = suppliers, dates = ship
+  * days) and runs one library operator; `oracleSql` holds the equivalent
+  * DuckDB SQL over the same parquet, sharing the prelude from
+  * [[Pipelines.oraclePrelude]] so expressions match 1:1.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * monthly mean Spearman IC of the derived factor. */
+  def entry(spark: SparkSession): DataFrame = {
+    val fd = Pipelines.factorData(spark, "/root/testdata/sf0.001")
+    Information.meanInformationCoefficient(fd, byTime = Some("M"))
+  }
+
+  private val P = Seq(1, 5)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_panel" -> ((s, dir) =>
+      Pipelines.panel(s, dir).orderBy("date", "asset")),
+    "q_prices" -> ((s, dir) =>
+      Pipelines.prices(Pipelines.panel(s, dir)).orderBy("date", "asset")),
+    "q_factor_data" -> ((s, dir) =>
+      Pipelines.factorData(s, dir, P).df.orderBy("date", "asset")),
+    "q_ic" -> ((s, dir) =>
+      Information.factorInformationCoefficient(Pipelines.factorData(s, dir, P))),
+    "q_mean_ic_monthly" -> ((s, dir) =>
+      Information.meanInformationCoefficient(
+        Pipelines.factorData(s, dir, P), byTime = Some("M"))),
+    "q_mean_ret_by_quantile" -> ((s, dir) =>
+      Returns.meanReturnByQuantile(Pipelines.factorData(s, dir, P))),
+    "q_factor_returns" -> ((s, dir) =>
+      Returns.factorReturns(Pipelines.factorData(s, dir, P))),
+    "q_quantile_turnover" -> ((s, dir) =>
+      Turnover.quantileTurnover(Pipelines.factorData(s, dir, P), quantile = 5)),
+    "q_rank_autocorr" -> ((s, dir) =>
+      Turnover.factorRankAutocorrelation(Pipelines.factorData(s, dir, P))),
+    "q_cumulative_returns" -> ((s, dir) => {
+      val fr = Returns.factorReturns(Pipelines.factorData(s, dir, P))
+      Cumulative.cumulativeReturns(fr.select(col("date"), col("ret_1")), "ret_1")
+        .select("date", "cum_ret_1").orderBy("date")
+    })
+  )
+
+  private def pre: String = Pipelines.oraclePrelude(P, 5)
+
+  /** Average (midrank) rank SQL fragment shared by IC/autocorr oracles. */
+  private def avgRankSql(c: String, part: String) =
+    s"rank() OVER (PARTITION BY $part ORDER BY $c) + " +
+    s"(count(*) OVER (PARTITION BY $part, $c) - 1) / 2.0"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_panel" ->
+      """SELECT date_trunc('day', l_shipdate) AS date, l_suppkey AS asset,
+        | sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        | sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_prices" -> s"""$pre SELECT date, asset, price FROM priced ORDER BY date, asset""",
+    "q_factor_data" ->
+      s"""$pre SELECT date, asset, ret_1, ret_5, factor, factor_quantile
+         |FROM factor_data ORDER BY date, asset""".stripMargin,
+    "q_ic" ->
+      s"""$pre, ranked AS (
+         |  SELECT date,
+         |    ${avgRankSql("factor", "date")} AS rf,
+         |    ${avgRankSql("ret_1", "date")} AS r1,
+         |    ${avgRankSql("ret_5", "date")} AS r5
+         |  FROM factor_data)
+         |SELECT date, corr(rf, r1) AS ret_1, corr(rf, r5) AS ret_5
+         |FROM ranked GROUP BY date ORDER BY date""".stripMargin,
+    "q_mean_ic_monthly" ->
+      s"""$pre, ranked AS (
+         |  SELECT date,
+         |    ${avgRankSql("factor", "date")} AS rf,
+         |    ${avgRankSql("ret_1", "date")} AS r1,
+         |    ${avgRankSql("ret_5", "date")} AS r5
+         |  FROM factor_data),
+         |ic AS (SELECT date, corr(rf, r1) AS i1, corr(rf, r5) AS i5
+         |       FROM ranked GROUP BY date)
+         |SELECT last_day(date)::timestamp AS date,
+         |       avg(i1) AS ret_1, avg(i5) AS ret_5
+         |FROM ic GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mean_ret_by_quantile" ->
+      s"""$pre, dm AS (
+         |  SELECT factor_quantile, date,
+         |    ret_1 - avg(ret_1) OVER (PARTITION BY date) AS d1,
+         |    ret_5 - avg(ret_5) OVER (PARTITION BY date) AS d5
+         |  FROM factor_data),
+         |s1 AS (SELECT factor_quantile, date, avg(d1) AS m1, avg(d5) AS m5
+         |       FROM dm GROUP BY 1, 2)
+         |SELECT factor_quantile,
+         |       avg(m1) AS ret_1, stddev_samp(m1) / sqrt(count(m1)) AS ret_1_std_err,
+         |       avg(m5) AS ret_5, stddev_samp(m5) / sqrt(count(m5)) AS ret_5_std_err
+         |FROM s1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_factor_returns" ->
+      s"""$pre, dm AS (
+         |  SELECT date, ret_1, ret_5,
+         |    factor - avg(factor) OVER (PARTITION BY date) AS c
+         |  FROM factor_data),
+         |wts AS (
+         |  SELECT date, ret_1, ret_5,
+         |    c / sum(abs(c)) OVER (PARTITION BY date) AS weight
+         |  FROM dm)
+         |SELECT date, sum(ret_1 * weight) AS ret_1, sum(ret_5 * weight) AS ret_5
+         |FROM wts GROUP BY date ORDER BY date""".stripMargin,
+    "q_quantile_turnover" ->
+      s"""$pre, sets AS (
+         |  SELECT date, list(DISTINCT asset) AS names
+         |  FROM factor_data WHERE factor_quantile = 5 GROUP BY date),
+         |lagged AS (
+         |  SELECT date, names, lag(names, 1) OVER (ORDER BY date) AS prev
+         |  FROM sets)
+         |SELECT date,
+         |  len(list_filter(names, x -> NOT list_contains(prev, x)))::double
+         |    / len(names) AS turnover
+         |FROM lagged WHERE prev IS NOT NULL ORDER BY date""".stripMargin,
+    "q_rank_autocorr" ->
+      s"""$pre, ranks AS (
+         |  SELECT date, asset, ${avgRankSql("factor", "date")} AS r
+         |  FROM factor_data),
+         |didx AS (SELECT date, row_number() OVER (ORDER BY date) AS di
+         |         FROM (SELECT DISTINCT date FROM factor_data)),
+         |cur AS (SELECT r, asset, di, date FROM ranks JOIN didx USING (date))
+         |SELECT cur.date, corr(cur.r, prev.r) AS autocorr
+         |FROM cur JOIN cur prev ON cur.asset = prev.asset AND cur.di = prev.di + 1
+         |GROUP BY cur.date ORDER BY cur.date""".stripMargin,
+    "q_cumulative_returns" ->
+      s"""$pre, dm AS (
+         |  SELECT date, ret_1,
+         |    factor - avg(factor) OVER (PARTITION BY date) AS c
+         |  FROM factor_data),
+         |wts AS (
+         |  SELECT date, ret_1,
+         |    c / sum(abs(c)) OVER (PARTITION BY date) AS weight
+         |  FROM dm),
+         |fr AS (SELECT date, sum(ret_1 * weight) AS r FROM wts GROUP BY date)
+         |SELECT date,
+         |  CASE WHEN max(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 1 ELSE 0 END)
+         |         OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+         |       THEN 0.0
+         |       ELSE exp(sum(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 0.0
+         |                         ELSE ln(abs(1.0 + coalesce(r, 0.0))) END)
+         |                OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |            * CASE WHEN mod(sum(CASE WHEN 1.0 + coalesce(r, 0.0) < 0.0 THEN 1 ELSE 0 END)
+         |                OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) = 1
+         |                   THEN -1.0 ELSE 1.0 END
+         |  END AS cum_ret_1
+         |FROM fr ORDER BY date""".stripMargin
+  )
 }

@@ -1,0 +1,155 @@
+package graft.data
+
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{FactorData, Quantize}
+import graft.model.{Horizon, TradingCalendar}
+
+/** Deterministic factor/prices derivations from the driver's TPC-H-ish
+  * parquet tables (FIXTURES.md §B1-B2) — the shared input recipe for
+  * `SparkEntry.queries` and the DuckDB oracle. Everything here is plain
+  * SQL-expressible arithmetic so both engines compute bit-comparable
+  * values (modulo float rounding, which the driver's hash rounds away).
+  *
+  * Assets = suppliers, dates = ship days. factor = previous day's revenue
+  * (lag => no lookahead); price = exp(cumsum(log1p(bounded return))).
+  */
+object Pipelines {
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  /** One row per (ship day, supplier): revenue and quantity. */
+  def panel(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(
+        date_trunc("day", col("l_shipdate")).as("date"),
+        col("l_suppkey").as("asset"))
+      .agg(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        sum(col("l_quantity")).as("qty"))
+
+  /** Synthetic strictly-positive price series per supplier. */
+  def prices(panelDf: DataFrame): DataFrame = {
+    val r = (col("revenue") - col("qty") * 100.0) /
+      (abs(col("revenue")) + abs(col("qty")) * 100.0 + 1.0) * 0.05
+    val w = Window.partitionBy("asset").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    panelDf.select(col("date"), col("asset"),
+      exp(sum(log(lit(1.0) + r)).over(w)).as("price"))
+  }
+
+  /** factor = lagged revenue (null on each asset's first day). */
+  def factor(panelDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("asset").orderBy("date")
+    panelDf.select(col("date"), col("asset"),
+      lag(col("revenue"), 1).over(w).as("factor"))
+  }
+
+  /** Broadcastable asset -> group map: supplier's nation (FIXTURES §B2). */
+  def groupMap(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    s.join(n, s("s_nationkey") === n("n_nationkey"))
+      .select(col("s_suppkey").as("asset"), col("n_name").as("group"))
+  }
+
+  /** Horizons used by the oracle pipelines: plain positional steps with
+    * SQL-safe column names (ret_1, ret_5, ...). */
+  def horizons(periods: Seq[Int]): Seq[Horizon] =
+    periods.sorted.map(p => Horizon(p, s"ret_$p", Duration.ofDays(p)))
+
+  /** Forward returns on the price rows: lead(price, p)/price - 1,
+    * keyed to the factor rows (same panel here). */
+  def forwardReturns(pricesDf: DataFrame, hs: Seq[Horizon]): DataFrame = {
+    val w = Window.partitionBy("asset").orderBy("date")
+    hs.foldLeft(pricesDf) { (df, h) =>
+      df.withColumn(h.label,
+        lead(col("price"), h.period).over(w) / col("price") - 1.0)
+    }.drop("price")
+  }
+
+  /** The canonical merged factor_data table for the oracle pipelines:
+    * fwd returns |><| finite factor, complete rows only, quantized per
+    * date (qcut semantics, noRaise => unbinnable cross-sections dropped).
+    * One shuffle per window key + one (date, asset) join; the group map
+    * is broadcast.
+    */
+  def factorData(
+      spark: SparkSession,
+      dir: String,
+      periods: Seq[Int] = Seq(1, 5),
+      quantiles: Int = 5,
+      withGroup: Boolean = false): FactorData = {
+    val hs = horizons(periods)
+    val pan = panel(spark, dir)
+    val fwd = forwardReturns(prices(pan), hs)
+    val f = factor(pan).filter(col("factor").isNotNull && !isnan(col("factor")))
+    var merged = fwd.join(f, Seq("date", "asset"), "inner")
+    if (withGroup)
+      merged = merged.join(broadcast(groupMap(spark, dir)), Seq("asset"), "left")
+    merged = merged.na.drop()
+    val quantized = Quantize.quantizeFactor(
+      merged, Quantize.QuantilesInt(quantiles), noRaise = true)
+      .na.drop(Seq("factor_quantile"))
+    FactorData(quantized, hs, TradingCalendar(Set(1, 2, 3, 4, 5, 6, 7), Set.empty))
+  }
+
+  /** Shared DuckDB SQL prelude mirroring the derivations above 1:1.
+    * `queries` results must hash-match these CTEs run by the driver. */
+  def oraclePrelude(periods: Seq[Int] = Seq(1, 5), quantiles: Int = 5,
+                    withGroup: Boolean = false): String = {
+    val retCols = periods.sorted.map(p =>
+      s"lead(price, $p) OVER (PARTITION BY asset ORDER BY date) / price - 1.0 AS ret_$p")
+      .mkString(", ")
+    val retNotNull = periods.sorted.map(p => s"ret_$p IS NOT NULL").mkString(" AND ")
+    val fracs = (0 to quantiles).map(i =>
+      BigDecimal(i.toDouble / quantiles).toString).mkString(", ")
+    val ladder = (1 to quantiles).map(i =>
+      s"WHEN factor <= edges[${i + 1}] THEN $i").mkString(" ")
+    val groupJoin =
+      if (withGroup)
+        """ LEFT JOIN (SELECT s_suppkey AS asset, n_name AS grp FROM supplier
+          | JOIN nation ON s_nationkey = n_nationkey) gm USING (asset)""".stripMargin.replace("\n", "")
+      else ""
+    val groupCol = if (withGroup) ", grp AS \"group\"" else ""
+    s"""WITH panel AS (
+       |  SELECT date_trunc('day', l_shipdate) AS date, l_suppkey AS asset,
+       |         sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       |         sum(l_quantity) AS qty
+       |  FROM lineitem GROUP BY 1, 2
+       |), priced AS (
+       |  SELECT date, asset,
+       |         exp(sum(ln(1.0 + (revenue - qty * 100.0)
+       |                    / (abs(revenue) + abs(qty) * 100.0 + 1.0) * 0.05))
+       |             OVER (PARTITION BY asset ORDER BY date
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS price
+       |  FROM panel
+       |), fwd AS (
+       |  SELECT date, asset, $retCols FROM priced
+       |), fac AS (
+       |  SELECT date, asset,
+       |         lag(revenue) OVER (PARTITION BY asset ORDER BY date) AS factor
+       |  FROM panel
+       |), merged AS (
+       |  SELECT fwd.*, fac.factor$groupCol
+       |  FROM fwd JOIN fac USING (date, asset)$groupJoin
+       |  WHERE fac.factor IS NOT NULL AND $retNotNull
+       |), edged AS (
+       |  SELECT *, quantile_cont(factor, [$fracs])
+       |            OVER (PARTITION BY date) AS edges
+       |  FROM merged
+       |), factor_data AS (
+       |  SELECT * EXCLUDE (edges, bucket), bucket AS factor_quantile
+       |  FROM (
+       |    SELECT *, CASE WHEN len(list_distinct(edges)) < len(edges) THEN NULL
+       |                   ELSE (CASE $ladder END) END AS bucket
+       |    FROM edged)
+       |  WHERE bucket IS NOT NULL
+       |)""".stripMargin
+  }
+}

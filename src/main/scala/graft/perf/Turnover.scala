@@ -1,0 +1,73 @@
+package graft.perf
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ingest.FactorData
+
+/** Quantile membership turnover and factor rank autocorrelation
+  * (reference: alphalens/performance.py:568-639). */
+object Turnover {
+
+  /** Fraction of names in `quantile` that were not in it `period` dates
+    * ago (reference: alphalens/performance.py:568-598).
+    *
+    * Scale note: the heavy work (filter + per-date set collection) is a
+    * distributed hash aggregate; the lag runs on the aggregated one-row-
+    * per-date table, which is tiny (#sessions), so the single-partition
+    * window is deliberate, not a bottleneck.
+    * Output: (date, turnover), first `period` dates omitted. */
+  def quantileTurnover(fd: FactorData, quantile: Int, period: Int = 1): DataFrame = {
+    val sets = fd.df.filter(col("factor_quantile") === quantile)
+      .groupBy("date").agg(collect_set(col("asset")).as("__names"))
+    val w = Window.orderBy("date")
+    sets
+      .withColumn("__prev", lag(col("__names"), period).over(w))
+      .withColumn("turnover",
+        size(array_except(col("__names"), col("__prev"))).cast("double") /
+          size(col("__names")))
+      .filter(col("__prev").isNotNull)
+      .select("date", "turnover").orderBy("date")
+  }
+
+  /** Convenience: turnover for every quantile at once, one column per
+    * quantile is avoided — long output (date, factor_quantile, turnover)
+    * keeps the plan a single aggregation (used by the turnover sheet,
+    * reference: alphalens/tears.py:443-452). */
+  def allQuantileTurnover(fd: FactorData, period: Int = 1): DataFrame = {
+    val sets = fd.df.groupBy("date", "factor_quantile")
+      .agg(collect_set(col("asset")).as("__names"))
+    val w = Window.partitionBy("factor_quantile").orderBy("date")
+    sets
+      .withColumn("__prev", lag(col("__names"), period).over(w))
+      .withColumn("turnover",
+        size(array_except(col("__names"), col("__prev"))).cast("double") /
+          size(col("__names")))
+      .filter(col("__prev").isNotNull)
+      .select("date", "factor_quantile", "turnover")
+      .orderBy("factor_quantile", "date")
+  }
+
+  /** Cross-asset Pearson correlation between per-date factor ranks at t
+    * and t-period (reference: alphalens/performance.py:601-639).
+    *
+    * pandas shifts POSITIONALLY over the pivoted date index, so the lag
+    * is a positional self-join: dates get a dense index di (broadcast:
+    * #sessions rows), rows join on (asset, di - period), then corr per
+    * date. Output: (date, autocorr). */
+  def factorRankAutocorrelation(fd: FactorData, period: Int = 1): DataFrame = {
+    val ranks = fd.df.select(col("date"), col("asset"),
+      Information.avgRank(col("factor"), Seq(col("date"))).as("__rank"))
+
+    val dateIdx = fd.df.select("date").distinct()
+      .withColumn("__di", row_number().over(Window.orderBy("date")))
+    val cur = ranks.join(broadcast(dateIdx), Seq("date"))
+    val prev = cur.select(col("asset"), (col("__di") + period).as("__di"),
+      col("__rank").as("__prev_rank"))
+    cur.join(prev, Seq("asset", "__di"), "inner")
+      .groupBy("date")
+      .agg(corr(col("__rank"), col("__prev_rank")).as("autocorr"))
+      .orderBy("date")
+  }
+}
