@@ -25,6 +25,14 @@ object SparkEntry {
 
   private val P = Seq(1, 5)
 
+  /** Cross-engine hash stability: Spark's and DuckDB's co-moment /
+    * summation orders differ at ~1e-16, so every O(1)-magnitude float
+    * column is rounded to a 1e-9 grid IDENTICALLY in the Spark query and
+    * its oracleSql twin (verified: DuckDB round == Java BigDecimal
+    * HALF_UP on 50k random doubles). */
+  private def round9(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 9)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_panel" -> ((s, dir) =>
       Pipelines.panel(s, dir).orderBy("date", "asset")),
@@ -33,22 +41,26 @@ object SparkEntry {
     "q_factor_data" -> ((s, dir) =>
       Pipelines.factorData(s, dir, P).df.orderBy("date", "asset")),
     "q_ic" -> ((s, dir) =>
-      Information.factorInformationCoefficient(Pipelines.factorData(s, dir, P))),
+      round9(Information.factorInformationCoefficient(Pipelines.factorData(s, dir, P)),
+        Seq("ret_1", "ret_5"))),
     "q_mean_ic_monthly" -> ((s, dir) =>
-      Information.meanInformationCoefficient(
-        Pipelines.factorData(s, dir, P), byTime = Some("M"))),
+      round9(Information.meanInformationCoefficient(
+        Pipelines.factorData(s, dir, P), byTime = Some("M")), Seq("ret_1", "ret_5"))),
     "q_mean_ret_by_quantile" -> ((s, dir) =>
-      Returns.meanReturnByQuantile(Pipelines.factorData(s, dir, P))),
+      round9(Returns.meanReturnByQuantile(Pipelines.factorData(s, dir, P)),
+        Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err"))),
     "q_factor_returns" -> ((s, dir) =>
-      Returns.factorReturns(Pipelines.factorData(s, dir, P))),
+      round9(Returns.factorReturns(Pipelines.factorData(s, dir, P)),
+        Seq("ret_1", "ret_5"))),
     "q_quantile_turnover" -> ((s, dir) =>
       Turnover.quantileTurnover(Pipelines.factorData(s, dir, P), quantile = 5)),
     "q_rank_autocorr" -> ((s, dir) =>
-      Turnover.factorRankAutocorrelation(Pipelines.factorData(s, dir, P))),
+      round9(Turnover.factorRankAutocorrelation(Pipelines.factorData(s, dir, P)),
+        Seq("autocorr"))),
     "q_cumulative_returns" -> ((s, dir) => {
       val fr = Returns.factorReturns(Pipelines.factorData(s, dir, P))
-      Cumulative.cumulativeReturns(fr.select(col("date"), col("ret_1")), "ret_1")
-        .select("date", "cum_ret_1").orderBy("date")
+      round9(Cumulative.cumulativeReturns(fr.select(col("date"), col("ret_1")), "ret_1")
+        .select("date", "cum_ret_1").orderBy("date"), Seq("cum_ret_1"))
     })
   )
 
@@ -76,7 +88,7 @@ object SparkEntry {
          |    ${avgRankSql("ret_1", "date")} AS r1,
          |    ${avgRankSql("ret_5", "date")} AS r5
          |  FROM factor_data)
-         |SELECT date, corr(rf, r1) AS ret_1, corr(rf, r5) AS ret_5
+         |SELECT date, round(corr(rf, r1), 9) AS ret_1, round(corr(rf, r5), 9) AS ret_5
          |FROM ranked GROUP BY date ORDER BY date""".stripMargin,
     "q_mean_ic_monthly" ->
       s"""$pre, ranked AS (
@@ -88,7 +100,7 @@ object SparkEntry {
          |ic AS (SELECT date, corr(rf, r1) AS i1, corr(rf, r5) AS i5
          |       FROM ranked GROUP BY date)
          |SELECT last_day(date)::timestamp AS date,
-         |       avg(i1) AS ret_1, avg(i5) AS ret_5
+         |       round(avg(i1), 9) AS ret_1, round(avg(i5), 9) AS ret_5
          |FROM ic GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mean_ret_by_quantile" ->
       s"""$pre, dm AS (
@@ -99,8 +111,10 @@ object SparkEntry {
          |s1 AS (SELECT factor_quantile, date, avg(d1) AS m1, avg(d5) AS m5
          |       FROM dm GROUP BY 1, 2)
          |SELECT factor_quantile,
-         |       avg(m1) AS ret_1, stddev_samp(m1) / sqrt(count(m1)) AS ret_1_std_err,
-         |       avg(m5) AS ret_5, stddev_samp(m5) / sqrt(count(m5)) AS ret_5_std_err
+         |       round(avg(m1), 9) AS ret_1,
+         |       round(stddev_samp(m1) / sqrt(count(m1)), 9) AS ret_1_std_err,
+         |       round(avg(m5), 9) AS ret_5,
+         |       round(stddev_samp(m5) / sqrt(count(m5)), 9) AS ret_5_std_err
          |FROM s1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_factor_returns" ->
       s"""$pre, dm AS (
@@ -111,7 +125,8 @@ object SparkEntry {
          |  SELECT date, ret_1, ret_5,
          |    c / sum(abs(c)) OVER (PARTITION BY date) AS weight
          |  FROM dm)
-         |SELECT date, sum(ret_1 * weight) AS ret_1, sum(ret_5 * weight) AS ret_5
+         |SELECT date, round(sum(ret_1 * weight), 9) AS ret_1,
+         |       round(sum(ret_5 * weight), 9) AS ret_5
          |FROM wts GROUP BY date ORDER BY date""".stripMargin,
     "q_quantile_turnover" ->
       s"""$pre, sets AS (
@@ -131,7 +146,7 @@ object SparkEntry {
          |didx AS (SELECT date, row_number() OVER (ORDER BY date) AS di
          |         FROM (SELECT DISTINCT date FROM factor_data)),
          |cur AS (SELECT r, asset, di, date FROM ranks JOIN didx USING (date))
-         |SELECT cur.date, corr(cur.r, prev.r) AS autocorr
+         |SELECT cur.date, round(corr(cur.r, prev.r), 9) AS autocorr
          |FROM cur JOIN cur prev ON cur.asset = prev.asset AND cur.di = prev.di + 1
          |GROUP BY cur.date ORDER BY cur.date""".stripMargin,
     "q_cumulative_returns" ->
@@ -145,7 +160,7 @@ object SparkEntry {
          |  FROM dm),
          |fr AS (SELECT date, sum(ret_1 * weight) AS r FROM wts GROUP BY date)
          |SELECT date,
-         |  CASE WHEN max(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 1 ELSE 0 END)
+         |  round(CASE WHEN max(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 1 ELSE 0 END)
          |         OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
          |       THEN 0.0
          |       ELSE exp(sum(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 0.0
@@ -154,7 +169,7 @@ object SparkEntry {
          |            * CASE WHEN mod(sum(CASE WHEN 1.0 + coalesce(r, 0.0) < 0.0 THEN 1 ELSE 0 END)
          |                OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) = 1
          |                   THEN -1.0 ELSE 1.0 END
-         |  END AS cum_ret_1
+         |  END, 9) AS cum_ret_1
          |FROM fr ORDER BY date""".stripMargin
   )
 }
