@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.data.Pipelines
+import graft.data.{DocQueries, Pipelines}
 import graft.perf.{Information, Returns, Turnover, Cumulative}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -33,7 +33,10 @@ object SparkEntry {
   private def round9(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 9)))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = factorQueries ++
+    DocQueries.queries
+
+  private def factorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_panel" -> ((s, dir) =>
       Pipelines.panel(s, dir).orderBy("date", "asset")),
     "q_prices" -> ((s, dir) =>
@@ -71,7 +74,9 @@ object SparkEntry {
     s"rank() OVER (PARTITION BY $part ORDER BY $c) + " +
     s"(count(*) OVER (PARTITION BY $part, $c) - 1) / 2.0"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = factorOracleSql ++ DocQueries.oracleSql
+
+  private def factorOracleSql: Map[String, String] = Map(
     "q_panel" ->
       """SELECT date_trunc('day', l_shipdate) AS date, l_suppkey AS asset,
         | sum(l_extendedprice * (1 - l_discount)) AS revenue,

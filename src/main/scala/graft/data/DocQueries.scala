@@ -1,0 +1,257 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.{Dedup, TextOps, TextStats}
+import graft.vector.Similarity
+
+/** Driver-contract queries for the LLM-data-pipeline layer (dedup,
+  * text analysis, embedding similarity) over `documents.parquet` /
+  * `embeddings.parquet`, with generated DuckDB oracle SQL mirroring
+  * each Spark plan 1:1 (same hash family, same rounding, same
+  * tie-breaks) so the driver's value-hash compare is exact.
+  */
+object DocQueries {
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Corpus with planted exact duplicates (each doc twice, second copy
+    * id-shifted) — the documents table itself has no exact dups. */
+  private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  // ---- Spark side ----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(dupCorpus(s, dir)).orderBy("content_hash")),
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(documents(s, dir), n = 3, minJaccard = 0.3, maxDf = 100)),
+    "q_minhash_neardup" -> ((s, dir) =>
+      Dedup.minHashNearDups(documents(s, dir), n = 3, numHashes = 16, bands = 4,
+        minJaccard = 0.5)),
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simHash(documents(s, dir)).orderBy("doc_id")),
+    "q_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(documents(s, dir), n = 3, w = 4)
+        .orderBy("doc_id", "fingerprint")),
+    "q_text_stats" -> ((s, dir) =>
+      TextStats.textStats(documents(s, dir)).orderBy("doc_id")),
+    "q_token_counts" -> ((s, dir) =>
+      TextStats.tokenCounts(documents(s, dir)).orderBy("doc_id")),
+    "q_lang_id" -> ((s, dir) =>
+      TextStats.languageId(documents(s, dir)).orderBy("doc_id")),
+    "q_ann_cosine" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 10)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 10,
+        nBits = 16, bands = 8, dim = 64)
+    })
+  )
+
+  // ---- DuckDB oracle SQL --------------------------------------------
+
+  /** Tokens / shingle CTE fragments shared by the text oracles. */
+  private val toksExpr = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  private def shinglesExpr(t: String, n: Int): String =
+    s"list_distinct(list_transform(range(1, len($t) - ${n - 2}), " +
+      s"i -> array_to_string(list_slice($t, i, i + ${n - 1}), ' ')))"
+
+  private def hash56(s: String): String =
+    s"('0x' || substr(md5($s), 1, 14))::BIGINT"
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |sh AS (SELECT doc_id AS id, ${shinglesExpr("toks", 3)} AS s FROM t),
+         |sh2 AS (SELECT id, s, len(s) AS sz FROM sh WHERE len(s) > 0),
+         |posts AS (SELECT id, unnest(s) AS g FROM sh2),
+         |kept AS (SELECT id, g FROM (
+         |  SELECT id, g, count(*) OVER (PARTITION BY g) AS df FROM posts)
+         |  WHERE df <= 100),
+         |common AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS c
+         |  FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |  round(c::DOUBLE / (sa.sz + sb.sz - c), 9) AS jaccard
+         |  FROM common JOIN sh2 sa ON sa.id = doc_a JOIN sh2 sb ON sb.id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_minhash_neardup" -> {
+      val P = TextOps.HashP
+      val mins = (0 until 16).map { jj =>
+        val (a, b) = TextOps.hashParams(jj)
+        s"min(($a * h0 + $b) % $P) AS m$jj"
+      }.mkString(", ")
+      val bandKeys = (0 until 4).map { b =>
+        "'" + b + ":' || " + (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+          .mkString(" || ':' || ")
+      }.mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |sh AS (SELECT doc_id AS id, ${shinglesExpr("toks", 3)} AS s FROM t),
+         |sh2 AS (SELECT id, s, len(s) AS sz FROM sh WHERE len(s) > 0),
+         |posts AS (SELECT id, ${hash56("g")} % $P AS h0 FROM
+         |  (SELECT id, unnest(s) AS g FROM sh2)),
+         |mh AS (SELECT id, $mins FROM posts GROUP BY id),
+         |bk AS (SELECT id, unnest($bandKeys) AS k FROM mh),
+         |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM bk a JOIN bk b ON a.k = b.k AND a.id < b.id),
+         |v AS (SELECT doc_a, doc_b,
+         |  round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+         |        (sa.sz + sb.sz - len(list_intersect(sa.s, sb.s))), 9) AS jaccard
+         |  FROM cand JOIN sh2 sa ON sa.id = doc_a JOIN sh2 sb ON sb.id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_simhash" -> {
+      val sums = (0 until 56).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN c ELSE -c END) AS s$b").mkString(", ")
+      val hashTerms = (0 until 56).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest($toksExpr) AS tk FROM documents),
+         |cnt AS (SELECT doc_id, tk, count(*) AS c, ${hash56("tk")} AS h
+         |  FROM tok GROUP BY doc_id, tk),
+         |s AS (SELECT doc_id, $sums FROM cnt GROUP BY doc_id)
+         |SELECT doc_id, ($hashTerms)::BIGINT AS simhash FROM s
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |seqs AS (SELECT doc_id,
+         |  unnest(range(1, len(toks) - 1)) AS pos,
+         |  unnest(list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+         |  FROM t),
+         |hashed AS (SELECT doc_id, pos, ${hash56("g")} AS h FROM seqs),
+         |win AS (SELECT doc_id, pos,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |  FROM hashed)
+         |SELECT DISTINCT doc_id, fp AS fingerprint FROM win WHERE pos >= 4
+         |ORDER BY doc_id, fingerprint""".stripMargin,
+
+    "q_text_stats" -> {
+      val sw = sqlList(TextStats.EnglishStopwords)
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  length(text)::DOUBLE AS nc,
+         |  len(toks)::DOUBLE AS nt,
+         |  len(list_distinct(toks))::DOUBLE AS ty,
+         |  len(list_filter(toks, x -> list_contains($sw, x)))::DOUBLE AS sw,
+         |  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS nd,
+         |  (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE AS na
+         |  FROM t)
+         |SELECT doc_id, nc::BIGINT AS n_chars, nt::BIGINT AS n_tokens,
+         |  ty::BIGINT AS n_types,
+         |  round(ty / nt, 9) AS type_token_ratio,
+         |  round((nc - (nt - 1.0)) / nt, 9) AS avg_token_len,
+         |  round(sw / nt, 9) AS stopword_ratio,
+         |  round(nd / nc, 9) AS digit_ratio,
+         |  round(na / nc, 9) AS alpha_ratio,
+         |  round((CASE WHEN nt >= 10.0 AND nt <= 100000.0 THEN 1.0 ELSE 0.25 END) *
+         |        (CASE WHEN (nc - (nt - 1.0)) / nt >= 2.0
+         |              AND (nc - (nt - 1.0)) / nt <= 12.0 THEN 1.0 ELSE 0.5 END) *
+         |        (CASE WHEN sw / nt >= 0.01 THEN 1.0 ELSE 0.5 END) *
+         |        (CASE WHEN na / nc >= 0.6 THEN 1.0 ELSE 0.5 END), 9) AS quality_score
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q_token_counts" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |s AS (SELECT doc_id, len(toks)::BIGINT AS ws_tokens,
+         |  coalesce(list_sum(list_transform(
+         |    list_filter(string_split_regex(text, '[^a-zA-Z]'), x -> x <> ''),
+         |    r -> ceil(length(r) / 4.0)::BIGINT)), 0)
+         |  + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |  + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS bpe_tokens
+         |  FROM t)
+         |SELECT doc_id, ws_tokens, bpe_tokens FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      val profs = TextStats.DefaultProfiles
+      val scoreDefs = profs.keys.toSeq.sorted.map { l =>
+        s"round(len(list_filter(toks, x -> list_contains(${sqlList(profs(l))}, x)))::DOUBLE" +
+          s" / greatest(len(toks)::DOUBLE, 1.0), 9) AS score_$l"
+      }.mkString(",\n  ") +
+        ",\n  round((length(text) - length(regexp_replace(text, " +
+        "'[\\x{4e00}-\\x{9fff}]', '', 'g')))::DOUBLE / " +
+        "greatest(length(text)::DOUBLE, 1.0), 9) AS score_zh"
+      val all = (profs.keys.toSeq :+ "zh").sorted
+      val g = all.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val pred = all.map(l =>
+        s"WHEN score_$l >= $g AND score_$l > 0.0 THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  $scoreDefs
+         |  FROM t)
+         |SELECT doc_id, ${all.map(l => s"score_$l").mkString(", ")},
+         |  CASE $pred ELSE 'und' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q_ann_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cos
+         |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH proj AS (SELECT j, list(w ORDER BY d) AS wv FROM (
+         |  SELECT j, d,
+         |    (((j + 1) * 2654435761 + (d + 1) * 40503) % 1000003) / 1000003.0 - 0.5 AS w
+         |  FROM range(16) tj(j) CROSS JOIN range(64) td(d)) GROUP BY j),
+         |bits AS (SELECT vec_id, j,
+         |  CASE WHEN list_sum(list_transform(range(1, 65),
+         |    i -> embedding[i]::DOUBLE * wv[i])) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings CROSS JOIN proj),
+         |sig AS (SELECT vec_id, list(bit ORDER BY j) AS bl FROM bits GROUP BY vec_id),
+         |bk AS (SELECT vec_id, unnest(list_transform(range(0, 8),
+         |  b -> b::VARCHAR || ':' || bl[2 * b + 1]::VARCHAR || ':' ||
+         |       bl[2 * b + 2]::VARCHAR)) AS k FROM sig),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bk q JOIN bk c ON q.k = c.k AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  list_sum(list_transform(range(1, 65), i -> eq.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> eq.embedding[i]::DOUBLE * eq.embedding[i]::DOUBLE))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> ec.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)))) AS cos
+         |  FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+         |            JOIN embeddings ec ON ec.vec_id = neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  )
+}

@@ -1,0 +1,190 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Document deduplication operators for LLM-training-data pipelines:
+  * exact (content hash), n-gram Jaccard (inverted shingle index),
+  * MinHash + banded LSH (near-dup at scale), SimHash, and winnowing
+  * fingerprints.
+  *
+  * Scale design (the 100 TB contract):
+  *  - never all-pairs: candidate generation is always an equi-join on a
+  *    bounded key (content hash, shingle posting list capped by document
+  *    frequency, LSH band bucket, SimHash band);
+  *  - no driver-side collects anywhere — outputs are DataFrames;
+  *  - hot-key skew on the inverted index is bounded by `maxDf` (shingles
+  *    occurring in more than maxDf docs carry ~no signal and explode the
+  *    join — standard df-capping);
+  *  - per-document state (shingle sets, 64-wide signatures) is O(doc
+  *    length), independent of corpus size.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full-content hash: one row per distinct
+    * content with the canonical (minimum) id and the duplicate count.
+    * Single distributed hash aggregate; no shuffle beyond the groupBy. */
+  def exactDuplicates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct (id, shingle-set) pairs plus set size. */
+  private def shingleSets(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        shingles(tokens(col(textCol)), n).as("__set"))
+      .withColumn("__sz", size(col("__set")))
+      .filter(col("__sz") > 0)
+
+  /** Exact n-gram Jaccard similarity pairs via an inverted shingle
+    * index: explode distinct shingles, drop shingles appearing in more
+    * than `maxDf` documents (hot keys: no discriminative power, join
+    * skew), equi-join posting lists with id ordering, count common
+    * shingles per pair, then J = common / (|A| + |B| - common).
+    *
+    * Output: (doc_a, doc_b, jaccard) with jaccard >= minJaccard, rounded
+    * to 1e-9 for cross-engine hash stability. */
+  def jaccardPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      minJaccard: Double = 0.2,
+      maxDf: Int = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol, n)
+    val posts = sets.select(col("__id"), explode(col("__set")).as("__sh"))
+    val kept = posts
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
+      .filter(col("__df") <= maxDf)
+    val a = kept.select(col("__sh"), col("__id").as("doc_a"))
+    val b = kept.select(col("__sh"), col("__id").as("doc_b"))
+    val common = a.join(b, Seq("__sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__common"))
+    val szs = sets.select(col("__id"), col("__sz"))
+    common
+      .join(szs.withColumnRenamed("__id", "doc_a").withColumnRenamed("__sz", "__sza"),
+        Seq("doc_a"))
+      .join(szs.withColumnRenamed("__id", "doc_b").withColumnRenamed("__sz", "__szb"),
+        Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("__common").cast("double") /
+          (col("__sza") + col("__szb") - col("__common")), 9))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signatures: one row per doc, `numHashes` min-hash values
+    * (universal-hash family over 56-bit shingle hashes, see TextOps). */
+  def minHashSignatures(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol, n)
+    val h0 = sets.select(col("__id"), explode(col("__set")).as("__sh"))
+      .withColumn("__h0", hash56(col("__sh")) % HashP)
+    val mins = (0 until numHashes).map { j =>
+      val (aj, bj) = hashParams(j)
+      min((lit(aj) * col("__h0") + lit(bj)) % HashP).as(s"__m$j")
+    }
+    h0.groupBy("__id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Near-duplicate pairs via banded MinHash LSH: signatures are cut
+    * into `bands` bands of numHashes/bands rows; documents sharing any
+    * full band land in one bucket (equi-join key), and only bucket
+    * neighbours are verified with the EXACT n-gram Jaccard — never
+    * all-pairs. Band width trades recall for candidate volume (16 bands
+    * of 4 hashes targets J >= ~0.5 with high recall).
+    *
+    * Output: (doc_a, doc_b, jaccard >= minJaccard), rounded to 1e-9. */
+  def minHashNearDups(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    val sig = minHashSignatures(docs, n, numHashes, textCol, idCol)
+    val bandKeys = (0 until bands).map { b =>
+      val parts = lit(b.toString) +:
+        (0 until rows).map(r => col(s"__m${b * rows + r}").cast("string"))
+      concat_ws(":", parts: _*)
+    }
+    val buckets = sig.select(col("__id"), explode(array(bandKeys: _*)).as("__bk"))
+    val ca = buckets.select(col("__bk"), col("__id").as("doc_a"))
+    val cb = buckets.select(col("__bk"), col("__id").as("doc_b"))
+    val cand = ca.join(cb, Seq("__bk")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+    val sets = shingleSets(docs, textCol, idCol, n)
+    val verified = cand
+      .join(sets.select(col("__id").as("doc_a"), col("__set").as("__seta"),
+        col("__sz").as("__sza")), Seq("doc_a"))
+      .join(sets.select(col("__id").as("doc_b"), col("__set").as("__setb"),
+        col("__sz").as("__szb")), Seq("doc_b"))
+      .withColumn("__common", size(array_intersect(col("__seta"), col("__setb"))))
+      .withColumn("jaccard",
+        round(col("__common").cast("double") /
+          (col("__sza") + col("__szb") - col("__common")), 9))
+      .filter(col("jaccard") >= minJaccard)
+    verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+  }
+
+  /** 56-bit SimHash per document: token-frequency-weighted majority vote
+    * per bit of the 56-bit token hash (bit set iff the weighted sum of
+    * +-1 votes is strictly positive). One explode + one hash aggregate.
+    * Output: (id, simhash). */
+  def simHash(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bits = 56
+    val toks = docs.select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .groupBy("__id", "__tok").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__h", hash56(col("__tok")))
+    val sums = (0 until bits).map { b =>
+      sum(when(shiftright(col("__h"), b) % 2 === 1, col("__cnt"))
+        .otherwise(-col("__cnt"))).as(s"__s$b")
+    }
+    val agg = toks.groupBy("__id").agg(sums.head, sums.tail: _*)
+    val hashCol = (0 until bits)
+      .map(b => when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("__id").as(idCol), hashCol.as("simhash"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al.'s local minima
+    * scheme): hash every positional n-gram, take the minimum hash of
+    * each sliding window of `w` consecutive shingles (full windows
+    * only), and emit the distinct minima per document. Robust to local
+    * edits; the fingerprint set size is O(len/w).
+    * Output: (id, fingerprint) distinct. */
+  def winnowFingerprints(
+      docs: DataFrame,
+      n: Int = 3,
+      w: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val seq = docs.select(col(idCol).as("__id"),
+      posexplode(shingleSeq(tokens(col(textCol)), n)).as(Seq("__pos", "__sh")))
+    val win = Window.partitionBy("__id").orderBy("__pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    seq.withColumn("__fp", min(hash56(col("__sh"))).over(win))
+      .filter(col("__pos") >= w - 1)
+      .select(col("__id").as(idCol), col("__fp").as("fingerprint"))
+      .distinct()
+  }
+}

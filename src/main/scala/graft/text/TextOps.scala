@@ -1,0 +1,50 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column-level text primitives for the document pipeline.
+  *
+  * Every helper is built from codegen'd Spark built-ins only (no UDFs)
+  * and is deliberately expressible 1:1 in ANSI-ish SQL so the DuckDB
+  * oracle can replicate each operator bit-for-bit:
+  *
+  *  - tokens: single-space split (the corpus is pre-normalized); empty
+  *    tokens dropped on both sides.
+  *  - hash56: the first 56 bits of md5 as a non-negative BIGINT — the
+  *    one 64-bit-safe integer hash both engines can compute identically
+  *    (Spark `conv(substring(md5, 1, 14), 16, 10)`, DuckDB
+  *    `CAST('0x' || substr(md5, 1, 14) AS BIGINT)`).
+  */
+object TextOps {
+
+  /** Non-empty tokens of a single-space-separated text column. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** All n-token shingles (with duplicates, in positional order);
+    * empty array when the document has fewer than n tokens. */
+  def shingleSeq(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle set of a document. */
+  def shingles(toks: Column, n: Int): Column = array_distinct(shingleSeq(toks, n))
+
+  /** First 56 bits of md5(s) as a non-negative long. Stable across
+    * engines and platforms (md5 is byte-defined), cheap enough for the
+    * hot path (one md5 per shingle), and 56 bits keeps every derived
+    * product `a * (h % p) + b` inside 63 bits. */
+  def hash56(s: Column): Column =
+    conv(substring(md5(s), 1, 14), 16, 10).cast("long")
+
+  /** Modulus for the MinHash permutation family. */
+  val HashP: Long = 1000000007L
+
+  /** j-th universal-hash parameters (aj, bj); aj reduced mod P first so
+    * aj * (h mod P) + bj stays < 2^63. */
+  def hashParams(j: Int): (Long, Long) =
+    (((j + 1).toLong * 2654435761L) % HashP, ((j + 1).toLong * 40503L) % HashP)
+}

@@ -1,0 +1,156 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators over an `array<float>` column:
+  * brute-force cosine top-k (the exact baseline) and sign-LSH
+  * (random-hyperplane) bucketed ANN (the scale path), plus
+  * cosine-threshold near-duplicate detection.
+  *
+  * Scale design (the 100 TB contract):
+  *  - the query set is always broadcast (top-k serves a bounded query
+  *    batch); the corpus is scanned once, never collected;
+  *  - the LSH path only joins within hyperplane-sign buckets (bands of
+  *    the bit signature), never all-pairs; band count trades recall for
+  *    candidate volume;
+  *  - all arithmetic is codegen'd builtins (`zip_with`/`aggregate`) —
+  *    no UDFs in the hot path;
+  *  - hyperplane projections are a deterministic integer-hash formula
+  *    (reproducible across engines and runs, no stored model state).
+  */
+object Similarity {
+
+  /** Ordered dot product of two float-array columns, computed in IEEE
+    * double exactly left-to-right (cross-engine reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact cosine top-k: for every query vector the k nearest corpus
+    * vectors by cosine (descending, ties broken by neighbor id; self
+    * matches excluded).
+    *
+    * The query set is broadcast — the corpus partitions stream past it
+    * with no shuffle; only the per-query top-k (bounded: |queries|·k
+    * rows) shuffles for the final rank. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("long").as("rank"), col("neighbor_id"),
+        round(col("__cos"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (bit j, dim d):
+    * an integer LCG-style mix mapped into [-0.5, 0.5). Identical formula
+    * is emitted in the DuckDB oracle SQL. */
+  def projWeight(j: Int, d: Int): Double =
+    (((j + 1).toLong * 2654435761L + (d + 1).toLong * 40503L) % 1000003L).toDouble /
+      1000003.0 - 0.5
+
+  /** Sign-LSH bit signature: bit j = [ dot(v, r_j) > 0 ] for `nBits`
+    * deterministic hyperplanes r_j. Returns (idCol, __b0.. __b{n-1}). */
+  private def withSignBits(
+      df: DataFrame, nBits: Int, dim: Int, idCol: String, vecCol: String): DataFrame = {
+    val bits = (0 until nBits).map { j =>
+      val w = array((0 until dim).map(d => lit(projWeight(j, d))): _*)
+      (dot(col(vecCol), w) > 0.0).cast("int").as(s"__b$j")
+    }
+    df.select(col(idCol) +: col(vecCol).as("__v") +: bits: _*)
+  }
+
+  /** ANN top-k via banded sign-LSH: signatures of `nBits` hyperplane
+    * signs are cut into `bands`; vectors sharing any full band with the
+    * query become candidates (bucket equi-join — never all-pairs) and
+    * are reranked by exact cosine. Recall < 1 by construction; increase
+    * `bands` (or lower bits per band) for higher recall.
+    *
+    * Output schema matches [[bruteForceTopK]] so recall is measurable
+    * by direct comparison. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nBits: Int = 16,
+      bands: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
+    val rows = nBits / bands
+    def bucketed(df: DataFrame, role: String): DataFrame = {
+      val sig = withSignBits(df, nBits, dim, idCol, vecCol)
+      val bandKeys = (0 until bands).map { b =>
+        concat_ws(":", lit(b.toString) +:
+          (0 until rows).map(r => col(s"__b${b * rows + r}").cast("string")): _*)
+      }
+      sig.select(col(idCol).as(role), col("__v").as(s"__v_$role"),
+        explode(array(bandKeys: _*)).as("__bk"))
+    }
+    val qb = bucketed(queries, "query_id")
+    val cb = bucketed(corpus, "neighbor_id")
+    val cand = cb.join(broadcast(qb), Seq("__bk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("__v_query_id").as("__qv"), col("__v_neighbor_id").as("__cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    cand
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("long").as("rank"), col("neighbor_id"),
+        round(col("__cos"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: sign-LSH candidate generation over
+    * the whole corpus (self-join within band buckets), exact-cosine
+    * verification at `minCosine`. Output (id_a < id_b, cosine). */
+  def cosineNearDups(
+      corpus: DataFrame,
+      minCosine: Double = 0.95,
+      nBits: Int = 16,
+      bands: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
+    val rows = nBits / bands
+    val sig = withSignBits(corpus, nBits, dim, idCol, vecCol)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", lit(b.toString) +:
+        (0 until rows).map(r => col(s"__b${b * rows + r}").cast("string")): _*)
+    }
+    val buckets = sig.select(col(idCol).as("__id"), col("__v"),
+      explode(array(bandKeys: _*)).as("__bk"))
+    val a = buckets.select(col("__bk"), col("__id").as("id_a"), col("__v").as("__va"))
+    val b = buckets.select(col("__bk"), col("__id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("__bk")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{MediaSample, Multimodal}
+import graft.vector.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random unit-ish vectors around `center`. */
+  private def vec(seed: Int, jitter: Float = 0f): Array[Float] =
+    Array.tabulate(8)(d =>
+      (((seed * 31 + d * 17) % 13) - 6).toFloat + jitter * ((d % 3) - 1))
+
+  private def emb(rows: (Long, Array[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine: exact values on known vectors") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(2f, 4f, 6f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assertClose(out(0), 0.0)
+    assertClose(out(1), 1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc, excludes self") {
+    val q = vec(1)
+    val near = q.map(x => x * 2f) // cosine 1 with q
+    val d = emb(0L -> q, 1L -> near, 2L -> vec(7), 3L -> vec(11))
+    val rows = Similarity.bruteForceTopK(d, d.filter(col("vec_id") === 0), k = 3)
+      .collect()
+    assert(rows.map(_.getAs[Long]("neighbor_id")).head === 1L)
+    assert(rows.forall(_.getAs[Long]("query_id") === 0L))
+    assert(!rows.map(_.getAs[Long]("neighbor_id")).contains(0L))
+    assertClose(rows.head.getAs[Double]("cosine"), 1.0, 1e-6)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("lshTopK achieves high recall vs brute force on clustered data") {
+    // two tight clusters of 20 vectors each + queries from cluster A
+    val rows = (0 until 40).map { i =>
+      val base = if (i < 20) vec(1) else vec(97)
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * (((i * 7 + d) % 5) - 2) })
+    }
+    val d = emb(rows: _*)
+    val queries = d.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(d, queries, k = 5, vecCol = "embedding")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.lshTopK(d, queries, k = 5, nBits = 16, bands = 8, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bf.intersect(ann).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("cosineNearDups finds planted duplicate pair only") {
+    val a = vec(5)
+    val dup = a.map(x => x * 1.001f)
+    val d = emb(1L -> a, 2L -> dup, 3L -> vec(23), 4L -> vec(41))
+    val rows = Similarity.cosineNearDups(d, minCosine = 0.999, nBits = 8,
+      bands = 8, dim = 8).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("multimodal: feature extraction is deterministic and shaped") {
+    implicit val s = spark
+    val docs = Seq((1L, "hello media world"), (2L, "other content")).toDF("doc_id", "text")
+    val samples = Multimodal.syntheticCorpus(docs).as[MediaSample]
+    val f1 = Multimodal.extractFeatures(samples, dim = 16).collect().sortBy(_.sample_id)
+    val f2 = Multimodal.extractFeatures(samples, dim = 16).collect().sortBy(_.sample_id)
+    assert(f1.length === 2)
+    assert(f1.forall(_.features.length === 16))
+    assert(f1.map(_.features.toSeq) === f2.map(_.features.toSeq)) // deterministic
+    assert(f1(0).features.toSeq !== f1(1).features.toSeq) // content-sensitive
+    assert(f1.map(_.modality).toSet.subsetOf(Set("image", "audio", "video")))
+  }
+
+  test("multimodal: frame sampling emits n frames with stable hashes") {
+    val docs = Seq((7L, "a reasonably long body of encoded content bytes here"))
+      .toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.syntheticCorpus(docs), n = 4,
+      frameBytes = 8).collect()
+    assert(frames.length === 4)
+    assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq === Seq(0, 1, 2, 3))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length === 8))
+  }
+
+  test("multimodal: resize rescales payload and metadata") {
+    val docs = Seq((3L, "x" * 100)).toDF("doc_id", "text")
+    val base = Multimodal.syntheticCorpus(docs)
+    val out = Multimodal.resize(base, 16, 16).collect().head
+    assert(out.getAs[Int]("width") === 16 && out.getAs[Int]("height") === 16)
+    assert(out.getAs[Array[Byte]]("content").length <= 100)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{Dedup, TextStats}
+
+class TextPipelineSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  test("exactDuplicates groups identical content, keeps min id") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exactDuplicates(d).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_docs"))).toSet
+    assert(out === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccardPairs computes exact trigram jaccard") {
+    // doc1: shingles {a b c, b c d, c d e}; doc2 shares {b c d, c d e} + {d e f}
+    val d = docs(1L -> "a b c d e", 2L -> "b c d e f", 3L -> "q r s t u")
+    val rows = Dedup.jaccardPairs(d, n = 3, minJaccard = 0.1).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assertClose(r.getAs[Double]("jaccard"), 2.0 / 4.0)
+  }
+
+  test("jaccardPairs df cap drops ubiquitous shingles") {
+    // shared shingle "a b c" in all 4 docs: with maxDf=3 it is dropped,
+    // so no pair reaches the threshold.
+    val d = docs(1L -> "a b c", 2L -> "a b c x", 3L -> "a b c y", 4L -> "a b c z")
+    assert(Dedup.jaccardPairs(d, n = 3, minJaccard = 0.1, maxDf = 3).count() === 0)
+  }
+
+  test("minHashNearDups finds near-identical docs and skips unrelated ones") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 38).map(i => s"tok$i").mkString(" ") // drop last 2 tokens
+    val far = (1 to 40).map(i => s"other$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> near, 3L -> far)
+    val rows = Dedup.minHashNearDups(d, n = 3, numHashes = 16, bands = 4,
+      minJaccard = 0.5).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("doc_a") === 1L)
+    assert(rows.head.getAs[Long]("doc_b") === 2L)
+    // doc1 has 38 trigrams, doc2 has 36 (all shared): J = 36 / 38
+    assertClose(rows.head.getAs[Double]("jaccard"), 36.0 / 38.0)
+  }
+
+  test("simHash: identical docs share hash; different docs differ") {
+    val d = docs(1L -> "spark makes big data small", 2L -> "spark makes big data small",
+      3L -> "entirely unrelated words here now")
+    val m = Dedup.simHash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(3L))
+    assert(m.values.forall(_ >= 0L)) // 56-bit: always non-negative
+  }
+
+  test("winnowFingerprints: subset invariance under local edit") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val edited = "zzz " + base // single local edit at the front
+    val d = docs(1L -> base, 2L -> edited)
+    val fp = Dedup.winnowFingerprints(d, n = 3, w = 4).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    // winnowing guarantee: most fingerprints survive a prefix edit
+    val shared = fp(1L).intersect(fp(2L)).size.toDouble
+    assert(shared / fp(1L).size > 0.8)
+  }
+
+  test("textStats counts and quality score") {
+    val d = docs(1L -> "the cat sat on the mat")
+    val r = TextStats.textStats(d).collect().head
+    assert(r.getAs[Long]("n_chars") === 22L)
+    assert(r.getAs[Long]("n_tokens") === 6L)
+    assert(r.getAs[Long]("n_types") === 5L) // "the" twice
+    assertClose(r.getAs[Double]("avg_token_len"), (22.0 - 5.0) / 6.0)
+    assertClose(r.getAs[Double]("stopword_ratio"), 3.0 / 6.0) // the, on, the
+    // short doc (<10 tokens) -> qLen=0.25; others pass
+    assertClose(r.getAs[Double]("quality_score"), 0.25)
+  }
+
+  test("languageId identifies real multilingual sentences") {
+    val d = docs(
+      1L -> "the cat is in the house and it is quiet",
+      2L -> "der hund ist nicht in das haus und die katze",
+      3L -> "el perro y la gata se quedan en el parque por la tarde",
+      4L -> "le chat et les chiens sont dans une maison pour la nuit",
+      5L -> "今天天气很好我们去公园")
+    val out = TextStats.languageId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("tokenCounts: whitespace and bpe-ish counts") {
+    val d = docs(1L -> "hello world42 a-b")
+    val r = TextStats.tokenCounts(d).collect().head
+    assert(r.getAs[Long]("ws_tokens") === 3L)
+    // hello(2) + world(2) + 4,2(2 digits) + a(1) + b(1) + '-'(1) = 9
+    assert(r.getAs[Long]("bpe_tokens") === 9L)
+  }
+}
