@@ -43,6 +43,11 @@ object CleanFactor {
       zeroAware: Boolean = false,
       verbose: Boolean = true): FactorData = {
 
+    // clear precondition instead of an unresolved-column failure deep in
+    // the quantize plan (mirrors the reference's ValueError semantics)
+    require(groupby.isDefined || !binningByGroup,
+      "you must pass a groupby mapping if binningByGroup is true")
+
     val initialAmount = factor.count().toDouble
 
     // np.isfinite filter (utils.py:595): drop null AND NaN AND +-inf

@@ -63,7 +63,22 @@ object ForwardReturns {
 
     // prices chopped to the factor's asset universe (utils.py:281)
     val assets = factor.select("asset").distinct()
-    val p = prices.join(assets, Seq("asset"), "left_semi")
+    val sparse = prices.join(assets, Seq("asset"), "left_semi")
+
+    // Reindex every asset against the GLOBAL price-date index before the
+    // lead windows: the reference's wide frame carries an explicit
+    // (possibly-NaN) cell for every (date, asset), so a positional shift
+    // over a sparse long panel (asset missing dates — delistings,
+    // late listings) would silently span the gap and compute a
+    // multi-session return mislabeled with the global horizon. The dense
+    // grid makes those returns null, matching pandas NaN propagation.
+    // Dates are a bounded literal array (#sessions); explode is
+    // codegen'd and avoids a nested-loop cross join.
+    import spark.implicits._
+    val allPriceDates = priceDates.map(java.sql.Timestamp.from).toSeq
+    val p = assets
+      .withColumn("date", explode(typedLit(allPriceDates)))
+      .join(sparse, Seq("asset", "date"), "left")
 
     val w = Window.partitionBy("asset").orderBy("date")
     val sorted = periods.sorted

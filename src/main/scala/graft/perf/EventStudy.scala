@@ -26,17 +26,17 @@ object EventStudy {
     df.select("date").distinct()
       .withColumn("__di", row_number().over(Window.orderBy("date")) - 1)
 
-  /** Convert per-asset simple returns to cumulative levels, cumprod(1+r);
-    * a null return poisons all later rows of that asset (pandas cumprod
-    * NaN propagation). */
+  /** Convert per-asset simple returns to cumulative levels, cumprod(1+r).
+    * Missing (null/NaN) returns are zero-filled so the level series
+    * continues — matching empyrical's `cum_returns` (NaN -> 0 fill) used
+    * by the reference's common_start_returns(cumulative=False) path and
+    * pandas cumprod's default skipna=True. */
   def toCumulative(returns: DataFrame, valueCol: String = "ret"): DataFrame = {
-    val w = Window.partitionBy("asset").orderBy("date")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c = col(valueCol)
-    val poisoned = max(when(c.isNull || isnan(c), 1).otherwise(0)).over(w)
+    val filled = when(c.isNull || isnan(c), lit(0.0)).otherwise(c)
     returns.withColumn(valueCol,
-      when(poisoned === 1, lit(null))
-        .otherwise(Cumulative.runningProduct(c + 1.0, Window.partitionBy("asset").orderBy("date"))))
+      Cumulative.runningProduct(filled + 1.0,
+        Window.partitionBy("asset").orderBy("date")))
   }
 
   /** Aligned long event-study table.
@@ -112,65 +112,72 @@ object EventStudy {
       groupAdjust: Boolean = false,
       byGroup: Boolean = false): DataFrame = {
 
+    // skip NaN per-asset values in the per-date mean (pandas skipna) but
+    // let +-inf propagate — the reference replaces inf with NaN only
+    // AFTER mean_by_date (performance.py:804), so one inf level excludes
+    // the whole event date from the quantile's mean/std.
+    val nanNull = (c: Column) => when(isnan(c), lit(null)).otherwise(c)
     val finite = (c: Column) =>
       when(isnan(c) || abs(c) === Double.PositiveInfinity, lit(null)).otherwise(c)
 
-    if (!byGroup && !groupAdjust) {
-      // events per quantile; demean universe = all rows or none
-      val dm = if (demeaned) Some(fd.df.select("date", "asset")) else None
-      val perEvent = commonStartReturns(
-        fd.df.select("date", "asset", "factor_quantile"), levels,
-        periodsBefore, periodsAfter, meanByDate = false, demeanBy = dm)
-      // mean_by_date within quantile: reattach quantile via the event rows
-      val withQ = perEvent.join(
-        fd.df.select(col("date").as("event_date"), col("asset"), col("factor_quantile")),
-        Seq("event_date", "asset"))
-      val byDate = withQ.groupBy("factor_quantile", "event_date", "offset")
-        .agg(avg(finite(col("value"))).as("value"))
-      byDate.groupBy("factor_quantile", "offset")
-        .agg(avg("value").as("mean"), stddev_samp(col("value")).as("std"))
-        .orderBy("factor_quantile", "offset")
-    } else {
-      // per-group event slices; demean universe depends on flags
-      val groups = fd.df.select("group").distinct().collect().map(_.getString(0))
-      val perGroup = groups.toSeq.map { g =>
-        val gData = fd.df.filter(col("group") === g)
-        val dm =
-          if (groupAdjust) Some(gData.select("date", "asset"))
-          else if (demeaned) Some(fd.df.select("date", "asset"))
-          else None
-        val perEvent = commonStartReturns(
-          gData.select("date", "asset", "factor_quantile"), levels,
-          periodsBefore, periodsAfter, meanByDate = false, demeanBy = dm)
-        perEvent.join(
-          gData.select(col("date").as("event_date"), col("asset"),
-            col("factor_quantile")),
-          Seq("event_date", "asset"))
-          .withColumn("group", lit(g))
-      }
-      val all = perGroup.reduce(_.unionAll(_))
-      val byDate = all.groupBy("factor_quantile", "group", "event_date", "offset")
-        .agg(avg(finite(col("value"))).as("value"))
-      if (byGroup)
-        byDate.groupBy("factor_quantile", "group", "offset")
-          .agg(avg("value").as("mean"), stddev_samp(col("value")).as("std"))
-          .orderBy("factor_quantile", "group", "offset")
-      else
-        // group_adjust without by_group: population = (group, date) pairs
-        byDate.groupBy("factor_quantile", "offset")
-          .agg(avg("value").as("mean"), stddev_samp(col("value")).as("std"))
-          .orderBy("factor_quantile", "offset")
-    }
+    val withGroup = byGroup || groupAdjust
+    // ONE positional band join for every event row, carrying quantile
+    // (and group) through the join — a single plan regardless of group
+    // cardinality (no per-group driver loop/union).
+    val evExtra = Seq("factor_quantile") ++ (if (withGroup) Seq("group") else Nil)
+    val dIdx = broadcast(dateIndex(levels))
+    val lv = levels.join(dIdx, Seq("date"))
+      .select(col("asset").as("__la"), col("__di"), col("ret"))
+    val ev = fd.df.select(("date" +: "asset" +: evExtra).map(col): _*)
+      .join(dIdx, Seq("date"))
+      .select(col("date").as("event_date") +: col("asset") +:
+        col("__di").as("__ei") +: evExtra.map(col): _*)
+    val banded = ev.join(lv,
+        col("__la") === ev("asset") &&
+          col("__di").between(col("__ei") - periodsBefore, col("__ei") + periodsAfter))
+      .select(col("event_date") +: col("asset") +:
+        (col("__di") - col("__ei")).as("offset") +: col("ret").as("value") +:
+        evExtra.map(col): _*)
+
+    // demean universe per (event date, offset): the whole panel when
+    // demeaned, the event's group slice when groupAdjust
+    val demeanedDf =
+      if (groupAdjust) {
+        val m = banded.groupBy("group", "event_date", "offset")
+          .agg(avg("value").as("__m"))
+        banded.join(m, Seq("group", "event_date", "offset"), "left")
+          .withColumn("value", col("value") - col("__m")).drop("__m")
+      } else if (demeaned) {
+        val m = banded.groupBy("event_date", "offset")
+          .agg(avg("value").as("__m"))
+        banded.join(m, Seq("event_date", "offset"), "left")
+          .withColumn("value", col("value") - col("__m")).drop("__m")
+      } else banded
+
+    // two-stage estimator: per-date cross-asset mean, then mean/std over
+    // event dates; group stays a first-stage key whenever present
+    // (group_adjust w/o by_group: population = (group, date) pairs)
+    val stage1Keys = evExtra ++ Seq("event_date", "offset")
+    val stage2Keys = (if (byGroup) Seq("factor_quantile", "group")
+                      else Seq("factor_quantile")) :+ "offset"
+    val byDate = demeanedDf.groupBy(stage1Keys.map(col): _*)
+      .agg(avg(nanNull(col("value"))).as("value"))
+    byDate.groupBy(stage2Keys.map(col): _*)
+      .agg(avg(finite(col("value"))).as("mean"),
+        stddev_samp(finite(col("value"))).as("std"))
+      .orderBy(stage2Keys.map(col): _*)
   }
 
   /** Positional backshift of a (date, asset) keyed column by N date-level
-    * steps (reference: alphalens/utils.py:346-376). */
+    * steps (reference: alphalens/utils.py:346-376): every row at date
+    * index di >= n is re-keyed to the date at di - n — regardless of
+    * whether that (asset, date) pair existed in the input. */
   def backshift(df: DataFrame, valueCol: String, n: Int): DataFrame = {
     val dIdx = broadcast(dateIndex(df))
-    val withI = df.join(dIdx, Seq("date"))
-    val shifted = withI.select(col("asset"), (col("__di") - n).as("__di"),
-      col(valueCol).as("__shifted"))
-    withI.join(shifted, Seq("asset", "__di"))
-      .select(col("date"), col("asset"), col("__shifted").as(valueCol))
+    val shifted = df.join(dIdx, Seq("date"))
+      .filter(col("__di") >= n)
+      .select(col("asset"), (col("__di") - n).as("__di"), col(valueCol))
+    shifted.join(dIdx, Seq("__di"))
+      .select(col("date"), col("asset"), col(valueCol))
   }
 }
