@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.data.{DocQueries, Pipelines}
-import graft.perf.{Information, Returns, Turnover, Cumulative}
+import graft.perf.{Cumulative, Information, Positions, Returns, Turnover}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,16 @@ object SparkEntry {
       val fr = Returns.factorReturns(Pipelines.factorData(s, dir, P))
       round9(Cumulative.cumulativeReturns(fr.select(col("date"), col("ret_1")), "ret_1")
         .select("date", "cum_ret_1").orderBy("date"), Seq("cum_ret_1"))
+    }),
+    "q_positions" -> ((s, dir) =>
+      round9(Positions.factorPositions(Pipelines.factorData(s, dir, P), "ret_5")
+        .orderBy("date", "asset"), Seq("position"))),
+    "q_pyfolio_returns" -> ((s, dir) => {
+      val cum = Positions.factorCumulativeReturns(
+        Pipelines.factorData(s, dir, P), "ret_1")
+      round9(Positions.pctChange(
+        Positions.dailyLastFfill(cum, "cum_ret_1"), "cum_ret_1", "ret")
+        .orderBy("date"), Seq("ret"))
     })
   )
 
@@ -164,17 +174,56 @@ object SparkEntry {
          |    c / sum(abs(c)) OVER (PARTITION BY date) AS weight
          |  FROM dm),
          |fr AS (SELECT date, sum(ret_1 * weight) AS r FROM wts GROUP BY date)
-         |SELECT date,
-         |  round(CASE WHEN max(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 1 ELSE 0 END)
-         |         OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
-         |       THEN 0.0
-         |       ELSE exp(sum(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 0.0
-         |                         ELSE ln(abs(1.0 + coalesce(r, 0.0))) END)
-         |                OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         |            * CASE WHEN mod(sum(CASE WHEN 1.0 + coalesce(r, 0.0) < 0.0 THEN 1 ELSE 0 END)
-         |                OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) = 1
-         |                   THEN -1.0 ELSE 1.0 END
-         |  END, 9) AS cum_ret_1
-         |FROM fr ORDER BY date""".stripMargin
+         |SELECT date, round($cumProdR, 9) AS cum_ret_1
+         |FROM fr ORDER BY date""".stripMargin,
+    "q_positions" ->
+      s"""$pre, dm AS (
+         |  SELECT date, asset, factor - avg(factor) OVER (PARTITION BY date) AS c
+         |  FROM factor_data),
+         |wts AS (
+         |  SELECT date, asset, c / sum(abs(c)) OVER (PARTITION BY date) AS weight
+         |  FROM dm),
+         |inst AS (SELECT DISTINCT t FROM (
+         |  SELECT date AS t FROM wts UNION ALL
+         |  SELECT date + INTERVAL 5 DAY AS t FROM wts)),
+         |act AS (
+         |  SELECT i.t, w.asset, sum(w.weight) AS tw
+         |  FROM wts w JOIN inst i ON i.t >= w.date AND i.t < w.date + INTERVAL 5 DAY
+         |  GROUP BY 1, 2)
+         |SELECT t AS date, asset,
+         |  round(tw / sum(abs(tw)) OVER (PARTITION BY t), 9) AS position
+         |FROM act ORDER BY date, asset""".stripMargin,
+    "q_pyfolio_returns" ->
+      s"""$pre, dm AS (
+         |  SELECT date, ret_1,
+         |    factor - avg(factor) OVER (PARTITION BY date) AS c
+         |  FROM factor_data),
+         |wts AS (
+         |  SELECT date, ret_1,
+         |    c / sum(abs(c)) OVER (PARTITION BY date) AS weight
+         |  FROM dm),
+         |fr AS (SELECT date, sum(ret_1 * weight) AS r FROM wts GROUP BY date),
+         |lvl AS (SELECT date, $cumProdR AS v FROM fr),
+         |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::TIMESTAMP AS date
+         |  FROM (SELECT min(date) AS mn, max(date) AS mx FROM lvl)),
+         |ff AS (SELECT s.date, last_value(l.v IGNORE NULLS) OVER (ORDER BY s.date) AS v
+         |  FROM spine s LEFT JOIN lvl l USING (date))
+         |SELECT date, round(coalesce(v / lag(v) OVER (ORDER BY date) - 1.0, 0.0), 9) AS ret
+         |FROM ff ORDER BY date""".stripMargin
   )
+
+  /** Shared running-product SQL over column `r` ordered by date —
+    * mirrors Cumulative.runningProduct exactly (zero flag + log-space
+    * magnitude + sign parity). */
+  private val cumProdR: String =
+    """CASE WHEN max(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 1 ELSE 0 END)
+      |       OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+      |     THEN 0.0
+      |     ELSE exp(sum(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 0.0
+      |                       ELSE ln(abs(1.0 + coalesce(r, 0.0))) END)
+      |              OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |          * CASE WHEN mod(sum(CASE WHEN 1.0 + coalesce(r, 0.0) < 0.0 THEN 1 ELSE 0 END)
+      |              OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) = 1
+      |                 THEN -1.0 ELSE 1.0 END
+      |END""".stripMargin
 }

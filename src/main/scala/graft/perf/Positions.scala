@@ -1,0 +1,240 @@
+package graft.perf
+
+import java.sql.Timestamp
+import java.time.{Duration, Instant}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ingest.FactorData
+import graft.model.TradingCalendar
+
+/** Portfolio simulation: time-decayed positions, simulated factor
+  * portfolios, and the pyfolio input builder
+  * (reference: alphalens/performance.py:355-450, 866-1005, 1008-1165).
+  *
+  * The reference's `positions` is a sequential active-weight queue sweep
+  * over every rebalance instant; here it is ONE interval join — each
+  * weight vector is active on [trade_ts, trade_ts (+) period) (trading-
+  * calendar shift), the instant timeline is the union of trades and
+  * expiries, and active weights at an instant are summed then
+  * renormalized by gross exposure.
+  *
+  * Scale notes: only the DISTINCT trade instants are collected (bounded
+  * by #sessions — never the panel); the instant timeline is broadcast;
+  * the interval join fans each weight row out to at most its active
+  * instants (≈ 2·period), keeping the join output linear in the panel.
+  */
+object Positions {
+
+  /** The reference's result triple. */
+  final case class PyfolioInput(
+      returns: DataFrame,           // (date [day], ret) noncumulative daily
+      positions: DataFrame,         // (date [day], asset ∪ 'cash', position)
+      benchmark: Option[DataFrame]) // (date [day], benchmark)
+
+  /** Net position weights at every rebalance instant
+    * (reference: alphalens/performance.py:355-450).
+    *
+    * @param weights (date, asset, weight) — factor weights at trade instants
+    * @param period  holding period (wall duration; day component shifts
+    *                on the trading calendar, intraday offset added as-is)
+    * @return (date, asset, position): the portfolio fraction held in each
+    *         asset at each instant; absent rows are zero (the reference's
+    *         `fillna(0)` wide cells)
+    */
+  def positions(
+      weights: DataFrame,
+      period: Duration,
+      calendar: TradingCalendar): DataFrame = {
+    val spark = weights.sparkSession
+    import spark.implicits._
+
+    val trades: Array[Instant] = weights.select("date").distinct()
+      .orderBy("date").collect().map(_.getTimestamp(0).toInstant)
+    val expireOf: Map[Instant, Instant] =
+      trades.map(t => t -> calendar.addSessions(t, period)).toMap
+    val instants: Array[Instant] =
+      (trades ++ trades.map(expireOf)).distinct.sorted
+
+    // Resolve the interval join driver-side into (trade -> active instant)
+    // pairs — both sides are bounded (#sessions), and the result is a
+    // BROADCAST EQUI-join on the trade timestamp instead of a nested-loop
+    // range join over the whole panel (which would evaluate
+    // |panel| × |instants| predicates). Each trade activates ~2·period
+    // instants, so the pair table stays tiny.
+    val pairs: Seq[(Timestamp, Timestamp)] = trades.toSeq.flatMap { t =>
+      val exp = expireOf(t)
+      val lo = lowerBound(instants, t)
+      val hi = lowerBound(instants, exp)
+      (lo until hi).map(i => (Timestamp.from(t), Timestamp.from(instants(i))))
+    }
+    val mapDf = broadcast(pairs.toDF("date", "__t"))
+    val active = weights.join(mapDf, Seq("date"))
+    val tot = active.groupBy(col("__t"), col("asset"))
+      .agg(sum("weight").as("__w"))
+    val wI = Window.partitionBy("__t")
+    tot
+      .withColumn("position", col("__w") / sum(abs(col("__w"))).over(wI))
+      .select(col("__t").as("date"), col("asset"), col("position"))
+  }
+
+  /** Index of the first element of sorted `xs` that is >= `x`. */
+  private def lowerBound(xs: Array[Instant], x: Instant): Int = {
+    var lo = 0; var hi = xs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid).isBefore(x)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Single-period view of factor_data with optional quantile/group
+    * subsetting (reference: performance.py:916-928). */
+  private[graft] def restrict(
+      fd: FactorData,
+      period: String,
+      quantiles: Option[Seq[Int]] = None,
+      groups: Option[Seq[String]] = None): FactorData = {
+    val h = fd.horizons.find(_.label == period).getOrElse(
+      throw new IllegalArgumentException(s"Period '$period' not found"))
+    var df = fd.df.drop(fd.returnCols.filterNot(_ == period): _*)
+    quantiles.foreach(qs => df = df.filter(col("factor_quantile").isin(qs: _*)))
+    groups.foreach(gs => df = df.filter(col("group").isin(gs: _*)))
+    FactorData(df, Seq(h), fd.calendar)
+  }
+
+  /** Simulated factor-portfolio cumulative returns (level, start 1)
+    * (reference: performance.py:866-933). Output (date, cum_<period>). */
+  def factorCumulativeReturns(
+      fd: FactorData,
+      period: String,
+      longShort: Boolean = true,
+      groupNeutral: Boolean = false,
+      equalWeight: Boolean = false,
+      quantiles: Option[Seq[Int]] = None,
+      groups: Option[Seq[String]] = None): DataFrame = {
+    val r = restrict(fd, period, quantiles, groups)
+    val rets = Returns.factorReturns(r, longShort, groupNeutral, equalWeight)
+    Cumulative.cumulativeReturns(rets.select(col("date"), col(period)), period)
+      .select(col("date"), col(s"cum_$period"))
+  }
+
+  /** Simulated factor-portfolio positions (reference:
+    * performance.py:936-1005). Output (date, asset, position). */
+  def factorPositions(
+      fd: FactorData,
+      period: String,
+      longShort: Boolean = true,
+      groupNeutral: Boolean = false,
+      equalWeight: Boolean = false,
+      quantiles: Option[Seq[Int]] = None,
+      groups: Option[Seq[String]] = None): DataFrame = {
+    val r = restrict(fd, period, quantiles, groups)
+    val wts = Returns.factorWeights(r, longShort, groupNeutral, equalWeight)
+      .select("date", "asset", "weight")
+    positions(wts, r.horizons.head.span, fd.calendar)
+  }
+
+  // ---- daily resampling helpers (reference: performance.py:1118-1135) --
+
+  /** Daily spine from min to max day of `df.date` as a literal-free plan:
+    * one row per calendar day. */
+  private def dailySpine(daily: DataFrame): DataFrame =
+    daily.agg(min(col("date")).as("__lo"), max(col("date")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"),
+        expr("interval 1 day"))).as("date"))
+
+  /** resample('1D').last().ffill() over a (date ts, value) series.
+    * Post-aggregation series (one row per session) — the single-partition
+    * window is deliberate and bounded. */
+  def dailyLastFfill(df: DataFrame, valueCol: String): DataFrame = {
+    val daily = df.groupBy(date_trunc("DAY", col("date")).as("date"))
+      .agg(max_by(col(valueCol), col("date")).as(valueCol))
+    val w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    dailySpine(daily).join(daily, Seq("date"), "left")
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** pct_change().fillna(0) over a daily (date, value) series. */
+  def pctChange(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val w = Window.orderBy("date")
+    df.withColumn(outCol,
+        coalesce(col(valueCol) / lag(col(valueCol), 1).over(w) - 1.0, lit(0.0)))
+      .drop(valueCol)
+  }
+
+  /** Pyfolio input builder (reference: performance.py:1008-1165):
+    * daily noncumulative strategy returns, daily positions with a cash
+    * column, and the equal-weight long-only benchmark returns. */
+  def createPyfolioInput(
+      fd: FactorData,
+      period: String,
+      capital: Option[Double] = None,
+      longShort: Boolean = true,
+      groupNeutral: Boolean = false,
+      equalWeight: Boolean = false,
+      quantiles: Option[Seq[Int]] = None,
+      groups: Option[Seq[String]] = None,
+      benchmarkPeriod: String = "1D"): PyfolioInput = {
+
+    // --- strategy returns: cumulative level -> daily -> pct_change ---
+    val cum = factorCumulativeReturns(fd, period, longShort, groupNeutral,
+      equalWeight, quantiles, groups)
+    val cumDaily = dailyLastFfill(cum, s"cum_$period")
+    val rets = pctChange(cumDaily, s"cum_$period", "ret")
+
+    // --- positions: instants -> daily sum -> ffill -> renormalize ---
+    val pos = factorPositions(fd, period, longShort, groupNeutral,
+      equalWeight, quantiles, groups)
+    val posDay = pos.groupBy(date_trunc("DAY", col("date")).as("date"), col("asset"))
+      .agg(sum("position").as("__p"))
+    // dense (day × asset) grid: days with any instant hold explicit zeros
+    // (pandas resample-sum cells); empty days forward-fill the previous
+    // day's row
+    val spine = dailySpine(posDay)
+    val hasData = posDay.select("date").distinct().withColumn("__has", lit(1))
+    val grid = spine.crossJoin(pos.select("asset").distinct())
+      .join(hasData, Seq("date"), "left")
+      .join(posDay, Seq("date", "asset"), "left")
+      .withColumn("__p", when(col("__has").isNotNull, coalesce(col("__p"), lit(0.0)))
+        .otherwise(col("__p")))
+    val wff = Window.partitionBy("asset").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = grid.withColumn("__p",
+      last(col("__p"), ignoreNulls = true).over(wff))
+    // renormalize each day to gross exposure 1; all-zero days -> 0
+    val wd = Window.partitionBy("date")
+    val norm = filled.withColumn("position",
+      coalesce(col("__p") / sum(abs(col("__p"))).over(wd), lit(0.0)))
+    val cash = norm.groupBy("date")
+      .agg((lit(1.0) - sum(col("position"))).as("position"))
+      .withColumn("asset", lit("cash"))
+    val posPct = norm.select(col("date"), col("asset"), col("position"))
+      .unionByName(cash.select("date", "asset", "position"))
+
+    // percentage -> dollar positions when capital is given
+    val posOut = capital match {
+      case None => posPct
+      case Some(cap) =>
+        posPct.join(cumDaily.withColumnRenamed(s"cum_$period", "__lvl"),
+            Seq("date"), "left")
+          .withColumn("position", col("position") * col("__lvl") * cap)
+          .drop("__lvl")
+    }
+
+    // --- benchmark: |factor| equal-weight long-only at benchmarkPeriod ---
+    val benchmark =
+      if (fd.horizons.exists(_.label == benchmarkPeriod)) {
+        val bFd = FactorData(fd.df.withColumn("factor", abs(col("factor"))),
+          fd.horizons, fd.calendar)
+        val bCum = factorCumulativeReturns(bFd, benchmarkPeriod,
+          longShort = false, groupNeutral = false, equalWeight = true)
+        Some(pctChange(dailyLastFfill(bCum, s"cum_$benchmarkPeriod"),
+          s"cum_$benchmarkPeriod", "benchmark"))
+      } else None
+
+    PyfolioInput(rets, posOut.orderBy("date", "asset"), benchmark)
+  }
+}
