@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.data.{DocQueries, Pipelines}
+import graft.data.{AnalyticsQueries, DocQueries, Pipelines}
 import graft.perf.{Cumulative, Information, Positions, Returns, Turnover}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,7 +34,7 @@ object SparkEntry {
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 9)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = factorQueries ++
-    DocQueries.queries
+    DocQueries.queries ++ AnalyticsQueries.queries
 
   private def factorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_panel" -> ((s, dir) =>
@@ -84,7 +84,8 @@ object SparkEntry {
     s"rank() OVER (PARTITION BY $part ORDER BY $c) + " +
     s"(count(*) OVER (PARTITION BY $part, $c) - 1) / 2.0"
 
-  def oracleSql: Map[String, String] = factorOracleSql ++ DocQueries.oracleSql
+  def oracleSql: Map[String, String] = factorOracleSql ++ DocQueries.oracleSql ++
+    AnalyticsQueries.oracleSql
 
   private def factorOracleSql: Map[String, String] = Map(
     "q_panel" ->

@@ -1,0 +1,371 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Quantize
+import graft.perf.{EventStudy, Information, Returns}
+import graft.stats.Tables
+
+/** Driver-contract queries for the analytics operators that round 1 left
+  * untested (VERDICT §"What's missing" #6): tear-sheet tables, by-group
+  * variants, zero-aware quantize, event study, spreads. Each Spark query
+  * has a DuckDB oracle twin built over [[Pipelines.oraclePrelude]]. */
+object AnalyticsQueries {
+
+  private val P = Seq(1, 5)
+
+  private def round9(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 9)))
+
+  private def round6(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 6)))
+
+  /** Per-asset simple returns of the synthetic price panel. */
+  private def priceReturns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("asset").orderBy("date")
+    Pipelines.prices(Pipelines.panel(s, dir))
+      .withColumn("ret", col("price") / lag(col("price"), 1).over(w) - 1.0)
+      .select("date", "asset", "ret")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_stats" -> ((s, dir) =>
+      round6(Tables.quantileStatsTable(Pipelines.factorData(s, dir, P)),
+        Seq("min", "max", "mean", "std", "count_pct"))),
+    "q_ic_summary" -> ((s, dir) =>
+      round9(Information.icSummary(Pipelines.factorData(s, dir, P))
+        .drop("p_value"), // no t-CDF in the oracle engine
+        Seq("ic_mean", "ic_std", "risk_adjusted_ic", "t_stat", "ic_skew",
+          "ic_kurtosis"))),
+    "q_returns_table" -> ((s, dir) =>
+      round9(Tables.returnsTable(Pipelines.factorData(s, dir, P)),
+        Seq("ret_1", "ret_5"))),
+    "q_turnover_means" -> ((s, dir) =>
+      round9(Tables.quantileTurnoverMeans(Pipelines.factorData(s, dir, P), P),
+        Seq("mean_turnover"))),
+    "q_autocorr_means" -> ((s, dir) =>
+      round9(Tables.autocorrelationMeans(Pipelines.factorData(s, dir, P), P),
+        Seq("mean_autocorr"))),
+    "q_factor_data_group" -> ((s, dir) =>
+      Pipelines.factorData(s, dir, P, withGroup = true).df
+        .select("date", "asset", "ret_1", "ret_5", "factor", "group",
+          "factor_quantile")
+        .orderBy("date", "asset")),
+    "q_ic_bygroup" -> ((s, dir) =>
+      round9(Information.factorInformationCoefficient(
+        Pipelines.factorData(s, dir, P, withGroup = true), byGroup = true),
+        Seq("ret_1", "ret_5"))),
+    "q_avg_cum_ret" -> ((s, dir) => {
+      val fd = Pipelines.factorData(s, dir, P)
+      val levels = EventStudy.toCumulative(priceReturns(s, dir))
+      round9(EventStudy.averageCumulativeReturnByQuantile(fd, levels,
+        periodsBefore = 2, periodsAfter = 3), Seq("mean", "std"))
+    }),
+    "q_quantize_zero" -> ((s, dir) =>
+      Quantize.quantizeFactor(Pipelines.merged(s, dir, P),
+        Quantize.QuantilesInt(4), noRaise = true, zeroAware = true)
+        .na.drop(Seq("factor_quantile"))
+        .select("date", "asset", "factor", "factor_quantile")
+        .orderBy("date", "asset")),
+    "q_rolling_ic" -> ((s, dir) => {
+      val ic = Information.factorInformationCoefficient(
+        Pipelines.factorData(s, dir, P))
+      round9(Tables.rollingMeanIc(ic, Seq("ret_1", "ret_5"))
+        .select("date", "ret_1_rolling", "ret_5_rolling").orderBy("date"),
+        Seq("ret_1_rolling", "ret_5_rolling"))
+    }),
+    "q_ic_hist" -> ((s, dir) => {
+      // pre-round the ICs: exact-rational small-n corrs land ON bin
+      // boundaries, where a last-ulp cross-engine difference flips bins
+      val ic = round9(Information.factorInformationCoefficient(
+        Pipelines.factorData(s, dir, P)), Seq("ret_1", "ret_5"))
+      Tables.icHistTable(ic, Seq("ret_1", "ret_5"), bins = 20)
+    }),
+    "q_events_dist" -> ((s, dir) =>
+      Tables.eventsDistribution(
+        Pipelines.factorData(s, dir, P).df.select("date"), numBars = 50)),
+    "q_spread_bydate" -> ((s, dir) => {
+      val fd = Pipelines.factorData(s, dir, P)
+      val mrqDate = Returns.meanReturnByQuantile(fd, byDate = true)
+      round9(Returns.computeMeanReturnsSpread(mrqDate, 5, 1, fd.returnCols),
+        Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err"))
+    })
+  )
+
+  // ---- oracle SQL -----------------------------------------------------
+
+  private def pre: String = Pipelines.oraclePrelude(P, 5)
+  private def preG: String = Pipelines.oraclePrelude(P, 5, withGroup = true)
+
+  private def avgRankSql(c: String, part: String) =
+    s"rank() OVER (PARTITION BY $part ORDER BY $c) + " +
+      s"(count(*) OVER (PARTITION BY $part, $c) - 1) / 2.0"
+
+  /** IC per date CTE fragment (ranked + corr), shared. */
+  private val icCte =
+    s""", ranked AS (
+       |  SELECT date,
+       |    ${avgRankSql("factor", "date")} AS rf,
+       |    ${avgRankSql("ret_1", "date")} AS r1,
+       |    ${avgRankSql("ret_5", "date")} AS r5
+       |  FROM factor_data),
+       |ic AS (SELECT date, corr(rf, r1) AS i1, corr(rf, r5) AS i5
+       |       FROM ranked GROUP BY date)""".stripMargin
+
+  /** Per-period IC summary row (central moments two-pass). */
+  private def icSummaryRow(label: String, c: String): String =
+    s"""SELECT '$label' AS period,
+       |  round(avg($c), 9) AS ic_mean,
+       |  round(stddev_samp($c), 9) AS ic_std,
+       |  round(avg($c) / stddev_samp($c), 9) AS risk_adjusted_ic,
+       |  round(avg($c) / (stddev_samp($c) / sqrt(count($c))), 9) AS t_stat,
+       |  round(avg(pow($c - mu_$c, 3)) / pow(avg(pow($c - mu_$c, 2)), 1.5), 9) AS ic_skew,
+       |  round(avg(pow($c - mu_$c, 4)) / pow(avg(pow($c - mu_$c, 2)), 2) - 3.0, 9) AS ic_kurtosis,
+       |  count($c) AS n
+       |FROM ic, (SELECT avg(i1) AS mu_i1, avg(i5) AS mu_i5 FROM ic)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_quantile_stats" ->
+      s"""$pre, qs AS (
+         |  SELECT factor_quantile, min(factor) AS mn, max(factor) AS mx,
+         |         avg(factor) AS me, stddev_samp(factor) AS sd,
+         |         count(factor) AS n
+         |  FROM factor_data GROUP BY 1)
+         |SELECT factor_quantile, round(mn, 6) AS min, round(mx, 6) AS max,
+         |  round(me, 6) AS mean, round(sd, 6) AS std, n AS count,
+         |  round(n * 100.0 / sum(n) OVER (), 6) AS count_pct
+         |FROM qs ORDER BY factor_quantile""".stripMargin,
+
+    "q_ic_summary" ->
+      s"""$pre$icCte
+         |${icSummaryRow("ret_1", "i1")}
+         |UNION ALL
+         |${icSummaryRow("ret_5", "i5")}""".stripMargin,
+
+    "q_returns_table" ->
+      s"""$pre, dm AS (
+         |  SELECT date, ret_1, ret_5,
+         |    factor - avg(factor) OVER (PARTITION BY date) AS c
+         |  FROM factor_data),
+         |wts AS (SELECT date, ret_1, ret_5,
+         |  c / sum(abs(c)) OVER (PARTITION BY date) AS weight FROM dm),
+         |fr AS (SELECT date, sum(ret_1 * weight) AS r1, sum(ret_5 * weight) AS r5
+         |  FROM wts GROUP BY date),
+         |uni AS (SELECT date, avg(ret_1) AS u1, avg(ret_5) AS u5
+         |  FROM factor_data GROUP BY date),
+         |j AS (SELECT fr.date, r1, r5, u1, u5 FROM fr JOIN uni USING (date)),
+         |ab AS (SELECT
+         |  covar_samp(u1, r1) / var_samp(u1) AS b1,
+         |  covar_samp(u5, r5) / var_samp(u5) AS b5,
+         |  avg(r1) - covar_samp(u1, r1) / var_samp(u1) * avg(u1) AS a1,
+         |  avg(r5) - covar_samp(u5, r5) / var_samp(u5) * avg(u5) AS a5
+         |  FROM j),
+         |dmq AS (SELECT factor_quantile, date,
+         |  ret_1 - avg(ret_1) OVER (PARTITION BY date) AS d1,
+         |  ret_5 - avg(ret_5) OVER (PARTITION BY date) AS d5
+         |  FROM factor_data),
+         |s1 AS (SELECT factor_quantile, date, avg(d1) AS m1, avg(d5) AS m5,
+         |  stddev_samp(d1) / sqrt(count(d1)) AS e1,
+         |  stddev_samp(d5) / sqrt(count(d5)) AS e5
+         |  FROM dmq GROUP BY 1, 2),
+         |s2 AS (SELECT factor_quantile, avg(m1) AS m1, avg(m5) AS m5
+         |  FROM s1 GROUP BY 1),
+         |rr AS (SELECT factor_quantile, (1.0 + m1) - 1.0 AS c1,
+         |  pow(1.0 + m5, 0.2) - 1.0 AS c5 FROM s2),
+         |rr1 AS (SELECT factor_quantile, date, (1.0 + m1) - 1.0 AS c1,
+         |  pow(1.0 + m5, 0.2) - 1.0 AS c5, e1,
+         |  e5 / sqrt(5.0) AS e5 FROM s1),
+         |spr AS (SELECT a.date, a.c1 - b.c1 AS s1v, a.c5 - b.c5 AS s5v
+         |  FROM rr1 a JOIN rr1 b ON a.date = b.date
+         |  WHERE a.factor_quantile = 5 AND b.factor_quantile = 1)
+         |SELECT 'Ann. alpha' AS stat, round(pow(1.0 + a1, 252.0) - 1.0, 9) AS ret_1,
+         |       round(pow(1.0 + a5, 50.4) - 1.0, 9) AS ret_5 FROM ab
+         |UNION ALL
+         |SELECT 'beta', round(b1, 9), round(b5, 9) FROM ab
+         |UNION ALL
+         |SELECT 'Mean Period Wise Return Top Quantile (bps)',
+         |       round(c1 * 10000, 9), round(c5 * 10000, 9)
+         |FROM rr WHERE factor_quantile = 5
+         |UNION ALL
+         |SELECT 'Mean Period Wise Return Bottom Quantile (bps)',
+         |       round(c1 * 10000, 9), round(c5 * 10000, 9)
+         |FROM rr WHERE factor_quantile = 1
+         |UNION ALL
+         |SELECT 'Mean Period Wise Spread (bps)',
+         |       round(avg(s1v) * 10000, 9), round(avg(s5v) * 10000, 9) FROM spr""".stripMargin,
+
+    "q_turnover_means" ->
+      s"""$pre, sets AS (
+         |  SELECT date, factor_quantile, list(DISTINCT asset) AS names
+         |  FROM factor_data GROUP BY 1, 2),
+         |idx AS (SELECT *, row_number()
+         |  OVER (PARTITION BY factor_quantile ORDER BY date) AS rn FROM sets),
+         |tv AS (
+         |  SELECT p.p AS period_n, a.factor_quantile,
+         |    len(list_filter(a.names, x -> NOT list_contains(b.names, x)))::DOUBLE
+         |      / len(a.names) AS turnover
+         |  FROM (SELECT unnest([1, 5]) AS p) p
+         |  CROSS JOIN idx a
+         |  JOIN idx b ON b.factor_quantile = a.factor_quantile
+         |    AND b.rn = a.rn - p.p)
+         |SELECT factor_quantile, period_n::VARCHAR || 'D' AS period,
+         |  round(avg(turnover), 9) AS mean_turnover
+         |FROM tv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_autocorr_means" ->
+      s"""$pre, ranks AS (
+         |  SELECT date, asset, ${avgRankSql("factor", "date")} AS r
+         |  FROM factor_data),
+         |didx AS (SELECT date, row_number() OVER (ORDER BY date) AS di
+         |         FROM (SELECT DISTINCT date FROM factor_data)),
+         |cur AS (SELECT r, asset, di, date FROM ranks JOIN didx USING (date)),
+         |ac AS (
+         |  SELECT p.p AS period_n, cur.date, corr(cur.r, prev.r) AS autocorr
+         |  FROM (SELECT unnest([1, 5]) AS p) p
+         |  CROSS JOIN cur
+         |  JOIN cur prev ON cur.asset = prev.asset AND cur.di = prev.di + p.p
+         |  GROUP BY 1, 2)
+         |SELECT period_n::VARCHAR || 'D' AS period,
+         |  round(avg(autocorr), 9) AS mean_autocorr
+         |FROM ac GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_factor_data_group" ->
+      s"""$preG SELECT date, asset, ret_1, ret_5, factor, "group", factor_quantile
+         |FROM factor_data ORDER BY date, asset""".stripMargin,
+
+    "q_ic_bygroup" ->
+      s"""$preG, ranked AS (
+         |  SELECT date, "group",
+         |    ${avgRankSql("factor", "date, \"group\"")} AS rf,
+         |    ${avgRankSql("ret_1", "date, \"group\"")} AS r1,
+         |    ${avgRankSql("ret_5", "date, \"group\"")} AS r5
+         |  FROM factor_data)
+         |SELECT date, "group",
+         |  round(covar_samp(rf, r1) / nullif(stddev_samp(rf) * stddev_samp(r1), 0), 9) AS ret_1,
+         |  round(covar_samp(rf, r5) / nullif(stddev_samp(rf) * stddev_samp(r5), 0), 9) AS ret_5
+         |FROM ranked GROUP BY date, "group" ORDER BY date, "group"""".stripMargin,
+
+    "q_avg_cum_ret" ->
+      s"""$pre, pret AS (
+         |  SELECT date, asset,
+         |    price / lag(price) OVER (PARTITION BY asset ORDER BY date) - 1.0 AS r
+         |  FROM priced),
+         |lvl AS (SELECT date, asset,
+         |  exp(sum(ln(1.0 + coalesce(r, 0.0)))
+         |      OVER (PARTITION BY asset ORDER BY date
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v
+         |  FROM pret),
+         |didx AS (SELECT date, row_number() OVER (ORDER BY date) - 1 AS di
+         |  FROM (SELECT DISTINCT date FROM lvl)),
+         |lv AS (SELECT l.asset, d.di, l.v FROM lvl l JOIN didx d USING (date)),
+         |ev AS (SELECT f.date AS event_date, f.asset, d.di AS ei, f.factor_quantile
+         |  FROM factor_data f JOIN didx d USING (date)),
+         |banded AS (SELECT ev.event_date, ev.asset, lv.di - ev.ei AS off,
+         |  lv.v AS value, ev.factor_quantile
+         |  FROM ev JOIN lv ON lv.asset = ev.asset
+         |    AND lv.di BETWEEN ev.ei - 2 AND ev.ei + 3),
+         |m AS (SELECT event_date, off, avg(value) AS dmean
+         |  FROM banded GROUP BY 1, 2),
+         |dmv AS (SELECT b.factor_quantile, b.event_date, b.off,
+         |  b.value - m.dmean AS value
+         |  FROM banded b JOIN m ON b.event_date = m.event_date AND b.off = m.off),
+         |s1 AS (SELECT factor_quantile, off, event_date, avg(value) AS value
+         |  FROM dmv GROUP BY 1, 2, 3)
+         |SELECT factor_quantile, off AS "offset", round(avg(value), 9) AS mean,
+         |  round(stddev_samp(value), 9) AS std
+         |FROM s1 GROUP BY factor_quantile, off ORDER BY 1, 2""".stripMargin,
+
+    "q_quantize_zero" -> {
+      // zero-aware qcut, quantiles=4: each sign half gets 2 buckets;
+      // positive buckets shift by quantiles/2 (utils.py:143-156)
+      s"""$pre, ep AS (
+         |  SELECT date, quantile_cont(factor, [0.0, 0.5, 1.0]) AS e
+         |  FROM merged WHERE factor >= 0 GROUP BY date),
+         |en AS (
+         |  SELECT date, quantile_cont(factor, [0.0, 0.5, 1.0]) AS e
+         |  FROM merged WHERE factor < 0 GROUP BY date),
+         |b AS (
+         |  SELECT m.date, m.asset, m.factor,
+         |    CASE WHEN m.factor >= 0 THEN
+         |      CASE WHEN len(list_distinct(ep.e)) < len(ep.e) THEN NULL
+         |           ELSE (CASE WHEN m.factor <= ep.e[2] THEN 1
+         |                      WHEN m.factor <= ep.e[3] THEN 2 END) + 2 END
+         |    ELSE
+         |      CASE WHEN len(list_distinct(en.e)) < len(en.e) THEN NULL
+         |           ELSE CASE WHEN m.factor <= en.e[2] THEN 1
+         |                     WHEN m.factor <= en.e[3] THEN 2 END END
+         |    END AS factor_quantile
+         |  FROM merged m
+         |  LEFT JOIN ep ON ep.date = m.date
+         |  LEFT JOIN en ON en.date = m.date)
+         |SELECT date, asset, factor, factor_quantile FROM b
+         |WHERE factor_quantile IS NOT NULL ORDER BY date, asset""".stripMargin
+    },
+
+    "q_rolling_ic" ->
+      s"""$pre$icCte
+         |SELECT date,
+         |  round(avg(i1) OVER (ORDER BY date ROWS BETWEEN 21 PRECEDING AND CURRENT ROW), 9)
+         |    AS ret_1_rolling,
+         |  round(avg(i5) OVER (ORDER BY date ROWS BETWEEN 21 PRECEDING AND CURRENT ROW), 9)
+         |    AS ret_5_rolling
+         |FROM ic ORDER BY date""".stripMargin,
+
+    "q_ic_hist" -> {
+      // every fractional literal cast ::DOUBLE — DuckDB parses them as
+      // DECIMAL, whose arithmetic rounds differently from IEEE double
+      def block(label: String, c: String) =
+        s"""SELECT '$label' AS period,
+           |  least(greatest(floor((coalesce($c, 0.0) + 1.0) / 0.1::DOUBLE), 0.0), 19.0)::INT AS bin
+           |FROM ich""".stripMargin
+      s"""$pre$icCte,
+         |ich AS (SELECT date, round(i1, 9) AS i1, round(i5, 9) AS i5 FROM ic),
+         |b1 AS (SELECT period, bin, count(*) AS cnt FROM (${block("ret_1", "i1")})
+         |  GROUP BY 1, 2),
+         |b5 AS (SELECT period, bin, count(*) AS cnt FROM (${block("ret_5", "i5")})
+         |  GROUP BY 1, 2),
+         |allb AS (
+         |  SELECT period, bin, cnt,
+         |    cnt / sum(cnt) OVER (PARTITION BY period) / 0.1::DOUBLE AS density
+         |  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b5))
+         |SELECT period, bin, bin * 0.1::DOUBLE - 1.0 AS lo,
+         |  (bin + 1) * 0.1::DOUBLE - 1.0 AS hi,
+         |  cnt AS count, density
+         |FROM allb ORDER BY period, bin""".stripMargin
+    },
+
+    "q_events_dist" ->
+      s"""$pre, ds AS (SELECT epoch(date)::DOUBLE AS t FROM factor_data),
+         |bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM ds),
+         |bk AS (SELECT
+         |  CASE WHEN hi > lo
+         |       THEN least(floor((t - lo) / (hi - lo) * 50), 49.0)::INT
+         |       ELSE 0 END AS bucket,
+         |  lo, hi FROM ds, bounds)
+         |SELECT bucket,
+         |  to_timestamp(floor(lo + bucket * (hi - lo) / 50)::BIGINT)::TIMESTAMP
+         |    AS bucket_start,
+         |  count(*) AS n_events
+         |FROM bk GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q_spread_bydate" ->
+      s"""$pre, dmq AS (SELECT factor_quantile, date,
+         |  ret_1 - avg(ret_1) OVER (PARTITION BY date) AS d1,
+         |  ret_5 - avg(ret_5) OVER (PARTITION BY date) AS d5
+         |  FROM factor_data),
+         |s1 AS (SELECT factor_quantile, date, avg(d1) AS m1, avg(d5) AS m5,
+         |  stddev_samp(d1) / sqrt(count(d1)) AS e1,
+         |  stddev_samp(d5) / sqrt(count(d5)) AS e5
+         |  FROM dmq GROUP BY 1, 2)
+         |SELECT a.date,
+         |  round(a.m1 - b.m1, 9) AS ret_1,
+         |  round(sqrt(a.e1 * a.e1 + b.e1 * b.e1), 9) AS ret_1_std_err,
+         |  round(a.m5 - b.m5, 9) AS ret_5,
+         |  round(sqrt(a.e5 * a.e5 + b.e5 * b.e5), 9) AS ret_5_std_err
+         |FROM s1 a JOIN s1 b ON a.date = b.date
+         |WHERE a.factor_quantile = 5 AND b.factor_quantile = 1
+         |ORDER BY a.date""".stripMargin
+  )
+}

@@ -100,24 +100,36 @@ object Pipelines {
       fd
     })
 
+  /** The pre-quantize merged panel (fwd returns |><| finite factor
+    * [|><| group], complete rows) — shared by factorData and the
+    * quantize-variant oracle queries. */
+  def merged(
+      spark: SparkSession,
+      dir: String,
+      periods: Seq[Int] = Seq(1, 5),
+      withGroup: Boolean = false): DataFrame = {
+    val hs = horizons(periods)
+    val pan = panel(spark, dir)
+    val fwd = forwardReturns(prices(pan), hs)
+    val f = factor(pan).filter(col("factor").isNotNull && !isnan(col("factor")))
+    var m = fwd.join(f, Seq("date", "asset"), "inner")
+    if (withGroup)
+      m = m.join(broadcast(groupMap(spark, dir)), Seq("asset"), "left")
+    m.na.drop()
+  }
+
   private def buildFactorData(
       spark: SparkSession,
       dir: String,
       periods: Seq[Int],
       quantiles: Int,
       withGroup: Boolean): FactorData = {
-    val hs = horizons(periods)
-    val pan = panel(spark, dir)
-    val fwd = forwardReturns(prices(pan), hs)
-    val f = factor(pan).filter(col("factor").isNotNull && !isnan(col("factor")))
-    var merged = fwd.join(f, Seq("date", "asset"), "inner")
-    if (withGroup)
-      merged = merged.join(broadcast(groupMap(spark, dir)), Seq("asset"), "left")
-    merged = merged.na.drop()
     val quantized = Quantize.quantizeFactor(
-      merged, Quantize.QuantilesInt(quantiles), noRaise = true)
+      merged(spark, dir, periods, withGroup), Quantize.QuantilesInt(quantiles),
+      noRaise = true)
       .na.drop(Seq("factor_quantile"))
-    FactorData(quantized, hs, TradingCalendar(Set(1, 2, 3, 4, 5, 6, 7), Set.empty))
+    FactorData(quantized, horizons(periods),
+      TradingCalendar(Set(1, 2, 3, 4, 5, 6, 7), Set.empty))
   }
 
   /** Shared DuckDB SQL prelude mirroring the derivations above 1:1.

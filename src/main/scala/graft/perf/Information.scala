@@ -46,7 +46,17 @@ object Information {
     val ranked = fd.returnCols.foldLeft(base.withColumn("__rf", fRank)) {
       (df, rc) => df.withColumn(s"__rr_$rc", avgRank(col(rc), part))
     }
-    val aggs = fd.returnCols.map(rc => corr(col("__rf"), col(s"__rr_$rc")).as(rc))
+    // by-group cross-sections can be single-asset (or constant-rank):
+    // Spark's corr divides by zero under ANSI there, so guard with the
+    // equivalent covar/stddev formulation that yields null like pandas
+    def safeCorr(x: Column, y: Column): Column = {
+      val d = stddev_samp(x) * stddev_samp(y)
+      when(d === 0.0, lit(null)).otherwise(covar_samp(x, y) / d)
+    }
+    val aggs = fd.returnCols.map { rc =>
+      (if (byGroup) safeCorr(col("__rf"), col(s"__rr_$rc"))
+       else corr(col("__rf"), col(s"__rr_$rc"))).as(rc)
+    }
     ranked.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .orderBy(keyCols.map(col): _*)
   }

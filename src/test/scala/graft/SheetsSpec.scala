@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.Pipelines
+import graft.sheets.Sheets
+import graft.stats.Tables
+
+/** Tear-sheet smoke tests on the sf0.001 fixture (mirrors the
+  * reference's tests/test_tears.py:152-326 style: every sheet runs and
+  * every table is non-empty and schema-correct). */
+class SheetsSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val fd = Pipelines.factorData(spark, dir)
+  private lazy val fdG = Pipelines.factorData(spark, dir, withGroup = true)
+
+  private lazy val returns: DataFrame = {
+    val w = Window.partitionBy("asset").orderBy("date")
+    Pipelines.prices(Pipelines.panel(spark, dir))
+      .withColumn("ret", col("price") / lag(col("price"), 1).over(w) - 1.0)
+      .select("date", "asset", "ret")
+  }
+
+  private def nonEmpty(df: DataFrame, cols: String*): Long = {
+    val n = df.count()
+    assert(n > 0, s"empty table; expected columns $cols")
+    cols.foreach(c => assert(df.columns.contains(c), s"missing column $c in ${df.columns.mkString(",")}"))
+    n
+  }
+
+  test("summary tear sheet") {
+    val s = Sheets.createSummaryTearSheet(fd)
+    assert(nonEmpty(s.quantileStats, "factor_quantile", "count_pct") === 5)
+    assert(nonEmpty(s.returnsTable, "stat", "ret_1", "ret_5") === 5)
+    assert(nonEmpty(s.icSummary, "period", "ic_mean", "p_value") === 2)
+    nonEmpty(s.quantileTurnoverMeans, "factor_quantile", "period", "mean_turnover")
+    assert(nonEmpty(s.autocorrelationMeans, "period", "mean_autocorr") === 2)
+  }
+
+  test("returns tear sheet incl. cumulative curves and by-group") {
+    val s = Sheets.createReturnsTearSheet(fdG, byGroup = true)
+    nonEmpty(s.factorReturns, "date", "ret_1", "ret_5")
+    assert(nonEmpty(s.meanQuantRateret, "factor_quantile") === 5)
+    nonEmpty(s.meanQuantRateretByDate, "factor_quantile", "date", "ret_1_std_err")
+    nonEmpty(s.spread, "date", "ret_1", "ret_1_std_err")
+    assert(nonEmpty(s.alphaBeta, "stat") === 2)
+    assert(s.cumulativeReturns.isDefined && s.cumulativeReturnsByQuantile.isDefined)
+    nonEmpty(s.cumulativeReturns.get, "date", "cum_ret_1")
+    nonEmpty(s.cumulativeReturnsByQuantile.get, "factor_quantile", "cum_ret_1")
+    nonEmpty(s.meanQuantRateretByGroup.get, "factor_quantile", "group")
+  }
+
+  test("information tear sheet incl. group-neutral by-group") {
+    val s = Sheets.createInformationTearSheet(fdG, groupNeutral = true, byGroup = true)
+    nonEmpty(s.ic, "date", "ret_1", "ret_5")
+    assert(nonEmpty(s.icSummary, "period", "risk_adjusted_ic") === 2)
+    nonEmpty(s.monthlyMeanIc, "date")
+    nonEmpty(s.meanIcByGroup.get, "group")
+  }
+
+  test("turnover tear sheet") {
+    val s = Sheets.createTurnoverTearSheet(fd)
+    nonEmpty(s.quantileTurnover, "period", "factor_quantile", "date", "turnover")
+    nonEmpty(s.autocorrelation, "period", "date", "autocorr")
+    nonEmpty(s.quantileTurnoverMeans, "mean_turnover")
+    nonEmpty(s.autocorrelationMeans, "mean_autocorr")
+  }
+
+  test("full tear sheet") {
+    val s = Sheets.createFullTearSheet(fdG, byGroup = true)
+    nonEmpty(s.quantileStats, "factor_quantile")
+    nonEmpty(s.returns.factorReturns, "date")
+    nonEmpty(s.information.ic, "date")
+    nonEmpty(s.turnover.quantileTurnover, "turnover")
+  }
+
+  test("event returns tear sheet") {
+    val s = Sheets.createEventReturnsTearSheet(fd, returns,
+      periodsBefore = 2, periodsAfter = 3, byGroup = false)
+    val n = nonEmpty(s.avgCumulativeReturns, "factor_quantile", "offset", "mean", "std")
+    // offsets -2..3 for 5 quantiles
+    assert(n <= 5L * 6L)
+    assert(s.avgCumulativeReturnsByGroup.isEmpty)
+  }
+
+  test("event study tear sheet") {
+    val s = Sheets.createEventStudyTearSheet(fd, returns,
+      periodsBefore = 2, periodsAfter = 3, nBars = 10)
+    val dist = nonEmpty(s.eventsDistribution, "bucket", "bucket_start", "n_events")
+    assert(dist <= 10)
+    nonEmpty(s.avgCumulativeReturns, "factor_quantile", "offset", "mean")
+    nonEmpty(s.factorReturns, "date")
+    assert(nonEmpty(s.meanReturnByQuantile, "factor_quantile") === 5)
+  }
+
+  test("ic hist and qq tables") {
+    val ic = Sheets.createInformationTearSheet(fd).ic
+    val hist = Tables.icHistTable(ic, Seq("ret_1", "ret_5"), bins = 10)
+    val rows = hist.collect()
+    assert(rows.nonEmpty)
+    // densities integrate to 1 per period
+    rows.groupBy(_.getAs[String]("period")).foreach { case (_, rs) =>
+      val integral = rs.map(r => r.getAs[Double]("density") * 0.2).sum
+      assertClose(integral, 1.0, 1e-9)
+    }
+    val qq = Tables.icQQTable(ic, Seq("ret_1")).collect()
+    assert(qq.nonEmpty)
+    val obs = qq.map(_.getAs[Double]("observed"))
+    // standardized: mean ~ 0
+    assertClose(obs.sum / obs.length, 0.0, 1e-9)
+    val th = qq.map(_.getAs[Double]("theoretical"))
+    assert(th.head < 0 && th.last > 0 && th.sorted.toSeq == th.toSeq)
+  }
+
+  test("rolling mean ic") {
+    val ic = Sheets.createInformationTearSheet(fd).ic
+    val roll = Tables.rollingMeanIc(ic, Seq("ret_1"), window = 5)
+      .orderBy("date").collect()
+    assert(roll.nonEmpty)
+    // 5th row equals mean of first five ics
+    if (roll.length >= 5) {
+      val first5 = roll.take(5).map(_.getAs[Double]("ret_1"))
+      assertClose(roll(4).getAs[Double]("ret_1_rolling"),
+        first5.sum / 5, 1e-12)
+    }
+  }
+}
