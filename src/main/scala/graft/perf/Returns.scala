@@ -40,16 +40,20 @@ object Returns {
       } else if (demeaned) f - avg(f).over(w)
       else f
 
+    // gross-leverage normalization; a zero gross (e.g. a single-asset
+    // group demeaned to 0) yields null, matching pandas 0/0 -> NaN
+    def norm(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+      val gross = sum(abs(c)).over(w)
+      when(gross === 0.0, lit(null)).otherwise(c / gross)
+    }
     val withPre = fd.df.withColumn("__pre", pre)
-    val w1 = Window.partitionBy(part: _*)
     var out = withPre.withColumn("weight",
-      col("__pre") / sum(abs(col("__pre"))).over(w1)).drop("__pre")
+      norm(col("__pre"), Window.partitionBy(part: _*))).drop("__pre")
 
     if (groupAdjust) {
       // second pass: renormalize across the full date (performance.py:203)
-      val wd = Window.partitionBy(col("date"))
       out = out.withColumn("weight",
-        col("weight") / sum(abs(col("weight"))).over(wd))
+        norm(col("weight"), Window.partitionBy(col("date"))))
     }
     out
   }

@@ -1,0 +1,93 @@
+package graft
+
+import java.time.{DayOfWeek, LocalDate}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.{CleanFactor, Quantize}
+
+/** End-to-end get_clean_factor_and_forward_returns golden ports
+  * (reference: alphalens/tests/test_utils.py:188-297, 485-546): daily,
+  * business-day, and business-day-with-holidays calendars — exercising
+  * horizon-label inference over the trading calendar. */
+class IngestGoldenSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val tickers = Seq("A", "B", "C", "D", "E", "F")
+  private val groups = Map("A" -> "1", "B" -> "2", "C" -> "1",
+    "D" -> "2", "E" -> "1", "F" -> "2")
+  private val rets = Seq(1.10, 0.50, 3.00, 0.90, 0.50, 1.00)
+  private val nan = Double.NaN
+  private val factorCycle = Seq(
+    Seq(3.0, 4.0, 2.0, 1.0, nan, nan),
+    Seq(3.0, nan, nan, 1.0, 4.0, 2.0),
+    Seq(3.0, 4.0, 2.0, 1.0, nan, nan))
+  // expected (1D, 2D, 3D, factor, group, quantile) per surviving row of
+  // each 3-day cycle, in (date, asset) order
+  private val expectedCycle = Seq(
+    (0.1, 0.21, 0.331, 3.0, "1", 3), (-0.5, -0.75, -0.875, 4.0, "2", 4),
+    (2.0, 8.00, 26.000, 2.0, "1", 2), (-0.1, -0.19, -0.271, 1.0, "2", 1),
+    (0.1, 0.21, 0.331, 3.0, "1", 3), (-0.1, -0.19, -0.271, 1.0, "2", 1),
+    (-0.5, -0.75, -0.875, 4.0, "1", 4), (0.0, 0.00, 0.000, 2.0, "2", 2),
+    (0.1, 0.21, 0.331, 3.0, "1", 3), (-0.5, -0.75, -0.875, 4.0, "2", 4),
+    (2.0, 8.00, 26.000, 2.0, "1", 2), (-0.1, -0.19, -0.271, 1.0, "2", 1))
+
+  private def runCase(
+      priceDates: Seq[String], factorDates: Seq[String]): Unit = {
+    val nCycles = factorDates.size / 3
+    val priceRows = (1 to priceDates.size).map(i => rets.map(r => math.pow(r, i)))
+    val factorRows = (0 until factorDates.size).map(d => factorCycle(d % 3))
+    val prices = longPanel(priceDates, tickers, priceRows, "price")
+    val factor = longPanel(factorDates, tickers, factorRows, "factor")
+    val fd = CleanFactor.getCleanFactorAndForwardReturns(
+      spark, factor, prices, groupby = Some(groups.toSeq.toDF("asset", "group")),
+      spec = Quantize.QuantilesInt(4), periods = Seq(1, 2, 3),
+      filterZscore = None, verbose = false)
+    assert(fd.horizons.map(_.label) === Seq("1D", "2D", "3D"))
+    val rows = fd.df.orderBy("date", "asset").collect()
+    assert(rows.length === expectedCycle.size * nCycles)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (e1, e2, e3, ef, eg, eq) = expectedCycle(i % 12)
+      assertClose(r.getAs[Double]("1D"), e1, 1e-9)
+      assertClose(r.getAs[Double]("2D"), e2, 1e-9)
+      assertClose(r.getAs[Double]("3D"), e3, 1e-9)
+      assertClose(r.getAs[Double]("factor"), ef, 1e-9)
+      assert(r.getAs[String]("group") === eg)
+      assert(r.getAs[Int]("factor_quantile") === eq)
+    }
+  }
+
+  private def businessDays(start: String, n: Int,
+      holidays: Set[String] = Set.empty): Seq[String] = {
+    Iterator.iterate(LocalDate.parse(start))(_.plusDays(1))
+      .filter(d => d.getDayOfWeek != DayOfWeek.SATURDAY &&
+        d.getDayOfWeek != DayOfWeek.SUNDAY && !holidays(d.toString))
+      .take(n).map(_.toString).toSeq
+  }
+
+  test("get_clean_factor_and_forward_returns: daily calendar (test_utils 1)") {
+    val priceDates = (11 to 16).map(d => s"2015-01-$d")
+    runCase(priceDates, priceDates.take(3))
+  }
+
+  test("get_clean_factor_and_forward_returns: business days (test_utils 2)") {
+    val priceDates = businessDays("2017-01-12", 6)
+    runCase(priceDates, priceDates.take(3))
+  }
+
+  test("get_clean_factor_and_forward_returns: business days + holidays (test_utils 6)") {
+    val holidays = Set("2017-01-13", "2017-01-18", "2017-01-30", "2017-02-07")
+    val priceDates = businessDays("2017-01-12", 21, holidays)
+    runCase(priceDates, priceDates.take(18))
+    // calendar inference recovers the holidays (test_utils.py:544-546)
+    val factor = longPanel(priceDates.take(18), tickers,
+      (0 until 18).map(d => factorCycle(d % 3)), "factor")
+    val prices = longPanel(priceDates, tickers,
+      (1 to 21).map(i => rets.map(r => math.pow(r, i))), "price")
+    val fd = CleanFactor.getCleanFactorAndForwardReturns(
+      spark, factor, prices, groupby = None,
+      spec = Quantize.QuantilesInt(4), periods = Seq(1),
+      filterZscore = None, verbose = false)
+    assert(fd.calendar.holidays.map(_.toString) === holidays)
+  }
+}
