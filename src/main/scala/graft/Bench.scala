@@ -19,7 +19,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm-up, timed and reported as its own entry: a JIT/codegen
+    // exercise plus the shared factor_data build+persist (the tear-sheet
+    // lifecycle input — SURVEY §3: cache once, fan out). Without this the
+    // alphabetically-first queries absorb JVM warm-up and the first
+    // factor query absorbs the whole ingest DAG, making per-query
+    // numbers meaningless.
+    val w0 = System.nanoTime()
+    spark.range(2000000L).selectExpr("sum(id * 2) as s")
+      .write.format("noop").mode("overwrite").save()
+    graft.data.Pipelines.factorData(spark, sfDir).df.count()
+    graft.data.Pipelines.factorData(spark, sfDir, Seq(1, 5), 5,
+      withGroup = true).df.count()
+    val warmup = "warmup" -> (System.nanoTime() - w0) / 1e9
+    val results = warmup +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

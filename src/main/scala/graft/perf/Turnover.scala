@@ -56,18 +56,33 @@ object Turnover {
     * is a positional self-join: dates get a dense index di (broadcast:
     * #sessions rows), rows join on (asset, di - period), then corr per
     * date. Output: (date, autocorr). */
-  def factorRankAutocorrelation(fd: FactorData, period: Int = 1): DataFrame = {
+  def factorRankAutocorrelation(fd: FactorData, period: Int = 1): DataFrame =
+    factorRankAutocorrelationMulti(fd, Seq(period)).drop("period")
+
+  /** Rank autocorrelation for several lags in ONE plan: the rank window
+    * and the date index are computed once; each lag is an extra shuffled
+    * equi-join on the shared ranks table (vs. rebuilding the whole rank
+    * DAG per period). Output: (period, date, autocorr). */
+  def factorRankAutocorrelationMulti(fd: FactorData, periods: Seq[Int]): DataFrame = {
     val ranks = fd.df.select(col("date"), col("asset"),
       Information.avgRank(col("factor"), Seq(col("date"))).as("__rank"))
 
     val dateIdx = fd.df.select("date").distinct()
       .withColumn("__di", row_number().over(Window.orderBy("date")))
     val cur = ranks.join(broadcast(dateIdx), Seq("date"))
-    val prev = cur.select(col("asset"), (col("__di") + period).as("__di"),
-      col("__rank").as("__prev_rank"))
+    // one shuffled join for ALL lags: the prev side explodes each rank
+    // row into one (period, di + period) key per lag, so the rank window
+    // and the join each run once (Spark does not share common subplans
+    // across union branches)
+    val shifted = explode(array(periods.map(p =>
+      struct(lit(p).as("p"), (col("__di") + p).as("di"))): _*))
+    val prev = cur.select(col("asset"), col("__rank").as("__prev_rank"),
+        shifted.as("__s"))
+      .select(col("asset"), col("__s.p").as("period"),
+        col("__s.di").as("__di"), col("__prev_rank"))
     cur.join(prev, Seq("asset", "__di"), "inner")
-      .groupBy("date")
+      .groupBy("period", "date")
       .agg(corr(col("__rank"), col("__prev_rank")).as("autocorr"))
-      .orderBy("date")
+      .orderBy("period", "date")
   }
 }

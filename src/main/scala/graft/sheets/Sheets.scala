@@ -141,9 +141,9 @@ object Sheets {
       Turnover.allQuantileTurnover(fd, p).withColumn("period", lit(s"${p}D"))
     }.reduce(_.unionByName(_))
       .select("period", "factor_quantile", "date", "turnover")
-    val ac = periods.map { p =>
-      Turnover.factorRankAutocorrelation(fd, p).withColumn("period", lit(s"${p}D"))
-    }.reduce(_.unionByName(_)).select("period", "date", "autocorr")
+    val ac = Turnover.factorRankAutocorrelationMulti(fd, periods)
+      .select(concat(col("period").cast("string"), lit("D")).as("period"),
+        col("date"), col("autocorr"))
     TurnoverTearSheet(qt, ac,
       Tables.quantileTurnoverMeans(fd, periods),
       Tables.autocorrelationMeans(fd, periods))

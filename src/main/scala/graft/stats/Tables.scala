@@ -99,11 +99,11 @@ object Tables {
   /** Mean factor rank autocorrelation per period
     * (reference: plotting.py:157-160). Output: (period, mean_autocorr). */
   def autocorrelationMeans(fd: FactorData, periods: Seq[Int]): DataFrame =
-    periods.map { p =>
-      Turnover.factorRankAutocorrelation(fd, p)
-        .agg(avg("autocorr").as("mean_autocorr"))
-        .withColumn("period", lit(s"${p}D"))
-    }.reduce(_.unionByName(_)).select("period", "mean_autocorr")
+    Turnover.factorRankAutocorrelationMulti(fd, periods)
+      .groupBy("period").agg(avg("autocorr").as("mean_autocorr"))
+      .select(concat(col("period").cast("string"), lit("D")).as("period"),
+        col("mean_autocorr"))
+      .orderBy("period")
 
   /** IC histogram table (the numbers behind plotting.py:248-289's
     * distplot): `bins` equal-width buckets over [-1, 1] (the IC domain),

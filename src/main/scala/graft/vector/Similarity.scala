@@ -39,17 +39,21 @@ object Similarity {
     *
     * The query set is broadcast — the corpus partitions stream past it
     * with no shuffle; only the per-query top-k (bounded: |queries|·k
-    * rows) shuffles for the final rank. */
+    * rows) shuffles for the final rank. Norms are computed once per SIDE
+    * (not per pair), so each pair costs one ordered dot product. */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("__cos",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("neighbor_id"))
     scored
@@ -104,6 +108,7 @@ object Similarity {
           (0 until rows).map(r => col(s"__b${b * rows + r}").cast("string")): _*)
       }
       sig.select(col(idCol).as(role), col("__v").as(s"__v_$role"),
+        l2Norm(col("__v")).as(s"__n_$role"),
         explode(array(bandKeys: _*)).as("__bk"))
     }
     val qb = bucketed(queries, "query_id")
@@ -111,12 +116,14 @@ object Similarity {
     val cand = cb.join(broadcast(qb), Seq("__bk"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        col("__v_query_id").as("__qv"), col("__v_neighbor_id").as("__cv"))
+        col("__v_query_id").as("__qv"), col("__v_neighbor_id").as("__cv"),
+        col("__n_query_id").as("__qn"), col("__n_neighbor_id").as("__cn"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("neighbor_id"))
     cand
-      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("__cos",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col("query_id"), col("__rk").cast("long").as("rank"), col("neighbor_id"),
@@ -143,12 +150,15 @@ object Similarity {
         (0 until rows).map(r => col(s"__b${b * rows + r}").cast("string")): _*)
     }
     val buckets = sig.select(col(idCol).as("__id"), col("__v"),
-      explode(array(bandKeys: _*)).as("__bk"))
-    val a = buckets.select(col("__bk"), col("__id").as("id_a"), col("__v").as("__va"))
-    val b = buckets.select(col("__bk"), col("__id").as("id_b"), col("__v").as("__vb"))
+      l2Norm(col("__v")).as("__n"), explode(array(bandKeys: _*)).as("__bk"))
+    val a = buckets.select(col("__bk"), col("__id").as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = buckets.select(col("__bk"), col("__id").as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, Seq("__bk")).filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+      .withColumn("cosine", round(
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
       .orderBy("id_a", "id_b")
