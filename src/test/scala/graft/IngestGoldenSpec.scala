@@ -75,6 +75,79 @@ class IngestGoldenSpec extends AnyFunSuite with SparkSpec {
     runCase(priceDates, priceDates.take(3))
   }
 
+  test("get_clean_factor_and_forward_returns: intraday mixed horizons (test_utils 3)") {
+    import java.sql.Timestamp
+    val days = businessDays("2017-01-12", 4)
+    // three price rows per session: open (9:30), +1h (*1.001), +3h (*0.998)
+    val priceRows = for {
+      (d, di) <- days.zipWithIndex
+      (off, fac) <- Seq(("09:30:00", 1.0), ("10:30:00", 1.001), ("12:30:00", 0.998))
+    } yield (Timestamp.valueOf(s"$d $off"), di, fac)
+    val prices = (for {
+      (t, di, fac) <- priceRows
+      (a, ai) <- tickers.zipWithIndex
+    } yield (t, a, math.pow(rets(ai), di + 1) * fac)).toDF("date", "asset", "price")
+    val factor = (for {
+      (d, di) <- days.take(3).zipWithIndex
+      (a, ai) <- tickers.zipWithIndex
+      if !factorCycle(di % 3)(ai).isNaN
+    } yield (Timestamp.valueOf(s"$d 09:30:00"), a, factorCycle(di % 3)(ai)))
+      .toDF("date", "asset", "factor")
+    val fd = CleanFactor.getCleanFactorAndForwardReturns(
+      spark, factor, prices, groupby = Some(groups.toSeq.toDF("asset", "group")),
+      spec = Quantize.QuantilesInt(4), periods = Seq(1, 2, 3),
+      filterZscore = None, verbose = false)
+    assert(fd.horizons.map(_.label) === Seq("1h", "3h", "1D"))
+    val rows = fd.df.orderBy("date", "asset").collect()
+    assert(rows.length === 12)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (e1D, _, _, ef, eg, eq) = expectedCycle(i % 12)
+      assertClose(r.getAs[Double]("1h"), 0.001, 1e-9)
+      assertClose(r.getAs[Double]("3h"), -0.002, 1e-9)
+      // the 1D horizon here is the daily 1-step return of the base cycle
+      assertClose(r.getAs[Double]("1D"), e1D, 1e-9)
+      assertClose(r.getAs[Double]("factor"), ef, 1e-9)
+      assert(r.getAs[String]("group") === eg)
+      assert(r.getAs[Int]("factor_quantile") === eq)
+    }
+  }
+
+  test("get_clean_factor_and_forward_returns: sparse events (test_utils 4)") {
+    val priceDates = businessDays("2017-01-12", 8)
+    val factorDates = priceDates.take(5)
+    val factorRows = Seq(
+      Seq(1.0, nan, nan, nan, nan, 6.0),
+      Seq(4.0, nan, nan, 7.0, nan, nan),
+      Seq(nan, nan, nan, nan, nan, nan),
+      Seq(nan, 3.0, nan, 2.0, nan, nan),
+      Seq(nan, nan, 1.0, nan, 3.0, nan))
+    val prices = longPanel(priceDates, tickers,
+      (1 to 8).map(i => rets.map(r => math.pow(r, i))), "price")
+    // pandas stack() drops NaN cells before get_clean_factor counts the
+    // initial rows for max-loss accounting — mirror that here
+    val factor = longPanel(factorDates, tickers, factorRows, "factor").na.drop()
+    val fd = CleanFactor.getCleanFactorAndForwardReturns(
+      spark, factor, prices, groupby = Some(groups.toSeq.toDF("asset", "group")),
+      spec = Quantize.QuantilesInt(4), periods = Seq(1, 2, 3),
+      filterZscore = None, verbose = false)
+    assert(fd.horizons.map(_.label) === Seq("1D", "2D", "3D"))
+    val expected = Seq( // (1D, 2D, 3D, factor, group, quantile)
+      (0.1, 0.21, 0.331, 1.0, "1", 1), (0.0, 0.00, 0.000, 6.0, "2", 4),
+      (0.1, 0.21, 0.331, 4.0, "1", 1), (-0.1, -0.19, -0.271, 7.0, "2", 4),
+      (-0.5, -0.75, -0.875, 3.0, "2", 4), (-0.1, -0.19, -0.271, 2.0, "2", 1),
+      (2.0, 8.00, 26.000, 1.0, "1", 1), (-0.5, -0.75, -0.875, 3.0, "1", 4))
+    val rows = fd.df.orderBy("date", "asset").collect()
+    assert(rows.length === expected.size)
+    rows.zip(expected).foreach { case (r, (e1, e2, e3, ef, eg, eq)) =>
+      assertClose(r.getAs[Double]("1D"), e1, 1e-9)
+      assertClose(r.getAs[Double]("2D"), e2, 1e-9)
+      assertClose(r.getAs[Double]("3D"), e3, 1e-9)
+      assertClose(r.getAs[Double]("factor"), ef, 1e-9)
+      assert(r.getAs[String]("group") === eg)
+      assert(r.getAs[Int]("factor_quantile") === eq)
+    }
+  }
+
   test("get_clean_factor_and_forward_returns: business days + holidays (test_utils 6)") {
     val holidays = Set("2017-01-13", "2017-01-18", "2017-01-30", "2017-02-07")
     val priceDates = businessDays("2017-01-12", 21, holidays)
