@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** One event of the append-only stream (the driver's `events` table). */
+case class Event(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** Emitted summary of one closed user session. */
+case class SessionSummary(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    total_value: Double)
+
+private case class SessionState(
+    start: Long, last: Long, n: Long, total: Double)
+
+/** Structured-Streaming extensions (SURVEY §2.9/§7.6 — the reference is
+  * batch-only; these are the post-parity streaming capabilities a
+  * 100 TB event pipeline needs): event-time windowed stats under a
+  * watermark, incremental cross-sectional correlation, exact streaming
+  * dedup, and gap-timeout sessionization via flatMapGroupsWithState.
+  *
+  * Every operator takes and returns a (streaming) DataFrame/Dataset, so
+  * the same code runs in batch tests (MemoryStream) and against
+  * `readStream` sources; all state is bounded by the watermark.
+  */
+object Streaming {
+
+  /** Streaming source over a parquet events directory. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Per-(window, event_type) incremental stats: count, sum, mean of
+    * `value` over tumbling event-time windows; late data beyond the
+    * watermark is dropped and window state is purged. */
+  def windowedEventStats(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"),
+        avg("value").as("mean"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"), col("mean"))
+
+  /** Incremental Pearson correlation between two columns per event-time
+    * window — the streaming analogue of the per-date factor/return
+    * correlation (rank windows are not streamable; Pearson-on-values is,
+    * because corr is an algebraic aggregate). */
+  def windowedCorrelation(
+      stream: DataFrame,
+      xCol: String,
+      yCol: String,
+      windowLength: String = "1 day",
+      watermark: String = "1 day"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(corr(col(xCol), col(yCol)).as("correlation"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("correlation"),
+        col("n"))
+
+  /** Exact streaming deduplication on event id: duplicates arriving
+    * within the watermark horizon are dropped; dedup state is purged
+    * with the watermark (bounded memory at any scale). */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
+  /** Gap-timeout sessionization: consecutive events of a user belong to
+    * one session until `gapSeconds` of event-time silence; closed
+    * sessions are emitted via flatMapGroupsWithState with event-time
+    * timeout (state bounded by watermark + active-user count). */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800,
+      watermark: String = "2 hours"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds * 1000L =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionSummary(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSeconds * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Event, Streaming}
+
+/** Structured-Streaming operator tests over MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private def runToMemory[T](df: org.apache.spark.sql.Dataset[T],
+      name: String, mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("windowedEventStats aggregates tumbling event-time windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, t("2024-01-01 00:10:00"), 1, "click", 2.0),
+      Event(2, t("2024-01-01 00:40:00"), 2, "click", 4.0),
+      Event(3, t("2024-01-01 01:10:00"), 1, "view", 6.0),
+      Event(4, t("2024-01-01 05:00:00"), 3, "click", 1.0)) // advances watermark
+    runToMemory(Streaming.windowedEventStats(in.toDF(), "1 hour", "2 hours"),
+      "wstats", "append")
+    val rows = spark.table("wstats").collect()
+      .map(r => (r.getTimestamp(0).toString.take(13), r.getString(1),
+        r.getAs[Long]("n"), r.getAs[Double]("total"))).toSet
+    assert(rows.contains(("2024-01-01 00", "click", 2L, 6.0)))
+    assert(rows.contains(("2024-01-01 01", "view", 1L, 6.0)))
+  }
+
+  test("windowedCorrelation computes per-window Pearson corr incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double, Double)]
+    in.addData(
+      (t("2024-01-01 01:00:00"), 1.0, 2.0),
+      (t("2024-01-01 02:00:00"), 2.0, 4.0),
+      (t("2024-01-01 03:00:00"), 3.0, 6.0),
+      (t("2024-01-03 01:00:00"), 0.0, 0.0)) // closes the first day's window
+    val df = in.toDF().toDF("ts", "x", "y")
+    runToMemory(Streaming.windowedCorrelation(df, "x", "y", "1 day", "1 day"),
+      "wcorr", "append")
+    val rows = spark.table("wcorr").collect()
+      .map(r => r.getTimestamp(0).toString.take(10) ->
+        r.getAs[Double]("correlation")).toMap
+    assertClose(rows("2024-01-01"), 1.0, 1e-9)
+  }
+
+  test("dedupEvents drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, t("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(1, t("2024-01-01 00:00:00"), 1, "click", 1.0), // dup
+      Event(2, t("2024-01-01 00:05:00"), 2, "view", 2.0))
+    runToMemory(Streaming.dedupEvents(in.toDF()).select("event_id"),
+      "dedup", "append")
+    val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
+
+  test("sessionize emits closed sessions after the gap timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 1: two events 10 min apart (one session), then 2h silence,
+    // then a new event (opens session 2, closing session 1)
+    in.addData(
+      Event(1, t("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(2, t("2024-01-01 00:10:00"), 1, "click", 2.0))
+    val out = Streaming.sessionize(in.toDS(), gapSeconds = 1800, "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(Event(3, t("2024-01-01 02:00:00"), 1, "view", 5.0))
+    q.processAllAvailable()
+    // one more batch so the event-time timeout fires after the watermark move
+    in.addData(Event(4, t("2024-01-01 06:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")))
+    assert(rows.contains((1L, 2L, 3.0))) // the closed first session
+  }
+}
