@@ -74,7 +74,14 @@ object SparkEntry {
       round9(Positions.pctChange(
         Positions.dailyLastFfill(cum, "cum_ret_1"), "cum_ret_1", "ret")
         .orderBy("date"), Seq("ret"))
-    })
+    }),
+    "q_cum_ret_topq" -> ((s, dir) =>
+      // quantile-filtered top-vs-bottom long-short portfolio
+      // (performance.py:919-928); long-short keeps the level O(1) so the
+      // 1e-9 rounding grid is meaningful over 2485 compounding steps
+      round9(Positions.factorCumulativeReturns(Pipelines.factorData(s, dir, P),
+        "ret_1", longShort = true, quantiles = Some(Seq(1, 5)))
+        .orderBy("date"), Seq("cum_ret_1")))
   )
 
   private def pre: String = Pipelines.oraclePrelude(P, 5)
@@ -194,6 +201,21 @@ object SparkEntry {
          |SELECT t AS date, asset,
          |  round(tw / sum(abs(tw)) OVER (PARTITION BY t), 9) AS position
          |FROM act ORDER BY date, asset""".stripMargin,
+    "q_cum_ret_topq" ->
+      s"""$pre, sub AS (
+         |  SELECT date, ret_1, factor FROM factor_data
+         |  WHERE factor_quantile IN (1, 5)),
+         |dm AS (
+         |  SELECT date, ret_1,
+         |    factor - avg(factor) OVER (PARTITION BY date) AS c
+         |  FROM sub),
+         |wts AS (
+         |  SELECT date, ret_1,
+         |    c / sum(abs(c)) OVER (PARTITION BY date) AS weight
+         |  FROM dm),
+         |fr AS (SELECT date, sum(ret_1 * weight) AS r FROM wts GROUP BY date)
+         |SELECT date, round($cumProdR, 9) AS cum_ret_1
+         |FROM fr ORDER BY date""".stripMargin,
     "q_pyfolio_returns" ->
       s"""$pre, dm AS (
          |  SELECT date, ret_1,
