@@ -75,6 +75,10 @@ object SparkEntry {
         Positions.dailyLastFfill(cum, "cum_ret_1"), "cum_ret_1", "ret")
         .orderBy("date"), Seq("ret"))
     }),
+    "q_pyfolio_positions" -> ((s, dir) =>
+      round9(Positions.createPyfolioInput(
+        Pipelines.factorData(s, dir, P), "ret_1").positions,
+        Seq("position"))),
     "q_cum_ret_topq" -> ((s, dir) =>
       // quantile-filtered top-vs-bottom long-short portfolio
       // (performance.py:919-928); long-short keeps the level O(1) so the
@@ -201,6 +205,50 @@ object SparkEntry {
          |SELECT t AS date, asset,
          |  round(tw / sum(abs(tw)) OVER (PARTITION BY t), 9) AS position
          |FROM act ORDER BY date, asset""".stripMargin,
+    "q_pyfolio_positions" ->
+      s"""$pre, dm AS (
+         |  SELECT date, asset, factor - avg(factor) OVER (PARTITION BY date) AS c
+         |  FROM factor_data),
+         |wts AS (
+         |  SELECT date, asset, c / sum(abs(c)) OVER (PARTITION BY date) AS weight
+         |  FROM dm),
+         |inst AS (SELECT DISTINCT t FROM (
+         |  SELECT date AS t FROM wts UNION ALL
+         |  SELECT date + INTERVAL 1 DAY AS t FROM wts)),
+         |act AS (
+         |  SELECT i.t, w.asset, sum(w.weight) AS tw
+         |  FROM wts w JOIN inst i ON i.t >= w.date AND i.t < w.date + INTERVAL 1 DAY
+         |  GROUP BY 1, 2),
+         |pos AS (SELECT t, asset, tw / sum(abs(tw)) OVER (PARTITION BY t) AS p
+         |  FROM act),
+         |pday AS (SELECT date_trunc('day', t) AS date, asset, sum(p) AS p
+         |  FROM pos GROUP BY 1, 2),
+         |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::TIMESTAMP AS date
+         |  FROM (SELECT min(date) AS mn, max(date) AS mx FROM pday)),
+         |hasdata AS (SELECT DISTINCT date FROM pday),
+         |grid AS (
+         |  SELECT s.date, a.asset,
+         |    CASE WHEN h.date IS NOT NULL THEN coalesce(p.p, 0.0) ELSE NULL END AS p
+         |  FROM spine s
+         |  CROSS JOIN (SELECT DISTINCT asset FROM pos) a
+         |  LEFT JOIN hasdata h ON h.date = s.date
+         |  LEFT JOIN pday p ON p.date = s.date AND p.asset = a.asset),
+         |filled AS (
+         |  SELECT date, asset,
+         |    last_value(p IGNORE NULLS) OVER (PARTITION BY asset ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+         |  FROM grid),
+         |norm AS (
+         |  SELECT date, asset,
+         |    coalesce(p / sum(abs(p)) OVER (PARTITION BY date), 0.0) AS position
+         |  FROM filled),
+         |cash AS (SELECT date, 'cash' AS asset, 1.0 - sum(position) AS position
+         |  FROM norm GROUP BY date)
+         |SELECT date, asset::VARCHAR AS asset, round(position, 9) AS position
+         |FROM norm
+         |UNION ALL
+         |SELECT date, asset, round(position, 9) FROM cash
+         |ORDER BY date, asset""".stripMargin,
     "q_cum_ret_topq" ->
       s"""$pre, sub AS (
          |  SELECT date, ret_1, factor FROM factor_data

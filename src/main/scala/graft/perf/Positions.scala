@@ -211,7 +211,9 @@ object Positions {
     val cash = norm.groupBy("date")
       .agg((lit(1.0) - sum(col("position"))).as("position"))
       .withColumn("asset", lit("cash"))
-    val posPct = norm.select(col("date"), col("asset"), col("position"))
+    // asset ids join the 'cash' namespace -> string column
+    val posPct = norm.select(col("date"),
+        col("asset").cast("string").as("asset"), col("position"))
       .unionByName(cash.select("date", "asset", "position"))
 
     // percentage -> dollar positions when capital is given

@@ -112,6 +112,44 @@ class IngestGoldenSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("get_clean_factor_and_forward_returns: intraday + holidays (test_utils 5)") {
+    import java.sql.Timestamp
+    val holidays = Set("2017-01-13", "2017-01-18", "2017-01-30", "2017-02-07")
+    val days = businessDays("2017-01-12", 19, holidays)
+    val priceRows = for {
+      (d, di) <- days.zipWithIndex
+      (off, fac) <- Seq(("09:30:00", 1.0), ("10:30:00", 1.001), ("12:30:00", 0.998))
+    } yield (Timestamp.valueOf(s"$d $off"), di, fac)
+    val prices = (for {
+      (t, di, fac) <- priceRows
+      (a, ai) <- tickers.zipWithIndex
+    } yield (t, a, math.pow(rets(ai), di + 1) * fac)).toDF("date", "asset", "price")
+    val factor = (for {
+      (d, di) <- days.take(18).zipWithIndex
+      (a, ai) <- tickers.zipWithIndex
+      if !factorCycle(di % 3)(ai).isNaN
+    } yield (Timestamp.valueOf(s"$d 09:30:00"), a, factorCycle(di % 3)(ai)))
+      .toDF("date", "asset", "factor")
+    val fd = CleanFactor.getCleanFactorAndForwardReturns(
+      spark, factor, prices, groupby = Some(groups.toSeq.toDF("asset", "group")),
+      spec = Quantize.QuantilesInt(4), periods = Seq(1, 2, 3),
+      filterZscore = None, verbose = false)
+    assert(fd.horizons.map(_.label) === Seq("1h", "3h", "1D"))
+    val rows = fd.df.orderBy("date", "asset").collect()
+    assert(rows.length === 72) // 12 per 3-day cycle × 6 cycles
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (e1D, _, _, ef, eg, eq) = expectedCycle(i % 12)
+      assertClose(r.getAs[Double]("1h"), 0.001, 1e-9)
+      assertClose(r.getAs[Double]("3h"), -0.002, 1e-9)
+      assertClose(r.getAs[Double]("1D"), e1D, 1e-9)
+      assertClose(r.getAs[Double]("factor"), ef, 1e-9)
+      assert(r.getAs[String]("group") === eg)
+      assert(r.getAs[Int]("factor_quantile") === eq)
+    }
+    // holidays recovered from the intraday timestamps
+    assert(fd.calendar.holidays.map(_.toString) === holidays)
+  }
+
   test("get_clean_factor_and_forward_returns: sparse events (test_utils 4)") {
     val priceDates = businessDays("2017-01-12", 8)
     val factorDates = priceDates.take(5)
