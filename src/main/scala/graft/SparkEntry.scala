@@ -75,6 +75,14 @@ object SparkEntry {
         Positions.dailyLastFfill(cum, "cum_ret_1"), "cum_ret_1", "ret")
         .orderBy("date"), Seq("ret"))
     }),
+    "q_factor_returns_ew" -> ((s, dir) =>
+      // equal-weight long-short path of factor_weights (median split)
+      round9(Returns.factorReturns(Pipelines.factorData(s, dir, P),
+        demeaned = true, equalWeight = true), Seq("ret_1", "ret_5"))),
+    "q_mean_ret_group" -> ((s, dir) =>
+      round9(Returns.meanReturnByQuantile(
+        Pipelines.factorData(s, dir, P, withGroup = true), byGroup = true),
+        Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err"))),
     "q_pyfolio_positions" -> ((s, dir) =>
       round9(Positions.createPyfolioInput(
         Pipelines.factorData(s, dir, P), "ret_1").positions,
@@ -89,6 +97,7 @@ object SparkEntry {
   )
 
   private def pre: String = Pipelines.oraclePrelude(P, 5)
+  private def preG: String = Pipelines.oraclePrelude(P, 5, withGroup = true)
 
   /** Average (midrank) rank SQL fragment shared by IC/autocorr oracles. */
   private def avgRankSql(c: String, part: String) =
@@ -205,6 +214,45 @@ object SparkEntry {
          |SELECT t AS date, asset,
          |  round(tw / sum(abs(tw)) OVER (PARTITION BY t), 9) AS position
          |FROM act ORDER BY date, asset""".stripMargin,
+    "q_factor_returns_ew" ->
+      s"""$pre, med AS (
+         |  SELECT date, quantile_cont(factor, 0.5) AS m
+         |  FROM factor_data GROUP BY date),
+         |ctr AS (
+         |  SELECT f.date, f.ret_1, f.ret_5, f.factor - med.m AS c
+         |  FROM factor_data f JOIN med USING (date)),
+         |sgn AS (
+         |  SELECT date, ret_1, ret_5,
+         |    CASE WHEN c < 0 THEN -1.0 WHEN c > 0 THEN 1.0 ELSE 0.0 END AS s,
+         |    sum(CASE WHEN c < 0 THEN 1 ELSE 0 END) OVER (PARTITION BY date) AS nn,
+         |    sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) OVER (PARTITION BY date) AS np
+         |  FROM ctr),
+         |pre2 AS (
+         |  SELECT date, ret_1, ret_5,
+         |    CASE WHEN s < 0 THEN s / nn WHEN s > 0 THEN s / np ELSE s END AS p
+         |  FROM sgn),
+         |wts AS (
+         |  SELECT date, ret_1, ret_5,
+         |    CASE WHEN sum(abs(p)) OVER (PARTITION BY date) = 0 THEN NULL
+         |         ELSE p / sum(abs(p)) OVER (PARTITION BY date) END AS weight
+         |  FROM pre2)
+         |SELECT date, round(sum(ret_1 * weight), 9) AS ret_1,
+         |       round(sum(ret_5 * weight), 9) AS ret_5
+         |FROM wts GROUP BY date ORDER BY date""".stripMargin,
+    "q_mean_ret_group" ->
+      s"""$preG, dm AS (
+         |  SELECT factor_quantile, "group", date,
+         |    ret_1 - avg(ret_1) OVER (PARTITION BY date) AS d1,
+         |    ret_5 - avg(ret_5) OVER (PARTITION BY date) AS d5
+         |  FROM factor_data),
+         |s1 AS (SELECT factor_quantile, "group", date, avg(d1) AS m1, avg(d5) AS m5
+         |       FROM dm GROUP BY 1, 2, 3)
+         |SELECT factor_quantile, "group",
+         |       round(avg(m1), 9) AS ret_1,
+         |       round(stddev_samp(m1) / sqrt(count(m1)), 9) AS ret_1_std_err,
+         |       round(avg(m5), 9) AS ret_5,
+         |       round(stddev_samp(m5) / sqrt(count(m5)), 9) AS ret_5_std_err
+         |FROM s1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_pyfolio_positions" ->
       s"""$pre, dm AS (
          |  SELECT date, asset, factor - avg(factor) OVER (PARTITION BY date) AS c
