@@ -278,7 +278,7 @@ object SparkEntry {
          |  SELECT s.date, a.asset,
          |    CASE WHEN h.date IS NOT NULL THEN coalesce(p.p, 0.0) ELSE NULL END AS p
          |  FROM spine s
-         |  CROSS JOIN (SELECT DISTINCT asset FROM pos) a
+         |  CROSS JOIN (SELECT DISTINCT asset FROM wts) a
          |  LEFT JOIN hasdata h ON h.date = s.date
          |  LEFT JOIN pday p ON p.date = s.date AND p.asset = a.asset),
          |filled AS (

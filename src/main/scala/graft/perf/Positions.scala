@@ -195,7 +195,12 @@ object Positions {
     // day's row
     val spine = dailySpine(posDay)
     val hasData = posDay.select("date").distinct().withColumn("__has", lit(1))
-    val grid = spine.crossJoin(pos.select("asset").distinct())
+    // asset universe from the (cached) restricted factor_data — reading
+    // it from `pos` would recompute the whole interval-join pipeline a
+    // second time just to list assets
+    val universe = restrict(fd, period, quantiles, groups)
+      .df.select("asset").distinct()
+    val grid = spine.crossJoin(universe)
       .join(hasData, Seq("date"), "left")
       .join(posDay, Seq("date", "asset"), "left")
       .withColumn("__p", when(col("__has").isNotNull, coalesce(col("__p"), lit(0.0)))
