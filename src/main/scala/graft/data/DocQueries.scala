@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.text.{Dedup, TextOps, TextStats}
-import graft.vector.Similarity
+import graft.vector.{Ivf, Similarity}
 
 /** Driver-contract queries for the LLM-data-pipeline layer (dedup,
   * text analysis, embedding similarity) over `documents.parquet` /
@@ -56,6 +56,13 @@ object DocQueries {
       val e = embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 10,
         nBits = 16, bands = 8, dim = 64)
+    }),
+    // rows-only (no oracle): the k-means coarse quantizer is iterative
+    // and not SQL-expressible; recall vs brute force is unit-tested
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.vector.Ivf.ivfTopK(e, e.filter(col("vec_id") < 20), k = 10,
+        nCells = 16, nProbe = 4)
     })
   )
 

@@ -1,0 +1,98 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest neighbour: a k-means coarse quantizer
+  * partitions the corpus into `nCells` inverted lists; queries probe the
+  * `nProbe` nearest cells and rerank exactly. The scale path next to
+  * sign-LSH ([[Similarity.lshTopK]]) when the data is clustered rather
+  * than uniformly spread.
+  *
+  * Scale design: Lloyd iterations keep the PANEL distributed — only the
+  * k×dim centroid matrix (tiny) is collected per iteration; assignment
+  * is a codegen'd argmin expression over broadcast centroid literals;
+  * the probe join is an equi-join on cell id. Deterministic: centroids
+  * initialize from the k lowest-id vectors, ties in argmin break toward
+  * the lower cell id.
+  */
+object Ivf {
+
+  /** Squared L2 distance between a vector column and a centroid literal. */
+  private def l2sq(v: Column, c: Array[Double]): Column =
+    aggregate(zip_with(v, lit(c), (x, y) => {
+      val d = x.cast("double") - y
+      d * d
+    }), lit(0.0), (acc, x) => acc + x)
+
+  /** (distance, cellId) structs for every centroid — orderable, so
+    * array_min / array_sort give the nearest cells with deterministic
+    * tie-breaks. */
+  private def cellDistances(v: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2sq(v, c).as("d"), lit(i).as("cell"))
+    }: _*)
+
+  /** Lloyd's k-means over the corpus; returns the centroid matrix.
+    * Deterministic init from the k lowest-id vectors. */
+  def trainCentroids(
+      corpus: DataFrame,
+      nCells: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.withColumn("__cell",
+        array_min(cellDistances(col(vecCol), centroids)).getField("cell"))
+      // element-wise mean per cell: explode to (cell, dim, value), one
+      // hash aggregate, collect only the k×dim means
+      val means = assigned
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy("__cell", "__d").agg(avg(col("__x")).as("__m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r =>
+        next(r.getAs[Int]("__cell"))(r.getAs[Int]("__d")) = r.getAs[Double]("__m"))
+      centroids = next
+    }
+    centroids
+  }
+
+  /** ANN top-k via IVF: assign the corpus to cells once, probe the
+    * `nProbe` nearest cells per query, rerank candidates by exact
+    * cosine. Output schema matches [[Similarity.bruteForceTopK]]. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(corpus, nCells, iters, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      Similarity.l2Norm(col(vecCol)).as("__cn"),
+      array_min(cellDistances(col(vecCol), centroids)).getField("cell").as("__cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        Similarity.l2Norm(col(vecCol)).as("__qn"),
+        explode(slice(array_sort(cellDistances(col(vecCol), centroids)),
+          1, nProbe).getField("cell")).as("__cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos",
+        Similarity.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("long").as("rank"),
+        col("neighbor_id"), round(col("__cos"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+}

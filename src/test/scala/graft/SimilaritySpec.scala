@@ -55,6 +55,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("ivfTopK achieves high recall vs brute force on clustered data") {
+    val rows = (0 until 60).map { i =>
+      val base = vec(Seq(1, 97, 43)(i % 3))
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * (((i * 7 + d) % 5) - 2) })
+    }
+    val d = emb(rows: _*)
+    val queries = d.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(d, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = graft.vector.Ivf.ivfTopK(d, queries, k = 5, nCells = 6,
+      nProbe = 2, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bf.intersect(ann).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("ivf centroids are deterministic across runs") {
+    val rows = (0 until 30).map(i => (i.toLong, vec(i % 7)))
+    val d = emb(rows: _*)
+    val c1 = graft.vector.Ivf.trainCentroids(d, nCells = 4, iters = 3)
+    val c2 = graft.vector.Ivf.trainCentroids(d, nCells = 4, iters = 3)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+  }
+
   test("cosineNearDups finds planted duplicate pair only") {
     val a = vec(5)
     val dup = a.map(x => x * 1.001f)
