@@ -175,6 +175,13 @@ object Returns {
     j.select(outCols: _*).orderBy("date")
   }
 
+  /** Top and bottom factor_quantile ids of a factor_data table
+    * (reference: tears.py:121-123, plotting.py:644-648). */
+  def quantileExtremes(fd: FactorData): (Int, Int) = {
+    val r = fd.df.agg(max(col("factor_quantile")), min(col("factor_quantile"))).first()
+    (r.getInt(0), r.getInt(1))
+  }
+
   /** Convert a 1-period return to a `base`-period rate of return:
     * (1+r)^(base/period) - 1 (reference: alphalens/utils.py:844-869). */
   def rateOfReturn(c: Column, conversionFactor: Double): Column =

@@ -72,10 +72,9 @@ object Tables {
         fd.returnCols.map(rc => (col(rc) * DecimalToBps).as(rc)): _*)
     val mrqDate = rateConvert(Returns.meanReturnByQuantile(fd, byDate = true,
       demeaned = demeaned, groupAdjust = groupAdjust), fd, withStdErr = true)
-    val qextD = mrqDate.agg(max("factor_quantile").as("__qmax"),
-      min("factor_quantile").as("__qmin")).first()
-    val spread = Returns.computeMeanReturnsSpread(mrqDate,
-      qextD.getInt(0), qextD.getInt(1), fd.returnCols)
+    val (qTop, qBottom) = Returns.quantileExtremes(fd)
+    val spread = Returns.computeMeanReturnsSpread(mrqDate, qTop, qBottom,
+      fd.returnCols)
     val spreadAggs = first(lit("Mean Period Wise Spread (bps)")).as("stat") +:
       fd.returnCols.map(rc => (avg(col(rc)) * DecimalToBps).as(rc))
     val spreadRow = spread.agg(spreadAggs.head, spreadAggs.tail: _*)
