@@ -99,10 +99,7 @@ object SparkEntry {
   private def pre: String = Pipelines.oraclePrelude(P, 5)
   private def preG: String = Pipelines.oraclePrelude(P, 5, withGroup = true)
 
-  /** Average (midrank) rank SQL fragment shared by IC/autocorr oracles. */
-  private def avgRankSql(c: String, part: String) =
-    s"rank() OVER (PARTITION BY $part ORDER BY $c) + " +
-    s"(count(*) OVER (PARTITION BY $part, $c) - 1) / 2.0"
+  private def icCtes: String = Pipelines.icExactCtes(P)
 
   def oracleSql: Map[String, String] = factorOracleSql ++ DocQueries.oracleSql ++
     AnalyticsQueries.oracleSql
@@ -118,23 +115,11 @@ object SparkEntry {
       s"""$pre SELECT date, asset, ret_1, ret_5, factor, factor_quantile
          |FROM factor_data ORDER BY date, asset""".stripMargin,
     "q_ic" ->
-      s"""$pre, ranked AS (
-         |  SELECT date,
-         |    ${avgRankSql("factor", "date")} AS rf,
-         |    ${avgRankSql("ret_1", "date")} AS r1,
-         |    ${avgRankSql("ret_5", "date")} AS r5
-         |  FROM factor_data)
-         |SELECT date, round(corr(rf, r1), 9) AS ret_1, round(corr(rf, r5), 9) AS ret_5
-         |FROM ranked GROUP BY date ORDER BY date""".stripMargin,
+      s"""$pre$icCtes
+         |SELECT date, round(i1, 9) AS ret_1, round(i5, 9) AS ret_5
+         |FROM ic ORDER BY date""".stripMargin,
     "q_mean_ic_monthly" ->
-      s"""$pre, ranked AS (
-         |  SELECT date,
-         |    ${avgRankSql("factor", "date")} AS rf,
-         |    ${avgRankSql("ret_1", "date")} AS r1,
-         |    ${avgRankSql("ret_5", "date")} AS r5
-         |  FROM factor_data),
-         |ic AS (SELECT date, corr(rf, r1) AS i1, corr(rf, r5) AS i5
-         |       FROM ranked GROUP BY date)
+      s"""$pre$icCtes
          |SELECT last_day(date)::timestamp AS date,
          |       round(avg(i1), 9) AS ret_1, round(avg(i5), 9) AS ret_5
          |FROM ic GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -177,14 +162,22 @@ object SparkEntry {
          |FROM lagged WHERE prev IS NOT NULL ORDER BY date""".stripMargin,
     "q_rank_autocorr" ->
       s"""$pre, ranks AS (
-         |  SELECT date, asset, ${avgRankSql("factor", "date")} AS r
+         |  SELECT date, asset, ${Pipelines.rank2Sql("factor", "date")} AS r
          |  FROM factor_data),
          |didx AS (SELECT date, row_number() OVER (ORDER BY date) AS di
          |         FROM (SELECT DISTINCT date FROM factor_data)),
-         |cur AS (SELECT r, asset, di, date FROM ranks JOIN didx USING (date))
-         |SELECT cur.date, round(corr(cur.r, prev.r), 9) AS autocorr
-         |FROM cur JOIN cur prev ON cur.asset = prev.asset AND cur.di = prev.di + 1
-         |GROUP BY cur.date ORDER BY cur.date""".stripMargin,
+         |cur AS (SELECT r, asset, di, date FROM ranks JOIN didx USING (date)),
+         |s AS (
+         |  SELECT cur.date, count(*)::DOUBLE AS n,
+         |    sum(cur.r)::DOUBLE AS sx, sum(cur.r*cur.r)::DOUBLE AS sxx,
+         |    sum(prev.r)::DOUBLE AS sy, sum(prev.r*prev.r)::DOUBLE AS syy,
+         |    sum(cur.r*prev.r)::DOUBLE AS sxy
+         |  FROM cur JOIN cur prev ON cur.asset = prev.asset AND cur.di = prev.di + 1
+         |  GROUP BY cur.date)
+         |SELECT date,
+         |  round(${Pipelines.exactCorrSql("n", "sx", "sxx", "sy", "syy", "sxy")}, 9)
+         |    AS autocorr
+         |FROM s ORDER BY date""".stripMargin,
     "q_cumulative_returns" ->
       s"""$pre, dm AS (
          |  SELECT date, ret_1,

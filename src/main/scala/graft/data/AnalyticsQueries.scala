@@ -99,20 +99,8 @@ object AnalyticsQueries {
   private def pre: String = Pipelines.oraclePrelude(P, 5)
   private def preG: String = Pipelines.oraclePrelude(P, 5, withGroup = true)
 
-  private def avgRankSql(c: String, part: String) =
-    s"rank() OVER (PARTITION BY $part ORDER BY $c) + " +
-      s"(count(*) OVER (PARTITION BY $part, $c) - 1) / 2.0"
-
-  /** IC per date CTE fragment (ranked + corr), shared. */
-  private val icCte =
-    s""", ranked AS (
-       |  SELECT date,
-       |    ${avgRankSql("factor", "date")} AS rf,
-       |    ${avgRankSql("ret_1", "date")} AS r1,
-       |    ${avgRankSql("ret_5", "date")} AS r5
-       |  FROM factor_data),
-       |ic AS (SELECT date, corr(rf, r1) AS i1, corr(rf, r5) AS i5
-       |       FROM ranked GROUP BY date)""".stripMargin
+  /** IC per date CTE chain (exact integer-rank corr), shared. */
+  private def icCte = Pipelines.icExactCtes(P)
 
   /** Per-period IC summary row (central moments two-pass). */
   private def icSummaryRow(label: String, c: String): String =
@@ -216,17 +204,25 @@ object AnalyticsQueries {
 
     "q_autocorr_means" ->
       s"""$pre, ranks AS (
-         |  SELECT date, asset, ${avgRankSql("factor", "date")} AS r
+         |  SELECT date, asset, ${Pipelines.rank2Sql("factor", "date")} AS r
          |  FROM factor_data),
          |didx AS (SELECT date, row_number() OVER (ORDER BY date) AS di
          |         FROM (SELECT DISTINCT date FROM factor_data)),
          |cur AS (SELECT r, asset, di, date FROM ranks JOIN didx USING (date)),
-         |ac AS (
-         |  SELECT p.p AS period_n, cur.date, corr(cur.r, prev.r) AS autocorr
+         |s AS (
+         |  SELECT p.p AS period_n, cur.date, count(*)::DOUBLE AS n,
+         |    sum(cur.r)::DOUBLE AS sx, sum(cur.r*cur.r)::DOUBLE AS sxx,
+         |    sum(prev.r)::DOUBLE AS sy, sum(prev.r*prev.r)::DOUBLE AS syy,
+         |    sum(cur.r*prev.r)::DOUBLE AS sxy
          |  FROM (SELECT unnest([1, 5]) AS p) p
          |  CROSS JOIN cur
          |  JOIN cur prev ON cur.asset = prev.asset AND cur.di = prev.di + p.p
-         |  GROUP BY 1, 2)
+         |  GROUP BY 1, 2),
+         |ac AS (
+         |  SELECT period_n, date,
+         |    ${Pipelines.exactCorrSql("n", "sx", "sxx", "sy", "syy", "sxy")}
+         |      AS autocorr
+         |  FROM s)
          |SELECT period_n::VARCHAR || 'D' AS period,
          |  round(avg(autocorr), 9) AS mean_autocorr
          |FROM ac GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -236,16 +232,9 @@ object AnalyticsQueries {
          |FROM factor_data ORDER BY date, asset""".stripMargin,
 
     "q_ic_bygroup" ->
-      s"""$preG, ranked AS (
-         |  SELECT date, "group",
-         |    ${avgRankSql("factor", "date, \"group\"")} AS rf,
-         |    ${avgRankSql("ret_1", "date, \"group\"")} AS r1,
-         |    ${avgRankSql("ret_5", "date, \"group\"")} AS r5
-         |  FROM factor_data)
-         |SELECT date, "group",
-         |  round(covar_samp(rf, r1) / nullif(stddev_samp(rf) * stddev_samp(r1), 0), 9) AS ret_1,
-         |  round(covar_samp(rf, r5) / nullif(stddev_samp(rf) * stddev_samp(r5), 0), 9) AS ret_5
-         |FROM ranked GROUP BY date, "group" ORDER BY date, "group"""".stripMargin,
+      s"""$preG${Pipelines.icExactCtes(P, byGroup = true)}
+         |SELECT date, "group", round(i1, 9) AS ret_1, round(i5, 9) AS ret_5
+         |FROM ic ORDER BY date, "group"""".stripMargin,
 
     "q_avg_cum_ret" ->
       s"""$pre, pret AS (

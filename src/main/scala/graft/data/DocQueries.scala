@@ -188,11 +188,11 @@ object DocQueries {
     "q_token_counts" ->
       s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
          |s AS (SELECT doc_id, len(toks)::BIGINT AS ws_tokens,
-         |  coalesce(list_sum(list_transform(
+         |  (coalesce(list_sum(list_transform(
          |    list_filter(string_split_regex(text, '[^a-zA-Z]'), x -> x <> ''),
          |    r -> ceil(length(r) / 4.0)::BIGINT)), 0)
          |  + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-         |  + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS bpe_tokens
+         |  + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')))::BIGINT AS bpe_tokens
          |  FROM t)
          |SELECT doc_id, ws_tokens, bpe_tokens FROM s ORDER BY doc_id""".stripMargin,
 

@@ -132,6 +132,57 @@ object Pipelines {
       TradingCalendar(Set(1, 2, 3, 4, 5, 6, 7), Set.empty))
   }
 
+  /** Doubled average (midrank) rank as exact integer SQL — the DuckDB
+    * twin of Information.rank2. */
+  def rank2Sql(c: String, part: String): String =
+    s"(2 * rank() OVER (PARTITION BY $part ORDER BY $c) + " +
+      s"count(*) OVER (PARTITION BY $part, $c) - 1)"
+
+  /** Pearson corr from pre-aggregated exact sums, with the SAME float-op
+    * shape as Information.exactRankCorr: (n*sxy - sx*sy) /
+    * (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), null on zero
+    * denominator. Bitwise-identical to Spark given identical sums. */
+  def exactCorrSql(n: String, sx: String, sxx: String,
+                   sy: String, syy: String, sxy: String): String =
+    s"CASE WHEN sqrt($n*$sxx - $sx*$sx) * sqrt($n*$syy - $sy*$sy) = 0.0 " +
+      s"THEN NULL ELSE ($n*$sxy - $sx*$sy) / " +
+      s"(sqrt($n*$sxx - $sx*$sx) * sqrt($n*$syy - $sy*$sy)) END"
+
+  /** The exact sum columns for one rank pair, to place in a GROUP BY
+    * select list: sums are HUGEINT-exact then cast, mirroring Spark's
+    * long sums cast to double. */
+  private def corrSumsSql(x: String, y: String, tag: String): String =
+    s"sum($y)::DOUBLE AS sy$tag, sum($y*$y)::DOUBLE AS syy$tag, " +
+      s"sum($x*$y)::DOUBLE AS sxy$tag"
+
+  /** Spearman-IC CTE chain over `factor_data` via exact integer ranks —
+    * appends `ranked`, `icsums`, and `ic(date[, "group"], i1, i5, ...)`
+    * to the prelude. The DuckDB twin of factorInformationCoefficient. */
+  def icExactCtes(periods: Seq[Int] = Seq(1, 5),
+                  byGroup: Boolean = false): String = {
+    val part = if (byGroup) "date, \"group\"" else "date"
+    val ps = periods.sorted
+    val rankCols = ps.map(p => s"${rank2Sql(s"ret_$p", part)} AS r$p")
+      .mkString(",\n    ")
+    val sums = ps.map(p => corrSumsSql("rf", s"r$p", s"$p")).mkString(",\n    ")
+    val corrs = ps.map(p =>
+      s"${exactCorrSql("n", "sx", "sxx", s"sy$p", s"syy$p", s"sxy$p")} AS i$p")
+      .mkString(",\n    ")
+    s""", ranked AS (
+       |  SELECT $part, ${rank2Sql("factor", part)} AS rf,
+       |    $rankCols
+       |  FROM factor_data),
+       |icsums AS (
+       |  SELECT $part, count(*)::DOUBLE AS n,
+       |    sum(rf)::DOUBLE AS sx, sum(rf*rf)::DOUBLE AS sxx,
+       |    $sums
+       |  FROM ranked GROUP BY $part),
+       |ic AS (
+       |  SELECT $part,
+       |    $corrs
+       |  FROM icsums)""".stripMargin
+  }
+
   /** Shared DuckDB SQL prelude mirroring the derivations above 1:1.
     * `queries` results must hash-match these CTEs run by the driver. */
   def oraclePrelude(periods: Seq[Int] = Seq(1, 5), quantiles: Int = 5,

@@ -10,14 +10,55 @@ import graft.ingest.FactorData
   * (reference: alphalens/performance.py:28-126). */
 object Information {
 
-  /** Average (midrank) rank of `c` within the cross-section `part` —
-    * rank() gives the min rank of a tie group; the average rank adds
-    * (ties-1)/2. Spearman = Pearson on these
+  /** DOUBLED average (midrank) rank: 2*rank + ties - 1 = twice the
+    * average rank scipy's spearmanr assigns — always an integer, so
+    * downstream sums are exact long arithmetic. Pearson corr is
+    * scale-invariant, so corr over doubled ranks equals Spearman
     * (reference: performance.py:56-59 uses scipy.stats.spearmanr). */
-  private[graft] def avgRank(c: Column, part: Seq[Column]): Column = {
+  private[graft] def rank2(c: Column, part: Seq[Column]): Column = {
     val r = rank().over(Window.partitionBy(part: _*).orderBy(c))
     val ties = count(lit(1)).over(Window.partitionBy((part :+ c): _*))
-    r + (ties - lit(1)) / 2.0
+    (r * 2 + ties - lit(1)).cast("long")
+  }
+
+  /** Pearson correlation of integer (long) rank columns via EXACT sums:
+    * n, Σx, Σx², Σy, Σy², Σxy are order-independent long aggregates, so
+    * the result is bit-identical across runs, partitionings, and engines
+    * — Spark's streaming co-moment `corr` merges in task-completion
+    * order and drifts ~1e-13 run to run, which straddles any rounding
+    * grid. The DuckDB oracle mirrors the identical final float ops
+    * (see Pipelines.exactCorrSql). Exact while the sums stay < 2^53 and
+    * products < 2^63: cross-sections up to ~1e6 rows per key.
+    * `ys` maps input rank column -> output column name. */
+  private[graft] def exactRankCorr(
+      ranked: DataFrame,
+      keys: Seq[String],
+      x: String,
+      ys: Seq[(String, String)]): DataFrame = {
+    val xc = col(x)
+    val aggs = Seq(
+      count(lit(1)).cast("double").as("__n"),
+      sum(xc).cast("double").as("__sx"),
+      sum(xc * xc).cast("double").as("__sxx")) ++
+      ys.flatMap { case (y, out) =>
+        val yc = col(y)
+        Seq(
+          sum(yc).cast("double").as(s"__sy_$out"),
+          sum(yc * yc).cast("double").as(s"__syy_$out"),
+          sum(xc * yc).cast("double").as(s"__sxy_$out"))
+      }
+    val s = ranked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val n = col("__n"); val sx = col("__sx"); val sxx = col("__sxx")
+    val outs = ys.map { case (_, out) =>
+      val sy = col(s"__sy_$out"); val syy = col(s"__syy_$out")
+      val sxy = col(s"__sxy_$out")
+      val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      // zero denominator (constant ranks, e.g. single-asset group
+      // cross-sections) -> null like pandas, dodging ANSI div-by-zero
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise((n * sxy - sx * sy) / den).as(out)
+    }
+    s.select(keys.map(col) ++ outs: _*)
   }
 
   /** Demean forward-return columns by cross-section (date [, group]) mean
@@ -42,22 +83,12 @@ object Information {
     val keyCols: Seq[String] = "date" +: (if (byGroup) Seq("group") else Nil)
     val part = keyCols.map(col)
 
-    val fRank = avgRank(col("factor"), part)
+    val fRank = rank2(col("factor"), part)
     val ranked = fd.returnCols.foldLeft(base.withColumn("__rf", fRank)) {
-      (df, rc) => df.withColumn(s"__rr_$rc", avgRank(col(rc), part))
+      (df, rc) => df.withColumn(s"__rr_$rc", rank2(col(rc), part))
     }
-    // by-group cross-sections can be single-asset (or constant-rank):
-    // Spark's corr divides by zero under ANSI there, so guard with the
-    // equivalent covar/stddev formulation that yields null like pandas
-    def safeCorr(x: Column, y: Column): Column = {
-      val d = stddev_samp(x) * stddev_samp(y)
-      when(d === 0.0, lit(null)).otherwise(covar_samp(x, y) / d)
-    }
-    val aggs = fd.returnCols.map { rc =>
-      (if (byGroup) safeCorr(col("__rf"), col(s"__rr_$rc"))
-       else corr(col("__rf"), col(s"__rr_$rc"))).as(rc)
-    }
-    ranked.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    exactRankCorr(ranked, keyCols, "__rf",
+      fd.returnCols.map(rc => s"__rr_$rc" -> rc))
       .orderBy(keyCols.map(col): _*)
   }
 

@@ -64,8 +64,10 @@ object Turnover {
     * equi-join on the shared ranks table (vs. rebuilding the whole rank
     * DAG per period). Output: (period, date, autocorr). */
   def factorRankAutocorrelationMulti(fd: FactorData, periods: Seq[Int]): DataFrame = {
+    // doubled integer ranks -> the per-date corr is computed from exact
+    // long sums (bit-stable across runs/engines; see exactRankCorr)
     val ranks = fd.df.select(col("date"), col("asset"),
-      Information.avgRank(col("factor"), Seq(col("date"))).as("__rank"))
+      Information.rank2(col("factor"), Seq(col("date"))).as("__rank"))
 
     val dateIdx = fd.df.select("date").distinct()
       .withColumn("__di", row_number().over(Window.orderBy("date")))
@@ -80,9 +82,9 @@ object Turnover {
         shifted.as("__s"))
       .select(col("asset"), col("__s.p").as("period"),
         col("__s.di").as("__di"), col("__prev_rank"))
-    cur.join(prev, Seq("asset", "__di"), "inner")
-      .groupBy("period", "date")
-      .agg(corr(col("__rank"), col("__prev_rank")).as("autocorr"))
+    val joined = cur.join(prev, Seq("asset", "__di"), "inner")
+    Information.exactRankCorr(joined, Seq("period", "date"), "__rank",
+        Seq("__prev_rank" -> "autocorr"))
       .orderBy("period", "date")
   }
 }

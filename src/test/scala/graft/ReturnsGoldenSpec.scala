@@ -42,7 +42,11 @@ class ReturnsGoldenSpec extends AnyFunSuite with SparkSpec {
     val out = Information.meanInformationCoefficient(
       fd(baseFactor, Seq(4.0, 3, 2, 1, 1, 2, 3, 4)), byTime = Some("D"))
       .orderBy("date").collect().map(_.getAs[Double]("1D"))
-    assert(out.toSeq === Seq(-1.0, -1.0))
+    // exact-sum corr: sqrt(a)*sqrt(b) can land 1 ulp off a, so a perfect
+    // anticorrelation is -1 + O(eps), not bitwise -1
+    out.toSeq.zip(Seq(-1.0, -1.0)).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-12, s"$a != $e")
+    }
   }
 
   test("mean IC golden: by_time=W buckets to week-ending Sunday") {

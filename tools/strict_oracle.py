@@ -43,7 +43,12 @@ for name in sorted(oracle):
     bad = []
     for c in sdf.columns:
         a, b = sdf[c], ddf[c]
-        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+        # the driver's hash stringifies values, so int64 123 vs float64
+        # 123.0 (e.g. an uncast DuckDB HUGEINT) is a MISMATCH even when
+        # numerically equal — require both sides float or neither
+        if np.issubdtype(a.dtype, np.floating) != np.issubdtype(b.dtype, np.floating):
+            bad.append((c, f"dtype spark={a.dtype} duck={b.dtype}", None))
+        elif np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
             a = a.astype(float).to_numpy(); b = b.astype(float).to_numpy()
             eq = (a == b) | (np.isnan(a) & np.isnan(b))
             if not eq.all():
