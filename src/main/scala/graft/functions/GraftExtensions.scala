@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native Catalyst functions —
+  * attach with `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` or `spark.sql.extensions=graft.functions
+  * .GraftExtensions`. Operators in [[graft.vector.Similarity]] detect
+  * the registration and switch their hot kernels from the HOF
+  * composition to the native expression (bit-identical results, so the
+  * choice never affects oracle parity — only speed). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftExtensions.DotName),
+      new ExpressionInfo(classOf[DotProduct].getName, GraftExtensions.DotName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"${GraftExtensions.DotName} takes exactly 2 arguments, got ${args.length}")
+        DotProduct(args.head, args(1))
+      }))
+  }
+}
+
+object GraftExtensions {
+  val DotName = "graft_dot"
+}

@@ -23,10 +23,25 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Ordered dot product of two float-array columns, computed in IEEE
-    * double exactly left-to-right (cross-engine reproducible). */
+    * double exactly left-to-right (cross-engine reproducible). When the
+    * session registered [[graft.functions.GraftExtensions]], the native
+    * codegen'd [[graft.functions.DotProduct]] expression is used; the
+    * HOF composition is the extension-free fallback. Both produce
+    * bit-identical results (same widening, same summation order). */
   def dot(a: Column, b: Column): Column =
+    if (nativeDot) call_function(graft.functions.GraftExtensions.DotName, a, b)
+    else hofDot(a, b)
+
+  /** `aggregate`/`zip_with` dot product — builtin-only fallback. */
+  def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  private def nativeDot: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      try s.catalog.functionExists(graft.functions.GraftExtensions.DotName)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
