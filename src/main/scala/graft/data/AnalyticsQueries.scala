@@ -86,6 +86,12 @@ object AnalyticsQueries {
     "q_events_dist" -> ((s, dir) =>
       Tables.eventsDistribution(
         Pipelines.factorData(s, dir, P).df.select("date"), numBars = 50)),
+    "q_ic_qq" -> ((s, dir) => {
+      val ic = Information.factorInformationCoefficient(
+        Pipelines.factorData(s, dir, P))
+      round6(round9(Tables.icQQTable(ic, Seq("ret_1", "ret_5")), Seq("p")),
+        Seq("theoretical", "observed"))
+    }),
     "q_spread_bydate" -> ((s, dir) => {
       val fd = Pipelines.factorData(s, dir, P)
       val mrqDate = Returns.meanReturnByQuantile(fd, byDate = true)
@@ -101,6 +107,37 @@ object AnalyticsQueries {
 
   /** IC per date CTE chain (exact integer-rank corr), shared. */
   private def icCte = Pipelines.icExactCtes(P)
+
+  /** Acklam inverse-normal-CDF SQL, mirroring StatFunctions.normInv
+    * with the identical Horner nesting (constants emitted as exact
+    * string->double literals). The central branch is pure arithmetic
+    * (bitwise cross-engine); the tail branches go through libm ln,
+    * which can differ by 1 ulp — outputs are rounded to 6 anyway. */
+  private def acklamSql(p: String): String = {
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    def l(x: Double) = s"('$x'::DOUBLE)"
+    def horner(cs: Seq[Double], q: String): String =
+      cs.tail.foldLeft(l(cs.head))((acc, ci) => s"($acc * $q + ${l(ci)})")
+    def tail(q: String): String =
+      s"(${horner(c, q)} / (${horner(d, q)} * $q + 1.0))"
+    val qLow = s"sqrt(-2.0 * ln($p))"
+    val qHigh = s"sqrt(-2.0 * ln(1.0 - $p))"
+    val qc = s"($p - 0.5)"
+    val rc = s"($qc * $qc)"
+    s"""CASE WHEN $p < 0.02425 THEN ${tail(qLow)}
+       |     WHEN $p <= 0.97575 THEN
+       |       (${horner(a, rc)} * $qc / (${horner(b, rc)} * $rc + 1.0))
+       |     ELSE -${tail(qHigh)} END""".stripMargin
+  }
 
   /** Per-period IC summary row (central moments two-pass). */
   private def icSummaryRow(label: String, c: String): String =
@@ -324,6 +361,26 @@ object AnalyticsQueries {
          |  cnt AS count, density
          |FROM allb ORDER BY period, bin""".stripMargin
     },
+
+    "q_ic_qq" ->
+      s"""$pre$icCte,
+         |qq_src AS (
+         |  SELECT 'ret_1' AS period, coalesce(i1, 0.0) AS v FROM ic
+         |  UNION ALL
+         |  SELECT 'ret_5' AS period, coalesce(i5, 0.0) AS v FROM ic),
+         |qq AS (
+         |  SELECT period, v,
+         |    row_number() OVER (PARTITION BY period ORDER BY v) AS rn,
+         |    count(*) OVER (PARTITION BY period) AS cnt,
+         |    avg(v) OVER (PARTITION BY period) AS mu,
+         |    stddev_samp(v) OVER (PARTITION BY period) AS sd
+         |  FROM qq_src),
+         |pp AS (SELECT period, rn / (cnt + 1.0) AS p, (v - mu) / sd AS obs
+         |       FROM qq)
+         |SELECT period, round(p, 9) AS p,
+         |  round(${acklamSql("p")}, 6) AS theoretical,
+         |  round(obs, 6) AS observed
+         |FROM pp ORDER BY period, p""".stripMargin,
 
     "q_events_dist" ->
       s"""$pre, ds AS (SELECT epoch(date)::DOUBLE AS t FROM factor_data),

@@ -3,6 +3,7 @@ package graft.data
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.multimodal.Multimodal
 import graft.text.{Dedup, TextOps, TextStats}
 import graft.vector.{Ivf, Similarity}
 
@@ -25,6 +26,17 @@ object DocQueries {
   private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir).select("doc_id", "text")
     d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** Embedding corpus with planted near-duplicates: each vector twice,
+    * the copy id-shifted and scaled by 1.25 (exact in binary float, so
+    * the copy's cosine with its original is 1 up to rounding and its
+    * LSH sign bits coincide) — natural pairwise cosines top out ~0.46,
+    * so the near-dup set is exactly the planted pairs. */
+  private def dupVecCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select("vec_id", "embedding")
+    e.unionByName(e.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.25f)).as("embedding")))
   }
 
   // ---- Spark side ----------------------------------------------------
@@ -63,7 +75,20 @@ object DocQueries {
       val e = embeddings(s, dir)
       graft.vector.Ivf.ivfTopK(e, e.filter(col("vec_id") < 20), k = 10,
         nCells = 16, nProbe = 4)
-    })
+    }),
+    "q_neardup_cosine" -> ((s, dir) =>
+      // self-join near-dup path: 8-bit bands (vs the ANN top-k's 2-bit
+      // bands) keep bucket sizes bounded when every corpus row is a query
+      Similarity.cosineNearDups(dupVecCorpus(s, dir), minCosine = 0.95,
+        nBits = 64, bands = 8, dim = 64)),
+    "q_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.syntheticCorpus(documents(s, dir)), n = 4, frameBytes = 32)
+        .select(col("sample_id"), col("modality"), col("frame_idx"),
+          // bytes compared as hex: DuckDB cannot substring BLOBs, but a
+          // hex string slices byte-aligned in both engines
+          hex(col("frame")).as("frame_hex"))
+        .orderBy("sample_id", "frame_idx"))
   )
 
   // ---- DuckDB oracle SQL --------------------------------------------
@@ -259,6 +284,58 @@ object DocQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
-         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_neardup_cosine" -> {
+      def dotSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.25::FLOAT)
+         |  FROM embeddings),
+         |proj AS (SELECT j, list(w ORDER BY d) AS wv FROM (
+         |  SELECT j, d,
+         |    (((j + 1) * 2654435761 + (d + 1) * 40503) % 1000003) / 1000003.0 - 0.5 AS w
+         |  FROM range(64) tj(j) CROSS JOIN range(64) td(d)) GROUP BY j),
+         |bits AS (SELECT vec_id, j,
+         |  CASE WHEN list_sum(list_transform(range(1, 65),
+         |    i -> embedding[i]::DOUBLE * wv[i])) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM corp CROSS JOIN proj),
+         |sig AS (SELECT vec_id, list(bit ORDER BY j) AS bl FROM bits GROUP BY vec_id),
+         |bk AS (SELECT vec_id, unnest(list_transform(range(0, 8),
+         |  b -> b::VARCHAR || ':' ||
+         |       array_to_string(list_slice(bl, 8 * b + 1, 8 * b + 8), ':'))) AS k
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b ON a.k = b.k AND a.vec_id < b.vec_id),
+         |scored AS (SELECT id_a, id_b,
+         |  round(${dotSql("ea", "eb")} /
+         |    (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")})), 6) AS cosine
+         |  FROM cand JOIN corp ea ON ea.vec_id = id_a
+         |            JOIN corp eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_frames" -> {
+      // mirrors Multimodal.sampleFrames(n=4, frameBytes=32): byte offset
+      // floor((blen-32) * i/(n-1)) clamped at 0; hex slicing = 2 chars
+      // per byte. floor() before ::INT — DuckDB's double->int cast
+      // ROUNDS where Spark's truncates.
+      val rows = (0 until 4).map { i =>
+        val ratio = i.toDouble / 3
+        s"""SELECT sample_id, modality, $i AS frame_idx,
+           |  substr(hx, floor(greatest((blen - 32)::DOUBLE * '$ratio'::DOUBLE, 0.0))::INT * 2 + 1, 64)
+           |    AS frame_hex FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS (SELECT doc_id::BIGINT AS sample_id,
+         |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |       ELSE 'video' END AS modality,
+         |  hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+         |  FROM documents)
+         |$rows
+         |ORDER BY sample_id, frame_idx""".stripMargin
+    }
   )
 }
