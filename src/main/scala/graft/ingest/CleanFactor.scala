@@ -120,9 +120,27 @@ object CleanFactor {
       zeroAware: Boolean = false,
       cumulativeReturns: Boolean = true,
       verbose: Boolean = true): FactorData = {
+    // reference utils.py:263-268 raises NonMatchingTimezoneError when the
+    // factor and price indices carry different timezones; the Spark
+    // analog is a TIMESTAMP vs TIMESTAMP_NTZ (or DATE) type split on the
+    // join key, which would otherwise surface as a silent cast or a
+    // confusing analysis error deep in the window plan
+    val fDate = factor.schema("date").dataType
+    val pDate = prices.schema("date").dataType
+    if (fDate != pDate)
+      throw new NonMatchingTimezoneError(
+        "The timezone of 'factor' is not the same as the timezone of " +
+          s"'prices': the date columns are $fDate vs $pDate. Cast both to " +
+          "the same timestamp type (TIMESTAMP with session time zone, or " +
+          "TIMESTAMP_NTZ).")
     val fwd = ForwardReturns.computeForwardReturns(
       spark, factor, prices, periods, filterZscore, cumulativeReturns)
     getCleanFactor(spark, factor, fwd, groupby, binningByGroup, spec,
       maxLoss, zeroAware, verbose)
   }
 }
+
+/** Mirrors the reference's NonMatchingTimezoneError
+  * (alphalens/utils.py:26). */
+final class NonMatchingTimezoneError(msg: String)
+  extends IllegalArgumentException(msg)

@@ -65,6 +65,20 @@ class IngestGoldenSpec extends AnyFunSuite with SparkSpec {
       .take(n).map(_.toString).toSeq
   }
 
+  test("mismatched date types raise NonMatchingTimezoneError (utils.py:263)") {
+    val dates = (1 to 4).map(d => f"2015-01-$d%02d")
+    val prices = longPanel(dates, tickers,
+      (1 to 4).map(i => rets.map(math.pow(_, i))), "price")
+    val factor = longPanel(dates, tickers,
+      (0 until 4).map(d => factorCycle(d % 3)), "factor")
+      .withColumn("date", org.apache.spark.sql.functions.col("date").cast("date"))
+    val e = intercept[graft.ingest.NonMatchingTimezoneError] {
+      CleanFactor.getCleanFactorAndForwardReturns(spark, factor, prices,
+        periods = Seq(1), filterZscore = None, verbose = false)
+    }
+    assert(e.getMessage.contains("timezone of 'factor'"))
+  }
+
   test("get_clean_factor_and_forward_returns: daily calendar (test_utils 1)") {
     val priceDates = (11 to 16).map(d => s"2015-01-$d")
     runCase(priceDates, priceDates.take(3))

@@ -188,7 +188,17 @@ class PerfGoldenSpec extends AnyFunSuite with SparkSpec {
     (Seq(Seq(1.0, 2, 3, 4), Seq(1.0, 2, 3, 4), Seq(1.0, 2, 3, 4), Seq(1.0, 2, 3, 4)),
       3, 1, Seq(0.0, 0.0, 0.0)),
     (Seq(Seq(1.0, 2, 3, 4), Seq(4.0, 3, 2, 1), Seq(1.0, 2, 3, 4), Seq(4.0, 3, 2, 1)),
-      2, 1, Seq(1.0, 1.0, 1.0)))
+      2, 1, Seq(1.0, 1.0, 1.0)),
+    // the long-period sequences (test_performance.py:349-412): 12 dates
+    // alternating two quantile layouts, lag 4 / lag 10
+    (Seq(Seq(1.0, 2, 3, 4), Seq(1.0, 3, 2, 4), Seq(1.0, 2, 3, 4), Seq(1.0, 3, 2, 4),
+      Seq(1.0, 2, 3, 4), Seq(1.0, 3, 2, 4), Seq(1.0, 2, 3, 4), Seq(1.0, 3, 2, 4),
+      Seq(1.0, 2, 3, 4), Seq(1.0, 3, 2, 4), Seq(1.0, 2, 3, 4), Seq(1.0, 3, 2, 4)),
+      3, 4, Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+    (Seq(Seq(1.0, 2, 3, 4), Seq(1.0, 3, 2, 4), Seq(1.0, 2, 3, 4), Seq(1.0, 3, 2, 4),
+      Seq(1.0, 2, 3, 4), Seq(1.0, 3, 2, 4), Seq(1.0, 2, 3, 4), Seq(1.0, 3, 2, 4),
+      Seq(1.0, 2, 3, 4), Seq(1.0, 3, 2, 4), Seq(1.0, 2, 3, 4), Seq(1.0, 2, 3, 4)),
+      3, 10, Seq(0.0, 1.0)))
 
   for (((quantRows, q, period, expected), i) <- toCases.zipWithIndex)
     test(s"quantile_turnover golden case $i: quantile=$q period=$period") {
