@@ -66,12 +66,19 @@ object EventStudy {
     val ev = events.select("date", "asset").join(dIdx, Seq("date"))
       .select(col("date").as("event_date"), col("asset"), col("__di").as("__ei"))
 
-    def band(evts: DataFrame): DataFrame =
-      evts.join(lv.withColumnRenamed("asset", "__la"),
-          col("__la") === evts("asset") &&
-            col("__di").between(col("__ei") - before, col("__ei") + after))
-        .select(col("event_date"), evts("asset"),
-          (col("__di") - col("__ei")).as("offset"), col("ret").as("value"))
+    // the bounded offset window explodes on the event side so the band
+    // lookup is a pure (asset, date-index) EQUI-join — a direct range
+    // predicate would force the join to materialize every event x level
+    // pair per asset before filtering (quadratic in dates per asset)
+    def band(evts: DataFrame): DataFrame = {
+      val ex = evts
+        .withColumn("offset", explode(sequence(lit(-before), lit(after))))
+        .withColumn("__dj", col("__ei") + col("offset"))
+      ex.join(lv.withColumnRenamed("asset", "__la"),
+          col("__la") === ex("asset") && col("__di") === col("__dj"))
+        .select(col("event_date"), ex("asset"), col("offset"),
+          col("ret").as("value"))
+    }
 
     val sliced = band(ev)
 
@@ -132,12 +139,16 @@ object EventStudy {
       .join(dIdx, Seq("date"))
       .select(col("date").as("event_date") +: col("asset") +:
         col("__di").as("__ei") +: evExtra.map(col): _*)
-    val banded = ev.join(lv,
-        col("__la") === ev("asset") &&
-          col("__di").between(col("__ei") - periodsBefore, col("__ei") + periodsAfter))
-      .select(col("event_date") +: col("asset") +:
-        (col("__di") - col("__ei")).as("offset") +: col("ret").as("value") +:
-        evExtra.map(col): _*)
+    // offset-exploded equi-join — see commonStartReturns.band for why a
+    // direct range predicate would be quadratic in dates per asset
+    val evx = ev
+      .withColumn("offset",
+        explode(sequence(lit(-periodsBefore), lit(periodsAfter))))
+      .withColumn("__dj", col("__ei") + col("offset"))
+    val banded = evx.join(lv,
+        col("__la") === evx("asset") && col("__di") === col("__dj"))
+      .select(col("event_date") +: col("asset") +: col("offset") +:
+        col("ret").as("value") +: evExtra.map(col): _*)
 
     // demean universe per (event date, offset): the whole panel when
     // demeaned, the event's group slice when groupAdjust

@@ -74,6 +74,10 @@ object Positions {
     val active = weights.join(mapDf, Seq("date"))
     val tot = active.groupBy(col("__t"), col("asset"))
       .agg(sum("weight").as("__w"))
+    // gross exposure attaches via a per-instant window, NOT an agg +
+    // broadcast-join-back: the join's agg side would recompute the whole
+    // upstream interval-join DAG a second time (measured 1.4x slower),
+    // while the window reuses the single shuffled pass
     val wI = Window.partitionBy("__t")
     tot
       .withColumn("position", col("__w") / sum(abs(col("__w"))).over(wI))
@@ -210,6 +214,8 @@ object Positions {
     val filled = grid.withColumn("__p",
       last(col("__p"), ignoreNulls = true).over(wff))
     // renormalize each day to gross exposure 1; all-zero days -> 0
+    // (window, not agg+join-back: the join's agg side would recompute
+    // the grid+ffill lineage twice — see positions())
     val wd = Window.partitionBy("date")
     val norm = filled.withColumn("position",
       coalesce(col("__p") / sum(abs(col("__p"))).over(wd), lit(0.0)))
