@@ -88,7 +88,24 @@ object DocQueries {
           // bytes compared as hex: DuckDB cannot substring BLOBs, but a
           // hex string slices byte-aligned in both engines
           hex(col("frame")).as("frame_hex"))
-        .orderBy("sample_id", "frame_idx"))
+        .orderBy("sample_id", "frame_idx")),
+    "q_asof_attrib" -> ((s, dir) => {
+      // click -> most recent prior view by the same user (point-in-time
+      // attribution); oracle is DuckDB's native ASOF LEFT JOIN.
+      // events.ts is TIMESTAMP(NANOS): read as long nanos
+      // (spark.sql.legacy.parquet.nanosAsLong) and floor to micros —
+      // exactly what DuckDB's nanos->micros read-time conversion does
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          col("value").as("view_value"))
+      graft.operators.AsOfJoin.asof(clicks, views, "ts", Seq("user_id"),
+          Seq("view_id", "view_value"))
+        .orderBy("event_id")
+    })
   )
 
   // ---- DuckDB oracle SQL --------------------------------------------
@@ -336,6 +353,20 @@ object DocQueries {
          |  FROM documents)
          |$rows
          |ORDER BY sample_id, frame_idx""".stripMargin
-    }
+    },
+
+    "q_asof_attrib" ->
+      """WITH clicks AS (
+        |  SELECT event_id, ts, user_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, event_id AS view_id, value AS view_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.ts, c.user_id, c.value,
+        |  v.view_id AS asof_view_id, v.view_value AS asof_view_value,
+        |  v.ts AS asof_ts
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin
   )
 }
