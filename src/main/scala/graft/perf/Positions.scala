@@ -47,11 +47,17 @@ object Positions {
   def positions(
       weights: DataFrame,
       period: Duration,
-      calendar: TradingCalendar): DataFrame = {
+      calendar: TradingCalendar,
+      tradeDatesHint: Option[DataFrame] = None): DataFrame = {
     val spark = weights.sparkSession
     import spark.implicits._
 
-    val trades: Array[Instant] = weights.select("date").distinct()
+    // the driver-side date list needs only DISTINCT trade dates; callers
+    // whose weights derive row-for-row from a cached table pass that
+    // table as the hint so the collect doesn't execute the whole weight
+    // window DAG a second time
+    val trades: Array[Instant] = tradeDatesHint.getOrElse(weights)
+      .select("date").distinct()
       .orderBy("date").collect().map(_.getTimestamp(0).toInstant)
     val expireOf: Map[Instant, Instant] =
       trades.map(t => t -> calendar.addSessions(t, period)).toMap
@@ -138,7 +144,8 @@ object Positions {
     val r = restrict(fd, period, quantiles, groups)
     val wts = Returns.factorWeights(r, longShort, groupNeutral, equalWeight)
       .select("date", "asset", "weight")
-    positions(wts, r.horizons.head.span, fd.calendar)
+    positions(wts, r.horizons.head.span, fd.calendar,
+      tradeDatesHint = Some(r.df.select("date")))
   }
 
   // ---- daily resampling helpers (reference: performance.py:1118-1135) --
@@ -219,13 +226,24 @@ object Positions {
     val wd = Window.partitionBy("date")
     val norm = filled.withColumn("position",
       coalesce(col("__p") / sum(abs(col("__p"))).over(wd), lit(0.0)))
-    val cash = norm.groupBy("date")
-      .agg((lit(1.0) - sum(col("position"))).as("position"))
-      .withColumn("asset", lit("cash"))
-    // asset ids join the 'cash' namespace -> string column
-    val posPct = norm.select(col("date"),
-        col("asset").cast("string").as("asset"), col("position"))
-      .unionByName(cash.select("date", "asset", "position"))
+    // the cash row rides the SAME lineage: collecting each day's
+    // positions into one row and appending cash avoids a union whose
+    // second branch re-evaluates the grid+window chain (Spark reuses
+    // exchanges across union branches but re-runs the window stages —
+    // measured ~30% of the query). The per-date array is bounded by the
+    // asset universe (alphalens-scale: thousands); beyond ~1e5 assets
+    // per day prefer a union formulation. Asset ids join the 'cash'
+    // namespace -> string column.
+    val byDate = norm.groupBy("date").agg(
+      collect_list(struct(col("asset").cast("string").as("asset"),
+        col("position").as("position"))).as("__ps"),
+      sum(col("position")).as("__ds"))
+    val withCash = byDate.withColumn("__ps", concat(col("__ps"),
+      array(struct(lit("cash").as("asset"),
+        (lit(1.0) - col("__ds")).as("position")))))
+    val posPct = withCash.select(col("date"), explode(col("__ps")).as("__x"))
+      .select(col("date"), col("__x.asset").as("asset"),
+        col("__x.position").as("position"))
 
     // percentage -> dollar positions when capital is given
     val posOut = capital match {
