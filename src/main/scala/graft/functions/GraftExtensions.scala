@@ -22,9 +22,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${GraftExtensions.DotName} takes exactly 2 arguments, got ${args.length}")
         DotProduct(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftExtensions.SignBitsName),
+      new ExpressionInfo(classOf[SignBits].getName, GraftExtensions.SignBitsName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"${GraftExtensions.SignBitsName} takes exactly 2 arguments, got ${args.length}")
+        SignBits(args.head, args(1))
+      }))
   }
 }
 
 object GraftExtensions {
   val DotName = "graft_dot"
+  val SignBitsName = "graft_sign_bits"
 }

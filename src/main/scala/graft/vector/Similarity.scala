@@ -87,14 +87,45 @@ object Similarity {
       1000003.0 - 0.5
 
   /** Sign-LSH bit signature: bit j = [ dot(v, r_j) > 0 ] for `nBits`
-    * deterministic hyperplanes r_j. Returns (idCol, __b0.. __b{n-1}). */
+    * deterministic hyperplanes r_j, as columns __b0..__b{n-1}.
+    *
+    * With [[graft.functions.GraftExtensions]] registered the whole
+    * signature is ONE codegen'd `graft_sign_bits` bitmask call (the
+    * per-bit composition embeds nBits*dim literal nodes whose codegen
+    * compile time dominated the cold run; a `transform` over a 2-D
+    * literal is interpreted per row — measured 3x slower). The HOF
+    * fallback composes per-bit dots. Both produce identical bits. */
   private def withSignBits(
       df: DataFrame, nBits: Int, dim: Int, idCol: String, vecCol: String): DataFrame = {
-    val bits = (0 until nBits).map { j =>
-      val w = array((0 until dim).map(d => lit(projWeight(j, d))): _*)
-      (dot(col(vecCol), w) > 0.0).cast("int").as(s"__b$j")
+    val native = org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      try s.catalog.functionExists(graft.functions.GraftExtensions.SignBitsName)
+      catch { case scala.util.control.NonFatal(_) => false }
     }
-    df.select(col(idCol) +: col(vecCol).as("__v") +: bits: _*)
+    if (native) {
+      val mat = typedLit(
+        (0 until nBits).map(j => (0 until dim).map(d => projWeight(j, d))))
+      val masked = df.select(col(idCol), col(vecCol).as("__v"),
+        call_function(graft.functions.GraftExtensions.SignBitsName,
+          col(vecCol), mat).as("__mask"))
+      val bits = (0 until nBits).map(j =>
+        shiftright(col("__mask"), j).bitwiseAND(lit(1L)).cast("int").as(s"__b$j"))
+      masked.select(col(idCol) +: col("__v") +: bits: _*)
+    } else {
+      val bits = (0 until nBits).map { j =>
+        val w = array((0 until dim).map(d => lit(projWeight(j, d))): _*)
+        (hofDot(col(vecCol), w) > 0.0).cast("int").as(s"__b$j")
+      }
+      df.select(col(idCol) +: col(vecCol).as("__v") +: bits: _*)
+    }
+  }
+
+  /** Band keys "b:bit:bit:..." over the __b* signature columns. */
+  private def bandKeyCols(nBits: Int, bands: Int): Seq[Column] = {
+    val rows = nBits / bands
+    (0 until bands).map { b =>
+      concat_ws(":", lit(b.toString) +: (0 until rows).map(r =>
+        col(s"__b${b * rows + r}").cast("string")): _*)
+    }
   }
 
   /** ANN top-k via banded sign-LSH: signatures of `nBits` hyperplane
@@ -115,16 +146,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
-    val rows = nBits / bands
     def bucketed(df: DataFrame, role: String): DataFrame = {
       val sig = withSignBits(df, nBits, dim, idCol, vecCol)
-      val bandKeys = (0 until bands).map { b =>
-        concat_ws(":", lit(b.toString) +:
-          (0 until rows).map(r => col(s"__b${b * rows + r}").cast("string")): _*)
-      }
       sig.select(col(idCol).as(role), col("__v").as(s"__v_$role"),
         l2Norm(col("__v")).as(s"__n_$role"),
-        explode(array(bandKeys: _*)).as("__bk"))
+        explode(array(bandKeyCols(nBits, bands): _*)).as("__bk"))
     }
     val qb = bucketed(queries, "query_id")
     val cb = bucketed(corpus, "neighbor_id")
@@ -158,14 +184,10 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
-    val rows = nBits / bands
     val sig = withSignBits(corpus, nBits, dim, idCol, vecCol)
-    val bandKeys = (0 until bands).map { b =>
-      concat_ws(":", lit(b.toString) +:
-        (0 until rows).map(r => col(s"__b${b * rows + r}").cast("string")): _*)
-    }
     val buckets = sig.select(col(idCol).as("__id"), col("__v"),
-      l2Norm(col("__v")).as("__n"), explode(array(bandKeys: _*)).as("__bk"))
+      l2Norm(col("__v")).as("__n"),
+      explode(array(bandKeyCols(nBits, bands): _*)).as("__bk"))
     val a = buckets.select(col("__bk"), col("__id").as("id_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = buckets.select(col("__bk"), col("__id").as("id_b"),

@@ -75,6 +75,32 @@ class DotProductSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("graft_dot"))
   }
 
+  test("graft_sign_bits matches the per-bit HOF composition") {
+    val nBits = 16; val dim = 16
+    val mat = typedLit((0 until nBits).map(j =>
+      (0 until dim).map(d => Similarity.projWeight(j, d))))
+    val mask = call_function("graft_sign_bits", col("a"), mat)
+    val hofBits = (0 until nBits).map { j =>
+      val w = array((0 until dim).map(d => lit(Similarity.projWeight(j, d))): _*)
+      (Similarity.hofDot(col("a"), w) > 0.0).cast("long") * lit(1L << j)
+    }.reduce(_ + _)
+    vecs.select(mask.as("m"), hofBits.as("h")).collect()
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("graft_sign_bits interpreted eval matches codegen") {
+    val mat = typedLit((0 until 8).map(j =>
+      (0 until 16).map(d => Similarity.projWeight(j, d))))
+    val expected = vecs.select(call_function("graft_sign_bits", col("a"), mat))
+      .collect().map(_.getLong(0))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = vecs.select(call_function("graft_sign_bits", col("a"), mat))
+        .collect().map(_.getLong(0))
+      assert(interp.toSeq === expected.toSeq)
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) =>
       k -> (try Some(spark.conf.get(k)) catch { case _: Exception => None })
