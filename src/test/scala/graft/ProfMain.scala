@@ -25,6 +25,18 @@ object ProfMain {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    {
+      val pan = graft.data.Pipelines.panel(spark, dir)
+      time("panel")(noop(pan))
+      val fwd = graft.data.Pipelines.forwardReturns(
+        graft.data.Pipelines.prices(pan), graft.data.Pipelines.horizons(Seq(1, 5)))
+      time("fwd returns")(noop(fwd))
+      val m = graft.data.Pipelines.merged(spark, dir, Seq(1, 5))
+      time("merged")(noop(m))
+      val q = graft.ingest.Quantize.quantizeFactor(m,
+        graft.ingest.Quantize.QuantilesInt(5), noRaise = true)
+      time("quantized")(noop(q))
+    }
     val fd = graft.data.Pipelines.factorData(spark, dir, Seq(1, 5))
     time("warm factor_data")(fd.df.count())
 
