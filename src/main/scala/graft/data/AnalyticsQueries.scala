@@ -97,7 +97,22 @@ object AnalyticsQueries {
       val mrqDate = Returns.meanReturnByQuantile(fd, byDate = true)
       round9(Returns.computeMeanReturnsSpread(mrqDate, 5, 1, fd.returnCols),
         Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err"))
-    })
+    }),
+    "q_alpha_beta" -> ((s, dir) =>
+      round9(Returns.factorAlphaBeta(Pipelines.factorData(s, dir, P)),
+        Seq("ret_1", "ret_5"))),
+    "q_factor_weights" -> ((s, dir) =>
+      round9(Returns.factorWeights(Pipelines.factorData(s, dir, P))
+        .select("date", "asset", "weight").orderBy("date", "asset"),
+        Seq("weight"))),
+    "q_mean_ic_weekly" -> ((s, dir) =>
+      round9(Information.meanInformationCoefficient(
+        Pipelines.factorData(s, dir, P), byTime = Some("W")),
+        Seq("ret_1", "ret_5"))),
+    "q_ic_groupadj" -> ((s, dir) =>
+      round9(Information.factorInformationCoefficient(
+        Pipelines.factorData(s, dir, P, withGroup = true), groupAdjust = true),
+        Seq("ret_1", "ret_5")))
   )
 
   // ---- oracle SQL -----------------------------------------------------
@@ -395,6 +410,53 @@ object AnalyticsQueries {
          |    AS bucket_start,
          |  count(*) AS n_events
          |FROM bk GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q_alpha_beta" ->
+      s"""$pre, dm AS (
+         |  SELECT date, ret_1, ret_5,
+         |    factor - avg(factor) OVER (PARTITION BY date) AS c
+         |  FROM factor_data),
+         |wts AS (SELECT date, ret_1, ret_5,
+         |  c / sum(abs(c)) OVER (PARTITION BY date) AS weight FROM dm),
+         |fr AS (SELECT date, sum(ret_1 * weight) AS r1, sum(ret_5 * weight) AS r5
+         |  FROM wts GROUP BY date),
+         |uni AS (SELECT date, avg(ret_1) AS u1, avg(ret_5) AS u5
+         |  FROM factor_data GROUP BY date),
+         |j AS (SELECT fr.date, r1, r5, u1, u5 FROM fr JOIN uni USING (date)),
+         |ab AS (SELECT
+         |  covar_samp(u1, r1) / var_samp(u1) AS b1,
+         |  covar_samp(u5, r5) / var_samp(u5) AS b5,
+         |  avg(r1) - covar_samp(u1, r1) / var_samp(u1) * avg(u1) AS a1,
+         |  avg(r5) - covar_samp(u5, r5) / var_samp(u5) * avg(u5) AS a5
+         |  FROM j)
+         |SELECT 'Ann. alpha' AS stat, round(pow(a1 + 1.0, 252.0) - 1.0, 9) AS ret_1,
+         |       round(pow(a5 + 1.0, 50.4) - 1.0, 9) AS ret_5 FROM ab
+         |UNION ALL
+         |SELECT 'beta', round(b1, 9), round(b5, 9) FROM ab""".stripMargin,
+
+    "q_factor_weights" ->
+      s"""$pre, dm AS (
+         |  SELECT date, asset, factor - avg(factor) OVER (PARTITION BY date) AS c
+         |  FROM factor_data)
+         |SELECT date, asset,
+         |  round(c / sum(abs(c)) OVER (PARTITION BY date), 9) AS weight
+         |FROM dm ORDER BY date, asset""".stripMargin,
+
+    "q_mean_ic_weekly" ->
+      s"""$pre$icCte
+         |SELECT (date + ((7 - dayofweek(date)) % 7) * INTERVAL 1 DAY)::TIMESTAMP
+         |    AS date,
+         |  round(avg(i1), 9) AS ret_1, round(avg(i5), 9) AS ret_5
+         |FROM ic GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ic_groupadj" ->
+      s"""$preG, dmret AS (
+         |  SELECT date, factor,
+         |    ret_1 - avg(ret_1) OVER (PARTITION BY date, "group") AS ret_1,
+         |    ret_5 - avg(ret_5) OVER (PARTITION BY date, "group") AS ret_5
+         |  FROM factor_data)${Pipelines.icExactCtes(P, src = "dmret")}
+         |SELECT date, round(i1, 9) AS ret_1, round(i5, 9) AS ret_5
+         |FROM ic ORDER BY date""".stripMargin,
 
     "q_spread_bydate" ->
       s"""$pre, dmq AS (SELECT factor_quantile, date,

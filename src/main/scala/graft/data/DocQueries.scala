@@ -89,6 +89,12 @@ object DocQueries {
           // hex string slices byte-aligned in both engines
           hex(col("frame")).as("frame_hex"))
         .orderBy("sample_id", "frame_idx")),
+    "q_resize" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.syntheticCorpus(documents(s, dir)), 32, 32)
+        .select(col("sample_id"), col("modality"), col("width"), col("height"),
+          length(col("content")).as("n_bytes"))
+        .orderBy("sample_id")),
     "q_asof_attrib" -> ((s, dir) => {
       // click -> most recent prior view by the same user (point-in-time
       // attribution); oracle is DuckDB's native ASOF LEFT JOIN.
@@ -354,6 +360,21 @@ object DocQueries {
          |$rows
          |ORDER BY sample_id, frame_idx""".stripMargin
     },
+
+    "q_resize" ->
+      // mirrors Multimodal.resize(32, 32): truncated payload length =
+      // min(blen, max(1, trunc(blen*32*32 / (w0*h0)))); Spark's int cast
+      // truncates, so floor() (positive operands) before ::INT
+      """WITH m AS (SELECT doc_id::BIGINT AS sample_id,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  octet_length(encode(text)) AS blen,
+        |  (doc_id % 64) * 16 + 16 AS w0, (doc_id % 48) * 16 + 16 AS h0
+        |  FROM documents)
+        |SELECT sample_id, modality, 32 AS width, 32 AS height,
+        |  least(blen, greatest(1,
+        |    floor((blen * 32 * 32)::DOUBLE / greatest(w0 * h0, 1))::INT)) AS n_bytes
+        |FROM m ORDER BY sample_id""".stripMargin,
 
     "q_asof_attrib" ->
       """WITH clicks AS (

@@ -159,7 +159,8 @@ object Pipelines {
     * appends `ranked`, `icsums`, and `ic(date[, "group"], i1, i5, ...)`
     * to the prelude. The DuckDB twin of factorInformationCoefficient. */
   def icExactCtes(periods: Seq[Int] = Seq(1, 5),
-                  byGroup: Boolean = false): String = {
+                  byGroup: Boolean = false,
+                  src: String = "factor_data"): String = {
     val part = if (byGroup) "date, \"group\"" else "date"
     val ps = periods.sorted
     val rankCols = ps.map(p => s"${rank2Sql(s"ret_$p", part)} AS r$p")
@@ -171,7 +172,7 @@ object Pipelines {
     s""", ranked AS (
        |  SELECT $part, ${rank2Sql("factor", part)} AS rf,
        |    $rankCols
-       |  FROM factor_data),
+       |  FROM $src),
        |icsums AS (
        |  SELECT $part, count(*)::DOUBLE AS n,
        |    sum(rf)::DOUBLE AS sx, sum(rf*rf)::DOUBLE AS sxx,
