@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${GraftExtensions.SignBitsName} takes exactly 2 arguments, got ${args.length}")
         SignBits(args.head, args(1))
       }))
+    // user queries written with the idiomatic zip_with/aggregate dot
+    // composition get the fused codegen kernel automatically
+    ext.injectOptimizerRule(_ => RewriteHofDot)
   }
 }
 

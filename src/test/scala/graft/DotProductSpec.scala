@@ -75,6 +75,22 @@ class DotProductSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("graft_dot"))
   }
 
+  test("optimizer rewrites the HOF dot composition to graft_dot") {
+    val hof = vecs.select(Similarity.hofDot(col("a"), col("b")).as("d"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    // and the rewrite preserves values bitwise
+    val native = vecs.select(call_function("graft_dot", col("a"), col("b")).as("d"))
+    assert(hof.collect().map(_.getDouble(0)).toSeq ===
+      native.collect().map(_.getDouble(0)).toSeq)
+  }
+
+  test("optimizer rewrite fires for double arrays (elided casts)") {
+    val dd = vecs.select(
+      col("a").cast("array<double>").as("da"), col("b").cast("array<double>").as("db"))
+    val hof = dd.select(Similarity.hofDot(col("da"), col("db")).as("d"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
   test("graft_sign_bits matches the per-bit HOF composition") {
     val nBits = 16; val dim = 16
     val mat = typedLit((0 until nBits).map(j =>
