@@ -101,6 +101,21 @@ object AnalyticsQueries {
     "q_alpha_beta" -> ((s, dir) =>
       round9(Returns.factorAlphaBeta(Pipelines.factorData(s, dir, P)),
         Seq("ret_1", "ret_5"))),
+    "q_backshift" -> ((s, dir) =>
+      EventStudy.backshift(
+        Pipelines.factorData(s, dir, P).df.select("date", "asset", "ret_1"),
+        "ret_1", n = 2)
+        .orderBy("date", "asset")),
+    "q_event_study" -> ((s, dir) => {
+      val fd = Pipelines.factorData(s, dir, P)
+      val levels = EventStudy.toCumulative(priceReturns(s, dir))
+      val events = fd.df.filter(col("factor_quantile") === 5)
+        .select("date", "asset")
+      round9(EventStudy.commonStartReturns(events, levels,
+          before = 2, after = 3, meanByDate = true,
+          demeanBy = Some(fd.df.select("date", "asset")))
+        .orderBy("event_date", "offset"), Seq("value"))
+    }),
     "q_factor_weights" -> ((s, dir) =>
       round9(Returns.factorWeights(Pipelines.factorData(s, dir, P))
         .select("date", "asset", "weight").orderBy("date", "asset"),
@@ -433,6 +448,44 @@ object AnalyticsQueries {
          |       round(pow(a5 + 1.0, 50.4) - 1.0, 9) AS ret_5 FROM ab
          |UNION ALL
          |SELECT 'beta', round(b1, 9), round(b5, 9) FROM ab""".stripMargin,
+
+    "q_backshift" ->
+      s"""$pre, didx AS (SELECT date, row_number() OVER (ORDER BY date) - 1 AS di
+         |  FROM (SELECT DISTINCT date FROM factor_data)),
+         |sh AS (SELECT f.asset, d.di - 2 AS di, f.ret_1
+         |  FROM factor_data f JOIN didx d USING (date) WHERE d.di >= 2)
+         |SELECT d2.date, sh.asset, sh.ret_1
+         |FROM sh JOIN didx d2 ON d2.di = sh.di
+         |ORDER BY date, asset""".stripMargin,
+
+    "q_event_study" ->
+      s"""$pre, pret AS (
+         |  SELECT date, asset,
+         |    price / lag(price) OVER (PARTITION BY asset ORDER BY date) - 1.0 AS r
+         |  FROM priced),
+         |lvl AS (SELECT date, asset,
+         |  exp(sum(ln(1.0 + coalesce(r, 0.0)))
+         |      OVER (PARTITION BY asset ORDER BY date
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v
+         |  FROM pret),
+         |didx AS (SELECT date, row_number() OVER (ORDER BY date) - 1 AS di
+         |  FROM (SELECT DISTINCT date FROM lvl)),
+         |lv AS (SELECT l.asset, d.di, l.v FROM lvl l JOIN didx d USING (date)),
+         |evAll AS (SELECT f.date AS event_date, f.asset, d.di AS ei,
+         |    f.factor_quantile
+         |  FROM factor_data f JOIN didx d USING (date)),
+         |bandedAll AS (SELECT ev.event_date, ev.asset, lv.di - ev.ei AS off,
+         |  lv.v AS value, ev.factor_quantile
+         |  FROM evAll ev JOIN lv ON lv.asset = ev.asset
+         |    AND lv.di BETWEEN ev.ei - 2 AND ev.ei + 3),
+         |m AS (SELECT event_date, off, avg(value) AS dmean
+         |  FROM bandedAll GROUP BY 1, 2),
+         |dmv AS (SELECT b.event_date, b.off, b.value - m.dmean AS value
+         |  FROM bandedAll b JOIN m ON b.event_date = m.event_date AND b.off = m.off
+         |  WHERE b.factor_quantile = 5)
+         |SELECT event_date, off AS "offset", round(avg(value), 9) AS value
+         |FROM dmv GROUP BY event_date, off
+         |ORDER BY event_date, "offset"""".stripMargin,
 
     "q_factor_weights" ->
       s"""$pre, dm AS (
