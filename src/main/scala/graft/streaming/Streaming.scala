@@ -25,6 +25,19 @@ case class SessionSummary(
 private case class SessionState(
     start: Long, last: Long, n: Long, total: Double)
 
+/** Probe event enriched with the latest at-or-before reference event of
+  * the same user (streaming as-of; null ref columns = no match yet). */
+case class AsOfEnriched(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    value: Double,
+    ref_event_id: java.lang.Long,
+    ref_ts: Timestamp,
+    ref_value: java.lang.Double)
+
+private case class RefState(eventId: Long, ts: Long, value: Double)
+
 /** Structured-Streaming extensions (SURVEY §2.9/§7.6 — the reference is
   * batch-only; these are the post-parity streaming capabilities a
   * 100 TB event pipeline needs): event-time windowed stats under a
@@ -83,6 +96,62 @@ object Streaming {
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id", "ts")
+
+  /** Streaming as-of enrichment — the stateful analogue of
+    * [[graft.operators.AsOfJoin]]: every `probeType` event picks up the
+    * most recent at-or-before `refType` event of the same user (e.g.
+    * click -> latest view attribution, trade -> latest quote), from ONE
+    * pass over the stream with per-key state = a single latest-reference
+    * record. Within a micro-batch rows are processed in event-time
+    * order; a reference that arrives across batches later than an
+    * earlier probe cannot retroactively re-enrich it (streams trade
+    * that for O(keys) state — the batch operator gives the exact
+    * answer). Idle keys are purged via event-time timeout at
+    * last-activity + `idleTimeoutSec` (state stays bounded). */
+  def streamingAsOf(
+      events: Dataset[Event],
+      probeType: String,
+      refType: String,
+      watermark: String = "2 hours",
+      idleTimeoutSec: Long = 86400): Dataset[AsOfEnriched] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == probeType || e.event_type == refType)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RefState, AsOfEnriched](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[RefState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[AsOfEnriched]
+            var cur = state.getOption
+            var lastActivity = Long.MinValue
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              lastActivity = math.max(lastActivity, t)
+              if (e.event_type == refType) {
+                if (cur.forall(_.ts <= t))
+                  cur = Some(RefState(e.event_id, t, e.value))
+              } else {
+                // out-of-order guard: a stored ref newer than the probe
+                // is not an at-or-before match
+                val m = cur.filter(_.ts <= t)
+                out += AsOfEnriched(e.event_id, e.ts, userId, e.value,
+                  m.map(r => java.lang.Long.valueOf(r.eventId)).orNull,
+                  m.map(r => new Timestamp(r.ts)).orNull,
+                  m.map(r => java.lang.Double.valueOf(r.value)).orNull)
+              }
+            }
+            cur.foreach(state.update)
+            if (lastActivity != Long.MinValue)
+              state.setTimeoutTimestamp(lastActivity + idleTimeoutSec * 1000L)
+            out.result().iterator
+          }
+      }
+  }
 
   /** Gap-timeout sessionization: consecutive events of a user belong to
     * one session until `gapSeconds` of event-time silence; closed

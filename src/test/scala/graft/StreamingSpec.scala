@@ -69,6 +69,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L))
   }
 
+  test("streamingAsOf enriches probes with the latest prior reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // batch 1: view then click (match), click before any view (no match)
+    in.addData(
+      Event(10, t("2024-01-01 00:00:00"), 1, "view", 1.0),
+      Event(11, t("2024-01-01 00:05:00"), 1, "click", 9.0),
+      Event(12, t("2024-01-01 00:01:00"), 2, "click", 8.0))
+    val out = Streaming.streamingAsOf(in.toDS(), "click", "view")
+    val q = out.writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: newer view supersedes, next click picks it up
+    in.addData(
+      Event(13, t("2024-01-01 00:10:00"), 1, "view", 2.0),
+      Event(14, t("2024-01-01 00:15:00"), 1, "click", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("asof").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("ref_event_id")).map(_.toLong)).toMap
+    assert(rows(11L) === Some(10L)) // same-batch match
+    assert(rows(12L) === None)      // no prior view for user 2
+    assert(rows(14L) === Some(13L)) // cross-batch state carries forward
+  }
+
   test("sessionize emits closed sessions after the gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
