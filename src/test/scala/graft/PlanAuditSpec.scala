@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression net: the properties that matter at cluster
+  * scale, asserted over every driver-contract query plan so a rewrite
+  * that silently degrades the plan (a cartesian product, a lost
+  * pushdown, a pruned-column regression) fails the suite.
+  *
+  * BroadcastNestedLoopJoin is allowed only where it is the DESIGN:
+  * brute-force ANN broadcasts the bounded query batch against the
+  * corpus with a non-equi predicate, and the pyfolio grid crosses the
+  * tiny day spine with the asset universe. Everything else must plan
+  * as hash/sort-merge equi-joins or broadcast equi-joins.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan.toString
+    }
+
+  private val nonEquiByDesign = Set(
+    "q_ann_cosine",           // broadcast query batch, q != neighbor
+    "q_pyfolio_positions",    // day-spine x universe dense grid
+    "q_positions")            // instant-pair map join is values-only
+
+  test("no cartesian product in any query plan") {
+    plans.foreach { case (name, p) =>
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("nested-loop joins only where they are the design") {
+    plans.foreach { case (name, p) =>
+      if (!nonEquiByDesign(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("parquet filters push down to the scan") {
+    // event-type predicate reaches the events scan
+    assert(plans("q_asof_attrib").contains("PushedFilters: [IsNotNull(event_type)"),
+      "q_asof_attrib lost the event_type pushdown")
+    // the ANN query-batch id filter reaches the embeddings scan
+    assert(plans("q_ann_cosine").contains("LessThan(vec_id,20)"),
+      "q_ann_cosine lost the vec_id pushdown")
+  }
+
+  test("column pruning reaches the parquet scans") {
+    // the dedup scan must not read the unused language/quality columns
+    val dedup = plans("q_dedup_exact")
+    assert(dedup.contains("ReadSchema") && !dedup.contains("props"),
+      "q_dedup_exact reads columns it does not use")
+    // embeddings label column is never needed by ANN queries
+    assert(!plans("q_ann_lsh").contains("label"),
+      "q_ann_lsh reads the unused label column")
+  }
+
+  test("the factor pipeline reuses the cached factor_data (no re-ingest)") {
+    assert(plans("q_ic").contains("InMemoryTableScan"),
+      "q_ic does not read the persisted factor_data")
+  }
+}
