@@ -124,12 +124,23 @@ object Pipelines {
       periods: Seq[Int],
       quantiles: Int,
       withGroup: Boolean): FactorData = {
-    val quantized = Quantize.quantizeFactor(
-      merged(spark, dir, periods, withGroup), Quantize.QuantilesInt(quantiles),
-      noRaise = true)
-      .na.drop(Seq("factor_quantile"))
-    FactorData(quantized, horizons(periods),
-      TradingCalendar(Set(1, 2, 3, 4, 5, 6, 7), Set.empty))
+    if (withGroup) {
+      // the group variant IS the plain build + a broadcast group join:
+      // quantization partitions by date only, and the supplier->nation
+      // map covers every asset, so deriving from the (cached) plain
+      // table skips a second run of the whole ingest DAG
+      val base = factorData(spark, dir, periods, quantiles, withGroup = false)
+      val df = base.df.join(broadcast(groupMap(spark, dir)), Seq("asset"), "left")
+        .filter(col("group").isNotNull)
+      FactorData(df, base.horizons, base.calendar)
+    } else {
+      val quantized = Quantize.quantizeFactor(
+        merged(spark, dir, periods, withGroup), Quantize.QuantilesInt(quantiles),
+        noRaise = true)
+        .na.drop(Seq("factor_quantile"))
+      FactorData(quantized, horizons(periods),
+        TradingCalendar(Set(1, 2, 3, 4, 5, 6, 7), Set.empty))
+    }
   }
 
   /** Doubled average (midrank) rank as exact integer SQL — the DuckDB
