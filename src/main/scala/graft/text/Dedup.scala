@@ -58,20 +58,20 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val sets = shingleSets(docs, textCol, idCol, n)
-    val posts = sets.select(col("__id"), explode(col("__set")).as("__sh"))
+    // set size rides along each posting row: joining sizes back onto the
+    // pair table would re-derive the shingle lineage (the CPU-heavy
+    // split+slice+distinct) twice more; carried through, the a/b sides
+    // share one exchange and first() recovers the sizes for free
+    val posts = sets.select(col("__id"), col("__sz"),
+      explode(col("__set")).as("__sh"))
     val kept = posts
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
       .filter(col("__df") <= maxDf)
-    val a = kept.select(col("__sh"), col("__id").as("doc_a"))
-    val b = kept.select(col("__sh"), col("__id").as("doc_b"))
-    val common = a.join(b, Seq("__sh")).filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__common"))
-    val szs = sets.select(col("__id"), col("__sz"))
-    common
-      .join(szs.withColumnRenamed("__id", "doc_a").withColumnRenamed("__sz", "__sza"),
-        Seq("doc_a"))
-      .join(szs.withColumnRenamed("__id", "doc_b").withColumnRenamed("__sz", "__szb"),
-        Seq("doc_b"))
+    val a = kept.select(col("__sh"), col("__id").as("doc_a"), col("__sz").as("__sza"))
+    val b = kept.select(col("__sh"), col("__id").as("doc_b"), col("__sz").as("__szb"))
+    a.join(b, Seq("__sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__common"),
+        first(col("__sza")).as("__sza"), first(col("__szb")).as("__szb"))
       .withColumn("jaccard",
         round(col("__common").cast("double") /
           (col("__sza") + col("__szb") - col("__common")), 9))
