@@ -128,16 +128,19 @@ object Dedup {
     val cand = ca.join(cb, Seq("__bk")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
+    // both verification joins key the SAME sets plan on __id — renaming
+    // only after the join keeps the two exchange children byte-identical
+    // so ReuseExchange computes the (CPU-heavy) shingle sets once, not
+    // once per side
     val sets = shingleSets(docs, textCol, idCol, n)
     val verified = cand
-      .join(sets.select(col("__id").as("doc_a"), col("__set").as("__seta"),
-        col("__sz").as("__sza")), Seq("doc_a"))
-      .join(sets.select(col("__id").as("doc_b"), col("__set").as("__setb"),
-        col("__sz").as("__szb")), Seq("doc_b"))
-      .withColumn("__common", size(array_intersect(col("__seta"), col("__setb"))))
+      .join(sets.as("sa"), col("doc_a") === col("sa.__id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.__id"))
+      .withColumn("__common",
+        size(array_intersect(col("sa.__set"), col("sb.__set"))))
       .withColumn("jaccard",
         round(col("__common").cast("double") /
-          (col("__sza") + col("__szb") - col("__common")), 9))
+          (col("sa.__sz") + col("sb.__sz") - col("__common")), 9))
       .filter(col("jaccard") >= minJaccard)
     verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
   }
