@@ -127,7 +127,19 @@ object AnalyticsQueries {
     "q_ic_groupadj" -> ((s, dir) =>
       round9(Information.factorInformationCoefficient(
         Pipelines.factorData(s, dir, P, withGroup = true), groupAdjust = true),
-        Seq("ret_1", "ret_5")))
+        Seq("ret_1", "ret_5"))),
+    "q_factor_returns_gn" -> ((s, dir) =>
+      // group-neutral path: demean + gross-normalize within (date, group),
+      // then renormalize across the date (performance.py:127-148, 203)
+      round9(Returns.factorReturns(
+        Pipelines.factorData(s, dir, P, withGroup = true), groupAdjust = true),
+        Seq("ret_1", "ret_5"))),
+    "q_quantize_bygroup" -> ((s, dir) =>
+      Quantize.quantizeFactor(Pipelines.merged(s, dir, P, withGroup = true),
+        Quantize.QuantilesInt(4), byGroup = true, noRaise = true)
+        .na.drop(Seq("factor_quantile"))
+        .select("date", "asset", "factor", "group", "factor_quantile")
+        .orderBy("date", "asset"))
   )
 
   // ---- oracle SQL -----------------------------------------------------
@@ -510,6 +522,40 @@ object AnalyticsQueries {
          |  FROM factor_data)${Pipelines.icExactCtes(P, src = "dmret")}
          |SELECT date, round(i1, 9) AS ret_1, round(i5, 9) AS ret_5
          |FROM ic ORDER BY date""".stripMargin,
+
+    "q_factor_returns_gn" ->
+      s"""$preG, dm AS (
+         |  SELECT date, asset, ret_1, ret_5, "group",
+         |    factor - avg(factor) OVER (PARTITION BY date, "group") AS c
+         |  FROM factor_data),
+         |w1 AS (SELECT date, ret_1, ret_5,
+         |  CASE WHEN sum(abs(c)) OVER (PARTITION BY date, "group") = 0.0 THEN NULL
+         |       ELSE c / sum(abs(c)) OVER (PARTITION BY date, "group") END AS w
+         |  FROM dm),
+         |w2 AS (SELECT date, ret_1, ret_5,
+         |  CASE WHEN sum(abs(w)) OVER (PARTITION BY date) = 0.0 THEN NULL
+         |       ELSE w / sum(abs(w)) OVER (PARTITION BY date) END AS weight
+         |  FROM w1)
+         |SELECT date, round(sum(ret_1 * weight), 9) AS ret_1,
+         |       round(sum(ret_5 * weight), 9) AS ret_5
+         |FROM w2 GROUP BY date ORDER BY date""".stripMargin,
+
+    "q_quantize_bygroup" -> {
+      val ladder = (1 to 4).map(i =>
+        s"WHEN factor <= e[${i + 1}] THEN $i").mkString(" ")
+      s"""$preG, edgedg AS (
+         |  SELECT date, asset, factor, "group",
+         |    quantile_cont(factor, [0.0, 0.25, 0.5, 0.75, 1.0])
+         |      OVER (PARTITION BY date, "group") AS e
+         |  FROM merged),
+         |b AS (
+         |  SELECT date, asset, factor, "group",
+         |    CASE WHEN len(list_distinct(e)) < len(e) THEN NULL
+         |         ELSE (CASE $ladder END) END AS factor_quantile
+         |  FROM edgedg)
+         |SELECT date, asset, factor, "group", factor_quantile FROM b
+         |WHERE factor_quantile IS NOT NULL ORDER BY date, asset""".stripMargin
+    },
 
     "q_spread_bydate" ->
       s"""$pre, dmq AS (SELECT factor_quantile, date,
