@@ -52,40 +52,6 @@ object ProfMain {
     time("pyfolio positions full")(noop(full))
     time("pyfolio positions full again")(noop(full))
 
-    // variant A: cash via per-date collect_list (one lineage, no union)
-    {
-      import org.apache.spark.sql.expressions.Window
-      import graft.perf.{Positions, Returns}
-      val pos2 = Positions.factorPositions(fd, "ret_1")
-      val posDay2 = pos2.groupBy(date_trunc("DAY", col("date")).as("date"), col("asset"))
-        .agg(sum("position").as("__p"))
-      val spine = posDay2.agg(min(col("date")).as("__lo"), max(col("date")).as("__hi"))
-        .select(explode(sequence(col("__lo"), col("__hi"), expr("interval 1 day"))).as("date"))
-      val hasData = posDay2.select("date").distinct().withColumn("__has", lit(1))
-      val universe = fd.df.select("asset").distinct()
-      val grid = spine.crossJoin(universe)
-        .join(hasData, Seq("date"), "left")
-        .join(posDay2, Seq("date", "asset"), "left")
-        .withColumn("__p", when(col("__has").isNotNull, coalesce(col("__p"), lit(0.0)))
-          .otherwise(col("__p")))
-      val wff = Window.partitionBy("asset").orderBy("date")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val filled = grid.withColumn("__p", last(col("__p"), ignoreNulls = true).over(wff))
-      val wd = Window.partitionBy("date")
-      val norm = filled.withColumn("position",
-        coalesce(col("__p") / sum(abs(col("__p"))).over(wd), lit(0.0)))
-      val byDate = norm.groupBy("date").agg(
-        collect_list(struct(col("asset").cast("string").as("asset"),
-          col("position").as("position"))).as("__ps"),
-        sum("position").as("__ds"))
-      val withCash = byDate.withColumn("__ps", concat(col("__ps"),
-        array(struct(lit("cash").as("asset"), (lit(1.0) - col("__ds")).as("position")))))
-      val outA = withCash.select(col("date"), explode(col("__ps")).as("__x"))
-        .select(col("date"), col("__x.asset").as("asset"), round(col("__x.position"), 9).as("position"))
-      time("variantA collect_list unsorted")(noop(outA))
-      time("variantA collect_list sorted")(noop(outA.orderBy("date", "asset")))
-      time("variantA again sorted")(noop(outA.orderBy("date", "asset")))
-    }
     val dq = graft.data.DocQueries.queries
     time("q_neardup_cosine")(noop(dq("q_neardup_cosine")(spark, dir)))
     time("q_neardup_cosine again")(noop(dq("q_neardup_cosine")(spark, dir)))
