@@ -46,6 +46,12 @@ object DocQueries {
       Dedup.exactDuplicates(dupCorpus(s, dir)).orderBy("content_hash")),
     "q_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(documents(s, dir), n = 3, minJaccard = 0.3, maxDf = 100)),
+    "q_dedup_clusters" -> ((s, dir) =>
+      // connected components over the exact-Jaccard near-dup pair graph;
+      // oracle = recursive-CTE transitive closure with min-label
+      Dedup.duplicateClusters(
+        Dedup.jaccardPairs(documents(s, dir), n = 3, minJaccard = 0.3,
+          maxDf = 100).select("doc_a", "doc_b"))),
     "q_minhash_neardup" -> ((s, dir) =>
       Dedup.minHashNearDups(documents(s, dir), n = 3, numHashes = 16, bands = 4,
         minJaccard = 0.5)),
@@ -129,6 +135,23 @@ object DocQueries {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** Inverted-index exact-Jaccard pair CTE chain ending in
+    * `j(doc_a, doc_b, jaccard)` — shared by the pair and cluster
+    * oracles. */
+  private def jaccardCtes: String =
+    s"""t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |sh AS (SELECT doc_id AS id, ${shinglesExpr("toks", 3)} AS s FROM t),
+       |sh2 AS (SELECT id, s, len(s) AS sz FROM sh WHERE len(s) > 0),
+       |posts AS (SELECT id, unnest(s) AS g FROM sh2),
+       |kept AS (SELECT id, g FROM (
+       |  SELECT id, g, count(*) OVER (PARTITION BY g) AS df FROM posts)
+       |  WHERE df <= 100),
+       |common AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS c
+       |  FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b,
+       |  round(c::DOUBLE / (sa.sz + sb.sz - c), 9) AS jaccard
+       |  FROM common JOIN sh2 sa ON sa.id = doc_a JOIN sh2 sb ON sb.id = doc_b)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
@@ -137,20 +160,21 @@ object DocQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_jaccard_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |sh AS (SELECT doc_id AS id, ${shinglesExpr("toks", 3)} AS s FROM t),
-         |sh2 AS (SELECT id, s, len(s) AS sz FROM sh WHERE len(s) > 0),
-         |posts AS (SELECT id, unnest(s) AS g FROM sh2),
-         |kept AS (SELECT id, g FROM (
-         |  SELECT id, g, count(*) OVER (PARTITION BY g) AS df FROM posts)
-         |  WHERE df <= 100),
-         |common AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS c
-         |  FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2),
-         |j AS (SELECT doc_a, doc_b,
-         |  round(c::DOUBLE / (sa.sz + sb.sz - c), 9) AS jaccard
-         |  FROM common JOIN sh2 sa ON sa.id = doc_a JOIN sh2 sb ON sb.id = doc_b)
+      s"""WITH $jaccardCtes
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |        UNION ALL SELECT doc_b, doc_a FROM pr),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM und
+         |  UNION
+         |  SELECT u.src, w.label FROM und u JOIN walk w ON w.id = u.dst)
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM walk
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_minhash_neardup" -> {
       val P = TextOps.HashP

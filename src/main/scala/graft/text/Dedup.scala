@@ -145,6 +145,52 @@ object Dedup {
     verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over a near-duplicate pair graph: every
+    * document that appears in at least one pair is labeled with the
+    * minimum doc id reachable through the pairs — the canonical
+    * representative of its duplicate cluster (keep one per cluster,
+    * drop the rest: the standard final step of corpus-level dedup).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbours (one shuffled
+    * equi-join + min aggregate per round), converging in O(graph
+    * diameter) rounds — near-dup clusters are shallow (dups of dups),
+    * so a handful of rounds in practice; `maxIter` caps pathology. The
+    * only driver-side value per round is the changed-label COUNT.
+    * Deterministic: min is order-independent. */
+  def duplicateClusters(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val und = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = und.join(labels, und("dst") === labels("id"))
+        .groupBy(und("src").as("nid")).agg(min("label").as("__nl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    und.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** 56-bit SimHash per document: token-frequency-weighted majority vote
     * per bit of the 56-bit token hash (bit set iff the weighted sum of
     * +-1 votes is strictly positive). One explode + one hash aggregate.

@@ -50,6 +50,15 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assertClose(rows.head.getAs[Double]("jaccard"), 36.0 / 38.0)
   }
 
+  test("duplicateClusters: min-label connected components over pairs") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair 10-11: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = graft.text.Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simHash: identical docs share hash; different docs differ") {
     val d = docs(1L -> "spark makes big data small", 2L -> "spark makes big data small",
       3L -> "entirely unrelated words here now")
