@@ -66,6 +66,8 @@ object DocQueries {
       TextStats.tokenCounts(documents(s, dir)).orderBy("doc_id")),
     "q_lang_id" -> ((s, dir) =>
       TextStats.languageId(documents(s, dir)).orderBy("doc_id")),
+    "q_repetition" -> ((s, dir) =>
+      TextStats.repetitionStats(documents(s, dir), ns = Seq(2, 3))),
     "q_ann_cosine" -> ((s, dir) => {
       val e = embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 10)
@@ -175,6 +177,25 @@ object DocQueries {
          |  SELECT u.src, w.label FROM und u JOIN walk w ON w.id = u.dst)
          |SELECT id AS doc_id, min(label) AS cluster_id FROM walk
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" -> {
+      def block(n: Int) =
+        s"""SELECT doc_id, $n AS n, max(c)::BIGINT AS top_count,
+           |  sum(c)::BIGINT AS total, max(c)::DOUBLE / sum(c) AS top_frac
+           |FROM (
+           |  SELECT doc_id, g, count(*) AS c FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, len(toks) - ${n - 2}),
+           |        i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))) AS g
+           |    FROM t WHERE len(toks) >= $n)
+           |  GROUP BY 1, 2)
+           |GROUP BY doc_id""".stripMargin
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |${block(2)}
+         |UNION ALL
+         |${block(3)}
+         |ORDER BY doc_id, n""".stripMargin
+    },
 
     "q_minhash_neardup" -> {
       val P = TextOps.HashP

@@ -58,6 +58,31 @@ object TextStats {
       round(qLen * qTokLen * qStop * qAlpha, 9).as("quality_score"))
   }
 
+  /** Gopher-style n-gram repetition signals: per document and n, the
+    * occurrence count of the most frequent positional n-gram, the total
+    * n-gram count, and their ratio — the standard "fraction of content
+    * in the most common n-gram" filter for machine-generated /
+    * boilerplate text. One explode + two hash aggregates per n; docs
+    * shorter than n tokens are absent (no n-grams). Output:
+    * (doc_id, n, top_count, total, top_frac). */
+  def repetitionStats(
+      docs: DataFrame,
+      ns: Seq[Int] = Seq(2, 3),
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    ns.map { n =>
+      docs.select(col(idCol).as("doc_id"),
+          explode(TextOps.shingleSeq(TextOps.tokens(col(textCol)), n)).as("__g"))
+        .groupBy("doc_id", "__g").agg(count(lit(1)).as("__c"))
+        .groupBy("doc_id").agg(
+          first(lit(n)).as("n"),
+          max(col("__c")).as("top_count"),
+          sum(col("__c")).as("total"),
+          (max(col("__c")).cast("double") / sum(col("__c"))).as("top_frac"))
+    }.reduce(_.unionByName(_))
+      .select("doc_id", "n", "top_count", "total", "top_frac")
+      .orderBy("doc_id", "n")
+
   /** Whitespace token count plus a BPE-ish subword estimate: runs of
     * letters (split every 4 chars, the empirical ~chars-per-BPE-token),
     * digits individually, and any other non-space character one each. */
