@@ -52,6 +52,19 @@ object ProfMain {
     time("pyfolio positions full")(noop(full))
     time("pyfolio positions full again")(noop(full))
 
+    {
+      import graft.perf.EventStudy
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("asset").orderBy("date")
+      val pret = graft.data.Pipelines.prices(graft.data.Pipelines.panel(spark, dir))
+        .withColumn("ret", col("price") / lag(col("price"), 1).over(w) - 1.0)
+        .select("date", "asset", "ret")
+      val levels = EventStudy.toCumulative(pret)
+      time("levels only")(noop(levels))
+      val acr = graft.data.AnalyticsQueries.queries("q_avg_cum_ret")(spark, dir)
+      time("q_avg_cum_ret")(noop(acr))
+      time("q_avg_cum_ret again")(noop(acr))
+    }
     val dq = graft.data.DocQueries.queries
     time("q_neardup_cosine")(noop(dq("q_neardup_cosine")(spark, dir)))
     time("q_neardup_cosine again")(noop(dq("q_neardup_cosine")(spark, dir)))
