@@ -171,17 +171,24 @@ object Dedup {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // labels are monotonically non-increasing, so the frontier has
+    // converged exactly when sum(label) stops decreasing — one cheap
+    // scan of the cached frontier per round instead of a diff join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("label")).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val nbrMin = und.join(labels, und("dst") === labels("id"))
         .groupBy(und("src").as("nid")).agg(min("label").as("__nl"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
-        .filter(col("label") =!= col("__old")).count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1

@@ -70,6 +70,7 @@ object ProfMain {
     time("q_neardup_cosine again")(noop(dq("q_neardup_cosine")(spark, dir)))
     time("q_minhash_neardup")(noop(dq("q_minhash_neardup")(spark, dir)))
     time("q_jaccard_pairs")(noop(dq("q_jaccard_pairs")(spark, dir)))
+    time("q_dedup_clusters")(noop(dq("q_dedup_clusters")(spark, dir)))
     spark.stop()
   }
 }
