@@ -10,15 +10,20 @@ import graft.ingest.FactorData
   * (reference: alphalens/performance.py:28-126). */
 object Information {
 
-  /** DOUBLED average (midrank) rank: 2*rank + ties - 1 = twice the
-    * average rank scipy's spearmanr assigns — always an integer, so
-    * downstream sums are exact long arithmetic. Pearson corr is
-    * scale-invariant, so corr over doubled ranks equals Spearman
-    * (reference: performance.py:56-59 uses scipy.stats.spearmanr). */
+  /** DOUBLED average (midrank) rank = min rank + max rank of the tie
+    * group — always an integer, so downstream sums are exact long
+    * arithmetic. Pearson corr is scale-invariant, so corr over doubled
+    * ranks equals Spearman (reference: performance.py:56-59 uses
+    * scipy.stats.spearmanr).
+    *
+    * Both terms use the SAME ordered window spec — rank() gives the
+    * minimum rank, and count(*) with an ORDER BY defaults to the RANGE
+    * unbounded-to-current frame (tie peers included) = maximum rank —
+    * so Spark plans ONE sort per ranked column instead of two (a
+    * separate tie-count partition would double the window passes). */
   private[graft] def rank2(c: Column, part: Seq[Column]): Column = {
-    val r = rank().over(Window.partitionBy(part: _*).orderBy(c))
-    val ties = count(lit(1)).over(Window.partitionBy((part :+ c): _*))
-    (r * 2 + ties - lit(1)).cast("long")
+    val w = Window.partitionBy(part: _*).orderBy(c)
+    (rank().over(w) + count(lit(1)).over(w)).cast("long")
   }
 
   /** Pearson correlation of integer (long) rank columns via EXACT sums:
