@@ -128,6 +128,10 @@ object AnalyticsQueries {
       round9(Information.factorInformationCoefficient(
         Pipelines.factorData(s, dir, P, withGroup = true), groupAdjust = true),
         Seq("ret_1", "ret_5"))),
+    "q_mean_ic_bygroup" -> ((s, dir) =>
+      round9(Information.meanInformationCoefficient(
+        Pipelines.factorData(s, dir, P, withGroup = true), byGroup = true),
+        Seq("ret_1", "ret_5"))),
     "q_factor_returns_gn" -> ((s, dir) =>
       // group-neutral path: demean + gross-normalize within (date, group),
       // then renormalize across the date (performance.py:127-148, 203)
@@ -522,6 +526,11 @@ object AnalyticsQueries {
          |  FROM factor_data)${Pipelines.icExactCtes(P, src = "dmret")}
          |SELECT date, round(i1, 9) AS ret_1, round(i5, 9) AS ret_5
          |FROM ic ORDER BY date""".stripMargin,
+
+    "q_mean_ic_bygroup" ->
+      s"""$preG${Pipelines.icExactCtes(P, byGroup = true)}
+         |SELECT "group", round(avg(i1), 9) AS ret_1, round(avg(i5), 9) AS ret_5
+         |FROM ic GROUP BY "group" ORDER BY "group"""".stripMargin,
 
     "q_factor_returns_gn" ->
       s"""$preG, dm AS (
