@@ -102,21 +102,33 @@ object Pipelines {
 
   /** The pre-quantize merged panel (fwd returns |><| finite factor
     * [|><| group], complete rows) — shared by factorData and the
-    * quantize-variant oracle queries. */
+    * quantize-variant oracle queries, memoized+persisted like
+    * factorData (the quantize variants would otherwise re-derive the
+    * whole scan+window+join DAG per query). The group variant is the
+    * plain panel + a broadcast group join. */
+  private val mergedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Seq[Int], Boolean), DataFrame]
+
   def merged(
       spark: SparkSession,
       dir: String,
       periods: Seq[Int] = Seq(1, 5),
-      withGroup: Boolean = false): DataFrame = {
-    val hs = horizons(periods)
-    val pan = panel(spark, dir)
-    val fwd = forwardReturns(prices(pan), hs)
-    val f = factor(pan).filter(col("factor").isNotNull && !isnan(col("factor")))
-    var m = fwd.join(f, Seq("date", "asset"), "inner")
-    if (withGroup)
-      m = m.join(broadcast(groupMap(spark, dir)), Seq("asset"), "left")
-    m.na.drop()
-  }
+      withGroup: Boolean = false): DataFrame =
+    mergedCache.getOrElseUpdate((dir, periods, withGroup), {
+      val m =
+        if (withGroup)
+          merged(spark, dir, periods, withGroup = false)
+            .join(broadcast(groupMap(spark, dir)), Seq("asset"), "left")
+            .filter(col("group").isNotNull)
+        else {
+          val hs = horizons(periods)
+          val pan = panel(spark, dir)
+          val fwd = forwardReturns(prices(pan), hs)
+          val f = factor(pan).filter(col("factor").isNotNull && !isnan(col("factor")))
+          fwd.join(f, Seq("date", "asset"), "inner").na.drop()
+        }
+      m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   private def buildFactorData(
       spark: SparkSession,
