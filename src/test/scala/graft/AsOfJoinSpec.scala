@@ -50,6 +50,26 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(px.toSeq === Seq(Some(1.0), Some(2.0), None, None, None, None))
   }
 
+  test("matches a brute-force reference on random data (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("A", "B", "C")
+    def randTs() = t(f"2024-01-${1 + rnd.nextInt(28)}%02d")
+    val qs = (1 to 60).map(i => (keys(rnd.nextInt(3)), randTs(), rnd.nextDouble(), i.toLong))
+    // drop duplicate (key, ts) quote instants: ties are tieBreak territory
+    val qd = qs.groupBy(q => (q._1, q._2)).map(_._2.head).toSeq
+    val ts0 = (1 to 40).map(i => (keys(rnd.nextInt(3)), randTs(), 100 + i))
+    val quotes = qd.toDF("sym", "ts", "px", "qid")
+    val trades = ts0.toDF("sym", "ts", "tid")
+    val out = AsOfJoin.asof(trades, quotes, "ts", Seq("sym"), Seq("px", "qid"))
+      .collect().map(r => r.getAs[Int]("tid") ->
+        Option(r.getAs[Any]("asof_qid")).map(_.asInstanceOf[Long])).toMap
+    ts0.foreach { case (sym, tts, tid) =>
+      val expect = qd.filter(q => q._1 == sym && !q._2.after(tts))
+        .sortBy(_._2.getTime).lastOption.map(_._4)
+      assert(out(tid) === expect, s"trade $tid ($sym @ $tts)")
+    }
+  }
+
   test("duplicate right timestamps: tieBreak largest wins") {
     val dupQuotes = Seq(
       ("A", t("2024-01-01"), 1.0, 7L),

@@ -59,6 +59,29 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters matches union-find on random graphs (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 40).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val out = graft.text.Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find with min-id representative
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.foreach(nd => assert(out(nd) === find(nd), s"node $nd"))
+    assert(out.keySet === nodes.toSet)
+  }
+
   test("simHash: identical docs share hash; different docs differ") {
     val d = docs(1L -> "spark makes big data small", 2L -> "spark makes big data small",
       3L -> "entirely unrelated words here now")
