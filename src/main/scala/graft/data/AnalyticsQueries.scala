@@ -30,6 +30,14 @@ object AnalyticsQueries {
       .select("date", "asset", "ret")
   }
 
+  /** Cumulative level series for the event-study queries. Deliberately
+    * NOT memoized+persisted: the levels are cheap to recompute (~1.5s at
+    * sf0.1, a scan plus two per-asset windows) but big to cache — the
+    * persisted variant measured ~2.5s SLOWER per query from the cache
+    * write + deserialization scan alone.  */
+  private def cumLevels(s: SparkSession, dir: String): DataFrame =
+    EventStudy.toCumulative(priceReturns(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quantile_stats" -> ((s, dir) =>
       round6(Tables.quantileStatsTable(Pipelines.factorData(s, dir, P)),
@@ -59,8 +67,7 @@ object AnalyticsQueries {
         Seq("ret_1", "ret_5"))),
     "q_avg_cum_ret" -> ((s, dir) => {
       val fd = Pipelines.factorData(s, dir, P)
-      val levels = EventStudy.toCumulative(priceReturns(s, dir))
-      round9(EventStudy.averageCumulativeReturnByQuantile(fd, levels,
+      round9(EventStudy.averageCumulativeReturnByQuantile(fd, cumLevels(s, dir),
         periodsBefore = 2, periodsAfter = 3), Seq("mean", "std"))
     }),
     "q_quantize_zero" -> ((s, dir) =>
@@ -108,10 +115,9 @@ object AnalyticsQueries {
         .orderBy("date", "asset")),
     "q_event_study" -> ((s, dir) => {
       val fd = Pipelines.factorData(s, dir, P)
-      val levels = EventStudy.toCumulative(priceReturns(s, dir))
       val events = fd.df.filter(col("factor_quantile") === 5)
         .select("date", "asset")
-      round9(EventStudy.commonStartReturns(events, levels,
+      round9(EventStudy.commonStartReturns(events, cumLevels(s, dir),
           before = 2, after = 3, meanByDate = true,
           demeanBy = Some(fd.df.select("date", "asset")))
         .orderBy("event_date", "offset"), Seq("value"))
