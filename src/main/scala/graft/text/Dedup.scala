@@ -168,9 +168,15 @@ object Dedup {
     val und = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each round's frontier is localCheckpoint'ed, not just persisted:
+    // the logical plan of round N references round N-1 TWICE (join left
+    // side + neighbour aggregate), so without lineage truncation the
+    // plan DOUBLES per round — plan stringification alone OOMs after
+    // ~10 rounds. localCheckpoint replaces the lineage with the
+    // materialized partitions (the standard iterative-algorithm guard).
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // labels are monotonically non-increasing, so the frontier has
     // converged exactly when sum(label) stops decreasing — one cheap
     // scan of the cached frontier per round instead of a diff join
@@ -185,11 +191,10 @@ object Dedup {
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
-      labels.unpersist()
       labels = next
       iter += 1
     }
