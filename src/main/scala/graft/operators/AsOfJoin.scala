@@ -73,7 +73,7 @@ object AsOfJoin {
           when(unix_micros(col(timeCol)) - unix_micros(col("__rv.__rt")) <=
             tol.toNanos / 1000, col("__rv")))
     }
-    aged.select(left.columns.map(col) ++
+    aged.select(left.columns.toIndexedSeq.map(col) ++
       payloadCols.map(c => col(s"__rv.$c").as(s"$prefix$c")) :+
       col("__rv.__rt").as(s"${prefix}$timeCol"): _*)
   }

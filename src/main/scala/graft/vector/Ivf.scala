@@ -30,7 +30,7 @@ object Ivf {
     * array_min / array_sort give the nearest cells with deterministic
     * tie-breaks. */
   private def cellDistances(v: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.zipWithIndex.map { case (c, i) =>
+    array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(l2sq(v, c).as("d"), lit(i).as("cell"))
     }: _*)
 
