@@ -1,8 +1,9 @@
 package graft.data
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.ingest.Quantize
 import graft.perf.{EventStudy, Information, Returns}
@@ -38,6 +39,51 @@ object AnalyticsQueries {
   private def cumLevels(s: SparkSession, dir: String): DataFrame =
     EventStudy.toCumulative(priceReturns(s, dir))
 
+  /** Event-study level series with NO transcendental chain: the synthetic
+    * per-asset returns are price ratios, so cumprod(1+r) telescopes to
+    * price/first(price) — one exact IEEE division per row, bitwise
+    * identical in Spark and DuckDB. The exp/sum(ln) runningProduct form
+    * drifts ~1e-13 cross-engine, which made the old q_event_study oracle
+    * straddle the 1e-9 rounding grid (CORRECTNESS_r03 hash fail). */
+  private def exactLevels(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("asset").orderBy("date")
+    Pipelines.prices(Pipelines.panel(s, dir))
+      .withColumn("ret", col("price") / first(col("price")).over(w))
+      .select("date", "asset", "ret")
+  }
+
+  /** 1e9 fixed-point of an O(1) level column: an exact integer summand,
+    * so downstream sums are order-independent (Spark's float agg merges
+    * partial sums in task order — rounding the OUTPUT cannot fix that;
+    * same trick as the IC family's doubled integer midranks). */
+  private def lvl9(c: Column): Column =
+    round(c * lit(1e9), 0).cast(DecimalType(38, 0))
+
+  /** Half-away-from-zero rounding of the exact rational num/den done
+    * entirely in integer arithmetic: sign(num)*((2*|num|+den) div
+    * (2*den)). Float `round` cannot be mirrored across engines here —
+    * num/den with a small denominator lands EXACTLY on the .5 grid for
+    * a large fraction of rows (24/10615 in CORRECTNESS_r03), where
+    * Spark's HALF_UP-on-shortest-decimal and DuckDB's round-after-
+    * inexact-÷1e9 disagree. Integer div (truncation; operands are
+    * non-negative, so identical to DuckDB's floor `//`) is exact. */
+  private def divHalfAway: Column =
+    when(col("__num") < 0, lit(-1L)).otherwise(lit(1L)) *
+      expr("(2 * abs(__num) + __den) div (2 * __den)")
+
+  /** Banded event-study rows on the exact levels, with the fixed-point
+    * summand and the per-(event_date, offset) demean-universe sums. */
+  private def exactBanded(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val fd = Pipelines.factorData(s, dir, P)
+    val banded = EventStudy.commonStartReturns(
+        fd.df.select("date", "asset", "factor_quantile"), exactLevels(s, dir),
+        before = 2, after = 3, extraCols = Seq("factor_quantile"))
+      .withColumn("L", lvl9(col("value")))
+    val dm = banded.groupBy("event_date", "offset")
+      .agg(sum("L").as("S"), count(lit(1)).as("n"))
+    (banded, dm)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quantile_stats" -> ((s, dir) =>
       round6(Tables.quantileStatsTable(Pipelines.factorData(s, dir, P)),
@@ -66,9 +112,35 @@ object AnalyticsQueries {
         Pipelines.factorData(s, dir, P, withGroup = true), byGroup = true),
         Seq("ret_1", "ret_5"))),
     "q_avg_cum_ret" -> ((s, dir) => {
-      val fd = Pipelines.factorData(s, dir, P)
-      round9(EventStudy.averageCumulativeReturnByQuantile(fd, cumLevels(s, dir),
-        periodsBefore = 2, periodsAfter = 3), Seq("mean", "std"))
+      // exact fixed-point mirror of averageCumulativeReturnByQuantile
+      // (demeaned default): stage-1 means as scaled integers, stage-2
+      // mean/std from exact sum/sum-of-squares — order-independent, so
+      // the hash is stable across task schedules and engines. The float
+      // operator itself is golden-tested in EventStudySpec.
+      val (banded, dm) = exactBanded(s, dir)
+      val d = col("d")
+      banded.groupBy("factor_quantile", "event_date", "offset")
+        .agg(sum("L").as("sl"), count(lit(1)).as("k"))
+        .join(dm, Seq("event_date", "offset"))
+        // stage-1 mean at 1e15 fixed point: num/(1e9*n*k)*1e15 =
+        // num*1e6/(n*k); decimal operands keep 2e6*|num| exact (it can
+        // exceed Long), and `div` on decimals yields the exact long
+        .withColumn("__num",
+          (col("n") * col("sl") - col("k") * col("S")) * lit(1000000L))
+        .withColumn("__den", (col("n") * col("k")).cast(DecimalType(38, 0)))
+        .select(col("factor_quantile"), col("offset"),
+          divHalfAway.cast(DecimalType(38, 0)).as("M"))
+        .groupBy("factor_quantile", "offset")
+        .agg(sum("M").as("sm"), sum(col("M") * col("M")).as("sm2"),
+          count(lit(1)).as("d"))
+        .select(col("factor_quantile"), col("offset"),
+          round(col("sm").cast("double") / (lit(1e15) * d.cast("double")), 9)
+            .as("mean"),
+          when(d > 1,
+            round(sqrt((d * col("sm2") - col("sm") * col("sm")).cast("double") /
+              (d.cast("double") * (d.cast("double") - lit(1.0)))) / lit(1e15), 9))
+            .as("std"))
+        .orderBy("factor_quantile", "offset")
     }),
     "q_quantize_zero" -> ((s, dir) =>
       Quantize.quantizeFactor(Pipelines.merged(s, dir, P),
@@ -114,13 +186,24 @@ object AnalyticsQueries {
         "ret_1", n = 2)
         .orderBy("date", "asset")),
     "q_event_study" -> ((s, dir) => {
-      val fd = Pipelines.factorData(s, dir, P)
-      val events = fd.df.filter(col("factor_quantile") === 5)
-        .select("date", "asset")
-      round9(EventStudy.commonStartReturns(events, cumLevels(s, dir),
-          before = 2, after = 3, meanByDate = true,
-          demeanBy = Some(fd.df.select("date", "asset")))
-        .orderBy("event_date", "offset"), Seq("value"))
+      // exact fixed-point mirror of commonStartReturns(meanByDate=true,
+      // demeanBy=panel) for quantile-5 events: per (event_date, offset)
+      // value = mean over q5 assets of (level - panel mean) =
+      // (n*sum_q5(L) - k*sum_all(L)) / (1e9*n*k), all-integer numerator.
+      val (banded, dm) = exactBanded(s, dir)
+      // the nano-unit value is rounded with exact integer arithmetic
+      // (divHalfAway): num/den with den = n*k (often 2..8) lands
+      // EXACTLY on the .5 nano-grid for ~0.2% of rows, where any
+      // float-side `round` mirror breaks down cross-engine
+      banded.filter(col("factor_quantile") === 5)
+        .groupBy("event_date", "offset")
+        .agg(sum("L").as("sl"), count(lit(1)).as("k"))
+        .join(dm, Seq("event_date", "offset"))
+        .withColumn("__num", (col("n") * col("sl") - col("k") * col("S")))
+        .withColumn("__den", (col("n") * col("k")).cast(DecimalType(38, 0)))
+        .select(col("event_date"), col("offset"),
+          (divHalfAway.cast("double") / lit(1e9)).as("value"))
+        .orderBy("event_date", "offset")
     }),
     "q_factor_weights" -> ((s, dir) =>
       round9(Returns.factorWeights(Pipelines.factorData(s, dir, P))
@@ -159,6 +242,26 @@ object AnalyticsQueries {
 
   /** IC per date CTE chain (exact integer-rank corr), shared. */
   private def icCte = Pipelines.icExactCtes(P)
+
+  /** Shared event-study oracle CTEs: exact telescoped levels
+    * (price/first_value — no exp/ln drift), global date index, 1e9
+    * fixed-point band rows, demean-universe integer sums. Mirrors
+    * [[exactBanded]] token-for-token. */
+  private def bandCtes(before: Int, after: Int): String =
+    s""", lvl AS (SELECT date, asset,
+       |  price / first_value(price) OVER (PARTITION BY asset ORDER BY date) AS v
+       |  FROM priced),
+       |didx AS (SELECT date, row_number() OVER (ORDER BY date) - 1 AS di
+       |  FROM (SELECT DISTINCT date FROM lvl)),
+       |lv AS (SELECT l.asset, d.di, l.v FROM lvl l JOIN didx d USING (date)),
+       |ev AS (SELECT f.date AS event_date, f.asset, d.di AS ei, f.factor_quantile
+       |  FROM factor_data f JOIN didx d USING (date)),
+       |banded AS (SELECT ev.event_date, ev.asset, lv.di - ev.ei AS off,
+       |  CAST(round(lv.v * 1e9, 0) AS BIGINT) AS L, ev.factor_quantile
+       |  FROM ev JOIN lv ON lv.asset = ev.asset
+       |    AND lv.di BETWEEN ev.ei - $before AND ev.ei + $after),
+       |dm AS (SELECT event_date, off, sum(L) AS S, count(*) AS n
+       |  FROM banded GROUP BY 1, 2)""".stripMargin
 
   /** Acklam inverse-normal-CDF SQL, mirroring StatFunctions.normInv
     * with the identical Horner nesting (constants emitted as exact
@@ -326,34 +429,27 @@ object AnalyticsQueries {
          |FROM ic ORDER BY date, "group"""".stripMargin,
 
     "q_avg_cum_ret" ->
-      s"""$pre, pret AS (
-         |  SELECT date, asset,
-         |    price / lag(price) OVER (PARTITION BY asset ORDER BY date) - 1.0 AS r
-         |  FROM priced),
-         |lvl AS (SELECT date, asset,
-         |  exp(sum(ln(1.0 + coalesce(r, 0.0)))
-         |      OVER (PARTITION BY asset ORDER BY date
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v
-         |  FROM pret),
-         |didx AS (SELECT date, row_number() OVER (ORDER BY date) - 1 AS di
-         |  FROM (SELECT DISTINCT date FROM lvl)),
-         |lv AS (SELECT l.asset, d.di, l.v FROM lvl l JOIN didx d USING (date)),
-         |ev AS (SELECT f.date AS event_date, f.asset, d.di AS ei, f.factor_quantile
-         |  FROM factor_data f JOIN didx d USING (date)),
-         |banded AS (SELECT ev.event_date, ev.asset, lv.di - ev.ei AS off,
-         |  lv.v AS value, ev.factor_quantile
-         |  FROM ev JOIN lv ON lv.asset = ev.asset
-         |    AND lv.di BETWEEN ev.ei - 2 AND ev.ei + 3),
-         |m AS (SELECT event_date, off, avg(value) AS dmean
-         |  FROM banded GROUP BY 1, 2),
-         |dmv AS (SELECT b.factor_quantile, b.event_date, b.off,
-         |  b.value - m.dmean AS value
-         |  FROM banded b JOIN m ON b.event_date = m.event_date AND b.off = m.off),
-         |s1 AS (SELECT factor_quantile, off, event_date, avg(value) AS value
-         |  FROM dmv GROUP BY 1, 2, 3)
-         |SELECT factor_quantile, off AS "offset", round(avg(value), 9) AS mean,
-         |  round(stddev_samp(value), 9) AS std
-         |FROM s1 GROUP BY factor_quantile, off ORDER BY 1, 2""".stripMargin,
+      s"""$pre${bandCtes(2, 3)},
+         |s1 AS (SELECT factor_quantile, event_date, off, sum(L) AS sl,
+         |    count(*) AS k
+         |  FROM banded GROUP BY 1, 2, 3),
+         |s1m AS (SELECT factor_quantile, off,
+         |  (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+         |    ((2 * abs(num) + den) // (2 * den)) AS M
+         |  FROM (SELECT s1.factor_quantile, s1.off,
+         |    (dm.n * s1.sl - s1.k * dm.S) * 1000000 AS num,
+         |    dm.n * s1.k AS den
+         |    FROM s1 JOIN dm USING (event_date, off))),
+         |s2 AS (SELECT factor_quantile, off, sum(M) AS sm, sum(M * M) AS sm2,
+         |    count(*) AS d
+         |  FROM s1m GROUP BY 1, 2)
+         |SELECT factor_quantile, off AS "offset",
+         |  round(CAST(sm AS DOUBLE) / (1e15 * CAST(d AS DOUBLE)), 9) AS mean,
+         |  CASE WHEN d > 1 THEN
+         |    round(sqrt(CAST(d * sm2 - sm * sm AS DOUBLE) /
+         |      (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0))) / 1e15, 9)
+         |  END AS std
+         |FROM s2 ORDER BY 1, 2""".stripMargin,
 
     "q_quantize_zero" -> {
       // zero-aware qcut, quantiles=4: each sign half gets 2 buckets;
@@ -481,33 +577,16 @@ object AnalyticsQueries {
          |ORDER BY date, asset""".stripMargin,
 
     "q_event_study" ->
-      s"""$pre, pret AS (
-         |  SELECT date, asset,
-         |    price / lag(price) OVER (PARTITION BY asset ORDER BY date) - 1.0 AS r
-         |  FROM priced),
-         |lvl AS (SELECT date, asset,
-         |  exp(sum(ln(1.0 + coalesce(r, 0.0)))
-         |      OVER (PARTITION BY asset ORDER BY date
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v
-         |  FROM pret),
-         |didx AS (SELECT date, row_number() OVER (ORDER BY date) - 1 AS di
-         |  FROM (SELECT DISTINCT date FROM lvl)),
-         |lv AS (SELECT l.asset, d.di, l.v FROM lvl l JOIN didx d USING (date)),
-         |evAll AS (SELECT f.date AS event_date, f.asset, d.di AS ei,
-         |    f.factor_quantile
-         |  FROM factor_data f JOIN didx d USING (date)),
-         |bandedAll AS (SELECT ev.event_date, ev.asset, lv.di - ev.ei AS off,
-         |  lv.v AS value, ev.factor_quantile
-         |  FROM evAll ev JOIN lv ON lv.asset = ev.asset
-         |    AND lv.di BETWEEN ev.ei - 2 AND ev.ei + 3),
-         |m AS (SELECT event_date, off, avg(value) AS dmean
-         |  FROM bandedAll GROUP BY 1, 2),
-         |dmv AS (SELECT b.event_date, b.off, b.value - m.dmean AS value
-         |  FROM bandedAll b JOIN m ON b.event_date = m.event_date AND b.off = m.off
-         |  WHERE b.factor_quantile = 5)
-         |SELECT event_date, off AS "offset", round(avg(value), 9) AS value
-         |FROM dmv GROUP BY event_date, off
-         |ORDER BY event_date, "offset"""".stripMargin,
+      s"""$pre${bandCtes(2, 3)},
+         |q5 AS (SELECT event_date, off, sum(L) AS sl, count(*) AS k
+         |  FROM banded WHERE factor_quantile = 5 GROUP BY 1, 2),
+         |j AS (SELECT q5.event_date, q5.off,
+         |  dm.n * q5.sl - q5.k * dm.S AS num, dm.n * q5.k AS den
+         |  FROM q5 JOIN dm USING (event_date, off))
+         |SELECT event_date, off AS "offset",
+         |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+         |    ((2 * abs(num) + den) // (2 * den)) AS DOUBLE) / 1e9 AS value
+         |FROM j ORDER BY event_date, "offset"""".stripMargin,
 
     "q_factor_weights" ->
       s"""$pre, dm AS (

@@ -48,7 +48,9 @@ object EventStudy {
     *                 offset) subtract the mean level over this universe
     * @param meanByDate if true, collapse assets: one row per (event date,
     *                 offset) with the cross-asset mean
-    * @return (event_date, [asset,] offset, value)
+    * @param extraCols extra event columns (e.g. factor_quantile) carried
+    *                 through the band join onto every aligned row
+    * @return (event_date, [asset,] offset, value[, extras])
     */
   def commonStartReturns(
       events: DataFrame,
@@ -56,31 +58,34 @@ object EventStudy {
       before: Int,
       after: Int,
       meanByDate: Boolean = false,
-      demeanBy: Option[DataFrame] = None): DataFrame = {
+      demeanBy: Option[DataFrame] = None,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val dIdx = broadcast(dateIndex(levels))
     val lv = levels.join(dIdx, Seq("date"))
       .select(col("asset"), col("__di"), col("ret"))
 
     // events keyed to the level date index; dates absent from the level
     // index are skipped (reference KeyError -> continue)
-    val ev = events.select("date", "asset").join(dIdx, Seq("date"))
-      .select(col("date").as("event_date"), col("asset"), col("__di").as("__ei"))
+    val ev = events.select(("date" +: "asset" +: extraCols).map(col): _*)
+      .join(dIdx, Seq("date"))
+      .select(col("date").as("event_date") +: col("asset") +:
+        col("__di").as("__ei") +: extraCols.map(col): _*)
 
     // the bounded offset window explodes on the event side so the band
     // lookup is a pure (asset, date-index) EQUI-join — a direct range
     // predicate would force the join to materialize every event x level
     // pair per asset before filtering (quadratic in dates per asset)
-    def band(evts: DataFrame): DataFrame = {
+    def band(evts: DataFrame, extras: Seq[String]): DataFrame = {
       val ex = evts
         .withColumn("offset", explode(sequence(lit(-before), lit(after))))
         .withColumn("__dj", col("__ei") + col("offset"))
       ex.join(lv.withColumnRenamed("asset", "__la"),
           col("__la") === ex("asset") && col("__di") === col("__dj"))
-        .select(col("event_date"), ex("asset"), col("offset"),
-          col("ret").as("value"))
+        .select(col("event_date") +: ex("asset") +: col("offset") +:
+          col("ret").as("value") +: extras.map(col): _*)
     }
 
-    val sliced = band(ev)
+    val sliced = band(ev, extraCols)
 
     val demeaned = demeanBy match {
       case None => sliced
@@ -89,7 +94,7 @@ object EventStudy {
         // assets at that date (performance.py:707-720)
         val dmEv = dm.select("date", "asset").join(dIdx, Seq("date"))
           .select(col("date").as("event_date"), col("asset"), col("__di").as("__ei"))
-        val dmMeans = band(dmEv)
+        val dmMeans = band(dmEv, Nil)
           .groupBy("event_date", "offset")
           .agg(avg("value").as("__dm_mean"))
         sliced.join(dmMeans, Seq("event_date", "offset"), "left")
