@@ -45,6 +45,10 @@ object AnalyticsQueries {
     * identical in Spark and DuckDB. The exp/sum(ln) runningProduct form
     * drifts ~1e-13 cross-engine, which made the old q_event_study oracle
     * straddle the 1e-9 rounding grid (CORRECTNESS_r03 hash fail). */
+  // deliberately NOT persisted: measured twice (r3, r4) — caching the
+  // level table makes the event-study queries ~2x SLOWER (columnar
+  // cache write + scan cost more than the rebuild, and the InMemory
+  // scan defeats the codegen'd window+join pipeline)
   private def exactLevels(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("asset").orderBy("date")
     Pipelines.prices(Pipelines.panel(s, dir))
@@ -71,17 +75,22 @@ object AnalyticsQueries {
     when(col("__num") < 0, lit(-1L)).otherwise(lit(1L)) *
       expr("(2 * abs(__num) + __den) div (2 * __den)")
 
-  /** Banded event-study rows on the exact levels, with the fixed-point
-    * summand and the per-(event_date, offset) demean-universe sums. */
+  /** Per-(quantile, event_date, offset) exact integer band sums `s1`
+    * and the demean-universe sums `dm` DERIVED from them (S = Σ_q sl,
+    * n = Σ_q k — integer sums are order-independent, so this is
+    * bitwise identical to re-aggregating the banded rows while
+    * evaluating the band join ONCE instead of twice per query). */
   private def exactBanded(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val fd = Pipelines.factorData(s, dir, P)
     val banded = EventStudy.commonStartReturns(
         fd.df.select("date", "asset", "factor_quantile"), exactLevels(s, dir),
         before = 2, after = 3, extraCols = Seq("factor_quantile"))
       .withColumn("L", lvl9(col("value")))
-    val dm = banded.groupBy("event_date", "offset")
-      .agg(sum("L").as("S"), count(lit(1)).as("n"))
-    (banded, dm)
+    val s1 = banded.groupBy("factor_quantile", "event_date", "offset")
+      .agg(sum("L").as("sl"), count(lit(1)).as("k"))
+    val dm = s1.groupBy("event_date", "offset")
+      .agg(sum("sl").as("S"), sum("k").as("n"))
+    (s1, dm)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -117,11 +126,9 @@ object AnalyticsQueries {
       // mean/std from exact sum/sum-of-squares — order-independent, so
       // the hash is stable across task schedules and engines. The float
       // operator itself is golden-tested in EventStudySpec.
-      val (banded, dm) = exactBanded(s, dir)
+      val (s1, dm) = exactBanded(s, dir)
       val d = col("d")
-      banded.groupBy("factor_quantile", "event_date", "offset")
-        .agg(sum("L").as("sl"), count(lit(1)).as("k"))
-        .join(dm, Seq("event_date", "offset"))
+      s1.join(dm, Seq("event_date", "offset"))
         // stage-1 mean at 1e15 fixed point: num/(1e9*n*k)*1e15 =
         // num*1e6/(n*k); decimal operands keep 2e6*|num| exact (it can
         // exceed Long), and `div` on decimals yields the exact long
@@ -190,14 +197,12 @@ object AnalyticsQueries {
       // demeanBy=panel) for quantile-5 events: per (event_date, offset)
       // value = mean over q5 assets of (level - panel mean) =
       // (n*sum_q5(L) - k*sum_all(L)) / (1e9*n*k), all-integer numerator.
-      val (banded, dm) = exactBanded(s, dir)
+      val (s1, dm) = exactBanded(s, dir)
       // the nano-unit value is rounded with exact integer arithmetic
       // (divHalfAway): num/den with den = n*k (often 2..8) lands
       // EXACTLY on the .5 nano-grid for ~0.2% of rows, where any
       // float-side `round` mirror breaks down cross-engine
-      banded.filter(col("factor_quantile") === 5)
-        .groupBy("event_date", "offset")
-        .agg(sum("L").as("sl"), count(lit(1)).as("k"))
+      s1.filter(col("factor_quantile") === 5)
         .join(dm, Seq("event_date", "offset"))
         .withColumn("__num", (col("n") * col("sl") - col("k") * col("S")))
         .withColumn("__den", (col("n") * col("k")).cast(DecimalType(38, 0)))
@@ -260,8 +265,11 @@ object AnalyticsQueries {
        |  CAST(round(lv.v * 1e9, 0) AS BIGINT) AS L, ev.factor_quantile
        |  FROM ev JOIN lv ON lv.asset = ev.asset
        |    AND lv.di BETWEEN ev.ei - $before AND ev.ei + $after),
-       |dm AS (SELECT event_date, off, sum(L) AS S, count(*) AS n
-       |  FROM banded GROUP BY 1, 2)""".stripMargin
+       |s1 AS (SELECT factor_quantile, event_date, off, sum(L) AS sl,
+       |    count(*) AS k
+       |  FROM banded GROUP BY 1, 2, 3),
+       |dm AS (SELECT event_date, off, sum(sl) AS S, sum(k) AS n
+       |  FROM s1 GROUP BY 1, 2)""".stripMargin
 
   /** Acklam inverse-normal-CDF SQL, mirroring StatFunctions.normInv
     * with the identical Horner nesting (constants emitted as exact
@@ -430,9 +438,6 @@ object AnalyticsQueries {
 
     "q_avg_cum_ret" ->
       s"""$pre${bandCtes(2, 3)},
-         |s1 AS (SELECT factor_quantile, event_date, off, sum(L) AS sl,
-         |    count(*) AS k
-         |  FROM banded GROUP BY 1, 2, 3),
          |s1m AS (SELECT factor_quantile, off,
          |  (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
          |    ((2 * abs(num) + den) // (2 * den)) AS M
@@ -578,8 +583,8 @@ object AnalyticsQueries {
 
     "q_event_study" ->
       s"""$pre${bandCtes(2, 3)},
-         |q5 AS (SELECT event_date, off, sum(L) AS sl, count(*) AS k
-         |  FROM banded WHERE factor_quantile = 5 GROUP BY 1, 2),
+         |q5 AS (SELECT event_date, off, sl, k FROM s1
+         |  WHERE factor_quantile = 5),
          |j AS (SELECT q5.event_date, q5.off,
          |  dm.n * q5.sl - q5.k * dm.S AS num, dm.n * q5.k AS den
          |  FROM q5 JOIN dm USING (event_date, off))

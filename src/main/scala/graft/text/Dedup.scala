@@ -34,9 +34,14 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** Distinct (id, shingle-set) pairs plus set size. */
-  private def shingleSets(
-      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+  /** Distinct (id, shingle-set) pairs plus set size — the tokenize →
+    * shingle → distinct prefix shared by the Jaccard, MinHash, and
+    * clustering operators. Callers fanning out several dedup queries
+    * over one corpus should compute this once, persist it, and use the
+    * `FromSets` variants below (the §3 "cache the prefix" lifecycle). */
+  def shingleSets(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3): DataFrame =
     docs.select(col(idCol).as("__id"),
         shingles(tokens(col(textCol)), n).as("__set"))
       .withColumn("__sz", size(col("__set")))
@@ -56,8 +61,16 @@ object Dedup {
       minJaccard: Double = 0.2,
       maxDf: Int = 100,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val sets = shingleSets(docs, textCol, idCol, n)
+      idCol: String = "doc_id"): DataFrame =
+    jaccardPairsFromSets(shingleSets(docs, textCol, idCol, n),
+      minJaccard, maxDf)
+
+  /** [[jaccardPairs]] over a precomputed (ideally persisted)
+    * [[shingleSets]] table. */
+  def jaccardPairsFromSets(
+      sets: DataFrame,
+      minJaccard: Double = 0.2,
+      maxDf: Int = 100): DataFrame = {
     // set size rides along each posting row: joining sizes back onto the
     // pair table would re-derive the shingle lineage (the CPU-heavy
     // split+slice+distinct) twice more; carried through, the a/b sides
@@ -87,8 +100,13 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val sets = shingleSets(docs, textCol, idCol, n)
+      idCol: String = "doc_id"): DataFrame =
+    minHashSignaturesFromSets(shingleSets(docs, textCol, idCol, n), numHashes)
+
+  /** [[minHashSignatures]] over a precomputed [[shingleSets]] table. */
+  def minHashSignaturesFromSets(
+      sets: DataFrame,
+      numHashes: Int = 64): DataFrame = {
     val h0 = sets.select(col("__id"), explode(col("__set")).as("__sh"))
       .withColumn("__h0", hash56(col("__sh")) % HashP)
     val mins = (0 until numHashes).map { j =>
@@ -113,10 +131,21 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    minHashNearDupsFromSets(shingleSets(docs, textCol, idCol, n),
+      numHashes, bands, minJaccard)
+
+  /** [[minHashNearDups]] over a precomputed (ideally persisted)
+    * [[shingleSets]] table: both the signature build and the exact
+    * verification join hit the same cached sets. */
+  def minHashNearDupsFromSets(
+      sets: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
-    val sig = minHashSignatures(docs, n, numHashes, textCol, idCol)
+    val sig = minHashSignaturesFromSets(sets, numHashes)
     val bandKeys = (0 until bands).map { b =>
       val parts = lit(b.toString) +:
         (0 until rows).map(r => col(s"__m${b * rows + r}").cast("string"))
@@ -132,7 +161,6 @@ object Dedup {
     // only after the join keeps the two exchange children byte-identical
     // so ReuseExchange computes the (CPU-heavy) shingle sets once, not
     // once per side
-    val sets = shingleSets(docs, textCol, idCol, n)
     val verified = cand
       .join(sets.as("sa"), col("doc_a") === col("sa.__id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.__id"))
