@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.text.{Dedup, TextOps, TextStats}
+import graft.text.{CorpusOps, Decontaminate, Dedup, TextOps, TextStats}
 import graft.vector.{Ivf, Similarity}
 
 /** Driver-contract queries for the LLM-data-pipeline layer (dedup,
@@ -131,6 +131,21 @@ object DocQueries {
         .select(col("sample_id"), col("modality"), col("width"), col("height"),
           length(col("content")).as("n_bytes"))
         .orderBy("sample_id")),
+    "q_contamination" -> ((s, dir) => {
+      // benchmark = every 10th doc; train = the rest. n=3 so the
+      // synthetic word-soup corpus produces non-trivial overlap.
+      val d = documents(s, dir)
+      Decontaminate.contamination(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        n = 3, threshold = 0.1)
+        .orderBy("doc_id")
+    }),
+    "q_hash_split" -> ((s, dir) =>
+      CorpusOps.hashSplit(documents(s, dir))
+        .select("doc_id", "bucket", "split").orderBy("doc_id")),
+    "q_mix_weights" -> ((s, dir) =>
+      CorpusOps.mixtureWeights(documents(s, dir), alpha = 0.5)
+        .orderBy("source")),
     "q_asof_attrib" -> ((s, dir) => {
       // click -> most recent prior view by the same user (point-in-time
       // attribution); oracle is DuckDB's native ASOF LEFT JOIN.
@@ -448,6 +463,49 @@ object DocQueries {
         |  least(blen, greatest(1,
         |    floor((blen * 32 * 32)::DOUBLE / greatest(w0 * h0, 1))::INT)) AS n_bytes
         |FROM m ORDER BY sample_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesExpr("toks", 3)} AS gs FROM t),
+         |dg AS (SELECT doc_id, n_grams, ${hash56("g")} AS h FROM
+         |  (SELECT doc_id, len(gs)::BIGINT AS n_grams, unnest(gs) AS g
+         |   FROM sh WHERE len(gs) > 0 AND doc_id % 10 <> 0)),
+         |bg AS (SELECT DISTINCT bid, ${hash56("g")} AS h FROM
+         |  (SELECT doc_id AS bid, unnest(gs) AS g FROM sh WHERE doc_id % 10 = 0)),
+         |a AS (SELECT doc_id, max(n_grams) AS n_grams,
+         |    count(DISTINCT CASE WHEN bid IS NOT NULL THEN h END) AS n_matched,
+         |    count(DISTINCT bid) AS n_bench_docs
+         |  FROM dg LEFT JOIN bg USING (h) GROUP BY doc_id),
+         |f AS (SELECT doc_id, n_grams, n_matched::BIGINT AS n_matched,
+         |    n_bench_docs::BIGINT AS n_bench_docs,
+         |    round(n_matched::DOUBLE / n_grams, 9) AS contam_frac
+         |  FROM a)
+         |SELECT doc_id, n_grams, n_matched, n_bench_docs, contam_frac,
+         |  CASE WHEN contam_frac >= 0.1::DOUBLE THEN 1 ELSE 0 END::BIGINT
+         |    AS contaminated
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${hash56("'graft:' || doc_id::VARCHAR")} % 1000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 900 THEN 'train'
+         |       WHEN bucket < 950 THEN 'valid' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_mix_weights" ->
+      s"""WITH t AS (SELECT source, len($toksExpr)::BIGINT AS tk FROM documents),
+         |d AS (SELECT source, count(*) AS n_docs, sum(tk) AS n_tokens
+         |  FROM t GROUP BY source),
+         |s AS (SELECT source, n_docs, n_tokens,
+         |  n_tokens::DOUBLE / (sum(n_tokens) OVER ())::DOUBLE AS share FROM d),
+         |m AS (SELECT source, n_docs, n_tokens, share,
+         |  CAST(round(sqrt(share) * 1e15, 0) AS HUGEINT) AS fm FROM s)
+         |SELECT source, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+         |  round(share, 9) AS token_share,
+         |  round(fm::DOUBLE / (sum(fm) OVER ())::DOUBLE, 9) AS weight
+         |FROM m ORDER BY source""".stripMargin,
 
     "q_asof_attrib" ->
       """WITH clicks AS (

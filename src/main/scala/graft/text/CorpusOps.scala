@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Corpus-level organization operators for training-data pipelines:
+  * deterministic split assignment and domain-mixture sampling weights.
+  * Both are single-pass, shuffle-minimal, and driver-free.
+  */
+object CorpusOps {
+
+  /** Deterministic train/valid/test assignment by content-independent
+    * id hash: bucket = hash56(salt:id) mod 1000, split by cumulative
+    * fraction thresholds. Reproducible across runs/engines (md5-based),
+    * stable under corpus growth (a document's split never changes when
+    * other documents are added — the property random sampling lacks).
+    *
+    * @param splits (name, fraction) in order; fractions sum to ~1
+    * @return input columns + (bucket, split)
+    */
+  def hashSplit(
+      docs: DataFrame,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05,
+        "test" -> 0.05),
+      salt: String = "graft",
+      idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    val bucket = hash56(concat_ws(":", lit(salt), col(idCol).cast("string"))) % 1000
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = splits.map(_._1).zip(cum.map(f => (f * 1000).round))
+    val expr = thresholds.init.foldRight(lit(thresholds.last._1)) {
+      case ((name, hi), acc) => when(col("bucket") < hi, lit(name)).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucket).withColumn("split", expr)
+  }
+
+  /** Temperature-scaled domain mixture weights: per domain (source),
+    * token share p_d = tokens_d / total, sampling weight
+    * w_d = p_d^alpha / sum(p^alpha) — alpha < 1 upsamples small
+    * domains (multilingual/data-mixing practice). alpha = 0.5 is
+    * computed with sqrt (IEEE-exact, engine-portable); other alphas
+    * use pow. One hash aggregate over the corpus; the domain table is
+    * tiny, so the normalization window is bounded.
+    *
+    * @return (source, n_docs, n_tokens, token_share, weight)
+    */
+  def mixtureWeights(
+      docs: DataFrame,
+      alpha: Double = 0.5,
+      textCol: String = "text",
+      domainCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val byDomain = docs
+      .select(col(domainCol).as("source"),
+        size(tokens(col(textCol))).cast("long").as("__t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("n_tokens"))
+    // the window spans the domain table (tens of rows), not the corpus
+    val w = Window.partitionBy()
+    // token_share's denominator is an exact integer sum; the weight
+    // denominator would be a FLOAT sum whose value depends on partition
+    // order (WindowExec accumulates in row order), so the scaled shares
+    // are snapped to a 1e15 fixed-point grid first — integer summation
+    // makes the weights reproducible across runs, partitionings, and
+    // engines (invisible at any sane output precision: 1e-15 relative)
+    val share = col("n_tokens").cast("double") /
+      sum(col("n_tokens")).over(w).cast("double")
+    val scaled =
+      if (alpha == 0.5) sqrt(col("token_share"))
+      else pow(col("token_share"), alpha)
+    byDomain
+      .withColumn("token_share", share)
+      .withColumn("__m", round(scaled * lit(1e15), 0).cast(DecimalType(38, 0)))
+      .withColumn("weight",
+        col("__m").cast("double") / sum(col("__m")).over(w).cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("token_share"), 9).as("token_share"),
+        round(col("weight"), 9).as("weight"))
+  }
+}
