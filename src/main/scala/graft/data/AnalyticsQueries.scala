@@ -114,8 +114,7 @@ object AnalyticsQueries {
     "q_factor_data_group" -> ((s, dir) =>
       Pipelines.factorData(s, dir, P, withGroup = true).df
         .select("date", "asset", "ret_1", "ret_5", "factor", "group",
-          "factor_quantile")
-        .orderBy("date", "asset")),
+          "factor_quantile")),
     "q_ic_bygroup" -> ((s, dir) =>
       round9(Information.factorInformationCoefficient(
         Pipelines.factorData(s, dir, P, withGroup = true), byGroup = true),
@@ -153,8 +152,7 @@ object AnalyticsQueries {
       Quantize.quantizeFactor(Pipelines.merged(s, dir, P),
         Quantize.QuantilesInt(4), noRaise = true, zeroAware = true)
         .na.drop(Seq("factor_quantile"))
-        .select("date", "asset", "factor", "factor_quantile")
-        .orderBy("date", "asset")),
+        .select("date", "asset", "factor", "factor_quantile")),
     "q_rolling_ic" -> ((s, dir) => {
       val ic = Information.factorInformationCoefficient(
         Pipelines.factorData(s, dir, P))
@@ -190,8 +188,7 @@ object AnalyticsQueries {
     "q_backshift" -> ((s, dir) =>
       EventStudy.backshift(
         Pipelines.factorData(s, dir, P).df.select("date", "asset", "ret_1"),
-        "ret_1", n = 2)
-        .orderBy("date", "asset")),
+        "ret_1", n = 2)),
     "q_event_study" -> ((s, dir) => {
       // exact fixed-point mirror of commonStartReturns(meanByDate=true,
       // demeanBy=panel) for quantile-5 events: per (event_date, offset)
@@ -212,8 +209,7 @@ object AnalyticsQueries {
     }),
     "q_factor_weights" -> ((s, dir) =>
       round9(Returns.factorWeights(Pipelines.factorData(s, dir, P))
-        .select("date", "asset", "weight").orderBy("date", "asset"),
-        Seq("weight"))),
+        .select("date", "asset", "weight"), Seq("weight"))),
     "q_mean_ic_weekly" -> ((s, dir) =>
       round9(Information.meanInformationCoefficient(
         Pipelines.factorData(s, dir, P), byTime = Some("W")),
@@ -236,8 +232,7 @@ object AnalyticsQueries {
       Quantize.quantizeFactor(Pipelines.merged(s, dir, P, withGroup = true),
         Quantize.QuantilesInt(4), byGroup = true, noRaise = true)
         .na.drop(Seq("factor_quantile"))
-        .select("date", "asset", "factor", "group", "factor_quantile")
-        .orderBy("date", "asset"))
+        .select("date", "asset", "factor", "group", "factor_quantile"))
   )
 
   // ---- oracle SQL -----------------------------------------------------

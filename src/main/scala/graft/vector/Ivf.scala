@@ -34,20 +34,39 @@ object Ivf {
       struct(l2sq(v, c).as("d"), lit(i).as("cell"))
     }: _*)
 
-  /** Lloyd's k-means over the corpus; returns the centroid matrix.
-    * Deterministic init from the k lowest-id vectors. */
+  /** Lloyd's k-means over a bounded training sample; returns the
+    * centroid matrix. Deterministic init from the k lowest-id vectors
+    * of the sample.
+    *
+    * The coarse quantizer does NOT need the whole corpus (standard
+    * IVF practice: a few hundred vectors per cell suffice) — training
+    * on a deterministic hash-sample of ~`trainCap` vectors makes the
+    * Lloyd iterations O(cap), independent of corpus size, while the
+    * one full-corpus pass (cell assignment) stays in [[ivfTopK]]. */
   def trainCentroids(
       corpus: DataFrame,
       nCells: Int,
       iters: Int = 5,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = corpus
+      vecCol: String = "embedding",
+      trainCap: Int = 4096): Array[Array[Double]] = {
+    val n = corpus.select(col(idCol)).count()
+    val rate = math.max(1L, n / trainCap)
+    // deterministic content-independent subsample: multiplicative id
+    // hash reduced mod a prime BEFORE the rate modulus (a direct
+    // `id*odd mod rate` with a power-of-two rate only sees id's low
+    // bits, i.e. a stride — the prime reduction scatters them)
+    val sample =
+      if (rate <= 1L) corpus
+      else corpus.filter(
+        pmod(pmod(col(idCol).cast("long") * 2654435761L, lit(1000003L)),
+          lit(rate)) === 0)
+    var centroids: Array[Array[Double]] = sample
       .orderBy(col(idCol)).limit(nCells)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
-      val assigned = corpus.withColumn("__cell",
+      val assigned = sample.withColumn("__cell",
         array_min(cellDistances(col(vecCol), centroids)).getField("cell"))
       // element-wise mean per cell: explode to (cell, dim, value), one
       // hash aggregate, collect only the k×dim means
