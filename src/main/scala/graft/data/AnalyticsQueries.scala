@@ -80,14 +80,24 @@ object AnalyticsQueries {
     * n = Σ_q k — integer sums are order-independent, so this is
     * bitwise identical to re-aggregating the banded rows while
     * evaluating the band join ONCE instead of twice per query). */
+  // stage-1 is shared VERBATIM by q_avg_cum_ret and q_event_study (the
+  // band join + fixed-point aggregation is the expensive ~90% of both);
+  // it collapses to |quantiles| x |dates| x |offsets| rows (~75k at
+  // sf0.1 — tiny), so unlike the level table it caches profitably.
+  private val bandedMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def exactBanded(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val fd = Pipelines.factorData(s, dir, P)
-    val banded = EventStudy.commonStartReturns(
-        fd.df.select("date", "asset", "factor_quantile"), exactLevels(s, dir),
-        before = 2, after = 3, extraCols = Seq("factor_quantile"))
-      .withColumn("L", lvl9(col("value")))
-    val s1 = banded.groupBy("factor_quantile", "event_date", "offset")
-      .agg(sum("L").as("sl"), count(lit(1)).as("k"))
+    val s1 = bandedMemo.getOrElseUpdate(dir, {
+      val fd = Pipelines.factorData(s, dir, P)
+      val banded = EventStudy.commonStartReturns(
+          fd.df.select("date", "asset", "factor_quantile"), exactLevels(s, dir),
+          before = 2, after = 3, extraCols = Seq("factor_quantile"))
+        .withColumn("L", lvl9(col("value")))
+      val df = banded.groupBy("factor_quantile", "event_date", "offset")
+        .agg(sum("L").as("sl"), count(lit(1)).as("k"))
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
     val dm = s1.groupBy("event_date", "offset")
       .agg(sum("sl").as("S"), sum("k").as("n"))
     (s1, dm)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 import graft.text.{CorpusOps, Decontaminate, Dedup, TextOps, TextStats}
-import graft.vector.{Ivf, Similarity}
+import graft.vector.{Embeddings, Ivf, Similarity}
 
 /** Driver-contract queries for the LLM-data-pipeline layer (dedup,
   * text analysis, embedding similarity) over `documents.parquet` /
@@ -133,16 +133,41 @@ object DocQueries {
         .orderBy("sample_id")),
     "q_contamination" -> ((s, dir) => {
       // benchmark = every 10th doc; train = the rest. n=3 so the
-      // synthetic word-soup corpus produces non-trivial overlap.
-      val d = documents(s, dir)
-      Decontaminate.contamination(
-        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
-        n = 3, threshold = 0.1)
+      // synthetic word-soup corpus produces non-trivial overlap. Both
+      // sides slice the SHARED persisted shingle-set table (same cache
+      // the jaccard/minhash/cluster queries hit).
+      val sets = docShingleSets(s, dir, n = 3)
+      Decontaminate.contaminationFromSets(
+        sets.filter(col("__id") % 10 =!= 0), sets.filter(col("__id") % 10 === 0),
+        threshold = 0.1)
         .orderBy("doc_id")
     }),
     "q_hash_split" -> ((s, dir) =>
       CorpusOps.hashSplit(documents(s, dir))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
+    "q_top_ngrams" -> ((s, dir) =>
+      TextStats.topNgrams(documents(s, dir), n = 2, k = 100)),
+    "q_centroids" -> ((s, dir) =>
+      Embeddings.centroidsLong(embeddings(s, dir))
+        .orderBy("group", "dim")),
+    "q_knn_label" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Embeddings.knnClassify(e, e.filter(col("vec_id") < 20), k = 10)
+        .orderBy("query_id")
+    }),
+    "q_sample_mix" -> ((s, dir) => {
+      // apply the q_mix_weights mixture as acceptance rates: rate_d =
+      // (weight_d / share_d) / max over domains — upsampled domains keep
+      // everything, overrepresented ones are downsampled proportionally
+      val mw = CorpusOps.mixtureWeights(documents(s, dir), alpha = 0.5)
+      val r = mw.withColumn("__r", col("weight") / col("token_share"))
+      val rates = r.withColumn("rate",
+          col("__r") / max(col("__r")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select("source", "rate")
+      CorpusOps.sampleByRate(documents(s, dir), rates)
+        .select("doc_id", "source", "u").orderBy("doc_id")
+    }),
     "q_mix_weights" -> ((s, dir) =>
       CorpusOps.mixtureWeights(documents(s, dir), alpha = 0.5)
         .orderBy("source")),
@@ -493,6 +518,63 @@ object DocQueries {
          |  CASE WHEN bucket < 900 THEN 'train'
          |       WHEN bucket < 950 THEN 'valid' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |  i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS ngram
+         |  FROM t),
+         |dc AS (SELECT doc_id, ngram, count(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT ngram, count(*)::BIGINT AS n_docs, sum(c)::BIGINT AS "count"
+         |FROM dc GROUP BY ngram
+         |ORDER BY "count" DESC, ngram LIMIT 100""".stripMargin,
+
+    "q_centroids" ->
+      """SELECT label AS "group", d AS dim,
+        |  sum(round(embedding[d + 1]::DOUBLE * 1e6, 0)::HUGEINT)::DOUBLE /
+        |    (count(*)::DOUBLE * 1e6) AS value,
+        |  count(*)::BIGINT AS n_vecs
+        |FROM embeddings CROSS JOIN range(64) t(d)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_knn_label" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+         |  FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, label,
+         |  list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cos
+         |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, label, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |votes AS (SELECT query_id, label, count(*)::BIGINT AS votes
+         |  FROM rk WHERE rank <= 10 GROUP BY 1, 2),
+         |best AS (SELECT query_id, label AS pred_label, votes,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr
+         |  FROM votes)
+         |SELECT query_id, pred_label, votes FROM best WHERE vr = 1
+         |ORDER BY query_id""".stripMargin,
+
+    "q_sample_mix" ->
+      s"""WITH t AS (SELECT source, len($toksExpr)::BIGINT AS tk FROM documents),
+         |d AS (SELECT source, count(*) AS n_docs, sum(tk) AS n_tokens
+         |  FROM t GROUP BY source),
+         |s AS (SELECT source, n_tokens::DOUBLE / (sum(n_tokens) OVER ())::DOUBLE AS share
+         |  FROM d),
+         |m AS (SELECT source, share,
+         |  CAST(round(sqrt(share) * 1e15, 0) AS HUGEINT) AS fm FROM s),
+         |mx AS (SELECT source, round(share, 9) AS ts,
+         |  round(fm::DOUBLE / (sum(fm) OVER ())::DOUBLE, 9) AS w FROM m),
+         |r AS (SELECT source, w / ts AS rr FROM mx),
+         |rates AS (SELECT source, rr / (max(rr) OVER ()) AS rate FROM r),
+         |k AS (SELECT doc_id, source,
+         |  (${hash56("'sample:graft:' || doc_id::VARCHAR")} % 1000000)::DOUBLE / 1e6 AS u
+         |  FROM documents)
+         |SELECT doc_id, k.source, u FROM k JOIN rates USING (source)
+         |WHERE u < rate ORDER BY doc_id""".stripMargin,
 
     "q_mix_weights" ->
       s"""WITH t AS (SELECT source, len($toksExpr)::BIGINT AS tk FROM documents),

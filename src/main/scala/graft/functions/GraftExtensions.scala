@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${GraftExtensions.SignBitsName} takes exactly 2 arguments, got ${args.length}")
         SignBits(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftExtensions.CellDistsName),
+      new ExpressionInfo(classOf[CellDists].getName, GraftExtensions.CellDistsName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"${GraftExtensions.CellDistsName} takes exactly 2 arguments, got ${args.length}")
+        CellDists(args.head, args(1))
+      }))
     // user queries written with the idiomatic zip_with/aggregate dot
     // composition get the fused codegen kernel automatically
     ext.injectOptimizerRule(_ => RewriteHofDot)
@@ -39,4 +47,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   val DotName = "graft_dot"
   val SignBitsName = "graft_sign_bits"
+  val CellDistsName = "graft_l2sq_cells"
 }

@@ -36,6 +36,30 @@ object CorpusOps {
     docs.withColumn("bucket", bucket).withColumn("split", expr)
   }
 
+  /** Deterministic per-domain Bernoulli sampling — the op that APPLIES a
+    * mixture (e.g. [[mixtureWeights]] rescaled to acceptance rates): a
+    * document survives iff its salted id hash, mapped uniformly into
+    * [0, 1) on a 1e-6 grid, falls below its domain's rate. Content- and
+    * order-independent (same keep set on any cluster, any partitioning,
+    * any engine) and growth-stable, unlike `df.sample`.
+    *
+    * @param rates (domainCol, rate) — tiny, broadcast
+    * @return input columns + u (the unit-interval hash draw)
+    */
+  def sampleByRate(
+      docs: DataFrame,
+      rates: DataFrame,
+      salt: String = "graft",
+      idCol: String = "doc_id",
+      domainCol: String = "source"): DataFrame = {
+    val u = (hash56(concat_ws(":", lit("sample"), lit(salt),
+      col(idCol).cast("string"))) % 1000000L).cast("double") / lit(1e6)
+    docs
+      .join(broadcast(rates), Seq(domainCol))
+      .withColumn("u", u)
+      .filter(col("u") < col("rate"))
+  }
+
   /** Temperature-scaled domain mixture weights: per domain (source),
     * token share p_d = tokens_d / total, sampling weight
     * w_d = p_d^alpha / sum(p^alpha) — alpha < 1 upsamples small

@@ -34,25 +34,49 @@ object Decontaminate {
       n: Int = 8,
       threshold: Double = 0.1,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    def gramHash(g: Column) = hash56(g)
-    val dg = docs.select(col(idCol).as("doc_id"),
-        shingles(tokens(col(textCol)), n).as("__gs"))
-      .withColumn("n_grams", size(col("__gs")).cast("long"))
-      .filter(col("n_grams") > 0)
+      idCol: String = "doc_id"): DataFrame =
+    contaminationFromSets(
+      Dedup.shingleSets(docs, textCol, idCol, n),
+      Dedup.shingleSets(bench, textCol, idCol, n),
+      threshold)
+
+  /** [[contamination]] over precomputed [[Dedup.shingleSets]] tables —
+    * callers fanning several corpus operators over one corpus should
+    * persist ONE sets table and slice train/bench out of it (the §3
+    * "cache the prefix" lifecycle).
+    *
+    * Shape (vs the naive left-join + double count-distinct): n_matched
+    * comes from a LEFT SEMI join against the distinct benchmark gram
+    * hashes (each doc gram matches at most once — no fan-out on hot
+    * grams, no count-distinct EXPAND), and n_bench_docs from the
+    * (doc, bench-doc) pair distinct after the inner gram join. Both
+    * bench sides are benchmark-sized (tiny vs the corpus), so Catalyst
+    * broadcasts them and the only corpus-wide exchanges are the final
+    * per-doc aggregates. */
+  def contaminationFromSets(
+      docSets: DataFrame,
+      benchSets: DataFrame,
+      threshold: Double = 0.1): DataFrame = {
+    val dg = docSets.select(col("__id").as("doc_id"),
+        explode(col("__set")).as("__g"))
+      .select(col("doc_id"), hash56(col("__g")).as("__h"))
+    val bPairs = benchSets.select(col("__id").as("__bid"),
+        explode(col("__set")).as("__g"))
+      .select(col("__bid"), hash56(col("__g")).as("__h"))
+    val bHash = bPairs.select("__h").distinct()
+    // distinct matched grams per doc: dg rows are (doc, gram)-distinct
+    // already, so the semi-join count IS the distinct matched count
+    val matched = dg.join(bHash, Seq("__h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    val benchDocs = dg.join(bPairs, Seq("__h"))
+      .select("doc_id", "__bid").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bench_docs"))
+    docSets.select(col("__id").as("doc_id"), col("__sz").cast("long").as("n_grams"))
+      .join(matched, Seq("doc_id"), "left")
+      .join(benchDocs, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
-        explode(col("__gs")).as("__g"))
-      .withColumn("__h", gramHash(col("__g"))).drop("__g")
-    val bg = bench.select(col(idCol).as("__bid"),
-        explode(shingles(tokens(col(textCol)), n)).as("__g"))
-      .select(col("__bid"), gramHash(col("__g")).as("__h"))
-      .distinct()
-    dg.join(bg, Seq("__h"), "left")
-      .groupBy("doc_id")
-      .agg(
-        first(col("n_grams")).as("n_grams"),
-        countDistinct(when(col("__bid").isNotNull, col("__h"))).as("n_matched"),
-        countDistinct(col("__bid")).as("n_bench_docs"))
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"))
       .withColumn("contam_frac",
         round(col("n_matched").cast("double") / col("n_grams"), 9))
       .withColumn("contaminated",

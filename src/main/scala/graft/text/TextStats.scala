@@ -83,6 +83,31 @@ object TextStats {
       .select("doc_id", "n", "top_count", "total", "top_frac")
       .orderBy("doc_id", "n")
 
+  /** Corpus-level top-k positional n-grams — vocabulary statistics for
+    * tokenizer training / boilerplate discovery: per n-gram the total
+    * occurrence count and the document frequency, ordered by
+    * (count desc, ngram) with the unique ngram as the final tie-break
+    * so the top-k cut is deterministic.
+    *
+    * Two chained hash aggregates (per-doc counts, then global sums —
+    * both map-side combinable; no distinct-count expand) and a global
+    * top-k that plans as TakeOrderedAndProject: only k rows ever reach
+    * the driver-side collect limit, regardless of vocabulary size.
+    * Output: (ngram, n_docs, count). */
+  def topNgrams(
+      docs: DataFrame,
+      n: Int = 2,
+      k: Int = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        explode(TextOps.shingleSeq(TextOps.tokens(col(textCol)), n)).as("ngram"))
+      .groupBy("__id", "ngram").agg(count(lit(1)).as("__c"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("count"))
+      .orderBy(col("count").desc, col("ngram"))
+      .limit(k)
+
   /** Whitespace token count plus a BPE-ish subword estimate: runs of
     * letters (split every 4 chars, the empirical ~chars-per-BPE-token),
     * digits individually, and any other non-space character one each. */

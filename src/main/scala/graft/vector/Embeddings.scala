@@ -1,0 +1,93 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Embedding aggregation / classification operators for training-data
+  * curation: per-group centroids (the building block of cluster-based
+  * curation such as SemDeDup / domain discovery) and k-NN label
+  * classification (label propagation from a labeled seed set — the
+  * standard embedding-quality-classifier shape).
+  *
+  * Scale design (the 100 TB contract):
+  *  - centroids: one explode + one hash aggregate keyed on
+  *    (group, dim) — fully map-side combinable, output is
+  *    |groups| x dim rows regardless of corpus size;
+  *  - knnClassify: the labeled seed set rides the broadcast side of
+  *    [[Similarity.bruteForceTopK]]'s scan; votes aggregate per query
+  *    (bounded: |queries| x k rows into the shuffle);
+  *  - determinism: centroid sums are exact integer arithmetic on a
+  *    1e6 fixed-point grid (float partial-sum merge order is
+  *    run-dependent; integer sums are not), and votes are integer
+  *    counts with lexicographic tie-breaks.
+  */
+object Embeddings {
+
+  /** Per-group mean vector in long form: (group, dim, value, n_vecs).
+    *
+    * Each float component is snapped to a 1e6 fixed-point integer
+    * (exact for the descriptive purpose of a centroid; 1e-6 absolute),
+    * summed exactly, and divided once — bitwise reproducible across
+    * runs, partitionings, and engines. */
+  def centroidsLong(
+      emb: DataFrame,
+      groupCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val d = emb.select(col(groupCol).as("group"),
+      posexplode(col(vecCol)).as(Seq("dim", "__v")))
+    d.groupBy("group", "dim")
+      .agg(
+        sum(round(col("__v").cast("double") * lit(1e6), 0).cast(DecimalType(38, 0)))
+          .as("__s"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("group"), col("dim"),
+        (col("__s").cast("double") / (col("n_vecs").cast("double") * lit(1e6)))
+          .as("value"),
+        col("n_vecs"))
+  }
+
+  /** [[centroidsLong]] reassembled to one `array<double>` row per group:
+    * (group, centroid, n_vecs). The collect_list spans `dim` rows per
+    * group — bounded by the embedding width, not the corpus. */
+  def centroids(
+      emb: DataFrame,
+      groupCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    centroidsLong(emb, groupCol, vecCol)
+      .groupBy("group")
+      .agg(
+        array_sort(collect_list(struct(col("dim"), col("value"))))
+          .getField("value").as("centroid"),
+        first(col("n_vecs")).as("n_vecs"))
+
+  /** k-NN majority-vote classification: every query vector gets the
+    * modal label among its k nearest labeled neighbors (exact cosine;
+    * ties broken by higher vote count then smaller label — integer
+    * tie-breaks only, so the prediction is engine-reproducible).
+    *
+    * @param labeled corpus with (idCol, vecCol, labelCol)
+    * @param queries vectors to classify (idCol, vecCol)
+    * @return (query_id, pred_label, votes) — votes = neighbors sharing
+    *         the winning label
+    */
+  def knnClassify(
+      labeled: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val topk = Similarity.bruteForceTopK(labeled, queries, k, idCol, vecCol)
+    val labels = labeled.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__lbl"))
+    val votes = topk.join(labels, Seq("neighbor_id"))
+      .groupBy("query_id", "__lbl").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("__lbl"))
+    votes.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("__lbl").as("pred_label"), col("votes"))
+  }
+}

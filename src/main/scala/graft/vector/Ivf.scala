@@ -26,13 +26,35 @@ object Ivf {
       d * d
     }), lit(0.0), (acc, x) => acc + x)
 
-  /** (distance, cellId) structs for every centroid — orderable, so
-    * array_min / array_sort give the nearest cells with deterministic
-    * tie-breaks. */
-  private def cellDistances(v: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      struct(l2sq(v, c).as("d"), lit(i).as("cell"))
-    }: _*)
+  /** `array<double>` of squared L2 distances to every centroid. With
+    * [[graft.functions.GraftExtensions]] registered this is ONE
+    * codegen'd `graft_l2sq_cells` call carrying the matrix as a single
+    * reference object; the built-in fallback embeds one `l2sq` per
+    * centroid (nCells x dim literal nodes — the plan-bloat this
+    * expression exists to avoid). Both accumulate (x-c)^2
+    * left-to-right in double, so results are bit-identical. */
+  private def cellDists(v: Column, centroids: Array[Array[Double]]): Column = {
+    val native = org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      try s.catalog.functionExists(graft.functions.GraftExtensions.CellDistsName)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (native)
+      call_function(graft.functions.GraftExtensions.CellDistsName, v,
+        typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq))
+    else array(centroids.toIndexedSeq.map(c => l2sq(v, c)): _*)
+  }
+
+  /** Nearest-cell id from a distance array: first position of the
+    * minimum (ties break toward the lower cell id), 0-based. */
+  private def argminCell(dists: Column): Column =
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+
+  /** The `n` nearest cell ids from a distance array, nearest first
+    * (distance then cell-id order). */
+  private def nearestCells(dists: Column, nCells: Int, n: Int): Column =
+    slice(array_sort(transform(sequence(lit(0), lit(nCells - 1)),
+      i => struct(element_at(dists, i + 1).as("d"), i.cast("int").as("cell")))),
+      1, n).getField("cell")
 
   /** Lloyd's k-means over a bounded training sample; returns the
     * centroid matrix. Deterministic init from the k lowest-id vectors
@@ -67,7 +89,7 @@ object Ivf {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
       val assigned = sample.withColumn("__cell",
-        array_min(cellDistances(col(vecCol), centroids)).getField("cell"))
+        argminCell(cellDists(col(vecCol), centroids)))
       // element-wise mean per cell: explode to (cell, dim, value), one
       // hash aggregate, collect only the k×dim means
       val means = assigned
@@ -97,11 +119,11 @@ object Ivf {
     val centroids = trainCentroids(corpus, nCells, iters, idCol, vecCol)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       Similarity.l2Norm(col(vecCol)).as("__cn"),
-      array_min(cellDistances(col(vecCol), centroids)).getField("cell").as("__cell"))
+      argminCell(cellDists(col(vecCol), centroids)).as("__cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         Similarity.l2Norm(col(vecCol)).as("__qn"),
-        explode(slice(array_sort(cellDistances(col(vecCol), centroids)),
-          1, nProbe).getField("cell")).as("__cell"))
+        explode(nearestCells(cellDists(col(vecCol), centroids), nCells, nProbe))
+          .as("__cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("__cell"))

@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   private val nonEquiByDesign = Set(
     "q_ann_cosine",           // broadcast query batch, q != neighbor
+    "q_knn_label",            // same brute-force scan under the votes
     "q_pyfolio_positions",    // day-spine x universe dense grid
     "q_positions")            // instant-pair map join is values-only
 
@@ -64,5 +65,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("the factor pipeline reuses the cached factor_data (no re-ingest)") {
     assert(plans("q_ic").contains("InMemoryTableScan"),
       "q_ic does not read the persisted factor_data")
+  }
+
+  test("round-4 corpus operators keep their scale-critical shapes") {
+    // corpus top-k must plan as TakeOrderedAndProject (only k rows ever
+    // leave the executors), never a global sort + limit
+    assert(plans("q_top_ngrams").contains("TakeOrderedAndProject"),
+      "q_top_ngrams lost the top-k pushdown")
+    // centroid sums must partial-aggregate map-side
+    assert(plans("q_centroids").contains("partial_sum"),
+      "q_centroids lost map-side partial aggregation")
+    // decontamination joins the benchmark side broadcast, and the
+    // gram-hash matching never plans a fan-out join on the corpus side
+    assert(plans("q_contamination").contains("BroadcastHashJoin"),
+      "q_contamination does not broadcast the benchmark side")
   }
 }

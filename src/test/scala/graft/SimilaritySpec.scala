@@ -119,4 +119,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.getAs[Int]("width") === 16 && out.getAs[Int]("height") === 16)
     assert(out.getAs[Array[Byte]]("content").length <= 100)
   }
+
+  test("centroids: exact per-group means, long and array forms agree") {
+    import graft.vector.Embeddings
+    val d = Seq(
+      (1L, Array(1f, 3f), "a"), (2L, Array(3f, 5f), "a"), (3L, Array(10f, 0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val long = Embeddings.centroidsLong(d).collect()
+      .map(r => ((r.getAs[String]("group"), r.getAs[Int]("dim")),
+        (r.getAs[Double]("value"), r.getAs[Long]("n_vecs")))).toMap
+    assert(long(("a", 0)) === ((2.0, 2L)))
+    assert(long(("a", 1)) === ((4.0, 2L)))
+    assert(long(("b", 0)) === ((10.0, 1L)))
+    val arr = Embeddings.centroids(d).collect()
+      .map(r => r.getAs[String]("group") -> r.getAs[Seq[Double]]("centroid")).toMap
+    assert(arr("a") === Seq(2.0, 4.0))
+    assert(arr("b") === Seq(10.0, 0.0))
+  }
+
+  test("knnClassify: majority label of nearest neighbors wins") {
+    import graft.vector.Embeddings
+    // cluster A around vec(1) labeled 0, cluster B around vec(97) labeled 1
+    val rows = (0 until 30).map { i =>
+      val base = if (i < 15) vec(1) else vec(97)
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * (((i * 7 + d) % 5) - 2) }, if (i < 15) 0 else 1)
+    }
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val queries = d.filter(col("vec_id").isin(0L, 20L))
+    val out = Embeddings.knnClassify(d, queries, k = 5).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Int]("pred_label")).toMap
+    assert(out === Map(0L -> 0, 20L -> 1))
+  }
 }

@@ -133,4 +133,37 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     // hello(2) + world(2) + 4,2(2 digits) + a(1) + b(1) + '-'(1) = 9
     assert(r.getAs[Long]("bpe_tokens") === 9L)
   }
+
+  test("topNgrams: corpus-level bigram counts with doc frequency") {
+    val d = docs(1L -> "a b a b c", 2L -> "a b x", 3L -> "z")
+    // bigrams: doc1 = [a b, b a, a b, b c], doc2 = [a b, b x], doc3 = none
+    val out = TextStats.topNgrams(d, n = 2, k = 2).collect()
+      .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("count")))
+    assert(out.head === (("a b", 2L, 3L)))
+    assert(out.length === 2)
+    // rank 2 is a count-1 tie broken lexicographically: "b a" first
+    assert(out(1) === (("b a", 1L, 1L)))
+  }
+
+  test("sampleByRate: deterministic, rate-monotone, growth-stable") {
+    import graft.text.CorpusOps
+    val d = (0L until 400L).map(i => (i, s"tok$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val rates = Seq(("a", 1.0), ("b", 0.25)).toDF("source", "rate")
+    val kept = CorpusOps.sampleByRate(d, rates).collect()
+    val keptA = kept.count(_.getAs[String]("source") == "a")
+    val keptB = kept.count(_.getAs[String]("source") == "b")
+    assert(keptA === 200) // rate 1.0 keeps everything
+    assert(keptB > 20 && keptB < 80, s"keptB=$keptB") // ~25% of 200
+    // deterministic: identical keep set on re-run
+    val again = CorpusOps.sampleByRate(d, rates).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again === kept.map(_.getAs[Long]("doc_id")).toSet)
+    // growth-stable: adding rows never changes an existing doc's fate
+    val grown = d.unionByName(Seq((9999L, "zzz", "b")).toDF("doc_id", "text", "source"))
+    val grownKept = CorpusOps.sampleByRate(grown, rates).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(grownKept.filter(_ < 400L) === again)
+  }
 }
