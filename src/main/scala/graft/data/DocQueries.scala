@@ -105,8 +105,9 @@ object DocQueries {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 10,
         nBits = 16, bands = 8, dim = 64)
     }),
-    // rows-only (no oracle): the k-means coarse quantizer is iterative
-    // and not SQL-expressible; recall vs brute force is unit-tested
+    // oracle: the fixed-point k-means is bitwise reproducible, so the
+    // DuckDB twin replays the identical Lloyd iterations as unrolled
+    // CTEs (exact integer distances; see Ivf's exactness note)
     "q_ann_ivf" -> ((s, dir) => {
       val e = embeddings(s, dir)
       graft.vector.Ivf.ivfTopK(e, e.filter(col("vec_id") < 20), k = 10,
@@ -421,6 +422,66 @@ object DocQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
          |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_ivf" -> {
+      // replays Ivf.ivfTopK(nCells=16, nProbe=4, iters=5, trainCap=4096)
+      // exactly: 1e6 fixed-point quantization, init from the 16
+      // lowest-id sample vectors, five unrolled Lloyd iterations with
+      // integer distances and half-up floor-division centroid snaps,
+      // then cell assignment + probe + exact-cosine rerank. Empty cells
+      // keep their previous centroid (the coalesce in c{i}).
+      val iters = 5
+      val lloyd = (1 to iters).map { i =>
+        val p = s"c${i - 1}"
+        s"""d$i AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+           |  FROM eqs v JOIN $p c ON v.d = c.d GROUP BY 1, 2),
+           |a$i AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM d$i) WHERE rn = 1),
+           |n$i AS (SELECT cell, d,
+           |    floor((2 * sum(q) + count(*))::DOUBLE / (2 * count(*)))::BIGINT AS q
+           |  FROM eqs JOIN a$i USING (vec_id) GROUP BY 1, 2),
+           |c$i AS (SELECT p.cell, p.d, coalesce(u.q, p.q) AS q
+           |  FROM $p p LEFT JOIN n$i u ON u.cell = p.cell AND u.d = p.d)""".stripMargin
+      }.mkString(",\n")
+      def cosSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+      s"""WITH cnt AS (SELECT greatest(1, count(*) // 4096) AS rate FROM embeddings),
+         |samp AS (SELECT vec_id, embedding FROM embeddings, cnt
+         |  WHERE rate <= 1 OR (vec_id * 2654435761) % 1000003 % rate = 0),
+         |eqs AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM samp CROSS JOIN range(64) t(d)),
+         |c0 AS (SELECT s.cell, e.d, e.q FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+         |    FROM samp ORDER BY vec_id LIMIT 16) s
+         |  JOIN eqs e USING (vec_id)),
+         |$lloyd,
+         |eqa AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM embeddings CROSS JOIN range(64) t(d)),
+         |dall AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM eqa v JOIN c$iters c ON v.d = c.d GROUP BY 1, 2),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM dall) WHERE rn = 1),
+         |probe AS (SELECT vec_id AS query_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM dall WHERE vec_id < 20) WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probe p JOIN asg a USING (cell) WHERE p.query_id <> a.vec_id),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  ${cosSql("eq", "ec")} /
+         |  (sqrt(${cosSql("eq", "eq")}) * sqrt(${cosSql("ec", "ec")})) AS cos
+         |  FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+         |            JOIN embeddings ec ON ec.vec_id = neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_neardup_cosine" -> {
       def dotSql(a: String, b: String) =

@@ -13,16 +13,37 @@ import org.apache.spark.sql.functions._
   * Scale design: Lloyd iterations keep the PANEL distributed — only the
   * k×dim centroid matrix (tiny) is collected per iteration; assignment
   * is a codegen'd argmin expression over broadcast centroid literals;
-  * the probe join is an equi-join on cell id. Deterministic: centroids
-  * initialize from the k lowest-id vectors, ties in argmin break toward
-  * the lower cell id.
+  * the probe join is an equi-join on cell id.
+  *
+  * Exactness design: the quantizer runs entirely on a 1e6 fixed-point
+  * grid — vector components snap to integers, per-cell sums are exact
+  * longs, and each centroid component re-snaps to the grid via a
+  * half-up floor division. Every distance is then a sum of exact
+  * integer squares (all < 2^53, so double accumulation is exact in any
+  * order), making cell assignment, probing, and therefore the whole
+  * ANN result bitwise reproducible across runs, partitionings, AND
+  * engines — the DuckDB oracle replays the identical Lloyd iterations
+  * as unrolled CTEs. The 1e-6 snap is far below embedding noise, so
+  * recall is unaffected. Deterministic init from the k lowest-id
+  * sample vectors; argmin ties break toward the lower cell id.
   */
 object Ivf {
 
-  /** Squared L2 distance between a vector column and a centroid literal. */
+  /** Fixed-point grid: one part per 1e6 (exact for |x| ≲ 5e3 at
+    * double-exact integer distances over ≤128 dims). */
+  private val Scale = 1e6
+
+  /** Snap each float component to an integer-valued double on the
+    * fixed-point grid (round half-up, mirroring DuckDB's `round`). */
+  private def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * lit(Scale), 0))
+
+  /** Squared L2 distance between a quantized vector column and an
+    * integer-valued centroid literal — exact (integer values, partial
+    * sums < 2^53). */
   private def l2sq(v: Column, c: Array[Double]): Column =
     aggregate(zip_with(v, lit(c), (x, y) => {
-      val d = x.cast("double") - y
+      val d = x - y
       d * d
     }), lit(0.0), (acc, x) => acc + x)
 
@@ -32,7 +53,9 @@ object Ivf {
     * reference object; the built-in fallback embeds one `l2sq` per
     * centroid (nCells x dim literal nodes — the plan-bloat this
     * expression exists to avoid). Both accumulate (x-c)^2
-    * left-to-right in double, so results are bit-identical. */
+    * left-to-right in double; on the fixed-point grid every term and
+    * partial sum is an exact integer, so results are bit-identical
+    * regardless of order. */
   private def cellDists(v: Column, centroids: Array[Array[Double]]): Column = {
     val native = org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
       try s.catalog.functionExists(graft.functions.GraftExtensions.CellDistsName)
@@ -57,8 +80,8 @@ object Ivf {
       1, n).getField("cell")
 
   /** Lloyd's k-means over a bounded training sample; returns the
-    * centroid matrix. Deterministic init from the k lowest-id vectors
-    * of the sample.
+    * centroid matrix on the fixed-point grid (integer-valued doubles).
+    * Deterministic init from the k lowest-id vectors of the sample.
     *
     * The coarse quantizer does NOT need the whole corpus (standard
     * IVF practice: a few hundred vectors per cell suffice) — training
@@ -78,29 +101,41 @@ object Ivf {
     // hash reduced mod a prime BEFORE the rate modulus (a direct
     // `id*odd mod rate` with a power-of-two rate only sees id's low
     // bits, i.e. a stride — the prime reduction scatters them)
-    val sample =
+    val sampleRaw =
       if (rate <= 1L) corpus
       else corpus.filter(
         pmod(pmod(col(idCol).cast("long") * 2654435761L, lit(1000003L)),
           lit(rate)) === 0)
+    val sample = sampleRaw
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[Array[Double]] = sample
-      .orderBy(col(idCol)).limit(nCells)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .orderBy(col("__id")).limit(nCells)
+      .select(col("__q")).collect()
+      .map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
       val assigned = sample.withColumn("__cell",
-        argminCell(cellDists(col(vecCol), centroids)))
-      // element-wise mean per cell: explode to (cell, dim, value), one
-      // hash aggregate, collect only the k×dim means
-      val means = assigned
-        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__d", "__x")))
-        .groupBy("__cell", "__d").agg(avg(col("__x")).as("__m"))
+        argminCell(cellDists(col("__q"), centroids)))
+      // element-wise mean per cell, exact: explode to (cell, dim, q),
+      // sum the integer components as longs in one hash aggregate,
+      // collect only the k×dim (sum, count) pairs, and re-snap the
+      // mean to the grid with a half-up floor division — the next
+      // centroid matrix stays integer-valued
+      val sums = assigned
+        .select(col("__cell"), posexplode(col("__q")).as(Seq("__d", "__x")))
+        .groupBy("__cell", "__d")
+        .agg(sum(col("__x").cast("long")).as("__s"), count(lit(1)).as("__n"))
         .collect()
       val next = centroids.map(_.clone())
-      means.foreach(r =>
-        next(r.getAs[Int]("__cell"))(r.getAs[Int]("__d")) = r.getAs[Double]("__m"))
+      sums.foreach { r =>
+        val s = r.getAs[Long]("__s")
+        val m = r.getAs[Long]("__n")
+        next(r.getAs[Int]("__cell"))(r.getAs[Int]("__d")) =
+          Math.floorDiv(2L * s + m, 2L * m).toDouble
+      }
       centroids = next
     }
+    sample.unpersist()
     centroids
   }
 
@@ -119,11 +154,11 @@ object Ivf {
     val centroids = trainCentroids(corpus, nCells, iters, idCol, vecCol)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       Similarity.l2Norm(col(vecCol)).as("__cn"),
-      argminCell(cellDists(col(vecCol), centroids)).as("__cell"))
+      argminCell(cellDists(quantize(col(vecCol)), centroids)).as("__cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         Similarity.l2Norm(col(vecCol)).as("__qn"),
-        explode(nearestCells(cellDists(col(vecCol), centroids), nCells, nProbe))
-          .as("__cell"))
+        explode(nearestCells(cellDists(quantize(col(vecCol)), centroids),
+          nCells, nProbe)).as("__cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("__cell"))
