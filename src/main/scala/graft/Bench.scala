@@ -34,6 +34,7 @@ object Bench {
     graft.data.Pipelines.factorData(spark, sfDir).df.count()
     graft.data.Pipelines.factorData(spark, sfDir, Seq(1, 5), 5,
       withGroup = true).df.count()
+    graft.data.DocQueries.warm(spark, sfDir)
     val warmup = "warmup" -> (System.nanoTime() - w0) / 1e9
     val results = warmup +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

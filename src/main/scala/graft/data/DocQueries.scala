@@ -49,6 +49,16 @@ object DocQueries {
       p
     })
 
+  /** Materialize the shared doc-side caches (shingle sets + Jaccard
+    * pair graph) — the bench warmup calls this so their one-off build
+    * cost lands in the reported warmup entry instead of on whichever
+    * doc query runs first alphabetically (same treatment as the shared
+    * factor_data build). */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    docShingleSets(spark, dir, n = 3).count()
+    docJaccardPairs(spark, dir, n = 3, minJaccard = 0.3, maxDf = 100).count()
+  }
+
   /** Corpus with planted exact duplicates (each doc twice, second copy
     * id-shifted) — the documents table itself has no exact dups. */
   private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
@@ -113,6 +123,12 @@ object DocQueries {
       graft.vector.Ivf.ivfTopK(e, e.filter(col("vec_id") < 20), k = 10,
         nCells = 16, nProbe = 4)
     }),
+    "q_semdedup" -> ((s, dir) =>
+      // semantic dedup over the planted-copy corpus: the 1.25-scaled
+      // copies normalize onto their originals, land in the same k-means
+      // cell, and are flagged with keep_id = the original
+      graft.vector.SemDedup.semDedup(dupVecCorpus(s, dir),
+        nCells = 16, threshold = 0.95).orderBy("vec_id")),
     "q_neardup_cosine" -> ((s, dir) =>
       // self-join near-dup path: 8-bit bands (vs the ANN top-k's 2-bit
       // bands) keep bucket sizes bounded when every corpus row is a query
@@ -146,6 +162,11 @@ object DocQueries {
     "q_hash_split" -> ((s, dir) =>
       CorpusOps.hashSplit(documents(s, dir))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
+    "q_gopher_rules" -> ((s, dir) =>
+      TextStats.gopherRules(documents(s, dir)).orderBy("doc_id")),
+    "q_pack_seqs" -> ((s, dir) =>
+      CorpusOps.packSequences(documents(s, dir), seqLen = 512)
+        .orderBy("doc_id")),
     "q_top_ngrams" -> ((s, dir) =>
       TextStats.topNgrams(documents(s, dir), n = 2, k = 100)),
     "q_centroids" -> ((s, dir) =>
@@ -205,6 +226,29 @@ object DocQueries {
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Unrolled-Lloyd CTE chain replaying [[graft.vector.Ivf]]'s exact
+    * fixed-point k-means: expects CTEs `eqs(vec_id, d, q)` (quantized
+    * sample components) and `c0(cell, d, q)` (init centroids) upstream,
+    * and ends in `c<iters>`. Integer distances, argmin ties toward the
+    * lower cell, half-up floor-division centroid snaps; empty cells
+    * keep their previous centroid (the coalesce). Shared by the IVF
+    * ANN and SemDeDup oracles. */
+  private def lloydChain(iters: Int): String =
+    (1 to iters).map { i =>
+      val p = s"c${i - 1}"
+      s"""d$i AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM eqs v JOIN $p c ON v.d = c.d GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM d$i) WHERE rn = 1),
+         |n$i AS (SELECT cell, d,
+         |    floor((2 * sum(q) + count(*))::DOUBLE / (2 * count(*)))::BIGINT AS q
+         |  FROM eqs JOIN a$i USING (vec_id) GROUP BY 1, 2),
+         |c$i AS (SELECT p.cell, p.d, coalesce(u.q, p.q) AS q
+         |  FROM $p p LEFT JOIN n$i u ON u.cell = p.cell AND u.d = p.d)""".stripMargin
+    }.mkString(",\n")
 
   /** Inverted-index exact-Jaccard pair CTE chain ending in
     * `j(doc_a, doc_b, jaccard)` — shared by the pair and cluster
@@ -428,23 +472,7 @@ object DocQueries {
       // exactly: 1e6 fixed-point quantization, init from the 16
       // lowest-id sample vectors, five unrolled Lloyd iterations with
       // integer distances and half-up floor-division centroid snaps,
-      // then cell assignment + probe + exact-cosine rerank. Empty cells
-      // keep their previous centroid (the coalesce in c{i}).
-      val iters = 5
-      val lloyd = (1 to iters).map { i =>
-        val p = s"c${i - 1}"
-        s"""d$i AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
-           |  FROM eqs v JOIN $p c ON v.d = c.d GROUP BY 1, 2),
-           |a$i AS (SELECT vec_id, cell FROM (
-           |  SELECT vec_id, cell,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-           |  FROM d$i) WHERE rn = 1),
-           |n$i AS (SELECT cell, d,
-           |    floor((2 * sum(q) + count(*))::DOUBLE / (2 * count(*)))::BIGINT AS q
-           |  FROM eqs JOIN a$i USING (vec_id) GROUP BY 1, 2),
-           |c$i AS (SELECT p.cell, p.d, coalesce(u.q, p.q) AS q
-           |  FROM $p p LEFT JOIN n$i u ON u.cell = p.cell AND u.d = p.d)""".stripMargin
-      }.mkString(",\n")
+      // then cell assignment + probe + exact-cosine rerank.
       def cosSql(a: String, b: String) =
         s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
       s"""WITH cnt AS (SELECT greatest(1, count(*) // 4096) AS rate FROM embeddings),
@@ -456,11 +484,11 @@ object DocQueries {
          |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
          |    FROM samp ORDER BY vec_id LIMIT 16) s
          |  JOIN eqs e USING (vec_id)),
-         |$lloyd,
+         |${lloydChain(5)},
          |eqa AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
          |  FROM embeddings CROSS JOIN range(64) t(d)),
          |dall AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
-         |  FROM eqa v JOIN c$iters c ON v.d = c.d GROUP BY 1, 2),
+         |  FROM eqa v JOIN c5 c ON v.d = c.d GROUP BY 1, 2),
          |asg AS (SELECT vec_id, cell FROM (
          |  SELECT vec_id, cell,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
@@ -481,6 +509,54 @@ object DocQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
          |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_semdedup" -> {
+      // replays SemDedup.semDedup(nCells=16, threshold=0.95, iters=5):
+      // direction-normalize, fixed-point k-means on the normalized
+      // vectors (shared lloydChain), intra-cell cosine pairs, min-id
+      // keep decision
+      def dotSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.25::FLOAT)
+         |  FROM embeddings),
+         |nrm AS (SELECT vec_id, embedding,
+         |  list_transform(range(1, 65), i -> embedding[i]::DOUBLE /
+         |    sqrt(${dotSql("corp", "corp")})) AS nv
+         |  FROM corp),
+         |cnt AS (SELECT greatest(1, count(*) // 4096) AS rate FROM corp),
+         |samp AS (SELECT vec_id, nv FROM nrm, cnt
+         |  WHERE rate <= 1 OR (vec_id * 2654435761) % 1000003 % rate = 0),
+         |eqs AS (SELECT vec_id, d, round(nv[d + 1] * 1e6, 0)::BIGINT AS q
+         |  FROM samp CROSS JOIN range(64) t(d)),
+         |c0 AS (SELECT s.cell, e.d, e.q FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+         |    FROM samp ORDER BY vec_id LIMIT 16) s
+         |  JOIN eqs e USING (vec_id)),
+         |${lloydChain(5)},
+         |eqa AS (SELECT vec_id, d, round(nv[d + 1] * 1e6, 0)::BIGINT AS q
+         |  FROM nrm CROSS JOIN range(64) t(d)),
+         |dall AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM eqa v JOIN c5 c ON v.d = c.d GROUP BY 1, 2),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM dall) WHERE rn = 1),
+         |pr AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+         |  FROM asg a JOIN asg b USING (cell) WHERE a.vec_id < b.vec_id),
+         |sc AS (SELECT ida, idb FROM pr
+         |  JOIN corp ea ON ea.vec_id = ida JOIN corp eb ON eb.vec_id = idb
+         |  WHERE ${dotSql("ea", "eb")} /
+         |    (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")})) >= 0.95),
+         |dup AS (SELECT idb AS vec_id, count(*)::BIGINT AS n_dups, min(ida) AS keep
+         |  FROM sc GROUP BY 1)
+         |SELECT a.vec_id, a.cell, coalesce(n_dups, 0) AS n_dups,
+         |  coalesce(keep, a.vec_id) AS keep_id,
+         |  (CASE WHEN n_dups IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS is_dup
+         |FROM asg a LEFT JOIN dup USING (vec_id) ORDER BY vec_id""".stripMargin
     },
 
     "q_neardup_cosine" -> {
@@ -579,6 +655,61 @@ object DocQueries {
          |  CASE WHEN bucket < 900 THEN 'train'
          |       WHEN bucket < 950 THEN 'valid' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" -> {
+      val sw = sqlList(TextStats.EnglishStopwords)
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |rep AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tf FROM (
+         |  SELECT doc_id, g, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+         |    FROM t WHERE len(toks) >= 2)
+         |  GROUP BY 1, 2) GROUP BY doc_id),
+         |s AS (SELECT doc_id,
+         |  len(toks)::BIGINT AS n_words,
+         |  round((length(text)::DOUBLE - (len(toks) - 1.0)) / len(toks), 9)
+         |    AS mean_word_len,
+         |  round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+         |    / len(toks), 9) AS frac_alpha_words,
+         |  len(list_filter($sw, x -> list_contains(toks, x)))::BIGINT
+         |    AS n_stop_distinct,
+         |  round(((length(text) - length(regexp_replace(text, '#', '', 'g')))
+         |    + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3.0)
+         |    / len(toks)::DOUBLE, 9) AS symbol_word_ratio,
+         |  round(coalesce(tf, 0.0), 9) AS top2gram_frac
+         |  FROM t LEFT JOIN rep USING (doc_id)),
+         |fl AS (SELECT *,
+         |  (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)::BIGINT AS r_wordcount,
+         |  (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END)::BIGINT AS r_wordlen,
+         |  (CASE WHEN symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END)::BIGINT AS r_symbol,
+         |  (CASE WHEN frac_alpha_words >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS r_alpha,
+         |  (CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END)::BIGINT AS r_stop,
+         |  (CASE WHEN top2gram_frac <= 0.2 THEN 1 ELSE 0 END)::BIGINT AS r_rep
+         |  FROM s)
+         |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_distinct,
+         |  symbol_word_ratio, top2gram_frac, r_wordcount, r_wordlen, r_symbol,
+         |  r_alpha, r_stop, r_rep,
+         |  r_wordcount * r_wordlen * r_symbol * r_alpha * r_stop * r_rep
+         |    AS quality_pass
+         |FROM fl ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pack_seqs" ->
+      s"""WITH t AS (SELECT doc_id, len($toksExpr)::BIGINT AS n_tokens
+         |  FROM documents),
+         |f AS (SELECT doc_id, n_tokens FROM t WHERE n_tokens > 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |    AS token_offset
+         |  FROM f)
+         |SELECT doc_id, n_tokens, token_offset,
+         |  (token_offset // 512)::BIGINT AS start_seq,
+         |  (token_offset % 512)::BIGINT AS start_offset,
+         |  ((token_offset + n_tokens - 1) // 512)::BIGINT AS end_seq,
+         |  (((token_offset + n_tokens - 1) // 512) - (token_offset // 512) + 1)::BIGINT
+         |    AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_top_ngrams" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),

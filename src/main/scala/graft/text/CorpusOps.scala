@@ -60,6 +60,55 @@ object CorpusOps {
       .filter(col("u") < col("rate"))
   }
 
+  /** Greedy fixed-length sequence packing — the pretraining dataloader
+    * layout: documents concatenate in id order into one global token
+    * stream that is cut into `seqLen`-token training sequences
+    * (documents straddle cuts, the standard GPT-style packing). Each
+    * document gets its global token offset and the sequence span it
+    * lands in.
+    *
+    * Scale design: the global offset is a DISTRIBUTED prefix sum — a
+    * per-block aggregate (block = id div `blockSize`), a prefix window
+    * over the block-sum table (bounded: nDocs / blockSize rows — size
+    * blockSize so this stays ~1e6 at target scale), and an intra-block
+    * running sum partitioned by block. No corpus-wide single-partition
+    * window, no driver collect. Requires non-negative ids (id div
+    * blockSize must be monotone).
+    *
+    * @return (doc_id, n_tokens, token_offset, start_seq, start_offset,
+    *         end_seq, n_seqs) for docs with >= 1 token
+    */
+  def packSequences(
+      docs: DataFrame,
+      seqLen: Int = 2048,
+      blockSize: Long = 1L << 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      // `div` (integral), not `/` (double division truncates wrongly
+      // past 2^53 and costs a round-trip through floating point)
+      .withColumn("__blk", expr(s"cast(doc_id as bigint) div ${blockSize}"))
+    val blockSums = t.groupBy("__blk")
+      .agg(sum(col("n_tokens")).as("__bsum"))
+      .withColumn("__bpre", coalesce(sum(col("__bsum")).over(
+        Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__blk", "__bpre")
+    val intra = Window.partitionBy("__blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(blockSums), Seq("__blk"))
+      .withColumn("token_offset",
+        col("__bpre") + coalesce(sum(col("n_tokens")).over(intra), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+        expr(s"token_offset div ${seqLen}").as("start_seq"),
+        (col("token_offset") % seqLen).as("start_offset"),
+        expr(s"(token_offset + n_tokens - 1) div ${seqLen}").as("end_seq"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + 1)
+  }
+
   /** Temperature-scaled domain mixture weights: per domain (source),
     * token share p_d = tokens_d / total, sampling weight
     * w_d = p_d^alpha / sum(p^alpha) — alpha < 1 upsamples small

@@ -83,6 +83,67 @@ object TextStats {
       .select("doc_id", "n", "top_count", "total", "top_frac")
       .orderBy("doc_id", "n")
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021,
+    * MassiveText §A.1.1): each document gets the raw signal columns,
+    * one 0/1 flag per rule, and the conjunction `quality_pass` —
+    * pipelines keep the flags so filter ablations don't re-scan the
+    * corpus. Line-shape rules (bullet/ellipsis lines) are omitted: the
+    * corpus is single-space normalized with no line structure.
+    *
+    * Rules: 50 <= word count <= 100k; mean word length in [3, 10];
+    * symbol-to-word ratio ('#' or '...') <= 0.1; >= 80% of words
+    * contain an alphabetic character; >= 2 distinct stopwords
+    * (harmful-boilerplate guard); top-2-gram fraction <= 0.20
+    * (repetition guard).
+    *
+    * One narrow projection plus the 2-gram repetition aggregate
+    * (explode + two map-side-combinable hash aggs) joined back per
+    * doc — no other shuffle. All ratios are exact integer rationals
+    * rounded to 1e-9 (cross-engine stable). */
+  def gopherRules(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val nChars = length(col(textCol)).cast("double")
+    val meanLen = (nChars - (nTok - 1.0)) / nTok
+    val alphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double")
+    val stopDistinct = size(array_intersect(array_distinct(toks),
+      array(EnglishStopwords.map(lit): _*)))
+    val nHash = nChars - length(regexp_replace(col(textCol), "#", ""))
+    val nEllipsis = (nChars -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3.0
+    val symbolRatio = (nHash + nEllipsis) / nTok
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      nTok.cast("long").as("n_words"),
+      round(meanLen, 9).as("mean_word_len"),
+      round(alphaWords / nTok, 9).as("frac_alpha_words"),
+      stopDistinct.cast("long").as("n_stop_distinct"),
+      round(symbolRatio, 9).as("symbol_word_ratio"))
+    val rep2 = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.shingleSeq(toks, 2)).as("__g"))
+      .groupBy("doc_id", "__g").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id").agg(
+        (max(col("__c")).cast("double") / sum(col("__c"))).as("__tf"))
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    base.join(rep2, Seq("doc_id"), "left")
+      .withColumn("top2gram_frac", round(coalesce(col("__tf"), lit(0.0)), 9))
+      .withColumn("r_wordcount",
+        flag(col("n_words") >= 50 && col("n_words") <= 100000))
+      .withColumn("r_wordlen",
+        flag(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0))
+      .withColumn("r_symbol", flag(col("symbol_word_ratio") <= 0.1))
+      .withColumn("r_alpha", flag(col("frac_alpha_words") >= 0.8))
+      .withColumn("r_stop", flag(col("n_stop_distinct") >= 2))
+      .withColumn("r_rep", flag(col("top2gram_frac") <= 0.2))
+      .withColumn("quality_pass",
+        col("r_wordcount") * col("r_wordlen") * col("r_symbol") *
+          col("r_alpha") * col("r_stop") * col("r_rep"))
+      .drop("__tf")
+  }
+
   /** Corpus-level top-k positional n-grams — vocabulary statistics for
     * tokenizer training / boilerplate discovery: per n-gram the total
     * occurrence count and the document frequency, ordered by

@@ -79,6 +79,13 @@ object Ivf {
       i => struct(element_at(dists, i + 1).as("d"), i.cast("int").as("cell")))),
       1, n).getField("cell")
 
+  /** Nearest-cell assignment (0-based) of a vector column against a
+    * trained centroid matrix — the building block cluster-based
+    * curation ops (e.g. [[SemDedup]]) compose with [[trainCentroids]].
+    * Exact: fixed-point quantization + integer distances. */
+  def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
+    argminCell(cellDists(quantize(vec), centroids))
+
   /** Lloyd's k-means over a bounded training sample; returns the
     * centroid matrix on the fixed-point grid (integer-valued doubles).
     * Deterministic init from the k lowest-id vectors of the sample.

@@ -1,0 +1,71 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+  * direction-normalized embeddings with a k-means coarse quantizer,
+  * then find near-duplicate pairs WITHIN each cluster by exact cosine
+  * — the standard embedding-level dedup stage of LLM training-data
+  * pipelines, catching paraphrases and re-encodings that n-gram
+  * methods miss.
+  *
+  * Scale design: the candidate join is an equi-join on cell id — never
+  * all-pairs; per-cell work is quadratic only in the cell size, which
+  * the caller bounds by scaling `nCells` with the corpus (the paper
+  * uses ~1 cell per 10-50k docs). Training cost is bounded by
+  * [[Ivf.trainCentroids]]'s hash-sample cap; the only full-corpus
+  * passes are one normalization+assignment scan and the bucketed
+  * self-join.
+  *
+  * Determinism: normalization is one IEEE division per component,
+  * clustering runs on [[Ivf]]'s exact fixed-point grid, and the keep
+  * decision is min-id — the verdict is bitwise reproducible across
+  * runs, partitionings, and engines (the DuckDB oracle replays it).
+  */
+object SemDedup {
+
+  /** Per-vector semantic-dedup verdict.
+    *
+    * A vector is a duplicate iff some LOWER-ID vector in its cell has
+    * cosine >= `threshold` with it; `keep_id` names the smallest such
+    * neighbor (the cluster representative), self otherwise.
+    *
+    * @return (vec_id, cell, n_dups, keep_id, is_dup) — n_dups counts
+    *         the lower-id near-duplicate neighbors
+    */
+  def semDedup(
+      emb: DataFrame,
+      nCells: Int = 16,
+      threshold: Double = 0.95,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // direction-normalize: cosine geometry becomes L2 geometry, so the
+    // scaled/re-encoded copies SemDeDup exists to catch land in the
+    // same cell as their originals
+    val nrm = emb.select(col(idCol), col(vecCol),
+        Similarity.l2Norm(col(vecCol)).as("__n"))
+      .withColumn("__nv",
+        transform(col(vecCol), x => x.cast("double") / col("__n")))
+    val centroids = Ivf.trainCentroids(nrm, nCells, iters, idCol, "__nv")
+    val a = nrm.select(col(idCol), col(vecCol), col("__n"),
+      Ivf.cellOf(col("__nv"), centroids).as("cell"))
+    val pairs = a.select(col(idCol).as("__ida"), col(vecCol).as("__va"),
+        col("__n").as("__na"), col("cell"))
+      .join(a.select(col(idCol).as("__idb"), col(vecCol).as("__vb"),
+        col("__n").as("__nb"), col("cell")), Seq("cell"))
+      .filter(col("__ida") < col("__idb"))
+      .withColumn("__cos",
+        Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("__cos") >= threshold)
+    val dups = pairs.groupBy(col("__idb").as(idCol))
+      .agg(count(lit(1)).as("n_dups"), min(col("__ida")).as("__keep"))
+    a.select(col(idCol), col("cell").cast("long").as("cell"))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("__keep"), col(idCol)).as("keep_id"),
+        when(col("n_dups").isNotNull, lit(1L)).otherwise(lit(0L)).as("is_dup"))
+  }
+}

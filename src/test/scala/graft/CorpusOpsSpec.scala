@@ -37,6 +37,50 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("contaminated") === 1L)
   }
 
+  test("packSequences: contiguous offsets, correct seq spans, blocks agree") {
+    val d = docs(
+      0L -> "a b c",             // 3 tokens, offset 0
+      1L -> "d e f g h",         // 5 tokens, offset 3
+      2L -> "",                  // 0 tokens -> dropped
+      3L -> "i j",               // 2 tokens, offset 8
+      7L -> ("w " * 9).trim,     // 9 tokens, offset 10
+      9L -> "z")                 // 1 token, offset 19
+    val out = CorpusOps.packSequences(d, seqLen = 8, blockSize = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 1L, 3L, 7L, 9L))
+    assert(out.map(_.getAs[Long]("token_offset")).toSeq ===
+      Seq(0L, 3L, 8L, 10L, 19L))
+    // doc 1 (tokens 3..7) fits seq 0; doc 3 (8..9) opens seq 1;
+    // doc 7 (10..18) straddles seqs 1-2; doc 9 (19) sits in seq 2
+    assert(out.map(r => (r.getAs[Long]("start_seq"), r.getAs[Long]("end_seq"),
+      r.getAs[Long]("n_seqs"))).toSeq ===
+      Seq((0L, 0L, 1L), (0L, 0L, 1L), (1L, 1L, 1L), (1L, 2L, 2L), (2L, 2L, 1L)))
+    assert(out.map(_.getAs[Long]("start_offset")).toSeq ===
+      Seq(0L, 3L, 0L, 2L, 3L))
+    // block size 1 forces every doc through the block-prefix path;
+    // offsets must be identical
+    val blocky = CorpusOps.packSequences(d, seqLen = 8, blockSize = 1)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("token_offset")).toSeq
+    assert(blocky === Seq(0L, 3L, 8L, 10L, 19L))
+  }
+
+  test("gopherRules flags short, repetitive, and stopword-free docs") {
+    // 70 words, stopwords present, mean word length in [3,10]
+    val good = (("the of and to in " * 4) +
+      (0 until 50).map(i => s"word${i}xyz").mkString(" ")).trim
+    val d = docs(
+      1L -> good,
+      2L -> "tiny doc",                        // fails wordcount + stop
+      3L -> (("the of " + "x y " * 30).trim))  // top-2gram "x y" dominant
+    val out = graft.text.TextStats.gopherRules(d)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("quality_pass") === 1L)
+    assert(out(2L).getAs[Long]("r_wordcount") === 0L)
+    assert(out(2L).getAs[Long]("quality_pass") === 0L)
+    assert(out(3L).getAs[Long]("r_rep") === 0L)
+    assert(out(3L).getAs[Long]("quality_pass") === 0L)
+  }
+
   test("hashSplit is deterministic, in-range, and respects thresholds") {
     val d = (0L until 500L).map(i => i -> s"doc $i").toDF("doc_id", "text")
     val a = CorpusOps.hashSplit(d).select("doc_id", "bucket", "split")

@@ -80,6 +80,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
   }
 
+  test("semDedup flags scaled copies, keeps the lowest id, spares the rest") {
+    // two direction-clusters plus exact scaled copies of ids 0 and 1
+    val base = (0 until 8).map(i => (i.toLong, vec(Seq(1, 97)(i % 2))))
+    val copies = Seq(10L -> vec(1).map(_ * 1.25f), 11L -> vec(97).map(_ * 0.5f))
+    val d = emb((base ++ copies): _*)
+    val out = graft.vector.SemDedup.semDedup(d, nCells = 2, threshold = 0.999)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("is_dup"), r.getAs[Long]("keep_id"))).toMap
+    assert(out(10L) === ((1L, 0L)))
+    assert(out(11L) === ((1L, 1L)))
+    // originals 0/1 are themselves duplicated by 2..7? ids 2,4,6 share
+    // cluster 1's direction exactly (same seed) so they dedup onto 0 —
+    // the invariant to pin is: every flagged dup keeps a LOWER id, and
+    // nothing keeps a flagged dup
+    val dups = out.filter(_._2._1 == 1L)
+    assert(dups.forall { case (id, (_, keep)) => keep < id })
+    assert(out(0L)._1 === 0L && out(1L)._1 === 0L)
+  }
+
+  test("semDedup verdict is deterministic across runs") {
+    val rows = (0 until 20).map(i => (i.toLong, vec(i % 5, jitter = 0.1f)))
+    val d = emb(rows: _*)
+    val r1 = graft.vector.SemDedup.semDedup(d, nCells = 4, threshold = 0.9)
+      .collect().map(_.toSeq).toSeq
+    val r2 = graft.vector.SemDedup.semDedup(d, nCells = 4, threshold = 0.9)
+      .collect().map(_.toSeq).toSeq
+    assert(r1 === r2)
+  }
+
   test("cosineNearDups finds planted duplicate pair only") {
     val a = vec(5)
     val dup = a.map(x => x * 1.001f)
