@@ -79,5 +79,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // gram-hash matching never plans a fan-out join on the corpus side
     assert(plans("q_contamination").contains("BroadcastHashJoin"),
       "q_contamination does not broadcast the benchmark side")
+    // semantic dedup candidates come from an equi-join on cell id —
+    // never a cross product of the corpus with itself
+    assert(plans("q_semdedup").contains("Join") &&
+      !plans("q_semdedup").contains("CartesianProduct"),
+      "q_semdedup lost the cell-bucketed candidate join")
+    // sequence packing must broadcast the bounded block-prefix table
+    // (the corpus side never shuffles for the offset join)
+    assert(plans("q_pack_seqs").contains("BroadcastHashJoin"),
+      "q_pack_seqs does not broadcast the block-prefix table")
+    // gopher rules: the repetition aggregate partial-aggregates
+    // map-side (the only shuffle-bound stage of the operator)
+    assert(plans("q_gopher_rules").contains("partial_max"),
+      "q_gopher_rules lost map-side partial aggregation")
   }
 }
