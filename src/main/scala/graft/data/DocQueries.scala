@@ -167,6 +167,22 @@ object DocQueries {
     "q_pack_seqs" -> ((s, dir) =>
       CorpusOps.packSequences(documents(s, dir), seqLen = 512)
         .orderBy("doc_id")),
+    "q_int8_quant" -> ((s, dir) =>
+      Embeddings.int8Quantize(embeddings(s, dir)).orderBy("vec_id", "dim")),
+    "q_sample_k" -> ((s, dir) =>
+      CorpusOps.sampleKPerGroup(documents(s, dir), k = 25)
+        .select("doc_id", "source", "pick_rank").orderBy("source", "pick_rank")),
+    "q_pii" -> ((s, dir) => {
+      // the corpus is clean word soup — plant deterministic PII on every
+      // 7th doc so the operator has real work and a checkable answer
+      val planted = documents(s, dir).withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com id 123-45-6789 call 555-867-5309")))
+          .otherwise(col("text")))
+      TextStats.redactPii(planted).orderBy("doc_id")
+    }),
     "q_top_ngrams" -> ((s, dir) =>
       TextStats.topNgrams(documents(s, dir), n = 2, k = 100)),
     "q_centroids" -> ((s, dir) =>
@@ -692,6 +708,50 @@ object DocQueries {
          |  r_wordcount * r_wordlen * r_symbol * r_alpha * r_stop * r_rep
          |    AS quality_pass
          |FROM fl ORDER BY doc_id""".stripMargin
+    },
+
+    "q_int8_quant" ->
+      """WITH e AS (SELECT vec_id, d, embedding[d + 1]::DOUBLE AS x
+        |  FROM embeddings CROSS JOIN range(64) t(d)),
+        |st AS (SELECT d, min(x) AS lo, max(x) AS hi,
+        |  (max(x) - min(x)) / 255.0 AS step FROM e GROUP BY d),
+        |c AS (SELECT vec_id, e.d AS dim, x, lo, hi, step,
+        |  CASE WHEN hi = lo THEN 0 ELSE
+        |    least(255, greatest(0, round((x - lo) / step, 0)::BIGINT)) END AS code
+        |  FROM e JOIN st ON e.d = st.d)
+        |SELECT vec_id, dim, code,
+        |  round(CASE WHEN hi = lo THEN lo ELSE lo + code::DOUBLE * step END, 9)
+        |    AS recon
+        |FROM c ORDER BY vec_id, dim""".stripMargin,
+
+    "q_sample_k" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  ${hash56("'pick:graft:' || doc_id::VARCHAR")} AS hv FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+         |    AS pick_rank FROM h)
+         |SELECT doc_id, source, pick_rank FROM r WHERE pick_rank <= 25
+         |ORDER BY source, pick_rank""".stripMargin,
+
+    "q_pii" -> {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+      val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      s"""WITH w AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+         |    doc_id::VARCHAR || '@example.com id 123-45-6789 call 555-867-5309'
+         |  ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(regexp_replace(text, '$email', ' ', 'g'),
+         |    '$ssn'))::BIGINT AS n_ssns,
+         |  len(regexp_extract_all(regexp_replace(regexp_replace(text,
+         |    '$email', ' ', 'g'), '$ssn', ' ', 'g'), '$phone'))::BIGINT AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'), '$ssn', '<SSN>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS redacted
+         |FROM w ORDER BY doc_id""".stripMargin
     },
 
     "q_pack_seqs" ->

@@ -60,6 +60,29 @@ object CorpusOps {
       .filter(col("u") < col("rate"))
   }
 
+  /** Deterministic k-per-group sample: rank each group's documents by
+    * a salted id hash (ties by id — total order) and keep the first k.
+    * The hash order is a reproducible shuffle, so this is uniform
+    * sampling that is stable across runs, engines, and corpus growth
+    * within a group's surviving members — the standard way to carve
+    * fixed-size eval/inspection sets per domain.
+    *
+    * One shuffle (by group) + a streaming row_number window; per-group
+    * partitions stream, they are never buffered. */
+  def sampleKPerGroup(
+      docs: DataFrame,
+      k: Int,
+      salt: String = "graft",
+      idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hash56(concat_ws(":", lit("pick"), lit(salt),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    docs.withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= k)
+  }
+
   /** Greedy fixed-length sequence packing — the pretraining dataloader
     * layout: documents concatenate in id order into one global token
     * stream that is cut into `seqLen`-token training sequences

@@ -188,6 +188,41 @@ object TextStats {
         (length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", "")))).as("bpe_tokens"))
   }
 
+  /** PII detection + redaction: count and mask email addresses,
+    * SSN-shaped, and US-phone-shaped numbers — the standard pre-release
+    * scrubbing stage of public training corpora. Patterns are kept to
+    * the portable regex core (char classes + bounded repetition) so
+    * Java regex and RE2-family engines agree token-for-token;
+    * replacement is left-to-right non-overlapping in both.
+    *
+    * A pure projection — no shuffle, scales linearly.
+    *
+    * @return (doc_id, n_emails, n_ssns, n_phones, redacted)
+    */
+  def redactPii(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    def cnt(c: Column, pat: String): Column =
+      (size(split(c, pat, -1)) - 1).cast("long")
+    // redact emails first: an email's local part can contain digits but
+    // the dashed number shapes cannot contain '@', so the order only
+    // matters for emails vs the rest
+    val r1 = regexp_replace(col(textCol), email, "<EMAIL>")
+    val r2 = regexp_replace(r1, ssn, "<SSN>")
+    val r3 = regexp_replace(r2, phone, "<PHONE>")
+    docs.select(
+      col(idCol).as("doc_id"),
+      cnt(col(textCol), email).as("n_emails"),
+      cnt(regexp_replace(col(textCol), email, " "), ssn).as("n_ssns"),
+      cnt(regexp_replace(regexp_replace(col(textCol), email, " "), ssn, " "),
+        phone).as("n_phones"),
+      r3.as("redacted"))
+  }
+
   /** Small English stopword list for the quality heuristic. */
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "and", "to", "in", "is", "it", "that",

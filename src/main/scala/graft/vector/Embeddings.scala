@@ -62,6 +62,41 @@ object Embeddings {
           .getField("value").as("centroid"),
         first(col("n_vecs")).as("n_vecs"))
 
+  /** Per-dimension affine int8 scalar quantization — the standard 4x
+    * embedding-storage compression for vector search at scale (codes
+    * feed asymmetric-distance reranking; the corpus keeps one byte per
+    * dimension). Long-form output so codes are engine-comparable ints.
+    *
+    * Scale design: the stats pass is one explode + bounded hash
+    * aggregate (dim rows out, map-side combinable); the coding pass
+    * broadcasts the dim-sized stats table back — no corpus shuffle.
+    * Determinism: min/max are exact comparisons, the step and code are
+    * single IEEE ops, round half-up — bitwise engine-reproducible.
+    *
+    * @return (vec_id, dim, code 0..255, recon) — recon = lo+code*step,
+    *         rounded 1e-9
+    */
+  def int8Quantize(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"),
+      posexplode(col(vecCol)).as(Seq("dim", "__xf")))
+      .withColumn("__x", col("__xf").cast("double"))
+    val stats = e.groupBy("dim")
+      .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+      .withColumn("__step", (col("__hi") - col("__lo")) / lit(255.0))
+    e.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            round((col("__x") - col("__lo")) / col("__step"), 0).cast("long")))))
+      .select(col("vec_id"), col("dim"), col("code"),
+        round(when(col("__hi") === col("__lo"), col("__lo"))
+          .otherwise(col("__lo") + col("code").cast("double") * col("__step")), 9)
+          .as("recon"))
+  }
+
   /** k-NN majority-vote classification: every query vector gets the
     * modal label among its k nearest labeled neighbors (exact cosine;
     * ties broken by higher vote count then smaller label — integer

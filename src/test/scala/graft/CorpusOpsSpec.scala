@@ -81,6 +81,42 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L).getAs[Long]("quality_pass") === 0L)
   }
 
+  test("sampleKPerGroup keeps exactly k per group, deterministically") {
+    val d = (0 until 60).map(i => (i.toLong, s"doc $i", s"g${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val a = CorpusOps.sampleKPerGroup(d, k = 5)
+      .select("doc_id", "source", "pick_rank").collect()
+    assert(a.length === 15)
+    assert(a.groupBy(_.getString(1)).forall(_._2.length == 5))
+    val b = CorpusOps.sampleKPerGroup(d, k = 5)
+      .select("doc_id", "source", "pick_rank").collect()
+    assert(a.map(_.toSeq).sortBy(_.toString) === b.map(_.toSeq).sortBy(_.toString))
+    // a member's rank never depends on higher-ranked removals: top-3 of
+    // k=5 equals k=3 selection (prefix property of the hash order)
+    val c = CorpusOps.sampleKPerGroup(d, k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val topOf5 = a.filter(_.getInt(2) <= 3).map(_.getLong(0)).toSet
+    assert(c === topOf5)
+  }
+
+  test("redactPii counts and masks emails, SSNs, and phone numbers") {
+    val d = docs(
+      1L -> "write bob.smith+x@mail.example.org or call 555-867-5309 now",
+      2L -> "ssn 123-45-6789 twice 987-65-4321 end",
+      3L -> "clean text with no personal data at all")
+    val out = graft.text.TextStats.redactPii(d)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") === 1L)
+    assert(out(1L).getAs[Long]("n_phones") === 1L)
+    assert(out(1L).getAs[String]("redacted") ===
+      "write <EMAIL> or call <PHONE> now")
+    assert(out(2L).getAs[Long]("n_ssns") === 2L)
+    assert(out(2L).getAs[String]("redacted") === "ssn <SSN> twice <SSN> end")
+    assert(out(3L).getAs[Long]("n_emails") === 0L)
+    assert(out(3L).getAs[String]("redacted") ===
+      "clean text with no personal data at all")
+  }
+
   test("hashSplit is deterministic, in-range, and respects thresholds") {
     val d = (0L until 500L).map(i => i -> s"doc $i").toDF("doc_id", "text")
     val a = CorpusOps.hashSplit(d).select("doc_id", "bucket", "split")

@@ -80,6 +80,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
   }
 
+  test("int8Quantize: codes in range, endpoints exact, error within half-step") {
+    val d = emb((0 until 10).map(i => (i.toLong, vec(i))): _*)
+    val out = graft.vector.Embeddings.int8Quantize(d).collect()
+    assert(out.length === 10 * 8)
+    assert(out.forall { r =>
+      val c = r.getAs[Long]("code"); c >= 0L && c <= 255L
+    })
+    // reconstruct and bound the error by step/2 per dimension
+    val byDim = d.select(col("vec_id"), posexplode(col("embedding"))
+      .as(Seq("dim", "x"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getFloat(2).toDouble).toMap
+    val dims = byDim.groupBy(_._1._2).map { case (dim, m) =>
+      val xs = m.values
+      dim -> ((xs.max - xs.min) / 255.0)
+    }
+    out.foreach { r =>
+      val x = byDim((r.getAs[Long]("vec_id"), r.getAs[Int]("dim")))
+      val step = dims(r.getAs[Int]("dim"))
+      assert(math.abs(r.getAs[Double]("recon") - x) <= step / 2 + 1e-9)
+    }
+  }
+
   test("semDedup flags scaled copies, keeps the lowest id, spares the rest") {
     // two direction-clusters plus exact scaled copies of ids 0 and 1
     val base = (0 until 8).map(i => (i.toLong, vec(Seq(1, 97)(i % 2))))
