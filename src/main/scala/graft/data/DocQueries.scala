@@ -123,6 +123,13 @@ object DocQueries {
       graft.vector.Ivf.ivfTopK(e, e.filter(col("vec_id") < 20), k = 10,
         nCells = 16, nProbe = 4)
     }),
+    "q_pq_adc" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val books = graft.vector.Pq.trainCodebooks(e, dim = 64, m = 8, k = 16,
+        iters = 3)
+      graft.vector.Pq.adcTopK(e, e.filter(col("vec_id") < 20), books,
+        dim = 64, k = 10)
+    }),
     "q_semdedup" -> ((s, dir) =>
       // semantic dedup over the planted-copy corpus: the 1.25-scaled
       // copies normalize onto their originals, land in the same k-means
@@ -250,20 +257,20 @@ object DocQueries {
     * lower cell, half-up floor-division centroid snaps; empty cells
     * keep their previous centroid (the coalesce). Shared by the IVF
     * ANN and SemDeDup oracles. */
-  private def lloydChain(iters: Int): String =
+  private def lloydChain(iters: Int, pfx: String = ""): String =
     (1 to iters).map { i =>
-      val p = s"c${i - 1}"
-      s"""d$i AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
-         |  FROM eqs v JOIN $p c ON v.d = c.d GROUP BY 1, 2),
-         |a$i AS (SELECT vec_id, cell FROM (
+      val p = s"${pfx}c${i - 1}"
+      s"""${pfx}d$i AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM ${pfx}eqs v JOIN $p c ON v.d = c.d GROUP BY 1, 2),
+         |${pfx}a$i AS (SELECT vec_id, cell FROM (
          |  SELECT vec_id, cell,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |  FROM d$i) WHERE rn = 1),
-         |n$i AS (SELECT cell, d,
+         |  FROM ${pfx}d$i) WHERE rn = 1),
+         |${pfx}n$i AS (SELECT cell, d,
          |    floor((2 * sum(q) + count(*))::DOUBLE / (2 * count(*)))::BIGINT AS q
-         |  FROM eqs JOIN a$i USING (vec_id) GROUP BY 1, 2),
-         |c$i AS (SELECT p.cell, p.d, coalesce(u.q, p.q) AS q
-         |  FROM $p p LEFT JOIN n$i u ON u.cell = p.cell AND u.d = p.d)""".stripMargin
+         |  FROM ${pfx}eqs JOIN ${pfx}a$i USING (vec_id) GROUP BY 1, 2),
+         |${pfx}c$i AS (SELECT p.cell, p.d, coalesce(u.q, p.q) AS q
+         |  FROM $p p LEFT JOIN ${pfx}n$i u ON u.cell = p.cell AND u.d = p.d)""".stripMargin
     }.mkString(",\n")
 
   /** Inverted-index exact-Jaccard pair CTE chain ending in
@@ -524,6 +531,58 @@ object DocQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_pq_adc" -> {
+      // replays Pq.trainCodebooks(m=8, k=16, iters=3) + encode + ADC:
+      // per subspace, the shared unrolled-Lloyd chain over the 8-dim
+      // slice; codes = per-subspace argmin; ADC = sum over subspaces of
+      // the query's exact distance to the assigned centroid. Every
+      // value is an exact integer on the fixed-point grid.
+      val m = 8; val subDim = 8; val iters = 3
+      val perSub = (0 until m).map { s =>
+        val off = s * subDim
+        s"""s${s}eqs AS (SELECT vec_id, d,
+           |    round(embedding[$off + d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+           |  FROM samp CROSS JOIN range($subDim) t(d)),
+           |s${s}c0 AS (SELECT i.cell, e.d, e.q
+           |  FROM init i JOIN s${s}eqs e USING (vec_id)),
+           |${lloydChain(iters, s"s$s")},
+           |s${s}eqa AS (SELECT vec_id, d,
+           |    round(embedding[$off + d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+           |  FROM embeddings CROSS JOIN range($subDim) t(d)),
+           |s${s}dall AS (SELECT v.vec_id, c.cell,
+           |    sum((v.q - c.q) * (v.q - c.q)) AS dist
+           |  FROM s${s}eqa v JOIN s${s}c$iters c ON v.d = c.d GROUP BY 1, 2),
+           |s${s}asg AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM s${s}dall) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val codesLong = (0 until m)
+        .map(s => s"SELECT vec_id, $s AS s, cell FROM s${s}asg")
+        .mkString("\nUNION ALL\n")
+      val qdLong = (0 until m)
+        .map(s => s"SELECT vec_id, $s AS s, cell, dist FROM s${s}dall WHERE vec_id < 20")
+        .mkString("\nUNION ALL\n")
+      s"""WITH cnt AS (SELECT greatest(1, count(*) // 4096) AS rate FROM embeddings),
+         |samp AS (SELECT vec_id, embedding FROM embeddings, cnt
+         |  WHERE rate <= 1 OR (vec_id * 2654435761) % 1000003 % rate = 0),
+         |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+         |  FROM samp ORDER BY vec_id LIMIT 16),
+         |$perSub,
+         |codes_long AS ($codesLong),
+         |qd_long AS ($qdLong),
+         |ad AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    sum(q.dist)::BIGINT AS adc_dist
+         |  FROM codes_long c JOIN qd_long q ON q.s = c.s AND q.cell = c.cell
+         |  WHERE q.vec_id <> c.vec_id GROUP BY 1, 2),
+         |rk AS (SELECT query_id, neighbor_id, adc_dist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist, neighbor_id) AS rank
+         |  FROM ad)
+         |SELECT query_id, rank, neighbor_id, adc_dist
          |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 

@@ -86,6 +86,12 @@ object Ivf {
   def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
     argminCell(cellDists(quantize(vec), centroids))
 
+  /** Exact integer-valued squared distances from a (raw) vector column
+    * to every centroid, as `array<double>` — [[Pq]] uses this to build
+    * per-query ADC distance tables. */
+  def quantizedDists(vec: Column, centroids: Array[Array[Double]]): Column =
+    cellDists(quantize(vec), centroids)
+
   /** Lloyd's k-means over a bounded training sample; returns the
     * centroid matrix on the fixed-point grid (integer-valued doubles).
     * Deterministic init from the k lowest-id vectors of the sample.

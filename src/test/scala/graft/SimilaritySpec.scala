@@ -102,6 +102,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pq adcTopK keeps neighbors inside the query's cluster") {
+    // three well-separated clusters; ADC distances must rank same-cluster
+    // vectors ahead of the rest for every query
+    val rows = (0 until 60).map { i =>
+      val base = vec(Seq(1, 97, 43)(i % 3))
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * (((i * 7 + d) % 5) - 2) })
+    }
+    val d = emb(rows: _*)
+    val books = graft.vector.Pq.trainCodebooks(d, dim = 8, m = 2, k = 4,
+      iters = 3)
+    val out = graft.vector.Pq.adcTopK(d, d.filter(col("vec_id") < 3), books,
+      dim = 8, k = 5).collect()
+    assert(out.length === 15)
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(q % 3 === n % 3,
+        s"query $q got out-of-cluster neighbor $n at rank ${r.getAs[Long]("rank")}")
+    }
+  }
+
+  test("pq codes are deterministic across runs") {
+    val rows = (0 until 30).map(i => (i.toLong, vec(i % 7, jitter = 0.2f)))
+    val d = emb(rows: _*)
+    val b1 = graft.vector.Pq.trainCodebooks(d, dim = 8, m = 2, k = 4)
+    val b2 = graft.vector.Pq.trainCodebooks(d, dim = 8, m = 2, k = 4)
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq === b2.map(_.map(_.toSeq).toSeq).toSeq)
+    val c1 = graft.vector.Pq.encode(d, b1, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c2 = graft.vector.Pq.encode(d, b2, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 === c2)
+  }
+
   test("semDedup flags scaled copies, keeps the lowest id, spares the rest") {
     // two direction-clusters plus exact scaled copies of ids 0 and 1
     val base = (0 until 8).map(i => (i.toLong, vec(Seq(1, 97)(i % 2))))
