@@ -130,6 +130,16 @@ object DocQueries {
       graft.vector.Pq.adcTopK(e, e.filter(col("vec_id") < 20), books,
         dim = 64, k = 10)
     }),
+    "q_ivfadc" -> ((s, dir) => {
+      // the full IVFADC stack: coarse IVF probe + PQ ADC over the
+      // probed cells only (equi-join candidates, no full scan)
+      val e = embeddings(s, dir)
+      val coarse = graft.vector.Ivf.trainCentroids(e, nCells = 16, iters = 5)
+      val books = graft.vector.Pq.trainCodebooks(e, dim = 64, m = 8, k = 16,
+        iters = 3)
+      graft.vector.Pq.ivfAdcTopK(e, e.filter(col("vec_id") < 20), coarse,
+        books, dim = 64, k = 10, nProbe = 4)
+    }),
     "q_semdedup" -> ((s, dir) =>
       // semantic dedup over the planted-copy corpus: the 1.25-scaled
       // copies normalize onto their originals, land in the same k-means
@@ -272,6 +282,49 @@ object DocQueries {
          |${pfx}c$i AS (SELECT p.cell, p.d, coalesce(u.q, p.q) AS q
          |  FROM $p p LEFT JOIN ${pfx}n$i u ON u.cell = p.cell AND u.d = p.d)""".stripMargin
     }.mkString(",\n")
+
+  /** Shared PQ oracle fragments (m=8 subspaces x 8 dims, k=16 codes,
+    * 3 Lloyd iterations over the trainCap hash-sample): sample + init
+    * CTEs, per-subspace chains ending in `s<i>asg`/`s<i>dall`, and the
+    * long-form code/distance unions. Used by the flat-ADC and IVFADC
+    * oracles. */
+  private val pqSharedCtes: String =
+    """cnt AS (SELECT greatest(1, count(*) // 4096) AS rate FROM embeddings),
+      |samp AS (SELECT vec_id, embedding FROM embeddings, cnt
+      |  WHERE rate <= 1 OR (vec_id * 2654435761) % 1000003 % rate = 0),
+      |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+      |  FROM samp ORDER BY vec_id LIMIT 16)""".stripMargin
+
+  private val pqSubChains: String = {
+    val m = 8; val subDim = 8; val iters = 3
+    (0 until m).map { s =>
+      val off = s * subDim
+      s"""s${s}eqs AS (SELECT vec_id, d,
+         |    round(embedding[$off + d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM samp CROSS JOIN range($subDim) t(d)),
+         |s${s}c0 AS (SELECT i.cell, e.d, e.q
+         |  FROM init i JOIN s${s}eqs e USING (vec_id)),
+         |${lloydChain(iters, s"s$s")},
+         |s${s}eqa AS (SELECT vec_id, d,
+         |    round(embedding[$off + d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM embeddings CROSS JOIN range($subDim) t(d)),
+         |s${s}dall AS (SELECT v.vec_id, c.cell,
+         |    sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM s${s}eqa v JOIN s${s}c$iters c ON v.d = c.d GROUP BY 1, 2),
+         |s${s}asg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM s${s}dall) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  private val pqCodesLong: String = (0 until 8)
+    .map(s => s"SELECT vec_id, $s AS s, cell FROM s${s}asg")
+    .mkString("\nUNION ALL\n")
+
+  private val pqQdLong: String = (0 until 8)
+    .map(s => s"SELECT vec_id, $s AS s, cell, dist FROM s${s}dall WHERE vec_id < 20")
+    .mkString("\nUNION ALL\n")
 
   /** Inverted-index exact-Jaccard pair CTE chain ending in
     * `j(doc_a, doc_b, jaccard)` — shared by the pair and cluster
@@ -540,44 +593,55 @@ object DocQueries {
       // slice; codes = per-subspace argmin; ADC = sum over subspaces of
       // the query's exact distance to the assigned centroid. Every
       // value is an exact integer on the fixed-point grid.
-      val m = 8; val subDim = 8; val iters = 3
-      val perSub = (0 until m).map { s =>
-        val off = s * subDim
-        s"""s${s}eqs AS (SELECT vec_id, d,
-           |    round(embedding[$off + d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
-           |  FROM samp CROSS JOIN range($subDim) t(d)),
-           |s${s}c0 AS (SELECT i.cell, e.d, e.q
-           |  FROM init i JOIN s${s}eqs e USING (vec_id)),
-           |${lloydChain(iters, s"s$s")},
-           |s${s}eqa AS (SELECT vec_id, d,
-           |    round(embedding[$off + d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
-           |  FROM embeddings CROSS JOIN range($subDim) t(d)),
-           |s${s}dall AS (SELECT v.vec_id, c.cell,
-           |    sum((v.q - c.q) * (v.q - c.q)) AS dist
-           |  FROM s${s}eqa v JOIN s${s}c$iters c ON v.d = c.d GROUP BY 1, 2),
-           |s${s}asg AS (SELECT vec_id, cell FROM (
-           |  SELECT vec_id, cell,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-           |  FROM s${s}dall) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val codesLong = (0 until m)
-        .map(s => s"SELECT vec_id, $s AS s, cell FROM s${s}asg")
-        .mkString("\nUNION ALL\n")
-      val qdLong = (0 until m)
-        .map(s => s"SELECT vec_id, $s AS s, cell, dist FROM s${s}dall WHERE vec_id < 20")
-        .mkString("\nUNION ALL\n")
-      s"""WITH cnt AS (SELECT greatest(1, count(*) // 4096) AS rate FROM embeddings),
-         |samp AS (SELECT vec_id, embedding FROM embeddings, cnt
-         |  WHERE rate <= 1 OR (vec_id * 2654435761) % 1000003 % rate = 0),
-         |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
-         |  FROM samp ORDER BY vec_id LIMIT 16),
-         |$perSub,
-         |codes_long AS ($codesLong),
-         |qd_long AS ($qdLong),
+      s"""WITH $pqSharedCtes,
+         |$pqSubChains,
+         |codes_long AS ($pqCodesLong),
+         |qd_long AS ($pqQdLong),
          |ad AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    sum(q.dist)::BIGINT AS adc_dist
          |  FROM codes_long c JOIN qd_long q ON q.s = c.s AND q.cell = c.cell
          |  WHERE q.vec_id <> c.vec_id GROUP BY 1, 2),
+         |rk AS (SELECT query_id, neighbor_id, adc_dist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist, neighbor_id) AS rank
+         |  FROM ad)
+         |SELECT query_id, rank, neighbor_id, adc_dist
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_ivfadc" -> {
+      // replays Pq.ivfAdcTopK: the q_ann_ivf coarse chain (prefix g,
+      // 5 iters over the full 64 dims) routes corpus vectors to cells
+      // and queries to their 4 probe cells; the q_pq_adc subspace
+      // chains supply codes and distance tables; ADC scores only the
+      // probed cells' candidates.
+      s"""WITH $pqSharedCtes,
+         |geqs AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM samp CROSS JOIN range(64) t(d)),
+         |gc0 AS (SELECT i.cell, e.d, e.q FROM init i JOIN geqs e USING (vec_id)),
+         |${lloydChain(5, "g")},
+         |geqa AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM embeddings CROSS JOIN range(64) t(d)),
+         |gdall AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM geqa v JOIN gc5 c ON v.d = c.d GROUP BY 1, 2),
+         |gasg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM gdall) WHERE rn = 1),
+         |probe AS (SELECT vec_id AS query_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM gdall WHERE vec_id < 20) WHERE rn <= 4),
+         |$pqSubChains,
+         |codes_long AS ($pqCodesLong),
+         |qd_long AS ($pqQdLong),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probe p JOIN gasg a USING (cell) WHERE p.query_id <> a.vec_id),
+         |ad AS (SELECT query_id, neighbor_id, sum(q.dist)::BIGINT AS adc_dist
+         |  FROM cand JOIN codes_long c ON c.vec_id = neighbor_id
+         |            JOIN qd_long q ON q.vec_id = query_id
+         |                          AND q.s = c.s AND q.cell = c.cell
+         |  GROUP BY 1, 2),
          |rk AS (SELECT query_id, neighbor_id, adc_dist,
          |  row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_dist, neighbor_id) AS rank

@@ -92,6 +92,13 @@ object Ivf {
   def quantizedDists(vec: Column, centroids: Array[Array[Double]]): Column =
     cellDists(quantize(vec), centroids)
 
+  /** The `n` nearest cell ids (nearest first, ties toward the lower
+    * cell) of a raw vector column — the probe list [[Pq.ivfAdcTopK]]
+    * explodes. */
+  def nearestCellsOf(
+      vec: Column, centroids: Array[Array[Double]], n: Int): Column =
+    nearestCells(cellDists(quantize(vec), centroids), centroids.length, n)
+
   /** Lloyd's k-means over a bounded training sample; returns the
     * centroid matrix on the fixed-point grid (integer-valued doubles).
     * Deterministic init from the k lowest-id vectors of the sample.

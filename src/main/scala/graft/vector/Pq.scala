@@ -63,6 +63,54 @@ object Pq {
           codebooks(s))).toIndexedSeq: _*).as("codes"))
   }
 
+  /** IVFADC top-k (the full Jégou et al. layout): an IVF coarse
+    * quantizer routes each corpus vector to a cell; queries probe the
+    * `nProbe` nearest cells and ADC-score ONLY those cells' codes.
+    * Unlike [[adcTopK]]'s full scan, the candidate join is an
+    * equi-join on cell id — at 1000-executor scale the probe touches
+    * `nProbe / nCells` of the corpus and nothing is broadcast but the
+    * query batch. All distances stay exact integers.
+    *
+    * @return (query_id, rank, neighbor_id, adc_dist)
+    */
+  def ivfAdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      dim: Int,
+      k: Int = 10,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val subDim = dim / m
+    val nCells = coarse.length
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      Ivf.cellOf(col(vecCol), coarse).as("__cell"),
+      array(Array.tabulate(m)(s =>
+        Ivf.cellOf(slice(col(vecCol), s * subDim + 1, subDim),
+          codebooks(s))).toIndexedSeq: _*).as("codes"))
+    val probed = queries.select(col(idCol).as("query_id"),
+      explode(Ivf.nearestCellsOf(col(vecCol), coarse, nProbe)).as("__cell"),
+      array(Array.tabulate(m)(s =>
+        Ivf.quantizedDists(slice(col(vecCol), s * subDim + 1, subDim),
+          codebooks(s))).toIndexedSeq: _*).as("__dt"))
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("__dt"), s + 1),
+        element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    codes.join(broadcast(probed), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", adc.cast("long"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("long").as("rank"),
+        col("neighbor_id"), col("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** ADC top-k: for every query, the `k` corpus vectors with the
     * smallest code-approximated squared distance (sum over subspaces
     * of the exact query-to-assigned-centroid distance). Distances are

@@ -123,6 +123,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivfAdcTopK matches adcTopK on probed-cell neighbors") {
+    val rows = (0 until 60).map { i =>
+      val base = vec(Seq(1, 97, 43)(i % 3))
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * (((i * 7 + d) % 5) - 2) })
+    }
+    val d = emb(rows: _*)
+    val q = d.filter(col("vec_id") < 3)
+    val coarse = graft.vector.Ivf.trainCentroids(d, nCells = 6, iters = 4)
+    val books = graft.vector.Pq.trainCodebooks(d, dim = 8, m = 2, k = 4,
+      iters = 3)
+    // probing every cell makes IVFADC candidate-complete, so its top-k
+    // must equal the flat ADC scan's exactly (same integer distances,
+    // same tie-breaks)
+    val full = graft.vector.Pq.ivfAdcTopK(d, q, coarse, books, dim = 8,
+      k = 5, nProbe = 6).collect().map(_.toSeq).toSeq
+    val flat = graft.vector.Pq.adcTopK(d, q, books, dim = 8, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(full === flat)
+    // with 2 probes the results stay in-cluster
+    val pruned = graft.vector.Pq.ivfAdcTopK(d, q, coarse, books, dim = 8,
+      k = 5, nProbe = 2).collect()
+    pruned.foreach { r =>
+      assert(r.getAs[Long]("query_id") % 3 === r.getAs[Long]("neighbor_id") % 3)
+    }
+  }
+
   test("pq codes are deterministic across runs") {
     val rows = (0 until 30).map(i => (i.toLong, vec(i % 7, jitter = 0.2f)))
     val d = emb(rows: _*)
