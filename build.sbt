@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: headroom for local[32] task threads + the persisted caches
+  // (factor_data, shingle sets, pair graph) in one heap. Measured
+  // bench totals vary up to ~1.5x run-to-run REGARDLESS of heap size
+  // (8g/16g/48g all produced both ~140s and ~210s runs) — the guest is
+  // a microVM, so host neighbor load dominates; don't chase per-query
+  // outliers across single runs.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -170,8 +170,10 @@ object Ivf {
       nProbe: Int = 4,
       iters: Int = 5,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val centroids = trainCentroids(corpus, nCells, iters, idCol, vecCol)
+      vecCol: String = "embedding",
+      trained: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centroids =
+      trained.getOrElse(trainCentroids(corpus, nCells, iters, idCol, vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       Similarity.l2Norm(col(vecCol)).as("__cn"),
       argminCell(cellDists(quantize(col(vecCol)), centroids)).as("__cell"))
