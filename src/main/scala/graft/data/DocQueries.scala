@@ -196,6 +196,20 @@ object DocQueries {
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
     "q_gopher_rules" -> ((s, dir) =>
       TextStats.gopherRules(documents(s, dir)).orderBy("doc_id")),
+    "q_curate" -> ((s, dir) => {
+      // full curation verdict over the corpus, decontaminating against
+      // the synthetic benchmark suite (every 10th doc — which therefore
+      // flags itself contaminated and drops out, the intended
+      // remove-benchmark-members-from-corpus semantics). Shares the
+      // persisted shingle sets AND pair graph with the dedup queries.
+      val d = documents(s, dir)
+      graft.text.Curate.curateVerdicts(
+        d, d.filter(col("doc_id") % 10 === 0),
+        sets = Some(docShingleSets(s, dir, n = 3)),
+        pairs = Some(docJaccardPairs(s, dir, n = 3, minJaccard = 0.3,
+          maxDf = 100)))
+        .orderBy("doc_id")
+    }),
     "q_pack_seqs" -> ((s, dir) =>
       CorpusOps.packSequences(documents(s, dir), seqLen = 512)
         .orderBy("doc_id")),
@@ -340,6 +354,45 @@ object DocQueries {
   private val pqQdLong: String = (0 until 8)
     .map(s => s"SELECT vec_id, $s AS s, cell, dist FROM s${s}dall WHERE vec_id < 20")
     .mkString("\nUNION ALL\n")
+
+  /** Gopher-rule CTE chain ending in `gq(doc_id, ..., quality_pass)` —
+    * shared by the gopher-rules and curation oracles. CTE names are
+    * g-prefixed so the fragment composes with [[jaccardCtes]]. */
+  private def gopherCtes: String = {
+    val sw = sqlList(TextStats.EnglishStopwords)
+    s"""gt AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+       |grep AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tf FROM (
+       |  SELECT doc_id, g, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+       |    FROM gt WHERE len(toks) >= 2)
+       |  GROUP BY 1, 2) GROUP BY doc_id),
+       |gs AS (SELECT doc_id,
+       |  len(toks)::BIGINT AS n_words,
+       |  round((length(text)::DOUBLE - (len(toks) - 1.0)) / len(toks), 9)
+       |    AS mean_word_len,
+       |  round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+       |    / len(toks), 9) AS frac_alpha_words,
+       |  len(list_filter($sw, x -> list_contains(toks, x)))::BIGINT
+       |    AS n_stop_distinct,
+       |  round(((length(text) - length(regexp_replace(text, '#', '', 'g')))
+       |    + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3.0)
+       |    / len(toks)::DOUBLE, 9) AS symbol_word_ratio,
+       |  round(coalesce(tf, 0.0), 9) AS top2gram_frac
+       |  FROM gt LEFT JOIN grep USING (doc_id)),
+       |gfl AS (SELECT *,
+       |  (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)::BIGINT AS r_wordcount,
+       |  (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END)::BIGINT AS r_wordlen,
+       |  (CASE WHEN symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END)::BIGINT AS r_symbol,
+       |  (CASE WHEN frac_alpha_words >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS r_alpha,
+       |  (CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END)::BIGINT AS r_stop,
+       |  (CASE WHEN top2gram_frac <= 0.2 THEN 1 ELSE 0 END)::BIGINT AS r_rep
+       |  FROM gs),
+       |gq AS (SELECT *,
+       |  r_wordcount * r_wordlen * r_symbol * r_alpha * r_stop * r_rep
+       |    AS quality_pass
+       |  FROM gfl)""".stripMargin
+  }
 
   /** Inverted-index exact-Jaccard pair CTE chain ending in
     * `j(doc_a, doc_b, jaccard)` — shared by the pair and cluster
@@ -810,43 +863,12 @@ object DocQueries {
          |       WHEN bucket < 950 THEN 'valid' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
 
-    "q_gopher_rules" -> {
-      val sw = sqlList(TextStats.EnglishStopwords)
-      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
-         |rep AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tf FROM (
-         |  SELECT doc_id, g, count(*) AS c FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-         |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
-         |    FROM t WHERE len(toks) >= 2)
-         |  GROUP BY 1, 2) GROUP BY doc_id),
-         |s AS (SELECT doc_id,
-         |  len(toks)::BIGINT AS n_words,
-         |  round((length(text)::DOUBLE - (len(toks) - 1.0)) / len(toks), 9)
-         |    AS mean_word_len,
-         |  round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
-         |    / len(toks), 9) AS frac_alpha_words,
-         |  len(list_filter($sw, x -> list_contains(toks, x)))::BIGINT
-         |    AS n_stop_distinct,
-         |  round(((length(text) - length(regexp_replace(text, '#', '', 'g')))
-         |    + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3.0)
-         |    / len(toks)::DOUBLE, 9) AS symbol_word_ratio,
-         |  round(coalesce(tf, 0.0), 9) AS top2gram_frac
-         |  FROM t LEFT JOIN rep USING (doc_id)),
-         |fl AS (SELECT *,
-         |  (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)::BIGINT AS r_wordcount,
-         |  (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END)::BIGINT AS r_wordlen,
-         |  (CASE WHEN symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END)::BIGINT AS r_symbol,
-         |  (CASE WHEN frac_alpha_words >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS r_alpha,
-         |  (CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END)::BIGINT AS r_stop,
-         |  (CASE WHEN top2gram_frac <= 0.2 THEN 1 ELSE 0 END)::BIGINT AS r_rep
-         |  FROM s)
+    "q_gopher_rules" ->
+      s"""WITH $gopherCtes
          |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_distinct,
          |  symbol_word_ratio, top2gram_frac, r_wordcount, r_wordlen, r_symbol,
-         |  r_alpha, r_stop, r_rep,
-         |  r_wordcount * r_wordlen * r_symbol * r_alpha * r_stop * r_rep
-         |    AS quality_pass
-         |FROM fl ORDER BY doc_id""".stripMargin
-    },
+         |  r_alpha, r_stop, r_rep, quality_pass
+         |FROM gq ORDER BY doc_id""".stripMargin,
 
     "q_int8_quant" ->
       """WITH e AS (SELECT vec_id, d, embedding[d + 1]::DOUBLE AS x
@@ -891,6 +913,52 @@ object DocQueries {
          |    '$phone', '<PHONE>', 'g') AS redacted
          |FROM w ORDER BY doc_id""".stripMargin
     },
+
+    "q_curate" ->
+      // gopher quality + exact-hash keep + near-dup cluster keep +
+      // decontamination vs the every-10th-doc benchmark, assembled from
+      // the shared gopher/jaccard fragments
+      s"""WITH RECURSIVE $gopherCtes,
+         |$jaccardCtes,
+         |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |        UNION ALL SELECT doc_b, doc_a FROM pr),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM und
+         |  UNION
+         |  SELECT u.src, w.label FROM und u JOIN walk w ON w.id = u.dst),
+         |cl AS (SELECT id AS doc_id,
+         |  CASE WHEN min(label) <> id THEN 1 ELSE 0 END::BIGINT AS nd
+         |  FROM walk GROUP BY id),
+         |eh AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |ex AS (SELECT doc_id,
+         |  CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY h)
+         |       THEN 1 ELSE 0 END::BIGINT AS ed
+         |  FROM eh),
+         |dg AS (SELECT id AS doc_id, sz AS n_grams, ${hash56("g")} AS h FROM
+         |  (SELECT id, sz, unnest(s) AS g FROM sh2)),
+         |bg AS (SELECT DISTINCT ${hash56("g")} AS h FROM
+         |  (SELECT unnest(s) AS g FROM sh2 WHERE id % 10 = 0)),
+         |ct AS (SELECT doc_id,
+         |  CASE WHEN count(CASE WHEN bg.h IS NOT NULL THEN 1 END)::DOUBLE
+         |         / max(n_grams) >= 0.1 THEN 1 ELSE 0 END::BIGINT AS cm
+         |  FROM dg LEFT JOIN bg USING (h) GROUP BY doc_id),
+         |v AS (SELECT d.doc_id,
+         |  coalesce(gq.quality_pass, 0) AS pass_quality,
+         |  coalesce(ex.ed, 0) AS is_exact_dup,
+         |  coalesce(cl.nd, 0) AS is_near_dup,
+         |  coalesce(ct.cm, 0) AS is_contaminated
+         |  FROM documents d
+         |  LEFT JOIN gq ON gq.doc_id = d.doc_id
+         |  LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |  LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |  LEFT JOIN ct ON ct.doc_id = d.doc_id)
+         |SELECT doc_id, pass_quality, is_exact_dup, is_near_dup,
+         |  is_contaminated,
+         |  (CASE WHEN pass_quality = 1 AND is_exact_dup = 0
+         |        AND is_near_dup = 0 AND is_contaminated = 0
+         |   THEN 1 ELSE 0 END)::BIGINT AS kept
+         |FROM v ORDER BY doc_id""".stripMargin,
 
     "q_pack_seqs" ->
       s"""WITH t AS (SELECT doc_id, len($toksExpr)::BIGINT AS n_tokens

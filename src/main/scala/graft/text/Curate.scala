@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation verdict — the standard LLM pretraining
+  * recipe (C4/Gopher/FineWeb shape) as ONE composable operator:
+  * rule-based quality filtering, exact dedup, near-duplicate
+  * clustering, and benchmark decontamination, each surfaced as an
+  * independent 0/1 flag plus the conjunction `kept`.
+  *
+  * Flags are computed independently (not sequentially staged), so the
+  * four signals parallelize as separate DAG branches over one corpus
+  * scan each, ablations don't re-run the pipeline, and the keep
+  * decision stays a pure conjunction: a doc survives iff it passes
+  * quality, is the minimum-id member of both its exact-hash group and
+  * its near-dup cluster, and does not overlap the benchmark.
+  *
+  * Scale design: every branch is the already-bounded operator it
+  * composes ([[TextStats.gopherRules]], hash groupBy,
+  * [[Dedup.duplicateClusters]] over the df-capped pair graph,
+  * [[Decontaminate.contaminationFromSets]]); the final assembly is
+  * four left equi-joins on doc_id against aggregate-sized sides.
+  * Callers with a persisted [[Dedup.shingleSets]] table should pass it
+  * via `sets` so the Jaccard and contamination branches share it.
+  */
+object Curate {
+
+  /** Per-document curation verdict.
+    *
+    * @param docs  corpus (idCol, textCol)
+    * @param bench held-out benchmark corpus to decontaminate against
+    * @param sets  optional precomputed shingle sets of `docs`
+    *              ([[Dedup.shingleSets]] schema) — pass the shared
+    *              persisted table when fanning out multiple operators
+    * @return (doc_id, pass_quality, is_exact_dup, is_near_dup,
+    *         is_contaminated, kept) — one row per input doc
+    */
+  def curateVerdicts(
+      docs: DataFrame,
+      bench: DataFrame,
+      minJaccard: Double = 0.3,
+      maxDf: Int = 100,
+      contamThreshold: Double = 0.1,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sets: Option[DataFrame] = None,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val theSets = sets.getOrElse(Dedup.shingleSets(docs, textCol, idCol, n))
+    val quality = TextStats.gopherRules(docs, textCol, idCol)
+      .select(col("doc_id"), col("quality_pass").as("pass_quality"))
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("__h"))
+    val exact = hashed
+      .join(hashed.groupBy("__h").agg(min(col("doc_id")).as("__keep")), Seq("__h"))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("__keep"), 1L).otherwise(0L)
+          .as("is_exact_dup"))
+    val clusters = Dedup.duplicateClusters(
+      pairs.getOrElse(Dedup.jaccardPairsFromSets(theSets, minJaccard, maxDf))
+        .select("doc_a", "doc_b"))
+      .select(col("doc_id"),
+        when(col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L)
+          .as("is_near_dup"))
+    val contam = Decontaminate.contaminationFromSets(
+      theSets, Dedup.shingleSets(bench, textCol, idCol, n), contamThreshold)
+      .select(col("doc_id"), col("contaminated").as("is_contaminated"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(quality, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pass_quality"), lit(0L)).as("pass_quality"),
+        coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"),
+        coalesce(col("is_near_dup"), lit(0L)).as("is_near_dup"),
+        coalesce(col("is_contaminated"), lit(0L)).as("is_contaminated"))
+      .withColumn("kept",
+        when(col("pass_quality") === 1L && col("is_exact_dup") === 0L &&
+          col("is_near_dup") === 0L && col("is_contaminated") === 0L, 1L)
+          .otherwise(0L))
+  }
+}

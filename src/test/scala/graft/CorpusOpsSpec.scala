@@ -117,6 +117,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       "clean text with no personal data at all")
   }
 
+  test("curateVerdicts composes quality, exact-dup, near-dup, contamination") {
+    val good = (("the of and to in " * 4) +
+      (0 until 50).map(i => s"word${i}xyz").mkString(" ")).trim
+    val nearDup = good.replace("word7xyz", "word7abc")
+    val good2 = (("the of and to in " * 4) +
+      (0 until 50).map(i => s"other${i}qq").mkString(" ")).trim
+    val d = docs(
+      1L -> good,      // unique, passes everything
+      2L -> good,      // exact copy of 1 -> exact AND near dup
+      3L -> nearDup,   // near-dup of 1
+      4L -> "tiny",    // fails quality
+      5L -> good2)     // overlaps the benchmark
+    val bench = docs(100L -> good2)
+    val out = graft.text.Curate.curateVerdicts(d, bench, maxDf = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("pass_quality"), r.getAs[Long]("is_exact_dup"),
+          r.getAs[Long]("is_near_dup"), r.getAs[Long]("is_contaminated"),
+          r.getAs[Long]("kept")))).toMap
+    assert(out(1L) === ((1L, 0L, 0L, 0L, 1L)))
+    assert(out(2L) === ((1L, 1L, 1L, 0L, 0L)))
+    assert(out(3L)._3 === 1L && out(3L)._5 === 0L)
+    assert(out(4L)._1 === 0L && out(4L)._5 === 0L)
+    assert(out(5L) === ((1L, 0L, 0L, 1L, 0L)))
+  }
+
   test("hashSplit is deterministic, in-range, and respects thresholds") {
     val d = (0L until 500L).map(i => i -> s"doc $i").toDF("doc_id", "text")
     val a = CorpusOps.hashSplit(d).select("doc_id", "bucket", "split")
