@@ -218,6 +218,9 @@ object DocQueries {
     "q_sample_k" -> ((s, dir) =>
       CorpusOps.sampleKPerGroup(documents(s, dir), k = 25)
         .select("doc_id", "source", "pick_rank").orderBy("source", "pick_rank")),
+    "q_hash_vec" -> ((s, dir) =>
+      TextStats.hashVectorize(documents(s, dir), dim = 64)
+        .orderBy("doc_id", "dim")),
     "q_pii" -> ((s, dir) => {
       // the corpus is clean word soup — plant deterministic PII on every
       // 7th doc so the operator has real work and a checkable answer
@@ -892,6 +895,15 @@ object DocQueries {
          |    AS pick_rank FROM h)
          |SELECT doc_id, source, pick_rank FROM r WHERE pick_rank <= 25
          |ORDER BY source, pick_rank""".stripMargin,
+
+    "q_hash_vec" ->
+      s"""WITH tok AS (SELECT doc_id, ${hash56("tk")} AS h FROM
+         |  (SELECT doc_id, unnest($toksExpr) AS tk FROM documents))
+         |SELECT doc_id, (h % 64)::BIGINT AS dim,
+         |  sum(CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS value
+         |FROM tok GROUP BY 1, 2
+         |HAVING sum(CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+         |ORDER BY doc_id, dim""".stripMargin,
 
     "q_pii" -> {
       val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"

@@ -188,6 +188,33 @@ object TextStats {
         (length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", "")))).as("bpe_tokens"))
   }
 
+  /** Feature-hashing vectorizer (Weinberger et al. 2009): each
+    * document becomes a `dim`-wide integer vector — every token adds
+    * ±1 (sign from one hash bit, bucket from the hash modulus) — the
+    * model-free way to give text the vector-space operators (ANN,
+    * clustering, int8 codes, SemDeDup) when no embedding model is in
+    * the loop. Collision noise is the standard trade; signs keep the
+    * expectation unbiased.
+    *
+    * One explode + one hash aggregate keyed on (doc, dim) — map-side
+    * combinable, output bounded by |docs| x dim. All-integer, so the
+    * vectors are bitwise engine-reproducible.
+    *
+    * @return (doc_id, dim, value) — only non-zero dims are emitted
+    */
+  def hashVectorize(
+      docs: DataFrame,
+      dim: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("__t"))
+      .select(col("doc_id"), hash56(col("__t")).as("__h"))
+      .groupBy(col("doc_id"), (col("__h") % dim).cast("long").as("dim"))
+      .agg(sum(when(shiftright(col("__h"), 32) % 2 === 0, 1L)
+        .otherwise(-1L)).as("value"))
+      .filter(col("value") =!= 0L)
+
   /** PII detection + redaction: count and mask email addresses,
     * SSN-shaped, and US-phone-shaped numbers — the standard pre-release
     * scrubbing stage of public training corpora. Patterns are kept to

@@ -117,6 +117,28 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       "clean text with no personal data at all")
   }
 
+  test("hashVectorize matches the reference hash formula exactly") {
+    def h56(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dig.map(b => f"$b%02x").mkString.substring(0, 14), 16)
+    }
+    def expected(text: String): Map[Long, Long] =
+      text.split(" ").filter(_.nonEmpty).toSeq
+        .map(h56).groupBy(_ % 64)
+        .view.mapValues(_.map(h => if ((h >> 32) % 2 == 0) 1L else -1L).sum)
+        .toMap.filter(_._2 != 0L)
+    val t1 = "alpha alpha alpha beta"; val t2 = "alpha beta gamma delta"
+    val d = docs(1L -> t1, 2L -> t2)
+    val v = graft.text.TextStats.hashVectorize(d, dim = 64).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r =>
+        r.getAs[Long]("dim") -> r.getAs[Long]("value")).toMap).toMap
+    assert(v(1L) === expected(t1))
+    assert(v(2L) === expected(t2))
+  }
+
   test("curateVerdicts composes quality, exact-dup, near-dup, contamination") {
     val good = (("the of and to in " * 4) +
       (0 until 50).map(i => s"word${i}xyz").mkString(" ")).trim
