@@ -99,65 +99,106 @@ object Ivf {
       vec: Column, centroids: Array[Array[Double]], n: Int): Column =
     nearestCells(cellDists(quantize(vec), centroids), centroids.length, n)
 
+  /** The quantized training sample, collected and sorted by id —
+    * bounded (≤ ~trainCap rows × dim, a few MB at most) and
+    * corpus-size INDEPENDENT, so the collect is scale-safe: the
+    * hash-sample filter and the fixed-point quantization run
+    * distributed; only the capped sample crosses to the driver.
+    * Deterministic content-independent subsample: multiplicative id
+    * hash reduced mod a prime BEFORE the rate modulus (a direct
+    * `id*odd mod rate` with a power-of-two rate only sees id's low
+    * bits, i.e. a stride — the prime reduction scatters them). */
+  private[vector] def collectSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      trainCap: Int): Array[Array[Double]] = {
+    val n = corpus.select(col(idCol)).count()
+    val rate = math.max(1L, n / trainCap)
+    val sampleRaw =
+      if (rate <= 1L) corpus
+      else corpus.filter(
+        pmod(pmod(col(idCol).cast("long") * 2654435761L, lit(1000003L)),
+          lit(rate)) === 0)
+    sampleRaw
+      .select(col(idCol).cast("long").as("__id"), quantize(col(vecCol)).as("__q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+  }
+
+  /** Lloyd's loop over an id-sorted quantized sample, run driver-side
+    * in plain arrays: the sample is bounded (corpus-independent), so
+    * local iteration replaces dozens of tiny per-iteration Spark jobs
+    * with pure CPU — while remaining BITWISE identical to the
+    * distributed formulation it replaces (and to the DuckDB oracle's
+    * unrolled CTEs): distances are exact integer sums accumulated
+    * left-to-right, argmin ties break toward the lower cell, per-cell
+    * component sums are exact longs, and each new centroid re-snaps to
+    * the grid via the same half-up floor division; cells with no
+    * members keep their previous centroid. Init = k lowest-id sample
+    * vectors. */
+  private[vector] def lloydLocal(
+      vecs: Array[Array[Double]],
+      nCells: Int,
+      iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = vecs.take(nCells).map(_.clone())
+    val dim = if (vecs.nonEmpty) vecs(0).length else 0
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCells)(new Array[Long](dim))
+      val counts = new Array[Long](nCells)
+      vecs.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < nCells) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i).toLong; i += 1 }
+      }
+      val next = centroids.map(_.clone())
+      var c = 0
+      while (c < nCells) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) {
+            next(c)(i) =
+              Math.floorDiv(2L * sums(c)(i) + counts(c), 2L * counts(c)).toDouble
+            i += 1
+          }
+        }
+        c += 1
+      }
+      centroids = next
+    }
+    centroids
+  }
+
   /** Lloyd's k-means over a bounded training sample; returns the
     * centroid matrix on the fixed-point grid (integer-valued doubles).
     * Deterministic init from the k lowest-id vectors of the sample.
     *
     * The coarse quantizer does NOT need the whole corpus (standard
-    * IVF practice: a few hundred vectors per cell suffice) — training
-    * on a deterministic hash-sample of ~`trainCap` vectors makes the
-    * Lloyd iterations O(cap), independent of corpus size, while the
-    * one full-corpus pass (cell assignment) stays in [[ivfTopK]]. */
+    * IVF practice: a few hundred vectors per cell suffice) — the
+    * hash-sample cap makes training O(cap), independent of corpus
+    * size, while the one full-corpus pass (cell assignment) stays in
+    * [[ivfTopK]]. The capped sample is collected once and iterated
+    * driver-side ([[lloydLocal]]) — bitwise-identical to iterating on
+    * the cluster, minus ~2 scheduler round-trips per iteration. */
   def trainCentroids(
       corpus: DataFrame,
       nCells: Int,
       iters: Int = 5,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      trainCap: Int = 4096): Array[Array[Double]] = {
-    val n = corpus.select(col(idCol)).count()
-    val rate = math.max(1L, n / trainCap)
-    // deterministic content-independent subsample: multiplicative id
-    // hash reduced mod a prime BEFORE the rate modulus (a direct
-    // `id*odd mod rate` with a power-of-two rate only sees id's low
-    // bits, i.e. a stride — the prime reduction scatters them)
-    val sampleRaw =
-      if (rate <= 1L) corpus
-      else corpus.filter(
-        pmod(pmod(col(idCol).cast("long") * 2654435761L, lit(1000003L)),
-          lit(rate)) === 0)
-    val sample = sampleRaw
-      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids: Array[Array[Double]] = sample
-      .orderBy(col("__id")).limit(nCells)
-      .select(col("__q")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    for (_ <- 0 until iters) {
-      val assigned = sample.withColumn("__cell",
-        argminCell(cellDists(col("__q"), centroids)))
-      // element-wise mean per cell, exact: explode to (cell, dim, q),
-      // sum the integer components as longs in one hash aggregate,
-      // collect only the k×dim (sum, count) pairs, and re-snap the
-      // mean to the grid with a half-up floor division — the next
-      // centroid matrix stays integer-valued
-      val sums = assigned
-        .select(col("__cell"), posexplode(col("__q")).as(Seq("__d", "__x")))
-        .groupBy("__cell", "__d")
-        .agg(sum(col("__x").cast("long")).as("__s"), count(lit(1)).as("__n"))
-        .collect()
-      val next = centroids.map(_.clone())
-      sums.foreach { r =>
-        val s = r.getAs[Long]("__s")
-        val m = r.getAs[Long]("__n")
-        next(r.getAs[Int]("__cell"))(r.getAs[Int]("__d")) =
-          Math.floorDiv(2L * s + m, 2L * m).toDouble
-      }
-      centroids = next
-    }
-    sample.unpersist()
-    centroids
-  }
+      trainCap: Int = 4096): Array[Array[Double]] =
+    lloydLocal(collectSample(corpus, idCol, vecCol, trainCap), nCells, iters)
 
   /** ANN top-k via IVF: assign the corpus to cells once, probe the
     * `nProbe` nearest cells per query, rerank candidates by exact

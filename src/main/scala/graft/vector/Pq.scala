@@ -28,7 +28,12 @@ object Pq {
 
   /** Per-subspace codebooks: `m` matrices of `k` centroids over
     * `dim / m` components, each trained by the exact fixed-point
-    * k-means on the corresponding vector slice. */
+    * k-means on the corresponding vector slice. The bounded
+    * hash-sample is collected ONCE (full-dim, quantized) and sliced
+    * locally per subspace — the m Lloyd runs are then pure driver CPU
+    * over ≤trainCap vectors, identical bit-for-bit to training each
+    * subspace on its own distributed slice (quantization is
+    * element-wise, so quantize∘slice = slice∘quantize). */
   def trainCodebooks(
       corpus: DataFrame,
       dim: Int,
@@ -40,10 +45,10 @@ object Pq {
       trainCap: Int = 4096): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
+    val sample = Ivf.collectSample(corpus, idCol, vecCol, trainCap)
     Array.tabulate(m) { s =>
-      val sub = corpus.select(col(idCol),
-        slice(col(vecCol), s * subDim + 1, subDim).as("__sub"))
-      Ivf.trainCentroids(sub, k, iters, idCol, "__sub", trainCap)
+      Ivf.lloydLocal(sample.map(v => v.slice(s * subDim, (s + 1) * subDim)),
+        k, iters)
     }
   }
 
