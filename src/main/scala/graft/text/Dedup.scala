@@ -231,6 +231,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** One-sided containment near-dup pairs over the same df-capped
+    * inverted shingle index as [[jaccardPairsFromSets]]: containment
+    * C(A,B) = |A∩B| / min(|A|,|B|) — high when one document quotes or
+    * embeds another even though symmetric Jaccard stays low (the
+    * subset/quote case corpus dedup cares about and Jaccard misses).
+    * Exact rational arithmetic; same posting-list candidate generation,
+    * so never all-pairs and the same maxDf skew guard.
+    * Output: (doc_a, doc_b, common, containment >= minContainment). */
+  def containmentPairsFromSets(
+      sets: DataFrame,
+      minContainment: Double = 0.6,
+      maxDf: Int = 100): DataFrame = {
+    val posts = sets.select(col("__id"), col("__sz"),
+      explode(col("__set")).as("__sh"))
+    val kept = posts
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
+      .filter(col("__df") <= maxDf)
+    val a = kept.select(col("__sh"), col("__id").as("doc_a"), col("__sz").as("__sza"))
+    val b = kept.select(col("__sh"), col("__id").as("doc_b"), col("__sz").as("__szb"))
+    a.join(b, Seq("__sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"),
+        first(col("__sza")).as("__sza"), first(col("__szb")).as("__szb"))
+      .withColumn("containment",
+        round(col("common").cast("double") / least(col("__sza"), col("__szb")), 9))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "common", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 56-bit SimHash per document: token-frequency-weighted majority vote
     * per bit of the 56-bit token hash (bit set iff the weighted sum of
     * +-1 votes is strictly positive). One explode + one hash aggregate.
@@ -253,6 +282,48 @@ object Dedup {
       .map(b => when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     agg.select(col("__id").as(idCol), hashCol.as("simhash"))
+  }
+
+  /** Near-duplicate pairs by banded SimHash: the 56-bit signature is
+    * cut into `bands` equal slices; documents sharing any full slice
+    * land in one bucket (equi-join key, never all-pairs) and bucket
+    * neighbours are verified with the exact Hamming distance
+    * `bit_count(xor)`. Pigeonhole recall guarantee: with
+    * `bands > maxHamming`, any pair within maxHamming differing bits
+    * agrees on at least one full band, so recall at the threshold is
+    * exactly 1 — unlike MinHash LSH this candidate stage loses
+    * nothing. All-integer end to end (engine-reproducible).
+    * Output: (doc_a, doc_b, hamming <= maxHamming). */
+  def simHashNearDups(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bits = 56
+    require(bands > maxHamming,
+      s"pigeonhole recall needs bands ($bands) > maxHamming ($maxHamming)")
+    require(bits % bands == 0, s"bands ($bands) must divide $bits")
+    val bw = bits / bands
+    val sig = simHash(docs, textCol, idCol)
+      .select(col(idCol).as("__id"), col("simhash"))
+    // bucket key packs (band index, band value) into one long:
+    // b * 2^bw + slice — a single equi-join column
+    val buckets = sig.select(col("__id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * bw).bitwiseAND(lit((1L << bw) - 1)) +
+          lit(b.toLong << bw)): _*)).as("__bk"))
+    val ca = buckets.select(col("__bk"), col("__id").as("doc_a"),
+      col("simhash").as("__sa"))
+    val cb = buckets.select(col("__bk"), col("__id").as("doc_b"),
+      col("simhash").as("__sb"))
+    ca.join(cb, Seq("__bk")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "__sa", "__sb").distinct()
+      .withColumn("hamming",
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Winnowing document fingerprints (Schleimer et al.'s local minima

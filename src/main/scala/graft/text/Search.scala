@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Full-text relevance search over a document corpus: Okapi BM25
+  * scoring against an inverted index, with a top-k retrieval wrapper —
+  * the query capability a corpus engine needs for eval-set mining,
+  * targeted decontamination, and "find documents about X" curation.
+  *
+  * Scale design: the inverted index is one hash aggregate over the
+  * exploded corpus (map-side combinable); document length rides along
+  * as a window over the doc partition (no second corpus scan); corpus
+  * constants (N, total length) are a one-row cross join; the query
+  * batch is bounded and broadcast. Scoring touches only postings whose
+  * term appears in some query — the term equi-join prunes the rest.
+  *
+  * Determinism: the one engine-dependent operation (ln in idf) is
+  * snapped to the 1e-9 grid per TERM before entering any product, and
+  * the per-(query, doc) sum runs over term-sorted arrays via the
+  * `aggregate` HOF — a deterministic left-to-right accumulation, so
+  * scores are bitwise reproducible across runs, partitionings, and
+  * engines (the DuckDB oracle mirrors with `list_reduce` over
+  * `list(... ORDER BY term)`).
+  */
+object Search {
+
+  /** BM25 scores for every (query, document) pair with at least one
+    * matching term.
+    *
+    * @param docs    corpus (idCol, textCol)
+    * @param queries bounded query batch (queryIdCol, queryTextCol);
+    *                query text is tokenized like documents, duplicate
+    *                terms collapsed (standard bag-of-words queries)
+    * @return (query_id, doc_id, score) — score rounded to 1e-9
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      queries: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext"): DataFrame = {
+    val postings = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy("doc_id", "__t").agg(count(lit(1)).as("__tf"))
+      // doc length = sum of term frequencies; a window over the doc
+      // partition reuses the aggregate's rows instead of re-scanning
+      // the corpus for size(tokens)
+      .withColumn("__dl", sum(col("__tf")).over(Window.partitionBy("doc_id")))
+    // df and the corpus constants are separate narrow scans of the
+    // corpus rather than branches off `postings` — a diamond over the
+    // uncached explode+aggregate subtree would re-run it once per
+    // branch; the df scan aggregates distinct terms directly and the
+    // stats scan never explodes at all
+    val df = docs
+      .select(explode(array_distinct(tokens(col(textCol)))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+    // N = docs with at least one token (empty docs index nothing);
+    // one row, broadcast into the scoring join
+    val stats = docs.select(size(tokens(col(textCol))).as("__len"))
+      .filter(col("__len") > 0)
+      .agg(count(lit(1)).as("__n"), sum(col("__len")).as("__s"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("__t"))
+
+    // idf = ln(1 + (N - df + .5)/(df + .5)), snapped to the 1e-9 grid
+    // (ln is the only op the two engines may disagree on, by 1 ulp);
+    // the tf saturation w is pure rational arithmetic on identical
+    // operands — bitwise equal without rounding
+    val idf = round(log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))), 9)
+    val w = (col("__tf") * lit(k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("__dl") / (col("__s").cast("double") / col("__n"))))
+
+    val contribs = broadcast(qterms).join(postings, Seq("__t"))
+      .join(df, Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        col("__t"), (idf * w).as("__c"))
+    contribs.groupBy("query_id", "doc_id")
+      .agg(aggregate(array_sort(collect_list(struct(col("__t"), col("__c")))),
+        lit(0.0), (acc, x) => acc + x.getField("__c")).as("score"))
+      .withColumn("score", round(col("score"), 9))
+  }
+
+  /** Top-k BM25 retrieval: the k highest-scoring documents per query,
+    * ranked by (score desc, doc_id) — the id tie-break keeps the cut
+    * deterministic. Plans as one window over the bounded scored set.
+    * Output: (query_id, rank, doc_id, score). */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext"): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(docs, queries, k1, b, textCol, idCol, queryIdCol, queryTextCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+      .orderBy("query_id", "rank")
+  }
+}

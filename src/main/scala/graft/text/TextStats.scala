@@ -169,6 +169,50 @@ object TextStats {
       .orderBy(col("count").desc, col("ngram"))
       .limit(k)
 
+  /** Corpus-unigram language-model score per document — the CCNet-style
+    * perplexity-proxy quality signal: train a unigram LM on the corpus
+    * itself (term frequency / total tokens) and score each document by
+    * its mean per-token log-probability. Documents of rare/garbled
+    * vocabulary score low; repetitive common-word boilerplate scores
+    * high — both tails are filter candidates.
+    *
+    * Two hash aggregates (per-doc term counts, corpus term counts — both
+    * map-side combinable), a term equi-join (vocabulary-sized right
+    * side; the planner broadcasts when it fits), and a one-row
+    * constants join. Documents with no tokens are absent (no LM mass).
+    *
+    * Determinism: ln(cf/C) — the only engine-divergent op — is snapped
+    * to the 1e-9 grid per TERM (vocabulary entries, not rows), and the
+    * per-doc accumulation runs term-sorted through the `aggregate` HOF
+    * (left-to-right), so scores are bitwise reproducible across
+    * engines; the final mean is rounded to 1e-9.
+    * Output: (doc_id, n_tokens, logprob). */
+  def unigramLogProb(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy("doc_id", "__t").agg(count(lit(1)).as("__tf"))
+    val cf = tf.groupBy("__t").agg(sum(col("__tf")).as("__cf"))
+    val total = cf.agg(sum(col("__cf")).as("__c"))
+    val contribs = tf.join(cf, Seq("__t")).crossJoin(broadcast(total))
+      .select(col("doc_id"), col("__t"),
+        (col("__tf") *
+          round(log(col("__cf").cast("double") / col("__c")), 9)).as("__lp"))
+    contribs.groupBy("doc_id")
+      .agg(sum(col("__tf0")).as("__never")) // placeholder removed below
+      .drop("__never")
+    contribs.groupBy("doc_id")
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("__t"), col("__lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("__lp")).as("__sum"),
+        sum(when(col("__lp").isNotNull, 1L)).as("__nt"))
+      .join(tf.groupBy("doc_id").agg(sum(col("__tf")).as("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__sum") / col("n_tokens"), 9).as("logprob"))
+  }
+
   /** Whitespace token count plus a BPE-ish subword estimate: runs of
     * letters (split every 4 chars, the empirical ~chars-per-BPE-token),
     * digits individually, and any other non-space character one each. */
