@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.text.{CorpusOps, Decontaminate, Dedup, TextOps, TextStats}
+import graft.text.{CorpusOps, Decontaminate, Dedup, Search, TextOps, TextStats}
 import graft.vector.{Embeddings, Ivf, Similarity}
 
 /** Driver-contract queries for the LLM-data-pipeline layer (dedup,
@@ -274,7 +274,24 @@ object DocQueries {
       graft.operators.AsOfJoin.asof(clicks, views, "ts", Seq("user_id"),
           Seq("view_id", "view_value"))
         .orderBy("event_id")
-    })
+    }),
+    "q_bm25" -> ((s, dir) => {
+      // bounded query batch: the first 8 tokens of the 5 lowest-id docs
+      // (each query therefore has a guaranteed relevant hit: itself)
+      val d = documents(s, dir)
+      val qs = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
+      Search.bm25TopK(d, qs, k = 10)
+    }),
+    "q_containment" -> ((s, dir) =>
+      // quote/subset dedup over the SAME persisted shingle sets as the
+      // jaccard/minhash/cluster queries; candidates df-capped, verified
+      // exactly against the full sets
+      Dedup.containmentPairsFromSets(docShingleSets(s, dir, n = 3),
+        minContainment = 0.5, maxDf = 100)),
+    "q_unigram_lp" -> ((s, dir) =>
+      TextStats.unigramLogProb(documents(s, dir)).orderBy("doc_id"))
   )
 
   // ---- DuckDB oracle SQL --------------------------------------------
@@ -1071,6 +1088,84 @@ object DocQueries {
         |  v.ts AS asof_ts
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
-        |ORDER BY c.event_id""".stripMargin
+        |ORDER BY c.event_id""".stripMargin,
+
+    // mirrors Search.bm25Scores/bm25TopK 1:1: idf snapped to the 1e-9
+    // grid per term, tf saturation in identical operand order, per-pair
+    // sum via list_reduce over term-ordered contributions (a left-to-
+    // right accumulation starting at 0.0, exactly Spark's `aggregate`
+    // over the array_sort'ed collect_list)
+    "q_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |postings AS (SELECT doc_id, term, count(*) AS tf FROM
+         |  (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+         |pl AS (SELECT doc_id, term, tf,
+         |  (sum(tf) OVER (PARTITION BY doc_id))::BIGINT AS dl FROM postings),
+         |df AS (SELECT term, count(*) AS df FROM
+         |  (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t) GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, sum(len)::BIGINT AS s FROM
+         |  (SELECT len(toks) AS len FROM t) WHERE len > 0),
+         |qterms AS (SELECT doc_id AS query_id,
+         |  unnest(list_distinct(list_slice(toks, 1, 8))) AS term
+         |  FROM t WHERE doc_id < 5),
+         |contribs AS (
+         |  SELECT q.query_id, p.doc_id, p.term,
+         |    round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)), 9) *
+         |    ((p.tf * 2.2) / (p.tf + 1.2 *
+         |      (0.25 + 0.75 * p.dl / (st.s::DOUBLE / st.n)))) AS c
+         |  FROM qterms q JOIN pl p ON p.term = q.term
+         |  JOIN df d ON d.term = q.term CROSS JOIN stats st),
+         |scores AS (
+         |  SELECT query_id, doc_id,
+         |    round(list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+         |      (a, b) -> a + b), 9) AS score
+         |  FROM contribs GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, score,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |    AS rank FROM scores)
+         |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // same df-capped candidate CTEs as q_jaccard_pairs, then exact
+    // verification against the full shingle sets (list_intersect), like
+    // the q_minhash_neardup oracle
+    "q_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |sh AS (SELECT doc_id AS id, ${shinglesExpr("toks", 3)} AS s FROM t),
+         |sh2 AS (SELECT id, s, len(s) AS sz FROM sh WHERE len(s) > 0),
+         |posts AS (SELECT id, unnest(s) AS g FROM sh2),
+         |kept AS (SELECT id, g FROM (
+         |  SELECT id, g, count(*) OVER (PARTITION BY g) AS df FROM posts)
+         |  WHERE df <= 100),
+         |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id),
+         |v AS (SELECT doc_a, doc_b,
+         |  len(list_intersect(sa.s, sb.s))::BIGINT AS common,
+         |  round(len(list_intersect(sa.s, sb.s))::DOUBLE / least(sa.sz, sb.sz), 9)
+         |    AS containment
+         |  FROM cand JOIN sh2 sa ON sa.id = doc_a JOIN sh2 sb ON sb.id = doc_b)
+         |SELECT doc_a, doc_b, common, containment FROM v
+         |WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors TextStats.unigramLogProb: ln(cf/C) snapped per TERM to the
+    // 1e-9 grid, per-doc accumulation term-sorted via list_reduce
+    "q_unigram_lp" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+         |  (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+         |cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(cf)::BIGINT AS c FROM cf),
+         |contribs AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    tf.tf * round(ln(cf.cf::DOUBLE / tot.c), 9) AS lp
+         |  FROM tf JOIN cf ON cf.term = tf.term CROSS JOIN tot),
+         |sums AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY term)),
+         |      (a, b) -> a + b) AS s
+         |  FROM contribs GROUP BY doc_id),
+         |nt AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens FROM tf GROUP BY doc_id)
+         |SELECT s.doc_id, nt.n_tokens, round(s.s / nt.n_tokens, 9) AS logprob
+         |FROM sums s JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

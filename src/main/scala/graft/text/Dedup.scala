@@ -231,30 +231,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** One-sided containment near-dup pairs over the same df-capped
-    * inverted shingle index as [[jaccardPairsFromSets]]: containment
+  /** One-sided containment near-dup pairs: containment
     * C(A,B) = |A∩B| / min(|A|,|B|) — high when one document quotes or
     * embeds another even though symmetric Jaccard stays low (the
     * subset/quote case corpus dedup cares about and Jaccard misses).
-    * Exact rational arithmetic; same posting-list candidate generation,
-    * so never all-pairs and the same maxDf skew guard.
+    *
+    * Candidate pairs come from the same df-capped inverted shingle
+    * index as [[jaccardPairsFromSets]] (never all-pairs, same maxDf
+    * skew guard); each candidate is then verified EXACTLY against the
+    * full shingle sets via array_intersect — like the MinHash path —
+    * so the reported containment is the true C(A,B), not the df-capped
+    * underestimate. A pair sharing ONLY shingles hotter than maxDf
+    * generates no candidate (shared-boilerplate pairs; standard LSH
+    * recall trade).
     * Output: (doc_a, doc_b, common, containment >= minContainment). */
   def containmentPairsFromSets(
       sets: DataFrame,
       minContainment: Double = 0.6,
       maxDf: Int = 100): DataFrame = {
-    val posts = sets.select(col("__id"), col("__sz"),
-      explode(col("__set")).as("__sh"))
+    val posts = sets.select(col("__id"), explode(col("__set")).as("__sh"))
     val kept = posts
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
       .filter(col("__df") <= maxDf)
-    val a = kept.select(col("__sh"), col("__id").as("doc_a"), col("__sz").as("__sza"))
-    val b = kept.select(col("__sh"), col("__id").as("doc_b"), col("__sz").as("__szb"))
-    a.join(b, Seq("__sh")).filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"),
-        first(col("__sza")).as("__sza"), first(col("__szb")).as("__szb"))
+    val a = kept.select(col("__sh"), col("__id").as("doc_a"))
+    val b = kept.select(col("__sh"), col("__id").as("doc_b"))
+    val cand = a.join(b, Seq("__sh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // same ReuseExchange trick as minHashNearDupsFromSets: both
+    // verification joins key the identical sets plan on __id
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.__id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.__id"))
+      .withColumn("common",
+        size(array_intersect(col("sa.__set"), col("sb.__set"))).cast("long"))
       .withColumn("containment",
-        round(col("common").cast("double") / least(col("__sza"), col("__szb")), 9))
+        round(col("common").cast("double") /
+          least(col("sa.__sz"), col("sb.__sz")), 9))
       .filter(col("containment") >= minContainment)
       .select("doc_a", "doc_b", "common", "containment")
       .orderBy("doc_a", "doc_b")

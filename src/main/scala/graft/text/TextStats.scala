@@ -201,13 +201,9 @@ object TextStats {
         (col("__tf") *
           round(log(col("__cf").cast("double") / col("__c")), 9)).as("__lp"))
     contribs.groupBy("doc_id")
-      .agg(sum(col("__tf0")).as("__never")) // placeholder removed below
-      .drop("__never")
-    contribs.groupBy("doc_id")
       .agg(
         aggregate(array_sort(collect_list(struct(col("__t"), col("__lp")))),
-          lit(0.0), (acc, x) => acc + x.getField("__lp")).as("__sum"),
-        sum(when(col("__lp").isNotNull, 1L)).as("__nt"))
+          lit(0.0), (acc, x) => acc + x.getField("__lp")).as("__sum"))
       .join(tf.groupBy("doc_id").agg(sum(col("__tf")).as("n_tokens")), Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("__sum") / col("n_tokens"), 9).as("logprob"))

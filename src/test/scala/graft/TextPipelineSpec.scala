@@ -166,4 +166,80 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(grownKept.filter(_ < 400L) === again)
   }
+
+  test("unigramLogProb: hand-computed corpus LM scores") {
+    // tf: d1 {a:2, b:1}, d2 {b:1, c:1}; cf: a=2, b=2, c=1; C=5
+    val d = docs(1L -> "a a b", 2L -> "b c")
+    val out = graft.text.TextStats.unigramLogProb(d).orderBy("doc_id").collect()
+    assert(out.length === 2)
+    val lp25 = BigDecimal(math.log(2.0 / 5.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble // ln(0.4) snapped
+    val lp15 = BigDecimal(math.log(1.0 / 5.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Long]("n_tokens") === 3L)
+    assertClose(out(0).getAs[Double]("logprob"), (2 * lp25 + lp25) / 3.0, 1e-8)
+    assert(out(1).getAs[Long]("n_tokens") === 2L)
+    assertClose(out(1).getAs[Double]("logprob"), (lp25 + lp15) / 2.0, 1e-8)
+  }
+
+  test("bm25TopK: hand-computed scores, ranked, non-matching doc absent") {
+    import graft.text.Search
+    // N=3, every dl=2 so avgdl=2 and the tf-saturation w is exactly 1
+    val d = docs(1L -> "apple banana", 2L -> "apple cherry", 3L -> "durian elderberry")
+    val qs = Seq((1L, "apple banana")).toDF("query_id", "qtext")
+    val out = Search.bm25TopK(d, qs, k = 10).collect()
+    assert(out.length === 2) // doc3 matches no term: absent, not zero-scored
+    val idfApple = BigDecimal(math.log(1.0 + (3 - 2 + 0.5) / 2.5))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idfBanana = BigDecimal(math.log(1.0 + (3 - 1 + 0.5) / 1.5))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Long]("rank") === 1L)
+    assert(out(0).getAs[Long]("doc_id") === 1L)
+    assertClose(out(0).getAs[Double]("score"), idfApple + idfBanana, 1e-8)
+    assert(out(1).getAs[Long]("rank") === 2L)
+    assert(out(1).getAs[Long]("doc_id") === 2L)
+    assertClose(out(1).getAs[Double]("score"), idfApple, 1e-8)
+  }
+
+  test("bm25TopK: tf saturation ranks dense match above long diffuse doc") {
+    import graft.text.Search
+    val dense = "match match match filler1 filler2"
+    val diffuse = ("match " + (1 to 40).map(i => s"pad$i").mkString(" "))
+    val d = docs(1L -> dense, 2L -> diffuse, 3L -> "unrelated tokens here")
+    val qs = Seq((7L, "match")).toDF("query_id", "qtext")
+    val out = Search.bm25TopK(d, qs, k = 2).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    assert(out(0).getAs[Double]("score") > out(1).getAs[Double]("score"))
+  }
+
+  test("containmentPairsFromSets: subset doc scores containment 1.0") {
+    // doc2's shingles {b c d, c d e} ⊂ doc1's {a b c, b c d, c d e, d e f}:
+    // containment = 2/min(2,4) = 1.0 while Jaccard is only 0.5
+    val d = docs(1L -> "a b c d e f", 2L -> "b c d e", 3L -> "q r s t u")
+    val sets = Dedup.shingleSets(d, n = 3)
+    val rows = Dedup.containmentPairsFromSets(sets, minContainment = 0.9).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("doc_a") === 1L)
+    assert(rows.head.getAs[Long]("doc_b") === 2L)
+    assert(rows.head.getAs[Long]("common") === 2L)
+    assertClose(rows.head.getAs[Double]("containment"), 1.0)
+  }
+
+  test("containmentPairsFromSets: df-capped candidates, exact verification") {
+    // the hot shingle "a b c" (in all 4 docs) is df-capped out of the
+    // index with maxDf=3, but pairs still found via their other shared
+    // shingles are verified against FULL sets — the hot shingle counts
+    // toward `common` even though it generated no candidates
+    val d = docs(1L -> "a b c x y z", 2L -> "a b c x y w",
+      3L -> "a b c q", 4L -> "a b c r")
+    val sets = Dedup.shingleSets(d, n = 3)
+    val rows = Dedup.containmentPairsFromSets(sets, minContainment = 0.5, maxDf = 3)
+      .collect()
+    // doc1 {a b c, b c x, c x y, x y z}, doc2 {a b c, b c x, c x y, x y w}:
+    // common = 3 (incl. the capped "a b c"), containment = 3/4
+    assert(rows.length === 1)
+    assert((rows.head.getAs[Long]("doc_a"), rows.head.getAs[Long]("doc_b")) === ((1L, 2L)))
+    assert(rows.head.getAs[Long]("common") === 3L)
+    assertClose(rows.head.getAs[Double]("containment"), 0.75)
+  }
 }
