@@ -222,24 +222,23 @@ object Positions {
     val wd = Window.partitionBy("date")
     val norm = dense.withColumn("position",
       coalesce(col("__p") / sum(abs(col("__p"))).over(wd), lit(0.0)))
-    // the cash row rides the SAME lineage: collecting each day's
-    // positions into one row and appending cash avoids a union whose
-    // second branch re-evaluates the grid+window chain (Spark reuses
-    // exchanges across union branches but re-runs the window stages —
-    // measured ~30% of the query). The per-date array is bounded by the
-    // asset universe (alphalens-scale: thousands); beyond ~1e5 assets
-    // per day prefer a union formulation. Asset ids join the 'cash'
-    // namespace -> string column.
-    val byDate = norm.groupBy("date").agg(
-      collect_list(struct(col("asset").cast("string").as("asset"),
-        col("position").as("position"))).as("__ps"),
-      sum(col("position")).as("__ds"))
-    val withCash = byDate.withColumn("__ps", concat(col("__ps"),
-      array(struct(lit("cash").as("asset"),
-        (lit(1.0) - col("__ds")).as("position")))))
-    val posPctSess = withCash.select(col("date"), explode(col("__ps")).as("__x"))
-      .select(col("date"), col("__x.asset").as("asset"),
-        col("__x.position").as("position"))
+    // the cash row is a second union branch computed from the PRE-window
+    // grid: cash_d = 1 - Σ_a position_{d,a} = 1 - (Σp)/(Σ|p|), one plain
+    // aggregate — no second window pass, and no per-date collect_list
+    // whose row width would grow with the asset universe (the reason the
+    // earlier array formulation capped out ~1e5 assets/day). Σ(p/S) and
+    // (Σp)/S differ only by the 1e-16 float-order noise the 1e-9 output
+    // grid already absorbs; all-zero days divide to null and coalesce to
+    // cash = 1 (matching the window branch's all-zero ⇒ position 0).
+    // Asset ids join the 'cash' namespace -> string column.
+    val cash = dense.groupBy("date").agg(
+      (lit(1.0) - coalesce(sum(col("__p")) / sum(abs(col("__p"))), lit(0.0)))
+        .as("position"))
+      .select(col("date"), lit("cash").as("asset"), col("position"))
+    val posPctSess = norm
+      .select(col("date"), col("asset").cast("string").as("asset"),
+        col("position"))
+      .unionByName(cash)
     // (calendar day -> latest session day at or before it): a bounded
     // single-partition window over the daily spine, broadcast so the
     // fan-out to empty days is exchange-free and copies rows BITWISE

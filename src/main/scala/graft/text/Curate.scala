@@ -33,8 +33,19 @@ object Curate {
     * @param sets  optional precomputed shingle sets of `docs`
     *              ([[Dedup.shingleSets]] schema) — pass the shared
     *              persisted table when fanning out multiple operators
+    * @param containmentThreshold when set, adds a quote/subset-dedup
+    *              stage: connected components over
+    *              [[Dedup.containmentPairsFromSets]] at this threshold,
+    *              non-minimum members flagged `is_quote_dup` (same
+    *              min-id-keeps convention as the near-dup stage)
+    * @param relevanceQueries when set, adds a BM25 relevance stage: a
+    *              doc passes iff its best [[Search.bm25Scores]] score
+    *              against this bounded query batch (query_id, qtext) is
+    *              >= `minRelevance`; docs matching no query term fail
     * @return (doc_id, pass_quality, is_exact_dup, is_near_dup,
-    *         is_contaminated, kept) — one row per input doc
+    *         is_contaminated[, is_quote_dup][, pass_relevance], kept) —
+    *         one row per input doc; `kept` is the conjunction of every
+    *         ENABLED stage
     */
   def curateVerdicts(
       docs: DataFrame,
@@ -46,7 +57,10 @@ object Curate {
       textCol: String = "text",
       idCol: String = "doc_id",
       sets: Option[DataFrame] = None,
-      pairs: Option[DataFrame] = None): DataFrame = {
+      pairs: Option[DataFrame] = None,
+      containmentThreshold: Option[Double] = None,
+      relevanceQueries: Option[DataFrame] = None,
+      minRelevance: Double = 0.0): DataFrame = {
     val theSets = sets.getOrElse(Dedup.shingleSets(docs, textCol, idCol, n))
     val quality = TextStats.gopherRules(docs, textCol, idCol)
       .select(col("doc_id"), col("quality_pass").as("pass_quality"))
@@ -66,19 +80,48 @@ object Curate {
     val contam = Decontaminate.contaminationFromSets(
       theSets, Dedup.shingleSets(bench, textCol, idCol, n), contamThreshold)
       .select(col("doc_id"), col("contaminated").as("is_contaminated"))
-    docs.select(col(idCol).as("doc_id"))
+    // optional stages: each is (flag table, flag name, pass predicate,
+    // default when absent) — absent rows default to the FAILING side for
+    // relevance (no term match = irrelevant) and to not-a-dup for quotes
+    val quoteDup = containmentThreshold.map { thr =>
+      Dedup.duplicateClusters(
+        Dedup.containmentPairsFromSets(theSets, thr, maxDf)
+          .select("doc_a", "doc_b"))
+        .select(col("doc_id"),
+          when(col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L)
+            .as("is_quote_dup"))
+    }
+    val relevance = relevanceQueries.map { qs =>
+      Search.bm25Scores(docs, qs, textCol = textCol, idCol = idCol)
+        .groupBy("doc_id").agg(max(col("score")).as("__best"))
+        .select(col("doc_id"),
+          when(col("__best") >= minRelevance, 1L).otherwise(0L)
+            .as("pass_relevance"))
+    }
+    val base = docs.select(col(idCol).as("doc_id"))
       .join(quality, Seq("doc_id"), "left")
       .join(exact, Seq("doc_id"), "left")
       .join(clusters, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("pass_quality"), lit(0L)).as("pass_quality"),
-        coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"),
-        coalesce(col("is_near_dup"), lit(0L)).as("is_near_dup"),
-        coalesce(col("is_contaminated"), lit(0L)).as("is_contaminated"))
+    val joined = (quoteDup.toSeq ++ relevance.toSeq)
+      .foldLeft(base)((d, f) => d.join(f, Seq("doc_id"), "left"))
+    val flagCols = Seq(
+      col("doc_id"),
+      coalesce(col("pass_quality"), lit(0L)).as("pass_quality"),
+      coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"),
+      coalesce(col("is_near_dup"), lit(0L)).as("is_near_dup"),
+      coalesce(col("is_contaminated"), lit(0L)).as("is_contaminated")) ++
+      quoteDup.map(_ =>
+        coalesce(col("is_quote_dup"), lit(0L)).as("is_quote_dup")) ++
+      relevance.map(_ =>
+        coalesce(col("pass_relevance"), lit(0L)).as("pass_relevance"))
+    val keptCond = Seq(
+      col("pass_quality") === 1L, col("is_exact_dup") === 0L,
+      col("is_near_dup") === 0L, col("is_contaminated") === 0L) ++
+      quoteDup.map(_ => col("is_quote_dup") === 0L) ++
+      relevance.map(_ => col("pass_relevance") === 1L)
+    joined.select(flagCols: _*)
       .withColumn("kept",
-        when(col("pass_quality") === 1L && col("is_exact_dup") === 0L &&
-          col("is_near_dup") === 0L && col("is_contaminated") === 0L, 1L)
-          .otherwise(0L))
+        when(keptCond.reduce(_ && _), 1L).otherwise(0L))
   }
 }

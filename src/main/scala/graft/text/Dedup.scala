@@ -249,17 +249,39 @@ object Dedup {
       sets: DataFrame,
       minContainment: Double = 0.6,
       maxDf: Int = 100): DataFrame = {
-    val posts = sets.select(col("__id"), explode(col("__set")).as("__sh"))
+    val posts = sets.select(col("__id"), col("__sz"),
+      explode(col("__set")).as("__sh"))
     val kept = posts
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
       .filter(col("__df") <= maxDf)
-    val a = kept.select(col("__sh"), col("__id").as("doc_a"))
-    val b = kept.select(col("__sh"), col("__id").as("doc_b"))
-    val cand = a.join(b, Seq("__sh")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // same ReuseExchange trick as minHashNearDupsFromSets: both
-    // verification joins key the identical sets plan on __id
-    cand
+      // per-doc count of CAPPED-OUT (hot) shingles = |set| - |kept rows|;
+      // rides each posting row for the prune bound below
+      .withColumn("__hot",
+        col("__sz") - count(lit(1)).over(Window.partitionBy("__id")))
+    val a = kept.select(col("__sh"), col("__id").as("doc_a"),
+      col("__sz").as("__sza"), col("__hot").as("__hota"))
+    val b = kept.select(col("__sh"), col("__id").as("doc_b"),
+      col("__sz").as("__szb"), col("__hot").as("__hotb"))
+    // capped common count per pair, then a SOUND upper bound on the true
+    // containment: every common shingle is either kept-common (counted
+    // exactly here) or hot — and a hot shingle is hot globally, so the
+    // hot-common count is at most min(hot_a, hot_b). Pairs whose bound
+    // misses the threshold are pruned BEFORE the expensive full-set
+    // verification (on low-signal corpora this removes ~all candidates:
+    // random shingle collisions give tiny capped-common vs set size);
+    // pruning never changes the result, only which pairs get verified.
+    val counted = a.join(b, Seq("__sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__ccap"),
+        first(col("__sza")).as("__sza"), first(col("__szb")).as("__szb"),
+        first(col("__hota")).as("__hota"), first(col("__hotb")).as("__hotb"))
+    val survivors = counted.filter(
+      (col("__ccap") + least(col("__hota"), col("__hotb"))).cast("double") /
+        least(col("__sza"), col("__szb")) >= minContainment)
+      .select("doc_a", "doc_b")
+    // exact verification against the FULL sets (not the capped index) —
+    // same ReuseExchange trick as minHashNearDupsFromSets: both joins
+    // key the identical sets plan on __id
+    survivors
       .join(sets.as("sa"), col("doc_a") === col("sa.__id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.__id"))
       .withColumn("common",

@@ -107,7 +107,12 @@ object Ivf {
     * Deterministic content-independent subsample: multiplicative id
     * hash reduced mod a prime BEFORE the rate modulus (a direct
     * `id*odd mod rate` with a power-of-two rate only sees id's low
-    * bits, i.e. a stride — the prime reduction scatters them). */
+    * bits, i.e. a stride — the prime reduction scatters them).
+    *
+    * Requires a long-castable id column (both the hash-sample filter
+    * and the deterministic k-lowest-id init key on the long value);
+    * a non-castable id fails fast with a clear error instead of
+    * silently dropping rows at the cast. */
   private[vector] def collectSample(
       corpus: DataFrame,
       idCol: String,
@@ -120,10 +125,13 @@ object Ivf {
       else corpus.filter(
         pmod(pmod(col(idCol).cast("long") * 2654435761L, lit(1000003L)),
           lit(rate)) === 0)
-    sampleRaw
+    val rows = sampleRaw
       .select(col(idCol).cast("long").as("__id"), quantize(col(vecCol)).as("__q"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(rows.forall(!_.isNullAt(0)),
+      s"k-means training requires a long-castable, non-null id column; " +
+        s"'$idCol' produced nulls under cast to long")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
   }
 
@@ -140,8 +148,12 @@ object Ivf {
     * vectors. */
   private[vector] def lloydLocal(
       vecs: Array[Array[Double]],
-      nCells: Int,
+      nCellsRequested: Int,
       iters: Int): Array[Array[Double]] = {
+    // a quantizer cannot have more cells than training vectors: clamp
+    // (tiny corpora under an auto-scaled floor would otherwise index
+    // past the init array)
+    val nCells = math.min(nCellsRequested, vecs.length)
     var centroids: Array[Array[Double]] = vecs.take(nCells).map(_.clone())
     val dim = if (vecs.nonEmpty) vecs(0).length else 0
     for (_ <- 0 until iters) {

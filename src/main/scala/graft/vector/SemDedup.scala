@@ -25,22 +25,37 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** Auto-scaled cell count: mean cell population ~targetCellSize,
+    * floored at 16 so tiny corpora still get a non-trivial quantizer. */
+  private[graft] def autoCells(n: Long, targetCellSize: Long): Int =
+    math.max(16L, n / math.max(1L, targetCellSize)).toInt
+
   /** Per-vector semantic-dedup verdict.
     *
     * A vector is a duplicate iff some LOWER-ID vector in its cell has
     * cosine >= `threshold` with it; `keep_id` names the smallest such
     * neighbor (the cluster representative), self otherwise.
     *
+    * @param nCells cell count for the coarse quantizer; `<= 0` (the
+    *               default) auto-scales to `max(16, n / targetCellSize)`
+    *               from one cheap count, so the per-cell quadratic stays
+    *               bounded as the corpus grows without caller tuning
+    * @param targetCellSize intended mean cell population under
+    *               auto-scaling (the paper runs ~10-50k docs per cell)
     * @return (vec_id, cell, n_dups, keep_id, is_dup) — n_dups counts
     *         the lower-id near-duplicate neighbors
     */
   def semDedup(
       emb: DataFrame,
-      nCells: Int = 16,
+      nCells: Int = 0,
       threshold: Double = 0.95,
       iters: Int = 5,
+      targetCellSize: Long = 20000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // one count(*) — parquet-metadata cheap — bounds the per-cell
+    // quadratic: mean cell size stays ~targetCellSize at any corpus size
+    val cells = if (nCells > 0) nCells else autoCells(emb.count(), targetCellSize)
     // direction-normalize: cosine geometry becomes L2 geometry, so the
     // scaled/re-encoded copies SemDeDup exists to catch land in the
     // same cell as their originals
@@ -48,7 +63,7 @@ object SemDedup {
         Similarity.l2Norm(col(vecCol)).as("__n"))
       .withColumn("__nv",
         transform(col(vecCol), x => x.cast("double") / col("__n")))
-    val centroids = Ivf.trainCentroids(nrm, nCells, iters, idCol, "__nv")
+    val centroids = Ivf.trainCentroids(nrm, cells, iters, idCol, "__nv")
     val a = nrm.select(col(idCol), col(vecCol), col("__n"),
       Ivf.cellOf(col("__nv"), centroids).as("cell"))
     val pairs = a.select(col(idCol).as("__ida"), col(vecCol).as("__va"),

@@ -164,6 +164,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(5L) === ((1L, 0L, 0L, 1L, 0L)))
   }
 
+  test("curateVerdicts optional stages: quote-dedup and BM25 relevance") {
+    val good = (("the of and to in " * 4) +
+      (0 until 50).map(i => s"word${i}xyz").mkString(" ")).trim
+    // a strict prefix of `good` (55 of its 70 tokens): every trigram is
+    // contained in good's set -> containment 1.0, while staying above
+    // the 50-word gopher floor
+    val quote = good.split(" ").take(55).mkString(" ")
+    val good2 = (("the of and to in " * 4) +
+      (0 until 50).map(i => s"other${i}qq").mkString(" ")).trim
+    val d = docs(1L -> good, 5L -> good2, 6L -> quote)
+    val bench = docs(100L -> "decoy benchmark text nothing shared")
+    val queries = Seq((1L, "word0xyz word1xyz")).toDF("query_id", "qtext")
+    val out = graft.text.Curate.curateVerdicts(d, bench, maxDf = 10,
+      containmentThreshold = Some(0.9), relevanceQueries = Some(queries))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("pass_quality"), r.getAs[Long]("is_quote_dup"),
+          r.getAs[Long]("pass_relevance"), r.getAs[Long]("kept")))).toMap
+    // doc 1: passes everything incl. relevance; cluster representative
+    assert(out(1L) === ((1L, 0L, 1L, 1L)))
+    // doc 6: quote of doc 1 -> quote-dup (relevant, good quality)
+    assert(out(6L) === ((1L, 1L, 1L, 0L)))
+    // doc 5: clean but shares no query term -> fails relevance only
+    assert(out(5L) === ((1L, 0L, 0L, 0L)))
+    // stages default OFF: schema is exactly the four-flag contract
+    assert(graft.text.Curate.curateVerdicts(d, bench, maxDf = 10)
+      .columns.toSeq === Seq("doc_id", "pass_quality", "is_exact_dup",
+      "is_near_dup", "is_contaminated", "kept"))
+  }
+
   test("hashSplit is deterministic, in-range, and respects thresholds") {
     val d = (0L until 500L).map(i => i -> s"doc $i").toDF("doc_id", "text")
     val a = CorpusOps.hashSplit(d).select("doc_id", "bucket", "split")

@@ -27,7 +27,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q_knn_label",            // same brute-force scan under the votes
     "q_pq_adc",               // ADC scan: broadcast query distance tables
     "q_pyfolio_positions",    // day-spine x universe dense grid
-    "q_positions")            // instant-pair map join is values-only
+    "q_positions",            // instant-pair map join is values-only
+    "q_bm25",                 // one-row corpus constants (N, total len)
+    "q_unigram_lp")           // one-row corpus constant (total tokens)
 
   test("no cartesian product in any query plan") {
     plans.foreach { case (name, p) =>
@@ -93,5 +95,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // map-side (the only shuffle-bound stage of the operator)
     assert(plans("q_gopher_rules").contains("partial_max"),
       "q_gopher_rules lost map-side partial aggregation")
+  }
+
+  test("round-5 operators keep their scale-critical shapes") {
+    // bm25: the bounded query-term batch joins the postings broadcast
+    // (scoring touches only postings whose term appears in some query)
+    assert(plans("q_bm25").contains("BroadcastHashJoin"),
+      "q_bm25 does not broadcast the query-term batch")
+    // containment: the candidate-count prune aggregates map-side before
+    // the shuffle (the pair-graph groupBy is the operator's big stage)
+    assert(plans("q_containment").contains("partial_count"),
+      "q_containment lost map-side partial aggregation on the pair counts")
+    // unigram LM: per-(doc,term) tf and per-term cf both partial-agg
+    assert(plans("q_unigram_lp").contains("partial_count") &&
+      plans("q_unigram_lp").contains("partial_sum"),
+      "q_unigram_lp lost map-side partial aggregation")
   }
 }

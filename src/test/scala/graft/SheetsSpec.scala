@@ -128,4 +128,126 @@ class SheetsSpec extends AnyFunSuite with SparkSpec {
         first5.sum / 5, 1e-12)
     }
   }
+
+  // ---- parameter sweeps (reference tests/test_tears.py:152-326) -------
+  // The reference asserts "no exceptions" across quantiles × periods ×
+  // flag combinations; here each swept sheet additionally materializes
+  // its tables and pins the row counts that follow from the parameters.
+
+  test("returns tear sheet sweep: quantiles × periods (test_tears.py:152-168)") {
+    for ((q, ps) <- Seq((2, Seq(1, 5, 10)), (3, Seq(2, 4, 6)))) {
+      val f = Pipelines.factorData(spark, dir, ps, q)
+      val s = Sheets.createReturnsTearSheet(f, longShort = false)
+      nonEmpty(s.factorReturns, "date", s"ret_${ps.head}", s"ret_${ps.last}")
+      assert(nonEmpty(s.meanQuantRateret, "factor_quantile") === q.toLong)
+      nonEmpty(s.meanQuantRateretByDate, "factor_quantile", "date")
+      nonEmpty(s.spread, "date", s"ret_${ps.head}")
+      assert(nonEmpty(s.alphaBeta, "stat") === 2)
+      // cumulative curves exist iff a 1-day horizon is present
+      assert(s.cumulativeReturns.isDefined === ps.contains(1))
+      s.cumulativeReturns.foreach(c => nonEmpty(c, "date", "cum_ret_1"))
+      s.cumulativeReturnsByQuantile.foreach(c =>
+        nonEmpty(c, "factor_quantile", "cum_ret_1"))
+      assert(s.meanQuantRateretByGroup.isEmpty)
+    }
+  }
+
+  test("information tear sheet sweep: quantiles × periods (test_tears.py:170-186)") {
+    for ((q, ps) <- Seq((1, Seq(1, 5, 10)), (4, Seq(1, 2, 3, 7)))) {
+      val f = Pipelines.factorData(spark, dir, ps, q)
+      val s = Sheets.createInformationTearSheet(f)
+      nonEmpty(s.ic, ("date" +: ps.map(p => s"ret_$p")): _*)
+      assert(nonEmpty(s.icSummary, "period", "ic_mean", "p_value") === ps.length.toLong)
+      nonEmpty(s.monthlyMeanIc, "date")
+      assert(s.meanIcByGroup.isEmpty)
+    }
+  }
+
+  test("turnover tear sheet sweep: explicit turnover periods (test_tears.py:188-214)") {
+    val cases = Seq(
+      (2, Seq(2, 3, 6), None),
+      (4, Seq(1, 2, 3, 7), None),
+      (2, Seq(2, 3, 6), Some(Seq(1, 2))),
+      (4, Seq(1, 2, 3, 7), Some(Seq(1))))
+    for ((q, ps, tps) <- cases) {
+      val f = Pipelines.factorData(spark, dir, ps, q)
+      val s = Sheets.createTurnoverTearSheet(f, tps)
+      val expected = tps.getOrElse(ps).map(p => s"${p}D").toSet
+      val gotQt = s.quantileTurnover.select("period").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(gotQt === expected, s"turnover periods for q=$q ps=$ps tps=$tps")
+      val gotAc = s.autocorrelation.select("period").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(gotAc === expected)
+      nonEmpty(s.quantileTurnoverMeans, "mean_turnover")
+      nonEmpty(s.autocorrelationMeans, "mean_autocorr")
+    }
+  }
+
+  test("summary tear sheet sweep: long_short on and off (test_tears.py:216-238)") {
+    for {
+      (q, ps) <- Seq((2, Seq(1, 5, 10)), (3, Seq(1, 2, 3, 7)))
+      ls <- Seq(true, false)
+    } {
+      val f = Pipelines.factorData(spark, dir, ps, q)
+      val s = Sheets.createSummaryTearSheet(f, longShort = ls)
+      assert(nonEmpty(s.quantileStats, "factor_quantile", "count_pct") === q.toLong)
+      assert(nonEmpty(s.returnsTable, "stat", s"ret_${ps.head}") === 5)
+      assert(nonEmpty(s.icSummary, "period", "ic_mean") === ps.length.toLong)
+      nonEmpty(s.quantileTurnoverMeans, "mean_turnover")
+      nonEmpty(s.autocorrelationMeans, "mean_autocorr")
+    }
+  }
+
+  test("full tear sheet sweep: long_short × group_neutral × by_group (test_tears.py:240-274)") {
+    // reference combos: (F,F,F), (T,F,T), (T,T,T) — group flags need the
+    // grouped factor_data, exactly as the reference always passes groupby
+    for ((q, ps) <- Seq((2, Seq(1, 5)), (4, Seq(1, 8)))) {
+      val f = Pipelines.factorData(spark, dir, ps, q, withGroup = true)
+      for ((ls, gn, bg) <- Seq((false, false, false), (true, false, true),
+        (true, true, true))) {
+        val s = Sheets.createFullTearSheet(f, longShort = ls,
+          groupNeutral = gn, byGroup = bg)
+        assert(nonEmpty(s.quantileStats, "factor_quantile") === q.toLong)
+        nonEmpty(s.returns.factorReturns, "date", s"ret_${ps.last}")
+        nonEmpty(s.returns.meanQuantRateretByDate, "factor_quantile")
+        nonEmpty(s.returns.spread, "date")
+        assert(s.returns.meanQuantRateretByGroup.isDefined === bg)
+        s.returns.meanQuantRateretByGroup.foreach(g =>
+          nonEmpty(g, "factor_quantile", "group"))
+        nonEmpty(s.information.ic, "date")
+        assert(s.information.meanIcByGroup.isDefined === bg)
+        nonEmpty(s.turnover.quantileTurnover, "turnover")
+        nonEmpty(s.turnover.autocorrelation, "autocorr")
+      }
+    }
+  }
+
+  test("event returns tear sheet sweep: all six flag combos (test_tears.py:276-302)") {
+    for ((ls, gn, bg) <- Seq(
+      (false, false, false), (true, false, false), (false, true, false),
+      (false, false, true), (true, false, true), (false, true, true))) {
+      val s = Sheets.createEventReturnsTearSheet(fdG, returns,
+        periodsBefore = 2, periodsAfter = 3, longShort = ls,
+        groupNeutral = gn, byGroup = bg)
+      nonEmpty(s.avgCumulativeReturns, "factor_quantile", "offset", "mean", "std")
+      assert(s.avgCumulativeReturnsByGroup.isDefined === bg)
+      s.avgCumulativeReturnsByGroup.foreach(g =>
+        nonEmpty(g, "group", "factor_quantile", "offset", "mean"))
+    }
+  }
+
+  test("event study tear sheet sweep: window shapes incl. zero-sided (test_tears.py:304-326)") {
+    for ((before, after) <- Seq((6, 8), (6, 3), (0, 3), (3, 0))) {
+      val s = Sheets.createEventStudyTearSheet(fd, returns,
+        periodsBefore = before, periodsAfter = after, nBars = 10)
+      nonEmpty(s.eventsDistribution, "bucket", "n_events")
+      val offsets = s.avgCumulativeReturns.select("offset").distinct()
+        .collect().map(_.getInt(0))
+      assert(offsets.min >= -before && offsets.max <= after,
+        s"offsets ${offsets.min}..${offsets.max} outside -$before..$after")
+      nonEmpty(s.factorReturns, "date")
+      nonEmpty(s.meanReturnByQuantile, "factor_quantile")
+    }
+  }
 }

@@ -192,6 +192,51 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(r1 === r2)
   }
 
+  test("semDedup auto-scales nCells from the corpus size") {
+    import graft.vector.SemDedup
+    // mean cell population ~targetCellSize, floored at 16
+    assert(SemDedup.autoCells(1000L, 20000L) === 16)
+    assert(SemDedup.autoCells(320000L, 20000L) === 16)
+    assert(SemDedup.autoCells(1000000L, 20000L) === 50)
+    assert(SemDedup.autoCells(100000000L, 20000L) === 5000)
+    // end-to-end under the auto default (nCells <= 0): verdicts still
+    // correct on a small corpus (floor of 16 cells kicks in)
+    val base = (0 until 8).map(i => (i.toLong, vec(Seq(1, 97)(i % 2))))
+    val copies = Seq(10L -> vec(1).map(_ * 1.25f))
+    val d = emb((base ++ copies): _*)
+    val out = SemDedup.semDedup(d, threshold = 0.999)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("is_dup"), r.getAs[Long]("keep_id"))).toMap
+    assert(out(10L) === ((1L, 0L)))
+  }
+
+  test("ANN recall@10 floors vs brute force on the sf0.001 embeddings") {
+    import graft.vector.{Ivf, Pq}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(e, q, k = 10))
+    def recall(ann: Set[(Long, Long)]): Double =
+      bf.intersect(ann).size.toDouble / bf.size
+    // the production parameterizations (q_ann_* queries); floors pin the
+    // probe/band tuning so a regression in candidate generation is caught
+    val rLsh = recall(pairs(Similarity.lshTopK(e, q, k = 10,
+      nBits = 16, bands = 8, dim = 64)))
+    val rIvf = recall(pairs(Ivf.ivfTopK(e, q, k = 10, nCells = 16, nProbe = 4)))
+    val coarse = Ivf.trainCentroids(e, nCells = 16, iters = 5)
+    val books = Pq.trainCodebooks(e, dim = 64, m = 8, k = 16, iters = 3)
+    val rIvfAdc = recall(pairs(Pq.ivfAdcTopK(e, q, coarse, books,
+      dim = 64, k = 10, nProbe = 4)))
+    info(f"recall@10 lsh=$rLsh%.3f ivf=$rIvf%.3f ivfadc=$rIvfAdc%.3f")
+    // measured on this fixture: lsh 0.895, ivf 0.820, ivfadc 0.330
+    // (ivfadc's low ceiling is the PQ distortion at m=8/k=16, by design)
+    assert(rLsh >= 0.75, f"LSH recall $rLsh%.3f below floor")
+    assert(rIvf >= 0.70, f"IVF recall $rIvf%.3f below floor")
+    assert(rIvfAdc >= 0.25, f"IVFADC recall $rIvfAdc%.3f below floor")
+  }
+
   test("cosineNearDups finds planted duplicate pair only") {
     val a = vec(5)
     val dup = a.map(x => x * 1.001f)
