@@ -67,14 +67,31 @@ object DocQueries {
       graft.vector.Pq.trainCodebooks(embeddings(s, dir), dim = 64, m = 8,
         k = 16, iters = 3))
 
+  /** Per-process memo of the BM25 inverted index — like the shingle
+    * sets, the index is the build-once/query-many artifact of full-text
+    * search; the postings/df/stats pieces persist so every query batch
+    * reuses them. */
+  private val bm25Memo =
+    scala.collection.concurrent.TrieMap.empty[String, Search.Bm25Index]
+  private def bm25Index(s: SparkSession, dir: String): Search.Bm25Index =
+    bm25Memo.getOrElseUpdate(dir, {
+      val idx = Search.buildIndex(documents(s, dir))
+      idx.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.stats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx
+    })
+
   /** Materialize the shared doc-side caches (shingle sets + Jaccard
-    * pair graph) and train the shared vector models — the bench warmup
-    * calls this so their one-off build cost lands in the reported
-    * warmup entry instead of on whichever query runs first
+    * pair graph + BM25 index) and train the shared vector models — the
+    * bench warmup calls this so their one-off build cost lands in the
+    * reported warmup entry instead of on whichever query runs first
     * alphabetically (same treatment as the shared factor_data build). */
   def warm(spark: SparkSession, dir: String): Unit = {
     docShingleSets(spark, dir, n = 3).count()
     docJaccardPairs(spark, dir, n = 3, minJaccard = 0.3, maxDf = 100).count()
+    val idx = bm25Index(spark, dir)
+    idx.postings.count(); idx.df.count(); idx.stats.count()
     coarseCentroids(spark, dir)
     pqBooks(spark, dir)
   }
@@ -277,12 +294,12 @@ object DocQueries {
     }),
     "q_bm25" -> ((s, dir) => {
       // bounded query batch: the first 8 tokens of the 5 lowest-id docs
-      // (each query therefore has a guaranteed relevant hit: itself)
-      val d = documents(s, dir)
-      val qs = d.filter(col("doc_id") < 5)
+      // (each query therefore has a guaranteed relevant hit: itself);
+      // scores come off the SHARED persisted inverted index
+      val qs = documents(s, dir).filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
-      Search.bm25TopK(d, qs, k = 10)
+      Search.bm25TopKFromIndex(bm25Index(s, dir), qs, k = 10)
     }),
     "q_containment" -> ((s, dir) =>
       // quote/subset dedup over the SAME persisted shingle sets as the

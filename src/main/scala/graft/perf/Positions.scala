@@ -222,16 +222,19 @@ object Positions {
     val wd = Window.partitionBy("date")
     val norm = dense.withColumn("position",
       coalesce(col("__p") / sum(abs(col("__p"))).over(wd), lit(0.0)))
-    // the cash row is a second union branch computed from the PRE-window
-    // grid: cash_d = 1 - Σ_a position_{d,a} = 1 - (Σp)/(Σ|p|), one plain
-    // aggregate — no second window pass, and no per-date collect_list
-    // whose row width would grow with the asset universe (the reason the
-    // earlier array formulation capped out ~1e5 assets/day). Σ(p/S) and
-    // (Σp)/S differ only by the 1e-16 float-order noise the 1e-9 output
-    // grid already absorbs; all-zero days divide to null and coalesce to
+    // the cash row is a second union branch: cash_d = 1 - Σ_a
+    // position_{d,a} = 1 - (Σp)/(Σ|p|), one plain aggregate — no second
+    // window pass, and no per-date collect_list whose row width would
+    // grow with the asset universe (the reason the earlier array
+    // formulation capped out ~1e5 assets/day). It aggregates posDay
+    // rather than the dense grid: the grid only adds exact zeros, which
+    // contribute nothing to either sum, so the values coincide and the
+    // branch skips the crossJoin lineage entirely. Σ(p/S) and (Σp)/S
+    // differ only by the 1e-16 float-order noise the 1e-9 output grid
+    // already absorbs; all-zero days divide to null and coalesce to
     // cash = 1 (matching the window branch's all-zero ⇒ position 0).
     // Asset ids join the 'cash' namespace -> string column.
-    val cash = dense.groupBy("date").agg(
+    val cash = posDay.groupBy("date").agg(
       (lit(1.0) - coalesce(sum(col("__p")) / sum(abs(col("__p"))), lit(0.0)))
         .as("position"))
       .select(col("date"), lit("cash").as("asset"), col("position"))

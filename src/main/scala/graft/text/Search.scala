@@ -28,24 +28,18 @@ import TextOps._
   */
 object Search {
 
-  /** BM25 scores for every (query, document) pair with at least one
-    * matching term.
-    *
-    * @param docs    corpus (idCol, textCol)
-    * @param queries bounded query batch (queryIdCol, queryTextCol);
-    *                query text is tokenized like documents, duplicate
-    *                terms collapsed (standard bag-of-words queries)
-    * @return (query_id, doc_id, score) — score rounded to 1e-9
-    */
-  def bm25Scores(
+  /** A built BM25 inverted index: per-(doc, term) postings with doc
+    * length, per-term document frequencies, and the one-row corpus
+    * constants. Build once, persist the pieces, and serve many query
+    * batches via [[bm25ScoresFromIndex]] — the same build-once/fan-out
+    * lifecycle as [[Dedup.shingleSets]]. */
+  final case class Bm25Index(postings: DataFrame, df: DataFrame, stats: DataFrame)
+
+  /** Construct the [[Bm25Index]] for a corpus. */
+  def buildIndex(
       docs: DataFrame,
-      queries: DataFrame,
-      k1: Double = 1.2,
-      b: Double = 0.75,
       textCol: String = "text",
-      idCol: String = "doc_id",
-      queryIdCol: String = "query_id",
-      queryTextCol: String = "qtext"): DataFrame = {
+      idCol: String = "doc_id"): Bm25Index = {
     val postings = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("__t"))
       .groupBy("doc_id", "__t").agg(count(lit(1)).as("__tf"))
@@ -66,6 +60,39 @@ object Search {
     val stats = docs.select(size(tokens(col(textCol))).as("__len"))
       .filter(col("__len") > 0)
       .agg(count(lit(1)).as("__n"), sum(col("__len")).as("__s"))
+    Bm25Index(postings, df, stats)
+  }
+
+  /** BM25 scores for every (query, document) pair with at least one
+    * matching term.
+    *
+    * @param docs    corpus (idCol, textCol)
+    * @param queries bounded query batch (queryIdCol, queryTextCol);
+    *                query text is tokenized like documents, duplicate
+    *                terms collapsed (standard bag-of-words queries)
+    * @return (query_id, doc_id, score) — score rounded to 1e-9
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      queries: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext"): DataFrame =
+    bm25ScoresFromIndex(buildIndex(docs, textCol, idCol), queries, k1, b,
+      queryIdCol, queryTextCol)
+
+  /** [[bm25Scores]] over a prebuilt (ideally persisted) [[Bm25Index]]. */
+  def bm25ScoresFromIndex(
+      index: Bm25Index,
+      queries: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext"): DataFrame = {
+    val Bm25Index(postings, df, stats) = index
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(tokens(col(queryTextCol)))).as("__t"))
 
@@ -103,10 +130,22 @@ object Search {
       textCol: String = "text",
       idCol: String = "doc_id",
       queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext"): DataFrame =
+    bm25TopKFromIndex(buildIndex(docs, textCol, idCol), queries, k, k1, b,
+      queryIdCol, queryTextCol)
+
+  /** [[bm25TopK]] over a prebuilt (ideally persisted) [[Bm25Index]]. */
+  def bm25TopKFromIndex(
+      index: Bm25Index,
+      queries: DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      queryIdCol: String = "query_id",
       queryTextCol: String = "qtext"): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
-    bm25Scores(docs, queries, k1, b, textCol, idCol, queryIdCol, queryTextCol)
+    bm25ScoresFromIndex(index, queries, k1, b, queryIdCol, queryTextCol)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score")

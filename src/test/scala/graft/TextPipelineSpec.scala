@@ -212,6 +212,17 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out(0).getAs[Double]("score") > out(1).getAs[Double]("score"))
   }
 
+  test("bm25TopKFromIndex over a prebuilt index matches the direct path") {
+    import graft.text.Search
+    val d = docs(1L -> "apple banana", 2L -> "apple cherry", 3L -> "durian kiwi")
+    val qs = Seq((1L, "apple banana"), (2L, "cherry")).toDF("query_id", "qtext")
+    val idx = Search.buildIndex(d)
+    val direct = Search.bm25TopK(d, qs, k = 5).collect().map(_.toSeq).toSeq
+    val indexed = Search.bm25TopKFromIndex(idx, qs, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed === direct)
+  }
+
   test("containmentPairsFromSets: subset doc scores containment 1.0") {
     // doc2's shingles {b c d, c d e} ⊂ doc1's {a b c, b c d, c d e, d e f}:
     // containment = 2/min(2,4) = 1.0 while Jaccard is only 0.5
