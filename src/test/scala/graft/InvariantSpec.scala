@@ -65,4 +65,64 @@ class InvariantSpec extends AnyFunSuite with SparkSpec {
         s"unbalanced qcut buckets: ${r}")
     }
   }
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("BM25: positive scores, contiguous ranks, every query matches its source doc") {
+    import graft.text.{Search, TextOps}
+    // query = a doc's own first 8 tokens. NOTE: the source doc need not
+    // rank FIRST (length normalization can favor a shorter doc that
+    // repeats several query terms), but it must appear in the scored
+    // set with a positive score — it matches every query term.
+    val qs = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
+    val scored = Search.bm25Scores(docs, qs).collect()
+    assert(scored.forall(_.getAs[Double]("score") > 0.0))
+    val selfPairs = scored.filter(r =>
+      r.getAs[Long]("query_id") == r.getAs[Long]("doc_id"))
+    assert(selfPairs.map(_.getAs[Long]("query_id")).toSet
+      === Set(0L, 1L, 2L, 3L, 4L))
+    val top = Search.bm25TopK(docs, qs, k = 7).collect()
+    top.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq
+        === (1L to rs.length).toSeq, s"query $q ranks not contiguous")
+      // ranked by score desc
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("containment lies in (0, 1] and implies jaccard <= containment") {
+    import graft.text.Dedup
+    val sets = Dedup.shingleSets(docs, n = 3)
+    val c = Dedup.containmentPairsFromSets(sets, minContainment = 0.01,
+      maxDf = 100).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(c.nonEmpty)
+    assert(c.values.forall(v => v > 0.0 && v <= 1.0))
+    val j = Dedup.jaccardPairsFromSets(sets, minJaccard = 0.01, maxDf = 100)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // J = c/(a+b-c) <= c/min(a,b) = C on every common pair
+    j.foreach { case (k, jv) =>
+      c.get(k).foreach(cv => assert(jv <= cv + 1e-9, s"pair $k: J=$jv > C=$cv"))
+    }
+  }
+
+  test("unigram log-probs are negative and bounded by the rarest-term floor") {
+    import graft.text.TextStats
+    val lp = TextStats.unigramLogProb(docs).collect()
+    assert(lp.nonEmpty)
+    // every per-token mean log-prob lies in [ln(1/C), 0): each token's
+    // probability is at least 1/C (it occurs) and below 1 (C > 1 token)
+    val totalTokens = lp.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val floor = math.log(1.0 / totalTokens) - 1e-6
+    lp.foreach { r =>
+      val v = r.getAs[Double]("logprob")
+      assert(v < 0.0 && v >= floor, s"logprob $v outside [$floor, 0)")
+    }
+  }
 }
