@@ -38,6 +38,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${GraftExtensions.CellDistsName} takes exactly 2 arguments, got ${args.length}")
         CellDists(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftExtensions.ShingleSeqName),
+      new ExpressionInfo(classOf[ShingleSeq].getName, GraftExtensions.ShingleSeqName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"${GraftExtensions.ShingleSeqName} takes exactly 2 arguments, got ${args.length}")
+        ShingleSeq(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftExtensions.Hash56Name),
+      new ExpressionInfo(classOf[Hash56].getName, GraftExtensions.Hash56Name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"${GraftExtensions.Hash56Name} takes exactly 1 argument, got ${args.length}")
+        Hash56(args.head)
+      }))
     // user queries written with the idiomatic zip_with/aggregate dot
     // composition get the fused codegen kernel automatically
     ext.injectOptimizerRule(_ => RewriteHofDot)
@@ -48,4 +64,6 @@ object GraftExtensions {
   val DotName = "graft_dot"
   val SignBitsName = "graft_sign_bits"
   val CellDistsName = "graft_l2sq_cells"
+  val ShingleSeqName = "graft_shingle_seq"
+  val Hash56Name = "graft_hash56"
 }

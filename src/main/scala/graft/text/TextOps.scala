@@ -23,12 +23,29 @@ object TextOps {
     filter(split(text, " "), t => t =!= "")
 
   /** All n-token shingles (with duplicates, in positional order);
-    * empty array when the document has fewer than n tokens. */
+    * empty array when the document has fewer than n tokens. When the
+    * session registered [[graft.functions.GraftExtensions]], the native
+    * codegen'd [[graft.functions.ShingleSeq]] kernel is used; the HOF
+    * composition is the extension-free fallback. Both produce identical
+    * arrays (same join, same ordering, same empty-on-short semantics),
+    * so the choice never affects oracle parity — only speed. */
   def shingleSeq(toks: Column, n: Int): Column =
+    if (nativeShingles)
+      call_function(graft.functions.GraftExtensions.ShingleSeqName, toks, lit(n))
+    else hofShingleSeq(toks, n)
+
+  /** `transform`/`slice`/`concat_ws` shingles — builtin-only fallback. */
+  def hofShingleSeq(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+
+  private def nativeShingles: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      try s.catalog.functionExists(graft.functions.GraftExtensions.ShingleSeqName)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
 
   /** Distinct shingle set of a document. */
   def shingles(toks: Column, n: Int): Column = array_distinct(shingleSeq(toks, n))
@@ -36,9 +53,24 @@ object TextOps {
   /** First 56 bits of md5(s) as a non-negative long. Stable across
     * engines and platforms (md5 is byte-defined), cheap enough for the
     * hot path (one md5 per shingle), and 56 bits keeps every derived
-    * product `a * (h % p) + b` inside 63 bits. */
+    * product `a * (h % p) + b` inside 63 bits. When the session
+    * registered [[graft.functions.GraftExtensions]], the native
+    * [[graft.functions.Hash56]] kernel is used (digest bytes -> long,
+    * no hex round-trip); values are identical either way. */
   def hash56(s: Column): Column =
+    if (nativeHash56)
+      call_function(graft.functions.GraftExtensions.Hash56Name, s)
+    else hofHash56(s)
+
+  /** Builtin-only hash56 — md5 hex, slice, radix-16 parse. */
+  def hofHash56(s: Column): Column =
     conv(substring(md5(s), 1, 14), 16, 10).cast("long")
+
+  private def nativeHash56: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      try s.catalog.functionExists(graft.functions.GraftExtensions.Hash56Name)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
 
   /** Modulus for the MinHash permutation family. */
   val HashP: Long = 1000000007L
