@@ -54,6 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${GraftExtensions.Hash56Name} takes exactly 1 argument, got ${args.length}")
         Hash56(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftExtensions.TokensName),
+      new ExpressionInfo(classOf[Tokens].getName, GraftExtensions.TokensName),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"${GraftExtensions.TokensName} takes exactly 1 argument, got ${args.length}")
+        Tokens(args.head)
+      }))
     // user queries written with the idiomatic zip_with/aggregate dot
     // composition get the fused codegen kernel automatically
     ext.injectOptimizerRule(_ => RewriteHofDot)
@@ -66,4 +74,5 @@ object GraftExtensions {
   val CellDistsName = "graft_l2sq_cells"
   val ShingleSeqName = "graft_shingle_seq"
   val Hash56Name = "graft_hash56"
+  val TokensName = "graft_tokens"
 }

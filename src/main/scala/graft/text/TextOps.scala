@@ -18,9 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Non-empty tokens of a single-space-separated text column. */
+  /** Non-empty tokens of a single-space-separated text column. When the
+    * session registered [[graft.functions.GraftExtensions]], the native
+    * one-pass [[graft.functions.Tokens]] kernel is used (no regex, no
+    * intermediate empty tokens); results are identical either way. */
   def tokens(text: Column): Column =
+    if (nativeTokens)
+      call_function(graft.functions.GraftExtensions.TokensName, text)
+    else hofTokens(text)
+
+  /** Builtin-only tokenizer — regex split + non-empty filter. */
+  def hofTokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
+
+  private def nativeTokens: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      try s.catalog.functionExists(graft.functions.GraftExtensions.TokensName)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
 
   /** All n-token shingles (with duplicates, in positional order);
     * empty array when the document has fewer than n tokens. When the

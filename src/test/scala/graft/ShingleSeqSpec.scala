@@ -79,6 +79,37 @@ class ShingleSeqSpec extends AnyFunSuite with SparkSpec {
     assert(out(6L) === Seq("dup dup dup", "dup dup dup"))
   }
 
+  test("graft_tokens matches the builtin split+filter composition exactly") {
+    val probe = texts.select(col("text")).unionByName(Seq(
+      " leading", "trailing ", "  both  sides  ", "   ", "ünï ★ tøk",
+      "a\tb", "line\nbreak", "x" * 3000 + " y").toDF("text"))
+    val both = probe.select(
+      call_function("graft_tokens", col("text")).as("native"),
+      TextOps.hofTokens(col("text")).as("hof"))
+    both.collect().foreach(r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"for ${r}"))
+    // null in -> null out, like the builtin chain
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(call_function("graft_tokens", col("text")),
+        TextOps.hofTokens(col("text"))).collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("graft_tokens interpreted eval matches codegen") {
+    val sel = texts.select(call_function("graft_tokens", col("text")))
+    val expected = sel.collect().map(_.getSeq[String](0))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(sel.collect().map(_.getSeq[String](0)).toSeq === expected.toSeq)
+    }
+  }
+
+  test("TextOps.tokens routes to the native function when registered") {
+    val plan = texts.select(TextOps.tokens(col("text")))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("graft_tokens"))
+  }
+
   test("graft_hash56 matches the builtin md5/conv composition exactly") {
     val probe = texts.select(col("text")).unionByName(
       Seq("", "a", "the quick brown fox", "ünïcødé ★ text", "x" * 5000)
