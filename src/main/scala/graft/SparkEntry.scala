@@ -108,7 +108,9 @@ object SparkEntry {
   private def factorOracleSql: Map[String, String] = Map(
     "q_panel" ->
       """SELECT date_trunc('day', l_shipdate) AS date, l_suppkey AS asset,
-        | sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        | sum(round(l_extendedprice * 100)::BIGINT *
+        |     (100 - round(l_discount * 100)::BIGINT))::BIGINT::DOUBLE
+        |   / 10000.0 AS revenue,
         | sum(l_quantity) AS qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_prices" -> s"""$pre SELECT date, asset, price FROM priced ORDER BY date, asset""",

@@ -23,14 +23,25 @@ object Pipelines {
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
 
-  /** One row per (ship day, supplier): revenue and quantity. */
+  /** One row per (ship day, supplier): revenue and quantity.
+    *
+    * Revenue is summed in EXACT fixed-point: extendedprice and discount
+    * are 2-decimal TPC-H values, so `cents * (100 - discount_pct)` is an
+    * exact integer per row and the long sum is order-independent — the
+    * float formulation `sum(price * (1 - disc))` diverged between
+    * engines by ~1e-16 relative on large groups (measured at sf0.1: 261
+    * of 533k groups off by one ulp), which a value-hash compare cannot
+    * tolerate at any scale. One division by 10^4 at the end returns to
+    * dollars. qty is integer-valued, so its double sum is already exact. */
   def panel(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .groupBy(
         date_trunc("day", col("l_shipdate")).as("date"),
         col("l_suppkey").as("asset"))
       .agg(
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+          .cast("double") / 10000.0).as("revenue"),
         sum(col("l_quantity")).as("qty"))
 
   /** Synthetic strictly-positive price series per supplier.
@@ -227,7 +238,9 @@ object Pipelines {
     val groupCol = if (withGroup) ", grp AS \"group\"" else ""
     s"""WITH panel AS (
        |  SELECT date_trunc('day', l_shipdate) AS date, l_suppkey AS asset,
-       |         sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       |         sum(round(l_extendedprice * 100)::BIGINT *
+       |             (100 - round(l_discount * 100)::BIGINT))::BIGINT::DOUBLE
+       |           / 10000.0 AS revenue,
        |         sum(l_quantity) AS qty
        |  FROM lineitem GROUP BY 1, 2
        |), priced AS (
