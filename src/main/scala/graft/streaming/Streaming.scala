@@ -38,6 +38,23 @@ case class AsOfEnriched(
 
 private case class RefState(eventId: Long, ts: Long, value: Double)
 
+/** One document of an append-only text stream. */
+case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
+/** Emitted near-duplicate hit: `doc_id` verified against the band
+  * representative `prior_id` (exact Jaccard over full shingle sets). */
+case class NearDupHit(
+    doc_id: Long,
+    ts: Timestamp,
+    prior_id: Long,
+    band: String,
+    jaccard: Double)
+
+private case class BandedDoc(
+    band: String, doc_id: Long, ts: Timestamp, set: Seq[String])
+
+private case class BandRep(docId: Long, ts: Long, set: Seq[String])
+
 /** Structured-Streaming extensions (SURVEY §2.9/§7.6 — the reference is
   * batch-only; these are the post-parity streaming capabilities a
   * 100 TB event pipeline needs): event-time windowed stats under a
@@ -146,6 +163,96 @@ object Streaming {
               }
             }
             cur.foreach(state.update)
+            if (lastActivity != Long.MinValue)
+              state.setTimeoutTimestamp(lastActivity + idleTimeoutSec * 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming MinHash-LSH near-duplicate detection — online dedup at
+    * ingest time, the streaming analogue of
+    * [[graft.text.Dedup.minHashNearDups]].
+    *
+    * The per-document MinHash signature is a PURE PROJECTION (shingle →
+    * hash → `array_min` per hash function — no explode + aggregate, so
+    * it streams without an extra stateful stage); documents sharing any
+    * full signature band land in the same band bucket, and each bucket
+    * keeps ONE representative (the earliest document seen) as state.
+    * An arriving document is verified EXACTLY against the
+    * representative's full shingle set (Jaccard) and emitted as a
+    * [[NearDupHit]] when it clears `minJaccard`.
+    *
+    * Streaming trade-offs vs the batch operator, both deliberate:
+    * per-bucket state is one representative (O(doc length)) rather than
+    * every member, so a document that near-dups a NON-representative
+    * member goes unflagged (the batch pass remains the exact answer);
+    * and a pair sharing several bands emits one hit per band —
+    * `dropDuplicates("doc_id", "prior_id")` downstream if one row per
+    * pair is needed. Idle buckets are purged via event-time timeout at
+    * last-activity + `idleTimeoutSec`, so state stays bounded by the
+    * active-bucket count, not the corpus. */
+  def streamingNearDups(
+      docs: Dataset[StreamDoc],
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.5,
+      watermark: String = "2 hours",
+      idleTimeoutSec: Long = 86400): Dataset[NearDupHit] = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    import docs.sparkSession.implicits._
+    import graft.text.TextOps
+    val rowsPerBand = numHashes / bands
+    val sets = docs
+      .withColumn("__set", TextOps.shingles(TextOps.tokens(col("text")), n))
+      .filter(size(col("__set")) > 0) // shingle-less docs have no signature
+      .withColumn("__h0",
+        transform(col("__set"), s => TextOps.hash56(s) % TextOps.HashP))
+    val minCols = (0 until numHashes).map { j =>
+      val (aj, bj) = TextOps.hashParams(j)
+      array_min(transform(col("__h0"), h => (lit(aj) * h + lit(bj)) % TextOps.HashP))
+    }
+    val bandKeys = (0 until bands).map { b =>
+      val parts = lit(b.toString) +:
+        (0 until rowsPerBand).map(r => minCols(b * rowsPerBand + r).cast("string"))
+      concat_ws(":", parts: _*)
+    }
+    val banded = sets
+      .select(explode(array(bandKeys: _*)).as("band"),
+        col("doc_id"), col("ts"), col("__set").as("set"))
+      .withWatermark("ts", watermark)
+      .as[BandedDoc]
+    banded
+      .groupByKey(_.band)
+      .flatMapGroupsWithState[BandRep, NearDupHit](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (band: String, rows: Iterator[BandedDoc], state: GroupState[BandRep]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            val out = Seq.newBuilder[NearDupHit]
+            var rep = state.getOption
+            var lastActivity = Long.MinValue
+            sorted.foreach { d =>
+              lastActivity = math.max(lastActivity, d.ts.getTime)
+              rep match {
+                case None =>
+                  rep = Some(BandRep(d.doc_id, d.ts.getTime, d.set))
+                case Some(r) if r.docId != d.doc_id =>
+                  val a = r.set.toSet
+                  val common = d.set.count(a.contains)
+                  val j = common.toDouble / (a.size + d.set.size - common)
+                  if (j >= minJaccard)
+                    out += NearDupHit(d.doc_id, d.ts, r.docId, band,
+                      BigDecimal(j).setScale(9,
+                        BigDecimal.RoundingMode.HALF_UP).toDouble)
+                case _ => // the representative itself re-arriving
+              }
+            }
+            rep.foreach(state.update)
             if (lastActivity != Long.MinValue)
               state.setTimeoutTimestamp(lastActivity + idleTimeoutSec * 1000L)
             out.result().iterator

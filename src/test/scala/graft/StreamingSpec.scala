@@ -118,4 +118,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         r.getAs[Double]("total_value")))
     assert(rows.contains((1L, 2L, 3.0))) // the closed first session
   }
+
+  test("streamingNearDups flags near-identical later docs against the representative") {
+    import graft.streaming.{NearDupHit, StreamDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 38).map(i => s"tok$i").mkString(" ") // J = 36/38
+    val far = (1 to 40).map(i => s"other$i").mkString(" ")
+    val in = MemoryStream[StreamDoc]
+    // batch 1: the representative + an unrelated doc
+    in.addData(
+      StreamDoc(1L, t("2024-01-01 00:00:00"), base),
+      StreamDoc(3L, t("2024-01-01 00:01:00"), far))
+    val out = Streaming.streamingNearDups(in.toDS(),
+      n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+    val q = out.writeStream.format("memory").queryName("neardups")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: a near-dup of doc 1 arrives later — cross-batch state hit
+    in.addData(StreamDoc(2L, t("2024-01-01 00:30:00"), near))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("neardups").as[NearDupHit].collect()
+    assert(hits.nonEmpty, "no near-dup hit emitted")
+    // every hit is (2 matched against 1); multi-band hits allowed
+    assert(hits.forall(h => h.doc_id == 2L && h.prior_id == 1L))
+    hits.foreach(h => assertClose(h.jaccard, 36.0 / 38.0, 1e-9))
+    // the unrelated doc never appears on either side
+    assert(!hits.exists(h => h.doc_id == 3L || h.prior_id == 3L))
+    // exactly one hit per distinct pair after the documented downstream dedup
+    assert(hits.map(h => (h.doc_id, h.prior_id)).toSet.size === 1)
+  }
 }
