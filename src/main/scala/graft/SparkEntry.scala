@@ -286,8 +286,14 @@ object SparkEntry {
          |  SELECT date, asset,
          |    coalesce(p / sum(abs(p)) OVER (PARTITION BY date), 0.0) AS position
          |  FROM filled),
-         |cash AS (SELECT date, 'cash' AS asset, 1.0 - sum(position) AS position
-         |  FROM norm GROUP BY date)
+         |-- same algebraic shape as the Spark side (1 - (SUM p)/(SUM |p|)
+         |-- over the pre-normalization values), NOT 1 - SUM(p/S): the two
+         |-- rearrangements differ by ~1e-13 float noise, a larger class
+         |-- than plain summation-order jitter against the 1e-9 grid
+         |cash AS (SELECT date, 'cash' AS asset,
+         |  CASE WHEN sum(abs(p)) IS NULL OR sum(abs(p)) = 0 THEN 1.0
+         |       ELSE 1.0 - sum(p) / sum(abs(p)) END AS position
+         |  FROM filled GROUP BY date)
          |SELECT date, asset::VARCHAR AS asset, round(position, 9) AS position
          |FROM norm
          |UNION ALL

@@ -131,6 +131,9 @@ object Streaming {
       refType: String,
       watermark: String = "2 hours",
       idleTimeoutSec: Long = 86400): Dataset[AsOfEnriched] = {
+    require(idleTimeoutSec > 0,
+      s"idleTimeoutSec ($idleTimeoutSec) must be positive — a timeout at or " +
+        "before the watermark fails the stateful operator at runtime")
     import events.sparkSession.implicits._
     events
       .filter(e => e.event_type == probeType || e.event_type == refType)
@@ -202,9 +205,11 @@ object Streaming {
       idleTimeoutSec: Long = 86400): Dataset[NearDupHit] = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
+    require(idleTimeoutSec > 0,
+      s"idleTimeoutSec ($idleTimeoutSec) must be positive — a timeout at or " +
+        "before the watermark fails the stateful operator at runtime")
     import docs.sparkSession.implicits._
     import graft.text.TextOps
-    val rowsPerBand = numHashes / bands
     val sets = docs
       .withColumn("__set", TextOps.shingles(TextOps.tokens(col("text")), n))
       .filter(size(col("__set")) > 0) // shingle-less docs have no signature
@@ -214,11 +219,7 @@ object Streaming {
       val (aj, bj) = TextOps.hashParams(j)
       array_min(transform(col("__h0"), h => (lit(aj) * h + lit(bj)) % TextOps.HashP))
     }
-    val bandKeys = (0 until bands).map { b =>
-      val parts = lit(b.toString) +:
-        (0 until rowsPerBand).map(r => minCols(b * rowsPerBand + r).cast("string"))
-      concat_ws(":", parts: _*)
-    }
+    val bandKeys = TextOps.bandKeyCols(minCols, bands)
     val banded = sets
       .select(explode(array(bandKeys: _*)).as("band"),
         col("doc_id"), col("ts"), col("__set").as("set"))

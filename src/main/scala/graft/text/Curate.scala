@@ -42,6 +42,10 @@ object Curate {
     *              doc passes iff its best [[Search.bm25Scores]] score
     *              against this bounded query batch (query_id, qtext) is
     *              >= `minRelevance`; docs matching no query term fail
+    * @param bm25Index optional prebuilt (ideally persisted)
+    *              [[Search.Bm25Index]] of `docs` — like `sets`/`pairs`,
+    *              pass the shared index when fanning out so the
+    *              relevance stage skips the corpus re-index
     * @return (doc_id, pass_quality, is_exact_dup, is_near_dup,
     *         is_contaminated[, is_quote_dup][, pass_relevance], kept) —
     *         one row per input doc; `kept` is the conjunction of every
@@ -60,7 +64,8 @@ object Curate {
       pairs: Option[DataFrame] = None,
       containmentThreshold: Option[Double] = None,
       relevanceQueries: Option[DataFrame] = None,
-      minRelevance: Double = 0.0): DataFrame = {
+      minRelevance: Double = 0.0,
+      bm25Index: Option[Search.Bm25Index] = None): DataFrame = {
     val theSets = sets.getOrElse(Dedup.shingleSets(docs, textCol, idCol, n))
     val quality = TextStats.gopherRules(docs, textCol, idCol)
       .select(col("doc_id"), col("quality_pass").as("pass_quality"))
@@ -92,7 +97,8 @@ object Curate {
             .as("is_quote_dup"))
     }
     val relevance = relevanceQueries.map { qs =>
-      Search.bm25Scores(docs, qs, textCol = textCol, idCol = idCol)
+      val idx = bm25Index.getOrElse(Search.buildIndex(docs, textCol, idCol))
+      Search.bm25ScoresFromIndex(idx, qs)
         .groupBy("doc_id").agg(max(col("score")).as("__best"))
         .select(col("doc_id"),
           when(col("__best") >= minRelevance, 1L).otherwise(0L)

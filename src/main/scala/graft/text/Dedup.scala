@@ -144,13 +144,8 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val rows = numHashes / bands
     val sig = minHashSignaturesFromSets(sets, numHashes)
-    val bandKeys = (0 until bands).map { b =>
-      val parts = lit(b.toString) +:
-        (0 until rows).map(r => col(s"__m${b * rows + r}").cast("string"))
-      concat_ws(":", parts: _*)
-    }
+    val bandKeys = bandKeyCols((0 until numHashes).map(j => col(s"__m$j")), bands)
     val buckets = sig.select(col("__id"), explode(array(bandKeys: _*)).as("__bk"))
     val ca = buckets.select(col("__bk"), col("__id").as("doc_a"))
     val cb = buckets.select(col("__bk"), col("__id").as("doc_b"))

@@ -90,6 +90,22 @@ object TextOps {
   /** Modulus for the MinHash permutation family. */
   val HashP: Long = 1000000007L
 
+  /** Banded LSH bucket keys over per-hash min columns: band b's key is
+    * `"b:m_(b*r):...:m_(b*r+r-1)"` with r = mins.length / bands. Shared
+    * by the batch ([[Dedup.minHashNearDupsFromSets]]) and streaming
+    * ([[graft.streaming.Streaming.streamingNearDups]]) near-dup
+    * operators so the bucket format cannot drift between them. */
+  def bandKeyCols(mins: Seq[Column], bands: Int): Seq[Column] = {
+    require(bands > 0 && mins.length % bands == 0,
+      s"bands ($bands) must divide the signature width (${mins.length})")
+    val rows = mins.length / bands
+    (0 until bands).map { b =>
+      val parts = lit(b.toString) +:
+        (0 until rows).map(r => mins(b * rows + r).cast("string"))
+      concat_ws(":", parts: _*)
+    }
+  }
+
   /** j-th universal-hash parameters (aj, bj); aj reduced mod P first so
     * aj * (h mod P) + bj stays < 2^63. */
   def hashParams(j: Int): (Long, Long) =

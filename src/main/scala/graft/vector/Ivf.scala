@@ -131,6 +131,12 @@ object Ivf {
     require(rows.forall(!_.isNullAt(0)),
       s"k-means training requires a long-castable, non-null id column; " +
         s"'$idCol' produced nulls under cast to long")
+    // when rate > 1 the hash filter itself evaluates to null on a
+    // non-castable id and silently drops the row BEFORE the collect —
+    // an empty sample from a non-empty corpus is that failure, not data
+    require(n == 0L || rows.nonEmpty,
+      s"k-means hash sample selected 0 of $n rows — id column '$idCol' " +
+        s"is likely not long-castable (the sample filter drops null casts)")
     rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
   }
@@ -227,13 +233,20 @@ object Ivf {
       trained: Option[Array[Array[Double]]] = None): DataFrame = {
     val centroids =
       trained.getOrElse(trainCentroids(corpus, nCells, iters, idCol, vecCol))
+    // probe geometry derives from the TRAINED centroid count, not the
+    // requested nCells — lloydLocal clamps to the sample size on tiny
+    // corpora, and probing cells that were never trained would match
+    // nothing (null distances sort first under the struct ordering and
+    // would silently fill the probe list with phantom cell ids)
+    val trainedCells = centroids.length
+    val probes = math.min(nProbe, trainedCells)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       Similarity.l2Norm(col(vecCol)).as("__cn"),
       argminCell(cellDists(quantize(col(vecCol)), centroids)).as("__cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         Similarity.l2Norm(col(vecCol)).as("__qn"),
         explode(nearestCells(cellDists(quantize(col(vecCol)), centroids),
-          nCells, nProbe)).as("__cell"))
+          trainedCells, probes)).as("__cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("__cell"))

@@ -56,6 +56,13 @@ object SemDedup {
     // one count(*) — parquet-metadata cheap — bounds the per-cell
     // quadratic: mean cell size stays ~targetCellSize at any corpus size
     val cells = if (nCells > 0) nCells else autoCells(emb.count(), targetCellSize)
+    // the quantizer's training sample must grow with the cell count (a
+    // k-means with more cells than samples clamps down and the per-cell
+    // quadratic silently resumes growing): 32 samples per cell, floored
+    // at the default cap. Driver cost is cap x dim doubles — at 25k
+    // auto cells / 64 dims that is ~400 MB; raise targetCellSize if the
+    // driver can't hold it.
+    val cap = math.max(4096, 32 * cells)
     // direction-normalize: cosine geometry becomes L2 geometry, so the
     // scaled/re-encoded copies SemDeDup exists to catch land in the
     // same cell as their originals
@@ -63,7 +70,8 @@ object SemDedup {
         Similarity.l2Norm(col(vecCol)).as("__n"))
       .withColumn("__nv",
         transform(col(vecCol), x => x.cast("double") / col("__n")))
-    val centroids = Ivf.trainCentroids(nrm, cells, iters, idCol, "__nv")
+    val centroids = Ivf.trainCentroids(nrm, cells, iters, idCol, "__nv",
+      trainCap = cap)
     val a = nrm.select(col(idCol), col(vecCol), col("__n"),
       Ivf.cellOf(col("__nv"), centroids).as("cell"))
     val pairs = a.select(col(idCol).as("__ida"), col(vecCol).as("__va"),

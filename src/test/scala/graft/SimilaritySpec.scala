@@ -72,6 +72,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("ivfTopK on a corpus smaller than nCells still returns real neighbors") {
+    import graft.vector.Ivf
+    // 10 vectors, default nCells=16: lloydLocal clamps to 10 trained
+    // cells; the probe must use the trained count (phantom cells match
+    // nothing and would silently return zero rows)
+    val d = emb((0 until 10).map(i => (i.toLong, vec(i % 3))): _*)
+    val rows = Ivf.ivfTopK(d, d.filter(col("vec_id") === 0), k = 3).collect()
+    assert(rows.nonEmpty, "probe returned no neighbors on a tiny corpus")
+    // ids 3, 6, 9 share query 0's exact direction (cosine 1): one of
+    // them must rank first
+    assert(rows.head.getAs[Long]("neighbor_id") % 3 === 0L)
+  }
+
   test("ivf centroids are deterministic across runs") {
     val rows = (0 until 30).map(i => (i.toLong, vec(i % 7)))
     val d = emb(rows: _*)
