@@ -118,7 +118,17 @@ object Ivf {
       idCol: String,
       vecCol: String,
       trainCap: Int): Array[Array[Double]] = {
-    val n = corpus.select(col(idCol)).count()
+    // one pass: corpus size + a DIRECT castability check (a null-cast id
+    // under the rate>1 hash filter would otherwise be dropped silently,
+    // and an empty sample alone cannot distinguish bad ids from an
+    // unlucky residue structure)
+    val chk = corpus.agg(
+      count(lit(1)).as("n"),
+      count(when(col(idCol).cast("long").isNull, 1)).as("bad")).first()
+    val n = chk.getLong(0)
+    require(chk.getLong(1) == 0L,
+      s"k-means training requires a long-castable, non-null id column; " +
+        s"'$idCol' has ${chk.getLong(1)} of $n rows null under cast to long")
     val rate = math.max(1L, n / trainCap)
     val sampleRaw =
       if (rate <= 1L) corpus
@@ -128,17 +138,20 @@ object Ivf {
     val rows = sampleRaw
       .select(col(idCol).cast("long").as("__id"), quantize(col(vecCol)).as("__q"))
       .collect()
-    require(rows.forall(!_.isNullAt(0)),
-      s"k-means training requires a long-castable, non-null id column; " +
-        s"'$idCol' produced nulls under cast to long")
-    // when rate > 1 the hash filter itself evaluates to null on a
-    // non-castable id and silently drops the row BEFORE the collect —
-    // an empty sample from a non-empty corpus is that failure, not data
-    require(n == 0L || rows.nonEmpty,
-      s"k-means hash sample selected 0 of $n rows — id column '$idCol' " +
-        s"is likely not long-castable (the sample filter drops null casts)")
-    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).map(_._2)
+    if (rows.nonEmpty || n == 0L)
+      rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+    else
+      // pathological id scheme whose residues all miss the hash filter
+      // (e.g. ids sharing one residue class mod the prime): fall back to
+      // the k-lowest-id sample — deterministic, bounded, distributed
+      // top-k (TakeOrderedAndProject)
+      corpus
+        .select(col(idCol).cast("long").as("__id"), quantize(col(vecCol)).as("__q"))
+        .orderBy("__id").limit(trainCap)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
   }
 
   /** Lloyd's loop over an id-sorted quantized sample, run driver-side
@@ -239,6 +252,11 @@ object Ivf {
     // nothing (null distances sort first under the struct ordering and
     // would silently fill the probe list with phantom cell ids)
     val trainedCells = centroids.length
+    // empty corpus -> no centroids; the probe expression would otherwise
+    // build sequence(0, -1) = [0, -1] and element_at(dists, 0) throws
+    if (trainedCells == 0)
+      return queries.select(col(idCol).as("query_id"), lit(0L).as("rank"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
     val probes = math.min(nProbe, trainedCells)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       Similarity.l2Norm(col(vecCol)).as("__cn"),

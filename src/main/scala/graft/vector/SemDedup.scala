@@ -25,10 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** Ceiling on the AUTO-scaled cell count: the quantizer trains
+    * driver-side at O(sample × cells) per Lloyd iteration with sample =
+    * 32/cell, so cost grows as 32·cells² — 2048 cells (~65k samples,
+    * ~4e10 madds over 5 iters) is the documented driver-budget ceiling.
+    * Corpora past ceiling × targetCellSize: raise `targetCellSize`, or
+    * pass explicit `nCells` with externally trained centroids via
+    * `trained`. */
+  private[graft] val MaxAutoCells = 2048L
+
   /** Auto-scaled cell count: mean cell population ~targetCellSize,
-    * floored at 16 so tiny corpora still get a non-trivial quantizer. */
+    * floored at 16 so tiny corpora still get a non-trivial quantizer,
+    * ceilinged at [[MaxAutoCells]] (driver training budget). */
   private[graft] def autoCells(n: Long, targetCellSize: Long): Int =
-    math.max(16L, n / math.max(1L, targetCellSize)).toInt
+    math.min(MaxAutoCells,
+      math.max(16L, n / math.max(1L, targetCellSize))).toInt
 
   /** Per-vector semantic-dedup verdict.
     *
@@ -38,10 +49,18 @@ object SemDedup {
     *
     * @param nCells cell count for the coarse quantizer; `<= 0` (the
     *               default) auto-scales to `max(16, n / targetCellSize)`
-    *               from one cheap count, so the per-cell quadratic stays
-    *               bounded as the corpus grows without caller tuning
+    *               from one cheap count — ceilinged at [[MaxAutoCells]]
+    *               (the driver-side Lloyd budget) — so the per-cell
+    *               quadratic stays bounded as the corpus grows without
+    *               caller tuning up to ~MaxAutoCells × targetCellSize
+    *               vectors; past that, raise `targetCellSize` or supply
+    *               `trained` centroids from an external training run
     * @param targetCellSize intended mean cell population under
     *               auto-scaling (the paper runs ~10-50k docs per cell)
+    * @param trained optional pre-trained centroid matrix over the
+    *               DIRECTION-NORMALIZED vectors (the escape hatch for
+    *               corpora whose cell count exceeds the driver training
+    *               budget); when given, nCells/iters are ignored
     * @return (vec_id, cell, n_dups, keep_id, is_dup) — n_dups counts
     *         the lower-id near-duplicate neighbors
     */
@@ -52,17 +71,8 @@ object SemDedup {
       iters: Int = 5,
       targetCellSize: Long = 20000,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    // one count(*) — parquet-metadata cheap — bounds the per-cell
-    // quadratic: mean cell size stays ~targetCellSize at any corpus size
-    val cells = if (nCells > 0) nCells else autoCells(emb.count(), targetCellSize)
-    // the quantizer's training sample must grow with the cell count (a
-    // k-means with more cells than samples clamps down and the per-cell
-    // quadratic silently resumes growing): 32 samples per cell, floored
-    // at the default cap. Driver cost is cap x dim doubles — at 25k
-    // auto cells / 64 dims that is ~400 MB; raise targetCellSize if the
-    // driver can't hold it.
-    val cap = math.max(4096, 32 * cells)
+      vecCol: String = "embedding",
+      trained: Option[Array[Array[Double]]] = None): DataFrame = {
     // direction-normalize: cosine geometry becomes L2 geometry, so the
     // scaled/re-encoded copies SemDeDup exists to catch land in the
     // same cell as their originals
@@ -70,8 +80,21 @@ object SemDedup {
         Similarity.l2Norm(col(vecCol)).as("__n"))
       .withColumn("__nv",
         transform(col(vecCol), x => x.cast("double") / col("__n")))
-    val centroids = Ivf.trainCentroids(nrm, cells, iters, idCol, "__nv",
-      trainCap = cap)
+    val centroids = trained.getOrElse {
+      // one count(*) — parquet-metadata cheap — bounds the per-cell
+      // quadratic: mean cell size stays ~targetCellSize up to the
+      // MaxAutoCells driver-budget ceiling
+      val cells =
+        if (nCells > 0) nCells else autoCells(emb.count(), targetCellSize)
+      // the training sample must grow with the cell count (a k-means
+      // with more cells than samples clamps down and the per-cell
+      // quadratic silently resumes growing): 32 samples per cell,
+      // floored at the default cap — bounded by MaxAutoCells so the
+      // driver Lloyd loop (O(sample × cells) per iteration) stays in
+      // budget
+      Ivf.trainCentroids(nrm, cells, iters, idCol, "__nv",
+        trainCap = math.max(4096, 32 * cells))
+    }
     val a = nrm.select(col(idCol), col(vecCol), col("__n"),
       Ivf.cellOf(col("__nv"), centroids).as("cell"))
     val pairs = a.select(col(idCol).as("__ida"), col(vecCol).as("__va"),

@@ -85,6 +85,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rows.head.getAs[Long]("neighbor_id") % 3 === 0L)
   }
 
+  test("ivfTopK on an empty corpus returns an empty result, not a crash") {
+    import graft.vector.Ivf
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val q = emb(1L -> vec(2))
+    val out = Ivf.ivfTopK(empty, q, k = 3)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq === Seq("query_id", "rank", "neighbor_id", "cosine"))
+  }
+
+  test("semDedup accepts pre-trained centroids (external-training escape hatch)") {
+    import graft.vector.{Ivf, SemDedup}
+    val base = (0 until 8).map(i => (i.toLong, vec(Seq(1, 97)(i % 2))))
+    val copies = Seq(10L -> vec(1).map(_ * 1.25f))
+    val d = emb((base ++ copies): _*)
+    // train on the normalized directions exactly as semDedup would
+    val nrm = d.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        x.cast("double") / sqrt(aggregate(
+          transform(col("embedding"), y => y.cast("double") * y.cast("double")),
+          lit(0.0), (a, b) => a + b))).as("nv"))
+    val c = Ivf.trainCentroids(nrm, nCells = 2, iters = 5, vecCol = "nv")
+    val out = SemDedup.semDedup(d, threshold = 0.999, trained = Some(c))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("is_dup"), r.getAs[Long]("keep_id"))).toMap
+    assert(out(10L) === ((1L, 0L)))
+  }
+
   test("ivf centroids are deterministic across runs") {
     val rows = (0 until 30).map(i => (i.toLong, vec(i % 7)))
     val d = emb(rows: _*)
@@ -211,7 +238,10 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(SemDedup.autoCells(1000L, 20000L) === 16)
     assert(SemDedup.autoCells(320000L, 20000L) === 16)
     assert(SemDedup.autoCells(1000000L, 20000L) === 50)
-    assert(SemDedup.autoCells(100000000L, 20000L) === 5000)
+    // the driver-Lloyd budget ceiling: cost grows as 32·cells², so auto
+    // mode caps at MaxAutoCells; larger corpora raise targetCellSize or
+    // pass pre-trained centroids
+    assert(SemDedup.autoCells(100000000L, 20000L) === 2048)
     // end-to-end under the auto default (nCells <= 0): verdicts still
     // correct on a small corpus (floor of 16 cells kicks in)
     val base = (0 until 8).map(i => (i.toLong, vec(Seq(1, 97)(i % 2))))
