@@ -719,7 +719,11 @@ object DocQueries {
       // 5 iters over the full 64 dims) routes corpus vectors to cells
       // and queries to their 4 probe cells; the q_pq_adc subspace
       // chains supply codes and distance tables; ADC scores only the
-      // probed cells' candidates.
+      // probed cells' candidates, shortlists the top rerank*k=80 per
+      // query, and the shortlist reranks by exact cosine (same
+      // formula + tie-break as q_ann_ivf).
+      def cosSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
       s"""WITH $pqSharedCtes,
          |geqs AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
          |  FROM samp CROSS JOIN range(64) t(d)),
@@ -750,9 +754,18 @@ object DocQueries {
          |rk AS (SELECT query_id, neighbor_id, adc_dist,
          |  row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_dist, neighbor_id) AS rank
-         |  FROM ad)
-         |SELECT query_id, rank, neighbor_id, adc_dist
-         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+         |  FROM ad),
+         |short AS (SELECT query_id, neighbor_id FROM rk WHERE rank <= 80),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  ${cosSql("eq", "ec")} /
+         |  (sqrt(${cosSql("eq", "eq")}) * sqrt(${cosSql("ec", "ec")})) AS cos
+         |  FROM short JOIN embeddings eq ON eq.vec_id = query_id
+         |             JOIN embeddings ec ON ec.vec_id = neighbor_id),
+         |rk2 AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
     "q_semdedup" -> {

@@ -118,18 +118,22 @@ object Ivf {
       idCol: String,
       vecCol: String,
       trainCap: Int): Array[Array[Double]] = {
-    // one pass: corpus size + a DIRECT castability check (a null-cast id
+    // size pass first (count-only: parquet answers from footer metadata,
+    // no column reads). The DIRECT castability check (a null-cast id
     // under the rate>1 hash filter would otherwise be dropped silently,
     // and an empty sample alone cannot distinguish bad ids from an
-    // unlucky residue structure)
-    val chk = corpus.agg(
-      count(lit(1)).as("n"),
-      count(when(col(idCol).cast("long").isNull, 1)).as("bad")).first()
-    val n = chk.getLong(0)
-    require(chk.getLong(1) == 0L,
-      s"k-means training requires a long-castable, non-null id column; " +
-        s"'$idCol' has ${chk.getLong(1)} of $n rows null under cast to long")
+    // unlucky residue structure) runs as a dedicated column scan ONLY
+    // when rate>1 — at rate<=1 the sample collect reads every row
+    // anyway, so nulls are checked in the collected rows for free.
+    val n = corpus.count()
     val rate = math.max(1L, n / trainCap)
+    if (rate > 1L) {
+      val bad = corpus.agg(
+        count(when(col(idCol).cast("long").isNull, 1)).as("bad")).first().getLong(0)
+      require(bad == 0L,
+        s"k-means training requires a long-castable, non-null id column; " +
+          s"'$idCol' has $bad of $n rows null under cast to long")
+    }
     val sampleRaw =
       if (rate <= 1L) corpus
       else corpus.filter(
@@ -138,6 +142,12 @@ object Ivf {
     val rows = sampleRaw
       .select(col(idCol).cast("long").as("__id"), quantize(col(vecCol)).as("__q"))
       .collect()
+    if (rate <= 1L) {
+      val bad = rows.count(_.isNullAt(0))
+      require(bad == 0L,
+        s"k-means training requires a long-castable, non-null id column; " +
+          s"'$idCol' has $bad of $n rows null under cast to long")
+    }
     if (rows.nonEmpty || n == 0L)
       rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1).map(_._2)

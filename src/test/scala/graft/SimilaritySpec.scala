@@ -174,11 +174,11 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val coarse = graft.vector.Ivf.trainCentroids(d, nCells = 6, iters = 4)
     val books = graft.vector.Pq.trainCodebooks(d, dim = 8, m = 2, k = 4,
       iters = 3)
-    // probing every cell makes IVFADC candidate-complete, so its top-k
-    // must equal the flat ADC scan's exactly (same integer distances,
-    // same tie-breaks)
+    // probing every cell makes IVFADC candidate-complete, so with the
+    // exact-rerank stage off (rerank = 0) its top-k must equal the flat
+    // ADC scan's exactly (same integer distances, same tie-breaks)
     val full = graft.vector.Pq.ivfAdcTopK(d, q, coarse, books, dim = 8,
-      k = 5, nProbe = 6).collect().map(_.toSeq).toSeq
+      k = 5, nProbe = 6, rerank = 0).collect().map(_.toSeq).toSeq
     val flat = graft.vector.Pq.adcTopK(d, q, books, dim = 8, k = 5)
       .collect().map(_.toSeq).toSeq
     assert(full === flat)
@@ -272,12 +272,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val books = Pq.trainCodebooks(e, dim = 64, m = 8, k = 16, iters = 3)
     val rIvfAdc = recall(pairs(Pq.ivfAdcTopK(e, q, coarse, books,
       dim = 64, k = 10, nProbe = 4)))
-    info(f"recall@10 lsh=$rLsh%.3f ivf=$rIvf%.3f ivfadc=$rIvfAdc%.3f")
-    // measured on this fixture: lsh 0.895, ivf 0.820, ivfadc 0.330
-    // (ivfadc's low ceiling is the PQ distortion at m=8/k=16, by design)
+    val rAdcOnly = recall(pairs(Pq.ivfAdcTopK(e, q, coarse, books,
+      dim = 64, k = 10, nProbe = 4, rerank = 0)))
+    info(f"recall@10 lsh=$rLsh%.3f ivf=$rIvf%.3f ivfadc=$rIvfAdc%.3f " +
+      f"adcOnly=$rAdcOnly%.3f")
+    // measured on this fixture: lsh 0.895, ivf 0.820, ivfadc 0.695 at
+    // rerank=4 / approaching ivf's 0.820 probe ceiling at the rerank=8
+    // default, adc-only 0.330 (PQ distortion at m=8/k=16 — exactly what
+    // the exact-rerank stage exists to recover)
     assert(rLsh >= 0.75, f"LSH recall $rLsh%.3f below floor")
     assert(rIvf >= 0.70, f"IVF recall $rIvf%.3f below floor")
-    assert(rIvfAdc >= 0.25, f"IVFADC recall $rIvfAdc%.3f below floor")
+    assert(rIvfAdc >= 0.70, f"IVFADC rerank recall $rIvfAdc%.3f below floor")
+    assert(rAdcOnly >= 0.25, f"ADC-only recall $rAdcOnly%.3f below floor")
   }
 
   test("cosineNearDups finds planted duplicate pair only") {
