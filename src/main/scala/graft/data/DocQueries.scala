@@ -183,20 +183,33 @@ object DocQueries {
       // bands) keep bucket sizes bounded when every corpus row is a query
       Similarity.cosineNearDups(dupVecCorpus(s, dir), minCosine = 0.95,
         nBits = 64, bands = 8, dim = 64)),
-    "q_frames" -> ((s, dir) =>
+    "q_frames" -> ((s, dir) => {
+      // REAL decode path: the synthetic corpus rows are genuine binary
+      // PPMs, so each frame is an actual pixel row of the parsed grid.
+      // Bytes compared as hex: a hex string slices byte-aligned in both
+      // engines.
+      implicit val sp: SparkSession = s
+      import s.implicits._
       Multimodal.sampleFrames(
-        Multimodal.syntheticCorpus(documents(s, dir)), n = 4, frameBytes = 32)
+        Multimodal.syntheticCorpus(documents(s, dir)).as[graft.multimodal.MediaSample],
+        n = 4).toDF()
         .select(col("sample_id"), col("modality"), col("frame_idx"),
-          // bytes compared as hex: DuckDB cannot substring BLOBs, but a
-          // hex string slices byte-aligned in both engines
           hex(col("frame")).as("frame_hex"))
-        .orderBy("sample_id", "frame_idx")),
-    "q_resize" -> ((s, dir) =>
+        .orderBy("sample_id", "frame_idx")
+    }),
+    "q_resize" -> ((s, dir) => {
+      // REAL decode path: parse the P6 grid, nearest-neighbour resize,
+      // re-encode; content_hex pins every output pixel byte.
+      implicit val sp: SparkSession = s
+      import s.implicits._
       Multimodal.resize(
-        Multimodal.syntheticCorpus(documents(s, dir)), 32, 32)
+        Multimodal.syntheticCorpus(documents(s, dir)).as[graft.multimodal.MediaSample],
+        32, 32).toDF()
         .select(col("sample_id"), col("modality"), col("width"), col("height"),
-          length(col("content")).as("n_bytes"))
-        .orderBy("sample_id")),
+          length(col("content")).as("n_bytes"),
+          hex(col("content")).as("content_hex"))
+        .orderBy("sample_id")
+    }),
     "q_contamination" -> ((s, dir) => {
       // benchmark = every 10th doc; train = the rest. n=3 so the
       // synthetic word-soup corpus produces non-trivial overlap. Both
@@ -849,39 +862,59 @@ object DocQueries {
     },
 
     "q_frames" -> {
-      // mirrors Multimodal.sampleFrames(n=4, frameBytes=32): byte offset
-      // floor((blen-32) * i/(n-1)) clamped at 0; hex slicing = 2 chars
-      // per byte. floor() before ::INT — DuckDB's double->int cast
-      // ROUNDS where Spark's truncates.
-      val rows = (0 until 4).map { i =>
-        val ratio = i.toDouble / 3
-        s"""SELECT sample_id, modality, $i AS frame_idx,
-           |  substr(hx, floor(greatest((blen - 32)::DOUBLE * '$ratio'::DOUBLE, 0.0))::INT * 2 + 1, 64)
-           |    AS frame_hex FROM m""".stripMargin
-      }.mkString("\nUNION ALL\n")
+      // mirrors syntheticCorpus + the REAL P6 decode in
+      // Multimodal.sampleFrames(n=4): the corpus pixel payload is the
+      // document's UTF-8 bytes cyclically filled to w0*h0*3, so frame i
+      // is pixel row (i*(h0-1))//3 of that grid — rebuilt here in hex
+      // space (hex of repeated bytes = repeated hex, slices 2 chars per
+      // byte, byte-aligned in both engines).
       s"""WITH m AS (SELECT doc_id::BIGINT AS sample_id,
          |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
          |       ELSE 'video' END AS modality,
-         |  hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
-         |  FROM documents)
-         |$rows
+         |  (doc_id % 13) + 4 AS w0, (doc_id % 11) + 4 AS h0,
+         |  hex(encode(text || '.')) AS thx,
+         |  octet_length(encode(text || '.')) AS blen
+         |  FROM documents),
+         |px AS (SELECT sample_id, modality, w0, h0,
+         |  substr(repeat(thx, ((w0*h0*3 + blen - 1) // blen)::INT),
+         |         1, w0*h0*3*2) AS pxhex
+         |  FROM m)
+         |SELECT sample_id, modality, i::INT AS frame_idx,
+         |  substr(pxhex, ((i * (h0 - 1)) // 3)::INT * w0 * 3 * 2 + 1, w0 * 3 * 2)
+         |    AS frame_hex
+         |FROM px CROSS JOIN range(4) t(i)
          |ORDER BY sample_id, frame_idx""".stripMargin
     },
 
     "q_resize" ->
-      // mirrors Multimodal.resize(32, 32): truncated payload length =
-      // min(blen, max(1, trunc(blen*32*32 / (w0*h0)))); Spark's int cast
-      // truncates, so floor() (positive operands) before ::INT
+      // mirrors syntheticCorpus + the REAL P6 resize in
+      // Multimodal.resize(32, 32): nearest-neighbour source pixel
+      // (floor(tx*w0/32), floor(ty*h0/32)) per target byte, re-encoded
+      // with the fixed 13-byte "P6\\n32 32\\n255\\n" header; content_hex
+      // pins every output byte.
       """WITH m AS (SELECT doc_id::BIGINT AS sample_id,
         |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |       ELSE 'video' END AS modality,
-        |  octet_length(encode(text)) AS blen,
-        |  (doc_id % 64) * 16 + 16 AS w0, (doc_id % 48) * 16 + 16 AS h0
-        |  FROM documents)
-        |SELECT sample_id, modality, 32 AS width, 32 AS height,
-        |  least(blen, greatest(1,
-        |    floor((blen * 32 * 32)::DOUBLE / greatest(w0 * h0, 1))::INT)) AS n_bytes
-        |FROM m ORDER BY sample_id""".stripMargin,
+        |  (doc_id % 13) + 4 AS w0, (doc_id % 11) + 4 AS h0,
+        |  hex(encode(text || '.')) AS thx,
+        |  octet_length(encode(text || '.')) AS blen
+        |  FROM documents),
+        |px AS (SELECT sample_id, modality, w0, h0,
+        |  substr(repeat(thx, ((w0*h0*3 + blen - 1) // blen)::INT),
+        |         1, w0*h0*3*2) AS pxhex
+        |  FROM m),
+        |rz AS (SELECT sample_id, modality,
+        |  array_to_string(list_transform(range(0, 32*32*3), j ->
+        |    substr(pxhex,
+        |      ((((j // 96) * h0) // 32) * w0
+        |        + (((j // 3) % 32) * w0) // 32) * 3 * 2 + (j % 3) * 2 + 1,
+        |      2)), '') AS rzhex
+        |  FROM px)
+        |SELECT sample_id, modality, 32::INT AS width, 32::INT AS height,
+        |  (13 + 32*32*3)::INT AS n_bytes,
+        |  hex(encode('P6' || chr(10) || '32 32' || chr(10) || '255' || chr(10)))
+        |    || rzhex AS content_hex
+        |FROM rz ORDER BY sample_id""".stripMargin,
 
     "q_contamination" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),

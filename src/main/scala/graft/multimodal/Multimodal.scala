@@ -16,50 +16,81 @@ case class MediaSample(
     sample_rate: Int,
     duration_ms: Int)
 
-/** Decoded feature row produced by the (stubbed) decoder. */
+/** Decoded feature row produced by the decoder. */
 case class MediaFeatures(
     sample_id: Long,
     modality: String,
     n_bytes: Long,
+    decoded: Boolean,
     features: Array[Float])
 
-/** Multimodal-column operators: ingest schema, deterministic
-  * feature-extraction plumbing, and frame sampling.
+/** One sampled frame: decoded pixel row (decodable content) or encoded
+  * byte window (opaque content). */
+case class MediaFrame(
+    sample_id: Long,
+    modality: String,
+    frame_idx: Int,
+    frame: Array[Byte],
+    decoded: Boolean)
+
+/** Multimodal-column operators: ingest schema, feature extraction,
+  * frame sampling, and resize over a REAL decode boundary.
   *
-  * The actual codecs (JPEG decode, resampling, ffmpeg frame extraction)
-  * are NOT in this container, so the decode kernel is a clearly-marked
-  * deterministic STUB ([[fakeDecode]]); everything around it — the
-  * schema, the partition-batched `mapPartitions` shape (decoder state
-  * initialized once per partition, exactly how a JNI codec handle would
-  * be), the binary-slice frame sampler, and the column pruning behavior
-  * — is real and tested. Swapping in a real codec changes only the body
-  * of `fakeDecode`.
+  * The decode boundary is [[Ppm]] — a complete in-container binary-PPM
+  * (P6) codec, so content that parses as P6 is genuinely decoded to its
+  * pixel grid and every downstream operator (features, frames, resize)
+  * runs on real pixels. Formats that need external codecs (JPEG,
+  * libsndfile, ffmpeg) are NOT in this container; bytes that fail the
+  * P6 parse take the clearly-marked deterministic STUB path
+  * ([[fakeDecode]] / byte-window slicing / proportional truncation),
+  * exactly as before. Swapping in a real JPEG codec extends only the
+  * decode dispatch, not the operator plumbing: the partition-batched
+  * `mapPartitions` shape (decoder state initialized once per partition,
+  * how a JNI codec handle would be) is unchanged.
   */
 object Multimodal {
 
   /** Deterministic synthetic media corpus derived from the documents
-    * table (text bytes reinterpreted as encoded content) — exercises the
-    * binary-column path without shipping media files. */
+    * table: each row is a REAL binary-PPM (P6) image — header plus a
+    * `width*height` RGB grid cyclically filled from the document's
+    * UTF-8 bytes — so the decode path downstream is honest, and the
+    * metadata columns state the image's true geometry. Dimensions stay
+    * small (4..16 x 4..14) to bound row size; everything is pure column
+    * ops (codegen'd), and the DuckDB oracle rebuilds identical bytes. */
   def syntheticCorpus(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    val w = (pmod(col(idCol), lit(13)) + 4).cast("int")
+    val h = (pmod(col(idCol), lit(11)) + 4).cast("int")
+    val need = w * h * lit(3)
+    val base = concat(col(textCol), lit(".")) // never empty
+    val reps = ceil(need.cast("double") / length(encode(base, "UTF-8")))
+      .cast("int")
+    // byte-cyclic fill: repeat the string, encode once, slice bytewise
+    // (encode(repeat(s)) == repeat(encode(s)) byte-for-byte)
+    val pixels = encode(call_function("repeat", base, reps), "UTF-8")
+      .substr(lit(1), need)
+    val header = encode(
+      format_string("P6\n%d %d\n255\n", w, h), "UTF-8")
     docs.select(
       col(idCol).cast("long").as("sample_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
-      encode(col(textCol), "UTF-8").as("content"),
-      (pmod(col(idCol), lit(64)) * 16 + 16).cast("int").as("width"),
-      (pmod(col(idCol), lit(48)) * 16 + 16).cast("int").as("height"),
+      concat(header, pixels).as("content"),
+      w.as("width"),
+      h.as("height"),
       lit(16000).as("sample_rate"),
       (length(col(textCol)) * 10).cast("int").as("duration_ms"))
+  }
 
-  /** STUB decode kernel: a real build replaces this with the codec call
-    * (e.g. TurboJPEG / libsndfile via JNI). Deterministic: feature i is
-    * a hash of (content, i) scaled into [-1, 1). */
+  /** STUB decode kernel for content no in-container codec covers: a
+    * real build replaces this with the codec call (e.g. TurboJPEG /
+    * libsndfile via JNI). Deterministic: feature i is a hash of
+    * (content, i) scaled into [-1, 1). */
   private def fakeDecode(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
     while (i < dim) {
-      // xxhash-style integer mix over (length, first/last bytes, i) —
+      // xxhash-style integer mix over (length, strided bytes, i) —
       // cheap, deterministic, and content-sensitive.
       var h = 0x9E3779B97F4A7C15L + content.length.toLong * 0xC2B2AE3D27D4EB4FL + i
       var j = 0
@@ -74,45 +105,89 @@ object Multimodal {
 
   /** Partition-batched feature extraction: one decoder "handle" per
     * partition (the shape a JNI codec needs), rows streamed through it.
-    * No shuffle — a pure mapPartitions over the scan. */
+    * P6 content decodes for real ([[Ppm.featurize]]: channel means +
+    * luminance histogram from the actual pixel grid, `decoded = true`);
+    * anything else takes the declared stub. No shuffle — a pure
+    * mapPartitions over the scan. */
   def extractFeatures(samples: Dataset[MediaSample], dim: Int = 16)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     samples.mapPartitions { it =>
-      // Real codec: open the decoder handle here, close on exhaustion.
-      it.map(s => MediaFeatures(s.sample_id, s.modality, s.content.length.toLong,
-        fakeDecode(s.content, dim)))
+      // Real external codec: open the decoder handle here, close on
+      // exhaustion. The in-container P6 path is stateless.
+      it.map { s =>
+        val n = s.content.length.toLong
+        Ppm.decode(s.content) match {
+          case Some(img) =>
+            MediaFeatures(s.sample_id, s.modality, n, decoded = true,
+              Ppm.featurize(img, dim))
+          case None =>
+            MediaFeatures(s.sample_id, s.modality, n, decoded = false,
+              fakeDecode(s.content, dim))
+        }
+      }
     }
   }
 
-  /** Frame sampling: cut the encoded payload into `n` evenly-spaced
-    * fixed-width byte windows (a real build decodes frames at these
-    * offsets instead). Pure column ops — substring works natively on
-    * binary — so the sampler stays inside whole-stage codegen. */
-  def sampleFrames(samples: DataFrame, n: Int = 4, frameBytes: Int = 32): DataFrame = {
-    val len = length(col("content"))
-    val frames = (0 until n).map { i =>
-      val off = (len - frameBytes).cast("double") * (i.toDouble / math.max(1, n - 1))
-      struct(lit(i).as("frame_idx"),
-        col("content").substr(greatest(off, lit(0.0)).cast("int") + 1,
-          lit(frameBytes)).as("frame"))
+  /** Frame sampling over DECODED content: P6 images yield `n` evenly
+    * spaced pixel ROWS of the real grid (frame i = row
+    * floor(i*(h-1)/(n-1)), `width*3` bytes); content no codec covers
+    * falls back to `n` evenly spaced `frameBytes`-wide windows of the
+    * encoded payload (the pre-codec behavior, kept for opaque bytes). */
+  def sampleFrames(samples: Dataset[MediaSample], n: Int = 4,
+      frameBytes: Int = 32)(implicit spark: SparkSession): Dataset[MediaFrame] = {
+    import spark.implicits._
+    require(n > 0, s"frame count must be positive, got $n")
+    samples.mapPartitions { it =>
+      it.flatMap { s =>
+        Ppm.decode(s.content) match {
+          case Some(img) =>
+            (0 until n).iterator.map { i =>
+              val row =
+                if (n == 1) 0
+                else (i.toLong * (img.height - 1) / (n - 1)).toInt
+              val off = row * img.width * 3
+              MediaFrame(s.sample_id, s.modality, i,
+                java.util.Arrays.copyOfRange(img.pixels, off, off + img.width * 3),
+                decoded = true)
+            }
+          case None =>
+            val len = s.content.length
+            (0 until n).iterator.map { i =>
+              val ratio = if (n == 1) 0.0 else i.toDouble / (n - 1)
+              val off = math.max(0.0, (len - frameBytes).toDouble * ratio).toInt
+              val end = math.min(len, off + frameBytes)
+              MediaFrame(s.sample_id, s.modality, i,
+                java.util.Arrays.copyOfRange(s.content, math.min(off, end), end),
+                decoded = false)
+            }
+        }
+      }
     }
-    samples.select(col("sample_id"), col("modality"),
-        explode(array(frames: _*)).as("__f"))
-      .select(col("sample_id"), col("modality"),
-        col("__f.frame_idx").as("frame_idx"),
-        col("__f.frame").as("frame"),
-        xxhash64(col("__f.frame")).as("frame_hash"))
   }
 
-  /** Resize stub: records the target geometry in metadata and truncates
-    * the payload proportionally (a real build re-encodes). Keeps the
-    * (schema, pruning, codegen) contract of the real operator. */
-  def resize(samples: DataFrame, w: Int, h: Int): DataFrame =
-    samples
-      .withColumn("content",
-        col("content").substr(lit(1),
-          greatest(lit(1), (length(col("content")) * w * h /
-            greatest(col("width") * col("height"), lit(1))).cast("int"))))
-      .withColumn("width", lit(w)).withColumn("height", lit(h))
+  /** Resize over DECODED content: P6 images are genuinely resized
+    * (nearest-neighbour over the real pixel grid, re-encoded as P6);
+    * content no codec covers keeps the documented stub behavior
+    * (payload truncated proportionally to the metadata pixel-count
+    * ratio). Metadata geometry is updated either way. */
+  def resize(samples: Dataset[MediaSample], w: Int, h: Int)(
+      implicit spark: SparkSession): Dataset[MediaSample] = {
+    import spark.implicits._
+    samples.mapPartitions { it =>
+      it.map { s =>
+        Ppm.decode(s.content) match {
+          case Some(img) =>
+            s.copy(content = Ppm.encode(Ppm.resizeNearest(img, w, h)),
+              width = w, height = h)
+          case None =>
+            val keep = math.min(s.content.length.toLong, math.max(1L,
+              s.content.length.toLong * w * h /
+                math.max(1L, s.width.toLong * s.height))).toInt
+            s.copy(content = java.util.Arrays.copyOf(s.content, keep),
+              width = w, height = h)
+        }
+      }
+    }
+  }
 }

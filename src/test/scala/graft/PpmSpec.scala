@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Ppm
+
+/** Codec-level tests on hand-built byte images — no Spark involved. */
+class PpmSpec extends AnyFunSuite {
+
+  // 2x2 image: red, green / blue, white
+  private val px2x2 = Array[Byte](
+    255.toByte, 0, 0,   0, 255.toByte, 0,
+    0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+
+  private def img2x2 = Ppm.Image(2, 2, 255, px2x2)
+
+  test("decodes a hand-built P6 byte stream") {
+    val bytes = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px2x2
+    val img = Ppm.decode(bytes)
+    assert(img.isDefined)
+    assert(img.get.width === 2 && img.get.height === 2 && img.get.maxVal === 255)
+    assert(img.get.pixels.toSeq === px2x2.toSeq)
+  }
+
+  test("parses header whitespace variants and comments") {
+    val ws = "P6 2\t2\r255\n".getBytes("US-ASCII") ++ px2x2
+    assert(Ppm.decode(ws).map(_.pixels.toSeq) === Some(px2x2.toSeq))
+    val comment = "P6\n# a comment line\n2 2\n# another\n255\n"
+      .getBytes("US-ASCII") ++ px2x2
+    assert(Ppm.decode(comment).map(_.pixels.toSeq) === Some(px2x2.toSeq))
+  }
+
+  test("rejects malformed input without throwing") {
+    assert(Ppm.decode(Array[Byte]()) === None)
+    assert(Ppm.decode("P5\n2 2\n255\n".getBytes ++ px2x2) === None) // wrong magic
+    assert(Ppm.decode("P6\n2 2\n255\n".getBytes ++ px2x2.take(11)) === None) // short
+    assert(Ppm.decode("P6\n0 2\n255\n".getBytes ++ px2x2) === None) // zero dim
+    assert(Ppm.decode("P6\n2 2\n65535\n".getBytes ++ px2x2) === None) // 2-byte maxval
+    assert(Ppm.decode("P6\n999999999 2\n255\n".getBytes ++ px2x2) === None) // huge
+    assert(Ppm.decode((0 until 64).map(_.toByte).toArray) === None) // arbitrary
+  }
+
+  test("encode-decode round trip is the identity") {
+    val back = Ppm.decode(Ppm.encode(img2x2))
+    assert(back.map(i => (i.width, i.height, i.maxVal, i.pixels.toSeq)) ===
+      Some((2, 2, 255, px2x2.toSeq)))
+  }
+
+  test("nearest-neighbour resize maps the expected source pixels") {
+    // 2x2 -> 4x4: quadrant replication (sx = floor(x*2/4) etc.)
+    val up = Ppm.resizeNearest(img2x2, 4, 4)
+    assert(up.width === 4 && up.height === 4)
+    def pix(img: Ppm.Image, x: Int, y: Int): Seq[Byte] = {
+      val o = (y * img.width + x) * 3
+      img.pixels.slice(o, o + 3).toSeq
+    }
+    assert(pix(up, 0, 0) === pix(img2x2, 0, 0)) // red quadrant
+    assert(pix(up, 1, 1) === pix(img2x2, 0, 0))
+    assert(pix(up, 3, 0) === pix(img2x2, 1, 0)) // green quadrant
+    assert(pix(up, 0, 3) === pix(img2x2, 0, 1)) // blue quadrant
+    assert(pix(up, 3, 3) === pix(img2x2, 1, 1)) // white quadrant
+    // 2x2 -> 1x1 keeps the top-left source pixel
+    val down = Ppm.resizeNearest(img2x2, 1, 1)
+    assert(pix(down, 0, 0) === pix(img2x2, 0, 0))
+  }
+
+  test("featurize computes real channel means and a full histogram") {
+    val f = Ppm.featurize(img2x2, 8)
+    // channel sums over {red, green, blue, white}: R=510, G=510, B=510
+    assert(math.abs(f(0) - 510.0 / (255 * 4)) < 1e-6)
+    assert(f(0) === f(1) && f(1) === f(2))
+    // histogram over dim-4 = 4 buckets sums to 1
+    assert(math.abs(f.drop(4).map(_.toDouble).sum - 1.0) < 1e-6)
+    // solid-black image: zero means, all mass in bucket 0
+    val black = Ppm.Image(2, 2, 255, new Array[Byte](12))
+    val fb = Ppm.featurize(black, 8)
+    assert(fb(0) === 0f && fb(3) === 0f && fb(4) === 1f)
+  }
+}

@@ -295,35 +295,83 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
-  test("multimodal: feature extraction is deterministic and shaped") {
+  test("multimodal: synthetic corpus rows are genuine decodable P6 images") {
+    implicit val s = spark
+    val docs = Seq((1L, "hello media world"), (2L, "other content")).toDF("doc_id", "text")
+    val rows = Multimodal.syntheticCorpus(docs).as[MediaSample].collect()
+      .sortBy(_.sample_id)
+    rows.foreach { r =>
+      val img = graft.multimodal.Ppm.decode(r.content)
+      assert(img.isDefined, s"sample ${r.sample_id} did not decode as P6")
+      assert(img.get.width === r.width && img.get.height === r.height,
+        "metadata geometry disagrees with the decoded grid")
+      // pixel payload is the document bytes cyclically filled
+      val base = (Seq("hello media world", "other content")(r.sample_id.toInt - 1) + ".")
+        .getBytes("UTF-8")
+      val px = img.get.pixels
+      assert(px.indices.forall(i => px(i) === base(i % base.length)))
+    }
+  }
+
+  test("multimodal: feature extraction is deterministic and decodes for real") {
     implicit val s = spark
     val docs = Seq((1L, "hello media world"), (2L, "other content")).toDF("doc_id", "text")
     val samples = Multimodal.syntheticCorpus(docs).as[MediaSample]
     val f1 = Multimodal.extractFeatures(samples, dim = 16).collect().sortBy(_.sample_id)
     val f2 = Multimodal.extractFeatures(samples, dim = 16).collect().sortBy(_.sample_id)
     assert(f1.length === 2)
+    assert(f1.forall(_.decoded), "P6 content must take the real decode path")
     assert(f1.forall(_.features.length === 16))
     assert(f1.map(_.features.toSeq) === f2.map(_.features.toSeq)) // deterministic
     assert(f1(0).features.toSeq !== f1(1).features.toSeq) // content-sensitive
     assert(f1.map(_.modality).toSet.subsetOf(Set("image", "audio", "video")))
+    // histogram buckets (features 4..15) sum to ~1: every pixel counted
+    f1.foreach { f =>
+      assert(math.abs(f.features.drop(4).map(_.toDouble).sum - 1.0) < 1e-6)
+    }
   }
 
-  test("multimodal: frame sampling emits n frames with stable hashes") {
+  test("multimodal: frame sampling returns real pixel rows of the grid") {
+    implicit val s = spark
     val docs = Seq((7L, "a reasonably long body of encoded content bytes here"))
       .toDF("doc_id", "text")
-    val frames = Multimodal.sampleFrames(Multimodal.syntheticCorpus(docs), n = 4,
-      frameBytes = 8).collect()
+    val corpus = Multimodal.syntheticCorpus(docs).as[MediaSample]
+    val sample = corpus.collect().head
+    val img = graft.multimodal.Ppm.decode(sample.content).get
+    val frames = Multimodal.sampleFrames(corpus, n = 4).collect()
+      .sortBy(_.frame_idx)
     assert(frames.length === 4)
-    assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq === Seq(0, 1, 2, 3))
-    assert(frames.forall(_.getAs[Array[Byte]]("frame").length === 8))
+    assert(frames.forall(_.decoded))
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 1, 2, 3))
+    // frame i IS pixel row floor(i*(h-1)/3) of the decoded grid
+    frames.foreach { f =>
+      val row = (f.frame_idx.toLong * (img.height - 1) / 3).toInt
+      val expected = img.pixels.slice(row * img.width * 3, (row + 1) * img.width * 3)
+      assert(f.frame.toSeq === expected.toSeq)
+    }
+    // opaque (non-P6) content falls back to byte windows
+    val opaque = Seq(MediaSample(9L, "audio", Array.fill[Byte](64)(3), 0, 0, 16000, 10))
+      .toDS()
+    val fb = Multimodal.sampleFrames(opaque, n = 2, frameBytes = 8).collect()
+    assert(fb.length === 2 && fb.forall(!_.decoded) &&
+      fb.forall(_.frame.length === 8))
   }
 
-  test("multimodal: resize rescales payload and metadata") {
+  test("multimodal: resize genuinely rescales the decoded pixel grid") {
+    implicit val s = spark
     val docs = Seq((3L, "x" * 100)).toDF("doc_id", "text")
-    val base = Multimodal.syntheticCorpus(docs)
+    val base = Multimodal.syntheticCorpus(docs).as[MediaSample]
     val out = Multimodal.resize(base, 16, 16).collect().head
-    assert(out.getAs[Int]("width") === 16 && out.getAs[Int]("height") === 16)
-    assert(out.getAs[Array[Byte]]("content").length <= 100)
+    assert(out.width === 16 && out.height === 16)
+    val img = graft.multimodal.Ppm.decode(out.content)
+    assert(img.isDefined, "resized content must still decode as P6")
+    assert(img.get.width === 16 && img.get.height === 16)
+    assert(img.get.pixels.length === 16 * 16 * 3)
+    // opaque content keeps the documented proportional-truncation stub
+    val opaque = Seq(MediaSample(9L, "video", Array.fill[Byte](100)(7), 10, 10, 0, 10))
+      .toDS()
+    val fb = Multimodal.resize(opaque, 5, 5).collect().head
+    assert(fb.content.length === 25 && !graft.multimodal.Ppm.decode(fb.content).isDefined)
   }
 
   test("centroids: exact per-group means, long and array forms agree") {
