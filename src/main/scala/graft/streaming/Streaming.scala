@@ -132,8 +132,7 @@ object Streaming {
       watermark: String = "2 hours",
       idleTimeoutSec: Long = 86400): Dataset[AsOfEnriched] = {
     require(idleTimeoutSec > 0,
-      s"idleTimeoutSec ($idleTimeoutSec) must be positive — a timeout at or " +
-        "before the watermark fails the stateful operator at runtime")
+      s"idleTimeoutSec ($idleTimeoutSec) must be positive")
     import events.sparkSession.implicits._
     events
       .filter(e => e.event_type == probeType || e.event_type == refType)
@@ -167,11 +166,22 @@ object Streaming {
             }
             cur.foreach(state.update)
             if (lastActivity != Long.MinValue)
-              state.setTimeoutTimestamp(lastActivity + idleTimeoutSec * 1000L)
+              state.setTimeoutTimestamp(safeTimeout(state,
+                lastActivity + idleTimeoutSec * 1000L))
             out.result().iterator
           }
       }
   }
+
+  /** Event-time timeout that can never land at or before the current
+    * watermark: Spark THROWS on such a timestamp (killing the whole
+    * streaming query), and a legal-but-small idle timeout — or a key
+    * whose latest event lags the global max event time by more than
+    * watermark + idle — produces exactly that. Clamping to
+    * watermark + 1ms keeps the purge semantics (the state is already
+    * idle; it times out on the next watermark advance). */
+  private def safeTimeout[S](state: GroupState[S], wanted: Long): Long =
+    math.max(state.getCurrentWatermarkMs() + 1L, wanted)
 
   /** Streaming MinHash-LSH near-duplicate detection — online dedup at
     * ingest time, the streaming analogue of
@@ -206,8 +216,7 @@ object Streaming {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     require(idleTimeoutSec > 0,
-      s"idleTimeoutSec ($idleTimeoutSec) must be positive — a timeout at or " +
-        "before the watermark fails the stateful operator at runtime")
+      s"idleTimeoutSec ($idleTimeoutSec) must be positive")
     import docs.sparkSession.implicits._
     import graft.text.TextOps
     val sets = docs
@@ -255,7 +264,8 @@ object Streaming {
             }
             rep.foreach(state.update)
             if (lastActivity != Long.MinValue)
-              state.setTimeoutTimestamp(lastActivity + idleTimeoutSec * 1000L)
+              state.setTimeoutTimestamp(safeTimeout(state,
+                lastActivity + idleTimeoutSec * 1000L))
             out.result().iterator
           }
       }
@@ -302,7 +312,8 @@ object Streaming {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapSeconds * 1000L)
+              state.setTimeoutTimestamp(safeTimeout(state,
+                s.last + gapSeconds * 1000L))
             }
             closed.reverseIterator
           }

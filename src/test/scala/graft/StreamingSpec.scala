@@ -149,4 +149,64 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // exactly one hit per distinct pair after the documented downstream dedup
     assert(hits.map(h => (h.doc_id, h.prior_id)).toSet.size === 1)
   }
+
+  test("streamingNearDups replayed over the sf0.001 corpus matches the batch operator") {
+    import graft.streaming.{NearDupHit, StreamDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // batch ground truth at identical parameters (the q_minhash_neardup
+    // configuration)
+    val batch = graft.text.Dedup.minHashNearDups(docs, n = 3, numHashes = 16,
+      bands = 4, minJaccard = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(batch.nonEmpty, "fixture has no batch near-dup pairs to compare")
+    // replay the corpus in doc-id order (strictly increasing event time)
+    // across several micro-batches, exercising cross-batch bucket state
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val out = Streaming.streamingNearDups(in.toDS(), n = 3, numHashes = 16,
+      bands = 4, minJaccard = 0.5)
+    val q = out.writeStream.format("memory").queryName("neardups_replay")
+      .outputMode("append").start()
+    rows.grouped(200).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val hits = spark.table("neardups_replay").as[NearDupHit].collect()
+    val streamPairs = hits
+      .map(h => (math.min(h.prior_id, h.doc_id), math.max(h.prior_id, h.doc_id)))
+      .toSet
+    // soundness: every streamed hit is a batch pair with the identical
+    // exact-verified jaccard
+    streamPairs.foreach(p =>
+      assert(batch.contains(p), s"stream flagged non-batch pair $p"))
+    hits.foreach { h =>
+      val p = (math.min(h.prior_id, h.doc_id), math.max(h.prior_id, h.doc_id))
+      assertClose(h.jaccard, batch(p), 1e-9)
+    }
+    // completeness at the decision level: the streaming operator keeps
+    // one representative per bucket, so pairs BETWEEN two non-
+    // representative members of one duplicate cluster are flagged via
+    // the representative instead of directly (documented trade-off).
+    // What must agree is the dedup DECISION — the duplicate clusters
+    // (connected components), i.e. which documents get dropped and
+    // which representative they collapse onto.
+    def components(pairs: Set[(Long, Long)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      parent.keys.groupBy(find).values.map(_.toSet).toSet
+    }
+    assert(components(streamPairs) === components(batch.keySet),
+      "streaming duplicate clusters differ from the batch operator's")
+  }
 }
