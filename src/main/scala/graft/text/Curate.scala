@@ -35,9 +35,12 @@ object Curate {
     *              persisted table when fanning out multiple operators
     * @param containmentThreshold when set, adds a quote/subset-dedup
     *              stage: connected components over
-    *              [[Dedup.containmentPairsFromSets]] at this threshold,
-    *              non-minimum members flagged `is_quote_dup` (same
-    *              min-id-keeps convention as the near-dup stage)
+    *              [[Dedup.containmentPairsFromSets]] at this threshold;
+    *              each cluster KEEPS its largest shingle set (the
+    *              superset/full document — tie-break min id) and flags
+    *              every other member `is_quote_dup`, unlike the
+    *              symmetric near-dup stage where members are
+    *              interchangeable and min id wins
     * @param relevanceQueries when set, adds a BM25 relevance stage: a
     *              doc passes iff its best [[Search.bm25Scores]] score
     *              against this bounded query batch (query_id, qtext) is
@@ -88,12 +91,24 @@ object Curate {
     // optional stages: each is (flag table, flag name, pass predicate,
     // default when absent) — absent rows default to the FAILING side for
     // relevance (no term match = irrelevant) and to not-a-dup for quotes
+    // containment clusters keep the SUPERSET, not the min id: a quote is
+    // a (near-)subset of the full document, so the conventional keep is
+    // the largest shingle set per cluster (tie-break min id) — min-id
+    // would drop the full article whenever a short quote happens to have
+    // the lower id. (Symmetric near-dup keeps min id; there the members
+    // are interchangeable.)
     val quoteDup = containmentThreshold.map { thr =>
-      Dedup.duplicateClusters(
+      val cl = Dedup.duplicateClusters(
         Dedup.containmentPairsFromSets(theSets, thr, maxDf)
           .select("doc_a", "doc_b"))
+      val sized = cl.join(
+        theSets.select(col("__id").as("doc_id"), col("__sz")), Seq("doc_id"))
+      val keeps = sized.groupBy("cluster_id").agg(
+        max_by(col("doc_id"),
+          struct(col("__sz"), (-col("doc_id")).as("__nid"))).as("__keep"))
+      sized.join(keeps, Seq("cluster_id"))
         .select(col("doc_id"),
-          when(col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L)
+          when(col("doc_id") =!= col("__keep"), 1L).otherwise(0L)
             .as("is_quote_dup"))
     }
     val relevance = relevanceQueries.map { qs =>

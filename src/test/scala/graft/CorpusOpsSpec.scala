@@ -187,6 +187,15 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(6L) === ((1L, 1L, 1L, 0L)))
     // doc 5: clean but shares no query term -> fails relevance only
     assert(out(5L) === ((1L, 0L, 0L, 0L)))
+    // keep-the-superset: when the QUOTE has the lower id, the full
+    // document must still be the cluster keep (min-id would drop it)
+    val d2 = docs(1L -> quote, 2L -> good, 5L -> good2)
+    val out2 = graft.text.Curate.curateVerdicts(d2, bench, maxDf = 10,
+      containmentThreshold = Some(0.9))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("is_quote_dup")).toMap
+    assert(out2(2L) === 0L, "superset must be kept despite higher id")
+    assert(out2(1L) === 1L, "fragment must be flagged despite lower id")
     // stages default OFF: schema is exactly the four-flag contract
     assert(graft.text.Curate.curateVerdicts(d, bench, maxDf = 10)
       .columns.toSeq === Seq("doc_id", "pass_quality", "is_exact_dup",
