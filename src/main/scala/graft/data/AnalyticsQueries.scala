@@ -121,6 +121,39 @@ object AnalyticsQueries {
     "q_autocorr_means" -> ((s, dir) =>
       round9(Tables.autocorrelationMeans(Pipelines.factorData(s, dir, P), P),
         Seq("mean_autocorr"))),
+    "q_summary_sheet" -> ((s, dir) => {
+      // the COMPOSITE, not its components: createSummaryTearSheet wires
+      // default flags + day-period selection across five tables; melt
+      // them long into one comparable (section, k, metric, value) table
+      val sheet = graft.sheets.Sheets.createSummaryTearSheet(
+        Pipelines.factorData(s, dir, P))
+      def melt(df: DataFrame, section: String, keyCol: Column,
+          metrics: Seq[String]): DataFrame =
+        metrics.map(m => df.select(lit(section).as("section"),
+          keyCol.cast("string").as("k"), lit(m).as("metric"),
+          col(m).cast("double").as("value"))).reduce(_.unionByName(_))
+      melt(round6(sheet.quantileStats,
+          Seq("min", "max", "mean", "std", "count_pct")),
+        "quantile_stats", col("factor_quantile"),
+        Seq("min", "max", "mean", "std", "count", "count_pct"))
+        .unionByName(melt(round9(sheet.returnsTable, Seq("ret_1", "ret_5")),
+          "returns_table", col("stat"), Seq("ret_1", "ret_5")))
+        .unionByName(melt(round9(sheet.icSummary.drop("p_value"),
+            Seq("ic_mean", "ic_std", "risk_adjusted_ic", "t_stat", "ic_skew",
+              "ic_kurtosis")),
+          "ic_summary", col("period"),
+          Seq("ic_mean", "ic_std", "risk_adjusted_ic", "t_stat", "ic_skew",
+            "ic_kurtosis", "n")))
+        .unionByName(melt(round9(sheet.quantileTurnoverMeans,
+            Seq("mean_turnover")),
+          "turnover_means",
+          concat(col("factor_quantile").cast("string"), lit("|"), col("period")),
+          Seq("mean_turnover")))
+        .unionByName(melt(round9(sheet.autocorrelationMeans,
+            Seq("mean_autocorr")),
+          "autocorr_means", col("period"), Seq("mean_autocorr")))
+        .orderBy("section", "k", "metric")
+    }),
     "q_factor_data_group" -> ((s, dir) =>
       Pipelines.factorData(s, dir, P, withGroup = true).df
         .select("date", "asset", "ret_1", "ret_5", "factor", "group",
@@ -319,7 +352,7 @@ object AnalyticsQueries {
        |  count($c) AS n
        |FROM ic, (SELECT avg(i1) AS mu_i1, avg(i5) AS mu_i5 FROM ic)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  private lazy val baseOracle: Map[String, String] = Map(
     "q_quantile_stats" ->
       s"""$pre, qs AS (
          |  SELECT factor_quantile, min(factor) AS mn, max(factor) AS mx,
@@ -679,4 +712,37 @@ object AnalyticsQueries {
          |WHERE a.factor_quantile = 5 AND b.factor_quantile = 1
          |ORDER BY a.date""".stripMargin
   )
+
+  /** Melt one component twin into (section, k, metric, value) rows —
+    * DuckDB allows a full WITH...SELECT as a parenthesized subquery, so
+    * each existing component oracle nests verbatim. */
+  private def meltSql(inner: String, section: String, keyExpr: String,
+      metrics: Seq[String]): String =
+    metrics.map(m =>
+      s"SELECT '$section' AS section, $keyExpr AS k, '$m' AS metric, " +
+        s"$m::DOUBLE AS value FROM ($inner)")
+      .mkString("\nUNION ALL\n")
+
+  /** q_summary_sheet oracle: the five component twins melted long and
+    * unioned — the DuckDB replay of [[graft.sheets.Sheets
+    * .createSummaryTearSheet]]'s full output as ONE comparable table,
+    * covering the composite's parameter wiring (default flags,
+    * day-period selection), not just the components in isolation. */
+  private def summarySheetSql: String = Seq(
+    meltSql(baseOracle("q_quantile_stats"), "quantile_stats",
+      "factor_quantile::VARCHAR",
+      Seq("min", "max", "mean", "std", "count", "count_pct")),
+    meltSql(baseOracle("q_returns_table"), "returns_table", "stat",
+      Seq("ret_1", "ret_5")),
+    meltSql(baseOracle("q_ic_summary"), "ic_summary", "period",
+      Seq("ic_mean", "ic_std", "risk_adjusted_ic", "t_stat", "ic_skew",
+        "ic_kurtosis", "n")),
+    meltSql(baseOracle("q_turnover_means"), "turnover_means",
+      "factor_quantile::VARCHAR || '|' || period", Seq("mean_turnover")),
+    meltSql(baseOracle("q_autocorr_means"), "autocorr_means", "period",
+      Seq("mean_autocorr"))).mkString("\nUNION ALL\n") +
+    "\nORDER BY section, k, metric"
+
+  def oracleSql: Map[String, String] =
+    baseOracle + ("q_summary_sheet" -> summarySheetSql)
 }
