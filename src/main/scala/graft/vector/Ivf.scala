@@ -241,6 +241,111 @@ object Ivf {
       trainCap: Int = 4096): Array[Array[Double]] =
     lloydLocal(collectSample(corpus, idCol, vecCol, trainCap), nCells, iters)
 
+  /** The quantized training sample as a DISTRIBUTED table (never
+    * collected): the same deterministic hash-subsample as
+    * [[collectSample]] — including the rate>1 castability fail-fast and
+    * the k-lowest-id fallback for pathological id residues — but left
+    * as a DataFrame for [[lloydDistributed]] to iterate on. */
+  private[vector] def sampleDf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cap: Long): DataFrame = {
+    val n = corpus.count()
+    val rate = math.max(1L, n / math.max(1L, cap))
+    if (rate > 1L) {
+      val bad = corpus.agg(
+        count(when(col(idCol).cast("long").isNull, 1)).as("bad")).first().getLong(0)
+      require(bad == 0L,
+        s"k-means training requires a long-castable, non-null id column; " +
+          s"'$idCol' has $bad of $n rows null under cast to long")
+    }
+    val sampleRaw =
+      if (rate <= 1L) corpus
+      else corpus.filter(
+        pmod(pmod(col(idCol).cast("long") * 2654435761L, lit(1000003L)),
+          lit(rate)) === 0)
+    val s = sampleRaw
+      .select(col(idCol).cast("long").as("__id"), quantize(col(vecCol)).as("__q"))
+    if (rate <= 1L || s.limit(1).count() > 0L) s
+    else corpus // pathological residue structure: k-lowest-id fallback
+      .select(col(idCol).cast("long").as("__id"), quantize(col(vecCol)).as("__q"))
+      .orderBy("__id").limit(cap.min(Int.MaxValue.toLong).toInt)
+  }
+
+  /** Lloyd's loop with DISTRIBUTED assignment: per iteration, one
+    * codegen'd argmin scan over the sample table and one per-cell
+    * (count, long component sums) aggregation; only the k x (dim+1)
+    * aggregate crosses to the driver. BITWISE identical to
+    * [[lloydLocal]] on the same sample: distances are exact integer
+    * sums, argmin ties break toward the lower cell, per-cell component
+    * sums are exact longs (order-independent), and each centroid
+    * re-snaps via the same half-up floor division; empty cells keep
+    * their previous centroid. This is the training path for cell
+    * counts past the driver-array budget ([[SemDedup.MaxAutoCells]]):
+    * cost per iteration is O(sample x cells) spread across the
+    * cluster instead of one driver core. */
+  private[vector] def lloydDistributed(
+      sample: DataFrame,
+      nCellsRequested: Int,
+      iters: Int): Array[Array[Double]] = {
+    val persisted = sample.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = persisted.count()
+      val nCells = math.min(nCellsRequested.toLong, n).toInt
+      if (nCells == 0) return Array.empty
+      var centroids: Array[Array[Double]] = persisted
+        .orderBy("__id").limit(nCells).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+      val dim = if (centroids.nonEmpty) centroids(0).length else 0
+      for (_ <- 0 until iters) {
+        val aggCols = count(lit(1)).as("__n") +: (0 until dim).map(d =>
+          sum(element_at(col("__q"), d + 1).cast("long")).as(s"__s$d"))
+        val rows = persisted
+          .select(argminCell(cellDists(col("__q"), centroids)).as("__cell"),
+            col("__q"))
+          .groupBy("__cell")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        val next = centroids.map(_.clone())
+        rows.foreach { r =>
+          val c = r.getInt(0)
+          val cnt = r.getLong(1)
+          if (cnt > 0) {
+            var d = 0
+            while (d < dim) {
+              next(c)(d) =
+                Math.floorDiv(2L * r.getLong(d + 2) + cnt, 2L * cnt).toDouble
+              d += 1
+            }
+          }
+        }
+        centroids = next
+      }
+      centroids
+    } finally persisted.unpersist()
+  }
+
+  /** [[trainCentroids]] for cell counts past the driver-array budget:
+    * the capped sample stays a distributed table and every Lloyd
+    * iteration runs as a Spark aggregation ([[lloydDistributed]]).
+    * Bitwise identical to [[trainCentroids]] at the same effective
+    * sample (same subsample rule, same exact integer arithmetic) —
+    * only the execution venue changes. */
+  def trainCentroidsDistributed(
+      corpus: DataFrame,
+      nCells: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      samplesPerCell: Int = 32): Array[Array[Double]] =
+    lloydDistributed(
+      sampleDf(corpus, idCol, vecCol,
+        math.max(4096L, nCells.toLong * samplesPerCell)),
+      nCells, iters)
+
   /** ANN top-k via IVF: assign the corpus to cells once, probe the
     * `nProbe` nearest cells per query, rerank candidates by exact
     * cosine. Output schema matches [[Similarity.bruteForceTopK]]. */

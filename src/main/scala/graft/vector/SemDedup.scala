@@ -25,21 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
-  /** Ceiling on the AUTO-scaled cell count: the quantizer trains
-    * driver-side at O(sample × cells) per Lloyd iteration with sample =
-    * 32/cell, so cost grows as 32·cells² — 2048 cells (~65k samples,
-    * ~4e10 madds over 5 iters) is the documented driver-budget ceiling.
-    * Corpora past ceiling × targetCellSize: raise `targetCellSize`, or
-    * pass explicit `nCells` with externally trained centroids via
-    * `trained`. */
+  /** VENUE switch for quantizer training, not a cell-count ceiling:
+    * up to 2048 cells the 32-per-cell sample (~65k vectors, ~4e10
+    * madds over 5 iters) fits the driver-array Lloyd budget
+    * ([[Ivf.lloydLocal]] — faster: no per-iteration job overhead);
+    * past it, training runs DISTRIBUTED ([[Ivf.lloydDistributed]]) with
+    * the sample kept as a Spark table — bitwise the same centroids,
+    * scaling with the cluster instead of one driver core. */
   private[graft] val MaxAutoCells = 2048L
 
   /** Auto-scaled cell count: mean cell population ~targetCellSize,
-    * floored at 16 so tiny corpora still get a non-trivial quantizer,
-    * ceilinged at [[MaxAutoCells]] (driver training budget). */
+    * floored at 16 so tiny corpora still get a non-trivial quantizer.
+    * Uncapped — counts past [[MaxAutoCells]] switch the training venue
+    * to the distributed Lloyd, they are not clamped. */
   private[graft] def autoCells(n: Long, targetCellSize: Long): Int =
-    math.min(MaxAutoCells,
-      math.max(16L, n / math.max(1L, targetCellSize))).toInt
+    math.max(16L, n / math.max(1L, targetCellSize))
+      .min(Int.MaxValue.toLong).toInt
 
   /** Per-vector semantic-dedup verdict.
     *
@@ -49,18 +50,17 @@ object SemDedup {
     *
     * @param nCells cell count for the coarse quantizer; `<= 0` (the
     *               default) auto-scales to `max(16, n / targetCellSize)`
-    *               from one cheap count — ceilinged at [[MaxAutoCells]]
-    *               (the driver-side Lloyd budget) — so the per-cell
-    *               quadratic stays bounded as the corpus grows without
-    *               caller tuning up to ~MaxAutoCells × targetCellSize
-    *               vectors; past that, raise `targetCellSize` or supply
-    *               `trained` centroids from an external training run
+    *               from one cheap count, so the per-cell quadratic stays
+    *               bounded as the corpus grows without caller tuning —
+    *               no ceiling: counts past [[MaxAutoCells]] train the
+    *               quantizer with the distributed Lloyd
+    *               ([[Ivf.trainCentroidsDistributed]]) instead of
+    *               driver arrays, bitwise the same centroids
     * @param targetCellSize intended mean cell population under
     *               auto-scaling (the paper runs ~10-50k docs per cell)
     * @param trained optional pre-trained centroid matrix over the
-    *               DIRECTION-NORMALIZED vectors (the escape hatch for
-    *               corpora whose cell count exceeds the driver training
-    *               budget); when given, nCells/iters are ignored
+    *               DIRECTION-NORMALIZED vectors (e.g. reused from a
+    *               previous run); when given, nCells/iters are ignored
     * @return (vec_id, cell, n_dups, keep_id, is_dup) — n_dups counts
     *         the lower-id near-duplicate neighbors
     */
@@ -82,18 +82,23 @@ object SemDedup {
         transform(col(vecCol), x => x.cast("double") / col("__n")))
     val centroids = trained.getOrElse {
       // one count(*) — parquet-metadata cheap — bounds the per-cell
-      // quadratic: mean cell size stays ~targetCellSize up to the
-      // MaxAutoCells driver-budget ceiling
+      // quadratic: mean cell size stays ~targetCellSize with no upper
+      // ceiling on the corpus: past MaxAutoCells the quantizer trains
+      // DISTRIBUTED (same exact arithmetic, Spark-aggregated Lloyd)
       val cells =
         if (nCells > 0) nCells else autoCells(emb.count(), targetCellSize)
       // the training sample must grow with the cell count (a k-means
       // with more cells than samples clamps down and the per-cell
       // quadratic silently resumes growing): 32 samples per cell,
-      // floored at the default cap — bounded by MaxAutoCells so the
-      // driver Lloyd loop (O(sample × cells) per iteration) stays in
-      // budget
-      Ivf.trainCentroids(nrm, cells, iters, idCol, "__nv",
-        trainCap = math.max(4096, 32 * cells))
+      // floored at the default cap. Up to MaxAutoCells the sample fits
+      // the driver-array budget (O(sample × cells) Lloyd on one core);
+      // past it, the sample stays a distributed table and each Lloyd
+      // iteration is one Spark aggregation — bitwise the same result.
+      if (cells <= MaxAutoCells)
+        Ivf.trainCentroids(nrm, cells, iters, idCol, "__nv",
+          trainCap = math.max(4096, 32 * cells))
+      else
+        Ivf.trainCentroidsDistributed(nrm, cells, iters, idCol, "__nv")
     }
     val a = nrm.select(col(idCol), col(vecCol), col("__n"),
       Ivf.cellOf(col("__nv"), centroids).as("cell"))

@@ -238,10 +238,10 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(SemDedup.autoCells(1000L, 20000L) === 16)
     assert(SemDedup.autoCells(320000L, 20000L) === 16)
     assert(SemDedup.autoCells(1000000L, 20000L) === 50)
-    // the driver-Lloyd budget ceiling: cost grows as 32·cells², so auto
-    // mode caps at MaxAutoCells; larger corpora raise targetCellSize or
-    // pass pre-trained centroids
-    assert(SemDedup.autoCells(100000000L, 20000L) === 2048)
+    // no ceiling: counts past MaxAutoCells switch the training VENUE to
+    // the distributed Lloyd rather than clamping the cell count
+    assert(SemDedup.autoCells(100000000L, 20000L) === 5000)
+    assert(SemDedup.autoCells(100000000L, 20000L) > SemDedup.MaxAutoCells)
     // end-to-end under the auto default (nCells <= 0): verdicts still
     // correct on a small corpus (floor of 16 cells kicks in)
     val base = (0 until 8).map(i => (i.toLong, vec(Seq(1, 97)(i % 2))))
@@ -251,6 +251,45 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[Long]("is_dup"), r.getAs[Long]("keep_id"))).toMap
     assert(out(10L) === ((1L, 0L)))
+  }
+
+  test("distributed Lloyd is bitwise identical to the driver-array Lloyd") {
+    import graft.vector.Ivf
+    // same corpus, same subsample (rate<=1: whole corpus), two venues
+    val rows = (0 until 120).map(i => (i.toLong, vec(Seq(1, 97, 43)(i % 3),
+      jitter = 0.2f)))
+    val d = emb(rows: _*)
+    val local = Ivf.trainCentroids(d, nCells = 16, iters = 4)
+    val dist = Ivf.trainCentroidsDistributed(d, nCells = 16, iters = 4)
+    assert(local.length === dist.length)
+    (local zip dist).zipWithIndex.foreach { case ((l, r), c) =>
+      assert(l.toSeq === r.toSeq, s"centroid $c differs between venues")
+    }
+  }
+
+  test("semDedup auto-trains distributed past the MaxAutoCells venue switch") {
+    import graft.vector.SemDedup
+    // targetCellSize=1 over >2048 vectors pushes autoCells past the
+    // driver-array budget -> the distributed Lloyd trains the quantizer.
+    // Scaled copies normalize onto their originals (identical quantized
+    // direction -> identical cell under any centroid set), so the
+    // verdict must still flag the planted copies. Directions repeat
+    // every 211 ids (hash modulus), so 7 and 97 are the MINIMUM ids of
+    // their direction classes — their copies must collapse onto them.
+    val n = 2100
+    val base = (0 until n).map(i => (i.toLong,
+      Array.tabulate(8)(d => (((i * 31 + d * 17) % 211) - 105).toFloat)))
+    val copies = Seq(5000L -> base(7)._2.map(_ * 1.25f),
+      5001L -> base(97)._2.map(_ * 2f))
+    val d = emb((base ++ copies): _*)
+    val out = SemDedup.semDedup(d, threshold = 0.999, targetCellSize = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("is_dup"), r.getAs[Long]("keep_id"))).toMap
+    assert(out.size === n + 2)
+    assert(out(7L) === ((0L, 7L)))
+    assert(out(97L) === ((0L, 97L)))
+    assert(out(5000L) === ((1L, 7L)))
+    assert(out(5001L) === ((1L, 97L)))
   }
 
   test("ANN recall@10 floors vs brute force on the sf0.001 embeddings") {
