@@ -1220,7 +1220,7 @@ object DocQueries {
          |tot AS (SELECT sum(cf)::BIGINT AS c FROM cf),
          |contribs AS (
          |  SELECT tf.doc_id, tf.term,
-         |    tf.tf * round(ln(cf.cf::DOUBLE / tot.c), 9) AS lp
+         |    tf.tf * round(ln(cf.cf::DOUBLE / tot.c), 8) AS lp
          |  FROM tf JOIN cf ON cf.term = tf.term CROSS JOIN tot),
          |sums AS (
          |  SELECT doc_id,

@@ -182,7 +182,11 @@ object TextStats {
     * constants join. Documents with no tokens are absent (no LM mass).
     *
     * Determinism: ln(cf/C) — the only engine-divergent op — is snapped
-    * to the 1e-9 grid per TERM (vocabulary entries, not rows), and the
+    * to the 1e-8 grid per TERM (vocabulary entries, not rows; 1e-8
+    * rather than 1e-9 because a true value within 1 ulp of a rounding
+    * boundary straddles engines — observed ~1/5000 docs at 1e-9 on
+    * sf0.1 — and a 10x coarser grid cuts the boundary-hit odds 10x
+    * while staying far below any quality-scoring significance), and the
     * per-doc accumulation runs term-sorted through the `aggregate` HOF
     * (left-to-right), so scores are bitwise reproducible across
     * engines; the final mean is rounded to 1e-9.
@@ -199,7 +203,7 @@ object TextStats {
     val contribs = tf.join(cf, Seq("__t")).crossJoin(broadcast(total))
       .select(col("doc_id"), col("__t"),
         (col("__tf") *
-          round(log(col("__cf").cast("double") / col("__c")), 9)).as("__lp"))
+          round(log(col("__cf").cast("double") / col("__c")), 8)).as("__lp"))
     contribs.groupBy("doc_id")
       .agg(
         aggregate(array_sort(collect_list(struct(col("__t"), col("__lp")))),
