@@ -40,17 +40,22 @@ object Bench {
     // report per-query MEDIANS — the microVM host noise makes single-run
     // per-query numbers ungradeable (identical plans have measured 5x
     // apart across rounds on untouched files; VERDICT r5 "what's wrong"
-    // #2). Warmup runs once; median of an even N averages the middle two.
+    // #2). Default is 3 so the per-round artifact is always a median.
+    // Warmup runs once; median of an even N averages the middle two.
     val runs = args.sliding(2).collectFirst { case Array("--runs", n) => n.toInt }
-      .orElse(sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt)).getOrElse(1).max(1)
-    def sweep(): Seq[(String, Double)] =
+      .orElse(sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt)).getOrElse(3).max(1)
+    // each sweep records (elapsed, succeeded) — a failed run's fast-fail
+    // elapsed must NOT deflate the median, and a query that fails in any
+    // sweep is reported in "failures" rather than only on stderr
+    def sweep(): Seq[(String, (Double, Boolean))] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     val sweeps = (1 to runs).map(_ => sweep())
     def median(xs: Seq[Double]): Double = {
@@ -58,15 +63,24 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    val medians = sweeps.head.map(_._1).map { name =>
-      name -> median(sweeps.map(_.toMap.apply(name)))
+    val names = sweeps.head.map(_._1)
+    val medians = names.map { name =>
+      val timings = sweeps.map(_.toMap.apply(name))
+      val good = timings.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) Some(median(good)) else None)
     }
-    val results = warmup +: medians
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failures = names.map { name =>
+      name -> sweeps.map(_.toMap.apply(name)).count(!_._2)
+    }.filter(_._2 > 0)
+    val results = ("warmup" -> Some(warmup._2)) +: medians
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val fs = failures.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failures":$fs}"""
     println(line)
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     spark.stop()
