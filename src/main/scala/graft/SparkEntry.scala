@@ -105,7 +105,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = factorOracleSql ++ DocQueries.oracleSql ++
     AnalyticsQueries.oracleSql
 
-  private def factorOracleSql: Map[String, String] = Map(
+  /** package-visible: the tear-sheet composite oracles in
+    * [[graft.data.AnalyticsQueries]] nest these component twins. */
+  private[graft] def factorOracleSql: Map[String, String] = Map(
     "q_panel" ->
       """SELECT date_trunc('day', l_shipdate) AS date, l_suppkey AS asset,
         | sum(round(l_extendedprice * 100)::BIGINT *
@@ -336,15 +338,5 @@ object SparkEntry {
   /** Shared running-product SQL over column `r` ordered by date —
     * mirrors Cumulative.runningProduct exactly (zero flag + log-space
     * magnitude + sign parity). */
-  private val cumProdR: String =
-    """CASE WHEN max(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 1 ELSE 0 END)
-      |       OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
-      |     THEN 0.0
-      |     ELSE exp(sum(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 0.0
-      |                       ELSE ln(abs(1.0 + coalesce(r, 0.0))) END)
-      |              OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      |          * CASE WHEN mod(sum(CASE WHEN 1.0 + coalesce(r, 0.0) < 0.0 THEN 1 ELSE 0 END)
-      |              OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) = 1
-      |                 THEN -1.0 ELSE 1.0 END
-      |END""".stripMargin
+  private def cumProdR: String = Pipelines.cumProdSql()
 }

@@ -283,7 +283,78 @@ object AnalyticsQueries {
       Quantize.quantizeFactor(Pipelines.merged(s, dir, P, withGroup = true),
         Quantize.QuantilesInt(4), byGroup = true, noRaise = true)
         .na.drop(Seq("factor_quantile"))
-        .select("date", "asset", "factor", "group", "factor_quantile"))
+        .select("date", "asset", "factor", "group", "factor_quantile")),
+    "q_returns_sheet" -> ((s, dir) => {
+      // the full returns tear-sheet COMPOSITE (tears.py:178-344, default
+      // flags): all eight result tables melted long into one comparable
+      // (section, k, metric, value) table — covers the sheet's wiring
+      // (demeaned weights, rate conversion, extreme-quantile spread,
+      // 1D cumulative curves), not just the components in isolation
+      val sheet = graft.sheets.Sheets.createReturnsTearSheet(
+        Pipelines.factorData(s, dir, P))
+      val dkey = date_format(col("date"), "yyyy-MM-dd")
+      val qdkey = concat(col("factor_quantile").cast("string"), lit("|"), dkey)
+      val errCols = Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err")
+      melt(round9(sheet.factorReturns, Seq("ret_1", "ret_5")),
+          "factor_returns", dkey, Seq("ret_1", "ret_5"))
+        .unionByName(melt(round9(sheet.meanQuantRateret, Seq("ret_1", "ret_5")),
+          "mean_quant_rateret", col("factor_quantile"), Seq("ret_1", "ret_5")))
+        .unionByName(melt(round9(sheet.meanQuantRateretByDate, errCols),
+          "mean_quant_rateret_bydate", qdkey, errCols))
+        .unionByName(melt(round9(sheet.spread, errCols),
+          "spread", dkey, errCols))
+        .unionByName(melt(round9(sheet.alphaBeta, Seq("ret_1", "ret_5")),
+          "alpha_beta", col("stat"), Seq("ret_1", "ret_5")))
+        .unionByName(melt(round9(sheet.returnsTable, Seq("ret_1", "ret_5")),
+          "returns_table", col("stat"), Seq("ret_1", "ret_5")))
+        .unionByName(melt(round9(sheet.cumulativeReturns.get, Seq("cum_ret_1")),
+          "cumulative", dkey, Seq("cum_ret_1")))
+        .unionByName(melt(
+          round9(sheet.cumulativeReturnsByQuantile.get, Seq("cum_ret_1")),
+          "cumulative_byq", qdkey, Seq("cum_ret_1")))
+        .orderBy("section", "k", "metric")
+    }),
+    "q_info_sheet" -> ((s, dir) => {
+      // information tear-sheet COMPOSITE (tears.py:347-406, with the
+      // by-group branch on): IC series, summary, monthly and group means
+      val sheet = graft.sheets.Sheets.createInformationTearSheet(
+        Pipelines.factorData(s, dir, P, withGroup = true), byGroup = true)
+      val dkey = date_format(col("date"), "yyyy-MM-dd")
+      val sumCols = Seq("ic_mean", "ic_std", "risk_adjusted_ic", "t_stat",
+        "ic_skew", "ic_kurtosis")
+      melt(round9(sheet.ic, Seq("ret_1", "ret_5")), "ic", dkey,
+          Seq("ret_1", "ret_5"))
+        .unionByName(melt(round9(sheet.icSummary.drop("p_value"), sumCols),
+          "ic_summary", col("period"), sumCols :+ "n"))
+        .unionByName(melt(round9(sheet.monthlyMeanIc, Seq("ret_1", "ret_5")),
+          "monthly_ic", dkey, Seq("ret_1", "ret_5")))
+        .unionByName(melt(round9(sheet.meanIcByGroup.get, Seq("ret_1", "ret_5")),
+          "ic_bygroup", col("group"), Seq("ret_1", "ret_5")))
+        .orderBy("section", "k", "metric")
+    }),
+    "q_turnover_sheet" -> ((s, dir) => {
+      // turnover tear-sheet COMPOSITE (tears.py:409-485, inferred 1D/5D
+      // periods): per-date turnover + autocorr series and their means
+      val sheet = graft.sheets.Sheets.createTurnoverTearSheet(
+        Pipelines.factorData(s, dir, P))
+      val dkey = date_format(col("date"), "yyyy-MM-dd")
+      melt(sheet.quantileTurnover, "quantile_turnover",
+          concat(col("period"), lit("|"),
+            col("factor_quantile").cast("string"), lit("|"), dkey),
+          Seq("turnover"))
+        .unionByName(melt(round9(sheet.autocorrelation, Seq("autocorr")),
+          "autocorrelation", concat(col("period"), lit("|"), dkey),
+          Seq("autocorr")))
+        .unionByName(melt(round9(sheet.quantileTurnoverMeans,
+            Seq("mean_turnover")),
+          "turnover_means",
+          concat(col("factor_quantile").cast("string"), lit("|"), col("period")),
+          Seq("mean_turnover")))
+        .unionByName(melt(round9(sheet.autocorrelationMeans,
+            Seq("mean_autocorr")),
+          "autocorr_means", col("period"), Seq("mean_autocorr")))
+        .orderBy("section", "k", "metric")
+    })
   )
 
   // ---- oracle SQL -----------------------------------------------------
@@ -751,6 +822,159 @@ object AnalyticsQueries {
       Seq("mean_autocorr"))).mkString("\nUNION ALL\n") +
     "\nORDER BY section, k, metric"
 
+  // ---- returns / information / turnover sheet oracles -----------------
+
+  /** Stage-1 of the two-stage demeaned mean-return estimator (by
+    * quantile × date, with std errors) — the input every returns-sheet
+    * component rate-converts. Token-identical to the q_spread_bydate
+    * CTEs so the float-op shapes match meanReturnByQuantile's. */
+  private def byDateCtes: String =
+    s"""$pre, dmq AS (SELECT factor_quantile, date,
+       |  ret_1 - avg(ret_1) OVER (PARTITION BY date) AS d1,
+       |  ret_5 - avg(ret_5) OVER (PARTITION BY date) AS d5
+       |  FROM factor_data),
+       |s1 AS (SELECT factor_quantile, date, avg(d1) AS m1, avg(d5) AS m5,
+       |  stddev_samp(d1) / sqrt(count(d1)) AS e1,
+       |  stddev_samp(d5) / sqrt(count(d5)) AS e5
+       |  FROM dmq GROUP BY 1, 2)""".stripMargin
+
+  /** Rate-converted overall mean return by quantile: stage-2 mean of the
+    * daily means, then (1+m)^(1/days)-1. pow(x, 1.0) == x in both
+    * engines, so the 1-day conversion is written (1.0+m)-1.0 to mirror
+    * Spark's pow(m+1, 1.0)-1.0 bitwise (q_returns_table precedent). */
+  private def mqrRateSql: String =
+    s"""$byDateCtes, s2 AS (SELECT factor_quantile, avg(m1) AS m1, avg(m5) AS m5
+       |  FROM s1 GROUP BY 1)
+       |SELECT factor_quantile, round((1.0 + m1) - 1.0, 9) AS ret_1,
+       |  round(pow(1.0 + m5, 0.2) - 1.0, 9) AS ret_5 FROM s2""".stripMargin
+
+  /** Rate-converted by-date means + converted std errors (std err of the
+    * k-day horizon divides by sqrt(k) — utils.std_conversion). */
+  private def mqrDateRateSql: String =
+    s"""$byDateCtes
+       |SELECT factor_quantile, date,
+       |  round((1.0 + m1) - 1.0, 9) AS ret_1, round(e1, 9) AS ret_1_std_err,
+       |  round(pow(1.0 + m5, 0.2) - 1.0, 9) AS ret_5,
+       |  round(e5 / sqrt(5.0), 9) AS ret_5_std_err
+       |FROM s1""".stripMargin
+
+  /** Top-minus-bottom spread of the RATE-CONVERTED by-date means with
+    * joint std error — unlike q_spread_bydate (raw means), this is the
+    * sheet's wiring (tears.py:248-258 converts before spreading). */
+  private def spreadRateSql: String =
+    s"""$byDateCtes, rc1 AS (SELECT factor_quantile, date,
+       |  (1.0 + m1) - 1.0 AS r1, e1 AS se1,
+       |  pow(1.0 + m5, 0.2) - 1.0 AS r5, e5 / sqrt(5.0) AS se5 FROM s1)
+       |SELECT a.date, round(a.r1 - b.r1, 9) AS ret_1,
+       |  round(sqrt(a.se1 * a.se1 + b.se1 * b.se1), 9) AS ret_1_std_err,
+       |  round(a.r5 - b.r5, 9) AS ret_5,
+       |  round(sqrt(a.se5 * a.se5 + b.se5 * b.se5), 9) AS ret_5_std_err
+       |FROM rc1 a JOIN rc1 b ON a.date = b.date
+       |WHERE a.factor_quantile = 5 AND b.factor_quantile = 1""".stripMargin
+
+  /** Per-quantile cumulative curves over the demeaned by-date 1-day
+    * means (tears.py:287-294): the shared running-product fragment
+    * partitioned by factor_quantile. */
+  private def cumByQSql: String =
+    s"""$byDateCtes, frq AS (SELECT factor_quantile, date, m1 AS r FROM s1)
+       |SELECT factor_quantile, date,
+       |  round(${Pipelines.cumProdSql("factor_quantile")}, 9) AS cum_ret_1
+       |FROM frq""".stripMargin
+
+  /** q_returns_sheet oracle: DuckDB replay of
+    * [[graft.sheets.Sheets.createReturnsTearSheet]] (default flags). */
+  private def returnsSheetSql: String = Seq(
+    meltSql(graft.SparkEntry.factorOracleSql("q_factor_returns"),
+      "factor_returns", "strftime(date, '%Y-%m-%d')", Seq("ret_1", "ret_5")),
+    meltSql(mqrRateSql, "mean_quant_rateret", "factor_quantile::VARCHAR",
+      Seq("ret_1", "ret_5")),
+    meltSql(mqrDateRateSql, "mean_quant_rateret_bydate",
+      "factor_quantile::VARCHAR || '|' || strftime(date, '%Y-%m-%d')",
+      Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err")),
+    meltSql(spreadRateSql, "spread", "strftime(date, '%Y-%m-%d')",
+      Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err")),
+    meltSql(baseOracle("q_alpha_beta"), "alpha_beta", "stat",
+      Seq("ret_1", "ret_5")),
+    meltSql(baseOracle("q_returns_table"), "returns_table", "stat",
+      Seq("ret_1", "ret_5")),
+    meltSql(graft.SparkEntry.factorOracleSql("q_cumulative_returns"),
+      "cumulative", "strftime(date, '%Y-%m-%d')", Seq("cum_ret_1")),
+    meltSql(cumByQSql, "cumulative_byq",
+      "factor_quantile::VARCHAR || '|' || strftime(date, '%Y-%m-%d')",
+      Seq("cum_ret_1"))).mkString("\nUNION ALL\n") +
+    "\nORDER BY section, k, metric"
+
+  /** q_info_sheet oracle: DuckDB replay of
+    * [[graft.sheets.Sheets.createInformationTearSheet]] (byGroup on). */
+  private def infoSheetSql: String = Seq(
+    meltSql(graft.SparkEntry.factorOracleSql("q_ic"), "ic",
+      "strftime(date, '%Y-%m-%d')", Seq("ret_1", "ret_5")),
+    meltSql(baseOracle("q_ic_summary"), "ic_summary", "period",
+      Seq("ic_mean", "ic_std", "risk_adjusted_ic", "t_stat", "ic_skew",
+        "ic_kurtosis", "n")),
+    meltSql(graft.SparkEntry.factorOracleSql("q_mean_ic_monthly"),
+      "monthly_ic", "strftime(date, '%Y-%m-%d')", Seq("ret_1", "ret_5")),
+    meltSql(baseOracle("q_mean_ic_bygroup"), "ic_bygroup", "\"group\"",
+      Seq("ret_1", "ret_5"))).mkString("\nUNION ALL\n") +
+    "\nORDER BY section, k, metric"
+
+  /** All-quantile turnover per period with the date kept (the
+    * q_turnover_means `tv` CTE before its mean). */
+  private def qtAllSql: String =
+    s"""$pre, sets AS (
+       |  SELECT date, factor_quantile, list(DISTINCT asset) AS names
+       |  FROM factor_data GROUP BY 1, 2),
+       |idx AS (SELECT *, row_number()
+       |  OVER (PARTITION BY factor_quantile ORDER BY date) AS rn FROM sets)
+       |SELECT p.p::VARCHAR || 'D' AS period, a.factor_quantile, a.date,
+       |  len(list_filter(a.names, x -> NOT list_contains(b.names, x)))::DOUBLE
+       |    / len(a.names) AS turnover
+       |FROM (SELECT unnest([1, 5]) AS p) p
+       |CROSS JOIN idx a
+       |JOIN idx b ON b.factor_quantile = a.factor_quantile
+       |  AND b.rn = a.rn - p.p""".stripMargin
+
+  /** Multi-lag rank autocorrelation per date (the q_autocorr_means `ac`
+    * CTE before its mean). */
+  private def acMultiSql: String =
+    s"""$pre, ranks AS (
+       |  SELECT date, asset, ${Pipelines.rank2Sql("factor", "date")} AS r
+       |  FROM factor_data),
+       |didx AS (SELECT date, row_number() OVER (ORDER BY date) AS di
+       |         FROM (SELECT DISTINCT date FROM factor_data)),
+       |cur AS (SELECT r, asset, di, date FROM ranks JOIN didx USING (date)),
+       |s AS (
+       |  SELECT p.p AS period_n, cur.date, count(*)::DOUBLE AS n,
+       |    sum(cur.r)::DOUBLE AS sx, sum(cur.r*cur.r)::DOUBLE AS sxx,
+       |    sum(prev.r)::DOUBLE AS sy, sum(prev.r*prev.r)::DOUBLE AS syy,
+       |    sum(cur.r*prev.r)::DOUBLE AS sxy
+       |  FROM (SELECT unnest([1, 5]) AS p) p
+       |  CROSS JOIN cur
+       |  JOIN cur prev ON cur.asset = prev.asset AND cur.di = prev.di + p.p
+       |  GROUP BY 1, 2)
+       |SELECT period_n::VARCHAR || 'D' AS period, date,
+       |  round(${Pipelines.exactCorrSql("n", "sx", "sxx", "sy", "syy", "sxy")}, 9)
+       |    AS autocorr
+       |FROM s""".stripMargin
+
+  /** q_turnover_sheet oracle: DuckDB replay of
+    * [[graft.sheets.Sheets.createTurnoverTearSheet]] (inferred 1D/5D). */
+  private def turnoverSheetSql: String = Seq(
+    meltSql(qtAllSql, "quantile_turnover",
+      "period || '|' || factor_quantile::VARCHAR || '|' || strftime(date, '%Y-%m-%d')",
+      Seq("turnover")),
+    meltSql(acMultiSql, "autocorrelation",
+      "period || '|' || strftime(date, '%Y-%m-%d')", Seq("autocorr")),
+    meltSql(baseOracle("q_turnover_means"), "turnover_means",
+      "factor_quantile::VARCHAR || '|' || period", Seq("mean_turnover")),
+    meltSql(baseOracle("q_autocorr_means"), "autocorr_means", "period",
+      Seq("mean_autocorr"))).mkString("\nUNION ALL\n") +
+    "\nORDER BY section, k, metric"
+
   def oracleSql: Map[String, String] =
-    baseOracle + ("q_summary_sheet" -> summarySheetSql)
+    baseOracle ++ Map(
+      "q_summary_sheet" -> summarySheetSql,
+      "q_returns_sheet" -> returnsSheetSql,
+      "q_info_sheet" -> infoSheetSql,
+      "q_turnover_sheet" -> turnoverSheetSql)
 }

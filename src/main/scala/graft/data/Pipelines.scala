@@ -172,6 +172,26 @@ object Pipelines {
     s"(2 * rank() OVER (PARTITION BY $part ORDER BY $c) + " +
       s"count(*) OVER (PARTITION BY $part, $c) - 1)"
 
+  /** Running-product SQL over a column `r` ordered by date, optionally
+    * per `partition` — mirrors [[graft.perf.Cumulative.runningProduct]]
+    * exactly (zero flag + log-space magnitude + sign parity), so the
+    * cumulative-return oracles share one fragment. */
+  def cumProdSql(partition: String = ""): String = {
+    val over = "OVER (" +
+      (if (partition.nonEmpty) s"PARTITION BY $partition " else "") +
+      "ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""CASE WHEN max(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 1 ELSE 0 END)
+       |       $over = 1
+       |     THEN 0.0
+       |     ELSE exp(sum(CASE WHEN 1.0 + coalesce(r, 0.0) = 0.0 THEN 0.0
+       |                       ELSE ln(abs(1.0 + coalesce(r, 0.0))) END)
+       |              $over)
+       |          * CASE WHEN mod(sum(CASE WHEN 1.0 + coalesce(r, 0.0) < 0.0 THEN 1 ELSE 0 END)
+       |              $over, 2) = 1
+       |                 THEN -1.0 ELSE 1.0 END
+       |END""".stripMargin
+  }
+
   /** Pearson corr from pre-aggregated exact sums, with the SAME float-op
     * shape as Information.exactRankCorr: (n*sxy - sx*sy) /
     * (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), null on zero
