@@ -103,6 +103,10 @@ object Ppm {
     val n = img.width * img.height
     val out = new Array[Float](dim)
     if (n == 0 || dim == 0) return out
+    // normalize by the image's declared dynamic range, not a hardwired
+    // 255: decode accepts maxVal 1..255, and features from a
+    // maxVal<255 image would otherwise be mis-scaled relative to it
+    val range = math.max(1, img.maxVal)
     var rSum = 0L; var gSum = 0L; var bSum = 0L; var lSum = 0L
     val histBuckets = math.max(0, dim - 4)
     val hist = new Array[Long](math.max(1, histBuckets))
@@ -112,12 +116,12 @@ object Ppm {
       val g = img.pixels(i * 3 + 1) & 0xFF
       val b = img.pixels(i * 3 + 2) & 0xFF
       rSum += r; gSum += g; bSum += b
-      val luma = (2126 * r + 7152 * g + 722 * b) / 10000 // 0..255
+      val luma = (2126 * r + 7152 * g + 722 * b) / 10000 // 0..maxVal
       lSum += luma
-      if (histBuckets > 0) hist(luma * histBuckets / 256) += 1
+      if (histBuckets > 0) hist(luma * histBuckets / (range + 1)) += 1
       i += 1
     }
-    val denom = 255.0 * n
+    val denom = range.toDouble * n
     val means = Array(rSum / denom, gSum / denom, bSum / denom, lSum / denom)
     i = 0
     while (i < math.min(4, dim)) { out(i) = means(i).toFloat; i += 1 }

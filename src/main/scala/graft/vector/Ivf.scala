@@ -253,13 +253,15 @@ object Ivf {
       cap: Long): DataFrame = {
     val n = corpus.count()
     val rate = math.max(1L, n / math.max(1L, cap))
-    if (rate > 1L) {
-      val bad = corpus.agg(
-        count(when(col(idCol).cast("long").isNull, 1)).as("bad")).first().getLong(0)
-      require(bad == 0L,
-        s"k-means training requires a long-castable, non-null id column; " +
-          s"'$idCol' has $bad of $n rows null under cast to long")
-    }
+    // unconditional (not only when subsampling): on the rate<=1 path a
+    // null-castable id would otherwise reach lloydDistributed's seed
+    // collect (nulls sort first under orderBy __id) and die as an NPE
+    // instead of this contract message
+    val bad = corpus.agg(
+      count(when(col(idCol).cast("long").isNull, 1)).as("bad")).first().getLong(0)
+    require(bad == 0L,
+      s"k-means training requires a long-castable, non-null id column; " +
+        s"'$idCol' has $bad of $n rows null under cast to long")
     val sampleRaw =
       if (rate <= 1L) corpus
       else corpus.filter(

@@ -34,13 +34,25 @@ object SemDedup {
     * scaling with the cluster instead of one driver core. */
   private[graft] val MaxAutoCells = 2048L
 
+  /** Hard cell-count ceiling: centroids live as one driver array (the
+    * seed collect and the per-iteration k×(dim+1) aggregate are both
+    * O(cells × dim)), so the distributed venue removes the TRAINING
+    * bottleneck but not the driver-array footprint — 65536 cells × 64
+    * dims ≈ 34 MB, a sane driver budget. Past n ≈ MaxCells ×
+    * targetCellSize vectors the mean cell outgrows targetCellSize
+    * linearly; raise targetCellSize (the per-cell quadratic is the
+    * price of SemDeDup's exactness) rather than this ceiling. */
+  private[graft] val MaxCells = 65536L
+
   /** Auto-scaled cell count: mean cell population ~targetCellSize,
-    * floored at 16 so tiny corpora still get a non-trivial quantizer.
-    * Uncapped — counts past [[MaxAutoCells]] switch the training venue
-    * to the distributed Lloyd, they are not clamped. */
+    * floored at 16 so tiny corpora still get a non-trivial quantizer,
+    * ceilinged at [[MaxCells]] so the driver-side centroid array stays
+    * bounded for ANY corpus size (counts past [[MaxAutoCells]] switch
+    * the training venue to the distributed Lloyd; counts past
+    * [[MaxCells]] would unboundedly regrow the driver footprint the
+    * venue switch exists to remove). */
   private[graft] def autoCells(n: Long, targetCellSize: Long): Int =
-    math.max(16L, n / math.max(1L, targetCellSize))
-      .min(Int.MaxValue.toLong).toInt
+    math.max(16L, n / math.max(1L, targetCellSize)).min(MaxCells).toInt
 
   /** Per-vector semantic-dedup verdict.
     *

@@ -75,4 +75,18 @@ class PpmSpec extends AnyFunSuite {
     val fb = Ppm.featurize(black, 8)
     assert(fb(0) === 0f && fb(3) === 0f && fb(4) === 1f)
   }
+
+  test("featurize normalizes by the image's declared maxVal") {
+    // all-channels-at-maxVal: means must be exactly 1 whatever the
+    // declared range (a hardwired /255 would give 3/255 here)
+    val solid3 = Ppm.Image(2, 2, 3, Array.fill[Byte](12)(3))
+    val f3 = Ppm.featurize(solid3, 8)
+    assert(f3(0) === 1f && f3(1) === 1f && f3(2) === 1f && f3(3) === 1f)
+    // full-range luminance lands in the TOP histogram bucket for
+    // maxVal=3 exactly as it does for maxVal=255
+    assert(f3(7) === 1f && f3(4) === 0f)
+    // half-range pixels on a maxVal=2 image: means exactly 0.5
+    val half2 = Ppm.Image(2, 2, 2, Array.fill[Byte](12)(1))
+    assert(Ppm.featurize(half2, 8)(0) === 0.5f)
+  }
 }
