@@ -122,4 +122,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         s"$q plan does not contain the native graft_l2sq_cells kernel " +
           "(silent fallback to per-centroid literal plans)")
   }
+
+  // formatted explain surfaces aggregate RESULT expressions, which the
+  // plan's toString omits (q_simhash computes hash56 in the aggregate's
+  // result projection, invisible to executedPlan.toString)
+  private def detailed(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("every other native kernel is in-plan where an operator depends on it") {
+    // same rationale as the IVF kernel pin: each native expression has a
+    // builtin fallback it silently degrades to if the extension
+    // registration check misses, and that degradation previously
+    // masqueraded as host noise in the bench. Pin each kernel in the
+    // executed plan of the queries whose hot path it is.
+    val wants = Seq(
+      "graft_dot" -> Seq("q_ann_cosine", "q_neardup_cosine", "q_knn_label",
+        "q_semdedup", "q_ivfadc"),
+      "graft_sign_bits" -> Seq("q_ann_lsh"),
+      "graft_shingle_seq" -> Seq("q_jaccard_pairs", "q_minhash_neardup",
+        "q_containment", "q_winnow"),
+      "graft_hash56" -> Seq("q_simhash"),
+      "graft_tokens" -> Seq("q_token_counts"))
+    for ((kernel, qs) <- wants; q <- qs)
+      assert(plans(q).contains(kernel) || detailed(q).contains(kernel),
+        s"$q plan does not contain the native $kernel kernel " +
+          "(silent fallback to the builtin composition)")
+  }
 }
