@@ -47,16 +47,36 @@ object Ivf {
       d * d
     }), lit(0.0), (acc, x) => acc + x)
 
+  /** Past this many matrix elements (cells x dim), the centroid matrix
+    * ships as a BROADCAST instead of a plan literal: the literal form
+    * serializes the whole matrix into every task binary and plan
+    * string — fine at 2048x64 (~1 MB), tens of MB per task at the
+    * ~100k-cell coarse quantizers 100 TB IVFADC implies. 2^18 doubles
+    * (~2 MB) keeps every current query on the cheaper literal path. */
+  private[graft] val BcastThreshold: Long = 1L << 18
+
   /** `array<double>` of squared L2 distances to every centroid. With
     * [[graft.functions.GraftExtensions]] registered this is ONE
     * codegen'd `graft_l2sq_cells` call carrying the matrix as a single
-    * reference object; the built-in fallback embeds one `l2sq` per
+    * reference object — or, past [[BcastThreshold]] elements, the
+    * bitwise-identical broadcast-backed variant
+    * ([[graft.functions.CellDistsBcast]], parity-pinned in
+    * SimilaritySpec); the built-in fallback embeds one `l2sq` per
     * centroid (nCells x dim literal nodes — the plan-bloat this
-    * expression exists to avoid). Both accumulate (x-c)^2
+    * expression exists to avoid). All accumulate (x-c)^2
     * left-to-right in double; on the fixed-point grid every term and
     * partial sum is an exact integer, so results are bit-identical
     * regardless of order. */
   private def cellDists(v: Column, centroids: Array[Array[Double]]): Column = {
+    val elems = centroids.length.toLong *
+      (if (centroids.isEmpty) 0L else centroids(0).length.toLong)
+    if (elems > BcastThreshold) cellDistsBcast(v, centroids)
+    else cellDistsLiteral(v, centroids)
+  }
+
+  /** Literal-matrix form (small quantizers). */
+  private[graft] def cellDistsLiteral(
+      v: Column, centroids: Array[Array[Double]]): Column = {
     val native = org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
       try s.catalog.functionExists(graft.functions.GraftExtensions.CellDistsName)
       catch { case scala.util.control.NonFatal(_) => false }
@@ -65,6 +85,17 @@ object Ivf {
       call_function(graft.functions.GraftExtensions.CellDistsName, v,
         typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq))
     else array(centroids.toIndexedSeq.map(c => l2sq(v, c)): _*)
+  }
+
+  /** Broadcast-matrix form (large quantizers): only the broadcast
+    * handle rides the plan; executors fetch the matrix once. */
+  private[graft] def cellDistsBcast(
+      v: Column, centroids: Array[Array[Double]]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(centroids)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.CellDistsBcast(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v), bc))
   }
 
   /** Nearest-cell id from a distance array: first position of the

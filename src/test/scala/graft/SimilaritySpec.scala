@@ -444,4 +444,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Int]("pred_label")).toMap
     assert(out === Map(0L -> 0, 20L -> 1))
   }
+
+  test("broadcast and literal cell-distance forms are bitwise identical at 10k cells") {
+    import graft.vector.Ivf
+    val dim = 32
+    val nCells = 10000
+    assert(nCells.toLong * dim > Ivf.BcastThreshold,
+      "test matrix must sit above the broadcast threshold")
+    val centroids = Array.tabulate(nCells)(i =>
+      Array.tabulate(dim)(j => ((i * 31 + j * 17) % 255).toDouble))
+    val vecs = spark.range(0, 64).selectExpr("id AS vec_id",
+      s"transform(sequence(0, ${dim - 1}), " +
+        "j -> cast((id * 13 + j * 7) % 255 AS float)) AS embedding")
+    def dists(f: (org.apache.spark.sql.Column, Array[Array[Double]]) =>
+        org.apache.spark.sql.Column): Array[(Long, Seq[Double])] =
+      vecs.select(col("vec_id"), f(col("embedding"), centroids).as("d"))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val lit = dists(Ivf.cellDistsLiteral)
+    val bca = dists(Ivf.cellDistsBcast)
+    assert(lit.length === bca.length)
+    lit.zip(bca).foreach { case ((idL, dL), (idB, dB)) =>
+      assert(idL === idB)
+      assert(dL === dB) // element-exact double equality (codegen path)
+    }
+    // interpreted eval of the broadcast form matches the codegen'd run
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val bcHandle = spark.sparkContext.broadcast(centroids)
+    val row7 = Array.tabulate(dim)(j => ((7 * 13 + j * 7) % 255).toFloat)
+    val interp = graft.functions.CellDistsBcast(
+        Literal.create(row7, ArrayType(FloatType)), bcHandle)
+      .eval(null).asInstanceOf[ArrayData].toDoubleArray.toSeq
+    assert(interp === lit(7)._2)
+    // the auto-selector routes a 10k-cell matrix to the broadcast form
+    val plan = vecs.select(Ivf.cellOf(col("embedding"), centroids))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_l2sq_cells_bcast"),
+      "cellDists did not select the broadcast form above the threshold")
+  }
 }
