@@ -36,17 +36,20 @@ case class MediaFrame(
 /** Multimodal-column operators: ingest schema, feature extraction,
   * frame sampling, and resize over a REAL decode boundary.
   *
-  * The decode boundary is [[Ppm]] — a complete in-container binary-PPM
-  * (P6) codec, so content that parses as P6 is genuinely decoded to its
-  * pixel grid and every downstream operator (features, frames, resize)
-  * runs on real pixels. Formats that need external codecs (JPEG,
-  * libsndfile, ffmpeg) are NOT in this container; bytes that fail the
-  * P6 parse take the clearly-marked deterministic STUB path
-  * ([[fakeDecode]] / byte-window slicing / proportional truncation),
-  * exactly as before. Swapping in a real JPEG codec extends only the
-  * decode dispatch, not the operator plumbing: the partition-batched
-  * `mapPartitions` shape (decoder state initialized once per partition,
-  * how a JNI codec handle would be) is unchanged.
+  * The decode boundary is [[Ppm]] (complete in-container binary-PPM P6
+  * image codec) plus [[Wav]] (complete in-container RIFF/WAVE integer
+  * PCM audio codec): content that parses as either is genuinely decoded
+  * to its pixel/sample grid and the downstream operators run on real
+  * data. Formats that need external codecs (JPEG, compressed audio,
+  * video containers — libjpeg, libsndfile, ffmpeg) are NOT in this
+  * container; bytes that fail both parses take the clearly-marked
+  * deterministic STUB path ([[fakeDecode]] / byte-window slicing /
+  * proportional truncation), exactly as before. Swapping in a real
+  * external codec extends only the decode dispatch, not the operator
+  * plumbing: the partition-batched `mapPartitions` shape (decoder state
+  * initialized once per partition, how a JNI codec handle would be) is
+  * unchanged. Resize stays an image operation (audio "resize" would be
+  * resampling — a different operator, not a geometry change).
   */
 object Multimodal {
 
@@ -107,6 +110,8 @@ object Multimodal {
     * partition (the shape a JNI codec needs), rows streamed through it.
     * P6 content decodes for real ([[Ppm.featurize]]: channel means +
     * luminance histogram from the actual pixel grid, `decoded = true`);
+    * RIFF/WAVE PCM content likewise ([[Wav.featurize]]: mean / RMS /
+    * extremes + amplitude histogram from the actual sample grid);
     * anything else takes the declared stub. No shuffle — a pure
     * mapPartitions over the scan. */
   def extractFeatures(samples: Dataset[MediaSample], dim: Int = 16)(
@@ -114,16 +119,21 @@ object Multimodal {
     import spark.implicits._
     samples.mapPartitions { it =>
       // Real external codec: open the decoder handle here, close on
-      // exhaustion. The in-container P6 path is stateless.
+      // exhaustion. The in-container P6/WAV paths are stateless.
       it.map { s =>
         val n = s.content.length.toLong
         Ppm.decode(s.content) match {
           case Some(img) =>
             MediaFeatures(s.sample_id, s.modality, n, decoded = true,
               Ppm.featurize(img, dim))
-          case None =>
-            MediaFeatures(s.sample_id, s.modality, n, decoded = false,
-              fakeDecode(s.content, dim))
+          case None => Wav.decode(s.content) match {
+            case Some(audio) =>
+              MediaFeatures(s.sample_id, s.modality, n, decoded = true,
+                Wav.featurize(audio, dim))
+            case None =>
+              MediaFeatures(s.sample_id, s.modality, n, decoded = false,
+                fakeDecode(s.content, dim))
+          }
         }
       }
     }
@@ -131,9 +141,12 @@ object Multimodal {
 
   /** Frame sampling over DECODED content: P6 images yield `n` evenly
     * spaced pixel ROWS of the real grid (frame i = row
-    * floor(i*(h-1)/(n-1)), `width*3` bytes); content no codec covers
-    * falls back to `n` evenly spaced `frameBytes`-wide windows of the
-    * encoded payload (the pre-codec behavior, kept for opaque bytes). */
+    * floor(i*(h-1)/(n-1)), `width*3` bytes); RIFF/WAVE PCM yields `n`
+    * evenly spaced sample-frame-aligned windows of the DECODED data
+    * chunk (≈`frameBytes` wide, rounded up to whole sample frames);
+    * content no codec covers falls back to `n` evenly spaced
+    * `frameBytes`-wide windows of the encoded payload (the pre-codec
+    * behavior, kept for opaque bytes). */
   def sampleFrames(samples: Dataset[MediaSample], n: Int = 4,
       frameBytes: Int = 32)(implicit spark: SparkSession): Dataset[MediaFrame] = {
     import spark.implicits._
@@ -151,16 +164,31 @@ object Multimodal {
                 java.util.Arrays.copyOfRange(img.pixels, off, off + img.width * 3),
                 decoded = true)
             }
-          case None =>
-            val len = s.content.length
-            (0 until n).iterator.map { i =>
-              val ratio = if (n == 1) 0.0 else i.toDouble / (n - 1)
-              val off = math.max(0.0, (len - frameBytes).toDouble * ratio).toInt
-              val end = math.min(len, off + frameBytes)
-              MediaFrame(s.sample_id, s.modality, i,
-                java.util.Arrays.copyOfRange(s.content, math.min(off, end), end),
-                decoded = false)
-            }
+          case None => Wav.decode(s.content) match {
+            case Some(audio) =>
+              val fr = audio.bytesPerSample * audio.channels
+              val win = math.max(fr, (frameBytes + fr - 1) / fr * fr)
+              val len = audio.data.length
+              (0 until n).iterator.map { i =>
+                val ratio = if (n == 1) 0.0 else i.toDouble / (n - 1)
+                val off =
+                  math.max(0.0, (len - win).toDouble * ratio).toInt / fr * fr
+                val end = math.min(len, off + win)
+                MediaFrame(s.sample_id, s.modality, i,
+                  java.util.Arrays.copyOfRange(audio.data, math.min(off, end), end),
+                  decoded = true)
+              }
+            case None =>
+              val len = s.content.length
+              (0 until n).iterator.map { i =>
+                val ratio = if (n == 1) 0.0 else i.toDouble / (n - 1)
+                val off = math.max(0.0, (len - frameBytes).toDouble * ratio).toInt
+                val end = math.min(len, off + frameBytes)
+                MediaFrame(s.sample_id, s.modality, i,
+                  java.util.Arrays.copyOfRange(s.content, math.min(off, end), end),
+                  decoded = false)
+              }
+          }
         }
       }
     }

@@ -1,0 +1,156 @@
+package graft.multimodal
+
+/** Honest, dependency-free RIFF/WAVE PCM codec — the audio analogue of
+  * [[Ppm]]: simple enough to implement completely in-container, so the
+  * audio modality runs end-to-end on GENUINELY decoded sample grids
+  * instead of encoded payload bytes.
+  *
+  * Accepted: canonical RIFF container (`RIFF` + size + `WAVE`), chunk
+  * walk with even padding, `fmt ` chunk of audio format 1 (integer
+  * PCM), 1..8 channels, 8-bit (unsigned) or 16-bit (signed
+  * little-endian) samples, and one `data` chunk. Anything else — float
+  * PCM, ADPCM, compressed containers — needs an external codec and
+  * stays behind the declared stub in [[Multimodal]].
+  */
+object Wav {
+
+  /** Decoded audio: raw interleaved PCM payload plus the format needed
+    * to interpret it. `sample(i)` yields the i-th interleaved sample
+    * CENTERED at zero (8-bit is stored excess-128). */
+  final case class Audio(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      data: Array[Byte]) {
+    def bytesPerSample: Int = bitsPerSample / 8
+    def numSamples: Int = data.length / bytesPerSample
+    def sample(i: Int): Int =
+      if (bitsPerSample == 8) (data(i) & 0xFF) - 128
+      else ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toInt
+    /** Full-scale magnitude: 128 (8-bit) or 32768 (16-bit). */
+    def fullScale: Int = 1 << (bitsPerSample - 1)
+  }
+
+  /** Largest accepted data chunk — a hostile header cannot OOM a task. */
+  private val MaxDataBytes = 1 << 26 // 64 MiB
+
+  private def u16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+
+  private def u32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+      ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+
+  private def tag(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, "US-ASCII")
+
+  /** Strict parse: None on any malformed container, non-PCM format,
+    * unsupported width, or out-of-bounds chunk (never throws — the
+    * decode boundary must degrade, not kill the task, on arbitrary
+    * bytes). The data chunk is truncated down to a whole number of
+    * sample frames. */
+  def decode(bytes: Array[Byte]): Option[Audio] = {
+    if (bytes.length < 12) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    var pos = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var fmtSeen = false
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtSeen)) {
+      val id = tag(bytes, pos)
+      val size = u32(bytes, pos + 4)
+      if (size < 0 || size > Int.MaxValue.toLong ||
+        pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = u16(bytes, pos + 8)
+          channels = u16(bytes, pos + 10)
+          val rate = u32(bytes, pos + 12)
+          bits = u16(bytes, pos + 22)
+          if (audioFormat != 1) return None // integer PCM only
+          if (channels < 1 || channels > 8) return None
+          if (rate < 1L || rate > 384000L) return None
+          if (bits != 8 && bits != 16) return None
+          sampleRate = rate.toInt
+          fmtSeen = true
+        case "data" =>
+          if (size > MaxDataBytes) return None
+          dataOff = pos + 8
+          dataLen = size.toInt
+        case _ => // skip unknown chunks (LIST, fact, ...)
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // RIFF pads chunks to even
+    }
+    if (!fmtSeen || dataOff < 0) return None
+    val frame = (bits / 8) * channels
+    val whole = dataLen / frame * frame // whole sample frames only
+    Some(Audio(sampleRate, channels, bits,
+      java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + whole)))
+  }
+
+  /** Canonical 44-byte-header encoding of a decoded audio. */
+  def encode(a: Audio): Array[Byte] = {
+    val blockAlign = a.bytesPerSample * a.channels
+    val byteRate = a.sampleRate * blockAlign
+    val out = new Array[Byte](44 + a.data.length)
+    def putTag(p: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, out, p, 4)
+    }
+    def put16(p: Int, v: Int): Unit = {
+      out(p) = v.toByte; out(p + 1) = (v >>> 8).toByte
+    }
+    def put32(p: Int, v: Int): Unit = {
+      put16(p, v & 0xFFFF); put16(p + 2, v >>> 16)
+    }
+    putTag(0, "RIFF"); put32(4, 36 + a.data.length); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, a.channels)
+    put32(24, a.sampleRate); put32(28, byteRate); put16(32, blockAlign)
+    put16(34, a.bitsPerSample); putTag(36, "data"); put32(40, a.data.length)
+    System.arraycopy(a.data, 0, out, 44, a.data.length)
+    out
+  }
+
+  /** Real sample statistics as a fixed-width feature vector — the audio
+    * mirror of [[Ppm.featurize]]: normalized mean, RMS, min and max
+    * amplitude, then an amplitude histogram over the remaining buckets.
+    * All from exact integer accumulators (n ≤ 2^25 samples of ≤ 2^15
+    * magnitude keeps the square sum inside 2^56), normalized by the
+    * format's full scale. */
+  def featurize(a: Audio, dim: Int): Array[Float] = {
+    val n = a.numSamples
+    val out = new Array[Float](dim)
+    if (n == 0 || dim == 0) return out
+    val fs = a.fullScale
+    var sum = 0L; var sumSq = 0L
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    val histBuckets = math.max(0, dim - 4)
+    val hist = new Array[Long](math.max(1, histBuckets))
+    var i = 0
+    while (i < n) {
+      val s = a.sample(i)
+      sum += s; sumSq += s.toLong * s
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      if (histBuckets > 0) {
+        // amplitude in [-fs, fs) -> bucket 0..histBuckets-1
+        val b = (s + fs).toLong * histBuckets / (2L * fs)
+        hist(math.min(b.toInt, histBuckets - 1)) += 1
+      }
+      i += 1
+    }
+    val stats = Array(
+      sum.toDouble / (fs.toDouble * n),            // mean amplitude
+      math.sqrt(sumSq.toDouble / n) / fs,          // RMS
+      mn.toDouble / fs,                            // min
+      mx.toDouble / fs)                            // max
+    i = 0
+    while (i < math.min(4, dim)) { out(i) = stats(i).toFloat; i += 1 }
+    var b0 = 0
+    while (b0 < histBuckets) {
+      out(4 + b0) = (hist(b0).toDouble / n).toFloat
+      b0 += 1
+    }
+    out
+  }
+}

@@ -484,4 +484,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("graft_l2sq_cells_bcast"),
       "cellDists did not select the broadcast form above the threshold")
   }
+
+  test("multimodal: planted WAV rows take the real audio decode path") {
+    implicit val s = spark
+    import graft.multimodal.Wav
+    // a 16-bit mono ramp and an 8-bit stereo row, planted among opaque
+    // bytes no in-container codec covers
+    val ramp = Array.tabulate(64)(i => (i - 32) * 1000)
+    val wav16 = Wav.encode(Wav.Audio(16000, 1, 16,
+      ramp.flatMap(v => Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))))
+    val wav8 = Wav.encode(Wav.Audio(8000, 2, 8,
+      Array.tabulate[Byte](32)(i => (i * 8).toByte)))
+    val rows = Seq(
+      MediaSample(1L, "audio", wav16, 0, 0, 16000, 4),
+      MediaSample(2L, "audio", wav8, 0, 0, 8000, 4),
+      MediaSample(3L, "audio", Array.fill[Byte](50)(9), 0, 0, 16000, 4)).toDS()
+    val feats = Multimodal.extractFeatures(rows, dim = 12).collect()
+      .sortBy(_.sample_id)
+    assert(feats.map(_.decoded).toSeq === Seq(true, true, false),
+      "WAV rows must decode for real; opaque bytes must keep the stub")
+    // real statistics: the ramp's extremes and full histogram mass
+    val f = feats(0).features
+    assert(math.abs(f(2) - (-32000.0 / 32768)) < 1e-6)
+    assert(math.abs(f(3) - (31000.0 / 32768)) < 1e-6)
+    assert(math.abs(f.drop(4).map(_.toDouble).sum - 1.0) < 1e-6)
+    // frames: sample-frame-aligned windows of the DECODED data chunk
+    val frames = Multimodal.sampleFrames(rows.filter(_.sample_id == 1L),
+      n = 3, frameBytes = 10).collect().sortBy(_.frame_idx)
+    assert(frames.length === 3 && frames.forall(_.decoded))
+    assert(frames.forall(_.frame.length === 10)) // 5 whole 16-bit samples
+    val audio = Wav.decode(wav16).get
+    assert(frames(0).frame.toSeq === audio.data.take(10).toSeq)
+  }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Wav
+
+/** Codec-level tests on hand-built WAV byte streams — no Spark
+  * involved (the [[PpmSpec]] pattern for the audio boundary). */
+class WavSpec extends AnyFunSuite {
+
+  /** Hand-assembled canonical 16-bit mono WAV around `samples`. */
+  private def wav16(samples: Seq[Int], rate: Int = 16000): Array[Byte] = {
+    val data = samples.flatMap(s =>
+      Seq((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)).toArray
+    Wav.encode(Wav.Audio(rate, 1, 16, data))
+  }
+
+  test("decodes a hand-built 16-bit PCM byte stream") {
+    val a = Wav.decode(wav16(Seq(0, 1000, -1000, 32767, -32768))).get
+    assert(a.sampleRate === 16000 && a.channels === 1 && a.bitsPerSample === 16)
+    assert(a.numSamples === 5)
+    assert((0 until 5).map(a.sample) === Seq(0, 1000, -1000, 32767, -32768))
+  }
+
+  test("decodes 8-bit PCM as excess-128 centered samples") {
+    val bytes = Wav.encode(Wav.Audio(8000, 1, 8,
+      Array[Byte](128.toByte, 0, 255.toByte, 192.toByte)))
+    val a = Wav.decode(bytes).get
+    assert((0 until 4).map(a.sample) === Seq(0, -128, 127, 64))
+  }
+
+  test("walks unknown chunks and even padding to find fmt/data") {
+    // RIFF( LIST(odd size -> pad byte) fmt data )
+    val inner = wav16(Seq(7, -7))
+    val fmtAndData = inner.drop(12) // the canonical fmt+data chunks
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // size 3 + pad
+    val total = 4 + list.length + fmtAndData.length
+    val riff = "RIFF".getBytes("US-ASCII") ++ Array[Byte](
+      (total & 0xFF).toByte, ((total >> 8) & 0xFF).toByte, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ list ++ fmtAndData
+    val a = Wav.decode(riff).get
+    assert(a.numSamples === 2 && a.sample(0) === 7 && a.sample(1) === -7)
+  }
+
+  test("rejects malformed input without throwing") {
+    val good = wav16(Seq(1, 2, 3))
+    assert(Wav.decode("RIFX".getBytes ++ good.drop(4)) === None) // magic
+    assert(Wav.decode(good.take(20)) === None)                   // truncated
+    val floatFmt = good.clone(); floatFmt(20) = 3 // IEEE float format
+    assert(Wav.decode(floatFmt) === None)
+    val badBits = good.clone(); badBits(34) = 12 // unsupported width
+    assert(Wav.decode(badBits) === None)
+    val hugeData = good.clone(); hugeData(43) = 0x7F // data size > buffer
+    assert(Wav.decode(hugeData) === None)
+    assert(Wav.decode(Array[Byte](1, 2, 3)) === None)            // garbage
+    // and a P6 image is not audio
+    assert(Wav.decode("P6\n2 2\n255\n".getBytes ++ new Array[Byte](12)) === None)
+  }
+
+  test("encode-decode round trip is the identity") {
+    val a = Wav.Audio(44100, 2, 16, Array.tabulate[Byte](24)(i => (i * 7).toByte))
+    val back = Wav.decode(Wav.encode(a)).get
+    assert((back.sampleRate, back.channels, back.bitsPerSample,
+      back.data.toSeq) === ((44100, 2, 16, a.data.toSeq)))
+  }
+
+  test("featurize computes real sample statistics and a full histogram") {
+    // full-scale square wave: mean ~0 (one-sided -32768 excess), RMS ~1
+    val sq = Wav.decode(wav16(Seq(32767, -32768, 32767, -32768))).get
+    val f = Wav.featurize(sq, 8)
+    assert(math.abs(f(0)) < 1e-4)        // mean ≈ 0
+    assert(math.abs(f(1) - 1.0) < 1e-4)  // RMS ≈ full scale
+    assert(math.abs(f(2) - (-1.0)) < 1e-6 && math.abs(f(3) - 32767.0 / 32768) < 1e-6)
+    // histogram over dim-4 buckets sums to 1; mass at the two extremes
+    assert(math.abs(f.drop(4).map(_.toDouble).sum - 1.0) < 1e-6)
+    assert(f(4) === 0.5f && f(7) === 0.5f)
+    // silence: all-zero stats, all mass in the center bucket
+    val silent = Wav.decode(wav16(Seq(0, 0, 0, 0))).get
+    val fs = Wav.featurize(silent, 8)
+    assert(fs(0) === 0f && fs(1) === 0f && fs(2) === 0f && fs(3) === 0f)
+    assert(fs(6) === 1f) // bucket of amplitude 0 in [-fs, fs) quarters
+  }
+}
