@@ -1211,7 +1211,10 @@ object DocQueries {
          |WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     // mirrors TextStats.unigramLogProb: ln(cf/C) snapped per TERM to the
-    // 1e-9 grid, per-doc accumulation term-sorted via list_reduce
+    // 1e-6 grid (widened from 1e-8 after the 50k-doc probe measured
+    // ~1/5500 docs straddling a boundary on the engines' 1-ulp ln
+    // difference — SURVEY §5.7), per-doc accumulation term-sorted via
+    // list_reduce
     "q_unigram_lp" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM
@@ -1220,7 +1223,7 @@ object DocQueries {
          |tot AS (SELECT sum(cf)::BIGINT AS c FROM cf),
          |contribs AS (
          |  SELECT tf.doc_id, tf.term,
-         |    tf.tf * round(ln(cf.cf::DOUBLE / tot.c), 8) AS lp
+         |    tf.tf * round(ln(cf.cf::DOUBLE / tot.c), 6) AS lp
          |  FROM tf JOIN cf ON cf.term = tf.term CROSS JOIN tot),
          |sums AS (
          |  SELECT doc_id,

@@ -200,10 +200,17 @@ object TextStats {
       .groupBy("doc_id", "__t").agg(count(lit(1)).as("__tf"))
     val cf = tf.groupBy("__t").agg(sum(col("__tf")).as("__cf"))
     val total = cf.agg(sum(col("__cf")).as("__c"))
+    // per-term ln SNAP at 1e-6: the JVM's and other engines' ln differ
+    // by 1 ulp on some inputs, so a term whose ln sits within an ulp of
+    // a rounding boundary flips the grid cell cross-engine. At 1e-8 the
+    // straddle rate was ~1/5500 docs at the 50k-doc probe (SURVEY §5);
+    // 1e-6 divides the per-term probability by 100 (measured: 0
+    // straddles at the same probe) and still leaves logprobs far more
+    // precision than quality filtering uses.
     val contribs = tf.join(cf, Seq("__t")).crossJoin(broadcast(total))
       .select(col("doc_id"), col("__t"),
         (col("__tf") *
-          round(log(col("__cf").cast("double") / col("__c")), 8)).as("__lp"))
+          round(log(col("__cf").cast("double") / col("__c")), 6)).as("__lp"))
     contribs.groupBy("doc_id")
       .agg(
         aggregate(array_sort(collect_list(struct(col("__t"), col("__lp")))),

@@ -172,10 +172,12 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     val d = docs(1L -> "a a b", 2L -> "b c")
     val out = graft.text.TextStats.unigramLogProb(d).orderBy("doc_id").collect()
     assert(out.length === 2)
+    // per-term ln snapped to the 1e-6 grid (widened from 1e-8 after the
+    // 50k-doc straddle probe — SURVEY §5.7)
     val lp25 = BigDecimal(math.log(2.0 / 5.0))
-      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble // ln(0.4) snapped
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble // ln(0.4) snapped
     val lp15 = BigDecimal(math.log(1.0 / 5.0))
-      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(0).getAs[Long]("n_tokens") === 3L)
     assertClose(out(0).getAs[Double]("logprob"), (2 * lp25 + lp25) / 3.0, 1e-8)
     assert(out(1).getAs[Long]("n_tokens") === 2L)
