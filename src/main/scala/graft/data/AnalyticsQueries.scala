@@ -84,14 +84,17 @@ object AnalyticsQueries {
   // band join + fixed-point aggregation is the expensive ~90% of both);
   // it collapses to |quantiles| x |dates| x |offsets| rows (~75k at
   // sf0.1 — tiny), so unlike the level table it caches profitably.
+  // Memoized per (dir, band): the (2,3) band serves the two original
+  // event queries, the (10,15) band the event tear-sheet composites.
   private val bandedMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def exactBanded(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val s1 = bandedMemo.getOrElseUpdate(dir, {
+  private def exactBanded(s: SparkSession, dir: String,
+      before: Int = 2, after: Int = 3): (DataFrame, DataFrame) = {
+    val s1 = bandedMemo.getOrElseUpdate(s"$dir:$before:$after", {
       val fd = Pipelines.factorData(s, dir, P)
       val banded = EventStudy.commonStartReturns(
           fd.df.select("date", "asset", "factor_quantile"), exactLevels(s, dir),
-          before = 2, after = 3, extraCols = Seq("factor_quantile"))
+          before = before, after = after, extraCols = Seq("factor_quantile"))
         .withColumn("L", lvl9(col("value")))
       val df = banded.groupBy("factor_quantile", "event_date", "offset")
         .agg(sum("L").as("sl"), count(lit(1)).as("k"))
@@ -101,6 +104,45 @@ object AnalyticsQueries {
     val dm = s1.groupBy("event_date", "offset")
       .agg(sum("sl").as("S"), sum("k").as("n"))
     (s1, dm)
+  }
+
+  /** Exact fixed-point mirror of averageCumulativeReturnByQuantile over
+    * a (before, after) band: stage-1 per-event-date means as 1e15-scaled
+    * integers (demeaned against the whole-universe band mean when
+    * `demeaned`, the raw band mean otherwise), stage-2 mean/std from
+    * exact sum/sum-of-squares — order-independent, so the hash is
+    * stable across task schedules and engines. The float operator
+    * itself is golden-tested in EventStudySpec. */
+  private def exactAvgCumRet(s: SparkSession, dir: String,
+      before: Int, after: Int, demeaned: Boolean): DataFrame = {
+    val (s1, dm) = exactBanded(s, dir, before, after)
+    val d = col("d")
+    val joined = s1.join(dm, Seq("event_date", "offset"))
+    // stage-1 mean at 1e15 fixed point: num/(1e9*den)*1e15 = num*1e6/den;
+    // decimal operands keep 2e6*|num| exact (it can exceed Long), and
+    // `div` on decimals yields the exact long
+    val base =
+      if (demeaned) joined
+        .withColumn("__num",
+          (col("n") * col("sl") - col("k") * col("S")) * lit(1000000L))
+        .withColumn("__den", (col("n") * col("k")).cast(DecimalType(38, 0)))
+      else joined
+        .withColumn("__num", col("sl") * lit(1000000L))
+        .withColumn("__den", col("k").cast(DecimalType(38, 0)))
+    base
+      .select(col("factor_quantile"), col("offset"),
+        divHalfAway.cast(DecimalType(38, 0)).as("M"))
+      .groupBy("factor_quantile", "offset")
+      .agg(sum("M").as("sm"), sum(col("M") * col("M")).as("sm2"),
+        count(lit(1)).as("d"))
+      .select(col("factor_quantile"), col("offset"),
+        round(col("sm").cast("double") / (lit(1e15) * d.cast("double")), 9)
+          .as("mean"),
+        when(d > 1,
+          round(sqrt((d * col("sm2") - col("sm") * col("sm")).cast("double") /
+            (d.cast("double") * (d.cast("double") - lit(1.0)))) / lit(1e15), 9))
+          .as("std"))
+      .orderBy("factor_quantile", "offset")
   }
 
   /** One-pass melt of `df` into (section, k, metric, value) long rows: a
@@ -170,34 +212,39 @@ object AnalyticsQueries {
       round9(Information.factorInformationCoefficient(
         Pipelines.factorData(s, dir, P, withGroup = true), byGroup = true),
         Seq("ret_1", "ret_5"))),
-    "q_avg_cum_ret" -> ((s, dir) => {
-      // exact fixed-point mirror of averageCumulativeReturnByQuantile
-      // (demeaned default): stage-1 means as scaled integers, stage-2
-      // mean/std from exact sum/sum-of-squares — order-independent, so
-      // the hash is stable across task schedules and engines. The float
-      // operator itself is golden-tested in EventStudySpec.
-      val (s1, dm) = exactBanded(s, dir)
-      val d = col("d")
-      s1.join(dm, Seq("event_date", "offset"))
-        // stage-1 mean at 1e15 fixed point: num/(1e9*n*k)*1e15 =
-        // num*1e6/(n*k); decimal operands keep 2e6*|num| exact (it can
-        // exceed Long), and `div` on decimals yields the exact long
-        .withColumn("__num",
-          (col("n") * col("sl") - col("k") * col("S")) * lit(1000000L))
-        .withColumn("__den", (col("n") * col("k")).cast(DecimalType(38, 0)))
-        .select(col("factor_quantile"), col("offset"),
-          divHalfAway.cast(DecimalType(38, 0)).as("M"))
-        .groupBy("factor_quantile", "offset")
-        .agg(sum("M").as("sm"), sum(col("M") * col("M")).as("sm2"),
-          count(lit(1)).as("d"))
-        .select(col("factor_quantile"), col("offset"),
-          round(col("sm").cast("double") / (lit(1e15) * d.cast("double")), 9)
-            .as("mean"),
-          when(d > 1,
-            round(sqrt((d * col("sm2") - col("sm") * col("sm")).cast("double") /
-              (d.cast("double") * (d.cast("double") - lit(1.0)))) / lit(1e15), 9))
-            .as("std"))
-        .orderBy("factor_quantile", "offset")
+    "q_avg_cum_ret" -> ((s, dir) =>
+      // averageCumulativeReturnByQuantile, demeaned default, (2,3) band
+      exactAvgCumRet(s, dir, before = 2, after = 3, demeaned = true)),
+    "q_event_returns_sheet" -> ((s, dir) =>
+      // createEventReturnsTearSheet's single table at the SHEET's
+      // default band (tears.py:529-632: periods_before=10,
+      // periods_after=15, long_short demean) — the composite's
+      // parameter wiring, exact fixed-point mirror
+      exactAvgCumRet(s, dir, before = 10, after = 15, demeaned = true)),
+    "q_event_study_sheet" -> ((s, dir) => {
+      // createEventStudyTearSheet COMPOSITE (tears.py:635-732): event
+      // studies are long-only (demeaned=false, tears.py:666) and factor
+      // returns equal-weighted (tears.py:689-691); four tables melted
+      // long into one comparable (section, k, metric, value) table
+      val fd = Pipelines.factorData(s, dir, P)
+      val dkey = date_format(col("date"), "yyyy-MM-dd")
+      melt(Tables.eventsDistribution(fd.df.select("date"), numBars = 50),
+          "events_dist", col("bucket"), Seq("n_events"))
+        .unionByName(melt(
+          exactAvgCumRet(s, dir, before = 10, after = 15, demeaned = false),
+          "avg_cum_ret",
+          concat(col("factor_quantile").cast("string"), lit("|"),
+            col("offset").cast("string")),
+          Seq("mean", "std")))
+        .unionByName(melt(round9(Returns.factorReturns(fd,
+            demeaned = false, equalWeight = true), Seq("ret_1", "ret_5")),
+          "factor_returns_ew", dkey, Seq("ret_1", "ret_5")))
+        .unionByName(melt(round9(Returns.meanReturnByQuantile(fd,
+            demeaned = false),
+            Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err")),
+          "mean_ret_by_q", col("factor_quantile"),
+          Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err")))
+        .orderBy("section", "k", "metric")
     }),
     "q_quantize_zero" -> ((s, dir) =>
       Quantize.quantizeFactor(Pipelines.merged(s, dir, P),
@@ -388,6 +435,34 @@ object AnalyticsQueries {
        |dm AS (SELECT event_date, off, sum(sl) AS S, sum(k) AS n
        |  FROM s1 GROUP BY 1, 2)""".stripMargin
 
+  /** The avg-cumulative-return two-stage estimator over a (before,
+    * after) band, mirroring [[exactAvgCumRet]] token-for-token:
+    * stage-1 fixed-point means (demeaned or raw), stage-2 mean/std from
+    * exact integer sums. */
+  private def avgCumRetSql(before: Int, after: Int, demeaned: Boolean): String = {
+    val (num, den) =
+      if (demeaned) ("(dm.n * s1.sl - s1.k * dm.S) * 1000000", "dm.n * s1.k")
+      else ("s1.sl * 1000000", "s1.k")
+    s"""$pre${bandCtes(before, after)},
+       |s1m AS (SELECT factor_quantile, off,
+       |  (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+       |    ((2 * abs(num) + den) // (2 * den)) AS M
+       |  FROM (SELECT s1.factor_quantile, s1.off,
+       |    $num AS num,
+       |    $den AS den
+       |    FROM s1 JOIN dm USING (event_date, off))),
+       |s2 AS (SELECT factor_quantile, off, sum(M) AS sm, sum(M * M) AS sm2,
+       |    count(*) AS d
+       |  FROM s1m GROUP BY 1, 2)
+       |SELECT factor_quantile, off AS "offset",
+       |  round(CAST(sm AS DOUBLE) / (1e15 * CAST(d AS DOUBLE)), 9) AS mean,
+       |  CASE WHEN d > 1 THEN
+       |    round(sqrt(CAST(d * sm2 - sm * sm AS DOUBLE) /
+       |      (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0))) / 1e15, 9)
+       |  END AS std
+       |FROM s2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Acklam inverse-normal-CDF SQL, mirroring StatFunctions.normInv
     * with the identical Horner nesting (constants emitted as exact
     * string->double literals). The central branch is pure arithmetic
@@ -553,25 +628,7 @@ object AnalyticsQueries {
          |SELECT date, "group", round(i1, 9) AS ret_1, round(i5, 9) AS ret_5
          |FROM ic ORDER BY date, "group"""".stripMargin,
 
-    "q_avg_cum_ret" ->
-      s"""$pre${bandCtes(2, 3)},
-         |s1m AS (SELECT factor_quantile, off,
-         |  (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
-         |    ((2 * abs(num) + den) // (2 * den)) AS M
-         |  FROM (SELECT s1.factor_quantile, s1.off,
-         |    (dm.n * s1.sl - s1.k * dm.S) * 1000000 AS num,
-         |    dm.n * s1.k AS den
-         |    FROM s1 JOIN dm USING (event_date, off))),
-         |s2 AS (SELECT factor_quantile, off, sum(M) AS sm, sum(M * M) AS sm2,
-         |    count(*) AS d
-         |  FROM s1m GROUP BY 1, 2)
-         |SELECT factor_quantile, off AS "offset",
-         |  round(CAST(sm AS DOUBLE) / (1e15 * CAST(d AS DOUBLE)), 9) AS mean,
-         |  CASE WHEN d > 1 THEN
-         |    round(sqrt(CAST(d * sm2 - sm * sm AS DOUBLE) /
-         |      (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0))) / 1e15, 9)
-         |  END AS std
-         |FROM s2 ORDER BY 1, 2""".stripMargin,
+    "q_avg_cum_ret" -> avgCumRetSql(2, 3, demeaned = true),
 
     "q_quantize_zero" -> {
       // zero-aware qcut, quantiles=4: each sign half gets 2 buckets;
@@ -971,10 +1028,56 @@ object AnalyticsQueries {
       Seq("mean_autocorr"))).mkString("\nUNION ALL\n") +
     "\nORDER BY section, k, metric"
 
+  /** Equal-weight NON-demeaned factor returns (the event-study sheet's
+    * variant, tears.py:689-691): weight = sign(factor) normalized by
+    * the date's gross. */
+  private def frEwRawSql: String =
+    s"""$pre, sgn AS (SELECT date, ret_1, ret_5,
+       |  CASE WHEN factor < 0 THEN -1.0 WHEN factor > 0 THEN 1.0
+       |       ELSE 0.0 END AS sg
+       |  FROM factor_data),
+       |wts AS (SELECT date, ret_1, ret_5,
+       |  CASE WHEN sum(abs(sg)) OVER (PARTITION BY date) = 0 THEN NULL
+       |       ELSE sg / sum(abs(sg)) OVER (PARTITION BY date) END AS weight
+       |  FROM sgn)
+       |SELECT date, round(sum(ret_1 * weight), 9) AS ret_1,
+       |       round(sum(ret_5 * weight), 9) AS ret_5
+       |FROM wts GROUP BY date""".stripMargin
+
+  /** NON-demeaned two-stage mean return by quantile (the event-study
+    * sheet's variant, tears.py:666: long-only, no demean). */
+  private def mrqRawSql: String =
+    s"""$pre, s1n AS (SELECT factor_quantile, date,
+       |  avg(ret_1) AS m1, avg(ret_5) AS m5
+       |  FROM factor_data GROUP BY 1, 2)
+       |SELECT factor_quantile,
+       |  round(avg(m1), 9) AS ret_1,
+       |  round(stddev_samp(m1) / sqrt(count(m1)), 9) AS ret_1_std_err,
+       |  round(avg(m5), 9) AS ret_5,
+       |  round(stddev_samp(m5) / sqrt(count(m5)), 9) AS ret_5_std_err
+       |FROM s1n GROUP BY 1""".stripMargin
+
+  /** q_event_study_sheet oracle: DuckDB replay of
+    * [[graft.sheets.Sheets.createEventStudyTearSheet]] (long-only,
+    * equal-weight, (10,15) band). */
+  private def eventStudySheetSql: String = Seq(
+    meltSql(baseOracle("q_events_dist"), "events_dist", "bucket::VARCHAR",
+      Seq("n_events")),
+    meltSql(avgCumRetSql(10, 15, demeaned = false), "avg_cum_ret",
+      "factor_quantile::VARCHAR || '|' || \"offset\"::VARCHAR",
+      Seq("mean", "std")),
+    meltSql(frEwRawSql, "factor_returns_ew", "strftime(date, '%Y-%m-%d')",
+      Seq("ret_1", "ret_5")),
+    meltSql(mrqRawSql, "mean_ret_by_q", "factor_quantile::VARCHAR",
+      Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err")))
+    .mkString("\nUNION ALL\n") + "\nORDER BY section, k, metric"
+
   def oracleSql: Map[String, String] =
     baseOracle ++ Map(
       "q_summary_sheet" -> summarySheetSql,
       "q_returns_sheet" -> returnsSheetSql,
       "q_info_sheet" -> infoSheetSql,
-      "q_turnover_sheet" -> turnoverSheetSql)
+      "q_turnover_sheet" -> turnoverSheetSql,
+      "q_event_returns_sheet" -> avgCumRetSql(10, 15, demeaned = true),
+      "q_event_study_sheet" -> eventStudySheetSql)
 }
