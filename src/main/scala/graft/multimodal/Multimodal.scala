@@ -38,11 +38,13 @@ case class MediaFrame(
   *
   * The decode boundary is [[Ppm]] (complete in-container binary-PPM P6
   * image codec) plus [[Wav]] (complete in-container RIFF/WAVE integer
-  * PCM audio codec): content that parses as either is genuinely decoded
-  * to its pixel/sample grid and the downstream operators run on real
-  * data. Formats that need external codecs (JPEG, compressed audio,
-  * video containers — libjpeg, libsndfile, ffmpeg) are NOT in this
-  * container; bytes that fail both parses take the clearly-marked
+  * PCM audio codec) plus [[Y4m]] (complete in-container YUV4MPEG2
+  * uncompressed video codec): content that parses as any of the three
+  * is genuinely decoded to its pixel/sample/frame grid and the
+  * downstream operators run on real data. Formats that need external
+  * codecs (JPEG, compressed audio, H.264/VP9 video — libjpeg,
+  * libsndfile, ffmpeg) are NOT in this
+  * container; bytes that fail all three parses take the clearly-marked
   * deterministic STUB path ([[fakeDecode]] / byte-window slicing /
   * proportional truncation), exactly as before. Swapping in a real
   * external codec extends only the decode dispatch, not the operator
@@ -112,6 +114,8 @@ object Multimodal {
     * luminance histogram from the actual pixel grid, `decoded = true`);
     * RIFF/WAVE PCM content likewise ([[Wav.featurize]]: mean / RMS /
     * extremes + amplitude histogram from the actual sample grid);
+    * YUV4MPEG2 content likewise ([[Y4m.featurize]]: plane means +
+    * temporal motion + luma histogram from the actual frame grid);
     * anything else takes the declared stub. No shuffle — a pure
     * mapPartitions over the scan. */
   def extractFeatures(samples: Dataset[MediaSample], dim: Int = 16)(
@@ -130,9 +134,14 @@ object Multimodal {
             case Some(audio) =>
               MediaFeatures(s.sample_id, s.modality, n, decoded = true,
                 Wav.featurize(audio, dim))
-            case None =>
-              MediaFeatures(s.sample_id, s.modality, n, decoded = false,
-                fakeDecode(s.content, dim))
+            case None => Y4m.decode(s.content) match {
+              case Some(video) =>
+                MediaFeatures(s.sample_id, s.modality, n, decoded = true,
+                  Y4m.featurize(video, dim))
+              case None =>
+                MediaFeatures(s.sample_id, s.modality, n, decoded = false,
+                  fakeDecode(s.content, dim))
+            }
           }
         }
       }
@@ -144,9 +153,12 @@ object Multimodal {
     * floor(i*(h-1)/(n-1)), `width*3` bytes); RIFF/WAVE PCM yields `n`
     * evenly spaced sample-frame-aligned windows of the DECODED data
     * chunk (≈`frameBytes` wide, rounded up to whole sample frames);
-    * content no codec covers falls back to `n` evenly spaced
-    * `frameBytes`-wide windows of the encoded payload (the pre-codec
-    * behavior, kept for opaque bytes). */
+    * YUV4MPEG2 yields `n` evenly spaced ACTUAL video frames (frame i =
+    * stream frame floor(i*(F-1)/(n-1)), the full planar YUV payload —
+    * the one modality where "frame sampling" is literal); content no
+    * codec covers falls back to `n` evenly spaced `frameBytes`-wide
+    * windows of the encoded payload (the pre-codec behavior, kept for
+    * opaque bytes). */
   def sampleFrames(samples: Dataset[MediaSample], n: Int = 4,
       frameBytes: Int = 32)(implicit spark: SparkSession): Dataset[MediaFrame] = {
     import spark.implicits._
@@ -178,16 +190,26 @@ object Multimodal {
                   java.util.Arrays.copyOfRange(audio.data, math.min(off, end), end),
                   decoded = true)
               }
-            case None =>
-              val len = s.content.length
-              (0 until n).iterator.map { i =>
-                val ratio = if (n == 1) 0.0 else i.toDouble / (n - 1)
-                val off = math.max(0.0, (len - frameBytes).toDouble * ratio).toInt
-                val end = math.min(len, off + frameBytes)
-                MediaFrame(s.sample_id, s.modality, i,
-                  java.util.Arrays.copyOfRange(s.content, math.min(off, end), end),
-                  decoded = false)
-              }
+            case None => Y4m.decode(s.content) match {
+              case Some(video) =>
+                (0 until n).iterator.map { i =>
+                  val fi =
+                    if (n == 1) 0
+                    else (i.toLong * (video.numFrames - 1) / (n - 1)).toInt
+                  MediaFrame(s.sample_id, s.modality, i,
+                    video.frames(fi).clone(), decoded = true)
+                }
+              case None =>
+                val len = s.content.length
+                (0 until n).iterator.map { i =>
+                  val ratio = if (n == 1) 0.0 else i.toDouble / (n - 1)
+                  val off = math.max(0.0, (len - frameBytes).toDouble * ratio).toInt
+                  val end = math.min(len, off + frameBytes)
+                  MediaFrame(s.sample_id, s.modality, i,
+                    java.util.Arrays.copyOfRange(s.content, math.min(off, end), end),
+                    decoded = false)
+                }
+            }
           }
         }
       }
@@ -196,9 +218,13 @@ object Multimodal {
 
   /** Resize over DECODED content: P6 images are genuinely resized
     * (nearest-neighbour over the real pixel grid, re-encoded as P6);
-    * content no codec covers keeps the documented stub behavior
-    * (payload truncated proportionally to the metadata pixel-count
-    * ratio). Metadata geometry is updated either way. */
+    * YUV4MPEG2 video likewise (the same nearest-neighbour map applied
+    * per frame per plane at each plane's subsampled geometry,
+    * re-encoded as y4m); content no codec covers keeps the documented
+    * stub behavior (payload truncated proportionally to the metadata
+    * pixel-count ratio). Metadata geometry is updated either way.
+    * Audio is deliberately NOT routed here: a geometric resize has no
+    * audio meaning (that operator would be resampling). */
   def resize(samples: Dataset[MediaSample], w: Int, h: Int)(
       implicit spark: SparkSession): Dataset[MediaSample] = {
     import spark.implicits._
@@ -208,12 +234,17 @@ object Multimodal {
           case Some(img) =>
             s.copy(content = Ppm.encode(Ppm.resizeNearest(img, w, h)),
               width = w, height = h)
-          case None =>
-            val keep = math.min(s.content.length.toLong, math.max(1L,
-              s.content.length.toLong * w * h /
-                math.max(1L, s.width.toLong * s.height))).toInt
-            s.copy(content = java.util.Arrays.copyOf(s.content, keep),
-              width = w, height = h)
+          case None => Y4m.decode(s.content) match {
+            case Some(video) =>
+              s.copy(content = Y4m.encode(Y4m.resizeNearest(video, w, h)),
+                width = w, height = h)
+            case None =>
+              val keep = math.min(s.content.length.toLong, math.max(1L,
+                s.content.length.toLong * w * h /
+                  math.max(1L, s.width.toLong * s.height))).toInt
+              s.copy(content = java.util.Arrays.copyOf(s.content, keep),
+                width = w, height = h)
+          }
         }
       }
     }

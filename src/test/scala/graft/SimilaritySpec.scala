@@ -516,4 +516,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val audio = Wav.decode(wav16).get
     assert(frames(0).frame.toSeq === audio.data.take(10).toSeq)
   }
+
+  test("multimodal: planted Y4M rows take the real video decode path") {
+    implicit val s = spark
+    import graft.multimodal.Y4m
+    // a five-frame 4x2 4:2:0 stream planted among opaque bytes
+    val vid = Y4m.Video(4, 2, 30, 1, "420",
+      Array.tabulate(5)(fi => Array.tabulate[Byte](12)(i =>
+        (fi * 50 + i).toByte)))
+    val rows = Seq(
+      MediaSample(1L, "video", Y4m.encode(vid), 4, 2, 0, 166),
+      MediaSample(2L, "video", Array.fill[Byte](60)(5), 0, 0, 0, 10)).toDS()
+    val feats = Multimodal.extractFeatures(rows, dim = 12).collect()
+      .sortBy(_.sample_id)
+    assert(feats.map(_.decoded).toSeq === Seq(true, false),
+      "Y4M rows must decode for real; opaque bytes must keep the stub")
+    assert(feats(0).features.toSeq ===
+      Y4m.featurize(vid, 12).toSeq) // real frame statistics
+    // frames: n=3 evenly spaced ACTUAL stream frames (0, 2, 4)
+    val frames = Multimodal.sampleFrames(rows.filter(_.sample_id == 1L), n = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 3 && frames.forall(_.decoded))
+    assert(frames.map(_.frame.toSeq).toSeq ===
+      Seq(0, 2, 4).map(vid.frames(_).toSeq))
+    // resize: every frame genuinely rescaled, still a decodable stream
+    val out = Multimodal.resize(rows.filter(_.sample_id == 1L), 8, 4)
+      .collect().head
+    assert(out.width === 8 && out.height === 4)
+    val back = Y4m.decode(out.content).get
+    assert(back.width === 8 && back.height === 4 && back.numFrames === 5)
+    assert(back.frames.map(_.toSeq).toSeq ===
+      Y4m.resizeNearest(vid, 8, 4).frames.map(_.toSeq).toSeq)
+  }
 }
