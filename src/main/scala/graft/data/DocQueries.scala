@@ -210,6 +210,21 @@ object DocQueries {
           hex(col("content")).as("content_hex"))
         .orderBy("sample_id")
     }),
+    "q_media_mixed" -> ((s, dir) => {
+      // ALL THREE decode boundaries end-to-end: the mixed corpus rows
+      // are genuine P6 / RIFF-WAVE PCM / YUV4MPEG2 content, so each
+      // frame is an actual pixel row / decoded sample window / actual
+      // video frame — `decoded` pins that no row fell back to the
+      // stub, frame_hex pins every byte.
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(
+        Multimodal.mixedCorpus(documents(s, dir)), n = 2, frameBytes = 16)
+        .toDF()
+        .select(col("sample_id"), col("modality"), col("frame_idx"),
+          col("decoded").cast("int").as("decoded"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy("sample_id", "frame_idx")
+    }),
     "q_contamination" -> ((s, dir) => {
       // benchmark = every 10th doc; train = the rest. n=3 so the
       // synthetic word-soup corpus produces non-trivial overlap. Both
@@ -915,6 +930,38 @@ object DocQueries {
         |  hex(encode('P6' || chr(10) || '32 32' || chr(10) || '255' || chr(10)))
         |    || rzhex AS content_hex
         |FROM rz ORDER BY sample_id""".stripMargin,
+
+    "q_media_mixed" ->
+      // mirrors mixedCorpus + the REAL decode in all three codecs:
+      // image frames are pixel rows 0 and h0-1 of the cyclic P6 grid;
+      // audio frames are the first / last 8 decoded 16-bit samples
+      // (little-endian: doc byte, then a zero high byte); video frames
+      // are actual stream frames 0 and nf-1 (w0*h0 cyclic bytes each).
+      // All rebuilt in hex space; decoded=1 pins that no row fell back
+      // to the stub path.
+      """WITH m AS (SELECT doc_id::BIGINT AS sample_id, (doc_id % 3) AS md,
+        |  (doc_id % 13) + 4 AS w0, (doc_id % 11) + 4 AS h0,
+        |  (doc_id % 50) + 20 AS ns, (doc_id % 4) + 2 AS nf,
+        |  hex(encode(text || '.')) AS thx,
+        |  octet_length(encode(text || '.')) AS blen
+        |  FROM documents),
+        |img AS (SELECT sample_id, 'image' AS modality, i::INT AS frame_idx,
+        |  substr(repeat(thx, ((w0*h0*3 + blen - 1) // blen)::INT),
+        |         (i * (h0 - 1))::INT * w0 * 3 * 2 + 1, w0 * 3 * 2) AS frame_hex
+        |  FROM m CROSS JOIN range(2) t(i) WHERE md = 0),
+        |aud AS (SELECT sample_id, 'audio' AS modality, i::INT AS frame_idx,
+        |  array_to_string(list_transform(range(0, 8), j ->
+        |    substr(thx, (((i * (ns - 8)) + j) % blen)::INT * 2 + 1, 2) || '00'),
+        |    '') AS frame_hex
+        |  FROM m CROSS JOIN range(2) t(i) WHERE md = 1),
+        |vid AS (SELECT sample_id, 'video' AS modality, i::INT AS frame_idx,
+        |  substr(repeat(thx, ((nf*w0*h0 + blen - 1) // blen)::INT),
+        |         (i * (nf - 1))::INT * w0 * h0 * 2 + 1, w0 * h0 * 2) AS frame_hex
+        |  FROM m CROSS JOIN range(2) t(i) WHERE md = 2)
+        |SELECT sample_id, modality, frame_idx, 1 AS decoded, frame_hex
+        |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
+        |      UNION ALL SELECT * FROM vid)
+        |ORDER BY sample_id, frame_idx""".stripMargin,
 
     "q_contamination" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),

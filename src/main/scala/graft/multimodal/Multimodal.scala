@@ -87,6 +87,50 @@ object Multimodal {
       (length(col(textCol)) * 10).cast("int").as("duration_ms"))
   }
 
+  /** Deterministic synthetic MIXED-modality corpus: unlike
+    * [[syntheticCorpus]] (all rows P6), each row's content genuinely
+    * matches its modality label — image rows are binary PPMs, audio
+    * rows are 16-bit mono RIFF/WAVE PCM (sample i = the document's
+    * i-th cyclic UTF-8 byte, 0..255), video rows are mono YUV4MPEG2
+    * streams (frame f = the next `w*h` cyclic bytes) — so every decode
+    * boundary is exercised end-to-end with oracle-reconstructable
+    * bytes. A pure mapPartitions over the scan; no shuffle. */
+  def mixedCorpus(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text")(
+      implicit spark: SparkSession): Dataset[MediaSample] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val base = (text + ".").getBytes("UTF-8") // never empty
+          def cyc(off: Int, n: Int): Array[Byte] =
+            Array.tabulate[Byte](n)(i => base((off + i) % base.length))
+          val w = (id % 13 + 4).toInt
+          val h = (id % 11 + 4).toInt
+          (id % 3) match {
+            case 0 =>
+              MediaSample(id, "image",
+                Ppm.encode(Ppm.Image(w, h, 255, cyc(0, w * h * 3))),
+                w, h, 0, 0)
+            case 1 =>
+              val n = (id % 50 + 20).toInt
+              val data = new Array[Byte](2 * n) // LE: low byte = doc byte,
+              var i = 0                         // high byte = 0
+              while (i < n) { data(2 * i) = base(i % base.length); i += 1 }
+              MediaSample(id, "audio", Wav.encode(Wav.Audio(8000, 1, 16, data)),
+                0, 0, 8000, n * 1000 / 8000)
+            case _ =>
+              val nf = (id % 4 + 2).toInt
+              val frames = Array.tabulate(nf)(fi => cyc(fi * w * h, w * h))
+              MediaSample(id, "video",
+                Y4m.encode(Y4m.Video(w, h, 30, 1, "mono", frames)),
+                w, h, 0, nf * 1000 / 30)
+          }
+        }
+      }
+  }
+
   /** STUB decode kernel for content no in-container codec covers: a
     * real build replaces this with the codec call (e.g. TurboJPEG /
     * libsndfile via JNI). Deterministic: feature i is a hash of
