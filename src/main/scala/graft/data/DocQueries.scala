@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.text.{CorpusOps, Decontaminate, Dedup, Search, TextOps, TextStats}
+import graft.text.{CorpusOps, Decontaminate, Dedup, Rewrite, Search, TextOps, TextStats}
 import graft.vector.{Embeddings, Ivf, Similarity}
 
 /** Driver-contract queries for the LLM-data-pipeline layer (dedup,
@@ -236,6 +236,15 @@ object DocQueries {
         threshold = 0.1)
         .orderBy("doc_id")
     }),
+    "q_chunk_dedup" -> ((s, dir) =>
+      // corpus-wide exact chunk dedup (k=3): a duplicated 3-token span
+      // survives only at its first (doc_id, chunk_idx) occurrence and
+      // every document is rebuilt from its surviving spans
+      Rewrite.chunkDedup(documents(s, dir), k = 3).orderBy("doc_id")),
+    "q_boilerplate" -> ((s, dir) =>
+      // spans occurring in >4 distinct docs are dropped everywhere
+      Rewrite.stripBoilerplate(documents(s, dir), k = 3, maxDf = 4)
+        .orderBy("doc_id")),
     "q_hash_split" -> ((s, dir) =>
       CorpusOps.hashSplit(documents(s, dir))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
@@ -983,6 +992,48 @@ object DocQueries {
          |  CASE WHEN contam_frac >= 0.1::DOUBLE THEN 1 ELSE 0 END::BIGINT
          |    AS contaminated
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_dedup" ->
+      // mirrors Rewrite.chunkDedup(k=3): non-overlapping 3-token
+      // chunks; a chunk survives only at its minimum (doc_id,
+      // chunk_idx) corpus occurrence; docs rebuilt in chunk order,
+      // token-less / fully-deduped docs restored with empty text
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, ((len(toks) + 2) // 3) AS nc
+         |  FROM t WHERE len(toks) > 0),
+         |occ AS (SELECT doc_id, unnest(range(nc)) AS i, toks FROM d),
+         |c AS (SELECT doc_id, i AS chunk_idx, array_to_string(
+         |    list_slice(toks, i*3 + 1, i*3 + 3), ' ') AS chunk FROM occ),
+         |surv AS (SELECT doc_id, chunk_idx, chunk FROM (
+         |  SELECT doc_id, chunk_idx, chunk, row_number() OVER (
+         |    PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM c)
+         |  WHERE rn = 1),
+         |reb AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx)
+         |    AS txt, count(*) AS kept FROM surv GROUP BY 1),
+         |tot AS (SELECT doc_id, ((len(toks) + 2) // 3)::INT AS n_chunks FROM t)
+         |SELECT tot.doc_id, coalesce(reb.txt, '') AS text,
+         |  coalesce(reb.kept, 0)::BIGINT AS n_kept, tot.n_chunks
+         |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      // mirrors Rewrite.stripBoilerplate(k=3, maxDf=4): chunks in >4
+      // distinct docs dropped everywhere, same reassembly
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, ((len(toks) + 2) // 3) AS nc
+         |  FROM t WHERE len(toks) > 0),
+         |occ AS (SELECT doc_id, unnest(range(nc)) AS i, toks FROM d),
+         |c AS (SELECT doc_id, i AS chunk_idx, array_to_string(
+         |    list_slice(toks, i*3 + 1, i*3 + 3), ' ') AS chunk FROM occ),
+         |keep AS (SELECT chunk FROM (SELECT chunk,
+         |    count(DISTINCT doc_id) AS df FROM c GROUP BY 1) WHERE df <= 4),
+         |surv AS (SELECT c.doc_id, c.chunk_idx, c.chunk
+         |  FROM c JOIN keep USING (chunk)),
+         |reb AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx)
+         |    AS txt, count(*) AS kept FROM surv GROUP BY 1),
+         |tot AS (SELECT doc_id, ((len(toks) + 2) // 3)::INT AS n_chunks FROM t)
+         |SELECT tot.doc_id, coalesce(reb.txt, '') AS text,
+         |  coalesce(reb.kept, 0)::BIGINT AS n_kept, tot.n_chunks
+         |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_hash_split" ->
       s"""WITH b AS (SELECT doc_id,

@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Corpus-wide text REWRITE operators — the removal/cleanup family of a
+  * training-data pipeline. Unlike the [[Dedup]] / [[TextStats]] family
+  * (which flag, score, or select whole documents), these rewrite the
+  * text itself: exact chunk-level deduplication (a duplicated span
+  * survives only at its first corpus occurrence — the span-granular
+  * cousin of C4's three-sentence dedup and of exact-substring dedup à
+  * la Lee et al. 2021) and boilerplate stripping (spans occurring in
+  * more than `maxDf` distinct documents are dropped everywhere —
+  * headers, footers, navigation chrome).
+  *
+  * Text is segmented into NON-OVERLAPPING `k`-token chunks (the final
+  * partial chunk included), so every token belongs to exactly one
+  * chunk and reassembly is a deterministic order-preserving join of the
+  * surviving chunks.
+  *
+  * Scale design (the 100 TB contract):
+  *  - keeper selection is a hash aggregate on the chunk string with
+  *    map-side partial `min` / partial distinct-count — a boilerplate
+  *    chunk duplicated 10^9 times combines to one row per map task, so
+  *    hot chunks cannot blow up a reducer (the reason this is a
+  *    groupBy+join and NOT a `row_number() over (partition by chunk)`
+  *    window, which would sort every occurrence of a hot chunk in one
+  *    partition);
+  *  - the join back to occurrences is a bounded equi-join on
+  *    (chunk, doc_id, chunk_idx); at 100 TB the shuffle key would be a
+  *    128-bit content hash of the chunk instead of the raw string
+  *    (slimmer exchange, collision-negligible) — kept as the raw
+  *    string here so the DuckDB oracle compares exact text semantics;
+  *  - reassembly state is O(document length) per group, independent of
+  *    corpus size; no driver-side collects anywhere. */
+object Rewrite {
+
+  /** One row per (doc, chunk position): `chunk` is the space-joined
+    * k-token span. Docs with no tokens produce no rows (restored at
+    * reassembly with empty text). */
+  def chunkOccurrences(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"chunk width must be positive, got $k")
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0), nChunks(size(col("__toks")), k) - 1),
+          i => array_join(slice(col("__toks"), i * k + lit(1), lit(k)), " "))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+  }
+
+  /** ceil(nTokens / k) as an integral column (Column `/` is double
+    * division; `sequence` needs integral bounds). */
+  private def nChunks(nTokens: Column, k: Int): Column =
+    floor((nTokens + lit(k - 1)) / lit(k)).cast("int")
+
+  /** Order-preserving reassembly of surviving chunks + restoration of
+    * docs that lost everything (or had no tokens): (doc_id, text,
+    * n_kept, n_chunks). */
+  private def reassemble(
+      docs: DataFrame, surviving: DataFrame,
+      textCol: String, idCol: String, k: Int): DataFrame = {
+    val rebuilt = surviving.groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            s => s.getField("chunk")),
+          " ").as("__text"),
+        count(lit(1)).as("__kept"))
+    val totals = docs.select(col(idCol).as("doc_id"),
+      nChunks(size(tokens(col(textCol))), k).as("n_chunks"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__text"), lit("")).as("text"),
+        coalesce(col("__kept"), lit(0L)).as("n_kept"),
+        col("n_chunks"))
+  }
+
+  /** Exact corpus-wide chunk dedup: a chunk survives only at its FIRST
+    * corpus occurrence (minimum (doc_id, chunk_idx)); every later
+    * occurrence — in other documents or repeated within one — is
+    * removed, and each document's text is rebuilt from its surviving
+    * chunks in order. */
+  def chunkDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    val occ = chunkOccurrences(docs, textCol, idCol, k)
+    val keepers = occ
+      .groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__first"))
+      .select(col("chunk"),
+        col("__first.doc_id").as("doc_id"),
+        col("__first.chunk_idx").as("chunk_idx"))
+    reassemble(docs, occ.join(keepers, Seq("chunk", "doc_id", "chunk_idx")),
+      textCol, idCol, k)
+  }
+
+  /** Boilerplate strip: chunks occurring in MORE than `maxDf` distinct
+    * documents are dropped from every document (headers, footers,
+    * cookie banners); everything else is kept in place. */
+  def stripBoilerplate(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3,
+      maxDf: Int = 4): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val occ = chunkOccurrences(docs, textCol, idCol, k)
+    val kept = occ.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select("chunk")
+    reassemble(docs, occ.join(kept, Seq("chunk")), textCol, idCol, k)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Rewrite
+
+/** Semantics pins for the corpus-wide text REWRITE operators. */
+class RewriteSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def byId(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("text"), r.getAs[Long]("n_kept"),
+        r.getAs[Int]("n_chunks")))).toMap
+
+  test("chunkDedup keeps a duplicated chunk only at its first corpus occurrence") {
+    val docs = Seq(
+      (1L, "a b c x y z"),      // chunks: "a b c", "x y z"
+      (2L, "a b c q r s"),      // "a b c" duplicates doc 1 chunk 0
+      (3L, "q r s a b c")       // both chunks are later occurrences
+    ).toDF("doc_id", "text")
+    val out = byId(Rewrite.chunkDedup(docs, k = 3))
+    assert(out(1L) === (("a b c x y z", 2L, 2)))
+    assert(out(2L) === (("q r s", 1L, 2)))
+    assert(out(3L) === (("", 0L, 2))) // fully deduped, restored empty
+  }
+
+  test("chunkDedup removes within-document repeats past the first") {
+    val docs = Seq((5L, "w w w w w w w w w")).toDF("doc_id", "text")
+    val out = byId(Rewrite.chunkDedup(docs, k = 3))
+    assert(out(5L) === (("w w w", 1L, 3)))
+  }
+
+  test("chunkDedup: the partial final chunk is its own span; order survives") {
+    val docs = Seq(
+      (1L, "p q"),              // single partial chunk "p q"
+      (2L, "a b c p q")         // "a b c" + partial "p q" (duplicate)
+    ).toDF("doc_id", "text")
+    val out = byId(Rewrite.chunkDedup(docs, k = 3))
+    assert(out(1L) === (("p q", 1L, 1)))
+    assert(out(2L) === (("a b c", 1L, 2)))
+    // tokenless docs are restored with empty text and zero chunks
+    val empty = byId(Rewrite.chunkDedup(
+      Seq((9L, ""), (10L, "a b c")).toDF("doc_id", "text"), k = 3))
+    assert(empty(9L) === (("", 0L, 0)))
+  }
+
+  test("stripBoilerplate drops only chunks above the df threshold, everywhere") {
+    // "x y z" in 3 docs (boilerplate at maxDf=2), "a b c" in 2 (kept)
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z a b c"),
+      (3L, "x y z u v w")).toDF("doc_id", "text")
+    val out = byId(Rewrite.stripBoilerplate(docs, k = 3, maxDf = 2))
+    assert(out(1L) === (("a b c", 1L, 2)))
+    assert(out(2L) === (("a b c", 1L, 2)))
+    assert(out(3L) === (("u v w", 1L, 2)))
+    // at maxDf=3 nothing is boilerplate
+    val keep = byId(Rewrite.stripBoilerplate(docs, k = 3, maxDf = 3))
+    assert(keep(1L) === (("x y z a b c", 2L, 2)))
+  }
+
+  test("keeper selection is an aggregate, not a window over occurrences") {
+    // the scale contract: no Window operator in the chunkDedup plan
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Rewrite.chunkDedup(docs, k = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"),
+      "hot-chunk skew safety requires groupBy+join keeper selection")
+  }
+}
