@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 import graft.text.{CorpusOps, Decontaminate, Dedup, Rewrite, Search, TextOps, TextStats}
-import graft.vector.{Embeddings, Ivf, Similarity}
+import graft.vector.{Embeddings, Ivf, Pca, Similarity}
 
 /** Driver-contract queries for the LLM-data-pipeline layer (dedup,
   * text analysis, embedding similarity) over `documents.parquet` /
@@ -291,6 +291,12 @@ object DocQueries {
     "q_centroids" -> ((s, dir) =>
       Embeddings.centroidsLong(embeddings(s, dir))
         .orderBy("group", "dim")),
+    "q_pca_gram" -> ((s, dir) =>
+      // the distributed half of PCA/whitening: exact fixed-point
+      // sample covariance, upper triangle — d*(d+1)/2 rows out
+      // regardless of corpus size (the driver-side eigendecomposition
+      // is unit-tested in PcaSpec; it is not SQL-expressible)
+      Pca.covarianceLong(embeddings(s, dir), dim = 64).orderBy("i", "j")),
     "q_knn_label" -> ((s, dir) => {
       val e = embeddings(s, dir)
       Embeddings.knnClassify(e, e.filter(col("vec_id") < 20), k = 10)
@@ -1184,6 +1190,26 @@ object DocQueries {
         |  count(*)::BIGINT AS n_vecs
         |FROM embeddings CROSS JOIN range(64) t(d)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pca_gram" ->
+      // mirrors Pca.covarianceLong: 1e6 fixed-point snap, exact
+      // HUGEINT second moments, one double division rounded 1e-9
+      """WITH sv AS (SELECT list_transform(embedding,
+        |    x -> round(x::DOUBLE * 1e6, 0)::HUGEINT) AS v FROM embeddings),
+        |pr AS (SELECT i, j, v[i + 1] * v[j + 1] AS p FROM sv
+        |  CROSS JOIN range(64) ti(i) CROSS JOIN range(64) tj(j)
+        |  WHERE j >= i),
+        |mo AS (SELECT i, j, sum(p) AS spp, count(*) AS n
+        |  FROM pr GROUP BY 1, 2),
+        |ds AS (SELECT d, sum(v[d + 1]) AS sd
+        |  FROM sv CROSS JOIN range(64) t(d) GROUP BY 1)
+        |SELECT mo.i::INT AS i, mo.j::INT AS j,
+        |  round((mo.n * mo.spp - dsi.sd * dsj.sd)::DOUBLE /
+        |    (mo.n::DOUBLE * (mo.n - 1)::DOUBLE * 1e12), 9) AS cov,
+        |  mo.n::BIGINT AS n
+        |FROM mo JOIN ds dsi ON dsi.d = mo.i
+        |        JOIN ds dsj ON dsj.d = mo.j
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_knn_label" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
