@@ -55,6 +55,21 @@ private case class BandedDoc(
 
 private case class BandRep(docId: Long, ts: Long, set: Seq[String])
 
+/** One chunk occurrence of a streamed document, with the dedup verdict:
+  * `kept` iff this (doc_id, chunk_idx) is the chunk's first corpus
+  * arrival (or a re-delivery of it). */
+case class StreamChunk(
+    doc_id: Long,
+    ts: Timestamp,
+    chunk_idx: Int,
+    chunk: String,
+    kept: Boolean)
+
+private case class ChunkRow(
+    chunk: String, doc_id: Long, ts: Timestamp, chunk_idx: Int)
+
+private case class ChunkClaim(docId: Long, chunkIdx: Int, lastTs: Long)
+
 /** Structured-Streaming extensions (SURVEY §2.9/§7.6 — the reference is
   * batch-only; these are the post-parity streaming capabilities a
   * 100 TB event pipeline needs): event-time windowed stats under a
@@ -263,6 +278,68 @@ object Streaming {
               }
             }
             rep.foreach(state.update)
+            if (lastActivity != Long.MinValue)
+              state.setTimeoutTimestamp(safeTimeout(state,
+                lastActivity + idleTimeoutSec * 1000L))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming chunk-level dedup — online ingest-time dedup of k-token
+    * spans, the streaming analogue of [[graft.text.Rewrite.chunkDedup]]:
+    * the first arrival of a chunk claims it (state keyed by the chunk
+    * string), and every later occurrence — in other documents or
+    * repeated within one — is emitted with `kept = false`. Output is
+    * chunk-granular (one [[StreamChunk]] per occurrence, verdict
+    * attached) so the consumer can rebuild cleaned documents by
+    * filtering `kept` and re-joining in chunk_idx order without a
+    * second stateful stage.
+    *
+    * Replayed over a corpus in doc_id order, the kept set equals the
+    * batch operator's min-(doc_id, chunk_idx) keeper set exactly
+    * (pinned by the StreamingSpec replay test). Trade-off, deliberate:
+    * a chunk claim idle past `idleTimeoutSec` is evicted (state stays
+    * bounded by the ACTIVE chunk vocabulary, not the corpus), after
+    * which a much-later duplicate would be treated as fresh — the
+    * batch pass remains the exact answer. */
+  def streamingChunkDedup(
+      docs: Dataset[StreamDoc],
+      k: Int = 3,
+      watermark: String = "2 hours",
+      idleTimeoutSec: Long = 86400): Dataset[StreamChunk] = {
+    require(idleTimeoutSec > 0,
+      s"idleTimeoutSec ($idleTimeoutSec) must be positive")
+    import docs.sparkSession.implicits._
+    val occ = graft.text.Rewrite.chunkOccurrences(
+        docs.toDF(), k = k, extraCols = Seq("ts"))
+      .select("chunk", "doc_id", "ts", "chunk_idx")
+      .withWatermark("ts", watermark)
+      .as[ChunkRow]
+    occ.groupByKey(_.chunk)
+      .flatMapGroupsWithState[ChunkClaim, StreamChunk](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (chunk: String, rows: Iterator[ChunkRow], state: GroupState[ChunkClaim]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic within-batch order = the batch keeper order
+            val sorted = rows.toSeq.sortBy(r =>
+              (r.ts.getTime, r.doc_id, r.chunk_idx))
+            val out = Seq.newBuilder[StreamChunk]
+            var claim = state.getOption
+            var lastActivity = Long.MinValue
+            sorted.foreach { r =>
+              lastActivity = math.max(lastActivity, r.ts.getTime)
+              val isOwner = claim match {
+                case None =>
+                  claim = Some(ChunkClaim(r.doc_id, r.chunk_idx, r.ts.getTime))
+                  true
+                case Some(c) => c.docId == r.doc_id && c.chunkIdx == r.chunk_idx
+              }
+              out += StreamChunk(r.doc_id, r.ts, r.chunk_idx, chunk, isOwner)
+            }
+            claim.foreach(c => state.update(c.copy(lastTs = lastActivity)))
             if (lastActivity != Long.MinValue)
               state.setTimeoutTimestamp(safeTimeout(state,
                 lastActivity + idleTimeoutSec * 1000L))

@@ -39,20 +39,23 @@ object Rewrite {
 
   /** One row per (doc, chunk position): `chunk` is the space-joined
     * k-token span. Docs with no tokens produce no rows (restored at
-    * reassembly with empty text). */
+    * reassembly with empty text). `extraCols` are passed through
+    * unchanged (e.g. an event-time column for the streaming mirror). */
   def chunkOccurrences(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      extraCols: Seq[String] = Nil): DataFrame = {
     require(k > 0, s"chunk width must be positive, got $k")
     val toks = tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+    docs.select(col(idCol).as("doc_id") +: toks.as("__toks") +:
+        extraCols.map(col): _*)
       .where(size(col("__toks")) > 0)
-      .select(col("doc_id"), posexplode(
+      .select(col("doc_id") +: extraCols.map(col) :+ posexplode(
         transform(
           sequence(lit(0), nChunks(size(col("__toks")), k) - 1),
-          i => array_join(slice(col("__toks"), i * k + lit(1), lit(k)), " "))))
+          i => array_join(slice(col("__toks"), i * k + lit(1), lit(k)), " "))): _*)
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk")
   }

@@ -209,4 +209,68 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(components(streamPairs) === components(batch.keySet),
       "streaming duplicate clusters differ from the batch operator's")
   }
+
+  test("streamingChunkDedup: first arrival claims a chunk across batches") {
+    import graft.streaming.{StreamChunk, StreamDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704067200000L
+    val in = MemoryStream[StreamDoc]
+    val out = Streaming.streamingChunkDedup(in.toDS(), k = 3)
+    val q = out.writeStream.format("memory").queryName("chunk_dedup")
+      .outputMode("append").start()
+    in.addData(StreamDoc(1L, new Timestamp(t0), "a b c x y z"))
+    q.processAllAvailable()
+    // later batch: duplicate chunk in another doc + within-doc repeat
+    in.addData(
+      StreamDoc(2L, new Timestamp(t0 + 1000), "a b c q r s"),
+      StreamDoc(3L, new Timestamp(t0 + 2000), "q r s q r s"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("chunk_dedup").as[StreamChunk].collect()
+      .map(c => (c.doc_id, c.chunk_idx) -> ((c.chunk, c.kept))).toMap
+    assert(rows((1L, 0)) === (("a b c", true)))
+    assert(rows((1L, 1)) === (("x y z", true)))
+    assert(rows((2L, 0)) === (("a b c", false))) // cross-batch duplicate
+    assert(rows((2L, 1)) === (("q r s", true)))
+    assert(rows((3L, 0)) === (("q r s", false))) // doc 2 claimed it
+    assert(rows((3L, 1)) === (("q r s", false))) // within-doc repeat
+  }
+
+  test("streamingChunkDedup replayed over the sf0.001 corpus matches batch chunkDedup") {
+    import graft.streaming.{StreamChunk, StreamDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val batch = graft.text.Rewrite.chunkDedup(docs, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_kept")))).toMap
+    // replay in doc-id order (strictly increasing event time) across
+    // micro-batches, exercising cross-batch chunk-claim state
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val out = Streaming.streamingChunkDedup(in.toDS(), k = 3)
+    val q = out.writeStream.format("memory").queryName("chunk_replay")
+      .outputMode("append").start()
+    rows.grouped(100).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val kept = spark.table("chunk_replay").as[StreamChunk].collect()
+      .filter(_.kept)
+    // rebuild each document from its kept chunks, in chunk order
+    val rebuilt = kept.groupBy(_.doc_id).map { case (id, cs) =>
+      id -> ((cs.sortBy(_.chunk_idx).map(_.chunk).mkString(" "),
+        cs.length.toLong))
+    }
+    rows.foreach { d =>
+      val expected = batch(d.doc_id)
+      val got = rebuilt.getOrElse(d.doc_id, (("", 0L)))
+      assert(got === expected,
+        s"doc ${d.doc_id}: stream rebuilt $got, batch $expected")
+    }
+  }
 }
