@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.text.{CorpusOps, Decontaminate, Dedup, Rewrite, Search, TextOps, TextStats}
+import graft.text.{Classifier, CorpusOps, Decontaminate, Dedup, Rewrite, Search, TextOps, TextStats}
 import graft.vector.{Embeddings, Ivf, Pca, Similarity}
 
 /** Driver-contract queries for the LLM-data-pipeline layer (dedup,
@@ -291,6 +291,17 @@ object DocQueries {
     "q_centroids" -> ((s, dir) =>
       Embeddings.centroidsLong(embeddings(s, dir))
         .orderBy("group", "dim")),
+    "q_quality_clf" -> ((s, dir) => {
+      // trained quality classifier: 3 full-batch GD iterations of
+      // hashed-feature logistic regression (exact integer margins,
+      // 1e-6-snapped sigmoids — bitwise engine-reproducible), then
+      // score + verdict for every document. Training actions run at
+      // query build (bounded: one (dim+1)-row collect per iteration).
+      val docs = documents(s, dir)
+        .withColumn("y", (col("lang") === "en").cast("long"))
+      val w = Classifier.fit(docs, "y", dim = 64, iters = 3, lr = 0.5)
+      Classifier.classify(docs, w, dim = 64).orderBy("doc_id")
+    }),
     "q_pca_gram" -> ((s, dir) =>
       // the distributed half of PCA/whitening: exact fixed-point
       // sample covariance, upper triangle — d*(d+1)/2 rows out
@@ -365,6 +376,55 @@ object DocQueries {
 
   private def hash56(s: String): String =
     s"('0x' || substr(md5($s), 1, 14))::BIGINT"
+
+  /** q_quality_clf oracle: DuckDB replay of [[graft.text.Classifier]]'s
+    * 3 unrolled full-batch GD iterations (the unrolled-Lloyd pattern).
+    * Every aggregated quantity is an exact integer — signed hashed
+    * counts, 1e-6-grid weights, integer margins — and the per-iteration
+    * sigmoid is snapped to the grid right after the exp, so both
+    * engines walk the identical weight trajectory. */
+  private def qualityClfSql: String =
+    s"""WITH tok AS (SELECT doc_id, ${hash56("tk")} AS h FROM
+       |  (SELECT doc_id, unnest($toksExpr) AS tk FROM documents)),
+       |hv AS (SELECT doc_id, (h % 64)::BIGINT AS dim,
+       |  sum(CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS value
+       |  FROM tok GROUP BY 1, 2
+       |  HAVING sum(CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
+       |feats AS (SELECT * FROM hv
+       |  UNION ALL SELECT doc_id, 64::BIGINT AS dim, 1::BIGINT AS value
+       |  FROM documents),
+       |lab AS (SELECT doc_id,
+       |  (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y FROM documents),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |g1 AS (SELECT f.dim, sum((500000 - lab.y * 1000000) * f.value) AS g
+       |  FROM feats f JOIN lab USING (doc_id) GROUP BY 1),
+       |w1 AS (SELECT dim, (-round(0.5 * g / n, 0))::BIGINT AS w
+       |  FROM g1 CROSS JOIN nn),
+       |m1 AS (SELECT f.doc_id, sum(w1.w * f.value) AS ms
+       |  FROM feats f JOIN w1 USING (dim) GROUP BY 1),
+       |e1 AS (SELECT doc_id,
+       |  round(1e6 / (1 + exp(-(ms::DOUBLE) / 1e6)), 0)::BIGINT AS e FROM m1),
+       |g2 AS (SELECT f.dim, sum((e1.e - lab.y * 1000000) * f.value) AS g
+       |  FROM feats f JOIN e1 USING (doc_id) JOIN lab USING (doc_id)
+       |  GROUP BY 1),
+       |w2 AS (SELECT w1.dim, (w1.w - round(0.5 * g2.g / nn.n, 0))::BIGINT AS w
+       |  FROM w1 JOIN g2 USING (dim) CROSS JOIN nn),
+       |m2 AS (SELECT f.doc_id, sum(w2.w * f.value) AS ms
+       |  FROM feats f JOIN w2 USING (dim) GROUP BY 1),
+       |e2 AS (SELECT doc_id,
+       |  round(1e6 / (1 + exp(-(ms::DOUBLE) / 1e6)), 0)::BIGINT AS e FROM m2),
+       |g3 AS (SELECT f.dim, sum((e2.e - lab.y * 1000000) * f.value) AS g
+       |  FROM feats f JOIN e2 USING (doc_id) JOIN lab USING (doc_id)
+       |  GROUP BY 1),
+       |w3 AS (SELECT w2.dim, (w2.w - round(0.5 * g3.g / nn.n, 0))::BIGINT AS w
+       |  FROM w2 JOIN g3 USING (dim) CROSS JOIN nn),
+       |m3 AS (SELECT f.doc_id, sum(w3.w * f.value) AS ms
+       |  FROM feats f JOIN w3 USING (dim) GROUP BY 1)
+       |SELECT doc_id,
+       |  round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6) AS score,
+       |  (CASE WHEN round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6) >= 0.5
+       |    THEN 1 ELSE 0 END)::INT AS predicted
+       |FROM m3 ORDER BY doc_id""".stripMargin
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
@@ -1190,6 +1250,8 @@ object DocQueries {
         |  count(*)::BIGINT AS n_vecs
         |FROM embeddings CROSS JOIN range(64) t(d)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_quality_clf" -> qualityClfSql,
 
     "q_pca_gram" ->
       // mirrors Pca.covarianceLong: 1e6 fixed-point snap, exact

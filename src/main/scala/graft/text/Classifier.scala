@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier — hashed-feature logistic regression, the
+  * fasttext-style learned filter that complements the rule-based
+  * quality stages ([[TextStats.gopherRules]] scores by fixed
+  * thresholds; this LEARNS a boundary from a labeled seed set and
+  * scores the whole corpus).
+  *
+  * Training is full-batch gradient descent with every quantity that
+  * crosses an aggregation kept on an exact integer grid, so the fitted
+  * weights — and therefore every score — are bitwise reproducible
+  * across runs, partitionings, and engines (the q_quality_clf oracle
+  * replays the identical unrolled iterations in DuckDB):
+  *  - features are [[TextStats.hashVectorize]]'s signed integer counts
+  *    plus an integer bias column;
+  *  - weights live on a 1e-6 grid as scaled longs, so margins are
+  *    EXACT integer dot products (no float-sum order dependence);
+  *  - the only float op per iteration is one exp() on an
+  *    exactly-agreed double, snapped to the 1e-6 grid immediately
+  *    (the [[TextStats.unigramLogProb]] ln-snap precedent);
+  *  - the weight update rounds half-away-from-zero back onto the grid.
+  *
+  * Scale design (the 100 TB contract): one map-side-combinable margin
+  * aggregate + one equi-join + one gradient aggregate per iteration —
+  * the honest cost of full-batch GD; the only driver transfer is the
+  * (dim+1)-row gradient per iteration. (A minibatch/SGD variant would
+  * subsample `docs` upstream; the loop is agnostic.) */
+object Classifier {
+
+  /** Sparse hashed features + a bias row per document (dim = `dim`,
+    * value = 1), so every document — token-less included — has at
+    * least one feature row and a defined margin. */
+  def sparseFeatures(
+      docs: DataFrame,
+      dim: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    TextStats.hashVectorize(docs, dim, textCol, idCol)
+      .unionByName(docs.select(col(idCol).as("doc_id"),
+        lit(dim.toLong).as("dim"), lit(1L).as("value")))
+
+  /** round-half-away-from-zero on the double's DECIMAL value — the
+    * semantics of Spark's and DuckDB's round(), so all three engines
+    * take the same branch on ties. */
+  private def roundHalfAway(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+
+  /** Fit by `iters` full-batch GD steps from w = 0; returns the
+    * (dim+1) weights as 1e-6-scaled longs (index `dim` = bias).
+    * `labelCol` must be 0/1. */
+  def fit(
+      docs: DataFrame,
+      labelCol: String,
+      dim: Int = 64,
+      iters: Int = 3,
+      lr: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Array[Long] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val feats = sparseFeatures(docs, dim, textCol, idCol).persist()
+    val labels = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).cast("long").as("__y"))
+    val n = docs.count()
+    require(n > 0, "cannot fit on an empty corpus")
+    val w = Array.fill[Long](dim + 1)(0L)
+    try {
+      for (_ <- 0 until iters) {
+        val wLit = typedlit(w.toSeq)
+        // margin*1e6 as an exact integer dot product
+        val margins = feats.groupBy("doc_id")
+          .agg(sum(element_at(wLit, col("dim").cast("int") + 1) * col("value"))
+            .as("__ms"))
+        // e = round(1e6 * sigmoid(margin)): the one float op, snapped
+        val e = margins.select(col("doc_id"),
+          round(lit(1e6) / (lit(1.0) + exp(-col("__ms").cast("double") / lit(1e6))), 0)
+            .cast("long").as("__e"))
+        val grads = feats
+          .join(e, "doc_id")
+          .join(labels, "doc_id")
+          .groupBy("dim")
+          .agg(sum((col("__e") - col("__y") * lit(1000000L)) * col("value"))
+            .as("__g"))
+          .collect() // bounded: at most dim+1 rows
+        grads.foreach { r =>
+          val d = r.getAs[Long]("dim").toInt
+          w(d) -= roundHalfAway(lr * r.getAs[Long]("__g").toDouble / n)
+        }
+      }
+    } finally feats.unpersist()
+    w
+  }
+
+  /** Score every document with fitted weights: sigmoid of the exact
+    * integer margin, snapped to 1e-6; `predicted` compares the SNAPPED
+    * score to the threshold (engine-consistent by construction).
+    * @return (doc_id, score, predicted) */
+  def classify(
+      docs: DataFrame,
+      weights: Array[Long],
+      dim: Int = 64,
+      threshold: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.length == dim + 1,
+      s"expected ${dim + 1} weights (incl. bias), got ${weights.length}")
+    val wLit = typedlit(weights.toSeq)
+    sparseFeatures(docs, dim, textCol, idCol)
+      .groupBy("doc_id")
+      .agg(sum(element_at(wLit, col("dim").cast("int") + 1) * col("value"))
+        .as("__ms"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__ms").cast("double") / lit(1e6))), 6)
+          .as("score"))
+      .withColumn("predicted", (col("score") >= lit(threshold)).cast("int"))
+  }
+}

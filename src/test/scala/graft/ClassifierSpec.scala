@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Classifier
+
+/** Semantics pins for the trained quality classifier. */
+class ClassifierSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Linearly separable corpus: positive docs repeat one vocabulary,
+    * negative docs another. */
+  private def separable(n: Int) = (0 until n).map { i =>
+    val pos = i % 2 == 0
+    val words =
+      if (pos) Seq("excellent", "prose", "clear", "cogent")
+      else Seq("spam", "junk", "noise", "garbage")
+    val text = (0 until 6).map(j => words((i + j) % words.length)).mkString(" ")
+    (i.toLong, text, if (pos) 1L else 0L)
+  }.toDF("doc_id", "text", "y")
+
+  test("fit + classify separates a separable corpus perfectly") {
+    val docs = separable(40)
+    val w = Classifier.fit(docs, "y", dim = 64, iters = 3, lr = 0.5)
+    val out = Classifier.classify(docs, w, dim = 64).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("score"), r.getAs[Int]("predicted")))).toMap
+    val labels = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("y")).toMap
+    assert(out.size === 40)
+    labels.foreach { case (id, y) =>
+      assert(out(id)._2.toLong === y, s"doc $id misclassified: ${out(id)}")
+    }
+    // scores actually separate (not all hovering at 0.5)
+    val posMin = labels.collect { case (id, 1L) => out(id)._1 }.min
+    val negMax = labels.collect { case (id, 0L) => out(id)._1 }.max
+    assert(posMin > 0.6 && negMax < 0.4,
+      s"weak separation: posMin=$posMin negMax=$negMax")
+  }
+
+  test("training reduces logistic loss monotonically on the fixture") {
+    val docs = separable(40)
+    def loss(iters: Int): Double = {
+      val w = Classifier.fit(docs, "y", dim = 64, iters = iters, lr = 0.5)
+      val scored = Classifier.classify(docs, w, dim = 64)
+        .join(docs.select("doc_id", "y"), "doc_id").collect()
+      scored.map { r =>
+        val p = math.min(1 - 1e-9, math.max(1e-9, r.getAs[Double]("score")))
+        val y = r.getAs[Long]("y")
+        -(y * math.log(p) + (1 - y) * math.log(1 - p))
+      }.sum / scored.length
+    }
+    val (l1, l2, l3) = (loss(1), loss(2), loss(3))
+    assert(l2 < l1 && l3 < l2, s"loss not decreasing: $l1, $l2, $l3")
+  }
+
+  test("fit is deterministic and token-less docs get the bias-only score") {
+    val docs = Seq(
+      (1L, "excellent clear prose", 1L),
+      (2L, "spam junk noise", 0L),
+      (3L, "", 0L)).toDF("doc_id", "text", "y")
+    val w1 = Classifier.fit(docs, "y", dim = 64, iters = 3, lr = 0.5)
+    val w2 = Classifier.fit(docs, "y", dim = 64, iters = 3, lr = 0.5)
+    assert(w1.toSeq === w2.toSeq)
+    val out = Classifier.classify(docs, w1, dim = 64).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(out.size === 3)
+    // the empty doc's margin is exactly the bias weight
+    val expected = BigDecimal(1.0 / (1.0 + math.exp(-w1(64) / 1e6)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(3L) === expected)
+  }
+
+  test("weights stay on the 1e-6 grid and reject bad shapes") {
+    val docs = separable(10)
+    val w = Classifier.fit(docs, "y", dim = 16, iters = 2, lr = 0.5)
+    assert(w.length === 17)
+    intercept[IllegalArgumentException] {
+      Classifier.classify(docs, w, dim = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.fit(docs, "y", dim = 16, iters = 0)
+    }
+  }
+}
