@@ -291,6 +291,13 @@ object DocQueries {
     "q_centroids" -> ((s, dir) =>
       Embeddings.centroidsLong(embeddings(s, dir))
         .orderBy("group", "dim")),
+    "q_dsir" -> ((s, dir) =>
+      // DSIR importance resampling: the 100 docs whose unigram
+      // distribution most resembles the lang='en' target subset,
+      // by exact 1e-6-grid log-LM-ratio weights
+      CorpusOps.dsirSample(
+        documents(s, dir).withColumn("y", (col("lang") === "en").cast("long")),
+        targetCol = "y", k = 100)),
     "q_quality_clf" -> ((s, dir) => {
       // trained quality classifier: 3 full-batch GD iterations of
       // hashed-feature logistic regression (exact integer margins,
@@ -1250,6 +1257,27 @@ object DocQueries {
         |  count(*)::BIGINT AS n_vecs
         |FROM embeddings CROSS JOIN range(64) t(d)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dsir" ->
+      // mirrors CorpusOps.dsirSample: add-1-smoothed target/raw
+      // unigram LMs, per-token ln snapped to the 1e-6 grid as scaled
+      // longs, exact integer per-doc sums, bounded top-100
+      s"""WITH tk AS (SELECT doc_id,
+         |  (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS t,
+         |  unnest($toksExpr) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS cr, sum(t) AS ct FROM tk GROUP BY 1),
+         |s AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM c),
+         |w AS (SELECT tok,
+         |  round(ln((ct + 1)::DOUBLE / (nt + v)::DOUBLE) * 1e6, 0)::BIGINT -
+         |  round(ln((cr + 1)::DOUBLE / (nr + v)::DOUBLE) * 1e6, 0)::BIGINT
+         |    AS lw
+         |  FROM c CROSS JOIN s),
+         |d AS (SELECT doc_id, sum(lw)::BIGINT AS lw_scaled,
+         |  count(*)::BIGINT AS n_tokens
+         |  FROM tk JOIN w USING (tok) GROUP BY 1)
+         |SELECT doc_id, n_tokens, lw_scaled,
+         |  lw_scaled::DOUBLE / 1e6 AS log_weight
+         |FROM d ORDER BY lw_scaled DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_quality_clf" -> qualityClfSql,
 

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TextOps._
@@ -175,5 +175,74 @@ object CorpusOps {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("token_share"), 9).as("token_share"),
         round(col("weight"), 9).as("weight"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-document
+    * log importance = sum over token occurrences of
+    * ln P_target(tok) - ln P_raw(tok), under add-1-smoothed unigram
+    * LMs of the target subset (`targetCol` = 0/1) and the whole
+    * corpus. Documents whose vocabulary looks like the target score
+    * high; resampling by this weight shifts the corpus mixture toward
+    * the target distribution without hand-written rules.
+    *
+    * Determinism: each per-token ln is snapped to the 1e-6 grid as a
+    * scaled long IMMEDIATELY ([[TextStats.unigramLogProb]]'s ln-snap
+    * precedent), so per-doc sums are exact integer arithmetic —
+    * bitwise reproducible across runs, partitionings, and engines.
+    *
+    * Scale design: one map-side-combinable token-count aggregate (the
+    * target count rides the same pass as a conditional sum), a
+    * 3-scalar driver collect, one vocab equi-join back, one per-doc
+    * aggregate — no corpus-sized driver state, no windows. Token-less
+    * documents have no occurrences and thus no row (they carry no
+    * distributional evidence either way).
+    *
+    * @return (doc_id, n_tokens, lw_scaled, log_weight) — lw_scaled is
+    *         the exact 1e6-scaled integer; log_weight = lw_scaled/1e6
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      targetCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      col(targetCol).cast("long").as("__t"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok")
+      .agg(count(lit(1)).as("__cr"), sum(col("__t")).as("__ct"))
+    val totals = counts
+      .agg(sum(col("__cr")).as("nr"), sum(col("__ct")).as("nt"),
+        count(lit(1)).as("v"))
+      .head() // three scalars — bounded, corpus-size-independent
+    val (nr, nt, v) =
+      (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    def lnScaled(c: Column, denom: Long): Column =
+      round(log(c.cast("double") / lit(denom.toDouble)) * lit(1e6), 0)
+        .cast("long")
+    val tokenWeights = counts.select(col("tok"),
+      (lnScaled(col("__ct") + 1, nt + v) - lnScaled(col("__cr") + 1, nr + v))
+        .as("__lw"))
+    toks.join(tokenWeights, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("__lw")).as("lw_scaled"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("lw_scaled"),
+        (col("lw_scaled").cast("double") / lit(1e6)).as("log_weight"))
+  }
+
+  /** Deterministic DSIR selection: the `k` documents most like the
+    * target, ordered by exact scaled weight (doc_id tie-break). A
+    * bounded-k top-k (TakeOrderedAndProject — per-partition heads
+    * merged on the driver, never a global sort). */
+  def dsirSample(
+      docs: DataFrame,
+      targetCol: String,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    dsirWeights(docs, targetCol, textCol, idCol)
+      .orderBy(col("lw_scaled").desc, col("doc_id"))
+      .limit(k)
   }
 }

@@ -227,6 +227,36 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(s.forall { case (id, sp) => l(id) === sp })
   }
 
+  test("dsirWeights favors documents that look like the target subset") {
+    // target docs speak "alpha beta gamma"; raw background speaks
+    // "noise junk filler"; probe docs mix the two vocabularies
+    val docs = ((0 until 10).map(i =>
+        (i.toLong, "alpha beta gamma alpha beta gamma", 1L)) ++
+      (10 until 30).map(i =>
+        (i.toLong, "noise junk filler noise junk filler", 0L)) ++
+      Seq((100L, "alpha beta gamma noise junk filler", 0L),
+        (101L, "alpha alpha beta beta gamma gamma", 0L)))
+      .toDF("doc_id", "text", "y")
+    val w = CorpusOps.dsirWeights(docs, "y").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("lw_scaled"), r.getAs[Double]("log_weight")))).toMap
+    // target-vocabulary docs outrank background docs
+    assert(w(101L)._1 > w(100L)._1, "pure target vocab must outrank a mix")
+    assert(w(100L)._1 > w(15L)._1, "a mix must outrank pure background")
+    // log_weight is exactly the scaled integer / 1e6
+    w.values.foreach { case (s, lw) => assert(lw === s.toDouble / 1e6) }
+    // deterministic across runs
+    val again = CorpusOps.dsirWeights(docs, "y").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lw_scaled")).toMap
+    assert(again === w.view.mapValues(_._1).toMap)
+    // dsirSample returns the k best by exact weight with id tie-break
+    val top = CorpusOps.dsirSample(docs, "y", k = 11).collect()
+      .map(_.getAs[Long]("doc_id"))
+    assert(top.length === 11)
+    assert(top.take(11).toSet === ((0L until 10L).toSet + 101L),
+      s"expected the 10 target docs + the pure-target probe, got ${top.toSeq}")
+  }
+
   test("mixtureWeights: shares and weights sum to 1, alpha<1 upsamples small domains") {
     val d = Seq(
       (1L, "a b c d e f g h", "big"), (2L, "a b c d e f g h", "big"),
