@@ -210,6 +210,21 @@ object DocQueries {
           hex(col("content")).as("content_hex"))
         .orderBy("sample_id")
     }),
+    "q_resample" -> ((s, dir) => {
+      // REAL audio decode path: the mixed corpus's WAV rows (16-bit
+      // mono PCM, sample i = the doc's i-th cyclic byte) genuinely
+      // rate-convert 8000 -> 4000 Hz through exact integer two-tap
+      // interpolation; data_hex pins every resampled byte (the 44-byte
+      // canonical header is pinned by n_bytes + the WavSpec round trip)
+      implicit val sp: SparkSession = s
+      Multimodal.resampleAudio(
+        Multimodal.mixedCorpus(documents(s, dir)).filter(_.modality == "audio"),
+        targetRate = 4000).toDF()
+        .select(col("sample_id"), col("sample_rate"), col("duration_ms"),
+          length(col("content")).as("n_bytes"),
+          hex(expr("substring(content, 45)")).as("data_hex"))
+        .orderBy("sample_id")
+    }),
     "q_media_mixed" -> ((s, dir) => {
       // ALL THREE decode boundaries end-to-end: the mixed corpus rows
       // are genuine P6 / RIFF-WAVE PCM / YUV4MPEG2 content, so each
@@ -1012,6 +1027,40 @@ object DocQueries {
         |  hex(encode('P6' || chr(10) || '32 32' || chr(10) || '255' || chr(10)))
         |    || rzhex AS content_hex
         |FROM rz ORDER BY sample_id""".stripMargin,
+
+    "q_resample" ->
+      // mirrors mixedCorpus audio rows + Wav.resampleLinear(4000):
+      // m = ns*4000//8000 output samples; out[j] reads exact rational
+      // position j*(ns-1)/(m-1) with two-tap half-away interpolation —
+      // all integer arithmetic, byte-for-byte in hex space
+      s"""WITH m AS (SELECT doc_id::BIGINT AS sample_id,
+         |  (doc_id % 50) + 20 AS ns,
+         |  ((doc_id % 50) + 20) * 4000 // 8000 AS m2,
+         |  hex(encode(text || '.')) AS thx,
+         |  octet_length(encode(text || '.')) AS blen
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |pos AS (SELECT sample_id, thx, blen, m2,
+         |  unnest(range(m2)) AS j, ns FROM m),
+         |p2 AS (SELECT sample_id, thx, blen, m2, j,
+         |  (j * (ns - 1)) // (m2 - 1) AS i,
+         |  (j * (ns - 1)) % (m2 - 1) AS frac,
+         |  (m2 - 1) AS den FROM pos),
+         |v AS (SELECT sample_id, m2, j,
+         |  CASE WHEN frac = 0
+         |    THEN ('0x' || substr(thx, ((i % blen)::INT) * 2 + 1, 2))::BIGINT
+         |    ELSE (2 * (
+         |      ('0x' || substr(thx, ((i % blen)::INT) * 2 + 1, 2))::BIGINT
+         |        * (den - frac) +
+         |      ('0x' || substr(thx, (((i + 1) % blen)::INT) * 2 + 1, 2))::BIGINT
+         |        * frac) + den) // (2 * den)
+         |  END AS val FROM p2),
+         |hx AS (SELECT sample_id, max(m2) AS m2,
+         |  string_agg(printf('%02X', val) || '00', '' ORDER BY j) AS data_hex
+         |  FROM v GROUP BY 1)
+         |SELECT sample_id, 4000::INT AS sample_rate,
+         |  (m2 * 1000 // 4000)::INT AS duration_ms,
+         |  (44 + 2 * m2)::INT AS n_bytes, data_hex
+         |FROM hx ORDER BY sample_id""".stripMargin,
 
     "q_media_mixed" ->
       // mirrors mixedCorpus + the REAL decode in all three codecs:

@@ -260,6 +260,30 @@ object Multimodal {
     }
   }
 
+  /** Audio resample over DECODED content: RIFF/WAVE PCM rows are
+    * genuinely rate-converted ([[Wav.resampleLinear]] — exact integer
+    * two-tap interpolation, re-encoded as WAV) with the `sample_rate`
+    * metadata updated; content no audio codec covers passes through
+    * UNCHANGED (a rate conversion has no meaning for images or video —
+    * the dual of [[resize]], which skips audio). A pure mapPartitions
+    * over the scan; no shuffle. */
+  def resampleAudio(samples: Dataset[MediaSample], targetRate: Int)(
+      implicit spark: SparkSession): Dataset[MediaSample] = {
+    import spark.implicits._
+    samples.mapPartitions { it =>
+      it.map { s =>
+        Wav.decode(s.content) match {
+          case Some(audio) =>
+            val r = Wav.resampleLinear(audio, targetRate)
+            s.copy(content = Wav.encode(r), sample_rate = targetRate,
+              duration_ms =
+                (r.numSamples / math.max(1, r.channels) * 1000L / targetRate).toInt)
+          case None => s
+        }
+      }
+    }
+  }
+
   /** Resize over DECODED content: P6 images are genuinely resized
     * (nearest-neighbour over the real pixel grid, re-encoded as P6);
     * YUV4MPEG2 video likewise (the same nearest-neighbour map applied

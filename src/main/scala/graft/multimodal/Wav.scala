@@ -111,6 +111,59 @@ object Wav {
     out
   }
 
+  /** Linear-interpolation resample to `targetRate` — the audio
+    * analogue of [[Ppm.resizeNearest]] (a geometric resize has no audio
+    * meaning; rate conversion does). Pure integer math: output frame j
+    * reads input position j*(n-1)/(m-1) as an exact rational, and the
+    * two-tap interpolation rounds half-away-from-zero — so the result
+    * is engine-reproducible (the DuckDB oracle mirrors the same
+    * arithmetic). Channels resample independently; 8-bit audio is
+    * centered before interpolation and re-biased after. */
+  def resampleLinear(a: Audio, targetRate: Int): Audio = {
+    require(targetRate >= 1 && targetRate <= 384000,
+      s"target rate out of range: $targetRate")
+    val n = a.numSamples / a.channels // frames per channel
+    if (n == 0 || targetRate == a.sampleRate)
+      return Audio(targetRate, a.channels, a.bitsPerSample, a.data.clone())
+    val m = math.max(1, (n.toLong * targetRate / a.sampleRate).toInt)
+    val bps = a.bytesPerSample
+    val out = new Array[Byte](m * a.channels * bps)
+    def read(frame: Int, ch: Int): Int = a.sample(frame * a.channels + ch)
+    def write(frame: Int, ch: Int, v: Int): Unit = {
+      val idx = frame * a.channels + ch
+      if (a.bitsPerSample == 8) out(idx) = (v + 128).toByte
+      else {
+        out(2 * idx) = (v & 0xFF).toByte
+        out(2 * idx + 1) = ((v >> 8) & 0xFF).toByte
+      }
+    }
+    var j = 0
+    while (j < m) {
+      var ch = 0
+      while (ch < a.channels) {
+        val v =
+          if (m == 1 || n == 1) read(0, ch)
+          else {
+            val den = (m - 1).toLong
+            val pNum = j.toLong * (n - 1)
+            val i = (pNum / den).toInt
+            val frac = pNum % den
+            if (frac == 0L) read(i, ch)
+            else {
+              // two-tap linear interp, exact integers, round half-away
+              val num = read(i, ch) * (den - frac) + read(i + 1, ch) * frac
+              val s = if (num < 0) -1L else 1L
+              (s * ((2L * math.abs(num) + den) / (2L * den))).toInt
+            }
+          }
+        write(j, ch, v)
+        ch += 1
+      }
+      j += 1
+    }
+    Audio(targetRate, a.channels, a.bitsPerSample, out)
+  }
+
   /** Real sample statistics as a fixed-width feature vector — the audio
     * mirror of [[Ppm.featurize]]: normalized mean, RMS, min and max
     * amplitude, then an amplitude histogram over the remaining buckets.

@@ -202,6 +202,17 @@ object Y4m {
     Video(tw, th, v.fpsNum, v.fpsDen, v.colorspace, outFrames)
   }
 
+  /** Temporal downsample: keep every `step`-th frame (0, step, 2·step,
+    * ...) and divide the frame rate accordingly (fpsDen multiplies, so
+    * the rational rate stays exact). The temporal analogue of
+    * [[resizeNearest]]. */
+  def decimate(v: Video, step: Int): Video = {
+    require(step >= 1, s"decimation step must be >= 1, got $step")
+    if (step == 1) v
+    else Video(v.width, v.height, v.fpsNum, v.fpsDen * step, v.colorspace,
+      v.frames.indices.collect { case i if i % step == 0 => v.frames(i) }.toArray)
+  }
+
   /** Real frame statistics as a fixed-width feature vector — the video
     * mirror of [[Ppm.featurize]] / [[Wav.featurize]]: mean luma, mean
     * Cb, mean Cr (0 for mono), a temporal-motion proxy (mean absolute

@@ -64,6 +64,39 @@ class WavSpec extends AnyFunSuite {
       back.data.toSeq) === ((44100, 2, 16, a.data.toSeq)))
   }
 
+  test("resampleLinear interpolates exactly on the integer grid") {
+    // upsample 3 -> 6 frames: positions j*(2)/5, two-tap round-half-away
+    val up = Wav.resampleLinear(
+      Wav.decode(wav16(Seq(0, 100, 200))).get, 32000)
+    assert(up.sampleRate === 32000 && up.numSamples === 6)
+    assert((0 until 6).map(up.sample) === Seq(0, 40, 80, 120, 160, 200))
+    // downsample by 2: every other exact source frame (frac = 0 path)
+    val down = Wav.resampleLinear(
+      Wav.decode(wav16(Seq(10, 20, 30, 40, 50))).get, 8000)
+    assert(down.numSamples === 2)
+    assert((0 until 2).map(down.sample) === Seq(10, 50))
+    // same rate: identity
+    val same = Wav.resampleLinear(Wav.decode(wav16(Seq(7, -7))).get, 16000)
+    assert((0 until 2).map(same.sample) === Seq(7, -7))
+    // negative samples round half AWAY from zero
+    val neg = Wav.resampleLinear(
+      Wav.decode(wav16(Seq(0, -5))).get, 32000)
+    // positions 0, 1/3, 2/3, 1 -> 0, round(-5/3)=-2, round(-10/3)=-3, -5
+    assert((0 until 4).map(neg.sample) === Seq(0, -2, -3, -5))
+    // stereo channels resample independently
+    val st = Wav.Audio(8000, 2, 16, Seq(0, 1000, 100, 900, 200, 800)
+      .flatMap(v => Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray)
+    val st2 = Wav.resampleLinear(st, 16000) // 3 -> 6 frames per channel
+    assert(st2.numSamples === 12)
+    assert((0 until 6).map(f => st2.sample(2 * f)) ===
+      Seq(0, 40, 80, 120, 160, 200))
+    assert((0 until 6).map(f => st2.sample(2 * f + 1)) ===
+      Seq(1000, 960, 920, 880, 840, 800))
+    // re-encoded stream still decodes with the new rate
+    val rt = Wav.decode(Wav.encode(up)).get
+    assert(rt.sampleRate === 32000 && rt.numSamples === 6)
+  }
+
   test("featurize computes real sample statistics and a full histogram") {
     // full-scale square wave: mean ~0 (one-sided -32768 excess), RMS ~1
     val sq = Wav.decode(wav16(Seq(32767, -32768, 32767, -32768))).get

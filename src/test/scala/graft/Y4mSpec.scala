@@ -100,6 +100,18 @@ class Y4mSpec extends AnyFunSuite {
     assert(c(3) === 0f) // single frame: no motion
   }
 
+  test("decimate keeps every step-th frame and scales the rate exactly") {
+    val v = Y4m.Video(2, 1, 30, 1, "mono",
+      Array.tabulate(5)(fi => Array.fill[Byte](2)(fi.toByte)))
+    val d = Y4m.decimate(v, 2)
+    assert(d.numFrames === 3)
+    assert(d.frames.map(_(0).toInt).toSeq === Seq(0, 2, 4))
+    assert((d.fpsNum, d.fpsDen) === ((30, 2))) // 15 fps as an exact rational
+    assert(Y4m.decimate(v, 1) eq v)            // step 1 is the identity
+    val rt = Y4m.decode(Y4m.encode(d)).get
+    assert(rt.numFrames === 3 && rt.fpsDen === 2)
+  }
+
   test("nearest-neighbour resize maps each plane at its own geometry") {
     // 2x2 420: Y quadrants 10/20/30/40, Cb=100, Cr=200
     val frame = Array[Byte](10, 20, 30, 40, 100, 200.toByte)
