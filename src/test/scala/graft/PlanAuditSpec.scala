@@ -112,6 +112,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_unigram_lp lost map-side partial aggregation")
   }
 
+  test("round-7 operators keep their scale-critical shapes") {
+    // chunk dedup: keeper selection must stay a partial-agg groupBy +
+    // join, never a window over occurrences (hot boilerplate chunks
+    // would pile every occurrence into one partition)
+    assert(!plans("q_chunk_dedup").contains("Window"),
+      "q_chunk_dedup keeper selection regressed to a window")
+    assert(plans("q_chunk_dedup").contains("partial_min"),
+      "q_chunk_dedup lost map-side partial min on keeper selection")
+    assert(!plans("q_boilerplate").contains("Window"),
+      "q_boilerplate regressed to a window")
+    // PCA covariance: the only joins are the broadcast of the d-row
+    // dim-sum table — never a corpus-side shuffle join
+    assert(plans("q_pca_gram").contains("BroadcastHashJoin"),
+      "q_pca_gram does not broadcast the dim-sum table")
+    assert(plans("q_pca_gram").contains("partial_sum"),
+      "q_pca_gram lost map-side partial aggregation on the moments")
+    // DSIR selection: bounded top-k, never a global single-partition sort
+    assert(plans("q_dsir").contains("TakeOrderedAndProject"),
+      "q_dsir selection is not a bounded top-k")
+  }
+
   test("IVF queries run the native cell-distance kernel, not the fallback") {
     // Ivf.cellDists silently degrades to nCells x dim literal l2sq
     // plans if the graft_l2sq_cells registration check misses — a 10x
