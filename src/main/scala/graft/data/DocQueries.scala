@@ -1473,28 +1473,32 @@ object DocQueries {
          |SELECT doc_a, doc_b, common, containment FROM v
          |WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
-    // mirrors TextStats.unigramLogProb: ln(cf/C) snapped per TERM to the
-    // 1e-6 grid (widened from 1e-8 after the 50k-doc probe measured
-    // ~1/5500 docs straddling a boundary on the engines' 1-ulp ln
-    // difference — SURVEY §5.7), per-doc accumulation term-sorted via
-    // list_reduce
+    // mirrors TextStats.unigramLogProb: ln(cf/C) snapped per TERM to
+    // the 1e-6 grid (widened from 1e-8 after the 50k-doc probe —
+    // SURVEY §5.7)
     "q_unigram_lp" ->
+      // integer-grid twin of TextStats.unigramLogProb: 1e-6-scaled-long
+      // per-term snap, exact order-free sums, exact half-away 1e-9
+      // division (the previous double-path round(s/n, 9) diverged
+      // between engines on exact .5e-9 ties — round-7 probe)
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM
          |  (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
          |cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
          |tot AS (SELECT sum(cf)::BIGINT AS c FROM cf),
          |contribs AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    tf.tf * round(ln(cf.cf::DOUBLE / tot.c), 6) AS lp
+         |  SELECT tf.doc_id,
+         |    tf.tf * round(ln(cf.cf::DOUBLE / tot.c) * 1e6, 0)::BIGINT AS lps
          |  FROM tf JOIN cf ON cf.term = tf.term CROSS JOIN tot),
-         |sums AS (
-         |  SELECT doc_id,
-         |    list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY term)),
-         |      (a, b) -> a + b) AS s
+         |sums AS (SELECT doc_id, sum(lps)::BIGINT AS s
          |  FROM contribs GROUP BY doc_id),
-         |nt AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens FROM tf GROUP BY doc_id)
-         |SELECT s.doc_id, nt.n_tokens, round(s.s / nt.n_tokens, 9) AS logprob
-         |FROM sums s JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin
+         |nt AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens FROM tf GROUP BY doc_id),
+         |fin AS (SELECT s.doc_id, nt.n_tokens, s.s * 1000 AS num
+         |  FROM sums s JOIN nt USING (doc_id))
+         |SELECT doc_id, n_tokens,
+         |  ((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+         |    ((2 * abs(num) + n_tokens) // (2 * n_tokens)))::DOUBLE / 1e9
+         |    AS logprob
+         |FROM fin ORDER BY doc_id""".stripMargin
   )
 }

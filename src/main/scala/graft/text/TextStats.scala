@@ -200,24 +200,33 @@ object TextStats {
       .groupBy("doc_id", "__t").agg(count(lit(1)).as("__tf"))
     val cf = tf.groupBy("__t").agg(sum(col("__tf")).as("__cf"))
     val total = cf.agg(sum(col("__cf")).as("__c"))
-    // per-term ln SNAP at 1e-6: the JVM's and other engines' ln differ
-    // by 1 ulp on some inputs, so a term whose ln sits within an ulp of
-    // a rounding boundary flips the grid cell cross-engine. At 1e-8 the
-    // straddle rate was ~1/5500 docs at the 50k-doc probe (SURVEY §5);
-    // 1e-6 divides the per-term probability by 100 (measured: 0
-    // straddles at the same probe) and still leaves logprobs far more
-    // precision than quality filtering uses.
+    // per-term ln SNAP at 1e-6 — kept as a SCALED LONG: the JVM's and
+    // other engines' ln differ by 1 ulp on some inputs, so a term
+    // whose ln sits within an ulp of a grid boundary flips the cell
+    // cross-engine. At 1e-8 the straddle rate was ~1/5500 docs at the
+    // 50k-doc probe (SURVEY §5); 1e-6 divides that by 100 (measured: 0
+    // straddles) and still leaves logprobs far more precision than
+    // quality filtering uses. Integerizing the snapped value (instead
+    // of a rounded double) makes the per-doc sum ORDER-FREE exact
+    // arithmetic — no sorted fold needed — and the final 1e-9 rounding
+    // an exact integer half-away division: the round-7 probe caught
+    // the previous double-path round(s/n, 9) diverging between engines
+    // on EXACT .5e-9 ties (a 1e-6-grid sum over an even token count
+    // lands on half-grid quotients, where DuckDB's float-path round
+    // and the JVM's decimal-path round disagree — 30/50k docs).
     val contribs = tf.join(cf, Seq("__t")).crossJoin(broadcast(total))
-      .select(col("doc_id"), col("__t"),
+      .select(col("doc_id"),
         (col("__tf") *
-          round(log(col("__cf").cast("double") / col("__c")), 6)).as("__lp"))
+          round(log(col("__cf").cast("double") / col("__c")) * lit(1e6), 0)
+            .cast("long")).as("__lps"))
     contribs.groupBy("doc_id")
-      .agg(
-        aggregate(array_sort(collect_list(struct(col("__t"), col("__lp")))),
-          lit(0.0), (acc, x) => acc + x.getField("__lp")).as("__sum"))
+      .agg(sum(col("__lps")).as("__S"))
       .join(tf.groupBy("doc_id").agg(sum(col("__tf")).as("n_tokens")), Seq("doc_id"))
+      .withColumn("__num", col("__S") * lit(1000L))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("__sum") / col("n_tokens"), 9).as("logprob"))
+        ((when(col("__num") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(2 * abs(__num) + n_tokens) div (2 * n_tokens)"))
+          .cast("double") / lit(1e9)).as("logprob"))
   }
 
   /** Whitespace token count plus a BPE-ish subword estimate: runs of
