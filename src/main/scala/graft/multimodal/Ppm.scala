@@ -116,9 +116,13 @@ object Ppm {
       val g = img.pixels(i * 3 + 1) & 0xFF
       val b = img.pixels(i * 3 + 2) & 0xFF
       rSum += r; gSum += g; bSum += b
-      val luma = (2126 * r + 7152 * g + 722 * b) / 10000 // 0..maxVal
+      val luma = (2126 * r + 7152 * g + 722 * b) / 10000 // 0..255 raw
       lSum += luma
-      if (histBuckets > 0) hist(luma * histBuckets / (range + 1)) += 1
+      // clamp: netpbm tolerates samples ABOVE the declared maxval (a
+      // mis-declared header must not index past the last bucket —
+      // found by CodecFuzzSpec)
+      if (histBuckets > 0)
+        hist(math.min(histBuckets - 1, luma * histBuckets / (range + 1))) += 1
       i += 1
     }
     val denom = range.toDouble * n
