@@ -306,6 +306,11 @@ object DocQueries {
     "q_centroids" -> ((s, dir) =>
       Embeddings.centroidsLong(embeddings(s, dir))
         .orderBy("group", "dim")),
+    "q_pmi" -> ((s, dir) =>
+      // top-200 collocations by 1e-6-snapped PMI over a ±2 window,
+      // pairs with fewer than 5 occurrences dropped
+      graft.text.Collocations.pmiTopK(documents(s, dir),
+        k = 200, window = 2, minCount = 5)),
     "q_dsir" -> ((s, dir) =>
       // DSIR importance resampling: the 100 docs whose unigram
       // distribution most resembles the lang='en' target subset,
@@ -1306,6 +1311,35 @@ object DocQueries {
         |  count(*)::BIGINT AS n_vecs
         |FROM embeddings CROSS JOIN range(64) t(d)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pmi" ->
+      // mirrors Collocations.pmiTopK(k=200, window=2, minCount=5):
+      // in-window unordered pairs, exact counts, single ln per pair
+      // with the identical explicit operation order, snapped 1e-6
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |pos AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+         |  FROM t WHERE len(toks) > 1),
+         |pr AS (SELECT doc_id,
+         |  least(toks[(i + 1)::INT], toks[(i + 1 + d)::INT]) AS a,
+         |  greatest(toks[(i + 1)::INT], toks[(i + 1 + d)::INT]) AS b
+         |  FROM pos CROSS JOIN (SELECT unnest(range(1, 3)) AS d) o
+         |  WHERE i + d <= len(toks) - 1),
+         |pc AS (SELECT a, b, count(*) AS cab FROM pr GROUP BY 1, 2),
+         |tc AS (SELECT tok, count(*) AS c FROM
+         |  (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+         |sc AS (SELECT (SELECT sum(cab) FROM pc)::DOUBLE AS p,
+         |  (SELECT sum(c) FROM tc)::DOUBLE AS n)
+         |SELECT pc.a, pc.b, pc.cab AS n_pairs,
+         |  round(ln(((pc.cab::DOUBLE * sc.n) * sc.n) /
+         |    ((sc.p * ca.c::DOUBLE) * cb.c::DOUBLE)) * 1e6, 0)::BIGINT
+         |    AS pmi_scaled,
+         |  (round(ln(((pc.cab::DOUBLE * sc.n) * sc.n) /
+         |    ((sc.p * ca.c::DOUBLE) * cb.c::DOUBLE)) * 1e6, 0)::BIGINT)::DOUBLE
+         |    / 1e6 AS pmi
+         |FROM pc JOIN tc ca ON ca.tok = pc.a JOIN tc cb ON cb.tok = pc.b
+         |  CROSS JOIN sc
+         |WHERE pc.cab >= 5
+         |ORDER BY pmi_scaled DESC, a, b LIMIT 200""".stripMargin,
 
     "q_dsir" ->
       // mirrors CorpusOps.dsirSample: add-1-smoothed target/raw

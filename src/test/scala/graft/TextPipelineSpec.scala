@@ -255,4 +255,37 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rows.head.getAs[Long]("common") === 3L)
     assertClose(rows.head.getAs[Double]("containment"), 0.75)
   }
+
+  test("cooccurrencePairs: in-window unordered pairs, exact counts") {
+    import graft.text.Collocations
+    val d = docs((1L, "a b c"), (2L, "z"))
+    val pairs = Collocations.cooccurrencePairs(d, window = 2).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    // positions: (a,b) d=1, (b,c) d=1, (a,c) d=2 — single-token doc inert
+    assert(pairs.sorted.toSeq === Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    // unordered: "c a" yields (a, c)
+    val rev = Collocations.cooccurrencePairs(docs((3L, "c a")), window = 2)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    assert(rev.toSeq === Seq(("a", "c")))
+  }
+
+  test("pmiTopK ranks genuinely associated pairs above frequent-but-independent ones") {
+    import graft.text.Collocations
+    // "ping pong" always adjacent (perfect association); "the" is
+    // everywhere (high frequency, no specific partner)
+    val d = docs((0 until 30).map(i =>
+      (i.toLong, s"the w$i ping pong the w$i")): _*)
+    val out = Collocations.pmiTopK(d, k = 5, window = 1, minCount = 5).collect()
+    assert(out.nonEmpty)
+    val top = (out.head.getAs[String]("a"), out.head.getAs[String]("b"))
+    assert(top === (("ping", "pong")), s"expected (ping, pong) first, got $top")
+    // pmi column is exactly the scaled integer / 1e6
+    out.foreach { r =>
+      assert(r.getAs[Double]("pmi") ===
+        r.getAs[Long]("pmi_scaled").toDouble / 1e6)
+    }
+    // deterministic across runs
+    val again = Collocations.pmiTopK(d, k = 5, window = 1, minCount = 5).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
 }
