@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Bpe
+
+/** Golden tests for BPE training/encoding on the classic hand-traced
+  * corpus (no SQL oracle applies — the merge loop is iterative list
+  * rewriting; determinism and the hand-derived merge table are the
+  * pins, the streaming-operator precedent). */
+class BpeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** hug x10, pug x5, pun x12, bun x4, hugs x5 — the standard BPE
+    * teaching corpus. Hand trace: pair counts u-g 20, p-u 17, u-n 16,
+    * h-u 15, b-u 4, g-s 5 -> merge (u,g); then u-n 16, h-ug 15 ->
+    * merge (u,n); then h-ug 15 -> merge (h,ug). */
+  private def corpus = Seq(
+    (1L, Array.fill(10)("hug").mkString(" ")),
+    (2L, Array.fill(5)("pug").mkString(" ")),
+    (3L, Array.fill(12)("pun").mkString(" ")),
+    (4L, Array.fill(4)("bun").mkString(" ")),
+    (5L, Array.fill(5)("hugs").mkString(" "))).toDF("doc_id", "text")
+
+  test("train learns the hand-traced merge sequence") {
+    assert(Bpe.train(corpus, numMerges = 3) ===
+      Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+  }
+
+  test("train is deterministic and stops when pairs are exhausted") {
+    val m1 = Bpe.train(corpus, numMerges = 3)
+    val m2 = Bpe.train(corpus, numMerges = 3)
+    assert(m1 === m2)
+    // a single repeated 2-char word admits exactly one merge
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    assert(Bpe.train(tiny, numMerges = 10) === Seq(("a", "b")))
+  }
+
+  test("encode segments with learned merges; unseen words fall to chars") {
+    val merges = Bpe.train(corpus, numMerges = 3)
+    val probe = Seq((9L, "hugs bun hug zap")).toDF("doc_id", "text")
+    val out = Bpe.encode(probe, merges).collect()
+      .map(r => r.getAs[String]("token") ->
+        r.getAs[scala.collection.Seq[String]]("subwords").toSeq).toMap
+    assert(out("hugs") === Seq("hug", "s"))
+    assert(out("bun") === Seq("b", "un"))
+    assert(out("hug") === Seq("hug"))
+    assert(out("zap") === Seq("z", "a", "p")) // no applicable merges
+    val counts = Bpe.encode(probe, merges).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Int]("n_subwords")).toMap
+    assert(counts === Map("hugs" -> 2, "bun" -> 2, "hug" -> 1, "zap" -> 3))
+  }
+
+  test("merge application is left-to-right non-overlapping") {
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq ===
+      Seq("aa", "a"))
+    assert(Bpe.segment("aaaa", Seq(("a", "a"), ("aa", "aa"))).toSeq ===
+      Seq("aaaa"))
+  }
+}
