@@ -306,6 +306,17 @@ object DocQueries {
     "q_centroids" -> ((s, dir) =>
       Embeddings.centroidsLong(embeddings(s, dir))
         .orderBy("group", "dim")),
+    "q_leak_split" -> ((s, dir) =>
+      // contamination-safe assignment: split keyed on the near-dup
+      // cluster id (shares the memoized pair graph), so no duplicate
+      // pair can straddle a train/test boundary
+      CorpusOps.leakageSafeSplit(
+        documents(s, dir).select("doc_id"),
+        Dedup.duplicateClusters(
+          docJaccardPairs(s, dir, n = 3, minJaccard = 0.3, maxDf = 100)
+            .select("doc_a", "doc_b")))
+        .select("doc_id", "split_key", "bucket", "split")
+        .orderBy("doc_id")),
     "q_pmi" -> ((s, dir) =>
       // top-200 collocations by 1e-6-snapped PMI over a ±2 window,
       // pairs with fewer than 5 occurrences dropped
@@ -1311,6 +1322,31 @@ object DocQueries {
         |  count(*)::BIGINT AS n_vecs
         |FROM embeddings CROSS JOIN range(64) t(d)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_leak_split" ->
+      // mirrors leakageSafeSplit over the exact-Jaccard cluster graph:
+      // recursive-CTE components, split key = cluster id else doc id,
+      // then the q_hash_split salted-hash thresholds on the key
+      s"""WITH RECURSIVE $jaccardCtes,
+         |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |        UNION ALL SELECT doc_b, doc_a FROM pr),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM und
+         |  UNION
+         |  SELECT u.src, w.label FROM und u JOIN walk w ON w.id = u.dst),
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk
+         |  GROUP BY id),
+         |k AS (SELECT d.doc_id,
+         |  coalesce(cl.cluster_id, d.doc_id)::BIGINT AS split_key
+         |  FROM documents d LEFT JOIN cl USING (doc_id)),
+         |b AS (SELECT doc_id, split_key,
+         |  ${hash56("'graft:' || split_key::VARCHAR")} % 1000 AS bucket
+         |  FROM k)
+         |SELECT doc_id, split_key, bucket,
+         |  CASE WHEN bucket < 900 THEN 'train'
+         |       WHEN bucket < 950 THEN 'valid' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_pmi" ->
       // mirrors Collocations.pmiTopK(k=200, window=2, minCount=5):

@@ -36,6 +36,33 @@ object CorpusOps {
     docs.withColumn("bucket", bucket).withColumn("split", expr)
   }
 
+  /** Leakage-safe split assignment: every member of a duplicate
+    * CLUSTER lands in the same split (near-duplicates straddling a
+    * train/test boundary leak evaluation data into training — the
+    * contamination mode plain per-document splitting cannot prevent).
+    * The split key is the document's cluster id when it has one
+    * (from [[Dedup.duplicateClusters]]' min-label components) and its
+    * own id otherwise, then [[hashSplit]]'s salted-hash thresholds
+    * apply to the key. Same determinism and growth-stability
+    * guarantees; a left join against the (pair-graph-sized, typically
+    * small) cluster table is the only added cost.
+    * @return input columns + (split_key, bucket, split) */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      clusters: DataFrame,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05,
+        "test" -> 0.05),
+      salt: String = "graft",
+      idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.join(
+        clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("split_key",
+        coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .drop("cluster_id")
+    hashSplit(keyed, splits, salt, idCol = "split_key")
+  }
+
   /** Deterministic per-domain Bernoulli sampling — the op that APPLIES a
     * mixture (e.g. [[mixtureWeights]] rescaled to acceptance rates): a
     * document survives iff its salted id hash, mapped uniformly into

@@ -227,6 +227,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(s.forall { case (id, sp) => l(id) === sp })
   }
 
+  test("leakageSafeSplit keeps every cluster member in one split") {
+    import graft.text.Dedup
+    // two clusters {1,2,3} and {10,11}; 20..29 are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 29L)).toDF("doc_id")
+    val out = CorpusOps.leakageSafeSplit(docs, clusters).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("split_key"), r.getAs[String]("split")))).toMap
+    assert(out.size === 15)
+    // cluster members share the key (= min id) and therefore the split
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct.size === 1)
+    assert(out(1L)._1 === 1L)
+    assert(Seq(10L, 11L).map(out(_)).distinct.size === 1)
+    assert(out(10L)._1 === 10L)
+    // singletons key on their own id and match plain hashSplit exactly
+    val plain = CorpusOps.hashSplit((20L to 29L).toDF("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    (20L to 29L).foreach(id => assert(out(id)._2 === plain(id)))
+  }
+
   test("dsirWeights favors documents that look like the target subset") {
     // target docs speak "alpha beta gamma"; raw background speaks
     // "noise junk filler"; probe docs mix the two vocabularies
