@@ -210,6 +210,18 @@ object DocQueries {
           hex(col("content")).as("content_hex"))
         .orderBy("sample_id")
     }),
+    "q_image_hash" -> ((s, dir) => {
+      // REAL decode path: aHash perceptual fingerprints from the
+      // genuine 8x8-resized pixel grid — pure integer arithmetic,
+      // every hex digit pinned by the oracle
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      Multimodal.imageHashes(
+        Multimodal.syntheticCorpus(documents(s, dir)).as[graft.multimodal.MediaSample])
+        .select(col("sample_id"), col("modality"),
+          col("decoded").cast("int").as("decoded"), col("ahash"))
+        .orderBy("sample_id")
+    }),
     "q_resample" -> ((s, dir) => {
       // REAL audio decode path: the mixed corpus's WAV rows (16-bit
       // mono PCM, sample i = the doc's i-th cyclic byte) genuinely
@@ -1043,6 +1055,41 @@ object DocQueries {
         |  hex(encode('P6' || chr(10) || '32 32' || chr(10) || '255' || chr(10)))
         |    || rzhex AS content_hex
         |FROM rz ORDER BY sample_id""".stripMargin,
+
+    "q_image_hash" ->
+      // mirrors syntheticCorpus + Ppm.aHash: 8x8 nearest-neighbour
+      // source indexes into the cyclic pixel hex, integer Rec.709
+      // luma, floor-mean threshold (strict >), MSB-first row bytes
+      """WITH m AS (SELECT doc_id::BIGINT AS sample_id,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  (doc_id % 13) + 4 AS w0, (doc_id % 11) + 4 AS h0,
+        |  hex(encode(text || '.')) AS thx,
+        |  octet_length(encode(text || '.')) AS blen
+        |  FROM documents),
+        |px AS (SELECT sample_id, modality, w0, h0,
+        |  substr(repeat(thx, ((w0*h0*3 + blen - 1) // blen)::INT),
+        |         1, w0*h0*3*2) AS pxhex
+        |  FROM m),
+        |cells AS (SELECT sample_id, modality, y, x,
+        |  (2126 * ('0x' || substr(pxhex, off + 1, 2))::BIGINT +
+        |   7152 * ('0x' || substr(pxhex, off + 3, 2))::BIGINT +
+        |    722 * ('0x' || substr(pxhex, off + 5, 2))::BIGINT) // 10000
+        |    AS luma
+        |  FROM (SELECT sample_id, modality, pxhex, y, x,
+        |    (((y * h0) // 8) * w0 + (x * w0) // 8)::INT * 6 AS off
+        |    FROM px CROSS JOIN range(8) ty(y) CROSS JOIN range(8) tx(x))),
+        |mn AS (SELECT sample_id, sum(luma) // 64 AS mean
+        |  FROM cells GROUP BY 1),
+        |bits AS (SELECT c.sample_id, c.modality, c.y,
+        |  sum(CASE WHEN c.luma > mn.mean THEN 1 << (7 - c.x)::INT
+        |      ELSE 0 END) AS byte
+        |  FROM cells c JOIN mn USING (sample_id) GROUP BY 1, 2, 3),
+        |h AS (SELECT sample_id, modality,
+        |  string_agg(printf('%02X', byte::BIGINT), '' ORDER BY y) AS ahash
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT sample_id, modality, 1 AS decoded, ahash
+        |FROM h ORDER BY sample_id""".stripMargin,
 
     "q_resample" ->
       // mirrors mixedCorpus audio rows + Wav.resampleLinear(4000):

@@ -260,6 +260,33 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image fingerprints over DECODED content: P6 rows get a
+    * real [[Ppm.aHash]] (`decoded = true`); anything else gets a
+    * deterministic stub fingerprint over the encoded bytes (first 8
+    * bytes of the md5 content hash — exact-dup-only semantics, the
+    * honest fallback when no pixel grid exists). The image near-dup
+    * primitive: group or Hamming-band on `ahash`. A pure mapPartitions
+    * over the scan; no shuffle.
+    * @return (sample_id, modality, decoded, ahash) */
+  def imageHashes(samples: Dataset[MediaSample])(
+      implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    samples.mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      it.map { s =>
+        Ppm.decode(s.content) match {
+          case Some(img) => (s.sample_id, s.modality, true, Ppm.aHash(img))
+          case None =>
+            md5.reset()
+            val h = md5.digest(s.content)
+            val hex = new StringBuilder(16)
+            (0 until 8).foreach(i => hex.append(f"${h(i) & 0xFF}%02X"))
+            (s.sample_id, s.modality, false, hex.toString)
+        }
+      }
+    }.toDF("sample_id", "modality", "decoded", "ahash")
+  }
+
   /** Audio resample over DECODED content: RIFF/WAVE PCM rows are
     * genuinely rate-converted ([[Wav.resampleLinear]] — exact integer
     * two-tap interpolation, re-encoded as WAV) with the `sample_rate`

@@ -95,6 +95,42 @@ object Ppm {
     Image(tw, th, img.maxVal, out)
   }
 
+  /** Average-hash (aHash) perceptual fingerprint over the REAL pixel
+    * grid: nearest-neighbour resize to 8x8, integer Rec.709 luminance
+    * per cell, bit = luminance STRICTLY ABOVE the floor-mean — returned
+    * as 16 uppercase hex chars (row-major, MSB-first per row byte).
+    * Pure integer arithmetic end to end, so the fingerprint is
+    * engine-reproducible; near-identical images differ in few bits
+    * (Hamming distance), the standard image near-dup primitive. */
+  def aHash(img: Image): String = {
+    val small = resizeNearest(img, 8, 8)
+    val luma = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val r = small.pixels(i * 3) & 0xFF
+      val g = small.pixels(i * 3 + 1) & 0xFF
+      val b = small.pixels(i * 3 + 2) & 0xFF
+      luma(i) = (2126 * r + 7152 * g + 722 * b) / 10000
+      sum += luma(i)
+      i += 1
+    }
+    val mean = sum / 64 // floor-mean: exact integer, tie = bit 0
+    val out = new StringBuilder(16)
+    var row = 0
+    while (row < 8) {
+      var byte = 0
+      var c = 0
+      while (c < 8) {
+        if (luma(row * 8 + c) > mean) byte |= 1 << (7 - c)
+        c += 1
+      }
+      out.append(f"$byte%02X")
+      row += 1
+    }
+    out.toString
+  }
+
   /** Real pixel statistics as a fixed-width feature vector: channel
     * means, mean luminance (Rec.709 integer weights), then a luminance
     * histogram over the remaining buckets — all from exact integer

@@ -45,6 +45,27 @@ class PpmSpec extends AnyFunSuite {
       Some((2, 2, 255, px2x2.toSeq)))
   }
 
+  test("aHash fingerprints the real pixel grid deterministically") {
+    // top half black, bottom half white (16x16): rows 0-3 of the 8x8
+    // luma grid sit below the mean, rows 4-7 above -> 00000000FFFFFFFF
+    val px = new Array[Byte](16 * 16 * 3)
+    java.util.Arrays.fill(px, 16 * 8 * 3, px.length, 0xFF.toByte)
+    val img = graft.multimodal.Ppm.Image(16, 16, 255, px)
+    assert(graft.multimodal.Ppm.aHash(img) === "00000000FFFFFFFF")
+    // uniform image: no luma strictly above the mean -> all-zero hash
+    val flat = graft.multimodal.Ppm.Image(4, 4, 255,
+      Array.fill[Byte](48)(100.toByte))
+    assert(graft.multimodal.Ppm.aHash(flat) === "0000000000000000")
+    // a small perturbation flips few bits (Hamming-near, not equal)
+    val px2 = px.clone(); px2(0) = 0x40
+    val h1 = graft.multimodal.Ppm.aHash(img)
+    val h2 = graft.multimodal.Ppm.aHash(
+      graft.multimodal.Ppm.Image(16, 16, 255, px2))
+    def bits(h: String): Long =
+      java.lang.Long.parseUnsignedLong(h, 16)
+    assert(java.lang.Long.bitCount(bits(h1) ^ bits(h2)) <= 2)
+  }
+
   test("nearest-neighbour resize maps the expected source pixels") {
     // 2x2 -> 4x4: quadrant replication (sx = floor(x*2/4) etc.)
     val up = Ppm.resizeNearest(img2x2, 4, 4)
