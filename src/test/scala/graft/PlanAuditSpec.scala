@@ -131,6 +131,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // DSIR selection: bounded top-k, never a global single-partition sort
     assert(plans("q_dsir").contains("TakeOrderedAndProject"),
       "q_dsir selection is not a bounded top-k")
+    // PMI selection likewise; pair generation is in-row (no self-join)
+    assert(plans("q_pmi").contains("TakeOrderedAndProject"),
+      "q_pmi selection is not a bounded top-k")
+    // image hashing is a pure per-row map over the scan — the only
+    // exchange is the final presentation orderBy
+    assert(!plans("q_image_hash").contains("Join"),
+      "q_image_hash grew a join; it must stay a per-row map")
   }
 
   test("IVF queries run the native cell-distance kernel, not the fallback") {
