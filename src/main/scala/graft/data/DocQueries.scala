@@ -210,6 +210,17 @@ object DocQueries {
           hex(col("content")).as("content_hex"))
         .orderBy("sample_id")
     }),
+    "q_media_fp" -> ((s, dir) => {
+      // content fingerprints through ALL THREE decode boundaries:
+      // image aHash / audio energy-contour hash / video first+last
+      // frame hashes — pure integer arithmetic over decoded data,
+      // every hex digit oracle-pinned, decoded=1 pins no stub fallback
+      implicit val sp: SparkSession = s
+      Multimodal.mediaFingerprints(Multimodal.mixedCorpus(documents(s, dir)))
+        .select(col("sample_id"), col("modality"),
+          col("decoded").cast("int").as("decoded"), col("fingerprint"))
+        .orderBy("sample_id")
+    }),
     "q_image_hash" -> ((s, dir) => {
       // REAL decode path: aHash perceptual fingerprints from the
       // genuine 8x8-resized pixel grid — pure integer arithmetic,
@@ -1055,6 +1066,81 @@ object DocQueries {
         |  hex(encode('P6' || chr(10) || '32 32' || chr(10) || '255' || chr(10)))
         |    || rzhex AS content_hex
         |FROM rz ORDER BY sample_id""".stripMargin,
+
+    "q_media_fp" ->
+      // mirrors mixedCorpus + the three decoded fingerprints:
+      // image aHash (8x8 nearest, floor-mean strict threshold), audio
+      // energy hash (64 sample windows, 64*ssq_j > total exact integer
+      // compare; short clips leave trailing windows 0), video
+      // first||last frame hash over the mono luma plane
+      """WITH m AS (SELECT doc_id::BIGINT AS sample_id, (doc_id % 3) AS md,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  (doc_id % 13) + 4 AS w0, (doc_id % 11) + 4 AS h0,
+        |  (doc_id % 50) + 20 AS ns, (doc_id % 4) + 2 AS nf,
+        |  hex(encode(text || '.')) AS thx,
+        |  octet_length(encode(text || '.')) AS blen
+        |  FROM documents),
+        |ipx AS (SELECT sample_id, modality, w0, h0,
+        |  substr(repeat(thx, ((w0*h0*3 + blen - 1) // blen)::INT),
+        |         1, w0*h0*3*2) AS pxhex
+        |  FROM m WHERE md = 0),
+        |ic AS (SELECT sample_id, modality, y, x,
+        |  (2126 * ('0x' || substr(pxhex, off + 1, 2))::BIGINT +
+        |   7152 * ('0x' || substr(pxhex, off + 3, 2))::BIGINT +
+        |    722 * ('0x' || substr(pxhex, off + 5, 2))::BIGINT) // 10000
+        |    AS luma
+        |  FROM (SELECT sample_id, modality, pxhex, y, x,
+        |    (((y * h0) // 8) * w0 + (x * w0) // 8)::INT * 6 AS off
+        |    FROM ipx CROSS JOIN range(8) ty(y) CROSS JOIN range(8) tx(x))),
+        |im AS (SELECT sample_id, sum(luma) // 64 AS mean FROM ic GROUP BY 1),
+        |ib AS (SELECT c.sample_id, c.modality, c.y,
+        |  sum(CASE WHEN c.luma > im.mean THEN 1 << (7 - c.x)::INT
+        |      ELSE 0 END) AS byte
+        |  FROM ic c JOIN im USING (sample_id) GROUP BY 1, 2, 3),
+        |ih AS (SELECT sample_id, modality,
+        |  string_agg(printf('%02X', byte::BIGINT), '' ORDER BY y) AS fp
+        |  FROM ib GROUP BY 1, 2),
+        |a1 AS (SELECT sample_id, modality, ns, thx, blen FROM m WHERE md = 1),
+        |av AS (SELECT sample_id, (i * 64 // ns) AS j,
+        |  ('0x' || substr(thx, ((i % blen)::INT) * 2 + 1, 2))::BIGINT AS b
+        |  FROM (SELECT sample_id, ns, thx, blen, unnest(range(ns)) AS i
+        |        FROM a1)),
+        |aw AS (SELECT sample_id, j, sum(b * b) AS ssq FROM av GROUP BY 1, 2),
+        |at AS (SELECT sample_id, sum(ssq) AS total FROM aw GROUP BY 1),
+        |ab AS (SELECT w.sample_id, w.modality, (w.k // 8) AS r,
+        |  sum(CASE WHEN 64 * coalesce(aw.ssq, 0) > at.total
+        |      THEN 1 << (7 - (w.k % 8))::INT ELSE 0 END) AS byte
+        |  FROM (SELECT sample_id, modality, unnest(range(64)) AS k FROM a1) w
+        |  LEFT JOIN aw ON aw.sample_id = w.sample_id AND aw.j = w.k
+        |  JOIN at ON at.sample_id = w.sample_id
+        |  GROUP BY 1, 2, 3),
+        |ah AS (SELECT sample_id, modality,
+        |  string_agg(printf('%02X', byte::BIGINT), '' ORDER BY r) AS fp
+        |  FROM ab GROUP BY 1, 2),
+        |v1 AS (SELECT sample_id, modality, w0, h0, nf, thx, blen
+        |  FROM m WHERE md = 2),
+        |vc AS (SELECT sample_id, modality, fi, y, x,
+        |  ('0x' || substr(repeat(thx, ((nf*w0*h0 + blen - 1) // blen)::INT),
+        |    (fi*w0*h0 + ((y * h0) // 8) * w0 + (x * w0) // 8)::INT * 2 + 1, 2)
+        |  )::BIGINT AS luma
+        |  FROM (SELECT sample_id, modality, w0, h0, nf, thx, blen,
+        |    unnest([0, nf - 1]) AS fi FROM v1)
+        |  CROSS JOIN range(8) ty(y) CROSS JOIN range(8) tx(x)),
+        |vm AS (SELECT sample_id, fi, sum(luma) // 64 AS mean
+        |  FROM vc GROUP BY 1, 2),
+        |vb AS (SELECT c.sample_id, c.modality, c.fi, c.y,
+        |  sum(CASE WHEN c.luma > vm.mean THEN 1 << (7 - c.x)::INT
+        |      ELSE 0 END) AS byte
+        |  FROM vc c JOIN vm ON vm.sample_id = c.sample_id AND vm.fi = c.fi
+        |  GROUP BY 1, 2, 3, 4),
+        |vh AS (SELECT sample_id, modality,
+        |  string_agg(printf('%02X', byte::BIGINT), '' ORDER BY fi, y) AS fp
+        |  FROM vb GROUP BY 1, 2)
+        |SELECT sample_id, modality, 1 AS decoded, fp AS fingerprint
+        |FROM (SELECT * FROM ih UNION ALL SELECT * FROM ah
+        |      UNION ALL SELECT * FROM vh)
+        |ORDER BY sample_id""".stripMargin,
 
     "q_image_hash" ->
       // mirrors syntheticCorpus + Ppm.aHash: 8x8 nearest-neighbour

@@ -287,6 +287,45 @@ object Multimodal {
     }.toDF("sample_id", "modality", "decoded", "ahash")
   }
 
+  /** Content fingerprints for ALL THREE modalities over DECODED data —
+    * the near-dup primitive per media type: P6 images get
+    * [[Ppm.aHash]] (16 hex), PCM audio gets [[Wav.energyHash]]
+    * (16 hex), y4m video gets first-frame || last-frame
+    * [[Y4m.frameHash]] (32 hex — temporal endpoints, the
+    * frame-sampling convention); content no codec covers gets the
+    * md5-prefix exact-dup fallback, flagged `decoded = false`. All
+    * decoded paths are pure integer arithmetic (engine-reproducible).
+    * A pure mapPartitions over the scan; no shuffle.
+    * @return (sample_id, modality, decoded, fingerprint) */
+  def mediaFingerprints(samples: Dataset[MediaSample])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    samples.mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      it.map { s =>
+        Ppm.decode(s.content) match {
+          case Some(img) => (s.sample_id, s.modality, true, Ppm.aHash(img))
+          case None => Wav.decode(s.content) match {
+            case Some(audio) =>
+              (s.sample_id, s.modality, true, Wav.energyHash(audio))
+            case None => Y4m.decode(s.content) match {
+              case Some(video) =>
+                (s.sample_id, s.modality, true,
+                  Y4m.frameHash(video, 0) +
+                    Y4m.frameHash(video, video.numFrames - 1))
+              case None =>
+                md5.reset()
+                val h = md5.digest(s.content)
+                val hex = new StringBuilder(16)
+                (0 until 8).foreach(i => hex.append(f"${h(i) & 0xFF}%02X"))
+                (s.sample_id, s.modality, false, hex.toString)
+            }
+          }
+        }
+      }
+    }.toDF("sample_id", "modality", "decoded", "fingerprint")
+  }
+
   /** Audio resample over DECODED content: RIFF/WAVE PCM rows are
     * genuinely rate-converted ([[Wav.resampleLinear]] — exact integer
     * two-tap interpolation, re-encoded as WAV) with the `sample_rate`

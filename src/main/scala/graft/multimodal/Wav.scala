@@ -111,6 +111,42 @@ object Wav {
     out
   }
 
+  /** Energy-contour fingerprint over the DECODED sample grid — the
+    * audio analogue of [[Ppm.aHash]]: the interleaved sample sequence
+    * is cut into 64 index windows [j*n/64, (j+1)*n/64); bit j is set
+    * iff the window's energy share STRICTLY exceeds the uniform share
+    * (64 * ssq_j > total_ssq — exact integer comparison, no sqrt, no
+    * floats), emitted as 16 uppercase hex chars (MSB-first row bytes).
+    * Engine-reproducible; loudness-pattern near-dups differ in few
+    * bits. Windows emptied by n < 64 contribute 0 bits. */
+  def energyHash(a: Audio): String = {
+    val n = a.numSamples
+    if (n == 0) return "0" * 16
+    val ssq = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val s = a.sample(i).toLong
+      val j = (i.toLong * 64 / n).toInt
+      ssq(j) += s * s
+      total += s * s
+      i += 1
+    }
+    val out = new StringBuilder(16)
+    var row = 0
+    while (row < 8) {
+      var byte = 0
+      var c = 0
+      while (c < 8) {
+        if (64L * ssq(row * 8 + c) > total) byte |= 1 << (7 - c)
+        c += 1
+      }
+      out.append(f"$byte%02X")
+      row += 1
+    }
+    out.toString
+  }
+
   /** Linear-interpolation resample to `targetRate` — the audio
     * analogue of [[Ppm.resizeNearest]] (a geometric resize has no audio
     * meaning; rate conversion does). Pure integer math: output frame j

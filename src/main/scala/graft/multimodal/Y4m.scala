@@ -202,6 +202,45 @@ object Y4m {
     Video(tw, th, v.fpsNum, v.fpsDen, v.colorspace, outFrames)
   }
 
+  /** aHash of one frame's LUMA plane — the video analogue of
+    * [[Ppm.aHash]]: 8x8 nearest-neighbour resample of the Y plane,
+    * bit = sample STRICTLY above the floor-mean, 16 uppercase hex
+    * chars (MSB-first row bytes). Pure integer arithmetic. */
+  def frameHash(v: Video, frameIdx: Int): String = {
+    require(frameIdx >= 0 && frameIdx < v.numFrames,
+      s"frame $frameIdx out of range [0, ${v.numFrames})")
+    val f = v.frames(frameIdx)
+    val luma = new Array[Int](64)
+    var sum = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = (y.toLong * v.height / 8).toInt
+      var x = 0
+      while (x < 8) {
+        val sx = (x.toLong * v.width / 8).toInt
+        val l = f(sy * v.width + sx) & 0xFF
+        luma(y * 8 + x) = l
+        sum += l
+        x += 1
+      }
+      y += 1
+    }
+    val mean = sum / 64
+    val out = new StringBuilder(16)
+    var row = 0
+    while (row < 8) {
+      var byte = 0
+      var c = 0
+      while (c < 8) {
+        if (luma(row * 8 + c) > mean) byte |= 1 << (7 - c)
+        c += 1
+      }
+      out.append(f"$byte%02X")
+      row += 1
+    }
+    out.toString
+  }
+
   /** Temporal downsample: keep every `step`-th frame (0, step, 2·step,
     * ...) and divide the frame rate accordingly (fpsDen multiplies, so
     * the rational rate stays exact). The temporal analogue of

@@ -97,6 +97,23 @@ class WavSpec extends AnyFunSuite {
     assert(rt.sampleRate === 32000 && rt.numSamples === 6)
   }
 
+  test("energyHash sets exactly the above-uniform-energy windows") {
+    // 128 samples: the second half loud, the first silent -> windows
+    // 32..63 carry all the energy -> hash 00000000FFFFFFFF
+    val loudTail = Wav.decode(wav16(
+      Seq.fill(64)(0) ++ Seq.fill(64)(1000))).get
+    assert(Wav.energyHash(loudTail) === "00000000FFFFFFFF")
+    // uniform energy: no window STRICTLY above the mean -> all zeros
+    val flat = Wav.decode(wav16(Seq.fill(128)(500))).get
+    assert(Wav.energyHash(flat) === "0000000000000000")
+    // deterministic and length-robust (n < 64 leaves trailing windows 0)
+    val short = Wav.decode(wav16(Seq(0, 0, 900, 0))).get
+    val h = Wav.energyHash(short)
+    assert(h === Wav.energyHash(short))
+    // sample 2 of 4 -> window index 2*64/4 = 32 -> row 4, bit 0 -> "80"
+    assert(h === "0000000080000000")
+  }
+
   test("featurize computes real sample statistics and a full histogram") {
     // full-scale square wave: mean ~0 (one-sided -32768 excess), RMS ~1
     val sq = Wav.decode(wav16(Seq(32767, -32768, 32767, -32768))).get

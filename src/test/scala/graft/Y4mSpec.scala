@@ -100,6 +100,16 @@ class Y4mSpec extends AnyFunSuite {
     assert(c(3) === 0f) // single frame: no motion
   }
 
+  test("frameHash fingerprints a frame's luma plane") {
+    // 16x16 mono: top half black, bottom half white -> 00000000FFFFFFFF
+    val f0 = new Array[Byte](256)
+    java.util.Arrays.fill(f0, 128, 256, 0xFF.toByte)
+    val v = Y4m.Video(16, 16, 30, 1, "mono", Array(f0, new Array[Byte](256)))
+    assert(Y4m.frameHash(v, 0) === "00000000FFFFFFFF")
+    assert(Y4m.frameHash(v, 1) === "0000000000000000") // uniform frame
+    intercept[IllegalArgumentException] { Y4m.frameHash(v, 2) }
+  }
+
   test("decimate keeps every step-th frame and scales the rate exactly") {
     val v = Y4m.Video(2, 1, 30, 1, "mono",
       Array.tabulate(5)(fi => Array.fill[Byte](2)(fi.toByte)))
