@@ -125,4 +125,58 @@ class InvariantSpec extends AnyFunSuite with SparkSpec {
       assert(v < 0.0 && v >= floor, s"logprob $v outside [$floor, 0)")
     }
   }
+
+  test("chunkDedup conserves exactly the distinct chunks of the corpus") {
+    import graft.text.Rewrite
+    val kept = Rewrite.chunkDedup(docs, k = 3)
+      .agg(sum("n_kept")).collect()(0).getLong(0)
+    val distinct = Rewrite.chunkOccurrences(docs, k = 3)
+      .select("chunk").distinct().count()
+    assert(kept === distinct,
+      "each distinct chunk must survive exactly once corpus-wide")
+  }
+
+  test("classifier scores are probabilities consistent with the verdict") {
+    import graft.text.Classifier
+    val labeled = docs.withColumn("y", (col("doc_id") % 2).cast("long"))
+    val w = Classifier.fit(labeled, "y", dim = 32, iters = 2)
+    Classifier.classify(labeled, w, dim = 32).collect().foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s >= 0.0 && s <= 1.0, s"score $s outside [0,1]")
+      assert(r.getAs[Int]("predicted") === (if (s >= 0.5) 1 else 0))
+    }
+  }
+
+  test("dsir weights vanish when the target IS the raw corpus") {
+    import graft.text.CorpusOps
+    val all = docs.withColumn("y", lit(1L))
+    CorpusOps.dsirWeights(all, "y").collect().foreach { r =>
+      assert(r.getAs[Long]("lw_scaled") === 0L,
+        "target == raw must give zero log importance everywhere")
+    }
+  }
+
+  test("leakageSafeSplit: no real near-dup cluster straddles a split") {
+    import graft.text.{CorpusOps, Dedup}
+    val pairs = Dedup.jaccardPairs(docs, n = 3, minJaccard = 0.3, maxDf = 100)
+      .select("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val out = CorpusOps.leakageSafeSplit(docs.select("doc_id"), clusters)
+      .join(clusters, Seq("doc_id"))
+    val perCluster = out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n")).collect()
+    assert(perCluster.nonEmpty, "fixture has no clusters to check")
+    perCluster.foreach(r => assert(r.getAs[Long]("n") === 1L,
+      s"cluster ${r.get(0)} straddles splits"))
+  }
+
+  test("every mixed-corpus row decodes genuinely for all media operators") {
+    implicit val s = spark
+    import graft.multimodal.Multimodal
+    val corpus = Multimodal.mixedCorpus(docs)
+    assert(Multimodal.mediaFingerprints(corpus)
+      .where(!col("decoded")).count() === 0L)
+    assert(Multimodal.extractFeatures(corpus).filter(f => !f.decoded)
+      .count() === 0L)
+  }
 }
