@@ -85,7 +85,7 @@ object AnalyticsQueries {
   // it collapses to |quantiles| x |dates| x |offsets| rows (~75k at
   // sf0.1 — tiny), so unlike the level table it caches profitably.
   // Memoized per (dir, band): the (2,3) band serves the two original
-  // event queries, the (10,15) band the event tear-sheet composites.
+  // event queries, the (5,15) band the event tear-sheet composites.
   private val bandedMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def exactBanded(s: SparkSession, dir: String,
@@ -217,10 +217,10 @@ object AnalyticsQueries {
       exactAvgCumRet(s, dir, before = 2, after = 3, demeaned = true)),
     "q_event_returns_sheet" -> ((s, dir) =>
       // createEventReturnsTearSheet's single table at the SHEET's
-      // default band (tears.py:529-632: periods_before=10,
-      // periods_after=15, long_short demean) — the composite's
+      // default band (tears.py:532: avgretplot=(5, 15), i.e.
+      // periods_before=5, periods_after=15, long_short demean) — the composite's
       // parameter wiring, exact fixed-point mirror
-      exactAvgCumRet(s, dir, before = 10, after = 15, demeaned = true)),
+      exactAvgCumRet(s, dir, before = 5, after = 15, demeaned = true)),
     "q_event_study_sheet" -> ((s, dir) => {
       // createEventStudyTearSheet COMPOSITE (tears.py:635-732): event
       // studies are long-only (demeaned=false, tears.py:666) and factor
@@ -231,7 +231,7 @@ object AnalyticsQueries {
       melt(Tables.eventsDistribution(fd.df.select("date"), numBars = 50),
           "events_dist", col("bucket"), Seq("n_events"))
         .unionByName(melt(
-          exactAvgCumRet(s, dir, before = 10, after = 15, demeaned = false),
+          exactAvgCumRet(s, dir, before = 5, after = 15, demeaned = false),
           "avg_cum_ret",
           concat(col("factor_quantile").cast("string"), lit("|"),
             col("offset").cast("string")),
@@ -1059,11 +1059,11 @@ object AnalyticsQueries {
 
   /** q_event_study_sheet oracle: DuckDB replay of
     * [[graft.sheets.Sheets.createEventStudyTearSheet]] (long-only,
-    * equal-weight, (10,15) band). */
+    * equal-weight, (5,15) band). */
   private def eventStudySheetSql: String = Seq(
     meltSql(baseOracle("q_events_dist"), "events_dist", "bucket::VARCHAR",
       Seq("n_events")),
-    meltSql(avgCumRetSql(10, 15, demeaned = false), "avg_cum_ret",
+    meltSql(avgCumRetSql(5, 15, demeaned = false), "avg_cum_ret",
       "factor_quantile::VARCHAR || '|' || \"offset\"::VARCHAR",
       Seq("mean", "std")),
     meltSql(frEwRawSql, "factor_returns_ew", "strftime(date, '%Y-%m-%d')",
@@ -1078,6 +1078,6 @@ object AnalyticsQueries {
       "q_returns_sheet" -> returnsSheetSql,
       "q_info_sheet" -> infoSheetSql,
       "q_turnover_sheet" -> turnoverSheetSql,
-      "q_event_returns_sheet" -> avgCumRetSql(10, 15, demeaned = true),
+      "q_event_returns_sheet" -> avgCumRetSql(5, 15, demeaned = true),
       "q_event_study_sheet" -> eventStudySheetSql)
 }

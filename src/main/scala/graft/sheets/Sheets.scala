@@ -181,7 +181,7 @@ object Sheets {
   def createEventReturnsTearSheet(
       fd: FactorData,
       returns: DataFrame,
-      periodsBefore: Int = 10,
+      periodsBefore: Int = 5,
       periodsAfter: Int = 15,
       longShort: Boolean = true,
       groupNeutral: Boolean = false,
@@ -211,7 +211,7 @@ object Sheets {
   def createEventStudyTearSheet(
       fd: FactorData,
       returns: DataFrame,
-      periodsBefore: Int = 10,
+      periodsBefore: Int = 5,
       periodsAfter: Int = 15,
       nBars: Int = 50): EventStudyTearSheet = {
     val levels = EventStudy.toCumulative(returns)
