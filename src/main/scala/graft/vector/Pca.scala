@@ -31,39 +31,34 @@ object Pca {
   /** Exact sample covariance, upper triangle in long form:
     * (i, j, cov, n) for 0 <= i <= j < dim, where
     * cov = (n*S_ij - S_i*S_j) / (n*(n-1)) over the 1e6-scaled integer
-    * grid (one double division at the end, rounded 1e-9). */
+    * grid (one double division at the end, rounded 1e-9).
+    *
+    * The second moments come from ONE buffering aggregate
+    * ([[graft.functions.CovarMoments]]): each task accumulates the
+    * upper-triangle product sums + per-dimension sums + count in a
+    * flat 128-bit-per-cell long buffer, so per-row cost is fused
+    * multiply-adds into task-local memory — no d*(d+1)/2-per-row pair
+    * materialization (the old `inline` form exploded 295k-8.4M rows
+    * per vector at real embedding widths d=768-4096), and the only
+    * shuffle is one buffer per partition. The covariance combine below
+    * is token-identical decimal/double arithmetic to the exploded
+    * form, so results are bitwise unchanged. */
   def covarianceLong(
       emb: DataFrame,
       vecCol: String = "embedding",
       dim: Int = 64): DataFrame = {
     require(dim >= 1, s"dim must be positive, got $dim")
-    val scaled = transform(col(vecCol),
-      x => round(x.cast("double") * lit(1e6), 0).cast("long"))
-    // in-row upper-triangle expansion: d*(d+1)/2 (i, j, x_i*x_j) structs
-    // per vector; products of 1e6-scaled components stay inside Long
-    // for |x| < ~90k, far above any embedding's range
-    val pairs = emb.select(scaled.as("__s"))
-      .select(inline(flatten(transform(
-        sequence(lit(0), lit(dim - 1)), i =>
-          transform(sequence(i, lit(dim - 1)), j =>
-            struct(i.cast("int").as("i"), j.cast("int").as("j"),
-              (element_at(col("__s"), (i + lit(1)).cast("int")) *
-                element_at(col("__s"), (j + lit(1)).cast("int"))).as("__p")))))))
-    val moments = pairs.groupBy("i", "j")
-      .agg(sum(col("__p").cast(DecimalType(38, 0))).as("__spp"),
-        count(lit(1)).as("n"))
-    val dimSums = emb
-      .select(posexplode(scaled).as(Seq("d", "__x")))
-      .groupBy("d")
-      .agg(sum(col("__x").cast(DecimalType(38, 0))).as("__sd"))
-    moments
-      .join(broadcast(dimSums.select(col("d").as("i"), col("__sd").as("__si"))),
-        Seq("i"))
-      .join(broadcast(dimSums.select(col("d").as("j"), col("__sd").as("__sj"))),
-        Seq("j"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val momentsCol = column(graft.functions.CovarMoments(
+      expression(col(vecCol)), dim).toAggregateExpression())
+    emb.agg(momentsCol.as("__m"))
+      .select(col("__m.n").as("n"), col("__m.dims").as("__ds"),
+        inline(col("__m.pairs")))
       .select(col("i"), col("j"),
         round(
-          (col("n") * col("__spp") - col("__si") * col("__sj")).cast("double") /
+          (col("n") * col("spp") -
+            element_at(col("__ds"), col("i") + lit(1)) *
+              element_at(col("__ds"), col("j") + lit(1))).cast("double") /
             (col("n").cast("double") * (col("n") - 1).cast("double") * lit(1e12)),
           9).as("cov"),
         col("n"))

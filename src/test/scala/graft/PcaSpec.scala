@@ -110,6 +110,56 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(cWhite(x)(x) - 1.0) < 1e-6)
   }
 
+  test("d=512 probe: covariance stays in the aggregate buffer, " +
+      "exact vs a driver BigInt reference") {
+    // real-LLM-embedding width — the size where the old inline pair
+    // explosion emitted 131,328 rows PER VECTOR. The buffering
+    // aggregate must (a) produce exactly the integer-grid covariance
+    // and (b) show a plan whose only Generate is the post-aggregation
+    // inline of the single moments struct — per-row work lands in the
+    // CovarMoments buffer, never in exploded rows.
+    val dim = 512
+    val n = 64
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim) { j =>
+        (((i * 31 + j * 17) % 241 - 120) / 60.0f)
+      })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val covDf = Pca.covarianceLong(df, dim = dim)
+
+    val plan = covDf.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_covar_moments"),
+      "covarianceLong must run through the CovarMoments aggregate")
+    val generates = "(?m)^.*Generate".r.findAllIn(plan).size
+    assert(generates <= 1,
+      s"expected at most the single post-agg inline Generate, got $generates")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      "one-pass covariance needs no joins")
+
+    // driver reference: identical 1e6 integer grid, exact BigInt sums
+    val scaled = rows.map(_._2.map(x =>
+      java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong))
+    val got = covDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size === dim * (dim + 1) / 2)
+    // spot-check a grid of pairs (full 131k-pair loop would be slow)
+    val checks = for {
+      i <- Seq(0, 1, 7, 63, 255, 300, 511)
+      j <- Seq(0, 1, 7, 63, 255, 300, 511) if j >= i
+    } yield (i, j)
+    checks.foreach { case (i, j) =>
+      val spp = scaled.map(v => BigInt(v(i)) * BigInt(v(j))).sum
+      val si = scaled.map(v => BigInt(v(i))).sum
+      val sj = scaled.map(v => BigInt(v(j))).sum
+      val num = (BigInt(n) * spp - si * sj).toDouble
+      val expect = BigDecimal(num / (n.toDouble * (n - 1).toDouble * 1e12))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((i, j)) === expect, s"cov($i,$j)")
+    }
+  }
+
   test("fit + project are deterministic across runs") {
     val df = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(4)(j => ((i * 17 + j * 5) % 11 - 5).toFloat)))

@@ -122,12 +122,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_chunk_dedup lost map-side partial min on keeper selection")
     assert(!plans("q_boilerplate").contains("Window"),
       "q_boilerplate regressed to a window")
-    // PCA covariance: the only joins are the broadcast of the d-row
-    // dim-sum table — never a corpus-side shuffle join
-    assert(plans("q_pca_gram").contains("BroadcastHashJoin"),
-      "q_pca_gram does not broadcast the dim-sum table")
-    assert(plans("q_pca_gram").contains("partial_sum"),
-      "q_pca_gram lost map-side partial aggregation on the moments")
+    // PCA covariance: ONE buffering aggregate (CovarMoments) — per-row
+    // cost lands in a task-local flat buffer, not in exploded pair
+    // rows, and the only shuffle is one partial buffer per partition.
+    // No joins at all, no Generate (inline runs on the single
+    // aggregated struct row, after the corpus aggregation).
+    assert(plans("q_pca_gram").contains("graft_covar_moments"),
+      "q_pca_gram lost the CovarMoments buffering aggregate")
+    assert(plans("q_pca_gram").contains("ObjectHashAggregate"),
+      "q_pca_gram moments should run in ObjectHashAggregate")
+    assert(!plans("q_pca_gram").contains("Join"),
+      "q_pca_gram should need no joins with the one-pass aggregate")
+    assert(!plans("q_pca_gram").contains("partial_min"),
+      "unexpected aggregate shape in q_pca_gram")
     // DSIR selection: bounded top-k, never a global single-partition sort
     assert(plans("q_dsir").contains("TakeOrderedAndProject"),
       "q_dsir selection is not a bounded top-k")
