@@ -89,11 +89,17 @@ object Wav {
       java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + whole)))
   }
 
-  /** Canonical 44-byte-header encoding of a decoded audio. */
+  /** Canonical 44-byte-header encoding of a decoded audio. When the
+    * data chunk is odd-length (possible for 8-bit mono with an odd
+    * sample count) a RIFF pad byte is appended — excluded from the
+    * data chunk size, included in the RIFF size — so external chunk
+    * walkers that advance on even boundaries (as [[decode]] does)
+    * stay conformant. */
   def encode(a: Audio): Array[Byte] = {
     val blockAlign = a.bytesPerSample * a.channels
     val byteRate = a.sampleRate * blockAlign
-    val out = new Array[Byte](44 + a.data.length)
+    val pad = a.data.length & 1
+    val out = new Array[Byte](44 + a.data.length + pad)
     def putTag(p: Int, s: String): Unit = {
       val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, out, p, 4)
     }
@@ -103,7 +109,7 @@ object Wav {
     def put32(p: Int, v: Int): Unit = {
       put16(p, v & 0xFFFF); put16(p + 2, v >>> 16)
     }
-    putTag(0, "RIFF"); put32(4, 36 + a.data.length); putTag(8, "WAVE")
+    putTag(0, "RIFF"); put32(4, 36 + a.data.length + pad); putTag(8, "WAVE")
     putTag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, a.channels)
     put32(24, a.sampleRate); put32(28, byteRate); put16(32, blockAlign)
     put16(34, a.bitsPerSample); putTag(36, "data"); put32(40, a.data.length)

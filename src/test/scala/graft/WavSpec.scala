@@ -64,6 +64,25 @@ class WavSpec extends AnyFunSuite {
       back.data.toSeq) === ((44100, 2, 16, a.data.toSeq)))
   }
 
+  test("encode pads an odd-length data chunk to an even RIFF boundary") {
+    // 8-bit mono, 5 samples -> 5 data bytes (odd). RIFF requires the
+    // chunk padded to even: container is 44 + 5 + 1 bytes, data size
+    // field stays 5, RIFF size field includes the pad.
+    val a = Wav.Audio(8000, 1, 8, Array[Byte](1, 2, 3, 4, 5))
+    val enc = Wav.encode(a)
+    assert(enc.length === 50)
+    def u32(p: Int): Long =
+      (enc(p) & 0xFFL) | ((enc(p + 1) & 0xFFL) << 8) |
+        ((enc(p + 2) & 0xFFL) << 16) | ((enc(p + 3) & 0xFFL) << 24)
+    assert(u32(4) === 36 + 5 + 1) // RIFF size includes the pad byte
+    assert(u32(40) === 5)         // data chunk size excludes it
+    assert(enc(49) === 0)         // the pad byte itself
+    val back = Wav.decode(enc).get
+    assert(back.data.toSeq === a.data.toSeq)
+    // even-length data stays pad-free
+    assert(Wav.encode(Wav.Audio(8000, 1, 8, Array[Byte](1, 2))).length === 46)
+  }
+
   test("resampleLinear interpolates exactly on the integer grid") {
     // upsample 3 -> 6 frames: positions j*(2)/5, two-tap round-half-away
     val up = Wav.resampleLinear(
