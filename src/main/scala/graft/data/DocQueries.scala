@@ -283,6 +283,12 @@ object DocQueries {
       // spans occurring in >4 distinct docs are dropped everywhere
       Rewrite.stripBoilerplate(documents(s, dir), k = 3, maxDf = 4)
         .orderBy("doc_id")),
+    "q_span_dedup" -> ((s, dir) =>
+      // alignment-free exact-substring dedup (k=5): every token inside
+      // a duplicated >=5-token span is removed except at the span's
+      // first corpus occurrence — catches duplicates chunkDedup's
+      // non-overlapping grid misses (stride-1 shingle keeper pass)
+      Rewrite.spanDedup(documents(s, dir), k = 5).orderBy("doc_id")),
     "q_hash_split" -> ((s, dir) =>
       CorpusOps.hashSplit(documents(s, dir))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
@@ -1304,6 +1310,36 @@ object DocQueries {
          |tot AS (SELECT doc_id, ((len(toks) + 2) // 3)::INT AS n_chunks FROM t)
          |SELECT tot.doc_id, coalesce(reb.txt, '') AS text,
          |  coalesce(reb.kept, 0)::BIGINT AS n_kept, tot.n_chunks
+         |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_span_dedup" ->
+      // mirrors Rewrite.spanDedup(k=5): stride-1 5-token shingles; a
+      // token is removed iff some covering shingle occurs >= 2 times
+      // corpus-wide and this occurrence is not the shingle's minimum
+      // (doc_id, start); docs rebuilt from surviving tokens in order
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks
+         |  FROM t WHERE len(toks) > 0),
+         |tk AS (SELECT doc_id, pos, toks[pos + 1] AS token FROM tok),
+         |so AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS start, toks
+         |  FROM t WHERE len(toks) >= 5),
+         |sh AS (SELECT doc_id, start, array_to_string(
+         |    list_slice(toks, start + 1, start + 5), ' ') AS shingle FROM so),
+         |rnk AS (SELECT doc_id, start,
+         |    row_number() OVER (PARTITION BY shingle
+         |      ORDER BY doc_id, start) AS rn,
+         |    count(*) OVER (PARTITION BY shingle) AS cnt FROM sh),
+         |remocc AS (SELECT doc_id, start FROM rnk WHERE cnt >= 2 AND rn > 1),
+         |rpos AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(generate_series(start, start + 4)) AS pos
+         |  FROM remocc)),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.token FROM tk
+         |  ANTI JOIN rpos ON tk.doc_id = rpos.doc_id AND tk.pos = rpos.pos),
+         |reb AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS txt,
+         |    count(*) AS kept FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id, len(toks)::INT AS n_tokens FROM t)
+         |SELECT tot.doc_id, coalesce(reb.txt, '') AS text,
+         |  coalesce(reb.kept, 0)::BIGINT AS n_kept, tot.n_tokens
          |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_hash_split" ->

@@ -109,6 +109,82 @@ object Rewrite {
       textCol, idCol, k)
   }
 
+  /** Exact-substring span dedup, ALIGNMENT-FREE: removes every token
+    * that lies inside a duplicated span of >= `k` tokens, wherever that
+    * span starts — the gap [[chunkDedup]] cannot close, because its
+    * non-overlapping chunk grid misses a duplicate offset from the
+    * grid by even one token. This is the property Lee et al. 2021's
+    * exact-substring dedup establishes with a corpus suffix array; the
+    * distributed equivalence used here: a token belongs to a
+    * duplicated >=k-token span iff some stride-1 k-token shingle
+    * covering it occurs >= 2 times in the corpus, so
+    *
+    *  1. emit every OVERLAPPING k-token shingle occurrence
+    *     (doc, start) — one row per token position, not per chunk;
+    *  2. per shingle, a map-side-combinable `min(struct(doc_id,
+    *     start))` + count picks the FIRST corpus occurrence (same
+    *     skew-safe groupBy+join shape as [[chunkDedup]] — a viral
+    *     shingle combines map-side, never sorts in one reducer);
+    *  3. every NON-first occurrence of a shingle seen >= 2 times marks
+    *     its k covered token positions removed (bounded k-row
+    *     explosion per occurrence, then a map-side-combinable
+    *     distinct);
+    *  4. tokens survive via a left-anti join on (doc_id, pos) and each
+    *     document is rebuilt in token order.
+    *
+    * First occurrences keep their text unless another duplicated span
+    * covers them. Documents shorter than `k` tokens cannot contain a
+    * >=k-token span and pass through untouched. At 100 TB the shuffle
+    * key would be a 128-bit content hash of the shingle (slimmer
+    * exchange; the raw string is kept here so the DuckDB oracle
+    * compares exact text semantics).
+    *
+    * Output: (doc_id, text, n_kept, n_tokens) — kept-token count and
+    * total token count per document. */
+  def spanDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 5): DataFrame = {
+    require(k > 0, s"span width must be positive, got $k")
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__toks"))
+    val tokRows = base.where(size(col("__toks")) > 0)
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos", "token")))
+    val occ = base.where(size(col("__toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - lit(k)),
+        i => array_join(slice(col("__toks"), i + lit(1), lit(k)), " ")))
+        .as(Seq("start", "shingle")))
+    val dups = occ.groupBy("shingle")
+      .agg(min(struct(col("doc_id"), col("start"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= 2)
+      .select(col("shingle"), col("__first.doc_id").as("__fd"),
+        col("__first.start").as("__fs"))
+    val removedPos = occ.join(dups, Seq("shingle"))
+      .where(!(col("doc_id") === col("__fd") && col("start") === col("__fs")))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
+      .distinct()
+    val rebuilt = tokRows.join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("token")))),
+            s => s.getField("token")),
+          " ").as("__text"),
+        count(lit(1)).as("__kept"))
+    docs.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__text"), lit("")).as("text"),
+        coalesce(col("__kept"), lit(0L)).as("n_kept"),
+        col("n_tokens"))
+  }
+
   /** Boilerplate strip: chunks occurring in MORE than `maxDf` distinct
     * documents are dropped from every document (headers, footers,
     * cookie banners); everything else is kept in place. */

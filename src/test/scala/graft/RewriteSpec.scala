@@ -60,6 +60,69 @@ class RewriteSpec extends AnyFunSuite with SparkSpec {
     assert(keep(1L) === (("x y z a b c", 2L, 2)))
   }
 
+  private def spanById(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("text"), r.getAs[Long]("n_kept"),
+        r.getAs[Int]("n_tokens")))).toMap
+
+  test("spanDedup catches a duplicate offset from the chunk grid; " +
+      "chunkDedup documents the miss") {
+    // doc 2 repeats doc 1's "b c d" but shifted one token off doc 2's
+    // OWN 3-chunk grid: doc2 chunks are "x b c" / "d e f" — neither
+    // equals a doc-1 chunk, so chunkDedup keeps everything...
+    val docs = Seq(
+      (1L, "b c d q r s"),
+      (2L, "x b c d e f")).toDF("doc_id", "text")
+    val chunk = byId(Rewrite.chunkDedup(docs, k = 3))
+    assert(chunk(2L) === (("x b c d e f", 2L, 2)),
+      "pin: the non-overlapping grid cannot see the straddling duplicate")
+    // ...while the stride-1 span pass removes exactly the duplicated
+    // 3-token span from its later occurrence
+    val span = spanById(Rewrite.spanDedup(docs, k = 3))
+    assert(span(1L) === (("b c d q r s", 6L, 6)))
+    assert(span(2L) === (("x e f", 3L, 6)))
+  }
+
+  test("spanDedup removes a shifted cross-document duplicate span entirely") {
+    val docs = Seq(
+      (1L, "p q r s t u"),
+      (2L, "z p q r s t u w")).toDF("doc_id", "text")
+    // doc 2 contains doc 1's full text shifted by one: all 6 tokens of
+    // the embedded copy go; the flanks survive
+    val out = spanById(Rewrite.spanDedup(docs, k = 5))
+    assert(out(1L) === (("p q r s t u", 6L, 6)))
+    assert(out(2L) === (("z w", 2L, 8)))
+  }
+
+  test("spanDedup keeps first occurrences and sub-k docs untouched") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),       // exact duplicate, later doc -> emptied
+      (3L, "a b c d"),         // 4 < k tokens: no span can repeat
+      (4L, "")).toDF("doc_id", "text")
+    val out = spanById(Rewrite.spanDedup(docs, k = 5))
+    assert(out(1L) === (("a b c d e", 5L, 5)))
+    assert(out(2L) === (("", 0L, 5)))
+    assert(out(3L) === (("a b c d", 4L, 4)))
+    assert(out(4L) === (("", 0L, 0)))
+  }
+
+  test("spanDedup removes within-document repeats past the first") {
+    // "m n m n m n m n": shingle "m n m n" (k=4) at starts 0,2,4 —
+    // starts 2,4 are non-first, removing positions 2..7
+    val docs = Seq((7L, "m n m n m n m n")).toDF("doc_id", "text")
+    val out = spanById(Rewrite.spanDedup(docs, k = 4))
+    assert(out(7L) === (("m n", 2L, 8)))
+  }
+
+  test("spanDedup keeper selection is an aggregate, not a window") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Rewrite.spanDedup(docs, k = 5)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"),
+      "hot-shingle skew safety requires groupBy+join keeper selection")
+  }
+
   test("keeper selection is an aggregate, not a window over occurrences") {
     // the scale contract: no Window operator in the chunkDedup plan
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
