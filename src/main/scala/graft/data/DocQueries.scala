@@ -67,6 +67,15 @@ object DocQueries {
       graft.vector.Pq.trainCodebooks(embeddings(s, dir), dim = 64, m = 8,
         k = 16, iters = 3))
 
+  // IVFADC codebooks quantize the coarse RESIDUAL (Jégou 2011), so they
+  // train against the shared coarse quantizer, not the raw vectors
+  private val residBookMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  private def pqResidBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    residBookMemo.getOrElseUpdate(dir,
+      graft.vector.Pq.trainResidualCodebooks(embeddings(s, dir),
+        coarseCentroids(s, dir), dim = 64, m = 8, k = 16, iters = 3))
+
   /** Per-process memo of the BM25 inverted index — like the shingle
     * sets, the index is the build-once/query-many artifact of full-text
     * search; the postings/df/stats pieces persist so every query batch
@@ -166,11 +175,14 @@ object DocQueries {
         pqBooks(s, dir), dim = 64, k = 10)
     }),
     "q_ivfadc" -> ((s, dir) => {
-      // the full IVFADC stack: coarse IVF probe + PQ ADC over the
-      // probed cells only (equi-join candidates, no full scan)
+      // the full IVFADC stack: coarse IVF probe + RESIDUAL-code PQ ADC
+      // over the probed cells only (equi-join candidates, no full
+      // scan); codes quantize x − c_cell and queries build one ADC
+      // table per probed cell from q − c_cell (Jégou 2011 §III)
       val e = embeddings(s, dir)
       graft.vector.Pq.ivfAdcTopK(e, e.filter(col("vec_id") < 20),
-        coarseCentroids(s, dir), pqBooks(s, dir), dim = 64, k = 10, nProbe = 4)
+        coarseCentroids(s, dir), pqResidBooks(s, dir), dim = 64, k = 10,
+        nProbe = 4)
     }),
     "q_semdedup" -> ((s, dir) =>
       // semantic dedup over the planted-copy corpus: the 1.25-scaled
@@ -885,40 +897,81 @@ object DocQueries {
     },
 
     "q_ivfadc" -> {
-      // replays Pq.ivfAdcTopK: the q_ann_ivf coarse chain (prefix g,
-      // 5 iters over the full 64 dims) routes corpus vectors to cells
-      // and queries to their 4 probe cells; the q_pq_adc subspace
-      // chains supply codes and distance tables; ADC scores only the
-      // probed cells' candidates, shortlists the top rerank*k=80 per
-      // query, and the shortlist reranks by exact cosine (same
-      // formula + tie-break as q_ann_ivf).
+      // replays the RESIDUAL Pq.ivfAdcTopK: the q_ann_ivf coarse chain
+      // (prefix g, 5 iters over the full 64 dims) routes corpus
+      // vectors to cells and queries to their 4 probe cells; residual
+      // components r = q_vec − c_cell feed per-subspace Lloyd chains
+      // (the same hash-sample + lowest-id init), codes are residual
+      // argmins, and each query builds one ADC table PER PROBED CELL
+      // from q − c_probecell; ADC scores only the probed cells'
+      // candidates, shortlists the top rerank*k=80 per query, and the
+      // shortlist reranks by exact cosine (same formula + tie-break
+      // as q_ann_ivf). Every quantity is an exact grid integer.
       def cosSql(a: String, b: String) =
         s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+      val residSubChains = (0 until 8).map { s =>
+        val off = s * 8
+        s"""rs${s}eqs AS (SELECT r.vec_id, r.d - $off AS d, r.q
+           |  FROM rall r JOIN samp USING (vec_id)
+           |  WHERE r.d >= $off AND r.d < $off + 8),
+           |rs${s}c0 AS (SELECT i.cell, e.d, e.q
+           |  FROM init i JOIN rs${s}eqs e USING (vec_id)),
+           |${lloydChain(3, s"rs$s")},
+           |rs${s}eqa AS (SELECT vec_id, d - $off AS d, q FROM rall
+           |  WHERE d >= $off AND d < $off + 8),
+           |rs${s}dall AS (SELECT v.vec_id, c.cell,
+           |    sum((v.q - c.q) * (v.q - c.q)) AS dist
+           |  FROM rs${s}eqa v JOIN rs${s}c3 c ON v.d = c.d GROUP BY 1, 2),
+           |rs${s}asg AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM rs${s}dall) WHERE rn = 1),
+           |qd$s AS (SELECT r.query_id, r.pcell, cb.cell,
+           |    sum((r.q - cb.q) * (r.q - cb.q)) AS dist
+           |  FROM (SELECT query_id, pcell, d - $off AS d, q FROM qres
+           |        WHERE d >= $off AND d < $off + 8) r
+           |  JOIN rs${s}c3 cb ON cb.d = r.d GROUP BY 1, 2, 3)""".stripMargin
+      }.mkString(",\n")
+      val residCodesLong = (0 until 8)
+        .map(s => s"SELECT vec_id, $s AS s, cell FROM rs${s}asg")
+        .mkString("\nUNION ALL\n")
+      val residQdLong = (0 until 8)
+        .map(s => s"SELECT query_id, pcell, $s AS s, cell, dist FROM qd$s")
+        .mkString("\nUNION ALL\n")
       s"""WITH $pqSharedCtes,
          |geqs AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
          |  FROM samp CROSS JOIN range(64) t(d)),
          |gc0 AS (SELECT i.cell, e.d, e.q FROM init i JOIN geqs e USING (vec_id)),
          |${lloydChain(5, "g")},
-         |geqa AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |geqa AS MATERIALIZED (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
          |  FROM embeddings CROSS JOIN range(64) t(d)),
-         |gdall AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
-         |  FROM geqa v JOIN gc5 c ON v.d = c.d GROUP BY 1, 2),
-         |gasg AS (SELECT vec_id, cell FROM (
+         |gcf AS MATERIALIZED (SELECT cell, d, q FROM gc5),
+         |gdall AS MATERIALIZED (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM geqa v JOIN gcf c ON v.d = c.d GROUP BY 1, 2),
+         |gasg AS MATERIALIZED (SELECT vec_id, cell FROM (
          |  SELECT vec_id, cell,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
          |  FROM gdall) WHERE rn = 1),
-         |probe AS (SELECT vec_id AS query_id, cell FROM (
+         |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM (
          |  SELECT vec_id, cell,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
          |  FROM gdall WHERE vec_id < 20) WHERE rn <= 4),
-         |$pqSubChains,
-         |codes_long AS ($pqCodesLong),
-         |qd_long AS ($pqQdLong),
-         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |rall AS MATERIALIZED (SELECT g.vec_id, g.d, (g.q - c.q) AS q
+         |  FROM geqa g JOIN gasg a USING (vec_id)
+         |  JOIN gcf c ON c.cell = a.cell AND c.d = g.d),
+         |qres AS MATERIALIZED (SELECT p.query_id, p.cell AS pcell, g.d, (g.q - c.q) AS q
+         |  FROM probe p JOIN geqa g ON g.vec_id = p.query_id
+         |  JOIN gcf c ON c.cell = p.cell AND c.d = g.d),
+         |$residSubChains,
+         |codes_long AS ($residCodesLong),
+         |qd_long AS ($residQdLong),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.cell
          |  FROM probe p JOIN gasg a USING (cell) WHERE p.query_id <> a.vec_id),
-         |ad AS (SELECT query_id, neighbor_id, sum(q.dist)::BIGINT AS adc_dist
-         |  FROM cand JOIN codes_long c ON c.vec_id = neighbor_id
-         |            JOIN qd_long q ON q.vec_id = query_id
+         |ad AS (SELECT cand.query_id, cand.neighbor_id,
+         |    sum(q.dist)::BIGINT AS adc_dist
+         |  FROM cand JOIN codes_long c ON c.vec_id = cand.neighbor_id
+         |            JOIN qd_long q ON q.query_id = cand.query_id
+         |                          AND q.pcell = cand.cell
          |                          AND q.s = c.s AND q.cell = c.cell
          |  GROUP BY 1, 2),
          |rk AS (SELECT query_id, neighbor_id, adc_dist,

@@ -143,6 +143,43 @@ object Ivf {
   def quantizedDists(vec: Column, centroids: Array[Array[Double]]): Column =
     cellDists(quantize(vec), centroids)
 
+  /** ALREADY-QUANTIZED-input variants for residual PQ
+    * ([[Pq.trainResidualCodebooks]] / [[Pq.ivfAdcTopK]]): an IVF
+    * residual x_q − c_cell is already integer-valued on the grid, so
+    * re-quantizing would double-scale it. */
+  private[vector] def cellOfQuantized(
+      vq: Column, centroids: Array[Array[Double]]): Column =
+    argminCell(cellDists(vq, centroids))
+
+  private[vector] def distsOfQuantized(
+      vq: Column, centroids: Array[Array[Double]]): Column =
+    cellDists(vq, centroids)
+
+  /** The fixed-point snap as a reusable column (for callers that need
+    * the quantized vector itself, e.g. residual computation). */
+  private[vector] def quantizedVec(vec: Column): Column = quantize(vec)
+
+  /** Driver-side nearest-centroid assignment with EXACTLY the
+    * distributed argmin semantics: left-to-right double accumulation
+    * (exact integers on the grid, so order-free), strict `<` keeps the
+    * first = lowest cell on ties. */
+  private[vector] def nearestLocal(
+      v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      var i = 0
+      while (i < centroids(c).length && i < v.length) {
+        val t = v(i) - centroids(c)(i); d += t * t; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** The `n` nearest cell ids (nearest first, ties toward the lower
     * cell) of a raw vector column — the probe list [[Pq.ivfAdcTopK]]
     * explodes. */

@@ -68,6 +68,39 @@ object Pq {
           codebooks(s))).toIndexedSeq: _*).as("codes"))
   }
 
+  /** Per-subspace RESIDUAL codebooks for IVFADC (Jégou et al. 2011
+    * §III: the product quantizer encodes r = x − c_cell, the residual
+    * of the coarse assignment, NOT the raw vector — residual energy is
+    * a fraction of vector energy, so the same m×k byte budget spends
+    * its resolution where the coarse stage left signal). Training:
+    * the same bounded hash-sample as [[trainCodebooks]], each sample
+    * vector assigned to its coarse cell with exactly the distributed
+    * argmin semantics, residuals formed on the integer grid (both
+    * operands integer-valued, so residuals are exact), then m
+    * driver-local Lloyd runs over the residual slices. */
+  def trainResidualCodebooks(
+      corpus: DataFrame,
+      coarse: Array[Array[Double]],
+      dim: Int,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainCap: Int = 4096): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val sample = Ivf.collectSample(corpus, idCol, vecCol, trainCap)
+    val resid = sample.map { v =>
+      val c = coarse(Ivf.nearestLocal(v, coarse))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    Array.tabulate(m) { s =>
+      Ivf.lloydLocal(resid.map(_.slice(s * subDim, (s + 1) * subDim)),
+        k, iters)
+    }
+  }
+
   /** IVFADC top-k (the full Jégou et al. layout): an IVF coarse
     * quantizer routes each corpus vector to a cell; queries probe the
     * `nProbe` nearest cells and ADC-score ONLY those cells' codes.
@@ -75,6 +108,15 @@ object Pq {
     * equi-join on cell id — at 1000-executor scale the probe touches
     * `nProbe / nCells` of the corpus and nothing is broadcast but the
     * query batch. All distances stay exact integers.
+    *
+    * Codes are RESIDUAL codes (pass [[trainResidualCodebooks]] output):
+    * each corpus vector stores the PQ codes of x − c_cell, and each
+    * query builds one ADC table PER PROBED CELL from q − c_cell — the
+    * classic IVFADC read path, which concentrates quantization
+    * resolution on the residual signal and lifts ADC recall at the
+    * same byte budget vs raw-vector codes. The per-cell centroid rows
+    * reach both sides through a broadcast of the nCells-row centroid
+    * table (never a plan literal on the corpus scan).
     *
     * ADC distances are lossy (m-subspace code distortion), so ranking
     * by them alone caps recall well below the probe's ceiling (0.33
@@ -104,16 +146,29 @@ object Pq {
       vecCol: String = "embedding"): DataFrame = {
     val m = codebooks.length
     val subDim = dim / m
+    import corpus.sparkSession.implicits._
+    val centsDf = broadcast(coarse.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("__cell", "__cent"))
+    val residual = zip_with(col("__vq"), col("__cent"), (x, c) => x - c)
     val codes = corpus.select(col(idCol).as("neighbor_id"),
-      Ivf.cellOf(col(vecCol), coarse).as("__cell"),
-      array(Array.tabulate(m)(s =>
-        Ivf.cellOf(slice(col(vecCol), s * subDim + 1, subDim),
-          codebooks(s))).toIndexedSeq: _*).as("codes"))
+        Ivf.cellOf(col(vecCol), coarse).as("__cell"),
+        Ivf.quantizedVec(col(vecCol)).as("__vq"))
+      .join(centsDf, Seq("__cell"))
+      .withColumn("__r", residual)
+      .select(col("neighbor_id"), col("__cell"),
+        array(Array.tabulate(m)(s =>
+          Ivf.cellOfQuantized(slice(col("__r"), s * subDim + 1, subDim),
+            codebooks(s))).toIndexedSeq: _*).as("codes"))
     val probed = queries.select(col(idCol).as("query_id"),
-      explode(Ivf.nearestCellsOf(col(vecCol), coarse, nProbe)).as("__cell"),
-      array(Array.tabulate(m)(s =>
-        Ivf.quantizedDists(slice(col(vecCol), s * subDim + 1, subDim),
-          codebooks(s))).toIndexedSeq: _*).as("__dt"))
+        Ivf.quantizedVec(col(vecCol)).as("__vq"),
+        explode(Ivf.nearestCellsOf(col(vecCol), coarse, nProbe)).as("__cell"))
+      .join(centsDf, Seq("__cell"))
+      .withColumn("__r", residual)
+      .select(col("query_id"), col("__cell"),
+        array(Array.tabulate(m)(s =>
+          Ivf.distsOfQuantized(slice(col("__r"), s * subDim + 1, subDim),
+            codebooks(s))).toIndexedSeq: _*).as("__dt"))
     val adc = (0 until m).map(s =>
       element_at(element_at(col("__dt"), s + 1),
         element_at(col("codes"), s + 1) + 1)).reduce(_ + _)

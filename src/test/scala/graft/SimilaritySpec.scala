@@ -172,16 +172,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val d = emb(rows: _*)
     val q = d.filter(col("vec_id") < 3)
     val coarse = graft.vector.Ivf.trainCentroids(d, nCells = 6, iters = 4)
-    val books = graft.vector.Pq.trainCodebooks(d, dim = 8, m = 2, k = 4,
-      iters = 3)
-    // probing every cell makes IVFADC candidate-complete, so with the
-    // exact-rerank stage off (rerank = 0) its top-k must equal the flat
-    // ADC scan's exactly (same integer distances, same tie-breaks)
+    val books = graft.vector.Pq.trainResidualCodebooks(d, coarse, dim = 8,
+      m = 2, k = 4, iters = 3)
+    // probing every cell makes IVFADC candidate-complete, and
+    // rerank=12 makes the shortlist (60) cover every candidate (59) —
+    // so the exact-cosine rerank must reproduce brute force top-k
+    // bitwise (same formula, rounding, and tie-breaks)
     val full = graft.vector.Pq.ivfAdcTopK(d, q, coarse, books, dim = 8,
-      k = 5, nProbe = 6, rerank = 0).collect().map(_.toSeq).toSeq
-    val flat = graft.vector.Pq.adcTopK(d, q, books, dim = 8, k = 5)
+      k = 5, nProbe = 6, rerank = 12).collect().map(_.toSeq).toSeq
+    val bf = Similarity.bruteForceTopK(d, q, k = 5)
       .collect().map(_.toSeq).toSeq
-    assert(full === flat)
+    assert(full === bf)
     // with 2 probes the results stay in-cluster
     val pruned = graft.vector.Pq.ivfAdcTopK(d, q, coarse, books, dim = 8,
       k = 5, nProbe = 2).collect()
@@ -308,21 +309,37 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       nBits = 16, bands = 8, dim = 64)))
     val rIvf = recall(pairs(Ivf.ivfTopK(e, q, k = 10, nCells = 16, nProbe = 4)))
     val coarse = Ivf.trainCentroids(e, nCells = 16, iters = 5)
-    val books = Pq.trainCodebooks(e, dim = 64, m = 8, k = 16, iters = 3)
+    val books = Pq.trainResidualCodebooks(e, coarse, dim = 64, m = 8,
+      k = 16, iters = 3)
     val rIvfAdc = recall(pairs(Pq.ivfAdcTopK(e, q, coarse, books,
       dim = 64, k = 10, nProbe = 4)))
     val rAdcOnly = recall(pairs(Pq.ivfAdcTopK(e, q, coarse, books,
       dim = 64, k = 10, nProbe = 4, rerank = 0)))
+    val rIvfAdc6 = recall(pairs(Pq.ivfAdcTopK(e, q, coarse, books,
+      dim = 64, k = 10, nProbe = 6)))
+    val rIvfAdc8 = recall(pairs(Pq.ivfAdcTopK(e, q, coarse, books,
+      dim = 64, k = 10, nProbe = 8)))
+    // raw-vector codes at the same byte budget, for the residual delta
+    val rawBooks = Pq.trainCodebooks(e, dim = 64, m = 8, k = 16, iters = 3)
+    val rAdcOnlyRaw = recall(pairs(Pq.ivfAdcTopK(e, q, coarse, rawBooks,
+      dim = 64, k = 10, nProbe = 4, rerank = 0)))
     info(f"recall@10 lsh=$rLsh%.3f ivf=$rIvf%.3f ivfadc=$rIvfAdc%.3f " +
-      f"adcOnly=$rAdcOnly%.3f")
-    // measured on this fixture: lsh 0.895, ivf 0.820, ivfadc 0.695 at
-    // rerank=4 / approaching ivf's 0.820 probe ceiling at the rerank=8
-    // default, adc-only 0.330 (PQ distortion at m=8/k=16 — exactly what
-    // the exact-rerank stage exists to recover)
+      f"ivfadc@6=$rIvfAdc6%.3f ivfadc@8=$rIvfAdc8%.3f adcOnly=$rAdcOnly%.3f (raw $rAdcOnlyRaw%.3f)")
+    // measured on this fixture with RESIDUAL codes (Jégou 2011):
+    // lsh 0.895, ivf 0.820 (= the nProbe=4 candidate ceiling),
+    // ivfadc 0.805@4 (raw codes gave 0.795), 0.835@6, 0.865@8,
+    // adc-only 0.400 vs 0.405 raw — on this small weakly-clustered
+    // corpus residual and raw code distortion are at parity (the
+    // residual win grows with cell tightness, i.e. cells >> 16); the
+    // rerank path is where the measurable lift lands
     assert(rLsh >= 0.75, f"LSH recall $rLsh%.3f below floor")
     assert(rIvf >= 0.70, f"IVF recall $rIvf%.3f below floor")
     assert(rIvfAdc >= 0.70, f"IVFADC rerank recall $rIvfAdc%.3f below floor")
+    assert(rIvfAdc6 >= 0.80, f"IVFADC nProbe=6 recall $rIvfAdc6%.3f below floor")
+    assert(rIvfAdc8 >= 0.85, f"IVFADC nProbe=8 recall $rIvfAdc8%.3f below floor")
     assert(rAdcOnly >= 0.25, f"ADC-only recall $rAdcOnly%.3f below floor")
+    assert(rAdcOnly >= rAdcOnlyRaw - 0.05,
+      f"residual codes ($rAdcOnly%.3f) must stay within tolerance of raw ($rAdcOnlyRaw%.3f)")
   }
 
   test("cosineNearDups finds planted duplicate pair only") {
