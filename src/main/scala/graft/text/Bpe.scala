@@ -11,14 +11,18 @@ import TextOps._
   * subwords with it.
   *
   * Scale design (the 100 TB contract): the corpus is touched ONCE (a
-  * word-frequency aggregate, map-side combinable); every training
-  * iteration then runs on the VOCABULARY table — pair counts weighted
-  * by word frequency, one (count, pair)-max collect (a single row),
-  * and a per-word merge application — whose size is the distinct-word
-  * count, independent of corpus row count. Lineage is cut per
-  * iteration with localCheckpoint (the [[Dedup]] label-propagation
-  * precedent). Encoding broadcasts the merge list and memoizes
-  * per-word segmentations per partition.
+  * word-frequency aggregate, map-side combinable); training then runs
+  * on the VOCABULARY table, whose size is the distinct-word count,
+  * independent of corpus row count. A vocabulary under `vocabCap`
+  * collects once and the merge loop runs DRIVER-LOCAL — one Spark job
+  * total for any number of merges (a 32k-merge run would otherwise be
+  * 32k sequential jobs). Above the cap the loop stays distributed:
+  * pair counts weighted by word frequency, one (count, pair)-max
+  * collect (a single row) and a per-word merge application per
+  * iteration, lineage cut with localCheckpoint (the [[Dedup]]
+  * label-propagation precedent) and the superseded iteration's
+  * checkpoint blocks released each round. Encoding broadcasts the
+  * merge list and memoizes per-word segmentations per partition.
   *
   * Determinism: pair counts are exact integers and the best-pair
   * selection tie-breaks lexicographically, so the learned merge table
@@ -51,25 +55,95 @@ object Bpe {
     syms
   }
 
+  /** Spark's string ordering is UTF8String's unsigned BYTE comparison;
+    * the driver venue must tie-break identically, so it compares
+    * UTF-8 byte arrays, not UTF-16 `compareTo`. */
+  private def utf8Lt(x: String, y: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** Driver-local merge loop over a collected (cnt, syms) vocabulary —
+    * the venue for capped vocabularies: ONE collect total instead of
+    * one Spark job per merge (a realistic 32k-merge run is 32k
+    * sequential jobs in the distributed venue). Arithmetic and
+    * tie-breaks are token-identical to the distributed SQL
+    * (exact integer pair counts; max n, then lexicographically
+    * smallest (a, b) in UTF-8 byte order), pinned by the
+    * venue-equivalence test. */
+  private[graft] def trainLocal(
+      vocab0: Array[(Long, Array[String])],
+      numMerges: Int): Seq[(String, String)] = {
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 1 to numMerges if !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (cnt, syms) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      counts.foreach { case e @ ((a, b), n) =>
+        if (n >= 2 && (best == null || n > best._2 ||
+          (n == best._2 && (utf8Lt(a, best._1._1) ||
+            (a == best._1._1 && utf8Lt(b, best._1._2))))))
+          best = e
+      }
+      if (best == null) exhausted = true
+      else {
+        val (a, b) = best._1
+        merges += ((a, b))
+        vocab = vocab.map { case (cnt, syms) =>
+          (cnt, if (syms.length > 1) applyMerge(syms, a, b) else syms)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   /** Learn `numMerges` merges from the corpus' word-frequency table.
     * Returns the ordered merge list (may be shorter if the vocabulary
-    * runs out of repeated pairs). */
+    * runs out of repeated pairs).
+    *
+    * Venue switch (the [[graft.vector.Ivf]] Lloyd precedent): the one
+    * corpus pass always runs distributed; if the resulting DISTINCT-
+    * WORD vocabulary fits `vocabCap` rows it is collected once and the
+    * merge loop runs driver-local — one Spark job total instead of one
+    * per merge. Above the cap (or with `vocabCap <= 0`) the loop runs
+    * distributed on the vocabulary table, one pair-count job + one
+    * eager localCheckpoint per merge, releasing the superseded
+    * iteration's checkpoint blocks each round. Both venues share the
+    * exact integer arithmetic and UTF-8-byte tie-break, so the learned
+    * merge tables are identical (venue-equivalence pinned in BpeSpec). */
   def train(
       docs: DataFrame,
       numMerges: Int,
       textCol: String = "text",
-      idCol: String = "doc_id"): Seq[(String, String)] = {
+      vocabCap: Int = 1 << 16): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
     // the ONE corpus pass: word frequencies
-    var vocab = docs
+    val wordFreq = docs
       .select(explode(tokens(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+    val vocab0 = wordFreq
       .select(col("__cnt"),
         expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))")
           .as("__syms"))
       .as[(Long, Array[String])]
+    if (vocabCap > 0) {
+      // bounded probe: <= cap+1 rows cross the driver, never more
+      val capped = vocab0.limit(vocabCap + 1).collect()
+      if (capped.length <= vocabCap) return trainLocal(capped, numMerges)
+    }
+    var vocab = vocab0
+    var prevCkpt: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     for (_ <- 1 to numMerges if !exhausted) {
@@ -89,12 +163,20 @@ object Bpe {
       else {
         val (a, b) = (best.head.getAs[String]("a"), best.head.getAs[String]("b"))
         merges += ((a, b))
-        vocab = vocab.map { case (cnt, syms) =>
+        val next = vocab.map { case (cnt, syms) =>
           (cnt, if (syms.length > 1) applyMerge(syms, a, b) else syms)
         }.toDF("__cnt", "__syms").localCheckpoint(true)
-          .as[(Long, Array[String])]
+        // the new checkpoint is materialized (eager), so the superseded
+        // iteration's blocks can go — Dataset.unpersist cannot reach
+        // them, hence the bridge (see unpersistLocalCheckpoint)
+        prevCkpt.foreach(
+          org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint)
+        prevCkpt = Some(next)
+        vocab = next.as[(Long, Array[String])]
       }
     }
+    prevCkpt.foreach(
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint)
     merges.toSeq
   }
 

@@ -15,4 +15,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the cache blocks backing a `localCheckpoint()`ed Dataset.
+    * `Dataset.unpersist` only clears CacheManager entries (from
+    * `persist()`), never the blocks a local checkpoint parked in the
+    * block manager — an iterative caller that checkpoints per round
+    * (e.g. [[graft.text.Bpe.train]]'s distributed venue) would
+    * otherwise pile up blocks freed only by driver GC. Safe once no
+    * later computation reads the dataset: local-checkpoint data cannot
+    * be recomputed after unpersist (lineage is truncated), so callers
+    * must only release a superseded iteration. */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

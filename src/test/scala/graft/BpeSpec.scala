@@ -35,6 +35,29 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(Bpe.train(tiny, numMerges = 10) === Seq(("a", "b")))
   }
 
+  test("driver-local and distributed venues learn identical merge tables") {
+    // vocabCap <= 0 forces the distributed per-merge loop; the default
+    // cap routes this 6-word vocabulary to the driver venue — the
+    // learned tables must match entry for entry (exact integer counts,
+    // UTF-8-byte tie-breaks in both venues)
+    val local = Bpe.train(corpus, numMerges = 6)
+    val dist = Bpe.train(corpus, numMerges = 6, vocabCap = 0)
+    assert(local === dist)
+    // tie-break parity on a crafted all-ties vocabulary: "xy" and "xz"
+    // both occur twice -> pair counts (x,y)=2, (x,z)=2; the winner must
+    // be the lexicographically smaller (x,y) in both venues
+    val ties = Seq((1L, "xy xy xz xz")).toDF("doc_id", "text")
+    assert(Bpe.train(ties, numMerges = 1) === Seq(("x", "y")))
+    assert(Bpe.train(ties, numMerges = 1, vocabCap = 0) === Seq(("x", "y")))
+  }
+
+  test("a vocabulary above the cap falls back to the distributed venue") {
+    // cap 2 < 5 distinct words: the probe collects at most cap+1 rows
+    // and training still converges to the same table
+    assert(Bpe.train(corpus, numMerges = 3, vocabCap = 2) ===
+      Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+  }
+
   test("encode segments with learned merges; unseen words fall to chars") {
     val merges = Bpe.train(corpus, numMerges = 3)
     val probe = Seq((9L, "hugs bun hug zap")).toDF("doc_id", "text")
