@@ -381,6 +381,17 @@ object DocQueries {
       val w = Classifier.fit(docs, "y", dim = 64, iters = 3, lr = 0.5)
       Classifier.classify(docs, w, dim = 64).orderBy("doc_id")
     }),
+    "q_quality_clf_l2" -> ((s, dir) => {
+      // the same classifier at training depth: 10 GD iterations with
+      // L2 weight decay (lambda = 0.001) — the unrolled-CTE oracle
+      // pattern is mechanical in depth, so the bitwise gate holds at
+      // realistic iteration counts, not just the 3-step demo
+      val docs = documents(s, dir)
+        .withColumn("y", (col("lang") === "en").cast("long"))
+      val w = Classifier.fit(docs, "y", dim = 64, iters = 10, lr = 0.5,
+        l2 = 0.001)
+      Classifier.classify(docs, w, dim = 64).orderBy("doc_id")
+    }),
     "q_pca_gram" -> ((s, dir) =>
       // the distributed half of PCA/whitening: exact fixed-point
       // sample covariance, upper triangle — d*(d+1)/2 rows out
@@ -462,48 +473,56 @@ object DocQueries {
     * counts, 1e-6-grid weights, integer margins — and the per-iteration
     * sigmoid is snapped to the grid right after the exp, so both
     * engines walk the identical weight trajectory. */
-  private def qualityClfSql: String =
-    s"""WITH tok AS (SELECT doc_id, ${hash56("tk")} AS h FROM
-       |  (SELECT doc_id, unnest($toksExpr) AS tk FROM documents)),
-       |hv AS (SELECT doc_id, (h % 64)::BIGINT AS dim,
-       |  sum(CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS value
-       |  FROM tok GROUP BY 1, 2
-       |  HAVING sum(CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
-       |feats AS (SELECT * FROM hv
-       |  UNION ALL SELECT doc_id, 64::BIGINT AS dim, 1::BIGINT AS value
-       |  FROM documents),
-       |lab AS (SELECT doc_id,
-       |  (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y FROM documents),
-       |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
-       |g1 AS (SELECT f.dim, sum((500000 - lab.y * 1000000) * f.value) AS g
-       |  FROM feats f JOIN lab USING (doc_id) GROUP BY 1),
-       |w1 AS (SELECT dim, (-round(0.5 * g / n, 0))::BIGINT AS w
-       |  FROM g1 CROSS JOIN nn),
-       |m1 AS (SELECT f.doc_id, sum(w1.w * f.value) AS ms
-       |  FROM feats f JOIN w1 USING (dim) GROUP BY 1),
-       |e1 AS (SELECT doc_id,
-       |  round(1e6 / (1 + exp(-(ms::DOUBLE) / 1e6)), 0)::BIGINT AS e FROM m1),
-       |g2 AS (SELECT f.dim, sum((e1.e - lab.y * 1000000) * f.value) AS g
-       |  FROM feats f JOIN e1 USING (doc_id) JOIN lab USING (doc_id)
-       |  GROUP BY 1),
-       |w2 AS (SELECT w1.dim, (w1.w - round(0.5 * g2.g / nn.n, 0))::BIGINT AS w
-       |  FROM w1 JOIN g2 USING (dim) CROSS JOIN nn),
-       |m2 AS (SELECT f.doc_id, sum(w2.w * f.value) AS ms
-       |  FROM feats f JOIN w2 USING (dim) GROUP BY 1),
-       |e2 AS (SELECT doc_id,
-       |  round(1e6 / (1 + exp(-(ms::DOUBLE) / 1e6)), 0)::BIGINT AS e FROM m2),
-       |g3 AS (SELECT f.dim, sum((e2.e - lab.y * 1000000) * f.value) AS g
-       |  FROM feats f JOIN e2 USING (doc_id) JOIN lab USING (doc_id)
-       |  GROUP BY 1),
-       |w3 AS (SELECT w2.dim, (w2.w - round(0.5 * g3.g / nn.n, 0))::BIGINT AS w
-       |  FROM w2 JOIN g3 USING (dim) CROSS JOIN nn),
-       |m3 AS (SELECT f.doc_id, sum(w3.w * f.value) AS ms
-       |  FROM feats f JOIN w3 USING (dim) GROUP BY 1)
-       |SELECT doc_id,
-       |  round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6) AS score,
-       |  (CASE WHEN round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6) >= 0.5
-       |    THEN 1 ELSE 0 END)::INT AS predicted
-       |FROM m3 ORDER BY doc_id""".stripMargin
+  /** Mechanically-unrolled GD oracle for [[graft.text.Classifier.fit]]
+    * + classify at any depth: iteration i contributes g_i (gradient)
+    * and w_i (weight update) CTEs, with m/e margin CTEs between
+    * iterations; the update is w − round(lr·g/n [+ (lr·l2)·w], 0) —
+    * the (lr·l2) literal is the exact Scala double printed shortest,
+    * so DuckDB parses the identical value and the integer-grid
+    * trajectory replays bitwise at every depth. */
+  private def qualityClfSql(iters: Int, lr: Double, l2: Double): String = {
+    val lrl2 = lr * l2
+    def upd(i: Int): String =
+      if (lrl2 == 0.0) s"round($lr * g$i.g / nn.n, 0)"
+      else s"round($lr * g$i.g / nn.n + $lrl2 * w${i - 1}.w, 0)"
+    val header =
+      s"""WITH tok AS (SELECT doc_id, ${hash56("tk")} AS h FROM
+         |  (SELECT doc_id, unnest($toksExpr) AS tk FROM documents)),
+         |hv AS (SELECT doc_id, (h % 64)::BIGINT AS dim,
+         |  sum(CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS value
+         |  FROM tok GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
+         |feats AS MATERIALIZED (SELECT * FROM hv
+         |  UNION ALL SELECT doc_id, 64::BIGINT AS dim, 1::BIGINT AS value
+         |  FROM documents),
+         |lab AS MATERIALIZED (SELECT doc_id,
+         |  (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y FROM documents),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |g1 AS (SELECT f.dim, sum((500000 - lab.y * 1000000) * f.value) AS g
+         |  FROM feats f JOIN lab USING (doc_id) GROUP BY 1),
+         |w1 AS MATERIALIZED (SELECT dim, (-round($lr * g / n, 0))::BIGINT AS w
+         |  FROM g1 CROSS JOIN nn)""".stripMargin
+    val laterIters = (2 to iters).map { i =>
+      s"""m${i - 1} AS MATERIALIZED (SELECT f.doc_id, sum(w${i - 1}.w * f.value) AS ms
+         |  FROM feats f JOIN w${i - 1} USING (dim) GROUP BY 1),
+         |e${i - 1} AS (SELECT doc_id,
+         |  round(1e6 / (1 + exp(-(ms::DOUBLE) / 1e6)), 0)::BIGINT AS e FROM m${i - 1}),
+         |g$i AS (SELECT f.dim, sum((e${i - 1}.e - lab.y * 1000000) * f.value) AS g
+         |  FROM feats f JOIN e${i - 1} USING (doc_id) JOIN lab USING (doc_id)
+         |  GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT w${i - 1}.dim, (w${i - 1}.w - ${upd(i)})::BIGINT AS w
+         |  FROM w${i - 1} JOIN g$i USING (dim) CROSS JOIN nn)""".stripMargin
+    }
+    val footer =
+      s"""m$iters AS (SELECT f.doc_id, sum(w$iters.w * f.value) AS ms
+         |  FROM feats f JOIN w$iters USING (dim) GROUP BY 1)
+         |SELECT doc_id,
+         |  round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6) AS score,
+         |  (CASE WHEN round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6) >= 0.5
+         |    THEN 1 ELSE 0 END)::INT AS predicted
+         |FROM m$iters ORDER BY doc_id""".stripMargin
+    (Seq(header) ++ laterIters :+ footer).mkString(",\n")
+  }
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
@@ -1620,7 +1639,8 @@ object DocQueries {
          |  lw_scaled::DOUBLE / 1e6 AS log_weight
          |FROM d ORDER BY lw_scaled DESC, doc_id LIMIT 100""".stripMargin,
 
-    "q_quality_clf" -> qualityClfSql,
+    "q_quality_clf" -> qualityClfSql(3, 0.5, 0.0),
+    "q_quality_clf_l2" -> qualityClfSql(10, 0.5, 0.001),
 
     "q_pca_gram" ->
       // mirrors Pca.covarianceLong: 1e6 fixed-point snap, exact

@@ -51,16 +51,27 @@ object Classifier {
 
   /** Fit by `iters` full-batch GD steps from w = 0; returns the
     * (dim+1) weights as 1e-6-scaled longs (index `dim` = bias).
-    * `labelCol` must be 0/1. */
+    * `labelCol` must be 0/1.
+    *
+    * `l2` adds standard weight decay: the update becomes
+    * w -= round(lr·g/n + (lr·l2)·w) in ONE grid snap (the decay term
+    * uses the pre-update weight; lr·l2 is precomputed so the oracle's
+    * SQL literal is the identical double). A dimension absent from the
+    * feature table never acquires weight, so decay over gradient rows
+    * covers every weighted dimension. l2 = 0 reproduces the unpenalized
+    * trajectory bitwise (the decay term is an exact ±0.0). */
   def fit(
       docs: DataFrame,
       labelCol: String,
       dim: Int = 64,
       iters: Int = 3,
       lr: Double = 0.5,
+      l2: Double = 0.0,
       textCol: String = "text",
       idCol: String = "doc_id"): Array[Long] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(l2 >= 0.0, s"l2 must be non-negative, got $l2")
+    val lrl2 = lr * l2
     val feats = sparseFeatures(docs, dim, textCol, idCol).persist()
     val labels = docs.select(col(idCol).as("doc_id"),
       col(labelCol).cast("long").as("__y"))
@@ -87,7 +98,8 @@ object Classifier {
           .collect() // bounded: at most dim+1 rows
         grads.foreach { r =>
           val d = r.getAs[Long]("dim").toInt
-          w(d) -= roundHalfAway(lr * r.getAs[Long]("__g").toDouble / n)
+          w(d) -= roundHalfAway(
+            lr * r.getAs[Long]("__g").toDouble / n + lrl2 * w(d).toDouble)
         }
       }
     } finally feats.unpersist()

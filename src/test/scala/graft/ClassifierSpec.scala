@@ -54,6 +54,48 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(l2 < l1 && l3 < l2, s"loss not decreasing: $l1, $l2, $l3")
   }
 
+  test("loss keeps falling at depth (iters=10) and l2=0 matches unpenalized") {
+    val docs = separable(40)
+    def lossAt(iters: Int, l2: Double): Double = {
+      val w = Classifier.fit(docs, "y", dim = 64, iters = iters, lr = 0.5,
+        l2 = l2)
+      val scored = Classifier.classify(docs, w, dim = 64)
+        .join(docs.select("doc_id", "y"), "doc_id").collect()
+      scored.map { r =>
+        val p = math.min(1 - 1e-9, math.max(1e-9, r.getAs[Double]("score")))
+        val y = r.getAs[Long]("y")
+        -(y * math.log(p) + (1 - y) * math.log(1 - p))
+      }.sum / scored.length
+    }
+    val (l3, l6, l10) = (lossAt(3, 0.0), lossAt(6, 0.0), lossAt(10, 0.0))
+    assert(l6 < l3 && l10 < l6,
+      s"loss not decreasing with depth: $l3, $l6, $l10")
+    // l2 = 0.0 must reproduce the unpenalized trajectory bitwise
+    assert(Classifier.fit(docs, "y", dim = 64, iters = 5, lr = 0.5).toSeq ===
+      Classifier.fit(docs, "y", dim = 64, iters = 5, lr = 0.5, l2 = 0.0).toSeq)
+  }
+
+  test("L2 decay shrinks the weight norm and never grows the loss much") {
+    val docs = separable(40)
+    def norm2(w: Array[Long]): Double =
+      w.map(x => (x / 1e6) * (x / 1e6)).sum
+    val plain = Classifier.fit(docs, "y", dim = 64, iters = 10, lr = 0.5)
+    val decayed = Classifier.fit(docs, "y", dim = 64, iters = 10, lr = 0.5,
+      l2 = 0.01)
+    assert(norm2(decayed) < norm2(plain),
+      s"decay did not shrink: ${norm2(decayed)} >= ${norm2(plain)}")
+    // the decayed model still separates the separable corpus
+    val out = Classifier.classify(docs, decayed, dim = 64)
+      .join(docs.select("doc_id", "y"), "doc_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("predicted").toLong === r.getAs[Long]("y"),
+        s"doc ${r.getAs[Long]("doc_id")} misclassified under decay")
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.fit(docs, "y", dim = 64, iters = 3, l2 = -0.1)
+    }
+  }
+
   test("fit is deterministic and token-less docs get the bias-only score") {
     val docs = Seq(
       (1L, "excellent clear prose", 1L),
