@@ -70,6 +70,11 @@ private case class ChunkRow(
 
 private case class ChunkClaim(docId: Long, chunkIdx: Int, lastTs: Long)
 
+/** Per-chunk document-frequency state for streaming boilerplate
+  * detection: distinct doc ids up to maxDf + 1, then a permanent
+  * `over` flag (state is O(maxDf), never corpus-bound). */
+private case class ChunkDfState(docIds: Seq[Long], over: Boolean, lastTs: Long)
+
 /** Structured-Streaming extensions (SURVEY §2.9/§7.6 — the reference is
   * batch-only; these are the post-parity streaming capabilities a
   * 100 TB event pipeline needs): event-time windowed stats under a
@@ -323,27 +328,172 @@ object Streaming {
         (chunk: String, rows: Iterator[ChunkRow], state: GroupState[ChunkClaim]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // deterministic within-batch order = the batch keeper order
-            val sorted = rows.toSeq.sortBy(r =>
-              (r.ts.getTime, r.doc_id, r.chunk_idx))
-            val out = Seq.newBuilder[StreamChunk]
+            // ONE incremental lazy pass, O(1) group memory — never
+            // `rows.toSeq.sortBy` (a viral boilerplate chunk arriving
+            // in one batch would pile every occurrence into a single
+            // task's heap). With an existing claim, every row's verdict
+            // is immediate. With no claim yet, only the current BEST
+            // candidate (min (ts, doc_id, chunk_idx) — the batch keeper
+            // order) is held back; any row beaten by it can never be
+            // the claimant and streams out `kept = false` on the spot.
+            // The emitted SET is exactly the sorted pass's: claimant
+            // true, everything else false. State is finalized by the
+            // tail iterator after the last row is consumed (Spark
+            // honors state updates made while the returned iterator
+            // drains — the lazy-update contract of
+            // flatMapGroupsWithState).
             var claim = state.getOption
+            var pending: ChunkRow = null
             var lastActivity = Long.MinValue
-            sorted.foreach { r =>
-              lastActivity = math.max(lastActivity, r.ts.getTime)
-              val isOwner = claim match {
-                case None =>
-                  claim = Some(ChunkClaim(r.doc_id, r.chunk_idx, r.ts.getTime))
-                  true
-                case Some(c) => c.docId == r.doc_id && c.chunkIdx == r.chunk_idx
-              }
-              out += StreamChunk(r.doc_id, r.ts, r.chunk_idx, chunk, isOwner)
+            def lt(a: ChunkRow, b: ChunkRow): Boolean = {
+              val (ta, tb) = (a.ts.getTime, b.ts.getTime)
+              ta < tb || (ta == tb && (a.doc_id < b.doc_id ||
+                (a.doc_id == b.doc_id && a.chunk_idx < b.chunk_idx)))
             }
-            claim.foreach(c => state.update(c.copy(lastTs = lastActivity)))
-            if (lastActivity != Long.MinValue)
+            val mainIt = rows.flatMap { r =>
+              lastActivity = math.max(lastActivity, r.ts.getTime)
+              claim match {
+                case Some(c) =>
+                  Iterator.single(StreamChunk(r.doc_id, r.ts, r.chunk_idx,
+                    chunk, c.docId == r.doc_id && c.chunkIdx == r.chunk_idx))
+                case None =>
+                  if (pending == null) { pending = r; Iterator.empty }
+                  else if (lt(r, pending)) {
+                    val beaten = pending; pending = r
+                    Iterator.single(StreamChunk(beaten.doc_id, beaten.ts,
+                      beaten.chunk_idx, chunk, kept = false))
+                  } else
+                    Iterator.single(StreamChunk(r.doc_id, r.ts, r.chunk_idx,
+                      chunk, kept = false))
+              }
+            }
+            val tailIt = new Iterator[StreamChunk] {
+              private var finalized = false
+              private var toEmit: StreamChunk = null
+              private def finish(): Unit = if (!finalized) {
+                finalized = true
+                if (pending != null) {
+                  claim = Some(ChunkClaim(pending.doc_id, pending.chunk_idx,
+                    pending.ts.getTime))
+                  toEmit = StreamChunk(pending.doc_id, pending.ts,
+                    pending.chunk_idx, chunk, kept = true)
+                }
+                claim.foreach(c => state.update(c.copy(lastTs = lastActivity)))
+                if (lastActivity != Long.MinValue)
+                  state.setTimeoutTimestamp(safeTimeout(state,
+                    lastActivity + idleTimeoutSec * 1000L))
+              }
+              override def hasNext: Boolean = { finish(); toEmit != null }
+              override def next(): StreamChunk = {
+                finish()
+                if (toEmit == null) throw new NoSuchElementException
+                val e = toEmit; toEmit = null; e
+              }
+            }
+            mainIt ++ tailIt
+          }
+      }
+  }
+
+  /** Streaming QUALITY GATE, rule half: [[graft.text.TextStats
+    * .gopherRulesStateless]] applied to the document stream — a pure
+    * per-row projection (the top-2-gram share is an in-row sorted-run
+    * HOF, not an aggregate), so it needs no state, no watermark, and
+    * no shuffle, and its output is column-identical to the batch
+    * `gopherRules` table (replay-pinned in StreamingSpec). */
+  def streamingGopherRules(docs: Dataset[StreamDoc]): DataFrame =
+    graft.text.TextStats.gopherRulesStateless(docs.toDF(),
+      extraCols = Seq("ts"))
+
+  /** Streaming QUALITY GATE, corpus half: online boilerplate detection,
+    * the streaming analogue of [[graft.text.Rewrite.stripBoilerplate]].
+    * State per chunk tracks the distinct-document frequency UP TO
+    * `maxDf + 1` ids (then collapses to a permanent `over` flag — state
+    * is O(maxDf) per chunk, never corpus-bound). Verdicts are
+    * batch-consistent WITHIN a micro-batch: a chunk's occurrences in
+    * the batch that pushes it over the threshold are all emitted
+    * `kept = false` (the batch operator's everywhere-drop), so replaying
+    * the corpus as one batch reproduces `stripBoilerplate` verdicts
+    * exactly (pinned). Online drift, deliberate and documented: kept
+    * verdicts already emitted in EARLIER batches cannot be retracted
+    * when a chunk later crosses the threshold — the batch pass remains
+    * the exact answer (the [[streamingChunkDedup]] trade-off).
+    *
+    * Memory bound, deliberate: a group buffers its batch occurrences
+    * only WHILE the chunk is at-or-under `maxDf` distinct docs (the
+    * batch verdict needs the batch's full df delta); once `over`, every
+    * later occurrence streams through one-in-one-out. A viral
+    * boilerplate chunk therefore buffers at most its first-batch
+    * occurrences across <= maxDf + 1 documents, and nothing ever
+    * again. */
+  def streamingBoilerplate(
+      docs: Dataset[StreamDoc],
+      k: Int = 3,
+      maxDf: Int = 4,
+      watermark: String = "2 hours",
+      idleTimeoutSec: Long = 86400): Dataset[StreamChunk] = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    require(idleTimeoutSec > 0,
+      s"idleTimeoutSec ($idleTimeoutSec) must be positive")
+    import docs.sparkSession.implicits._
+    val occ = graft.text.Rewrite.chunkOccurrences(
+        docs.toDF(), k = k, extraCols = Seq("ts"))
+      .select("chunk", "doc_id", "ts", "chunk_idx")
+      .withWatermark("ts", watermark)
+      .as[ChunkRow]
+    occ.groupByKey(_.chunk)
+      .flatMapGroupsWithState[ChunkDfState, StreamChunk](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (chunk: String, rows: Iterator[ChunkRow],
+            state: GroupState[ChunkDfState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(
+              ChunkDfState(Seq.empty, over = false, Long.MinValue))
+            var lastActivity = st.lastTs
+            if (st.over) {
+              // permanent boilerplate: lazy one-in-one-out pass-through
+              val mainIt = rows.map { r =>
+                lastActivity = math.max(lastActivity, r.ts.getTime)
+                StreamChunk(r.doc_id, r.ts, r.chunk_idx, chunk, kept = false)
+              }
+              val tailIt = new Iterator[StreamChunk] {
+                private var finalized = false
+                override def hasNext: Boolean = {
+                  if (!finalized) {
+                    finalized = true
+                    state.update(ChunkDfState(Seq.empty, over = true,
+                      lastActivity))
+                    state.setTimeoutTimestamp(safeTimeout(state,
+                      lastActivity + idleTimeoutSec * 1000L))
+                  }
+                  false
+                }
+                override def next(): StreamChunk =
+                  throw new NoSuchElementException
+              }
+              mainIt ++ tailIt
+            } else {
+              // under threshold: the batch verdict needs this batch's
+              // full df delta, so buffer this chunk's batch occurrences
+              // (bounded — see scaladoc) and emit with the post-batch
+              // verdict: batch-consistent everywhere-drop
+              val batch = rows.toArray
+              val ids = scala.collection.mutable.LinkedHashSet(st.docIds: _*)
+              batch.foreach { r =>
+                lastActivity = math.max(lastActivity, r.ts.getTime)
+                if (ids.size <= maxDf) ids += r.doc_id
+              }
+              val over = ids.size > maxDf
+              state.update(
+                if (over) ChunkDfState(Seq.empty, over = true, lastActivity)
+                else ChunkDfState(ids.toSeq, over = false, lastActivity))
               state.setTimeoutTimestamp(safeTimeout(state,
                 lastActivity + idleTimeoutSec * 1000L))
-            out.result().iterator
+              batch.iterator.map(r =>
+                StreamChunk(r.doc_id, r.ts, r.chunk_idx, chunk, !over))
+            }
           }
       }
   }

@@ -144,6 +144,68 @@ object TextStats {
       .drop("__tf")
   }
 
+  /** [[gopherRules]] as a PURE PER-ROW PROJECTION — no groupBy, no
+    * join — so it runs unchanged on an unbounded stream (the
+    * [[graft.streaming.Streaming.streamingGopherRules]] gate) and on
+    * any batch frame. The only aggregated quantity in gopherRules is
+    * the top-2-gram share; here it is the maximum run length of the
+    * SORTED in-row 2-gram sequence over the gram count (integer
+    * max-run == integer max-count, total == size — identical doubles,
+    * identical 1e-9 round), computed with an `aggregate` HOF.
+    * Output is column-for-column identical to [[gopherRules]] (pinned
+    * by TextStatsSpec and the streaming replay test). `extraCols` pass
+    * through (e.g. the event-time column of a stream). */
+  def gopherRulesStateless(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val nChars = length(col(textCol)).cast("double")
+    val meanLen = (nChars - (nTok - 1.0)) / nTok
+    val alphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double")
+    val stopDistinct = size(array_intersect(array_distinct(toks),
+      array(EnglishStopwords.map(lit): _*)))
+    val nHash = nChars - length(regexp_replace(col(textCol), "#", ""))
+    val nEllipsis = (nChars -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3.0
+    val symbolRatio = (nHash + nEllipsis) / nTok
+    // max run of the sorted 2-gram sequence == max per-gram count
+    val sortedGrams = array_sort(TextOps.shingleSeq(toks, 2))
+    val maxRun = aggregate(sortedGrams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val tf = when(size(sortedGrams) > 0,
+      maxRun.cast("double") / size(sortedGrams).cast("double"))
+      .otherwise(lit(0.0))
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    docs.select(col(idCol).as("doc_id") +: extraCols.map(col) :+
+        nTok.cast("long").as("n_words") :+
+        round(meanLen, 9).as("mean_word_len") :+
+        round(alphaWords / nTok, 9).as("frac_alpha_words") :+
+        stopDistinct.cast("long").as("n_stop_distinct") :+
+        round(symbolRatio, 9).as("symbol_word_ratio") :+
+        round(tf, 9).as("top2gram_frac"): _*)
+      .withColumn("r_wordcount",
+        flag(col("n_words") >= 50 && col("n_words") <= 100000))
+      .withColumn("r_wordlen",
+        flag(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0))
+      .withColumn("r_symbol", flag(col("symbol_word_ratio") <= 0.1))
+      .withColumn("r_alpha", flag(col("frac_alpha_words") >= 0.8))
+      .withColumn("r_stop", flag(col("n_stop_distinct") >= 2))
+      .withColumn("r_rep", flag(col("top2gram_frac") <= 0.2))
+      .withColumn("quality_pass",
+        col("r_wordcount") * col("r_wordlen") * col("r_symbol") *
+          col("r_alpha") * col("r_stop") * col("r_rep"))
+  }
+
   /** Corpus-level top-k positional n-grams — vocabulary statistics for
     * tokenizer training / boilerplate discovery: per n-gram the total
     * occurrence count and the document frequency, ordered by

@@ -273,4 +273,102 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         s"doc ${d.doc_id}: stream rebuilt $got, batch $expected")
     }
   }
+
+  test("streamingGopherRules replays the batch gopherRules table exactly") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val batch = graft.text.TextStats.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq.drop(1)).toMap
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val out = Streaming.streamingGopherRules(in.toDS())
+    val q = out.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    rows.grouped(100).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("gopher_stream").collect()
+      // drop doc_id and the passthrough ts column
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq.drop(2)).toMap
+    assert(streamed.size === batch.size)
+    batch.foreach { case (id, expected) =>
+      assert(streamed(id) === expected, s"doc $id gopher columns diverge")
+    }
+    // and it must stay stateless: a pure projection plan, no
+    // aggregation, so no watermark is ever needed
+    val plan = Streaming.streamingGopherRules(in.toDS())
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"),
+      "streamingGopherRules must remain a stateless projection")
+  }
+
+  test("streamingBoilerplate replayed as ONE batch matches stripBoilerplate") {
+    import graft.streaming.{StreamChunk, StreamDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val batch = graft.text.Rewrite.stripBoilerplate(docs, k = 3, maxDf = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_kept")))).toMap
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val out = Streaming.streamingBoilerplate(in.toDS(), k = 3, maxDf = 4)
+    val q = out.writeStream.format("memory").queryName("boiler_replay")
+      .outputMode("append").start()
+    // one batch = the batch operator's visibility: verdicts must agree
+    in.addData(rows.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("boiler_replay").as[StreamChunk].collect()
+      .filter(_.kept)
+    val rebuilt = kept.groupBy(_.doc_id).map { case (id, cs) =>
+      id -> ((cs.sortBy(_.chunk_idx).map(_.chunk).mkString(" "),
+        cs.length.toLong))
+    }
+    rows.foreach { d =>
+      val expected = batch(d.doc_id)
+      val got = rebuilt.getOrElse(d.doc_id, (("", 0L)))
+      assert(got === expected,
+        s"doc ${d.doc_id}: stream rebuilt $got, batch $expected")
+    }
+  }
+
+  test("streamingBoilerplate online: later occurrences drop once df crosses") {
+    import graft.streaming.{StreamChunk, StreamDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704067200000L
+    val in = MemoryStream[StreamDoc]
+    val out = Streaming.streamingBoilerplate(in.toDS(), k = 3, maxDf = 2)
+    val q = out.writeStream.format("memory").queryName("boiler_online")
+      .outputMode("append").start()
+    // batch 1: the chunk "x y z" in 2 docs — at the df=2 threshold, kept
+    in.addData(
+      StreamDoc(1L, new Timestamp(t0), "x y z"),
+      StreamDoc(2L, new Timestamp(t0 + 1000), "x y z"))
+    q.processAllAvailable()
+    // batch 2: a third doc pushes df to 3 > maxDf — dropped from here on
+    in.addData(StreamDoc(3L, new Timestamp(t0 + 2000), "x y z"))
+    q.processAllAvailable()
+    // batch 3: once over, always over (state collapsed to the flag)
+    in.addData(StreamDoc(4L, new Timestamp(t0 + 3000), "x y z"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("boiler_online").as[StreamChunk].collect()
+      .map(c => c.doc_id -> c.kept).toMap
+    assert(rows(1L) && rows(2L), "under-threshold occurrences must keep")
+    assert(!rows(3L), "the crossing batch must drop")
+    assert(!rows(4L), "post-crossing occurrences must drop")
+  }
 }
