@@ -126,8 +126,16 @@ object Ivf {
   /** The `n` nearest cell ids from a distance array, nearest first
     * (distance then cell-id order). */
   private def nearestCells(dists: Column, nCells: Int, n: Int): Column =
-    slice(array_sort(transform(sequence(lit(0), lit(nCells - 1)),
-      i => struct(element_at(dists, i + 1).as("d"), i.cast("int").as("cell")))),
+    // CRITICAL: `dists` must be a DIRECT child (arrays_zip), never a
+    // reference inside a HOF lambda — `transform(sequence(...), i =>
+    // ... element_at(dists, i + 1) ...)` re-evaluates the whole
+    // distance kernel ONCE PER CELL, turning the probe-list build
+    // quadratic in nCells (invisible at 16 cells; a multi-hour hang at
+    // the 65k-cell coarse quantizers of the 100 TB layout — caught by
+    // ScaleProbeSpec). arrays_zip evaluates the kernel once per row;
+    // struct sort order (d asc, then cell asc) matches the old form.
+    slice(array_sort(arrays_zip(dists.as("d"),
+      sequence(lit(0), lit(nCells - 1)).as("cell"))),
       1, n).getField("cell")
 
   /** Nearest-cell assignment (0-based) of a vector column against a
