@@ -144,15 +144,16 @@ object SparkEntry {
          |FROM s1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_factor_returns" ->
       s"""$pre, dm AS (
-         |  SELECT date, ret_1, ret_5,
+         |  SELECT date, asset, ret_1, ret_5,
          |    factor - avg(factor) OVER (PARTITION BY date) AS c
          |  FROM factor_data),
          |wts AS (
-         |  SELECT date, ret_1, ret_5,
+         |  SELECT date, asset, ret_1, ret_5,
          |    c / sum(abs(c)) OVER (PARTITION BY date) AS weight
          |  FROM dm)
-         |SELECT date, round(sum(ret_1 * weight), 9) AS ret_1,
-         |       round(sum(ret_5 * weight), 9) AS ret_5
+         |SELECT date,
+         |  round(CASE WHEN count(ret_1 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_1 * weight ORDER BY asset) FILTER (WHERE ret_1 * weight IS NOT NULL)), (a, b) -> a + b) END, 9) AS ret_1,
+         |  round(CASE WHEN count(ret_5 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_5 * weight ORDER BY asset) FILTER (WHERE ret_5 * weight IS NOT NULL)), (a, b) -> a + b) END, 9) AS ret_5
          |FROM wts GROUP BY date ORDER BY date""".stripMargin,
     "q_quantile_turnover" ->
       s"""$pre, sets AS (
@@ -185,14 +186,14 @@ object SparkEntry {
          |FROM s ORDER BY date""".stripMargin,
     "q_cumulative_returns" ->
       s"""$pre, dm AS (
-         |  SELECT date, ret_1,
+         |  SELECT date, asset, ret_1,
          |    factor - avg(factor) OVER (PARTITION BY date) AS c
          |  FROM factor_data),
          |wts AS (
-         |  SELECT date, ret_1,
+         |  SELECT date, asset, ret_1,
          |    c / sum(abs(c)) OVER (PARTITION BY date) AS weight
          |  FROM dm),
-         |fr AS (SELECT date, sum(ret_1 * weight) AS r FROM wts GROUP BY date)
+         |fr AS (SELECT date, CASE WHEN count(ret_1 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_1 * weight ORDER BY asset) FILTER (WHERE ret_1 * weight IS NOT NULL)), (a, b) -> a + b) END AS r FROM wts GROUP BY date)
          |SELECT date, round($cumProdR, 9) AS cum_ret_1
          |FROM fr ORDER BY date""".stripMargin,
     "q_positions" ->
@@ -217,25 +218,26 @@ object SparkEntry {
          |  SELECT date, quantile_cont(factor, 0.5) AS m
          |  FROM factor_data GROUP BY date),
          |ctr AS (
-         |  SELECT f.date, f.ret_1, f.ret_5, f.factor - med.m AS c
+         |  SELECT f.date, f.asset, f.ret_1, f.ret_5, f.factor - med.m AS c
          |  FROM factor_data f JOIN med USING (date)),
          |sgn AS (
-         |  SELECT date, ret_1, ret_5,
+         |  SELECT date, asset, ret_1, ret_5,
          |    CASE WHEN c < 0 THEN -1.0 WHEN c > 0 THEN 1.0 ELSE 0.0 END AS s,
          |    sum(CASE WHEN c < 0 THEN 1 ELSE 0 END) OVER (PARTITION BY date) AS nn,
          |    sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) OVER (PARTITION BY date) AS np
          |  FROM ctr),
          |pre2 AS (
-         |  SELECT date, ret_1, ret_5,
+         |  SELECT date, asset, ret_1, ret_5,
          |    CASE WHEN s < 0 THEN s / nn WHEN s > 0 THEN s / np ELSE s END AS p
          |  FROM sgn),
          |wts AS (
-         |  SELECT date, ret_1, ret_5,
+         |  SELECT date, asset, ret_1, ret_5,
          |    CASE WHEN sum(abs(p)) OVER (PARTITION BY date) = 0 THEN NULL
          |         ELSE p / sum(abs(p)) OVER (PARTITION BY date) END AS weight
          |  FROM pre2)
-         |SELECT date, round(sum(ret_1 * weight), 9) AS ret_1,
-         |       round(sum(ret_5 * weight), 9) AS ret_5
+         |SELECT date,
+         |  round(CASE WHEN count(ret_1 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_1 * weight ORDER BY asset) FILTER (WHERE ret_1 * weight IS NOT NULL)), (a, b) -> a + b) END, 9) AS ret_1,
+         |  round(CASE WHEN count(ret_5 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_5 * weight ORDER BY asset) FILTER (WHERE ret_5 * weight IS NOT NULL)), (a, b) -> a + b) END, 9) AS ret_5
          |FROM wts GROUP BY date ORDER BY date""".stripMargin,
     "q_mean_ret_group" ->
       s"""$preG, dm AS (
@@ -303,29 +305,29 @@ object SparkEntry {
          |ORDER BY date, asset""".stripMargin,
     "q_cum_ret_topq" ->
       s"""$pre, sub AS (
-         |  SELECT date, ret_1, factor FROM factor_data
+         |  SELECT date, asset, ret_1, factor FROM factor_data
          |  WHERE factor_quantile IN (1, 5)),
          |dm AS (
-         |  SELECT date, ret_1,
+         |  SELECT date, asset, ret_1,
          |    factor - avg(factor) OVER (PARTITION BY date) AS c
          |  FROM sub),
          |wts AS (
-         |  SELECT date, ret_1,
+         |  SELECT date, asset, ret_1,
          |    c / sum(abs(c)) OVER (PARTITION BY date) AS weight
          |  FROM dm),
-         |fr AS (SELECT date, sum(ret_1 * weight) AS r FROM wts GROUP BY date)
+         |fr AS (SELECT date, CASE WHEN count(ret_1 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_1 * weight ORDER BY asset) FILTER (WHERE ret_1 * weight IS NOT NULL)), (a, b) -> a + b) END AS r FROM wts GROUP BY date)
          |SELECT date, round($cumProdR, 9) AS cum_ret_1
          |FROM fr ORDER BY date""".stripMargin,
     "q_pyfolio_returns" ->
       s"""$pre, dm AS (
-         |  SELECT date, ret_1,
+         |  SELECT date, asset, ret_1,
          |    factor - avg(factor) OVER (PARTITION BY date) AS c
          |  FROM factor_data),
          |wts AS (
-         |  SELECT date, ret_1,
+         |  SELECT date, asset, ret_1,
          |    c / sum(abs(c)) OVER (PARTITION BY date) AS weight
          |  FROM dm),
-         |fr AS (SELECT date, sum(ret_1 * weight) AS r FROM wts GROUP BY date),
+         |fr AS (SELECT date, CASE WHEN count(ret_1 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_1 * weight ORDER BY asset) FILTER (WHERE ret_1 * weight IS NOT NULL)), (a, b) -> a + b) END AS r FROM wts GROUP BY date),
          |lvl AS (SELECT date, $cumProdR AS v FROM fr),
          |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::TIMESTAMP AS date
          |  FROM (SELECT min(date) AS mn, max(date) AS mx FROM lvl)),

@@ -526,12 +526,13 @@ object AnalyticsQueries {
 
     "q_returns_table" ->
       s"""$pre, dm AS (
-         |  SELECT date, ret_1, ret_5,
+         |  SELECT date, asset, ret_1, ret_5,
          |    factor - avg(factor) OVER (PARTITION BY date) AS c
          |  FROM factor_data),
-         |wts AS (SELECT date, ret_1, ret_5,
+         |wts AS (SELECT date, asset, ret_1, ret_5,
          |  c / sum(abs(c)) OVER (PARTITION BY date) AS weight FROM dm),
-         |fr AS (SELECT date, sum(ret_1 * weight) AS r1, sum(ret_5 * weight) AS r5
+         |fr AS (SELECT date, CASE WHEN count(ret_1 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_1 * weight ORDER BY asset) FILTER (WHERE ret_1 * weight IS NOT NULL)), (a, b) -> a + b) END AS r1,
+         |  CASE WHEN count(ret_5 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_5 * weight ORDER BY asset) FILTER (WHERE ret_5 * weight IS NOT NULL)), (a, b) -> a + b) END AS r5
          |  FROM wts GROUP BY date),
          |uni AS (SELECT date, avg(ret_1) AS u1, avg(ret_5) AS u5
          |  FROM factor_data GROUP BY date),
@@ -725,12 +726,13 @@ object AnalyticsQueries {
 
     "q_alpha_beta" ->
       s"""$pre, dm AS (
-         |  SELECT date, ret_1, ret_5,
+         |  SELECT date, asset, ret_1, ret_5,
          |    factor - avg(factor) OVER (PARTITION BY date) AS c
          |  FROM factor_data),
-         |wts AS (SELECT date, ret_1, ret_5,
+         |wts AS (SELECT date, asset, ret_1, ret_5,
          |  c / sum(abs(c)) OVER (PARTITION BY date) AS weight FROM dm),
-         |fr AS (SELECT date, sum(ret_1 * weight) AS r1, sum(ret_5 * weight) AS r5
+         |fr AS (SELECT date, CASE WHEN count(ret_1 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_1 * weight ORDER BY asset) FILTER (WHERE ret_1 * weight IS NOT NULL)), (a, b) -> a + b) END AS r1,
+         |  CASE WHEN count(ret_5 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_5 * weight ORDER BY asset) FILTER (WHERE ret_5 * weight IS NOT NULL)), (a, b) -> a + b) END AS r5
          |  FROM wts GROUP BY date),
          |uni AS (SELECT date, avg(ret_1) AS u1, avg(ret_5) AS u5
          |  FROM factor_data GROUP BY date),
@@ -801,16 +803,17 @@ object AnalyticsQueries {
          |  SELECT date, asset, ret_1, ret_5, "group",
          |    factor - avg(factor) OVER (PARTITION BY date, "group") AS c
          |  FROM factor_data),
-         |w1 AS (SELECT date, ret_1, ret_5,
+         |w1 AS (SELECT date, asset, ret_1, ret_5,
          |  CASE WHEN sum(abs(c)) OVER (PARTITION BY date, "group") = 0.0 THEN NULL
          |       ELSE c / sum(abs(c)) OVER (PARTITION BY date, "group") END AS w
          |  FROM dm),
-         |w2 AS (SELECT date, ret_1, ret_5,
+         |w2 AS (SELECT date, asset, ret_1, ret_5,
          |  CASE WHEN sum(abs(w)) OVER (PARTITION BY date) = 0.0 THEN NULL
          |       ELSE w / sum(abs(w)) OVER (PARTITION BY date) END AS weight
          |  FROM w1)
-         |SELECT date, round(sum(ret_1 * weight), 9) AS ret_1,
-         |       round(sum(ret_5 * weight), 9) AS ret_5
+         |SELECT date,
+         |  round(CASE WHEN count(ret_1 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_1 * weight ORDER BY asset) FILTER (WHERE ret_1 * weight IS NOT NULL)), (a, b) -> a + b) END, 9) AS ret_1,
+         |  round(CASE WHEN count(ret_5 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_5 * weight ORDER BY asset) FILTER (WHERE ret_5 * weight IS NOT NULL)), (a, b) -> a + b) END, 9) AS ret_5
          |FROM w2 GROUP BY date ORDER BY date""".stripMargin,
 
     "q_quantize_bygroup" -> {
@@ -1032,16 +1035,17 @@ object AnalyticsQueries {
     * variant, tears.py:689-691): weight = sign(factor) normalized by
     * the date's gross. */
   private def frEwRawSql: String =
-    s"""$pre, sgn AS (SELECT date, ret_1, ret_5,
+    s"""$pre, sgn AS (SELECT date, asset, ret_1, ret_5,
        |  CASE WHEN factor < 0 THEN -1.0 WHEN factor > 0 THEN 1.0
        |       ELSE 0.0 END AS sg
        |  FROM factor_data),
-       |wts AS (SELECT date, ret_1, ret_5,
+       |wts AS (SELECT date, asset, ret_1, ret_5,
        |  CASE WHEN sum(abs(sg)) OVER (PARTITION BY date) = 0 THEN NULL
        |       ELSE sg / sum(abs(sg)) OVER (PARTITION BY date) END AS weight
        |  FROM sgn)
-       |SELECT date, round(sum(ret_1 * weight), 9) AS ret_1,
-       |       round(sum(ret_5 * weight), 9) AS ret_5
+       |SELECT date,
+       |  round(CASE WHEN count(ret_1 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_1 * weight ORDER BY asset) FILTER (WHERE ret_1 * weight IS NOT NULL)), (a, b) -> a + b) END, 9) AS ret_1,
+       |  round(CASE WHEN count(ret_5 * weight) = 0 THEN NULL ELSE list_reduce(list_prepend(0.0, list(ret_5 * weight ORDER BY asset) FILTER (WHERE ret_5 * weight IS NOT NULL)), (a, b) -> a + b) END, 9) AS ret_5
        |FROM wts GROUP BY date""".stripMargin
 
   /** NON-demeaned two-stage mean return by quantile (the event-study

@@ -71,7 +71,32 @@ object Returns {
     if (byAsset)
       weighted.select((Seq(col("date"), col("asset")) ++ cols): _*)
     else {
-      val aggs = fd.returnCols.map(rc => sum(col(rc) * col("weight")).as(rc))
+      // CANONICAL-ORDER fold, not sum(): a float sum's low bits depend
+      // on summation order, and when a per-date sum lands within an ulp
+      // of a .5e-9 boundary the final round(_, 9) flips with the order
+      // — across partitionings here, across thread schedules in the
+      // DuckDB twin (the 9x panel probe caught exactly one such date:
+      // SURVEY §5 probe #12). Folding the per-asset contributions in
+      // asset order makes the value a function of the DATA alone; the
+      // oracle folds the identical sequence via list_reduce. The
+      // per-date state is one struct array bounded by the universe
+      // width (the positions-grid precedent), combinable map-side by
+      // collect_list.
+      // sum() semantics preserved exactly: nulls are skipped (possible
+      // under equal-weight on a degenerate date) and an all-null group
+      // yields null — tracked in the fold state, one pass
+      val aggs = fd.returnCols.map { rc =>
+        val arr = filter(
+          array_sort(collect_list(struct(col("asset").as("a"),
+            (col(rc) * col("weight")).as("x")))),
+          s => s.getField("x").isNotNull)
+        aggregate(arr,
+          struct(lit(0.0).as("s"), lit(0L).as("n")),
+          (acc, e) => struct(
+            (acc.getField("s") + e.getField("x")).as("s"),
+            (acc.getField("n") + 1L).as("n")),
+          acc => when(acc.getField("n") > 0, acc.getField("s"))).as(rc)
+      }
       weighted.groupBy("date").agg(aggs.head, aggs.tail: _*).orderBy("date")
     }
   }
