@@ -422,11 +422,17 @@ object DocQueries {
     "q_asof_attrib" -> ((s, dir) => {
       // click -> most recent prior view by the same user (point-in-time
       // attribution); oracle is DuckDB's native ASOF LEFT JOIN.
-      // events.ts is TIMESTAMP(NANOS): read as long nanos
-      // (spark.sql.legacy.parquet.nanosAsLong) and floor to micros —
-      // exactly what DuckDB's nanos->micros read-time conversion does
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // events.ts has shipped as both TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across testdata generations: nanos arrives as
+      // long (spark.sql.legacy.parquet.nanosAsLong) and is floored to
+      // micros — exactly DuckDB's nanos->micros read-time conversion —
+      // while micros needs no conversion in either engine
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val ev = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw
+      }
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "ts", "user_id", "value")
       val views = ev.filter(col("event_type") === "view")
