@@ -458,7 +458,46 @@ object DocQueries {
       Dedup.containmentPairsFromSets(docShingleSets(s, dir, n = 3),
         minContainment = 0.5, maxDf = 100)),
     "q_unigram_lp" -> ((s, dir) =>
-      TextStats.unigramLogProb(documents(s, dir)).orderBy("doc_id"))
+      TextStats.unigramLogProb(documents(s, dir)).orderBy("doc_id")),
+    "q_warc_roundtrip" -> ((s, dir) => {
+      // corpus -> WARC segment files (per-record gzip members, the
+      // Common Crawl layout) via the graft sink, read back through the
+      // `warc` DataSource V2 with a record-type pushdown, payloads
+      // decoded and re-keyed by target URI. The oracle reads the
+      // documents table directly, so the equality proves the whole
+      // encode -> part files -> DSv2 scan -> filter -> decode path is
+      // byte-lossless. Request records (different type, different
+      // payload) are interleaved to make the pushdown observable.
+      import graft.sources.Warc
+      val docs = documents(s, dir).select("doc_id", "text", "source")
+      def recs(kind: String, idTag: String, ctype: String,
+               payload: org.apache.spark.sql.Column) = docs.select(
+        lit(kind).as("warc_type"),
+        concat(lit(s"<urn:graft:$idTag:"), col("doc_id"), lit(">")).as("record_id"),
+        concat(lit("http://corpus.local/"), col("source"), lit("/"),
+          col("doc_id")).as("target_uri"),
+        expr("timestamp_micros(1700000000000000 + doc_id * 1000000)")
+          .as("warc_date"),
+        lit(ctype).as("content_type"),
+        payload.as("payload"))
+      val resp = recs("response", "doc", "text/plain", encode(col("text"), "UTF-8"))
+      val reqs = recs("request", "req", "application/http",
+        encode(col("source"), "UTF-8"))
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warc_roundtrip").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      Warc.write(resp.unionByName(reqs).repartition(4, col("record_id")),
+        tmp, gzip = true)
+      Warc.read(s, tmp)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("content_length").as("n_bytes"),
+          col("payload").cast("string").as("text"))
+        .orderBy("doc_id")
+    })
   )
 
   // ---- DuckDB oracle SQL --------------------------------------------
@@ -1817,6 +1856,15 @@ object DocQueries {
          |  ((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
          |    ((2 * abs(num) + n_tokens) // (2 * n_tokens)))::DOUBLE / 1e9
          |    AS logprob
-         |FROM fin ORDER BY doc_id""".stripMargin
+         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // byte-lossless WARC round trip: the Spark side goes corpus ->
+    // encoded WARC part files -> DSv2 read -> decode; the oracle reads
+    // the source table directly
+    "q_warc_roundtrip" ->
+      s"""SELECT doc_id,
+         |  octet_length(encode(text))::BIGINT AS n_bytes,
+         |  text
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

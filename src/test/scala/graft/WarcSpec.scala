@@ -1,0 +1,167 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Warc, WarcFormat}
+
+class WarcSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmpDir(tag: String): Path = {
+    val d = Files.createTempDirectory(s"warc-$tag")
+    d.toFile.deleteOnExit(); d
+  }
+
+  private def enc(i: Int, wtype: String = "response",
+                  payload: Array[Byte] = null): Array[Byte] =
+    WarcFormat.encode(
+      warcType = wtype,
+      recordId = s"<urn:uuid:rec-$i>",
+      targetUri = Some(s"http://example.com/doc/$i"),
+      dateMicros = 1700000000000000L + i * 1000000L,
+      contentType = "text/plain",
+      payload = if (payload != null) payload else s"body $i".getBytes(UTF_8))
+
+  // ---- codec ----
+
+  test("codec round-trips records, preserving headers and payload bytes") {
+    val bytes = enc(1) ++ enc(2, "request") ++ enc(3)
+    val rs = WarcFormat.records(new ByteArrayInputStream(bytes), gzipped = false).toList
+    assert(rs.map(_.warcType) == List(Some("response"), Some("request"), Some("response")))
+    assert(rs.map(_.targetUri.get) ==
+      List(1, 2, 3).map(i => s"http://example.com/doc/$i"))
+    assert(rs(1).payload.sameElements("body 2".getBytes(UTF_8)))
+    assert(rs(0).dateMicros.contains(1700000001000000L))
+  }
+
+  test("payload containing CRLFCRLF and a nested WARC record is read intact") {
+    // framing is length-delimited: a payload that embeds the record
+    // separator, or an entire nested record, must not confuse the parser
+    val evil = "x\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\ny".getBytes(UTF_8)
+    val bytes = enc(1, payload = evil) ++ enc(2)
+    val rs = WarcFormat.records(new ByteArrayInputStream(bytes), gzipped = false).toList
+    assert(rs.size == 2)
+    assert(rs(0).payload.sameElements(evil))
+    assert(rs(1).recordId.contains("<urn:uuid:rec-2>"))
+  }
+
+  test("multi-member gzip stream parses record-per-member") {
+    val out = new java.io.ByteArrayOutputStream()
+    for (i <- 1 to 3) {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(enc(i)); gz.finish()
+    }
+    val rs = WarcFormat.records(
+      new ByteArrayInputStream(out.toByteArray), gzipped = true).toList
+    assert(rs.map(_.recordId.get) == (1 to 3).map(i => s"<urn:uuid:rec-$i>").toList)
+  }
+
+  test("truncated payload raises with offset context") {
+    val whole = enc(1)
+    val cut = whole.take(whole.length - 12)
+    val e = intercept[Exception] {
+      WarcFormat.records(new ByteArrayInputStream(cut), gzipped = false).toList
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("record without Content-Length raises") {
+    val bad = "WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes(UTF_8)
+    val e = intercept[IllegalArgumentException] {
+      WarcFormat.records(new ByteArrayInputStream(bad), gzipped = false).toList
+    }
+    assert(e.getMessage.contains("Content-Length"))
+  }
+
+  test("skipPayload skips bytes without materializing them") {
+    val bytes = enc(1) ++ enc(2, "request") ++ enc(3)
+    val rs = WarcFormat.records(new ByteArrayInputStream(bytes), gzipped = false,
+      skipPayload = hs => hs.exists(h => h._2 == "request")).toList
+    assert(rs(1).payload.isEmpty)      // skipped
+    assert(rs(0).payload.nonEmpty && rs(2).payload.nonEmpty)
+    assert(rs(2).recordId.contains("<urn:uuid:rec-3>")) // framing survived the skip
+  }
+
+  // ---- DSv2 read ----
+
+  private def writeCorpus(dir: Path, gzip: Boolean): Unit = {
+    import spark.implicits._
+    val df = (1 to 20).map { i =>
+      (s"<urn:uuid:rec-$i>",
+        if (i % 4 == 0) "request" else "response",
+        s"http://example.com/doc/$i",
+        new java.sql.Timestamp(1700000000000L + i * 1000L),
+        s"payload number $i".getBytes(UTF_8))
+    }.toDF("record_id", "warc_type", "target_uri", "warc_date", "payload")
+      .repartition(3, col("record_id"))
+    Warc.write(df, dir.toString, gzip = gzip)
+  }
+
+  test("DSv2 reads back what the sink wrote (plain and gzip)") {
+    for (gzip <- Seq(false, true)) {
+      val dir = tmpDir(if (gzip) "gz" else "plain")
+      writeCorpus(dir, gzip)
+      val got = Warc.read(spark, dir.toString)
+        .select("record_id", "warc_type", "target_uri", "content_length")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(got.length == 20)
+      assert(got.forall { case (id, t, uri, len) =>
+        val i = id.stripPrefix("<urn:uuid:rec-").stripSuffix(">").toInt
+        t == (if (i % 4 == 0) "request" else "response") &&
+          uri == s"http://example.com/doc/$i" &&
+          len == s"payload number $i".getBytes(UTF_8).length
+      })
+      val text = Warc.read(spark, dir.toString)
+        .select(col("record_id"), col("payload").cast("string").as("t"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(text("<urn:uuid:rec-7>") == "payload number 7")
+    }
+  }
+
+  test("warc_type filter pushes down and prunes correctly") {
+    val dir = tmpDir("push")
+    writeCorpus(dir, gzip = false)
+    val q = Warc.read(spark, dir.toString)
+      .filter(col("warc_type") === "response")
+      .select("record_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("warc_type IN (response)"),
+      s"type filter did not reach the scan:\n$plan")
+    assert(q.count() == 15)
+  }
+
+  test("column pruning drops payload from the read schema") {
+    val dir = tmpDir("prune")
+    writeCorpus(dir, gzip = false)
+    val q = Warc.read(spark, dir.toString).select("record_id", "content_length")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=record_id,content_length") ||
+      !plan.contains("payload"),
+      s"payload survived pruning:\n$plan")
+    assert(q.count() == 20)
+  }
+
+  test("headers map and record offsets are exposed") {
+    val dir = tmpDir("hdrs")
+    writeCorpus(dir, gzip = false)
+    val r = Warc.read(spark, dir.toString)
+      .filter(col("record_id") === "<urn:uuid:rec-3>")
+      .select(col("headers")("WARC-Type"), col("record_offset"), col("path"))
+      .collect().head
+    assert(r.getString(0) == "response")
+    assert(r.getLong(1) >= 0L)
+    assert(r.getString(2).endsWith(".warc"))
+  }
+
+  test("one input partition per file (the CC-scale parallelism unit)") {
+    val dir = tmpDir("parts")
+    writeCorpus(dir, gzip = false) // repartition(3) -> 3 part files
+    val n = Warc.read(spark, dir.toString).rdd.getNumPartitions
+    assert(n == 3, s"expected 3 file-partitions, got $n")
+  }
+}
