@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.text.{Classifier, CorpusOps, Decontaminate, Dedup, Rewrite, Search, TextOps, TextStats}
+import graft.text.{Classifier, CorpusOps, Decontaminate, Dedup, HeavyHitters, Rewrite, Search, TextOps, TextStats}
 import graft.vector.{Embeddings, Ivf, Pca, Similarity}
 
 /** Driver-contract queries for the LLM-data-pipeline layer (dedup,
@@ -459,6 +459,12 @@ object DocQueries {
         minContainment = 0.5, maxDf = 100)),
     "q_unigram_lp" -> ((s, dir) =>
       TextStats.unigramLogProb(documents(s, dir)).orderBy("doc_id")),
+    "q_heavy_hitters" -> ((s, dir) =>
+      // exact (1/500)-heavy tokens via the Misra-Gries candidate pass +
+      // broadcast verify join; output counts are exact, so the oracle
+      // (a plain exact count in DuckDB) matches bitwise — the sketch
+      // only prunes, it never changes the answer
+      HeavyHitters.heavyHitters(documents(s, dir), num = 1, den = 500)),
     "q_warc_roundtrip" -> ((s, dir) => {
       // corpus -> WARC segment files (per-record gzip members, the
       // Common Crawl layout) via the graft sink, read back through the
@@ -1857,6 +1863,18 @@ object DocQueries {
          |    ((2 * abs(num) + n_tokens) // (2 * n_tokens)))::DOUBLE / 1e9
          |    AS logprob
          |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // exact heavy hitters: the Spark side prunes with a Misra-Gries
+    // candidate sketch, but the OUTPUT is exact counts, so the oracle
+    // is the plain exact formulation
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest($toksExpr) AS token FROM documents),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM toks),
+         |cnt AS (SELECT token, count(*)::BIGINT AS cnt
+         |  FROM toks GROUP BY token)
+         |SELECT token, cnt FROM cnt CROSS JOIN tot
+         |WHERE cnt * 500 >= 1 * n ORDER BY token""".stripMargin,
 
     // byte-lossless WARC round trip: the Spark side goes corpus ->
     // encoded WARC part files -> DSv2 read -> decode; the oracle reads
