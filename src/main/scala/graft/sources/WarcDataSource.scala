@@ -48,7 +48,7 @@ class WarcDataSource extends TableProvider
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new WarcTable(WarcDataSource.resolvePaths(properties.asScala.toMap))
+    new WarcTable(properties.asScala.toMap)
 }
 
 object WarcDataSource {
@@ -88,16 +88,18 @@ object WarcDataSource {
   }
 }
 
-private[sources] class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
-  override def name(): String = s"warc(${paths.size} files)"
+private[sources] class WarcTable(props: Map[String, String]) extends Table with SupportsRead {
+  private lazy val paths = WarcDataSource.resolvePaths(props)
+  override def name(): String = s"warc(${props.getOrElse("path", "?")})"
   override def schema(): StructType = WarcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths)
+    new WarcScanBuilder(paths, props)
 }
 
-private[sources] class WarcScanBuilder(paths: Seq[String]) extends ScanBuilder
+private[sources] class WarcScanBuilder(paths: => Seq[String], props: Map[String, String])
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = WarcDataSource.schema
@@ -128,13 +130,14 @@ private[sources] class WarcScanBuilder(paths: Seq[String]) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new WarcScan(paths, required, typeFilter)
+    new WarcScan(paths, required, typeFilter, props)
 }
 
 private[sources] class WarcScan(
-    paths: Seq[String],
+    paths: => Seq[String],
     required: StructType,
-    typeFilter: Option[Set[String]]) extends Scan with Batch {
+    typeFilter: Option[Set[String]],
+    props: Map[String, String] = Map.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -150,6 +153,9 @@ private[sources] class WarcScan(
       SparkSession.active.sessionState.newHadoopConf())
     WarcReaderFactory(required, typeFilter, conf)
   }
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(required, typeFilter, props)
 }
 
 private[sources] case class WarcInputPartition(path: String) extends InputPartition

@@ -158,6 +158,41 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(r.getString(2).endsWith(".warc"))
   }
 
+  test("readStream tails a landing directory, one exactly-once batch per new file") {
+    import spark.implicits._
+    val dir = tmpDir("stream")
+    // batch 1: two segment files land
+    val mk = (ids: Seq[Int], part: Int) => {
+      val df = ids.map { i =>
+        (s"<urn:uuid:s-$i>", "response", s"http://x/$i",
+          new java.sql.Timestamp(1700000000000L + i), s"p$i".getBytes(UTF_8))
+      }.toDF("record_id", "warc_type", "target_uri", "warc_date", "payload")
+        .coalesce(1)
+      Warc.write(df, dir.resolve(s"seg$part").toString, gzip = true)
+      // move part file up into the watched dir (distinct names per call)
+      val f = dir.resolve(s"seg$part").toFile.listFiles().head
+      Files.move(f.toPath, dir.resolve(s"segment-$part.warc.gz"))
+    }
+    mk(Seq(1, 2, 3), 0); mk(Seq(4, 5), 1)
+    val q = spark.readStream.format("warc").load(dir.toString + "/*.warc.gz")
+      .select("record_id")
+      .writeStream.format("memory").queryName("warc_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("warc_stream").count() == 5)
+    // batch 2: a third file lands; a fresh AvailableNow run picks up all
+    mk(Seq(6, 7), 2)
+    val q2 = spark.readStream.format("warc").load(dir.toString + "/*.warc.gz")
+      .select("record_id")
+      .writeStream.format("memory").queryName("warc_stream2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.table("warc_stream2").count() == 7)
+    // offset round-trip: late-arriving names that sort earlier are still new
+    val o = graft.sources.WarcOffset(Seq("b.warc", "z \"q\".warc"))
+    assert(graft.sources.WarcOffset.fromJson(o.json()) == o)
+  }
+
   test("one input partition per file (the CC-scale parallelism unit)") {
     val dir = tmpDir("parts")
     writeCorpus(dir, gzip = false) // repartition(3) -> 3 part files
