@@ -147,6 +147,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_image_hash grew a join; it must stay a per-row map")
   }
 
+  test("round-8 operators keep their scale-critical shapes") {
+    // WARC ingest: the record-type predicate must reach the custom
+    // scan (it gates payload materialization inside the parser), and
+    // the scan must prune to the three consumed columns
+    val warc = plans("q_warc_roundtrip")
+    assert(warc.contains("warc_type IN (response)"),
+      "q_warc_roundtrip lost the warc_type pushdown into WarcScan")
+    assert(!warc.contains("CartesianProduct"))
+    // heavy hitters: the verify join must be a broadcast of the <=k
+    // candidate set, never a shuffle of the token stream against it;
+    // exact counting must keep map-side partial aggregation
+    val hh = plans("q_heavy_hitters")
+    assert(hh.contains("BroadcastHashJoin"),
+      "q_heavy_hitters candidate join is not broadcast")
+    assert(!hh.contains("SortMergeJoin"),
+      "q_heavy_hitters shuffles the token stream to join candidates")
+    assert(hh.contains("partial_count") || hh.contains("HashAggregate"),
+      "q_heavy_hitters lost map-side partial counting")
+  }
+
   test("IVF queries run the native cell-distance kernel, not the fallback") {
     // Ivf.cellDists silently degrades to nCells x dim literal l2sq
     // plans if the graft_l2sq_cells registration check misses — a 10x
