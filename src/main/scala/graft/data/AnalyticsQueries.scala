@@ -584,13 +584,17 @@ object AnalyticsQueries {
          |idx AS (SELECT *, row_number()
          |  OVER (PARTITION BY factor_quantile ORDER BY date) AS rn FROM sets),
          |tv AS (
-         |  SELECT p.p AS period_n, a.factor_quantile,
+         |  SELECT 1 AS period_n, a.factor_quantile,
          |    len(list_filter(a.names, x -> NOT list_contains(b.names, x)))::DOUBLE
          |      / len(a.names) AS turnover
-         |  FROM (SELECT unnest([1, 5]) AS p) p
-         |  CROSS JOIN idx a
-         |  JOIN idx b ON b.factor_quantile = a.factor_quantile
-         |    AND b.rn = a.rn - p.p)
+         |  FROM idx a JOIN idx b ON b.factor_quantile = a.factor_quantile
+         |    AND b.rn = a.rn - 1
+         |  UNION ALL
+         |  SELECT 5, a.factor_quantile,
+         |    len(list_filter(a.names, x -> NOT list_contains(b.names, x)))::DOUBLE
+         |      / len(a.names)
+         |  FROM idx a JOIN idx b ON b.factor_quantile = a.factor_quantile
+         |    AND b.rn = a.rn - 5)
          |SELECT factor_quantile, period_n::VARCHAR || 'D' AS period,
          |  round(avg(turnover), 9) AS mean_turnover
          |FROM tv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -602,15 +606,25 @@ object AnalyticsQueries {
          |didx AS (SELECT date, row_number() OVER (ORDER BY date) AS di
          |         FROM (SELECT DISTINCT date FROM factor_data)),
          |cur AS (SELECT r, asset, di, date FROM ranks JOIN didx USING (date)),
+         |pairs AS (
+         |  -- periods unrolled so each branch is a pure equi-join on
+         |  -- (asset, di ± const): the parametric form forced the
+         |  -- engine through an asset-only join with a residual filter
+         |  -- (quadratic in dates-per-asset); values are identical
+         |  -- (ranks are integers, sums exact in any order)
+         |  SELECT 1 AS period_n, cur.date, cur.r AS xr, prev.r AS yr
+         |  FROM cur JOIN cur prev
+         |    ON cur.asset = prev.asset AND cur.di = prev.di + 1
+         |  UNION ALL
+         |  SELECT 5, cur.date, cur.r, prev.r
+         |  FROM cur JOIN cur prev
+         |    ON cur.asset = prev.asset AND cur.di = prev.di + 5),
          |s AS (
-         |  SELECT p.p AS period_n, cur.date, count(*)::DOUBLE AS n,
-         |    sum(cur.r)::DOUBLE AS sx, sum(cur.r*cur.r)::DOUBLE AS sxx,
-         |    sum(prev.r)::DOUBLE AS sy, sum(prev.r*prev.r)::DOUBLE AS syy,
-         |    sum(cur.r*prev.r)::DOUBLE AS sxy
-         |  FROM (SELECT unnest([1, 5]) AS p) p
-         |  CROSS JOIN cur
-         |  JOIN cur prev ON cur.asset = prev.asset AND cur.di = prev.di + p.p
-         |  GROUP BY 1, 2),
+         |  SELECT period_n, date, count(*)::DOUBLE AS n,
+         |    sum(xr)::DOUBLE AS sx, sum(xr*xr)::DOUBLE AS sxx,
+         |    sum(yr)::DOUBLE AS sy, sum(yr*yr)::DOUBLE AS syy,
+         |    sum(xr*yr)::DOUBLE AS sxy
+         |  FROM pairs GROUP BY 1, 2),
          |ac AS (
          |  SELECT period_n, date,
          |    ${Pipelines.exactCorrSql("n", "sx", "sxx", "sy", "syy", "sxy")}
@@ -986,13 +1000,17 @@ object AnalyticsQueries {
        |  FROM factor_data GROUP BY 1, 2),
        |idx AS (SELECT *, row_number()
        |  OVER (PARTITION BY factor_quantile ORDER BY date) AS rn FROM sets)
-       |SELECT p.p::VARCHAR || 'D' AS period, a.factor_quantile, a.date,
+       |SELECT '1D' AS period, a.factor_quantile, a.date,
        |  len(list_filter(a.names, x -> NOT list_contains(b.names, x)))::DOUBLE
        |    / len(a.names) AS turnover
-       |FROM (SELECT unnest([1, 5]) AS p) p
-       |CROSS JOIN idx a
-       |JOIN idx b ON b.factor_quantile = a.factor_quantile
-       |  AND b.rn = a.rn - p.p""".stripMargin
+       |FROM idx a JOIN idx b ON b.factor_quantile = a.factor_quantile
+       |  AND b.rn = a.rn - 1
+       |UNION ALL
+       |SELECT '5D', a.factor_quantile, a.date,
+       |  len(list_filter(a.names, x -> NOT list_contains(b.names, x)))::DOUBLE
+       |    / len(a.names)
+       |FROM idx a JOIN idx b ON b.factor_quantile = a.factor_quantile
+       |  AND b.rn = a.rn - 5""".stripMargin
 
   /** Multi-lag rank autocorrelation per date (the q_autocorr_means `ac`
     * CTE before its mean). */
@@ -1003,15 +1021,20 @@ object AnalyticsQueries {
        |didx AS (SELECT date, row_number() OVER (ORDER BY date) AS di
        |         FROM (SELECT DISTINCT date FROM factor_data)),
        |cur AS (SELECT r, asset, di, date FROM ranks JOIN didx USING (date)),
+       |pairs AS (
+       |  SELECT 1 AS period_n, cur.date, cur.r AS xr, prev.r AS yr
+       |  FROM cur JOIN cur prev
+       |    ON cur.asset = prev.asset AND cur.di = prev.di + 1
+       |  UNION ALL
+       |  SELECT 5, cur.date, cur.r, prev.r
+       |  FROM cur JOIN cur prev
+       |    ON cur.asset = prev.asset AND cur.di = prev.di + 5),
        |s AS (
-       |  SELECT p.p AS period_n, cur.date, count(*)::DOUBLE AS n,
-       |    sum(cur.r)::DOUBLE AS sx, sum(cur.r*cur.r)::DOUBLE AS sxx,
-       |    sum(prev.r)::DOUBLE AS sy, sum(prev.r*prev.r)::DOUBLE AS syy,
-       |    sum(cur.r*prev.r)::DOUBLE AS sxy
-       |  FROM (SELECT unnest([1, 5]) AS p) p
-       |  CROSS JOIN cur
-       |  JOIN cur prev ON cur.asset = prev.asset AND cur.di = prev.di + p.p
-       |  GROUP BY 1, 2)
+       |  SELECT period_n, date, count(*)::DOUBLE AS n,
+       |    sum(xr)::DOUBLE AS sx, sum(xr*xr)::DOUBLE AS sxx,
+       |    sum(yr)::DOUBLE AS sy, sum(yr*yr)::DOUBLE AS syy,
+       |    sum(xr*yr)::DOUBLE AS sxy
+       |  FROM pairs GROUP BY 1, 2)
        |SELECT period_n::VARCHAR || 'D' AS period, date,
        |  round(${Pipelines.exactCorrSql("n", "sx", "sxx", "sy", "syy", "sxy")}, 9)
        |    AS autocorr

@@ -465,6 +465,26 @@ object DocQueries {
       // (a plain exact count in DuckDB) matches bitwise — the sketch
       // only prunes, it never changes the answer
       HeavyHitters.heavyHitters(documents(s, dir), num = 1, den = 500)),
+    "q_wet_extract" -> ((s, dir) => {
+      // WET extraction pinned end-to-end: each document is wrapped in
+      // a crawler-page HTML template (comment + dropped head with a
+      // tag-bearing script string + h1/p/div block structure + entity
+      // escaping), then graft_html_text must invert the wrapper — the
+      // oracle computes the expected normal form from the raw table,
+      // so tag stripping, content drops, entity decode, block breaks
+      // and whitespace normalization are all value-pinned per doc
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<html><!-- crawler page --><head><title>skip</title>" +
+          "<script>var x = '<p>not text</p>';</script></head>" +
+          "<body><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), esc,
+        lit("</p><div>footer &copy; corp</div></body></html>"))
+      documents(s, dir)
+        .select(col("doc_id"), TextOps.htmlToText(html).as("text"))
+        .orderBy("doc_id")
+    }),
     "q_warc_roundtrip" -> ((s, dir) => {
       // corpus -> WARC segment files (per-record gzip members, the
       // Common Crawl layout) via the graft sink, read back through the
@@ -1875,6 +1895,22 @@ object DocQueries {
          |  FROM toks GROUP BY token)
          |SELECT token, cnt FROM cnt CROSS JOIN tot
          |WHERE cnt * 500 >= 1 * n ORDER BY token""".stripMargin,
+
+    // WET extraction: the Spark side wraps each doc in an HTML template
+    // and extracts; the oracle builds the expected normal form (the
+    // template's visible blocks + the whitespace-normalized text)
+    // directly from the table. trim(x, ' ') / explicit char classes
+    // keep both engines on the identical normalization.
+    "q_wet_extract" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_filter(
+         |    ['Doc ' || doc_id::VARCHAR,
+         |     array_to_string(list_filter(list_transform(
+         |        string_split(text, chr(10)),
+         |        l -> trim(regexp_replace(l, '[ \\t\\x0B\\f\\r]+', ' ', 'g'), ' ')),
+         |        l -> l <> ''), chr(10)),
+         |     'footer &copy; corp'], x -> x <> ''), chr(10)) AS text
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // byte-lossless WARC round trip: the Spark side goes corpus ->
     // encoded WARC part files -> DSv2 read -> decode; the oracle reads

@@ -62,6 +62,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${GraftExtensions.TokensName} takes exactly 1 argument, got ${args.length}")
         Tokens(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftExtensions.HtmlTextName),
+      new ExpressionInfo(classOf[HtmlText].getName, GraftExtensions.HtmlTextName),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"${GraftExtensions.HtmlTextName} takes exactly 1 argument, got ${args.length}")
+        HtmlText(args.head)
+      }))
     // user queries written with the idiomatic zip_with/aggregate dot
     // composition get the fused codegen kernel automatically
     ext.injectOptimizerRule(_ => RewriteHofDot)
@@ -75,4 +83,5 @@ object GraftExtensions {
   val ShingleSeqName = "graft_shingle_seq"
   val Hash56Name = "graft_hash56"
   val TokensName = "graft_tokens"
+  val HtmlTextName = "graft_html_text"
 }

@@ -37,6 +37,24 @@ object TextOps {
       catch { case scala.util.control.NonFatal(_) => false }
     }
 
+  /** Visible text of an HTML column — the WET extraction step
+    * ([[graft.functions.HtmlText]]: tag strip, script/style/head
+    * content drop, comment drop, entity decode, block-break + collapse
+    * normal form). Requires [[graft.functions.GraftExtensions]] on the
+    * session; there is no builtin composition that can express the
+    * state machine. */
+  def htmlToText(html: Column): Column = {
+    val name = graft.functions.GraftExtensions.HtmlTextName
+    val registered =
+      org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+        try s.catalog.functionExists(name)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    require(registered,
+      s"$name is not registered - attach graft.functions.GraftExtensions")
+    call_function(name, html)
+  }
+
   /** All n-token shingles (with duplicates, in positional order);
     * empty array when the document has fewer than n tokens. When the
     * session registered [[graft.functions.GraftExtensions]], the native
