@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.text.{Classifier, CorpusOps, Decontaminate, Dedup, HeavyHitters, Rewrite, Search, TextOps, TextStats}
+import graft.text.{Bloom, Classifier, CorpusOps, Decontaminate, Dedup, HeavyHitters, Rewrite, Search, TextOps, TextStats}
 import graft.vector.{Embeddings, Ivf, Pca, Similarity}
 
 /** Driver-contract queries for the LLM-data-pipeline layer (dedup,
@@ -128,6 +128,46 @@ object DocQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(dupCorpus(s, dir)).orderBy("content_hash")),
+    "q_zorder" -> ((s, dir) => {
+      // Morton z-values over (l_partkey, l_suppkey): the layout key
+      // graft.operators.Zorder.clusterBy range-partitions and sorts by
+      // before writing, so each parquet file covers one compact
+      // (partkey, suppkey) hyper-rectangle and min/max footer stats
+      // prune conjunctive range scans on EITHER dimension. Pure bit
+      // arithmetic — the oracle replays the interleave verbatim;
+      // ZorderSpec measures the file-pruning win on real written files.
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          graft.operators.Zorder.zvalue(
+            Seq(col("l_partkey"), col("l_suppkey")), bits = 15).as("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+    }),
+    "q_bloom_dedup" -> ((s, dir) => {
+      // incremental dedup of a "new crawl" (odd doc_ids + replayed
+      // copies of every 10th even doc) against the "existing corpus"
+      // (even doc_ids) via a Bloom filter: ONE m-bit aggregate over
+      // existing, then scan-local bit tests — the corpus is never
+      // joined for the verdicts. maybe_seen=false is exact (no false
+      // negatives); the exact-recheck join below exists only to LABEL
+      // false positives for the oracle (bit-reproducible: double-md5
+      // Kirsch-Mitzenmacher positions, m=32768, k=3).
+      val d = documents(s, dir).select("doc_id", "text")
+      val existing = d.filter(col("doc_id") % 2 === 0)
+      val incoming = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val probed = Bloom.incrementalDedup(existing, incoming, "text",
+        mBits = 32768, k = 3)
+      val seen = existing.select("text").distinct()
+        .withColumn("seen_exact", lit(true))
+      probed.join(seen, Seq("text"), "left")
+        .select(col("doc_id"), col("maybe_seen"),
+          coalesce(col("seen_exact"), lit(false)).as("seen_exact"),
+          (col("maybe_seen") &&
+            !coalesce(col("seen_exact"), lit(false))).as("false_positive"))
+        .orderBy("doc_id")
+    }),
     "q_jaccard_pairs" -> ((s, dir) =>
       docJaccardPairs(s, dir, n = 3, minJaccard = 0.3, maxDf = 100)),
     "q_dedup_clusters" -> ((s, dir) =>
@@ -726,6 +766,48 @@ object DocQueries {
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL SELECT doc_id + 100000, text FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bit-for-bit Morton interleave replay: z-bit (2b + j) carries bit b
+    // of dimension j
+    "q_zorder" -> {
+      val zTerms = (0 until 15).flatMap(b => Seq(
+        s"(((l_partkey >> $b) & 1) << ${2 * b})",
+        s"(((l_suppkey >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  $zTerms AS zval
+         |FROM lineitem ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
+    },
+
+    // bit-level Bloom replay: "filter contains x" == "every one of x's
+    // k double-hashed positions appears in the existing corpus's
+    // position set" — identical semantics to the m-bit array, false
+    // positives included
+    "q_bloom_dedup" ->
+      s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |        UNION ALL
+         |        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         |ks AS (SELECT unnest(range(3)) AS i),
+         |exh AS (SELECT ${hash56("'gb1:' || text")} % 32768 AS h1,
+         |               1 + ${hash56("'gb2:' || text")} % 32767 AS h2 FROM ex),
+         |setbits AS (SELECT DISTINCT (h1 + i * h2) % 32768 AS pos
+         |            FROM exh CROSS JOIN ks),
+         |inch AS (SELECT doc_id, text,
+         |               ${hash56("'gb1:' || text")} % 32768 AS h1,
+         |               1 + ${hash56("'gb2:' || text")} % 32767 AS h2 FROM inc),
+         |ipos AS (SELECT doc_id, (h1 + i * h2) % 32768 AS pos
+         |         FROM inch CROSS JOIN ks),
+         |need AS (SELECT doc_id, count(DISTINCT pos) AS need FROM ipos GROUP BY 1),
+         |hit AS (SELECT p.doc_id, count(DISTINCT p.pos) AS hits
+         |        FROM ipos p JOIN setbits sb ON p.pos = sb.pos GROUP BY 1),
+         |seen AS (SELECT n.doc_id, coalesce(h.hits, 0) = n.need AS maybe_seen
+         |         FROM need n LEFT JOIN hit h USING (doc_id)),
+         |sx AS (SELECT i.doc_id,
+         |         EXISTS (SELECT 1 FROM ex e WHERE e.text = i.text) AS seen_exact
+         |       FROM inc i)
+         |SELECT s.doc_id, s.maybe_seen, x.seen_exact,
+         |  s.maybe_seen AND NOT x.seen_exact AS false_positive
+         |FROM seen s JOIN sx x USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""WITH $jaccardCtes

@@ -1,0 +1,104 @@
+package graft.text
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter incremental dedup: membership-test a new batch against
+  * an existing corpus WITHOUT joining it.
+  *
+  * The 100 TB story: continuous ingest dedups each incoming crawl
+  * against everything already accepted. A join against the full corpus
+  * re-shuffles N rows per batch; a Bloom filter compresses the corpus
+  * key set into a fixed m-bit array built by ONE map-side-combinable
+  * aggregate pass ([[graft.functions.BloomBitsAgg]] — one 4 KB..16 MB
+  * buffer per task, word-wise OR merge), after which every probe is a
+  * scan-local bit test: no shuffle, no join, no state on the probe
+  * side. False-positive rate is the classic (1 - e^{-kn/m})^k;
+  * false negatives are impossible, so "not seen" verdicts are exact —
+  * the filter may only over-drop, never under-drop, and a second exact
+  * pass over the tiny maybe-seen slice settles the difference (the
+  * [[HeavyHitters]] prefilter-then-exact shape).
+  *
+  * Determinism across engines: positions use the classic
+  * Kirsch-Mitzenmacher double hashing pos_i = (h1 + i*h2) mod m with
+  * h1/h2 from two domain-separated md5-56 hashes ([[TextOps.hash56]]),
+  * so the DuckDB oracle replays the bit math verbatim ("bloom contains
+  * x" == "all k positions of x appear in the corpus position set").
+  * Everything — including false positives — is bit-reproducible.
+  *
+  * The alphalens reference has no incremental operators (batch-only
+  * panels, SURVEY §2.9); this extends the dedup family
+  * (reference-adjacent: utils.py:591-663 ingests a closed panel) to
+  * continuous ingest.
+  */
+object Bloom {
+
+  /** The k bit positions of one key: pos_i = (h1 % m + i * h2') % m,
+    * h1 = hash56("gb1:" || key), h2' = 1 + hash56("gb2:" || key) % (m-1)
+    * (h2' never 0 so the k probes never collapse to one bit). All
+    * builtin codegen'd functions — the oracle replays this verbatim. */
+  def positions(key: Column, mBits: Int, k: Int): Column = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val h1 = TextOps.hash56(concat(lit("gb1:"), key)) % mBits
+    val h2 = lit(1L) + TextOps.hash56(concat(lit("gb2:"), key)) % (mBits - 1)
+    transform(sequence(lit(0L), lit((k - 1).toLong)),
+      i => (h1 + i * h2) % mBits)
+  }
+
+  /** One aggregate pass over `existing`: the m-bit filter as ascending
+    * 64-bit words. The single collected row is the filter itself —
+    * bounded by construction (m/8 bytes), corpus-size-independent. */
+  def buildFilter(existing: DataFrame, keyCol: String, mBits: Int,
+      k: Int): Array[Long] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val agg = column(graft.functions.BloomBitsAgg(
+      expression(positions(col(keyCol), mBits, k)), mBits)
+      .toAggregateExpression())
+    val bytes = existing.agg(agg.as("filter")).head.getAs[Array[Byte]](0)
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(mBits / 64)(bb.getLong())
+  }
+
+  /** Adds `maybe_seen`: true iff every one of the key's k bits is set
+    * in `filter`. Pure scan-local projection — no join, no shuffle
+    * (BloomSpec pins the exchange-free plan). The filter rides the
+    * plan as an array literal; past ~2^18 words (m = 2^24 bits, 2 MB)
+    * prefer [[probeBcast]], which ships it once per executor as a real
+    * Spark broadcast instead of once per task binary (the
+    * [[graft.functions.CellDistsBcast]] lesson). */
+  def probe(incoming: DataFrame, keyCol: String, filter: Array[Long],
+      mBits: Int, k: Int, out: String = "maybe_seen"): DataFrame =
+    incoming
+      .withColumn("__bw", typedLit(filter.toSeq))
+      .withColumn("__bp", positions(col(keyCol), mBits, k))
+      .withColumn(out, expr(
+        "forall(__bp, p -> (__bw[cast(p / 64 as int)] & " +
+          "shiftleft(1L, cast(p % 64 as int))) != 0)"))
+      .drop("__bw", "__bp")
+
+  /** [[probe]] with the filter as a real Spark broadcast: the scale
+    * path for big filters (m = 2^24..2^30 bits, 2 MB..128 MB), where a
+    * plan literal would be serialized into every task. Bit-identical
+    * verdicts to [[probe]] (BloomSpec pins parity). */
+  def probeBcast(incoming: DataFrame, keyCol: String, filter: Array[Long],
+      mBits: Int, k: Int, out: String = "maybe_seen"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val bc = incoming.sparkSession.sparkContext.broadcast(filter)
+    val contains = column(graft.functions.BloomContainsBcast(
+      expression(positions(col(keyCol), mBits, k)), bc))
+    incoming.withColumn(out, contains)
+  }
+
+  /** Incremental dedup verdicts for a new batch against an existing
+    * corpus: one filter build over `existing`, then scan-local probes.
+    * `maybe_seen=false` is exact (no false negatives); `maybe_seen=true`
+    * is settled by re-checking just that slice exactly when the caller
+    * needs certainty. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+      keyCol: String, mBits: Int, k: Int): DataFrame = {
+    val filter = buildFilter(existing, keyCol, mBits, k)
+    probe(incoming, keyCol, filter, mBits, k)
+  }
+}

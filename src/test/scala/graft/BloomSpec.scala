@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Bloom
+
+class BloomSpec extends AnyFunSuite with SparkSpec {
+
+  private def corpus(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val m = 4096
+  private val k = 3
+
+  test("filter bits are exactly the union of per-key positions") {
+    val docs = corpus(Seq(1L -> "alpha beta", 2L -> "gamma", 3L -> "delta eps"))
+    val filter = Bloom.buildFilter(docs, "text", m, k)
+    val expected = docs
+      .select(explode(Bloom.positions(col("text"), m, k)).as("pos"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val set = (0L until m.toLong).filter(b =>
+      (filter((b >>> 6).toInt) & (1L << (b & 63))) != 0L).toSet
+    assert(set == expected)
+    assert(expected.size >= 3) // distinct keys set multiple bits
+  }
+
+  test("no false negatives: every existing key probes true") {
+    val docs = corpus((1L to 100L).map(i => i -> s"document number $i"))
+    val filter = Bloom.buildFilter(docs, "text", m, k)
+    val probed = Bloom.probe(docs, "text", filter, m, k)
+    assert(probed.filter(!col("maybe_seen")).count() == 0)
+  }
+
+  test("unseen keys probe false at adequate m (and small m forces FPs)") {
+    val existing = corpus((1L to 200L).map(i => i -> s"seen $i"))
+    val fresh = corpus((1L to 200L).map(i => i -> s"unseen $i"))
+    // m=4096, n=200, k=3: fp ~ (1-e^{-3*200/4096})^3 ~ 3e-3 -> expect ~0-2
+    val big = Bloom.buildFilter(existing, "text", m, k)
+    val fpBig = Bloom.probe(fresh, "text", big, m, k)
+      .filter(col("maybe_seen")).count()
+    assert(fpBig <= 5)
+    // m=128, n=200, k=3 saturates the filter -> nearly all probe true
+    val small = Bloom.buildFilter(existing, "text", 128, k)
+    val fpSmall = Bloom.probe(fresh, "text", small, 128, k)
+      .filter(col("maybe_seen")).count()
+    assert(fpSmall > 150)
+  }
+
+  test("build is partition-independent (word-for-word equal filters)") {
+    val docs = corpus((1L to 500L).map(i => i -> s"part doc $i"))
+    val one = Bloom.buildFilter(docs.repartition(1), "text", m, k)
+    val many = Bloom.buildFilter(docs.repartition(7), "text", m, k)
+    assert(one.toSeq == many.toSeq)
+  }
+
+  test("literal and broadcast probes agree verdict-for-verdict") {
+    val existing = corpus((1L to 300L).map(i => i -> s"corpus $i"))
+    val probeSet = corpus((1L to 600L).map(i =>
+      i -> (if (i % 2 == 0) s"corpus ${i / 2}" else s"novel $i")))
+    val filter = Bloom.buildFilter(existing, "text", m, k)
+    val lit = Bloom.probe(probeSet, "text", filter, m, k)
+      .select("doc_id", "maybe_seen").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bc = Bloom.probeBcast(probeSet, "text", filter, m, k)
+      .select("doc_id", "maybe_seen").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(lit == bc)
+    // every replayed key is seen (no false negatives through either path)
+    (1L to 300L).filter(_ % 2 == 0).foreach(i => assert(lit(i)))
+  }
+
+  test("probe is scan-local: no exchange, no join in the plan") {
+    // spark.range base so the probe projection survives into the
+    // physical plan (a local fixture folds to LocalTableScan)
+    val docs = spark.range(50).select(col("id").as("doc_id"),
+      concat(lit("plan doc "), col("id")).as("text"))
+    val filter = Bloom.buildFilter(docs, "text", m, k)
+    for (df <- Seq(Bloom.probe(docs, "text", filter, m, k),
+                   Bloom.probeBcast(docs, "text", filter, m, k))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.toLowerCase.contains("join"), plan)
+    }
+  }
+
+  test("broadcast probe carries the bcast kernel, not an array literal") {
+    // spark.range base: a local-relation fixture would be constant-folded
+    // into a LocalTableScan, hiding the projection from the plan
+    val docs = spark.range(10).select(col("id").as("doc_id"),
+      concat(lit("bc doc "), col("id")).as("text"))
+    val filter = Bloom.buildFilter(docs, "text", m, k)
+    val plan = Bloom.probeBcast(docs, "text", filter, m, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_contains_bcast"), plan)
+  }
+
+  test("incrementalDedup end-to-end: new batch vs existing corpus") {
+    val existing = corpus((1L to 100L).map(i => i -> s"crawl-a $i"))
+    val incoming = corpus(
+      (1L to 50L).map(i => (1000L + i) -> s"crawl-a $i") ++ // replays
+        (1L to 50L).map(i => (2000L + i) -> s"crawl-b $i")) // new
+    val verdicts = Bloom.incrementalDedup(existing, incoming, "text", m, k)
+      .select("doc_id", "maybe_seen").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (1L to 50L).foreach(i => assert(verdicts(1000L + i), s"replay $i missed"))
+    val fp = (1L to 50L).count(i => verdicts(2000L + i))
+    assert(fp <= 3, s"$fp false positives at fp-rate ~3e-3")
+  }
+}
