@@ -546,4 +546,31 @@ object Streaming {
           }
       }
   }
+
+  /** Streaming QUALITY GATE, history half: Bloom-filter membership of
+    * each arriving document against the ACCEPTED CORPUS SO FAR — the
+    * online face of [[graft.text.Bloom.incrementalDedup]]. The filter
+    * is built once from the existing corpus (one aggregate pass,
+    * [[graft.text.Bloom.buildFilter]]) and probed as a pure per-row
+    * projection: no state, no watermark, no shuffle — the m-bit words
+    * ride a real Spark broadcast ([[graft.functions
+    * .BloomContainsBcast]]), fetched once per executor. Verdicts are
+    * bit-identical to the batch probe on the same rows (replay-pinned
+    * in StreamingSpec); `maybe_seen = false` is exact (Bloom filters
+    * have no false negatives), so a gate that drops only
+    * `maybe_seen = true` rows after an exact recheck never loses a
+    * genuinely new document.
+    *
+    * Deliberate boundary, documented: the filter is a SNAPSHOT —
+    * in-flight documents do not add bits, so duplicates WITHIN the
+    * stream pass the gate and are caught by the stateful
+    * [[streamingChunkDedup]]/exact-dedup stages downstream. Refreshing
+    * the snapshot between micro-batch epochs (rebuild + swap) is the
+    * operational pattern for continuous ingest. */
+  def streamingBloomGate(
+      docs: Dataset[StreamDoc],
+      filter: Array[Long],
+      mBits: Int,
+      k: Int): DataFrame =
+    graft.text.Bloom.probeBcast(docs.toDF(), "text", filter, mBits, k)
 }

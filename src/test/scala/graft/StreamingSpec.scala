@@ -371,4 +371,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!rows(3L), "the crossing batch must drop")
     assert(!rows(4L), "post-crossing occurrences must drop")
   }
+
+  test("streamingBloomGate verdicts match the batch probe bit-for-bit") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val (m, k) = (16384, 3)
+    // "accepted corpus so far" = even ids; the stream replays everything
+    val existing = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val filter = graft.text.Bloom.buildFilter(existing, "text", m, k)
+    val batch = graft.text.Bloom.probe(docs, "text", filter, m, k)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("maybe_seen")).toMap
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val out = Streaming.streamingBloomGate(in.toDS(), filter, m, k)
+    val q = out.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    rows.grouped(100).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("bloom_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("maybe_seen")).toMap
+    assert(streamed.size === batch.size)
+    batch.foreach { case (id, expected) =>
+      assert(streamed(id) === expected, s"doc $id bloom verdict diverges")
+    }
+    // every accepted-corpus doc must be flagged (no false negatives)
+    streamed.filter(_._1 % 2 == 0).foreach { case (id, seen) =>
+      assert(seen, s"existing doc $id missed by the gate")
+    }
+    // stateless: a pure projection, no aggregation, no watermark needed
+    val plan = Streaming.streamingBloomGate(in.toDS(), filter, m, k)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"),
+      "streamingBloomGate must remain a stateless projection")
+  }
 }
