@@ -128,6 +128,24 @@ object DocQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(dupCorpus(s, dir)).orderBy("content_hash")),
+    "q_hll_distinct" -> ((s, dir) => {
+      // bit-reproducible HyperLogLog (p=10, 1024 registers) vs the
+      // exact count: distinct (partkey, suppkey) pairs per returnflag.
+      // The register build is integer-exact and the two float steps
+      // snap to 1e-6, so the DuckDB oracle replays the ESTIMATE — the
+      // sketch itself, not just a tolerance band — to the last bit.
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val key = concat(lit("hll:"), col("l_partkey").cast("string"),
+        lit("|"), col("l_suppkey").cast("string"))
+      val est = graft.stats.Hll.distinctEstimate(
+        li, key, Seq("l_returnflag"), p = 10)
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey"), col("l_suppkey"))
+          .as("exact_distinct"))
+      est.join(exact, Seq("l_returnflag"))
+        .select("l_returnflag", "hll_distinct", "exact_distinct")
+        .orderBy("l_returnflag")
+    }),
     "q_zorder" -> ((s, dir) => {
       // Morton z-values over (l_partkey, l_suppkey): the layout key
       // graft.operators.Zorder.clusterBy range-partitions and sorts by
@@ -766,6 +784,38 @@ object DocQueries {
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL SELECT doc_id + 100000, text FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bit-for-bit HyperLogLog replay: integer-exact registers (bucket =
+    // top 10 hash bits, rho via binary-string length), exact-integer
+    // harmonic sum, 1e-6-snapped estimate — the float literals are the
+    // Scala doubles' shortest round-trip strings, which DuckDB parses
+    // back to the identical bits
+    "q_hll_distinct" -> {
+      val aM2 = graft.stats.Hll.alpha(1024) * 1024.0 * 1024.0
+      val scale = math.pow(2.0, 47.0)
+      val raw = s"round($aM2 * $scale / CAST(st AS DOUBLE), 6)"
+      s"""WITH k AS (SELECT l_returnflag AS g,
+         |    ${hash56("'hll:' || l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR")} AS h
+         |  FROM lineitem),
+         |b AS (SELECT g, h >> 46 AS bucket, h & 70368744177663 AS w FROM k),
+         |r AS (SELECT g, bucket,
+         |        max(47 - (CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END)) AS rho
+         |      FROM b GROUP BY 1, 2),
+         |a AS (SELECT g, count(*) AS nnz, sum(1::BIGINT << (47 - rho)) AS s
+         |      FROM r GROUP BY 1),
+         |e AS (SELECT g, 1024 - nnz AS zeros,
+         |        (1024 - nnz) * (1::BIGINT << 47) + s AS st FROM a),
+         |est AS (SELECT g,
+         |  CASE WHEN zeros > 0 AND $raw <= 2560.0
+         |       THEN round(1024.0 * round(ln(1024.0 / CAST(zeros AS DOUBLE)), 6), 6)
+         |       ELSE $raw END AS hll_distinct FROM e),
+         |x AS (SELECT l_returnflag AS g,
+         |        count(DISTINCT l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR)
+         |          AS exact_distinct
+         |      FROM lineitem GROUP BY 1)
+         |SELECT est.g AS l_returnflag, est.hll_distinct, x.exact_distinct
+         |FROM est JOIN x USING (g) ORDER BY 1""".stripMargin
+    },
 
     // bit-for-bit Morton interleave replay: z-bit (2b + j) carries bit b
     // of dimension j
