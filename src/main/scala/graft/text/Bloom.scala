@@ -35,6 +35,21 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
+  /** Classic sizing: the (mBits, k) pair hitting `targetFp` for `n`
+    * expected keys — m = ceil(-n ln fp / ln^2 2) rounded up to a whole
+    * word, k = round(m/n * ln 2) clamped to [1, 64]. A 10^9-key corpus
+    * at 1% fp is ~1.2 GB — past a broadcastable filter, partition the
+    * KEY SPACE (one filter per key-hash shard) rather than growing m. */
+  def sizeFor(n: Long, targetFp: Double): (Int, Int) = {
+    require(n > 0 && targetFp > 0 && targetFp < 1,
+      s"need n > 0 and fp in (0,1), got n=$n fp=$targetFp")
+    val ln2 = math.log(2.0)
+    val mRaw = math.ceil(-n * math.log(targetFp) / (ln2 * ln2))
+    val m = (((mRaw.toLong + 63) / 64) * 64).min(Int.MaxValue.toLong).toInt
+    val k = math.round(m.toDouble / n * ln2).toInt.max(1).min(64)
+    (m, k)
+  }
+
   /** The k bit positions of one key: pos_i = (h1 % m + i * h2') % m,
     * h1 = hash56("gb1:" || key), h2' = 1 + hash56("gb2:" || key) % (m-1)
     * (h2' never 0 so the k probes never collapse to one bit). All

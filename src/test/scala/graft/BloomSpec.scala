@@ -98,6 +98,21 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("graft_bloom_contains_bcast"), plan)
   }
 
+  test("sizeFor hits the requested false-positive rate empirically") {
+    val n = 2000L
+    val (mb, kb) = Bloom.sizeFor(n, 0.01)
+    assert(mb % 64 == 0 && kb >= 1)
+    val existing = corpus((1L to n).map(i => i -> s"sz $i"))
+    val fresh = corpus((1L to 4000L).map(i => i -> s"novel $i"))
+    val filter = Bloom.buildFilter(existing, "text", mb, kb)
+    val fp = Bloom.probe(fresh, "text", filter, mb, kb)
+      .filter(col("maybe_seen")).count()
+    // 4000 probes at 1% target -> expect ~40; allow 3x
+    assert(fp <= 120, s"$fp false positives for target 0.01")
+    intercept[IllegalArgumentException] { Bloom.sizeFor(0, 0.01) }
+    intercept[IllegalArgumentException] { Bloom.sizeFor(10, 1.5) }
+  }
+
   test("incrementalDedup end-to-end: new batch vs existing corpus") {
     val existing = corpus((1L to 100L).map(i => i -> s"crawl-a $i"))
     val incoming = corpus(
