@@ -161,6 +161,18 @@ object DocQueries {
             Seq(col("l_partkey"), col("l_suppkey")), bits = 15).as("zval"))
         .orderBy("zval", "l_orderkey", "l_linenumber")
     }),
+    "q_zorder_rank" -> ((s, dir) => {
+      // rank-based z-values over (l_extendedprice, l_shipdate): the
+      // equi-depth variant for dimensions that are not small
+      // non-negative ints — buckets are floor(rows_before * 2^10 / N),
+      // integer-exact and partitioning-independent, so the oracle
+      // replays them with one SQL window per dimension.
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.operators.Zorder.zvalueByRank(li,
+          Seq("l_extendedprice", "l_shipdate"), bits = 10, zcol = "zval")
+        .select("l_orderkey", "l_linenumber", "zval")
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+    }),
     "q_bloom_dedup" -> ((s, dir) => {
       // incremental dedup of a "new crawl" (odd doc_ids + replayed
       // copies of every 10th even doc) against the "existing corpus"
@@ -826,6 +838,31 @@ object DocQueries {
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  $zTerms AS zval
          |FROM lineitem ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
+    },
+
+    // equi-depth bucket replay: one window per dimension computes
+    // rows_before(v), the floor-div bucket ids interleave exactly as
+    // the Spark side's
+    "q_zorder_rank" -> {
+      val zTerms = (0 until 10).flatMap(b => Seq(
+        s"(((x >> $b) & 1) << ${2 * b})",
+        s"(((y >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+      s"""WITH n AS (SELECT count(*) AS n FROM lineitem),
+         |c0 AS (SELECT l_extendedprice AS v, count(*) AS c FROM lineitem GROUP BY 1),
+         |b0 AS (SELECT v, CAST((coalesce(sum(c) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1024)
+         |    // (SELECT n FROM n) AS BIGINT) AS bucket FROM c0),
+         |c1 AS (SELECT l_shipdate AS v, count(*) AS c FROM lineitem GROUP BY 1),
+         |b1 AS (SELECT v, CAST((coalesce(sum(c) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1024)
+         |    // (SELECT n FROM n) AS BIGINT) AS bucket FROM c1),
+         |t AS (SELECT l.l_orderkey, l.l_linenumber,
+         |        b0.bucket AS x, b1.bucket AS y
+         |      FROM lineitem l
+         |      JOIN b0 ON l.l_extendedprice = b0.v
+         |      JOIN b1 ON l.l_shipdate = b1.v)
+         |SELECT l_orderkey, l_linenumber, $zTerms AS zval
+         |FROM t ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
     },
 
     // bit-level Bloom replay: "filter contains x" == "every one of x's

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) data-layout clustering: interleave the bits of
@@ -64,4 +65,70 @@ object Zorder {
       .sortWithinPartitions("__zval")
       .drop("__zval")
   }
+
+  /** Equi-depth bucket id per distinct value of `dim`: bucket(v) =
+    * floor(rows_before(v) * 2^bits / N) — rank-based, so ANY orderable
+    * dimension (prices, dates, strings, skewed ids) z-orders without
+    * the caller pre-normalizing to small non-negative ints, and heavy
+    * hitters cannot starve the rest of the bucket range.
+    *
+    * Scale shape: the cumulative count is a TWO-LEVEL prefix sum, not
+    * a global window — per-range-partition running sums in parallel,
+    * plus one tiny window over the per-partition totals (numParts
+    * rows) broadcast back. The result is partitioning-INDEPENDENT
+    * (rows_before(v) is defined by the value order alone), which is
+    * what makes the bucket ids — and the z-values built from them —
+    * oracle-replayable by a plain SQL window. Returns (value ->
+    * bucket); join it back on `dim` to tag rows. */
+  def rankBuckets(df: DataFrame, dim: String, bits: Int,
+      numParts: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    val b = 1L << bits
+    val counts = df.na.drop(Seq(dim))
+      .groupBy(dim).agg(count(lit(1)).as("__c"))
+    val parted = counts.repartitionByRange(numParts, col(dim))
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy("__pid").orderBy(dim)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = parted.withColumn("__cw",
+      coalesce(sum("__c").over(wIn), lit(0L)))
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("__pid").agg(sum("__c").as("__pt"))
+      .withColumn("__off", coalesce(sum("__pt").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    val total = counts.agg(sum("__c").as("__n"))
+    within.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(total))
+      .select(col(dim),
+        // floor-div keeps everything integer-exact; cb*b must fit a
+        // long, i.e. N < 2^63 / 2^bits — 2^43 rows at bits=20
+        expr(s"((__cw + __off) * $b) div __n").as("__bucket"))
+  }
+
+  /** [[zvalue]] over rank buckets: tags `df` with `zcol` by joining
+    * each dimension's equi-depth bucket map (distinct-value-sized
+    * equi-joins, never all-pairs) and interleaving the bucket ids.
+    * Null dims bucket to 0 (nulls-first layout). */
+  def zvalueByRank(df: DataFrame, dims: Seq[String], bits: Int,
+      zcol: String = "__zval"): DataFrame = {
+    val tagged = dims.zipWithIndex.foldLeft(df) { case (d, (dim, j)) =>
+      d.join(rankBuckets(df, dim, bits)
+          .withColumnRenamed("__bucket", s"__b$j"), Seq(dim), "left")
+        .withColumn(s"__b$j", coalesce(col(s"__b$j"), lit(0L)))
+    }
+    tagged
+      .withColumn(zcol,
+        zvalue(dims.indices.map(j => col(s"__b$j")), bits))
+      .drop(dims.indices.map(j => s"__b$j"): _*)
+  }
+
+  /** [[clusterBy]] for arbitrary orderable dimensions: rank-bucket,
+    * interleave, range-partition, sort, drop the layout key. */
+  def clusterByRank(df: DataFrame, dims: Seq[String], bits: Int,
+      numFiles: Int): DataFrame =
+    zvalueByRank(df, dims, bits)
+      .repartitionByRange(numFiles, col("__zval"))
+      .sortWithinPartitions("__zval")
+      .drop("__zval")
 }

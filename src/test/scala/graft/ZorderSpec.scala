@@ -89,6 +89,61 @@ class ZorderSpec extends AnyFunSuite with SparkSpec {
     assert(zB <= 32, s"z layout should prune b-only predicates, touched $zB")
   }
 
+  test("rankBuckets: hand-traced equi-depth ids, duplicates share a bucket") {
+    import spark.implicits._
+    // values 10,20,20,30 at B=4: rows_before = 0,1,1,3 -> buckets 0,1,1,3
+    val df = Seq(10L, 20L, 20L, 30L).toDF("v")
+    val got = Zorder.rankBuckets(df, "v", bits = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 0L, 20L -> 1L, 30L -> 3L))
+  }
+
+  test("rankBuckets is partition-count independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(5000)(rnd.nextInt(300).toLong).toDF("v")
+    val one = Zorder.rankBuckets(df, "v", bits = 5, numParts = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = Zorder.rankBuckets(df, "v", bits = 5, numParts = 11)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == many)
+  }
+
+  test("rankBuckets handles skew and arbitrary domains zvalue cannot") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // power-law values up to ~10^9 — far past any literal bit budget —
+    // plus a heavy hitter owning a third of the rows
+    val vals = Seq.fill(6000)(math.pow(10, rnd.nextDouble() * 9).toLong) ++
+      Seq.fill(3000)(777L)
+    val buckets = Zorder.rankBuckets(vals.toDF("v"), "v", bits = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // equi-depth: the non-hitter values still spread over most of the
+    // 64-bucket range instead of collapsing around the hitter
+    assert(buckets.values.toSet.size > 40, s"${buckets.values.toSet.size}")
+    // monotone in the value order
+    val sorted = buckets.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted == sorted.sorted)
+  }
+
+  test("zvalueByRank interleaves the per-dimension bucket ids exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val df = Seq.fill(2000)((rnd.nextInt(1000000).toLong,
+      rnd.nextInt(500).toLong)).toDF("a", "b").distinct()
+    val ba = Zorder.rankBuckets(df, "a", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bb = Zorder.rankBuckets(df, "b", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def interleave(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    Zorder.zvalueByRank(df, Seq("a", "b"), 8, "z").collect().foreach { r =>
+      val (a, b, z) = (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("z"))
+      assert(z == interleave(ba(a), bb(b)), s"($a, $b)")
+    }
+  }
+
   test("clusterBy output matches input rows exactly (layout-only transform)") {
     import spark.implicits._
     val rows = (0L until 1000L).map(i => (i % 37, i % 101)).toDF("a", "b")
