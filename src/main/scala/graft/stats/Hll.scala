@@ -42,13 +42,23 @@ object Hll {
       key: Column,
       groupCols: Seq[String],
       p: Int,
-      out: String = "hll_distinct"): DataFrame = {
-    require(p >= 9 && p <= 14, s"p must be in [9, 14], got $p")
-    val m = 1 << p
-    val maxRho = 56 - p + 1
-    val alphaM2 = alpha(m) * m.toDouble * m.toDouble
-    val scale = math.pow(2.0, maxRho.toDouble) // 2^maxRho, exact
+      out: String = "hll_distinct"): DataFrame =
+    estimateFromRegisters(registerTable(df, key, groupCols, p),
+      groupCols, p, out)
 
+  /** The sketch itself: one (`__bucket`, `__r`) row per non-zero
+    * register per group — at most m rows/group, max-combinable. THIS is
+    * the artifact to persist for incremental profiling: sketch each
+    * batch/day once, store the tiny table, and answer "distinct over
+    * any union of batches" by [[mergeRegisters]] + [[estimateFromRegisters]]
+    * without touching the raw data again (registers are a semilattice:
+    * merge = per-bucket max, associative/commutative/idempotent). */
+  def registerTable(
+      df: DataFrame,
+      key: Column,
+      groupCols: Seq[String],
+      p: Int): DataFrame = {
+    require(p >= 9 && p <= 14, s"p must be in [9, 14], got $p")
     val h = TextOps.hash56(key)
     val bucket = shiftright(h, 56 - p)
     val w = h.bitwiseAND(lit((1L << (56 - p)) - 1))
@@ -56,11 +66,35 @@ object Hll {
     // engines; w = 0 has no set bit, giving rho = maxRho
     val bitLen = when(w === 0L, lit(0)).otherwise(length(bin(w)))
     val rho = (lit(56 - p + 1) - bitLen).as("__rho")
-
-    val regs = df
-      .select((groupCols.map(col) :+ bucket.as("__bucket")) :+ rho: _*)
+    df.select((groupCols.map(col) :+ bucket.as("__bucket")) :+ rho: _*)
       .groupBy((groupCols :+ "__bucket").map(col): _*)
       .agg(max("__rho").as("__r"))
+  }
+
+  /** Union of sketches: per-(group, bucket) max over any number of
+    * register tables. estimate(merge(regs(A), regs(B))) is EXACTLY
+    * estimate(regs(A ∪ B)) — not an approximation of the union, the
+    * identical registers (HllSpec pins the bitwise equality). */
+  def mergeRegisters(tables: Seq[DataFrame],
+      groupCols: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "mergeRegisters needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy((groupCols :+ "__bucket").map(col): _*)
+      .agg(max("__r").as("__r"))
+  }
+
+  /** Read the estimate off a register table ([[registerTable]] /
+    * [[mergeRegisters]] output). */
+  def estimateFromRegisters(
+      regs: DataFrame,
+      groupCols: Seq[String],
+      p: Int,
+      out: String = "hll_distinct"): DataFrame = {
+    require(p >= 9 && p <= 14, s"p must be in [9, 14], got $p")
+    val m = 1 << p
+    val maxRho = 56 - p + 1
+    val alphaM2 = alpha(m) * m.toDouble * m.toDouble
+    val scale = math.pow(2.0, maxRho.toDouble) // 2^maxRho, exact
     val agg = regs
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__nnz"),

@@ -56,6 +56,23 @@ class HllSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out("small") / 40.0 - 1.0) < 0.1)
   }
 
+  test("merged register sketches equal the sketch of the union, bitwise") {
+    import spark.implicits._
+    // overlapping batches: A = 1..6000, B = 4000..9000
+    val a = (1 to 6000).map(i => ("g", s"u-$i")).toDF("g", "k")
+    val b = (4000 to 9000).map(i => ("g", s"u-$i")).toDF("g", "k")
+    val union = a.unionByName(b)
+    val viaMerge = Hll.estimateFromRegisters(
+      Hll.mergeRegisters(Seq(
+        Hll.registerTable(a, col("k"), Seq("g"), 10),
+        Hll.registerTable(b, col("k"), Seq("g"), 10)), Seq("g")),
+      Seq("g"), 10).head.getDouble(1)
+    val direct = Hll.distinctEstimate(union, col("k"), Seq("g"), 10)
+      .head.getDouble(1)
+    assert(viaMerge == direct) // identical registers -> identical bits
+    assert(math.abs(viaMerge / 9000.0 - 1.0) < 0.13)
+  }
+
   test("p outside [9, 14] is rejected") {
     import spark.implicits._
     val df = Seq(("g", "x")).toDF("g", "k")
