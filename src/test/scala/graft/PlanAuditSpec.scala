@@ -29,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q_pyfolio_positions",    // day-spine x universe dense grid
     "q_positions",            // instant-pair map join is values-only
     "q_bm25",                 // one-row corpus constants (N, total len)
-    "q_unigram_lp")           // one-row corpus constant (total tokens)
+    "q_unigram_lp",           // one-row corpus constant (total tokens)
+    "q_zorder_rank")          // one-row corpus constant (total rows N)
 
   test("no cartesian product in any query plan") {
     plans.foreach { case (name, p) =>
@@ -165,6 +166,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_heavy_hitters shuffles the token stream to join candidates")
     assert(hh.contains("partial_count") || hh.contains("HashAggregate"),
       "q_heavy_hitters lost map-side partial counting")
+    // bloom dedup: the verdicts must come from the in-row bit test
+    // (the filter build already ran as ONE bitset aggregate at
+    // construction — BloomSpec pins that plan); the only join in this
+    // plan is the exact FP-labeling pass
+    val bloom = plans("q_bloom_dedup")
+    assert(bloom.contains("forall"),
+      "q_bloom_dedup verdicts are not the scan-local bit-test probe")
+    assert(!bloom.contains("CartesianProduct"))
+    // hll: the register build must partial-aggregate so at most m rows
+    // per group leave each map partition — never the raw key set
+    val hll = plans("q_hll_distinct")
+    assert(hll.contains("partial_max"),
+      "q_hll_distinct register build lost map-side partial max")
+    // z-order: pure projection over the scan — no exchange before the
+    // final presentation sort, no join
+    val zo = plans("q_zorder")
+    assert(!zo.contains("Join"), "q_zorder must not join")
+    val zr = plans("q_zorder_rank")
+    assert(!zr.contains("CartesianProduct"))
+    assert(zr.contains("SortMergeJoin") || zr.contains("BroadcastHashJoin"),
+      "q_zorder_rank bucket maps must attach via equi-joins")
   }
 
   test("IVF queries run the native cell-distance kernel, not the fallback") {
