@@ -93,14 +93,32 @@ object Bloom {
           "shiftleft(1L, cast(p % 64 as int))) != 0)"))
       .drop("__bw", "__bp")
 
+  // One broadcast per filter ARRAY, not per probe call: a gate probing
+  // many batches against the same snapshot would otherwise pile up
+  // multi-MB handles reclaimed only when the ContextCleaner GCs them
+  // (the Ivf.bcastMemo precedent). Weak identity keys let a dropped
+  // filter release its entry.
+  private val bcastMemo =
+    new java.util.WeakHashMap[Array[Long],
+      org.apache.spark.broadcast.Broadcast[Array[Long]]]
+
   /** [[probe]] with the filter as a real Spark broadcast: the scale
     * path for big filters (m = 2^24..2^30 bits, 2 MB..128 MB), where a
     * plan literal would be serialized into every task. Bit-identical
-    * verdicts to [[probe]] (BloomSpec pins parity). */
+    * verdicts to [[probe]] (BloomSpec pins parity); the broadcast
+    * handle is memoized per filter instance. */
   def probeBcast(incoming: DataFrame, keyCol: String, filter: Array[Long],
       mBits: Int, k: Int, out: String = "maybe_seen"): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val bc = incoming.sparkSession.sparkContext.broadcast(filter)
+    val bc = bcastMemo.synchronized {
+      val cached = bcastMemo.get(filter)
+      if (cached != null) cached
+      else {
+        val fresh = incoming.sparkSession.sparkContext.broadcast(filter)
+        bcastMemo.put(filter, fresh)
+        fresh
+      }
+    }
     val contains = column(graft.functions.BloomContainsBcast(
       expression(positions(col(keyCol), mBits, k)), bc))
     incoming.withColumn(out, contains)
