@@ -393,6 +393,48 @@ object DocQueries {
     "q_pack_seqs" -> ((s, dir) =>
       CorpusOps.packSequences(documents(s, dir), seqLen = 512)
         .orderBy("doc_id")),
+    "q_salted_join" -> ((s, dir) => {
+      // shuffle-salted fact ⋈ dim (8 salts): the salt only re-shapes
+      // the shuffle — the result must equal the plain join bit-for-bit
+      // (here aggregated per nation so the dump stays small); the
+      // skew-spread and (key, salt) plan shape are pinned in
+      // SaltedJoinSpec
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.SaltedJoin.saltedJoin(li, sup, "suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("n"))
+        .orderBy("s_nationkey")
+    }),
+    "q_bucketed_join" -> ((s, dir) => {
+      // co-located documents ⋈ embeddings: both sides written bucketed
+      // by the id (8 buckets, sorted), then joined with no Exchange on
+      // either side — the layout pays the shuffle once at write time
+      // (BucketingSpec pins the exchange-free plan; this query pins
+      // that the bucketed write+read+join path loses no rows/values:
+      // the oracle is the plain join over the raw tables)
+      import graft.operators.Bucketing
+      val tag = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_bucketed_$tag")
+      val docs = documents(s, dir).select("doc_id", "lang", "n_chars")
+      val emb = embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("label"))
+      Bucketing.writeBucketed(docs, s"graft_bdocs_$tag",
+        new java.io.File(base, "docs").getAbsolutePath, "doc_id", nBuckets = 8)
+      Bucketing.writeBucketed(emb, s"graft_bemb_$tag",
+        new java.io.File(base, "emb").getAbsolutePath, "doc_id", nBuckets = 8)
+      Bucketing.colocatedJoin(s, s"graft_bdocs_$tag", s"graft_bemb_$tag", "doc_id")
+        .select("doc_id", "lang", "n_chars", "label").orderBy("doc_id")
+    }),
+    "q_epoch_shard" -> ((s, dir) =>
+      // epoch-2 dataloader order: salted-hash global shuffle, 8
+      // round-robin shards; the rank is a two-level prefix sum (hash
+      // blocks), the oracle the plain one-window formulation —
+      // identical by partitioning-independence
+      CorpusOps.epochShard(documents(s, dir), epoch = 2, nShards = 8)
+        .orderBy("doc_id")),
     "q_int8_quant" -> ((s, dir) =>
       Embeddings.int8Quantize(embeddings(s, dir)).orderBy("vec_id", "dim")),
     "q_sample_k" -> ((s, dir) =>
@@ -535,6 +577,24 @@ object DocQueries {
       // (a plain exact count in DuckDB) matches bitwise — the sketch
       // only prunes, it never changes the answer
       HeavyHitters.heavyHitters(documents(s, dir), num = 1, den = 500)),
+    "q_cms_freq" -> ((s, dir) => {
+      // Count-Min point queries vs exact counts for every (1/500)-heavy
+      // token — sketch composed with sketch: the probe set is the
+      // Misra-Gries-pruned exact heavy-hitter table, the estimates come
+      // off a d=4 x w=512 counter grid built in one map-side-combinable
+      // pass. All-integer (double-md5 Kirsch-Mitzenmacher columns,
+      // long counters, integer min), so the DuckDB oracle replays the
+      // grid and every estimate — collisions included — verbatim; the
+      // exact column pins the one-sided overcount bound in data.
+      val toks = documents(s, dir).select(
+        explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+      val grid = graft.stats.Cms.buildCounters(
+        toks, col("token"), w = 512, d = 4)
+      val heavy = HeavyHitters.heavyHitters(documents(s, dir),
+        num = 1, den = 500)
+      graft.stats.Cms.estimate(heavy, col("token"), grid, w = 512, d = 4)
+        .select("token", "cnt", "cms_count").orderBy("token")
+    }),
     "q_wet_extract" -> ((s, dir) => {
       // WET extraction pinned end-to-end: each document is wrapped in
       // a crawler-page HTML template (comment + dropped head with a
@@ -1663,6 +1723,32 @@ object DocQueries {
          |       WHEN bucket < 950 THEN 'valid' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
 
+    // salting must not change the join result: the oracle is the plain
+    // join + aggregation
+    "q_salted_join" ->
+      """SELECT s_nationkey, sum(l_quantity) AS total_qty,
+        |  count(*)::BIGINT AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the bucketed write+read+join must be value-lossless: the oracle
+    // is the plain join over the raw tables
+    "q_bucketed_join" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, e.label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the two-level hash-block prefix sum collapses to one SQL window:
+    // global position = rank by (salted hash, id), shard = pos mod 8,
+    // in-shard position = pos div 8
+    "q_epoch_shard" ->
+      s"""WITH o AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY
+         |    ${hash56("'gs2:' || doc_id::VARCHAR")}, doc_id) - 1 AS gp
+         |  FROM documents)
+         |SELECT doc_id, gp % 8 AS shard, gp // 8 AS pos
+         |FROM o ORDER BY doc_id""".stripMargin,
+
     "q_gopher_rules" ->
       s"""WITH $gopherCtes
          |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_distinct,
@@ -2064,6 +2150,35 @@ object DocQueries {
          |  FROM toks GROUP BY token)
          |SELECT token, cnt FROM cnt CROSS JOIN tot
          |WHERE cnt * 500 >= 1 * n ORDER BY token""".stripMargin,
+
+    // bit-level Count-Min replay: the counter grid from per-distinct-
+    // token weighted inserts (equal to per-occurrence inserts), the
+    // estimate as an integer min over each probe token's d cells —
+    // collisions and overcounts reproduce exactly
+    "q_cms_freq" ->
+      s"""WITH toks AS (SELECT unnest($toksExpr) AS token FROM documents),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM toks),
+         |cnt AS (SELECT token, count(*)::BIGINT AS cnt
+         |        FROM toks GROUP BY token),
+         |ks AS (SELECT unnest(range(4)) AS j),
+         |h AS (SELECT token, cnt,
+         |        ${hash56("'gc1:' || token")} % 512 AS h1,
+         |        1 + ${hash56("'gc2:' || token")} % 511 AS h2 FROM cnt),
+         |grid AS (SELECT j * 512 + (h1 + j * h2) % 512 AS pos,
+         |           sum(cnt)::BIGINT AS c
+         |         FROM h CROSS JOIN ks GROUP BY 1),
+         |probe AS (SELECT token, cnt FROM cnt CROSS JOIN tot
+         |          WHERE cnt * 500 >= 1 * n),
+         |ph AS (SELECT token, cnt,
+         |         ${hash56("'gc1:' || token")} % 512 AS h1,
+         |         1 + ${hash56("'gc2:' || token")} % 511 AS h2 FROM probe),
+         |ppos AS (SELECT token, cnt, j * 512 + (h1 + j * h2) % 512 AS pos
+         |         FROM ph CROSS JOIN ks),
+         |est AS (SELECT p.token, p.cnt,
+         |          min(coalesce(g.c, 0))::BIGINT AS cms_count
+         |        FROM ppos p LEFT JOIN grid g USING (pos)
+         |        GROUP BY 1, 2)
+         |SELECT token, cnt, cms_count FROM est ORDER BY token""".stripMargin,
 
     // WET extraction: the Spark side wraps each doc in an HTML template
     // and extracts; the oracle builds the expected normal form (the

@@ -58,6 +58,19 @@ object Hll {
       key: Column,
       groupCols: Seq[String],
       p: Int): DataFrame = {
+    val (bucket, rho) = bucketRho(key, p)
+    df.select((groupCols.map(col) :+ bucket.as("__bucket")) :+
+        rho.as("__rho"): _*)
+      .groupBy((groupCols :+ "__bucket").map(col): _*)
+      .agg(max("__rho").as("__r"))
+  }
+
+  /** The per-row sketch projection (register bucket, rank): bucket =
+    * top p hash bits, rho = leading-zero rank of the rest — the
+    * stateless half of [[registerTable]], exposed so other groupings
+    * (e.g. [[graft.streaming.Streaming]]'s event-time windows) can
+    * build the identical registers. */
+  def bucketRho(key: Column, p: Int): (Column, Column) = {
     require(p >= 9 && p <= 14, s"p must be in [9, 14], got $p")
     val h = TextOps.hash56(key)
     val bucket = shiftright(h, 56 - p)
@@ -65,10 +78,8 @@ object Hll {
     // bit length of w via the binary string — exact integer in both
     // engines; w = 0 has no set bit, giving rho = maxRho
     val bitLen = when(w === 0L, lit(0)).otherwise(length(bin(w)))
-    val rho = (lit(56 - p + 1) - bitLen).as("__rho")
-    df.select((groupCols.map(col) :+ bucket.as("__bucket")) :+ rho: _*)
-      .groupBy((groupCols :+ "__bucket").map(col): _*)
-      .agg(max("__rho").as("__r"))
+    val rho = lit(56 - p + 1) - bitLen
+    (bucket, rho)
   }
 
   /** Union of sketches: per-(group, bucket) max over any number of

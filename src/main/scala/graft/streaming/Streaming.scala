@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -573,4 +573,77 @@ object Streaming {
       mBits: Int,
       k: Int): DataFrame =
     graft.text.Bloom.probeBcast(docs.toDF(), "text", filter, mBits, k)
+
+  /** Streaming HLL sketch maintenance — online distinct-count
+    * profiling ("distinct users / URLs / tokens per hour") with
+    * BOUNDED state on an unbounded stream: the exact-distinct
+    * formulation keeps every key in window state; this keeps at most
+    * m = 2^p register rows per window (max-combined incrementally
+    * across micro-batches, purged with the watermark).
+    *
+    * The output is the REGISTER TABLE, not the estimate — deliberately:
+    * registers are the mergeable artifact ([[graft.stats.Hll]]'s
+    * semilattice — per-bucket max), so the stored stream output answers
+    * "distinct over any union of closed windows" via
+    * [[graft.stats.Hll.mergeRegisters]] + `estimateFromRegisters`
+    * without re-reading events, and chaining a second streaming
+    * aggregation (registers → estimate) is unnecessary. The registers
+    * are BIT-IDENTICAL to the batch [[graft.stats.Hll.registerTable]]
+    * over the same rows — same hash, same buckets, same maxes
+    * (StreamingSpec replays a corpus both ways and pins register
+    * equality and estimate equality), so estimates read off the
+    * streamed sketch carry the batch oracle's bit-reproducibility.
+    *
+    * @return append-mode rows (window_start, __bucket, __r) once the
+    *         watermark closes each window
+    */
+  def streamingHllRegisters(
+      events: DataFrame,
+      key: Column,
+      p: Int,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val (bucket, rho) = graft.stats.Hll.bucketRho(key, p)
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLength).as("window"),
+        bucket.as("__bucket"), rho.as("__rho"))
+      .groupBy(col("window"), col("__bucket"))
+      .agg(max("__rho").as("__r"))
+      .select(col("window.start").as("window_start"),
+        col("__bucket"), col("__r"))
+  }
+
+  /** Streaming Count-Min sketch maintenance — online frequency
+    * profiling with bounded state, the CMS face of
+    * [[streamingHllRegisters]]: at most d*w counter rows per window
+    * (summed incrementally across micro-batches — counts are algebraic
+    * — and purged with the watermark), instead of per-key state for an
+    * unbounded key set.
+    *
+    * Emits the COUNTER TABLE ([[graft.stats.Cms.counterTable]] layout:
+    * `__pos`, `__c` per window): counters are the mergeable artifact
+    * (per-cell sum), so stored window sketches answer point queries
+    * over any horizon via [[graft.stats.Cms.mergeCounterTables]] +
+    * `estimate`, and the streamed cells are bit-identical to the batch
+    * build over the same rows (StreamingSpec pins cell equality and
+    * estimate equality).
+    *
+    * @return append-mode rows (window_start, __pos, __c)
+    */
+  def streamingCmsCounters(
+      events: DataFrame,
+      key: Column,
+      w: Int,
+      d: Int,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLength).as("window"),
+        explode(graft.stats.Cms.positions(key, w, d)).as("__pos"))
+      .groupBy(col("window"), col("__pos"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("window.start").as("window_start"),
+        col("__pos"), col("__c"))
 }

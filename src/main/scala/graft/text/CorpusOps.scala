@@ -159,6 +159,58 @@ object CorpusOps {
       .withColumn("n_seqs", col("end_seq") - col("start_seq") + 1)
   }
 
+  /** Deterministic per-epoch global shuffle + round-robin sharding —
+    * the other half of the pretraining dataloader layout next to
+    * [[packSequences]]: every epoch needs the corpus in a fresh
+    * pseudorandom order, cut into `nShards` equal reader shards, and
+    * the order must be REPRODUCIBLE (resume a crashed run, audit which
+    * examples step 31337 saw) and engine-replayable. The order key is
+    * the salted content-independent hash h = hash56("gs<epoch>:" || id)
+    * (the [[hashSplit]] family), global position = rank by (h, id),
+    * shard = pos mod nShards (a round-robin deal off a shuffled deck:
+    * shard sizes differ by at most 1 and every shard is itself a
+    * uniform subsample), position-in-shard = pos div nShards.
+    *
+    * Scale shape: the rank is a TWO-LEVEL prefix sum, never a global
+    * single-partition window — the hash is uniform on [0, 2^56), so
+    * its top `blockBits` bits give ~equal-sized blocks; per-block
+    * row_numbers run in parallel and one bounded window over the
+    * 2^blockBits block counts broadcasts the offsets back (the
+    * [[graft.operators.Zorder.rankBuckets]] shape keyed by hash range
+    * instead of value range). Partitioning-independent: rank is
+    * defined by the (h, id) order alone (CorpusOpsSpec pins it).
+    *
+    * @return (id, shard, pos) — shard in [0, nShards), pos the
+    *         0-based position within the shard
+    */
+  def epochShard(
+      docs: DataFrame,
+      epoch: Int,
+      nShards: Int,
+      idCol: String = "doc_id",
+      blockBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(blockBits >= 1 && blockBits <= 20,
+      s"blockBits must be in [1, 20], got $blockBits")
+    val h = hash56(concat(lit(s"gs$epoch:"), col(idCol).cast("string")))
+    val t = docs.select(col(idCol), h.as("__h"))
+      .withColumn("__blk", shiftright(col("__h"), 56 - blockBits))
+    val blockOffsets = t.groupBy("__blk")
+      .agg(count(lit(1)).as("__bc"))
+      .withColumn("__bpre", coalesce(sum("__bc").over(
+        Window.orderBy("__blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__blk", "__bpre")
+    val intra = Window.partitionBy("__blk").orderBy(col("__h"), col(idCol))
+    t.join(broadcast(blockOffsets), Seq("__blk"))
+      .withColumn("__gp",
+        col("__bpre") + row_number().over(intra).cast("long") - 1L)
+      .select(col(idCol),
+        (col("__gp") % nShards).as("shard"),
+        expr(s"__gp div $nShards").as("pos"))
+  }
+
   /** Temperature-scaled domain mixture weights: per domain (source),
     * token share p_d = tokens_d / total, sampling weight
     * w_d = p_d^alpha / sum(p^alpha) — alpha < 1 upsamples small

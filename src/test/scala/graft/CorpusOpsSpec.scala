@@ -297,6 +297,45 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assertClose(sw, math.sqrt(ss) / (math.sqrt(ss) + math.sqrt(bs)), 1e-6)
   }
 
+  test("epochShard: positions are a permutation, shards balanced round-robin") {
+    val d = (1L to 100L).map(i => i -> s"doc $i").toDF("doc_id", "text")
+    val out = CorpusOps.epochShard(d, epoch = 1, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 100)
+    // global positions shard*1 + pos*8 reconstruct 0..99 exactly
+    val gps = out.map { case (_, s, p) => p * 8 + s }.sorted
+    assert(gps.toSeq == (0L until 100L))
+    // round-robin deal: shard sizes differ by at most 1 (100 = 12*8+4)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keys.toSet == (0L until 8L).toSet)
+    assert(sizes.values.forall(s => s == 12 || s == 13))
+    // in-shard positions are contiguous from 0
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length))
+    }
+  }
+
+  test("epochShard: epochs reshuffle, runs and partitionings do not") {
+    val d = (1L to 200L).map(i => i -> s"doc $i").toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, epoch: Int) =
+      CorpusOps.epochShard(df, epoch, nShards = 4).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e1 = run(d, 1)
+    assert(run(d, 1) == e1) // deterministic
+    assert(run(d.repartition(7), 1) == e1) // partitioning-independent
+    assert(run(d, 2) != e1) // a new epoch is a new order
+    // and the hash-block two-level rank agrees with a brute global sort
+    val brute = d.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.text.TextOps.hash56(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("gs1:"),
+          org.apache.spark.sql.functions.col("doc_id").cast("string")))
+          .as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sorted.map(_._2).zipWithIndex
+      .map { case (id, gp) => id -> (gp.toLong % 4, gp.toLong / 4) }.toMap
+    assert(e1 == brute)
+  }
+
   test("mixtureWeights alpha=1 reproduces raw shares") {
     val d = Seq((1L, "a b c", "x"), (2L, "a", "y")).toDF("doc_id", "text", "source")
     val rows = CorpusOps.mixtureWeights(d, alpha = 1.0).collect()

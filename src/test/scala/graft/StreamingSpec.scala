@@ -414,4 +414,83 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Aggregate"),
       "streamingBloomGate must remain a stateless projection")
   }
+
+  test("streamingHllRegisters: streamed sketch == batch sketch, bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // two hour-windows of user activity + a far-future watermark closer;
+    // duplicates within and across micro-batches must collapse into the
+    // same registers as one batch pass
+    val events = (1L to 300L).map(i => Event(i,
+      t(if (i % 2 == 0) "2024-01-01 00:10:00" else "2024-01-01 01:20:00"),
+      i % 40, "click", 1.0))
+    in.addData(events.take(150): _*)
+    val out = Streaming.streamingHllRegisters(in.toDF(),
+      concat(lit("u:"), col("user_id")), p = 10)
+    val q = out.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(events.drop(150): _*)
+    q.processAllAvailable()
+    in.addData(Event(999, t("2024-01-02 12:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_stream").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getInt(2))).toSet
+    val batchDf = spark.createDataFrame(events)
+      .withColumn("window_start", window(col("ts"), "1 hour")("start"))
+    val batch = graft.stats.Hll.registerTable(batchDf,
+        concat(lit("u:"), col("user_id")), Seq("window_start"), p = 10)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getInt(2))).toSet
+    assert(streamed === batch)
+    // and the estimates read off the streamed registers match batch
+    val est = graft.stats.Hll.estimateFromRegisters(
+      spark.table("hll_stream").withColumnRenamed("window_start", "ws"),
+      Seq("ws"), p = 10).collect()
+      .map(r => r.getTimestamp(0).toString.take(13) -> r.getDouble(1)).toMap
+    val bEst = graft.stats.Hll.distinctEstimate(batchDf,
+      concat(lit("u:"), col("user_id")), Seq("window_start"), p = 10)
+      .collect()
+      .map(r => r.getTimestamp(0).toString.take(13) -> r.getDouble(1)).toMap
+    assert(est === bEst)
+    // 20 distinct users per window; p=10 is exact-ish in linear range
+    est.values.foreach(v => assert(math.abs(v - 20.0) <= 1.5, s"est $v"))
+  }
+
+  test("streamingCmsCounters: streamed cells == batch cells, estimates agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val events = (1L to 400L).map(i => Event(i,
+      t("2024-01-01 00:05:00"), i % 23, "click", 1.0))
+    in.addData(events.take(170): _*)
+    val out = Streaming.streamingCmsCounters(in.toDF(),
+      concat(lit("u:"), col("user_id")), w = 256, d = 3)
+    val q = out.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(events.drop(170): _*)
+    q.processAllAvailable()
+    in.addData(Event(999, t("2024-01-02 12:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream")
+      .filter(col("window_start") < t("2024-01-02 00:00:00"))
+      .select("__pos", "__c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.stats.Cms.counterTable(spark.createDataFrame(events),
+        concat(lit("u:"), col("user_id")), w = 256, d = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    // point queries off the streamed sketch: min over d cells,
+    // overcount-only vs the exact per-user counts
+    val grid = new Array[Long](3 * 256)
+    streamed.foreach { case (p, c) => grid(p.toInt) = c }
+    import spark.implicits._
+    val users = (0L until 23L).map(u => u -> s"u:$u").toDF("user_id", "key")
+    val ests = graft.stats.Cms.estimate(users, col("key"), grid, 256, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exact = events.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (u, n) => assert(ests(u) >= n, s"user $u") }
+  }
 }
