@@ -393,6 +393,30 @@ object DocQueries {
     "q_pack_seqs" -> ((s, dir) =>
       CorpusOps.packSequences(documents(s, dir), seqLen = 512)
         .orderBy("doc_id")),
+    "q_quantiles" -> ((s, dir) =>
+      // exact deciles of a 600k-row double column without a global
+      // sort: distinct-value histogram + two-level prefix sum + an
+      // 11-rank broadcast pick; percentile_disc semantics (existing
+      // values at integer ranks), so doubles compare bitwise
+      graft.stats.Quantiles.exactQuantiles(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice", q = 10)),
+    "q_bloom_semijoin" -> ((s, dir) => {
+      // Bloom runtime filter ahead of a selective join: lineitem is
+      // pre-filtered scan-locally through a Bloom of nation 3's
+      // suppliers (~4% of keys) before the shuffle; the real join then
+      // removes the false positives, so the composition must equal the
+      // plain join bit-for-bit — which is exactly what this pins
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .filter(col("s_nationkey") === 3).select(col("s_suppkey"))
+      val pre = Bloom.semiJoinPrefilter(li, "l_suppkey",
+        sup, "s_suppkey", mBits = 16384, k = 3)
+      pre.join(sup, pre("l_suppkey") === sup("s_suppkey"))
+        .groupBy("l_suppkey")
+        .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("n"))
+        .orderBy("l_suppkey")
+    }),
     "q_salted_join" -> ((s, dir) => {
       // shuffle-salted fact ⋈ dim (8 salts): the salt only re-shapes
       // the shuffle — the result must equal the plain join bit-for-bit
@@ -1722,6 +1746,32 @@ object DocQueries {
          |  CASE WHEN bucket < 900 THEN 'train'
          |       WHEN bucket < 950 THEN 'valid' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // integer-rank quantile replay: the same distinct-value histogram
+    // + rows_before window + ceil-rank interval pick, one SQL window
+    "q_quantiles" ->
+      """WITH c AS (SELECT l_extendedprice AS v, count(*)::BIGINT AS c
+        |           FROM lineitem GROUP BY 1),
+        |r AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |        AS rb, c FROM c),
+        |n AS (SELECT sum(c)::BIGINT AS n FROM c),
+        |j AS (SELECT unnest(range(11)) AS j),
+        |k AS (SELECT j, j::DOUBLE / 10 AS p,
+        |        greatest(1, (j * n + 9) // 10)::BIGINT AS rank
+        |      FROM j CROSS JOIN n)
+        |SELECT k.j, k.p, k.rank, r.v AS l_extendedprice
+        |FROM k JOIN r ON r.rb < k.rank AND k.rank <= r.rb + r.c
+        |ORDER BY k.j""".stripMargin,
+
+    // the Bloom prefilter only cuts shuffle volume; the composition
+    // with the real join is the plain join
+    "q_bloom_semijoin" ->
+      """SELECT l_suppkey, sum(l_quantity) AS total_qty,
+        |  count(*)::BIGINT AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // salting must not change the join result: the oracle is the plain
     // join + aggregation

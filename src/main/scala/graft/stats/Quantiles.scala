@@ -1,0 +1,73 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed quantiles without a global sort — the profiling
+  * primitive behind partition sizing, histogram binning, outlier
+  * thresholds, and [[graft.operators.Zorder.rankBuckets]]' equi-depth
+  * layout: "give me the deciles of a 100 TB column".
+  *
+  * `approxQuantile`/t-digest trade exactness for one pass and are not
+  * engine-replayable (rank error, merge-order dependence). This is the
+  * exact complement, and still never globally sorts rows: aggregate to
+  * DISTINCT VALUES with counts (map-side combinable — the shuffled
+  * volume is the value histogram, not the rows), attach 0-based
+  * `rows_before` by the two-level prefix-sum (per-range-partition
+  * running sums in parallel + one bounded window over numParts
+  * partition totals broadcast back — the rankBuckets shape), then pick
+  * each requested rank with a BROADCAST of the q+1 target ranks
+  * against the interval (rows_before, rows_before + cnt] — a bounded
+  * nested-loop by design, like the ANN query batch.
+  *
+  * Semantics are percentile_disc (order statistics): quantile j of q
+  * is the value at 1-based rank max(1, ceil(j*N/q)) — an EXISTING data
+  * value picked by integer rank arithmetic, so the result is bitwise
+  * engine-identical even for doubles (no interpolation, no float
+  * rank math; ceil(j*N/q) computed as the integer (j*N + q-1) div q).
+  */
+object Quantiles {
+
+  /** The q+1 cut points (j = 0..q: min, 1/q, ..., max) of `dim`.
+    * Nulls are excluded (SQL aggregate convention). Output:
+    * (j, p = j/q, rank, value-typed `dim`). */
+  def exactQuantiles(
+      df: DataFrame,
+      dim: String,
+      q: Int,
+      numParts: Int = 32): DataFrame = {
+    require(q >= 1 && q <= 10000, s"q must be in [1, 10000], got $q")
+    val spark = df.sparkSession
+    val counts = df.na.drop(Seq(dim))
+      .groupBy(dim).agg(count(lit(1)).as("__c"))
+    val parted = counts.repartitionByRange(numParts, col(dim))
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy("__pid").orderBy(dim)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = parted.withColumn("__cw",
+      coalesce(sum("__c").over(wIn), lit(0L)))
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("__pid").agg(sum("__c").as("__pt"))
+      .withColumn("__off", coalesce(sum("__pt").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    val ranked = within.join(broadcast(offsets), "__pid")
+      .select(col(dim), (col("__cw") + col("__off")).as("__rb"), col("__c"))
+
+    val total = counts.agg(sum("__c").as("__n"))
+    // ceil(j*N/q) as pure integer arithmetic; j = 0 clamps to rank 1
+    val js = spark.range(0, q + 1L).toDF("j")
+      .crossJoin(broadcast(total))
+      .select(col("j"),
+        (col("j").cast("double") / q).as("p"),
+        // ceil(j*N/q) = (j*N + q - 1) div q — operands non-negative, so
+        // truncating (Spark div) and floor (DuckDB //) division agree
+        greatest(lit(1L), expr(s"(j * __n + ${q - 1}) div $q")).as("rank"))
+
+    ranked.join(broadcast(js),
+        col("__rb") < col("rank") && col("rank") <= col("__rb") + col("__c"))
+      .select(col("j"), col("p"), col("rank"), col(dim))
+      .orderBy("j")
+  }
+}

@@ -134,4 +134,34 @@ object Bloom {
     val filter = buildFilter(existing, keyCol, mBits, k)
     probe(incoming, keyCol, filter, mBits, k)
   }
+
+  /** Bloom RUNTIME FILTER ahead of a selective join: when `small`'s
+    * key set matches only a sliver of `big`, a plain shuffled join
+    * still moves ALL of `big` across the wire before dropping the
+    * misses on the reduce side. Filtering `big` scan-locally through a
+    * Bloom of `small`'s keys first cuts the shuffled volume to the
+    * matches plus an eps of false positives — which the real join then
+    * removes, so the COMPOSITION is exactly the plain join (that is
+    * what makes it oracle-able, q_bloom_semijoin). No false negatives
+    * means no lost matches, ever.
+    *
+    * Spark's optimizer has an automatic cousin
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, cost-gated
+    * and plan-shape-dependent); this is the explicit, always-on,
+    * engine-replayable form — the filter artifact can also be built
+    * once and reused across many queries against the same dim table
+    * (the [[buildFilter]]/[[probeBcast]] snapshot pattern). */
+  def semiJoinPrefilter(big: DataFrame, bigKey: String,
+      small: DataFrame, smallKey: String, mBits: Int, k: Int): DataFrame = {
+    val filter = buildFilter(
+      small.select(col(smallKey).cast("string").as("__k")), "__k", mBits, k)
+    val probed =
+      if (mBits >= (1 << 24))
+        probeBcast(big.withColumn("__k", col(bigKey).cast("string")),
+          "__k", filter, mBits, k)
+      else
+        probe(big.withColumn("__k", col(bigKey).cast("string")),
+          "__k", filter, mBits, k)
+    probed.filter(col("maybe_seen")).drop("__k", "maybe_seen")
+  }
 }

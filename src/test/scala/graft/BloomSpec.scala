@@ -113,6 +113,34 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] { Bloom.sizeFor(10, 1.5) }
   }
 
+  test("semiJoinPrefilter: keeps every match, cuts misses, composes to the join") {
+    import spark.implicits._
+    val big = (1L to 2000L).map(i => (i % 200, s"fact $i")).toDF("k", "payload")
+    val small = (0L to 9L).map(k => (k, s"dim $k")).toDF("k", "attr")
+    val pre = Bloom.semiJoinPrefilter(big, "k", small, "k", m, k)
+    // no false negatives: every true match survives the prefilter
+    val matches = big.filter(col("k") < 10).count()
+    assert(pre.filter(col("k") < 10).count() == matches)
+    // selectivity: 10/200 keys -> the prefilter drops the bulk
+    assert(pre.count() < big.count() / 2, s"${pre.count()} of ${big.count()}")
+    // the composition with the real join IS the plain join
+    val composed = pre.join(small, "k").select("k", "payload", "attr")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val plain = big.join(small, "k").select("k", "payload", "attr")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(composed == plain)
+    // the probe stays the scan-local bit test inside the composed plan
+    // (spark.range base — a local fixture folds to LocalTableScan and
+    // hides the projection, the plan-pin precedent above)
+    val bigR = spark.range(2000).select((col("id") % 200).as("k"),
+      concat(lit("fact "), col("id")).as("payload"))
+    val preR = Bloom.semiJoinPrefilter(bigR, "k", small, "k", m, k)
+    val plan = preR.join(small, "k").queryExecution.executedPlan.toString
+    assert(plan.contains("forall"), plan)
+  }
+
   test("incrementalDedup end-to-end: new batch vs existing corpus") {
     val existing = corpus((1L to 100L).map(i => i -> s"crawl-a $i"))
     val incoming = corpus(

@@ -30,7 +30,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q_positions",            // instant-pair map join is values-only
     "q_bm25",                 // one-row corpus constants (N, total len)
     "q_unigram_lp",           // one-row corpus constant (total tokens)
-    "q_zorder_rank")          // one-row corpus constant (total rows N)
+    "q_zorder_rank",          // one-row corpus constant (total rows N)
+    "q_quantiles")            // q+1-row rank broadcast, interval pick
 
   test("no cartesian product in any query plan") {
     plans.foreach { case (name, p) =>
@@ -187,6 +188,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!zr.contains("CartesianProduct"))
     assert(zr.contains("SortMergeJoin") || zr.contains("BroadcastHashJoin"),
       "q_zorder_rank bucket maps must attach via equi-joins")
+  }
+
+  test("round-8 sketch/layout operators keep their scale-critical shapes") {
+    // CMS: the probe must be the scan-local HOF min over the literal
+    // grid (no join against the counter table), and the only joins in
+    // the plan belong to the heavy-hitter probe-set construction
+    val cms = plans("q_cms_freq")
+    assert(cms.contains("array_min"),
+      "q_cms_freq estimates are not the scan-local array_min probe")
+    assert(!cms.contains("CartesianProduct"))
+    // epoch shard: per-block ranks + a broadcast of the bounded block
+    // offsets — never a corpus-wide single-partition row_number
+    val ep = plans("q_epoch_shard")
+    assert(ep.contains("row_number"),
+      "q_epoch_shard lost the windowed intra-block rank")
+    assert(ep.contains("BroadcastHashJoin"),
+      "q_epoch_shard block offsets must attach via a broadcast join")
+    // salted join: the physical join must include the salt key (the
+    // skew-breaking shape) and still be an equi-join
+    val sj = plans("q_salted_join")
+    assert(sj.contains("__salt"),
+      "q_salted_join no longer joins on the salt")
+    assert(!sj.contains("CartesianProduct") &&
+      !sj.contains("BroadcastNestedLoopJoin"))
+    // bucketed join: no hash-repartition exchange anywhere (at this
+    // tiny sf the planner rightly swaps the merge join for a broadcast
+    // — "Bucketed: false (disabled by query planner)" — so the strict
+    // bucketed-scan SMJ shape is pinned in BucketingSpec under forced
+    // merge joins; here pin that the layout never forces a re-shuffle
+    // and that the scans do read the bucketed tables)
+    val bj = plans("q_bucketed_join")
+    assert(bj.contains("graft_bdocs_") && bj.contains("graft_bemb_"),
+      "q_bucketed_join is not reading the bucketed tables")
+    assert(!bj.contains("Exchange hashpartitioning"),
+      "q_bucketed_join re-shuffles despite the bucketed layout")
   }
 
   test("IVF queries run the native cell-distance kernel, not the fallback") {
