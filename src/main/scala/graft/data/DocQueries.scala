@@ -18,6 +18,21 @@ object DocQueries {
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** events with `ts` normalized to TimestampType. The column has
+    * shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    * testdata generations: nanos arrives as long
+    * (spark.sql.legacy.parquet.nanosAsLong) and is floored to micros —
+    * exactly DuckDB's nanos→micros read-time conversion — while micros
+    * needs no conversion in either engine. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
@@ -393,6 +408,39 @@ object DocQueries {
     "q_pack_seqs" -> ((s, dir) =>
       CorpusOps.packSequences(documents(s, dir), seqLen = 512)
         .orderBy("doc_id")),
+    "q_merge_corpus" -> ((s, dir) => {
+      // corpus MERGE (upsert + tombstones): a synthetic refresh batch
+      // carries re-fetches (+5 ts, win), stale re-fetches (-5 ts,
+      // lose), deletion tombstones (+7 ts, drop the id), and brand-new
+      // ids; latest (ts, side) wins via one map-side-combinable
+      // struct-max — never a row_number window — and the oracle
+      // replays the same total order with a window formulation
+      val d = documents(s, dir).select("doc_id", "text")
+      val current = d.withColumn("ts", col("doc_id") * 10)
+      val refetch = d.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), (col("doc_id") * 10 + 5).as("ts"),
+          concat(lit("v2 "), col("text")).as("text"), lit(false).as("deleted"))
+      val stale = d.filter(col("doc_id") % 6 === 1)
+        .select(col("doc_id"), (col("doc_id") * 10 - 5).as("ts"),
+          concat(lit("old "), col("text")).as("text"), lit(false).as("deleted"))
+      val dels = d.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"), (col("doc_id") * 10 + 7).as("ts"),
+          lit("").as("text"), lit(true).as("deleted"))
+      val news = d.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          (col("doc_id") * 10).as("ts"), col("text"), lit(false).as("deleted"))
+      CorpusOps.mergeCorpus(current,
+          refetch.unionByName(stale).unionByName(dels).unionByName(news))
+        .orderBy("doc_id")
+    }),
+    "q_sessions" -> ((s, dir) =>
+      // batch sessionization of the event stream (30-min gap cuts):
+      // the offline twin of the streaming sessionize operator — key
+      // semantics replay-pinned against it in StreamingSpec; totals on
+      // the exact cents grid so the double sums are order-independent
+      graft.streaming.Streaming.batchSessionize(events(s, dir),
+          gapSeconds = 1800)
+        .orderBy("user_id", "session_start")),
     "q_quantiles" -> ((s, dir) =>
       // exact deciles of a 600k-row double column without a global
       // sort: distinct-value histogram + two-level prefix sum + an
@@ -557,18 +605,9 @@ object DocQueries {
         .orderBy("source")),
     "q_asof_attrib" -> ((s, dir) => {
       // click -> most recent prior view by the same user (point-in-time
-      // attribution); oracle is DuckDB's native ASOF LEFT JOIN.
-      // events.ts has shipped as both TIMESTAMP(NANOS) and
-      // TIMESTAMP(MICROS) across testdata generations: nanos arrives as
-      // long (spark.sql.legacy.parquet.nanosAsLong) and is floored to
-      // micros — exactly DuckDB's nanos->micros read-time conversion —
-      // while micros needs no conversion in either engine
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val ev = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ => raw
-      }
+      // attribution); oracle is DuckDB's native ASOF LEFT JOIN; the
+      // shared `events` reader normalizes the ts physical type
+      val ev = events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "ts", "user_id", "value")
       val views = ev.filter(col("event_type") === "view")
@@ -1746,6 +1785,55 @@ object DocQueries {
          |  CASE WHEN bucket < 900 THEN 'train'
          |       WHEN bucket < 950 THEN 'valid' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // upsert replay: the struct-max total order (ts, side, del, text)
+    // becomes one descending row_number window; tombstone winners drop
+    "q_merge_corpus" ->
+      """WITH cur AS (SELECT doc_id, doc_id * 10 AS ts, text,
+        |               0 AS side, FALSE AS del FROM documents),
+        |ref AS (SELECT doc_id, doc_id * 10 + 5 AS ts, 'v2 ' || text AS text,
+        |          1 AS side, FALSE AS del FROM documents WHERE doc_id % 4 = 0),
+        |stale AS (SELECT doc_id, doc_id * 10 - 5 AS ts, 'old ' || text AS text,
+        |          1 AS side, FALSE AS del FROM documents WHERE doc_id % 6 = 1),
+        |dels AS (SELECT doc_id, doc_id * 10 + 7 AS ts, '' AS text,
+        |          1 AS side, TRUE AS del FROM documents WHERE doc_id % 10 = 2),
+        |news AS (SELECT doc_id + 100000 AS doc_id, doc_id * 10 AS ts, text,
+        |          1 AS side, FALSE AS del FROM documents WHERE doc_id % 7 = 3),
+        |u AS (SELECT * FROM cur UNION ALL SELECT * FROM ref
+        |      UNION ALL SELECT * FROM stale UNION ALL SELECT * FROM dels
+        |      UNION ALL SELECT * FROM news),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY ts DESC, side DESC, del DESC, text DESC) AS rn,
+        |        max(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id) AS hadcur
+        |      FROM u)
+        |SELECT doc_id, ts, text,
+        |  CASE WHEN hadcur = 0 THEN 'inserted'
+        |       WHEN side = 1 THEN 'updated'
+        |       ELSE 'kept' END AS verdict
+        |FROM w WHERE rn = 1 AND NOT del ORDER BY doc_id""".stripMargin,
+
+    // gap-cut replay: one lag window marks session starts, a running
+    // sum numbers them, exact cents totals; ms granularity matches the
+    // batch operator (and the streaming state's epoch-ms compares)
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             epoch_us(ts) // 1000 AS ms,
+        |             round(value * 100)::BIGINT AS cents FROM events),
+        |l AS (SELECT *, lag(ms) OVER
+        |        (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |g AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000
+        |        THEN 1 ELSE 0 END AS cut FROM l),
+        |s AS (SELECT *, sum(cut) OVER (PARTITION BY user_id
+        |        ORDER BY ms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM g)
+        |SELECT user_id, make_timestamp(min(ms) * 1000) AS session_start,
+        |       make_timestamp(max(ms) * 1000) AS session_end,
+        |       count(*)::BIGINT AS n_events,
+        |       sum(cents)::DOUBLE / 100.0 AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // integer-rank quantile replay: the same distinct-value histogram
     // + rows_before window + ceil-rank interval pick, one SQL window

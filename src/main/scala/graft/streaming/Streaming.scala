@@ -547,6 +547,51 @@ object Streaming {
       }
   }
 
+  /** Batch sessionization — the offline twin of [[sessionize]], and
+    * the oracle-able one (gap cuts are one SQL window): consecutive
+    * events of a user belong to one session until more than
+    * `gapSeconds` of silence; summaries mirror [[SessionSummary]].
+    *
+    * Semantics are aligned with the streaming operator bit-for-bit on
+    * the session KEYS (user, start, end, n): times compare at
+    * MILLISECOND granularity (the streaming state works in epoch ms),
+    * and start/end are reported ms-truncated. Only `total_value`
+    * differs representationally: here it is an exact cents-grid sum
+    * (order-independent, engine-replayable — the q_panel revenue
+    * pattern), while the streaming fold sums doubles in event order;
+    * StreamingSpec pins key equality exactly and totals at 1e-9.
+    *
+    * Scale shape: one window partitioned BY USER (sessionization is
+    * inherently per-user sequential — the same per-group order the
+    * streaming state walks; per-user event volume, not corpus volume,
+    * bounds a task) + one map-side-combinable aggregate per session. */
+  def batchSessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("__ms", "event_id")
+    val cut = Window.partitionBy("user_id").orderBy("__ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      // ts ships as TIMESTAMP or TIMESTAMP_NTZ depending on the parquet
+      // generation; the session runs UTC, so the cast is
+      // instant-preserving either way
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000").as("__ms"),
+        expr("cast(round(value * 100) as bigint)").as("__cents"))
+      .withColumn("__gap",
+        when(col("__ms") - lag("__ms", 1).over(w) > gapSeconds * 1000L ||
+          lag("__ms", 1).over(w).isNull, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__session", sum("__gap").over(cut))
+      .groupBy("user_id", "__session")
+      .agg(
+        timestamp_millis(min("__ms")).cast("timestamp_ntz")
+          .as("session_start"),
+        timestamp_millis(max("__ms")).cast("timestamp_ntz")
+          .as("session_end"),
+        count(lit(1)).as("n_events"),
+        (sum("__cents").cast("double") / 100.0).as("total_value"))
+      .drop("__session")
+  }
+
   /** Streaming QUALITY GATE, history half: Bloom-filter membership of
     * each arriving document against the ACCEPTED CORPUS SO FAR — the
     * online face of [[graft.text.Bloom.incrementalDedup]]. The filter

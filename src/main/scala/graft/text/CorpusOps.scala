@@ -211,6 +211,54 @@ object CorpusOps {
         expr(s"__gp div $nShards").as("pos"))
   }
 
+  /** Corpus MERGE (upsert with tombstones) — continuous-ingest
+    * maintenance of a living corpus, the batch analogue of Delta/
+    * Iceberg MERGE INTO without a table format: a refreshed crawl
+    * carries new documents, re-fetches of existing ones, and deletion
+    * tombstones; latest timestamp wins per id (ties: the update side),
+    * tombstone winners drop out, and every surviving row carries an
+    * audit verdict (`inserted` / `updated` / `kept`).
+    *
+    * Scale shape: ONE map-side-combinable aggregate per id — the
+    * winner is `max(struct(ts, side, tombstone, payload))`
+    * (lexicographic struct max: associative, commutative, partial-agg
+    * friendly), NOT a row_number window, so a pathologically re-crawled
+    * hot id combines map-side instead of sorting in one reducer (the
+    * Rewrite-family keeper argument). Presence flags aggregate in the
+    * same pass, so no second join recovers "did this id exist before".
+    *
+    * @param current  the corpus so far: (id, ts, payload)
+    * @param updates  the new batch: (id, ts, payload, deleted)
+    * @return merged corpus (id, ts, payload, verdict)
+    */
+  def mergeCorpus(
+      current: DataFrame,
+      updates: DataFrame,
+      idCol: String = "doc_id",
+      tsCol: String = "ts",
+      payloadCol: String = "text",
+      tombstoneCol: String = "deleted"): DataFrame = {
+    val cur = current.select(col(idCol), col(tsCol).cast("long").as("__ts"),
+      col(payloadCol).as("__p"), lit(0).as("__side"), lit(false).as("__del"))
+    val upd = updates.select(col(idCol), col(tsCol).cast("long").as("__ts"),
+      col(payloadCol).as("__p"), lit(1).as("__side"),
+      coalesce(col(tombstoneCol), lit(false)).as("__del"))
+    cur.unionByName(upd)
+      .groupBy(idCol)
+      .agg(
+        max(struct(col("__ts"), col("__side"), col("__del"), col("__p")))
+          .as("__w"),
+        max(when(col("__side") === 0, lit(1)).otherwise(lit(0)))
+          .as("__hadCur"))
+      .filter(!col("__w.__del"))
+      .select(col(idCol),
+        col("__w.__ts").as(tsCol),
+        col("__w.__p").as(payloadCol),
+        when(col("__hadCur") === 0, lit("inserted"))
+          .when(col("__w.__side") === 1, lit("updated"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+
   /** Temperature-scaled domain mixture weights: per domain (source),
     * token share p_d = tokens_d / total, sampling weight
     * w_d = p_d^alpha / sum(p^alpha) — alpha < 1 upsamples small

@@ -336,6 +336,39 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(e1 == brute)
   }
 
+  test("mergeCorpus: verdicts, tombstones, ties, and losing updates") {
+    val current = Seq((1L, 10L, "one"), (2L, 20L, "two"), (3L, 30L, "three"),
+      (4L, 40L, "four")).toDF("doc_id", "ts", "text")
+    val updates = Seq(
+      (2L, 25L, "two-v2", false),  // newer -> updated
+      (3L, 5L, "three-old", false), // older -> current kept
+      (4L, 45L, "", true),          // tombstone -> dropped
+      (5L, 50L, "five", false),     // new id -> inserted
+      (1L, 10L, "one-tie", false))  // ts tie -> update side wins
+      .toDF("doc_id", "ts", "text", "deleted")
+    val out = CorpusOps.mergeCorpus(current, updates).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, "one-tie", "updated")))
+    assert(out(2L) == ((25L, "two-v2", "updated")))
+    assert(out(3L) == ((30L, "three", "kept")))
+    assert(!out.contains(4L)) // tombstone removed the id
+    assert(out(5L) == ((50L, "five", "inserted")))
+    // idempotent re-merge: applying the same updates again changes nothing
+    val merged = CorpusOps.mergeCorpus(current, updates)
+      .select("doc_id", "ts", "text")
+    val again = CorpusOps.mergeCorpus(merged,
+        updates.filter("not deleted")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again(2L) == "two-v2" && again(5L) == "five")
+    // partition independence (the struct max is order-free)
+    val seven = CorpusOps.mergeCorpus(current.repartition(7),
+        updates.repartition(5)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(seven == out)
+  }
+
   test("mixtureWeights alpha=1 reproduces raw shares") {
     val d = Seq((1L, "a b c", "x"), (2L, "a", "y")).toDF("doc_id", "text", "source")
     val rows = CorpusOps.mixtureWeights(d, alpha = 1.0).collect()

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stats.Quantiles
+import graft.text.CorpusOps
+
+/** Decade probes for the round-8 profiling/layout operators: the text
+  * family probes at 50k docs and the vector family at 100k vectors
+  * (SURVEY §5); this runs the quantile and epoch-shard machinery one
+  * decade above sf0.1's lineitem (6M rows — sf0.1 x10, price-rotated
+  * replicas so the value histogram genuinely widens), validating with
+  * DISTRIBUTED invariants rather than driver-side sorts: exact
+  * order-statistic bounds for every quantile cut, and the permutation/
+  * balance laws for the shard assignment.
+  */
+class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
+
+  // 6M rows: 10 replicas of sf0.1's lineitem with cents rotated by a
+  // prime per replica (the panel decade-probe recipe) — values stay
+  // exact 2-decimal fixed-point but the distinct histogram shifts
+  private lazy val probe = {
+    val base = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val reps = spark.range(0, 10).select(col("id").as("k"))
+    base.crossJoin(reps)
+      .select(
+        (col("l_orderkey") * 10 + col("k")).as("rid"),
+        (round(col("l_extendedprice") * 100)
+          .cast("long").+(col("k") * lit(9973L)).cast("double") / 100.0)
+          .as("v"))
+  }
+
+  test("6M-row exact quantiles satisfy the order-statistic bounds") {
+    val n = probe.count()
+    assert(n > 5000000L, s"probe size $n — a decade above sf0.1")
+    val q = 20
+    val cuts = Quantiles.exactQuantiles(probe, "v", q).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(cuts.length == q + 1)
+    // distributed validation: for the value x at rank r,
+    // count(v < x) < r <= count(v <= x) — the defining property of the
+    // order statistic, checked against the full 6M rows in one pass
+    val aggCols = cuts.flatMap { case (j, _, x) =>
+      Seq(sum(when(col("v") < x, 1L).otherwise(0L)).as(s"lt_$j"),
+        sum(when(col("v") <= x, 1L).otherwise(0L)).as(s"le_$j"))
+    }
+    val aggs = probe.agg(aggCols.head, aggCols.tail: _*).head
+    cuts.foreach { case (j, r, _) =>
+      val lt = aggs.getAs[Long](s"lt_$j")
+      val le = aggs.getAs[Long](s"le_$j")
+      assert(lt < r && r <= le,
+        s"cut $j rank $r violates order-statistic bounds ($lt, $le]")
+    }
+    // monotone non-decreasing cut values
+    assert(cuts.map(_._3).toSeq == cuts.map(_._3).sorted.toSeq)
+  }
+
+  test("6M-row epoch shard is a balanced permutation") {
+    val ids = probe.select(col("rid").as("doc_id")).distinct()
+    val n = ids.count()
+    val sharded = CorpusOps.epochShard(ids, epoch = 3, nShards = 64)
+    val stats = sharded
+      .agg(countDistinct(col("pos") * 64 + col("shard")).as("nGp"),
+        max(col("pos") * 64 + col("shard")).as("maxGp"),
+        min(col("pos") * 64 + col("shard")).as("minGp")).head
+    // global positions reconstruct 0..N-1 exactly: a permutation
+    assert(stats.getAs[Long]("nGp") === n)
+    assert(stats.getAs[Long]("maxGp") === n - 1)
+    assert(stats.getAs[Long]("minGp") === 0L)
+    // round-robin balance: shard sizes differ by at most 1
+    val sizes = sharded.groupBy("shard").count()
+      .agg(min("count").as("lo"), max("count").as("hi")).head
+    assert(sizes.getAs[Long]("hi") - sizes.getAs[Long]("lo") <= 1L)
+  }
+}

@@ -415,6 +415,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamingBloomGate must remain a stateless projection")
   }
 
+  test("batchSessionize replays the streaming sessionizer on the full corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.data.DocQueries.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val in = MemoryStream[Event]
+    val out = Streaming.sessionize(in.toDS(), gapSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("sess_replay")
+      .outputMode("append").start()
+    ev.grouped(200).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    // one far-future event per user closes every open session
+    val lastTs = ev.map(_.ts.getTime).max
+    in.addData(ev.map(_.user_id).distinct.map(u =>
+      Event(900000L + u, new Timestamp(lastTs + 86400000L), u, "close", 0.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_replay").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    val batch = Streaming.batchSessionize(
+        graft.data.DocQueries.events(spark, "/root/testdata/sf0.001"),
+        gapSeconds = 1800)
+      .select(col("user_id"), col("session_start").cast("timestamp"),
+        col("session_end").cast("timestamp"), col("n_events"),
+        col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(streamed.length === batch.length)
+    // session KEYS (user, start, end, n) are exact; totals differ only
+    // representationally (sequential double fold vs exact cents grid)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert((s._1, s._2, s._3, s._4) === ((b._1, b._2, b._3, b._4)),
+        s"session key diverges: $s vs $b")
+      assertClose(s._5, b._5, 1e-9)
+    }
+  }
+
   test("streamingHllRegisters: streamed sketch == batch sketch, bit for bit") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
