@@ -408,6 +408,22 @@ object DocQueries {
     "q_pack_seqs" -> ((s, dir) =>
       CorpusOps.packSequences(documents(s, dir), seqLen = 512)
         .orderBy("doc_id")),
+    "q_url_canon" -> ((s, dir) =>
+      // URL canonicalization pinned end-to-end: each doc's crawl URL
+      // is assembled in its messiest legal form (scheme/host case,
+      // default port, dot segments, lowercase percent-escapes of
+      // unreserved and reserved octets, fragment) and graft_url_canon
+      // must reduce it to the normal form the oracle constructs
+      // directly from the raw columns — so scheme/host folding,
+      // port stripping, §5.2.4 dot-segment removal, §6.2.2 percent
+      // normalization, and fragment dropping are all value-pinned
+      documents(s, dir).select(col("doc_id"),
+        TextOps.canonicalizeUrl(concat(
+          lit("HTTP://Crawl.Example.COM:80/"), col("source"),
+          lit("/x/../"), col("doc_id").cast("string"),
+          lit("/./%41sset-%7ev?q=%20raw&u=%7e#sec-"),
+          col("doc_id").cast("string"))).as("url"))
+        .orderBy("doc_id")),
     "q_merge_corpus" -> ((s, dir) => {
       // corpus MERGE (upsert + tombstones): a synthetic refresh batch
       // carries re-fetches (+5 ts, win), stale re-fetches (-5 ts,
@@ -1785,6 +1801,16 @@ object DocQueries {
          |  CASE WHEN bucket < 900 THEN 'train'
          |       WHEN bucket < 950 THEN 'valid' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // the oracle builds the EXPECTED canonical form from the raw
+    // columns (the WET-extraction oracle pattern): /source/x/../id/./
+    // resolves to /source/id/, %41->A and %7e->~ decode (unreserved),
+    // %20 stays but uppercases, port 80 and the fragment vanish
+    "q_url_canon" ->
+      """SELECT doc_id,
+        |  'http://crawl.example.com/' || source || '/' ||
+        |    doc_id::VARCHAR || '/Asset-~v?q=%20raw&u=~' AS url
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // upsert replay: the struct-max total order (ts, side, del, text)
     // becomes one descending row_number window; tombstone winners drop

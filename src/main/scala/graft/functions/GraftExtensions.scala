@@ -70,6 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${GraftExtensions.HtmlTextName} takes exactly 1 argument, got ${args.length}")
         HtmlText(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftExtensions.UrlCanonName),
+      new ExpressionInfo(classOf[UrlCanon].getName, GraftExtensions.UrlCanonName),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"${GraftExtensions.UrlCanonName} takes exactly 1 argument, got ${args.length}")
+        UrlCanon(args.head)
+      }))
     // user queries written with the idiomatic zip_with/aggregate dot
     // composition get the fused codegen kernel automatically
     ext.injectOptimizerRule(_ => RewriteHofDot)
@@ -84,4 +92,5 @@ object GraftExtensions {
   val Hash56Name = "graft_hash56"
   val TokensName = "graft_tokens"
   val HtmlTextName = "graft_html_text"
+  val UrlCanonName = "graft_url_canon"
 }

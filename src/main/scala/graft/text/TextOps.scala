@@ -55,6 +55,24 @@ object TextOps {
     call_function(name, html)
   }
 
+  /** RFC 3986-normalized URL ([[graft.functions.UrlCanon]]: scheme/
+    * host lowercase, fragment drop, default-port strip, dot-segment
+    * resolution, percent-encoding normalization) — the key-normal form
+    * URL-level crawl dedup and frontier joins key on. Requires
+    * [[graft.functions.GraftExtensions]] on the session; dot-segment
+    * resolution has no builtin composition. */
+  def canonicalizeUrl(url: Column): Column = {
+    val name = graft.functions.GraftExtensions.UrlCanonName
+    val registered =
+      org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+        try s.catalog.functionExists(name)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    require(registered,
+      s"$name is not registered - attach graft.functions.GraftExtensions")
+    call_function(name, url)
+  }
+
   /** All n-token shingles (with duplicates, in positional order);
     * empty array when the document has fewer than n tokens. When the
     * session registered [[graft.functions.GraftExtensions]], the native
