@@ -225,6 +225,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_bucketed_join re-shuffles despite the bucketed layout")
   }
 
+  test("round-8 ingest/maintenance operators keep their scale-critical shapes") {
+    // sessionization: windows partitioned BY USER only (per-user
+    // volume bounds a task), no join anywhere
+    val sess = plans("q_sessions")
+    assert(!sess.toLowerCase.contains("join"), "q_sessions grew a join")
+    // merge: the winner is a hash aggregate (struct max), never a
+    // row_number window — the hot-id skew guard
+    val mc = plans("q_merge_corpus")
+    assert(!mc.contains("Window"),
+      "q_merge_corpus must pick winners by aggregate, not a window")
+    // struct-max plans as SortAggregate (no mutable hash buffer for
+    // structs) — still two-phase with a map-side partial, which is
+    // the property that matters
+    assert(mc.contains("SortAggregate") || mc.contains("HashAggregate"), mc)
+    // url canonicalization: a pure per-row kernel map over the scan
+    val uc = plans("q_url_canon")
+    assert(uc.contains("graft_url_canon"),
+      "q_url_canon lost the native kernel")
+    assert(!uc.toLowerCase.contains("join"), "q_url_canon grew a join")
+    // bloom semi-join: the scan-local probe precedes the real join
+    val bs = plans("q_bloom_semijoin")
+    assert(bs.contains("forall"),
+      "q_bloom_semijoin verdicts are not the scan-local bit-test probe")
+  }
+
   test("IVF queries run the native cell-distance kernel, not the fallback") {
     // Ivf.cellDists silently degrades to nCells x dim literal l2sq
     // plans if the graft_l2sq_cells registration check misses — a 10x
