@@ -33,6 +33,18 @@ object SparkEntry {
   private def round9(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 9)))
 
+  /** round9 + signed-zero collapse (`+ 0.0`: the identity on every
+    * double except -0.0 -> +0.0). Long-short positions cancel EXACTLY,
+    * and the sign of the resulting zero is engine-dependent (the 10x
+    * panel probe caught DuckDB emitting -0.0 against Spark's +0.0 on
+    * 2 of 17.3M position rows — SURVEY §5 #12). Both twins of the
+    * position family normalize, and only they: one-sided
+    * normalization would BREAK cases where both engines agree on
+    * -0.0. */
+  private def round9z(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, round(col(c), 9) + lit(0.0)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = factorQueries ++
     DocQueries.queries ++ AnalyticsQueries.queries
 
@@ -67,7 +79,7 @@ object SparkEntry {
     "q_positions" -> ((s, dir) =>
       // no orderBy: the driver compare sorts rows itself; a global sort
       // of the instants × assets table would be the plan's biggest stage
-      round9(Positions.factorPositions(Pipelines.factorData(s, dir, P), "ret_5"),
+      round9z(Positions.factorPositions(Pipelines.factorData(s, dir, P), "ret_5"),
         Seq("position"))),
     "q_pyfolio_returns" -> ((s, dir) => {
       val cum = Positions.factorCumulativeReturns(
@@ -85,7 +97,7 @@ object SparkEntry {
         Pipelines.factorData(s, dir, P, withGroup = true), byGroup = true),
         Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err"))),
     "q_pyfolio_positions" -> ((s, dir) =>
-      round9(Positions.createPyfolioInput(
+      round9z(Positions.createPyfolioInput(
         Pipelines.factorData(s, dir, P), "ret_1").positions,
         Seq("position"))),
     "q_cum_ret_topq" -> ((s, dir) =>
@@ -211,7 +223,7 @@ object SparkEntry {
          |  FROM wts w JOIN inst i ON i.t >= w.date AND i.t < w.date + INTERVAL 5 DAY
          |  GROUP BY 1, 2)
          |SELECT t AS date, asset,
-         |  round(tw / sum(abs(tw)) OVER (PARTITION BY t), 9) AS position
+         |  round(tw / sum(abs(tw)) OVER (PARTITION BY t), 9) + 0.0 AS position
          |FROM act ORDER BY date, asset""".stripMargin,
     "q_factor_returns_ew" ->
       s"""$pre, med AS (
@@ -298,10 +310,11 @@ object SparkEntry {
          |  CASE WHEN sum(abs(p)) IS NULL OR sum(abs(p)) = 0 THEN 1.0
          |       ELSE 1.0 - sum(p) / sum(abs(p)) END AS position
          |  FROM filled GROUP BY date)
-         |SELECT date, asset::VARCHAR AS asset, round(position, 9) AS position
+         |SELECT date, asset::VARCHAR AS asset,
+         |  round(position, 9) + 0.0 AS position
          |FROM norm
          |UNION ALL
-         |SELECT date, asset, round(position, 9) FROM cash
+         |SELECT date, asset, round(position, 9) + 0.0 FROM cash
          |ORDER BY date, asset""".stripMargin,
     "q_cum_ret_topq" ->
       s"""$pre, sub AS (
