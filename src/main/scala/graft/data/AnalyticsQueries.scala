@@ -208,6 +208,14 @@ object AnalyticsQueries {
       Pipelines.factorData(s, dir, P, withGroup = true).df
         .select("date", "asset", "ret_1", "ret_5", "factor", "group",
           "factor_quantile")),
+    "q_factor_data_group_tv" -> ((s, dir) =>
+      // TIME-VARYING group membership (utils.py:517-522 MultiIndex
+      // semantics): mid-panel reclassifications + pairs dropping out of
+      // the mapping, quantized AFTER the (date, asset) group join so the
+      // per-date edges see the post-drop universe (reference order)
+      Pipelines.factorDataTv(s, dir, P).df
+        .select("date", "asset", "ret_1", "ret_5", "factor", "group",
+          "factor_quantile")),
     "q_ic_bygroup" -> ((s, dir) =>
       round9(Information.factorInformationCoefficient(
         Pipelines.factorData(s, dir, P, withGroup = true), byGroup = true),
@@ -637,6 +645,44 @@ object AnalyticsQueries {
     "q_factor_data_group" ->
       s"""$preG SELECT date, asset, ret_1, ret_5, factor, "group", factor_quantile
          |FROM factor_data ORDER BY date, asset""".stripMargin,
+
+    "q_factor_data_group_tv" -> {
+      // mirrors Pipelines.tvGroupMap + factorDataTv: nation remap after
+      // the pivot for asset % 3 == 0, mapping dropout for asset % 97 == 0,
+      // quantile edges cut AFTER the tv join (the reference's build order)
+      val fracs = (0 to 5).map(i =>
+        BigDecimal(i.toDouble / 5).toString).mkString(", ")
+      val ladder = (1 to 5).map(i =>
+        s"WHEN factor <= edges[${i + 1}] THEN $i").mkString(" ")
+      s"""$pre, tvstat AS (
+         |  SELECT s_suppkey AS asset, n.n_name AS g0, n2.n_name AS g2
+         |  FROM supplier
+         |  JOIN nation n ON s_nationkey = n.n_nationkey
+         |  JOIN nation n2 ON ((s_nationkey + 1) % 25) = n2.n_nationkey),
+         |tvmap AS (
+         |  SELECT p.date, p.asset,
+         |    CASE WHEN p.asset % 3 = 0 AND p.date >= TIMESTAMP '1998-06-01'
+         |         THEN t.g2 ELSE t.g0 END AS grp
+         |  FROM (SELECT date, asset FROM panel) p
+         |  JOIN tvstat t USING (asset)
+         |  WHERE NOT (p.asset % 97 = 0 AND p.date >= TIMESTAMP '1998-06-01')),
+         |mtv AS (
+         |  SELECT m.*, tv.grp AS "group"
+         |  FROM merged m JOIN tvmap tv USING (date, asset)),
+         |edged2 AS (
+         |  SELECT *, quantile_cont(factor, [$fracs])
+         |            OVER (PARTITION BY date) AS edges
+         |  FROM mtv),
+         |fd2 AS (
+         |  SELECT * EXCLUDE (edges, bucket), bucket AS factor_quantile
+         |  FROM (
+         |    SELECT *, CASE WHEN len(list_distinct(edges)) < len(edges) THEN NULL
+         |                   ELSE (CASE $ladder END) END AS bucket
+         |    FROM edged2)
+         |  WHERE bucket IS NOT NULL)
+         |SELECT date, asset, ret_1, ret_5, factor, "group", factor_quantile
+         |FROM fd2 ORDER BY date, asset""".stripMargin
+    },
 
     "q_ic_bygroup" ->
       s"""$preG${Pipelines.icExactCtes(P, byGroup = true)}

@@ -71,6 +71,59 @@ object Pipelines {
       .select(col("s_suppkey").as("asset"), col("n_name").as("group"))
   }
 
+  /** TIME-VARYING (date, asset) -> group mapping (FIXTURES §B2's tv
+    * variant; reference: the MultiIndexed groupby Series of
+    * utils.py:517-522): supplier's nation, except that from the pivot
+    * date on (a) every `asset % 3 == 0` supplier is RECLASSIFIED to the
+    * next nation ((nationkey + 1) % 25 — TPC-H nation is fixed at keys
+    * 0..24 at every SF), and (b) every `asset % 97 == 0` supplier drops
+    * OUT of the mapping entirely, exercising the NaN-alignment path
+    * (absent pairs -> null group -> dropped before quantization).
+    * Panel-scale by construction — joined on (date, asset) without a
+    * broadcast hint. */
+  def tvGroupMap(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val n2 = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("g2"))
+    val statics = s
+      .join(n, s("s_nationkey") === n("n_nationkey"))
+      .join(n2, pmod(s("s_nationkey") + 1, lit(25)) === col("nk2"))
+      .select(col("s_suppkey").as("asset"), col("n_name").as("g0"), col("g2"))
+    panel(spark, dir).select("date", "asset")
+      .join(broadcast(statics), Seq("asset"))
+      .filter(!(col("asset") % 97 === 0 && col("date") >= lit(TvPivot)))
+      .select(col("date"), col("asset"),
+        when(col("asset") % 3 === 0 && col("date") >= lit(TvPivot),
+          col("g2")).otherwise(col("g0")).as("group"))
+  }
+
+  /** Mid-panel reclassification instant for [[tvGroupMap]] (ship days
+    * span 1995-01..2001-11 at every SF). */
+  val TvPivot = java.sql.Timestamp.valueOf("1998-06-01 00:00:00")
+
+  /** factor_data with TIME-VARYING groups, in the reference's build
+    * order (utils.py:597-643): merged panel -> (date, asset) group
+    * join -> drop pairs the mapping misses -> quantize per date ->
+    * drop unbinned. The order matters: rows dropped by the mapping
+    * change the per-date cross-sections the quantile edges are cut
+    * from, so the static shortcut (join groups AFTER quantizing) would
+    * bucket against the wrong universe. */
+  def factorDataTv(
+      spark: SparkSession,
+      dir: String,
+      periods: Seq[Int] = Seq(1, 5),
+      quantiles: Int = 5): FactorData = {
+    val m = merged(spark, dir, periods, withGroup = false)
+      .join(tvGroupMap(spark, dir), Seq("date", "asset"), "left")
+      .filter(col("group").isNotNull)
+    val quantized = Quantize.quantizeFactor(
+      m, Quantize.QuantilesInt(quantiles), noRaise = true)
+      .na.drop(Seq("factor_quantile"))
+    FactorData(quantized, horizons(periods),
+      TradingCalendar(Set(1, 2, 3, 4, 5, 6, 7), Set.empty))
+  }
+
   /** Horizons used by the oracle pipelines: plain positional steps with
     * SQL-safe column names (ret_1, ret_5, ...). */
   def horizons(periods: Seq[Int]): Seq[Horizon] =

@@ -60,14 +60,30 @@ object CleanFactor {
     var merged = forwardReturns.df.join(finiteFactor, Seq("date", "asset"), "inner")
 
     groupby.foreach { g =>
-      // missing-asset check (utils.py:602-607): anti-join must be empty
-      val missing = finiteFactor.select("asset").distinct()
-        .join(g.select("asset"), Seq("asset"), "left_anti")
-        .limit(5).collect().map(_.get(0))
-      if (missing.nonEmpty)
-        throw new NoSuchElementException(
-          s"Assets ${missing.mkString("[", ", ", "]")} not in group mapping")
-      merged = merged.join(broadcast(g.select("asset", "group")), Seq("asset"), "left")
+      if (g.columns.contains("date")) {
+        // TIME-VARYING membership — the reference's MultiIndexed
+        // (date, asset) -> group Series (utils.py:517-522): sector
+        // reclassifications over a long panel. Alignment semantics
+        // (utils.py:600-625): `merged_data['group'] = groupby` index-
+        // aligns on (date, asset); pairs ABSENT from the mapping get
+        // NaN and fall out in the subsequent dropna — there is no
+        // KeyError for the MultiIndex form (that check is dict-only).
+        // The mapping is panel-scale, not dimension-scale, so this is
+        // a plain (date, asset) equi-join — AQE still broadcasts it
+        // when it happens to be small.
+        merged = merged.join(g.select("date", "asset", "group"),
+          Seq("date", "asset"), "left")
+      } else {
+        // static asset -> group dict: missing-asset check
+        // (utils.py:602-607) = anti-join must be empty
+        val missing = finiteFactor.select("asset").distinct()
+          .join(g.select("asset"), Seq("asset"), "left_anti")
+          .limit(5).collect().map(_.get(0))
+        if (missing.nonEmpty)
+          throw new NoSuchElementException(
+            s"Assets ${missing.mkString("[", ", ", "]")} not in group mapping")
+        merged = merged.join(broadcast(g.select("asset", "group")), Seq("asset"), "left")
+      }
     }
 
     merged = merged.na.drop()

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) data-layout clustering: interleave the bits of
@@ -86,24 +85,15 @@ object Zorder {
     val b = 1L << bits
     val counts = df.na.drop(Seq(dim))
       .groupBy(dim).agg(count(lit(1)).as("__c"))
-    val parted = counts.repartitionByRange(numParts, col(dim))
-      .withColumn("__pid", spark_partition_id())
-    val wIn = Window.partitionBy("__pid").orderBy(dim)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val within = parted.withColumn("__cw",
-      coalesce(sum("__c").over(wIn), lit(0L)))
-    val wOff = Window.orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parted.groupBy("__pid").agg(sum("__c").as("__pt"))
-      .withColumn("__off", coalesce(sum("__pt").over(wOff), lit(0L)))
-      .select("__pid", "__off")
     val total = counts.agg(sum("__c").as("__n"))
-    within.join(broadcast(offsets), "__pid")
+    // two-level prefix sum over the frozen histogram — see PrefixSum
+    // for the determinism contract (advice r8)
+    PrefixSum.rowsBefore(counts, dim, numParts)
       .crossJoin(broadcast(total))
       .select(col(dim),
-        // floor-div keeps everything integer-exact; cb*b must fit a
+        // floor-div keeps everything integer-exact; rb*b must fit a
         // long, i.e. N < 2^63 / 2^bits — 2^43 rows at bits=20
-        expr(s"((__cw + __off) * $b) div __n").as("__bucket"))
+        expr(s"(__rb * $b) div __n").as("__bucket"))
   }
 
   /** [[zvalue]] over rank buckets: tags `df` with `zcol` by joining

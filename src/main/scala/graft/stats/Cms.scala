@@ -124,10 +124,10 @@ object Cms {
 
   // One broadcast per grid instance (the Bloom.bcastMemo precedent):
   // a profiler probing many batches against the same snapshot must not
-  // pile up multi-MB handles until the ContextCleaner GCs them.
-  private val bcastMemo =
-    new java.util.WeakHashMap[Array[Long],
-      org.apache.spark.broadcast.Broadcast[Array[Long]]]
+  // pile up multi-MB handles until the ContextCleaner GCs them. Weak
+  // on BOTH sides (see BcastMemo) so dropped grids release their
+  // broadcast blocks (advice r8).
+  private val bcastMemo = new graft.functions.BcastMemo[Array[Long]]
 
   /** [[estimate]] with the grid as a real Spark broadcast — the scale
     * path for big grids, where a plan literal would be serialized into
@@ -136,15 +136,8 @@ object Cms {
   def estimateBcast(incoming: DataFrame, key: Column, grid: Array[Long],
       w: Int, d: Int, out: String = "cms_count"): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val bc = bcastMemo.synchronized {
-      val cached = bcastMemo.get(grid)
-      if (cached != null) cached
-      else {
-        val fresh = incoming.sparkSession.sparkContext.broadcast(grid)
-        bcastMemo.put(grid, fresh)
-        fresh
-      }
-    }
+    val bc = bcastMemo.getOrBroadcast(
+      incoming.sparkSession.sparkContext, grid)
     val minC = column(graft.functions.CmsMinBcast(
       expression(positions(key, w, d)), bc))
     incoming.withColumn(out, minC)

@@ -1,7 +1,6 @@
 package graft.stats
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EXACT distributed quantiles without a global sort — the profiling
@@ -41,19 +40,10 @@ object Quantiles {
     val spark = df.sparkSession
     val counts = df.na.drop(Seq(dim))
       .groupBy(dim).agg(count(lit(1)).as("__c"))
-    val parted = counts.repartitionByRange(numParts, col(dim))
-      .withColumn("__pid", spark_partition_id())
-    val wIn = Window.partitionBy("__pid").orderBy(dim)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val within = parted.withColumn("__cw",
-      coalesce(sum("__c").over(wIn), lit(0L)))
-    val wOff = Window.orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parted.groupBy("__pid").agg(sum("__c").as("__pt"))
-      .withColumn("__off", coalesce(sum("__pt").over(wOff), lit(0L)))
-      .select("__pid", "__off")
-    val ranked = within.join(broadcast(offsets), "__pid")
-      .select(col(dim), (col("__cw") + col("__off")).as("__rb"), col("__c"))
+    // two-level prefix sum over the frozen histogram — see
+    // graft.operators.PrefixSum for the determinism contract
+    val ranked = graft.operators.PrefixSum.rowsBefore(counts, dim, numParts)
+      .select(col(dim), col("__rb"), col("__c"))
 
     val total = counts.agg(sum("__c").as("__n"))
     // ceil(j*N/q) as pure integer arithmetic; j = 0 clamps to rank 1

@@ -573,10 +573,17 @@ object Streaming {
     events
       // ts ships as TIMESTAMP or TIMESTAMP_NTZ depending on the parquet
       // generation; the session runs UTC, so the cast is
-      // instant-preserving either way
+      // instant-preserving either way. Micros -> ms must FLOOR, not
+      // truncate toward zero (advice r8): Spark's `div` truncates, so a
+      // pre-1970 instant would land 1 ms later than the oracle's floor
+      // division (`epoch_us(ts) // 1000`) and could move a gap cut.
+      // pmod is non-negative, so (us - pmod(us, 1000)) div 1000 is
+      // exact floor for either sign; post-epoch data is unchanged.
       .select(col("user_id"), col("event_id"),
-        expr("unix_micros(cast(ts as timestamp)) div 1000").as("__ms"),
+        expr("unix_micros(cast(ts as timestamp))").as("__us"),
         expr("cast(round(value * 100) as bigint)").as("__cents"))
+      .withColumn("__ms", expr("(__us - pmod(__us, 1000)) div 1000"))
+      .drop("__us")
       .withColumn("__gap",
         when(col("__ms") - lag("__ms", 1).over(w) > gapSeconds * 1000L ||
           lag("__ms", 1).over(w).isNull, lit(1L)).otherwise(lit(0L)))

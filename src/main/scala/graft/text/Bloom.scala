@@ -95,12 +95,10 @@ object Bloom {
 
   // One broadcast per filter ARRAY, not per probe call: a gate probing
   // many batches against the same snapshot would otherwise pile up
-  // multi-MB handles reclaimed only when the ContextCleaner GCs them
-  // (the Ivf.bcastMemo precedent). Weak identity keys let a dropped
-  // filter release its entry.
-  private val bcastMemo =
-    new java.util.WeakHashMap[Array[Long],
-      org.apache.spark.broadcast.Broadcast[Array[Long]]]
+  // multi-MB handles reclaimed only when the ContextCleaner GCs them.
+  // Weak on BOTH sides (see BcastMemo) so dropped filters actually
+  // release their broadcast blocks (advice r8).
+  private val bcastMemo = new graft.functions.BcastMemo[Array[Long]]
 
   /** [[probe]] with the filter as a real Spark broadcast: the scale
     * path for big filters (m = 2^24..2^30 bits, 2 MB..128 MB), where a
@@ -110,15 +108,8 @@ object Bloom {
   def probeBcast(incoming: DataFrame, keyCol: String, filter: Array[Long],
       mBits: Int, k: Int, out: String = "maybe_seen"): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val bc = bcastMemo.synchronized {
-      val cached = bcastMemo.get(filter)
-      if (cached != null) cached
-      else {
-        val fresh = incoming.sparkSession.sparkContext.broadcast(filter)
-        bcastMemo.put(filter, fresh)
-        fresh
-      }
-    }
+    val bc = bcastMemo.getOrBroadcast(
+      incoming.sparkSession.sparkContext, filter)
     val contains = column(graft.functions.BloomContainsBcast(
       expression(positions(col(keyCol), mBits, k)), bc))
     incoming.withColumn(out, contains)
@@ -150,18 +141,31 @@ object Bloom {
     * and plan-shape-dependent); this is the explicit, always-on,
     * engine-replayable form — the filter artifact can also be built
     * once and reused across many queries against the same dim table
-    * (the [[buildFilter]]/[[probeBcast]] snapshot pattern). */
+    * (the [[buildFilter]]/[[probeBcast]] snapshot pattern).
+    *
+    * CONTRACT (advice r8): the composition equals the plain join for
+    * INNER / LEFT SEMI joins on `bigKey` only. Null-keyed `big` rows
+    * are dropped by the prefilter (a null probe yields a null verdict)
+    * — correct for those join types, where a null key can never match
+    * — but an outer-join caller would lose its null/unmatched orphans;
+    * prefilter only the match side, or don't prefilter, for outer
+    * shapes. q_bloom_semijoin pins the inner composition. */
   def semiJoinPrefilter(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String, mBits: Int, k: Int): DataFrame = {
+    // collision-safe temp key: never silently overwrite a caller column
+    val kc = Iterator.from(0).map(i => s"__sjk$i")
+      .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
+    val mc = Iterator.from(0).map(i => s"__sjm$i")
+      .find(n => !big.columns.contains(n)).get
     val filter = buildFilter(
-      small.select(col(smallKey).cast("string").as("__k")), "__k", mBits, k)
+      small.select(col(smallKey).cast("string").as(kc)), kc, mBits, k)
     val probed =
       if (mBits >= (1 << 24))
-        probeBcast(big.withColumn("__k", col(bigKey).cast("string")),
-          "__k", filter, mBits, k)
+        probeBcast(big.withColumn(kc, col(bigKey).cast("string")),
+          kc, filter, mBits, k, out = mc)
       else
-        probe(big.withColumn("__k", col(bigKey).cast("string")),
-          "__k", filter, mBits, k)
-    probed.filter(col("maybe_seen")).drop("__k", "maybe_seen")
+        probe(big.withColumn(kc, col(bigKey).cast("string")),
+          kc, filter, mBits, k, out = mc)
+    probed.filter(col(mc)).drop(kc, mc)
   }
 }

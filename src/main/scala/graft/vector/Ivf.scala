@@ -91,28 +91,19 @@ object Ivf {
   // iterative callers (Lloyd refinement, repeated probe queries) build
   // the column many times over the same matrix, and each naked
   // `broadcast()` call would pile up a multi-MB handle reclaimed only
-  // when the ContextCleaner happens to GC it. Weak identity keys
-  // (array equals == reference equality) let a dropped matrix release
-  // its entry, after which the ContextCleaner reclaims the broadcast.
+  // when the ContextCleaner happens to GC it. Weak on BOTH sides (see
+  // BcastMemo) so a dropped matrix actually releases its broadcast
+  // blocks (advice r8).
   private val bcastMemo =
-    new java.util.WeakHashMap[Array[Array[Double]],
-      org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]
+    new graft.functions.BcastMemo[Array[Array[Double]]]
 
   /** Broadcast-matrix form (large quantizers): only the broadcast
     * handle rides the plan; executors fetch the matrix once. The
     * handle is memoized per matrix instance (see [[bcastMemo]]). */
   private[graft] def cellDistsBcast(
       v: Column, centroids: Array[Array[Double]]): Column = {
-    val bc = bcastMemo.synchronized {
-      val cached = bcastMemo.get(centroids)
-      if (cached != null) cached
-      else {
-        val fresh = org.apache.spark.sql.SparkSession.active
-          .sparkContext.broadcast(centroids)
-        bcastMemo.put(centroids, fresh)
-        fresh
-      }
-    }
+    val bc = bcastMemo.getOrBroadcast(
+      org.apache.spark.sql.SparkSession.active.sparkContext, centroids)
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.CellDistsBcast(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(v), bc))

@@ -215,4 +215,70 @@ class IngestGoldenSpec extends AnyFunSuite with SparkSpec {
       filterZscore = None, verbose = false)
     assert(fd.calendar.holidays.map(_.toString) === holidays)
   }
+
+  test("time-varying (date, asset) -> group mapping: mid-panel " +
+      "reclassification + NaN-alignment dropout (utils.py:517-522, 600-625)") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val dates = (1 to 5).map(d => f"2015-01-0$d")
+    val factorDates = dates.take(4)
+    val prices = longPanel(dates, tickers,
+      (1 to 5).map(i => rets.map(math.pow(_, i))), "price")
+    val factor = longPanel(factorDates, tickers,
+      (0 until 4).map(d => factorCycle(d % 3)), "factor")
+    def run(g: org.apache.spark.sql.DataFrame) =
+      CleanFactor.getCleanFactorAndForwardReturns(
+        spark, factor, prices, groupby = Some(g),
+        spec = Quantize.QuantilesInt(4), periods = Seq(1),
+        filterZscore = None, maxLoss = 0.6, verbose = false)
+
+    val static = run(groups.toSeq.toDF("asset", "group"))
+      .df.orderBy("date", "asset").collect()
+
+    // tv map = the static map materialized per (date, asset), except:
+    // A is RECLASSIFIED "1" -> "9" from 2015-01-03 on, and the pair
+    // (D, 2015-01-02) is ABSENT from the mapping (D's factor is finite
+    // that day, so its disappearance must come from the mapping)
+    val grid = for {
+      d <- factorDates; t <- tickers
+      if !(t == "D" && d == "2015-01-02")
+    } yield (d, t, if (t == "A" && d >= "2015-01-03") "9" else groups(t))
+    val tv = grid.toDF("ds", "asset", "group")
+      .withColumn("date", to_timestamp(col("ds"))).drop("ds")
+    val rows = run(tv).df.orderBy("date", "asset").collect()
+
+    def day(r: org.apache.spark.sql.Row) =
+      r.getAs[java.sql.Timestamp]("date").toString.take(10)
+    // per-date group stats flip: A carries its original group before the
+    // pivot and the reclassified one after
+    val aGroups = rows.filter(_.getAs[String]("asset") == "A")
+      .map(r => day(r) -> r.getAs[String]("group")).toMap
+    assert(aGroups("2015-01-01") === "1" && aGroups("2015-01-02") === "1")
+    assert(aGroups("2015-01-03") === "9" && aGroups("2015-01-04") === "9")
+    // the unmapped pair is dropped (reference NaN alignment, no KeyError),
+    // while the static control keeps it
+    assert(!rows.exists(r => r.getAs[String]("asset") == "D" && day(r) == "2015-01-02"))
+    assert(static.exists(r => r.getAs[String]("asset") == "D" && day(r) == "2015-01-02"))
+    // quantization happens AFTER the mapping drop: the 01-02 cross-
+    // section re-cuts over the remaining assets, and every other date's
+    // rows match the static control column-for-column (binning is
+    // per-date, so reclassification alone must not move quantiles)
+    val staticByKey = static.map(r => (day(r), r.getAs[String]("asset")) -> r).toMap
+    rows.filter(r => day(r) != "2015-01-02").foreach { r =>
+      val s = staticByKey((day(r), r.getAs[String]("asset")))
+      assert(r.getAs[Double]("factor") === s.getAs[Double]("factor"))
+      assert(r.getAs[Double]("1D") === s.getAs[Double]("1D"))
+      assert(r.getAs[Int]("factor_quantile") === s.getAs[Int]("factor_quantile"))
+      val expGroup =
+        if (r.getAs[String]("asset") == "A" && day(r) >= "2015-01-03") "9"
+        else s.getAs[String]("group")
+      assert(r.getAs[String]("group") === expGroup)
+    }
+    // a mapping constant in time reproduces the static result exactly
+    val constGrid = for { d <- factorDates; t <- tickers }
+      yield (d, t, groups(t))
+    val constTv = constGrid.toDF("ds", "asset", "group")
+      .withColumn("date", to_timestamp(col("ds"))).drop("ds")
+    val constRows = run(constTv).df.orderBy("date", "asset").collect()
+    assert(constRows.map(_.toString).toSeq === static.map(_.toString).toSeq)
+  }
 }
