@@ -82,13 +82,19 @@ object Zorder {
   def rankBuckets(df: DataFrame, dim: String, bits: Int,
       numParts: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    bucketsFromHist(
+      df.na.drop(Seq(dim)).groupBy(dim).agg(count(lit(1)).as("__c")),
+      dim, bits, numParts)
+  }
+
+  /** Equi-depth bucket map from a (dim, __c) distinct-value histogram:
+    * two-level prefix sum (see PrefixSum for the determinism contract,
+    * advice r8) + the integer floor-div bucket id. */
+  private def bucketsFromHist(hist: DataFrame, dim: String, bits: Int,
+      numParts: Int): DataFrame = {
     val b = 1L << bits
-    val counts = df.na.drop(Seq(dim))
-      .groupBy(dim).agg(count(lit(1)).as("__c"))
-    val total = counts.agg(sum("__c").as("__n"))
-    // two-level prefix sum over the frozen histogram — see PrefixSum
-    // for the determinism contract (advice r8)
-    PrefixSum.rowsBefore(counts, dim, numParts)
+    val total = hist.agg(sum("__c").as("__n"))
+    PrefixSum.rowsBefore(hist, dim, numParts)
       .crossJoin(broadcast(total))
       .select(col(dim),
         // floor-div keeps everything integer-exact; rb*b must fit a
@@ -96,15 +102,50 @@ object Zorder {
         expr(s"(__rb * $b) div __n").as("__bucket"))
   }
 
-  /** [[zvalue]] over rank buckets: tags `df` with `zcol` by joining
-    * each dimension's equi-depth bucket map (distinct-value-sized
-    * equi-joins, never all-pairs) and interleaving the bucket ids.
-    * Null dims bucket to 0 (nulls-first layout). */
+  /** EVERY requested dimension's distinct-value histogram in ONE pass
+    * over `df` (round-9 economy: the old per-dim `rankBuckets` loop
+    * re-scanned the table once per clustered dimension — a d-dim
+    * cluster key cost d full scans where one suffices). GROUPING SETS
+    * {(d0), (d1), ...} lowers to a single scan + Expand + one
+    * aggregate; each output row carries one dim's value (the others
+    * null) and `__gid` = grouping_id() identifies which. Native value
+    * types are preserved — no lossy melt-to-string. The result is
+    * eagerly localCheckpoint'ed: the per-dim branches each filter the
+    * SAME bounded materialization instead of re-running the scan. */
+  private[graft] def multiHistogram(df: DataFrame, dims: Seq[String]): DataFrame =
+    multiHistogramPlan(df, dims).localCheckpoint(true)
+
+  /** The pre-checkpoint one-scan plan (ZorderSpec asserts its shape —
+    * the checkpointed Dataset's own plan is just the cached blocks). */
+  private[graft] def multiHistogramPlan(df: DataFrame, dims: Seq[String]): DataFrame =
+    df.groupingSets(dims.map(d => Seq(col(d))), dims.map(col): _*)
+      .agg(count(lit(1)).as("__c"), grouping_id().as("__gid"))
+
+  /** [[zvalue]] over rank buckets: one shared histogram pass, then per
+    * dimension a bounded prefix sum and a distinct-value-sized
+    * equi-join back (never all-pairs). Null dims bucket to 0
+    * (nulls-first layout). */
   def zvalueByRank(df: DataFrame, dims: Seq[String], bits: Int,
       zcol: String = "__zval"): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    val n = dims.length
+    val melted = if (n == 1) null else multiHistogram(df, dims)
+    def bucketMap(j: Int): DataFrame = {
+      val dim = dims(j)
+      if (n == 1) rankBuckets(df, dim, bits)
+      else {
+        // grouping_id: bit (n-1-j) is CLEAR exactly when dims(j) is
+        // the grouped column of the set
+        val mask = (1 << n) - 1 - (1 << (n - 1 - j))
+        bucketsFromHist(
+          melted.filter(col("__gid") === mask && col(dim).isNotNull)
+            .select(col(dim), col("__c")),
+          dim, bits, numParts = 32)
+      }
+    }
     val tagged = dims.zipWithIndex.foldLeft(df) { case (d, (dim, j)) =>
-      d.join(rankBuckets(df, dim, bits)
-          .withColumnRenamed("__bucket", s"__b$j"), Seq(dim), "left")
+      d.join(bucketMap(j).withColumnRenamed("__bucket", s"__b$j"),
+          Seq(dim), "left")
         .withColumn(s"__b$j", coalesce(col(s"__b$j"), lit(0L)))
     }
     tagged

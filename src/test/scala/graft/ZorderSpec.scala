@@ -144,6 +144,33 @@ class ZorderSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multiHistogram: every dimension's histogram from ONE table scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zorder_1scan").toFile.getAbsolutePath
+    (0L until 500L).map(i => (i % 37, i % 101)).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val plan = Zorder.multiHistogramPlan(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    // grouping sets lower to Scan -> Expand -> one aggregate: the old
+    // per-dim loop scanned the table once per clustered dimension
+    assert("Scan parquet|FileScan".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Expand"), plan)
+    // the melted histogram carries exactly the per-dim groupBy counts
+    val hist = Zorder.multiHistogram(df, Seq("a", "b")).collect()
+    val wantA = df.na.drop(Seq("a")).groupBy("a").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantB = df.na.drop(Seq("b")).groupBy("b").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n=2 dims: gid 1 = {a} grouped, gid 2 = {b} grouped
+    val gotA = hist.filter(_.getAs[Long]("__gid") == 1L)
+      .map(r => r.getAs[Long]("a") -> r.getAs[Long]("__c")).toMap
+    val gotB = hist.filter(_.getAs[Long]("__gid") == 2L)
+      .map(r => r.getAs[Long]("b") -> r.getAs[Long]("__c")).toMap
+    assert(gotA == wantA)
+    assert(gotB == wantB)
+  }
+
   test("clusterBy output matches input rows exactly (layout-only transform)") {
     import spark.implicits._
     val rows = (0L until 1000L).map(i => (i % 37, i % 101)).toDF("a", "b")
