@@ -524,6 +524,26 @@ object DocQueries {
         .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("n"))
         .orderBy("s_nationkey")
     }),
+    "q_salted_adaptive" -> ((s, dir) => {
+      // SKETCH-DRIVEN salting (round 9): a planted hot key (~25% of the
+      // fact side lands on supplier 1) gets its own salt range from one
+      // Misra-Gries pass over the fact keys; the tail joins unsalted,
+      // so the dim side replicates only for actual skew. The result is
+      // exactly the plain join — the oracle is the same aggregation
+      // over the unsalted join.
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(when(col("l_orderkey") % 4 === 0, lit(1L))
+          .otherwise(col("l_suppkey").cast("long")).as("suppkey"),
+          col("l_quantity"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").cast("long").as("suppkey"),
+          col("s_nationkey"))
+      graft.operators.SaltedJoin.adaptiveSaltedJoin(li, sup, "suppkey",
+          maxSalts = 8, heavyFrac = 1.0 / 64)
+        .groupBy("s_nationkey")
+        .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("n"))
+        .orderBy("s_nationkey")
+    }),
     "q_bucketed_join" -> ((s, dir) => {
       // co-located documents ⋈ embeddings: both sides written bucketed
       // by the id (8 buckets, sorted), then joined with no Exchange on
@@ -2112,6 +2132,17 @@ object DocQueries {
       """SELECT s_nationkey, sum(l_quantity) AS total_qty,
         |  count(*)::BIGINT AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sketch-driven per-key salting must not change the result either:
+    // the oracle is the plain join over the same planted-hot-key fact
+    "q_salted_adaptive" ->
+      """SELECT s_nationkey, sum(l_quantity) AS total_qty,
+        |  count(*)::BIGINT AS n
+        |FROM (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 1::BIGINT
+        |             ELSE l_suppkey::BIGINT END AS suppkey, l_quantity
+        |      FROM lineitem) l
+        |JOIN supplier ON l.suppkey = s_suppkey::BIGINT
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the bucketed write+read+join must be value-lossless: the oracle

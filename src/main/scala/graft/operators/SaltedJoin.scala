@@ -57,4 +57,75 @@ object SaltedJoin {
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Per-key salt counts from ONE Misra-Gries pass over the big side
+    * (round-9; advice: compose the sketches the engine already has).
+    * Fixed-salt joins replicate the small side `salts`x for EVERY key;
+    * here only keys whose estimated share of the big side exceeds
+    * `heavyFrac` get salts at all, scaled to their share and clamped to
+    * `maxSalts` — the tail joins unsalted and the small side's
+    * replication cost is proportional to actual skew. MG undercounts by
+    * at most N/(k+1) with capacity k = 2/heavyFrac, so a truly
+    * heavyFrac-heavy key cannot be missed entirely (it may get a
+    * slightly conservative salt count — correctness is unaffected,
+    * salting only re-shapes the shuffle). Null keys are ignored: they
+    * match nothing in an equi-join, so they never need spreading.
+    * @return (key-as-string, nSalts >= 2) for the heavy keys only */
+  def sketchSaltCounts(
+      big: DataFrame,
+      key: String,
+      maxSalts: Int,
+      heavyFrac: Double = 1.0 / 256): Seq[(String, Int)] = {
+    require(maxSalts >= 1, s"maxSalts must be >= 1, got $maxSalts")
+    require(heavyFrac > 0 && heavyFrac < 1,
+      s"heavyFrac must be in (0,1), got $heavyFrac")
+    val spark = big.sparkSession
+    import spark.implicits._
+    val k = math.max(64L, math.ceil(2.0 / heavyFrac).toLong)
+      .min(1L << 20).toInt
+    val keys = big.select(col(key).cast("string").as("__k"))
+      .filter(col("__k").isNotNull).as[String]
+    val sketch = graft.text.HeavyHitters.mgCandidates(keys, k)
+    val total = sketch.n
+    sketch.counters.toSeq.collect {
+      case (t, c) if total > 0 && c.toDouble >= heavyFrac * total =>
+        t -> math.min(maxSalts.toLong,
+          math.max(2L, math.ceil(c.toDouble / (heavyFrac * total)).toLong)).toInt
+    }
+  }
+
+  /** [[saltedJoin]] with sketch-driven PER-KEY salt counts: heavy keys
+    * (per [[sketchSaltCounts]]) spread across their own salt range;
+    * every other key keeps salt 0 and the small side is replicated only
+    * for the bounded heavy-key set. The result is exactly the plain
+    * join (SaltedJoinSpec pins multiset equality incl. duplicates and
+    * left-join orphans). */
+  def adaptiveSaltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      maxSalts: Int,
+      heavyFrac: Double = 1.0 / 256,
+      joinType: String = "inner",
+      discriminator: Option[Column] = None): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"salting supports inner/left joins, got $joinType")
+    val spark = big.sparkSession
+    import spark.implicits._
+    val counts = sketchSaltCounts(big, key, maxSalts, heavyFrac)
+    val disc = discriminator.getOrElse(monotonically_increasing_id())
+    val hmap = broadcast(counts.toDF("__hk", "__ns"))
+    val saltedBig = big
+      .join(hmap, col(key).cast("string") === col("__hk"), "left")
+      .withColumn("__salt",
+        pmod(hash(disc), coalesce(col("__ns"), lit(1))).cast("int"))
+      .drop("__hk", "__ns")
+    val saltedSmall = small
+      .join(hmap, col(key).cast("string") === col("__hk"), "left")
+      .withColumn("__salt",
+        explode(sequence(lit(0), coalesce(col("__ns"), lit(1)) - 1)))
+      .drop("__hk", "__ns")
+    saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
 }

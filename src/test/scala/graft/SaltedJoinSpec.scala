@@ -77,4 +77,61 @@ class SaltedJoinSpec extends AnyFunSuite with SparkSpec {
       SaltedJoin.saltedJoin(big(10), dim(), "k", 2, joinType = "full")
     }
   }
+
+  test("sketchSaltCounts: the zipf head gets salts > 1, the tail gets none") {
+    // key 0 owns half the rows; each tail key ~1/26 of them
+    val counts = SaltedJoin.sketchSaltCounts(big(2000), "k",
+      maxSalts = 16, heavyFrac = 0.10).toMap
+    assert(counts.contains("0"), counts.toString)
+    assert(counts("0") >= 2 && counts("0") <= 16, counts.toString)
+    // no tail key crosses the 10% share bar
+    assert(counts.keySet == Set("0"), counts.toString)
+    // salt count scales with the estimated share: half the table at a
+    // 10% bar wants ~5 salts
+    assert(counts("0") >= 4, counts.toString)
+  }
+
+  test("adaptiveSaltedJoin equals the plain join, duplicates included") {
+    val b = big(1000)
+    val d = dim()
+    def multiset(df: DataFrame): Map[(Long, String, String), Int] =
+      df.select("k", "payload", "attr").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val salted = multiset(
+      SaltedJoin.adaptiveSaltedJoin(b, d, "k", maxSalts = 8, heavyFrac = 0.10))
+    assert(salted == multiset(b.join(d, "k")))
+  }
+
+  test("adaptiveSaltedJoin: left-join orphans and null keys survive once") {
+    import spark.implicits._
+    val b = Seq((java.lang.Long.valueOf(1L), "a"),
+        (java.lang.Long.valueOf(99L), "orphan"),
+        (null.asInstanceOf[java.lang.Long], "nullkey"))
+      .toDF("k", "payload")
+    val out = SaltedJoin.adaptiveSaltedJoin(b, dim(), "k", maxSalts = 4,
+        heavyFrac = 0.10, joinType = "left")
+      .select("k", "payload", "attr").collect()
+      .map(r => (Option(r.get(0)), r.getString(1), Option(r.getString(2))))
+    assert(out.length == 3)
+    assert(out.contains((Some(1L), "a", Some("dim 1"))))
+    assert(out.contains((Some(99L), "orphan", None)))
+    assert(out.contains((None, "nullkey", None)))
+  }
+
+  test("adaptiveSaltedJoin replicates the dim side only for heavy keys") {
+    // with only key 0 heavy at maxSalts<=16, the salted dim has
+    // |dim| - 1 tail rows (salt 0) + nSalts rows for key 0
+    val counts = SaltedJoin.sketchSaltCounts(big(2000), "k",
+      maxSalts = 16, heavyFrac = 0.10).toMap
+    val ns = counts("0")
+    // reproduce the internal small-side expansion to pin its size
+    import spark.implicits._
+    val hmap = counts.toSeq.toDF("__hk", "__ns")
+    val saltedSmall = dim()
+      .join(broadcast(hmap), col("k").cast("string") === col("__hk"), "left")
+      .withColumn("__salt",
+        explode(sequence(lit(0), coalesce(col("__ns"), lit(1)) - 1)))
+    assert(saltedSmall.count() == (13 - 1) + ns)
+  }
 }
