@@ -142,12 +142,34 @@ object Bpe {
       val capped = vocab0.limit(vocabCap + 1).collect()
       if (capped.length <= vocabCap) return trainLocal(capped, numMerges)
     }
+    // Distributed venue, BATCHED (round 9): one pair-count job used to
+    // buy ONE merge — a realistic 32k-merge vocabulary was 32k
+    // sequential jobs. Each pass now collects the top candidates
+    // (bounded: <= 257 rows) and applies the longest prefix that
+    // provably matches the one-merge-at-a-time trajectory:
+    //  - accepted pairs are pairwise NON-INTERACTING — no symbol of a
+    //    later pair equals a component or the concatenation of an
+    //    earlier accepted pair — so applying earlier pairs leaves every
+    //    later accepted pair's adjacency count untouched;
+    //  - the prefix stops at the first interacting candidate, and only
+    //    pairs whose count is STRICTLY above the first excluded
+    //    candidate's count t are kept. Any pair a sequential step could
+    //    newly create is bounded by the prior count of a pair that
+    //    interacts with the applied merge — which is excluded, hence
+    //    <= t — and existing non-accepted pairs only decrease; strict
+    //    inequality also settles count ties a new pair could otherwise
+    //    win lexicographically. So at every intermediate step the
+    //    sequential argmax is exactly the next accepted pair, and the
+    //    batched merge table is bitwise the classic one (BpeSpec pins
+    //    venue equivalence and the job-count economy).
     var vocab = vocab0
     var prevCkpt: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
-    for (_ <- 1 to numMerges if !exhausted) {
-      val best = vocab.toDF("__cnt", "__syms")
+    while (merges.size < numMerges && !exhausted) {
+      val want = numMerges - merges.size
+      val batchCap = math.min(want, 256)
+      val cands = vocab.toDF("__cnt", "__syms")
         .select(col("__cnt"), explode(
           zip_with(col("__syms"),
             slice(col("__syms"), lit(2), size(col("__syms"))),
@@ -158,13 +180,38 @@ object Bpe {
         .agg(sum(col("__cnt")).as("n"))
         .where(col("n") >= 2) // a pair seen once carries no signal
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(batchCap + 1).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+          r.getAs[Long]("n")))
+      if (cands.isEmpty) exhausted = true
       else {
-        val (a, b) = (best.head.getAs[String]("a"), best.head.getAs[String]("b"))
-        merges += ((a, b))
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val accepted =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        var stop = false
+        while (i < math.min(cands.length, batchCap) && !stop) {
+          val (a, b, n) = cands(i)
+          if (used(a) || used(b) || used(a + b)) stop = true
+          else { accepted += ((a, b, n)); used += a; used += b; used += (a + b); i += 1 }
+        }
+        // t = count of the first candidate NOT accepted (interacting,
+        // or past the batch cap); a complete list with no exclusions
+        // leaves t = 0 — nothing a step creates can then reach n >= 2
+        val t = if (i < cands.length) cands(i)._3 else 0L
+        val safe = accepted.takeWhile(_._3 > t)
+        // a tie between the top candidate and its first excluded rival
+        // degenerates the batch: fall back to the always-exact single
+        // merge (classic behavior)
+        val kept = (if (safe.isEmpty) accepted.take(1) else safe)
+          .map { case (a, b, _) => (a, b) }.toSeq
+        merges ++= kept
         val next = vocab.map { case (cnt, syms) =>
-          (cnt, if (syms.length > 1) applyMerge(syms, a, b) else syms)
+          var cur = syms
+          kept.foreach { case (a, b) =>
+            if (cur.length > 1) cur = applyMerge(cur, a, b)
+          }
+          (cnt, cur)
         }.toDF("__cnt", "__syms").localCheckpoint(true)
         // the new checkpoint is materialized (eager), so the superseded
         // iteration's blocks can go — Dataset.unpersist cannot reach

@@ -58,6 +58,60 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       Seq(("u", "g"), ("u", "n"), ("h", "ug")))
   }
 
+  test("batched distributed venue: non-interacting merges share one " +
+      "pass, venue-equivalent, job-economical") {
+    val alphabet =
+      "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    // 24 disjoint two-char words with strictly decreasing counts: the
+    // 24 merges are mutually non-interacting and count-separated, so
+    // the batched distributed venue must accept all of them from ONE
+    // candidate pass — and still walk the exact classic trajectory
+    val words = (0 until 24).map(i => alphabet.slice(2 * i, 2 * i + 2))
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(100 - i)(w) }.mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val expect = words.map(w => (w(0).toString, w(1).toString))
+    assert(Bpe.train(df, numMerges = 24) === expect) // driver venue
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val dist =
+      try {
+        val r = Bpe.train(df, numMerges = 24, vocabCap = 0)
+        Thread.sleep(500) // let the listener bus drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(dist === expect)
+    // classic one-merge-per-job was >= 48 jobs for 24 merges; the
+    // batched pass is one candidate query (AQE materializes its
+    // shuffle stages as a few jobs) + one checkpoint
+    assert(counter.get <= 24 / 4, s"batched venue used ${counter.get} jobs")
+  }
+
+  test("batched venue defers interacting merges and settles count ties " +
+      "exactly like the classic loop") {
+    // chained words: 'ab' wants (a,b); 'abc' then wants (ab,c) — which
+    // interacts with (a,b), so the batch must stop and a second pass
+    // must learn it, reproducing the sequential trajectory
+    val chain = Seq((1L, (Seq.fill(10)("abc") ++ Seq.fill(12)("ab"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val local = Bpe.train(chain, numMerges = 3)
+    val dist = Bpe.train(chain, numMerges = 3, vocabCap = 0)
+    assert(local === dist)
+    // count tie between a kept candidate and an excluded interacting
+    // rival: strict-threshold filter must degenerate to single-merge
+    // (xy: 6 = yz: 6 share y; then ties resolve sequentially)
+    val ties = Seq((1L, (Seq.fill(6)("xy") ++ Seq.fill(6)("yz") ++
+      Seq.fill(4)("pq")).mkString(" "))).toDF("doc_id", "text")
+    assert(Bpe.train(ties, numMerges = 3, vocabCap = 0) ===
+      Bpe.train(ties, numMerges = 3))
+  }
+
   test("encode segments with learned merges; unseen words fall to chars") {
     val merges = Bpe.train(corpus, numMerges = 3)
     val probe = Seq((9L, "hugs bun hug zap")).toDF("doc_id", "text")
