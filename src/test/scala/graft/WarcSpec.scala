@@ -193,6 +193,77 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(graft.sources.WarcOffset.fromJson(o.json()) == o)
   }
 
+  test("compacted offsets: watermark/frontier semantics, legacy parse, merge") {
+    import graft.sources.WarcOffset
+    val wm = WarcOffset(Map("/d" -> "/d/s05"), Seq("/d/s07", "/d/s09"))
+    assert(wm.seen("/d/s03") && wm.seen("/d/s05")) // under the watermark
+    assert(wm.seen("/d/s07") && !wm.seen("/d/s08")) // frontier vs gap
+    assert(!wm.seen("/e/s01")) // another directory
+    assert(WarcOffset.fromJson(wm.json()) == wm)
+    // names with quotes/backslashes survive the compact json too
+    val odd = WarcOffset(Map("/d" -> "/d/a\"b"), Seq("/d/z \"q\".warc"))
+    assert(WarcOffset.fromJson(odd.json()) == odd)
+    // pre-compaction offset logs (plain array) still parse
+    assert(WarcOffset.fromJson("[\"/d/a.warc\"]") ==
+      WarcOffset(Seq("/d/a.warc")))
+    // monotone merge: per-dir max watermark, under-watermark frontier
+    // names dropped
+    val m = WarcOffset(Seq("/d/a.warc")).merge(wm)
+    assert(m.watermarks == Map("/d" -> "/d/s05"))
+    assert(m.frontier == Seq("/d/s07", "/d/s09"))
+  }
+
+  test("compacted offsets: checkpoint log stays bounded, restart replays " +
+      "exactly once") {
+    import spark.implicits._
+    val dir = tmpDir("stream_compact")
+    val ckpt = tmpDir("ckpt_compact").toString
+    def mk(ids: Seq[Int], part: Int): Unit = {
+      val df = ids.map { i =>
+        (s"<urn:uuid:c-$i>", "response", s"http://x/$i",
+          new java.sql.Timestamp(1700000000000L + i), s"p$i".getBytes(UTF_8))
+      }.toDF("record_id", "warc_type", "target_uri", "warc_date", "payload")
+        .coalesce(1)
+      Warc.write(df, dir.resolve(s"seg$part").toString, gzip = true)
+      val f = dir.resolve(s"seg$part").toFile.listFiles().head
+      Files.move(f.toPath, dir.resolve(s"segment-$part.warc.gz"))
+    }
+    val got = new java.util.concurrent.atomic.AtomicLong
+    def run(): Long = {
+      got.set(0)
+      val q = spark.readStream.format("warc")
+        .option("offsetFrontierKeep", "0")
+        .load(dir.toString + "/*.warc.gz")
+        .select("record_id")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          got.addAndGet(df.count()); ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      got.get
+    }
+    mk(Seq(1, 2, 3), 0); mk(Seq(4, 5), 1); mk(Seq(6), 2)
+    assert(run() == 6)
+    // three more segments land; the SAME checkpoint resumes: exactly
+    // the new records, none of the old
+    mk(Seq(7, 8), 3); mk(Seq(9), 4); mk(Seq(10), 5)
+    assert(run() == 4)
+    // the committed offset is the compacted form: a watermark entry
+    // plus a frontier bounded by the batch (not the all-time 6 files)
+    val offDir = new java.io.File(ckpt, "offsets")
+    val last = offDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    val lines = new String(Files.readAllBytes(last.toPath), UTF_8)
+      .split("\n")
+    val off = graft.sources.WarcOffset.fromJson(lines.last)
+    assert(off.watermarks.nonEmpty, lines.last)
+    assert(off.frontier.length <= 3, off.frontier.toString)
+    // every file is summarized as seen — a fresh run finds nothing new
+    assert(run() == 0)
+  }
+
   test("one input partition per file (the CC-scale parallelism unit)") {
     val dir = tmpDir("parts")
     writeCorpus(dir, gzip = false) // repartition(3) -> 3 part files
