@@ -44,6 +44,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // staged-replay decomposition of the sheet oracles (see
+    // tools/staged_sheet_oracle.py): component SQL materialized once,
+    // melted from parquet — the nested form spills at 10x probe scale
+    val compJson = graft.data.AnalyticsQueries.sheetComponents
+      .map { case (sheet, comps) =>
+        q(sheet) + ": [" + comps.map { case (sec, key, ms, sql) =>
+          s"{${q("section")}: ${q(sec)}, ${q("key")}: ${q(key)}, " +
+            s"${q("metrics")}: [${ms.map(q).mkString(",")}], " +
+            s"${q("sql")}: ${q(sql)}}"
+        }.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/sheet_components.json"), compJson)
     spark.stop()
   }
 }

@@ -922,25 +922,66 @@ object AnalyticsQueries {
         s"$m::DOUBLE AS value FROM ($inner)")
       .mkString("\nUNION ALL\n")
 
+  /** Staged-replay decomposition of the summary/returns sheet oracles:
+    * (section, key expr, metric columns, inner component SQL). The
+    * sheet twins BUILD from this single source of truth, and
+    * [[graft.Verify]] dumps it as `sheet_components.json` so
+    * `tools/staged_sheet_oracle.py` can materialize each component
+    * ONCE to parquet and melt from there: the fully-nested form
+    * re-evaluates every component subquery per melted metric and
+    * spilled past the disk budget at the 10x panel probe scale
+    * (SURVEY §5 #12) — a DuckDB replay-cost boundary this staging
+    * removes. */
+  def sheetComponents: Map[String, Seq[(String, String, Seq[String], String)]] =
+    Map(
+      "q_summary_sheet" -> Seq(
+        ("quantile_stats", "factor_quantile::VARCHAR",
+          Seq("min", "max", "mean", "std", "count", "count_pct"),
+          baseOracle("q_quantile_stats")),
+        ("returns_table", "stat", Seq("ret_1", "ret_5"),
+          baseOracle("q_returns_table")),
+        ("ic_summary", "period",
+          Seq("ic_mean", "ic_std", "risk_adjusted_ic", "t_stat", "ic_skew",
+            "ic_kurtosis", "n"),
+          baseOracle("q_ic_summary")),
+        ("turnover_means", "factor_quantile::VARCHAR || '|' || period",
+          Seq("mean_turnover"), baseOracle("q_turnover_means")),
+        ("autocorr_means", "period", Seq("mean_autocorr"),
+          baseOracle("q_autocorr_means"))),
+      "q_returns_sheet" -> Seq(
+        ("factor_returns", "strftime(date, '%Y-%m-%d')",
+          Seq("ret_1", "ret_5"),
+          graft.SparkEntry.factorOracleSql("q_factor_returns")),
+        ("mean_quant_rateret", "factor_quantile::VARCHAR",
+          Seq("ret_1", "ret_5"), mqrRateSql),
+        ("mean_quant_rateret_bydate",
+          "factor_quantile::VARCHAR || '|' || strftime(date, '%Y-%m-%d')",
+          Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err"),
+          mqrDateRateSql),
+        ("spread", "strftime(date, '%Y-%m-%d')",
+          Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err"),
+          spreadRateSql),
+        ("alpha_beta", "stat", Seq("ret_1", "ret_5"),
+          baseOracle("q_alpha_beta")),
+        ("returns_table", "stat", Seq("ret_1", "ret_5"),
+          baseOracle("q_returns_table")),
+        ("cumulative", "strftime(date, '%Y-%m-%d')", Seq("cum_ret_1"),
+          graft.SparkEntry.factorOracleSql("q_cumulative_returns")),
+        ("cumulative_byq",
+          "factor_quantile::VARCHAR || '|' || strftime(date, '%Y-%m-%d')",
+          Seq("cum_ret_1"), cumByQSql)))
+
+  private def sheetSqlFrom(name: String): String =
+    sheetComponents(name).map { case (sec, key, ms, inner) =>
+      meltSql(inner, sec, key, ms)
+    }.mkString("\nUNION ALL\n") + "\nORDER BY section, k, metric"
+
   /** q_summary_sheet oracle: the five component twins melted long and
     * unioned — the DuckDB replay of [[graft.sheets.Sheets
     * .createSummaryTearSheet]]'s full output as ONE comparable table,
     * covering the composite's parameter wiring (default flags,
     * day-period selection), not just the components in isolation. */
-  private def summarySheetSql: String = Seq(
-    meltSql(baseOracle("q_quantile_stats"), "quantile_stats",
-      "factor_quantile::VARCHAR",
-      Seq("min", "max", "mean", "std", "count", "count_pct")),
-    meltSql(baseOracle("q_returns_table"), "returns_table", "stat",
-      Seq("ret_1", "ret_5")),
-    meltSql(baseOracle("q_ic_summary"), "ic_summary", "period",
-      Seq("ic_mean", "ic_std", "risk_adjusted_ic", "t_stat", "ic_skew",
-        "ic_kurtosis", "n")),
-    meltSql(baseOracle("q_turnover_means"), "turnover_means",
-      "factor_quantile::VARCHAR || '|' || period", Seq("mean_turnover")),
-    meltSql(baseOracle("q_autocorr_means"), "autocorr_means", "period",
-      Seq("mean_autocorr"))).mkString("\nUNION ALL\n") +
-    "\nORDER BY section, k, metric"
+  private def summarySheetSql: String = sheetSqlFrom("q_summary_sheet")
 
   // ---- returns / information / turnover sheet oracles -----------------
 
@@ -1003,26 +1044,7 @@ object AnalyticsQueries {
 
   /** q_returns_sheet oracle: DuckDB replay of
     * [[graft.sheets.Sheets.createReturnsTearSheet]] (default flags). */
-  private def returnsSheetSql: String = Seq(
-    meltSql(graft.SparkEntry.factorOracleSql("q_factor_returns"),
-      "factor_returns", "strftime(date, '%Y-%m-%d')", Seq("ret_1", "ret_5")),
-    meltSql(mqrRateSql, "mean_quant_rateret", "factor_quantile::VARCHAR",
-      Seq("ret_1", "ret_5")),
-    meltSql(mqrDateRateSql, "mean_quant_rateret_bydate",
-      "factor_quantile::VARCHAR || '|' || strftime(date, '%Y-%m-%d')",
-      Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err")),
-    meltSql(spreadRateSql, "spread", "strftime(date, '%Y-%m-%d')",
-      Seq("ret_1", "ret_1_std_err", "ret_5", "ret_5_std_err")),
-    meltSql(baseOracle("q_alpha_beta"), "alpha_beta", "stat",
-      Seq("ret_1", "ret_5")),
-    meltSql(baseOracle("q_returns_table"), "returns_table", "stat",
-      Seq("ret_1", "ret_5")),
-    meltSql(graft.SparkEntry.factorOracleSql("q_cumulative_returns"),
-      "cumulative", "strftime(date, '%Y-%m-%d')", Seq("cum_ret_1")),
-    meltSql(cumByQSql, "cumulative_byq",
-      "factor_quantile::VARCHAR || '|' || strftime(date, '%Y-%m-%d')",
-      Seq("cum_ret_1"))).mkString("\nUNION ALL\n") +
-    "\nORDER BY section, k, metric"
+  private def returnsSheetSql: String = sheetSqlFrom("q_returns_sheet")
 
   /** q_info_sheet oracle: DuckDB replay of
     * [[graft.sheets.Sheets.createInformationTearSheet]] (byGroup on). */

@@ -1,0 +1,522 @@
+package graft.multimodal
+
+/** Baseline-sequential JPEG (JFIF) decoder, pure JVM — the dominant
+  * crawl image format's decode boundary, previously the declared
+  * `decoded = false` stub path (reference-adjacent: the alphalens
+  * reference has no media handling; this extends the §2.12 multimodal
+  * family like [[Ppm]]/[[Wav]]/[[Y4m]] did for their formats).
+  *
+  * Scope (ITU-T T.81 baseline): SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS/EOI
+  * markers, 8-bit samples, 1 or 3 components, interleaved scan,
+  * canonical Huffman tables, byte unstuffing (FF 00) and restart
+  * markers, 8- or 16-bit quantization entries, arbitrary sampling
+  * factors with nearest-neighbour chroma upsampling, double-precision
+  * separable-order IDCT with a fixed operation order (deterministic on
+  * the JVM), ITU-R BT.601 YCbCr -> RGB. Progressive (SOF2),
+  * arithmetic-coded, hierarchical, and 12-bit streams stay the
+  * declared stub path: `decode` returns None and callers fall back to
+  * the exact-dup fingerprint, flagged `decoded = false`.
+  *
+  * Production note: the per-block direct IDCT is O(64*64) multiplies —
+  * fine for the corpus scale this library tests at; a throughput build
+  * swaps in AAN/fixed-point without touching the layer above.
+  */
+object Jpeg {
+
+  private final class Bits(data: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    var sawMarker = 0 // last marker encountered mid-entropy (0 = none)
+
+    /** Next entropy-coded bit, honoring FF00 stuffing; at a marker
+      * (RSTn/EOI) returns 0s until `reset()` (T.81 F.2.2.5). */
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (sawMarker != 0) return 0
+        if (pos >= data.length) { sawMarker = 0xD9; return 0 }
+        var b = data(pos) & 0xFF
+        pos += 1
+        if (b == 0xFF) {
+          val m = if (pos < data.length) data(pos) & 0xFF else 0xD9
+          if (m == 0x00) { pos += 1 } // stuffed FF data byte
+          else { sawMarker = m; return 0 }
+        }
+        cur = b; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    /** Drop pad bits and align past the restart marker, whether the
+      * Huffman reader already ran into it (sawMarker) or stopped at the
+      * byte boundary just before the FF. */
+    def restart(): Unit = {
+      nbits = 0
+      if (sawMarker >= 0xD0 && sawMarker <= 0xD7) { pos += 1; sawMarker = 0 }
+      else if (sawMarker == 0 && pos + 1 < data.length &&
+        (data(pos) & 0xFF) == 0xFF) {
+        val m = data(pos + 1) & 0xFF
+        if (m >= 0xD0 && m <= 0xD7) pos += 2
+      }
+    }
+  }
+
+  /** Canonical Huffman table: decode bit-by-bit over the length-ordered
+    * code space (T.81 C.2). */
+  private final class Huff(counts: Array[Int], symbols: Array[Int]) {
+    // mincode/maxcode/valptr per length 1..16
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1; l += 1
+      }
+    }
+    def decode(in: Bits): Int = {
+      var code = in.bit(); var l = 1
+      while (l <= 16) {
+        if (maxCode(l) >= 0 && code <= maxCode(l))
+          return symbols(valPtr(l) + code - minCode(l))
+        code = (code << 1) | in.bit(); l += 1
+      }
+      -1 // corrupt stream
+    }
+  }
+
+  /** DC/AC magnitude extension (T.81 F.2.2.1): `v` in `s` bits. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0
+    else if (v < (1 << (s - 1))) v - (1 << s) + 1
+    else v
+
+  private val zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // cos((2x+1) u pi / 16) premultiplied by C(u): the fixed IDCT basis
+  private val idctBasis: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Direct separable IDCT, fixed operation order: rows then columns. */
+  private def idct(coef: Array[Double], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // 1-D over rows (u over x)
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += coef(y * 8 + u) * idctBasis(u * 8 + x); u += 1 }
+        tmp(y * 8 + x) = s * 0.5
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) { // 1-D over columns (v over y)
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0; var v = 0
+        while (v < 8) { s += tmp(v * 8 + x) * idctBasis(v * 8 + yy); v += 1 }
+        val p = math.round(s * 0.5).toInt + 128
+        out(yy * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  private final case class Component(
+      id: Int, h: Int, v: Int, tq: Int,
+      var td: Int = 0, var ta: Int = 0)
+
+  private def clamp8(v: Double): Int = {
+    val r = math.round(v).toInt
+    if (r < 0) 0 else if (r > 255) 255 else r
+  }
+
+  /** Decode baseline JFIF bytes to an RGB [[Ppm.Image]]; None when the
+    * bytes are not a decodable baseline JPEG (the stub boundary). */
+  def decode(bytes: Array[Byte]): Option[Ppm.Image] = {
+    try decodeOrThrow(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def decodeOrThrow(bytes: Array[Byte]): Option[Ppm.Image] = {
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF ||
+      (bytes(1) & 0xFF) != 0xD8) return None
+    var pos = 2
+    def u8 = { val v = bytes(pos) & 0xFF; pos += 1; v }
+    def u16 = { val v = ((bytes(pos) & 0xFF) << 8) | (bytes(pos + 1) & 0xFF); pos += 2; v }
+
+    val qt = Array.ofDim[Int](4, 64)
+    val dcT = new Array[Huff](4)
+    val acT = new Array[Huff](4)
+    var comps: Array[Component] = null
+    var width = 0; var height = 0
+    var restartInterval = 0
+
+    while (pos < bytes.length) {
+      if (u8 != 0xFF) return None
+      var marker = u8
+      while (marker == 0xFF) marker = u8 // fill bytes
+      marker match {
+        case 0xD9 => return None // EOI before any scan
+        case 0xDB => // DQT
+          val end = pos + u16 - 2
+          while (pos < end) {
+            val pq = u8; val tq = pq & 0x0F
+            var i = 0
+            while (i < 64) {
+              qt(tq)(zigzag(i)) = if ((pq >> 4) == 0) u8 else u16
+              i += 1
+            }
+          }
+        case 0xC4 => // DHT
+          val end = pos + u16 - 2
+          while (pos < end) {
+            val tc = u8
+            val counts = Array.fill(16)(u8)
+            val n = counts.sum
+            val syms = Array.fill(n)(u8)
+            val h = new Huff(counts, syms)
+            if ((tc >> 4) == 0) dcT(tc & 0x0F) = h else acT(tc & 0x0F) = h
+          }
+        case 0xC0 => // SOF0 baseline
+          u16
+          if (u8 != 8) return None // 8-bit samples only
+          height = u16; width = u16
+          val nc = u8
+          if (nc != 1 && nc != 3) return None
+          comps = Array.fill(nc) {
+            val id = u8; val hv = u8; val tq = u8
+            Component(id, hv >> 4, hv & 0x0F, tq)
+          }
+        case 0xDD => // DRI
+          u16; restartInterval = u16
+        case 0xDA => // SOS -> entropy-coded segment
+          if (comps == null) return None
+          u16
+          val ns = u8
+          var i = 0
+          while (i < ns) {
+            val cs = u8; val t = u8
+            comps.find(_.id == cs).foreach { c => c.td = t >> 4; c.ta = t & 0x0F }
+            i += 1
+          }
+          pos += 3 // Ss, Se, Ah/Al (fixed for baseline)
+          return decodeScan(bytes, pos, comps, qt, dcT, acT,
+            width, height, restartInterval)
+        case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
+          return None // progressive/arithmetic/hierarchical: stub path
+        case _ => // APPn / COM / anything skippable
+          pos += u16 - 2
+      }
+    }
+    None
+  }
+
+  private def decodeScan(
+      bytes: Array[Byte], scanPos: Int, comps: Array[Component],
+      qt: Array[Array[Int]], dcT: Array[Huff], acT: Array[Huff],
+      width: Int, height: Int, restartInterval: Int): Option[Ppm.Image] = {
+    if (width <= 0 || height <= 0) return None
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    // per-component sample planes at the component's own resolution
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = comps.indices.map(i => new Array[Int](planeW(i) * planeH(i))).toArray
+
+    val in = new Bits(bytes, scanPos)
+    val pred = new Array[Int](comps.length)
+    val coef = new Array[Double](64)
+    val px = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        in.restart()
+        java.util.Arrays.fill(pred, 0)
+      }
+      val my = mcu / mcusX; val mx = mcu % mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qt(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            java.util.Arrays.fill(coef, 0.0)
+            val s = dcT(c.td).decode(in)
+            if (s < 0) return None
+            val diff = extend(in.bits(s), s)
+            pred(ci) += diff
+            coef(0) = pred(ci).toDouble * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = acT(c.ta).decode(in)
+              if (rs < 0) return None
+              val r = rs >> 4; val sz = rs & 0x0F
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += r
+                if (k > 63) return None
+                coef(zigzag(k)) = extend(in.bits(sz), sz).toDouble * q(zigzag(k))
+                k += 1
+              }
+            }
+            idct(coef, px)
+            val ox = (mx * c.h + bx) * 8; val oy = (my * c.v + by) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(ci)((oy + yy) * planeW(ci) + ox + xx) = px(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // assemble RGB at full resolution; chroma nearest-neighbour upsample
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        if (comps.length == 1) {
+          val v = planes(0)(y * planeW(0) + x).toByte
+          out(o) = v; out(o + 1) = v; out(o + 2) = v
+        } else {
+          def samp(ci: Int): Int = {
+            val c = comps(ci)
+            val sy = y * c.v / vMax; val sx = x * c.h / hMax
+            planes(ci)(sy * planeW(ci) + sx)
+          }
+          val yv = samp(0).toDouble
+          val cb = samp(1).toDouble - 128.0
+          val cr = samp(2).toDouble - 128.0
+          out(o) = clamp8(yv + 1.402 * cr).toByte
+          out(o + 1) = clamp8(yv - 0.344136 * cb - 0.714136 * cr).toByte
+          out(o + 2) = clamp8(yv + 1.772 * cb).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(Ppm.Image(width, height, 255, out))
+  }
+
+  // ---- deterministic DC-only test-vector builder ----------------------
+
+  /** Annex K.3.1 luminance DC Huffman spec (counts per length, then
+    * symbols = categories 0..11). */
+  private val dcCounts =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val dcSyms = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+  /** Annex K.3.2 luminance AC Huffman spec — only EOB (0x00, code
+    * '1010') is emitted by the builder, but the full table ships so the
+    * decoder exercises a realistic DHT. */
+  private val acCounts =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+  private val acSyms = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+
+  private def canonicalCodes(counts: Array[Int], syms: Array[Int])
+      : Map[Int, (Int, Int)] = { // symbol -> (code, length)
+    var code = 0; var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < counts(l - 1)) {
+        out += syms(k) -> (code, l); code += 1; k += 1; i += 1
+      }
+      code <<= 1; l += 1
+    }
+    out.result()
+  }
+
+  /** A deterministic baseline grayscale JPEG of flat 8x8 tiles: tile
+    * t's (raster order) decoded pixel value is exactly
+    * `clamp(dcs(t) + 128)` — DC-only blocks under a flat q0 = 8 table
+    * dequantize to DC*8 and the IDCT of a DC-only block is DC_deq/8
+    * uniformly, so the whole decode chain (markers, canonical Huffman,
+    * DC prediction, dequant, IDCT, level shift) is hand-checkable and
+    * SQL-replayable per tile. `dcs.length` must equal
+    * (w/8) * (h/8); values in [-128, 127]. */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nb = 0
+    def putBits(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); nb += 1
+        if (nb == 8) {
+          out.write(acc & 0xFF)
+          if ((acc & 0xFF) == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; nb = 0
+        }
+        i -= 1
+      }
+    }
+    def pad(): Unit = if (nb > 0) putBits((1 << (8 - nb)) - 1, 8 - nb)
+  }
+
+  private def writeDcBlock(bw: BitWriter, diff: Int,
+      dcCodes: Map[Int, (Int, Int)], eob: (Int, Int)): Unit = {
+    val mag = math.abs(diff)
+    var s = 0
+    while ((mag >> s) != 0) s += 1 // category = bit length of |diff|
+    val (c, l) = dcCodes(s)
+    bw.putBits(c, l)
+    if (s > 0)
+      bw.putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    bw.putBits(eob._1, eob._2)
+  }
+
+  /** Shared headers up to (not including) the entropy bits: DQT with a
+    * flat table (q0 = 8, rest 16), SOF0, the Annex K luminance DC+AC
+    * tables, SOS (all components on tables 0/0). `comps` =
+    * (id, hSamp, vSamp, quantTable). */
+  private def writeHeaders(out: java.io.ByteArrayOutputStream,
+      w: Int, h: Int, comps: Seq[(Int, Int, Int)],
+      restartInterval: Int): Unit = {
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def b16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xFF); b(0xD8) // SOI
+    b(0xFF); b(0xDB); b16(2 + 1 + 64); b(0x00) // DQT, Pq=0/Tq=0
+    (0 until 64).foreach(i => b(if (i == 0) 8 else 16))
+    if (restartInterval > 0) { b(0xFF); b(0xDD); b16(4); b16(restartInterval) }
+    b(0xFF); b(0xC0); b16(2 + 6 + 3 * comps.length) // SOF0
+    b(8); b16(h); b16(w); b(comps.length)
+    comps.foreach { case (id, hs, vs) => b(id); b((hs << 4) | vs); b(0) }
+    b(0xFF); b(0xC4) // DHT: DC 0 + AC 0 (Annex K luminance)
+    b16(2 + (1 + 16 + dcSyms.length) + (1 + 16 + acSyms.length))
+    b(0x00); dcCounts.foreach(b); dcSyms.foreach(b)
+    b(0x10); acCounts.foreach(b); acSyms.foreach(b)
+    b(0xFF); b(0xDA); b16(2 + 1 + 2 * comps.length + 3) // SOS
+    b(comps.length)
+    comps.foreach { case (id, _, _) => b(id); b(0x00) }
+    b(0); b(63); b(0)
+  }
+
+  def dcOnlyGray(w: Int, h: Int, dcs: Array[Int],
+      restartEvery: Int = 0): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "dcOnlyGray needs multiple-of-8 dims")
+    require(dcs.length == (w / 8) * (h / 8), "one DC per 8x8 tile")
+    require(dcs.forall(d => d >= -128 && d <= 127), "DC in [-128, 127]")
+    val dcCodes = canonicalCodes(dcCounts, dcSyms)
+    val eob = canonicalCodes(acCounts, acSyms)(0x00)
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, w, h, Seq((1, 1, 1)), restartEvery)
+    var bw = new BitWriter(out)
+    var prev = 0
+    var i = 0
+    while (i < dcs.length) {
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+        bw.pad()
+        out.write(0xFF); out.write(0xD0 + ((i / restartEvery - 1) % 8))
+        bw = new BitWriter(out)
+        prev = 0 // restart resets the DC predictor
+      }
+      writeDcBlock(bw, dcs(i) - prev, dcCodes, eob)
+      prev = dcs(i)
+      i += 1
+    }
+    bw.pad()
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** A deterministic baseline 4:2:0 color JPEG of flat 16x16 MCU
+    * tiles: per MCU m (raster order) the four Y blocks carry
+    * `yDcs(4m .. 4m+3)` and chroma `cbDcs(m)` / `crDcs(m)` — decoded
+    * YCbCr values are dc + 128 per the same flat-tile argument as
+    * [[dcOnlyGray]], then BT.601 converts to RGB. */
+  def dcOnlyColor420(w: Int, h: Int, yDcs: Array[Int],
+      cbDcs: Array[Int], crDcs: Array[Int]): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, "4:2:0 MCUs are 16x16")
+    val nMcu = (w / 16) * (h / 16)
+    require(yDcs.length == 4 * nMcu && cbDcs.length == nMcu &&
+      crDcs.length == nMcu, "4 Y + 1 Cb + 1 Cr DCs per MCU")
+    val dcCodes = canonicalCodes(dcCounts, dcSyms)
+    val eob = canonicalCodes(acCounts, acSyms)(0x00)
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, w, h, Seq((1, 2, 2), (2, 1, 1), (3, 1, 1)), 0)
+    val bw = new BitWriter(out)
+    var py = 0; var pcb = 0; var pcr = 0
+    var m = 0
+    while (m < nMcu) {
+      var k = 0
+      while (k < 4) {
+        writeDcBlock(bw, yDcs(4 * m + k) - py, dcCodes, eob)
+        py = yDcs(4 * m + k); k += 1
+      }
+      writeDcBlock(bw, cbDcs(m) - pcb, dcCodes, eob); pcb = cbDcs(m)
+      writeDcBlock(bw, crDcs(m) - pcr, dcCodes, eob); pcr = crDcs(m)
+      m += 1
+    }
+    bw.pad()
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+}

@@ -37,16 +37,18 @@ case class MediaFrame(
   * frame sampling, and resize over a REAL decode boundary.
   *
   * The decode boundary is [[Ppm]] (complete in-container binary-PPM P6
-  * image codec) plus [[Wav]] (complete in-container RIFF/WAVE integer
-  * PCM audio codec) plus [[Y4m]] (complete in-container YUV4MPEG2
-  * uncompressed video codec): content that parses as any of the three
-  * is genuinely decoded to its pixel/sample/frame grid and the
-  * downstream operators run on real data. Formats that need external
-  * codecs (JPEG, compressed audio, H.264/VP9 video — libjpeg,
-  * libsndfile, ffmpeg) are NOT in this
-  * container; bytes that fail all three parses take the clearly-marked
-  * deterministic STUB path ([[fakeDecode]] / byte-window slicing /
-  * proportional truncation), exactly as before. Swapping in a real
+  * image codec) plus [[Jpeg]] (baseline-sequential JFIF decoder, round
+  * 9 — the dominant crawl image format no longer stubs) plus [[Wav]]
+  * (complete in-container RIFF/WAVE integer PCM audio codec) plus
+  * [[Y4m]] (complete in-container YUV4MPEG2 uncompressed video codec):
+  * content that parses as any of the four is genuinely decoded to its
+  * pixel/sample/frame grid and the downstream operators run on real
+  * data. Formats that still need external codecs (progressive/
+  * arithmetic JPEG, compressed audio, H.264/VP9 video — libjpeg-turbo,
+  * libsndfile, ffmpeg) are NOT in this container; bytes that fail
+  * every parse take the clearly-marked deterministic STUB path
+  * ([[fakeDecode]] / byte-window slicing / proportional truncation),
+  * exactly as before. Swapping in a real
   * external codec extends only the decode dispatch, not the operator
   * plumbing: the partition-batched `mapPartitions` shape (decoder state
   * initialized once per partition, how a JNI codec handle would be) is
@@ -170,7 +172,7 @@ object Multimodal {
       // exhaustion. The in-container P6/WAV paths are stateless.
       it.map { s =>
         val n = s.content.length.toLong
-        Ppm.decode(s.content) match {
+        Ppm.decode(s.content).orElse(Jpeg.decode(s.content)) match {
           case Some(img) =>
             MediaFeatures(s.sample_id, s.modality, n, decoded = true,
               Ppm.featurize(img, dim))
@@ -209,7 +211,7 @@ object Multimodal {
     require(n > 0, s"frame count must be positive, got $n")
     samples.mapPartitions { it =>
       it.flatMap { s =>
-        Ppm.decode(s.content) match {
+        Ppm.decode(s.content).orElse(Jpeg.decode(s.content)) match {
           case Some(img) =>
             (0 until n).iterator.map { i =>
               val row =
@@ -274,7 +276,7 @@ object Multimodal {
     samples.mapPartitions { it =>
       val md5 = java.security.MessageDigest.getInstance("MD5")
       it.map { s =>
-        Ppm.decode(s.content) match {
+        Ppm.decode(s.content).orElse(Jpeg.decode(s.content)) match {
           case Some(img) => (s.sample_id, s.modality, true, Ppm.aHash(img))
           case None =>
             md5.reset()
@@ -303,7 +305,7 @@ object Multimodal {
     samples.mapPartitions { it =>
       val md5 = java.security.MessageDigest.getInstance("MD5")
       it.map { s =>
-        Ppm.decode(s.content) match {
+        Ppm.decode(s.content).orElse(Jpeg.decode(s.content)) match {
           case Some(img) => (s.sample_id, s.modality, true, Ppm.aHash(img))
           case None => Wav.decode(s.content) match {
             case Some(audio) =>
@@ -364,7 +366,7 @@ object Multimodal {
     import spark.implicits._
     samples.mapPartitions { it =>
       it.map { s =>
-        Ppm.decode(s.content) match {
+        Ppm.decode(s.content).orElse(Jpeg.decode(s.content)) match {
           case Some(img) =>
             s.copy(content = Ppm.encode(Ppm.resizeNearest(img, w, h)),
               width = w, height = h)

@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{Jpeg, Multimodal, Ppm}
+
+/** Baseline JPEG decode goldens (the Ppm/Wav/Y4m hand-built
+  * byte-stream pattern): DC-only streams decode to hand-computable
+  * flat tiles (pixel = dc + 128 under the flat q0=8 table), a
+  * hand-assembled AC coefficient reproduces the hand-evaluated cosine
+  * row, 4:2:0 color converts through hand-computed BT.601 values,
+  * restart markers reset the DC predictor, and non-baseline/garbage
+  * bytes take the declared stub path (None). */
+class JpegSpec extends AnyFunSuite {
+
+  test("DC-only grayscale: flat tiles at clamp(dc + 128), DC prediction chain") {
+    val dcs = Array(-80, 0, 64, 127) // diffs -80, +80, +64, +63
+    val img = Jpeg.decode(Jpeg.dcOnlyGray(16, 16, dcs)).get
+    assert(img.width == 16 && img.height == 16)
+    val want = Array(48, 128, 192, 255) // tile raster order
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val t = (y / 8) * 2 + (x / 8)
+      val o = (y * 16 + x) * 3
+      assert((img.pixels(o) & 0xFF) == want(t), s"($x,$y)")
+      assert(img.pixels(o) == img.pixels(o + 1) &&
+        img.pixels(o) == img.pixels(o + 2)) // grayscale -> R=G=B
+    }
+  }
+
+  test("hand-assembled AC coefficient: one horizontal cosine, hand-computed row") {
+    // header identical to dcOnlyGray(8, 8, [0]); entropy bits replaced:
+    //   DC cat 0            -> '00'
+    //   AC (run 0, size 1)  -> symbol 0x01 = '00', value bit '1' (+1)
+    //   EOB                 -> '1010'
+    // bits 00 00 1 1010 + pad 1111111 -> bytes 0x0D 0x7F
+    val base = Jpeg.dcOnlyGray(8, 8, Array(0))
+    // dcOnlyGray's entropy for dc=0 is '00'+'1010' padded -> one byte
+    // (0x0A << 2 | 3 = 0b00101011) followed by EOI; splice our bytes in
+    val bytes = base.dropRight(3) ++ Array[Byte](0x0D, 0x7F, 0xFF.toByte, 0xD9.toByte)
+    val img = Jpeg.decode(bytes).get
+    // coef(v=0, u=1) = +1 * q(1) = 16;
+    // pixel(x) = round((1/4)*C(0)*C(1)*16*cos((2x+1)pi/16)) + 128
+    //          = round(2*sqrt(2)*cos((2x+1)pi/16)) + 128
+    // cos values .9808 .8315 .5556 .1951 (then negated, mirrored):
+    // 2.774 2.352 1.571 0.552 -> 3 2 2 1 (and -1 -2 -2 -3)
+    val want = Array(131, 130, 130, 129, 127, 126, 126, 125)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((img.pixels((y * 8 + x) * 3) & 0xFF) == want(x), s"($x,$y)")
+  }
+
+  test("4:2:0 color: flat YCbCr tiles through hand-computed BT.601") {
+    // Y = 128, Cb = 80, Cr = 160:
+    //   R = round(128 + 1.402*32)                    = 173
+    //   G = round(128 - 0.344136*(-48) - 0.714136*32) = 122
+    //   B = round(128 + 1.772*(-48))                  = 43
+    val img = Jpeg.decode(Jpeg.dcOnlyColor420(16, 16,
+      yDcs = Array(0, 0, 0, 0), cbDcs = Array(-48), crDcs = Array(32))).get
+    assert(img.width == 16 && img.height == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val o = (y * 16 + x) * 3
+      assert((img.pixels(o) & 0xFF) == 173, s"R($x,$y)")
+      assert((img.pixels(o + 1) & 0xFF) == 122, s"G($x,$y)")
+      assert((img.pixels(o + 2) & 0xFF) == 43, s"B($x,$y)")
+    }
+  }
+
+  test("restart markers reset the DC predictor") {
+    // DRI = 1: each MCU is its own restart segment, so each block's DC
+    // diff is vs 0, not the previous block
+    val dcs = Array(100, -100, 50, -50)
+    val img = Jpeg.decode(Jpeg.dcOnlyGray(32, 8, dcs, restartEvery = 1)).get
+    val want = Array(228, 28, 178, 78)
+    for (t <- 0 until 4; x <- 0 until 8)
+      assert((img.pixels((3 * 32 + t * 8 + x) * 3) & 0xFF) == want(t), s"t$t x$x")
+  }
+
+  test("byte unstuffing: a hand-crafted FF 00 entropy byte decodes through") {
+    // hand-crafted entropy with a stuffed FF: DC category 11's
+    // canonical code is '111111110' (its first 8 bits are an FF byte,
+    // which the encoder must stuff and the decoder must unstuff), then
+    // 11 value bits 10000000000 (+1024) and EOB:
+    //   FF 00 | 0 10000000 000 1010 0 -> bytes FF 00 40 0A
+    // decoded DC = 1024 -> pixel 1024 + 128 clamps to 255
+    val base = Jpeg.dcOnlyGray(8, 8, Array(0))
+    val bytes = base.dropRight(3) ++ Array[Byte](0xFF.toByte, 0x00,
+      0x40, 0x0A, 0xFF.toByte, 0xD9.toByte)
+    val img = Jpeg.decode(bytes).get
+    for (i <- 0 until 64)
+      assert((img.pixels(i * 3) & 0xFF) == 255, s"pixel $i")
+  }
+
+  test("non-baseline and malformed bytes take the stub path (None)") {
+    val ok = Jpeg.dcOnlyGray(8, 8, Array(10))
+    // progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    val prog = ok.clone()
+    val sof = prog.indices.find(i => (prog(i) & 0xFF) == 0xFF &&
+      i + 1 < prog.length && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sof + 1) = 0xC2.toByte
+    assert(Jpeg.decode(prog).isEmpty)
+    assert(Jpeg.decode(ok.take(20)).isEmpty) // truncated mid-header
+    assert(Jpeg.decode("not a jpeg".getBytes).isEmpty)
+    assert(Jpeg.decode(Array[Byte]()).isEmpty)
+    // P6 bytes are not a JPEG (and vice versa — the dispatch can't
+    // cross wires)
+    val p6 = Ppm.encode(Ppm.Image(2, 2, 255, new Array[Byte](12)))
+    assert(Jpeg.decode(p6).isEmpty)
+    assert(Ppm.decode(Jpeg.dcOnlyGray(8, 8, Array(0))).isEmpty)
+  }
+
+  test("aHash over a decoded JPEG matches the flat-tile integer math") {
+    // 16x16 flat quadrants -> the 8x8 resize samples tiles by quadrant;
+    // gray luma == pixel value; mean = sum // 64
+    val dcs = Array(-80, 0, 64, 127)
+    val img = Jpeg.decode(Jpeg.dcOnlyGray(16, 16, dcs)).get
+    val v = Array(48, 128, 192, 255)
+    val mean = (16 * v(0) + 16 * v(1) + 16 * v(2) + 16 * v(3)) / 64
+    def row(left: Int, right: Int): Int =
+      (if (left > mean) 0xF0 else 0) | (if (right > mean) 0x0F else 0)
+    val top = f"${row(v(0), v(1))}%02X" * 4
+    val bot = f"${row(v(2), v(3))}%02X" * 4
+    assert(Ppm.aHash(img) == top + bot)
+  }
+}
