@@ -349,11 +349,29 @@ object DocQueries {
     "q_image_hash" -> ((s, dir) => {
       // REAL decode path: aHash perceptual fingerprints from the
       // genuine 8x8-resized pixel grid — pure integer arithmetic,
-      // every hex digit pinned by the oracle
+      // every hex digit pinned by the oracle. Round 9 plants baseline
+      // JPEGs on every 5th doc (%5==2): DC-only flat-tile streams whose
+      // decoded pixels are v_t = (byte_t + 13t) mod 255 per 8x8 tile,
+      // so the FULL JPEG decode chain (markers, canonical Huffman, DC
+      // prediction, dequant, IDCT, level shift) feeds hashes the oracle
+      // derives from the raw doc bytes — decoded=1 pins that no planted
+      // row fell back to the md5 stub.
       implicit val sp: SparkSession = s
       import s.implicits._
-      Multimodal.imageHashes(
-        Multimodal.syntheticCorpus(documents(s, dir)).as[graft.multimodal.MediaSample])
+      val plain = Multimodal.syntheticCorpus(
+          documents(s, dir).filter(col("doc_id") % 5 =!= 2))
+        .as[graft.multimodal.MediaSample]
+      val planted = documents(s, dir).filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = (text + ".").getBytes("UTF-8")
+          val dcs = Array.tabulate(4)(t =>
+            (((b(t % b.length) & 0xFF) + 13 * t) % 255) - 128)
+          graft.multimodal.MediaSample(id, "image",
+            graft.multimodal.Jpeg.dcOnlyGray(16, 16, dcs), 16, 16, 0, 0)
+        }
+      Multimodal.imageHashes(plain.unionByName(planted))
         .select(col("sample_id"), col("modality"),
           col("decoded").cast("int").as("decoded"), col("ahash"))
         .orderBy("sample_id")
@@ -1841,14 +1859,18 @@ object DocQueries {
     "q_image_hash" ->
       // mirrors syntheticCorpus + Ppm.aHash: 8x8 nearest-neighbour
       // source indexes into the cyclic pixel hex, integer Rec.709
-      // luma, floor-mean threshold (strict >), MSB-first row bytes
+      // luma, floor-mean threshold (strict >), MSB-first row bytes.
+      // Planted-JPEG rows (%5==2): flat 8x8 tiles v_t = (b_t + 13t)
+      // mod 255 — the 8x8 resize of a 16x16 flat-quadrant image
+      // samples one tile per quadrant, gray luma == pixel value, so
+      // the aHash collapses to two quadrant-row bytes
       """WITH m AS (SELECT doc_id::BIGINT AS sample_id,
         |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |       ELSE 'video' END AS modality,
         |  (doc_id % 13) + 4 AS w0, (doc_id % 11) + 4 AS h0,
         |  hex(encode(text || '.')) AS thx,
         |  octet_length(encode(text || '.')) AS blen
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 5 <> 2),
         |px AS (SELECT sample_id, modality, w0, h0,
         |  substr(repeat(thx, ((w0*h0*3 + blen - 1) // blen)::INT),
         |         1, w0*h0*3*2) AS pxhex
@@ -1869,9 +1891,35 @@ object DocQueries {
         |  FROM cells c JOIN mn USING (sample_id) GROUP BY 1, 2, 3),
         |h AS (SELECT sample_id, modality,
         |  string_agg(printf('%02X', byte::BIGINT), '' ORDER BY y) AS ahash
-        |  FROM bits GROUP BY 1, 2)
-        |SELECT sample_id, modality, 1 AS decoded, ahash
-        |FROM h ORDER BY sample_id""".stripMargin,
+        |  FROM bits GROUP BY 1, 2),
+        |jm AS (SELECT doc_id::BIGINT AS sample_id,
+        |  hex(encode(text || '.')) AS thx,
+        |  octet_length(encode(text || '.')) AS blen
+        |  FROM documents WHERE doc_id % 5 = 2),
+        |jv AS (SELECT sample_id, t,
+        |  (('0x' || substr(thx, ((t % blen)::INT) * 2 + 1, 2))::BIGINT
+        |    + 13 * t) % 255 AS v
+        |  FROM jm CROSS JOIN range(4) tt(t)),
+        |jq AS (SELECT sample_id,
+        |  max(CASE WHEN t = 0 THEN v END) AS v0,
+        |  max(CASE WHEN t = 1 THEN v END) AS v1,
+        |  max(CASE WHEN t = 2 THEN v END) AS v2,
+        |  max(CASE WHEN t = 3 THEN v END) AS v3
+        |  FROM jv GROUP BY 1),
+        |jb AS (SELECT sample_id, (v0 + v1 + v2 + v3) // 4 AS mean,
+        |  v0, v1, v2, v3 FROM jq),
+        |jh AS (SELECT sample_id, 'image' AS modality, 1 AS decoded,
+        |  repeat(printf('%02X',
+        |    CASE WHEN v0 > mean THEN 240 ELSE 0 END +
+        |    CASE WHEN v1 > mean THEN 15 ELSE 0 END), 4) ||
+        |  repeat(printf('%02X',
+        |    CASE WHEN v2 > mean THEN 240 ELSE 0 END +
+        |    CASE WHEN v3 > mean THEN 15 ELSE 0 END), 4) AS ahash
+        |  FROM jb)
+        |SELECT sample_id, modality, 1 AS decoded, ahash FROM h
+        |UNION ALL
+        |SELECT sample_id, modality, decoded, ahash FROM jh
+        |ORDER BY sample_id""".stripMargin,
 
     "q_resample" ->
       // mirrors mixedCorpus audio rows + Wav.resampleLinear(4000):
