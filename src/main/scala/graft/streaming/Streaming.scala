@@ -649,6 +649,44 @@ object Streaming {
     * @return append-mode rows (window_start, __bucket, __r) once the
     *         watermark closes each window
     */
+  /** Streaming INGEST GATE — the online face of the batch
+    * corpus-refresh pipeline's gate + quality stages (q_corpus_pipeline)
+    * composed as ONE stateless projection chain: the Bloom history
+    * probe against the accepted-corpus snapshot
+    * ([[streamingBloomGate]]'s kernel), the gopher rules
+    * ([[graft.text.TextStats.gopherRulesStateless]]), and the
+    * pre-trained quality classifier
+    * ([[graft.text.Classifier.classifyStateless]] — the margin is
+    * linear in the hashed features, so the per-row fold is bitwise the
+    * batch score). No state, no watermark, no shuffle: per-document
+    * verdicts at ingest rate on an unbounded stream.
+    *
+    * `admitted` = not maybe-seen AND both quality halves pass — the
+    * conservative online verdict: the maybe-seen sliver awaits the
+    * exact recheck (a Bloom has no false negatives, so `maybe_seen =
+    * false` admissions are exact), and the dedup/merge/shard stages
+    * remain the downstream stateful/batch halves, exactly as in the
+    * batch composite. Every column is replay-pinned bitwise against
+    * the batch stages in StreamingSpec. */
+  def streamingIngestGate(
+      docs: Dataset[StreamDoc],
+      filter: Array[Long],
+      mBits: Int,
+      k: Int,
+      weights: Array[Long],
+      dim: Int = 64,
+      threshold: Double = 0.5): DataFrame = {
+    val probed = graft.text.Bloom.probeBcast(
+      docs.toDF(), "text", filter, mBits, k)
+    val gq = graft.text.TextStats.gopherRulesStateless(probed,
+      extraCols = Seq("ts", "text", "maybe_seen"))
+    graft.text.Classifier.classifyStateless(gq, weights, dim, threshold)
+      .withColumn("admitted",
+        !col("maybe_seen") && col("quality_pass") === 1 &&
+          col("predicted") === 1)
+      .drop("text")
+  }
+
   def streamingHllRegisters(
       events: DataFrame,
       key: Column,

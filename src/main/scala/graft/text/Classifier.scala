@@ -129,4 +129,40 @@ object Classifier {
           .as("score"))
       .withColumn("predicted", (col("score") >= lit(threshold)).cast("int"))
   }
+
+  /** [[classify]] as a PURE PER-ROW PROJECTION — no explode, no
+    * groupBy, no shuffle — so scoring runs unchanged on an unbounded
+    * stream (the [[graft.streaming.Streaming.streamingIngestGate]]
+    * quality half) and on any batch frame, appending `score` /
+    * `predicted` to the input columns.
+    *
+    * Bitwise the batch scores by LINEARITY: the margin is linear in
+    * the hashed features, so the per-token fold
+    * `bias + Σ_t ±w[hash56(t) % dim]` equals [[classify]]'s per-dim
+    * aggregation `Σ_d w[d]·value[d]` in exact integer arithmetic —
+    * summation order cannot matter for longs, and the one float step
+    * (the sigmoid) snaps at 1e-6 identically (StreamingSpec pins the
+    * replay). */
+  def classifyStateless(
+      docs: DataFrame,
+      weights: Array[Long],
+      dim: Int = 64,
+      threshold: Double = 0.5,
+      textCol: String = "text"): DataFrame = {
+    require(weights.length == dim + 1,
+      s"expected ${dim + 1} weights (incl. bias), got ${weights.length}")
+    val wLit = typedlit(weights.toSeq)
+    val margin = aggregate(
+      TextOps.tokens(col(textCol)),
+      lit(weights(dim)), // bias feature, value 1
+      (acc, t) => {
+        val h = TextOps.hash56(t)
+        val w = element_at(wLit, (h % dim).cast("int") + 1)
+        acc + when(shiftright(h, 32) % 2 === 0, w).otherwise(-w)
+      })
+    docs
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-margin.cast("double") / lit(1e6))), 6))
+      .withColumn("predicted", (col("score") >= lit(threshold)).cast("int"))
+  }
 }

@@ -309,6 +309,63 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamingGopherRules must remain a stateless projection")
   }
 
+  test("streamingIngestGate composes the batch gate+quality stages bitwise") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // held corpus = even ids; model = the q_quality_clf recipe
+    val existing = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val (m, k) = (4096, 3)
+    val filter = graft.text.Bloom.buildFilter(existing, "text", m, k)
+    val w = graft.text.Classifier.fit(
+      docs.withColumn("y",
+        (org.apache.spark.sql.functions.col("doc_id") % 2).cast("long")),
+      "y", dim = 64, iters = 2, lr = 0.5)
+    // batch truth: probe + gopher + classify, joined per doc
+    val probe = graft.text.Bloom.probe(docs, "text", filter, m, k)
+      .select("doc_id", "maybe_seen")
+    val gq = graft.text.TextStats.gopherRules(docs)
+    val sc = graft.text.Classifier.classify(docs, w, dim = 64,
+      threshold = 1e-6)
+    val batch = probe.join(gq, "doc_id").join(sc, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("maybe_seen"),
+        r.getAs[Long]("quality_pass"), r.getAs[Double]("score"),
+        r.getAs[Int]("predicted")))).toMap
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val out = Streaming.streamingIngestGate(in.toDS(), filter, m, k, w,
+      dim = 64, threshold = 1e-6)
+    val q = out.writeStream.format("memory").queryName("ingest_gate")
+      .outputMode("append").start()
+    rows.grouped(100).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("ingest_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(streamed.size === batch.size)
+    batch.foreach { case (id, (ms, qp, score, pred)) =>
+      val r = streamed(id)
+      assert(r.getAs[Boolean]("maybe_seen") === ms, s"doc $id maybe_seen")
+      assert(r.getAs[Long]("quality_pass") === qp, s"doc $id quality_pass")
+      assert(r.getAs[Double]("score") === score, s"doc $id score") // bitwise
+      assert(r.getAs[Int]("predicted") === pred, s"doc $id predicted")
+      assert(r.getAs[Boolean]("admitted") === (!ms && qp == 1 && pred == 1),
+        s"doc $id admitted")
+    }
+    // the whole composite must stay a stateless projection: no
+    // aggregation, so no state store and no watermark ever needed
+    val plan = Streaming.streamingIngestGate(in.toDS(), filter, m, k, w)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"),
+      "streamingIngestGate must remain a stateless projection")
+  }
+
   test("streamingBoilerplate replayed as ONE batch matches stripBoilerplate") {
     import graft.streaming.{StreamChunk, StreamDoc}
     implicit val sqlCtx = spark.sqlContext
