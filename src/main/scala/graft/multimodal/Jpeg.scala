@@ -350,6 +350,174 @@ object Jpeg {
     Some(Ppm.Image(width, height, 255, out))
   }
 
+  // ---- baseline encoder ----------------------------------------------
+
+  /** Annex K.1 example luminance quantization table, natural order. */
+  val AnnexKLumaQ: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Flat unit table: near-lossless (the only loss is coefficient
+    * rounding), for codec round-trip tests. */
+  val FlatQ: Array[Int] = Array.fill(64)(1)
+
+  private def fdct(px: Array[Double], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) { // 1-D over rows: x -> u
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < 8) { s += px(v * 8 + x) * idctBasis(u * 8 + x); x += 1 }
+        tmp(v * 8 + u) = s * 0.5
+        u += 1
+      }
+      v += 1
+    }
+    var u = 0
+    while (u < 8) { // 1-D over columns: y -> v
+      var vv = 0
+      while (vv < 8) {
+        var s = 0.0; var y = 0
+        while (y < 8) { s += tmp(y * 8 + u) * idctBasis(vv * 8 + y); y += 1 }
+        out(vv * 8 + u) = s * 0.5
+        vv += 1
+      }
+      u += 1
+    }
+  }
+
+  /** Encode an RGB [[Ppm.Image]] as a baseline-sequential 4:4:4 JFIF
+    * stream: BT.601 RGB -> YCbCr, edge-replicated padding to 8-pixel
+    * tiles, double-precision forward DCT (the [[decode]] basis, fixed
+    * operation order — bitwise-deterministic), half-away quantization
+    * against `quant` (one table for all components; [[AnnexKLumaQ]] by
+    * default, [[FlatQ]] for near-lossless round trips), and the
+    * Annex K luminance Huffman tables for every component. */
+  def encode(img: Ppm.Image, quant: Array[Int] = AnnexKLumaQ): Array[Byte] = {
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant must be 64 entries in [1, 255]")
+    val w = img.width; val h = img.height
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    // planar YCbCr at full resolution, edge-replicated to the block grid
+    val pw = bw * 8; val ph = bh * 8
+    val planes = Array.ofDim[Double](3, pw * ph)
+    var y = 0
+    while (y < ph) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < pw) {
+        val sx = math.min(x, w - 1)
+        val o = (sy * w + sx) * 3
+        val r = img.pixels(o) & 0xFF
+        val g = img.pixels(o + 1) & 0xFF
+        val b = img.pixels(o + 2) & 0xFF
+        planes(0)(y * pw + x) = 0.299 * r + 0.587 * g + 0.114 * b
+        planes(1)(y * pw + x) =
+          -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        planes(2)(y * pw + x) =
+          0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def b16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xFF); b(0xD8) // SOI
+    b(0xFF); b(0xDB); b16(2 + 1 + 64); b(0x00) // DQT in zigzag order
+    (0 until 64).foreach(i => b(quant(zigzag(i))))
+    b(0xFF); b(0xC0); b16(2 + 6 + 9) // SOF0, 3 components 1x1
+    b(8); b16(h); b16(w); b(3)
+    Seq(1, 2, 3).foreach { id => b(id); b(0x11); b(0) }
+    b(0xFF); b(0xC4) // DHT: the Annex K luminance pair for everything
+    b16(2 + (1 + 16 + dcSyms.length) + (1 + 16 + acSyms.length))
+    b(0x00); dcCounts.foreach(b); dcSyms.foreach(b)
+    b(0x10); acCounts.foreach(b); acSyms.foreach(b)
+    b(0xFF); b(0xDA); b16(2 + 1 + 6 + 3) // SOS
+    b(3); Seq(1, 2, 3).foreach { id => b(id); b(0x00) }
+    b(0); b(63); b(0)
+    val dcCodes = canonicalCodes(dcCounts, dcSyms)
+    val acCodes = canonicalCodes(acCounts, acSyms)
+    val bwri = new BitWriter(out)
+    def putMag(v: Int, s: Int): Unit =
+      if (s > 0) bwri.putBits(if (v >= 0) v else v + (1 << s) - 1, s)
+    def cat(v: Int): Int = {
+      val m = math.abs(v); var s = 0
+      while ((m >> s) != 0) s += 1
+      s
+    }
+    val blockPx = new Array[Double](64)
+    val coefs = new Array[Double](64)
+    val qd = new Array[Int](64)
+    val pred = new Array[Int](3)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var ci = 0
+        while (ci < 3) { // interleaved MCU: one block per component
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              blockPx(yy * 8 + xx) =
+                planes(ci)((by * 8 + yy) * pw + bx * 8 + xx) - 128.0
+              xx += 1
+            }
+            yy += 1
+          }
+          fdct(blockPx, coefs)
+          var i = 0
+          while (i < 64) {
+            qd(i) = math.round(coefs(i) / quant(i)).toInt
+            i += 1
+          }
+          val diff = qd(0) - pred(ci); pred(ci) = qd(0)
+          val s = cat(diff)
+          val (dc, dl) = dcCodes(s)
+          bwri.putBits(dc, dl); putMag(diff, s)
+          var k = 1; var run = 0
+          while (k < 64) {
+            // the baseline AC envelope is 10 bits; a +-128 checkerboard
+            // under unit quantization can reach exactly 1024, so clamp
+            // (what production encoders do) rather than emit an
+            // unencodable category
+            val v0 = qd(zigzag(k))
+            val v = if (v0 > 1023) 1023 else if (v0 < -1023) -1023 else v0
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (zc, zl) = acCodes(0xF0); bwri.putBits(zc, zl) // ZRL
+                run -= 16
+              }
+              val sz = cat(v)
+              val (ac, al) = acCodes((run << 4) | sz)
+              bwri.putBits(ac, al); putMag(v, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) {
+            val (ec, el) = acCodes(0x00); bwri.putBits(ec, el) // EOB
+          }
+          ci += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    bwri.pad()
+    b(0xFF); b(0xD9) // EOI
+    out.toByteArray
+  }
+
   // ---- deterministic DC-only test-vector builder ----------------------
 
   /** Annex K.3.1 luminance DC Huffman spec (counts per length, then

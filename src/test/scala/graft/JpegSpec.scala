@@ -107,6 +107,52 @@ class JpegSpec extends AnyFunSuite {
     assert(Ppm.decode(Jpeg.dcOnlyGray(8, 8, Array(0))).isEmpty)
   }
 
+  test("encoder round trip: near-lossless at unit quantization") {
+    // smooth two-axis gradient: quantization error is only coefficient
+    // rounding, so every channel comes back within a few levels
+    val w = 24; val h = 16
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      px(o) = (40 + 6 * x).toByte
+      px(o + 1) = (200 - 5 * y).toByte
+      px(o + 2) = (60 + 3 * x + 4 * y).toByte
+    }
+    val img = Ppm.Image(w, h, 255, px)
+    val back = Jpeg.decode(Jpeg.encode(img, Jpeg.FlatQ)).get
+    assert(back.width == w && back.height == h)
+    val maxErr = (0 until w * h * 3)
+      .map(i => math.abs((back.pixels(i) & 0xFF) - (px(i) & 0xFF))).max
+    assert(maxErr <= 3, s"maxErr $maxErr")
+  }
+
+  test("encoder round trip: Annex K table stays visually faithful and deterministic") {
+    val w = 16; val h = 16
+    val px = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val y = p / w; val x = p % w
+      (x * 7 + y * 7 + 16).toByte // smooth ramp, max 226 — no wraparound
+    }
+    val img = Ppm.Image(w, h, 255, px)
+    val e1 = Jpeg.encode(img)
+    val e2 = Jpeg.encode(img)
+    assert(java.util.Arrays.equals(e1, e2)) // bitwise-deterministic
+    val back = Jpeg.decode(e1).get
+    val maxErr = (0 until w * h * 3)
+      .map(i => math.abs((back.pixels(i) & 0xFF) - (px(i) & 0xFF))).max
+    assert(maxErr <= 20, s"maxErr $maxErr") // lossy but bounded on a gradient
+    // decode is deterministic too
+    val b2 = Jpeg.decode(e1).get
+    assert(java.util.Arrays.equals(back.pixels, b2.pixels))
+  }
+
+  test("encoder pads non-multiple-of-8 dims; decode crops to true size") {
+    val w = 10; val h = 6
+    val px = Array.tabulate(w * h * 3)(i => ((i * 7) % 200 + 20).toByte)
+    val back = Jpeg.decode(Jpeg.encode(Ppm.Image(w, h, 255, px), Jpeg.FlatQ)).get
+    assert(back.width == w && back.height == h)
+    assert(back.pixels.length == w * h * 3)
+  }
+
   test("aHash over a decoded JPEG matches the flat-tile integer math") {
     // 16x16 flat quadrants -> the 8x8 resize samples tiles by quadrant;
     // gray luma == pixel value; mean = sum // 64
