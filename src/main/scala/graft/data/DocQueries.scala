@@ -863,17 +863,27 @@ object DocQueries {
       // bits for ~250 keys) so real false positives flow through the
       // composite and the recheck seam is exercised, not just pinned
       // in q_bloom_dedup
+      // feeds three branches (filter build, exact-recheck join, merge
+      // current side): persist the one-time WET extraction
       val exw = d.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"),
           TextOps.htmlToText(wetWrap(col("text"))).as("wtext"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val filter = Bloom.buildFilter(
         exw.select(col("wtext").as("text")), "text", mBits = 2048, k = 3)
+      // the verdict table fans SIX plan branches out of this chain
+      // (gate flags, quality, exact dedup, span rewrite, merge, shard)
+      // — persist the stage boundaries once, the tear-sheet
+      // factor_data pattern, or every branch re-executes the whole
+      // WARC scan -> WET -> probe upstream (measured 60.9s -> the
+      // stage-sum price at sf0.1)
       val gated = Bloom.probe(decoded, "wtext", filter, mBits = 2048, k = 3)
         .join(exw.select("wtext").distinct().withColumn("__sx", lit(true)),
           Seq("wtext"), "left")
         .withColumn("seen_exact", coalesce(col("__sx"), lit(false)))
         .withColumn("gate_kept", !col("seen_exact"))
         .drop("__sx")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val gsurv = gated.filter(col("gate_kept")).select("doc_id", "wtext")
       // quality: rule half (gopher) + learned half (pre-trained
       // classifier, the q_quality_clf weights) — kept = both agree
@@ -892,16 +902,19 @@ object DocQueries {
       val qual = gq.join(scored, Seq("doc_id"))
         .withColumn("quality_kept",
           col("quality_pass") === 1 && col("predicted") === 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qsurv = gsurv.join(
         qual.filter(col("quality_kept")).select("doc_id"), Seq("doc_id"))
       // exact dedup among quality survivors: min-id keeper per content
       val exact = qsurv
         .join(qsurv.groupBy("wtext").agg(min("doc_id").as("__keep")), "wtext")
         .withColumn("exact_kept", col("doc_id") === col("__keep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val esurv = exact.filter(col("exact_kept")).select("doc_id", "wtext")
       // span-dedup rewrite over the surviving batch (k=5)
       val span = Rewrite.spanDedup(
         esurv.withColumnRenamed("wtext", "text"), k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // merge the refresh into the held corpus: survivors upsert
       // (ts = id*10+5 beats current's id*10), tombstone feed deletes
       // evens %20==2; then shard the merged corpus for the dataloader
@@ -914,6 +927,7 @@ object DocQueries {
         .select(col("doc_id"), (col("doc_id") * 10 + 9).as("ts"),
           lit("").as("text"), lit(true).as("deleted"))
       val merged = CorpusOps.mergeCorpus(cur, upd.unionByName(dels))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shards = CorpusOps.epochShard(
         merged.select("doc_id"), epoch = 2, nShards = 8)
       // sentinel-coalesced flags: a doc dropped before a stage reports
