@@ -250,6 +250,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_bloom_semijoin verdicts are not the scan-local bit-test probe")
   }
 
+  test("round-9 operators keep their scale-critical shapes") {
+    // corpus pipeline: the verdict table fans SIX branches out of the
+    // stage chain — the persisted stage boundaries must show as
+    // in-memory scans or every branch re-executes the WARC -> WET ->
+    // probe upstream (measured 6x at sf0.1); the Bloom gate must stay
+    // the scan-local bit test; no cartesian anywhere in the composite
+    val cp = plans("q_corpus_pipeline")
+    assert(cp.contains("InMemoryTableScan"),
+      "q_corpus_pipeline lost its persisted stage boundaries")
+    assert(cp.contains("forall"),
+      "q_corpus_pipeline's Bloom gate is not the scan-local bit test")
+    assert(!cp.contains("CartesianProduct"))
+    // adaptive salting: still the (key, salt) equi-join shape, with
+    // the bounded heavy-key map attached by broadcast
+    val sa = plans("q_salted_adaptive")
+    assert(sa.contains("__salt"),
+      "q_salted_adaptive no longer joins on the salt")
+    assert(sa.contains("BroadcastHashJoin"),
+      "q_salted_adaptive heavy-key map must attach via broadcast")
+    assert(!sa.contains("CartesianProduct") &&
+      !sa.contains("BroadcastNestedLoopJoin"))
+    // time-varying groups: a plain equi-join on (date, asset) — no
+    // cartesian, no nested loop (the mapping is panel-scale)
+    val tv = plans("q_factor_data_group_tv")
+    assert(!tv.contains("CartesianProduct") &&
+      !tv.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("IVF queries run the native cell-distance kernel, not the fallback") {
     // Ivf.cellDists silently degrades to nCells x dim literal l2sq
     // plans if the graft_l2sq_cells registration check misses — a 10x
