@@ -220,6 +220,13 @@ object AnalyticsQueries {
       round9(Information.factorInformationCoefficient(
         Pipelines.factorData(s, dir, P, withGroup = true), byGroup = true),
         Seq("ret_1", "ret_5"))),
+    "q_ic_bygroup_tv" -> ((s, dir) =>
+      // by-group IC over TIME-VARYING membership: the group column is
+      // per-row, so a mid-panel reclassification moves an asset between
+      // cross-sections at the pivot with no extra plumbing
+      round9(Information.factorInformationCoefficient(
+        Pipelines.factorDataTv(s, dir, P), byGroup = true),
+        Seq("ret_1", "ret_5"))),
     "q_avg_cum_ret" -> ((s, dir) =>
       // averageCumulativeReturnByQuantile, demeaned default, (2,3) band
       exactAvgCumRet(s, dir, before = 2, after = 3, demeaned = true)),
@@ -416,6 +423,45 @@ object AnalyticsQueries {
 
   private def pre: String = Pipelines.oraclePrelude(P, 5)
   private def preG: String = Pipelines.oraclePrelude(P, 5, withGroup = true)
+
+  /** TIME-VARYING factor_data CTE chain (appended to `pre`; ends in
+    * `fd2`): mirrors Pipelines.tvGroupMap + factorDataTv — nation remap
+    * after the pivot for asset % 3 == 0, mapping dropout for
+    * asset % 97 == 0, quantile edges cut AFTER the tv join (the
+    * reference's build order). Shared by the tv factor_data and tv
+    * by-group analytics oracles. */
+  private def tvFactorDataCtes: String = {
+    val fracs = (0 to 5).map(i =>
+      BigDecimal(i.toDouble / 5).toString).mkString(", ")
+    val ladder = (1 to 5).map(i =>
+      s"WHEN factor <= edges[${i + 1}] THEN $i").mkString(" ")
+    s""", tvstat AS (
+       |  SELECT s_suppkey AS asset, n.n_name AS g0, n2.n_name AS g2
+       |  FROM supplier
+       |  JOIN nation n ON s_nationkey = n.n_nationkey
+       |  JOIN nation n2 ON ((s_nationkey + 1) % 25) = n2.n_nationkey),
+       |tvmap AS (
+       |  SELECT p.date, p.asset,
+       |    CASE WHEN p.asset % 3 = 0 AND p.date >= TIMESTAMP '1998-06-01'
+       |         THEN t.g2 ELSE t.g0 END AS grp
+       |  FROM (SELECT date, asset FROM panel) p
+       |  JOIN tvstat t USING (asset)
+       |  WHERE NOT (p.asset % 97 = 0 AND p.date >= TIMESTAMP '1998-06-01')),
+       |mtv AS (
+       |  SELECT m.*, tv.grp AS "group"
+       |  FROM merged m JOIN tvmap tv USING (date, asset)),
+       |edged2 AS (
+       |  SELECT *, quantile_cont(factor, [$fracs])
+       |            OVER (PARTITION BY date) AS edges
+       |  FROM mtv),
+       |fd2 AS (
+       |  SELECT * EXCLUDE (edges, bucket), bucket AS factor_quantile
+       |  FROM (
+       |    SELECT *, CASE WHEN len(list_distinct(edges)) < len(edges) THEN NULL
+       |                   ELSE (CASE $ladder END) END AS bucket
+       |    FROM edged2)
+       |  WHERE bucket IS NOT NULL)""".stripMargin
+  }
 
   /** IC per date CTE chain (exact integer-rank corr), shared. */
   private def icCte = Pipelines.icExactCtes(P)
@@ -646,43 +692,19 @@ object AnalyticsQueries {
       s"""$preG SELECT date, asset, ret_1, ret_5, factor, "group", factor_quantile
          |FROM factor_data ORDER BY date, asset""".stripMargin,
 
-    "q_factor_data_group_tv" -> {
-      // mirrors Pipelines.tvGroupMap + factorDataTv: nation remap after
-      // the pivot for asset % 3 == 0, mapping dropout for asset % 97 == 0,
-      // quantile edges cut AFTER the tv join (the reference's build order)
-      val fracs = (0 to 5).map(i =>
-        BigDecimal(i.toDouble / 5).toString).mkString(", ")
-      val ladder = (1 to 5).map(i =>
-        s"WHEN factor <= edges[${i + 1}] THEN $i").mkString(" ")
-      s"""$pre, tvstat AS (
-         |  SELECT s_suppkey AS asset, n.n_name AS g0, n2.n_name AS g2
-         |  FROM supplier
-         |  JOIN nation n ON s_nationkey = n.n_nationkey
-         |  JOIN nation n2 ON ((s_nationkey + 1) % 25) = n2.n_nationkey),
-         |tvmap AS (
-         |  SELECT p.date, p.asset,
-         |    CASE WHEN p.asset % 3 = 0 AND p.date >= TIMESTAMP '1998-06-01'
-         |         THEN t.g2 ELSE t.g0 END AS grp
-         |  FROM (SELECT date, asset FROM panel) p
-         |  JOIN tvstat t USING (asset)
-         |  WHERE NOT (p.asset % 97 = 0 AND p.date >= TIMESTAMP '1998-06-01')),
-         |mtv AS (
-         |  SELECT m.*, tv.grp AS "group"
-         |  FROM merged m JOIN tvmap tv USING (date, asset)),
-         |edged2 AS (
-         |  SELECT *, quantile_cont(factor, [$fracs])
-         |            OVER (PARTITION BY date) AS edges
-         |  FROM mtv),
-         |fd2 AS (
-         |  SELECT * EXCLUDE (edges, bucket), bucket AS factor_quantile
-         |  FROM (
-         |    SELECT *, CASE WHEN len(list_distinct(edges)) < len(edges) THEN NULL
-         |                   ELSE (CASE $ladder END) END AS bucket
-         |    FROM edged2)
-         |  WHERE bucket IS NOT NULL)
+    "q_factor_data_group_tv" ->
+      s"""$pre$tvFactorDataCtes
          |SELECT date, asset, ret_1, ret_5, factor, "group", factor_quantile
-         |FROM fd2 ORDER BY date, asset""".stripMargin
-    },
+         |FROM fd2 ORDER BY date, asset""".stripMargin,
+
+    "q_ic_bygroup_tv" ->
+      // by-group Spearman IC over the TIME-VARYING membership: the
+      // group column is per-row, so a mid-panel reclassification moves
+      // an asset between cross-sections at the pivot — the analytics
+      // thread through the tv mapping with no extra plumbing
+      s"""$pre$tvFactorDataCtes${Pipelines.icExactCtes(P, byGroup = true, src = "fd2")}
+         |SELECT date, "group", round(i1, 9) AS ret_1, round(i5, 9) AS ret_5
+         |FROM ic ORDER BY date, "group"""".stripMargin,
 
     "q_ic_bygroup" ->
       s"""$preG${Pipelines.icExactCtes(P, byGroup = true)}

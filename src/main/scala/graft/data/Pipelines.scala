@@ -109,20 +109,25 @@ object Pipelines {
     * change the per-date cross-sections the quantile edges are cut
     * from, so the static shortcut (join groups AFTER quantizing) would
     * bucket against the wrong universe. */
+  private val fdTvCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Seq[Int], Int), FactorData]
+
   def factorDataTv(
       spark: SparkSession,
       dir: String,
       periods: Seq[Int] = Seq(1, 5),
-      quantiles: Int = 5): FactorData = {
-    val m = merged(spark, dir, periods, withGroup = false)
-      .join(tvGroupMap(spark, dir), Seq("date", "asset"), "left")
-      .filter(col("group").isNotNull)
-    val quantized = Quantize.quantizeFactor(
-      m, Quantize.QuantilesInt(quantiles), noRaise = true)
-      .na.drop(Seq("factor_quantile"))
-    FactorData(quantized, horizons(periods),
-      TradingCalendar(Set(1, 2, 3, 4, 5, 6, 7), Set.empty))
-  }
+      quantiles: Int = 5): FactorData =
+    fdTvCache.getOrElseUpdate((dir, periods, quantiles), {
+      val m = merged(spark, dir, periods, withGroup = false)
+        .join(tvGroupMap(spark, dir), Seq("date", "asset"), "left")
+        .filter(col("group").isNotNull)
+      val quantized = Quantize.quantizeFactor(
+        m, Quantize.QuantilesInt(quantiles), noRaise = true)
+        .na.drop(Seq("factor_quantile"))
+      quantized.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      FactorData(quantized, horizons(periods),
+        TradingCalendar(Set(1, 2, 3, 4, 5, 6, 7), Set.empty))
+    })
 
   /** Horizons used by the oracle pipelines: plain positional steps with
     * SQL-safe column names (ret_1, ret_5, ...). */
