@@ -189,6 +189,18 @@ object DocQueries {
         .select("l_returnflag", "hll_distinct", "exact_distinct")
         .orderBy("l_returnflag")
     }),
+    "q_profile" -> ((s, dir) =>
+      // ANALYZE-style table profile (round 9): per column the row/null
+      // counts, bit-reproducible HLL distinct estimate over a
+      // type-canonical key, and min/max through type-stable channels —
+      // two bounded passes (one wide aggregate + one register build),
+      // nothing scales with row count. The oracle replays every number
+      // including the sketch estimates bit-for-bit.
+      graft.stats.Profile.profileTable(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_returnflag",
+          "l_shipdate", "l_suppkey"), p = 10)
+        .orderBy("column")),
     "q_zorder" -> ((s, dir) => {
       // Morton z-values over (l_partkey, l_suppkey): the layout key
       // graft.operators.Zorder.clusterBy range-partitions and sorts by
@@ -1206,6 +1218,63 @@ object DocQueries {
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL SELECT doc_id + 100000, text FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // table profile replay: exact counts/min/max per column (stats
+    // branches) + the per-column HLL chain over the type-canonical
+    // keys — scaled-long strings for numerics (cross-engine stable
+    // where raw double stringification is not), epoch-micros for
+    // timestamps, raw strings otherwise
+    "q_profile" -> {
+      val aM2 = graft.stats.Hll.alpha(1024) * 1024.0 * 1024.0
+      val scale = math.pow(2.0, 47.0)
+      val raw = s"round($aM2 * $scale / CAST(st AS DOUBLE), 6)"
+      val colsSpec = Seq(
+        ("l_extendedprice", "num"), ("l_quantity", "num"),
+        ("l_returnflag", "str"), ("l_shipdate", "time"),
+        ("l_suppkey", "num"))
+      val keyBranches = colsSpec.map { case (c, kind) =>
+        val k = kind match {
+          case "num" => s"CAST(round($c * 1e6) AS BIGINT)::VARCHAR"
+          case "time" => s"epoch_us($c)::VARCHAR"
+          case _ => c
+        }
+        s"SELECT '$c' AS col, $k AS k FROM lineitem WHERE $c IS NOT NULL"
+      }.mkString("\n  UNION ALL ")
+      val statBranches = colsSpec.map { case (c, kind) =>
+        val (loN, hiN, loS, hiS) = kind match {
+          case "num" => (s"min($c)::DOUBLE", s"max($c)::DOUBLE", "''", "''")
+          case "time" => ("'NaN'::DOUBLE", "'NaN'::DOUBLE",
+            s"strftime(min($c), '%Y-%m-%d %H:%M:%S')",
+            s"strftime(max($c), '%Y-%m-%d %H:%M:%S')")
+          case _ => ("'NaN'::DOUBLE", "'NaN'::DOUBLE", s"min($c)", s"max($c)")
+        }
+        s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
+           |    (count(*) - count($c))::BIGINT AS n_null,
+           |    $loN AS min_num, $hiN AS max_num,
+           |    $loS AS min_str, $hiS AS max_str FROM lineitem""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH keys AS (
+         |  $keyBranches),
+         |b AS (SELECT col, ${hash56("k")} >> 46 AS bucket,
+         |        ${hash56("k")} & 70368744177663 AS w FROM keys),
+         |r AS (SELECT col, bucket,
+         |        max(47 - (CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END)) AS rho
+         |      FROM b GROUP BY 1, 2),
+         |a AS (SELECT col, count(*) AS nnz, sum(1::BIGINT << (47 - rho)) AS s
+         |      FROM r GROUP BY 1),
+         |e AS (SELECT col, 1024 - nnz AS zeros,
+         |        (1024 - nnz) * (1::BIGINT << 47) + s AS st FROM a),
+         |est AS (SELECT col,
+         |  CASE WHEN zeros > 0 AND $raw <= 2560.0
+         |       THEN round(1024.0 * round(ln(1024.0 / CAST(zeros AS DOUBLE)), 6), 6)
+         |       ELSE $raw END AS hll_distinct FROM e),
+         |stats AS (
+         |  $statBranches)
+         |SELECT s."column", s.n_rows, s.n_null, est.hll_distinct,
+         |  s.min_num, s.max_num, s.min_str, s.max_str
+         |FROM stats s JOIN est ON s."column" = est.col
+         |ORDER BY s."column"""".stripMargin
+    },
 
     // bit-for-bit HyperLogLog replay: integer-exact registers (bucket =
     // top 10 hash bits, rho via binary-string length), exact-integer
