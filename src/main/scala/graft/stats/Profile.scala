@@ -106,4 +106,30 @@ object Profile {
     out.toDF("column", "n_rows", "n_null", "hll_distinct",
       "min_num", "max_num", "min_str", "max_str")
   }
+
+  /** The INCREMENTAL profiling artifact: per-column HLL register
+    * tables over the canonical keys — (column, __bucket, __r), at most
+    * |cols| * 2^p rows. Sketch each batch/day/partition ONCE, persist
+    * the tiny table, and answer "distinct per column over any union of
+    * snapshots" via [[Hll.mergeRegisters]] + [[estimateRegisters]]
+    * without re-reading raw data (registers are a semilattice; the
+    * merged estimate is EXACTLY the union's estimate, not an
+    * approximation of it — ProfileSpec pins the bitwise equality). */
+  def profileRegisters(df: DataFrame, cols: Seq[String],
+      p: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "profileRegisters needs at least one column")
+    val kinds = cols.map(c => c -> kindOf(df.schema(c).dataType)).toMap
+    val keyed = df
+      .select(posexplode(
+        array(cols.map(c => profileKey(col(c), kinds(c))): _*))
+        .as(Seq("__i", "__k")))
+      .filter(col("__k").isNotNull)
+      .select(element_at(typedlit(cols), col("__i") + 1).as("column"),
+        col("__k"))
+    Hll.registerTable(keyed, col("__k"), Seq("column"), p)
+  }
+
+  /** Per-column estimates off a (merged) [[profileRegisters]] table. */
+  def estimateRegisters(regs: DataFrame, p: Int = 10): DataFrame =
+    Hll.estimateFromRegisters(regs, Seq("column"), p)
 }

@@ -56,6 +56,22 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("incremental: merged snapshot registers equal the union's profile") {
+    import org.apache.spark.sql.functions.col
+    val a = fixture.filter(col("id") <= 2)
+    val b = fixture.filter(col("id") > 2)
+    val cols = Seq("id", "x", "s")
+    val merged = graft.stats.Hll.mergeRegisters(
+      Seq(Profile.profileRegisters(a, cols), Profile.profileRegisters(b, cols)),
+      Seq("column"))
+    val mergedEst = Profile.estimateRegisters(merged)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val unionEst = Profile.profileTable(fixture, cols)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("hll_distinct")).toMap
+    // bitwise: merged registers ARE the union's registers
+    cols.foreach(c => assert(mergedEst(c) == unionEst(c), c))
+  }
+
   test("all-null column: zero estimate, sentinel channels") {
     val df = Seq((1L, Option.empty[Double]), (2L, None))
       .toDF("id", "v")
