@@ -37,6 +37,7 @@ object CleanFactor {
       factor: DataFrame,
       forwardReturns: ForwardReturnsResult,
       groupby: Option[DataFrame] = None,
+      groupbyLabels: Option[DataFrame] = None,
       binningByGroup: Boolean = false,
       spec: Quantize.Spec = Quantize.QuantilesInt(5),
       maxLoss: Double = 0.35,
@@ -84,6 +85,21 @@ object CleanFactor {
             s"Assets ${missing.mkString("[", ", ", "]")} not in group mapping")
         merged = merged.join(broadcast(g.select("asset", "group")), Seq("asset"), "left")
       }
+      // groupby_labels remap (utils.py:613-625): a (group, label) map
+      // applied AFTER the membership join; a group value without a
+      // label raises (the reference's KeyError)
+      groupbyLabels.foreach { labels =>
+        val missing = merged.select("group").distinct()
+          .join(labels.select("group"), Seq("group"), "left_anti")
+          .limit(5).collect().map(_.get(0))
+        if (missing.nonEmpty)
+          throw new NoSuchElementException(
+            s"groups ${missing.mkString("[", ", ", "]")} not in passed group names")
+        merged = merged
+          .join(broadcast(labels.select("group", "label")), Seq("group"), "left")
+          .drop("group")
+          .withColumnRenamed("label", "group")
+      }
     }
 
     merged = merged.na.drop()
@@ -128,6 +144,7 @@ object CleanFactor {
       factor: DataFrame,
       prices: DataFrame,
       groupby: Option[DataFrame] = None,
+      groupbyLabels: Option[DataFrame] = None,
       binningByGroup: Boolean = false,
       spec: Quantize.Spec = Quantize.QuantilesInt(5),
       periods: Seq[Int] = Seq(1, 5, 10),
@@ -151,8 +168,8 @@ object CleanFactor {
           "TIMESTAMP_NTZ).")
     val fwd = ForwardReturns.computeForwardReturns(
       spark, factor, prices, periods, filterZscore, cumulativeReturns)
-    getCleanFactor(spark, factor, fwd, groupby, binningByGroup, spec,
-      maxLoss, zeroAware, verbose)
+    getCleanFactor(spark, factor, fwd, groupby, groupbyLabels,
+      binningByGroup, spec, maxLoss, zeroAware, verbose)
   }
 }
 

@@ -216,6 +216,40 @@ class IngestGoldenSpec extends AnyFunSuite with SparkSpec {
     assert(fd.calendar.holidays.map(_.toString) === holidays)
   }
 
+  test("groupby_labels remaps group codes to names; missing label raises " +
+      "(utils.py:613-625)") {
+    import org.apache.spark.sql.functions.col
+    val dates = (1 to 5).map(d => f"2015-01-0$d")
+    val prices = longPanel(dates, tickers,
+      (1 to 5).map(i => rets.map(math.pow(_, i))), "price")
+    val factor = longPanel(dates.take(4), tickers,
+      (0 until 4).map(d => factorCycle(d % 3)), "factor")
+    val labels = Seq(("1", "TECH"), ("2", "FIN")).toDF("group", "label")
+    val fd = CleanFactor.getCleanFactorAndForwardReturns(
+      spark, factor, prices,
+      groupby = Some(groups.toSeq.toDF("asset", "group")),
+      groupbyLabels = Some(labels),
+      spec = Quantize.QuantilesInt(4), periods = Seq(1),
+      filterZscore = None, verbose = false)
+    val got = fd.df.select("asset", "group").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    groups.foreach { case (a, g) =>
+      if (got.contains(a))
+        assert(got(a) === (if (g == "1") "TECH" else "FIN"), a)
+    }
+    // a group value without a label raises the reference's KeyError
+    val partial = Seq(("1", "TECH")).toDF("group", "label")
+    val e = intercept[NoSuchElementException] {
+      CleanFactor.getCleanFactorAndForwardReturns(
+        spark, factor, prices,
+        groupby = Some(groups.toSeq.toDF("asset", "group")),
+        groupbyLabels = Some(partial),
+        spec = Quantize.QuantilesInt(4), periods = Seq(1),
+        filterZscore = None, verbose = false)
+    }
+    assert(e.getMessage.contains("not in passed group names"))
+  }
+
   test("time-varying (date, asset) -> group mapping: mid-panel " +
       "reclassification + NaN-alignment dropout (utils.py:517-522, 600-625)") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
