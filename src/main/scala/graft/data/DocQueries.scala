@@ -201,6 +201,13 @@ object DocQueries {
         Seq("l_quantity", "l_extendedprice", "l_returnflag",
           "l_shipdate", "l_suppkey"), p = 10)
         .orderBy("column")),
+    "q_profile_vec" -> ((s, dir) =>
+      // per-DIMENSION profile of the embedding table — dead-dimension /
+      // scale-drift / cardinality sanity for vector columns; bounded by
+      // width (64 groups), HLL estimates bit-replayed like q_profile
+      graft.stats.Profile.profileArray(
+        embeddings(s, dir), "embedding", p = 10)
+        .orderBy("dim")),
     "q_zorder" -> ((s, dir) => {
       // Morton z-values over (l_partkey, l_suppkey): the layout key
       // graft.operators.Zorder.clusterBy range-partitions and sorts by
@@ -1274,6 +1281,37 @@ object DocQueries {
          |  s.min_num, s.max_num, s.min_str, s.max_str
          |FROM stats s JOIN est ON s."column" = est.col
          |ORDER BY s."column"""".stripMargin
+    },
+
+    // per-dimension vector profile: exact stats + the per-dim HLL chain
+    // over the 1e-6-grid canonical key (the q_profile pattern grouped
+    // by dimension)
+    "q_profile_vec" -> {
+      val aM2 = graft.stats.Hll.alpha(1024) * 1024.0 * 1024.0
+      val scale = math.pow(2.0, 47.0)
+      val raw = s"round($aM2 * $scale / CAST(st AS DOUBLE), 6)"
+      s"""WITH m AS (SELECT d AS dim, embedding[d + 1]::DOUBLE AS x
+         |  FROM embeddings CROSS JOIN range(64) t(d)
+         |  WHERE embedding[d + 1] IS NOT NULL),
+         |stats AS (SELECT dim, count(*)::BIGINT AS n,
+         |    min(x) AS min_num, max(x) AS max_num FROM m GROUP BY 1),
+         |keys AS (SELECT dim,
+         |    CAST(round(x * 1e6) AS BIGINT)::VARCHAR AS k FROM m),
+         |b AS (SELECT dim, ${hash56("k")} >> 46 AS bucket,
+         |        ${hash56("k")} & 70368744177663 AS w FROM keys),
+         |r AS (SELECT dim, bucket,
+         |        max(47 - (CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END)) AS rho
+         |      FROM b GROUP BY 1, 2),
+         |a AS (SELECT dim, count(*) AS nnz, sum(1::BIGINT << (47 - rho)) AS s
+         |      FROM r GROUP BY 1),
+         |e AS (SELECT dim, 1024 - nnz AS zeros,
+         |        (1024 - nnz) * (1::BIGINT << 47) + s AS st FROM a),
+         |est AS (SELECT dim,
+         |  CASE WHEN zeros > 0 AND $raw <= 2560.0
+         |       THEN round(1024.0 * round(ln(1024.0 / CAST(zeros AS DOUBLE)), 6), 6)
+         |       ELSE $raw END AS n_distinct_est FROM e)
+         |SELECT s.dim, s.n, est.n_distinct_est, s.min_num, s.max_num
+         |FROM stats s JOIN est USING (dim) ORDER BY s.dim""".stripMargin
     },
 
     // bit-for-bit HyperLogLog replay: integer-exact registers (bucket =

@@ -132,4 +132,30 @@ object Profile {
   /** Per-column estimates off a (merged) [[profileRegisters]] table. */
   def estimateRegisters(regs: DataFrame, p: Int = 10): DataFrame =
     Hll.estimateFromRegisters(regs, Seq("column"), p)
+
+  /** Per-DIMENSION profile of an array column — the vector-table face
+    * of [[profileTable]] (embedding sanity checks: dead dimensions,
+    * scale drift, constant channels, per-dim cardinality): one
+    * `posexplode` melt feeds both the stats aggregate (64-ish groups —
+    * bounded by width, not rows) and the HLL register build over the
+    * 1e-6-grid canonical key. Null rows/elements are excluded like SQL
+    * aggregates exclude them.
+    * @return (dim, n, n_distinct_est, min_num, max_num) per dimension */
+  def profileArray(df: DataFrame, arrayCol: String,
+      p: Int = 10): DataFrame = {
+    val melted = df
+      .select(posexplode(col(arrayCol)).as(Seq("dim", "__x")))
+      .filter(col("__x").isNotNull)
+      .select(col("dim"), col("__x").cast("double").as("__x"))
+    val stats = melted.groupBy("dim").agg(
+      count(lit(1)).as("n"),
+      min("__x").as("min_num"),
+      max("__x").as("max_num"))
+    val hll = Hll.distinctEstimate(
+      melted.select(col("dim"),
+        round(col("__x") * 1e6, 0).cast("long").cast("string").as("__k")),
+      col("__k"), Seq("dim"), p, out = "n_distinct_est")
+    stats.join(hll, Seq("dim"))
+      .select("dim", "n", "n_distinct_est", "min_num", "max_num")
+  }
 }

@@ -72,6 +72,23 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     cols.foreach(c => assert(mergedEst(c) == unionEst(c), c))
   }
 
+  test("profileArray: per-dimension stats over a vector column") {
+    val df = Seq(
+      (1L, Seq(1.0f, 5.0f, 0.0f)),
+      (2L, Seq(2.0f, 5.0f, 0.0f)),
+      (3L, Seq(3.0f, 5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val prof = Profile.profileArray(df, "embedding")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(prof.size == 3)
+    prof.values.foreach(r => assert(r.getAs[Long]("n") == 3L))
+    assert(prof(0).getAs[Double]("min_num") == 1.0 &&
+      prof(0).getAs[Double]("max_num") == 3.0)
+    // a constant dimension profiles as a single distinct value
+    assert(math.abs(prof(1).getAs[Double]("n_distinct_est") - 1.0) < 0.1)
+    assert(prof(1).getAs[Double]("min_num") == 5.0)
+    assert(math.abs(prof(0).getAs[Double]("n_distinct_est") - 3.0) < 0.5)
+  }
+
   test("all-null column: zero estimate, sentinel channels") {
     val df = Seq((1L, Option.empty[Double]), (2L, None))
       .toDF("id", "v")
