@@ -160,6 +160,42 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("whiten -> IVF -> residual-PQ -> rerank: the index-build seam " +
+      "holds recall in whitened space") {
+    // the vector family's end-to-end composition (SURVEY §7.5b #1):
+    // decorrelate/whiten the real embeddings, train the coarse
+    // quantizer and residual codebooks ON the whitened vectors, search
+    // with IVFADC + exact rerank, and measure recall against the exact
+    // whitened-space ground truth. Pins that the projection's output
+    // feeds the exact fixed-point training/search grid unchanged (the
+    // seam itself), deterministically.
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val model = graft.vector.Pca.fit(e, dim = 64, k = 16)
+    val wh = graft.vector.Pca.project(e, model, whiten = true)
+      .select(col("vec_id"), col("projection").as("embedding"))
+    wh.persist()
+    val queries = wh.filter(col("vec_id") < 20)
+    val truth = graft.vector.Similarity.bruteForceTopK(wh, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val coarse = graft.vector.Ivf.trainCentroids(wh, nCells = 16, iters = 5)
+    val books = graft.vector.Pq.trainResidualCodebooks(wh, coarse,
+      dim = 16, m = 8, k = 16, iters = 3)
+    val got = graft.vector.Pq.ivfAdcTopK(wh, queries, coarse, books,
+        dim = 16, k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"whitened IVFADC recall@10 $recall")
+    // the composed chain is deterministic end to end
+    val again = graft.vector.Pq.ivfAdcTopK(wh, queries, coarse, books,
+        dim = 16, k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == got)
+    wh.unpersist()
+    ()
+  }
+
   test("fit + project are deterministic across runs") {
     val df = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(4)(j => ((i * 17 + j * 5) % 11 - 5).toFloat)))
