@@ -166,6 +166,15 @@ object DocQueries {
           .withColumn("y", (col("lang") === "en").cast("long")),
         "y", dim = 64, iters = 3, lr = 0.5))
 
+  /** Stopword-density quality label for the normalized classifier:
+    * 1000·|{the,a} tokens| >= 61·ntok (the corpus-median cut) — an
+    * integer-exact compare, so both engines label identically. */
+  private def clfNormLabel: Column = {
+    val toks = TextOps.tokens(col("text"))
+    (size(filter(toks, t => t === "the" || t === "a")).cast("long") * lit(1000L)
+      >= size(toks).cast("long") * lit(61L)).cast("long")
+  }
+
   // ---- Spark side ----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -411,14 +420,39 @@ object DocQueries {
         .orderBy("sample_id")
     }),
     "q_media_mixed" -> ((s, dir) => {
-      // ALL THREE decode boundaries end-to-end: the mixed corpus rows
-      // are genuine P6 / RIFF-WAVE PCM / YUV4MPEG2 content, so each
-      // frame is an actual pixel row / decoded sample window / actual
-      // video frame — `decoded` pins that no row fell back to the
-      // stub, frame_hex pins every byte.
+      // ALL FOUR decode boundaries end-to-end: the mixed corpus rows
+      // are genuine P6 / RIFF-WAVE PCM / YUV4MPEG2 content, and every
+      // 7th doc (%7==3) is replaced by an ENCODED baseline JPEG
+      // (round 10) — gray DC-only flat tiles on even ids, 4:2:0 COLOR
+      // DC-only on odd ids, so the full decode chain (markers,
+      // canonical Huffman, DC prediction, dequant, IDCT, level shift,
+      // chroma upsample, BT.601) feeds the frame sampler with pixels
+      // the oracle derives from the raw doc bytes (the lossy-codec
+      // oracle strategy: DC-only content keeps pixels SQL-derivable).
+      // `decoded` pins that no row fell back to the stub, frame_hex
+      // pins every byte.
       implicit val sp: SparkSession = s
-      Multimodal.sampleFrames(
-        Multimodal.mixedCorpus(documents(s, dir)), n = 2, frameBytes = 16)
+      import s.implicits._
+      val plain = Multimodal.mixedCorpus(
+        documents(s, dir).filter(col("doc_id") % 7 =!= 3))
+      val planted = documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = (text + ".").getBytes("UTF-8")
+          def u(i: Int): Int = b(i % b.length) & 0xFF
+          val content =
+            if (id % 2 == 0)
+              graft.multimodal.Jpeg.dcOnlyGray(16, 16,
+                Array.tabulate(4)(t => (u(t) + 13 * t) % 255 - 128))
+            else
+              graft.multimodal.Jpeg.dcOnlyColor420(16, 16,
+                Array.tabulate(4)(k => (u(k) + 17 * k) % 255 - 128),
+                Array(u(4) % 255 - 128), Array(u(5) % 255 - 128))
+          graft.multimodal.MediaSample(id, "image", content, 16, 16, 0, 0)
+        }
+      Multimodal.sampleFrames(plain.unionByName(planted), n = 2,
+          frameBytes = 16)
         .toDF()
         .select(col("sample_id"), col("modality"), col("frame_idx"),
           col("decoded").cast("int").as("decoded"),
@@ -675,6 +709,24 @@ object DocQueries {
       val w = Classifier.fit(docs, "y", dim = 64, iters = 10, lr = 0.5,
         l2 = 0.001)
       Classifier.classify(docs, w, dim = 64).orderBy("doc_id")
+    }),
+    "q_quality_clf_norm" -> ((s, dir) => {
+      // LENGTH-NORMALIZED classifier (fastText mean pooling, round 10):
+      // the hashed margin contribution averages over the doc's tokens
+      // (bias unnormalized), so long documents no longer swamp the
+      // gradient and the 0.5 operating threshold separates the classes
+      // instead of collapsing to the majority vote (the
+      // q_corpus_pipeline calibration note). Trained on a label with
+      // actual signal IN the text — the fastText-quality pattern of
+      // learning a heuristic's boundary: y = stopword density >= the
+      // corpus median (integer-exact 1000*stops >= 61*ntok; the lang
+      // column is label noise by construction — every token's class
+      // ratio matches the prior). 92% accuracy, predictions ~49/51
+      // across 0.5. Same bitwise discipline: one snap per doc-margin,
+      // one per gradient contribution.
+      val docs = documents(s, dir).withColumn("y", clfNormLabel)
+      val w = Classifier.fitNorm(docs, "y", dim = 64, iters = 15, lr = 6.0)
+      Classifier.classifyNorm(docs, w, dim = 64).orderBy("doc_id")
     }),
     "q_pca_gram" -> ((s, dir) =>
       // the distributed half of PCA/whitening: exact fixed-point
@@ -1074,6 +1126,83 @@ object DocQueries {
        |  (CASE WHEN round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6) >= $thr
        |    THEN 1 ELSE 0 END)::INT AS predicted
        |  FROM ${pfx}m)""".stripMargin
+  }
+
+  /** q_quality_clf_norm oracle: the LENGTH-NORMALIZED (fastText
+    * mean-pooling) trajectory of [[qualityClfSql]] — the hashed margin
+    * contribution divides by the doc's token count (bias
+    * unnormalized), snapped once per doc; the per-(doc,dim) gradient
+    * contribution snaps once. Both snaps are single IEEE divisions of
+    * exactly-agreed integers + the shared half-away round, so the
+    * replay is bitwise at any depth (mirrors
+    * [[graft.text.Classifier.fitNorm]]/classifyNorm). */
+  private def qualityClfNormSql(iters: Int, lr: Double, l2: Double,
+      thr: Double = 0.5): String = {
+    val sig = s"round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6)"
+    s"""WITH ${clfNormTrainCtes(iters, lr, l2)},
+       |nm AS (${normMarginSql(s"w$iters")}),
+       |nsc AS (SELECT doc_id, $sig AS score,
+       |  (CASE WHEN $sig >= $thr THEN 1 ELSE 0 END)::INT AS predicted
+       |  FROM nm)
+       |SELECT doc_id, score, predicted FROM nsc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Normalized margin of `feats` against weight table `wt`:
+    * bias + round(hashed-sum / token count), token-less docs keep the
+    * pure-bias margin (their only row is the bias row, nt = 0). */
+  private def normMarginSql(wt: String): String =
+    s"""SELECT f.doc_id,
+       |  sum(CASE WHEN f.dim = 64 THEN $wt.w * f.value ELSE 0 END)
+       |  + (CASE WHEN max(f.nt) > 0 THEN
+       |      round(sum(CASE WHEN f.dim <> 64 THEN $wt.w * f.value ELSE 0 END)::DOUBLE
+       |        / max(f.nt), 0)::BIGINT
+       |     ELSE 0 END) AS ms
+       |  FROM feats f JOIN $wt USING (dim) GROUP BY 1""".stripMargin
+
+  /** Training half of [[qualityClfNormSql]]: ends in `w<iters>`.
+    * Feature rows carry the doc token count `nt` (0 on the bias row);
+    * iteration 1 keeps the e = 500000 zero-weight shortcut. */
+  private def clfNormTrainCtes(iters: Int, lr: Double, l2: Double): String = {
+    val lrl2 = lr * l2
+    def upd(i: Int): String =
+      if (lrl2 == 0.0) s"round($lr * g$i.g / nn.n, 0)"
+      else s"round($lr * g$i.g / nn.n + $lrl2 * w${i - 1}.w, 0)"
+    def gradSql(i: Int, residE: String): String =
+      s"""g$i AS (SELECT f.dim, sum(CASE WHEN f.dim = 64
+         |    THEN ($residE) * f.value
+         |    ELSE round((($residE) * f.value)::DOUBLE / f.nt, 0)::BIGINT END) AS g""".stripMargin
+    val header =
+      s"""tok AS (SELECT doc_id, ${hash56("tk")} AS h FROM
+         |  (SELECT doc_id, unnest($toksExpr) AS tk FROM documents)),
+         |hv AS (SELECT doc_id, (h % 64)::BIGINT AS dim,
+         |  sum(CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS value
+         |  FROM tok GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
+         |ntk AS (SELECT doc_id, len($toksExpr)::BIGINT AS nt FROM documents),
+         |feats AS MATERIALIZED (
+         |  SELECT hv.doc_id, hv.dim, hv.value, ntk.nt FROM hv JOIN ntk USING (doc_id)
+         |  UNION ALL SELECT doc_id, 64::BIGINT AS dim, 1::BIGINT AS value,
+         |    0::BIGINT AS nt FROM documents),
+         |lab AS MATERIALIZED (SELECT doc_id,
+         |  (CASE WHEN len(list_filter($toksExpr, x -> x IN ('the', 'a'))) * 1000
+         |        >= 61 * len($toksExpr) THEN 1 ELSE 0 END)::BIGINT AS y
+         |  FROM documents),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |${gradSql(1, "500000 - lab.y * 1000000")}
+         |  FROM feats f JOIN lab USING (doc_id) GROUP BY 1),
+         |w1 AS MATERIALIZED (SELECT dim, (-round($lr * g / n, 0))::BIGINT AS w
+         |  FROM g1 CROSS JOIN nn)""".stripMargin
+    val laterIters = (2 to iters).map { i =>
+      s"""m${i - 1} AS MATERIALIZED (${normMarginSql(s"w${i - 1}")}),
+         |e${i - 1} AS (SELECT doc_id,
+         |  round(1e6 / (1 + exp(-(ms::DOUBLE) / 1e6)), 0)::BIGINT AS e FROM m${i - 1}),
+         |${gradSql(i, s"e${i - 1}.e - lab.y * 1000000")}
+         |  FROM feats f JOIN e${i - 1} USING (doc_id) JOIN lab USING (doc_id)
+         |  GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT w${i - 1}.dim, (w${i - 1}.w - ${upd(i)})::BIGINT AS w
+         |  FROM w${i - 1} JOIN g$i USING (dim) CROSS JOIN nn)""".stripMargin
+    }
+    (Seq(header) ++ laterIters).mkString(",\n")
   }
 
   private def sqlList(xs: Seq[String]): String =
@@ -2077,19 +2206,26 @@ object DocQueries {
          |FROM hx ORDER BY sample_id""".stripMargin,
 
     "q_media_mixed" ->
-      // mirrors mixedCorpus + the REAL decode in all three codecs:
+      // mirrors mixedCorpus + the REAL decode in all four codecs:
       // image frames are pixel rows 0 and h0-1 of the cyclic P6 grid;
       // audio frames are the first / last 8 decoded 16-bit samples
       // (little-endian: doc byte, then a zero high byte); video frames
       // are actual stream frames 0 and nf-1 (w0*h0 cyclic bytes each).
-      // All rebuilt in hex space; decoded=1 pins that no row fell back
-      // to the stub path.
+      // Planted-JPEG rows (%7==3, round 10): DC-only flat tiles keep
+      // the lossy decode SQL-derivable — gray rows (even id) decode to
+      // v_t = (b_t + 13t) mod 255 per 8x8 tile; color rows (odd id)
+      // decode quadrant YCbCr (Y_k = (b_k + 17k) mod 255, Cb = b_4 mod
+      // 255, Cr = b_5 mod 255) through BT.601 with clamp8 =
+      // clamp(floor(x + 0.5)) — Math.round semantics. Frames are rows
+      // 0 and 15: the top / bottom tile (or Y-block) pair. All rebuilt
+      // in hex space; decoded=1 pins that no row fell back to the stub
+      // path.
       """WITH m AS (SELECT doc_id::BIGINT AS sample_id, (doc_id % 3) AS md,
         |  (doc_id % 13) + 4 AS w0, (doc_id % 11) + 4 AS h0,
         |  (doc_id % 50) + 20 AS ns, (doc_id % 4) + 2 AS nf,
         |  hex(encode(text || '.')) AS thx,
         |  octet_length(encode(text || '.')) AS blen
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 7 <> 3),
         |img AS (SELECT sample_id, 'image' AS modality, i::INT AS frame_idx,
         |  substr(repeat(thx, ((w0*h0*3 + blen - 1) // blen)::INT),
         |         (i * (h0 - 1))::INT * w0 * 3 * 2 + 1, w0 * 3 * 2) AS frame_hex
@@ -2102,10 +2238,49 @@ object DocQueries {
         |vid AS (SELECT sample_id, 'video' AS modality, i::INT AS frame_idx,
         |  substr(repeat(thx, ((nf*w0*h0 + blen - 1) // blen)::INT),
         |         (i * (nf - 1))::INT * w0 * h0 * 2 + 1, w0 * h0 * 2) AS frame_hex
-        |  FROM m CROSS JOIN range(2) t(i) WHERE md = 2)
+        |  FROM m CROSS JOIN range(2) t(i) WHERE md = 2),
+        |jm AS (SELECT doc_id::BIGINT AS sample_id, doc_id % 2 AS odd,
+        |  hex(encode(text || '.')) AS thx,
+        |  octet_length(encode(text || '.')) AS blen
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |ju AS (SELECT sample_id, odd, k,
+        |  ('0x' || substr(thx, ((k % blen)::INT) * 2 + 1, 2))::BIGINT AS u
+        |  FROM jm CROSS JOIN range(6) kk(k)),
+        |jpiv AS (SELECT sample_id, odd,
+        |  max(CASE WHEN k = 0 THEN u END) AS u0,
+        |  max(CASE WHEN k = 1 THEN u END) AS u1,
+        |  max(CASE WHEN k = 2 THEN u END) AS u2,
+        |  max(CASE WHEN k = 3 THEN u END) AS u3,
+        |  max(CASE WHEN k = 4 THEN u END) AS u4,
+        |  max(CASE WHEN k = 5 THEN u END) AS u5
+        |  FROM ju GROUP BY 1, 2),
+        |jgray AS (SELECT sample_id, i::INT AS frame_idx,
+        |  repeat(printf('%02X',
+        |    ((CASE WHEN i = 0 THEN u0 ELSE u2 END) + 13 * (2*i)) % 255), 24) ||
+        |  repeat(printf('%02X',
+        |    ((CASE WHEN i = 0 THEN u1 ELSE u3 END) + 13 * (2*i + 1)) % 255), 24)
+        |    AS frame_hex
+        |  FROM jpiv CROSS JOIN range(2) t(i) WHERE odd = 0),
+        |jyc AS (SELECT sample_id, b.k AS blk,
+        |  ((CASE b.k WHEN 0 THEN u0 WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END)
+        |    + 17 * b.k) % 255 AS yv,
+        |  u4 % 255 - 128 AS cbc, u5 % 255 - 128 AS crc
+        |  FROM jpiv CROSS JOIN range(4) b(k) WHERE odd = 1),
+        |jrgb AS (SELECT sample_id, blk, printf('%02X%02X%02X',
+        |    least(255, greatest(0, floor(yv + 1.402 * crc + 0.5)))::BIGINT,
+        |    least(255, greatest(0, floor(yv - 0.344136 * cbc - 0.714136 * crc + 0.5)))::BIGINT,
+        |    least(255, greatest(0, floor(yv + 1.772 * cbc + 0.5)))::BIGINT) AS px
+        |  FROM jyc),
+        |jcolor AS (SELECT sample_id, i::INT AS frame_idx,
+        |  repeat(max(CASE WHEN blk = 2*i THEN px END), 8) ||
+        |  repeat(max(CASE WHEN blk = 2*i + 1 THEN px END), 8) AS frame_hex
+        |  FROM jrgb CROSS JOIN range(2) t(i) GROUP BY sample_id, i),
+        |jpg AS (SELECT sample_id, 'image' AS modality, frame_idx, frame_hex
+        |  FROM jgray UNION ALL
+        |  SELECT sample_id, 'image', frame_idx, frame_hex FROM jcolor)
         |SELECT sample_id, modality, frame_idx, 1 AS decoded, frame_hex
         |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
-        |      UNION ALL SELECT * FROM vid)
+        |      UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM jpg)
         |ORDER BY sample_id, frame_idx""".stripMargin,
 
     "q_contamination" ->
@@ -2550,6 +2725,7 @@ object DocQueries {
 
     "q_quality_clf" -> qualityClfSql(3, 0.5, 0.0),
     "q_quality_clf_l2" -> qualityClfSql(10, 0.5, 0.001),
+    "q_quality_clf_norm" -> qualityClfNormSql(15, 6.0, 0.0),
 
     "q_pca_gram" ->
       // mirrors Pca.covarianceLong: 1e6 fixed-point snap, exact

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Trained quality classifier — hashed-feature logistic regression, the
@@ -124,6 +124,126 @@ object Classifier {
       .groupBy("doc_id")
       .agg(sum(element_at(wLit, col("dim").cast("int") + 1) * col("value"))
         .as("__ms"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__ms").cast("double") / lit(1e6))), 6)
+          .as("score"))
+      .withColumn("predicted", (col("score") >= lit(threshold)).cast("int"))
+  }
+
+  /** Sparse hashed features + bias, each row carrying the doc's token
+    * count `__nt` (0 on the bias row — the bias never normalizes).
+    * The feature shape of the LENGTH-NORMALIZED variant below. */
+  private def sparseFeaturesNt(
+      docs: DataFrame,
+      dim: Int,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val nt = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("__nt"))
+    TextStats.hashVectorize(docs, dim, textCol, idCol)
+      .join(nt, "doc_id")
+      .unionByName(docs.select(col(idCol).as("doc_id"),
+        lit(dim.toLong).as("dim"), lit(1L).as("value"), lit(0L).as("__nt")))
+  }
+
+  /** Exact normalized margin (1e-6-scaled long): bias + the hashed
+    * contribution divided by the doc's token count, snapped ONCE per
+    * doc. The division is one IEEE op on exactly-agreed integers and
+    * the round is the shared half-away snap, so the margin — like the
+    * unnormalized one — is engine-bitwise. Token-less docs (no hashed
+    * rows, max(__nt)=0) keep the pure-bias margin. */
+  private def normMargins(feats: DataFrame, wLit: Column, dim: Int): DataFrame =
+    feats.groupBy("doc_id")
+      .agg(
+        sum(when(col("dim") === dim,
+            element_at(wLit, col("dim").cast("int") + 1) * col("value"))
+          .otherwise(0L)).as("__b"),
+        sum(when(col("dim") =!= dim,
+            element_at(wLit, col("dim").cast("int") + 1) * col("value"))
+          .otherwise(0L)).as("__h"),
+        max(col("__nt")).as("__n"))
+      .select(col("doc_id"),
+        (col("__b") + when(col("__n") > 0L,
+          round(col("__h").cast("double") / col("__n"), 0).cast("long"))
+          .otherwise(0L)).as("__ms"))
+
+  /** LENGTH-NORMALIZED [[fit]] — fastText's mean pooling: the margin's
+    * hashed-feature contribution is the AVERAGE of the per-token
+    * weights (bias unnormalized), so a 10,000-token page and a
+    * 40-token page sit on the same margin scale and neither dominates
+    * the gradient. This is what moves the 0.5 operating threshold back
+    * into play on corpora with wide length spread: unnormalized counts
+    * let long documents swamp the bias toward the majority class
+    * (the q_corpus_pipeline calibration note).
+    *
+    * Exactness: the per-doc margin snaps once
+    * (round(Σ w·value / ntok)); the per-(doc,dim) gradient
+    * contribution snaps once (round((e − y·1e6)·value / ntok)); both
+    * are single IEEE divisions of exactly-agreed integers followed by
+    * the shared half-away round, so the whole trajectory stays
+    * bitwise (q_quality_clf_norm replays it in DuckDB). Magnitudes
+    * stay exact in doubles: |(e − y·1e6)·value| ≤ 1e6·ntok ≪ 2^53.
+    *
+    * Same scale shape as [[fit]]: one margin aggregate + one equi-join
+    * + one (dim+1)-row gradient collect per iteration. */
+  def fitNorm(
+      docs: DataFrame,
+      labelCol: String,
+      dim: Int = 64,
+      iters: Int = 3,
+      lr: Double = 0.5,
+      l2: Double = 0.0,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Array[Long] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(l2 >= 0.0, s"l2 must be non-negative, got $l2")
+    val lrl2 = lr * l2
+    val feats = sparseFeaturesNt(docs, dim, textCol, idCol).persist()
+    val labels = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).cast("long").as("__y"))
+    val n = docs.count()
+    require(n > 0, "cannot fit on an empty corpus")
+    val w = Array.fill[Long](dim + 1)(0L)
+    try {
+      for (_ <- 0 until iters) {
+        val wLit = typedlit(w.toSeq)
+        val margins = normMargins(feats, wLit, dim)
+        val e = margins.select(col("doc_id"),
+          round(lit(1e6) / (lit(1.0) + exp(-col("__ms").cast("double") / lit(1e6))), 0)
+            .cast("long").as("__e"))
+        val resid = (col("__e") - col("__y") * lit(1000000L)) * col("value")
+        val grads = feats
+          .join(e, "doc_id")
+          .join(labels, "doc_id")
+          .groupBy("dim")
+          .agg(sum(when(col("dim") === dim, resid)
+            .otherwise(round(resid.cast("double") / col("__nt"), 0).cast("long")))
+            .as("__g"))
+          .collect() // bounded: at most dim+1 rows
+        grads.foreach { r =>
+          val d = r.getAs[Long]("dim").toInt
+          w(d) -= roundHalfAway(
+            lr * r.getAs[Long]("__g").toDouble / n + lrl2 * w(d).toDouble)
+        }
+      }
+    } finally feats.unpersist()
+    w
+  }
+
+  /** Score with [[fitNorm]] weights: sigmoid of the exact normalized
+    * margin, snapped at 1e-6; threshold compares the SNAPPED score.
+    * @return (doc_id, score, predicted) */
+  def classifyNorm(
+      docs: DataFrame,
+      weights: Array[Long],
+      dim: Int = 64,
+      threshold: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.length == dim + 1,
+      s"expected ${dim + 1} weights (incl. bias), got ${weights.length}")
+    normMargins(sparseFeaturesNt(docs, dim, textCol, idCol),
+        typedlit(weights.toSeq), dim)
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-col("__ms").cast("double") / lit(1e6))), 6)
           .as("score"))

@@ -113,6 +113,56 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) === expected)
   }
 
+  test("fitNorm separates and is length-invariant where fit is not") {
+    // the separable corpus, but positive docs are 20x longer: raw-count
+    // features scale with length, mean-pooled features do not
+    val docs = (0 until 40).map { i =>
+      val pos = i % 2 == 0
+      val words =
+        if (pos) Seq("excellent", "prose", "clear", "cogent")
+        else Seq("spam", "junk", "noise", "garbage")
+      val reps = if (pos) 120 else 6
+      val text = (0 until reps).map(j => words((i + j) % words.length))
+        .mkString(" ")
+      (i.toLong, text, if (pos) 1L else 0L)
+    }.toDF("doc_id", "text", "y")
+    val w = Classifier.fitNorm(docs, "y", dim = 64, iters = 6, lr = 6.0)
+    val out = Classifier.classifyNorm(docs, w, dim = 64)
+      .join(docs.select("doc_id", "y"), "doc_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("predicted").toLong === r.getAs[Long]("y"),
+        s"doc ${r.getAs[Long]("doc_id")} misclassified: ${r.getAs[Double]("score")}")
+    }
+    // exact-duplication invariance of the normalized margin: doubling a
+    // doc's text doubles both the hashed counts and the token count, so
+    // the pre-snap margin ratio — and hence the snapped score — is
+    // unchanged (raw-count classify scores the two differently)
+    val single = Seq((100L, "excellent prose clear")).toDF("doc_id", "text")
+    val doubled = Seq(
+      (100L, "excellent prose clear excellent prose clear"))
+      .toDF("doc_id", "text")
+    val s1 = Classifier.classifyNorm(single, w, dim = 64)
+      .collect().head.getAs[Double]("score")
+    val s2 = Classifier.classifyNorm(doubled, w, dim = 64)
+      .collect().head.getAs[Double]("score")
+    assert(s1 === s2, s"normalized score not duplication-invariant: $s1 vs $s2")
+  }
+
+  test("fitNorm is deterministic; token-less docs score the pure bias") {
+    val docs = Seq(
+      (1L, "excellent clear prose", 1L),
+      (2L, "spam junk noise", 0L),
+      (3L, "", 0L)).toDF("doc_id", "text", "y")
+    val w1 = Classifier.fitNorm(docs, "y", dim = 64, iters = 4, lr = 2.0)
+    val w2 = Classifier.fitNorm(docs, "y", dim = 64, iters = 4, lr = 2.0)
+    assert(w1.toSeq === w2.toSeq)
+    val out = Classifier.classifyNorm(docs, w1, dim = 64).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val expected = BigDecimal(1.0 / (1.0 + math.exp(-w1(64) / 1e6)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(3L) === expected)
+  }
+
   test("weights stay on the 1e-6 grid and reject bad shapes") {
     val docs = separable(10)
     val w = Classifier.fit(docs, "y", dim = 16, iters = 2, lr = 0.5)
