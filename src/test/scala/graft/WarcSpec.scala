@@ -264,6 +264,65 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(run() == 0)
   }
 
+  test("compacted offsets: name reuse below the watermark is out of " +
+      "contract (silently skipped); fresh names still land") {
+    // Retention deletes under-watermark segments; the compacted offset
+    // cannot distinguish a RE-CREATED old name from the original
+    // (seen(f) = f <= watermark). The documented contract excludes
+    // name reuse (crawlers write serial/timestamp-monotone names and
+    // never recycle); this pins the failure mode the exclusion buys:
+    // the reused name is skipped without error, while genuinely new
+    // names above the watermark keep landing exactly once.
+    import spark.implicits._
+    val dir = tmpDir("stream_reuse")
+    val ckpt = tmpDir("ckpt_reuse").toString
+    var scratch = 0
+    def mk(ids: Seq[Int], part: Int): Unit = {
+      scratch += 1
+      val df = ids.map { i =>
+        (s"<urn:uuid:r-$i>", "response", s"http://x/$i",
+          new java.sql.Timestamp(1700000000000L + i), s"p$i".getBytes(UTF_8))
+      }.toDF("record_id", "warc_type", "target_uri", "warc_date", "payload")
+        .coalesce(1)
+      Warc.write(df, dir.resolve(s"scratch$scratch").toString, gzip = true)
+      val f = dir.resolve(s"scratch$scratch").toFile.listFiles().head
+      Files.move(f.toPath, dir.resolve(s"segment-$part.warc.gz"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val got = new java.util.concurrent.atomic.AtomicLong
+    def run(): Long = {
+      got.set(0)
+      val q = spark.readStream.format("warc")
+        .option("offsetFrontierKeep", "0") // watermark advances eagerly
+        .load(dir.toString + "/*.warc.gz")
+        .select("record_id")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          got.addAndGet(df.count()); ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      got.get
+    }
+    mk(Seq(1, 2), 0); mk(Seq(3), 1); mk(Seq(4), 2)
+    assert(run() == 4)
+    // retention: segment-0 ages out and is deleted (below watermark —
+    // keep=0 pushes the watermark to the last fully-committed name)
+    Files.delete(dir.resolve("segment-0.warc.gz"))
+    assert(run() == 0) // deletion alone changes nothing
+    // OUT OF CONTRACT: a new segment REUSES the retired name. The
+    // compacted summary says seen (name <= watermark) - skipped, no
+    // error, no duplicate. This is the precise cost of compaction;
+    // offsetFrontierKeep=-1 (exact mode) has no such exclusion.
+    mk(Seq(7, 8, 9), 0)
+    assert(run() == 0, "reused under-watermark name must be skipped")
+    // a genuinely fresh name above the watermark still lands, and the
+    // reused name stays excluded rather than corrupting the stream
+    mk(Seq(5, 6), 9)
+    assert(run() == 2)
+  }
+
   test("one input partition per file (the CC-scale parallelism unit)") {
     val dir = tmpDir("parts")
     writeCorpus(dir, gzip = false) // repartition(3) -> 3 part files
