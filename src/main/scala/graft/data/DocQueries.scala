@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.text.{Bloom, Classifier, CorpusOps, Decontaminate, Dedup, HeavyHitters, Rewrite, Search, TextOps, TextStats}
+import graft.text.{Bloom, Classifier, CorpusOps, Decontaminate, Dedup, HeavyHitters, LmPerplexity, Rewrite, Search, TextOps, TextStats}
 import graft.vector.{Embeddings, Ivf, Pca, Similarity}
 
 /** Driver-contract queries for the LLM-data-pipeline layer (dedup,
@@ -727,6 +727,18 @@ object DocQueries {
       val docs = documents(s, dir).withColumn("y", clfNormLabel)
       val w = Classifier.fitNorm(docs, "y", dim = 64, iters = 15, lr = 6.0)
       Classifier.classifyNorm(docs, w, dim = 64).orderBy("doc_id")
+    }),
+    "q_lm_ppl" -> ((s, dir) => {
+      // CCNet-style LM quality filter (round 10): interpolated
+      // Kneser-Ney bigram model trained on the reference third of the
+      // corpus (doc_id%3==0), every doc scored by perplexity, corpus
+      // split head/middle/tail by exact perplexity terciles (the
+      // Wenzek 2020 §4.3 pipeline stage). Scoring the full corpus
+      // against a subset model genuinely exercises the unseen-context
+      // and unseen-continuation backoff paths.
+      val docs = documents(s, dir)
+      LmPerplexity.buckets(docs.filter(col("doc_id") % 3 === 0), docs)
+        .orderBy("doc_id")
     }),
     "q_pca_gram" -> ((s, dir) =>
       // the distributed half of PCA/whitening: exact fixed-point
@@ -2726,6 +2738,64 @@ object DocQueries {
     "q_quality_clf" -> qualityClfSql(3, 0.5, 0.0),
     "q_quality_clf_l2" -> qualityClfSql(10, 0.5, 0.001),
     "q_quality_clf_norm" -> qualityClfNormSql(15, 6.0, 0.0),
+
+    // mirrors LmPerplexity.buckets: KN-bigram probabilities as fixed
+    // IEEE expressions over integer counts, ln snapped at 1e-6, exact
+    // long doc sums, 1e-9-grid half-away rate, percentile_disc tercile
+    // cuts replayed with the q_quantiles histogram formulation
+    "q_lm_ppl" ->
+      s"""WITH tk AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |bg AS (SELECT doc_id,
+         |    CASE WHEN pos = 0 THEN '<s>' ELSE toks[pos] END AS w1,
+         |    toks[pos + 1] AS w2
+         |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+         |        FROM tk WHERE len(toks) > 0)),
+         |trbg AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg
+         |  WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+         |ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p
+         |  FROM trbg GROUP BY 1),
+         |cont AS (SELECT w2, count(*)::BIGINT AS nc FROM trbg GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS nn,
+         |  count(DISTINCT w2)::BIGINT AS v FROM trbg),
+         |sc AS (SELECT b.doc_id,
+         |    round(ln(CASE WHEN c.c1 IS NOT NULL THEN
+         |        (greatest(coalesce(t.c12, 0)::DOUBLE - 0.75, 0.0)
+         |          + 0.75 * c.n1p *
+         |            ((coalesce(k.nc, 0) + 1)::DOUBLE / (tot.nn + tot.v + 1)))
+         |        / c.c1
+         |      ELSE (coalesce(k.nc, 0) + 1)::DOUBLE / (tot.nn + tot.v + 1)
+         |      END) * 1e6, 0)::BIGINT AS lp
+         |  FROM bg b LEFT JOIN trbg t ON b.w1 = t.w1 AND b.w2 = t.w2
+         |  LEFT JOIN ctx c ON b.w1 = c.w1
+         |  LEFT JOIN cont k ON b.w2 = k.w2
+         |  CROSS JOIN tot),
+         |ds AS (SELECT doc_id, count(*)::BIGINT AS n, sum(lp)::BIGINT AS s
+         |  FROM sc GROUP BY 1),
+         |rt AS (SELECT doc_id, n, s,
+         |    (CASE WHEN s * 1000 < 0 THEN -1 ELSE 1 END)
+         |      * ((2 * abs(s * 1000) + n) // (2 * n)) AS rate FROM ds),
+         |hc AS (SELECT rate AS v, count(*)::BIGINT AS c FROM rt GROUP BY 1),
+         |hr AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |        AS rb, c FROM hc),
+         |hn AS (SELECT sum(c)::BIGINT AS n FROM hc),
+         |ks AS (SELECT j, greatest(1, (j * n + 2) // 3)::BIGINT AS rank
+         |  FROM (SELECT unnest([1, 2]) AS j) CROSS JOIN hn),
+         |ct AS (SELECT
+         |    max(CASE WHEN j = 1 THEN v END) AS c33,
+         |    max(CASE WHEN j = 2 THEN v END) AS c67
+         |  FROM ks JOIN hr ON hr.rb < ks.rank AND ks.rank <= hr.rb + hr.c),
+         |fin AS (SELECT rt.doc_id, rt.n, rt.s,
+         |    round(exp(rt.s::DOUBLE * -1.0 / 1e6 / rt.n), 6) AS ppl,
+         |    CASE WHEN rt.rate <= ct.c33 THEN 'tail'
+         |         WHEN rt.rate <= ct.c67 THEN 'middle' ELSE 'head' END AS bucket
+         |  FROM rt CROSS JOIN ct)
+         |SELECT d.doc_id, coalesce(f.n, 0)::BIGINT AS n_bigrams,
+         |  coalesce(f.s, 0)::BIGINT AS lp_micro,
+         |  coalesce(f.ppl, -1.0) AS ppl,
+         |  coalesce(f.bucket, 'empty') AS bucket
+         |FROM documents d LEFT JOIN fin f USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_pca_gram" ->
       // mirrors Pca.covarianceLong: 1e6 fixed-point snap, exact

@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CCNet-style language-model quality filter: train an interpolated
+  * Kneser-Ney BIGRAM model on a reference corpus, score every
+  * document's perplexity, and bucket the corpus into head / middle /
+  * tail by exact perplexity terciles — the standard LM-quality stage
+  * of public pretraining pipelines (CCNet trains KenLM on Wikipedia
+  * and keeps the low-perplexity head; Wenzek et al. 2020 §4.3). A
+  * bigram with one-count discounting is the smallest model that
+  * exercises every KN ingredient — discount, context fan-out
+  * interpolation, continuation probability — while every quantity
+  * stays a ratio of integer corpus counts, which is what makes the
+  * score bit-reproducible across engines.
+  *
+  * Model (discount D, trained on the reference bigram counts c12 with
+  * a BOS context `<s>` before each document's first token):
+  *
+  *  - continuation: Pc(w2) = (N1+(·,w2) + 1) / (N1+(··) + V + 1) —
+  *    add-one smoothed over the continuation vocabulary so unseen
+  *    words keep positive mass (the +1/+V+1 terms make it a proper
+  *    distribution over V ∪ {OOV});
+  *  - seen context w1: P(w2|w1) = (max(c12 − D, 0)
+  *      + D · N1+(w1,·) · Pc(w2)) / c(w1)  — absolute discounting
+  *    with the freed mass D·N1+(w1,·) re-spent on Pc;
+  *  - unseen context: P(w2|w1) = Pc(w2).
+  *
+  * Exactness: P is assembled from integer counts and the literal D in
+  * a fixed IEEE expression shape (both engines execute the identical
+  * operation sequence on identical doubles), and the ONE
+  * libm-dependent step — ln — snaps to the 1e-6 grid immediately
+  * ([[TextStats.unigramLogProb]]'s measured-zero-straddle precedent).
+  * Per-doc log-prob sums are exact long arithmetic; the per-token
+  * rate is an exact half-away integer division to the 1e-9 grid; the
+  * tercile cuts come from [[graft.stats.Quantiles.exactQuantiles]]
+  * (distinct-value histogram + two-level prefix sum — percentile_disc
+  * semantics, engine-exact on the integer rate key).
+  *
+  * Scale design (100 TB contract): the model tables are bounded by
+  * the reference vocabulary, not the scored corpus; candidate
+  * generation is three equi-joins (bigram, context, continuation) +
+  * one broadcast scalar row; the per-doc aggregate is a map-side
+  * combinable long sum; the tercile pass rides the exact-quantiles
+  * histogram (distinct rate values, two-level prefix sum — no
+  * corpus-wide window). No driver collects.
+  */
+object LmPerplexity {
+
+  /** (doc_id, w1, w2): the document's bigram stream with a `<s>` BOS
+    * context on the first token; token-less docs contribute nothing. */
+  def bigrams(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__pos", "w2")))
+      .select(col("doc_id"),
+        when(col("__pos") === 0, lit("<s>"))
+          .otherwise(element_at(col("__toks"), col("__pos"))).as("w1"),
+        col("w2"))
+
+  /** Per-document KN-bigram score against the `train` reference:
+    * (doc_id, n_bigrams, lp_micro, ppl) for every document with at
+    * least one token — `lp_micro` the exact 1e-6-grid log-prob sum,
+    * `ppl` = exp(−lp/n) snapped at 1e-6. */
+  def score(train: DataFrame, docs: DataFrame, d: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    val trbg = bigrams(train, textCol, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val ctx = trbg.groupBy("w1")
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1p"))
+    val cont = trbg.groupBy("w2").agg(count(lit(1)).as("__nc"))
+    val tot = trbg.agg(count(lit(1)).as("__nn"),
+      countDistinct(col("w2")).as("__v"))
+
+    val pc = (coalesce(col("__nc"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__nn") + col("__v") + lit(1L))
+    val seen = (greatest(
+        coalesce(col("__c12"), lit(0L)).cast("double") - lit(d), lit(0.0)) +
+      lit(d) * col("__n1p") * pc) / col("__c1")
+    val p = when(col("__c1").isNotNull, seen).otherwise(pc)
+
+    bigrams(docs, textCol, idCol)
+      .join(trbg, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        // the one libm step, snapped immediately (ln-snap precedent)
+        round(log(p) * lit(1e6), 0).cast("long").as("__lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("lp_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("lp_micro"),
+        round(exp(col("lp_micro").cast("double") * lit(-1.0) / lit(1e6) /
+          col("n_bigrams")), 6).as("ppl"))
+  }
+
+  /** [[score]] + CCNet's head/middle/tail corpus split by EXACT
+    * perplexity terciles: the cut keys are per-token log-prob rates on
+    * the 1e-9 integer grid (exact half-away division), the cuts are
+    * percentile_disc picks from [[graft.stats.Quantiles]], and docs at
+    * a cut fall to the worse bucket (deterministic by value). Every
+    * document comes back: token-less docs carry the sentinel row
+    * (n_bigrams 0, lp_micro 0, ppl −1, bucket 'empty').
+    * @return (doc_id, n_bigrams, lp_micro, ppl, bucket) */
+  def buckets(train: DataFrame, docs: DataFrame, d: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = score(train, docs, d, textCol, idCol)
+      // exact per-token rate: sign · (2·|lp·1000| + n) div (2n) — the
+      // unigramLogProb half-away-division pattern, 1e-9 grid
+      .withColumn("__rate",
+        when(col("lp_micro") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(2 * abs(lp_micro * 1000) + n_bigrams) div (2 * n_bigrams)"))
+    val cuts = graft.stats.Quantiles.exactQuantiles(scored, "__rate", 3)
+      .agg(max(when(col("j") === 1, col("__rate"))).as("__c33"),
+        max(when(col("j") === 2, col("__rate"))).as("__c67"))
+    val bucketed = scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("lp_micro"), col("ppl"),
+        when(col("__rate") <= col("__c33"), lit("tail"))
+          .when(col("__rate") <= col("__c67"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+    docs.select(col(idCol).as("doc_id")).join(bucketed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp_micro"), lit(0L)).as("lp_micro"),
+        coalesce(col("ppl"), lit(-1.0)).as("ppl"),
+        coalesce(col("bucket"), lit("empty")).as("bucket"))
+  }
+}

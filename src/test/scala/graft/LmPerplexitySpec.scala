@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.LmPerplexity
+
+/** Semantics pins for the CCNet-style KN-bigram perplexity filter. */
+class LmPerplexitySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def snapLn(p: Double): Long =
+    java.math.BigDecimal.valueOf(math.log(p) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+
+  test("bigrams emit a BOS context and skip token-less docs") {
+    val docs = Seq((1L, "a b"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = LmPerplexity.bigrams(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "<s>", "a"), (1L, "a", "b"), (3L, "<s>", "x")))
+  }
+
+  test("hand-computed KN probabilities on a 4-token reference") {
+    // train "a b a b": bigrams (<s>,a) (a,b) (b,a) (a,b)
+    //   c12: (<s>,a)=1 (a,b)=2 (b,a)=1
+    //   ctx: <s>(c1=1,n1p=1)  a(c1=2,n1p=1)  b(c1=1,n1p=1)
+    //   cont: a nc=2, b nc=1; NN=3, V=2
+    //   Pc(a)=3/6  Pc(b)=2/6  Pc(OOV)=1/6
+    val train = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    // doc "a b": P(<s>,a) = (0.25 + 0.75*1*0.5)/1 = 0.625
+    //            P(a,b)   = (1.25 + 0.75*1*(2/6))/2 = 0.75
+    val scored = LmPerplexity.score(train, Seq((1L, "a b")).toDF("doc_id", "text"))
+      .collect().head
+    val wantLp = snapLn(0.625) + snapLn(0.75)
+    assert(scored.getAs[Long]("lp_micro") === wantLp)
+    assert(scored.getAs[Long]("n_bigrams") === 2L)
+    val wantPpl = BigDecimal(math.exp(wantLp.toDouble * -1.0 / 1e6 / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(scored.getAs[Double]("ppl") === wantPpl)
+  }
+
+  test("unseen contexts and continuations stay finite (backoff paths)") {
+    val train = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    // "z q": (<s>,z) seen context <s>, unseen continuation z:
+    //   P = (0 + 0.75*1*(1/6))/1 = 0.125
+    // (z,q): unseen context z -> pure continuation: P = Pc(q) = 1/6
+    val r = LmPerplexity.score(train, Seq((1L, "z q")).toDF("doc_id", "text"))
+      .collect().head
+    assert(r.getAs[Long]("lp_micro") === snapLn(0.125) + snapLn(1.0 / 6))
+    assert(!r.getAs[Double]("ppl").isNaN && !r.getAs[Double]("ppl").isInfinite)
+  }
+
+  test("in-distribution text scores lower perplexity than word soup") {
+    val ref = (0 until 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "dog the over fox brown lazy jumps quick the")).toDF("doc_id", "text")
+    val out = LmPerplexity.score(ref, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    assert(out(100L) < out(101L),
+      s"in-distribution doc not favored: ${out(100L)} vs ${out(101L)}")
+  }
+
+  test("buckets: exact terciles, worse bucket on cut ties, empty sentinel") {
+    // 9 docs with strictly ordered perplexities: the reference doc
+    // family repeated i times mixes known bigrams with OOV tails
+    val train = Seq((50L, "a b c d e f g h")).toDF("doc_id", "text")
+    val docs = ((0 until 9).map { i =>
+      val good = Seq("a b c d e f g h", "a b", "c d").map(_.split(" ")).flatten
+      val text = (good.take(2 + i) ++ Seq.fill(9 - i)(s"oov$i")).mkString(" ")
+      (i.toLong, text)
+    } :+ (99L, "")).toDF("doc_id", "text")
+    val out = LmPerplexity.buckets(train, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("bucket"), r.getAs[Double]("ppl")))).toMap
+    assert(out(99L) === (("empty", -1.0)))
+    val byBucket = out.view.filterKeys(_ != 99L).toSeq.groupBy(_._2._1)
+    assert(byBucket("tail").size === 3 && byBucket("middle").size === 3 &&
+      byBucket("head").size === 3, byBucket.toString)
+    // every tail ppl >= every middle ppl >= every head ppl
+    val tMin = byBucket("tail").map(_._2._2).min
+    val mMax = byBucket("middle").map(_._2._2).max
+    val mMin = byBucket("middle").map(_._2._2).min
+    val hMax = byBucket("head").map(_._2._2).max
+    assert(tMin >= mMax && mMin >= hMax,
+      s"buckets not ordered: tail>=$tMin mid[$mMin,$mMax] head<=$hMax")
+  }
+
+  test("scoring is partitioning-independent (exact integer sums)") {
+    val train = (0 until 30).map(i => (i.toLong,
+      s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 7}")).toDF("doc_id", "text")
+    val docs = (0 until 40).map(i => (i.toLong,
+      s"tok${i % 7} tok${(i + 3) % 5} oov${i % 3}")).toDF("doc_id", "text")
+    val a = LmPerplexity.buckets(train, docs).orderBy("doc_id").collect().toSeq
+    val b = LmPerplexity.buckets(train.repartition(7), docs.repartition(13))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
