@@ -728,6 +728,31 @@ object DocQueries {
       val w = Classifier.fitNorm(docs, "y", dim = 64, iters = 15, lr = 6.0)
       Classifier.classifyNorm(docs, w, dim = 64).orderBy("doc_id")
     }),
+    "q_pagerank" -> ((s, dir) => {
+      // crawl-graph centrality (round 10): fixed-iteration PageRank in
+      // exact picorank integer arithmetic over a content-derived link
+      // graph — doc u links to the docs its first three tokens hash
+      // to (common tokens make hub pages, a realistically skewed
+      // in-degree), self-loops dropped, broken links pruned so they
+      // become dangling mass. 10 unrolled iterations replay in DuckDB
+      // CTE-for-CTE.
+      val docs = documents(s, dir)
+      val nn = broadcast(docs.agg(count(lit(1)).as("__n")))
+      val edges = docs
+        .select(col("doc_id"),
+          posexplode(slice(TextOps.tokens(col("text")), 1, 3))
+            .as(Seq("__p", "__t")))
+        .crossJoin(nn)
+        .select(col("doc_id").as("src"),
+          (TextOps.hash56(col("__t")) % col("__n")).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .join(docs.select(col("doc_id").cast("long").as("dst")), Seq("dst"))
+        .distinct()
+      graft.operators.PageRank.ranks(
+          docs.select(col("doc_id").as("node")), edges, iters = 10)
+        .select(col("node").as("doc_id"), col("rank_pico"), col("rank"))
+        .orderBy("doc_id")
+    }),
     "q_lm_ppl" -> ((s, dir) => {
       // CCNet-style LM quality filter (round 10): interpolated
       // Kneser-Ney bigram model trained on the reference third of the
@@ -1215,6 +1240,45 @@ object DocQueries {
          |  FROM w${i - 1} JOIN g$i USING (dim) CROSS JOIN nn)""".stripMargin
     }
     (Seq(header) ++ laterIters).mkString(",\n")
+  }
+
+  /** q_pagerank oracle: the integer-exact picorank power iteration of
+    * [[graft.operators.PageRank]] unrolled CTE-for-CTE (the
+    * Lloyd/GD precedent) — per iteration the inbound share sum
+    * (truncating `//` on non-negative longs ≡ Spark `div`), the
+    * dangling-mass scalar, and the damped update, all on the 1e-12
+    * mass grid. */
+  private def pageRankSql(iters: Int): String = {
+    val M = "1000000000000"
+    val header =
+      s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |tk AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |ed0 AS (SELECT doc_id AS src, (${hash56("t")}) % nn.n AS dst
+         |  FROM (SELECT doc_id, unnest(list_slice(toks, 1, 3)) AS t FROM tk)
+         |  CROSS JOIN nn),
+         |edges AS (SELECT DISTINCT ed0.src, ed0.dst
+         |  FROM ed0 JOIN documents d2 ON ed0.dst = d2.doc_id
+         |  WHERE ed0.src <> ed0.dst),
+         |deg AS (SELECT src, count(*)::BIGINT AS c FROM edges GROUP BY 1),
+         |r0 AS (SELECT doc_id AS node, $M // n AS r
+         |  FROM documents CROSS JOIN nn)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""sh$i AS (SELECT e.dst AS node, sum(p.r // d.c)::BIGINT AS inm
+         |  FROM edges e JOIN r${i - 1} p ON e.src = p.node
+         |  JOIN deg d ON e.src = d.src GROUP BY 1),
+         |dg$i AS (SELECT coalesce(sum(p.r), 0)::BIGINT AS dang
+         |  FROM r${i - 1} p LEFT JOIN deg d ON p.node = d.src
+         |  WHERE d.src IS NULL),
+         |r$i AS MATERIALIZED (SELECT n0.node,
+         |    ((15 * $M // 100) // nn.n
+         |      + 85 * (coalesce(s.inm, 0) + dg.dang // nn.n) // 100)::BIGINT AS r
+         |  FROM (SELECT doc_id AS node FROM documents) n0
+         |  LEFT JOIN sh$i s USING (node)
+         |  CROSS JOIN dg$i dg CROSS JOIN nn)""".stripMargin
+    }
+    s"""WITH ${(Seq(header) ++ its).mkString(",\n")}
+       |SELECT node AS doc_id, r AS rank_pico, r::DOUBLE / 1e12 AS rank
+       |FROM r$iters ORDER BY doc_id""".stripMargin
   }
 
   private def sqlList(xs: Seq[String]): String =
@@ -2738,6 +2802,7 @@ object DocQueries {
     "q_quality_clf" -> qualityClfSql(3, 0.5, 0.0),
     "q_quality_clf_l2" -> qualityClfSql(10, 0.5, 0.001),
     "q_quality_clf_norm" -> qualityClfNormSql(15, 6.0, 0.0),
+    "q_pagerank" -> pageRankSql(10),
 
     // mirrors LmPerplexity.buckets: KN-bigram probabilities as fixed
     // IEEE expressions over integer counts, ln snapped at 1e-6, exact

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — the crawl-scale link
+  * centrality signal (Page et al. 1999; Common Crawl publishes exactly
+  * this over its host webgraph, and crawl frontier prioritization /
+  * seed-quality weighting consume it).
+  *
+  * INTEGER-EXACT power iteration: ranks live on a picorank grid
+  * (total mass M = 1e12 split as exact longs), every per-iteration
+  * quantity — the per-edge share `r div outdeg`, the inbound sum, the
+  * dangling redistribution `dangling div N`, the damped update — is
+  * truncating integer arithmetic on non-negative longs (floor ==
+  * truncate, and DuckDB's `//` agrees), so the whole trajectory is
+  * order-free, partitioning-independent, and bitwise replayable in
+  * SQL (the unrolled-CTE oracle pattern). Truncation sheds < 1 pico
+  * per division; the deliberately-unnormalized output lets the oracle
+  * pin mass conservation too.
+  *
+  * Update (damping num/den, default 85/100):
+  * {{{
+  *   r_0(v)     = M div N
+  *   share_t(u) = r_t(u) div outdeg(u)          (outdeg > 0)
+  *   dang_t     = Σ r_t(u) over outdeg(u) = 0
+  *   r_{t+1}(v) = ((den−num)·M div den) div N
+  *              + num·(Σ_{u→v} share_t(u) + dang_t div N) div den
+  * }}}
+  *
+  * Scale design (100 TB contract): the classic distributed
+  * formulation — per iteration one equi-join (ranks ⋈ edges on src,
+  * outdeg folded into the edge list ONCE up front), one
+  * map-side-combinable long-sum aggregate per dst, one broadcast
+  * 1-row dangling scalar; ranks persist per iteration (bounded: one
+  * row per node) so the plan depth stays constant instead of growing
+  * with the iteration count. No driver collects — the dangling mass
+  * rides a broadcast join, not an action.
+  */
+object PageRank {
+
+  /** @param nodes one column `node` (distinct node ids, long)
+    * @param edges columns `src`, `dst` (longs; deduplicated and
+    *              self-loop-free — callers with raw links should
+    *              `.distinct()` and filter first)
+    * @return (node, rank_pico, rank) after `iters` iterations */
+  def ranks(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int = 10,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
+    val M = 1000000000000L // total picorank mass
+    val n1 = nodes.select(col("node").cast("long").as("node"))
+    val nn = broadcast(n1.agg(count(lit(1)).as("__n")))
+
+    // outdeg folded into the edge list once: (src, dst, __deg).
+    // localCheckpoint (eager) rather than persist: each iteration
+    // references the previous ranks TWICE (inbound shares + dangling
+    // mass), so an uncut lineage doubles per iteration — 2^iters
+    // analysis blowup. Checkpointing truncates the logical plan to the
+    // materialized RDD, bounding every iteration's plan at constant
+    // depth (the standard iterative-graph cadence; GraphX checkpoints
+    // on the same schedule).
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val eD = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .join(deg, Seq("src")).localCheckpoint()
+    val srcs = deg.select(col("src").as("node"))
+
+    var r = n1.crossJoin(nn)
+      .select(col("node"), expr(s"$M div __n").as("__r")).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val prev = r
+      val inbound = eD.join(prev.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("__r div __deg")).as("__in"))
+      val dang = broadcast(
+        prev.join(srcs, Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("__r")), lit(0L)).as("__dang")))
+      r = n1.join(inbound, Seq("node"), "left")
+        .crossJoin(dang).crossJoin(nn)
+        .select(col("node"), expr(
+          s"((($dampDen - $dampNum) * $M div $dampDen) div __n) + " +
+          s"($dampNum * (coalesce(__in, 0L) + __dang div __n) div $dampDen)")
+          .as("__r"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), col("__r").as("rank_pico"),
+      (col("__r").cast("double") / lit(1e12)).as("rank"))
+  }
+}
