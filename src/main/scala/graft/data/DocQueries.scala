@@ -728,6 +728,13 @@ object DocQueries {
       val w = Classifier.fitNorm(docs, "y", dim = 64, iters = 15, lr = 6.0)
       Classifier.classifyNorm(docs, w, dim = 64).orderBy("doc_id")
     }),
+    "q_weighted_sample" -> ((s, dir) =>
+      // Efraimidis-Spirakis weighted sampling without replacement
+      // (round 10): 120 docs drawn proportional-to-n_chars via
+      // deterministic reservoir keys ln(u)/w (u from the salted id
+      // hash, ln snapped at 1e-6) — one global top-k, no window
+      CorpusOps.weightedSample(documents(s, dir), "n_chars", k = 120)
+        .orderBy("doc_id")),
     "q_pagerank" -> ((s, dir) => {
       // crawl-graph centrality (round 10): fixed-iteration PageRank in
       // exact picorank integer arithmetic over a content-derived link
@@ -2803,6 +2810,20 @@ object DocQueries {
     "q_quality_clf_l2" -> qualityClfSql(10, 0.5, 0.001),
     "q_quality_clf_norm" -> qualityClfNormSql(15, 6.0, 0.0),
     "q_pagerank" -> pageRankSql(10),
+
+    // mirrors CorpusOps.weightedSample: A-ES keys ln(u)/w with
+    // u = (hash56+1)/(2^56+1) and the ln snapped at 1e-6; top-120 by
+    // (key DESC, doc_id) — both engines sort the identical doubles
+    "q_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, n_chars::BIGINT AS weight,
+         |    ${hash56("'ws' || ':' || 'graft' || ':' || doc_id::VARCHAR")} AS hv
+         |  FROM documents WHERE n_chars > 0),
+         |kk AS (SELECT doc_id, weight,
+         |    round(ln((hv + 1) / 72057594037927937) * 1e6, 0)::BIGINT AS lnu
+         |  FROM h),
+         |sel AS (SELECT doc_id, weight, lnu::DOUBLE / weight AS key FROM kk
+         |  ORDER BY key DESC, doc_id LIMIT 120)
+         |SELECT doc_id, weight, key FROM sel ORDER BY doc_id""".stripMargin,
 
     // mirrors LmPerplexity.buckets: KN-bigram probabilities as fixed
     // IEEE expressions over integer counts, ln snapped at 1e-6, exact

@@ -183,6 +183,50 @@ object CorpusOps {
     * @return (id, shard, pos) — shard in [0, nShards), pos the
     *         0-based position within the shard
     */
+  /** WEIGHTED sampling without replacement — Efraimidis-Spirakis
+    * reservoir keys (Efraimidis & Spirakis 2006): each item draws
+    * u ~ U(0,1) and the k largest u^(1/w) win, which is exactly
+    * probability-proportional-to-weight sampling without replacement.
+    * Maximizing u^(1/w) ≡ maximizing ln(u)/w, so the key never
+    * overflows and one global top-k suffices.
+    *
+    * Deterministic and engine-exact: u = (hash56(salt:id) + 1) /
+    * (2^56 + 1) ∈ (0,1) — both numerator and denominator pass through
+    * the identical IEEE long→double rounding in every engine — and
+    * the ONE libm step (ln) snaps to the 1e-6 grid immediately
+    * ([[TextStats.unigramLogProb]] precedent); the sort key
+    * `ln_micro / w` is then one IEEE division of exactly-agreed
+    * values, tie-broken by id. Weights must be positive integers
+    * (corpus weights — chars, tokens, dup counts — are); w <= 0 rows
+    * are excluded, the A-ES domain.
+    *
+    * Scale: one projection + a global top-k (per-partition TakeOrdered
+    * k, then a k-row merge — no full sort, no corpus-wide window).
+    *
+    * @return the k winners as (id, weight, key), key descending ==
+    *         inclusion order */
+  def weightedSample(
+      docs: DataFrame,
+      weightCol: String,
+      k: Int,
+      salt: String = "graft",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = hash56(concat_ws(":", lit("ws"), lit(salt),
+      col(idCol).cast("string")))
+    // (h+1)/(2^56+1): both sides round long->double identically
+    val u = (h + lit(1L)) / lit(72057594037927937L)
+    val lnu = round(log(u) * lit(1e6), 0).cast("long")
+    docs.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        lnu.as("__lnu"))
+      .withColumn("key",
+        col("__lnu").cast("double") / col("weight"))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), col("key"))
+  }
+
   def epochShard(
       docs: DataFrame,
       epoch: Int,

@@ -336,6 +336,41 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(e1 == brute)
   }
 
+  test("weightedSample: proportional inclusion, domain guard, determinism") {
+    import org.apache.spark.sql.functions.col
+    // one overwhelming weight among unit weights: A-ES inclusion
+    // probability for the heavy item is ~1 across any salt
+    val docs = ((0 until 60).map(i => (i.toLong, 1L)) :+ (999L, 1000000L))
+      .toDF("doc_id", "w")
+    for (salt <- Seq("a", "b", "c", "d", "e")) {
+      val ids = CorpusOps.weightedSample(docs, "w", k = 10, salt = salt)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(999L), s"heavy item missing under salt $salt")
+      assert(ids.size === 10)
+    }
+    // w <= 0 excluded (the A-ES domain); k > n returns all eligible
+    val mixed = Seq((1L, 5L), (2L, 0L), (3L, -4L), (4L, 2L))
+      .toDF("doc_id", "w")
+    val all = CorpusOps.weightedSample(mixed, "w", k = 100).collect()
+    assert(all.map(_.getLong(0)).toSet === Set(1L, 4L))
+    // deterministic and partitioning-independent; keys strictly
+    // ordered by inclusion rank
+    val big = (0 until 500).map(i => (i.toLong, (i % 17 + 1).toLong))
+      .toDF("doc_id", "w")
+    val a = CorpusOps.weightedSample(big, "w", k = 50)
+      .orderBy(col("key").desc, col("doc_id")).collect().toSeq
+    val b = CorpusOps.weightedSample(big.repartition(13), "w", k = 50)
+      .orderBy(col("key").desc, col("doc_id")).collect().toSeq
+    assert(a === b)
+    assert(a.map(_.getDouble(2)).sliding(2).forall(p => p(0) >= p(1)))
+    // larger weights win more slots in aggregate: compare the mean
+    // weight of winners vs the corpus mean (proportional sampling
+    // must pull the winner distribution toward heavy items)
+    val meanW = a.map(_.getLong(1)).sum.toDouble / a.size
+    val corpusMean = (1 to 17).sum.toDouble / 17
+    assert(meanW > corpusMean, s"winners not weight-biased: $meanW")
+  }
+
   test("mergeCorpus: verdicts, tombstones, ties, and losing updates") {
     val current = Seq((1L, 10L, "one"), (2L, 20L, "two"), (3L, 30L, "three"),
       (4L, 40L, "four")).toDF("doc_id", "ts", "text")
