@@ -563,6 +563,15 @@ object DocQueries {
       // values at integer ranks), so doubles compare bitwise
       graft.stats.Quantiles.exactQuantiles(
         s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice", q = 10)),
+    "q_sample_quantiles" -> ((s, dir) =>
+      // the bounded-size quantile path (round 10): deciles of the
+      // 2,000-row hash-order sample of l_extendedprice — the sample is
+      // a deterministic simple random draw (smallest salted key
+      // hashes), so re-runs, repartitions, and the oracle pick the
+      // identical rows; DKW bounds the rank error independent of N
+      graft.stats.Quantiles.sampleQuantiles(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice",
+        q = 10, k = 2000, keyCols = Seq("l_orderkey", "l_linenumber"))),
     "q_bloom_semijoin" -> ((s, dir) => {
       // Bloom runtime filter ahead of a selective join: lineitem is
       // pre-filtered scan-locally through a Bloom of nation 3's
@@ -728,6 +737,24 @@ object DocQueries {
       val w = Classifier.fitNorm(docs, "y", dim = 64, iters = 15, lr = 6.0)
       Classifier.classifyNorm(docs, w, dim = 64).orderBy("doc_id")
     }),
+    "q_text_norm" -> ((s, dir) =>
+      // Unicode normal form (round 10): each doc's text is roughed up
+      // into a mixed-spelling multilingual form — uppercased ASCII
+      // prefix, a precomposed Latin-1 accented capital chosen by the
+      // id, and a DECOMPOSED vowel + combining acute (U+0301) — and
+      // graft_textnorm must reduce it to the composed lowercase
+      // normal form the oracle derives via nfc_normalize + lower.
+      // Pins that both spelling families land on one key (the reason
+      // normalization precedes every dedup/count hash).
+      documents(s, dir).select(col("doc_id"),
+        TextOps.normalizeText(concat(
+          upper(substring(col("text"), 1, 16)), lit(" "),
+          // Spark chr() wraps at 256 (chr(n % 256)), so the combining
+          // acute U+0301 must be a literal; 192..214 are safe in both
+          expr("chr(192 + doc_id % 23)"), lit(" "),
+          expr("substr('AEIOU', cast(doc_id % 5 as int) + 1, 1)"),
+          lit("\u0301"))).as("norm"))
+        .orderBy("doc_id")),
     "q_weighted_sample" -> ((s, dir) =>
       // Efraimidis-Spirakis weighted sampling without replacement
       // (round 10): 120 docs drawn proportional-to-n_chars via
@@ -2544,6 +2571,26 @@ object DocQueries {
         |FROM k JOIN r ON r.rb < k.rank AND k.rank <= r.rb + r.c
         |ORDER BY k.j""".stripMargin,
 
+    // mirrors Quantiles.sampleQuantiles: the 2,000 smallest salted key
+    // hashes form the sample, then the q_quantiles rank pick over it
+    "q_sample_quantiles" ->
+      s"""WITH s0 AS (SELECT l_extendedprice AS v,
+         |    ${hash56("'sq' || ':' || 'graft' || ':' || l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")} AS h
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |smp AS (SELECT v FROM s0 ORDER BY h, v LIMIT 2000),
+         |c AS (SELECT v, count(*)::BIGINT AS c FROM smp GROUP BY 1),
+         |r AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |        AS rb, c FROM c),
+         |n AS (SELECT sum(c)::BIGINT AS n FROM c),
+         |j AS (SELECT unnest(range(11)) AS j),
+         |k AS (SELECT j, j::DOUBLE / 10 AS p,
+         |        greatest(1, (j * n + 9) // 10)::BIGINT AS rank
+         |      FROM j CROSS JOIN n)
+         |SELECT k.j, k.p, k.rank, r.v AS l_extendedprice
+         |FROM k JOIN r ON r.rb < k.rank AND k.rank <= r.rb + r.c
+         |ORDER BY k.j""".stripMargin,
+
     // the Bloom prefilter only cuts shuffle volume; the composition
     // with the real join is the plain join
     "q_bloom_semijoin" ->
@@ -2810,6 +2857,19 @@ object DocQueries {
     "q_quality_clf_l2" -> qualityClfSql(10, 0.5, 0.001),
     "q_quality_clf_norm" -> qualityClfNormSql(15, 6.0, 0.0),
     "q_pagerank" -> pageRankSql(10),
+
+    // mirrors TextOps.normalizeText: NFC canonical composition then
+    // lowercase — DuckDB's utf8proc and the JVM's Normalizer implement
+    // the same UAX #15 composition, and the planted alphabet (ASCII +
+    // Latin-1 accented + vowel-with-combining-acute) lowercases 1:1
+    // identically in both
+    "q_text_norm" ->
+      """SELECT doc_id, lower(nfc_normalize(
+        |    upper(substr(text, 1, 16)) || ' ' ||
+        |    chr((192 + doc_id % 23)::INT) || ' ' ||
+        |    substr('AEIOU', (doc_id % 5)::INT + 1, 1) || chr(769)))
+        |  AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // mirrors CorpusOps.weightedSample: A-ES keys ln(u)/w with
     // u = (hash56+1)/(2^56+1) and the ln snapped at 1e-6; top-120 by

@@ -78,6 +78,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${GraftExtensions.UrlCanonName} takes exactly 1 argument, got ${args.length}")
         UrlCanon(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftExtensions.TextNormName),
+      new ExpressionInfo(classOf[TextNorm].getName, GraftExtensions.TextNormName),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"${GraftExtensions.TextNormName} takes exactly 1 argument, got ${args.length}")
+        TextNorm(args.head)
+      }))
     // user queries written with the idiomatic zip_with/aggregate dot
     // composition get the fused codegen kernel automatically
     ext.injectOptimizerRule(_ => RewriteHofDot)
@@ -93,4 +101,5 @@ object GraftExtensions {
   val TokensName = "graft_tokens"
   val HtmlTextName = "graft_html_text"
   val UrlCanonName = "graft_url_canon"
+  val TextNormName = "graft_textnorm"
 }

@@ -60,4 +60,47 @@ object Quantiles {
       .select(col("j"), col("p"), col("rank"), col(dim))
       .orderBy("j")
   }
+
+  /** SAMPLE-based quantiles — the bounded-size path for when even the
+    * distinct-value histogram of [[exactQuantiles]] is too wide (a
+    * near-unique 100 TB column ships its whole domain through the
+    * shuffle; a k-row sample ships k rows, period): take the k rows
+    * with the SMALLEST salted key hashes — a deterministic,
+    * partitioning-independent, engine-replayable simple random sample
+    * (hash56 is uniform on the key domain, so hash-order top-k ≡
+    * uniform sampling without replacement; same primitive as
+    * [[graft.text.CorpusOps.weightedSample]] at equal weights) — and
+    * return the exact percentile_disc quantiles OF THE SAMPLE.
+    *
+    * Rank error is the classic DKW bound: with probability ≥ 1−δ the
+    * sampled quantile's true rank is within N·sqrt(ln(2/δ)/(2k)) of
+    * the requested one (k = 4,000 gives ~2% rank error at δ = 1e-3 —
+    * independent of N). Deterministic given (keyCols, salt): re-runs,
+    * repartitions, and the DuckDB oracle all pick the identical rows.
+    *
+    * Scale: one projection + a global top-k (per-partition TakeOrdered
+    * + k-row merge) + [[exactQuantiles]] over k rows. Nothing scales
+    * with N but the scan.
+    *
+    * @param keyCols columns forming a stable row identity (the sample
+    *                frame; duplicates of the key collapse to one draw)
+    */
+  def sampleQuantiles(
+      df: DataFrame,
+      dim: String,
+      q: Int,
+      k: Int,
+      keyCols: Seq[String],
+      salt: String = "graft"): DataFrame = {
+    require(k >= q, s"sample size k=$k must be >= q=$q")
+    require(keyCols.nonEmpty, "keyCols must name a stable row identity")
+    val h = graft.text.TextOps.hash56(concat_ws(":",
+      lit("sq") +: lit(salt) +: keyCols.map(c => col(c).cast("string")): _*))
+    val sample = df.na.drop(Seq(dim))
+      .select(col(dim), h.as("__h"))
+      .orderBy(col("__h"), col(dim))
+      .limit(k)
+      .select(col(dim))
+    exactQuantiles(sample, dim, q, numParts = 1)
+  }
 }

@@ -687,6 +687,43 @@ object Streaming {
       .drop("text")
   }
 
+  /** Streaming LM-perplexity gate — the CCNet quality stage online
+    * (round 10): each arriving document's KN-bigram perplexity against
+    * a PRE-TRAINED pruned broadcast model
+    * ([[graft.text.LmPerplexity.collectModel]] over a
+    * [[graft.text.LmPerplexity.pruneVocab]]'d reference), as a pure
+    * per-row projection — the
+    * [[graft.functions.LmScoreBcast]] kernel walks the token array
+    * once; no state, no watermark, no shuffle. Because every
+    * per-bigram log-prob snaps to the 1e-6 grid before the fold's
+    * long addition, the streamed score is BITWISE the batch
+    * [[graft.text.LmPerplexity.score]] on the same pruned corpus
+    * (StreamingSpec replay-pins it).
+    *
+    * `admitted` = ppl <= maxPpl (token-less docs carry ppl −1 and
+    * admit — an empty doc has no LM evidence against it; compose with
+    * the gopher length gate for the real pipeline).
+    * @return input columns + (n_bigrams, lp_micro, ppl, admitted) */
+  def streamingLmGate(
+      docs: DataFrame,
+      model: org.apache.spark.broadcast.Broadcast[graft.text.LmPerplexity.LmModel],
+      maxPpl: Double,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val toks = graft.text.TextOps.tokens(col(textCol))
+    val lp = column(graft.functions.LmScoreBcast(expression(toks), model))
+    docs
+      .withColumn("n_bigrams", size(toks).cast("long"))
+      .withColumn("lp_micro", lp)
+      .withColumn("ppl",
+        when(col("n_bigrams") > 0L,
+          round(exp(col("lp_micro").cast("double") * lit(-1.0) / lit(1e6) /
+            col("n_bigrams")), 6))
+          .otherwise(lit(-1.0)))
+      .withColumn("admitted",
+        col("n_bigrams") === 0L || col("ppl") <= lit(maxPpl))
+  }
+
   def streamingHllRegisters(
       events: DataFrame,
       key: Column,

@@ -98,6 +98,77 @@ object LmPerplexity {
           col("n_bigrams")), 6).as("ppl"))
   }
 
+  /** Vocabulary pruning — the transform that makes an LM DEPLOYABLE:
+    * tokens outside the top-`v` by corpus frequency (ties broken by
+    * token, ascending) are replaced with `<unk>` everywhere, so the
+    * trained model's size is bounded by the KEPT vocabulary instead of
+    * the corpus (CCNet ships a pruned KenLM for the same reason).
+    * Applied to BOTH the reference and the scored corpus, the
+    * join-based [[score]] and the broadcast stateless scorer see the
+    * identical token streams. One aggregate + a broadcast semi-join
+    * keyed membership test; the rewrite is a pure projection. */
+  /** The kept vocabulary itself (driver-side, bounded by `v` —
+    * the model artifact a deployment ships). */
+  def topVocab(docs: DataFrame, v: Int, textCol: String = "text"): Array[String] = {
+    require(v >= 1, s"vocab size must be >= 1, got $v")
+    docs.select(explode(TextOps.tokens(col(textCol))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t"))
+      .limit(v)
+      .collect().map(_.getString(0)) // bounded: v rows
+  }
+
+  def pruneVocab(docs: DataFrame, vocab: Array[String],
+      textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol,
+      concat_ws(" ", transform(TextOps.tokens(col(textCol)),
+        t => when(array_contains(typedlit(vocab.toSeq), t), t)
+          .otherwise(lit("<unk>")))))
+
+  /** Driver-collected KN model for BROADCAST stateless scoring — the
+    * deployable artifact: bounded by the (pruned) reference
+    * vocabulary, never by the scored corpus. Bigrams key on
+    * `w1 + " " + w2` — collision-free because tokens cannot contain
+    * spaces (the tokenizer splits on them). */
+  final class LmModel(
+      val big: java.util.HashMap[String, java.lang.Long],
+      val ctx: java.util.HashMap[String, Array[Long]], // w1 -> [c1, n1p]
+      val cont: java.util.HashMap[String, java.lang.Long],
+      val nn: Long,
+      val v: Long,
+      val d: Double) extends Serializable
+
+  /** Collect the KN model tables to the driver. BOUNDED ONLY IF the
+    * training corpus is vocabulary-pruned ([[pruneVocab]]) — the
+    * contract every shipped LM honors; the join-based [[score]] has no
+    * such requirement and stays fully distributed. */
+  def collectModel(train: DataFrame, d: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): LmModel = {
+    require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    val trbg = bigrams(train, textCol, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+      .persist()
+    try {
+      val big = new java.util.HashMap[String, java.lang.Long]()
+      trbg.collect().foreach(r => big.put(
+        r.getString(0) + " " + r.getString(1),
+        java.lang.Long.valueOf(r.getAs[Long]("__c12"))))
+      val ctx = new java.util.HashMap[String, Array[Long]]()
+      trbg.groupBy("w1")
+        .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1p"))
+        .collect().foreach(r => ctx.put(r.getString(0),
+          Array(r.getAs[Long]("__c1"), r.getAs[Long]("__n1p"))))
+      val cont = new java.util.HashMap[String, java.lang.Long]()
+      trbg.groupBy("w2").agg(count(lit(1)).as("__nc"))
+        .collect().foreach(r => cont.put(r.getString(0),
+          java.lang.Long.valueOf(r.getAs[Long]("__nc"))))
+      val tot = trbg.agg(count(lit(1)).as("__nn"),
+        countDistinct(col("w2")).as("__v")).collect().head
+      new LmModel(big, ctx, cont, tot.getAs[Long]("__nn"),
+        tot.getAs[Long]("__v"), d)
+    } finally trbg.unpersist()
+  }
+
   /** [[score]] + CCNet's head/middle/tail corpus split by EXACT
     * perplexity terciles: the cut keys are per-token log-prob rates on
     * the 1e-9 integer grid (exact half-away division), the cuts are

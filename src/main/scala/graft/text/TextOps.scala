@@ -73,6 +73,24 @@ object TextOps {
     call_function(name, url)
   }
 
+  /** Unicode normal form for cross-document comparison: NFC canonical
+    * composition + root-locale lowercase ([[graft.functions.TextNorm]]
+    * — no builtin can express NFC, so the kernel is required, the
+    * [[canonicalizeUrl]] contract). Normalize BEFORE hashing/shingling:
+    * precomposed vs combining-mark spellings of the same word
+    * otherwise fragment every dedup/count key. */
+  def normalizeText(text: Column): Column = {
+    val name = graft.functions.GraftExtensions.TextNormName
+    val registered =
+      org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+        try s.catalog.functionExists(name)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    require(registered,
+      s"$name is not registered - attach graft.functions.GraftExtensions")
+    call_function(name, text)
+  }
+
   /** All n-token shingles (with duplicates, in positional order);
     * empty array when the document has fewer than n tokens. When the
     * session registered [[graft.functions.GraftExtensions]], the native

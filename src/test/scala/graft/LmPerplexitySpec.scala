@@ -87,6 +87,19 @@ class LmPerplexitySpec extends AnyFunSuite with SparkSpec {
       s"buckets not ordered: tail>=$tMin mid[$mMin,$mMax] head<=$hMax")
   }
 
+  test("pruneVocab keeps the top-v tokens, maps the rest to <unk>") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "c a b c d")).toDF("doc_id", "text")
+    val vocab = LmPerplexity.topVocab(docs, v = 2)
+    assert(vocab.toSeq === Seq("a", "b")) // by count desc, token asc
+    val pruned = LmPerplexity.pruneVocab(docs, vocab).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(pruned(1L) === "a a a b b <unk>")
+    assert(pruned(2L) === "<unk> a b <unk> <unk>")
+    // frequency ties break by token ascending
+    val tied = Seq((1L, "z y z y x")).toDF("doc_id", "text")
+    assert(LmPerplexity.topVocab(tied, 2).toSeq === Seq("y", "z"))
+  }
+
   test("scoring is partitioning-independent (exact integer sums)") {
     val train = (0 until 30).map(i => (i.toLong,
       s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 7}")).toDF("doc_id", "text")

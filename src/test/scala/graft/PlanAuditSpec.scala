@@ -31,7 +31,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q_bm25",                 // one-row corpus constants (N, total len)
     "q_unigram_lp",           // one-row corpus constant (total tokens)
     "q_zorder_rank",          // one-row corpus constant (total rows N)
-    "q_quantiles")            // q+1-row rank broadcast, interval pick
+    "q_quantiles",            // q+1-row rank broadcast, interval pick
+    "q_sample_quantiles",     // same rank broadcast over the k-row sample
+    "q_lm_ppl",               // one-row tercile-cut broadcast (c33, c67)
+    "q_pagerank")             // one-row N + dangling-mass broadcasts
 
   test("no cartesian product in any query plan") {
     plans.foreach { case (name, p) =>

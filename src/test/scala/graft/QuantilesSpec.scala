@@ -78,4 +78,38 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
       Quantiles.exactQuantiles(d, "v", 0)
     }
   }
+
+  test("sampleQuantiles: deterministic draw, DKW-bounded rank error, " +
+      "full-sample degeneracy") {
+    import spark.implicits._
+    val n = 20000
+    val vals = (0 until n).map(i => (i.toLong, ((i * 7919) % n).toDouble))
+      .toDF("id", "v")
+    val got = Quantiles.sampleQuantiles(vals, "v", q = 10, k = 2000,
+      keyCols = Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    // rank error: DKW at k=2000, delta=1e-3 gives eps ~ 0.0436; assert
+    // each sampled decile's TRUE rank is within 2 eps of the target
+    val eps = math.sqrt(math.log(2 / 1e-3) / (2 * 2000.0))
+    (0 to 10).foreach { j =>
+      val trueRank = got(j.toLong) / n // values are 0..n-1, rank ~ v/n
+      assert(math.abs(trueRank - j / 10.0) <= 2 * eps,
+        s"decile $j: sampled value rank $trueRank")
+    }
+    // deterministic across repartitionings
+    val a = Quantiles.sampleQuantiles(vals, "v", 10, 2000, Seq("id"))
+      .collect().toSeq
+    val b = Quantiles.sampleQuantiles(vals.repartition(17), "v", 10, 2000,
+      Seq("id")).collect().toSeq
+    assert(a === b)
+    // k >= N degenerates to the exact quantiles
+    val small = (0 until 300).map(i => (i.toLong, (i % 37).toDouble))
+      .toDF("id", "v")
+    val exact = Quantiles.exactQuantiles(small, "v", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val full = Quantiles.sampleQuantiles(small, "v", 10, k = 1000,
+      keyCols = Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(full === exact)
+  }
 }

@@ -72,4 +72,37 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.60,
       f"recall $recall%.3f below the 65k-cell probe floor")
   }
+
+  test("200k-node PageRank probe: constant-depth iteration, mass bound, " +
+      "hub skew") {
+    // chain + hash-derived hub edges: every node links to its successor
+    // and to one of 1,000 hub nodes, so in-degree is heavily skewed --
+    // the shape of a real host graph. 5 iterations at 200k nodes /
+    // ~400k edges pins that the localCheckpoint cadence keeps each
+    // iteration's plan constant-depth (the 2^iters lineage blowup
+    // reproduced at 20 nodes without it) and that integer mass stays
+    // within the truncation bound at real size.
+    val n = 200000L
+    val nodes = spark.range(n).toDF("node")
+    val edges = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1) % n).as("dst"))
+      .union(spark.range(n).select(col("id").as("src"),
+        pmod(col("id") * 2654435761L, lit(1000L)).as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nEdges = edges.count()
+    val t0 = System.nanoTime()
+    val agg = graft.operators.PageRank.ranks(nodes, edges, iters = 5)
+      .agg(sum("rank_pico").as("mass"), count(lit(1)).as("cnt"),
+        max("rank_pico").as("hub"), min("rank_pico").as("lo"))
+      .collect().head
+    info(f"200k-node 5-iter PageRank: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val M = 1000000000000L
+    assert(agg.getAs[Long]("cnt") === n)
+    val mass = agg.getAs[Long]("mass")
+    // each iteration truncates < 1 pico per share/base/damped division
+    assert(mass <= M && mass >= M - 5L * (nEdges + 3 * n + 10), s"mass $mass")
+    // hubs dominate: max rank far above the uniform 1/n share
+    assert(agg.getAs[Long]("hub") > 20L * (M / n), s"no hub skew: $agg")
+    assert(agg.getAs[Long]("lo") > 0L)
+  }
 }

@@ -366,6 +366,63 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamingIngestGate must remain a stateless projection")
   }
 
+  test("streamingLmGate scores bitwise the batch KN model on the pruned " +
+      "corpus and stays a stateless projection") {
+    import graft.streaming.StreamDoc
+    import graft.text.LmPerplexity
+    implicit val sqlCtx = spark.sqlContext
+    val fns = org.apache.spark.sql.functions
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // deployable model: prune BOTH reference and scored corpus to the
+    // top-40 vocabulary, train on the even ids, collect + broadcast
+    val vocab = LmPerplexity.topVocab(raw, v = 40)
+    val pruned = LmPerplexity.pruneVocab(raw, vocab)
+      .select("doc_id", "text").persist()
+    val ref = pruned.filter(fns.col("doc_id") % 2 === 0)
+    val model = LmPerplexity.collectModel(ref)
+    val bc = spark.sparkContext.broadcast(model)
+    // batch truth: the fully-distributed join-based scorer
+    val batch = LmPerplexity.score(ref, pruned).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("lp_micro"), r.getAs[Double]("ppl")))).toMap
+    val rows = pruned.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val out = Streaming.streamingLmGate(in.toDS().toDF(), bc, maxPpl = 30.0)
+    val q = out.writeStream.format("memory").queryName("lm_gate")
+      .outputMode("append").start()
+    rows.grouped(120).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("lm_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(streamed.size === rows.size)
+    var admittedSeen = 0
+    var rejectedSeen = 0
+    batch.foreach { case (id, (n, lp, ppl)) =>
+      val r = streamed(id)
+      assert(r.getAs[Long]("n_bigrams") === n, s"doc $id n_bigrams")
+      assert(r.getAs[Long]("lp_micro") === lp, s"doc $id lp_micro") // bitwise
+      assert(r.getAs[Double]("ppl") === ppl, s"doc $id ppl")        // bitwise
+      val admitted = r.getAs[Boolean]("admitted")
+      assert(admitted === (ppl <= 30.0), s"doc $id admitted")
+      if (admitted) admittedSeen += 1 else rejectedSeen += 1
+    }
+    // the threshold actually separates this corpus (not vacuous)
+    assert(admittedSeen > 0 && rejectedSeen > 0,
+      s"vacuous gate: $admittedSeen admitted, $rejectedSeen rejected")
+    val plan = Streaming.streamingLmGate(in.toDS().toDF(), bc, 30.0)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"),
+      "streamingLmGate must remain a stateless projection")
+    pruned.unpersist()
+  }
+
   test("streamingBoilerplate replayed as ONE batch matches stripBoilerplate") {
     import graft.streaming.{StreamChunk, StreamDoc}
     implicit val sqlCtx = spark.sqlContext
