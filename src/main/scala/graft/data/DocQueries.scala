@@ -166,6 +166,16 @@ object DocQueries {
           .withColumn("y", (col("lang") === "en").cast("long")),
         "y", dim = 64, iters = 3, lr = 0.5))
 
+  /** Normalized-classifier weights (the q_quality_clf_norm recipe),
+    * memoized per data dir — shared by the stack composite, the
+    * pre-trained-model deployment pattern. */
+  private val clfNormWeightsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+  private def clfNormWeights(s: SparkSession, dir: String): Array[Long] =
+    clfNormWeightsMemo.getOrElseUpdate(dir,
+      Classifier.fitNorm(documents(s, dir).withColumn("y", clfNormLabel),
+        "y", dim = 64, iters = 15, lr = 6.0))
+
   /** Stopword-density quality label for the normalized classifier:
     * 1000·|{the,a} tokens| >= 61·ntok (the corpus-median cut) — an
     * integer-exact compare, so both engines label identically. */
@@ -733,9 +743,29 @@ object DocQueries {
       // ratio matches the prior). 92% accuracy, predictions ~49/51
       // across 0.5. Same bitwise discipline: one snap per doc-margin,
       // one per gradient contribution.
-      val docs = documents(s, dir).withColumn("y", clfNormLabel)
-      val w = Classifier.fitNorm(docs, "y", dim = 64, iters = 15, lr = 6.0)
-      Classifier.classifyNorm(docs, w, dim = 64).orderBy("doc_id")
+      Classifier.classifyNorm(documents(s, dir), clfNormWeights(s, dir),
+        dim = 64).orderBy("doc_id")
+    }),
+    "q_quality_stack" -> ((s, dir) => {
+      // the three quality FAMILIES every public pipeline composes —
+      // rule-based (Gopher), trained classifier (fastText-style,
+      // length-normalized), and reference LM perplexity (CCNet) — as
+      // ONE verdict table (round 10; the composition-seam pin for the
+      // quality half, the tear-sheet-composite precedent): admitted =
+      // gopher pass AND classifier pass AND not the LM tail tercile.
+      val docs = documents(s, dir)
+      val gq = TextStats.gopherRules(docs)
+        .select(col("doc_id"), col("quality_pass"))
+      val clf = Classifier.classifyNorm(docs, clfNormWeights(s, dir),
+          dim = 64)
+        .select(col("doc_id"), col("predicted").as("clf_pass"))
+      val lm = LmPerplexity.buckets(docs.filter(col("doc_id") % 3 === 0), docs)
+        .select(col("doc_id"), col("bucket").as("lm_bucket"))
+      gq.join(clf, "doc_id").join(lm, "doc_id")
+        .withColumn("admitted",
+          (col("quality_pass") === 1 && col("clf_pass") === 1 &&
+            col("lm_bucket") =!= "tail").cast("int"))
+        .orderBy("doc_id")
     }),
     "q_text_norm" -> ((s, dir) =>
       // Unicode normal form (round 10): each doc's text is roughed up
@@ -1208,14 +1238,20 @@ object DocQueries {
     * replay is bitwise at any depth (mirrors
     * [[graft.text.Classifier.fitNorm]]/classifyNorm). */
   private def qualityClfNormSql(iters: Int, lr: Double, l2: Double,
-      thr: Double = 0.5): String = {
-    val sig = s"round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6)"
+      thr: Double = 0.5): String =
     s"""WITH ${clfNormTrainCtes(iters, lr, l2)},
-       |nm AS (${normMarginSql(s"w$iters")}),
+       |${clfNormScoreCtes(iters, thr)}
+       |SELECT doc_id, score, predicted FROM nsc ORDER BY doc_id""".stripMargin
+
+  /** Scoring half of [[qualityClfNormSql]] (no WITH): `nm` margins +
+    * `nsc(doc_id, score, predicted)` — split out so the quality-stack
+    * composite can reuse the trained normalized model. */
+  private def clfNormScoreCtes(iters: Int, thr: Double = 0.5): String = {
+    val sig = s"round(1.0 / (1 + exp(-(ms::DOUBLE) / 1e6)), 6)"
+    s"""nm AS (${normMarginSql(s"w$iters")}),
        |nsc AS (SELECT doc_id, $sig AS score,
        |  (CASE WHEN $sig >= $thr THEN 1 ELSE 0 END)::INT AS predicted
-       |  FROM nm)
-       |SELECT doc_id, score, predicted FROM nsc ORDER BY doc_id""".stripMargin
+       |  FROM nm)""".stripMargin
   }
 
   /** Normalized margin of `feats` against weight table `wt`:
@@ -1275,6 +1311,57 @@ object DocQueries {
     }
     (Seq(header) ++ laterIters).mkString(",\n")
   }
+
+  /** CTE chain of the q_lm_ppl oracle (no WITH), ending in
+    * `fin(doc_id, n, s, ppl, bucket)` over the scored docs — split
+    * out so the quality-stack composite reuses the LM stage. */
+  private def lmPplCtes: String =
+    s"""tk AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |bg AS (SELECT doc_id,
+         |    CASE WHEN pos = 0 THEN '<s>' ELSE toks[pos] END AS w1,
+         |    toks[pos + 1] AS w2
+         |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+         |        FROM tk WHERE len(toks) > 0)),
+         |trbg AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg
+         |  WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+         |ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p
+         |  FROM trbg GROUP BY 1),
+         |cont AS (SELECT w2, count(*)::BIGINT AS nc FROM trbg GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS nn,
+         |  count(DISTINCT w2)::BIGINT AS v FROM trbg),
+         |sc AS (SELECT b.doc_id,
+         |    round(ln(CASE WHEN c.c1 IS NOT NULL THEN
+         |        (greatest(coalesce(t.c12, 0)::DOUBLE - 0.75, 0.0)
+         |          + 0.75 * c.n1p *
+         |            ((coalesce(k.nc, 0) + 1)::DOUBLE / (tot.nn + tot.v + 1)))
+         |        / c.c1
+         |      ELSE (coalesce(k.nc, 0) + 1)::DOUBLE / (tot.nn + tot.v + 1)
+         |      END) * 1e6, 0)::BIGINT AS lp
+         |  FROM bg b LEFT JOIN trbg t ON b.w1 = t.w1 AND b.w2 = t.w2
+         |  LEFT JOIN ctx c ON b.w1 = c.w1
+         |  LEFT JOIN cont k ON b.w2 = k.w2
+         |  CROSS JOIN tot),
+         |ds AS (SELECT doc_id, count(*)::BIGINT AS n, sum(lp)::BIGINT AS s
+         |  FROM sc GROUP BY 1),
+         |rt AS (SELECT doc_id, n, s,
+         |    (CASE WHEN s * 1000 < 0 THEN -1 ELSE 1 END)
+         |      * ((2 * abs(s * 1000) + n) // (2 * n)) AS rate FROM ds),
+         |hc AS (SELECT rate AS v, count(*)::BIGINT AS c FROM rt GROUP BY 1),
+         |hr AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |        AS rb, c FROM hc),
+         |hn AS (SELECT sum(c)::BIGINT AS n FROM hc),
+         |ks AS (SELECT j, greatest(1, (j * n + 2) // 3)::BIGINT AS rank
+         |  FROM (SELECT unnest([1, 2]) AS j) CROSS JOIN hn),
+         |ct AS (SELECT
+         |    max(CASE WHEN j = 1 THEN v END) AS c33,
+         |    max(CASE WHEN j = 2 THEN v END) AS c67
+         |  FROM ks JOIN hr ON hr.rb < ks.rank AND ks.rank <= hr.rb + hr.c),
+         |fin AS (SELECT rt.doc_id, rt.n, rt.s,
+         |    round(exp(rt.s::DOUBLE * -1.0 / 1e6 / rt.n), 6) AS ppl,
+         |    CASE WHEN rt.rate <= ct.c33 THEN 'tail'
+         |         WHEN rt.rate <= ct.c67 THEN 'middle' ELSE 'head' END AS bucket
+         |  FROM rt CROSS JOIN ct)""".stripMargin
 
   /** q_pagerank oracle: the integer-exact picorank power iteration of
     * [[graft.operators.PageRank]] unrolled CTE-for-CTE (the
@@ -2856,6 +2943,24 @@ object DocQueries {
     "q_quality_clf" -> qualityClfSql(3, 0.5, 0.0),
     "q_quality_clf_l2" -> qualityClfSql(10, 0.5, 0.001),
     "q_quality_clf_norm" -> qualityClfNormSql(15, 6.0, 0.0),
+
+    // the quality-stack composite: gopher + normalized classifier + LM
+    // tercile replayed from their SHARED CTE generators, one verdict
+    // per doc (empty docs carry the 'empty' bucket via the left join)
+    "q_quality_stack" ->
+      s"""WITH $gopherCtes,
+         |${clfNormTrainCtes(15, 6.0, 0.0)},
+         |${clfNormScoreCtes(15)},
+         |$lmPplCtes
+         |SELECT gq.doc_id, gq.quality_pass,
+         |  nsc.predicted AS clf_pass,
+         |  coalesce(f.bucket, 'empty') AS lm_bucket,
+         |  (CASE WHEN gq.quality_pass = 1 AND nsc.predicted = 1
+         |        AND coalesce(f.bucket, 'empty') <> 'tail'
+         |    THEN 1 ELSE 0 END)::INT AS admitted
+         |FROM gq JOIN nsc USING (doc_id)
+         |LEFT JOIN fin f USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_pagerank" -> pageRankSql(10),
 
     // mirrors TextOps.normalizeText: NFC canonical composition then
@@ -2890,52 +2995,7 @@ object DocQueries {
     // long doc sums, 1e-9-grid half-away rate, percentile_disc tercile
     // cuts replayed with the q_quantiles histogram formulation
     "q_lm_ppl" ->
-      s"""WITH tk AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |bg AS (SELECT doc_id,
-         |    CASE WHEN pos = 0 THEN '<s>' ELSE toks[pos] END AS w1,
-         |    toks[pos + 1] AS w2
-         |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
-         |        FROM tk WHERE len(toks) > 0)),
-         |trbg AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg
-         |  WHERE doc_id % 3 = 0 GROUP BY 1, 2),
-         |ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p
-         |  FROM trbg GROUP BY 1),
-         |cont AS (SELECT w2, count(*)::BIGINT AS nc FROM trbg GROUP BY 1),
-         |tot AS (SELECT count(*)::BIGINT AS nn,
-         |  count(DISTINCT w2)::BIGINT AS v FROM trbg),
-         |sc AS (SELECT b.doc_id,
-         |    round(ln(CASE WHEN c.c1 IS NOT NULL THEN
-         |        (greatest(coalesce(t.c12, 0)::DOUBLE - 0.75, 0.0)
-         |          + 0.75 * c.n1p *
-         |            ((coalesce(k.nc, 0) + 1)::DOUBLE / (tot.nn + tot.v + 1)))
-         |        / c.c1
-         |      ELSE (coalesce(k.nc, 0) + 1)::DOUBLE / (tot.nn + tot.v + 1)
-         |      END) * 1e6, 0)::BIGINT AS lp
-         |  FROM bg b LEFT JOIN trbg t ON b.w1 = t.w1 AND b.w2 = t.w2
-         |  LEFT JOIN ctx c ON b.w1 = c.w1
-         |  LEFT JOIN cont k ON b.w2 = k.w2
-         |  CROSS JOIN tot),
-         |ds AS (SELECT doc_id, count(*)::BIGINT AS n, sum(lp)::BIGINT AS s
-         |  FROM sc GROUP BY 1),
-         |rt AS (SELECT doc_id, n, s,
-         |    (CASE WHEN s * 1000 < 0 THEN -1 ELSE 1 END)
-         |      * ((2 * abs(s * 1000) + n) // (2 * n)) AS rate FROM ds),
-         |hc AS (SELECT rate AS v, count(*)::BIGINT AS c FROM rt GROUP BY 1),
-         |hr AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-         |        AS rb, c FROM hc),
-         |hn AS (SELECT sum(c)::BIGINT AS n FROM hc),
-         |ks AS (SELECT j, greatest(1, (j * n + 2) // 3)::BIGINT AS rank
-         |  FROM (SELECT unnest([1, 2]) AS j) CROSS JOIN hn),
-         |ct AS (SELECT
-         |    max(CASE WHEN j = 1 THEN v END) AS c33,
-         |    max(CASE WHEN j = 2 THEN v END) AS c67
-         |  FROM ks JOIN hr ON hr.rb < ks.rank AND ks.rank <= hr.rb + hr.c),
-         |fin AS (SELECT rt.doc_id, rt.n, rt.s,
-         |    round(exp(rt.s::DOUBLE * -1.0 / 1e6 / rt.n), 6) AS ppl,
-         |    CASE WHEN rt.rate <= ct.c33 THEN 'tail'
-         |         WHEN rt.rate <= ct.c67 THEN 'middle' ELSE 'head' END AS bucket
-         |  FROM rt CROSS JOIN ct)
+      s"""WITH $lmPplCtes
          |SELECT d.doc_id, coalesce(f.n, 0)::BIGINT AS n_bigrams,
          |  coalesce(f.s, 0)::BIGINT AS lp_micro,
          |  coalesce(f.ppl, -1.0) AS ppl,
@@ -2943,6 +3003,7 @@ object DocQueries {
          |FROM documents d LEFT JOIN fin f USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    
     "q_pca_gram" ->
       // mirrors Pca.covarianceLong: 1e6 fixed-point snap, exact
       // HUGEINT second moments, one double division rounded 1e-9
