@@ -335,6 +335,28 @@ object DocQueries {
         coarseCentroids(s, dir), pqResidBooks(s, dir), dim = 64, k = 10,
         nProbe = 4)
     }),
+    "q_cluster_sample" -> ((s, dir) => {
+      // cluster-balanced (diversity) sampling (round 10): k-means
+      // cells over the direction-normalized embeddings (the SemDeDup
+      // quantizer recipe — 16 cells, 5 exact fixed-point Lloyd
+      // iterations on the deterministic hash-subsample), then 10
+      // winners PER CELL by the salted-hash rank. Per-cluster
+      // sampling is the diversity/curriculum stage an i.i.d. draw
+      // cannot express: rare clusters keep representation.
+      val e = embeddings(s, dir)
+      val nrm = e.select(col("vec_id"), col("embedding"),
+          Similarity.l2Norm(col("embedding")).as("__n"))
+        .withColumn("__nv",
+          transform(col("embedding"), x => x.cast("double") / col("__n")))
+      val cents = Ivf.trainCentroids(nrm, nCells = 16, iters = 5,
+        vecCol = "__nv")
+      val asg = nrm.select(col("vec_id"),
+        Ivf.cellOf(col("__nv"), cents).cast("long").as("cell"))
+      CorpusOps.sampleKPerGroup(asg, k = 10, idCol = "vec_id",
+          groupCol = "cell")
+        .select(col("vec_id"), col("cell"), col("pick_rank"))
+        .orderBy("cell", "pick_rank")
+    }),
     "q_semdedup" -> ((s, dir) =>
       // semantic dedup over the planted-copy corpus: the 1.25-scaled
       // copies normalize onto their originals, land in the same k-means
@@ -930,6 +952,27 @@ object DocQueries {
       documents(s, dir)
         .select(col("doc_id"), TextOps.htmlToText(html).as("text"))
         .orderBy("doc_id")
+    }),
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL — the de-facto LLM-corpus interchange format — written
+      // as JSON-lines part files and read back under the EXPLICIT
+      // schema (inference drift is the classic silent corruption).
+      // A `probe` column carries the characters JSON must escape —
+      // quote, backslash, newline, tab, a combining mark — so the
+      // oracle (which reads the parquet table and rebuilds the probe
+      // directly) proves escape → encode → decode restores every
+      // string byte, the q_warc_roundtrip pattern.
+      val docs = documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"),
+          concat(lit("\"q\\"), lit("\n\t"), substring(col("text"), 1, 8),
+            lit("\u0301")).as("probe"))
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonl_roundtrip").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      docs.repartition(4).write.json(tmp)
+      s.read.schema(docs.schema).json(tmp).orderBy("doc_id")
     }),
     "q_warc_roundtrip" -> ((s, dir) => {
       // corpus -> WARC segment files (per-record gzip members, the
@@ -2093,6 +2136,44 @@ object DocQueries {
          |FROM rk2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
+    "q_cluster_sample" -> {
+      // replays the SemDeDup quantizer recipe over the PLAIN embedding
+      // table (normalize, hash-subsample, 5 Lloyd iterations, nearest-
+      // cell assignment — the shared lloydChain), then the q_sample_k
+      // salted-hash rank pick per cell
+      def dotSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+      s"""WITH nrm AS (SELECT vec_id, embedding,
+         |  list_transform(range(1, 65), i -> embedding[i]::DOUBLE /
+         |    sqrt(${dotSql("e0", "e0")})) AS nv
+         |  FROM embeddings e0),
+         |cnt AS (SELECT greatest(1, count(*) // 4096) AS rate FROM embeddings),
+         |samp AS (SELECT vec_id, nv FROM nrm, cnt
+         |  WHERE rate <= 1 OR (vec_id * 2654435761) % 1000003 % rate = 0),
+         |eqs AS (SELECT vec_id, d, round(nv[d + 1] * 1e6, 0)::BIGINT AS q
+         |  FROM samp CROSS JOIN range(64) t(d)),
+         |c0 AS (SELECT s.cell, e.d, e.q FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+         |    FROM samp ORDER BY vec_id LIMIT 16) s
+         |  JOIN eqs e USING (vec_id)),
+         |${lloydChain(5)},
+         |eqa AS (SELECT vec_id, d, round(nv[d + 1] * 1e6, 0)::BIGINT AS q
+         |  FROM nrm CROSS JOIN range(64) t(d)),
+         |dall AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM eqa v JOIN c5 c ON v.d = c.d GROUP BY 1, 2),
+         |asg AS (SELECT vec_id, cell::BIGINT AS cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM dall) WHERE rn = 1),
+         |pk AS (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY cell ORDER BY
+         |    ${hash56("'pick' || ':' || 'graft' || ':' || vec_id::VARCHAR")},
+         |    vec_id) AS pick_rank
+         |  FROM asg)
+         |SELECT vec_id, cell, pick_rank::INT AS pick_rank FROM pk
+         |WHERE pick_rank <= 10 ORDER BY cell, pick_rank""".stripMargin
+    },
+
     "q_semdedup" -> {
       // replays SemDedup.semDedup(nCells=16, threshold=0.95, iters=5):
       // direction-normalize, fixed-point k-means on the normalized
@@ -3240,6 +3321,15 @@ object DocQueries {
          |  octet_length(encode(text))::BIGINT AS n_bytes,
          |  text
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the JSONL round trip must restore the table byte-for-byte: the
+    // oracle reads the parquet directly and rebuilds the escape-probe
+    // column (quote, backslash, newline, tab, combining acute)
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  chr(34) || 'q' || chr(92) || chr(10) || chr(9) ||
+        |    substr(text, 1, 8) || chr(769) AS probe
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // END-TO-END corpus refresh: every stage replayed as nested CTEs —
     // the batch construction, expected URL/WET normal forms, the Bloom
