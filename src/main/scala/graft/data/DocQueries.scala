@@ -814,6 +814,55 @@ object DocQueries {
       // hash, ln snapped at 1e-6) — one global top-k, no window
       CorpusOps.weightedSample(documents(s, dir), "n_chars", k = 120)
         .orderBy("doc_id")),
+    "q_frontier" -> ((s, dir) => {
+      // CRAWL-FRONTIER composite (round 10; the crawl-side analogue of
+      // the quality stack): discovered links → `graft_url_canon` →
+      // Bloom seen-gate against the fetched history → PageRank
+      // priority → top-50 next fetches, one dataflow. The link space
+      // is TWICE the fetched corpus: targets below N are crawled pages
+      // (their canonical URLs populate the history filter — the gate
+      // must drop them, Blooms have no false negatives), targets at or
+      // above N are undiscovered; Bloom false positives drop a few
+      // candidates deterministically (the conservative crawl behavior)
+      // and the oracle replays them bit-level. Priorities come from
+      // the integer-exact PageRank over the same graph, frontier nodes
+      // dangling.
+      val docs = documents(s, dir)
+      val nn = broadcast(docs.agg(count(lit(1)).as("__n")))
+      val links = docs
+        .select(col("doc_id").as("src"),
+          posexplode(slice(TextOps.tokens(col("text")), 1, 3))
+            .as(Seq("__p", "__t")))
+        .crossJoin(nn)
+        // salt the target hash with src mod 97: the small synthetic
+        // vocabulary alone yields ~vocab-size distinct targets; the
+        // salt spreads links across the doubled space so the top-50
+        // priority pick is non-vacuous at every SF
+        .select(col("src"),
+          (TextOps.hash56(concat(col("__t"), lit(":"),
+            (col("src") % 97).cast("string"))) % (col("__n") * 2))
+            .cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val cand = links.groupBy("dst")
+        .agg(countDistinct(col("src")).as("n_refs"))
+        .withColumn("url", TextOps.canonicalizeUrl(concat(
+          lit("HTTP://Crawl.Example.COM:80/x/../d/"), col("dst"), lit("#f"))))
+      val hist = docs.select(
+        concat(lit("http://crawl.example.com/d/"), col("doc_id")).as("url"))
+      val filter = Bloom.buildFilter(hist, "url", 32768, 3)
+      val fresh = Bloom.probe(cand, "url", filter, 32768, 3)
+        .filter(!col("maybe_seen"))
+      val nodes = docs.select(col("doc_id").as("node")).unionByName(
+        docs.crossJoin(nn)
+          .select((col("doc_id") + col("__n")).cast("long").as("node")))
+      val ranks = graft.operators.PageRank.ranks(nodes, links, iters = 10)
+      fresh.join(ranks, fresh("dst") === ranks("node"))
+        .select(col("url"), col("dst"), col("n_refs"), col("rank_pico"))
+        .orderBy(col("rank_pico").desc, col("url"))
+        .limit(50)
+        .orderBy("dst")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // crawl-graph centrality (round 10): fixed-iteration PageRank in
       // exact picorank integer arithmetic over a content-derived link
@@ -1412,20 +1461,15 @@ object DocQueries {
     * (truncating `//` on non-negative longs ≡ Spark `div`), the
     * dangling-mass scalar, and the damped update, all on the 1e-12
     * mass grid. */
-  private def pageRankSql(iters: Int): String = {
+  /** Generic PageRank iteration chain (no WITH): expects upstream CTEs
+    * `prnodes(node)`, `edges(src, dst)`, and `prn(n)` (the node
+    * count); contributes deg/r0 and sh/dg/r per iteration, ending in
+    * `r<iters>`. Shared by q_pagerank and the frontier composite. */
+  private def pageRankChain(iters: Int): String = {
     val M = "1000000000000"
     val header =
-      s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
-         |tk AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |ed0 AS (SELECT doc_id AS src, (${hash56("t")}) % nn.n AS dst
-         |  FROM (SELECT doc_id, unnest(list_slice(toks, 1, 3)) AS t FROM tk)
-         |  CROSS JOIN nn),
-         |edges AS (SELECT DISTINCT ed0.src, ed0.dst
-         |  FROM ed0 JOIN documents d2 ON ed0.dst = d2.doc_id
-         |  WHERE ed0.src <> ed0.dst),
-         |deg AS (SELECT src, count(*)::BIGINT AS c FROM edges GROUP BY 1),
-         |r0 AS (SELECT doc_id AS node, $M // n AS r
-         |  FROM documents CROSS JOIN nn)""".stripMargin
+      s"""deg AS (SELECT src, count(*)::BIGINT AS c FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, $M // n AS r FROM prnodes CROSS JOIN prn)""".stripMargin
     val its = (1 to iters).map { i =>
       s"""sh$i AS (SELECT e.dst AS node, sum(p.r // d.c)::BIGINT AS inm
          |  FROM edges e JOIN r${i - 1} p ON e.src = p.node
@@ -1434,16 +1478,29 @@ object DocQueries {
          |  FROM r${i - 1} p LEFT JOIN deg d ON p.node = d.src
          |  WHERE d.src IS NULL),
          |r$i AS MATERIALIZED (SELECT n0.node,
-         |    ((15 * $M // 100) // nn.n
-         |      + 85 * (coalesce(s.inm, 0) + dg.dang // nn.n) // 100)::BIGINT AS r
-         |  FROM (SELECT doc_id AS node FROM documents) n0
+         |    ((15 * $M // 100) // prn.n
+         |      + 85 * (coalesce(s.inm, 0) + dg.dang // prn.n) // 100)::BIGINT AS r
+         |  FROM prnodes n0
          |  LEFT JOIN sh$i s USING (node)
-         |  CROSS JOIN dg$i dg CROSS JOIN nn)""".stripMargin
+         |  CROSS JOIN dg$i dg CROSS JOIN prn)""".stripMargin
     }
-    s"""WITH ${(Seq(header) ++ its).mkString(",\n")}
+    (Seq(header) ++ its).mkString(",\n")
+  }
+
+  private def pageRankSql(iters: Int): String =
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |tk AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |ed0 AS (SELECT doc_id AS src, (${hash56("t")}) % nn.n AS dst
+       |  FROM (SELECT doc_id, unnest(list_slice(toks, 1, 3)) AS t FROM tk)
+       |  CROSS JOIN nn),
+       |edges AS (SELECT DISTINCT ed0.src, ed0.dst
+       |  FROM ed0 JOIN documents d2 ON ed0.dst = d2.doc_id
+       |  WHERE ed0.src <> ed0.dst),
+       |prnodes AS (SELECT doc_id AS node FROM documents),
+       |prn AS (SELECT count(*)::BIGINT AS n FROM prnodes),
+       |${pageRankChain(iters)}
        |SELECT node AS doc_id, r AS rank_pico, r::DOUBLE / 1e12 AS rank
        |FROM r$iters ORDER BY doc_id""".stripMargin
-  }
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
@@ -3043,6 +3100,49 @@ object DocQueries {
          |LEFT JOIN fin f USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "q_pagerank" -> pageRankSql(10),
+
+    // the crawl-frontier composite: link derivation over the doubled
+    // target space, the shared PageRank chain (frontier nodes
+    // dangling), the constructed canonical normal form (q_url_canon
+    // pattern), the Bloom seen-gate's bit math (q_bloom_dedup
+    // pattern), and the top-50 priority pick
+    "q_frontier" ->
+      s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |tk AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |ed0 AS (SELECT doc_id AS src,
+         |    (${hash56("t || ':' || (doc_id % 97)::VARCHAR")}) % (2 * nn.n) AS dst
+         |  FROM (SELECT doc_id, unnest(list_slice(toks, 1, 3)) AS t FROM tk)
+         |  CROSS JOIN nn),
+         |edges AS (SELECT DISTINCT src, dst FROM ed0 WHERE src <> dst),
+         |prnodes AS (SELECT doc_id AS node FROM documents
+         |  UNION ALL SELECT doc_id + nn.n AS node FROM documents CROSS JOIN nn),
+         |prn AS (SELECT count(*)::BIGINT AS n FROM prnodes),
+         |${pageRankChain(10)},
+         |cand AS (SELECT dst, count(DISTINCT src)::BIGINT AS n_refs,
+         |    'http://crawl.example.com/d/' || dst AS url
+         |  FROM edges GROUP BY dst),
+         |ks AS (SELECT unnest(range(3)) AS i),
+         |exh AS (SELECT ${hash56("'gb1:' || url")} % 32768 AS h1,
+         |               1 + ${hash56("'gb2:' || url")} % 32767 AS h2
+         |  FROM (SELECT 'http://crawl.example.com/d/' || doc_id AS url
+         |        FROM documents)),
+         |setbits AS (SELECT DISTINCT (h1 + i * h2) % 32768 AS pos
+         |  FROM exh CROSS JOIN ks),
+         |ch AS (SELECT dst, ${hash56("'gb1:' || url")} % 32768 AS h1,
+         |               1 + ${hash56("'gb2:' || url")} % 32767 AS h2 FROM cand),
+         |cpos AS (SELECT dst, (h1 + i * h2) % 32768 AS pos
+         |  FROM ch CROSS JOIN ks),
+         |need AS (SELECT dst, count(DISTINCT pos) AS need FROM cpos GROUP BY 1),
+         |hit AS (SELECT p.dst, count(DISTINCT p.pos) AS hits
+         |  FROM cpos p JOIN setbits sb ON p.pos = sb.pos GROUP BY 1),
+         |fresh AS (SELECT c.dst, c.url, c.n_refs
+         |  FROM cand c JOIN need n USING (dst) LEFT JOIN hit h USING (dst)
+         |  WHERE coalesce(h.hits, 0) <> n.need),
+         |topk AS (SELECT f.url, f.dst, f.n_refs, r.r AS rank_pico
+         |  FROM fresh f JOIN r10 r ON r.node = f.dst
+         |  ORDER BY rank_pico DESC, url LIMIT 50)
+         |SELECT url, dst, n_refs, rank_pico FROM topk
+         |ORDER BY dst""".stripMargin,
 
     // mirrors TextOps.normalizeText: NFC canonical composition then
     // lowercase — DuckDB's utf8proc and the JVM's Normalizer implement
