@@ -125,6 +125,29 @@ object LmPerplexity {
         t => when(array_contains(typedlit(vocab.toSeq), t), t)
           .otherwise(lit("<unk>")))))
 
+  /** [[pruneVocab]] with the kept-set as a REAL Spark broadcast — the
+    * scale path: O(1) per token via one hash probe (the literal
+    * `array_contains` scans the whole vocabulary per token and bloats
+    * every task binary at shipped-LM sizes), identical output
+    * (LmPerplexitySpec pins venue equality). */
+  def pruneVocabBcast(docs: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]],
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    docs.withColumn(textCol, concat_ws(" ", column(
+      graft.functions.VocabPruneBcast(
+        expression(TextOps.tokens(col(textCol))), bc))))
+  }
+
+  /** Broadcast a kept vocabulary for [[pruneVocabBcast]]. */
+  def broadcastVocab(spark: org.apache.spark.sql.SparkSession,
+      vocab: Array[String])
+      : org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]] = {
+    val set = new java.util.HashSet[String]()
+    vocab.foreach(set.add)
+    spark.sparkContext.broadcast(set)
+  }
+
   /** Driver-collected KN model for BROADCAST stateless scoring — the
     * deployable artifact: bounded by the (pruned) reference
     * vocabulary, never by the scored corpus. Bigrams key on

@@ -98,6 +98,12 @@ class LmPerplexitySpec extends AnyFunSuite with SparkSpec {
     // frequency ties break by token ascending
     val tied = Seq((1L, "z y z y x")).toDF("doc_id", "text")
     assert(LmPerplexity.topVocab(tied, 2).toSeq === Seq("y", "z"))
+    // the broadcast-set venue produces the identical pruned corpus
+    // (O(1)-per-token path vs the O(v) literal scan)
+    val bc = LmPerplexity.broadcastVocab(spark, vocab)
+    val viaBc = LmPerplexity.pruneVocabBcast(docs, bc).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(viaBc === pruned)
   }
 
   test("scoring is partitioning-independent (exact integer sums)") {
