@@ -34,6 +34,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q_quantiles",            // q+1-row rank broadcast, interval pick
     "q_sample_quantiles",     // same rank broadcast over the k-row sample
     "q_lm_ppl",               // one-row tercile-cut broadcast (c33, c67)
+    "q_quality_stack",        // inherits the LM tercile-cut broadcast
+    "q_frontier",             // one-row N + dangling-mass broadcasts
     "q_pagerank")             // one-row N + dangling-mass broadcasts
 
   test("no cartesian product in any query plan") {
