@@ -290,6 +290,14 @@ object DocQueries {
     "q_minhash_neardup" -> ((s, dir) =>
       Dedup.minHashNearDupsFromSets(docShingleSets(s, dir, n = 3),
         numHashes = 16, bands = 4, minJaccard = 0.5)),
+    "q_edit_neardup" -> ((s, dir) =>
+      // LSH proposes, levenshtein disposes (round 10): the same banded
+      // MinHash candidates as q_minhash_neardup, verified by exact
+      // character-level edit similarity — the order-SENSITIVE verdict
+      // the order-blind Jaccard verify cannot give. Threshold on the
+      // integer cross-product, sim one IEEE division.
+      Dedup.editVerifiedNearDups(documents(s, dir), n = 3,
+        numHashes = 16, bands = 4, minSim = 0.4)),
     "q_simhash" -> ((s, dir) =>
       Dedup.simHash(documents(s, dir)).orderBy("doc_id")),
     "q_winnow" -> ((s, dir) =>
@@ -807,6 +815,20 @@ object DocQueries {
           expr("substr('AEIOU', cast(doc_id % 5 as int) + 1, 1)"),
           lit("\u0301"))).as("norm"))
         .orderBy("doc_id")),
+    "q_class_tfidf" -> ((s, dir) =>
+      // c-TF-IDF topic keywords per source class (round 10): the
+      // BERTopic labeling formula with the one ln snapped at 1e-6 —
+      // tf·round(1e6·ln(1 + A/f)) exact longs, per-class top-5 by
+      // (score desc, token)
+      TextStats.classTfidf(documents(s, dir), topK = 5)
+        .orderBy("group", "rank")),
+    "q_stratified_sample" -> ((s, dir) =>
+      // exact Hamilton apportionment across sources (round 10): 200
+      // draws split proportionally with largest-remainder top-ups —
+      // all integer arithmetic — then the salted-hash rank pick per
+      // stratum
+      CorpusOps.stratifiedSample(documents(s, dir), k = 200)
+        .orderBy("source", "pick_rank")),
     "q_weighted_sample" -> ((s, dir) =>
       // Efraimidis-Spirakis weighted sampling without replacement
       // (round 10): 120 docs drawn proportional-to-n_chars via
@@ -1899,6 +1921,39 @@ object DocQueries {
          |        (sa.sz + sb.sz - len(list_intersect(sa.s, sb.s))), 9) AS jaccard
          |  FROM cand JOIN sh2 sa ON sa.id = doc_a JOIN sh2 sb ON sb.id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_edit_neardup" -> {
+      // the q_minhash_neardup candidate replay + levenshtein verify:
+      // cut on the exact integer cross-product, sim rounded at 1e-9
+      val P = TextOps.HashP
+      val mins = (0 until 16).map { jj =>
+        val (a, b) = TextOps.hashParams(jj)
+        s"min(($a * h0 + $b) % $P) AS m$jj"
+      }.mkString(", ")
+      val bandKeys = (0 until 4).map { b =>
+        "'" + b + ":' || " + (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+          .mkString(" || ':' || ")
+      }.mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |sh AS (SELECT doc_id AS id, ${shinglesExpr("toks", 3)} AS s FROM t),
+         |sh2 AS (SELECT id, s FROM sh WHERE len(s) > 0),
+         |posts AS (SELECT id, ${hash56("g")} % $P AS h0 FROM
+         |  (SELECT id, unnest(s) AS g FROM sh2)),
+         |mh AS (SELECT id, $mins FROM posts GROUP BY id),
+         |bk AS (SELECT id, unnest($bandKeys) AS k FROM mh),
+         |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM bk a JOIN bk b ON a.k = b.k AND a.id < b.id),
+         |v AS (SELECT doc_a, doc_b,
+         |    levenshtein(da.text, db.text)::BIGINT AS lev,
+         |    greatest(length(da.text), length(db.text))::BIGINT AS ml
+         |  FROM cand JOIN documents da ON da.doc_id = doc_a
+         |  JOIN documents db ON db.doc_id = doc_b
+         |  WHERE greatest(length(da.text), length(db.text)) > 0)
+         |SELECT doc_a, doc_b, lev,
+         |  round((ml - lev)::DOUBLE / ml, 9) AS sim
+         |FROM v WHERE (ml - lev) * 1000000 >= 400000 * ml
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
@@ -3156,6 +3211,50 @@ object DocQueries {
         |    substr('AEIOU', (doc_id % 5)::INT + 1, 1) || chr(769)))
         |  AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextStats.classTfidf(topK=5): integer tf/f, the ln
+    // snapped at 1e-6, per-class rank by (score desc, token)
+    "q_class_tfidf" ->
+      s"""WITH tok AS (SELECT source AS grp, unnest($toksExpr) AS token
+         |  FROM documents),
+         |tfc AS (SELECT grp, token, count(*)::BIGINT AS tf
+         |  FROM tok GROUP BY 1, 2),
+         |ft AS (SELECT token, sum(tf)::BIGINT AS f FROM tfc GROUP BY 1),
+         |cs AS (SELECT sum(tf)::BIGINT AS tot,
+         |  count(DISTINCT grp)::BIGINT AS ncl FROM tfc),
+         |sc AS (SELECT grp, token, tf,
+         |  tf * round(ln(1.0 + (tot::DOUBLE) / ncl / f) * 1e6, 0)::BIGINT
+         |    AS score_micro
+         |  FROM tfc JOIN ft USING (token) CROSS JOIN cs),
+         |r AS (SELECT grp, token, tf, score_micro,
+         |  row_number() OVER (PARTITION BY grp
+         |    ORDER BY score_micro DESC, token) AS rank FROM sc)
+         |SELECT grp AS "group", token, tf, score_micro, rank::INT AS rank
+         |FROM r WHERE rank <= 5 ORDER BY "group", rank""".stripMargin,
+
+    // mirrors CorpusOps.stratifiedSample(k=200): integer Hamilton
+    // allocation (floor + largest-remainder top-ups, ties by group),
+    // then the q_sample_k rank pick capped per stratum
+    "q_stratified_sample" ->
+      s"""WITH cnt AS (SELECT source AS g, count(*)::BIGINT AS ng
+         |  FROM documents GROUP BY 1),
+         |tt AS (SELECT sum(ng)::BIGINT AS nn FROM cnt),
+         |al AS (SELECT g, ng, (200 * ng) // nn AS base, (200 * ng) % nn AS rem
+         |  FROM cnt CROSS JOIN tt),
+         |ar AS (SELECT g, base,
+         |    row_number() OVER (ORDER BY rem DESC, g) AS rr,
+         |    sum(base) OVER () AS bs FROM al),
+         |aa AS (SELECT g, (base +
+         |    CASE WHEN rr <= 200 - bs THEN 1 ELSE 0 END)::BIGINT AS alloc
+         |  FROM ar),
+         |h AS (SELECT doc_id, source AS g,
+         |  ${hash56("'pick:graft:' || doc_id::VARCHAR")} AS hv FROM documents),
+         |r AS (SELECT doc_id, g,
+         |  row_number() OVER (PARTITION BY g ORDER BY hv, doc_id) AS pick_rank
+         |  FROM h)
+         |SELECT doc_id, g AS source, pick_rank::INT AS pick_rank, alloc
+         |FROM r JOIN aa USING (g) WHERE pick_rank <= alloc
+         |ORDER BY source, pick_rank""".stripMargin,
 
     // mirrors CorpusOps.weightedSample: A-ES keys ln(u)/w with
     // u = (hash56+1)/(2^56+1) and the ln snapped at 1e-6; top-120 by

@@ -183,6 +183,54 @@ object CorpusOps {
     * @return (id, shard, pos) — shard in [0, nShards), pos the
     *         0-based position within the shard
     */
+  /** STRATIFIED sampling with EXACT largest-remainder (Hamilton)
+    * apportionment — the balanced-eval-set construction: group g
+    * receives floor(k·n_g/N) draws plus one of the k − Σfloor top-ups,
+    * awarded to the largest remainders (k·n_g mod N, ties by group
+    * ascending) — all integer arithmetic, so the allocation is
+    * engine-exact and sums to exactly k whenever every group can fill
+    * its quota (a group smaller than its allocation keeps all its rows;
+    * no redistribution — the documented small-stratum behavior).
+    * Within each group the winners are the salted-hash rank order (the
+    * [[sampleKPerGroup]] pick, same determinism/growth stability).
+    *
+    * Scale: one count aggregate (rows = #groups), two windows over the
+    * #groups-row allocation table (bounded — the Zorder numParts-window
+    * precedent), one broadcast join of the allocation back onto the
+    * per-group rank pick.
+    *
+    * @return winners as (id, group, pick_rank, alloc) */
+  def stratifiedSample(
+      docs: DataFrame,
+      k: Int,
+      groupCol: String = "source",
+      salt: String = "graft",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
+    val tot = broadcast(cnt.agg(sum(col("__ng")).as("__nn")))
+    val al = cnt.crossJoin(tot)
+      .withColumn("__base", expr(s"($k * __ng) div __nn"))
+      .withColumn("__rem", expr(s"($k * __ng) % __nn"))
+    // both windows run over #groups rows — bounded by construction
+    val wRem = Window.orderBy(col("__rem").desc, col(groupCol))
+    val alloc = al
+      .withColumn("__rr", row_number().over(wRem))
+      .withColumn("__bs", sum(col("__base")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("alloc", col("__base") +
+        when(col("__rr") <= lit(k.toLong) - col("__bs"), 1L).otherwise(0L))
+      .select(col(groupCol), col("alloc"))
+    val h = hash56(concat_ws(":", lit("pick"), lit(salt),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    docs.withColumn("pick_rank", row_number().over(w))
+      .join(broadcast(alloc), Seq(groupCol))
+      .filter(col("pick_rank") <= col("alloc"))
+      .select(col(idCol), col(groupCol), col("pick_rank"), col("alloc"))
+  }
+
   /** WEIGHTED sampling without replacement — Efraimidis-Spirakis
     * reservoir keys (Efraimidis & Spirakis 2006): each item draws
     * u ~ U(0,1) and the k largest u^(1/w) win, which is exactly

@@ -168,6 +168,59 @@ object Dedup {
     verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
   }
 
+  /** Near-duplicate pairs verified by EDIT DISTANCE — LSH proposes,
+    * levenshtein disposes (round 10): candidates come from the same
+    * banded-MinHash buckets as [[minHashNearDups]] (bounded equi-join,
+    * never all-pairs), but the verify stage computes the exact
+    * character-level edit similarity 1 − lev/max(len). The Jaccard
+    * verify is ORDER-BLIND (a token permutation scores 1.0); edit
+    * similarity is order-sensitive — the right verdict for
+    * template/boilerplate near-dups where wording order matters.
+    * Threshold compares on the exact integer cross-product
+    * ((maxlen − lev)·1e6 >= round(minSim·1e6)·maxlen), so the cut is
+    * engine-exact; `sim` itself is one IEEE division rounded at 1e-9.
+    *
+    * Scale: candidate volume is the LSH bucket graph; each verify is
+    * O(len²) on one candidate pair — the classic propose/verify
+    * asymmetry. Both Spark's and DuckDB's levenshtein implement the
+    * standard unit-cost DP, so the integer distances agree.
+    *
+    * @return (doc_a, doc_b, lev, sim) for verified pairs */
+  def editVerifiedNearDups(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minSim: Double = 0.8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(minSim > 0 && minSim <= 1, s"minSim must be in (0,1], got $minSim")
+    val tau = math.round(minSim * 1e6)
+    val sets = shingleSets(docs, textCol, idCol, n)
+    val sig = minHashSignaturesFromSets(sets, numHashes)
+    val bandKeys = bandKeyCols((0 until numHashes).map(j => col(s"__m$j")), bands)
+    val buckets = sig.select(col("__id"), explode(array(bandKeys: _*)).as("__bk"))
+    val ca = buckets.select(col("__bk"), col("__id").as("doc_a"))
+    val cb = buckets.select(col("__bk"), col("__id").as("doc_b"))
+    val cand = ca.join(cb, Seq("__bk")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val txt = docs.select(col(idCol), col(textCol))
+    cand
+      .join(txt.select(col(idCol).as("doc_a"), col(textCol).as("__ta")), Seq("doc_a"))
+      .join(txt.select(col(idCol).as("doc_b"), col(textCol).as("__tb")), Seq("doc_b"))
+      .withColumn("__ml",
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+      .filter(col("__ml") > 0)
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter((col("__ml") - col("lev")) * lit(1000000L) >= lit(tau) * col("__ml"))
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        round((col("__ml") - col("lev")).cast("double") / col("__ml"), 9)
+          .as("sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Connected components over a near-duplicate pair graph: every
     * document that appears in at least one pair is labeled with the
     * minimum doc id reachable through the pairs — the canonical

@@ -231,6 +231,52 @@ object TextStats {
       .orderBy(col("count").desc, col("ngram"))
       .limit(k)
 
+  /** Class-based TF-IDF keywords (c-TF-IDF — BERTopic's topic-labeling
+    * formula, Grootendorst 2022 §3.3; round 10): per class c and term
+    * t, W(t,c) = tf(t,c) · ln(1 + A / f(t)) where f(t) is the corpus
+    * term frequency and A the mean token mass per class — the IDF
+    * analogue at class granularity, so terms concentrated in one class
+    * outrank the corpus-wide commons. The standard "what is this
+    * cluster about" readout over any grouping (domains, k-means cells,
+    * dedup clusters).
+    *
+    * Exactness: tf and f are integers; the one libm step snaps —
+    * score_micro = tf · round(1e6·ln(1 + A/f)) is an exact long, and
+    * the per-class top-k orders by (score_micro desc, term asc).
+    *
+    * Scale: two map-side-combinable aggregates (class-term counts,
+    * corpus term counts), a term equi-join (vocabulary-sized side —
+    * broadcast when it fits), a 1-row constants join, and a
+    * per-CLASS rank window (vocabulary-bounded partitions).
+    *
+    * @return (group, token, tf, score_micro, rank), rank <= topK */
+  def classTfidf(
+      docs: DataFrame,
+      groupCol: String = "source",
+      topK: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(groupCol).as("group"),
+      explode(tokens(col(textCol))).as("token"))
+    val tfc = tok.groupBy("group", "token").agg(count(lit(1)).as("tf"))
+    val ft = tfc.groupBy("token").agg(sum(col("tf")).as("__f"))
+    val consts = broadcast(tfc.agg(sum(col("tf")).as("__tot"),
+      countDistinct(col("group")).as("__ncl")))
+    val scored = tfc.join(ft, Seq("token")).crossJoin(consts)
+      .withColumn("score_micro", col("tf") *
+        round(log(lit(1.0) +
+          col("__tot").cast("double") / col("__ncl") / col("__f")) * lit(1e6), 0)
+          .cast("long"))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("score_micro").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("group"), col("token"), col("tf"), col("score_micro"),
+        col("rank"))
+  }
+
   /** Corpus-unigram language-model score per document — the CCNet-style
     * perplexity-proxy quality signal: train a unigram LM on the corpus
     * itself (term frequency / total tokens) and score each document by

@@ -336,6 +336,40 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(e1 == brute)
   }
 
+  test("stratifiedSample: exact Hamilton allocation, rank-capped picks") {
+    // strata of 50/30/20 rows; k=10 -> exact proportional 5/3/2
+    val docs = ((0 until 50).map(i => (i.toLong, "a")) ++
+      (50 until 80).map(i => (i.toLong, "b")) ++
+      (80 until 100).map(i => (i.toLong, "c")))
+      .toDF("doc_id", "source")
+    val got = CorpusOps.stratifiedSample(docs, k = 10)
+    val byG = got.collect().groupBy(_.getAs[String]("source"))
+    assert(byG("a").length === 5 && byG("b").length === 3 &&
+      byG("c").length === 2, byG.view.mapValues(_.length).toMap.toString)
+    assert(got.count() === 10)
+    // remainder case: 3/3/3 rows, k=2 -> floors 0 and two top-ups by
+    // remainder (all tie at 2*3 mod 9 = 6) -> groups a and b win the
+    // tie-break (group ascending)
+    val even = ((0 until 3).map(i => (i.toLong, "a")) ++
+      (3 until 6).map(i => (i.toLong, "b")) ++
+      (6 until 9).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val e = CorpusOps.stratifiedSample(even, k = 2).collect()
+      .map(_.getAs[String]("source")).sorted.toSeq
+    assert(e === Seq("a", "b"), e.toString)
+    // allocation exceeding a stratum keeps all its rows (no error)
+    val tiny = ((0 until 2).map(i => (i.toLong, "a")) ++
+      (2 until 98).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val t = CorpusOps.stratifiedSample(tiny, k = 50).collect()
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(t("a") <= 2, t.toString)
+    // deterministic across partitionings
+    val x = CorpusOps.stratifiedSample(docs, 10).orderBy("source", "pick_rank")
+      .collect().toSeq
+    val y = CorpusOps.stratifiedSample(docs.repartition(13), 10)
+      .orderBy("source", "pick_rank").collect().toSeq
+    assert(x === y)
+  }
+
   test("weightedSample: proportional inclusion, domain guard, determinism") {
     import org.apache.spark.sql.functions.col
     // one overwhelming weight among unit weights: A-ES inclusion

@@ -82,6 +82,57 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out.keySet === nodes.toSet)
   }
 
+  test("editVerifiedNearDups: order-sensitive verify where jaccard is blind") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("delta", "delra")),   // one-char edit: near-dup
+      (3L, base.split(" ").reverse.mkString(" ")), // permutation
+      (4L, "totally different words entirely here now then when who")
+    ).toDF("doc_id", "text")
+    val got = graft.text.Dedup.editVerifiedNearDups(docs, n = 2,
+        numHashes = 16, bands = 8, minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"one-char edit pair missed: $got")
+    // the permutation shares every unigram (jaccard 1.0 at n=1) but is
+    // far in edit space - must NOT appear at 0.9 edit similarity
+    assert(!got.exists(p => p._2 == 3L || p._1 == 3L),
+      s"permuted doc wrongly edit-verified: $got")
+    // sim/lev columns are consistent
+    val row = graft.text.Dedup.editVerifiedNearDups(docs, n = 2,
+        numHashes = 16, bands = 8, minSim = 0.9)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L).collect().head
+    assert(row.getAs[Long]("lev") === 1L)
+    assert(math.abs(row.getAs[Double]("sim") -
+      (base.length - 1.0) / base.length) < 1e-9)
+  }
+
+  test("classTfidf: class-exclusive terms outrank shared commons") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common quantum quark quark", "phys"),
+      (2L, "common quark boson boson boson", "phys"),
+      (3L, "common common sonnet sonnet verse", "poet"),
+      (4L, "common verse verse stanza stanza", "poet")
+    ).toDF("doc_id", "text", "source")
+    val got = TextStats.classTfidf(docs, topK = 3)
+    val rows = got.collect().map(r => (r.getAs[String]("group"),
+      r.getAs[String]("token"), r.getAs[Int]("rank"))).toSeq
+    val physTop = rows.filter(_._1 == "phys").sortBy(_._3).map(_._2)
+    val poetTop = rows.filter(_._1 == "poet").sortBy(_._3).map(_._2)
+    // the corpus-wide 'common' never beats the class-exclusive terms
+    assert(!physTop.take(2).contains("common"), physTop.toString)
+    assert(!poetTop.take(2).contains("common"), poetTop.toString)
+    assert(physTop.head === "boson" || physTop.head === "quark", physTop.toString)
+    assert(poetTop.take(2).toSet.subsetOf(Set("sonnet", "verse", "stanza")),
+      poetTop.toString)
+    // determinism across partitionings
+    val again = TextStats.classTfidf(docs.repartition(7), topK = 3)
+      .orderBy("group", "rank").collect().toSeq
+    assert(again === got.orderBy("group", "rank").collect().toSeq)
+  }
+
   test("simHash: identical docs share hash; different docs differ") {
     val d = docs(1L -> "spark makes big data small", 2L -> "spark makes big data small",
       3L -> "entirely unrelated words here now")
