@@ -815,6 +815,37 @@ object DocQueries {
           expr("substr('AEIOU', cast(doc_id % 5 as int) + 1, 1)"),
           lit("\u0301"))).as("norm"))
         .orderBy("doc_id")),
+    "q_corpus_report" -> ((s, dir) => {
+      // ONE-ROW corpus report card (round 10): the summary a curation
+      // run prints before anyone reads a tearsheet — volume (docs,
+      // tokens, chars), diversity (sources, langs, top lang), exact
+      // duplication rate, and the gopher quality pass rate. Rates are
+      // exact half-away integer divisions onto the 1e-6 grid (the
+      // unigramLogProb pattern), so the single row is engine-bitwise.
+      val docs = documents(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(size(toks).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+      val topLang = docs.groupBy("lang").agg(count(lit(1)).as("__lc"))
+        .orderBy(col("__lc").desc, col("lang")).limit(1)
+        .select(col("lang").as("top_lang"), col("__lc").as("top_lang_docs"))
+      val gq = TextStats.gopherRules(docs)
+        .agg(sum(when(col("quality_pass") === 1, 1L).otherwise(0L))
+          .as("gopher_pass"))
+      base.crossJoin(broadcast(topLang)).crossJoin(broadcast(gq))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("n_tokens"), col("n_chars"), col("n_distinct_texts"),
+          expr("(2 * (n_docs - n_distinct_texts) * 1000000 + n_docs) div (2 * n_docs)")
+            .as("dup_rate_micro"),
+          col("top_lang"), col("top_lang_docs"), col("gopher_pass"),
+          expr("(2 * gopher_pass * 1000000 + n_docs) div (2 * n_docs)")
+            .as("gopher_rate_micro"))
+    }),
     "q_class_tfidf" -> ((s, dir) =>
       // c-TF-IDF topic keywords per source class (round 10): the
       // BERTopic labeling formula with the one ln snapped at 1e-6 —
@@ -3211,6 +3242,31 @@ object DocQueries {
         |    substr('AEIOU', (doc_id % 5)::INT + 1, 1) || chr(769)))
         |  AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors the one-row corpus report card: exact integer counts and
+    // half-away 1e-6-grid rates, gopher pass count from the shared CTEs
+    "q_corpus_report" ->
+      s"""WITH $gopherCtes,
+         |base AS (SELECT count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT source)::BIGINT AS n_sources,
+         |  count(DISTINCT lang)::BIGINT AS n_langs,
+         |  sum(len($toksExpr))::BIGINT AS n_tokens,
+         |  sum(n_chars)::BIGINT AS n_chars,
+         |  count(DISTINCT text)::BIGINT AS n_distinct_texts
+         |  FROM documents),
+         |tl AS (SELECT lang AS top_lang, count(*)::BIGINT AS top_lang_docs
+         |  FROM documents GROUP BY 1
+         |  ORDER BY top_lang_docs DESC, top_lang LIMIT 1),
+         |gp AS (SELECT sum(CASE WHEN quality_pass = 1 THEN 1 ELSE 0 END)::BIGINT
+         |  AS gopher_pass FROM gq)
+         |SELECT n_docs, n_sources, n_langs, n_tokens, n_chars,
+         |  n_distinct_texts,
+         |  (2 * (n_docs - n_distinct_texts) * 1000000 + n_docs) // (2 * n_docs)
+         |    AS dup_rate_micro,
+         |  top_lang, top_lang_docs, gopher_pass,
+         |  (2 * gopher_pass * 1000000 + n_docs) // (2 * n_docs)
+         |    AS gopher_rate_micro
+         |FROM base CROSS JOIN tl CROSS JOIN gp""".stripMargin,
 
     // mirrors TextStats.classTfidf(topK=5): integer tf/f, the ln
     // snapped at 1e-6, per-class rank by (score desc, token)
