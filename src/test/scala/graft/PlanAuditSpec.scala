@@ -36,7 +36,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q_lm_ppl",               // one-row tercile-cut broadcast (c33, c67)
     "q_quality_stack",        // inherits the LM tercile-cut broadcast
     "q_frontier",             // one-row N + dangling-mass broadcasts
-    "q_pagerank")             // one-row N + dangling-mass broadcasts
+    "q_pagerank",             // one-row N + dangling-mass broadcasts
+    "q_class_tfidf",          // one-row corpus constants (total, classes)
+    "q_stratified_sample",    // one-row total + bounded allocation join
+    "q_corpus_report")        // one-row aggregates crossed into the card
 
   test("no cartesian product in any query plan") {
     plans.foreach { case (name, p) =>
