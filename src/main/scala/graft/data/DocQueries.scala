@@ -1121,28 +1121,38 @@ object DocQueries {
       // oracle row, chained as ONE dataflow whose seams this row pins.
       //   crawl batch -> WARC encode -> part files -> DSv2 scan with
       //   warc_type pushdown -> URL canonicalization -> WET extraction
-      //   -> Bloom history gate vs the held corpus (+ exact recheck of
+      //   -> graft_textnorm (NFC + casefold, BEFORE every hash) ->
+      //   Bloom history gate vs the held corpus (+ exact recheck of
       //   the maybe-seen slice) -> gopher rules + pre-trained quality
-      //   classifier -> exact dedup (min-id keeper) -> span dedup
-      //   rewrite (k=5) -> merge upsert with tombstones -> epoch shard.
+      //   classifier -> KN-bigram LM perplexity tercile gate (CCNet;
+      //   the held corpus is the reference model, tail dropped) ->
+      //   exact dedup (min-id keeper) -> span dedup rewrite (k=5) ->
+      //   merge upsert with tombstones -> epoch shard.
       // Output: one verdict row per batch document — stage flags, text
-      // hashes at the two text-mutating boundaries, final merge verdict
-      // and shard/pos (null from the stage a document dropped at).
+      // hashes at the three text-mutating boundaries (WET, textnorm,
+      // span rewrite), the LM evidence, final merge verdict and
+      // shard/pos (sentinel from the stage a document dropped at).
       import graft.sources.Warc
       val d = documents(s, dir).select("doc_id", "text", "source")
       // the refresh batch: new docs (odds), changed re-fetches of held
       // evens (%8==4, 'v2 ' prefix -> new content, same id), unchanged
-      // re-crawls (%10==0 -> the history gate must drop them), and
-      // mirror-site duplicates of in-batch odds (%10==1, new id, same
-      // content -> the exact-dedup stage must drop the copy)
+      // re-crawls (%10==0, CASE-JITTERED uppercase-first-16 — only the
+      // textnorm pass lets the history gate catch them), and
+      // mirror-site duplicates of in-batch odds (%10==1, new id,
+      // UPPERCASED content — the exact-dedup stage drops the copy only
+      // because both spellings normalize to one key)
       val batch = d.filter(col("doc_id") % 2 === 1)
         .unionByName(d.filter(col("doc_id") % 8 === 4)
           .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"),
             col("source")))
-        .unionByName(d.filter(col("doc_id") % 10 === 0 && col("doc_id") % 8 =!= 4))
-        .unionByName(d.filter(col("doc_id") % 10 === 1)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text"),
+        .unionByName(d.filter(col("doc_id") % 10 === 0 && col("doc_id") % 8 =!= 4)
+          .select(col("doc_id"),
+            concat(upper(expr("substring(text, 1, 16)")),
+              expr("substring(text, 17)")).as("text"),
             col("source")))
+        .unionByName(d.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            upper(col("text")).as("text"), col("source")))
       def recs(kind: String, idTag: String, ctype: String,
                payload: Column) = batch.select(
         lit(kind).as("warc_type"),
@@ -1174,6 +1184,10 @@ object DocQueries {
             .as("doc_id"),
           TextOps.canonicalizeUrl(col("target_uri")).as("url"),
           TextOps.htmlToText(col("payload").cast("string")).as("wtext"))
+        // normalize BEFORE every content hash (Bloom gate, exact
+        // dedup, span shingles): the case-jittered re-crawls and
+        // uppercased mirrors collapse to the held spelling only here
+        .withColumn("ntext", TextOps.normalizeText(col("wtext")))
       // history gate: Bloom snapshot of the held corpus's WET texts
       // (evens were extracted when first crawled), scan-local probes,
       // exact recheck of the maybe-seen slice. m is sized TIGHT (2048
@@ -1184,27 +1198,28 @@ object DocQueries {
       // current side): persist the one-time WET extraction
       val exw = d.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"),
-          TextOps.htmlToText(wetWrap(col("text"))).as("wtext"))
+          TextOps.normalizeText(TextOps.htmlToText(wetWrap(col("text"))))
+            .as("ntext"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val filter = Bloom.buildFilter(
-        exw.select(col("wtext").as("text")), "text", mBits = 2048, k = 3)
+        exw.select(col("ntext").as("text")), "text", mBits = 2048, k = 3)
       // the verdict table fans SIX plan branches out of this chain
       // (gate flags, quality, exact dedup, span rewrite, merge, shard)
       // — persist the stage boundaries once, the tear-sheet
       // factor_data pattern, or every branch re-executes the whole
       // WARC scan -> WET -> probe upstream (measured 60.9s -> the
       // stage-sum price at sf0.1)
-      val gated = Bloom.probe(decoded, "wtext", filter, mBits = 2048, k = 3)
-        .join(exw.select("wtext").distinct().withColumn("__sx", lit(true)),
-          Seq("wtext"), "left")
+      val gated = Bloom.probe(decoded, "ntext", filter, mBits = 2048, k = 3)
+        .join(exw.select("ntext").distinct().withColumn("__sx", lit(true)),
+          Seq("ntext"), "left")
         .withColumn("seen_exact", coalesce(col("__sx"), lit(false)))
         .withColumn("gate_kept", !col("seen_exact"))
         .drop("__sx")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val gsurv = gated.filter(col("gate_kept")).select("doc_id", "wtext")
+      val gsurv = gated.filter(col("gate_kept")).select("doc_id", "ntext")
       // quality: rule half (gopher) + learned half (pre-trained
       // classifier, the q_quality_clf weights) — kept = both agree
-      val gq = TextStats.gopherRules(gsurv, textCol = "wtext")
+      val gq = TextStats.gopherRules(gsurv, textCol = "ntext")
         .select("doc_id", "quality_pass")
       // the learned gate runs at a CALIBRATED operating point (score
       // >= 1e-6, i.e. any positive evidence on the snapped grid), not
@@ -1214,7 +1229,7 @@ object DocQueries {
       // predictor at 0.5 (which would keep nothing and starve every
       // downstream stage)
       val scored = Classifier.classify(gsurv, clfWeights(s, dir),
-          dim = 64, threshold = 1e-6, textCol = "wtext")
+          dim = 64, threshold = 1e-6, textCol = "ntext")
         .select("doc_id", "score", "predicted")
       val qual = gq.join(scored, Seq("doc_id"))
         .withColumn("quality_kept",
@@ -1222,21 +1237,33 @@ object DocQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qsurv = gsurv.join(
         qual.filter(col("quality_kept")).select("doc_id"), Seq("doc_id"))
-      // exact dedup among quality survivors: min-id keeper per content
-      val exact = qsurv
-        .join(qsurv.groupBy("wtext").agg(min("doc_id").as("__keep")), "wtext")
+      // LM perplexity gate (CCNet): the held corpus is the reference
+      // model, quality survivors are scored against it, terciles are
+      // cut over the survivor population, and the worst tercile is
+      // dropped (token-less docs carry the 'empty' sentinel and pass,
+      // the quality-stack admission rule)
+      val lm = LmPerplexity.buckets(
+          exw.select(col("doc_id"), col("ntext").as("text")),
+          qsurv.select(col("doc_id"), col("ntext").as("text")))
+        .withColumn("lm_kept", col("bucket") =!= "tail")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lsurv = qsurv.join(
+        lm.filter(col("lm_kept")).select("doc_id"), Seq("doc_id"))
+      // exact dedup among LM survivors: min-id keeper per content
+      val exact = lsurv
+        .join(lsurv.groupBy("ntext").agg(min("doc_id").as("__keep")), "ntext")
         .withColumn("exact_kept", col("doc_id") === col("__keep"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val esurv = exact.filter(col("exact_kept")).select("doc_id", "wtext")
+      val esurv = exact.filter(col("exact_kept")).select("doc_id", "ntext")
       // span-dedup rewrite over the surviving batch (k=5)
       val span = Rewrite.spanDedup(
-        esurv.withColumnRenamed("wtext", "text"), k = 5)
+        esurv.withColumnRenamed("ntext", "text"), k = 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // merge the refresh into the held corpus: survivors upsert
       // (ts = id*10+5 beats current's id*10), tombstone feed deletes
       // evens %20==2; then shard the merged corpus for the dataloader
       val cur = exw.select(col("doc_id"), (col("doc_id") * 10).as("ts"),
-        col("wtext").as("text"))
+        col("ntext").as("text"))
       val upd = span.select(col("doc_id"),
         (col("doc_id") * 10 + 5).as("ts"), col("text"),
         lit(false).as("deleted"))
@@ -1252,19 +1279,28 @@ object DocQueries {
       // non-float columns are non-nullable (hash-stable across engines)
       gated.select(col("doc_id"), col("url"),
           md5(col("wtext")).as("wet_hash"),
+          md5(col("ntext")).as("norm_hash"),
           col("maybe_seen"), col("seen_exact"), col("gate_kept"))
         .join(qual, Seq("doc_id"), "left")
+        .join(lm.select(col("doc_id"), col("n_bigrams"), col("lp_micro"),
+          col("ppl"), col("bucket").as("lm_bucket"), col("lm_kept")),
+          Seq("doc_id"), "left")
         .join(exact.select("doc_id", "exact_kept"), Seq("doc_id"), "left")
         .join(span.select(col("doc_id"), col("n_kept"),
           md5(col("text")).as("span_hash")), Seq("doc_id"), "left")
         .join(merged.select("doc_id", "verdict"), Seq("doc_id"), "left")
         .join(shards, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("url"), col("wet_hash"),
+        .select(col("doc_id"), col("url"), col("wet_hash"), col("norm_hash"),
           col("maybe_seen"), col("seen_exact"), col("gate_kept"),
           coalesce(col("quality_pass"), lit(-1L)).as("quality_pass"),
           coalesce(col("score"), lit(-1.0)).as("score"),
           coalesce(col("predicted"), lit(-1)).as("predicted"),
           coalesce(col("quality_kept"), lit(false)).as("quality_kept"),
+          coalesce(col("n_bigrams"), lit(-1L)).as("n_bigrams"),
+          coalesce(col("lp_micro"), lit(0L)).as("lp_micro"),
+          coalesce(col("ppl"), lit(-1.0)).as("ppl"),
+          coalesce(col("lm_bucket"), lit("")).as("lm_bucket"),
+          coalesce(col("lm_kept"), lit(false)).as("lm_kept"),
           coalesce(col("exact_kept"), lit(false)).as("exact_kept"),
           coalesce(col("n_kept"), lit(-1L)).as("n_kept"),
           coalesce(col("span_hash"), lit("")).as("span_hash"),
@@ -1457,24 +1493,36 @@ object DocQueries {
     (Seq(header) ++ laterIters).mkString(",\n")
   }
 
-  /** CTE chain of the q_lm_ppl oracle (no WITH), ending in
-    * `fin(doc_id, n, s, ppl, bucket)` over the scored docs — split
-    * out so the quality-stack composite reuses the LM stage. */
-  private def lmPplCtes: String =
-    s"""tk AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |bg AS (SELECT doc_id,
+  /** CTE chain of the KN-bigram LM stage (no WITH), parametrized over
+    * the TRAINING and SCORING relations — both must expose (doc_id,
+    * text) — with an optional CTE-name prefix so the fragment composes
+    * inside larger oracles (the pageRankChain pattern). Ends in
+    * `<p>fin(doc_id, n, s, ppl, bucket)` over the scored docs, with
+    * perplexity terciles cut over the SCORING population. Shared by
+    * q_lm_ppl, the quality-stack composite, and the corpus pipeline
+    * (which trains on the held corpus and scores gate survivors). */
+  private def lmChainCtes(trainRel: String, scoreRel: String,
+      p: String = ""): String =
+    s"""${p}ttk AS (SELECT $toksExpr AS toks FROM $trainRel),
+         |${p}tbg AS (SELECT
+         |    CASE WHEN pos = 0 THEN '<s>' ELSE toks[pos] END AS w1,
+         |    toks[pos + 1] AS w2
+         |  FROM (SELECT toks, unnest(range(len(toks))) AS pos
+         |        FROM ${p}ttk WHERE len(toks) > 0)),
+         |${p}trbg AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM ${p}tbg
+         |  GROUP BY 1, 2),
+         |${p}ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p
+         |  FROM ${p}trbg GROUP BY 1),
+         |${p}cont AS (SELECT w2, count(*)::BIGINT AS nc FROM ${p}trbg GROUP BY 1),
+         |${p}tot AS (SELECT count(*)::BIGINT AS nn,
+         |  count(DISTINCT w2)::BIGINT AS v FROM ${p}trbg),
+         |${p}stk AS (SELECT doc_id, $toksExpr AS toks FROM $scoreRel),
+         |${p}sbg AS (SELECT doc_id,
          |    CASE WHEN pos = 0 THEN '<s>' ELSE toks[pos] END AS w1,
          |    toks[pos + 1] AS w2
          |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
-         |        FROM tk WHERE len(toks) > 0)),
-         |trbg AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg
-         |  WHERE doc_id % 3 = 0 GROUP BY 1, 2),
-         |ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p
-         |  FROM trbg GROUP BY 1),
-         |cont AS (SELECT w2, count(*)::BIGINT AS nc FROM trbg GROUP BY 1),
-         |tot AS (SELECT count(*)::BIGINT AS nn,
-         |  count(DISTINCT w2)::BIGINT AS v FROM trbg),
-         |sc AS (SELECT b.doc_id,
+         |        FROM ${p}stk WHERE len(toks) > 0)),
+         |${p}sc AS (SELECT b.doc_id,
          |    round(ln(CASE WHEN c.c1 IS NOT NULL THEN
          |        (greatest(coalesce(t.c12, 0)::DOUBLE - 0.75, 0.0)
          |          + 0.75 * c.n1p *
@@ -1482,31 +1530,37 @@ object DocQueries {
          |        / c.c1
          |      ELSE (coalesce(k.nc, 0) + 1)::DOUBLE / (tot.nn + tot.v + 1)
          |      END) * 1e6, 0)::BIGINT AS lp
-         |  FROM bg b LEFT JOIN trbg t ON b.w1 = t.w1 AND b.w2 = t.w2
-         |  LEFT JOIN ctx c ON b.w1 = c.w1
-         |  LEFT JOIN cont k ON b.w2 = k.w2
-         |  CROSS JOIN tot),
-         |ds AS (SELECT doc_id, count(*)::BIGINT AS n, sum(lp)::BIGINT AS s
-         |  FROM sc GROUP BY 1),
-         |rt AS (SELECT doc_id, n, s,
+         |  FROM ${p}sbg b LEFT JOIN ${p}trbg t ON b.w1 = t.w1 AND b.w2 = t.w2
+         |  LEFT JOIN ${p}ctx c ON b.w1 = c.w1
+         |  LEFT JOIN ${p}cont k ON b.w2 = k.w2
+         |  CROSS JOIN ${p}tot tot),
+         |${p}ds AS (SELECT doc_id, count(*)::BIGINT AS n, sum(lp)::BIGINT AS s
+         |  FROM ${p}sc GROUP BY 1),
+         |${p}rt AS (SELECT doc_id, n, s,
          |    (CASE WHEN s * 1000 < 0 THEN -1 ELSE 1 END)
-         |      * ((2 * abs(s * 1000) + n) // (2 * n)) AS rate FROM ds),
-         |hc AS (SELECT rate AS v, count(*)::BIGINT AS c FROM rt GROUP BY 1),
-         |hr AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+         |      * ((2 * abs(s * 1000) + n) // (2 * n)) AS rate FROM ${p}ds),
+         |${p}hc AS (SELECT rate AS v, count(*)::BIGINT AS c FROM ${p}rt GROUP BY 1),
+         |${p}hr AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-         |        AS rb, c FROM hc),
-         |hn AS (SELECT sum(c)::BIGINT AS n FROM hc),
-         |ks AS (SELECT j, greatest(1, (j * n + 2) // 3)::BIGINT AS rank
-         |  FROM (SELECT unnest([1, 2]) AS j) CROSS JOIN hn),
-         |ct AS (SELECT
+         |        AS rb, c FROM ${p}hc),
+         |${p}hn AS (SELECT sum(c)::BIGINT AS n FROM ${p}hc),
+         |${p}ks AS (SELECT j, greatest(1, (j * n + 2) // 3)::BIGINT AS rank
+         |  FROM (SELECT unnest([1, 2]) AS j) CROSS JOIN ${p}hn),
+         |${p}ct AS (SELECT
          |    max(CASE WHEN j = 1 THEN v END) AS c33,
          |    max(CASE WHEN j = 2 THEN v END) AS c67
-         |  FROM ks JOIN hr ON hr.rb < ks.rank AND ks.rank <= hr.rb + hr.c),
-         |fin AS (SELECT rt.doc_id, rt.n, rt.s,
+         |  FROM ${p}ks kk JOIN ${p}hr hr ON hr.rb < kk.rank
+         |    AND kk.rank <= hr.rb + hr.c),
+         |${p}fin AS (SELECT rt.doc_id, rt.n, rt.s,
          |    round(exp(rt.s::DOUBLE * -1.0 / 1e6 / rt.n), 6) AS ppl,
          |    CASE WHEN rt.rate <= ct.c33 THEN 'tail'
          |         WHEN rt.rate <= ct.c67 THEN 'middle' ELSE 'head' END AS bucket
-         |  FROM rt CROSS JOIN ct)""".stripMargin
+         |  FROM ${p}rt rt CROSS JOIN ${p}ct ct)""".stripMargin
+
+  /** The q_lm_ppl / quality-stack instantiation: train on the
+    * doc_id%3==0 third, score the whole corpus, unprefixed names. */
+  private def lmPplCtes: String = lmChainCtes(
+    "(SELECT text FROM documents WHERE doc_id % 3 = 0)", "documents")
 
   /** q_pagerank oracle: the integer-exact picorank power iteration of
     * [[graft.operators.PageRank]] unrolled CTE-for-CTE (the
@@ -3598,25 +3652,29 @@ object DocQueries {
          |  SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1
          |  UNION ALL SELECT doc_id, 'v2 ' || text AS text, source
          |    FROM documents WHERE doc_id % 8 = 4
-         |  UNION ALL SELECT doc_id, text, source
+         |  UNION ALL SELECT doc_id,
+         |      upper(substr(text, 1, 16)) || substr(text, 17) AS text, source
          |    FROM documents WHERE doc_id % 10 = 0 AND doc_id % 8 <> 4
-         |  UNION ALL SELECT doc_id + 200000 AS doc_id, text, source
+         |  UNION ALL SELECT doc_id + 200000 AS doc_id, upper(text) AS text,
+         |      source
          |    FROM documents WHERE doc_id % 10 = 1),
          |wet AS (SELECT doc_id,
          |    'http://crawl.example.com/' || source || '/' || doc_id::VARCHAR ||
          |      '/Asset-~v?q=%20raw&u=~' AS url,
-         |    ${wetFormSql("text")} AS wtext
+         |    ${wetFormSql("text")} AS wtext,
+         |    lower(nfc_normalize(${wetFormSql("text")})) AS ntext
          |  FROM batch),
-         |exw AS (SELECT doc_id, ${wetFormSql("text")} AS wtext
+         |exw AS (SELECT doc_id,
+         |    lower(nfc_normalize(${wetFormSql("text")})) AS ntext
          |  FROM documents WHERE doc_id % 2 = 0),
          |ks AS (SELECT unnest(range(3)) AS i),
-         |bexh AS (SELECT ${hash56("'gb1:' || wtext")} % 2048 AS h1,
-         |               1 + ${hash56("'gb2:' || wtext")} % 2047 AS h2 FROM exw),
+         |bexh AS (SELECT ${hash56("'gb1:' || ntext")} % 2048 AS h1,
+         |               1 + ${hash56("'gb2:' || ntext")} % 2047 AS h2 FROM exw),
          |setbits AS (SELECT DISTINCT (h1 + i * h2) % 2048 AS pos
          |            FROM bexh CROSS JOIN ks),
-         |binch AS (SELECT doc_id, wtext,
-         |               ${hash56("'gb1:' || wtext")} % 2048 AS h1,
-         |               1 + ${hash56("'gb2:' || wtext")} % 2047 AS h2 FROM wet),
+         |binch AS (SELECT doc_id,
+         |               ${hash56("'gb1:' || ntext")} % 2048 AS h1,
+         |               1 + ${hash56("'gb2:' || ntext")} % 2047 AS h2 FROM wet),
          |bipos AS (SELECT doc_id, (h1 + i * h2) % 2048 AS pos
          |          FROM binch CROSS JOIN ks),
          |bneed AS (SELECT doc_id, count(DISTINCT pos) AS need FROM bipos GROUP BY 1),
@@ -3625,12 +3683,12 @@ object DocQueries {
          |bseen AS (SELECT n.doc_id, coalesce(h.hits, 0) = n.need AS maybe_seen
          |         FROM bneed n LEFT JOIN bhit h USING (doc_id)),
          |bsx AS (SELECT w.doc_id,
-         |         EXISTS (SELECT 1 FROM exw e WHERE e.wtext = w.wtext) AS seen_exact
+         |         EXISTS (SELECT 1 FROM exw e WHERE e.ntext = w.ntext) AS seen_exact
          |       FROM wet w),
-         |gate AS (SELECT w.doc_id, w.url, w.wtext, s.maybe_seen, x.seen_exact,
-         |         NOT x.seen_exact AS gate_kept
+         |gate AS (SELECT w.doc_id, w.url, w.wtext, w.ntext, s.maybe_seen,
+         |         x.seen_exact, NOT x.seen_exact AS gate_kept
          |        FROM wet w JOIN bseen s USING (doc_id) JOIN bsx x USING (doc_id)),
-         |gsurv AS (SELECT doc_id, wtext AS text FROM gate WHERE gate_kept),
+         |gsurv AS (SELECT doc_id, ntext AS text FROM gate WHERE gate_kept),
          |${gopherCtes("gsurv")},
          |${clfTrainCtes(3, 0.5, 0.0)},
          |${clfScoreCtes(3, "gsurv", "cp", thr = 1e-6)},
@@ -3639,8 +3697,18 @@ object DocQueries {
          |        FROM gq JOIN cpsc c USING (doc_id)),
          |qsurv AS (SELECT g.doc_id, g.text FROM gsurv g
          |  JOIN qual q USING (doc_id) WHERE q.quality_kept),
+         |${lmChainCtes("(SELECT ntext AS text FROM exw)", "qsurv", "lm")},
+         |lmv AS (SELECT q.doc_id,
+         |    coalesce(f.n, 0)::BIGINT AS n_bigrams,
+         |    coalesce(f.s, 0)::BIGINT AS lp_micro,
+         |    coalesce(f.ppl, -1.0) AS ppl,
+         |    coalesce(f.bucket, 'empty') AS lm_bucket,
+         |    coalesce(f.bucket, 'empty') <> 'tail' AS lm_kept
+         |  FROM qsurv q LEFT JOIN lmfin f USING (doc_id)),
+         |lsurv AS (SELECT q.doc_id, q.text FROM qsurv q
+         |  JOIN lmv USING (doc_id) WHERE lmv.lm_kept),
          |ek AS (SELECT doc_id, text,
-         |  min(doc_id) OVER (PARTITION BY text) AS keep_id FROM qsurv),
+         |  min(doc_id) OVER (PARTITION BY text) AS keep_id FROM lsurv),
          |exact AS (SELECT doc_id, doc_id = keep_id AS exact_kept FROM ek),
          |esurv AS (SELECT doc_id, text FROM ek WHERE doc_id = keep_id),
          |spt AS (SELECT doc_id, $toksExpr AS toks FROM esurv),
@@ -3666,7 +3734,7 @@ object DocQueries {
          |spout AS (SELECT e.doc_id, coalesce(r.txt, '') AS text,
          |    coalesce(r.kept, 0)::BIGINT AS n_kept
          |  FROM esurv e LEFT JOIN spreb r USING (doc_id)),
-         |mu AS (SELECT doc_id, doc_id * 10 AS ts, wtext AS text,
+         |mu AS (SELECT doc_id, doc_id * 10 AS ts, ntext AS text,
          |         0 AS side, FALSE AS del FROM exw
          |  UNION ALL SELECT doc_id, doc_id * 10 + 5 AS ts, text,
          |         1 AS side, FALSE AS del FROM spout
@@ -3686,11 +3754,17 @@ object DocQueries {
          |    ${hash56("'gs2:' || doc_id::VARCHAR")}, doc_id) - 1 AS gp
          |  FROM merged)
          |SELECT g.doc_id, g.url, md5(g.wtext) AS wet_hash,
+         |  md5(g.ntext) AS norm_hash,
          |  g.maybe_seen, g.seen_exact, g.gate_kept,
          |  coalesce(q.quality_pass, -1)::BIGINT AS quality_pass,
          |  coalesce(q.score, -1.0) AS score,
          |  coalesce(q.predicted, -1)::INT AS predicted,
          |  coalesce(q.quality_kept, FALSE) AS quality_kept,
+         |  coalesce(l.n_bigrams, -1)::BIGINT AS n_bigrams,
+         |  coalesce(l.lp_micro, 0)::BIGINT AS lp_micro,
+         |  coalesce(l.ppl, -1.0) AS ppl,
+         |  coalesce(l.lm_bucket, '') AS lm_bucket,
+         |  coalesce(l.lm_kept, FALSE) AS lm_kept,
          |  coalesce(x.exact_kept, FALSE) AS exact_kept,
          |  coalesce(sp.n_kept, -1)::BIGINT AS n_kept,
          |  coalesce(md5(sp.text), '') AS span_hash,
@@ -3699,6 +3773,7 @@ object DocQueries {
          |  coalesce(s.gp // 8, -1)::BIGINT AS pos
          |FROM gate g
          |LEFT JOIN qual q USING (doc_id)
+         |LEFT JOIN lmv l USING (doc_id)
          |LEFT JOIN exact x USING (doc_id)
          |LEFT JOIN spout sp USING (doc_id)
          |LEFT JOIN merged m USING (doc_id)

@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q_sample_quantiles",     // same rank broadcast over the k-row sample
     "q_lm_ppl",               // one-row tercile-cut broadcast (c33, c67)
     "q_quality_stack",        // inherits the LM tercile-cut broadcast
+    "q_corpus_pipeline",      // inherits the LM tercile-cut broadcast
     "q_frontier",             // one-row N + dangling-mass broadcasts
     "q_pagerank",             // one-row N + dangling-mass broadcasts
     "q_class_tfidf",          // one-row corpus constants (total, classes)
