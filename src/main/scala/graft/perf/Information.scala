@@ -118,8 +118,18 @@ object Information {
       fd: FactorData,
       groupAdjust: Boolean = false,
       byGroup: Boolean = false,
+      byTime: Option[String] = None): DataFrame =
+    meanIcFrom(fd, factorInformationCoefficient(fd, groupAdjust, byGroup),
+      byGroup, byTime)
+
+  /** [[meanInformationCoefficient]] over a precomputed (ideally
+    * persisted) per-date IC table — the tear-sheet composites compute
+    * the rank-window IC series once and derive every mean from it. */
+  private[graft] def meanIcFrom(
+      fd: FactorData,
+      ic: DataFrame,
+      byGroup: Boolean = false,
       byTime: Option[String] = None): DataFrame = {
-    val ic = factorInformationCoefficient(fd, groupAdjust, byGroup)
     val keys: Seq[(String, Column)] =
       byTime.map(r => "date" -> timeBucket(r)).toSeq ++
       (if (byGroup) Seq("group" -> col("group")) else Nil)
@@ -137,8 +147,13 @@ object Information {
     * per horizon; p-value via the regularized incomplete beta (exact
     * Student-t two-sided), computed in-plan with codegen'd arithmetic on
     * the tiny aggregated row. */
-  def icSummary(fd: FactorData, groupAdjust: Boolean = false): DataFrame = {
-    val ic = factorInformationCoefficient(fd, groupAdjust)
+  def icSummary(fd: FactorData, groupAdjust: Boolean = false): DataFrame =
+    icSummaryFrom(fd, factorInformationCoefficient(fd, groupAdjust))
+
+  /** [[icSummary]] over a precomputed (ideally persisted) per-date IC
+    * table: the per-horizon aggregate rows all read one cached series
+    * instead of re-running the rank windows per horizon. */
+  private[graft] def icSummaryFrom(fd: FactorData, ic: DataFrame): DataFrame = {
     val perH = fd.returnCols.map { rc =>
       val c = col(rc)
       ic.agg(

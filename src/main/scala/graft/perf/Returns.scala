@@ -144,20 +144,44 @@ object Returns {
       byDate: Boolean = false,
       byGroup: Boolean = false,
       demeaned: Boolean = true,
+      groupAdjust: Boolean = false): DataFrame =
+    meanReturnFromStage1(fd,
+      meanReturnsStage1(fd, byGroup, demeaned, groupAdjust), byDate, byGroup)
+
+  /** First-stage estimator shared by both `by_date` variants: per
+    * (factor_quantile, date[, group]) mean/std/count per horizon over
+    * the (optionally demeaned) panel. Exposed so the tear-sheet
+    * composites can compute this one panel-wide aggregate ONCE, persist
+    * its bounded output (quantiles × dates rows), and derive every
+    * downstream table — by-date means, overall two-stage means,
+    * spread, cumulative curves — without re-scanning the panel per
+    * component. */
+  private[graft] def meanReturnsStage1(
+      fd: FactorData,
+      byGroup: Boolean = false,
+      demeaned: Boolean = true,
       groupAdjust: Boolean = false): DataFrame = {
     val base =
       if (groupAdjust) Information.demeanForwardReturns(fd, byGroup = true)
       else if (demeaned) Information.demeanForwardReturns(fd)
       else fd.df
-
     val keys1 = Seq("factor_quantile", "date") ++ (if (byGroup) Seq("group") else Nil)
     val aggs1 = fd.returnCols.flatMap { rc =>
       Seq(avg(col(rc)).as(rc),
         stddev_samp(col(rc)).as(s"__std_$rc"),
         count(col(rc)).as(s"__cnt_$rc"))
     }
-    val stage1 = base.groupBy(keys1.map(col): _*).agg(aggs1.head, aggs1.tail: _*)
+    base.groupBy(keys1.map(col): _*).agg(aggs1.head, aggs1.tail: _*)
+  }
 
+  /** Second half of [[meanReturnByQuantile]] over a precomputed
+    * [[meanReturnsStage1]] table (same flags). */
+  private[graft] def meanReturnFromStage1(
+      fd: FactorData,
+      stage1: DataFrame,
+      byDate: Boolean = false,
+      byGroup: Boolean = false): DataFrame = {
+    val keys1 = Seq("factor_quantile", "date") ++ (if (byGroup) Seq("group") else Nil)
     val (stats, keys) =
       if (byDate) (stage1, keys1)
       else {

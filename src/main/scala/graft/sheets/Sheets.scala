@@ -21,6 +21,13 @@ object Sheets {
     fd.horizons.filter(h => h.span.toNanos % 86400000000000L == 0L)
       .map(_.span.toDays.toInt)
 
+  /** Persist a shared intermediate that several sheet tables fan out
+    * of. Every cached table here is bounded by dates × quantiles (×
+    * horizons), not by panel size, so the cache cost is negligible
+    * next to the panel re-scan it saves per downstream component. */
+  private def shared(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   // ---- summary --------------------------------------------------------
 
   final case class SummaryTearSheet(
@@ -36,10 +43,13 @@ object Sheets {
       longShort: Boolean = true,
       groupNeutral: Boolean = false): SummaryTearSheet = {
     val periods = dayPeriods(fd)
+    // the IC series feeds one aggregate row per horizon — compute the
+    // rank windows once and let each row read the cached series
+    val ic = shared(Information.factorInformationCoefficient(fd))
     SummaryTearSheet(
       quantileStats = Tables.quantileStatsTable(fd),
       returnsTable = Tables.returnsTable(fd, longShort, groupNeutral),
-      icSummary = Information.icSummary(fd),
+      icSummary = Information.icSummaryFrom(fd, ic),
       quantileTurnoverMeans = Tables.quantileTurnoverMeans(fd, periods),
       autocorrelationMeans = Tables.autocorrelationMeans(fd, periods))
   }
@@ -64,17 +74,26 @@ object Sheets {
       longShort: Boolean = true,
       groupNeutral: Boolean = false,
       byGroup: Boolean = false): ReturnsTearSheet = {
-    val fr = Returns.factorReturns(fd, longShort, groupNeutral)
-    val mqr = Tables.rateConvert(Returns.meanReturnByQuantile(fd,
-      byDate = false, demeaned = longShort, groupAdjust = groupNeutral), fd)
-    val mqrDate = Tables.rateConvert(Returns.meanReturnByQuantile(fd,
-      byDate = true, demeaned = longShort, groupAdjust = groupNeutral), fd,
-      withStdErr = true)
-    val qext = mqrDate.agg(max("factor_quantile"), min("factor_quantile")).first()
+    // shared building blocks, each computed ONCE: the weighted factor
+    // returns (feeds the series, alpha/beta, and cumulative curve),
+    // the stage-1 (quantile, date) return moments (feeds both
+    // mean-quantile tables, the spread, the by-quantile cumulative
+    // curves, and the returns table), and alpha/beta itself (feeds its
+    // own section and the returns table)
+    val fr = shared(Returns.factorReturns(fd, longShort, groupNeutral))
+    val s1 = shared(Returns.meanReturnsStage1(fd, demeaned = longShort,
+      groupAdjust = groupNeutral))
+    val rawByDate = Returns.meanReturnFromStage1(fd, s1, byDate = true)
+    val mqr = Tables.rateConvert(Returns.meanReturnFromStage1(fd, s1), fd)
+    val mqrDate = Tables.rateConvert(rawByDate, fd, withStdErr = true)
+    // quantile extremes off the persisted panel — same values as the
+    // by-date table's (every quantile reaches stage 1), without
+    // executing the whole by-date plan for two ints
+    val (qTop, qBottom) = Returns.quantileExtremes(fd)
     val spread = Returns.computeMeanReturnsSpread(mqrDate,
-      qext.getInt(0), qext.getInt(1), fd.returnCols)
-    val ab = Returns.factorAlphaBeta(fd, demeaned = longShort,
-      groupAdjust = groupNeutral)
+      qTop, qBottom, fd.returnCols)
+    val ab = shared(Returns.factorAlphaBeta(fd, returns = Some(fr),
+      demeaned = longShort, groupAdjust = groupNeutral))
 
     val oneDay = fd.horizons.find(_.span == java.time.Duration.ofDays(1))
     val cum = oneDay.map { h =>
@@ -82,8 +101,7 @@ object Sheets {
         .select("date", s"cum_${h.label}")
     }
     val cumByQ = oneDay.map { h =>
-      val byDate = Returns.meanReturnByQuantile(fd, byDate = true,
-        demeaned = longShort, groupAdjust = groupNeutral)
+      val byDate = rawByDate
         .select(col("factor_quantile"), col("date"), col(h.label))
       Cumulative.cumulativeReturns(byDate, h.label, Seq("factor_quantile"))
         .select("factor_quantile", "date", s"cum_${h.label}")
@@ -95,7 +113,7 @@ object Sheets {
           groupAdjust = groupNeutral), fd))
       else None
     ReturnsTearSheet(fr, mqr, mqrDate, spread, ab,
-      Tables.returnsTable(fd, longShort, groupNeutral), cum, cumByQ, byGrp)
+      Tables.returnsTableFrom(fd, ab, mqr, mqrDate), cum, cumByQ, byGrp)
   }
 
   // ---- information ----------------------------------------------------
@@ -111,16 +129,19 @@ object Sheets {
       fd: FactorData,
       groupNeutral: Boolean = false,
       byGroup: Boolean = false): InformationTearSheet = {
-    val ic = Information.factorInformationCoefficient(fd,
-      groupAdjust = groupNeutral)
-    val monthly = Information.meanInformationCoefficient(fd,
-      groupAdjust = groupNeutral, byTime = Some("M"))
+    // the per-date rank-window IC series is the expensive part — one
+    // computation serves the series, the summary rows, and the
+    // monthly means (the by-group variant partitions its windows
+    // differently and stays separate)
+    val ic = shared(Information.factorInformationCoefficient(fd,
+      groupAdjust = groupNeutral))
+    val monthly = Information.meanIcFrom(fd, ic, byTime = Some("M"))
     val grp =
       if (byGroup)
         Some(Information.meanInformationCoefficient(fd,
           groupAdjust = groupNeutral, byGroup = true))
       else None
-    InformationTearSheet(ic, Information.icSummary(fd, groupNeutral),
+    InformationTearSheet(ic, Information.icSummaryFrom(fd, ic),
       monthly, grp)
   }
 
@@ -137,16 +158,19 @@ object Sheets {
       fd: FactorData,
       turnoverPeriods: Option[Seq[Int]] = None): TurnoverTearSheet = {
     val periods = turnoverPeriods.getOrElse(dayPeriods(fd))
-    val qt = periods.map { p =>
+    // both series are computed once; their means are cheap re-groups
+    // of the persisted series rather than second set-lag / lag-join
+    // passes over the panel
+    val qt = shared(periods.map { p =>
       Turnover.allQuantileTurnover(fd, p).withColumn("period", lit(s"${p}D"))
     }.reduce(_.unionByName(_))
-      .select("period", "factor_quantile", "date", "turnover")
-    val ac = Turnover.factorRankAutocorrelationMulti(fd, periods)
+      .select("period", "factor_quantile", "date", "turnover"))
+    val ac = shared(Turnover.factorRankAutocorrelationMulti(fd, periods)
       .select(concat(col("period").cast("string"), lit("D")).as("period"),
-        col("date"), col("autocorr"))
+        col("date"), col("autocorr")))
     TurnoverTearSheet(qt, ac,
-      Tables.quantileTurnoverMeans(fd, periods),
-      Tables.autocorrelationMeans(fd, periods))
+      Tables.quantileTurnoverMeansFrom(qt),
+      Tables.autocorrelationMeansFrom(ac))
   }
 
   // ---- full -----------------------------------------------------------

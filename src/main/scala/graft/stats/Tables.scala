@@ -60,8 +60,29 @@ object Tables {
       groupAdjust: Boolean = false): DataFrame = {
     val ab = Returns.factorAlphaBeta(fd, demeaned = demeaned,
       groupAdjust = groupAdjust)
-    val mrq = rateConvert(Returns.meanReturnByQuantile(fd, byDate = false,
-      demeaned = demeaned, groupAdjust = groupAdjust), fd)
+    // bounded (quantiles x dates) — persist so the top/bottom/spread
+    // rows all read one materialization instead of re-aggregating the
+    // panel per branch
+    val s1 = Returns.meanReturnsStage1(fd, demeaned = demeaned,
+      groupAdjust = groupAdjust)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mrq = rateConvert(Returns.meanReturnFromStage1(fd, s1), fd)
+    val mrqDate = rateConvert(
+      Returns.meanReturnFromStage1(fd, s1, byDate = true), fd,
+      withStdErr = true)
+    returnsTableFrom(fd, ab, mrq, mrqDate)
+  }
+
+  /** [[returnsTable]] from precomputed components — the returns
+    * tear-sheet composite shares its alpha/beta table and both
+    * rate-converted mean-quantile tables with this summary row set
+    * instead of re-aggregating the panel. `mrq`/`mrqDate` must already
+    * be rate-converted (with std errors on the by-date table). */
+  def returnsTableFrom(
+      fd: FactorData,
+      ab: DataFrame,
+      mrq: DataFrame,
+      mrqDate: DataFrame): DataFrame = {
     val qext = mrq.agg(max("factor_quantile").as("__qmax"),
       min("factor_quantile").as("__qmin"))
     val top = mrq.join(qext, mrq("factor_quantile") === qext("__qmax"))
@@ -70,8 +91,6 @@ object Tables {
     val bottom = mrq.join(qext, mrq("factor_quantile") === qext("__qmin"))
       .select(lit("Mean Period Wise Return Bottom Quantile (bps)").as("stat") +:
         fd.returnCols.map(rc => (col(rc) * DecimalToBps).as(rc)): _*)
-    val mrqDate = rateConvert(Returns.meanReturnByQuantile(fd, byDate = true,
-      demeaned = demeaned, groupAdjust = groupAdjust), fd, withStdErr = true)
     val (qTop, qBottom) = Returns.quantileExtremes(fd)
     val spread = Returns.computeMeanReturnsSpread(mrqDate, qTop, qBottom,
       fd.returnCols)
@@ -86,12 +105,18 @@ object Tables {
     * (reference: plotting.py:150-156). Output: (factor_quantile,
     * period, mean_turnover). */
   def quantileTurnoverMeans(fd: FactorData, periods: Seq[Int]): DataFrame =
-    periods.map { p =>
-      Turnover.allQuantileTurnover(fd, p)
-        .groupBy("factor_quantile")
-        .agg(avg("turnover").as("mean_turnover"))
-        .withColumn("period", lit(s"${p}D"))
-    }.reduce(_.unionByName(_))
+    quantileTurnoverMeansFrom(
+      periods.map { p =>
+        Turnover.allQuantileTurnover(fd, p).withColumn("period", lit(s"${p}D"))
+      }.reduce(_.unionByName(_)))
+
+  /** [[quantileTurnoverMeans]] over a precomputed (period,
+    * factor_quantile, date, turnover) series — the turnover tear sheet
+    * derives the means from its persisted series instead of
+    * recomputing the set-lag windows per period. */
+  def quantileTurnoverMeansFrom(series: DataFrame): DataFrame =
+    series.groupBy("factor_quantile", "period")
+      .agg(avg("turnover").as("mean_turnover"))
       .select("factor_quantile", "period", "mean_turnover")
       .orderBy("factor_quantile", "period")
 
@@ -102,6 +127,15 @@ object Tables {
       .groupBy("period").agg(avg("autocorr").as("mean_autocorr"))
       .select(concat(col("period").cast("string"), lit("D")).as("period"),
         col("mean_autocorr"))
+      .orderBy("period")
+
+  /** [[autocorrelationMeans]] over a precomputed (period, date,
+    * autocorr) series whose period labels are already "ND" strings —
+    * the turnover tear sheet derives the means from its persisted
+    * series instead of recomputing the lag joins per period. */
+  def autocorrelationMeansFrom(series: DataFrame): DataFrame =
+    series.groupBy("period").agg(avg("autocorr").as("mean_autocorr"))
+      .select("period", "mean_autocorr")
       .orderBy("period")
 
   /** IC histogram table (the numbers behind plotting.py:248-289's
