@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.text.{Bloom, Classifier, CorpusOps, Decontaminate, Dedup, HeavyHitters, LmPerplexity, Rewrite, Search, TextOps, TextStats}
+import graft.text.{Bloom, Cdc, Classifier, CorpusOps, Decontaminate, Dedup, HeavyHitters, LmPerplexity, Rewrite, Search, TextOps, TextStats}
 import graft.vector.{Embeddings, Ivf, Pca, Similarity}
 
 /** Driver-contract queries for the LLM-data-pipeline layer (dedup,
@@ -303,6 +303,15 @@ object DocQueries {
     "q_winnow" -> ((s, dir) =>
       Dedup.winnowFingerprints(documents(s, dir), n = 3, w = 4)
         .orderBy("doc_id", "fingerprint")),
+    "q_cdc_chunks" -> ((s, dir) =>
+      // content-defined chunk boundaries (LBFS Karp-Rabin windows):
+      // the chunk table itself, hash-pinned per chunk
+      Cdc.cdcChunks(documents(s, dir), w = 8, divisor = 16)
+        .drop("chunk").orderBy("doc_id", "chunk_idx")),
+    "q_cdc_dedup" -> ((s, dir) =>
+      // chunk-store dedup rollup: per document, how many of its CDC
+      // chunks (and tokens) are already held by an earlier occurrence
+      Cdc.cdcDedupStats(documents(s, dir), w = 8, divisor = 16)),
     "q_text_stats" -> ((s, dir) =>
       TextStats.textStats(documents(s, dir)).orderBy("doc_id")),
     "q_token_counts" -> ((s, dir) =>
@@ -1316,6 +1325,38 @@ object DocQueries {
   /** Tokens / shingle CTE fragments shared by the text oracles. */
   private val toksExpr = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** CTE chain of [[graft.text.Cdc.cdcChunks]] (w=8, divisor=16) over
+    * `documents` (no WITH), ending in `cdch(doc_id, chunk_idx,
+    * start_pos, n_tokens, chunk_hash)` — shared by the chunk-table and
+    * chunk-store-dedup oracles. Boundary after token s+w-1 when the
+    * 56-bit window hash is ≡ 0 mod divisor; chunk_idx = cuts strictly
+    * before the token. */
+  private def cdcChunkCtes: String = {
+    val w = 8; val d = 16
+    s"""cdt AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |cdk AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks
+       |  FROM cdt WHERE len(toks) > 0),
+       |cdtk AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM cdk),
+       |cdcut AS (SELECT doc_id, s + ${w - 1} AS pos FROM
+       |    (SELECT doc_id, unnest(range(len(toks) - ${w - 1})) AS s, toks
+       |     FROM cdt WHERE len(toks) >= $w)
+       |  WHERE ${hash56(
+                s"'cdcw:' || array_to_string(list_slice(toks, s + 1, s + $w), ' ')")}
+                % $d = 0),
+       |cdix AS (SELECT t.doc_id, t.pos, t.tok,
+       |    coalesce(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0)::BIGINT AS chunk_idx
+       |  FROM cdtk t LEFT JOIN cdcut c
+       |    ON t.doc_id = c.doc_id AND t.pos = c.pos),
+       |cdch AS (SELECT doc_id, chunk_idx, min(pos)::BIGINT AS start_pos,
+       |    count(*)::BIGINT AS n_tokens,
+       |    ${hash56("'cdc:' || string_agg(tok, ' ' ORDER BY pos)")}
+       |      AS chunk_hash
+       |  FROM cdix GROUP BY doc_id, chunk_idx)""".stripMargin
+  }
+
   private def shinglesExpr(t: String, n: Int): String =
     s"list_distinct(list_transform(range(1, len($t) - ${n - 2}), " +
       s"i -> array_to_string(list_slice($t, i, i + ${n - 1}), ' ')))"
@@ -2054,6 +2095,25 @@ object DocQueries {
          |SELECT doc_id, ($hashTerms)::BIGINT AS simhash FROM s
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_cdc_chunks" ->
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_idx, start_pos, n_tokens, chunk_hash
+         |FROM cdch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_cdc_dedup" ->
+      s"""WITH $cdcChunkCtes,
+         |cdr AS (SELECT doc_id, chunk_idx, n_tokens,
+         |    row_number() OVER (PARTITION BY chunk_hash
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM cdch)
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum(n_tokens)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+         |  sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END)::BIGINT AS dup_tokens,
+         |  round(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) * 100.0
+         |    / sum(n_tokens), 9) AS dup_token_pct
+         |FROM cdr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_winnow" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),

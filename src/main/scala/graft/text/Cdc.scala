@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Content-defined chunking (CDC) — the storage-dedup family's answer
+  * to the fixed-grid alignment problem (LBFS, Muthitacharoen et al.
+  * SOSP '01 §3.1): chunk boundaries are cut where a rolling
+  * window-hash of the CONTENT satisfies a divisor condition, so an
+  * edit moves only the boundaries within one window of the edit and
+  * every chunk outside that neighbourhood keeps its identity — a
+  * fixed k-token grid ([[Rewrite.chunkDedup]]) instead shifts every
+  * chunk after the edit. The classic use is chunk-store dedup of
+  * re-crawled/near-duplicate documents: shared spans land in shared
+  * chunks regardless of offset.
+  *
+  * This is the ORIGINAL Karp-Rabin-windowed scheme (no min/max chunk
+  * clamps): with a fixed window the boundary test at position i
+  * depends only on the w tokens ending at i, so every position is
+  * decided independently — embarrassingly parallel, one shuffle
+  * (the per-document window), and exactly replayable by the oracle.
+  * FastCDC-style min/max clamps reintroduce a sequential scan (each
+  * cut depends on the previous cut) and buy nothing for dedup on
+  * token streams; they stay out of scope by design.
+  *
+  * Scale design: everything is per-document until the final
+  * chunk-store aggregate — the window functions partition by doc_id
+  * (state bounded by document length, independent of corpus size),
+  * and the chunk store is a plain hash groupBy on chunk_hash (the
+  * exact-dedup shape). Expected chunk length is `divisor` tokens, so
+  * the chunk table is ~1/divisor of the token table.
+  */
+object Cdc {
+
+  /** Content-defined chunks of every document.
+    *
+    * A boundary is cut AFTER token position i (0-based) when the
+    * 56-bit hash of the w-token window ending at i is ≡ 0 mod
+    * `divisor`; the last token is always an implicit boundary.
+    * Documents shorter than `w` tokens form a single chunk; token-less
+    * documents emit nothing.
+    *
+    * Output: (doc_id, chunk_idx, start_pos, n_tokens, chunk_hash,
+    * chunk) — chunk_idx 0-based in document order, chunk_hash the
+    * 56-bit hash of the space-joined chunk text.
+    */
+  def cdcChunks(
+      docs: DataFrame,
+      w: Int = 8,
+      divisor: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__toks"))
+    // one row per token
+    val toks = base.select(col("doc_id"),
+      posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+    // boundary flags: shingle starting at s covers [s, s+w-1]; the cut
+    // lands after its LAST token (content to the left decides the cut)
+    val cuts = base
+      .select(col("doc_id"),
+        posexplode(shingleSeq(col("__toks"), w)).as(Seq("__s", "__sh")))
+      .filter(hash56(concat(lit("cdcw:"), col("__sh"))) % divisor === 0)
+      .select(col("doc_id"), (col("__s") + lit(w - 1)).as("__pos"),
+        lit(1L).as("__cut"))
+    // chunk index of a token = number of cuts strictly before it
+    val win = Window.partitionBy("doc_id").orderBy("__pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val indexed = toks.join(cuts, Seq("doc_id", "__pos"), "left")
+      .withColumn("chunk_idx",
+        coalesce(sum(col("__cut")).over(win), lit(0L)))
+    indexed.groupBy("doc_id", "chunk_idx")
+      .agg(
+        min(col("__pos")).as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok")),
+          " ").as("chunk"))
+      .withColumn("chunk_hash", hash56(concat(lit("cdc:"), col("chunk"))))
+      .select("doc_id", "chunk_idx", "start_pos", "n_tokens",
+        "chunk_hash", "chunk")
+  }
+
+  /** Per-document chunk-store dedup rollup: how much of each document
+    * is already present elsewhere in the corpus' content-defined chunk
+    * store. A chunk occurrence is a DUPLICATE unless it is the
+    * keeper — the corpus-first (min doc_id, then min chunk_idx)
+    * occurrence of its hash — the [[Rewrite.chunkDedup]] keeper rule
+    * on CDC boundaries.
+    *
+    * Output: (doc_id, n_chunks, n_tokens, dup_chunks, dup_tokens,
+    * dup_token_pct) per document with at least one token. */
+  def cdcDedupStats(
+      docs: DataFrame,
+      w: Int = 8,
+      divisor: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val chunks = cdcChunks(docs, w, divisor, textCol, idCol)
+    // skew-safe keeper: min (doc_id, chunk_idx) per hash via one
+    // map-side-combinable struct-min aggregate, then an equi-join back
+    val keeper = chunks.groupBy("chunk_hash")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__k"))
+      .select(col("chunk_hash"), col("__k.doc_id").as("__kd"),
+        col("__k.chunk_idx").as("__ki"))
+    chunks.join(keeper, Seq("chunk_hash"))
+      .withColumn("__dup",
+        !(col("doc_id") === col("__kd") && col("chunk_idx") === col("__ki")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("__dup").cast("long")).as("dup_chunks"),
+        sum(when(col("__dup"), col("n_tokens")).otherwise(lit(0L)))
+          .as("dup_tokens"))
+      .withColumn("dup_token_pct",
+        round(col("dup_tokens") * lit(100.0) / col("n_tokens"), 9))
+      .orderBy("doc_id")
+  }
+}
