@@ -312,6 +312,16 @@ object DocQueries {
       // chunk-store dedup rollup: per document, how many of its CDC
       // chunks (and tokens) are already held by an earlier occurrence
       Cdc.cdcDedupStats(documents(s, dir), w = 8, divisor = 16)),
+    "q_topk_per_key" -> ((s, dir) => {
+      // the custom physical operator (plans/TopKPerKey.scala): top-3
+      // docs per source by token count — partial bounded heaps below
+      // the exchange instead of the window path's full per-group sort
+      val d = documents(s, dir).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.plans.TopKPerKey.topKPerKey(d, Seq("source"),
+          Seq(("n_tokens", false), ("doc_id", true)), k = 3)
+        .orderBy("source", "doc_id")
+    }),
     "q_text_stats" -> ((s, dir) =>
       TextStats.textStats(documents(s, dir)).orderBy("doc_id")),
     "q_token_counts" -> ((s, dir) =>
@@ -2114,6 +2124,15 @@ object DocQueries {
          |  round(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) * 100.0
          |    / sum(n_tokens), 9) AS dup_token_pct
          |FROM cdr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_topk_per_key" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    len($toksExpr)::BIGINT AS n_tokens FROM documents),
+         |r AS (SELECT doc_id, source, n_tokens,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_tokens DESC, doc_id) AS rn FROM t)
+         |SELECT doc_id, source, n_tokens FROM r WHERE rn <= 3
+         |ORDER BY source, doc_id""".stripMargin,
 
     "q_winnow" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),

@@ -89,6 +89,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // user queries written with the idiomatic zip_with/aggregate dot
     // composition get the fused codegen kernel automatically
     ext.injectOptimizerRule(_ => RewriteHofDot)
+    // whole-operator extension (ladder rung c): partial top-k per key
+    // plans as bounded heaps around a candidates-only exchange
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 

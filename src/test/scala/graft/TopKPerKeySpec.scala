@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKPerKey
+
+/** The custom partial top-k-per-key physical operator: equivalence
+  * with the window row_number spelling, the partial→exchange→final
+  * plan shape, skew/degenerate cases, and partitioning independence. */
+class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def randomDf(n: Int, nKeys: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      (i.toLong, s"k${rnd.nextInt(nKeys)}", rnd.nextInt(1000).toLong)
+    }.toDF("id", "key", "v")
+  }
+
+  private def windowTopK(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("v").desc, col("id"))))
+      .filter(col("__rn") <= k).drop("__rn")
+
+  test("matches the window row_number spelling on random data") {
+    for ((n, nKeys, k) <- Seq((2000, 7, 3), (500, 100, 5), (300, 1, 10))) {
+      val df = randomDf(n, nKeys, seed = n + k)
+      val got = TopKPerKey.topKPerKey(df, Seq("key"),
+        Seq(("v", false), ("id", true)), k)
+        .select("id", "key", "v").collect().toSet
+      val want = windowTopK(df, k).select("id", "key", "v").collect().toSet
+      assert(got == want, s"mismatch at n=$n keys=$nKeys k=$k")
+    }
+  }
+
+  test("plans as partial heaps, a key exchange, then final heaps — no sort") {
+    val df = randomDf(1000, 5, seed = 42)
+    val plan = TopKPerKey.topKPerKey(df, Seq("key"), Seq(("v", true), ("id", true)), 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), s"missing partial node:\n$plan")
+    assert(plan.contains("TopKPerKeyFinal"), s"missing final node:\n$plan")
+    val partialIdx = plan.indexOf("TopKPerKeyPartial")
+    val exchangeIdx = plan.indexOf("Exchange")
+    val finalIdx = plan.indexOf("TopKPerKeyFinal")
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx,
+      s"expected final above exchange above partial:\n$plan")
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+    assert(!plan.contains("Sort "), s"a sort was planned:\n$plan")
+  }
+
+  test("k larger than every group degenerates to the identity set") {
+    val df = randomDf(200, 20, seed = 7)
+    val got = TopKPerKey.topKPerKey(df, Seq("key"), Seq(("v", true), ("id", true)), 1000)
+      .collect().length
+    assert(got == 200)
+  }
+
+  test("heavy skew: one key holds almost everything") {
+    val rows = (1L to 5000L).map(i => (i, if (i % 100 == 0) s"k${i % 7}" else "hot",
+      i % 997)) :+ (6000L, "only", 1L)
+    val df = rows.toDF("id", "key", "v").repartition(13)
+    val got = TopKPerKey.topKPerKey(df, Seq("key"), Seq(("v", false), ("id", true)), 2)
+      .select("id", "key", "v").collect().toSet
+    val want = windowTopK(df, 2).select("id", "key", "v").collect().toSet
+    assert(got == want)
+    assert(got.exists(_.getString(1) == "only"), "singleton group must survive")
+  }
+
+  test("results are partitioning-independent") {
+    val df = randomDf(3000, 11, seed = 3)
+    val a = TopKPerKey.topKPerKey(df.repartition(1), Seq("key"),
+      Seq(("v", false), ("id", true)), 3).collect().toSet
+    val b = TopKPerKey.topKPerKey(df.repartition(17, col("id")), Seq("key"),
+      Seq(("v", false), ("id", true)), 3).collect().toSet
+    assert(a == b)
+  }
+
+  test("multi-column keys and mixed sort directions") {
+    val df = randomDf(1500, 4, seed = 9)
+      .withColumn("key2", (col("v") % 3).cast("string"))
+    val got = TopKPerKey.topKPerKey(df, Seq("key", "key2"),
+      Seq(("v", true), ("id", false)), 2)
+      .select("id", "key", "key2", "v").collect().toSet
+    val want = df.withColumn("__rn", row_number().over(
+        Window.partitionBy("key", "key2").orderBy(col("v"), col("id").desc)))
+      .filter(col("__rn") <= 2).drop("__rn")
+      .select("id", "key", "key2", "v").collect().toSet
+    assert(got == want)
+  }
+
+  test("null keys form their own group; null order values follow Spark's null order") {
+    val df = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, null, 10L), (2L, null, 20L), (3L, null, null),
+      (4L, "a", 5L), (5L, "a", null), (6L, "a", 1L))
+      .toDF("id", "key", "v")
+    val got = TopKPerKey.topKPerKey(df, Seq("key"), Seq(("v", true), ("id", true)), 2)
+      .select("id").as[Long].collect().toSet
+    val want = df.withColumn("__rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("v").asc, col("id"))))
+      .filter(col("__rn") <= 2).select("id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
+  test("rejects nonsense arguments") {
+    val df = randomDf(10, 2, seed = 1)
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topKPerKey(df, Seq("key"), Seq(("v", true)), 0)
+    }
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topKPerKey(df, Seq("nope"), Seq(("v", true)), 1)
+    }
+  }
+}
