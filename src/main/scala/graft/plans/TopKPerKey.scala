@@ -13,17 +13,19 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graft.GraftPlanApi
 
-/** Top-k rows per key as a FIRST-CLASS physical operator — the one
-  * whole-operator semantic in the toolkit that Spark's builtins can
-  * only express wastefully. The DataFrame spelling
+/** Top-k rows per key as a FIRST-CLASS physical operator. The
+  * DataFrame spelling
   *
   * {{{ row_number().over(Window.partitionBy(K).orderBy(O)) <= k }}}
   *
-  * shuffles EVERY row of every group and then fully sorts each
-  * partition before the filter throws 99% of it away: for the
-  * canonical corpus query "top 3 documents per domain" over 100 TB, a
-  * million-document domain ships a million rows through the exchange
-  * to keep three. This operator plans as
+  * does get Spark's own rank-limit pushdown (WindowGroupLimit,
+  * SPARK-37099): partial group-limit → exchange → final group-limit →
+  * Window → Filter. But WindowGroupLimitExec REQUIRES SORTED
+  * CHILDREN, so the builtin plan fully sorts every input partition
+  * (all n rows, O(n log n), sort buffers and spill paths engaged)
+  * before the partial prune, sorts again after the shuffle, and then
+  * still runs the whole Window machinery to materialize a rank column
+  * the filter immediately consumes. This operator plans as
   *
   *   partial per-partition bounded heaps   (≤ k rows per key per
   *       input partition survive — the map-side-combine shape of
@@ -31,11 +33,13 @@ import org.apache.spark.sql.graft.GraftPlanApi
   *   → hash exchange on the keys           (candidates only)
   *   → final per-key bounded heaps
   *
-  * so the shuffle carries at most k × (distinct keys per input
-  * partition) rows, no sort is ever materialized (heaps replace it),
-  * and executor memory is bounded by k × (keys per partition) — the
-  * same hash-map scale story as partial aggregation, while the window
-  * path's sort buffers entire groups.
+  * — the same candidates-only shuffle as WindowGroupLimit, with the
+  * four sort/window passes replaced by O(n log k) heap maintenance:
+  * no sort is ever materialized, no rank column is projected, and
+  * executor memory is bounded by k × (keys per partition) row copies
+  * (the hash-aggregate scale story) instead of a full sort buffer.
+  * TopKPerKeySpec pins the comparison: the builtin's executed plan
+  * carries two Sorts + Window, this one carries neither.
   *
   * Implemented at rung (c) of the extension ladder: a logical
   * [[TopKPerKeyPlan]], a [[SparkStrategy]] emitting the

@@ -48,6 +48,15 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
       s"expected final above exchange above partial:\n$plan")
     assert(!plan.contains("Window"), s"window survived:\n$plan")
     assert(!plan.contains("Sort "), s"a sort was planned:\n$plan")
+    // the honest baseline: Spark's own rank-limit pushdown
+    // (WindowGroupLimit) prunes the shuffle the same way but requires
+    // sorted children on BOTH sides and still runs the Window — the
+    // sorts and the rank projection are what this operator deletes
+    val builtin = windowTopK(df, 4).queryExecution.executedPlan.toString
+    assert(builtin.contains("WindowGroupLimit"),
+      s"baseline changed — revisit the comparison:\n$builtin")
+    assert(builtin.split("Sort ", -1).length - 1 >= 2,
+      s"baseline no longer double-sorts — revisit the comparison:\n$builtin")
   }
 
   test("k larger than every group degenerates to the identity set") {
