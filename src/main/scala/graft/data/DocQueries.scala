@@ -312,6 +312,20 @@ object DocQueries {
       // chunk-store dedup rollup: per document, how many of its CDC
       // chunks (and tokens) are already held by an earlier occurrence
       Cdc.cdcDedupStats(documents(s, dir), w = 8, divisor = 16)),
+    "q_cdc_sync" -> ((s, dir) => {
+      // rsync-for-corpora: held = evens' chunk store; incoming = new
+      // odds + edited re-fetches of every 6th doc (a 2-token patch
+      // inserted mid-text) — content-defined boundaries mean the
+      // re-fetch re-ships only the edit neighbourhood's chunks
+      val d = documents(s, dir).select("doc_id", "text")
+      val held = d.filter(col("doc_id") % 2 === 0)
+      val incoming = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select(col("doc_id"),
+            concat(expr("substring(text, 1, 80)"), lit(" patched v2 "),
+              expr("substring(text, 81)")).as("text")))
+      Cdc.cdcSyncPlan(incoming, held, w = 8, divisor = 16)
+    }),
     "q_topk_per_key" -> ((s, dir) => {
       // the custom physical operator (plans/TopKPerKey.scala): top-3
       // docs per source by token count — partial bounded heaps below
@@ -1214,27 +1228,32 @@ object DocQueries {
       // composite and the recheck seam is exercised, not just pinned
       // in q_bloom_dedup
       // feeds three branches (filter build, exact-recheck join, merge
-      // current side): persist the one-time WET extraction
+      // current side): checkpoint the one-time WET extraction
       val exw = d.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"),
           TextOps.normalizeText(TextOps.htmlToText(wetWrap(col("text"))))
             .as("ntext"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val filter = Bloom.buildFilter(
         exw.select(col("ntext").as("text")), "text", mBits = 2048, k = 3)
-      // the verdict table fans SIX plan branches out of this chain
-      // (gate flags, quality, exact dedup, span rewrite, merge, shard)
-      // — persist the stage boundaries once, the tear-sheet
-      // factor_data pattern, or every branch re-executes the whole
-      // WARC scan -> WET -> probe upstream (measured 60.9s -> the
-      // stage-sum price at sf0.1)
+      // the verdict table fans SEVEN plan branches out of this chain
+      // (gate flags, quality, LM, exact dedup, span rewrite, merge,
+      // shard) — stage boundaries are EAGER localCheckpoints, not
+      // persists: a persist keeps the full lineage in the plan, and
+      // with seven nested boundaries the recursively-embedded cached
+      // plans made DRIVER-SIDE PLANNING the dominant cost (measured
+      // 69s at sf0.1 vs ~21s of actual stage work; the PageRank
+      // 2x-lineage lesson). The checkpoint truncates each boundary to
+      // a leaf. Trade: on executor loss the query re-runs instead of
+      // recomputing from lineage — the standard iterative-pipeline
+      // trade, acceptable for a batch refresh job
       val gated = Bloom.probe(decoded, "ntext", filter, mBits = 2048, k = 3)
         .join(exw.select("ntext").distinct().withColumn("__sx", lit(true)),
           Seq("ntext"), "left")
         .withColumn("seen_exact", coalesce(col("__sx"), lit(false)))
         .withColumn("gate_kept", !col("seen_exact"))
         .drop("__sx")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val gsurv = gated.filter(col("gate_kept")).select("doc_id", "ntext")
       // quality: rule half (gopher) + learned half (pre-trained
       // classifier, the q_quality_clf weights) — kept = both agree
@@ -1253,7 +1272,7 @@ object DocQueries {
       val qual = gq.join(scored, Seq("doc_id"))
         .withColumn("quality_kept",
           col("quality_pass") === 1 && col("predicted") === 1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val qsurv = gsurv.join(
         qual.filter(col("quality_kept")).select("doc_id"), Seq("doc_id"))
       // LM perplexity gate (CCNet): the held corpus is the reference
@@ -1265,19 +1284,19 @@ object DocQueries {
           exw.select(col("doc_id"), col("ntext").as("text")),
           qsurv.select(col("doc_id"), col("ntext").as("text")))
         .withColumn("lm_kept", col("bucket") =!= "tail")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val lsurv = qsurv.join(
         lm.filter(col("lm_kept")).select("doc_id"), Seq("doc_id"))
       // exact dedup among LM survivors: min-id keeper per content
       val exact = lsurv
         .join(lsurv.groupBy("ntext").agg(min("doc_id").as("__keep")), "ntext")
         .withColumn("exact_kept", col("doc_id") === col("__keep"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val esurv = exact.filter(col("exact_kept")).select("doc_id", "ntext")
       // span-dedup rewrite over the surviving batch (k=5)
       val span = Rewrite.spanDedup(
         esurv.withColumnRenamed("ntext", "text"), k = 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       // merge the refresh into the held corpus: survivors upsert
       // (ts = id*10+5 beats current's id*10), tombstone feed deletes
       // evens %20==2; then shard the merged corpus for the dataloader
@@ -1290,7 +1309,7 @@ object DocQueries {
         .select(col("doc_id"), (col("doc_id") * 10 + 9).as("ts"),
           lit("").as("text"), lit(true).as("deleted"))
       val merged = CorpusOps.mergeCorpus(cur, upd.unionByName(dels))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val shards = CorpusOps.epochShard(
         merged.select("doc_id"), epoch = 2, nShards = 8)
       // sentinel-coalesced flags: a doc dropped before a stage reports
@@ -1336,35 +1355,36 @@ object DocQueries {
   private val toksExpr = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   /** CTE chain of [[graft.text.Cdc.cdcChunks]] (w=8, divisor=16) over
-    * `documents` (no WITH), ending in `cdch(doc_id, chunk_idx,
-    * start_pos, n_tokens, chunk_hash)` — shared by the chunk-table and
-    * chunk-store-dedup oracles. Boundary after token s+w-1 when the
-    * 56-bit window hash is ≡ 0 mod divisor; chunk_idx = cuts strictly
-    * before the token. */
-  private def cdcChunkCtes: String = {
+    * a (doc_id, text) relation (no WITH), ending in `<p>cdch(doc_id,
+    * chunk_idx, start_pos, n_tokens, chunk_hash)` — shared by the
+    * chunk-table, chunk-store-dedup, and incremental-sync oracles.
+    * Boundary after token s+w-1 when the 56-bit window hash is ≡ 0 mod
+    * divisor; chunk_idx = cuts strictly before the token. */
+  private def cdcChunkCtes(src: String = "documents",
+      p: String = ""): String = {
     val w = 8; val d = 16
-    s"""cdt AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-       |cdk AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks
-       |  FROM cdt WHERE len(toks) > 0),
-       |cdtk AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM cdk),
-       |cdcut AS (SELECT doc_id, s + ${w - 1} AS pos FROM
+    s"""${p}cdt AS (SELECT doc_id, $toksExpr AS toks FROM $src),
+       |${p}cdk AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks
+       |  FROM ${p}cdt WHERE len(toks) > 0),
+       |${p}cdtk AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM ${p}cdk),
+       |${p}cdcut AS (SELECT doc_id, s + ${w - 1} AS pos FROM
        |    (SELECT doc_id, unnest(range(len(toks) - ${w - 1})) AS s, toks
-       |     FROM cdt WHERE len(toks) >= $w)
+       |     FROM ${p}cdt WHERE len(toks) >= $w)
        |  WHERE ${hash56(
                 s"'cdcw:' || array_to_string(list_slice(toks, s + 1, s + $w), ' ')")}
                 % $d = 0),
-       |cdix AS (SELECT t.doc_id, t.pos, t.tok,
+       |${p}cdix AS (SELECT t.doc_id, t.pos, t.tok,
        |    coalesce(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
        |      0)::BIGINT AS chunk_idx
-       |  FROM cdtk t LEFT JOIN cdcut c
+       |  FROM ${p}cdtk t LEFT JOIN ${p}cdcut c
        |    ON t.doc_id = c.doc_id AND t.pos = c.pos),
-       |cdch AS (SELECT doc_id, chunk_idx, min(pos)::BIGINT AS start_pos,
+       |${p}cdch AS (SELECT doc_id, chunk_idx, min(pos)::BIGINT AS start_pos,
        |    count(*)::BIGINT AS n_tokens,
        |    ${hash56("'cdc:' || string_agg(tok, ' ' ORDER BY pos)")}
        |      AS chunk_hash
-       |  FROM cdix GROUP BY doc_id, chunk_idx)""".stripMargin
+       |  FROM ${p}cdix GROUP BY doc_id, chunk_idx)""".stripMargin
   }
 
   private def shinglesExpr(t: String, n: Int): String =
@@ -2107,12 +2127,12 @@ object DocQueries {
     },
 
     "q_cdc_chunks" ->
-      s"""WITH $cdcChunkCtes
+      s"""WITH ${cdcChunkCtes()}
          |SELECT doc_id, chunk_idx, start_pos, n_tokens, chunk_hash
          |FROM cdch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_cdc_dedup" ->
-      s"""WITH $cdcChunkCtes,
+      s"""WITH ${cdcChunkCtes()},
          |cdr AS (SELECT doc_id, chunk_idx, n_tokens,
          |    row_number() OVER (PARTITION BY chunk_hash
          |      ORDER BY doc_id, chunk_idx) AS rn
@@ -2124,6 +2144,26 @@ object DocQueries {
          |  round(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) * 100.0
          |    / sum(n_tokens), 9) AS dup_token_pct
          |FROM cdr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_cdc_sync" ->
+      s"""WITH inc0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id,
+         |    substr(text, 1, 80) || ' patched v2 ' || substr(text, 81) AS text
+         |  FROM documents WHERE doc_id % 6 = 0),
+         |held0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |${cdcChunkCtes("inc0", "i")},
+         |${cdcChunkCtes("held0", "h")},
+         |st AS (SELECT DISTINCT chunk_hash FROM hcdch),
+         |j AS (SELECT c.doc_id, c.n_tokens,
+         |    (s.chunk_hash IS NULL) AS ship
+         |  FROM icdch c LEFT JOIN st s USING (chunk_hash))
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum(n_tokens)::BIGINT AS n_tokens,
+         |  sum(ship::INT)::BIGINT AS ship_chunks,
+         |  sum(CASE WHEN ship THEN n_tokens ELSE 0 END)::BIGINT AS ship_tokens,
+         |  round((sum(n_tokens) - sum(CASE WHEN ship THEN n_tokens ELSE 0 END))
+         |    * 100.0 / sum(n_tokens), 9) AS reuse_pct
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_topk_per_key" ->
       s"""WITH t AS (SELECT doc_id, source,

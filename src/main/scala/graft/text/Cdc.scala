@@ -97,6 +97,46 @@ object Cdc {
     *
     * Output: (doc_id, n_chunks, n_tokens, dup_chunks, dup_tokens,
     * dup_token_pct) per document with at least one token. */
+  /** Incremental corpus sync keyed on CDC chunks — rsync's batch
+    * algorithm applied to documents: chunk the incoming batch, probe
+    * each chunk hash against the HELD corpus' chunk store, and ship
+    * only the chunks the store does not already hold. Because the
+    * boundaries are content-defined, an edited re-fetch re-ships only
+    * the chunks in the edit's window neighbourhood; a fixed grid would
+    * re-ship the whole document tail.
+    *
+    * One distinct-project of the held chunk hashes + one equi-join —
+    * the Bloom semi-join prefilter composes in front of the store
+    * probe at scale; exactness here comes from the store join itself.
+    *
+    * Output, one row per incoming document with tokens: (doc_id,
+    * n_chunks, n_tokens, ship_chunks, ship_tokens, reuse_pct) where
+    * reuse_pct is the token share already present in the store. */
+  def cdcSyncPlan(
+      incoming: DataFrame,
+      held: DataFrame,
+      w: Int = 8,
+      divisor: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val inc = cdcChunks(incoming, w, divisor, textCol, idCol)
+    val store = cdcChunks(held, w, divisor, textCol, idCol)
+      .select("chunk_hash").distinct().withColumn("__held", lit(true))
+    inc.join(store, Seq("chunk_hash"), "left")
+      .withColumn("__ship", coalesce(col("__held"), lit(false)) === false)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("__ship").cast("long")).as("ship_chunks"),
+        sum(when(col("__ship"), col("n_tokens")).otherwise(lit(0L)))
+          .as("ship_tokens"))
+      .withColumn("reuse_pct",
+        round((col("n_tokens") - col("ship_tokens")) * lit(100.0) /
+          col("n_tokens"), 9))
+      .orderBy("doc_id")
+  }
+
   def cdcDedupStats(
       docs: DataFrame,
       w: Int = 8,

@@ -95,6 +95,25 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       s"shifted shared span should dedup most of its tokens, got ${d2.getAs[Long]("dup_tokens")}")
   }
 
+  test("sync plan re-ships only the edit neighbourhood of a re-fetch") {
+    val rnd = new scala.util.Random(23)
+    val words = (1 to 400).map(_ => s"y${rnd.nextInt(6000)}")
+    val held = doc(1L, words.mkString(" "))
+    val edited = (words.take(150) ++ Seq("patch", "v2") ++ words.drop(150))
+      .mkString(" ")
+    val fresh = (1 to 100).map(_ => s"z${rnd.nextInt(6000)}").mkString(" ")
+    val incoming = Seq((1L, edited), (2L, fresh)).toDF("doc_id", "text")
+    val plan = Cdc.cdcSyncPlan(incoming, held).orderBy("doc_id").collect()
+    val refetch = plan(0); val newDoc = plan(1)
+    // the re-fetch reuses everything outside the edit's window
+    assert(refetch.getAs[Long]("ship_tokens") <= 60L,
+      s"re-fetch shipped ${refetch.getAs[Long]("ship_tokens")} of 402 tokens")
+    assert(refetch.getAs[Double]("reuse_pct") > 80.0)
+    // a brand-new doc ships everything
+    assert(newDoc.getAs[Long]("ship_chunks") == newDoc.getAs[Long]("n_chunks"))
+    assert(newDoc.getAs[Double]("reuse_pct") == 0.0)
+  }
+
   test("results are partitioning-independent") {
     val rnd = new scala.util.Random(3)
     val docs = (1L to 40L).map { i =>

@@ -260,16 +260,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("round-9 operators keep their scale-critical shapes") {
-    // corpus pipeline: the verdict table fans SIX branches out of the
-    // stage chain — the persisted stage boundaries must show as
-    // in-memory scans or every branch re-executes the WARC -> WET ->
-    // probe upstream (measured 6x at sf0.1); the Bloom gate must stay
-    // the scan-local bit test; no cartesian anywhere in the composite
+    // corpus pipeline: the verdict table fans SEVEN branches out of
+    // the stage chain — the stage boundaries are EAGER localCheckpoints
+    // (leaf RDD scans) so every branch reads a materialization AND the
+    // driver never plans the recursively-nested boundary lineage
+    // (persisted boundaries measured 69s at sf0.1, ~50s of it
+    // driver-side planning); the Bloom gate's scan-local bit test is
+    // pinned by q_bloom_dedup's own audit (it now sits behind the
+    // gate checkpoint here); no cartesian anywhere in the composite
     val cp = plans("q_corpus_pipeline")
-    assert(cp.contains("InMemoryTableScan"),
-      "q_corpus_pipeline lost its persisted stage boundaries")
-    assert(cp.contains("forall"),
-      "q_corpus_pipeline's Bloom gate is not the scan-local bit test")
+    assert(cp.contains("Scan ExistingRDD"),
+      "q_corpus_pipeline lost its checkpointed stage boundaries")
     assert(!cp.contains("CartesianProduct"))
     // adaptive salting: still the (key, salt) equi-join shape, with
     // the bounded heavy-key map attached by broadcast
