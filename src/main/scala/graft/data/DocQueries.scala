@@ -336,6 +336,35 @@ object DocQueries {
           Seq(("n_tokens", false), ("doc_id", true)), k = 3)
         .orderBy("source", "doc_id")
     }),
+    // measured heap-vs-sort pair (SURVEY §7.5b item #2): the SAME top-5
+    // lineitems-per-supplier task on the round's biggest table, once on
+    // the custom partial-heap operator and once on the builtin
+    // WindowGroupLimit path — BENCH_r{N}.json carries both medians side
+    // by side. 600k rows / 1k suppliers at sf0.1, so the top-k machinery
+    // (not tokenization) dominates both plans.
+    "q_topk_lineitem" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      graft.plans.TopKPerKey.topKPerKey(li, Seq("l_suppkey"),
+          Seq(("l_extendedprice", false), ("l_orderkey", true),
+            ("l_linenumber", true)), k = 5)
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+    "q_topk_window" -> ((s, dir) => {
+      // identical task, window spelling. The rank column is KEPT in the
+      // output, so RewriteTopKWindow deliberately does not fire and the
+      // plan is Spark's own: sort → partial WindowGroupLimit → exchange
+      // → sort → final WindowGroupLimit → Window → filter. This is the
+      // honest builtin baseline for q_topk_lineitem, not a second copy.
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      li.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("l_suppkey")
+            .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+              col("l_linenumber"))))
+        .filter(col("rn") <= 5)
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
     "q_text_stats" -> ((s, dir) =>
       TextStats.textStats(documents(s, dir)).orderBy("doc_id")),
     "q_token_counts" -> ((s, dir) =>
@@ -2173,6 +2202,27 @@ object DocQueries {
          |      ORDER BY n_tokens DESC, doc_id) AS rn FROM t)
          |SELECT doc_id, source, n_tokens FROM r WHERE rn <= 3
          |ORDER BY source, doc_id""".stripMargin,
+
+    "q_topk_lineitem" ->
+      """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+        |FROM r WHERE rn <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_topk_window" ->
+      """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |      ::INT AS rn
+        |  FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
+        |FROM r WHERE rn <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q_winnow" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),

@@ -92,6 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension (ladder rung c): partial top-k per key
     // plans as bounded heaps around a candidates-only exchange
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // ...and the idiomatic window spelling (row_number <= k with the
+    // rank dropped) is rewritten onto it with no API change
+    ext.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
   }
 }
 

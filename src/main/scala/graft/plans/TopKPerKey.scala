@@ -81,6 +81,24 @@ object TopKPerKey {
     GraftPlanApi.ofRows(df.sparkSession, TopKPerKeyPlan(keys, order, k, analyzed))
   }
 
+  /** Bottom `k` rows per group — [[topKPerKey]] under the reversed
+    * order. Pure sugar: flipping every direction flips which end of
+    * the total order the heaps retain. */
+  def bottomKPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[(String, Boolean)],
+      k: Int): DataFrame =
+    topKPerKey(df, keyCols, orderCols.map { case (n, asc) => (n, !asc) }, k)
+
+  /** The single best row per group (k=1 arg-max under `orderCols`) —
+    * hits the slot fast path in [[prune]]: no heap is ever built. */
+  def argMaxPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[(String, Boolean)]): DataFrame =
+    topKPerKey(df, keyCols, orderCols, k = 1)
+
   /** Shared per-partition pruning kernel: one bounded heap per key
     * seen in this partition (a MAX-heap under the requested order, so
     * the worst survivor is evicted first), emitting ≤ k rows per key.
@@ -94,6 +112,20 @@ object TopKPerKey {
     val keyProj = UnsafeProjection.create(keys, input)
     val ord: Ordering[InternalRow] =
       GenerateOrdering.generate(order, input)
+    if (k == 1) {
+      // arg-max fast path: one row slot per key, no heap — the common
+      // latest-version/best-candidate shape pays a compare + maybe a
+      // copy per row instead of heap sift costs
+      val slots = mutable.LinkedHashMap.empty[UnsafeRow, InternalRow]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        slots.get(key) match {
+          case Some(best) => if (ord.lt(row, best)) slots.update(key, row.copy())
+          case None => slots.put(key.copy(), row.copy())
+        }
+      }
+      return slots.valuesIterator
+    }
     val heaps = mutable.LinkedHashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
     iter.foreach { row =>
       val key = keyProj(row)

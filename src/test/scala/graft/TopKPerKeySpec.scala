@@ -24,13 +24,22 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
         Window.partitionBy("key").orderBy(col("v").desc, col("id"))))
       .filter(col("__rn") <= k).drop("__rn")
 
+  /** Evaluate `f` with the RewriteTopKWindow rule disabled — the
+    * window spelling must stay on the builtin path to serve as an
+    * independent baseline. Forces evaluation inside the guard. */
+  private def noRewrite[A](f: => A): A = {
+    spark.conf.set("spark.graft.topkRewrite.enabled", "false")
+    try f
+    finally spark.conf.set("spark.graft.topkRewrite.enabled", "true")
+  }
+
   test("matches the window row_number spelling on random data") {
     for ((n, nKeys, k) <- Seq((2000, 7, 3), (500, 100, 5), (300, 1, 10))) {
       val df = randomDf(n, nKeys, seed = n + k)
       val got = TopKPerKey.topKPerKey(df, Seq("key"),
         Seq(("v", false), ("id", true)), k)
         .select("id", "key", "v").collect().toSet
-      val want = windowTopK(df, k).select("id", "key", "v").collect().toSet
+      val want = noRewrite(windowTopK(df, k).select("id", "key", "v").collect().toSet)
       assert(got == want, s"mismatch at n=$n keys=$nKeys k=$k")
     }
   }
@@ -52,7 +61,7 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
     // (WindowGroupLimit) prunes the shuffle the same way but requires
     // sorted children on BOTH sides and still runs the Window — the
     // sorts and the rank projection are what this operator deletes
-    val builtin = windowTopK(df, 4).queryExecution.executedPlan.toString
+    val builtin = noRewrite(windowTopK(df, 4).queryExecution.executedPlan.toString)
     assert(builtin.contains("WindowGroupLimit"),
       s"baseline changed — revisit the comparison:\n$builtin")
     assert(builtin.split("Sort ", -1).length - 1 >= 2,
@@ -72,7 +81,7 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
     val df = rows.toDF("id", "key", "v").repartition(13)
     val got = TopKPerKey.topKPerKey(df, Seq("key"), Seq(("v", false), ("id", true)), 2)
       .select("id", "key", "v").collect().toSet
-    val want = windowTopK(df, 2).select("id", "key", "v").collect().toSet
+    val want = noRewrite(windowTopK(df, 2).select("id", "key", "v").collect().toSet)
     assert(got == want)
     assert(got.exists(_.getString(1) == "only"), "singleton group must survive")
   }
@@ -92,10 +101,10 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
     val got = TopKPerKey.topKPerKey(df, Seq("key", "key2"),
       Seq(("v", true), ("id", false)), 2)
       .select("id", "key", "key2", "v").collect().toSet
-    val want = df.withColumn("__rn", row_number().over(
+    val want = noRewrite(df.withColumn("__rn", row_number().over(
         Window.partitionBy("key", "key2").orderBy(col("v"), col("id").desc)))
       .filter(col("__rn") <= 2).drop("__rn")
-      .select("id", "key", "key2", "v").collect().toSet
+      .select("id", "key", "key2", "v").collect().toSet)
     assert(got == want)
   }
 
@@ -106,10 +115,74 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
       .toDF("id", "key", "v")
     val got = TopKPerKey.topKPerKey(df, Seq("key"), Seq(("v", true), ("id", true)), 2)
       .select("id").as[Long].collect().toSet
-    val want = df.withColumn("__rn", row_number().over(
+    val want = noRewrite(df.withColumn("__rn", row_number().over(
         Window.partitionBy("key").orderBy(col("v").asc, col("id"))))
-      .filter(col("__rn") <= 2).select("id").as[Long].collect().toSet
+      .filter(col("__rn") <= 2).select("id").as[Long].collect().toSet)
     assert(got == want)
+  }
+
+  test("k=1 arg-max fast path matches the window rn=1 spelling") {
+    for ((n, nKeys) <- Seq((1500, 9), (400, 400), (600, 1))) {
+      val df = randomDf(n, nKeys, seed = n + nKeys)
+      val got = TopKPerKey.argMaxPerKey(df, Seq("key"),
+        Seq(("v", false), ("id", true)))
+        .select("id", "key", "v").collect().toSet
+      val want = noRewrite(windowTopK(df, 1).select("id", "key", "v")
+        .collect().toSet)
+      assert(got == want, s"argmax mismatch at n=$n keys=$nKeys")
+      assert(got.size == df.select("key").distinct().count(),
+        "exactly one row per key")
+    }
+  }
+
+  test("bottomKPerKey is topKPerKey under the reversed order") {
+    val df = randomDf(900, 11, seed = 77)
+    val got = TopKPerKey.bottomKPerKey(df, Seq("key"),
+      Seq(("v", false), ("id", true)), 3)
+      .select("id", "key", "v").collect().toSet
+    val want = noRewrite(df.withColumn("__rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("v").asc, col("id").desc)))
+      .filter(col("__rn") <= 3).drop("__rn")
+      .select("id", "key", "v").collect().toSet)
+    assert(got == want)
+  }
+
+  test("the window spelling with the rank dropped is rewritten onto the operator") {
+    val df = randomDf(800, 6, seed = 31)
+    val spelled = windowTopK(df, 3)
+    val plan = spelled.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    val got = spelled.select("id", "key", "v").collect().toSet
+    val want = noRewrite(windowTopK(df, 3).select("id", "key", "v").collect().toSet)
+    assert(got == want)
+    // the strict < form rewrites with k-1
+    val lt = df.withColumn("__rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("v").desc, col("id"))))
+      .filter(col("__rn") < 4).drop("__rn")
+    assert(lt.queryExecution.executedPlan.toString.contains("TopKPerKeyFinal"))
+    assert(lt.select("id", "key", "v").collect().toSet == want)
+  }
+
+  test("the rewrite stays off when the rank survives or the partition is global") {
+    val df = randomDf(400, 5, seed = 13)
+    // rank kept: the builtin must produce it
+    val kept = df.withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("v"), col("id"))))
+      .filter(col("rn") <= 2)
+    assert(kept.queryExecution.executedPlan.toString.contains("Window"),
+      "rewrite fired although the rank column survives")
+    // global top-k (no partition): stays builtin
+    val global = df.withColumn("__rn", row_number().over(
+        Window.orderBy(col("v"), col("id"))))
+      .filter(col("__rn") <= 5).drop("__rn")
+    assert(!global.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "rewrite fired on an empty partitionSpec")
+    // conf off: stays builtin
+    val off = noRewrite {
+      windowTopK(df, 2).queryExecution.executedPlan.toString
+    }
+    assert(!off.contains("TopKPerKey"))
   }
 
   test("rejects nonsense arguments") {
