@@ -326,6 +326,14 @@ object DocQueries {
               expr("substring(text, 81)")).as("text")))
       Cdc.cdcSyncPlan(incoming, held, w = 8, divisor = 16)
     }),
+    "q_cdc_bytes" -> ((s, dir) =>
+      // byte-level Gear CDC (functions/GearChunks.scala) over the
+      // documents' UTF-8 payload bytes — the corpus is verified
+      // all-ASCII, so the oracle replays byte values via ascii() and
+      // the lag-window spelling of the rolling hash's low bits
+      Cdc.byteChunks(documents(s, dir).select("doc_id", "text"),
+          binCol = "text", maskBits = 6)
+        .orderBy("doc_id", "chunk_idx")),
     "q_topk_per_key" -> ((s, dir) => {
       // the custom physical operator (plans/TopKPerKey.scala): top-3
       // docs per source by token count — partial bounded heaps below
@@ -2193,6 +2201,43 @@ object DocQueries {
          |  round((sum(n_tokens) - sum(CASE WHEN ship THEN n_tokens ELSE 0 END))
          |    * 100.0 / sum(n_tokens), 9) AS reuse_pct
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // byte-level Gear CDC: GEAR[b] regenerated from md5 ("gear:" || b),
+    // and the kernel's (h << 1) + GEAR[b] low-6-bit cut test replayed
+    // in its windowed form — GEAR[b_j]'s contribution to the low 6
+    // bits of h_i vanishes once i-j >= 6, so the cut at i is the
+    // 6-term lag sum mod 64 (each term pre-reduced mod 64 to keep the
+    // arithmetic far from BIGINT range). ascii() == byte value on the
+    // verified all-ASCII corpus.
+    "q_cdc_bytes" -> {
+      val gearLags = (0 until 6).map { j =>
+        val coef = 1L << j
+        val gv = if (j == 0) "gv" else s"coalesce(lag(gv, $j) OVER w, 0)"
+        s"$coef * ($gv % 64)"
+      }.mkString(" + ")
+      s"""WITH pos AS (SELECT doc_id, text,
+         |    unnest(range(1, length(text) + 1)) AS i FROM documents),
+         |g AS (SELECT doc_id, text, (i - 1)::INT AS p,
+         |    ${hash56("'gear:' || ascii(substr(text, i, 1))::VARCHAR")} AS gv
+         |  FROM pos),
+         |r AS (SELECT doc_id, text, p,
+         |    ($gearLags) % 64 AS lowbits,
+         |    max(p) OVER (PARTITION BY doc_id) AS lastp
+         |  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         |cuts AS (SELECT doc_id, text, p FROM r
+         |  WHERE lowbits = 0 OR p = lastp),
+         |ch AS (SELECT doc_id, text,
+         |    (row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1)::INT
+         |      AS chunk_idx,
+         |    (coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), -1)
+         |      + 1)::INT AS start,
+         |    (p - coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), -1)
+         |      )::INT AS len
+         |  FROM cuts)
+         |SELECT doc_id, chunk_idx, start, len,
+         |  ${hash56("substr(text, start + 1, len)")} AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+    },
 
     "q_topk_per_key" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -86,6 +86,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${GraftExtensions.TextNormName} takes exactly 1 argument, got ${args.length}")
         TextNorm(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftExtensions.GearChunksName),
+      new ExpressionInfo(classOf[GearChunks].getName, GraftExtensions.GearChunksName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"${GraftExtensions.GearChunksName} takes exactly 2 arguments, got ${args.length}")
+        GearChunks(args.head, args(1))
+      }))
     // user queries written with the idiomatic zip_with/aggregate dot
     // composition get the fused codegen kernel automatically
     ext.injectOptimizerRule(_ => RewriteHofDot)
@@ -108,4 +116,5 @@ object GraftExtensions {
   val HtmlTextName = "graft_html_text"
   val UrlCanonName = "graft_url_canon"
   val TextNormName = "graft_textnorm"
+  val GearChunksName = "graft_gear_chunks"
 }

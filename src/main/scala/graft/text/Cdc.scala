@@ -137,6 +137,33 @@ object Cdc {
       .orderBy("doc_id")
   }
 
+  /** Byte-level content-defined chunks of a BINARY column — the
+    * [[graft.functions.GearChunks]] Gear-hash kernel exploded into one
+    * row per chunk. This is the multimodal face of CDC: it chunks any
+    * payload (WAV/PPM/WARC bytes, UTF-8 text alike) with expected
+    * chunk length 2^maskBits bytes, so the chunk-store dedup and
+    * incremental-sync rollups above compose over media columns exactly
+    * as they do over token streams.
+    *
+    * Output: (id, chunk_idx, start, len, chunk_hash) per chunk,
+    * chunk_idx 0-based in payload order; empty/NULL payloads emit
+    * nothing. One narrow codegen'd pass per row, no shuffle. */
+  def byteChunks(
+      df: DataFrame,
+      binCol: String,
+      maskBits: Int = 6,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 30,
+      s"maskBits must be in 1..30, got $maskBits")
+    df.select(col(idCol), posexplode(call_function(
+        graft.functions.GraftExtensions.GearChunksName,
+        col(binCol).cast("binary"), lit(maskBits)))
+        .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__c.start").as("start"), col("__c.len").as("len"),
+        col("__c.chunk_hash").as("chunk_hash"))
+  }
+
   def cdcDedupStats(
       docs: DataFrame,
       w: Int = 8,
