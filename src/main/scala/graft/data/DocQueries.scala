@@ -208,6 +208,54 @@ object DocQueries {
         .select("l_returnflag", "hll_distinct", "exact_distinct")
         .orderBy("l_returnflag")
     }),
+    "q_kmv_distinct" -> ((s, dir) => {
+      // KMV/theta sketch (functions/KmvAgg.scala, stats/Kmv.scala):
+      // k=128 minimum hash values of each source's distinct 2-gram
+      // shingle set. Deterministic by construction (the retained set
+      // is a pure function of the value SET), so the oracle replays
+      // the sketch as row_number() <= k and the estimate to the bit.
+      // n_exact rides along as the honesty column.
+      val sh = documents(s, dir).select(col("source"),
+        explode(TextOps.shingleSeq(TextOps.tokens(col("text")), 2)).as("g"))
+      val sk = graft.stats.Kmv.sketch(sh, Seq("source"), col("g"), k = 128)
+      val exact = sh.select(col("source"),
+          graft.stats.Kmv.hashCol(col("g")).as("h"))
+        .distinct().groupBy("source").agg(count(lit(1)).as("n_exact"))
+      sk.join(exact, Seq("source"))
+        .select(col("source"), col("n_exact"),
+          size(col("kmv")).cast("long").as("n_retained"),
+          graft.stats.Kmv.thetaRaw(col("kmv"), 128).as("theta_raw"),
+          round(graft.stats.Kmv.distinctEstimate(col("kmv"), 128), 9).as("est"))
+        .orderBy("source")
+    }),
+    "q_kmv_setops" -> ((s, dir) => {
+      // theta-sketch set algebra over PERSISTED-shape sketches: all
+      // 190 source-pair union/intersection estimates computed from the
+      // 20 retained arrays alone (the base data is touched only for
+      // the exact-intersection honesty column). The pair join is a
+      // bounded 20x20 broadcast nested loop by design.
+      val K = 128
+      val kmv = graft.stats.Kmv
+      val sh = documents(s, dir).select(col("source"),
+        explode(TextOps.shingleSeq(TextOps.tokens(col("text")), 2)).as("g"))
+      val dh = sh.select(col("source"), kmv.hashCol(col("g")).as("h")).distinct()
+      val sk = kmv.sketch(sh, Seq("source"), col("g"), K)
+      val pairs = sk.select(col("source").as("s1"), col("kmv").as("ka"))
+        .join(broadcast(sk.select(col("source").as("s2"), col("kmv").as("kb"))),
+          col("s1") < col("s2"))
+      val ex = dh.as("x").join(dh.as("y"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .select(col("x.source").as("s1"), col("y.source").as("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_exact_intersect"))
+      pairs.join(ex, Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"),
+          coalesce(col("n_exact_intersect"), lit(0L)).as("n_exact_intersect"),
+          round(kmv.intersectEstimate(col("ka"), col("kb"), K), 9)
+            .as("est_intersect"),
+          round(kmv.distinctEstimate(kmv.unionSketch(col("ka"), col("kb"), K), K), 9)
+            .as("est_union"))
+        .orderBy("s1", "s2")
+    }),
     "q_profile" -> ((s, dir) =>
       // ANALYZE-style table profile (round 9): per column the row/null
       // counts, bit-reproducible HLL distinct estimate over a
@@ -1960,6 +2008,76 @@ object DocQueries {
     // harmonic sum, 1e-6-snapped estimate — the float literals are the
     // Scala doubles' shortest round-trip strings, which DuckDB parses
     // back to the identical bits
+    "q_kmv_distinct" -> {
+      val two56 = "CAST(72057594037927936 AS DOUBLE)"
+      s"""WITH t AS (SELECT source, ${shinglesExpr(toksExpr, 2)} AS gs
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT source, ${hash56("'kmv:' || g")} AS h
+         |  FROM (SELECT source, unnest(gs) AS g FROM t)),
+         |r AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n_exact FROM sh),
+         |th AS (SELECT source, max(n_exact)::BIGINT AS n_exact,
+         |    count(*)::BIGINT AS n_retained,
+         |    CASE WHEN max(n_exact) >= 128
+         |      THEN max(CASE WHEN rn = 128 THEN h END)
+         |      ELSE 72057594037927936 END AS theta_raw
+         |  FROM r WHERE rn <= 128 GROUP BY source)
+         |SELECT source, n_exact, n_retained, theta_raw,
+         |  round(CASE WHEN n_exact < 128 THEN n_exact::DOUBLE
+         |    ELSE 127.0 / (theta_raw::DOUBLE / $two56) END, 9) AS est
+         |FROM th ORDER BY source""".stripMargin
+    },
+
+    "q_kmv_setops" -> {
+      val two56 = "CAST(72057594037927936 AS DOUBLE)"
+      s"""WITH t AS (SELECT source, ${shinglesExpr(toksExpr, 2)} AS gs
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT source, ${hash56("'kmv:' || g")} AS h
+         |  FROM (SELECT source, unnest(gs) AS g FROM t)),
+         |r AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n_exact FROM sh),
+         |sk AS (SELECT source, h, rn, n_exact FROM r WHERE rn <= 128),
+         |th AS (SELECT source, max(n_exact) AS n_exact,
+         |    CASE WHEN max(n_exact) >= 128
+         |      THEN max(CASE WHEN rn = 128 THEN h END)
+         |      ELSE 72057594037927936 END AS theta_raw
+         |  FROM sk GROUP BY source),
+         |p AS (SELECT a.source AS s1, b.source AS s2,
+         |    least(a.theta_raw, b.theta_raw) AS tmin
+         |  FROM th a JOIN th b ON a.source < b.source),
+         |ex AS (SELECT x.source AS s1, y.source AS s2, count(*) AS n_ex
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |ic AS (SELECT x.source AS s1, y.source AS s2, count(*) AS n_c
+         |  FROM sk x JOIN sk y ON x.h = y.h AND x.source < y.source
+         |  JOIN p ON p.s1 = x.source AND p.s2 = y.source AND x.h < p.tmin
+         |  GROUP BY 1, 2),
+         |u AS (SELECT p.s1, p.s2, k1.h FROM p JOIN sk k1 ON k1.source = p.s1
+         |  UNION
+         |  SELECT p.s1, p.s2, k2.h FROM p JOIN sk k2 ON k2.source = p.s2),
+         |ur AS (SELECT s1, s2, h,
+         |    row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY s1, s2) AS n FROM u),
+         |uth AS (SELECT s1, s2, max(n) AS un,
+         |    CASE WHEN max(n) >= 128
+         |      THEN max(CASE WHEN rn = 128 THEN h END)
+         |      ELSE 72057594037927936 END AS utheta
+         |  FROM ur WHERE rn <= 128 GROUP BY s1, s2)
+         |SELECT p.s1, p.s2,
+         |  coalesce(ex.n_ex, 0)::BIGINT AS n_exact_intersect,
+         |  round(coalesce(ic.n_c, 0)::DOUBLE
+         |    / (p.tmin::DOUBLE / $two56), 9) AS est_intersect,
+         |  round(CASE WHEN uth.un < 128 THEN uth.un::DOUBLE
+         |    ELSE 127.0 / (uth.utheta::DOUBLE / $two56) END, 9) AS est_union
+         |FROM p
+         |LEFT JOIN ex ON ex.s1 = p.s1 AND ex.s2 = p.s2
+         |LEFT JOIN ic ON ic.s1 = p.s1 AND ic.s2 = p.s2
+         |JOIN uth ON uth.s1 = p.s1 AND uth.s2 = p.s2
+         |ORDER BY p.s1, p.s2""".stripMargin
+    },
+
     "q_hll_distinct" -> {
       val aM2 = graft.stats.Hll.alpha(1024) * 1024.0 * 1024.0
       val scale = math.pow(2.0, 47.0)
