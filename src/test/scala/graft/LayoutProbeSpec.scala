@@ -74,4 +74,48 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       .agg(min("count").as("lo"), max("count").as("hi")).head
     assert(sizes.getAs[Long]("hi") - sizes.getAs[Long]("lo") <= 1L)
   }
+
+  test("6M-row skewed top-k: heap operator ≡ window path, rewrite fires") {
+    // ~30% of the 6M rows pile onto one hot key (the shape where the
+    // builtin's per-group sort hurts most); the rest spread over 996
+    val keyed = probe.select(col("rid"),
+      when(col("rid") % 10 < 3, lit(0L)).otherwise(col("rid") % 997L)
+        .as("key"),
+      col("v"))
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (gotDf, tHeap) = timed {
+      val d = graft.plans.TopKPerKey.topKPerKey(keyed, Seq("key"),
+        Seq(("v", false), ("rid", true)), k = 5)
+      d.write.format("noop").mode("overwrite").save(); d
+    }
+    spark.conf.set("spark.graft.topkRewrite.enabled", "false")
+    val (wantDf, tWin) = try timed {
+      val d = keyed.withColumn("__rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("key").orderBy(col("v").desc, col("rid"))))
+        .filter(col("__rn") <= 5).drop("__rn")
+      d.write.format("noop").mode("overwrite").save(); d
+    } finally spark.conf.set("spark.graft.topkRewrite.enabled", "true")
+    info(f"6M skewed top-5: heap ${tHeap}%.2fs vs window ${tWin}%.2fs")
+    // bit-identical row sets, checked distributed (outputs are ≤ 4985
+    // rows; the anti-joins run over those, never the 6M base)
+    assert(gotDf.exceptAll(wantDf).isEmpty && wantDf.exceptAll(gotDf).isEmpty)
+    // per-key cardinality law: exactly min(5, |group|) rows per key
+    val bad = gotDf.groupBy("key").count()
+      .join(keyed.groupBy("key").count().withColumnRenamed("count", "n"),
+        Seq("key"))
+      .filter(col("count") =!= least(lit(5L), col("n"))).count()
+    assert(bad == 0L)
+    // the no-API-change path: the window spelling (rank dropped)
+    // plans onto the operator at this scale too
+    val rewritten = keyed.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(col("v").desc, col("rid"))))
+      .filter(col("__rn") <= 5).drop("__rn")
+    assert(rewritten.queryExecution.executedPlan.toString
+      .contains("TopKPerKeyFinal"))
+  }
 }
