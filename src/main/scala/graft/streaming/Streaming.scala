@@ -773,4 +773,39 @@ object Streaming {
       .agg(count(lit(1)).as("__c"))
       .select(col("window.start").as("window_start"),
         col("__pos"), col("__c"))
+
+  /** Streaming KMV sketch maintenance — the theta-sketch face of
+    * [[streamingHllRegisters]]/[[streamingCmsCounters]], closing the
+    * online sketch family: one ≤ k-value buffer per open window (the
+    * [[graft.functions.KmvAgg]] state, serialized into the state
+    * store), purged with the watermark. Because the retained set is a
+    * pure function of the window's value set, the streamed array is
+    * bit-identical to the batch sketch over the same rows regardless
+    * of micro-batch boundaries (StreamingSpec pins it value-for-value).
+    *
+    * The payoff over the HLL registers: stored window arrays COMPOSE —
+    * [[graft.stats.Kmv.unionSketch]] rolls any horizon of window
+    * sketches into one, and [[graft.stats.Kmv.intersectEstimate]]
+    * answers "how many keys did windows A and B share?" from the
+    * arrays alone, a question registers cannot answer.
+    *
+    * @return append-mode rows (window_start, kmv ascending array)
+    */
+  def streamingKmvSketch(
+      events: DataFrame,
+      key: Column,
+      k: Int,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val agg = column(graft.functions.KmvAgg(
+      expression(col("__h")), k).toAggregateExpression())
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLength).as("window"),
+        graft.stats.Kmv.hashCol(key).as("__h"))
+      .groupBy(col("window"))
+      .agg(agg.as("kmv"))
+      .select(col("window.start").as("window_start"), col("kmv"))
+  }
 }

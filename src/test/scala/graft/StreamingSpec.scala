@@ -650,4 +650,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val exact = events.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
     exact.foreach { case (u, n) => assert(ests(u) >= n, s"user $u") }
   }
+
+  test("streamingKmvSketch: streamed arrays == batch sketch, set algebra composes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // two hour-windows with overlapping user sets: window 0 sees users
+    // 0..59, window 1 sees 40..99 — 20 shared
+    val events = (1L to 600L).map { i =>
+      if (i % 2 == 0) Event(i, t("2024-01-01 00:10:00"), i / 2 % 60, "c", 1.0)
+      else Event(i, t("2024-01-01 01:20:00"), 40 + (i / 2 % 60), "c", 1.0)
+    }
+    in.addData(events.take(250): _*)
+    val out = Streaming.streamingKmvSketch(in.toDF(),
+      concat(lit("u:"), col("user_id")), k = 32)
+    val q = out.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(events.drop(250): _*)
+    q.processAllAvailable()
+    in.addData(Event(9999, t("2024-01-02 12:00:00"), 1, "c", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmv_stream")
+      .filter(col("window_start") < t("2024-01-02 00:00:00"))
+      .collect()
+      .map(r => r.getTimestamp(0).toString -> r.getSeq[Long](1)).toMap
+    // micro-batch boundaries must not show: bit-identical to one batch
+    val batchDf = spark.createDataFrame(events)
+      .withColumn("window_start", window(col("ts"), "1 hour")("start"))
+    val batch = graft.stats.Kmv.sketch(batchDf, Seq("window_start"),
+        concat(lit("u:"), col("user_id")), k = 32)
+      .collect()
+      .map(r => r.getTimestamp(0).toString -> r.getSeq[Long](1)).toMap
+    assert(streamed === batch)
+    assert(streamed.size == 2 && streamed.values.forall(_.size == 32))
+    // set algebra over the STREAMED artifacts: union ≈ 100 distinct
+    // users, intersection ≈ 20 shared — answered from the two arrays
+    import spark.implicits._
+    val Seq(w0, w1) = streamed.toSeq.sortBy(_._1).map(_._2)
+    val est = Seq((w0, w1)).toDF("a", "b").select(
+      graft.stats.Kmv.distinctEstimate(
+        graft.stats.Kmv.unionSketch(col("a"), col("b"), 32), 32).as("u"),
+      graft.stats.Kmv.intersectEstimate(col("a"), col("b"), 32).as("i"))
+      .head
+    assert(math.abs(est.getDouble(0) - 100.0) < 4.0 * 100.0 / math.sqrt(30.0))
+    assert(est.getDouble(1) > 0.0 && est.getDouble(1) < 60.0,
+      s"intersect est ${est.getDouble(1)}")
+  }
 }
