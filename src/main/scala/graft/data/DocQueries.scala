@@ -382,6 +382,19 @@ object DocQueries {
       Cdc.byteChunks(documents(s, dir).select("doc_id", "text"),
           binCol = "text", maskBits = 6)
         .orderBy("doc_id", "chunk_idx")),
+    "q_cdc_bytes_sync" -> ((s, dir) => {
+      // the q_cdc_sync scenario on BYTE chunks: held = evens' byte
+      // store; incoming = odds + a 12-byte mid-text splice into every
+      // 6th doc — only the splice neighbourhood's chunks re-ship
+      val d = documents(s, dir).select("doc_id", "text")
+      val held = d.filter(col("doc_id") % 2 === 0)
+      val incoming = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select(col("doc_id"),
+            concat(expr("substring(text, 1, 80)"), lit(" patched v2 "),
+              expr("substring(text, 81)")).as("text")))
+      Cdc.byteSyncPlan(incoming, held, binCol = "text", maskBits = 6)
+    }),
     "q_topk_per_key" -> ((s, dir) => {
       // the custom physical operator (plans/TopKPerKey.scala): top-3
       // docs per source by token count — partial bounded heaps below
@@ -1445,6 +1458,44 @@ object DocQueries {
     * chunk-table, chunk-store-dedup, and incremental-sync oracles.
     * Boundary after token s+w-1 when the 56-bit window hash is ≡ 0 mod
     * divisor; chunk_idx = cuts strictly before the token. */
+  /** CTE chain replaying the byte-level Gear CDC kernel
+    * (functions/GearChunks.scala) over a (doc_id, text) relation:
+    * GEAR[b] regenerated from md5, the low-6-bit cut test in its
+    * 6-term lag-window form (each term pre-reduced mod 64 so the
+    * arithmetic stays far from BIGINT range), chunks cut between
+    * boundary positions. Emits `${p}bch` with (doc_id, chunk_idx,
+    * start, len, chunk_hash). ascii() == byte value requires the
+    * all-ASCII corpus (verified for the testdata documents). */
+  private def byteCdcCtes(src: String, p: String): String = {
+    val gearLags = (0 until 6).map { j =>
+      val coef = 1L << j
+      val gv = if (j == 0) "gv" else s"coalesce(lag(gv, $j) OVER w, 0)"
+      s"$coef * ($gv % 64)"
+    }.mkString(" + ")
+    s"""${p}pos AS (SELECT doc_id, text,
+       |    unnest(range(1, length(text) + 1)) AS i FROM $src),
+       |${p}g AS (SELECT doc_id, text, (i - 1)::INT AS p,
+       |    ${hash56("'gear:' || ascii(substr(text, i, 1))::VARCHAR")} AS gv
+       |  FROM ${p}pos),
+       |${p}r AS (SELECT doc_id, text, p,
+       |    ($gearLags) % 64 AS lowbits,
+       |    max(p) OVER (PARTITION BY doc_id) AS lastp
+       |  FROM ${p}g WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |${p}cuts AS (SELECT doc_id, text, p FROM ${p}r
+       |  WHERE lowbits = 0 OR p = lastp),
+       |${p}ch AS (SELECT doc_id, text,
+       |    (row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1)::INT
+       |      AS chunk_idx,
+       |    (coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), -1)
+       |      + 1)::INT AS start,
+       |    (p - coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), -1)
+       |      )::INT AS len
+       |  FROM ${p}cuts),
+       |${p}bch AS (SELECT doc_id, chunk_idx, start, len,
+       |    ${hash56("substr(text, start + 1, len)")} AS chunk_hash
+       |  FROM ${p}ch)""".stripMargin
+  }
+
   private def cdcChunkCtes(src: String = "documents",
       p: String = ""): String = {
     val w = 8; val d = 16
@@ -2322,40 +2373,35 @@ object DocQueries {
 
     // byte-level Gear CDC: GEAR[b] regenerated from md5 ("gear:" || b),
     // and the kernel's (h << 1) + GEAR[b] low-6-bit cut test replayed
-    // in its windowed form — GEAR[b_j]'s contribution to the low 6
-    // bits of h_i vanishes once i-j >= 6, so the cut at i is the
-    // 6-term lag sum mod 64 (each term pre-reduced mod 64 to keep the
-    // arithmetic far from BIGINT range). ascii() == byte value on the
-    // verified all-ASCII corpus.
-    "q_cdc_bytes" -> {
-      val gearLags = (0 until 6).map { j =>
-        val coef = 1L << j
-        val gv = if (j == 0) "gv" else s"coalesce(lag(gv, $j) OVER w, 0)"
-        s"$coef * ($gv % 64)"
-      }.mkString(" + ")
-      s"""WITH pos AS (SELECT doc_id, text,
-         |    unnest(range(1, length(text) + 1)) AS i FROM documents),
-         |g AS (SELECT doc_id, text, (i - 1)::INT AS p,
-         |    ${hash56("'gear:' || ascii(substr(text, i, 1))::VARCHAR")} AS gv
-         |  FROM pos),
-         |r AS (SELECT doc_id, text, p,
-         |    ($gearLags) % 64 AS lowbits,
-         |    max(p) OVER (PARTITION BY doc_id) AS lastp
-         |  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
-         |cuts AS (SELECT doc_id, text, p FROM r
-         |  WHERE lowbits = 0 OR p = lastp),
-         |ch AS (SELECT doc_id, text,
-         |    (row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1)::INT
-         |      AS chunk_idx,
-         |    (coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), -1)
-         |      + 1)::INT AS start,
-         |    (p - coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), -1)
-         |      )::INT AS len
-         |  FROM cuts)
-         |SELECT doc_id, chunk_idx, start, len,
-         |  ${hash56("substr(text, start + 1, len)")} AS chunk_hash
-         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
-    },
+    // in its windowed form — see byteCdcCtes. ascii() == byte value on
+    // the verified all-ASCII corpus.
+    "q_cdc_bytes" ->
+      s"""WITH ${byteCdcCtes("documents", "")}
+         |SELECT doc_id, chunk_idx, start, len, chunk_hash
+         |FROM bch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // byte-level incremental sync: the q_cdc_sync corpus split (evens
+    // held; odds + mid-text-patched every-6th incoming) replayed on
+    // Gear byte chunks — reuse reported in bytes
+    "q_cdc_bytes_sync" ->
+      s"""WITH inc0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id,
+         |    substr(text, 1, 80) || ' patched v2 ' || substr(text, 81) AS text
+         |  FROM documents WHERE doc_id % 6 = 0),
+         |held0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |${byteCdcCtes("inc0", "i")},
+         |${byteCdcCtes("held0", "h")},
+         |st AS (SELECT DISTINCT chunk_hash FROM hbch),
+         |j AS (SELECT c.doc_id, c.len,
+         |    (s.chunk_hash IS NULL) AS ship
+         |  FROM ibch c LEFT JOIN st s USING (chunk_hash))
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum(len)::BIGINT AS n_bytes,
+         |  sum(ship::INT)::BIGINT AS ship_chunks,
+         |  sum(CASE WHEN ship THEN len ELSE 0 END)::BIGINT AS ship_bytes,
+         |  round((sum(len) - sum(CASE WHEN ship THEN len ELSE 0 END))
+         |    * 100.0 / sum(len), 9) AS reuse_pct
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_topk_per_key" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -164,6 +164,38 @@ object Cdc {
         col("__c.chunk_hash").as("chunk_hash"))
   }
 
+  /** [[cdcSyncPlan]] over BINARY payloads: chunk the incoming batch
+    * with the byte-level Gear kernel, probe each chunk hash against
+    * the held corpus' byte-chunk store, ship only what the store lacks.
+    * Same plan shape as the token-level sync (one distinct-project +
+    * one equi-join); reuse is reported in BYTES.
+    *
+    * Output per incoming payload: (id, n_chunks, n_bytes, ship_chunks,
+    * ship_bytes, reuse_pct). */
+  def byteSyncPlan(
+      incoming: DataFrame,
+      held: DataFrame,
+      binCol: String,
+      maskBits: Int = 6,
+      idCol: String = "doc_id"): DataFrame = {
+    val inc = byteChunks(incoming, binCol, maskBits, idCol)
+    val store = byteChunks(held, binCol, maskBits, idCol)
+      .select("chunk_hash").distinct().withColumn("__held", lit(true))
+    inc.join(store, Seq("chunk_hash"), "left")
+      .withColumn("__ship", coalesce(col("__held"), lit(false)) === false)
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("len").cast("long")).as("n_bytes"),
+        sum(col("__ship").cast("long")).as("ship_chunks"),
+        sum(when(col("__ship"), col("len").cast("long")).otherwise(lit(0L)))
+          .as("ship_bytes"))
+      .withColumn("reuse_pct",
+        round((col("n_bytes") - col("ship_bytes")) * lit(100.0) /
+          col("n_bytes"), 9))
+      .orderBy(idCol)
+  }
+
   def cdcDedupStats(
       docs: DataFrame,
       w: Int = 8,
