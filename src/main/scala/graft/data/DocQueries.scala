@@ -395,6 +395,25 @@ object DocQueries {
               expr("substring(text, 81)")).as("text")))
       Cdc.byteSyncPlan(incoming, held, binCol = "text", maskBits = 6)
     }),
+    "q_cdc_media" -> ((s, dir) => {
+      // byte-CDC sync over REAL media payloads: the synthetic P6 corpus
+      // (header + cyclic body — pure column ops, every byte
+      // oracle-reconstructable). held = evens' payload chunk store;
+      // incoming = odds + re-encoded re-fetches of every 6th doc whose
+      // SOURCE text took a 12-char splice — the shared payload prefix
+      // (header + body up to the splice) re-ships nothing
+      val d = documents(s, dir).select("doc_id", "text")
+      val held = Multimodal.syntheticCorpus(d.filter(col("doc_id") % 2 === 0))
+        .select(col("sample_id").as("doc_id"), col("content"))
+      val patched = d.filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id"),
+          concat(expr("substring(text, 1, 80)"), lit(" patched v2 "),
+            expr("substring(text, 81)")).as("text"))
+      val incoming = Multimodal.syntheticCorpus(
+          d.filter(col("doc_id") % 2 === 1).unionByName(patched))
+        .select(col("sample_id").as("doc_id"), col("content"))
+      Cdc.byteSyncPlan(incoming, held, binCol = "content", maskBits = 6)
+    }),
     "q_topk_per_key" -> ((s, dir) => {
       // the custom physical operator (plans/TopKPerKey.scala): top-3
       // docs per source by token count — partial bounded heaps below
@@ -1496,6 +1515,22 @@ object DocQueries {
        |  FROM ${p}ch)""".stripMargin
   }
 
+  /** CTE rebuilding [[graft.multimodal.Multimodal.syntheticCorpus]]'s
+    * binary-PPM payload as a VARCHAR over a (doc_id, text) relation —
+    * valid because header and cyclic body are all-ASCII for the
+    * testdata corpus, so char ops == byte ops and md5(VARCHAR) hashes
+    * the same bytes the Spark kernel sees. Emits `$out` with
+    * (doc_id, text = the payload). */
+  private def p6PayloadCte(src: String, out: String): String =
+    s"""$out AS (SELECT doc_id,
+       |    'P6' || chr(10) || (doc_id % 13 + 4)::VARCHAR || ' ' ||
+       |    (doc_id % 11 + 4)::VARCHAR || chr(10) || '255' || chr(10) ||
+       |    substr(repeat(text || '.',
+       |      ceil(((doc_id % 13 + 4) * (doc_id % 11 + 4) * 3)::DOUBLE
+       |        / length(text || '.'))::INT),
+       |      1, ((doc_id % 13 + 4) * (doc_id % 11 + 4) * 3)::INT) AS text
+       |  FROM $src)""".stripMargin
+
   private def cdcChunkCtes(src: String = "documents",
       p: String = ""): String = {
     val w = 8; val d = 16
@@ -2379,6 +2414,32 @@ object DocQueries {
       s"""WITH ${byteCdcCtes("documents", "")}
          |SELECT doc_id, chunk_idx, start, len, chunk_hash
          |FROM bch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // byte-CDC sync over P6 media payloads: the payload string is
+    // rebuilt in SQL (header || cyclic body — all ASCII because the
+    // source text is), then the same Gear replay + store probe as
+    // q_cdc_bytes_sync
+    "q_cdc_media" ->
+      s"""WITH idocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id,
+         |    substr(text, 1, 80) || ' patched v2 ' || substr(text, 81) AS text
+         |  FROM documents WHERE doc_id % 6 = 0),
+         |hdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |${p6PayloadCte("idocs", "inc0")},
+         |${p6PayloadCte("hdocs", "held0")},
+         |${byteCdcCtes("inc0", "i")},
+         |${byteCdcCtes("held0", "h")},
+         |st AS (SELECT DISTINCT chunk_hash FROM hbch),
+         |j AS (SELECT c.doc_id, c.len,
+         |    (s.chunk_hash IS NULL) AS ship
+         |  FROM ibch c LEFT JOIN st s USING (chunk_hash))
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum(len)::BIGINT AS n_bytes,
+         |  sum(ship::INT)::BIGINT AS ship_chunks,
+         |  sum(CASE WHEN ship THEN len ELSE 0 END)::BIGINT AS ship_bytes,
+         |  round((sum(len) - sum(CASE WHEN ship THEN len ELSE 0 END))
+         |    * 100.0 / sum(len), 9) AS reuse_pct
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // byte-level incremental sync: the q_cdc_sync corpus split (evens
     // held; odds + mid-text-patched every-6th incoming) replayed on

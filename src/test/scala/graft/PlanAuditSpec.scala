@@ -289,6 +289,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       !tv.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("round-12 operators keep their scale-critical shapes") {
+    // the measured bench pair must stay an honest comparison: the
+    // operator side plans the partial/final heaps with no Window and
+    // no sort below the exchange; the window side stays on the builtin
+    // WindowGroupLimit path (rank kept => the rewrite must not fire)
+    val heap = plans("q_topk_lineitem")
+    assert(heap.contains("TopKPerKeyPartial") && heap.contains("TopKPerKeyFinal"),
+      "q_topk_lineitem lost the heap operator")
+    assert(!heap.contains("Window"),
+      "q_topk_lineitem plans a Window — the operator path degraded")
+    val win = plans("q_topk_window")
+    assert(win.contains("WindowGroupLimit") && !win.contains("TopKPerKey"),
+      "q_topk_window left the builtin baseline path")
+    // byte CDC: the native kernel in-plan (no builtin fallback exists,
+    // but a registry miss would fail at analysis — pin the plan anyway)
+    assert(plans("q_cdc_bytes").contains("graft_gear_chunks"),
+      "q_cdc_bytes does not run the gear kernel")
+    // KMV: the sketch aggregate must partial-aggregate (map-side
+    // combine of ≤k-value buffers), not shuffle raw hashes
+    val kmv = plans("q_kmv_distinct")
+    assert(kmv.contains("graft_kmv"),
+      "q_kmv_distinct does not run the KMV aggregate")
+    assert(kmv.contains("ObjectHashAggregate") || kmv.contains("SortAggregate"),
+      "q_kmv_distinct lost the typed-imperative aggregate shape")
+  }
+
   test("IVF queries run the native cell-distance kernel, not the fallback") {
     // Ivf.cellDists silently degrades to nCells x dim literal l2sq
     // plans if the graft_l2sq_cells registration check misses — a 10x
