@@ -118,4 +118,51 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
     assert(rewritten.queryExecution.executedPlan.toString
       .contains("TopKPerKeyFinal"))
   }
+
+  test("6M-row KMV sketches: accuracy and partitioning independence at scale") {
+    import graft.stats.Kmv
+    // 7 groups of ~857k distinct ids each — the sketch build is one
+    // typed-imperative pass with ≤k-value buffers map-side combined
+    // across 32 partitions; no distinct, no sort
+    val keyed = probe.select((col("rid") % 7).as("k"),
+      col("rid").cast("string").as("v"))
+    val K = 256
+    val sk = Kmv.sketch(keyed, Seq("k"), col("v"), K)
+      .select(col("k"),
+        Kmv.distinctEstimate(col("kmv"), K).as("est"), col("kmv"))
+    val exact = keyed.distinct().groupBy("k").count()
+    val joined = sk.join(exact, Seq("k")).collect()
+    assert(joined.length == 7)
+    joined.foreach { r =>
+      val (est, n) = (r.getAs[Double]("est"), r.getAs[Long]("count"))
+      assert(math.abs(est - n) < 4.0 * n / math.sqrt(K - 2.0),
+        s"k=${r.get(0)}: est $est vs exact $n")
+    }
+    // the retained arrays are a pure function of the value set
+    val re = Kmv.sketch(keyed.repartition(5), Seq("k"), col("v"), K)
+    assert(sk.select("k", "kmv").exceptAll(re).isEmpty)
+  }
+
+  test("50k-doc byte-CDC: replicated payloads collapse to one chunk store") {
+    import graft.text.Cdc
+    // 10 replicas of sf0.1's documents (50k payloads): every replica
+    // shares ALL its chunks with the original, so the distinct chunk
+    // store must be EXACTLY the original corpus' store — the
+    // content-defined identity property at a decade above the gate
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val reps = spark.range(0, 10).select(col("id").as("r"))
+    val big = docs.crossJoin(reps)
+      .select((col("doc_id") * 10 + col("r")).as("doc_id"), col("text"))
+    val bigChunks = Cdc.byteChunks(big, "text", maskBits = 6)
+    val stats = bigChunks.agg(
+      count(lit(1)).as("occ"),
+      countDistinct(col("chunk_hash")).as("store")).head
+    val baseStore = Cdc.byteChunks(docs, "text", maskBits = 6)
+      .agg(countDistinct(col("chunk_hash")).as("s")).head.getAs[Long]("s")
+    assert(stats.getAs[Long]("store") == baseStore,
+      "replication leaked new chunks — boundaries moved")
+    assert(stats.getAs[Long]("occ") >= 10L * baseStore,
+      "occurrence count must cover every replica")
+  }
 }
