@@ -74,4 +74,10 @@ object Kmv {
     size(filter(array_intersect(a, b), v => v < t)).cast("double") /
       (t.cast("double") / lit(HashSpace))
   }
+
+  /** Jaccard similarity estimate |A∩B| / |A∪B| — the ratio of the two
+    * estimators above (both exact when neither sketch saturated). */
+  def jaccardEstimate(a: Column, b: Column, k: Int): Column =
+    intersectEstimate(a, b, k) /
+      distinctEstimate(unionSketch(a, b, k), k)
 }

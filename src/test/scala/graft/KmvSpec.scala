@@ -59,12 +59,16 @@ class KmvSpec extends AnyFunSuite with SparkSpec {
       .select(
         Kmv.distinctEstimate(Kmv.unionSketch(col("ka"), col("kb"), K), K)
           .as("u"),
-        Kmv.intersectEstimate(col("ka"), col("kb"), K).as("i"))
+        Kmv.intersectEstimate(col("ka"), col("kb"), K).as("i"),
+        Kmv.jaccardEstimate(col("ka"), col("kb"), K).as("j"))
       .head
     val (u, i) = (row.getDouble(0), row.getDouble(1))
     assert(math.abs(u - 5000) < 4.0 * 5000 / math.sqrt(K - 2.0), s"union=$u")
     // intersection RSE scales with |A∪B|/|A∩B| — loose factor-2 band
     assert(i > 400 && i < 2100, s"intersect=$i")
+    // jaccard is the ratio of the two (true value 0.2)
+    assert(math.abs(row.getDouble(2) - i / u) < 1e-12)
+    assert(row.getDouble(2) > 0.08 && row.getDouble(2) < 0.42)
     // a sketch unioned with itself is itself; self-intersection is the
     // distinct estimate
     val self = sk.filter(col("k") === "a")
