@@ -1153,6 +1153,37 @@ object DocQueries {
           concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
       Search.bm25TopKFromIndex(bm25Index(s, dir), qs, k = 10)
     }),
+    "q_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 (lexical) and brute cosine (dense) arms
+      // over the SAME 5 query docs (vec_id ≡ doc_id in the testdata),
+      // fused by reciprocal-rank fusion — ranks only, never the arms'
+      // incomparable score scales. The fused top-10 rides the
+      // partial-heap operator.
+      val qs = documents(s, dir).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
+      val bm = Search.bm25TopKFromIndex(bm25Index(s, dir), qs, k = 20)
+      val e = embeddings(s, dir)
+      val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 20)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      Search.rrfFuse(bm, vec, k = 10)
+    }),
+    "q_corpus_asof" -> ((s, dir) => {
+      // time travel: an append-only change log (v1 at ts=10*id, a v2
+      // re-fetch of every 3rd doc 5 ticks later, a tombstone for every
+      // 7th doc 8 ticks later) read back AS OF ts=3000 — v2s and
+      // deletes after the cutoff must not show
+      val d = documents(s, dir).select("doc_id", "text")
+      val log = d.select(col("doc_id"), (col("doc_id") * 10).as("ts"),
+          col("text"), lit(false).as("deleted"))
+        .unionByName(d.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), (col("doc_id") * 10 + 5).as("ts"),
+            concat(col("text"), lit(" v2")).as("text"), lit(false).as("deleted")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), (col("doc_id") * 10 + 8).as("ts"),
+            lit("").as("text"), lit(true).as("deleted")))
+      CorpusOps.corpusAsOf(log, asOfTs = 3000L).orderBy("doc_id")
+    }),
     "q_containment" -> ((s, dir) =>
       // quote/subset dedup over the SAME persisted shingle sets as the
       // jaccard/minhash/cluster queries; candidates df-capped, verified
@@ -2582,6 +2613,75 @@ object DocQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
          |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // hybrid RRF: both arms' full oracle chains composed, fused on
+    // ranks — 1/(k0 + rank) is one IEEE division on integer operands,
+    // forced to DOUBLE so neither engine routes through DECIMAL
+    "q_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |postings AS (SELECT doc_id, term, count(*) AS tf FROM
+         |  (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+         |pl AS (SELECT doc_id, term, tf,
+         |  (sum(tf) OVER (PARTITION BY doc_id))::BIGINT AS dl FROM postings),
+         |df AS (SELECT term, count(*) AS df FROM
+         |  (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t) GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, sum(len)::BIGINT AS s FROM
+         |  (SELECT len(toks) AS len FROM t) WHERE len > 0),
+         |qterms AS (SELECT doc_id AS query_id,
+         |  unnest(list_distinct(list_slice(toks, 1, 8))) AS term
+         |  FROM t WHERE doc_id < 5),
+         |contribs AS (
+         |  SELECT q.query_id, p.doc_id, p.term,
+         |    round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)), 9) *
+         |    ((p.tf * 2.2) / (p.tf + 1.2 *
+         |      (0.25 + 0.75 * p.dl / (st.s::DOUBLE / st.n)))) AS c
+         |  FROM qterms q JOIN pl p ON p.term = q.term
+         |  JOIN df d ON d.term = q.term CROSS JOIN stats st),
+         |scores AS (
+         |  SELECT query_id, doc_id,
+         |    round(list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+         |      (a, b) -> a + b), 9) AS score
+         |  FROM contribs GROUP BY 1, 2),
+         |branked AS (SELECT query_id, doc_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |    AS rb FROM scores),
+         |bsel AS (SELECT query_id, doc_id, rb FROM branked WHERE rb <= 20),
+         |vq AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |vc AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+         |vscored AS (SELECT query_id, doc_id,
+         |  list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cos
+         |  FROM vc CROSS JOIN vq WHERE query_id <> doc_id),
+         |vranked AS (SELECT query_id, doc_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rv
+         |  FROM vscored),
+         |vsel AS (SELECT query_id, doc_id, rv FROM vranked WHERE rv <= 20),
+         |fused AS (SELECT query_id, doc_id,
+         |    coalesce(1::DOUBLE / (60::DOUBLE + rb), 0::DOUBLE)
+         |  + coalesce(1::DOUBLE / (60::DOUBLE + rv), 0::DOUBLE) AS rrf
+         |  FROM bsel FULL JOIN vsel USING (query_id, doc_id)),
+         |fr AS (SELECT query_id, doc_id, rrf,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id)
+         |    AS rank FROM fused)
+         |SELECT query_id, rank::BIGINT AS rank, doc_id, round(rrf, 9) AS rrf
+         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // time-travel read: the struct-max winner replayed as rank-1 per
+    // id over the ts-filtered log (the q_merge_corpus convention)
+    "q_corpus_asof" ->
+      """WITH log AS (
+        |  SELECT doc_id, doc_id * 10 AS ts, text, FALSE AS del FROM documents
+        |  UNION ALL SELECT doc_id, doc_id * 10 + 5 AS ts, text || ' v2', FALSE
+        |    FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, doc_id * 10 + 8 AS ts, '', TRUE
+        |    FROM documents WHERE doc_id % 7 = 0),
+        |f AS (SELECT * FROM log WHERE ts <= 3000),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY ts DESC, del DESC, text DESC) AS rn FROM f)
+        |SELECT doc_id, ts::BIGINT AS ts, text
+        |FROM w WHERE rn = 1 AND NOT del ORDER BY doc_id""".stripMargin,
 
     "q_ann_lsh" ->
       s"""WITH proj AS (SELECT j, list(w ORDER BY d) AS wv FROM (

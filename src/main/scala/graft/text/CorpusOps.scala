@@ -303,6 +303,42 @@ object CorpusOps {
         expr(s"__gp div $nShards").as("pos"))
   }
 
+  /** Corpus snapshot AS OF an event time — time travel over an
+    * append-only change log, the read-side twin of [[mergeCorpus]]:
+    * training runs pin `asOfTs` and get the identical corpus forever,
+    * regardless of how much log has accumulated since. The winner per
+    * id is `max(struct(ts, tombstone, payload))` over events with
+    * `ts <= asOfTs`; tombstone winners drop out (the document was
+    * deleted as of that time). Ties at equal ts break toward the
+    * tombstone, then the lexicographically larger payload — arbitrary
+    * but deterministic and engine-replayable.
+    *
+    * Scale shape: the ts predicate is a plain pushed-down filter (a
+    * time-partitioned log prunes files before any work), and the
+    * winner is the same map-side-combinable struct-max as
+    * [[mergeCorpus]] — no window, hot re-crawled ids combine in the
+    * map stage.
+    *
+    * @param log  the change log: (id, ts, payload, deleted)
+    * @return the corpus as of `asOfTs`: (id, ts, payload)
+    */
+  def corpusAsOf(
+      log: DataFrame,
+      asOfTs: Long,
+      idCol: String = "doc_id",
+      tsCol: String = "ts",
+      payloadCol: String = "text",
+      tombstoneCol: String = "deleted"): DataFrame =
+    log.filter(col(tsCol).cast("long") <= asOfTs)
+      .select(col(idCol), col(tsCol).cast("long").as("__ts"),
+        col(payloadCol).as("__p"),
+        coalesce(col(tombstoneCol), lit(false)).as("__del"))
+      .groupBy(idCol)
+      .agg(max(struct(col("__ts"), col("__del"), col("__p"))).as("__w"))
+      .filter(!col("__w.__del"))
+      .select(col(idCol), col("__w.__ts").as(tsCol),
+        col("__w.__p").as(payloadCol))
+
   /** Corpus MERGE (upsert with tombstones) — continuous-ingest
     * maintenance of a living corpus, the batch analogue of Delta/
     * Iceberg MERGE INTO without a table format: a refreshed crawl

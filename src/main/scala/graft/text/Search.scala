@@ -151,4 +151,47 @@ object Search {
       .select("query_id", "rank", "doc_id", "score")
       .orderBy("query_id", "rank")
   }
+
+  /** Reciprocal-rank fusion of two per-query rankings (Cormack &
+    * Clarke SIGIR '09): score(d) = Σ_arms 1/(k0 + rank_arm(d)), absent
+    * arms contribute 0 — the standard hybrid-retrieval combiner for
+    * lexical (BM25) + dense (cosine) arms, robust because it consumes
+    * RANKS, never the arms' incomparable score scales. Deterministic:
+    * 1/(k0 + rank) is one IEEE division on integer operands and the
+    * two-arm sum is a fixed-order add, so fused scores are bitwise
+    * engine-reproducible given agreeing input ranks.
+    *
+    * Both inputs carry (queryIdCol, docIdCol, rankCol). The fused
+    * top-k per query is picked by the partial-heap operator
+    * ([[graft.plans.TopKPerKey]]) — candidate lists are per-query
+    * bounded, so the heaps never see more than both arms' k's.
+    *
+    * @return (query_id, rank, doc_id, rrf) — rrf on the round-9 grid
+    */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int = 10,
+      k0: Int = 60,
+      queryIdCol: String = "query_id",
+      docIdCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    def arm(df: DataFrame, out: String) = df.select(
+      col(queryIdCol).as("query_id"), col(docIdCol).as("doc_id"),
+      col(rankCol).cast("long").as(out))
+    val fused = arm(a, "__ra").join(arm(b, "__rb"),
+        Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(k0.toDouble) + col("__ra")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(k0.toDouble) + col("__rb")), lit(0.0)))
+          .as("__rrf"))
+    val top = graft.plans.TopKPerKey.topKPerKey(fused, Seq("query_id"),
+      Seq(("__rrf", false), ("doc_id", true)), k)
+    top
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("__rrf").desc, col("doc_id"))).cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("__rrf"), 9).as("rrf"))
+      .orderBy("query_id", "rank")
+  }
 }

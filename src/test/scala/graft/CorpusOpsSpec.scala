@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.text.{CorpusOps, Decontaminate}
@@ -444,5 +445,49 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Double]("token_share"), r.getAs[Double]("weight"))).toMap
     rows.values.foreach { case (share, w) => assertClose(w, share, 1e-8) }
+  }
+
+  test("corpusAsOf: snapshots are reproducible points on the log timeline") {
+    // id 1: v1@10, v2@20, deleted@30, v3@40 (resurrection)
+    // id 2: v1@15 only; id 3: born@35
+    val log = Seq(
+      (1L, 10L, "one v1", false), (1L, 20L, "one v2", false),
+      (1L, 30L, "", true), (1L, 40L, "one v3", false),
+      (2L, 15L, "two v1", false), (3L, 35L, "three v1", false))
+      .toDF("doc_id", "ts", "text", "deleted")
+    def asOf(t: Long): Map[Long, String] =
+      CorpusOps.corpusAsOf(log, t).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(asOf(5L) == Map.empty)
+    assert(asOf(12L) == Map(1L -> "one v1"))
+    assert(asOf(25L) == Map(1L -> "one v2", 2L -> "two v1"))
+    assert(asOf(32L) == Map(2L -> "two v1")) // id 1 deleted as of 32
+    assert(asOf(99L) == Map(1L -> "one v3", 2L -> "two v1", 3L -> "three v1"))
+    // same cutoff, more log appended after it: identical snapshot
+    val extended = log.unionByName(
+      Seq((2L, 50L, "two v9", false)).toDF("doc_id", "ts", "text", "deleted"))
+    assert(CorpusOps.corpusAsOf(extended, 25L).collect().toSet ==
+      CorpusOps.corpusAsOf(log, 25L).collect().toSet)
+  }
+
+  test("rrfFuse: rank arithmetic, absent arms, and tie-breaks") {
+    import graft.text.Search
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))
+      .toDF("query_id", "rank", "doc_id")
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val b = Seq((1L, 1L, 20L), (1L, 2L, 40L))
+      .toDF("query_id", "rank", "doc_id")
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val got = Search.rrfFuse(a, b, k = 10).collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getDouble(3))).toList
+    // doc 20: in both arms (ranks 2 and 1) — must fuse additively and
+    // beat doc 10 (single arm, rank 1)
+    val s20 = 1.0 / 62 + 1.0 / 61
+    val s10 = 1.0 / 61
+    assert(got.head._1 == 20L && math.abs(got.head._3 - s20) < 1e-9)
+    assert(got(1)._1 == 10L && math.abs(got(1)._3 - s10) < 1e-9)
+    // docs 30 (rank 3, arm a) and 40 (rank 2, arm b): 1/63 vs 1/62
+    assert(got.map(_._1) == List(20L, 10L, 40L, 30L))
+    assert(got.map(_._2) == List(1L, 2L, 3L, 4L))
   }
 }
