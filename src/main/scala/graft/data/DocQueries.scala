@@ -414,6 +414,22 @@ object DocQueries {
         .select(col("sample_id").as("doc_id"), col("content"))
       Cdc.byteSyncPlan(incoming, held, binCol = "content", maskBits = 6)
     }),
+    "q_expectations" -> ((s, dir) => {
+      // declarative data-quality gate: one wide integer-aggregate scan
+      // + the exact uniqueness pass. The rule set deliberately includes
+      // two FAILING rules at sf0.01 (price cap 100k — real max
+      // ~105k — and a 100k row floor) so both verdict polarities land
+      // in the oracle row.
+      import graft.stats.Expectations
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      Expectations.check(li, Seq(
+        Expectations.notNull("l_orderkey"),
+        Expectations.between("l_quantity", 1.0, 50.0),
+        Expectations.between("l_extendedprice", 0.0, 100000.0),
+        Expectations.acceptedValues("l_returnflag", Seq("A", "N", "R")),
+        Expectations.unique("l_orderkey", "l_linenumber"),
+        Expectations.rowCountAtLeast(100000L)))
+    }),
     "q_topk_per_key" -> ((s, dir) => {
       // the custom physical operator (plans/TopKPerKey.scala): top-3
       // docs per source by token count — partial bounded heaps below
@@ -2494,6 +2510,36 @@ object DocQueries {
          |  round((sum(len) - sum(CASE WHEN ship THEN len ELSE 0 END))
          |    * 100.0 / sum(len), 9) AS reuse_pct
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_expectations" ->
+      """WITH agg AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
+        |    sum(CASE WHEN l_quantity IS NOT NULL
+        |      AND (l_quantity < 1.0 OR l_quantity > 50.0)
+        |      THEN 1 ELSE 0 END) AS v2,
+        |    sum(CASE WHEN l_extendedprice IS NOT NULL
+        |      AND (l_extendedprice < 0.0 OR l_extendedprice > 100000.0)
+        |      THEN 1 ELSE 0 END) AS v3,
+        |    sum(CASE WHEN l_returnflag IS NOT NULL
+        |      AND l_returnflag NOT IN ('A', 'N', 'R')
+        |      THEN 1 ELSE 0 END) AS v4
+        |  FROM lineitem),
+        |u AS (SELECT (SELECT count(*) FROM lineitem) -
+        |    (SELECT count(*) FROM
+        |      (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS vu)
+        |SELECT rule, measured::BIGINT AS measured,
+        |  violations::BIGINT AS violations, violations = 0 AS passed
+        |FROM (
+        |  SELECT 'not_null:l_orderkey' AS rule, v1 AS measured,
+        |    v1 AS violations FROM agg
+        |  UNION ALL SELECT 'between:l_quantity:[1.0,50.0]', v2, v2 FROM agg
+        |  UNION ALL SELECT 'between:l_extendedprice:[0.0,100000.0]', v3, v3
+        |    FROM agg
+        |  UNION ALL SELECT 'accepted:l_returnflag:{A|N|R}', v4, v4 FROM agg
+        |  UNION ALL SELECT 'unique:l_orderkey,l_linenumber', vu, vu FROM u
+        |  UNION ALL SELECT 'row_count_at_least:100000', n,
+        |    greatest(0, 100000 - n) FROM agg)
+        |ORDER BY rule""".stripMargin,
 
     "q_topk_per_key" ->
       s"""WITH t AS (SELECT doc_id, source,
