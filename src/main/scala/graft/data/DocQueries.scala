@@ -1184,6 +1184,17 @@ object DocQueries {
         .withColumnRenamed("neighbor_id", "doc_id")
       Search.rrfFuse(bm, vec, k = 10)
     }),
+    "q_neg_sample" -> ((s, dir) => {
+      // deterministic contrastive negatives: anchors = docs 0..9,
+      // positive = anchor + 100; 5 negatives each from 15 hash probes
+      // against the epoch-0 permutation — no cross join anywhere
+      val d = documents(s, dir).select("doc_id")
+      val positives = d.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("anchor_id"),
+          (col("doc_id") + 100).as("positive_id"))
+      CorpusOps.negativeSample(positives, d, n = 5, oversample = 3,
+        epoch = 0)
+    }),
     "q_corpus_asof" -> ((s, dir) => {
       // time travel: an append-only change log (v1 at ts=10*id, a v2
       // re-fetch of every 3rd doc 5 ticks later, a tombstone for every
@@ -2713,6 +2724,29 @@ object DocQueries {
          |    AS rank FROM fused)
          |SELECT query_id, rank::BIGINT AS rank, doc_id, round(rrf, 9) AS rrf
          |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // negative sampling: the epoch-0 permutation replayed as a global
+    // row_number (the q_epoch_shard spelling), probes as hash56 mod N
+    "q_neg_sample" ->
+      s"""WITH o AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY
+         |    ${hash56("'gs0:' || doc_id::VARCHAR")}, doc_id) - 1 AS gp
+         |  FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |pr AS (SELECT a.doc_id AS a, t.j,
+         |    ${hash56("'neg0:' || a.doc_id::VARCHAR || ':' || t.j::VARCHAR")}
+         |      % nn.n AS tgp
+         |  FROM documents a CROSS JOIN range(15) t(j) CROSS JOIN nn
+         |  WHERE a.doc_id < 10),
+         |dr AS (SELECT pr.a, pr.j, o.doc_id AS cand
+         |  FROM pr JOIN o ON o.gp = pr.tgp),
+         |va AS (SELECT a, cand, min(j) AS fj FROM dr
+         |  WHERE cand <> a AND cand <> a + 100 GROUP BY a, cand),
+         |rk AS (SELECT a, cand,
+         |    row_number() OVER (PARTITION BY a ORDER BY fj, cand) AS r
+         |  FROM va)
+         |SELECT a AS anchor_id, r::BIGINT AS neg_rank, cand AS negative_id
+         |FROM rk WHERE r <= 5 ORDER BY anchor_id, neg_rank""".stripMargin,
 
     // time-travel read: the struct-max winner replayed as rank-1 per
     // id over the ts-filtered log (the q_merge_corpus convention)

@@ -303,6 +303,65 @@ object CorpusOps {
         expr(s"__gp div $nShards").as("pos"))
   }
 
+  /** Deterministic negative sampling for contrastive training pairs —
+    * WITHOUT the anchor × candidate cross join that naive sampling
+    * implies: each anchor draws `n * oversample` pseudo-random probes
+    * (probe j targets the candidate at permutation position
+    * hash56("neg<epoch>:" + anchor + ":" + j) mod N), the probes
+    * equi-join the [[epochShard]] position permutation, collisions
+    * with the anchor itself or its positives are dropped (plus
+    * duplicate draws collapsed to their first probe), and the first
+    * `n` survivors in probe order are kept. Everything is equi-joins
+    * over bounded probe sets — corpus-size-independent per anchor —
+    * and fully deterministic: same epoch, same corpus, same negatives,
+    * exactly replayable by the oracle.
+    *
+    * With `oversample * n` probes against ≤ (1 + positives-per-anchor)
+    * excluded candidates, anchors receive fewer than `n` negatives
+    * only when the candidate pool itself is tiny; callers needing a
+    * hard guarantee raise `oversample`.
+    *
+    * @param positives (anchorCol, positiveCol) pairs
+    * @param candidates the pool, one row per idCol
+    * @return (anchorCol, neg_rank 1..n, negative_id)
+    */
+  def negativeSample(
+      positives: DataFrame,
+      candidates: DataFrame,
+      n: Int,
+      oversample: Int = 3,
+      epoch: Int = 0,
+      anchorCol: String = "anchor_id",
+      positiveCol: String = "positive_id",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(oversample >= 2, s"oversample must be >= 2, got $oversample")
+    val probes = n * oversample
+    val pos = epochShard(candidates, epoch, nShards = 1, idCol = idCol)
+      .select(col(idCol).as("__cand"), col("pos").as("__gp"))
+    val nRow = candidates.agg(count(lit(1)).as("__N"))
+    val drawn = positives.select(col(anchorCol)).distinct()
+      .crossJoin(broadcast(nRow))
+      .select(col(anchorCol),
+        explode(sequence(lit(0), lit(probes - 1))).as("__j"), col("__N"))
+      .withColumn("__tgp",
+        hash56(concat(lit(s"neg$epoch:"), col(anchorCol).cast("string"),
+          lit(":"), col("__j").cast("string"))) % col("__N"))
+      .join(pos, col("__tgp") === col("__gp"))
+    val excluded = positives.select(col(anchorCol), col(positiveCol).as("__cand"))
+    val valid = drawn
+      .filter(col("__cand") =!= col(anchorCol))
+      .join(excluded, Seq(anchorCol, "__cand"), "left_anti")
+      .groupBy(col(anchorCol), col("__cand"))
+      .agg(min(col("__j")).as("__fj"))
+    val w = Window.partitionBy(anchorCol).orderBy(col("__fj"), col("__cand"))
+    valid.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= n)
+      .select(col(anchorCol), col("neg_rank"), col("__cand").as("negative_id"))
+      .orderBy(anchorCol, "neg_rank")
+  }
+
   /** Corpus snapshot AS OF an event time — time travel over an
     * append-only change log, the read-side twin of [[mergeCorpus]]:
     * training runs pin `asOfTs` and get the identical corpus forever,

@@ -470,6 +470,37 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       CorpusOps.corpusAsOf(log, 25L).collect().toSet)
   }
 
+  test("negativeSample: exclusions, determinism, epoch variation") {
+    val cands = (0L until 200L).map(Tuple1(_)).toDF("doc_id")
+    val positives = (0L until 8L).map(a => (a, a + 50)).toDF("anchor_id", "positive_id")
+    val out = CorpusOps.negativeSample(positives, cands, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // full allocation, ranks 1..4 per anchor
+    assert(out.length == 32)
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    }
+    // never the anchor itself, never its positive
+    out.foreach { case (a, _, neg) =>
+      assert(neg != a && neg != a + 50, s"anchor $a drew $neg")
+    }
+    // deterministic under repartitioning
+    val re = CorpusOps.negativeSample(positives.repartition(7),
+      cands.repartition(13), n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSeq == out.toSeq)
+    // a different epoch draws a different (but equally valid) sample
+    val e1 = CorpusOps.negativeSample(positives, cands, n = 4, epoch = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e1.toSeq != out.toSeq)
+    // tiny pool: anchor can receive fewer than n, never an excluded id
+    val tiny = CorpusOps.negativeSample(
+      Seq((0L, 1L)).toDF("anchor_id", "positive_id"),
+      (0L until 3L).map(Tuple1(_)).toDF("doc_id"), n = 4)
+      .collect().map(_.getLong(2))
+    assert(tiny.toSet.subsetOf(Set(2L)) )
+  }
+
   test("rrfFuse: rank arithmetic, absent arms, and tie-breaks") {
     import graft.text.Search
     val a = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))

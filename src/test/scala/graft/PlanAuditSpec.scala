@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q_stratified_sample",    // one-row total + bounded allocation join
     "q_corpus_report",        // one-row aggregates crossed into the card
     "q_kmv_setops",           // 20x20 sketch-pair join (s1 < s2), bounded
-    "q_hybrid_rrf")           // inherits the brute-cosine query-batch broadcast
+    "q_hybrid_rrf",           // inherits the brute-cosine query-batch broadcast
+    "q_neg_sample")           // one-row candidate-count (N) broadcast
 
   test("no cartesian product in any query plan") {
     plans.foreach { case (name, p) =>
