@@ -62,41 +62,66 @@ object Expectations {
   def unique(cols: String*): Rule = Unique(cols)
   def rowCountAtLeast(n: Long): Rule = RowCountAtLeast(n)
 
+  // one wide aggregate: every non-unique rule is a sum/count column,
+  // aliased by POSITION (rule names carry dots/brackets that column
+  // references would mis-parse)
+  private def scanAggCols(scanRules: Seq[Rule]): Seq[Column] =
+    count(lit(1)).as("__n") +: scanRules.zipWithIndex.map {
+      case (NotNull(c), i) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__v$i")
+      case (Between(c, lo, hi), i) =>
+        sum(when(col(c).isNotNull &&
+            (col(c) < lit(lo) || col(c) > lit(hi)), 1L).otherwise(0L))
+          .as(s"__v$i")
+      case (AcceptedValues(c, vs), i) =>
+        sum(when(col(c).isNotNull &&
+            !col(c).cast("string").isin(vs.map(lit(_)): _*), 1L)
+          .otherwise(0L)).as(s"__v$i")
+      case (_: RowCountAtLeast, i) => lit(0L).as(s"__v$i")
+      case (u: Unique, _) => throw new IllegalStateException(u.name)
+    }
+
+  // melt the wide aggregate row into (rule, measured, violations)
+  private def meltCol(scanRules: Seq[Rule]): Column = explode(array(
+    scanRules.zipWithIndex.map {
+      case (r @ RowCountAtLeast(n), _) =>
+        struct(lit(r.name).as("rule"), col("__n").as("measured"),
+          greatest(lit(0L), lit(n) - col("__n")).as("violations"))
+      case (r, i) => struct(lit(r.name).as("rule"),
+        coalesce(col(s"__v$i"), lit(0L)).as("measured"),
+        coalesce(col(s"__v$i"), lit(0L)).as("violations"))
+    }: _*))
+
+  /** Grouped variant for the scan-rule families: one wide aggregate
+    * per group, melted to (groupCols..., rule, measured, violations,
+    * passed). [[Unique]] rules are rejected — their distinct pass
+    * does not fold into the shared scan (and has no bounded streaming
+    * form; see [[graft.streaming.Streaming.streamingExpectations]]). */
+  def checkGrouped(
+      df: DataFrame, groupCols: Seq[String], rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    require(!rules.exists(_.isInstanceOf[Unique]),
+      "unique rules are not supported in the grouped gate")
+    require(groupCols.nonEmpty, "at least one group column")
+    val aggCols = scanAggCols(rules)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(groupCols.map(col) :+ meltCol(rules).as("__r"): _*)
+      .select(groupCols.map(col) :+ col("__r.rule") :+ col("__r.measured") :+
+        col("__r.violations") :+
+        (col("__r.violations") === 0L).as("passed"): _*)
+  }
+
   /** One verdict row per rule: (rule, measured, violations, passed).
     * `measured` is the rule's magnitude (total rows for the count
     * floor, violation count otherwise). */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     val scanRules = rules.filter(!_.isInstanceOf[Unique])
-    // one wide aggregate: every non-unique rule is a sum/count column,
-    // aliased by POSITION (rule names carry dots/brackets that column
-    // references would mis-parse)
-    val aggCols: Seq[Column] = count(lit(1)).as("__n") +:
-      scanRules.zipWithIndex.map {
-        case (NotNull(c), i) =>
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__v$i")
-        case (Between(c, lo, hi), i) =>
-          sum(when(col(c).isNotNull &&
-              (col(c) < lit(lo) || col(c) > lit(hi)), 1L).otherwise(0L))
-            .as(s"__v$i")
-        case (AcceptedValues(c, vs), i) =>
-          sum(when(col(c).isNotNull &&
-              !col(c).cast("string").isin(vs.map(lit(_)): _*), 1L)
-            .otherwise(0L)).as(s"__v$i")
-        case (_: RowCountAtLeast, i) => lit(0L).as(s"__v$i")
-        case (u: Unique, _) => throw new IllegalStateException(u.name)
-      }
+    val aggCols = scanAggCols(scanRules)
     val wide = df.agg(aggCols.head, aggCols.tail: _*)
-    // melt the one-row aggregate into (rule, measured, violations)
-    val scanVerdicts = wide.select(explode(array(
-      scanRules.zipWithIndex.map {
-        case (r @ RowCountAtLeast(n), _) =>
-          struct(lit(r.name).as("rule"), col("__n").as("measured"),
-            greatest(lit(0L), lit(n) - col("__n")).as("violations"))
-        case (r, i) => struct(lit(r.name).as("rule"),
-          coalesce(col(s"__v$i"), lit(0L)).as("measured"),
-          coalesce(col(s"__v$i"), lit(0L)).as("violations"))
-      }: _*)).as("__r")).select("__r.*")
+    val scanVerdicts = wide.select(meltCol(scanRules).as("__r"))
+      .select("__r.*")
     // uniqueness rules: duplicates = total - distinct, exact
     val uniqVerdicts = rules.collect { case u @ Unique(cols) =>
       df.agg((count(lit(1)) -

@@ -808,4 +808,36 @@ object Streaming {
       .agg(agg.as("kmv"))
       .select(col("window.start").as("window_start"), col("kmv"))
   }
+
+  /** Streaming data-quality expectations — the online face of
+    * [[graft.stats.Expectations.check]]: the SCAN-RULE families
+    * (notNull / between / acceptedValues / rowCountAtLeast) evaluated
+    * per event-time window as the same exact integer aggregates,
+    * emitted as one verdict row per (window, rule) when the watermark
+    * closes the window. An ingest pipeline alarms on `passed = false`
+    * windows ("this hour's crawl has an exploded null rate") without
+    * a batch pass.
+    *
+    * [[graft.stats.Expectations.Unique]] rules are REJECTED here:
+    * exact distinct counting over an unbounded stream needs unbounded
+    * state (run the batch gate, or monitor approximately with
+    * [[streamingKmvSketch]]/[[streamingHllRegisters]]).
+    *
+    * @return append-mode rows (window_start, rule, measured,
+    *         violations, passed)
+    */
+  def streamingExpectations(
+      events: DataFrame,
+      rules: Seq[graft.stats.Expectations.Rule],
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(!rules.exists(_.isInstanceOf[graft.stats.Expectations.Unique]),
+      "unique rules need the batch gate (unbounded streaming state)")
+    graft.stats.Expectations.checkGrouped(
+        events.withWatermark("ts", watermark)
+          .withColumn("__w", window(col("ts"), windowLength)),
+        Seq("__w"), rules)
+      .select(col("__w.start").as("window_start"), col("rule"),
+        col("measured"), col("violations"), col("passed"))
+  }
 }

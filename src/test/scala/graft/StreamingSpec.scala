@@ -651,6 +651,63 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     exact.foreach { case (u, n) => assert(ests(u) >= n, s"user $u") }
   }
 
+  test("streamingExpectations: per-window verdicts == batch gate") {
+    import graft.stats.Expectations
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // window 0 is clean; window 1 carries a value-range violation
+    val events = (1L to 120L).map { i =>
+      val bad = i % 2 == 1 && i % 5 == 0
+      Event(i, t(if (i % 2 == 0) "2024-01-01 00:10:00"
+                 else "2024-01-01 01:20:00"),
+        i % 9, "click", if (bad) 99.0 else 0.5)
+    }
+    in.addData(events.take(50): _*)
+    val rules = Seq(Expectations.notNull("user_id"),
+      Expectations.between("value", 0.0, 1.0),
+      Expectations.rowCountAtLeast(55L))
+    val out = Streaming.streamingExpectations(in.toDF(), rules)
+    val q = out.writeStream.format("memory").queryName("exp_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(events.drop(50): _*)
+    q.processAllAvailable()
+    in.addData(Event(999, t("2024-01-02 12:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("exp_stream")
+      .filter(col("window_start") < t("2024-01-02 00:00:00"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(19), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+    // micro-batch boundaries must not show: identical to the batch
+    // grouped gate over the same rows
+    val batch = Expectations.checkGrouped(
+        spark.createDataFrame(events)
+          .withColumn("__w", window(col("ts"), "1 hour")),
+        Seq("__w"), rules)
+      .select(col("__w.start").cast("string"), col("rule"),
+        col("measured"), col("violations"), col("passed"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(streamed === batch)
+    // the dirty window failed the range rule; the clean one passed;
+    // both windows (60 rows each) break the 55-row floor check only
+    // when they should (60 >= 55: both pass)
+    val byWindow = streamed.groupBy(_._1).view.mapValues(
+      _.map(v => v._2 -> v._5).toMap).toMap
+    val Seq(w0, w1) = byWindow.keys.toSeq.sorted
+    assert(byWindow(w0)("between:value:[0.0,1.0]"))
+    assert(!byWindow(w1)("between:value:[0.0,1.0]"))
+    assert(byWindow.values.forall(_("row_count_at_least:55")))
+    // unique rules are rejected up front
+    intercept[IllegalArgumentException] {
+      Streaming.streamingExpectations(in.toDF(),
+        Seq(Expectations.unique("user_id")))
+    }
+  }
+
   test("streamingKmvSketch: streamed arrays == batch sketch, set algebra composes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
