@@ -1184,6 +1184,16 @@ object DocQueries {
         .withColumnRenamed("neighbor_id", "doc_id")
       Search.rrfFuse(bm, vec, k = 10)
     }),
+    "q_hard_negatives" -> ((s, dir) => {
+      // embedding-space hard negatives: nearest candidates by cosine
+      // excluding the anchor's positive (vec_id + 100) — one kNN pass
+      // at k = n + margin, anti-join, bounded re-rank
+      val e = embeddings(s, dir)
+      val positives = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("anchor_id"),
+          (col("vec_id") + 100).as("positive_id"))
+      Similarity.hardNegatives(e, positives, n = 5, margin = 8)
+    }),
     "q_neg_sample" -> ((s, dir) => {
       // deterministic contrastive negatives: anchors = docs 0..9,
       // positive = anchor + 100; 5 negatives each from 15 hash probes
@@ -2724,6 +2734,29 @@ object DocQueries {
          |    AS rank FROM fused)
          |SELECT query_id, rank::BIGINT AS rank, doc_id, round(rrf, 9) AS rrf
          |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // hard negatives: the brute-cosine chain at k=13, positive
+    // exclusion, bounded re-rank
+    "q_hard_negatives" ->
+      s"""WITH vq AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |vc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cos
+         |  FROM vc CROSS JOIN vq WHERE query_id <> neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |keep AS (SELECT query_id, neighbor_id, cos, rank FROM rk
+         |  WHERE rank <= 13 AND neighbor_id <> query_id + 100),
+         |rr AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY rank) AS nr
+         |  FROM keep)
+         |SELECT query_id AS anchor_id, nr::BIGINT AS neg_rank,
+         |  neighbor_id AS negative_id, round(cos, 6) AS cosine
+         |FROM rr WHERE nr <= 5 ORDER BY anchor_id, neg_rank""".stripMargin,
 
     // negative sampling: the epoch-0 permutation replayed as a global
     // row_number (the q_epoch_shard spelling), probes as hash56 mod N

@@ -79,6 +79,47 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** HARD negative mining for contrastive training — the
+    * embedding-space complement of
+    * [[graft.text.CorpusOps.negativeSample]]'s uniform draws: each
+    * anchor's negatives are its NEAREST candidates by cosine that are
+    * not the anchor itself or one of its positives (the
+    * highest-gradient negatives; in-batch uniform negatives quickly
+    * become trivial). Composition: one [[bruteForceTopK]] pass at
+    * k = n + margin (margin absorbs excluded hits — raise it above
+    * the max positives-per-anchor), an anti-join against the positive
+    * pairs, and a bounded per-anchor re-rank. Swap the kNN stage for
+    * the IVF/IVFADC path when the candidate pool outgrows brute force;
+    * the exclusion + re-rank tail is unchanged.
+    *
+    * @param positives (anchorCol, positiveCol) pairs; anchors must
+    *                  exist in `corpus`
+    * @return (anchorCol, neg_rank 1..n, negative_id, cosine) */
+  def hardNegatives(
+      corpus: DataFrame,
+      positives: DataFrame,
+      n: Int,
+      margin: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      anchorCol: String = "anchor_id",
+      positiveCol: String = "positive_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(margin >= 1, s"margin must be >= 1, got $margin")
+    val anchors = positives.select(col(anchorCol).as(idCol)).distinct()
+      .join(corpus, Seq(idCol))
+    val knn = bruteForceTopK(corpus, anchors, k = n + margin, idCol, vecCol)
+    val excl = positives.select(col(anchorCol).as("query_id"),
+      col(positiveCol).as("neighbor_id"))
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    knn.join(excl, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= n)
+      .select(col("query_id").as(anchorCol), col("neg_rank"),
+        col("neighbor_id").as("negative_id"), col("cosine"))
+      .orderBy(anchorCol, "neg_rank")
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (bit j, dim d):
     * an integer LCG-style mix mapped into [-0.5, 0.5). Identical formula
     * is emitted in the DuckDB oracle SQL. */

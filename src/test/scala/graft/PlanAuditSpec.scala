@@ -43,7 +43,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q_corpus_report",        // one-row aggregates crossed into the card
     "q_kmv_setops",           // 20x20 sketch-pair join (s1 < s2), bounded
     "q_hybrid_rrf",           // inherits the brute-cosine query-batch broadcast
-    "q_neg_sample")           // one-row candidate-count (N) broadcast
+    "q_neg_sample",           // one-row candidate-count (N) broadcast
+    "q_hard_negatives")       // inherits the brute-cosine anchor broadcast
 
   test("no cartesian product in any query plan") {
     plans.foreach { case (name, p) =>
