@@ -109,6 +109,39 @@ object Similarity {
     val anchors = positives.select(col(anchorCol).as(idCol)).distinct()
       .join(corpus, Seq(idCol))
     val knn = bruteForceTopK(corpus, anchors, k = n + margin, idCol, vecCol)
+    negTail(knn, positives, n, anchorCol, positiveCol)
+  }
+
+  /** [[hardNegatives]] with the kNN stage on the IVF path — the scale
+    * variant for candidate pools past brute force: identical exclusion
+    * + re-rank tail over [[Ivf.ivfTopK]]'s probed search. At
+    * nProbe = nCells the probe covers every cell and the result is
+    * EXACTLY [[hardNegatives]] (SimilaritySpec pins it); below that
+    * the mined set is approximate with the IVF recall profile. */
+  def hardNegativesIvf(
+      corpus: DataFrame,
+      positives: DataFrame,
+      n: Int,
+      margin: Int = 8,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      anchorCol: String = "anchor_id",
+      positiveCol: String = "positive_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(margin >= 1, s"margin must be >= 1, got $margin")
+    val anchors = positives.select(col(anchorCol).as(idCol)).distinct()
+      .join(corpus, Seq(idCol))
+    val knn = Ivf.ivfTopK(corpus, anchors, k = n + margin, nCells, nProbe,
+      iters, idCol, vecCol)
+    negTail(knn, positives, n, anchorCol, positiveCol)
+  }
+
+  private def negTail(
+      knn: DataFrame, positives: DataFrame, n: Int,
+      anchorCol: String, positiveCol: String): DataFrame = {
     val excl = positives.select(col(anchorCol).as("query_id"),
       col(positiveCol).as("neighbor_id"))
     val w = Window.partitionBy("query_id").orderBy("rank")

@@ -120,6 +120,45 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
   }
 
+  test("hardNegatives: nearest non-positives; IVF full-probe variant is exact") {
+    val rows = (0 until 60).map { i =>
+      val base = if (i < 30) vec(5) else vec(113)
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * (((i * 11 + d) % 7) - 3) })
+    }
+    val d = emb(rows: _*)
+    // anchors 0..2 in cluster A; declare their nearest brute neighbor
+    // a POSITIVE so exclusion is observable
+    val brute5 = Similarity.bruteForceTopK(d, d.filter(col("vec_id") < 3),
+        k = 1, vecCol = "embedding")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toMap
+    val positives = brute5.toSeq.toDF("anchor_id", "positive_id")
+    val hard = Similarity.hardNegatives(d, positives, n = 5, margin = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hard.length == 15)
+    hard.foreach { case (a, _, neg) =>
+      assert(neg != a && brute5(a) != neg, s"anchor $a drew excluded $neg")
+    }
+    // hard negatives of a cluster-A anchor come from cluster A (the
+    // whole point: nearest, not uniform)
+    assert(hard.forall(_._3 < 30), "a far-cluster id leaked into the hard set")
+    // IVF variant at nProbe = nCells probes every cell => EXACTLY the
+    // brute result; below full probe it stays valid and mostly agrees
+    val full = Similarity.hardNegativesIvf(d, positives, n = 5, margin = 4,
+        nCells = 4, nProbe = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq == hard.toSeq)
+    val probed = Similarity.hardNegativesIvf(d, positives, n = 5, margin = 4,
+        nCells = 4, nProbe = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    probed.foreach { case (a, neg) =>
+      assert(neg != a && brute5(a) != neg)
+    }
+    val recall = hard.map(t => (t._1, t._3)).toSet
+      .intersect(probed.toSet).size.toDouble / 15.0
+    assert(recall >= 0.6, s"probed recall $recall")
+  }
+
   test("int8Quantize: codes in range, endpoints exact, error within half-step") {
     val d = emb((0 until 10).map(i => (i.toLong, vec(i))): _*)
     val out = graft.vector.Embeddings.int8Quantize(d).collect()
