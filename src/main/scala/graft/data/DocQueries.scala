@@ -414,6 +414,17 @@ object DocQueries {
         .select(col("sample_id").as("doc_id"), col("content"))
       Cdc.byteSyncPlan(incoming, held, binCol = "content", maskBits = 6)
     }),
+    "q_volume_drift" -> ((s, dir) => {
+      // ingest-volume monitor over the events stream: hourly counts
+      // per event_type on a dense spine (zeros are real), each hour
+      // judged against its trailing-24h integer-sum mean/sigma. Bucket
+      // arithmetic stays here so the oracle replays it in micro-space
+      // (post-epoch data contract: div == floor, the q_sessions note)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.stats.Drift.volumeDrift(ev, "event_type",
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000"),
+        lookback = 24, zThresh = 3.0)
+    }),
     "q_expectations" -> ((s, dir) => {
       // declarative data-quality gate: one wide integer-aggregate scan
       // + the exact uniqueness pass. The rule set deliberately includes
@@ -2531,6 +2542,38 @@ object DocQueries {
          |  round((sum(len) - sum(CASE WHEN ship THEN len ELSE 0 END))
          |    * 100.0 / sum(len), 9) AS reuse_pct
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // volume drift: integer trailing sums -> one IEEE division + sqrt;
+    // the n_hist guards keep NaN out of every comparison (DuckDB sorts
+    // NaN above everything — a silent verdict flip if it leaked in)
+    "q_volume_drift" ->
+      """WITH c0 AS (SELECT event_type AS key,
+        |    epoch_us(ts) // 3600000000 AS bucket, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM c0),
+        |k AS (SELECT DISTINCT key FROM c0),
+        |spine AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket
+        |  FROM k CROSS JOIN b),
+        |dense AS (SELECT s.key, s.bucket, coalesce(c.c, 0) AS c
+        |  FROM spine s LEFT JOIN c0 c USING (key, bucket)),
+        |wv AS (SELECT key, bucket, c,
+        |    count(*) OVER w AS n_hist,
+        |    coalesce(sum(c) OVER w, 0) AS s,
+        |    coalesce(sum(c * c) OVER w, 0) AS ss
+        |  FROM dense WINDOW w AS (PARTITION BY key ORDER BY bucket
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT key, bucket, c, n_hist,
+        |    CASE WHEN n_hist >= 1 THEN s::DOUBLE / n_hist
+        |      ELSE 0.0::DOUBLE END AS mean,
+        |    CASE WHEN n_hist >= 2 THEN sqrt((n_hist * ss - s * s)::DOUBLE
+        |      / (n_hist::DOUBLE * (n_hist - 1))) ELSE 0.0::DOUBLE END AS sd
+        |  FROM wv)
+        |SELECT key, bucket, c::BIGINT AS c, n_hist::BIGINT AS n_hist,
+        |  round(mean, 9) AS mean,
+        |  round(CASE WHEN sd > 0 THEN (c - mean) / sd
+        |    ELSE 0.0::DOUBLE END, 9) AS z,
+        |  (n_hist = 24 AND abs(c - mean) > 3.0::DOUBLE * sd) AS alert
+        |FROM m ORDER BY key, bucket""".stripMargin,
 
     "q_expectations" ->
       """WITH agg AS (SELECT count(*) AS n,

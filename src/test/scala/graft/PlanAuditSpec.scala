@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q_kmv_setops",           // 20x20 sketch-pair join (s1 < s2), bounded
     "q_hybrid_rrf",           // inherits the brute-cosine query-batch broadcast
     "q_neg_sample",           // one-row candidate-count (N) broadcast
-    "q_hard_negatives")       // inherits the brute-cosine anchor broadcast
+    "q_hard_negatives",       // inherits the brute-cosine anchor broadcast
+    "q_volume_drift")         // one-row bucket-bounds broadcast
 
   test("no cartesian product in any query plan") {
     plans.foreach { case (name, p) =>
