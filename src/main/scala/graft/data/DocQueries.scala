@@ -414,6 +414,43 @@ object DocQueries {
         .select(col("sample_id").as("doc_id"), col("content"))
       Cdc.byteSyncPlan(incoming, held, binCol = "content", maskBits = 6)
     }),
+    "q_cdc_media_wav" -> ((s, dir) => {
+      // byte-CDC sync over REAL RIFF/WAVE containers (8-bit mono PCM
+      // through Wav.encode — binary LE header fields and all): the
+      // same held/incoming split as q_cdc_media; the oracle rebuilds
+      // the container byte-exactly in VARCHAR space (every byte ≤0x7F
+      // by construction — see Multimodal.syntheticWavCorpus)
+      implicit val sp: SparkSession = s
+      val d = documents(s, dir).select("doc_id", "text")
+      val held = Multimodal.syntheticWavCorpus(d.filter(col("doc_id") % 2 === 0))
+        .select(col("sample_id").as("doc_id"), col("content"))
+      val patched = d.filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id"),
+          concat(expr("substring(text, 1, 80)"), lit(" patched v2 "),
+            expr("substring(text, 81)")).as("text"))
+      val incoming = Multimodal.syntheticWavCorpus(
+          d.filter(col("doc_id") % 2 === 1).unionByName(patched))
+        .select(col("sample_id").as("doc_id"), col("content"))
+      Cdc.byteSyncPlan(incoming, held, binCol = "content", maskBits = 6)
+    }),
+    "q_cdc_media_y4m" -> ((s, dir) => {
+      // byte-CDC sync over REAL YUV4MPEG2 containers (mono frames
+      // through Y4m.encode, FRAME markers interleaved): same split;
+      // the Y4M container is ASCII-framed so the oracle composes the
+      // header + per-frame markers directly
+      implicit val sp: SparkSession = s
+      val d = documents(s, dir).select("doc_id", "text")
+      val held = Multimodal.syntheticY4mCorpus(d.filter(col("doc_id") % 2 === 0))
+        .select(col("sample_id").as("doc_id"), col("content"))
+      val patched = d.filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id"),
+          concat(expr("substring(text, 1, 80)"), lit(" patched v2 "),
+            expr("substring(text, 81)")).as("text"))
+      val incoming = Multimodal.syntheticY4mCorpus(
+          d.filter(col("doc_id") % 2 === 1).unionByName(patched))
+        .select(col("sample_id").as("doc_id"), col("content"))
+      Cdc.byteSyncPlan(incoming, held, binCol = "content", maskBits = 6)
+    }),
     "q_volume_drift" -> ((s, dir) => {
       // ingest-volume monitor over the events stream: hourly counts
       // per event_type on a dense spine (zeros are real), each hour
@@ -1610,6 +1647,56 @@ object DocQueries {
        |      1, ((doc_id % 13 + 4) * (doc_id % 11 + 4) * 3)::INT) AS text
        |  FROM $src)""".stripMargin
 
+  /** CTE rebuilding [[graft.multimodal.Multimodal.syntheticWavCorpus]]'s
+    * RIFF/WAVE container byte-exactly as a VARCHAR: the canonical
+    * 44-byte header (binary LE size/rate fields as chr() — every value
+    * < 128, so each chr is the single byte Wav.encode wrote), the
+    * 8-bit PCM body = n cyclic document bytes, and the RIFF pad byte
+    * on odd n. Valid because every byte ≤ 0x7F for the ASCII corpus.
+    * Emits `$out` with (doc_id, text = the container bytes). */
+  private def wavPayloadCte(src: String, out: String): String = {
+    val nul3 = "chr(0) || chr(0) || chr(0)"
+    // sample rate 8000 = LE 0x40 0x1F 0x00 0x00; byteRate = 8000 * 1
+    val le8000 = s"chr(64) || chr(31) || chr(0) || chr(0)"
+    s"""$out AS (SELECT doc_id,
+       |    'RIFF' || chr((36 + n + (n % 2))::INT) || $nul3 || 'WAVE' ||
+       |    'fmt ' || chr(16) || $nul3 ||
+       |    chr(1) || chr(0) || chr(1) || chr(0) ||
+       |    $le8000 || $le8000 ||
+       |    chr(1) || chr(0) || chr(8) || chr(0) ||
+       |    'data' || chr(n) || $nul3 ||
+       |    substr(repeat(text || '.',
+       |      ceil(n::DOUBLE / length(text || '.'))::INT), 1, n) ||
+       |    CASE WHEN n % 2 = 1 THEN chr(0) ELSE '' END AS text
+       |  FROM (SELECT doc_id, text, (doc_id % 40 + 20)::INT AS n
+       |        FROM $src))""".stripMargin
+  }
+
+  /** CTE rebuilding [[graft.multimodal.Multimodal.syntheticY4mCorpus]]'s
+    * YUV4MPEG2 container as a VARCHAR: the ASCII stream header, then
+    * per frame a `FRAME\n` marker + that frame's w*h slice of the
+    * continuous cyclic document-byte stream. Emits `$out` with
+    * (doc_id, text). */
+  private def y4mPayloadCte(src: String, out: String): String =
+    s"""$out AS (SELECT doc_id,
+       |    'YUV4MPEG2 W' || w::VARCHAR || ' H' || h::VARCHAR ||
+       |      ' F30:1 Ip A1:1 Cmono' || chr(10) ||
+       |      string_agg('FRAME' || chr(10) ||
+       |        substr(cyc, fi::INT * fsz + 1, fsz), '' ORDER BY fi) AS text
+       |  FROM (SELECT doc_id, w, h, fsz, cyc, unnest(range(nf)) AS fi
+       |    FROM (SELECT doc_id,
+       |        (doc_id % 13 + 4)::INT AS w, (doc_id % 11 + 4)::INT AS h,
+       |        (doc_id % 4 + 2)::INT AS nf,
+       |        ((doc_id % 13 + 4) * (doc_id % 11 + 4))::INT AS fsz,
+       |        substr(repeat(text || '.',
+       |          ceil(((doc_id % 4 + 2) * (doc_id % 13 + 4)
+       |              * (doc_id % 11 + 4))::DOUBLE
+       |            / length(text || '.'))::INT),
+       |          1, ((doc_id % 4 + 2) * (doc_id % 13 + 4)
+       |              * (doc_id % 11 + 4))::INT) AS cyc
+       |      FROM $src))
+       |  GROUP BY doc_id, w, h)""".stripMargin
+
   private def cdcChunkCtes(src: String = "documents",
       p: String = ""): String = {
     val w = 8; val d = 16
@@ -2506,6 +2593,55 @@ object DocQueries {
          |hdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
          |${p6PayloadCte("idocs", "inc0")},
          |${p6PayloadCte("hdocs", "held0")},
+         |${byteCdcCtes("inc0", "i")},
+         |${byteCdcCtes("held0", "h")},
+         |st AS (SELECT DISTINCT chunk_hash FROM hbch),
+         |j AS (SELECT c.doc_id, c.len,
+         |    (s.chunk_hash IS NULL) AS ship
+         |  FROM ibch c LEFT JOIN st s USING (chunk_hash))
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum(len)::BIGINT AS n_bytes,
+         |  sum(ship::INT)::BIGINT AS ship_chunks,
+         |  sum(CASE WHEN ship THEN len ELSE 0 END)::BIGINT AS ship_bytes,
+         |  round((sum(len) - sum(CASE WHEN ship THEN len ELSE 0 END))
+         |    * 100.0 / sum(len), 9) AS reuse_pct
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // byte-CDC sync over RIFF/WAVE containers: the container bytes
+    // (binary LE header fields included — all < 128 by construction)
+    // are rebuilt as chr() composition, then the same Gear replay
+    "q_cdc_media_wav" ->
+      s"""WITH idocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id,
+         |    substr(text, 1, 80) || ' patched v2 ' || substr(text, 81) AS text
+         |  FROM documents WHERE doc_id % 6 = 0),
+         |hdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |${wavPayloadCte("idocs", "inc0")},
+         |${wavPayloadCte("hdocs", "held0")},
+         |${byteCdcCtes("inc0", "i")},
+         |${byteCdcCtes("held0", "h")},
+         |st AS (SELECT DISTINCT chunk_hash FROM hbch),
+         |j AS (SELECT c.doc_id, c.len,
+         |    (s.chunk_hash IS NULL) AS ship
+         |  FROM ibch c LEFT JOIN st s USING (chunk_hash))
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum(len)::BIGINT AS n_bytes,
+         |  sum(ship::INT)::BIGINT AS ship_chunks,
+         |  sum(CASE WHEN ship THEN len ELSE 0 END)::BIGINT AS ship_bytes,
+         |  round((sum(len) - sum(CASE WHEN ship THEN len ELSE 0 END))
+         |    * 100.0 / sum(len), 9) AS reuse_pct
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // byte-CDC sync over YUV4MPEG2 containers: ASCII stream header +
+    // FRAME markers + cyclic plane bytes, same Gear replay
+    "q_cdc_media_y4m" ->
+      s"""WITH idocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id,
+         |    substr(text, 1, 80) || ' patched v2 ' || substr(text, 81) AS text
+         |  FROM documents WHERE doc_id % 6 = 0),
+         |hdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |${y4mPayloadCte("idocs", "inc0")},
+         |${y4mPayloadCte("hdocs", "held0")},
          |${byteCdcCtes("inc0", "i")},
          |${byteCdcCtes("held0", "h")},
          |st AS (SELECT DISTINCT chunk_hash FROM hbch),

@@ -190,7 +190,10 @@ object Jpeg {
       marker match {
         case 0xD9 => return None // EOI before any scan
         case 0xDB => // DQT
-          val end = pos + u16 - 2
+          // NB: read the length FIRST — `pos + u16` would capture pos
+          // before u16's side effect advances it past the length field.
+          val dqtLen = u16
+          val end = pos + dqtLen - 2
           while (pos < end) {
             val pq = u8; val tq = pq & 0x0F
             var i = 0
@@ -200,7 +203,8 @@ object Jpeg {
             }
           }
         case 0xC4 => // DHT
-          val end = pos + u16 - 2
+          val dhtLen = u16
+          val end = pos + dhtLen - 2
           while (pos < end) {
             val tc = u8
             val counts = Array.fill(16)(u8)
@@ -237,7 +241,8 @@ object Jpeg {
         case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
           return None // progressive/arithmetic/hierarchical: stub path
         case _ => // APPn / COM / anything skippable
-          pos += u16 - 2
+          val skipLen = u16
+          pos += skipLen - 2
       }
     }
     None

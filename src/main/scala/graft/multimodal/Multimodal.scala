@@ -133,6 +133,59 @@ object Multimodal {
       }
   }
 
+  /** Deterministic synthetic RIFF/WAVE corpus: 8-bit mono PCM at
+    * 8 kHz, `n = id%40+20` samples = the document's cyclic UTF-8
+    * bytes, through the REAL [[Wav.encode]] — so a byte-level oracle
+    * pins the codec's actual container layout, not a parallel
+    * reimplementation. The parameters are chosen so every container
+    * byte stays ≤ 0x7F for the ASCII testdata corpus (RIFF/data sizes
+    * < 128, sample rate 8000 = LE 0x40 0x1F, 8-bit block align):
+    * bytes ≤ 0x7F are single-byte UTF-8, which is what lets DuckDB
+    * rebuild the exact byte stream in VARCHAR space (chr/md5/substr
+    * all agree with the binary side there — the q_cdc_media
+    * contract). */
+  def syntheticWavCorpus(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text")(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val base = (text + ".").getBytes("UTF-8") // never empty
+          val n = (id % 40 + 20).toInt
+          val data = Array.tabulate[Byte](n)(i => base(i % base.length))
+          (id, Wav.encode(Wav.Audio(8000, 1, 8, data)))
+        }
+      }.toDF("sample_id", "content")
+  }
+
+  /** Deterministic synthetic YUV4MPEG2 corpus: mono `w×h` frames
+    * (the P6 dims), `nf = id%4+2` frames cyclically filled from the
+    * document's UTF-8 bytes as one continuous stream, through the REAL
+    * [[Y4m.encode]]. Y4M is ASCII-framed (text header + `FRAME\n`
+    * markers) and the synthetic plane bytes are ASCII for the testdata
+    * corpus, so the whole container is ≤ 0x7F and DuckDB rebuilds the
+    * exact bytes in VARCHAR space (see [[syntheticWavCorpus]]). */
+  def syntheticY4mCorpus(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text")(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val base = (text + ".").getBytes("UTF-8")
+          val w = (id % 13 + 4).toInt
+          val h = (id % 11 + 4).toInt
+          val nf = (id % 4 + 2).toInt
+          val frames = Array.tabulate(nf)(fi =>
+            Array.tabulate[Byte](w * h)(i => base((fi * w * h + i) % base.length)))
+          (id, Y4m.encode(Y4m.Video(w, h, 30, 1, "mono", frames)))
+        }
+      }.toDF("sample_id", "content")
+  }
+
   /** STUB decode kernel for content no in-container codec covers: a
     * real build replaces this with the codec call (e.g. TurboJPEG /
     * libsndfile via JNI). Deterministic: feature i is a hash of

@@ -37,7 +37,15 @@ import org.apache.spark.sql.internal.SQLConf
   * InferWindowGroupLimit — the WindowGroupLimit node it may have
   * inserted below the Window is stripped (its pre-pruning is
   * subsumed by the partial heaps). Disable with
-  * `spark.graft.topkRewrite.enabled=false`. */
+  * `spark.graft.topkRewrite.enabled=false`.
+  *
+  * Memory safety of the rerouted plan matches the builtin path it
+  * replaces: the heaps buffer at most
+  * `spark.graft.topk.maxBufferedRows` row copies per partition — past
+  * that the partial side flushes candidates and the final side falls
+  * back to the spillable external sort (see [[TopKPerKey.prune]]), so
+  * rerouting a high-key-cardinality query trades speed, never
+  * stability. */
 object RewriteTopKWindow extends Rule[LogicalPlan] {
 
   private val ConfKey = "graft.topkRewrite.enabled"

@@ -36,8 +36,12 @@ import org.apache.spark.sql.graft.GraftPlanApi
   * — the same candidates-only shuffle as WindowGroupLimit, with the
   * four sort/window passes replaced by O(n log k) heap maintenance:
   * no sort is ever materialized, no rank column is projected, and
-  * executor memory is bounded by k × (keys per partition) row copies
-  * (the hash-aggregate scale story) instead of a full sort buffer.
+  * executor memory is bounded by `spark.graft.topk.maxBufferedRows`
+  * row copies (the hash-aggregate scale story): past the bound the
+  * map side flushes candidates and restarts, the reduce side falls
+  * back to Spark's spillable external sort — so a high-cardinality
+  * key domain degrades to the builtin path's memory profile instead
+  * of OOMing.
   * TopKPerKeySpec pins the comparison: the builtin's executed plan
   * carries two Sorts + Window, this one carries neither.
   *
@@ -99,47 +103,144 @@ object TopKPerKey {
       orderCols: Seq[(String, Boolean)]): DataFrame =
     topKPerKey(df, keyCols, orderCols, k = 1)
 
+  /** Conf key bounding per-partition heap memory: the maximum number
+    * of row copies the prune kernel may buffer before it stops growing
+    * the hash-of-heaps (partial side: flush candidates and restart;
+    * final side: hand the remainder to a spillable sort). */
+  val MaxBufferedRowsKey = "spark.graft.topk.maxBufferedRows"
+  val MaxBufferedRowsDefault = 1 << 20
+
   /** Shared per-partition pruning kernel: one bounded heap per key
     * seen in this partition (a MAX-heap under the requested order, so
     * the worst survivor is evicted first), emitting ≤ k rows per key.
-    * Memory is k × (distinct keys in the partition) row copies. */
+    *
+    * Memory is bounded at `maxBufferedRows` row copies, NOT k × keys:
+    * when a partition carries more distinct keys than fit, the kernel
+    * does not OOM the way an unbounded hash-of-heaps would —
+    *  - `exact = false` (map side): the buffered survivors are FLUSHED
+    *    downstream and the map restarts. Emitting a key's candidates
+    *    in more than one epoch is harmless there — the output is only
+    *    a candidate superset and the final pass re-prunes;
+    *  - `exact = true` (reduce side, must emit exactly ≤ k per key):
+    *    buffered rows plus the unread remainder are handed to Spark's
+    *    spillable UnsafeExternalRowSorter on (keys, order) and the
+    *    sorted run is streamed group-wise taking the first k — the
+    *    same memory-safety story as the builtin WindowGroupLimit path,
+    *    paid only on partitions that actually exceed the bound. */
   private[plans] def prune(
       iter: Iterator[InternalRow],
       keys: Seq[Expression],
       order: Seq[SortOrder],
       k: Int,
-      input: Seq[Attribute]): Iterator[InternalRow] = {
+      input: Seq[Attribute],
+      maxBufferedRows: Int = MaxBufferedRowsDefault,
+      exact: Boolean = true): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keys, input)
     val ord: Ordering[InternalRow] =
       GenerateOrdering.generate(order, input)
-    if (k == 1) {
-      // arg-max fast path: one row slot per key, no heap — the common
-      // latest-version/best-candidate shape pays a compare + maybe a
-      // copy per row instead of heap sift costs
-      val slots = mutable.LinkedHashMap.empty[UnsafeRow, InternalRow]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        slots.get(key) match {
-          case Some(best) => if (ord.lt(row, best)) slots.update(key, row.copy())
-          case None => slots.put(key.copy(), row.copy())
+
+    // One "epoch" = consume input until the buffer bound trips or the
+    // input ends, then emit. Exact mode never starts a second heap
+    // epoch — overflow routes everything left through the sorter.
+    val epochs: Iterator[Iterator[InternalRow]] =
+      new Iterator[Iterator[InternalRow]] {
+        override def hasNext: Boolean = iter.hasNext
+        override def next(): Iterator[InternalRow] = {
+          var buffered = 0
+          if (k == 1) {
+            // arg-max fast path: one row slot per key, no heap — the
+            // common latest-version/best-candidate shape pays a
+            // compare + maybe a copy per row instead of heap sifts
+            val slots = mutable.LinkedHashMap.empty[UnsafeRow, InternalRow]
+            while (iter.hasNext && buffered < maxBufferedRows) {
+              val row = iter.next()
+              val key = keyProj(row)
+              slots.get(key) match {
+                case Some(best) =>
+                  if (ord.lt(row, best)) slots.update(key, row.copy())
+                case None =>
+                  slots.put(key.copy(), row.copy()); buffered += 1
+              }
+            }
+            if (iter.hasNext && exact)
+              sortedTopK(slots.valuesIterator ++ iter, keys, order, k, input)
+            else slots.valuesIterator
+          } else {
+            val heaps =
+              mutable.LinkedHashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
+            while (iter.hasNext && buffered < maxBufferedRows) {
+              val row = iter.next()
+              val key = keyProj(row)
+              heaps.get(key) match {
+                case Some(q) =>
+                  if (q.size < k) { q.add(row.copy()); buffered += 1 }
+                  else if (ord.lt(row, q.peek())) { q.poll(); q.add(row.copy()) }
+                case None =>
+                  val q = new java.util.PriorityQueue[InternalRow](k, ord.reverse)
+                  q.add(row.copy())
+                  heaps.put(key.copy(), q); buffered += 1
+              }
+            }
+            val drained = heaps.valuesIterator.flatMap(_.iterator.asScala)
+            if (iter.hasNext && exact)
+              sortedTopK(drained ++ iter, keys, order, k, input)
+            else drained
+          }
         }
       }
-      return slots.valuesIterator
-    }
-    val heaps = mutable.LinkedHashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-    iter.foreach { row =>
-      val key = keyProj(row)
-      heaps.get(key) match {
-        case Some(q) =>
-          if (q.size < k) q.add(row.copy())
-          else if (ord.lt(row, q.peek())) { q.poll(); q.add(row.copy()) }
-        case None =>
-          val q = new java.util.PriorityQueue[InternalRow](k, ord.reverse)
-          q.add(row.copy())
-          heaps.put(key.copy(), q)
+    epochs.flatten
+  }
+
+  /** Spillable exact fallback: external-sort `rows` on (keys, order)
+    * and stream the run group-wise, keeping the first k of each key.
+    * O(k) live rows; the sorter spills under memory pressure. */
+  private def sortedTopK(
+      rows: Iterator[InternalRow],
+      keys: Seq[Expression],
+      order: Seq[SortOrder],
+      k: Int,
+      input: Seq[Attribute]): Iterator[InternalRow] = {
+    import org.apache.spark.SparkEnv
+    import org.apache.spark.sql.catalyst.types.DataTypeUtils
+    import org.apache.spark.sql.execution.UnsafeExternalRowSorter
+    import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+    val fullOrder = keys.map(SortOrder(_, Ascending)) ++ order
+    val sortOrd: Ordering[InternalRow] = GenerateOrdering.generate(fullOrder, input)
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: InternalRow)
+          : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        p.value = 0L; p.isNull = false; p
       }
     }
-    heaps.valuesIterator.flatMap(_.iterator.asScala)
+    val sorter = UnsafeExternalRowSorter.create(
+      DataTypeUtils.fromAttributes(input.toIndexedSeq), sortOrd,
+      PrefixComparators.LONG, prefixComputer,
+      SparkEnv.get.memoryManager.pageSizeBytes, false)
+    val toUnsafe = UnsafeProjection.create(input, input)
+    val sorted = sorter.sort(rows.map {
+      case u: UnsafeRow => u
+      case other => toUnsafe(other)
+    })
+    val keyProj = UnsafeProjection.create(keys, input)
+    new Iterator[InternalRow] {
+      private var curKey: UnsafeRow = _
+      private var kept = 0
+      private var pending: InternalRow = _
+      private def advance(): Unit = {
+        while (pending == null && sorted.hasNext) {
+          val row = sorted.next()
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) { curKey = key.copy(); kept = 0 }
+          if (kept < k) { kept += 1; pending = row }
+        }
+      }
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): InternalRow = {
+        advance()
+        val r = pending; pending = null; r
+      }
+    }
   }
 }
 
@@ -170,7 +271,9 @@ object TopKPerKeyStrategy extends SparkStrategy {
 }
 
 /** Map-side candidate pruning: runs on whatever partitioning the
-  * child already has and keeps ≤ k rows per key per partition. */
+  * child already has and keeps ≤ k rows per key per partition
+  * (overflow past the buffer bound flushes candidates — safe, the
+  * final pass re-prunes). */
 case class TopKPerKeyPartialExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -180,7 +283,10 @@ case class TopKPerKeyPartialExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, kk, in) = (keys, order, k, child.output)
-    child.execute().mapPartitions(TopKPerKey.prune(_, ks, os, kk, in))
+    val maxBuf = conf.getConfString(TopKPerKey.MaxBufferedRowsKey,
+      TopKPerKey.MaxBufferedRowsDefault.toString).toInt
+    child.execute().mapPartitions(
+      TopKPerKey.prune(_, ks, os, kk, in, maxBuf, exact = false))
   }
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyPartialExec =
     copy(child = c)
@@ -188,7 +294,9 @@ case class TopKPerKeyPartialExec(
 
 /** Reduce-side exact pick: requires clustering by the keys (Spark
   * inserts the hash exchange), merges each key's candidates with the
-  * same bounded heap. No sort is required or produced. */
+  * same bounded heap. No sort is required or produced on the in-memory
+  * path; partitions whose key cardinality exceeds the buffer bound
+  * fall back to a spillable external sort instead of OOMing. */
 case class TopKPerKeyFinalExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -200,7 +308,10 @@ case class TopKPerKeyFinalExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, kk, in) = (keys, order, k, child.output)
-    child.execute().mapPartitions(TopKPerKey.prune(_, ks, os, kk, in))
+    val maxBuf = conf.getConfString(TopKPerKey.MaxBufferedRowsKey,
+      TopKPerKey.MaxBufferedRowsDefault.toString).toInt
+    child.execute().mapPartitions(
+      TopKPerKey.prune(_, ks, os, kk, in, maxBuf, exact = true))
   }
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyFinalExec =
     copy(child = c)

@@ -15,6 +15,20 @@ import graft.stats.Tables
   */
 object Sheets {
 
+  /** A tear sheet OWNS the persisted intermediates its tables fan out
+    * of. They are deliberately left cached while the caller reads the
+    * tables; a long-lived session building many sheets should call
+    * [[unpersist]] once the tables are materialized, or cached blocks
+    * accumulate until session end. Unpersisting is safe at any point:
+    * the tables stay valid and lazily recompute on the next action. */
+  sealed trait TearSheet {
+    /** The persisted shared frames this sheet's tables read from. */
+    def cached: Seq[DataFrame]
+    /** Release every persisted intermediate this sheet owns. */
+    def unpersist(blocking: Boolean = false): Unit =
+      cached.foreach(_.unpersist(blocking))
+  }
+
   /** Horizons whose span is a whole-day multiple, as day counts — the
     * only ones turnover analysis runs on (reference: tears.py:429-435). */
   private def dayPeriods(fd: FactorData): Seq[Int] =
@@ -35,7 +49,8 @@ object Sheets {
       returnsTable: DataFrame,
       icSummary: DataFrame,
       quantileTurnoverMeans: DataFrame,
-      autocorrelationMeans: DataFrame)
+      autocorrelationMeans: DataFrame,
+      cached: Seq[DataFrame] = Nil) extends TearSheet
 
   /** reference: tears.py:61-175 */
   def createSummaryTearSheet(
@@ -46,12 +61,14 @@ object Sheets {
     // the IC series feeds one aggregate row per horizon — compute the
     // rank windows once and let each row read the cached series
     val ic = shared(Information.factorInformationCoefficient(fd))
+    val (retTable, retCached) = Tables.returnsTableCached(fd, longShort, groupNeutral)
     SummaryTearSheet(
       quantileStats = Tables.quantileStatsTable(fd),
-      returnsTable = Tables.returnsTable(fd, longShort, groupNeutral),
+      returnsTable = retTable,
       icSummary = Information.icSummaryFrom(fd, ic),
       quantileTurnoverMeans = Tables.quantileTurnoverMeans(fd, periods),
-      autocorrelationMeans = Tables.autocorrelationMeans(fd, periods))
+      autocorrelationMeans = Tables.autocorrelationMeans(fd, periods),
+      cached = ic +: retCached)
   }
 
   // ---- returns --------------------------------------------------------
@@ -65,7 +82,8 @@ object Sheets {
       returnsTable: DataFrame,
       cumulativeReturns: Option[DataFrame],
       cumulativeReturnsByQuantile: Option[DataFrame],
-      meanQuantRateretByGroup: Option[DataFrame])
+      meanQuantRateretByGroup: Option[DataFrame],
+      cached: Seq[DataFrame] = Nil) extends TearSheet
 
   /** reference: tears.py:178-344. The cumulative-return curves exist only
     * when a one-day horizon is present (tears.py:280-294). */
@@ -113,7 +131,8 @@ object Sheets {
           groupAdjust = groupNeutral), fd))
       else None
     ReturnsTearSheet(fr, mqr, mqrDate, spread, ab,
-      Tables.returnsTableFrom(fd, ab, mqr, mqrDate), cum, cumByQ, byGrp)
+      Tables.returnsTableFrom(fd, ab, mqr, mqrDate), cum, cumByQ, byGrp,
+      cached = Seq(fr, s1, ab))
   }
 
   // ---- information ----------------------------------------------------
@@ -122,7 +141,8 @@ object Sheets {
       ic: DataFrame,
       icSummary: DataFrame,
       monthlyMeanIc: DataFrame,
-      meanIcByGroup: Option[DataFrame])
+      meanIcByGroup: Option[DataFrame],
+      cached: Seq[DataFrame] = Nil) extends TearSheet
 
   /** reference: tears.py:347-406 */
   def createInformationTearSheet(
@@ -142,7 +162,7 @@ object Sheets {
           groupAdjust = groupNeutral, byGroup = true))
       else None
     InformationTearSheet(ic, Information.icSummaryFrom(fd, ic),
-      monthly, grp)
+      monthly, grp, cached = Seq(ic))
   }
 
   // ---- turnover -------------------------------------------------------
@@ -151,7 +171,8 @@ object Sheets {
       quantileTurnover: DataFrame,    // (period, factor_quantile, date, turnover)
       autocorrelation: DataFrame,     // (period, date, autocorr)
       quantileTurnoverMeans: DataFrame,
-      autocorrelationMeans: DataFrame)
+      autocorrelationMeans: DataFrame,
+      cached: Seq[DataFrame] = Nil) extends TearSheet
 
   /** reference: tears.py:409-485 */
   def createTurnoverTearSheet(
@@ -170,7 +191,8 @@ object Sheets {
         col("date"), col("autocorr")))
     TurnoverTearSheet(qt, ac,
       Tables.quantileTurnoverMeansFrom(qt),
-      Tables.autocorrelationMeansFrom(ac))
+      Tables.autocorrelationMeansFrom(ac),
+      cached = Seq(qt, ac))
   }
 
   // ---- full -----------------------------------------------------------
@@ -179,7 +201,11 @@ object Sheets {
       quantileStats: DataFrame,
       returns: ReturnsTearSheet,
       information: InformationTearSheet,
-      turnover: TurnoverTearSheet)
+      turnover: TurnoverTearSheet) extends TearSheet {
+    /** Cascades over the component sheets' persisted intermediates. */
+    override def cached: Seq[DataFrame] =
+      returns.cached ++ information.cached ++ turnover.cached
+  }
 
   /** reference: tears.py:488-526 */
   def createFullTearSheet(

@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   *  - [[Expectations.acceptedValues]] — violations = rows whose value
   *    is non-null and outside the accepted set;
   *  - [[Expectations.unique]] — violations = rows beyond the first of
-  *    each duplicated key group (needs its own aggregate pass: the
-  *    one rule that is a groupBy, kept exact rather than sketched);
+  *    each duplicated key group under NULL-SAFE grouping: NULL keys
+  *    form one group like SQL DISTINCT, so a lone all-null key is not
+  *    a violation but a second one is (needs its own aggregate pass:
+  *    the one rule that is a groupBy, kept exact rather than
+  *    sketched);
   *  - [[Expectations.rowCountAtLeast]] — measured = total rows,
   *    violations = shortfall below the floor.
   *
@@ -118,18 +121,26 @@ object Expectations {
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     val scanRules = rules.filter(!_.isInstanceOf[Unique])
-    val aggCols = scanAggCols(scanRules)
-    val wide = df.agg(aggCols.head, aggCols.tail: _*)
-    val scanVerdicts = wide.select(meltCol(scanRules).as("__r"))
-      .select("__r.*")
-    // uniqueness rules: duplicates = total - distinct, exact
+    val scanVerdicts = scanRules.headOption.map { _ =>
+      val aggCols = scanAggCols(scanRules)
+      df.agg(aggCols.head, aggCols.tail: _*)
+        .select(meltCol(scanRules).as("__r"))
+        .select("__r.*")
+    }
+    // uniqueness rules: duplicates = rows beyond the first of each key
+    // group, via NULL-SAFE grouping (GROUP BY keeps one NULL group) —
+    // NOT count(*) - countDistinct(...), whose countDistinct skips any
+    // row with a NULL key column and would count all-null-key rows as
+    // violations, diverging from SQL DISTINCT semantics on nullable
+    // keys. An all-null key occurring twice IS one duplicate here.
     val uniqVerdicts = rules.collect { case u @ Unique(cols) =>
-      df.agg((count(lit(1)) -
-          countDistinct(cols.head, cols.tail: _*)).as("violations"))
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cnt"))
+        .agg(coalesce(sum(col("__cnt") - 1L), lit(0L)).as("violations"))
         .select(lit(u.name).as("rule"), col("violations").as("measured"),
           col("violations"))
     }
-    val all = uniqVerdicts.foldLeft(scanVerdicts)(_.unionByName(_))
+    val legs = scanVerdicts.toSeq ++ uniqVerdicts
+    val all = legs.reduce(_.unionByName(_))
     // deterministic output order = rule-name order
     all.withColumn("passed", col("violations") === 0L).orderBy("rule")
   }

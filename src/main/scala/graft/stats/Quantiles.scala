@@ -82,8 +82,17 @@ object Quantiles {
     * + k-row merge) + [[exactQuantiles]] over k rows. Nothing scales
     * with N but the scan.
     *
-    * @param keyCols columns forming a stable row identity (the sample
-    *                frame; duplicates of the key collapse to one draw)
+    * Sampling is ROW-level: every physical row is a candidate draw,
+    * and rows sharing the same key hash identically, sort adjacent,
+    * and enter (or miss) the sample together — so a non-unique key
+    * over-represents its duplicated rows and the draw is uniform over
+    * rows only when `keyCols` identify rows uniquely. Pass a true row
+    * identity (e.g. doc_id, or the full primary key); deduplicate
+    * upstream if the key frame is what should be sampled.
+    *
+    * @param keyCols columns forming a stable row identity used as the
+    *                deterministic sampling hash (must be unique per
+    *                row for a simple random sample over rows)
     */
   def sampleQuantiles(
       df: DataFrame,

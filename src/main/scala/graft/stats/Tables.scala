@@ -57,7 +57,17 @@ object Tables {
   def returnsTable(
       fd: FactorData,
       demeaned: Boolean = true,
-      groupAdjust: Boolean = false): DataFrame = {
+      groupAdjust: Boolean = false): DataFrame =
+    returnsTableCached(fd, demeaned, groupAdjust)._1
+
+  /** [[returnsTable]] plus the persisted intermediates backing it —
+    * the persisted stage-1 frame otherwise stays cached until session
+    * end; callers that build many tables (the tear-sheet composites)
+    * take this variant and unpersist once materialized. */
+  def returnsTableCached(
+      fd: FactorData,
+      demeaned: Boolean = true,
+      groupAdjust: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     val ab = Returns.factorAlphaBeta(fd, demeaned = demeaned,
       groupAdjust = groupAdjust)
     // bounded (quantiles x dates) — persist so the top/bottom/spread
@@ -70,7 +80,7 @@ object Tables {
     val mrqDate = rateConvert(
       Returns.meanReturnFromStage1(fd, s1, byDate = true), fd,
       withStdErr = true)
-    returnsTableFrom(fd, ab, mrq, mrqDate)
+    (returnsTableFrom(fd, ab, mrq, mrqDate), Seq(s1))
   }
 
   /** [[returnsTable]] from precomputed components — the returns

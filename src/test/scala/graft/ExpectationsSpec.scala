@@ -32,10 +32,10 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
     // 60.0 violates; the NULL does not (pair with notNull to insist)
     assert(v("between:v:[0.0,50.0]") == ((1L, 1L, false)))
     assert(v("accepted:flag:{A|N|R}") == ((1L, 1L, false)))
-    // ids 1, 2, null, 2: Spark countDistinct skips the null row, so
-    // duplicates = 4 - 2 = 2 (the null row counts against uniqueness;
-    // pair with notNull to separate the concerns)
-    assert(v("unique:id") == ((2L, 2L, false)))
+    // ids 1, 2, null, 2: null-safe grouping — a single null key is NOT
+    // a duplicate (SQL DISTINCT keeps one NULL group); duplicates =
+    // rows beyond the first per group = 1 (the second id=2)
+    assert(v("unique:id") == ((1L, 1L, false)))
     assert(v("row_count_at_least:3") == ((4L, 0L, true)))
     assert(v("row_count_at_least:10") == ((4L, 6L, false)))
   }
@@ -56,6 +56,13 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getString(0) -> r.getBoolean(3)).toMap
     assert(out("not_null:id") && out("unique:id"))
     assert(!out("row_count_at_least:1"))
+  }
+
+  test("unique: two all-null keys are one duplicate, matching SQL DISTINCT") {
+    val d = Seq[(Option[Long], String)](
+      (None, "a"), (None, "b"), (Some(1L), "c")).toDF("id", "x")
+    val out = Expectations.check(d, Seq(unique("id"))).collect()
+    assert(out.head.getLong(2) == 1L && !out.head.getBoolean(3))
   }
 
   test("rejects an empty rule set") {

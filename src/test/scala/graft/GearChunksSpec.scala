@@ -103,6 +103,41 @@ class GearChunksSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("RIFF/WAVE container layout chunks by the Gear rule and stays oracle-safe") {
+    // the q_cdc_media_wav corpus shape: 8-bit mono PCM through the
+    // real encoder — the binary LE header fields ride along as bytes
+    import graft.multimodal.Wav
+    for (id <- Seq(3L, 17L, 40L)) {
+      val base = ("some document text for the wav body.").getBytes("UTF-8")
+      val n = (id % 40 + 20).toInt
+      val data = Array.tabulate[Byte](n)(i => base(i % base.length))
+      val payload = Wav.encode(Wav.Audio(8000, 1, 8, data))
+      // the oracle-validity invariant: every container byte ≤ 0x7F,
+      // so the VARCHAR rebuild hashes the identical byte stream
+      assert(payload.forall(b => (b & 0xFF) <= 0x7F), s"id=$id non-ASCII byte")
+      assert(payload.length == 44 + n + (n & 1))
+      val got = chunksOf(payload)
+      assert(got == refChunks(payload, 6), s"id=$id")
+      assert(got.map(_._3).sum == payload.length)
+    }
+  }
+
+  test("YUV4MPEG2 container layout chunks by the Gear rule and stays oracle-safe") {
+    import graft.multimodal.Y4m
+    for (id <- Seq(2L, 11L, 35L)) {
+      val base = ("plane bytes come from the doc text.").getBytes("UTF-8")
+      val w = (id % 13 + 4).toInt; val h = (id % 11 + 4).toInt
+      val nf = (id % 4 + 2).toInt
+      val frames = Array.tabulate(nf)(fi =>
+        Array.tabulate[Byte](w * h)(i => base((fi * w * h + i) % base.length)))
+      val payload = Y4m.encode(Y4m.Video(w, h, 30, 1, "mono", frames))
+      assert(payload.forall(b => (b & 0xFF) <= 0x7F), s"id=$id non-ASCII byte")
+      val got = chunksOf(payload)
+      assert(got == refChunks(payload, 6), s"id=$id")
+      assert(got.map(_._3).sum == payload.length)
+    }
+  }
+
   test("text payloads chunk as their UTF-8 bytes (the q_cdc_bytes path)") {
     val text = "the quick brown fox " * 40
     val viaText = Cdc.byteChunks(

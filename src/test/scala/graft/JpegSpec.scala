@@ -89,6 +89,25 @@ class JpegSpec extends AnyFunSuite {
       assert((img.pixels(i * 3) & 0xFF) == 255, s"pixel $i")
   }
 
+  test("APP0/JFIF and COM segments are skipped by their full length") {
+    // Real-world JFIF files always start with an APP0 marker segment;
+    // the skip must advance length-2 bytes PAST the length field (a
+    // `pos += u16 - 2` reads pos before u16's side effect and lands 2
+    // bytes inside the payload, making every standard file undecodable).
+    val base = Jpeg.dcOnlyGray(16, 16, Array(-80, 0, 64, 127))
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte, 0x00, 0x10,
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val com = {
+      val msg = "a comment".getBytes("US-ASCII")
+      Array[Byte](0xFF.toByte, 0xFE.toByte, 0, (msg.length + 2).toByte) ++ msg
+    }
+    val withSegs = base.take(2) ++ app0 ++ com ++ base.drop(2)
+    val img = Jpeg.decode(withSegs).get
+    val plain = Jpeg.decode(base).get
+    assert(img.width == 16 && img.height == 16)
+    assert(java.util.Arrays.equals(img.pixels, plain.pixels))
+  }
+
   test("non-baseline and malformed bytes take the stub path (None)") {
     val ok = Jpeg.dcOnlyGray(8, 8, Array(10))
     // progressive: flip SOF0 (FFC0) to SOF2 (FFC2)

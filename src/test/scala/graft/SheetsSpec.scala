@@ -70,6 +70,25 @@ class SheetsSpec extends AnyFunSuite with SparkSpec {
     nonEmpty(s.autocorrelationMeans, "mean_autocorr")
   }
 
+  test("tear sheets own their persisted intermediates; unpersist releases them") {
+    val s = Sheets.createTurnoverTearSheet(fd)
+    assert(s.cached.nonEmpty, "sheet should register its persisted frames")
+    s.quantileTurnoverMeans.collect() // materialize through the cache
+    assert(s.cached.forall(_.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE))
+    s.unpersist(blocking = true)
+    assert(s.cached.forall(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE))
+    // the tables stay valid — they just recompute
+    assert(s.quantileTurnoverMeans.collect().nonEmpty)
+    // the full sheet cascades over its components' caches
+    val full = Sheets.createFullTearSheet(fd)
+    assert(full.cached.nonEmpty)
+    full.unpersist(blocking = true)
+    assert(full.cached.forall(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE))
+  }
+
   test("full tear sheet") {
     val s = Sheets.createFullTearSheet(fdG, byGroup = true)
     nonEmpty(s.quantileStats, "factor_quantile")

@@ -185,6 +185,55 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
     assert(!off.contains("TopKPerKey"))
   }
 
+  test("buffer bound: flush epochs (partial) + spillable sort fallback (final) stay exact") {
+    // With the bound far below the key cardinality, every partition
+    // overflows: the map side flushes candidate batches mid-stream and
+    // the reduce side reroutes through the external sort. The row set
+    // must be bit-identical to the unbounded run and the builtin path.
+    spark.conf.set(TopKPerKey.MaxBufferedRowsKey, "16")
+    try {
+      for ((n, nKeys, k) <- Seq((3000, 500, 3), (2000, 300, 1))) {
+        val df = randomDf(n, nKeys, seed = n + k).repartition(7)
+        val got = TopKPerKey.topKPerKey(df, Seq("key"),
+          Seq(("v", false), ("id", true)), k)
+          .select("id", "key", "v").collect().toSet
+        val want = noRewrite(windowTopK(df, k).select("id", "key", "v").collect().toSet)
+        assert(got == want, s"overflow mismatch at n=$n keys=$nKeys k=$k")
+      }
+    } finally spark.conf.unset(TopKPerKey.MaxBufferedRowsKey)
+  }
+
+  test("AQE on: rewrite + EnsureRequirements exchange still compose") {
+    // Skewed 32-partition input under adaptive execution: the rule
+    // fires at logical optimization, AQE re-plans stages at runtime —
+    // the partial→exchange→final shape must survive re-optimization.
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val rows = (1L to 6000L).map(i =>
+        (i, if (i % 50 == 0) s"k${i % 11}" else "hot", i % 991))
+      val df = rows.toDF("id", "key", "v").repartition(32, col("id"))
+      val spelled = windowTopK(df, 3)
+      val got = spelled.select("id", "key", "v").collect().toSet
+      // AQE finalizes the plan only after execution — inspect post-run
+      val plan = spelled.queryExecution.executedPlan.toString
+      assert(plan.contains("AdaptiveSparkPlan"), s"AQE inactive:\n$plan")
+      assert(plan.contains("TopKPerKeyPartial"), s"missing partial under AQE:\n$plan")
+      assert(plan.contains("TopKPerKeyFinal"), s"missing final under AQE:\n$plan")
+      assert(plan.contains("Exchange"), s"missing exchange under AQE:\n$plan")
+      assert(!plan.contains("Window"), s"window survived under AQE:\n$plan")
+      val want = noRewrite {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try windowTopK(df, 3).select("id", "key", "v").collect().toSet
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      assert(got == want)
+    } finally aqeBefore match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("rejects nonsense arguments") {
     val df = randomDf(10, 2, seed = 1)
     intercept[IllegalArgumentException] {
