@@ -256,6 +256,32 @@ object DocQueries {
             .as("est_union"))
         .orderBy("s1", "s2")
     }),
+    "q_kmv_hip" -> ((s, dir) => {
+      // inverse-probability POOLED estimates over the same persisted
+      // retained arrays as q_kmv_setops (stats/Kmv.scala
+      // hipUnionEstimate/hipDifferenceEstimate): up to 2k-1
+      // observations below theta_min instead of the merged sketch's k
+      // — the read-time variance reduction; the artifact is untouched
+      val K = 128
+      val kmv = graft.stats.Kmv
+      val sh = documents(s, dir).select(col("source"),
+        explode(TextOps.shingleSeq(TextOps.tokens(col("text")), 2)).as("g"))
+      val sk = kmv.sketch(sh, Seq("source"), col("g"), K)
+      val pairs = sk.select(col("source").as("s1"), col("kmv").as("ka"))
+        .join(broadcast(sk.select(col("source").as("s2"), col("kmv").as("kb"))),
+          col("s1") < col("s2"))
+      val tmin = least(kmv.thetaRaw(col("ka"), K), kmv.thetaRaw(col("kb"), K))
+      pairs.select(col("s1"), col("s2"),
+          size(filter(array_union(col("ka"), col("kb")), v => v < tmin))
+            .cast("long").as("n_pooled"),
+          round(kmv.hipUnionEstimate(col("ka"), col("kb"), K), 9)
+            .as("est_union_hip"),
+          round(kmv.distinctEstimate(kmv.unionSketch(col("ka"), col("kb"), K), K), 9)
+            .as("est_union_merged"),
+          round(kmv.hipDifferenceEstimate(col("ka"), col("kb"), K), 9)
+            .as("est_diff_ab"))
+        .orderBy("s1", "s2")
+    }),
     "q_profile" -> ((s, dir) =>
       // ANALYZE-style table profile (round 9): per column the row/null
       // counts, bit-reproducible HLL distinct estimate over a
@@ -1242,6 +1268,19 @@ object DocQueries {
           (col("vec_id") + 100).as("positive_id"))
       Similarity.hardNegatives(e, positives, n = 5, margin = 8)
     }),
+    "q_hard_negatives_adc" -> ((s, dir) => {
+      // the IVFADC arm of hard-negative mining: residual-code ADC
+      // shortlist + exact rerank as the kNN stage (k = n + margin),
+      // sharing the q_hard_negatives exclusion + re-rank tail and the
+      // memoized coarse/residual models of q_ivfadc
+      val e = embeddings(s, dir)
+      val positives = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("anchor_id"),
+          (col("vec_id") + 100).as("positive_id"))
+      Similarity.hardNegativesAdc(e, positives,
+        coarseCentroids(s, dir), pqResidBooks(s, dir), dim = 64,
+        n = 5, margin = 8, nProbe = 4, rerank = 8)
+    }),
     "q_neg_sample" -> ((s, dir) => {
       // deterministic contrastive negatives: anchors = docs 0..9,
       // positive = anchor + 100; 5 negatives each from 15 hash probes
@@ -1696,6 +1735,105 @@ object DocQueries {
        |              * (doc_id % 11 + 4))::INT) AS cyc
        |      FROM $src))
        |  GROUP BY doc_id, w, h)""".stripMargin
+
+  /** Shared CTE body replaying the full residual IVFADC read path
+    * (the q_ivfadc recipe: coarse Lloyd chain, residual sub-chains,
+    * per-probed-cell ADC tables, shortlist, exact-cosine rerank) up
+    * through `rk2` (query_id, neighbor_id, cos, rank). `queryPred`
+    * selects the query vectors; `kShort` is the ADC shortlist bound
+    * (rerank * k). */
+  private def ivfAdcOracleCtes(queryPred: String, kShort: Int): String = {
+      // replays the RESIDUAL Pq.ivfAdcTopK: the q_ann_ivf coarse chain
+      // (prefix g, 5 iters over the full 64 dims) routes corpus
+      // vectors to cells and queries to their 4 probe cells; residual
+      // components r = q_vec − c_cell feed per-subspace Lloyd chains
+      // (the same hash-sample + lowest-id init), codes are residual
+      // argmins, and each query builds one ADC table PER PROBED CELL
+      // from q − c_probecell; ADC scores only the probed cells'
+      // candidates, shortlists the top rerank*k=80 per query, and the
+      // shortlist reranks by exact cosine (same formula + tie-break
+      // as q_ann_ivf). Every quantity is an exact grid integer.
+      def cosSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+      val residSubChains = (0 until 8).map { s =>
+        val off = s * 8
+        s"""rs${s}eqs AS (SELECT r.vec_id, r.d - $off AS d, r.q
+           |  FROM rall r JOIN samp USING (vec_id)
+           |  WHERE r.d >= $off AND r.d < $off + 8),
+           |rs${s}c0 AS (SELECT i.cell, e.d, e.q
+           |  FROM init i JOIN rs${s}eqs e USING (vec_id)),
+           |${lloydChain(3, s"rs$s")},
+           |rs${s}eqa AS (SELECT vec_id, d - $off AS d, q FROM rall
+           |  WHERE d >= $off AND d < $off + 8),
+           |rs${s}dall AS (SELECT v.vec_id, c.cell,
+           |    sum((v.q - c.q) * (v.q - c.q)) AS dist
+           |  FROM rs${s}eqa v JOIN rs${s}c3 c ON v.d = c.d GROUP BY 1, 2),
+           |rs${s}asg AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM rs${s}dall) WHERE rn = 1),
+           |qd$s AS (SELECT r.query_id, r.pcell, cb.cell,
+           |    sum((r.q - cb.q) * (r.q - cb.q)) AS dist
+           |  FROM (SELECT query_id, pcell, d - $off AS d, q FROM qres
+           |        WHERE d >= $off AND d < $off + 8) r
+           |  JOIN rs${s}c3 cb ON cb.d = r.d GROUP BY 1, 2, 3)""".stripMargin
+      }.mkString(",\n")
+      val residCodesLong = (0 until 8)
+        .map(s => s"SELECT vec_id, $s AS s, cell FROM rs${s}asg")
+        .mkString("\nUNION ALL\n")
+      val residQdLong = (0 until 8)
+        .map(s => s"SELECT query_id, pcell, $s AS s, cell, dist FROM qd$s")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $pqSharedCtes,
+         |geqs AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM samp CROSS JOIN range(64) t(d)),
+         |gc0 AS (SELECT i.cell, e.d, e.q FROM init i JOIN geqs e USING (vec_id)),
+         |${lloydChain(5, "g")},
+         |geqa AS MATERIALIZED (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM embeddings CROSS JOIN range(64) t(d)),
+         |gcf AS MATERIALIZED (SELECT cell, d, q FROM gc5),
+         |gdall AS MATERIALIZED (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM geqa v JOIN gcf c ON v.d = c.d GROUP BY 1, 2),
+         |gasg AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM gdall) WHERE rn = 1),
+         |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM gdall WHERE $queryPred) WHERE rn <= 4),
+         |rall AS MATERIALIZED (SELECT g.vec_id, g.d, (g.q - c.q) AS q
+         |  FROM geqa g JOIN gasg a USING (vec_id)
+         |  JOIN gcf c ON c.cell = a.cell AND c.d = g.d),
+         |qres AS MATERIALIZED (SELECT p.query_id, p.cell AS pcell, g.d, (g.q - c.q) AS q
+         |  FROM probe p JOIN geqa g ON g.vec_id = p.query_id
+         |  JOIN gcf c ON c.cell = p.cell AND c.d = g.d),
+         |$residSubChains,
+         |codes_long AS ($residCodesLong),
+         |qd_long AS ($residQdLong),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.cell
+         |  FROM probe p JOIN gasg a USING (cell) WHERE p.query_id <> a.vec_id),
+         |ad AS (SELECT cand.query_id, cand.neighbor_id,
+         |    sum(q.dist)::BIGINT AS adc_dist
+         |  FROM cand JOIN codes_long c ON c.vec_id = cand.neighbor_id
+         |            JOIN qd_long q ON q.query_id = cand.query_id
+         |                          AND q.pcell = cand.cell
+         |                          AND q.s = c.s AND q.cell = c.cell
+         |  GROUP BY 1, 2),
+         |rk AS (SELECT query_id, neighbor_id, adc_dist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist, neighbor_id) AS rank
+         |  FROM ad),
+         |short AS (SELECT query_id, neighbor_id FROM rk WHERE rank <= $kShort),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  ${cosSql("eq", "ec")} /
+         |  (sqrt(${cosSql("eq", "eq")}) * sqrt(${cosSql("ec", "ec")})) AS cos
+         |  FROM short JOIN embeddings eq ON eq.vec_id = query_id
+         |             JOIN embeddings ec ON ec.vec_id = neighbor_id),
+         |rk2 AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)""".stripMargin
+  }
 
   private def cdcChunkCtes(src: String = "documents",
       p: String = ""): String = {
@@ -2326,6 +2464,58 @@ object DocQueries {
          |FROM p
          |LEFT JOIN ex ON ex.s1 = p.s1 AND ex.s2 = p.s2
          |LEFT JOIN ic ON ic.s1 = p.s1 AND ic.s2 = p.s2
+         |JOIN uth ON uth.s1 = p.s1 AND uth.s2 = p.s2
+         |ORDER BY p.s1, p.s2""".stripMargin
+    },
+
+    "q_kmv_hip" -> {
+      val two56 = "CAST(72057594037927936 AS DOUBLE)"
+      s"""WITH t AS (SELECT source, ${shinglesExpr(toksExpr, 2)} AS gs
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT source, ${hash56("'kmv:' || g")} AS h
+         |  FROM (SELECT source, unnest(gs) AS g FROM t)),
+         |r AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n_exact FROM sh),
+         |sk AS (SELECT source, h, rn, n_exact FROM r WHERE rn <= 128),
+         |th AS (SELECT source, max(n_exact) AS n_exact,
+         |    CASE WHEN max(n_exact) >= 128
+         |      THEN max(CASE WHEN rn = 128 THEN h END)
+         |      ELSE 72057594037927936 END AS theta_raw
+         |  FROM sk GROUP BY source),
+         |p AS (SELECT a.source AS s1, b.source AS s2,
+         |    least(a.theta_raw, b.theta_raw) AS tmin
+         |  FROM th a JOIN th b ON a.source < b.source),
+         |u AS (SELECT p.s1, p.s2, k1.h FROM p JOIN sk k1 ON k1.source = p.s1
+         |  UNION
+         |  SELECT p.s1, p.s2, k2.h FROM p JOIN sk k2 ON k2.source = p.s2),
+         |ur AS (SELECT s1, s2, h,
+         |    row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY s1, s2) AS n FROM u),
+         |uth AS (SELECT s1, s2, max(n) AS un,
+         |    CASE WHEN max(n) >= 128
+         |      THEN max(CASE WHEN rn = 128 THEN h END)
+         |      ELSE 72057594037927936 END AS utheta
+         |  FROM ur WHERE rn <= 128 GROUP BY s1, s2),
+         |pc AS (SELECT u.s1, u.s2, count(*) AS n_pooled
+         |  FROM u JOIN p ON p.s1 = u.s1 AND p.s2 = u.s2
+         |  WHERE u.h < p.tmin GROUP BY 1, 2),
+         |d AS (SELECT p.s1, p.s2, count(*) AS n_d
+         |  FROM p JOIN sk k1 ON k1.source = p.s1 AND k1.h < p.tmin
+         |  LEFT JOIN sk k2 ON k2.source = p.s2 AND k2.h = k1.h
+         |  WHERE k2.h IS NULL GROUP BY 1, 2)
+         |SELECT p.s1, p.s2,
+         |  coalesce(pc.n_pooled, 0)::BIGINT AS n_pooled,
+         |  round(coalesce(pc.n_pooled, 0)::DOUBLE
+         |    / (p.tmin::DOUBLE / $two56), 9) AS est_union_hip,
+         |  round(CASE WHEN uth.un < 128 THEN uth.un::DOUBLE
+         |    ELSE 127.0 / (uth.utheta::DOUBLE / $two56) END, 9)
+         |    AS est_union_merged,
+         |  round(coalesce(d.n_d, 0)::DOUBLE
+         |    / (p.tmin::DOUBLE / $two56), 9) AS est_diff_ab
+         |FROM p
+         |LEFT JOIN pc ON pc.s1 = p.s1 AND pc.s2 = p.s2
+         |LEFT JOIN d ON d.s1 = p.s1 AND d.s2 = p.s2
          |JOIN uth ON uth.s1 = p.s1 AND uth.s2 = p.s2
          |ORDER BY p.s1, p.s2""".stripMargin
     },
@@ -3069,100 +3259,26 @@ object DocQueries {
          |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
-    "q_ivfadc" -> {
-      // replays the RESIDUAL Pq.ivfAdcTopK: the q_ann_ivf coarse chain
-      // (prefix g, 5 iters over the full 64 dims) routes corpus
-      // vectors to cells and queries to their 4 probe cells; residual
-      // components r = q_vec − c_cell feed per-subspace Lloyd chains
-      // (the same hash-sample + lowest-id init), codes are residual
-      // argmins, and each query builds one ADC table PER PROBED CELL
-      // from q − c_probecell; ADC scores only the probed cells'
-      // candidates, shortlists the top rerank*k=80 per query, and the
-      // shortlist reranks by exact cosine (same formula + tie-break
-      // as q_ann_ivf). Every quantity is an exact grid integer.
-      def cosSql(a: String, b: String) =
-        s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
-      val residSubChains = (0 until 8).map { s =>
-        val off = s * 8
-        s"""rs${s}eqs AS (SELECT r.vec_id, r.d - $off AS d, r.q
-           |  FROM rall r JOIN samp USING (vec_id)
-           |  WHERE r.d >= $off AND r.d < $off + 8),
-           |rs${s}c0 AS (SELECT i.cell, e.d, e.q
-           |  FROM init i JOIN rs${s}eqs e USING (vec_id)),
-           |${lloydChain(3, s"rs$s")},
-           |rs${s}eqa AS (SELECT vec_id, d - $off AS d, q FROM rall
-           |  WHERE d >= $off AND d < $off + 8),
-           |rs${s}dall AS (SELECT v.vec_id, c.cell,
-           |    sum((v.q - c.q) * (v.q - c.q)) AS dist
-           |  FROM rs${s}eqa v JOIN rs${s}c3 c ON v.d = c.d GROUP BY 1, 2),
-           |rs${s}asg AS (SELECT vec_id, cell FROM (
-           |  SELECT vec_id, cell,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-           |  FROM rs${s}dall) WHERE rn = 1),
-           |qd$s AS (SELECT r.query_id, r.pcell, cb.cell,
-           |    sum((r.q - cb.q) * (r.q - cb.q)) AS dist
-           |  FROM (SELECT query_id, pcell, d - $off AS d, q FROM qres
-           |        WHERE d >= $off AND d < $off + 8) r
-           |  JOIN rs${s}c3 cb ON cb.d = r.d GROUP BY 1, 2, 3)""".stripMargin
-      }.mkString(",\n")
-      val residCodesLong = (0 until 8)
-        .map(s => s"SELECT vec_id, $s AS s, cell FROM rs${s}asg")
-        .mkString("\nUNION ALL\n")
-      val residQdLong = (0 until 8)
-        .map(s => s"SELECT query_id, pcell, $s AS s, cell, dist FROM qd$s")
-        .mkString("\nUNION ALL\n")
-      s"""WITH $pqSharedCtes,
-         |geqs AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
-         |  FROM samp CROSS JOIN range(64) t(d)),
-         |gc0 AS (SELECT i.cell, e.d, e.q FROM init i JOIN geqs e USING (vec_id)),
-         |${lloydChain(5, "g")},
-         |geqa AS MATERIALIZED (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
-         |  FROM embeddings CROSS JOIN range(64) t(d)),
-         |gcf AS MATERIALIZED (SELECT cell, d, q FROM gc5),
-         |gdall AS MATERIALIZED (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
-         |  FROM geqa v JOIN gcf c ON v.d = c.d GROUP BY 1, 2),
-         |gasg AS MATERIALIZED (SELECT vec_id, cell FROM (
-         |  SELECT vec_id, cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |  FROM gdall) WHERE rn = 1),
-         |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM (
-         |  SELECT vec_id, cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |  FROM gdall WHERE vec_id < 20) WHERE rn <= 4),
-         |rall AS MATERIALIZED (SELECT g.vec_id, g.d, (g.q - c.q) AS q
-         |  FROM geqa g JOIN gasg a USING (vec_id)
-         |  JOIN gcf c ON c.cell = a.cell AND c.d = g.d),
-         |qres AS MATERIALIZED (SELECT p.query_id, p.cell AS pcell, g.d, (g.q - c.q) AS q
-         |  FROM probe p JOIN geqa g ON g.vec_id = p.query_id
-         |  JOIN gcf c ON c.cell = p.cell AND c.d = g.d),
-         |$residSubChains,
-         |codes_long AS ($residCodesLong),
-         |qd_long AS ($residQdLong),
-         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.cell
-         |  FROM probe p JOIN gasg a USING (cell) WHERE p.query_id <> a.vec_id),
-         |ad AS (SELECT cand.query_id, cand.neighbor_id,
-         |    sum(q.dist)::BIGINT AS adc_dist
-         |  FROM cand JOIN codes_long c ON c.vec_id = cand.neighbor_id
-         |            JOIN qd_long q ON q.query_id = cand.query_id
-         |                          AND q.pcell = cand.cell
-         |                          AND q.s = c.s AND q.cell = c.cell
-         |  GROUP BY 1, 2),
-         |rk AS (SELECT query_id, neighbor_id, adc_dist,
-         |  row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adc_dist, neighbor_id) AS rank
-         |  FROM ad),
-         |short AS (SELECT query_id, neighbor_id FROM rk WHERE rank <= 80),
-         |scored AS (SELECT query_id, neighbor_id,
-         |  ${cosSql("eq", "ec")} /
-         |  (sqrt(${cosSql("eq", "eq")}) * sqrt(${cosSql("ec", "ec")})) AS cos
-         |  FROM short JOIN embeddings eq ON eq.vec_id = query_id
-         |             JOIN embeddings ec ON ec.vec_id = neighbor_id),
-         |rk2 AS (SELECT query_id, neighbor_id, cos,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |  FROM scored)
+    "q_ivfadc" ->
+      // replays the RESIDUAL Pq.ivfAdcTopK — see ivfAdcOracleCtes;
+      // shortlists the top rerank*k=80 per query, final k=10
+      s"""${ivfAdcOracleCtes("vec_id < 20", 80)}
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
-         |FROM rk2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    },
+         |FROM rk2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_hard_negatives_adc" ->
+      // the IVFADC arm of hard-negative mining: the same residual
+      // read path at k = n + margin = 13 (shortlist 8*13 = 104),
+      // then the q_hard_negatives exclusion + re-rank tail
+      s"""${ivfAdcOracleCtes("vec_id < 10", 104)},
+         |keep AS (SELECT query_id, neighbor_id, cos, rank FROM rk2
+         |  WHERE rank <= 13 AND neighbor_id <> query_id + 100),
+         |rr AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY rank) AS nr
+         |  FROM keep)
+         |SELECT query_id AS anchor_id, nr::BIGINT AS neg_rank,
+         |  neighbor_id AS negative_id, round(cos, 6) AS cosine
+         |FROM rr WHERE nr <= 5 ORDER BY anchor_id, neg_rank""".stripMargin,
 
     "q_cluster_sample" -> {
       // replays the SemDeDup quantizer recipe over the PLAIN embedding

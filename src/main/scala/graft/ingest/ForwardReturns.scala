@@ -156,7 +156,8 @@ object ForwardReturns {
     Horizon(period, Horizon.durationToLabel(span), span)
   }
 
+  // bounded: the driver-side calendar index fails fast past
+  // spark.graft.calendar.maxInstants (see model.CalendarIndex)
   private def collectDates(df: DataFrame): Array[Instant] =
-    df.select("date").distinct().orderBy("date").collect()
-      .map(_.getTimestamp(0).toInstant)
+    graft.model.CalendarIndex.collectInstants(df, "price/factor panel")
 }

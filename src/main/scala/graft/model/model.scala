@@ -2,6 +2,8 @@ package graft.model
 
 import java.time.{Duration, Instant, LocalDate, ZoneOffset}
 
+import org.apache.spark.sql.DataFrame
+
 /** Errors mirroring the reference's exception surface
   * (reference: alphalens/utils.py:20-34). */
 class NonMatchingTimezoneError(msg: String) extends RuntimeException(msg)
@@ -127,6 +129,43 @@ final case class TradingCalendar(
       java.time.temporal.ChronoUnit.DAYS.between(
         ts.atZone(ZoneOffset.UTC).toLocalDate, d))
     ts.plus(dayShift).plus(offset)
+  }
+}
+
+/** Driver-side calendar index collection, fail-fast bounded.
+  *
+  * The parity layer materializes the DISTINCT trade/price instants on
+  * the driver (the reference's DatetimeIndex is driver-side by
+  * construction, utils.py:173-213) — correct for daily/hourly
+  * calendars (10^3..10^4 instants), but at tick granularity a year of
+  * distinct instants is 10^7..10^8 rows and the collect becomes the
+  * one driver-side bottleneck in the pipeline. Rather than silently
+  * OOM the driver, the collect is bounded: `limit(max + 1)` caps BOTH
+  * the job output and driver memory in one pass, and crossing the
+  * bound raises with the conf to raise it. The escape hatch for a true
+  * tick-scale calendar is a distributed calendar build (keep the
+  * instant index as a DataFrame and turn the interval resolution into
+  * a range join) — recorded in SURVEY §4.
+  */
+object CalendarIndex {
+  /** Conf key bounding the distinct-instant collect (default 1M). */
+  val MaxInstantsKey = "spark.graft.calendar.maxInstants"
+  val MaxInstantsDefault = 1000000
+
+  /** Distinct sorted instants of `df.date`, failing fast past the
+    * configured bound instead of flooding the driver. */
+  def collectInstants(df: DataFrame, what: String): Array[Instant] = {
+    val max = df.sparkSession.conf
+      .get(MaxInstantsKey, MaxInstantsDefault.toString).toInt
+    val rows = df.select("date").distinct().orderBy("date")
+      .limit(max + 1).collect()
+    if (rows.length > max)
+      throw new IllegalArgumentException(
+        s"$what has more than $max distinct instants; the driver-side " +
+          s"calendar index is bounded by $MaxInstantsKey (raise it if " +
+          "the driver has the memory, or pre-aggregate to a coarser " +
+          "bar granularity before ingest)")
+    rows.map(_.getTimestamp(0).toInstant)
   }
 }
 

@@ -56,9 +56,8 @@ object Positions {
     // whose weights derive row-for-row from a cached table pass that
     // table as the hint so the collect doesn't execute the whole weight
     // window DAG a second time
-    val trades: Array[Instant] = tradeDatesHint.getOrElse(weights)
-      .select("date").distinct()
-      .orderBy("date").collect().map(_.getTimestamp(0).toInstant)
+    val trades: Array[Instant] = graft.model.CalendarIndex.collectInstants(
+      tradeDatesHint.getOrElse(weights), "trade-weights panel")
     val expireOf: Map[Instant, Instant] =
       trades.map(t => t -> calendar.addSessions(t, period)).toMap
     val instants: Array[Instant] =

@@ -80,4 +80,39 @@ object Kmv {
   def jaccardEstimate(a: Column, b: Column, k: Int): Column =
     intersectEstimate(a, b, k) /
       distinctEstimate(unionSketch(a, b, k), k)
+
+  /** Inverse-probability POOLED union estimate — the read-time
+    * lower-variance variant (the HIP idea of Ting, KDD '14 — weight
+    * every observation by its inverse inclusion probability — applied
+    * at read time with the canonical probability θ_min instead of the
+    * stream-order-dependent running θ, so the retained-array artifact
+    * is UNCHANGED and value-set purity holds):
+    * below θ_min = min(θ_A, θ_B) both sketches retain every hash they
+    * contain, so each distinct pooled hash < θ_min is a member of
+    * A ∪ B observed with probability exactly θ_min, and the
+    * Horvitz–Thompson sum is |pooled < θ_min| / θ_min. The pool holds
+    * up to 2k−1 observations where [[unionSketch]] truncates to k —
+    * on same-size low-overlap inputs that near-halves the variance of
+    * `distinctEstimate(unionSketch(a, b, k), k)` (DataSketches'
+    * pairwise theta estimates use the same pooling). Exact when
+    * neither sketch saturated. */
+  def hipUnionEstimate(a: Column, b: Column, k: Int): Column = {
+    val t = thetaMin(a, b, k)
+    size(filter(array_union(a, b), v => v < t)).cast("double") /
+      (t.cast("double") / lit(HashSpace))
+  }
+
+  /** Inverse-probability difference estimate |A \ B| from the arrays
+    * alone, by the same pooling argument: a hash < θ_min in A's array
+    * is in A∖B iff it is absent from B's (B retains everything it
+    * contains below θ_min), so the candidates are a θ_min-rate sample
+    * of A∖B. Exact when neither sketch saturated. */
+  def hipDifferenceEstimate(a: Column, b: Column, k: Int): Column = {
+    val t = thetaMin(a, b, k)
+    size(filter(array_except(a, b), v => v < t)).cast("double") /
+      (t.cast("double") / lit(HashSpace))
+  }
+
+  private def thetaMin(a: Column, b: Column, k: Int): Column =
+    least(thetaRaw(a, k), thetaRaw(b, k))
 }

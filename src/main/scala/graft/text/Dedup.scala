@@ -227,56 +227,113 @@ object Dedup {
     * representative of its duplicate cluster (keep one per cluster,
     * drop the rest: the standard final step of corpus-level dedup).
     *
-    * Iterative min-label propagation: each round every node adopts the
-    * smallest label among itself and its neighbours (one shuffled
-    * equi-join + min aggregate per round), converging in O(graph
-    * diameter) rounds — near-dup clusters are shallow (dups of dups),
-    * so a handful of rounds in practice; `maxIter` caps pathology. The
-    * only driver-side value per round is the changed-label COUNT.
-    * Deterministic: min is order-independent. */
+    * Alternating star-contraction (the large-star / small-star
+    * two-phase scheme of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC '14): each pair-round rewrites every
+    * edge to point at the minimum of its neighborhood, which provably
+    * converges to per-component stars in O(log n) rounds — vs the
+    * O(component diameter) of plain min-label propagation, which
+    * degrades to hundreds of rounds on pathological chain clusters
+    * while dup graphs at 100 TB DO grow long chains (a←b←c… partial
+    * overlaps). Each half-round is one shuffled min-aggregate + one
+    * equi-join + a distinct over the current EDGE set (same per-round
+    * cost shape as label-prop, strictly fewer rounds). Deterministic:
+    * min/distinct are order-independent.
+    *
+    * Convergence: the star form is the unique fixed point of both
+    * phases, so the loop stops when a full pair-round leaves the edge
+    * set unchanged — detected in one scan of the checkpointed frame
+    * via (count, xor of edge hashes, label mass sum(dst)); the label
+    * mass is the same monotone witness the label-prop version used.
+    * `maxIter` caps pair-rounds. */
   def duplicateClusters(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"),
+      maxIter: Int = 50): DataFrame =
+    duplicateClustersWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[duplicateClusters]] exposing the pair-round count (for round
+    * audits and the DedupSpec chain-graph bound). */
+  def duplicateClustersWithRounds(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 50): (DataFrame, Int) = {
+    val raw = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    val und = edges
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // each round's frontier is localCheckpoint'ed, not just persisted:
-    // the logical plan of round N references round N-1 TWICE (join left
-    // side + neighbour aggregate), so without lineage truncation the
-    // plan DOUBLES per round — plan stringification alone OOMs after
+    // every endpoint needs a label row even if star contraction leaves
+    // it edge-free (component roots, self-paired docs)
+    val nodes = raw.select(col("src").as("id"))
+      .unionByName(raw.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    // canonical orientation (src > dst), self-loops dropped; each
+    // round's edge set is localCheckpoint'ed, not just persisted: the
+    // logical plan of round N references round N-1 TWICE (min
+    // aggregate + join back), so without lineage truncation the plan
+    // DOUBLES per half-round — plan stringification alone OOMs after
     // ~10 rounds. localCheckpoint replaces the lineage with the
     // materialized partitions (the standard iterative-algorithm guard).
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    // labels are monotonically non-increasing, so the frontier has
-    // converged exactly when sum(label) stops decreasing — one cheap
-    // scan of the cached frontier per round instead of a diff join
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("label")).collect()(0).getLong(0)
-    var prevSum = labelSum(labels)
+    var edges = raw.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint()
+
+    // large-star: every node v strictly larger than a neighbor u is
+    // re-pointed at m(u) = min(Γ(u) ∪ {u}); keeps src > dst invariant
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = und.groupBy("src").agg(min("dst").as("__mn"))
+        .select(col("src").as("__u"),
+          least(col("__mn"), col("src")).as("__m"))
+      und.join(mins, und("src") === col("__u"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+        .distinct()
+    }
+    // small-star: every node's smaller neighbors (and itself) attach
+    // to the minimum of its smaller neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("src").agg(min("dst").as("__m"))
+      e.join(mins, "src")
+        .select(
+          when(col("dst") === col("__m"), col("src"))
+            .otherwise(col("dst")).as("src"),
+          col("__m").as("dst"))
+        .distinct()
+    }
+    // edge-set signature, one scan: at the star fixed point both
+    // phases are identities, so an unchanged signature after a full
+    // pair-round is convergence. XOR over the distinct edge set cannot
+    // overflow (ANSI-safe) and is order-independent; the decimal
+    // sum(dst) is the monotone label mass the label-prop version used.
+    def sig(e: DataFrame): Seq[Any] = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))"),
+        sum(col("dst").cast("decimal(38,0)"))).collect()(0)
+      Seq(r.getLong(0), r.get(1), r.get(2))
+    }
+    var prev = sig(edges)
     var iter = 0
-    var converged = false
+    var converged = prev.head == 0L
     while (!converged && iter < maxIter) {
-      val nbrMin = und.join(labels, und("dst") === labels("id"))
-        .groupBy(und("src").as("nid")).agg(min("label").as("__nl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+      val eL = largeStar(edges).localCheckpoint()
+      val eS = smallStar(eL).localCheckpoint()
+      val s = sig(eS)
+      converged = s == prev
+      prev = s
+      edges = eS
       iter += 1
     }
-    und.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // at the fixed point every non-root holds exactly the edge
+    // (node, component min); roots and isolated nodes label themselves
+    val lbl = edges.groupBy(col("src").as("id")).agg(min("dst").as("__l"))
+    val out = nodes.join(lbl, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("__l"), col("id")).as("cluster_id"))
       .orderBy("doc_id")
+    (out, iter)
   }
 
   /** One-sided containment near-dup pairs: containment

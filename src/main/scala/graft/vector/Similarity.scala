@@ -139,6 +139,38 @@ object Similarity {
     negTail(knn, positives, n, anchorCol, positiveCol)
   }
 
+  /** [[hardNegatives]] with the kNN stage on the full residual IVFADC
+    * read path ([[Pq.ivfAdcTopK]]: coarse probe + residual-code ADC
+    * shortlist + exact-cosine rerank) — the byte-budget scale variant
+    * for candidate pools where even per-cell raw vectors are too hot
+    * to scan. The exclusion + re-rank tail is shared unchanged. The
+    * mined set carries the IVFADC recall profile (probe misses AND
+    * ADC shortlist misses); raise `nProbe`/`rerank` to tighten it. */
+  def hardNegativesAdc(
+      corpus: DataFrame,
+      positives: DataFrame,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      dim: Int,
+      n: Int,
+      margin: Int = 8,
+      nProbe: Int = 4,
+      rerank: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      anchorCol: String = "anchor_id",
+      positiveCol: String = "positive_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(margin >= 1, s"margin must be >= 1, got $margin")
+    require(rerank >= 1,
+      "hard negatives rank by exact cosine - the ADC rerank stage must be on")
+    val anchors = positives.select(col(anchorCol).as(idCol)).distinct()
+      .join(corpus, Seq(idCol))
+    val knn = Pq.ivfAdcTopK(corpus, anchors, coarse, codebooks, dim,
+      k = n + margin, nProbe, rerank, idCol, vecCol)
+    negTail(knn, positives, n, anchorCol, positiveCol)
+  }
+
   private def negTail(
       knn: DataFrame, positives: DataFrame, n: Int,
       anchorCol: String, positiveCol: String): DataFrame = {

@@ -56,4 +56,23 @@ class ForwardReturnsSpec extends AnyFunSuite with SparkSpec {
     expect(res.df, "1D", dates, Seq("A", "B"), Seq(0, 1, 1, -0.5, N, N))
     expect(res.df, "2D", dates, Seq("A", "B"), Seq(1, -0.5, N, N, N, N))
   }
+
+  test("driver-side calendar index fails fast past the instant bound") {
+    // 5 distinct dates, bound 3: the collect must raise (not OOM the
+    // driver at tick granularity), and raising the conf restores it
+    val dates = Seq("2015-01-01", "2015-01-02", "2015-01-03",
+      "2015-01-04", "2015-01-05")
+    val panel = longPanel(dates, Seq("A"),
+      dates.map(_ => Seq(1.0)), "price")
+    spark.conf.set(graft.model.CalendarIndex.MaxInstantsKey, "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.model.CalendarIndex.collectInstants(panel, "test panel")
+      }
+      assert(e.getMessage.contains("maxInstants"))
+      spark.conf.set(graft.model.CalendarIndex.MaxInstantsKey, "5")
+      val got = graft.model.CalendarIndex.collectInstants(panel, "test panel")
+      assert(got.length == 5 && got.toSeq == got.toSeq.sorted)
+    } finally spark.conf.unset(graft.model.CalendarIndex.MaxInstantsKey)
+  }
 }

@@ -82,6 +82,26 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out.keySet === nodes.toSet)
   }
 
+  test("duplicateClusters: star contraction bounds rounds at O(log n) on a chain") {
+    import spark.implicits._
+    // a 200-node path graph is the label-prop worst case (~199 rounds
+    // of diameter-limited propagation); alternating large/small star
+    // must contract it in O(log n) pair-rounds and still label every
+    // node with the component minimum
+    val n = 200
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val (df, rounds) =
+      graft.text.Dedup.duplicateClustersWithRounds(pairs, maxIter = 20)
+    val out = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === n)
+    (1 to n).foreach(i => assert(out(i.toLong) === 1L, s"node $i"))
+    // log2(200) ~ 7.6; the paper's bound is O(log n) pair-rounds (+1
+    // to observe the fixed point). 12 leaves slack without letting a
+    // diameter-scaling regression back in.
+    assert(rounds <= 12, s"chain took $rounds pair-rounds")
+  }
+
   test("editVerifiedNearDups: order-sensitive verify where jaccard is blind") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
