@@ -86,16 +86,36 @@ object Information {
       byGroup: Boolean = false): DataFrame = {
     val base = if (groupAdjust) demeanForwardReturns(fd, byGroup = true) else fd.df
     val keyCols: Seq[String] = "date" +: (if (byGroup) Seq("group") else Nil)
-    val part = keyCols.map(col)
+    icFromRanked(fd, rankedPanel(fd, base, keyCols), keyCols)
+  }
 
+  /** The per-date doubled-integer rank columns the IC series and the
+    * rank-autocorrelation both start from: `__rf` (factor rank) and
+    * `__rr_<horizon>` (forward-return ranks), one window sort per
+    * column. The summary tear sheet computes this ONCE (persisted,
+    * panel-sized — the one panel-scale cache a sheet owns, released by
+    * its unpersist hook) and derives both series from it instead of
+    * re-running the factor-rank window per component. */
+  private[graft] def rankedPanel(
+      fd: FactorData,
+      base: DataFrame,
+      keyCols: Seq[String] = Seq("date")): DataFrame = {
+    val part = keyCols.map(col)
     val fRank = rank2(col("factor"), part)
-    val ranked = fd.returnCols.foldLeft(base.withColumn("__rf", fRank)) {
+    fd.returnCols.foldLeft(base.withColumn("__rf", fRank)) {
       (df, rc) => df.withColumn(s"__rr_$rc", rank2(col(rc), part))
     }
+  }
+
+  /** [[factorInformationCoefficient]] over a precomputed (ideally
+    * persisted) [[rankedPanel]]. */
+  private[graft] def icFromRanked(
+      fd: FactorData,
+      ranked: DataFrame,
+      keyCols: Seq[String] = Seq("date")): DataFrame =
     exactRankCorr(ranked, keyCols, "__rf",
       fd.returnCols.map(rc => s"__rr_$rc" -> rc))
       .orderBy(keyCols.map(col): _*)
-  }
 
   /** Time bucket column for a pandas resample rule subset: "M" labels the
     * month end, "W" the week-ending Sunday, "D" the day

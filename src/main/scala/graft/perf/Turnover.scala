@@ -63,12 +63,22 @@ object Turnover {
     * and the date index are computed once; each lag is an extra shuffled
     * equi-join on the shared ranks table (vs. rebuilding the whole rank
     * DAG per period). Output: (period, date, autocorr). */
-  def factorRankAutocorrelationMulti(fd: FactorData, periods: Seq[Int]): DataFrame = {
+  def factorRankAutocorrelationMulti(fd: FactorData, periods: Seq[Int]): DataFrame =
+    factorRankAutocorrelationMultiFrom(fd,
+      fd.df.select(col("date"), col("asset"),
+        Information.rank2(col("factor"), Seq(col("date"))).as("__rank")),
+      periods)
+
+  /** [[factorRankAutocorrelationMulti]] over precomputed per-date
+    * factor ranks (date, asset, __rank) — the summary tear sheet feeds
+    * the shared ranked panel here so the factor-rank window runs once
+    * across the IC series and this table. */
+  private[graft] def factorRankAutocorrelationMultiFrom(
+      fd: FactorData,
+      ranks: DataFrame,
+      periods: Seq[Int]): DataFrame = {
     // doubled integer ranks -> the per-date corr is computed from exact
     // long sums (bit-stable across runs/engines; see exactRankCorr)
-    val ranks = fd.df.select(col("date"), col("asset"),
-      Information.rank2(col("factor"), Seq(col("date"))).as("__rank"))
-
     val dateIdx = fd.df.select("date").distinct()
       .withColumn("__di", row_number().over(Window.orderBy("date")))
     val cur = ranks.join(broadcast(dateIdx), Seq("date"))

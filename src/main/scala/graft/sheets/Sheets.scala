@@ -58,17 +58,25 @@ object Sheets {
       longShort: Boolean = true,
       groupNeutral: Boolean = false): SummaryTearSheet = {
     val periods = dayPeriods(fd)
-    // the IC series feeds one aggregate row per horizon — compute the
-    // rank windows once and let each row read the cached series
-    val ic = shared(Information.factorInformationCoefficient(fd))
+    // ONE ranked panel (panel-sized cache, released by the unpersist
+    // hook) backs both rank consumers: the IC series reads all three
+    // rank columns, the autocorrelation table the factor rank — the
+    // factor-rank window sort runs once instead of once per component
+    val ranked = shared(Information.rankedPanel(fd, fd.df))
+    val ic = shared(Information.icFromRanked(fd, ranked))
     val (retTable, retCached) = Tables.returnsTableCached(fd, longShort, groupNeutral)
+    // turnover membership sets aggregated ONCE and shared by every
+    // period's lag (was one panel aggregation per period)
+    val (turnMeans, sets) = Tables.quantileTurnoverMeansShared(fd, periods)
     SummaryTearSheet(
       quantileStats = Tables.quantileStatsTable(fd),
       returnsTable = retTable,
       icSummary = Information.icSummaryFrom(fd, ic),
-      quantileTurnoverMeans = Tables.quantileTurnoverMeans(fd, periods),
-      autocorrelationMeans = Tables.autocorrelationMeans(fd, periods),
-      cached = ic +: retCached)
+      quantileTurnoverMeans = turnMeans,
+      autocorrelationMeans = Tables.autocorrelationMeansFrom(fd,
+        ranked.select(col("date"), col("asset"), col("__rf").as("__rank")),
+        periods),
+      cached = Seq(ranked, ic, sets) ++ retCached)
   }
 
   // ---- returns --------------------------------------------------------

@@ -111,6 +111,38 @@ object Tables {
       .unionByName(top).unionByName(bottom).unionByName(spreadRow)
   }
 
+  /** Sets-once fusion of the summary sheet's turnover means
+    * (reference: plotting.py:150-156): the per-(quantile, date)
+    * membership sets are ONE panel aggregation, persisted (bounded:
+    * quantiles × dates rows), and every period's lag reads that single
+    * materialization — [[quantileTurnoverMeans]] re-aggregates the
+    * panel once per period. A GROUPING SETS fusion with the quantile
+    * stats table was measured SLOWER here (Expand doubles the panel
+    * rows and the quantile-only grouping set drags universe-wide
+    * collect_set buffers through every partial), so the fusion stops
+    * at the genuinely shared work. The turnover path is float-free
+    * until the final size ratio, so values are bit-identical by
+    * construction; the staged bitwise replay (SURVEY §5) pins it.
+    * Returns (turnoverMeans, persisted sets frame to unpersist). */
+  private[graft] def quantileTurnoverMeansShared(
+      fd: FactorData,
+      periods: Seq[Int]): (DataFrame, DataFrame) = {
+    val sets = fd.df.groupBy("date", "factor_quantile")
+      .agg(collect_set(col("asset")).as("__names"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("factor_quantile").orderBy("date")
+    val series = periods.map { p =>
+      sets.withColumn("__prev", lag(col("__names"), p).over(w))
+        .withColumn("turnover",
+          size(array_except(col("__names"), col("__prev"))).cast("double") /
+            size(col("__names")))
+        .filter(col("__prev").isNotNull)
+        .select(col("date"), col("factor_quantile"), col("turnover"))
+        .withColumn("period", lit(s"${p}D"))
+    }.reduce(_.unionByName(_))
+    (quantileTurnoverMeansFrom(series), sets)
+  }
+
   /** Mean quantile turnover per period
     * (reference: plotting.py:150-156). Output: (factor_quantile,
     * period, mean_turnover). */
@@ -133,8 +165,17 @@ object Tables {
   /** Mean factor rank autocorrelation per period
     * (reference: plotting.py:157-160). Output: (period, mean_autocorr). */
   def autocorrelationMeans(fd: FactorData, periods: Seq[Int]): DataFrame =
-    Turnover.factorRankAutocorrelationMulti(fd, periods)
-      .groupBy("period").agg(avg("autocorr").as("mean_autocorr"))
+    autocorrMeansPost(Turnover.factorRankAutocorrelationMulti(fd, periods))
+
+  /** [[autocorrelationMeans]] over precomputed per-date factor ranks —
+    * the summary sheet's shared ranked panel. */
+  private[graft] def autocorrelationMeansFrom(
+      fd: FactorData, ranks: DataFrame, periods: Seq[Int]): DataFrame =
+    autocorrMeansPost(
+      Turnover.factorRankAutocorrelationMultiFrom(fd, ranks, periods))
+
+  private def autocorrMeansPost(series: DataFrame): DataFrame =
+    series.groupBy("period").agg(avg("autocorr").as("mean_autocorr"))
       .select(concat(col("period").cast("string"), lit("D")).as("period"),
         col("mean_autocorr"))
       .orderBy("period")
