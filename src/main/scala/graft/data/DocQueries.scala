@@ -364,6 +364,24 @@ object DocQueries {
     "q_minhash_neardup" -> ((s, dir) =>
       Dedup.minHashNearDupsFromSets(docShingleSets(s, dir, n = 3),
         numHashes = 16, bands = 4, minJaccard = 0.5)),
+    "q_crosscorpus_neardup" -> ((s, dir) => {
+      // incremental-ingest near-dup join (round 13): a deterministic
+      // "delta crawl" (every 7th doc re-crawled with an appended
+      // revision stamp, every 13th an exact mirror, both re-id'd)
+      // LSH-joined against the FULL corpus — the batch pairs with the
+      // corpus only, never the corpus with itself; the corpus-side
+      // shingle sets are the shared persisted artifact
+      val d = documents(s, dir)
+      val batch = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" updated revision 2026")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+      Dedup.crossCorpusNearDupsFromSets(
+        Dedup.shingleSets(batch, n = 3),
+        docShingleSets(s, dir, n = 3),
+        numHashes = 16, bands = 4, minJaccard = 0.5)
+    }),
     "q_edit_neardup" -> ((s, dir) =>
       // LSH proposes, levenshtein disposes (round 10): the same banded
       // MinHash candidates as q_minhash_neardup, verified by exact
@@ -559,6 +577,14 @@ object DocQueries {
       val e = embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 10,
         nBits = 16, bands = 8, dim = 64)
+    }),
+    "q_ann_truncated" -> ((s, dir) => {
+      // dimension-adaptive retrieval (round 13): prefix-16 cosine
+      // first pass (quarter of the flops), shortlist 40, exact 64-dim
+      // rerank — the Matryoshka read pattern
+      val e = embeddings(s, dir)
+      Similarity.truncatedTopK(e, e.filter(col("vec_id") < 20),
+        prefixDim = 16, k = 10, shortlist = 40)
     }),
     // oracle: the fixed-point k-means is bitwise reproducible, so the
     // DuckDB twin replays the identical Lloyd iterations as unrolled
@@ -836,6 +862,26 @@ object DocQueries {
       graft.streaming.Streaming.batchSessionize(events(s, dir),
           gapSeconds = 1800)
         .orderBy("user_id", "session_start")),
+    "q_topk_agg" -> ((s, dir) => {
+      // the AGGREGATE spelling of top-k-per-key (functions/
+      // TopKPairsAgg, round 13): per event_type the 5 best events by
+      // value (DESC, event_id ties ASC) from the bounded mergeable
+      // O(k)-state buffer that also powers streamingTopKPerKey. The
+      // retained set is a pure function of the input pair set, so the
+      // oracle replays it as a rank window.
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("__ord"),
+          col("event_id").cast("long").as("__id"))
+      val agg = column(graft.functions.TopKPairsAgg(
+        expression(col("__ord")), expression(col("__id")), 5)
+        .toAggregateExpression())
+      ev.groupBy("event_type").agg(agg.as("__top"))
+        .select(col("event_type"), posexplode(col("__top")))
+        .select(col("event_type"), (col("pos") + 1L).as("rank"),
+          col("col.ord").as("value"), col("col.id").as("event_id"))
+        .orderBy("event_type", "rank")
+    }),
     "q_quantiles" -> ((s, dir) =>
       // exact deciles of a 600k-row double column without a global
       // sort: distinct-value histogram + two-level prefix sum + an
@@ -1219,6 +1265,15 @@ object DocQueries {
     }),
     "q_mix_weights" -> ((s, dir) =>
       CorpusOps.mixtureWeights(documents(s, dir), alpha = 0.5)
+        .orderBy("source")),
+    "q_mix_alloc" -> ((s, dir) =>
+      // budget/repeat allocation (round 13): weight*budget targets
+      // capped at 3 epochs per source with an honest deficit column —
+      // alpha=0.5 upsamples small sources, so they hit the repeat cap
+      // first; the 84k budget straddles the cap threshold at sf0.01,
+      // so both verdict polarities land in the oracle row
+      CorpusOps.mixtureAllocation(documents(s, dir),
+        budgetTokens = 84000L, alpha = 0.5, maxRepeat = 3.0)
         .orderBy("source")),
     "q_asof_attrib" -> ((s, dir) => {
       // click -> most recent prior view by the same user (point-in-time
@@ -2677,6 +2732,52 @@ object DocQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    "q_crosscorpus_neardup" -> {
+      // the q_minhash_neardup signature/band replay doubled: the delta
+      // batch (every 7th doc + ' updated revision 2026', every 13th an
+      // exact mirror) on one side, the full corpus on the other; the
+      // candidate join crosses sides only
+      val P = TextOps.HashP
+      val mins = (0 until 16).map { jj =>
+        val (a, b) = TextOps.hashParams(jj)
+        s"min(($a * h0 + $b) % $P) AS m$jj"
+      }.mkString(", ")
+      val bandKeys = (0 until 4).map { b =>
+        "'" + b + ":' || " + (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+          .mkString(" || ':' || ")
+      }.mkString("[", ", ", "]")
+      s"""WITH bdoc AS (
+         |  SELECT doc_id + 500000 AS doc_id,
+         |         text || ' updated revision 2026' AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 600000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |bt AS (SELECT doc_id, $toksExpr AS toks FROM bdoc),
+         |bsh AS (SELECT doc_id AS id, ${shinglesExpr("toks", 3)} AS s FROM bt),
+         |bsh2 AS (SELECT id, s, len(s) AS sz FROM bsh WHERE len(s) > 0),
+         |bposts AS (SELECT id, ${hash56("g")} % $P AS h0 FROM
+         |  (SELECT id, unnest(s) AS g FROM bsh2)),
+         |bmh AS (SELECT id, $mins FROM bposts GROUP BY id),
+         |bbk AS (SELECT id, unnest($bandKeys) AS k FROM bmh),
+         |ct AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |csh AS (SELECT doc_id AS id, ${shinglesExpr("toks", 3)} AS s FROM ct),
+         |csh2 AS (SELECT id, s, len(s) AS sz FROM csh WHERE len(s) > 0),
+         |cposts AS (SELECT id, ${hash56("g")} % $P AS h0 FROM
+         |  (SELECT id, unnest(s) AS g FROM csh2)),
+         |cmh AS (SELECT id, $mins FROM cposts GROUP BY id),
+         |cbk AS (SELECT id, unnest($bandKeys) AS k FROM cmh),
+         |cand AS (SELECT DISTINCT a.id AS batch_id, b.id AS corpus_id
+         |  FROM bbk a JOIN cbk b ON a.k = b.k),
+         |v AS (SELECT batch_id, corpus_id,
+         |  round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+         |        (sa.sz + sb.sz - len(list_intersect(sa.s, sb.s))), 9) AS jaccard
+         |  FROM cand JOIN bsh2 sa ON sa.id = batch_id
+         |            JOIN csh2 sb ON sb.id = corpus_id)
+         |SELECT batch_id, corpus_id, jaccard FROM v WHERE jaccard >= 0.5
+         |ORDER BY batch_id, corpus_id""".stripMargin
+    },
+
     "q_edit_neardup" -> {
       // the q_minhash_neardup candidate replay + levenshtein verify:
       // cut on the exact integer cross-product, sim rounded at 1e-9
@@ -3044,6 +3145,33 @@ object DocQueries {
          |  (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
          |   sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cos
          |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the truncated (Matryoshka) read: prefix-16 cosine shortlist,
+    // exact 64-dim rerank — both passes replayed with the same HOF
+    // dot spelling as q_ann_cosine
+    "q_ann_truncated" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |p1 AS (SELECT query_id, neighbor_id, qv, cv,
+         |  list_sum(list_transform(range(1, 17), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform(range(1, 17), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+         |   sqrt(list_sum(list_transform(range(1, 17), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS pcos
+         |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         |short AS (SELECT query_id, neighbor_id, qv, cv FROM (
+         |  SELECT query_id, neighbor_id, qv, cv,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS r1
+         |  FROM p1) WHERE r1 <= 40),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cos
+         |  FROM short),
          |rk AS (SELECT query_id, neighbor_id, cos,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
@@ -3847,6 +3975,14 @@ object DocQueries {
     // gap-cut replay: one lag window marks session starts, a running
     // sum numbers them, exact cents totals; ms granularity matches the
     // batch operator (and the streaming state's epoch-ms compares)
+    "q_topk_agg" ->
+      """SELECT event_type, rank, value, event_id FROM (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+
     "q_sessions" ->
       """WITH e AS (SELECT user_id, event_id,
         |             epoch_us(ts) // 1000 AS ms,
@@ -4412,6 +4548,26 @@ object DocQueries {
          |  round(share, 9) AS token_share,
          |  round(fm::DOUBLE / (sum(fm) OVER ())::DOUBLE, 9) AS weight
          |FROM m ORDER BY source""".stripMargin,
+
+    "q_mix_alloc" ->
+      s"""WITH t AS (SELECT source, len($toksExpr)::BIGINT AS tk FROM documents),
+         |d AS (SELECT source, count(*) AS n_docs, sum(tk) AS n_tokens
+         |  FROM t GROUP BY source),
+         |s AS (SELECT source, n_docs, n_tokens,
+         |  n_tokens::DOUBLE / (sum(n_tokens) OVER ())::DOUBLE AS share FROM d),
+         |m AS (SELECT source, n_docs, n_tokens,
+         |  CAST(round(sqrt(share) * 1e15, 0) AS HUGEINT) AS fm FROM s),
+         |w AS (SELECT source, n_docs, n_tokens,
+         |  round(fm::DOUBLE / (sum(fm) OVER ())::DOUBLE, 9) AS weight FROM m),
+         |a AS (SELECT source, n_docs, n_tokens, weight,
+         |  CAST(round(weight * 84000.0, 0) AS BIGINT) AS target_tokens,
+         |  CAST(round(3.0 * n_tokens::DOUBLE, 0) AS BIGINT) AS cap FROM w)
+         |SELECT source, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+         |  weight, target_tokens,
+         |  least(target_tokens, cap) AS achieved_tokens,
+         |  target_tokens - least(target_tokens, cap) AS deficit_tokens,
+         |  round(least(target_tokens, cap)::DOUBLE / n_tokens::DOUBLE, 9) AS epochs
+         |FROM a ORDER BY source""".stripMargin,
 
     "q_asof_attrib" ->
       """WITH clicks AS (

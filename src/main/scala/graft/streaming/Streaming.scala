@@ -809,6 +809,45 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("kmv"))
   }
 
+  /** Streaming top-k per key — the online face of the
+    * [[graft.plans.TopKPerKey]] batch operator: per (event-time
+    * window, key) the k best rows by `ord` (DESC, ties by id ASC),
+    * emitted when the watermark closes the window. Runs on the
+    * windowed-aggregation path via [[graft.functions.TopKPairsAgg]]
+    * (a TypedImperativeAggregate composes with streaming groupBy +
+    * watermark where a custom physical operator cannot); state is
+    * O(k) per open (window, key) — the leaderboard / per-source
+    * top-documents shape. The retained set is a pure function of the
+    * input pair set, so streamed output is bit-identical to running
+    * the same function over the batch (StreamingSpec replay-pins it).
+    *
+    * @return append-mode rows (window_start, <key>, rank 1..k, ord,
+    *         id), rank-ordered within each group */
+  def streamingTopKPerKey(
+      events: DataFrame,
+      key: Column,
+      ord: Column,
+      id: Column,
+      k: Int,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val agg = column(graft.functions.TopKPairsAgg(
+      expression(col("__ord")), expression(col("__id")), k)
+      .toAggregateExpression())
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLength).as("window"), key.as("__key"),
+        ord.cast("double").as("__ord"), id.cast("long").as("__id"))
+      .groupBy(col("window"), col("__key"))
+      .agg(agg.as("__top"))
+      .select(col("window.start").as("window_start"), col("__key").as("key"),
+        posexplode(col("__top")))
+      .select(col("window_start"), col("key"),
+        (col("pos") + 1L).as("rank"),
+        col("col.ord").as("ord"), col("col.id").as("id"))
+  }
+
   /** Streaming data-quality expectations — the online face of
     * [[graft.stats.Expectations.check]]: the SCAN-RULE families
     * (notNull / between / acceptedValues / rowCountAtLeast) evaluated

@@ -446,6 +446,47 @@ object CorpusOps {
           .otherwise(lit("kept")).as("verdict"))
   }
 
+  /** Mixture BUDGET allocation — the planning table a training run
+    * derives from [[mixtureWeights]] (the Muennighoff et al. 2023
+    * "Scaling Data-Constrained LMs" repeat-epochs question): each
+    * source's token target is weight·budget, capped at `maxRepeat`
+    * epochs of what the source actually has (repeating data past ~4
+    * epochs stops helping), with an HONEST deficit column — capped
+    * sources under-deliver and the gap is reported, not silently
+    * redistributed (redistribution changes the mixture the weights
+    * encode; callers who want it re-run on the uncapped remainder).
+    *
+    * All columns are integer-exact except the 1e-9-rounded weight and
+    * epochs: targets/caps snap through round-half-away (the shared
+    * Spark/DuckDB grid), so the table replays bitwise.
+    *
+    * @return (source, n_docs, n_tokens, weight, target_tokens,
+    *         achieved_tokens, deficit_tokens, epochs)
+    */
+  def mixtureAllocation(
+      docs: DataFrame,
+      budgetTokens: Long,
+      alpha: Double = 0.5,
+      maxRepeat: Double = 4.0,
+      textCol: String = "text",
+      domainCol: String = "source"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require(maxRepeat > 0, s"maxRepeat must be > 0, got $maxRepeat")
+    mixtureWeights(docs, alpha, textCol, domainCol)
+      .withColumn("target_tokens",
+        round(col("weight") * lit(budgetTokens.toDouble), 0).cast("long"))
+      .withColumn("__cap",
+        round(lit(maxRepeat) * col("n_tokens").cast("double"), 0).cast("long"))
+      .withColumn("achieved_tokens", least(col("target_tokens"), col("__cap")))
+      .withColumn("deficit_tokens",
+        col("target_tokens") - col("achieved_tokens"))
+      .withColumn("epochs",
+        round(col("achieved_tokens").cast("double") /
+          col("n_tokens").cast("double"), 9))
+      .select("source", "n_docs", "n_tokens", "weight", "target_tokens",
+        "achieved_tokens", "deficit_tokens", "epochs")
+  }
+
   /** Temperature-scaled domain mixture weights: per domain (source),
     * token share p_d = tokens_d / total, sampling weight
     * w_d = p_d^alpha / sum(p^alpha) — alpha < 1 upsamples small

@@ -168,6 +168,69 @@ object Dedup {
     verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental (cross-corpus) near-duplicate join: NEW-BATCH
+    * documents against an EXISTING corpus via the same banded-MinHash
+    * LSH + exact-Jaccard verify as [[minHashNearDups]] — the
+    * incremental-ingest shape at 100 TB: dedup the delta against the
+    * accumulated corpus WITHOUT re-pairing the corpus with itself
+    * (within-corpus LSH re-pairs O(|corpus|) buckets per refresh; the
+    * cross join touches only buckets the batch actually lands in).
+    * The corpus side's shingle sets / signatures are the persisted
+    * artifacts an ingest pipeline maintains; pass them precomputed
+    * through [[crossCorpusNearDupsFromSets]].
+    *
+    * Output: (batch_id, corpus_id, jaccard >= minJaccard), 1e-9
+    * rounded — one row per (new doc, existing doc) near-dup link;
+    * batch docs with no row are genuinely new content. */
+  def crossCorpusNearDups(
+      batch: DataFrame,
+      corpus: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    crossCorpusNearDupsFromSets(
+      shingleSets(batch, textCol, idCol, n),
+      shingleSets(corpus, textCol, idCol, n),
+      numHashes, bands, minJaccard)
+
+  /** [[crossCorpusNearDups]] over precomputed (ideally persisted)
+    * [[shingleSets]] tables for each side. */
+  def crossCorpusNearDupsFromSets(
+      batchSets: DataFrame,
+      corpusSets: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    def buckets(sets: DataFrame): DataFrame = {
+      val sig = minHashSignaturesFromSets(sets, numHashes)
+      val keys = bandKeyCols((0 until numHashes).map(j => col(s"__m$j")), bands)
+      sig.select(col("__id"), explode(array(keys: _*)).as("__bk"))
+    }
+    // the batch side is the SMALL side of an incremental refresh —
+    // broadcast its bucket keys so the corpus-side scan never shuffles
+    val cand = broadcast(buckets(batchSets))
+      .withColumnRenamed("__id", "batch_id")
+      .join(buckets(corpusSets).withColumnRenamed("__id", "corpus_id"),
+        Seq("__bk"))
+      .select("batch_id", "corpus_id").distinct()
+    cand
+      .join(batchSets.as("sa"), col("batch_id") === col("sa.__id"))
+      .join(corpusSets.as("sb"), col("corpus_id") === col("sb.__id"))
+      .withColumn("__common",
+        size(array_intersect(col("sa.__set"), col("sb.__set"))))
+      .withColumn("jaccard",
+        round(col("__common").cast("double") /
+          (col("sa.__sz") + col("sb.__sz") - col("__common")), 9))
+      .filter(col("jaccard") >= minJaccard)
+      .select("batch_id", "corpus_id", "jaccard")
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** Near-duplicate pairs verified by EDIT DISTANCE — LSH proposes,
     * levenshtein disposes (round 10): candidates come from the same
     * banded-MinHash buckets as [[minHashNearDups]] (bounded equi-join,

@@ -79,6 +79,55 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Dimension-adaptive exact retrieval — the Matryoshka read pattern
+    * (Kusupati et al., NeurIPS '22 "Matryoshka Representation
+    * Learning"): the first pass scores every (query, corpus) pair on
+    * only the LEADING `prefixDim` components (a prefixDim/dim fraction
+    * of the dot-product flops — the dim-budget axis, complementing the
+    * PQ/IVF byte-budget axis), shortlists `shortlist` candidates per
+    * query by prefix cosine, and an exact full-dimension rerank of the
+    * bounded shortlist restores the final order. Recall measures how
+    * much cosine mass the embedding packs into its prefix — MRL-trained
+    * embeddings are built for exactly this read; for generic embeddings
+    * raise `shortlist` (SimilaritySpec pins the recall on clustered
+    * data). In a production layout the prefix lives in its own stored
+    * column/index so the first pass never reads full vectors; here both
+    * ride one scan (the slice is free once the column is read). */
+  def truncatedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      prefixDim: Int,
+      k: Int = 10,
+      shortlist: Int = 40,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      slice(col(vecCol), 1, prefixDim).as("__qp"))
+      .withColumn("__qpn", l2Norm(col("__qp")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      slice(col(vecCol), 1, prefixDim).as("__cp"))
+      .withColumn("__cpn", l2Norm(col("__cp")))
+    val pass1 = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__pcos",
+        dot(col("__qp"), col("__cp")) / (col("__qpn") * col("__cpn")))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("__pcos").desc, col("neighbor_id"))
+    val short = pass1.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= shortlist)
+    val rer = short.withColumn("__cos",
+      dot(col("__qv"), col("__cv")) /
+        (l2Norm(col("__qv")) * l2Norm(col("__cv"))))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    rer.withColumn("__rk", row_number().over(w2))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("long").as("rank"),
+        col("neighbor_id"), round(col("__cos"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** HARD negative mining for contrastive training — the
     * embedding-space complement of
     * [[graft.text.CorpusOps.negativeSample]]'s uniform draws: each

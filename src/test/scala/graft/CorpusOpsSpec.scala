@@ -298,6 +298,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assertClose(sw, math.sqrt(ss) / (math.sqrt(ss) + math.sqrt(bs)), 1e-6)
   }
 
+  test("mixtureAllocation: targets from weights, repeat cap, honest deficit") {
+    val d = Seq(
+      (1L, "a b c d e f g h", "big"), (2L, "a b c d e f g h", "big"),
+      (3L, "a b c d e f g h", "big"), (4L, "a b", "small"))
+      .toDF("doc_id", "text", "source")
+    // weights (alpha=0.5): big ~0.776, small ~0.224 (24 vs 2 tokens).
+    // budget 100: big target 78 < cap 48? no — cap = 2*24 = 48 -> big
+    // CAPPED (deficit 30); small target 22 > cap 4 -> capped too.
+    val m = CorpusOps.mixtureAllocation(d, budgetTokens = 100L,
+        alpha = 0.5, maxRepeat = 2.0).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("target_tokens"), r.getAs[Long]("achieved_tokens"),
+          r.getAs[Long]("deficit_tokens"), r.getAs[Double]("epochs")))).toMap
+    val (bt, ba, bd, be) = m("big")
+    assert(ba === 48L && bd === bt - 48L && be === 2.0)
+    val (st, sa, sd, se) = m("small")
+    assert(sa === 4L && sd === st - 4L && se === 2.0)
+    // a budget inside the caps: targets achieved, zero deficit,
+    // fractional epochs = achieved / n_tokens
+    val m2 = CorpusOps.mixtureAllocation(d, budgetTokens = 30L,
+        alpha = 0.5, maxRepeat = 2.0).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("target_tokens"), r.getAs[Long]("deficit_tokens"),
+          r.getAs[Double]("epochs")))).toMap
+    val (bt2, bd2, be2) = m2("big")
+    assert(bd2 === 0L)
+    assertClose(be2, bt2.toDouble / 24.0, 1e-9)
+  }
+
   test("epochShard: positions are a permutation, shards balanced round-robin") {
     val d = (1L to 100L).map(i => i -> s"doc $i").toDF("doc_id", "text")
     val out = CorpusOps.epochShard(d, epoch = 1, nShards = 8).collect()

@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   private val nonEquiByDesign = Set(
     "q_ann_cosine",           // broadcast query batch, q != neighbor
+    "q_ann_truncated",        // same broadcast query batch, prefix pass
     "q_knn_label",            // same brute-force scan under the votes
     "q_pq_adc",               // ADC scan: broadcast query distance tables
     "q_pyfolio_positions",    // day-spine x universe dense grid

@@ -55,6 +55,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("truncatedTopK: full-corpus shortlist is exactly brute force; prefix shortlist recalls") {
+    val rows = (0 until 40).map { i =>
+      val base = if (i < 20) vec(1) else vec(97)
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * (((i * 7 + d) % 5) - 2) })
+    }
+    val d = emb(rows: _*)
+    val queries = d.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(d, queries, k = 5)
+    // shortlist = corpus: the prefix pass prunes nothing, the exact
+    // rerank IS brute force — outputs must be identical rows
+    val full = Similarity.truncatedTopK(d, queries, prefixDim = 4, k = 5,
+      shortlist = 40)
+    assert(full.collect().toSeq == bf.collect().toSeq)
+    // half-dim prefix, 3x shortlist: high recall on clustered data
+    val bfSet = bf.collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val tr = Similarity.truncatedTopK(d, queries, prefixDim = 4, k = 5,
+        shortlist = 15)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bfSet.intersect(tr).size.toDouble / bfSet.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("ivfTopK achieves high recall vs brute force on clustered data") {
     val rows = (0 until 60).map { i =>
       val base = vec(Seq(1, 97, 43)(i % 3))

@@ -708,6 +708,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streamingTopKPerKey: streamed leaderboards == batch twin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // two hour-windows x two event types; values collide (i % 7) so
+    // the id tie-break is exercised; event 13 is RE-DELIVERED across
+    // a micro-batch boundary (must collapse, not duplicate)
+    val events = (1L to 200L).map { i =>
+      val ts = if (i % 2 == 0) t("2024-01-01 00:10:00") else t("2024-01-01 01:20:00")
+      Event(i, ts, i, if (i % 3 == 0) "a" else "b", (i % 7).toDouble)
+    }
+    in.addData(events.take(100): _*)
+    val out = Streaming.streamingTopKPerKey(in.toDF(), col("event_type"),
+      col("value"), col("event_id"), k = 5)
+    val q = out.writeStream.format("memory").queryName("topk_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(events.drop(100) :+ events(12): _*) // re-delivery of event 13
+    q.processAllAvailable()
+    in.addData(Event(9999, t("2024-01-02 12:00:00"), 1, "a", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("topk_stream")
+      .filter(col("window_start") < t("2024-01-02 00:00:00")).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    // bit-identical to the same operator over one batch (watermark a
+    // no-op there), and to the plain rank-window spelling
+    val batchDf = spark.createDataFrame(events)
+    val batchTwin = Streaming.streamingTopKPerKey(batchDf, col("event_type"),
+        col("value"), col("event_id"), k = 5).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(streamed === batchTwin)
+    import org.apache.spark.sql.expressions.Window
+    val win = spark.createDataFrame(events)
+      .withColumn("window_start", window(col("ts"), "1 hour")("start"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy("window_start", "event_type")
+        .orderBy(col("value").desc, col("event_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("window_start", "event_type", "rank", "value", "event_id")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(streamed === win)
+    assert(streamed.size == 20) // 2 windows x 2 types x k=5
+  }
+
   test("streamingKmvSketch: streamed arrays == batch sketch, set algebra composes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

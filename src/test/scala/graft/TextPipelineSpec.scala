@@ -82,6 +82,31 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out.keySet === nodes.toSet)
   }
 
+  test("crossCorpusNearDups: batch-vs-corpus links only, never within a side") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // corpus contains an INTERNAL exact dup pair (1, 2) — the cross
+    // join must not surface it; batch doc 10 near-dups doc 1, batch
+    // doc 11 is unrelated, and batch docs 10/12 are near-dups of each
+    // other — also not surfaced (batch-internal)
+    val corpus = Seq((1L, base), (2L, base),
+      (3L, "completely different text about nothing shared at all " +
+        "with the base document corpus entry here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base), // exact re-crawl: J = 1, always LSH-caught
+      (11L, "fresh new content never seen before in any corpus document " +
+        "entirely novel words everywhere"),
+      (12L, base + " appended")).toDF("doc_id", "text")
+    // 2-wide bands: collision prob per band J^2, 8 bands — the J~0.9
+    // appended case is recalled with near-certainty and deterministically
+    // (fixed hash family: the outcome is a constant of the data)
+    val out = graft.text.Dedup.crossCorpusNearDups(batch, corpus,
+        n = 3, numHashes = 16, bands = 8, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((10L, 1L), (10L, 2L), (12L, 1L), (12L, 2L)))
+  }
+
   test("duplicateClusters: star contraction bounds rounds at O(log n) on a chain") {
     import spark.implicits._
     // a 200-node path graph is the label-prop worst case (~199 rounds
