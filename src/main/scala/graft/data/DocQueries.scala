@@ -862,6 +862,16 @@ object DocQueries {
       graft.streaming.Streaming.batchSessionize(events(s, dir),
           gapSeconds = 1800)
         .orderBy("user_id", "session_start")),
+    "q_suffix_rank" -> ((s, dir) =>
+      // distributed suffix ranking by prefix doubling (round 13,
+      // operators/SuffixRank.scala): the Manber-Myers SA strategy —
+      // log(max doc length) rounds of (rank, rank+h) re-keying, each
+      // one equi-join + one composite-key PrefixSum pass; the oracle
+      // replays the global suffix order directly as rank() over the
+      // materialized suffix strings (space-joined tokens: every token
+      // char sorts above 0x20, so string order == sequence order)
+      graft.operators.SuffixRank.suffixRanks(
+        documents(s, dir).filter(col("doc_id") < 40))),
     "q_topk_agg" -> ((s, dir) => {
       // the AGGREGATE spelling of top-k-per-key (functions/
       // TopKPairsAgg, round 13): per event_type the 5 best events by
@@ -3975,6 +3985,17 @@ object DocQueries {
     // gap-cut replay: one lag window marks session starts, a running
     // sum numbers them, exact cents totals; ms granularity matches the
     // batch operator (and the streaming state's epoch-ms compares)
+    "q_suffix_rank" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents
+         |  WHERE doc_id < 40),
+         |pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+         |  FROM t WHERE len(toks) > 0),
+         |p AS (SELECT doc_id, (i - 1)::INTEGER AS pos,
+         |  array_to_string(toks[i:], ' ') AS suf FROM pos)
+         |SELECT doc_id, pos,
+         |  (rank() OVER (ORDER BY suf) - 1)::BIGINT AS suffix_rank
+         |FROM p ORDER BY doc_id, pos""".stripMargin,
+
     "q_topk_agg" ->
       """SELECT event_type, rank, value, event_id FROM (
         |  SELECT event_type, value, event_id,

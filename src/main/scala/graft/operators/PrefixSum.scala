@@ -32,11 +32,19 @@ private[graft] object PrefixSum {
     * distinct value (in `dim` order) to a histogram `counts` carrying
     * (dim, __c = per-value row count). Output: (dim, __c, __rb). */
   def rowsBefore(counts: DataFrame, dim: String,
-      numParts: Int = 32): DataFrame = {
-    val parted = counts.repartitionByRange(numParts, col(dim))
+      numParts: Int = 32): DataFrame =
+    rowsBefore(counts, Seq(dim), numParts)
+
+  /** [[rowsBefore]] over a COMPOSITE key (lexicographic order of
+    * `dims`) — the shape [[SuffixRank]]'s per-round (rank, rank+h)
+    * pair re-ranking needs. Range partitioning colocates equal keys,
+    * so ties share one `__rb` exactly. */
+  def rowsBefore(counts: DataFrame, dims: Seq[String],
+      numParts: Int): DataFrame = {
+    val parted = counts.repartitionByRange(numParts, dims.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val wIn = Window.partitionBy("__pid").orderBy(dim)
+    val wIn = Window.partitionBy("__pid").orderBy(dims.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = parted.withColumn("__cw",
       coalesce(sum("__c").over(wIn), lit(0L)))

@@ -809,6 +809,65 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("kmv"))
   }
 
+  /** Streaming cross-corpus near-dup gate — the online face of
+    * [[graft.text.Dedup.crossCorpusNearDups]] (the Bloom-gate pattern
+    * at LSH granularity): each streamed document computes its MinHash
+    * band keys PER ROW (min over the shingle array per hash function —
+    * an array HOF, not a groupBy, so the gate is STATELESS), joins the
+    * static corpus-side band-bucket frame, and verifies candidates
+    * with the exact n-gram Jaccard against the corpus shingle sets.
+    * The static side derives from the same persisted [[graft.text
+    * .Dedup.shingleSets]] artifact the batch join uses — persist it,
+    * or every micro-batch recomputes it.
+    *
+    * Output: one row per (doc, corpus doc, matching band) above
+    * `minJaccard` — the per-band form [[streamingNearDups]] also uses
+    * (a stateless stream cannot `distinct` across bands; collapse
+    * downstream). Docs with no row are genuinely new content.
+    * Per-row signature values are bit-identical to the batch
+    * signature build (same hash family over the same shingle set). */
+  def streamingCrossCorpusGate(
+      docs: Dataset[StreamDoc],
+      corpusSets: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      n: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    import graft.text.TextOps
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    def signature(set: Column): Seq[Column] =
+      (0 until numHashes).map { j =>
+        val (aj, bj) = TextOps.hashParams(j)
+        array_min(transform(set,
+          g => (lit(aj) * (TextOps.hash56(g) % TextOps.HashP) + lit(bj))
+            % TextOps.HashP)).as(s"__m$j")
+      }
+    def withBands(df: DataFrame, setCol: String): DataFrame = {
+      val sig = df.select(df.columns.map(col) ++ signature(col(setCol)): _*)
+      val keys = TextOps.bandKeyCols(
+        (0 until numHashes).map(j => col(s"__m$j")), bands)
+      sig.select(df.columns.map(col) :+ explode(array(keys: _*)).as("__bk"): _*)
+    }
+    val corpusBands = withBands(
+      corpusSets.select(col("__id").as("corpus_id"),
+        col("__set").as("__cset"), col("__sz").as("__csz")), "__cset")
+    val stream = withBands(docs.toDF()
+      .withColumn("__set", TextOps.shingles(TextOps.tokens(col("text")), n))
+      .withColumn("__sz", size(col("__set")))
+      .filter(col("__sz") > 0)
+      .select("doc_id", "ts", "__set", "__sz"), "__set")
+    stream.join(corpusBands, Seq("__bk"))
+      .withColumn("__common",
+        size(array_intersect(col("__set"), col("__cset"))))
+      .withColumn("jaccard",
+        round(col("__common").cast("double") /
+          (col("__sz") + col("__csz") - col("__common")), 9))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id"), col("ts"), col("corpus_id"), col("__bk").as("band"),
+        col("jaccard"))
+  }
+
   /** Streaming top-k per key — the online face of the
     * [[graft.plans.TopKPerKey]] batch operator: per (event-time
     * window, key) the k best rows by `ord` (DESC, ties by id ASC),

@@ -708,6 +708,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streamingCrossCorpusGate: streamed hits == batch crossCorpusNearDups pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamDoc
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq((1L, base), (2L, base),
+      (3L, "completely different text about nothing shared at all " +
+        "with the base document corpus entry here")).toDF("doc_id", "text")
+    val corpusSets = graft.text.Dedup.shingleSets(corpus, n = 3)
+    corpusSets.persist()
+    corpusSets.count()
+    val batchDocs = Seq(
+      StreamDoc(10L, t("2024-01-01 00:10:00"), base),
+      StreamDoc(11L, t("2024-01-01 00:20:00"),
+        "fresh new content never seen before in any corpus document " +
+          "entirely novel words everywhere"),
+      StreamDoc(12L, t("2024-01-01 01:05:00"), base + " appended"))
+    val in = MemoryStream[StreamDoc]
+    in.addData(batchDocs.take(2): _*)
+    val out = Streaming.streamingCrossCorpusGate(in.toDS(), corpusSets,
+      numHashes = 16, bands = 8, minJaccard = 0.3)
+    val q = out.writeStream.format("memory").queryName("ccgate")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(batchDocs.drop(2): _*) // across a micro-batch boundary
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ccgate").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("jaccard")))
+    // per-band rows collapse to the batch operator's pair set, with
+    // identical verified jaccard values
+    val batch = graft.text.Dedup.crossCorpusNearDups(
+        spark.createDataFrame(batchDocs).select(col("doc_id"), col("text")),
+        corpus, n = 3, numHashes = 16, bands = 8, minJaccard = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    assert(streamed.toSet === batch)
+    assert(batch.map(p => (p._1, p._2)) ===
+      Set((10L, 1L), (10L, 2L), (12L, 1L), (12L, 2L)))
+    corpusSets.unpersist()
+  }
+
   test("streamingTopKPerKey: streamed leaderboards == batch twin across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SuffixRank
+
+class SuffixRankSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(docs: Seq[(Long, String)]): Map[(Long, Int), Long] =
+    SuffixRank.suffixRanks(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("suffix ranks match the hand-sorted suffix order, ties share ranks") {
+    // doc 1 "a b a b": suffixes (pos) — "a b a b"(0) "b a b"(1)
+    // "a b"(2) "b"(3); doc 2 "a b": "a b"(0) "b"(1).
+    // Sorted multiset: "a b"x2 < "a b a b" < "b"x2 < "b a b"
+    // rows-before ranks: 0,0,2,3,3,5 — equal suffixes share.
+    val out = ranksOf(Seq((1L, "a b a b"), (2L, "a b")))
+    assert(out === Map(
+      (1L, 2) -> 0L, (2L, 0) -> 0L,
+      (1L, 0) -> 2L,
+      (1L, 3) -> 3L, (2L, 1) -> 3L,
+      (1L, 1) -> 5L))
+  }
+
+  test("matches a brute-force suffix sort on longer mixed docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick fox"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "the quick brown fox naps"),
+      (4L, "a a a a a b a a b"))
+    val got = ranksOf(docs)
+    // brute force: materialize every suffix (space-joined), rank =
+    // count of strictly smaller suffixes (occurrence-counted)
+    val sufs = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      toks.indices.map(p => ((id, p), toks.drop(p).mkString(" ")))
+    }
+    val expected = sufs.map { case (k, s) =>
+      k -> sufs.count(_._2 < s).toLong
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("single-token and empty docs") {
+    val out = ranksOf(Seq((1L, "zebra"), (2L, ""), (3L, "apple")))
+    assert(out === Map((1L, 0) -> 1L, (3L, 0) -> 0L))
+  }
+}
