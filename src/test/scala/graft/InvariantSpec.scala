@@ -170,6 +170,40 @@ class InvariantSpec extends AnyFunSuite with SparkSpec {
       s"cluster ${r.get(0)} straddles splits"))
   }
 
+  test("TopKPairsAgg: partitioning-invariant, equals the rank-window spelling") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.expressions.Window
+    // colliding ord values (i % 5) force heavy ties; the retained set
+    // must be a pure function of the pair set — identical under any
+    // partitioning and merge order, equal to the window twin
+    val rows = (1L to 500L).map(i => ((i % 13).toString, (i % 5).toDouble, i))
+    def run(parts: Int): Array[(String, Long, Double, Long)] = {
+      val df = rows.toDF("k", "ord", "id").repartition(parts)
+      val agg = column(graft.functions.TopKPairsAgg(
+        expression(col("ord")), expression(col("id")), 4)
+        .toAggregateExpression())
+      df.groupBy("k").agg(agg.as("top"))
+        .select(col("k"), posexplode(col("top")))
+        .select(col("k"), (col("pos") + 1L).as("rank"),
+          col("col.ord"), col("col.id"))
+        .orderBy("k", "rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3)))
+    }
+    val p1 = run(1); val p7 = run(7); val p32 = run(32)
+    assert(p1.toSeq === p7.toSeq)
+    assert(p1.toSeq === p32.toSeq)
+    val win = rows.toDF("k", "ord", "id")
+      .withColumn("rank", row_number().over(Window.partitionBy("k")
+        .orderBy(col("ord").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= 4)
+      .select("k", "rank", "ord", "id").orderBy("k", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(p1.toSeq === win.toSeq)
+  }
+
   test("every mixed-corpus row decodes genuinely for all media operators") {
     implicit val s = spark
     import graft.multimodal.Multimodal

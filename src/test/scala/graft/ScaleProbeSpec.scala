@@ -105,4 +105,76 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
     assert(agg.getAs[Long]("hub") > 20L * (M / n), s"no hub skew: $agg")
     assert(agg.getAs[Long]("lo") > 0L)
   }
+
+  test("200k-position suffix-rank probe: doubling chain correct on sampled pairs") {
+    // 2,000 synthetic docs x ~100 tokens over a 400-word vocab with
+    // planted repeated phrases (every 10th doc shares a 25-token run),
+    // so ties, long shared prefixes, AND cross-doc repeats all occur
+    // at a scale where a wrong doubling round cannot hide. Correctness
+    // check: on 300 sampled position pairs, rank order must equal
+    // lexicographic suffix order (and equal suffixes equal ranks).
+    val nDocs = 2000
+    val docsLocal = (0 until nDocs).map { d =>
+      val len = 80 + (d * 31) % 40
+      val toks = (0 until len).map { i =>
+        if (d % 10 == 0 && i >= 20 && i < 45) s"w${(i * 13) % 97}" // planted run
+        else s"w${(d * 131 + i * 7919) % 400}"
+      }
+      (d.toLong, toks.mkString(" "))
+    }
+    val t0 = System.nanoTime()
+    val ranks = graft.operators.SuffixRank.suffixRanks(
+      docsLocal.toDF("doc_id", "text"))
+    val got = ranks.collect().map(r =>
+      (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    info(f"200k-position suffix rank: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val byDoc = docsLocal.toMap.map { case (d, t) => d -> t.split(" ").toSeq }
+    assert(got.size === byDoc.map(_._2.size).sum)
+    val keys = got.keys.toArray.sortBy(k => (k._1, k._2))
+    val rnd = new scala.util.Random(11)
+    (0 until 300).foreach { _ =>
+      val a = keys(rnd.nextInt(keys.length)); val b = keys(rnd.nextInt(keys.length))
+      val sa = byDoc(a._1).drop(a._2).mkString(" ")
+      val sb = byDoc(b._1).drop(b._2).mkString(" ")
+      val (ra, rb) = (got(a), got(b))
+      if (sa == sb) assert(ra === rb, s"$a $b equal suffixes, ranks $ra $rb")
+      else assert((sa < sb) === (ra < rb), s"$a $b order mismatch")
+    }
+  }
+
+  test("20k-corpus incremental near-dup probe: planted delta links all found") {
+    // 20,000 corpus docs + a 2,000-doc delta batch: 1,000 exact
+    // mirrors (J = 1, LSH-certain) and 1,000 genuinely new docs. The
+    // batch joins the corpus via broadcast band buckets; every mirror
+    // must link to its source and the new docs must produce nothing.
+    val vocabDoc = (d: Long) => (0 until 60).map(i =>
+      s"v${(d * 977 + i * 6151) % 50000}").mkString(" ")
+    val corpus = (0L until 20000L).map(d => (d, vocabDoc(d)))
+      .toDF("doc_id", "text")
+    val batch = ((0L until 1000L).map(d => (d + 100000L, vocabDoc(d * 20))) ++
+      (0L until 1000L).map(d => (d + 200000L,
+        (0 until 60).map(i => s"n${d}_$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val hits = graft.text.Dedup.crossCorpusNearDups(batch, corpus,
+        n = 3, numHashes = 16, bands = 4, minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    info(f"20k-corpus cross join: ${(System.nanoTime() - t0) / 1e9}%.1f s, ${hits.length} links")
+    val pairSet = hits.map(h => (h._1, h._2)).toSet
+    // every planted mirror found its source at J = 1 (LSH-certain).
+    // The linear vocab formula also plants SHIFT-ALIASED organic
+    // near-dups (doc d1 = doc d2 shifted k positions shares 57/58
+    // shingles) — those are genuine J >= 0.9 links, so the check is
+    // one-sided: planted ⊆ hits, every hit batch->corpus, and the
+    // genuinely-new docs (200000+) link NOTHING.
+    val planted = (0L until 1000L).map(d => (d + 100000L, d * 20L)).toSet
+    assert(planted.subsetOf(pairSet),
+      s"missing ${planted.diff(pairSet).size} planted mirrors")
+    hits.foreach { case (b, c, j) =>
+      assert(b >= 100000L && b < 101000L, s"non-mirror batch id $b linked")
+      assert(c < 20000L && j >= 0.9, s"bad link ($b,$c,$j)")
+    }
+    // mirrors link at exactly 1.0
+    hits.filter(h => planted((h._1, h._2))).foreach(h => assert(h._3 === 1.0))
+  }
 }
