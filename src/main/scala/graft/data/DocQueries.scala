@@ -872,6 +872,14 @@ object DocQueries {
       // char sorts above 0x20, so string order == sequence order)
       graft.operators.SuffixRank.suffixRanks(
         documents(s, dir).filter(col("doc_id") < 40))),
+    "q_suffix_lcp" -> ((s, dir) =>
+      // suffix array + LCP (round 13, the Lee et al. exact
+      // substring-dedup structure): the doubling chain retains every
+      // level and the sparse-table descent extends the common prefix
+      // by 2^k wherever level-k ranks agree; oracle = lag over the
+      // materialized suffix strings + first-mismatch scan
+      graft.operators.SuffixRank.suffixArrayWithLcp(
+        documents(s, dir).filter(col("doc_id") < 40))),
     "q_topk_agg" -> ((s, dir) => {
       // the AGGREGATE spelling of top-k-per-key (functions/
       // TopKPairsAgg, round 13): per event_type the 5 best events by
@@ -3995,6 +4003,24 @@ object DocQueries {
          |SELECT doc_id, pos,
          |  (rank() OVER (ORDER BY suf) - 1)::BIGINT AS suffix_rank
          |FROM p ORDER BY doc_id, pos""".stripMargin,
+
+    "q_suffix_lcp" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents
+         |  WHERE doc_id < 40),
+         |pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+         |  FROM t WHERE len(toks) > 0),
+         |p AS (SELECT doc_id, (i - 1)::INTEGER AS pos, toks[i:] AS suf,
+         |  array_to_string(toks[i:], ' ') AS sufs FROM pos),
+         |o AS (SELECT doc_id, pos, suf,
+         |  row_number() OVER (ORDER BY sufs, doc_id, pos) - 1 AS seq,
+         |  lag(suf) OVER (ORDER BY sufs, doc_id, pos) AS prev FROM p)
+         |SELECT doc_id, pos, seq::BIGINT AS seq,
+         |  (CASE WHEN prev IS NULL THEN 0 ELSE coalesce(
+         |    nullif(list_position(list_transform(
+         |      generate_series(1, least(len(suf), len(prev))),
+         |      i -> suf[i] = prev[i]), false), 0) - 1,
+         |    least(len(suf), len(prev))) END)::BIGINT AS lcp_prev
+         |FROM o ORDER BY doc_id, pos""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT event_type, rank, value, event_id FROM (

@@ -84,4 +84,114 @@ object SuffixRank {
     ranks.select(col("doc_id"), col("pos"), col("__rank").as("suffix_rank"))
       .orderBy("doc_id", "pos")
   }
+
+  /** Suffix array WITH the LCP column — the structure Lee et al. '22's
+    * exact substring dedup thresholds on (a repeat of length >= L
+    * exists wherever lcp_prev >= L). Output one row per token
+    * position: `seq` is the position's 0-based index in the global
+    * suffix order (ties broken by (doc_id, pos) — a deterministic
+    * total order both engines replay), and `lcp_prev` the length in
+    * tokens of the longest common prefix with the seq−1 suffix (0 for
+    * seq 0).
+    *
+    * Build: the doubling chain retains EVERY level (no early
+    * convergence exit — LCP descent needs level k to discriminate
+    * exactly prefixes of length 2^k), then the classic sparse-table
+    * descent: for k from high to low, if the level-k ranks at
+    * (pos + lcp) agree on both sides, the common prefix extends by
+    * 2^k. Cost shape: levels = log(max DOC length), each retained
+    * frame positions-sized (the standard O(n log n) sparse-table
+    * space), plus two equi-joins per level for the descent — the
+    * published distributed-LCP recipe. [[graft.text.Rewrite]]'s
+    * spanDedup remains the CHEAP dedup path; this is the exact-order
+    * structure for repeat mining / LCP statistics. */
+  def suffixArrayWithLcp(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numParts: Int = 32): DataFrame = {
+    val positions = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
+      .localCheckpoint()
+    val tokHist = positions.groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val tokRank = PrefixSum.rowsBefore(tokHist, "__tok", numParts)
+      .select(col("__tok"), col("__rb"))
+    var ranks = positions.join(tokRank, Seq("__tok"))
+      .select(col("doc_id"), col("pos"), col("__rb").as("__rank"))
+      .localCheckpoint()
+    val maxLenRow = positions.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+      .agg(max("__n")).collect()(0)
+    val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
+
+    // levels(k) discriminates prefixes of length exactly 2^k
+    var levels = List((1L, ranks))
+    var h = 1L
+    while (h < maxLen) {
+      val shifted = ranks.select(col("doc_id"), (col("pos") - h).as("pos"),
+        col("__rank").as("__r2"))
+      val keyed = ranks.join(shifted, Seq("doc_id", "pos"), "left")
+        .withColumn("__r2", coalesce(col("__r2"), lit(-1L)))
+      val pairHist = keyed.groupBy("__rank", "__r2").agg(count(lit(1)).as("__c"))
+      val pairRank = PrefixSum.rowsBefore(pairHist, Seq("__rank", "__r2"), numParts)
+      val next = keyed.join(pairRank, Seq("__rank", "__r2"))
+        .select(col("doc_id"), col("pos"), col("__rb").as("__rank"))
+        .localCheckpoint()
+      h *= 2L
+      levels ::= (h, next) // head = coarsest level
+      ranks = next
+    }
+
+    // global suffix order: rows-before over the UNIQUE (rank, doc,
+    // pos) triples = a dense 0-based suffix-array index
+    val seqed = PrefixSum.rowsBefore(
+        ranks.select(col("__rank"), col("doc_id"), col("pos"))
+          .withColumn("__c", lit(1L)),
+        Seq("__rank", "doc_id", "pos"), numParts)
+      .select(col("doc_id"), col("pos"), col("__rb").as("seq"))
+      .localCheckpoint()
+
+    // adjacent pairs in suffix order, then the sparse-table descent
+    val succ = seqed.select(col("doc_id").as("__da"), col("pos").as("__pa"),
+      (col("seq") + 1L).as("seq"))
+    var pairs = seqed.join(succ, Seq("seq"))
+      .select(col("seq"), col("__da"), col("__pa"),
+        col("doc_id").as("__db"), col("pos").as("__pb"))
+      .withColumn("__lcp", lit(0L))
+      .localCheckpoint()
+    levels.foreach { case (span, lvl) =>
+      val la = lvl.select(col("doc_id").as("__da"),
+        col("pos").as("__ja"), col("__rank").as("__rka"))
+      val lb = lvl.select(col("doc_id").as("__db"),
+        col("pos").as("__jb"), col("__rank").as("__rkb"))
+      pairs = pairs
+        .withColumn("__ja", col("__pa") + col("__lcp"))
+        .withColumn("__jb", col("__pb") + col("__lcp"))
+        .join(la, Seq("__da", "__ja"), "left")
+        .join(lb, Seq("__db", "__jb"), "left")
+        .withColumn("__lcp",
+          when(col("__rka").isNotNull && col("__rkb").isNotNull &&
+            col("__rka") === col("__rkb"), col("__lcp") + span)
+            .otherwise(col("__lcp")))
+        .select("seq", "__da", "__pa", "__db", "__pb", "__lcp")
+        .localCheckpoint()
+    }
+    // identical suffixes agree at EVERY level (content + end markers),
+    // so the descent sums all spans there — the true LCP of identical
+    // suffixes is their length; capping at both remaining lengths is
+    // exact (every non-identical case is already <= the min length)
+    val docLen = positions.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val lcpOfSeq = pairs
+      .join(docLen.select(col("doc_id").as("__da"), col("__n").as("__na")),
+        Seq("__da"))
+      .join(docLen.select(col("doc_id").as("__db"), col("__n").as("__nb")),
+        Seq("__db"))
+      .select(col("seq"),
+        least(col("__lcp"), col("__na") - col("__pa"),
+          col("__nb") - col("__pb")).as("lcp_prev"))
+    seqed.join(lcpOfSeq, Seq("seq"), "left")
+      .select(col("doc_id"), col("pos"), col("seq"),
+        coalesce(col("lcp_prev"), lit(0L)).as("lcp_prev"))
+      .orderBy("doc_id", "pos")
+  }
 }

@@ -48,4 +48,29 @@ class SuffixRankSpec extends AnyFunSuite with SparkSpec {
     val out = ranksOf(Seq((1L, "zebra"), (2L, ""), (3L, "apple")))
     assert(out === Map((1L, 0) -> 1L, (3L, 0) -> 0L))
   }
+
+  test("suffix array + LCP matches a brute-force computation, identical suffixes capped") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick fox"),
+      (2L, "pack my box with five dozen liquor jugs the quick brown fox"),
+      (3L, "a a a a a b a a b"),
+      (4L, "a a a a a b a a b")) // full duplicate doc: every suffix tied
+    val got = SuffixRank.suffixArrayWithLcp(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute force: sort suffixes by (joined text, doc, pos); lcp with
+    // the previous entry in that order, token-wise
+    val sufs = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      toks.indices.map(p => ((id, p), toks.drop(p)))
+    }.sortBy { case ((id, p), toks) => (toks.mkString(" "), id, p) }
+    def lcp(a: Seq[String], b: Seq[String]): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    sufs.zipWithIndex.foreach { case (((id, p), toks), i) =>
+      val expLcp = if (i == 0) 0L else lcp(toks, sufs(i - 1)._2)
+      assert(got((id, p)) === ((i.toLong, expLcp)),
+        s"($id,$p): got ${got((id, p))}, want ($i, $expLcp)")
+    }
+  }
 }
