@@ -872,6 +872,27 @@ object DocQueries {
       // char sorts above 0x20, so string order == sequence order)
       graft.operators.SuffixRank.suffixRanks(
         documents(s, dir).filter(col("doc_id") < 40))),
+    "q_in_transit" -> ((s, dir) => {
+      // generic point-in-interval RANGE JOIN via bucket expansion
+      // (operators/RangeJoin.scala, round 13): per ship-date, how many
+      // lineitems are in transit (shipdate <= d <= receiptdate) — an
+      // EQUI-join on weekly buckets + residual filter, never the
+      // quadratic BroadcastNestedLoopJoin an inequality join plans to
+      // the testdata lineitem carries no receiptdate; the transit span
+      // is a deterministic 1..21-day function of the line identity,
+      // replayed identically by the oracle
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val lo = unix_date(col("l_shipdate").cast("date")).cast("long")
+      val intervals = li.select(lo.as("lo"),
+        (lo + lit(1L) +
+          pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(21L)))
+          .as("hi"))
+      val points = li.select(lo.as("d")).distinct()
+      graft.operators.RangeJoin.pointInInterval(points, intervals,
+          "d", "lo", "hi", bucketWidth = 7)
+        .groupBy("d").agg(count(lit(1)).as("n_in_transit"))
+        .orderBy("d")
+    }),
     "q_suffix_lcp" -> ((s, dir) =>
       // suffix array + LCP (round 13, the Lee et al. exact
       // substring-dedup structure): the doubling chain retains every
@@ -4003,6 +4024,17 @@ object DocQueries {
          |SELECT doc_id, pos,
          |  (rank() OVER (ORDER BY suf) - 1)::BIGINT AS suffix_rank
          |FROM p ORDER BY doc_id, pos""".stripMargin,
+
+    "q_in_transit" ->
+      """WITH pts AS (SELECT DISTINCT
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS d FROM lineitem),
+        |  iv AS (SELECT (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS lo,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 1
+        |      + (l_orderkey * 7 + l_linenumber) % 21 AS hi
+        |  FROM lineitem)
+        |SELECT d, count(*) AS n_in_transit
+        |FROM pts JOIN iv ON d BETWEEN lo AND hi
+        |GROUP BY d ORDER BY d""".stripMargin,
 
     "q_suffix_lcp" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic point-in-interval range join via bucket expansion — the
+  * operator Spark lacks natively (an inequality join plans as
+  * BroadcastNestedLoopJoin, which evaluates |points| x |intervals|
+  * predicates; commercial engines special-case this with range-join
+  * hints). Both sides map to fixed-width buckets: a point lands in
+  * one bucket, an interval replicates into every bucket it covers
+  * (`sequence` + explode), the join is a plain EQUI-join on the
+  * bucket id, and the residual lo <= p <= hi predicate filters the
+  * within-bucket false pairs. Shuffle volume is |points| +
+  * Σ(span/width + 1) interval replicas — linear, shufflable,
+  * AQE/salting-compatible — instead of the quadratic predicate scan.
+  *
+  * `bucketWidth` trades replication against residual selectivity:
+  * width ~ the median interval span keeps replicas ~2x and buckets
+  * selective (the standard range-join-hint guidance). Intervals are
+  * inclusive on both ends; callers wanting half-open subtract one
+  * from `hi` first. Columns are LONGs (epoch days/seconds/micros —
+  * callers pick the granularity).
+  *
+  * `maxBucketsPerInterval` fails fast (raise_error in-plan) on an
+  * interval that would replicate pathologically — the open-interval /
+  * fat-outlier guard; widen the width or cap the spans upstream.
+  */
+object RangeJoin {
+
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Long,
+      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    def bucket(c: Column): Column = floor(c / bucketWidth)
+    val p = points.withColumn("__bk", bucket(col(pointCol)))
+    val nb = bucket(col(hiCol)) - bucket(col(loCol)) + 1L
+    val i = intervals
+      .withColumn("__nb",
+        when(col(hiCol) < col(loCol), lit(0L))
+          .when(nb > maxBucketsPerInterval,
+            raise_error(concat(
+              lit(s"range-join interval spans more than $maxBucketsPerInterval " +
+                s"buckets at width $bucketWidth ("), col(loCol), lit(".."),
+              col(hiCol), lit("); widen bucketWidth or cap spans")))
+              .cast("long"))
+          .otherwise(nb))
+      .filter(col("__nb") > 0)
+      .withColumn("__bk",
+        explode(sequence(bucket(col(loCol)), bucket(col(hiCol)))))
+      .drop("__nb")
+    p.join(i, Seq("__bk"))
+      .filter(col(loCol) <= col(pointCol) && col(pointCol) <= col(hiCol))
+      .drop("__bk")
+  }
+}
