@@ -589,6 +589,13 @@ object DocQueries {
     // oracle: the fixed-point k-means is bitwise reproducible, so the
     // DuckDB twin replays the identical Lloyd iterations as unrolled
     // CTEs (exact integer distances; see Ivf's exactness note)
+    "q_vec_outliers" -> ((s, dir) =>
+      // embedding outlier curation (round 13): exact grid distance to
+      // the assigned coarse cell, z-scored within the cell (decimal
+      // moment sums, 4 IEEE ops) — prunes encoder failures and
+      // off-distribution vectors on each region's own scale
+      graft.vector.Embeddings.outlierScores(embeddings(s, dir),
+        coarseCentroids(s, dir))),
     "q_ann_ivf" -> ((s, dir) => {
       val e = embeddings(s, dir)
       graft.vector.Ivf.ivfTopK(e, e.filter(col("vec_id") < 20), k = 10,
@@ -3403,6 +3410,41 @@ object DocQueries {
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
          |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_vec_outliers" ->
+      // the q_ann_ivf coarse chain up to per-vector assignment, then
+      // per-cell z from HUGEINT moment sums (the grid distances are
+      // exact integers; the z is 4 IEEE ops, 1e-9-rounded)
+      s"""WITH cnt AS (SELECT greatest(1, count(*) // 4096) AS rate FROM embeddings),
+         |samp AS (SELECT vec_id, embedding FROM embeddings, cnt
+         |  WHERE rate <= 1 OR (vec_id * 2654435761) % 1000003 % rate = 0),
+         |eqs AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM samp CROSS JOIN range(64) t(d)),
+         |c0 AS (SELECT s.cell, e.d, e.q FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+         |    FROM samp ORDER BY vec_id LIMIT 16) s
+         |  JOIN eqs e USING (vec_id)),
+         |${lloydChain(5)},
+         |eqa AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM embeddings CROSS JOIN range(64) t(d)),
+         |dall AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM eqa v JOIN c5 c ON v.d = c.d GROUP BY 1, 2),
+         |oasg AS (SELECT vec_id, cell, dist FROM (
+         |  SELECT vec_id, cell, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM dall) WHERE rn = 1),
+         |ost AS (SELECT cell, count(*) AS n, sum(dist::HUGEINT) AS s1,
+         |    sum(dist::HUGEINT * dist::HUGEINT) AS s2
+         |  FROM oasg GROUP BY cell),
+         |oj AS (SELECT oasg.vec_id, oasg.cell, oasg.dist, ost.n,
+         |  (ost.n::HUGEINT * oasg.dist::HUGEINT - ost.s1)::DOUBLE AS a,
+         |  (ost.n::HUGEINT * ost.s2 - ost.s1 * ost.s1)::DOUBLE AS b,
+         |  (ost.n * (ost.n - 1))::DOUBLE AS c
+         |  FROM oasg JOIN ost USING (cell))
+         |SELECT vec_id, cell::INTEGER AS cell, dist::DOUBLE AS dist,
+         |  CASE WHEN n < 2 OR b <= 0 THEN NULL
+         |    ELSE round((a / n::DOUBLE) / sqrt(b / c), 9) END AS z
+         |FROM oj ORDER BY vec_id""".stripMargin,
 
     "q_pq_adc" -> {
       // replays Pq.trainCodebooks(m=8, k=16, iters=3) + encode + ADC:

@@ -125,4 +125,48 @@ object Embeddings {
       .filter(col("__rk") === 1)
       .select(col("query_id"), col("__lbl").as("pred_label"), col("votes"))
   }
+
+  /** Embedding OUTLIER scores — the curation pass that prunes vectors
+    * far from their own region (mislabeled pairs, encoder failures,
+    * off-distribution shards): each vector's exact quantized squared
+    * distance to its assigned coarse cell ([[Ivf]] fixed-point grid —
+    * an integer-valued double), z-scored against ITS CELL's
+    * distance distribution, so dense and sparse regions are judged on
+    * their own scale (a global cut would flag every small cell).
+    *
+    * Exactness: distances are grid integers; per-cell moment sums run
+    * in decimal(38,0) (n·Σd² ~ 1e34 stays exact where a double sum
+    * would round); the z is then 4 IEEE ops on deterministically
+    * rounded operands, so the oracle replays it bitwise on the 1e-9
+    * grid. Cells with n < 2 or zero variance yield null z. One scan +
+    * one 16-row broadcast join — nothing scales beyond the corpus
+    * pass.
+    *
+    * Output: (idCol, cell, dist, z) — z rounded 1e-9. */
+  def outlierScores(
+      df: DataFrame,
+      centroids: Array[Array[Double]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(idCol),
+        Ivf.quantizedDists(col(vecCol), centroids).as("__dists"))
+      .select(col(idCol),
+        (array_position(col("__dists"), array_min(col("__dists"))) - 1)
+          .cast("int").as("cell"),
+        array_min(col("__dists")).as("dist"))
+    val dd = col("dist").cast(DecimalType(38, 0))
+    val st = base.groupBy("cell").agg(count(lit(1)).as("n"),
+      sum(dd).as("__s1"), sum(dd * dd).as("__s2"))
+    val nD = col("n").cast(DecimalType(38, 0))
+    val joined = base.join(broadcast(st), Seq("cell"))
+      .withColumn("__a", (nD * dd - col("__s1")).cast("double"))
+      .withColumn("__b",
+        (nD * col("__s2") - col("__s1") * col("__s1")).cast("double"))
+      .withColumn("__c", (col("n") * (col("n") - 1L)).cast("double"))
+    joined.select(col(idCol), col("cell"), col("dist"),
+        when(col("n") < 2L || col("__b") <= 0.0, lit(null).cast("double"))
+          .otherwise(round((col("__a") / col("n").cast("double")) /
+            sqrt(col("__b") / col("__c")), 9)).as("z"))
+      .orderBy(idCol)
+  }
 }

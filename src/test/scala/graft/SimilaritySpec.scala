@@ -55,6 +55,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("outlierScores: a planted far vector tops its cell's z-scores") {
+    // one tight cluster + one vector pushed far along every dimension;
+    // per-cell z must rank the planted outlier first and keep the
+    // cluster's z-scores small
+    val rows = (0 until 30).map { i =>
+      val base = vec(1)
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * (((i * 7 + d) % 5) - 2) })
+    } :+ (99L, vec(1).map(_ + 3.0f))
+    val d = emb(rows: _*)
+    val cents = graft.vector.Ivf.trainCentroids(d, nCells = 2, iters = 3)
+    val out = graft.vector.Embeddings.outlierScores(d, cents)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out.size === 31)
+    val cellOf99 = out(99L)._1
+    val peers = out.filter(_._2._1 == cellOf99)
+    val z99 = out(99L)._2
+    // the planted vector has the maximum z within its cell (cells with
+    // a lone member yield null z and are excluded by construction here)
+    if (peers.size > 2) {
+      assert(z99.isDefined)
+      peers.foreach { case (id, (_, z)) =>
+        if (id != 99L && z.isDefined) assert(z.get <= z99.get, s"peer $id") }
+    }
+  }
+
   test("truncatedTopK: full-corpus shortlist is exactly brute force; prefix shortlist recalls") {
     val rows = (0 until 40).map { i =>
       val base = if (i < 20) vec(1) else vec(97)
