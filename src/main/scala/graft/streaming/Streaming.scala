@@ -41,6 +41,9 @@ private case class RefState(eventId: Long, ts: Long, value: Double)
 /** One document of an append-only text stream. */
 case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
 
+/** One vector of an append-only embedding stream. */
+case class StreamVec(vec_id: Long, ts: Timestamp, embedding: Seq[Float])
+
 /** Emitted near-duplicate hit: `doc_id` verified against the band
   * representative `prior_id` (exact Jaccard over full shingle sets). */
 case class NearDupHit(
@@ -807,6 +810,28 @@ object Streaming {
       .groupBy(col("window"))
       .agg(agg.as("kmv"))
       .select(col("window.start").as("window_start"), col("kmv"))
+  }
+
+  /** Streaming embedding outlier gate — the online face of
+    * [[graft.vector.Embeddings.outlierScores]] in the production
+    * split: the per-cell distance moments are the BATCH-computed,
+    * persisted artifact ([[graft.vector.Embeddings.cellStats]]);
+    * the stream scores each arriving vector STATELESSLY — one kernel
+    * evaluation for cell + grid distance, one broadcast join against
+    * the bounded stats frame, the identical 4-IEEE-op z. Streamed z
+    * values are bit-identical to the batch pass that produced the
+    * stats (StreamingSpec pins it). A z above the caller's cut flags
+    * an encoder failure / off-distribution vector at ingest time. */
+  def streamingOutlierGate(
+      vecs: Dataset[StreamVec],
+      centroids: Array[Array[Double]],
+      stats: DataFrame): DataFrame = {
+    val assigned = graft.vector.Embeddings.assignDist(
+      vecs.toDF().withColumn("embedding",
+        col("embedding").cast("array<float>")),
+      centroids, "vec_id", "embedding", passthrough = Seq("ts"))
+    graft.vector.Embeddings.scoreAgainstStats(assigned, stats, "vec_id",
+      passthrough = Seq("ts"))
   }
 
   /** Streaming cross-corpus near-dup gate — the online face of

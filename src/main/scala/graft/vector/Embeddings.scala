@@ -148,25 +148,53 @@ object Embeddings {
       centroids: Array[Array[Double]],
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val base = df.select(col(idCol),
-        Ivf.quantizedDists(col(vecCol), centroids).as("__dists"))
-      .select(col(idCol),
+    val base = assignDist(df, centroids, idCol, vecCol)
+    scoreAgainstStats(base, cellStats(base), idCol).orderBy(idCol)
+  }
+
+  /** (idCol, cell, dist): each vector's assigned coarse cell and its
+    * exact grid squared distance to it — one kernel evaluation. */
+  private[graft] def assignDist(
+      df: DataFrame,
+      centroids: Array[Array[Double]],
+      idCol: String,
+      vecCol: String,
+      passthrough: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: passthrough.map(col) :+
+        Ivf.quantizedDists(col(vecCol), centroids).as("__dists"): _*)
+      .select(col(idCol) +: passthrough.map(col) :+
         (array_position(col("__dists"), array_min(col("__dists"))) - 1)
-          .cast("int").as("cell"),
-        array_min(col("__dists")).as("dist"))
+          .cast("int").as("cell") :+
+        array_min(col("__dists")).as("dist"): _*)
+
+  /** Per-cell exact distance moments (cell, n, __s1, __s2) — the
+    * bounded, persistable artifact an online outlier gate scores
+    * against ([[graft.streaming.Streaming.streamingOutlierGate]]). */
+  def cellStats(assigned: DataFrame): DataFrame = {
     val dd = col("dist").cast(DecimalType(38, 0))
-    val st = base.groupBy("cell").agg(count(lit(1)).as("n"),
+    assigned.groupBy("cell").agg(count(lit(1)).as("n"),
       sum(dd).as("__s1"), sum(dd * dd).as("__s2"))
+  }
+
+  /** z of each assigned vector against precomputed [[cellStats]] —
+    * identical arithmetic whether the stats come from this batch or a
+    * persisted artifact (the streamed gate replays bitwise). */
+  private[graft] def scoreAgainstStats(
+      assigned: DataFrame,
+      stats: DataFrame,
+      idCol: String,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    val dd = col("dist").cast(DecimalType(38, 0))
     val nD = col("n").cast(DecimalType(38, 0))
-    val joined = base.join(broadcast(st), Seq("cell"))
+    assigned.join(broadcast(stats), Seq("cell"))
       .withColumn("__a", (nD * dd - col("__s1")).cast("double"))
       .withColumn("__b",
         (nD * col("__s2") - col("__s1") * col("__s1")).cast("double"))
       .withColumn("__c", (col("n") * (col("n") - 1L)).cast("double"))
-    joined.select(col(idCol), col("cell"), col("dist"),
+      .select(col(idCol) +: passthrough.map(col) :+ col("cell") :+
+        col("dist") :+
         when(col("n") < 2L || col("__b") <= 0.0, lit(null).cast("double"))
           .otherwise(round((col("__a") / col("n").cast("double")) /
-            sqrt(col("__b") / col("__c")), 9)).as("z"))
-      .orderBy(idCol)
+            sqrt(col("__b") / col("__c")), 9)).as("z"): _*)
   }
 }

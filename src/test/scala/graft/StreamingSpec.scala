@@ -708,6 +708,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streamingOutlierGate: streamed z == the batch pass that built the stats") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamVec
+    // batch corpus -> centroids + cell stats (the persisted artifact);
+    // the stream re-scores the same vectors statelessly across a
+    // micro-batch boundary — z must be bit-identical to the batch pass
+    val rows = (0 until 30).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        (if (i < 15) 1.0f else 9.0f) + 0.01f * (((i * 7 + d) % 5) - 2)))
+    } :+ (99L, (0 until 8).map(_ => 4.0f))
+    val batchDf = rows.toDF("vec_id", "embedding")
+    val cents = graft.vector.Ivf.trainCentroids(batchDf, nCells = 2, iters = 3)
+    val batch = graft.vector.Embeddings.outlierScores(batchDf, cents)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2),
+        Option(r.get(3)))).toMap
+    val stats = graft.vector.Embeddings.cellStats(
+      graft.vector.Embeddings.assignDist(batchDf, cents, "vec_id", "embedding"))
+    stats.persist(); stats.count()
+    val in = MemoryStream[StreamVec]
+    val svs = rows.map { case (id, e) => StreamVec(id, t("2024-01-01 00:10:00"), e) }
+    in.addData(svs.take(10): _*)
+    val out = Streaming.streamingOutlierGate(in.toDS(), cents, stats)
+    val q = out.writeStream.format("memory").queryName("ogate")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(svs.drop(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ogate").collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Int]("cell"),
+        r.getAs[Double]("dist"), Option(r.getAs[Any]("z")))).toMap
+    assert(streamed === batch)
+    stats.unpersist()
+  }
+
   test("streamingCrossCorpusGate: streamed hits == batch crossCorpusNearDups pairs") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamDoc
