@@ -900,6 +900,30 @@ object DocQueries {
         .groupBy("d").agg(count(lit(1)).as("n_in_transit"))
         .orderBy("d")
     }),
+    "q_overlap_join" -> ((s, dir) => {
+      // INTERVAL-overlap join via the same bucket expansion (round
+      // 13): per supplier, how many of its line pairs were in transit
+      // simultaneously — pairs attributed to the overlap-START bucket
+      // (no distinct), the per-key cell carve bounding the graph
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val lo = unix_date(col("l_shipdate").cast("date")).cast("long")
+      val base = li.select(col("l_suppkey"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("lid"),
+        lo.as("lo"),
+        (lo + lit(1L) +
+          pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(21L)))
+          .as("hi"))
+      val a = base.select(col("l_suppkey"), col("lid").as("lid_a"),
+        col("lo").as("lo_a"), col("hi").as("hi_a"))
+      val b = base.select(col("l_suppkey"), col("lid").as("lid_b"),
+        col("lo").as("lo_b"), col("hi").as("hi_b"))
+      graft.operators.RangeJoin.intervalOverlap(a, b,
+          "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 7,
+          equiKeys = Seq("l_suppkey"))
+        .filter(col("lid_a") < col("lid_b"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("l_suppkey")
+    }),
     "q_suffix_lcp" -> ((s, dir) =>
       // suffix array + LCP (round 13, the Lee et al. exact
       // substring-dedup structure): the doubling chain retains every
@@ -1321,6 +1345,14 @@ object DocQueries {
       CorpusOps.mixtureAllocation(documents(s, dir),
         budgetTokens = 84000L, alpha = 0.5, maxRepeat = 3.0)
         .orderBy("source")),
+    "q_mix_waterfill" -> ((s, dir) =>
+      // exact water-filling (round 13): the 80k budget sits inside the
+      // cap spread at sf0.01 (caps 3xn ~ 3.8k-4.7k, proportional share
+      // ~4k), so some sources cap and the level genuinely rises —
+      // redistribution solved in closed form, level picked by exact
+      // decimal cross-products
+      CorpusOps.mixtureWaterfill(documents(s, dir),
+        budgetTokens = 80000L, alpha = 0.5, maxRepeat = 3.0)),
     "q_asof_attrib" -> ((s, dir) => {
       // click -> most recent prior view by the same user (point-in-time
       // attribution); oracle is DuckDB's native ASOF LEFT JOIN; the
@@ -4078,6 +4110,17 @@ object DocQueries {
         |FROM pts JOIN iv ON d BETWEEN lo AND hi
         |GROUP BY d ORDER BY d""".stripMargin,
 
+    "q_overlap_join" ->
+      """WITH b AS (SELECT l_suppkey, l_orderkey * 8 + l_linenumber AS lid,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS lo,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 1
+        |      + (l_orderkey * 7 + l_linenumber) % 21 AS hi
+        |  FROM lineitem)
+        |SELECT a.l_suppkey, count(*) AS n_overlaps
+        |FROM b a JOIN b c ON a.l_suppkey = c.l_suppkey AND a.lid < c.lid
+        |  AND a.lo <= c.hi AND c.lo <= a.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_suffix_lcp" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents
          |  WHERE doc_id < 40),
@@ -4689,6 +4732,55 @@ object DocQueries {
          |  target_tokens - least(target_tokens, cap) AS deficit_tokens,
          |  round(least(target_tokens, cap)::DOUBLE / n_tokens::DOUBLE, 9) AS epochs
          |FROM a ORDER BY source""".stripMargin,
+
+    "q_mix_waterfill" ->
+      s"""WITH t AS (SELECT source, len($toksExpr)::BIGINT AS tk FROM documents),
+         |d AS (SELECT source, count(*) AS n_docs, sum(tk) AS n_tokens
+         |  FROM t GROUP BY source),
+         |sh AS (SELECT source, n_docs, n_tokens,
+         |  n_tokens::DOUBLE / (sum(n_tokens) OVER ())::DOUBLE AS share FROM d),
+         |m AS (SELECT source, n_docs, n_tokens,
+         |  CAST(round(sqrt(share) * 1e15, 0) AS HUGEINT) AS fm FROM sh),
+         |w AS (SELECT source, n_docs, n_tokens,
+         |  round(fm::DOUBLE / (sum(fm) OVER ())::DOUBLE, 9) AS weight FROM m),
+         |base AS (SELECT source, n_docs, n_tokens, weight,
+         |  CAST(round(3.0 * n_tokens::DOUBLE, 0) AS BIGINT) AS cap,
+         |  CAST(round(weight * 1e9, 0) AS BIGINT) AS w9 FROM w),
+         |r AS (SELECT *, cap::DOUBLE * 1e9 / (w9::DOUBLE * 80000.0) AS rr
+         |  FROM base),
+         |p AS (SELECT *, sum(w9) OVER () AS s,
+         |  sum(cap) OVER (ORDER BY rr, source) AS ck,
+         |  sum(w9) OVER (ORDER BY rr, source) AS wk,
+         |  lead(cap) OVER (ORDER BY rr, source) AS capn,
+         |  lead(w9) OVER (ORDER BY rr, source) AS w9n FROM r),
+         |v AS (SELECT *,
+         |  CASE WHEN wk = s THEN ck <= 80000
+         |    ELSE cap::HUGEINT * (s - wk)::HUGEINT
+         |           <= (80000 - ck)::HUGEINT * w9::HUGEINT
+         |      AND (capn IS NULL OR capn::HUGEINT * (s - wk)::HUGEINT
+         |           > (80000 - ck)::HUGEINT * w9n::HUGEINT) END AS valid,
+         |  CASE WHEN wk = s THEN NULL
+         |    ELSE ((80000 - ck)::DOUBLE * s::DOUBLE)
+         |      / (80000.0 * (s - wk)::DOUBLE) END AS tk2,
+         |  cap::HUGEINT * s::HUGEINT <= w9::HUGEINT * 80000::HUGEINT AS c1
+         |  FROM p),
+         |lvl AS (SELECT max(CASE WHEN c1 THEN 1 ELSE 0 END) AS any1,
+         |  max(CASE WHEN valid THEN tk2 END) AS tv,
+         |  max(CASE WHEN valid AND wk = s THEN 1 ELSE 0 END) AS allc FROM v),
+         |fin AS (SELECT source, n_docs::BIGINT AS n_docs,
+         |  n_tokens::BIGINT AS n_tokens, weight, cap AS cap_tokens,
+         |  CASE WHEN allc = 1 AND any1 = 1 THEN NULL
+         |    ELSE round(CASE WHEN any1 = 0 THEN 1.0 ELSE tv END, 9)
+         |  END AS water_level,
+         |  CASE WHEN allc = 1 AND any1 = 1 THEN cap
+         |    ELSE least(cap, CAST(round(
+         |      (CASE WHEN any1 = 0 THEN 1.0 ELSE tv END
+         |        * (w9::DOUBLE * 80000.0)) / s::DOUBLE, 0) AS BIGINT))
+         |  END AS alloc_tokens
+         |  FROM v CROSS JOIN lvl)
+         |SELECT source, n_docs, n_tokens, weight, cap_tokens, water_level,
+         |  alloc_tokens, alloc_tokens = cap_tokens AS capped
+         |FROM fin ORDER BY source""".stripMargin,
 
     "q_asof_attrib" ->
       """WITH clicks AS (

@@ -58,4 +58,49 @@ object RangeJoin {
       .filter(col(loCol) <= col(pointCol) && col(pointCol) <= col(hiCol))
       .drop("__bk")
   }
+
+  /** INTERVAL-overlap equi-join via the same bucket expansion: both
+    * sides replicate into their covered buckets, join on (equiKeys,
+    * bucket), and the residual `loA <= hiB && loB <= hiA` keeps true
+    * overlaps (inclusive ends). A pair overlapping across several
+    * buckets would match once per shared bucket — instead of a
+    * `distinct` (a full extra shuffle of the output), each pair is
+    * attributed to EXACTLY the bucket containing the overlap START
+    * (`greatest(loA, loB)`), so the join emits each pair once by
+    * construction. `equiKeys` carve the corpus into join cells first
+    * (sessions per user, lines per supplier …) — the difference
+    * between a bounded per-key overlap graph and an all-pairs one.
+    * Left columns must not collide with right columns (rename first).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      loA: String, hiA: String,
+      loB: String, hiB: String,
+      bucketWidth: Long,
+      equiKeys: Seq[String] = Nil,
+      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    def bucket(c: Column): Column = floor(c / bucketWidth)
+    def expand(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val nb = bucket(col(hi)) - bucket(col(lo)) + 1L
+      df.withColumn("__nb",
+          when(col(hi) < col(lo), lit(0L))
+            .when(nb > maxBucketsPerInterval,
+              raise_error(concat(
+                lit(s"overlap-join interval spans more than " +
+                  s"$maxBucketsPerInterval buckets at width $bucketWidth ("),
+                col(lo), lit(".."), col(hi),
+                lit("); widen bucketWidth or cap spans"))).cast("long"))
+            .otherwise(nb))
+        .filter(col("__nb") > 0)
+        .withColumn("__bk", explode(sequence(bucket(col(lo)), bucket(col(hi)))))
+        .drop("__nb")
+    }
+    expand(left, loA, hiA)
+      .join(expand(right, loB, hiB), equiKeys :+ "__bk")
+      .filter(col(loA) <= col(hiB) && col(loB) <= col(hiA) &&
+        col("__bk") === bucket(greatest(col(loA), col(loB))))
+      .drop("__bk")
+  }
 }

@@ -487,6 +487,102 @@ object CorpusOps {
         "achieved_tokens", "deficit_tokens", "epochs")
   }
 
+  /** EXACT water-filling mixture allocation — the redistribution
+    * [[mixtureAllocation]] deliberately omits, solved in closed form
+    * instead of iteratively: find the water level t such that
+    * Σ min(cap_d, t·w_d·B) = B, i.e. capped sources keep their caps
+    * and the remaining budget is re-split proportionally among the
+    * uncapped. Sources cap in increasing order of r_d = cap_d/(w_d·B),
+    * so the level is found by ONE sorted prefix-sum pass over the
+    * bounded domain table: for the k smallest-r sources capped,
+    * t_k = (B−C_k)·S / (B·(S−W_k)) with C_k/W_k the cap/weight prefix
+    * sums and S the total fixed-point weight mass; the unique valid k
+    * has r_k <= t_k < r_{k+1}. Every selection COMPARISON is
+    * cross-multiplied onto exact integers (cap·(S−W_k) vs (B−C_k)·w9 —
+    * the 1e-9 fixed-point weights make weight sums integral), so the
+    * chosen level is bit-deterministic; only the reported level and
+    * the final per-source allocation are IEEE ops on those integers.
+    * If Σcap <= B every source caps and the level is null (surplus
+    * budget reported by the allocation gap).
+    *
+    * @return (source, n_docs, n_tokens, weight, cap_tokens,
+    *         water_level, alloc_tokens, capped) */
+  def mixtureWaterfill(
+      docs: DataFrame,
+      budgetTokens: Long,
+      alpha: Double = 0.5,
+      maxRepeat: Double = 4.0,
+      textCol: String = "text",
+      domainCol: String = "source"): DataFrame = {
+    require(budgetTokens > 0 && budgetTokens < 9000000000000000L,
+      s"budgetTokens must be in (0, 9e15) so it stays exact as a " +
+        s"double, got $budgetTokens")
+    require(maxRepeat > 0, s"maxRepeat must be > 0, got $maxRepeat")
+    import org.apache.spark.sql.expressions.Window
+    val B = budgetTokens
+    val base = mixtureWeights(docs, alpha, textCol, domainCol)
+      .withColumn("cap_tokens",
+        round(lit(maxRepeat) * col("n_tokens").cast("double"), 0).cast("long"))
+      .withColumn("__w9", round(col("weight") * 1e9, 0).cast("long"))
+      .withColumn("__r",
+        col("cap_tokens").cast("double") * 1e9 /
+          (col("__w9").cast("double") * lit(B.toDouble)))
+    // bounded windows: the domain table is tens of rows
+    val all = Window.partitionBy()
+    val ord = Window.orderBy("__r", domainCol)
+    val pre = base
+      .withColumn("__S", sum("__w9").over(all))
+      .withColumn("__Ck", sum("cap_tokens").over(ord))
+      .withColumn("__Wk", sum("__w9").over(ord))
+      .withColumn("__capNext", lead("cap_tokens", 1).over(ord))
+      .withColumn("__w9Next", lead("__w9", 1).over(ord))
+    // validity of level k, all EXACT decimal cross-products:
+    //   r_k <= t_k   <=> cap_k·(S−W_k) <= (B−C_k)·w9_k
+    //   r_{k+1} > t_k <=> capNext·(S−W_k) > (B−C_k)·w9Next (or last row)
+    // W_k == S (last row) means every source capped: valid iff C_k <= B
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    val lhsK = dec(col("cap_tokens")) * dec(col("__S") - col("__Wk"))
+    val rhsK = dec(lit(B) - col("__Ck")) * dec(col("__w9"))
+    val lhsN = dec(col("__capNext")) * dec(col("__S") - col("__Wk"))
+    val rhsN = dec(lit(B) - col("__Ck")) * dec(col("__w9Next"))
+    val valid =
+      when(col("__Wk") === col("__S"), col("__Ck") <= B)
+        .otherwise(lhsK <= rhsK &&
+          (col("__capNext").isNull || lhsN > rhsN))
+    // the level of the unique valid row (null when all sources cap);
+    // pure double arithmetic on exactly representable integers
+    val tK = when(col("__Wk") === col("__S"), lit(null).cast("double"))
+      .otherwise(
+        (lit(B) - col("__Ck")).cast("double") * col("__S").cast("double") /
+          (lit(B.toDouble) * (col("__S") - col("__Wk")).cast("double")))
+    // no source capped at t = 1: min r > 1 <=> cap·S > w9·B everywhere
+    val capsAtOne =
+      dec(col("cap_tokens")) * dec(col("__S")) <= dec(col("__w9")) * dec(lit(B))
+    val levelRow = pre
+      .withColumn("__anyCapAt1", max(capsAtOne.cast("int")).over(all))
+      .withColumn("__t",
+        when(col("__anyCapAt1") === 0, lit(1.0))
+          .otherwise(max(when(valid, tK)).over(all)))
+      .withColumn("__allCapped",
+        max(when(valid && col("__Wk") === col("__S"), 1).otherwise(0))
+          .over(all))
+    levelRow.select(col(domainCol), col("n_docs"), col("n_tokens"),
+        col("weight"), col("cap_tokens"),
+        when(col("__allCapped") === 1 && col("__anyCapAt1") === 1,
+          lit(null).cast("double"))
+          .otherwise(round(col("__t"), 9)).as("water_level"),
+        when(col("__allCapped") === 1 && col("__anyCapAt1") === 1,
+          col("cap_tokens"))
+          .otherwise(least(col("cap_tokens"),
+            round(col("__t") *
+              (col("__w9").cast("double") * lit(B.toDouble)) /
+              col("__S").cast("double"), 0).cast("long")))
+          .as("alloc_tokens"))
+      .withColumn("capped", col("alloc_tokens") === col("cap_tokens"))
+      .orderBy(domainCol)
+  }
+
   /** Temperature-scaled domain mixture weights: per domain (source),
     * token share p_d = tokens_d / total, sampling weight
     * w_d = p_d^alpha / sum(p^alpha) — alpha < 1 upsamples small

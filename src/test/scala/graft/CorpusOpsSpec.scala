@@ -327,6 +327,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assertClose(be2, bt2.toDouble / 24.0, 1e-9)
   }
 
+  test("mixtureWaterfill: exact level search, redistribution sums to the budget") {
+    val d = Seq(
+      (1L, "a b c d e f g h", "big"), (2L, "a b c d e f g h", "big"),
+      (3L, "a b c d e f g h", "big"), (4L, "a b", "small"))
+      .toDF("doc_id", "text", "source")
+    def run(b: Long) = CorpusOps.mixtureWaterfill(d, budgetTokens = b,
+        alpha = 0.5, maxRepeat = 2.0).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((Option(r.get(5)).map(_.asInstanceOf[Double]),
+          r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("capped"),
+          r.getAs[Double]("weight")))).toMap
+    // B=40: small caps at 4; the level rises to (40-4)/(40*w_big) and
+    // big absorbs the remaining budget EXACTLY
+    val m40 = run(40L)
+    assert(m40("small")._2 === 4L && m40("small")._3)
+    val (bigT, bigAlloc, bigCapped, bigW) = m40("big")
+    assert(!bigCapped && bigAlloc === 36L, s"big got $bigAlloc")
+    assert(math.abs(bigT.get - 36.0 / (40.0 * bigW)) < 1e-6)
+    assert(m40.values.map(_._2).sum === 40L)
+    // B=100 > total caps 52: every source capped, level null
+    val m100 = run(100L)
+    assert(m100.values.forall(v => v._1.isEmpty && v._3))
+    assert(m100.values.map(_._2).sum === 52L)
+    // B=15: nothing caps, level is exactly 1, allocation proportional
+    val m15 = run(15L)
+    assert(m15.values.forall(v => v._1.contains(1.0) && !v._3))
+    assert(m15("big")._2 === 12L && m15("small")._2 === 3L)
+  }
+
   test("epochShard: positions are a permutation, shards balanced round-robin") {
     val d = (1L to 100L).map(i => i -> s"doc $i").toDF("doc_id", "text")
     val out = CorpusOps.epochShard(d, epoch = 1, nShards = 8).collect()

@@ -44,6 +44,43 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("intervalOverlap: inclusive touch, one row per pair despite shared buckets") {
+    val a = Seq((1L, 0L, 30L), (2L, 100L, 100L)).toDF("ida", "lo_a", "hi_a")
+    val b = Seq(
+      (10L, 30L, 40L),  // touches interval 1 at exactly 30 (inclusive)
+      (11L, 5L, 25L),   // nested in interval 1: shares 3+ width-10 buckets
+      (12L, 41L, 50L),  // disjoint from both
+      (13L, 100L, 100L) // point-interval touch with 2
+    ).toDF("idb", "lo_b", "hi_b")
+    val out = RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+        bucketWidth = 10)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // no duplicates: each pair attributed to its overlap-start bucket
+    assert(out.length === out.distinct.length)
+    assert(out.toSet === Set((1L, 10L), (1L, 11L), (2L, 13L)))
+  }
+
+  test("intervalOverlap matches the quadratic join with equi-keys, no nested loop") {
+    val rnd = new scala.util.Random(9)
+    def mk(pfx: String) = (1 to 150).map { i =>
+      val lo = rnd.nextInt(500).toLong
+      (i.toLong, (i % 5).toLong, lo, lo + rnd.nextInt(60))
+    }.toDF(s"${pfx}id", "k", s"lo_$pfx", s"hi_$pfx")
+    val a = mk("a"); val b = mk("b")
+    val fast = RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+      bucketWidth = 30, equiKeys = Seq("k"))
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    val got = fast.select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = a.join(b.withColumnRenamed("k", "k2"), col("k") === col("k2"))
+      .filter(col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === want)
+  }
+
   test("pathological interval spans fail fast with the conf hint") {
     val points = Seq(1L).toDF("p")
     val intervals = Seq((0L, 1000000L)).toDF("lo", "hi")
