@@ -142,6 +142,46 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("200k-position LCP probe: sparse-table descent correct on sampled adjacents") {
+    // the same 2,000-doc corpus as the suffix-rank probe (planted
+    // 25-token shared runs every 10th doc force LONG common prefixes);
+    // verify lcp_prev on 300 sampled positions against the locally
+    // reconstructed previous-suffix comparison
+    val nDocs = 2000
+    val docsLocal = (0 until nDocs).map { d =>
+      val len = 80 + (d * 31) % 40
+      val toks = (0 until len).map { i =>
+        if (d % 10 == 0 && i >= 20 && i < 45) s"w${(i * 13) % 97}"
+        else s"w${(d * 131 + i * 7919) % 400}"
+      }
+      (d.toLong, toks.mkString(" "))
+    }
+    val t0 = System.nanoTime()
+    val got = graft.operators.SuffixRank.suffixArrayWithLcp(
+        docsLocal.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    info(f"200k-position suffix array + LCP: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val byDoc = docsLocal.toMap.map { case (d, t) => d -> t.split(" ").toSeq }
+    assert(got.size === byDoc.map(_._2.size).sum)
+    // reconstruct the global order locally from the returned seq
+    val bySeq = got.toArray.map { case (k, (seq, lcp)) => (seq, k, lcp) }
+      .sortBy(_._1)
+    assert(bySeq.map(_._1).toSeq === bySeq.indices.map(_.toLong))
+    val rnd = new scala.util.Random(17)
+    (0 until 300).foreach { _ =>
+      val i = 1 + rnd.nextInt(bySeq.length - 1)
+      val (_, (dc, pc), lcp) = bySeq(i)
+      val (_, (dp, pp), _) = bySeq(i - 1)
+      val cur = byDoc(dc).drop(pc); val prev = byDoc(dp).drop(pp)
+      val want = cur.zip(prev).takeWhile { case (a, b) => a == b }.size.toLong
+      assert(lcp === want, s"seq $i: ($dc,$pc) vs ($dp,$pp)")
+    }
+    // the planted shared runs must surface: some adjacent pair shares
+    // a >= 20-token prefix
+    assert(bySeq.exists(_._3 >= 20L), "no long repeat found")
+  }
+
   test("20k-corpus incremental near-dup probe: planted delta links all found") {
     // 20,000 corpus docs + a 2,000-doc delta batch: 1,000 exact
     // mirrors (J = 1, LSH-certain) and 1,000 genuinely new docs. The
