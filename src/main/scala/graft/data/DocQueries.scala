@@ -900,6 +900,24 @@ object DocQueries {
         .groupBy("d").agg(count(lit(1)).as("n_in_transit"))
         .orderBy("d")
     }),
+    "q_in_transit_sweep" -> ((s, dir) => {
+      // the SWEEP-LINE twin of q_in_transit (same oracle SQL, same
+      // values): two delta events per interval -> distinct-date
+      // histogram -> two-level prefix sum -> bounded as-of read; no
+      // point x interval pair table at all — the bench pair measures
+      // the join-vs-sweep gap at identical semantics
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val lo = unix_date(col("l_shipdate").cast("date")).cast("long")
+      val intervals = li.select(lo.as("lo"),
+        (lo + lit(1L) +
+          pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(21L)))
+          .as("hi"))
+      val points = li.select(lo.as("d")).distinct()
+      graft.operators.RangeJoin.stabbingCounts(points, intervals,
+          "d", "lo", "hi")
+        .withColumnRenamed("n_covering", "n_in_transit")
+        .orderBy("d")
+    }),
     "q_overlap_join" -> ((s, dir) => {
       // INTERVAL-overlap join via the same bucket expansion (round
       // 13): per supplier, how many of its line pairs were in transit
@@ -4100,6 +4118,19 @@ object DocQueries {
          |FROM p ORDER BY doc_id, pos""".stripMargin,
 
     "q_in_transit" ->
+      """WITH pts AS (SELECT DISTINCT
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS d FROM lineitem),
+        |  iv AS (SELECT (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS lo,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 1
+        |      + (l_orderkey * 7 + l_linenumber) % 21 AS hi
+        |  FROM lineitem)
+        |SELECT d, count(*) AS n_in_transit
+        |FROM pts JOIN iv ON d BETWEEN lo AND hi
+        |GROUP BY d ORDER BY d""".stripMargin,
+
+    "q_in_transit_sweep" ->
+      // identical semantics to q_in_transit: the engine-side sweep must
+      // reproduce the quadratic BETWEEN join's counts exactly
       """WITH pts AS (SELECT DISTINCT
         |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS d FROM lineitem),
         |  iv AS (SELECT (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS lo,

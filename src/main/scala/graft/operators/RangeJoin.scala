@@ -59,6 +59,42 @@ object RangeJoin {
       .drop("__bk")
   }
 
+  /** Interval STABBING COUNTS by sweep-line — the aggregation-only
+    * twin of [[pointInInterval]] + count: when the question is "how
+    * many intervals cover each point" (inventory in flight, open
+    * sessions, concurrent transfers), materializing the point×interval
+    * pair table just to count it wastes the join's entire output.
+    * The sweep needs no pairs at all: every interval contributes two
+    * delta events (+1 at lo, −1 at hi+1), one map-side-combinable
+    * aggregate collapses them to a DISTINCT-DATE histogram (bounded by
+    * the value domain — calendar-sized, not interval-sized), a
+    * two-level [[PrefixSum]] turns deltas into running coverage, and
+    * each point reads the count at its preceding event via the
+    * bounded as-of union. Linear in intervals with a ~2× constant,
+    * zero pair materialization — the measured bench twin
+    * (q_in_transit vs q_in_transit_sweep) quantifies the gap.
+    *
+    * Output: (pointCol, n_covering) — inclusive interval ends,
+    * points covered by nothing report 0. */
+  def stabbingCounts(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String): DataFrame = {
+    val iv = intervals.filter(col(hiCol) >= col(loCol))
+    val ev = iv.select(col(loCol).as("__d"), lit(1L).as("__c"))
+      .unionByName(iv.select((col(hiCol) + 1L).as("__d"), lit(-1L).as("__c")))
+      .groupBy("__d").agg(sum("__c").as("__c"))
+    // running coverage at each event date: deltas strictly before + own
+    val cum = PrefixSum.rowsBefore(ev, "__d")
+      .select(col("__d").as(pointCol), (col("__rb") + col("__c")).as("__cnt"))
+    AsOfJoin.asof(points.select(col(pointCol)), cum, pointCol,
+        byCols = Nil, payloadCols = Seq("__cnt"))
+      .select(col(pointCol),
+        coalesce(col("asof___cnt"), lit(0L)).as("n_covering"))
+  }
+
   /** INTERVAL-overlap equi-join via the same bucket expansion: both
     * sides replicate into their covered buckets, join on (equiKeys,
     * bucket), and the residual `loA <= hiB && loB <= hiA` keeps true

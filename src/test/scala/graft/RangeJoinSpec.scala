@@ -81,6 +81,26 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("stabbingCounts equals pointInInterval + count, zero-coverage points report 0") {
+    val rnd = new scala.util.Random(21)
+    val points = (0L to 600L by 3L).toDF("p")
+    val intervals = (1 to 250).map { _ =>
+      val lo = rnd.nextInt(500).toLong
+      (lo, lo + rnd.nextInt(40))
+    }.toDF("lo", "hi")
+    val sweep = RangeJoin.stabbingCounts(points, intervals, "p", "lo", "hi")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi",
+        bucketWidth = 20)
+      .groupBy("p").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    points.collect().map(_.getLong(0)).foreach { p =>
+      assert(sweep(p) === joined.getOrElse(p, 0L), s"point $p")
+    }
+    // points past every interval end must be zero, not carry the tail
+    assert(sweep(600L) === 0L)
+  }
+
   test("pathological interval spans fail fast with the conf hint") {
     val points = Seq(1L).toDF("p")
     val intervals = Seq((0L, 1000000L)).toDF("lo", "hi")
