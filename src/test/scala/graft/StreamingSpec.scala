@@ -708,6 +708,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("RangeJoin.pointInInterval is stream-safe: streamed enrichment == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // the bucket-expansion range join is STATELESS on the point side
+    // (one bucket per row + a static exploded interval frame), so the
+    // batch operator runs unchanged on a stream — the attribution /
+    // in-transit shape online
+    val intervals = Seq((10L, 0L, 3600L), (11L, 1800L, 7200L),
+      (12L, 90000L, 95000L)).toDF("iid", "lo", "hi")
+    intervals.persist(); intervals.count()
+    val in = MemoryStream[Event]
+    val events = (1L to 40L).map(i =>
+      Event(i, new Timestamp(i * 300 * 1000L), i, "p", i.toDouble))
+    in.addData(events.take(20): _*)
+    val pts = in.toDF().select(col("event_id"),
+      (unix_timestamp(col("ts"))).as("p"))
+    val out = graft.operators.RangeJoin.pointInInterval(
+      pts, intervals, "p", "lo", "hi", bucketWidth = 1000)
+    val q = out.writeStream.format("memory").queryName("rjoin")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(events.drop(20): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rjoin").select("event_id", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.RangeJoin.pointInInterval(
+        spark.createDataFrame(events).select(col("event_id"),
+          unix_timestamp(col("ts")).as("p")),
+        intervals, "p", "lo", "hi", bucketWidth = 1000)
+      .select("event_id", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+    intervals.unpersist()
+  }
+
   test("streamingOutlierGate: streamed z == the batch pass that built the stats") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamVec
