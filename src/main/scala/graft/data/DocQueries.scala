@@ -950,6 +950,19 @@ object DocQueries {
       // materialized suffix strings + first-mismatch scan
       graft.operators.SuffixRank.suffixArrayWithLcp(
         documents(s, dir).filter(col("doc_id") < 40))),
+    "q_repeat_marks" -> ((s, dir) => {
+      // the Lee et al. repeat surface off the LCP column (round 13):
+      // position p starts a repeated 8-token substring iff it shares
+      // a >= 8 prefix with a rank-neighbor; the corpus plants full-doc
+      // mirrors of docs 0..4 so both polarities appear (the natural
+      // 40-doc slice has no 8-token repeats); oracle = direct group
+      // count on the materialized 8-token windows
+      val d = documents(s, dir)
+      val corpus = d.filter(col("doc_id") < 30).select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 700).as("doc_id"), col("text")))
+      graft.operators.SuffixRank.repeatMarks(corpus, minLen = 8)
+    }),
     "q_topk_agg" -> ((s, dir) => {
       // the AGGREGATE spelling of top-k-per-key (functions/
       // TopKPairsAgg, round 13): per event_type the 5 best events by
@@ -4169,6 +4182,23 @@ object DocQueries {
          |      i -> suf[i] = prev[i]), false), 0) - 1,
          |    least(len(suf), len(prev))) END)::BIGINT AS lcp_prev
          |FROM o ORDER BY doc_id, pos""".stripMargin,
+
+    "q_repeat_marks" ->
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 30
+         |  UNION ALL
+         |  SELECT doc_id + 700 AS doc_id, text FROM documents WHERE doc_id < 5),
+         |t AS (SELECT doc_id, $toksExpr AS toks FROM docs2),
+         |pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+         |  FROM t WHERE len(toks) > 0),
+         |w AS (SELECT doc_id, (i - 1)::INTEGER AS pos,
+         |  CASE WHEN len(toks) - i + 1 >= 8
+         |    THEN array_to_string(toks[i:i+7], ' ') END AS win FROM pos),
+         |c AS (SELECT win, count(*) AS n FROM w
+         |  WHERE win IS NOT NULL GROUP BY win)
+         |SELECT w.doc_id, w.pos, coalesce(c.n > 1, false) AS is_repeat
+         |FROM w LEFT JOIN c USING (win)
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT event_type, rank, value, event_id FROM (

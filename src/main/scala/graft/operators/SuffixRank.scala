@@ -194,4 +194,35 @@ object SuffixRank {
         coalesce(col("lcp_prev"), lit(0L)).as("lcp_prev"))
       .orderBy("doc_id", "pos")
   }
+
+  /** Exact repeated-substring marks — the Lee et al. '22 threshold
+    * surface read straight off the LCP column: position p starts a
+    * length-`minLen` substring that occurs elsewhere in the corpus iff
+    * its suffix shares a >= minLen prefix with a RANK-NEIGHBOR (all
+    * suffixes with a common L-prefix are contiguous in suffix order,
+    * so membership in a >= 2 block shows up as lcp_prev >= L on the
+    * position itself or on its successor). Positions with fewer than
+    * minLen tokens remaining are never marked (the capped LCP makes
+    * that automatic). The marks are the input to substring-level
+    * dedup cuts; [[graft.text.Rewrite]]'s spanDedup computes the same
+    * surface with sliding window hashes — SuffixRankSpec cross-checks
+    * the two derivations.
+    *
+    * Output: (doc_id, pos, is_repeat). */
+  def repeatMarks(
+      docs: DataFrame,
+      minLen: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numParts: Int = 32): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val sa = suffixArrayWithLcp(docs, textCol, idCol, numParts)
+    val nxt = sa.select((col("seq") - 1L).as("seq"),
+      col("lcp_prev").as("__lcpNext"))
+    sa.join(nxt, Seq("seq"), "left")
+      .select(col("doc_id"), col("pos"),
+        (col("lcp_prev") >= minLen ||
+          coalesce(col("__lcpNext"), lit(0L)) >= minLen).as("is_repeat"))
+      .orderBy("doc_id", "pos")
+  }
 }

@@ -49,6 +49,35 @@ class SuffixRankSpec extends AnyFunSuite with SparkSpec {
     assert(out === Map((1L, 0) -> 1L, (3L, 0) -> 0L))
   }
 
+  test("repeatMarks == brute-force sliding-window repeat surface") {
+    // doc 3 fully duplicates doc 4; docs 1/2 share an 8-token run;
+    // everything else is unique — the SA-side neighbor-LCP derivation
+    // must equal the direct window-multiset computation (the spanDedup
+    // surface) at every position and at both thresholds
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon"),
+      (2L, s"zeta eta $shared theta iota kappa"),
+      (3L, "the quick brown fox jumps over the lazy dog again today"),
+      (4L, "the quick brown fox jumps over the lazy dog again today"),
+      (5L, "entirely unshared words compose this document body here now"))
+    for (l <- Seq(4, 8)) {
+      val got = SuffixRank.repeatMarks(docs.toDF("doc_id", "text"), minLen = l)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(2))
+        .toMap
+      val wins = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        toks.indices.map(p => ((id, p),
+          if (toks.size - p >= l) Some(toks.slice(p, p + l)) else None))
+      }
+      val counts = wins.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+      wins.foreach { case (k, w) =>
+        val want = w.exists(counts(_) > 1)
+        assert(got(k) === want, s"L=$l $k")
+      }
+    }
+  }
+
   test("suffix array + LCP matches a brute-force computation, identical suffixes capped") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog the quick fox"),
