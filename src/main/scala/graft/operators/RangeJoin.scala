@@ -25,8 +25,29 @@ import org.apache.spark.sql.functions._
   * `maxBucketsPerInterval` fails fast (raise_error in-plan) on an
   * interval that would replicate pathologically — the open-interval /
   * fat-outlier guard; widen the width or cap the spans upstream.
+  *
+  * The two frames must carry DISJOINT column names (rename before
+  * joining, as [[intervalOverlap]] documents): the residual
+  * lo <= p <= hi filter resolves by NAME after the using-column join,
+  * so a shared name would be ambiguous or silently bind to the wrong
+  * side. `__bk` / `__nb` are reserved working names on either input.
+  * Both are validated eagerly, not left to Catalyst's resolver.
   */
 object RangeJoin {
+
+  private def requireDisjointColumns(
+      points: DataFrame, intervals: DataFrame, op: String): Unit = {
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"$op requires disjoint column names between the point and interval " +
+        s"frames (the residual filter resolves by name); shared: " +
+        s"${shared.toSeq.sorted.mkString(", ")} — rename one side first")
+    val reserved = (points.columns ++ intervals.columns)
+      .filter(c => c == "__bk" || c == "__nb")
+    require(reserved.isEmpty,
+      s"$op reserves the working column names __bk and __nb; " +
+        s"rename the caller's ${reserved.distinct.mkString(", ")}")
+  }
 
   def pointInInterval(
       points: DataFrame,
@@ -37,6 +58,7 @@ object RangeJoin {
       bucketWidth: Long,
       maxBucketsPerInterval: Int = 10000): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    requireDisjointColumns(points, intervals, "pointInInterval")
     def bucket(c: Column): Column = floor(c / bucketWidth)
     val p = points.withColumn("__bk", bucket(col(pointCol)))
     val nb = bucket(col(hiCol)) - bucket(col(loCol)) + 1L
@@ -117,6 +139,17 @@ object RangeJoin {
       equiKeys: Seq[String] = Nil,
       maxBucketsPerInterval: Int = 10000): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val shared =
+      left.columns.toSet.intersect(right.columns.toSet) -- equiKeys
+    require(shared.isEmpty,
+      s"intervalOverlap requires left/right column names disjoint outside " +
+        s"equiKeys; shared: ${shared.toSeq.sorted.mkString(", ")} — " +
+        s"rename one side first")
+    val reserved = (left.columns ++ right.columns)
+      .filter(c => c == "__bk" || c == "__nb")
+    require(reserved.isEmpty,
+      s"intervalOverlap reserves the working column names __bk and __nb; " +
+        s"rename the caller's ${reserved.distinct.mkString(", ")}")
     def bucket(c: Column): Column = floor(c / bucketWidth)
     def expand(df: DataFrame, lo: String, hi: String): DataFrame = {
       val nb = bucket(col(hi)) - bucket(col(lo)) + 1L

@@ -135,6 +135,11 @@ object TopKPerKey {
       input: Seq[Attribute],
       maxBufferedRows: Int = MaxBufferedRowsDefault,
       exact: Boolean = true): Iterator[InternalRow] = {
+    // A non-positive bound would make the partial-mode epoch loop emit
+    // empty epochs without consuming input — an executor spin, not an
+    // error — so reject it eagerly (covers bad conf values too).
+    require(maxBufferedRows >= 1,
+      s"$MaxBufferedRowsKey must be >= 1, got $maxBufferedRows")
     val keyProj = UnsafeProjection.create(keys, input)
     val ord: Ordering[InternalRow] =
       GenerateOrdering.generate(order, input)

@@ -389,6 +389,19 @@ object Dedup {
       edges = eS
       iter += 1
     }
+    // Unlike the old label-propagation read-out (which degraded
+    // monotonically), the star read-out below is only per-component
+    // correct AT the fixed point: exiting via maxIter could assign
+    // several labels within one component with no other symptom. Star
+    // contraction converges in O(log n) pair-rounds, so hitting the
+    // cap means the cap is too small for the graph — fail loudly
+    // rather than return a structurally wrong clustering.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not reach the star-contraction fixed " +
+          s"point within maxIter=$maxIter pair-rounds; the labeling " +
+          s"would not be per-component — raise maxIter (rounds needed " +
+          s"grow as O(log n) in the largest component)")
     // at the fixed point every non-root holds exactly the edge
     // (node, component min); roots and isolated nodes label themselves
     val lbl = edges.groupBy(col("src").as("id")).agg(min("dst").as("__l"))

@@ -178,7 +178,18 @@ object Embeddings {
 
   /** z of each assigned vector against precomputed [[cellStats]] —
     * identical arithmetic whether the stats come from this batch or a
-    * persisted artifact (the streamed gate replays bitwise). */
+    * persisted artifact (the streamed gate replays bitwise).
+    *
+    * Exactness has a hard ceiling: `__s1 * __s1` lives in
+    * Decimal(38,0), so cells whose |Σdist| reaches ~1e19 (≈1e6 vectors
+    * at ~1e13 squared grid distances) would overflow precision 38 —
+    * and Spark's non-ANSI decimal multiply NULLs silently rather than
+    * raising, while the DuckDB HUGEINT oracle twin dies at the same
+    * ~1.7e38 ceiling. Rather than returning silently-null z for
+    * exactly the hottest cells, the kernel FAILS FAST an order of
+    * magnitude early (|s1| ≥ 1e18 or n·s2 ≥ 1e37, checked in double
+    * space); callers with cells that hot should center distances per
+    * cell or raise the centroid count. */
   private[graft] def scoreAgainstStats(
       assigned: DataFrame,
       stats: DataFrame,
@@ -186,10 +197,20 @@ object Embeddings {
       passthrough: Seq[String] = Nil): DataFrame = {
     val dd = col("dist").cast(DecimalType(38, 0))
     val nD = col("n").cast(DecimalType(38, 0))
+    val momentsTooHot =
+      abs(col("__s1").cast("double")) >= 1e18 ||
+        col("n").cast("double") * col("__s2").cast("double") >= 1e37
     assigned.join(broadcast(stats), Seq("cell"))
       .withColumn("__a", (nD * dd - col("__s1")).cast("double"))
       .withColumn("__b",
-        (nD * col("__s2") - col("__s1") * col("__s1")).cast("double"))
+        when(momentsTooHot, raise_error(concat(
+          lit("cellStats moments for cell "), col("cell").cast("string"),
+          lit(" exceed the exact Decimal(38,0) range (s1="),
+          col("__s1").cast("string"), lit(", n="), col("n").cast("string"),
+          lit("); center distances per cell or raise the centroid count")))
+          .cast("double"))
+          .otherwise(
+            (nD * col("__s2") - col("__s1") * col("__s1")).cast("double")))
       .withColumn("__c", (col("n") * (col("n") - 1L)).cast("double"))
       .select(col(idCol) +: passthrough.map(col) :+ col("cell") :+
         col("dist") :+

@@ -111,4 +111,34 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("widen bucketWidth") ||
       Option(e.getCause).exists(_.getMessage.contains("widen bucketWidth")))
   }
+
+  test("colliding and reserved column names are rejected eagerly") {
+    val points = Seq(1L).toDF("p")
+    val intervals = Seq((0L, 2L)).toDF("lo", "hi")
+    // a shared name would make the residual by-name filter ambiguous
+    val shared = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points.withColumn("lo", lit(0L)),
+        intervals, "p", "lo", "hi", bucketWidth = 10)
+    }
+    assert(shared.getMessage.contains("disjoint") &&
+      shared.getMessage.contains("lo"))
+    // __bk / __nb are working names on either side
+    val reserved = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points.withColumn("__bk", lit(1L)),
+        intervals, "p", "lo", "hi", bucketWidth = 10)
+    }
+    assert(reserved.getMessage.contains("__bk"))
+    // intervalOverlap: names shared OUTSIDE equiKeys rejected …
+    val a = Seq((1L, 0L, 3L)).toDF("k", "lo_a", "hi_a")
+    val b = Seq((1L, 2L, 5L)).toDF("k", "lo_b", "hi_b")
+    val ov = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a.withColumn("lo_b", lit(9L)), b,
+        "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 10, equiKeys = Seq("k"))
+    }
+    assert(ov.getMessage.contains("disjoint"))
+    // … while equiKeys themselves may (must) be shared
+    val ok = RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+      bucketWidth = 10, equiKeys = Seq("k")).collect()
+    assert(ok.length === 1)
+  }
 }

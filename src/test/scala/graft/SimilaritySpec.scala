@@ -83,6 +83,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("scoreAgainstStats fails fast when cell moments would overflow Decimal(38,0)") {
+    import org.apache.spark.sql.types._
+    val assigned = Seq((1L, 0, 5.0)).toDF("id", "cell", "dist")
+    def stats(s1: String, s2: String, n: Long) = {
+      val schema = StructType(Seq(
+        StructField("cell", IntegerType), StructField("n", LongType),
+        StructField("__s1", DecimalType(38, 0)),
+        StructField("__s2", DecimalType(38, 0))))
+      spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0, n,
+          new java.math.BigDecimal(s1), new java.math.BigDecimal(s2))),
+        schema)
+    }
+    // cool moments: exact z, arithmetic unchanged
+    val ok = graft.vector.Embeddings.scoreAgainstStats(
+      assigned, stats("30", "500", 10L), "id").collect()
+    assert(ok.length === 1 && !ok(0).isNullAt(3))
+    // hot s1 (>= 1e18): the regime where non-ANSI decimal multiply used
+    // to NULL z silently must now raise in-plan
+    val e = intercept[Throwable] {
+      graft.vector.Embeddings.scoreAgainstStats(
+        assigned, stats("2000000000000000000", "500", 10L), "id").collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("Decimal(38,0)"), msgs)
+  }
+
   test("truncatedTopK: full-corpus shortlist is exactly brute force; prefix shortlist recalls") {
     val rows = (0 until 40).map { i =>
       val base = if (i < 20) vec(1) else vec(97)

@@ -127,6 +127,19 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rounds <= 12, s"chain took $rounds pair-rounds")
   }
 
+  test("duplicateClusters: exhausting maxIter raises instead of mislabeling") {
+    import spark.implicits._
+    // the star read-out is only per-component correct AT the fixed
+    // point; a maxIter exit used to return a structurally wrong
+    // labeling silently (several labels inside one component)
+    val pairs = (1 until 64).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      graft.text.Dedup.duplicateClustersWithRounds(pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
+
   test("editVerifiedNearDups: order-sensitive verify where jaccard is blind") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -243,4 +243,20 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
       TopKPerKey.topKPerKey(df, Seq("nope"), Seq(("v", true)), 1)
     }
   }
+
+  test("a non-positive buffer bound fails loudly instead of spinning") {
+    // maxBufferedRows <= 0 used to make the partial-mode epoch loop
+    // emit empty epochs without consuming input — an executor hang.
+    spark.conf.set(TopKPerKey.MaxBufferedRowsKey, "0")
+    try {
+      val df = randomDf(100, 5, seed = 7).repartition(3)
+      val e = intercept[Throwable] {
+        TopKPerKey.topKPerKey(df, Seq("key"), Seq(("v", false)), 2).collect()
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains(TopKPerKey.MaxBufferedRowsKey),
+        s"expected the conf-key validation message, got:\n$msgs")
+    } finally spark.conf.unset(TopKPerKey.MaxBufferedRowsKey)
+  }
 }
