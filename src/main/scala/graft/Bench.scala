@@ -47,8 +47,14 @@ object Bench {
     // each sweep records (elapsed, succeeded) — a failed run's fast-fail
     // elapsed must NOT deflate the median, and a query that fails in any
     // sweep is reported in "failures" rather than only on stderr
+    // --only a,b,c restricts the sweep (local iteration on a bench
+    // pair); the driver passes no args and sweeps everything
+    val only = args.sliding(2)
+      .collectFirst { case Array("--only", csv) => csv.split(",").toSet }
     def sweep(): Seq[(String, (Double, Boolean))] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -918,6 +918,43 @@ object DocQueries {
         .withColumnRenamed("n_covering", "n_in_transit")
         .orderBy("d")
     }),
+    "q_in_transit_bcast" -> ((s, dir) => {
+      // the SPINE-BROADCAST twin of q_in_transit (same oracle SQL,
+      // same values): the ~2.5k-date point spine is collected, sorted
+      // and broadcast; the 600k-interval side is scanned ONCE and each
+      // row binary-searches its covered dates — no expansion shuffle,
+      // no bucket join. The bench triple (expand/sweep/bcast) measures
+      // all three range-join spellings at identical semantics
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val lo = unix_date(col("l_shipdate").cast("date")).cast("long")
+      val intervals = li.select(lo.as("lo"),
+        (lo + lit(1L) +
+          pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(21L)))
+          .as("hi"))
+      val points = li.select(lo.as("d")).distinct()
+      graft.operators.RangeJoin.pointInIntervalBroadcast(points, intervals,
+          "d", "lo", "hi")
+        .groupBy("d").agg(count(lit(1)).as("n_in_transit"))
+        .orderBy("d")
+    }),
+    "q_overlap_sweep" -> ((s, dir) => {
+      // the PAIR-FREE twin of q_overlap_join: per supplier, overlapping
+      // ROW pairs = C(n,2) minus the separated pairs counted by one
+      // per-key event sweep — zero pair materialization, O(n log n)
+      // per hot key instead of O(n^2). Row-pair semantics (the oracle
+      // mints a unique rid; q_overlap_join's synthetic lid is not
+      // unique in the testdata, so its counts differ on dup-lid rows)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val lo = unix_date(col("l_shipdate").cast("date")).cast("long")
+      val base = li.select(col("l_suppkey"),
+        lo.as("lo"),
+        (lo + lit(1L) +
+          pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(21L)))
+          .as("hi"))
+      graft.operators.RangeJoin.overlapPairCounts(base, "lo", "hi",
+          equiKeys = Seq("l_suppkey"))
+        .orderBy("l_suppkey")
+    }),
     "q_overlap_join" -> ((s, dir) => {
       // INTERVAL-overlap join via the same bucket expansion (round
       // 13): per supplier, how many of its line pairs were in transit
@@ -4153,6 +4190,36 @@ object DocQueries {
         |SELECT d, count(*) AS n_in_transit
         |FROM pts JOIN iv ON d BETWEEN lo AND hi
         |GROUP BY d ORDER BY d""".stripMargin,
+
+    "q_in_transit_bcast" ->
+      // identical semantics to q_in_transit: the spine-broadcast join
+      // must reproduce the quadratic BETWEEN join's counts exactly
+      """WITH pts AS (SELECT DISTINCT
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS d FROM lineitem),
+        |  iv AS (SELECT (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS lo,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 1
+        |      + (l_orderkey * 7 + l_linenumber) % 21 AS hi
+        |  FROM lineitem)
+        |SELECT d, count(*) AS n_in_transit
+        |FROM pts JOIN iv ON d BETWEEN lo AND hi
+        |GROUP BY d ORDER BY d""".stripMargin,
+
+    "q_overlap_sweep" ->
+      // ROW-pair semantics (every unordered pair of distinct interval
+      // rows): q_overlap_join keys pairs by a synthetic lid that the
+      // testdata does NOT keep unique (duplicate (orderkey,linenumber)
+      // rows share a lid and their pairs vanish under lid_a < lid_b),
+      // so the sweep's oracle mints a genuinely unique rid per row —
+      // any distinct numbering yields the same row-pair count
+      """WITH b AS (SELECT l_suppkey, row_number() OVER () AS rid,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS lo,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 1
+        |      + (l_orderkey * 7 + l_linenumber) % 21 AS hi
+        |  FROM lineitem)
+        |SELECT a.l_suppkey, count(*) AS n_overlaps
+        |FROM b a JOIN b c ON a.l_suppkey = c.l_suppkey AND a.rid < c.rid
+        |  AND a.lo <= c.hi AND c.lo <= a.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_overlap_join" ->
       """WITH b AS (SELECT l_suppkey, l_orderkey * 8 + l_linenumber AS lid,

@@ -117,6 +117,113 @@ object RangeJoin {
         coalesce(col("asof___cnt"), lit(0L)).as("n_covering"))
   }
 
+  /** Conf key bounding the collected point spine for
+    * [[pointInIntervalBroadcast]] — 4M longs = 32 MB, comfortably a
+    * broadcast block, far past any calendar/date-spine use. */
+  val MaxBroadcastPointsKey = "spark.graft.rangejoin.maxBroadcastPoints"
+  val MaxBroadcastPointsDefault: Int = 4 << 20
+
+  /** [[pointInInterval]] with the POINT side broadcast — the scale
+    * path when points are a small spine (distinct dates, a calendar)
+    * and intervals are huge. Bucket expansion replicates and shuffles
+    * the big interval side ~(span/width + 1)× just to meet a spine
+    * that fits in one broadcast block; here the interval side is
+    * scanned ONCE in place: each row binary-searches the broadcast
+    * sorted spine ([[graft.functions.PointsInRangeBcast]]) and
+    * explodes directly into its covered points — no expansion, no
+    * shuffle, no bucket join. A final broadcast equi-join back to the
+    * caller's point frame restores point payload columns and
+    * duplicate-row multiplicity, so the output row set is identical
+    * to [[pointInInterval]] (RangeJoinSpec pins parity).
+    *
+    * Fails fast if the distinct point count exceeds
+    * `spark.graft.rangejoin.maxBroadcastPoints` — fall back to the
+    * shuffling [[pointInInterval]] for genuinely large point sides. */
+  def pointInIntervalBroadcast(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String): DataFrame = {
+    requireDisjointColumns(points, intervals, "pointInIntervalBroadcast")
+    val spark = points.sparkSession
+    val max = spark.conf.getOption(MaxBroadcastPointsKey)
+      .map(_.toInt).getOrElse(MaxBroadcastPointsDefault)
+    require(max >= 1, s"$MaxBroadcastPointsKey must be >= 1, got $max")
+    // limit(max+1) bounds the driver fetch itself (the CalendarIndex
+    // guard pattern): the failure mode is an error, never an OOM
+    val vals = points.filter(col(pointCol).isNotNull)
+      .select(col(pointCol).cast("long")).distinct()
+      .limit(max + 1).collect().map(_.getLong(0))
+    require(vals.length <= max,
+      s"pointInIntervalBroadcast collected more than $max distinct " +
+        s"points; raise $MaxBroadcastPointsKey or use pointInInterval")
+    java.util.Arrays.sort(vals)
+    val bc = spark.sparkContext.broadcast(vals)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val covered = column(graft.functions.PointsInRangeBcast(
+      expression(col(loCol).cast("long")),
+      expression(col(hiCol).cast("long")), bc))
+    intervals.withColumn(pointCol, explode(covered))
+      .join(broadcast(points), Seq(pointCol))
+      .select((points.columns ++ intervals.columns).map(col): _*)
+  }
+
+  /** Per-key count of OVERLAPPING interval pairs with ZERO pair
+    * materialization — the aggregation-only twin of [[intervalOverlap]]
+    * + count, the same way [[stabbingCounts]] twins [[pointInInterval]].
+    * Inclusive ends; a pair overlaps iff loA <= hiB && loB <= hiA.
+    *
+    * Complement counting: within a key holding n intervals, the
+    * unordered pairs that do NOT overlap are exactly those with
+    * hi_a < lo_b (strict; the two disjointness orders are mutually
+    * exclusive since lo <= hi per row), so
+    * `overlaps = n·(n−1)/2 − Σ_b #{a : hi_a < lo_b}`. The per-b counts
+    * come from ONE per-key sweep: every interval contributes a lo
+    * event and an hi event, sorted by (value, lo-before-hi); a running
+    * count of hi events strictly before each lo event is the rank —
+    * O(n log n) per key instead of the pair table's O(n²) on hot keys,
+    * and nothing leaves the key's partition but the final row.
+    *
+    * `equiKeys` must be non-empty (they carve the corpus into cells,
+    * as in [[intervalOverlap]]); null keys and degenerate intervals
+    * are dropped, and only keys with >= 1 overlapping pair are
+    * emitted — all matching the pair operator + count exactly
+    * (RangeJoinSpec pins parity). */
+  def overlapPairCounts(
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      equiKeys: Seq[String],
+      outCol: String = "n_overlaps"): DataFrame = {
+    require(equiKeys.nonEmpty,
+      "overlapPairCounts requires equiKeys — a keyless corpus-wide " +
+        "overlap count would funnel one window partition; carve cells " +
+        "first or use intervalOverlap")
+    import org.apache.spark.sql.expressions.Window
+    val iv = intervals
+      .filter(equiKeys.map(col(_).isNotNull).reduce(_ && _))
+      .filter(col(hiCol) >= col(loCol))
+    val ev = iv.select(equiKeys.map(col) :+ col(loCol).as("__v") :+
+        lit(0).as("__t"): _*)
+      .unionByName(iv.select(equiKeys.map(col) :+ col(hiCol).as("__v") :+
+        lit(1).as("__t"): _*))
+    // hi events at the same value sort AFTER lo events (__t), so the
+    // preceding-rows frame counts exactly the STRICT hi_a < lo_b set;
+    // ties among equal (value, tag) rows cannot change the sum
+    val w = Window.partitionBy(equiKeys.map(col): _*)
+      .orderBy(col("__v"), col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = ev.withColumn("__nh", coalesce(
+      sum(when(col("__t") === 1, 1L).otherwise(0L)).over(w), lit(0L)))
+    ranked.filter(col("__t") === 0)
+      .groupBy(equiKeys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum("__nh").as("__sep"))
+      .select(equiKeys.map(col) :+
+        (expr("__n * (__n - 1L) DIV 2") - col("__sep")).as(outCol): _*)
+      .filter(col(outCol) > 0)
+  }
+
   /** INTERVAL-overlap equi-join via the same bucket expansion: both
     * sides replicate into their covered buckets, join on (equiKeys,
     * bucket), and the residual `loA <= hiB && loB <= hiA` keeps true

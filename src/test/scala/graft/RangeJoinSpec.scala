@@ -112,6 +112,76 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("widen bucketWidth")))
   }
 
+  test("pointInIntervalBroadcast: identical rows to the expansion join, no shuffle join") {
+    val rnd = new scala.util.Random(11)
+    // duplicate point rows + a payload column exercise the join-back:
+    // multiplicity and payload must match the expansion operator's
+    val points = ((1 to 200).map(_ => rnd.nextInt(500).toLong) ++ Seq(7L, 7L))
+      .map(p => (p, s"tag$p")).toDF("p", "ptag")
+    val intervals = (1 to 150).map { i =>
+      val lo = rnd.nextInt(500).toLong
+      (i.toLong, lo, lo + rnd.nextInt(40) - 2) // some degenerate hi < lo
+    }.toDF("iid", "lo", "hi")
+    val key = Seq("p", "ptag", "iid", "lo", "hi")
+    def counted(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(key.map(col): _*).count().collect()
+        .map(r => key.indices.map(r.get).toList -> r.getLong(key.length)).toMap
+    val bcast = RangeJoin.pointInIntervalBroadcast(
+      points, intervals, "p", "lo", "hi")
+    assert(bcast.columns.toSeq === Seq("p", "ptag", "iid", "lo", "hi"))
+    val want = counted(RangeJoin.pointInInterval(
+      points, intervals, "p", "lo", "hi", bucketWidth = 20))
+    assert(counted(bcast) === want && want.nonEmpty)
+    // the interval side must NOT shuffle: the only join is the
+    // broadcast equi-join back to the point frame
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_points_in_range_bcast"),
+      s"missing the spine kernel:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"broadcast variant planned a shuffle/nested-loop join:\n$plan")
+  }
+
+  test("pointInIntervalBroadcast: spine cap fails fast") {
+    val points = (1L to 10L).toDF("p")
+    val intervals = Seq((0L, 20L)).toDF("lo", "hi")
+    spark.conf.set(RangeJoin.MaxBroadcastPointsKey, "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        RangeJoin.pointInIntervalBroadcast(points, intervals, "p", "lo", "hi")
+      }
+      assert(e.getMessage.contains(RangeJoin.MaxBroadcastPointsKey))
+    } finally spark.conf.unset(RangeJoin.MaxBroadcastPointsKey)
+  }
+
+  test("overlapPairCounts equals intervalOverlap + count, pair-free") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map { i =>
+      val lo = rnd.nextInt(300).toLong
+      (s"k${rnd.nextInt(8)}", i.toLong, lo, lo + rnd.nextInt(30) - 2)
+    } ++ Seq(("lone", 900L, 5L, 9L),          // single-interval key: no pairs
+      (null.asInstanceOf[String], 901L, 1L, 9L)) // null key: dropped by both
+    val base = rows.toDF("k", "lid", "lo", "hi")
+    val a = base.select(col("k"), col("lid").as("lid_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = base.select(col("k"), col("lid").as("lid_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    val want = RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+        bucketWidth = 10, equiKeys = Seq("k"))
+      .filter(col("lid_a") < col("lid_b"))
+      .groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = RangeJoin.overlapPairCounts(base, "lo", "hi", Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want && want.nonEmpty)
+    val plan = RangeJoin.overlapPairCounts(base, "lo", "hi", Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"the sweep must not join:\n$plan")
+    intercept[IllegalArgumentException] {
+      RangeJoin.overlapPairCounts(base, "lo", "hi", Nil)
+    }
+  }
+
   test("colliding and reserved column names are rejected eagerly") {
     val points = Seq(1L).toDF("p")
     val intervals = Seq((0L, 2L)).toDF("lo", "hi")
