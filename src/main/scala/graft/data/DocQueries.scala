@@ -1000,6 +1000,20 @@ object DocQueries {
           .select((col("doc_id") + 700).as("doc_id"), col("text")))
       graft.operators.SuffixRank.repeatMarks(corpus, minLen = 8)
     }),
+    "q_span_cut_sa" -> ((s, dir) => {
+      // the span-CUT composition of the repeat marks (round 14): the
+      // Lee et al. exact substring dedup executed off the suffix
+      // array — contiguous >= 8-lcp blocks are the duplicate classes,
+      // min(doc,pos) keeps the first occurrence, every other member
+      // cuts its 8 covered positions. Same planted-mirror corpus as
+      // q_repeat_marks; the oracle replays the equivalent stride-1
+      // 8-token shingle cut (RewriteSpec pins spanDedup == spanDedupSA)
+      val d = documents(s, dir)
+      val corpus = d.filter(col("doc_id") < 30).select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 700).as("doc_id"), col("text")))
+      Rewrite.spanDedupSA(corpus, minLen = 8).orderBy("doc_id")
+    }),
     "q_topk_agg" -> ((s, dir) => {
       // the AGGREGATE spelling of top-k-per-key (functions/
       // TopKPairsAgg, round 13): per event_type the 5 best events by
@@ -4249,6 +4263,39 @@ object DocQueries {
          |      i -> suf[i] = prev[i]), false), 0) - 1,
          |    least(len(suf), len(prev))) END)::BIGINT AS lcp_prev
          |FROM o ORDER BY doc_id, pos""".stripMargin,
+
+    "q_span_cut_sa" ->
+      // mirrors Rewrite.spanDedupSA(minLen=8) over the planted-mirror
+      // corpus; replayed as the equivalent stride-1 8-token shingle cut
+      // (the SA blocks ARE the equal-8-window classes — RewriteSpec)
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 30
+         |  UNION ALL
+         |  SELECT doc_id + 700 AS doc_id, text FROM documents WHERE doc_id < 5),
+         |t AS (SELECT doc_id, $toksExpr AS toks FROM docs2),
+         |tok AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks
+         |  FROM t WHERE len(toks) > 0),
+         |tk AS (SELECT doc_id, pos, toks[pos + 1] AS token FROM tok),
+         |so AS (SELECT doc_id, unnest(range(len(toks) - 7)) AS start, toks
+         |  FROM t WHERE len(toks) >= 8),
+         |sh AS (SELECT doc_id, start, array_to_string(
+         |    list_slice(toks, start + 1, start + 8), ' ') AS shingle FROM so),
+         |rnk AS (SELECT doc_id, start,
+         |    row_number() OVER (PARTITION BY shingle
+         |      ORDER BY doc_id, start) AS rn,
+         |    count(*) OVER (PARTITION BY shingle) AS cnt FROM sh),
+         |remocc AS (SELECT doc_id, start FROM rnk WHERE cnt >= 2 AND rn > 1),
+         |rpos AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(generate_series(start, start + 7)) AS pos
+         |  FROM remocc)),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.token FROM tk
+         |  ANTI JOIN rpos ON tk.doc_id = rpos.doc_id AND tk.pos = rpos.pos),
+         |reb AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS txt,
+         |    count(*) AS kept FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id, len(toks)::INT AS n_tokens FROM t)
+         |SELECT tot.doc_id, coalesce(reb.txt, '') AS text,
+         |  coalesce(reb.kept, 0)::BIGINT AS n_kept, tot.n_tokens
+         |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_repeat_marks" ->
       s"""WITH docs2 AS (

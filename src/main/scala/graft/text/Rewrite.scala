@@ -167,6 +167,19 @@ object Rewrite {
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
       .distinct()
+    cutPositions(docs, tokRows, removedPos, textCol, idCol)
+  }
+
+  /** Shared rebuild tail of the span-cut family: drop `removedPos`
+    * (doc_id, pos) from `tokRows` (doc_id, pos, token) and reassemble
+    * each document in token order; docs losing every token (or with no
+    * tokens at all) come back with empty text via the left join. */
+  private def cutPositions(
+      docs: DataFrame,
+      tokRows: DataFrame,
+      removedPos: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
     val rebuilt = tokRows.join(removedPos, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(
@@ -183,6 +196,64 @@ object Rewrite {
         coalesce(col("__text"), lit("")).as("text"),
         coalesce(col("__kept"), lit(0L)).as("n_kept"),
         col("n_tokens"))
+  }
+
+  /** [[spanDedup]] recomputed from the SUFFIX ARRAY — the span-CUT
+    * composition of [[graft.operators.SuffixRank.repeatMarks]]'
+    * machinery, i.e. Lee et al. '22's exact substring dedup as
+    * published: all occurrences of one >= `minLen`-token substring are
+    * CONTIGUOUS in global suffix order (a maximal run of consecutive
+    * lcp_prev >= minLen), so
+    *
+    *  1. block id = running count of lcp_prev < minLen boundaries over
+    *     the suffix order — one bounded [[graft.operators.PrefixSum]]
+    *     pass, no corpus-wide window;
+    *  2. per block with >= 2 members, `min(struct(doc_id, pos))` picks
+    *     the FIRST corpus occurrence (map-side combinable — a viral
+    *     block never sorts in one reducer);
+    *  3. every other member cuts its minLen covered positions, and the
+    *     shared rebuild tail reassembles survivors in token order.
+    *
+    * Blocks partition positions by equality of their minLen-token
+    * window (equal windows are adjacent in suffix order; capped LCP
+    * keeps sub-minLen tails out), so the output is BIT-IDENTICAL to
+    * [[spanDedup]] at k = minLen — RewriteSpec pins the parity, and
+    * the two paths trade differently at scale: spanDedup shuffles one
+    * row per (position, shingle string); this path shuffles the
+    * suffix-array build (log(max doc length) bounded-histogram rounds)
+    * and never materializes shingle strings at all — the win when
+    * minLen is large (shingle bytes ~ minLen x corpus) or when the
+    * suffix array already exists for repeat mining. */
+  def spanDedupSA(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minLen: Int = 5,
+      numParts: Int = 32): DataFrame = {
+    require(minLen >= 1, s"span width must be positive, got $minLen")
+    val sa = graft.operators.SuffixRank.suffixArrayWithLcp(
+      docs, textCol, idCol, numParts)
+    val marked = sa.select(col("seq"), col("doc_id"), col("pos"),
+      when(col("lcp_prev") < minLen, lit(1L)).otherwise(lit(0L)).as("__c"))
+    val blocks = graft.operators.PrefixSum.rowsBefore(marked, "seq", numParts)
+      .select(col("doc_id"), col("pos"),
+        (col("__rb") + col("__c")).as("__blk"))
+    val groups = blocks.groupBy("__blk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= 2)
+      .select(col("__blk"), col("__first.doc_id").as("__fd"),
+        col("__first.pos").as("__fs"))
+    val removedPos = blocks.join(groups, Seq("__blk"))
+      .where(!(col("doc_id") === col("__fd") && col("pos") === col("__fs")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("pos"))
+      .distinct()
+    val tokRows = docs
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos", "token")))
+    cutPositions(docs, tokRows, removedPos, textCol, idCol)
   }
 
   /** Boilerplate strip: chunks occurring in MORE than `maxDf` distinct

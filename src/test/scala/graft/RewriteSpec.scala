@@ -115,6 +115,42 @@ class RewriteSpec extends AnyFunSuite with SparkSpec {
     assert(out(7L) === (("m n", 2L, 8)))
   }
 
+  test("spanDedupSA is bit-identical to spanDedup on every pinned case") {
+    // the SA-composed cut must reproduce the shingle-grouped cut
+    // exactly: same blocks (equal-k-window classes), same keep-first,
+    // same covered-position cuts — across shifted/cross-doc/within-doc
+    // repeats, sub-k docs, empty docs
+    val cases = Seq(
+      (3, Seq((1L, "b c d q r s"), (2L, "x b c d e f"))),
+      (5, Seq((1L, "p q r s t u"), (2L, "z p q r s t u w"))),
+      (5, Seq((1L, "a b c d e"), (2L, "a b c d e"),
+        (3L, "a b c d"), (4L, ""))),
+      (4, Seq((7L, "m n m n m n m n"))))
+    cases.foreach { case (k, rows) =>
+      val docs = rows.toDF("doc_id", "text")
+      val want = spanById(Rewrite.spanDedup(docs, k = k))
+      val got = spanById(Rewrite.spanDedupSA(docs, minLen = k))
+      assert(got === want, s"SA cut diverged at k=$k on $rows")
+    }
+  }
+
+  test("spanDedupSA matches spanDedup on a randomized repeat-heavy corpus") {
+    val rnd = new scala.util.Random(41)
+    // a tiny vocabulary forces many genuine >= k repeats; planted
+    // mirrors add full-document duplicates on top
+    val base = (0L until 24L).map { i =>
+      i -> (0 until 6 + rnd.nextInt(30))
+        .map(_ => s"w${rnd.nextInt(6)}").mkString(" ")
+    }
+    val rows = base ++ base.take(4).map { case (i, t) => (i + 100L) -> t }
+    val docs = rows.toDF("doc_id", "text")
+    val want = spanById(Rewrite.spanDedup(docs, k = 5))
+    val got = spanById(Rewrite.spanDedupSA(docs, minLen = 5))
+    assert(got === want)
+    // the corpus genuinely exercised cuts
+    assert(want.exists { case (_, (_, kept, total)) => kept < total })
+  }
+
   test("spanDedup keeper selection is an aggregate, not a window") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val plan = Rewrite.spanDedup(docs, k = 5)
