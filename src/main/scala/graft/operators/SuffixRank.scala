@@ -124,23 +124,50 @@ object SuffixRank {
       .agg(max("__n")).collect()(0)
     val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
 
-    // levels(k) discriminates prefixes of length exactly 2^k
+    // levels(k) discriminates prefixes of length exactly 2^k. The
+    // chain may stop BEFORE maxLen once every still-tied position's
+    // remaining suffix fits inside the new span s: ties at span s that
+    // are length-capped are IDENTICAL suffixes (content equal to their
+    // end), which the descent's sum-of-all-spans + length cap already
+    // represents exactly, and any non-tied pair disagrees within s, so
+    // its lcp < s <= 2s-1 = the descent's representable range. This
+    // bounds retained levels by the corpus's true repeat structure
+    // (log of the longest repeat), not log(max doc length) — the
+    // sparse-table memory economy, and fewer build+descent rounds.
+    // The exit statistic (longest remaining suffix among still-tied
+    // positions) reads off a carried __rem column — one scalar agg
+    // over the round's already-checkpointed frame, no join — and the
+    // first rounds skip it (an exit at spans < 8 is a corpus with no
+    // 4-token repeat; not worth three collect jobs to detect).
+    val docLen = positions.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    var remRanks = ranks.join(docLen, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("__rank"),
+        (col("__n") - col("pos")).as("__rem"))
+      .localCheckpoint()
     var levels = List((1L, ranks))
     var h = 1L
-    while (h < maxLen) {
-      val shifted = ranks.select(col("doc_id"), (col("pos") - h).as("pos"),
+    var tiedDone = false
+    while (h < maxLen && !tiedDone) {
+      val shifted = remRanks.select(col("doc_id"), (col("pos") - h).as("pos"),
         col("__rank").as("__r2"))
-      val keyed = ranks.join(shifted, Seq("doc_id", "pos"), "left")
+      val keyed = remRanks.join(shifted, Seq("doc_id", "pos"), "left")
         .withColumn("__r2", coalesce(col("__r2"), lit(-1L)))
       val pairHist = keyed.groupBy("__rank", "__r2").agg(count(lit(1)).as("__c"))
       val pairRank = PrefixSum.rowsBefore(pairHist, Seq("__rank", "__r2"), numParts)
       val next = keyed.join(pairRank, Seq("__rank", "__r2"))
-        .select(col("doc_id"), col("pos"), col("__rb").as("__rank"))
+        .select(col("doc_id"), col("pos"), col("__rb").as("__rank"),
+          col("__rem"), col("__c"))
         .localCheckpoint()
       h *= 2L
-      levels ::= (h, next) // head = coarsest level
-      ranks = next
+      levels ::= (h, next.select("doc_id", "pos", "__rank")) // head = coarsest
+      remRanks = next.drop("__c")
+      if (h >= 8L && h < maxLen) {
+        val tiedRow = next
+          .agg(max(when(col("__c") >= 2L, col("__rem")))).collect()(0)
+        tiedDone = tiedRow.isNullAt(0) || tiedRow.getLong(0) <= h
+      }
     }
+    ranks = remRanks.select("doc_id", "pos", "__rank")
 
     // global suffix order: rows-before over the UNIQUE (rank, doc,
     // pos) triples = a dense 0-based suffix-array index
@@ -176,11 +203,11 @@ object SuffixRank {
         .select("seq", "__da", "__pa", "__db", "__pb", "__lcp")
         .localCheckpoint()
     }
-    // identical suffixes agree at EVERY level (content + end markers),
-    // so the descent sums all spans there — the true LCP of identical
-    // suffixes is their length; capping at both remaining lengths is
-    // exact (every non-identical case is already <= the min length)
-    val docLen = positions.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    // identical suffixes agree at EVERY retained level (content + end
+    // markers), so the descent reaches at least their length before
+    // the cap — the true LCP of identical suffixes is their length;
+    // capping at both remaining lengths is exact (every non-identical
+    // case is already <= the min length)
     val lcpOfSeq = pairs
       .join(docLen.select(col("doc_id").as("__da"), col("__n").as("__na")),
         Seq("__da"))
