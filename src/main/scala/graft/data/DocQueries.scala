@@ -1000,6 +1000,16 @@ object DocQueries {
           .select((col("doc_id") + 700).as("doc_id"), col("text")))
       graft.operators.SuffixRank.repeatMarks(corpus, minLen = 8)
     }),
+    "q_phrase_search" -> ((s, dir) =>
+      // exact phrase occurrences over the positional postings index
+      // (round 14): candidate starts anchor on the RAREST phrase
+      // term's postings, every other (term, offset) slot verified by a
+      // left-semi equi-join on (doc_id, start) — only the three terms'
+      // postings are ever touched; oracle = direct window predicate
+      // over the materialized token arrays
+      graft.text.Search.phraseSearch(documents(s, dir),
+          Seq("table", "key", "agg"))
+        .orderBy("doc_id", "start")),
     "q_span_cut_sa" -> ((s, dir) => {
       // the span-CUT composition of the repeat marks (round 14): the
       // Lee et al. exact substring dedup executed off the suffix
@@ -4263,6 +4273,18 @@ object DocQueries {
          |      i -> suf[i] = prev[i]), false), 0) - 1,
          |    least(len(suf), len(prev))) END)::BIGINT AS lcp_prev
          |FROM o ORDER BY doc_id, pos""".stripMargin,
+
+    "q_phrase_search" ->
+      // mirrors Search.phraseSearch(["table","key","agg"]): position p
+      // starts the phrase iff the three tokens match at p, p+1, p+2
+      // (an out-of-range index yields NULL and the equality fails)
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, pos::BIGINT AS start FROM p
+         |WHERE toks[pos + 1] = 'table' AND toks[pos + 2] = 'key'
+         |  AND toks[pos + 3] = 'agg'
+         |ORDER BY doc_id, start""".stripMargin,
 
     "q_span_cut_sa" ->
       // mirrors Rewrite.spanDedupSA(minLen=8) over the planted-mirror

@@ -194,4 +194,57 @@ object Search {
         round(col("__rrf"), 9).as("rrf"))
       .orderBy("query_id", "rank")
   }
+
+  /** POSITIONAL postings — one row per (term, doc_id, pos) token
+    * occurrence: the index layer phrase queries need that the
+    * frequency-only [[Bm25Index]] cannot serve. Build once and persist
+    * partitioned/sorted by term so a phrase's `term IN (...)` probe
+    * prunes to its own posting files. */
+  def buildPositionalIndex(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+
+  /** Exact phrase occurrences over a positional index — the classic
+    * search-engine phrase walk, distributed: candidate starts come
+    * from the RAREST phrase term's postings (term frequencies among
+    * just the phrase's terms are one bounded aggregate; a term absent
+    * from the corpus anchors immediately-empty), and every other
+    * (term, offset) slot is verified with a left-semi equi-join on
+    * (doc_id, start). Only the phrase terms' postings are ever
+    * touched — the `isin` filter reaches the index scan — and each
+    * join is bounded by a term's posting count, never the corpus.
+    * Duplicate terms in the phrase verify once per SLOT, so "a b a"
+    * requires the anchor term at both offsets.
+    *
+    * Output: (doc_id, start) — every occurrence, overlaps included. */
+  def phraseOccurrences(
+      postings: DataFrame,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val sub = postings.filter(col("term").isin(phrase.distinct: _*))
+    val counts = sub.groupBy("term").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slots = phrase.zipWithIndex
+    val anchor = slots.minBy { case (t, i) => (counts.getOrElse(t, 0L), i) }
+    def starts(slot: (String, Int)) =
+      sub.filter(col("term") === slot._1)
+        .select(col("doc_id"),
+          (col("pos").cast("long") - slot._2).as("start"))
+    var cur = starts(anchor).filter(col("start") >= 0)
+    slots.filterNot(_ == anchor).foreach { slot =>
+      cur = cur.join(starts(slot), Seq("doc_id", "start"), "left_semi")
+    }
+    cur
+  }
+
+  /** [[phraseOccurrences]] with the index built inline. */
+  def phraseSearch(
+      docs: DataFrame,
+      phrase: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    phraseOccurrences(buildPositionalIndex(docs, textCol, idCol), phrase)
 }

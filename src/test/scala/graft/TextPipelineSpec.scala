@@ -334,6 +334,42 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(indexed === direct)
   }
 
+  test("phraseSearch: overlapping occurrences, duplicate slots, absent terms") {
+    import graft.text.Search
+    val d = docs(
+      1L -> "a b a b a",     // "a b a" at 0 and 2 (overlap)
+      2L -> "b a b a b",     // "a b a" at 1 only
+      3L -> "a a b",         // no
+      4L -> "x y z a b a")   // at 3 (doc end)
+    def hits(phrase: String*) =
+      Search.phraseSearch(d, phrase).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits("a", "b", "a") ===
+      Set((1L, 0L), (1L, 2L), (2L, 1L), (4L, 3L)))
+    // single-term phrase = every position of the term
+    assert(hits("z") === Set((4L, 2L)))
+    // an absent term anchors immediately empty
+    assert(hits("a", "nope") === Set.empty)
+    // brute-force parity on a randomized small-vocab corpus
+    val rnd = new scala.util.Random(17)
+    val corpus = (0L until 40L).map { i =>
+      i -> (0 until 5 + rnd.nextInt(25))
+        .map(_ => s"t${rnd.nextInt(4)}").mkString(" ")
+    }
+    val cd = docs(corpus: _*)
+    val phrase = Seq("t1", "t0", "t1")
+    val got = Search.phraseSearch(cd, phrase).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = corpus.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      toks.indices.dropRight(phrase.length - 1).collect {
+        case p if toks.slice(p, p + phrase.length).sameElements(phrase) =>
+          (id, p.toLong)
+      }
+    }.toSet
+    assert(got === want && want.nonEmpty)
+  }
+
   test("containmentPairsFromSets: subset doc scores containment 1.0") {
     // doc2's shingles {b c d, c d e} ⊂ doc1's {a b c, b c d, c d e, d e f}:
     // containment = 2/min(2,4) = 1.0 while Jaccard is only 0.5
