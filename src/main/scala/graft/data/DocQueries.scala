@@ -1010,6 +1010,17 @@ object DocQueries {
       graft.text.Search.phraseSearch(documents(s, dir),
           Seq("table", "key", "agg"))
         .orderBy("doc_id", "start")),
+    "q_phrase_gate" -> ((s, dir) =>
+      // the stateless in-row spelling of the phrase walk (round 14):
+      // per-document occurrence counts from one token-array HOF pass —
+      // no index, no join; runs unchanged on a stream
+      // (streamingPhraseGate, replay-pinned in StreamingSpec)
+      graft.text.Search.phraseGate(documents(s, dir),
+          Seq("table", "key", "agg"))
+        .select(col("doc_id"),
+          size(col("phrase_starts")).cast("long").as("n_hits"),
+          col("has_phrase"))
+        .orderBy("doc_id")),
     "q_span_cut_sa" -> ((s, dir) => {
       // the span-CUT composition of the repeat marks (round 14): the
       // Lee et al. exact substring dedup executed off the suffix
@@ -4285,6 +4296,17 @@ object DocQueries {
          |WHERE toks[pos + 1] = 'table' AND toks[pos + 2] = 'key'
          |  AND toks[pos + 3] = 'agg'
          |ORDER BY doc_id, start""".stripMargin,
+
+    "q_phrase_gate" ->
+      // mirrors Search.phraseGate(["table","key","agg"]): per-doc count
+      // of in-row window matches (empty range for sub-3-token docs)
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |h AS (SELECT doc_id, len(list_filter(
+         |    range(greatest(len(toks) - 2, 0)),
+         |    p -> toks[p + 1] = 'table' AND toks[p + 2] = 'key'
+         |      AND toks[p + 3] = 'agg')) AS n_hits FROM t)
+         |SELECT doc_id, n_hits::BIGINT AS n_hits, n_hits > 0 AS has_phrase
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_span_cut_sa" ->
       // mirrors Rewrite.spanDedupSA(minLen=8) over the planted-mirror

@@ -408,6 +408,17 @@ object Streaming {
     graft.text.TextStats.gopherRulesStateless(docs.toDF(),
       extraCols = Seq("ts"))
 
+  /** Streaming PHRASE GATE: per-document "contains phrase X" verdicts
+    * at ingest rate — the in-row spelling of
+    * [[graft.text.Search.phraseOccurrences]] (one token-array HOF per
+    * row; no index, no state, no watermark, no shuffle). Start
+    * positions replay the batch index walk exactly (StreamingSpec
+    * pins the exploded starts against phraseSearch). */
+  def streamingPhraseGate(
+      docs: Dataset[StreamDoc],
+      phrase: Seq[String]): DataFrame =
+    graft.text.Search.phraseGate(docs.toDF(), phrase)
+
   /** Streaming QUALITY GATE, corpus half: online boilerplate detection,
     * the streaming analogue of [[graft.text.Rewrite.stripBoilerplate]].
     * State per chunk tracks the distinct-document frequency UP TO

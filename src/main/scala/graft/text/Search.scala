@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -207,6 +207,30 @@ object Search {
     docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
 
+  /** Partition count for persisted positional indexes: one directory
+    * per TERM would explode at real vocabularies, so terms hash into
+    * a fixed bucket fan-out — wide enough that a phrase probe reads a
+    * few files, narrow enough that listing stays cheap. */
+  val IndexBuckets = 256
+
+  /** The persisted-index partition key of a term. Foldable on a
+    * literal, so a phrase probe's bucket predicate constant-folds and
+    * reaches the scan as a PARTITION filter (directory pruning). */
+  def termBucket(term: Column): Column =
+    pmod(hash56(term), lit(IndexBuckets.toLong))
+
+  /** Persist a positional index hash-bucketed by term: a phrase probe
+    * then prunes to its terms' bucket directories before any row is
+    * read ([[phraseOccurrences]] adds the bucket predicate whenever
+    * the column is present). */
+  def savePositionalIndex(postings: DataFrame, path: String): Unit =
+    postings.withColumn("term_bucket", termBucket(col("term")))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+
+  def loadPositionalIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Exact phrase occurrences over a positional index — the classic
     * search-engine phrase walk, distributed: candidate starts come
     * from the RAREST phrase term's postings (term frequencies among
@@ -224,7 +248,16 @@ object Search {
       postings: DataFrame,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    val sub = postings.filter(col("term").isin(phrase.distinct: _*))
+    // a persisted index carries term_bucket as its partition key: the
+    // bucket predicate constant-folds (termBucket of a literal) and
+    // prunes directories before the term filter touches any row
+    val bucketed =
+      if (postings.columns.contains("term_bucket"))
+        postings.filter(phrase.distinct
+          .map(t => col("term_bucket") === termBucket(lit(t)))
+          .reduce(_ || _))
+      else postings
+    val sub = bucketed.filter(col("term").isin(phrase.distinct: _*))
     val counts = sub.groupBy("term").agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val slots = phrase.zipWithIndex
@@ -247,4 +280,37 @@ object Search {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     phraseOccurrences(buildPositionalIndex(docs, textCol, idCol), phrase)
+
+  /** The phrase's start positions computed IN-ROW from a document's
+    * own token array — one `filter` HOF pass over the candidate
+    * starts, no index, no join, no shuffle. The gate spelling of
+    * [[phraseOccurrences]]: right when each arriving document is
+    * judged alone (ingest-time streams, per-doc gates), while the
+    * index walk is right when one phrase probes a persisted corpus.
+    * Same start values (spec pins equality). */
+  def phraseStartsCol(toks: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val hits = filter(
+      sequence(lit(0), size(toks) - phrase.length),
+      p => phrase.zipWithIndex
+        .map { case (t, i) => element_at(toks, p + i + 1) === lit(t) }
+        .reduce(_ && _))
+    // guard the sequence: with size < phrase length it would run
+    // DOWNWARD (sequence infers a negative step) instead of empty
+    when(size(toks) >= phrase.length, hits.cast("array<bigint>"))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Per-document phrase verdicts: `phrase_starts` (all occurrence
+    * positions, overlaps included) and `has_phrase`, as one stateless
+    * projection — runs unchanged on a stream
+    * ([[graft.streaming.Streaming.streamingPhraseGate]]). */
+  def phraseGate(
+      docs: DataFrame,
+      phrase: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("phrase_starts",
+        phraseStartsCol(tokens(col(textCol)), phrase))
+      .withColumn("has_phrase", size(col("phrase_starts")) > 0)
 }

@@ -309,6 +309,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamingGopherRules must remain a stateless projection")
   }
 
+  test("streamingPhraseGate replays the batch index walk exactly, stateless") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val phrase = Seq("table", "key", "agg")
+    // batch truth = the positional-index walk
+    val batch = graft.text.Search.phraseSearch(docs, phrase).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "probe phrase must occur in the corpus")
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val out = Streaming.streamingPhraseGate(in.toDS(), phrase)
+    val q = out.writeStream.format("memory").queryName("phrase_stream")
+      .outputMode("append").start()
+    rows.grouped(100).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val gate = spark.table("phrase_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[scala.collection.Seq[Long]]("phrase_starts"),
+          r.getAs[Boolean]("has_phrase")))).toMap
+    // every document gets a verdict; exploded starts == the index walk
+    assert(gate.size === rows.size)
+    val streamedStarts = gate.toSeq.flatMap { case (id, (starts, _)) =>
+      starts.map(id -> _) }.toSet
+    assert(streamedStarts === batch)
+    gate.foreach { case (id, (starts, has)) =>
+      assert(has === starts.nonEmpty, s"doc $id verdict inconsistent") }
+    // stateless: a pure projection plan — no aggregation, no watermark
+    val plan = Streaming.streamingPhraseGate(in.toDS(), phrase)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"),
+      "streamingPhraseGate must remain a stateless projection")
+  }
+
   test("streamingIngestGate composes the batch gate+quality stages bitwise") {
     import graft.streaming.StreamDoc
     implicit val sqlCtx = spark.sqlContext

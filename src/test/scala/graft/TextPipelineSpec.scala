@@ -370,6 +370,33 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got === want && want.nonEmpty)
   }
 
+  test("persisted positional index: identical probe results, partition-pruned scans") {
+    import graft.text.Search
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val phrase = Seq("table", "key", "agg")
+    val inline = Search.phraseSearch(d, phrase).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inline.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_posidx").toString
+    try {
+      Search.savePositionalIndex(Search.buildPositionalIndex(d), dir)
+      val probe = Search.phraseOccurrences(
+        Search.loadPositionalIndex(spark, dir), phrase)
+      val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === inline)
+      // the bucket predicate must constant-fold into a PARTITION filter
+      // on every posting scan — directory pruning, not a row filter
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+      assert(!plan.contains("PartitionFilters: []"),
+        s"an unpruned posting scan survived:\n$plan")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("containmentPairsFromSets: subset doc scores containment 1.0") {
     // doc2's shingles {b c d, c d e} ⊂ doc1's {a b c, b c d, c d e, d e f}:
     // containment = 2/min(2,4) = 1.0 while Jaccard is only 0.5
