@@ -84,14 +84,25 @@ object Bloom {
     * Spark broadcast instead of once per task binary (the
     * [[graft.functions.CellDistsBcast]] lesson). */
   def probe(incoming: DataFrame, keyCol: String, filter: Array[Long],
-      mBits: Int, k: Int, out: String = "maybe_seen"): DataFrame =
-    incoming
-      .withColumn("__bw", typedLit(filter.toSeq))
-      .withColumn("__bp", positions(col(keyCol), mBits, k))
-      .withColumn(out, expr(
-        "forall(__bp, p -> (__bw[cast(p / 64 as int)] & " +
-          "shiftleft(1L, cast(p % 64 as int))) != 0)"))
-      .drop("__bw", "__bp")
+      mBits: Int, k: Int, out: String = "maybe_seen"): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    // UNROLLED bit tests — same h1/h2 double-hash positions as
+    // [[positions]] token-for-token (the built filters and the DuckDB
+    // replays depend on the bits), but as k scalar conjuncts instead
+    // of sequence+transform+forall: no per-row array allocations in
+    // the hot probe, and codegen's subexpression elimination computes
+    // h1/h2 once. A null key yields a null verdict, as before.
+    val words = typedLit(filter.toSeq)
+    val h1 = TextOps.hash56(concat(lit("gb1:"), col(keyCol))) % mBits
+    val h2 = lit(1L) + TextOps.hash56(concat(lit("gb2:"), col(keyCol))) % (mBits - 1)
+    val verdict = (0 until k).map { i =>
+      val p = (h1 + lit(i.toLong) * h2) % mBits
+      element_at(words, (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % 64).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+    incoming.withColumn(out, verdict)
+  }
 
   // One broadcast per filter ARRAY, not per probe call: a gate probing
   // many batches against the same snapshot would otherwise pile up

@@ -138,7 +138,11 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
       concat(lit("fact "), col("id")).as("payload"))
     val preR = Bloom.semiJoinPrefilter(bigR, "k", small, "k", m, k)
     val plan = preR.join(small, "k").queryExecution.executedPlan.toString
-    assert(plan.contains("forall"), plan)
+    // the unrolled scalar probe (k bit-test conjuncts, no per-row
+    // array machinery) sits in a Filter ahead of the join
+    assert(plan.contains("graft_hash56") && plan.contains("shiftleft"), plan)
+    assert(!plan.contains("forall"),
+      "probe regressed to the array-HOF spelling")
   }
 
   test("incrementalDedup end-to-end: new batch vs existing corpus") {
