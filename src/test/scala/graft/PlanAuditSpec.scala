@@ -188,8 +188,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // construction — BloomSpec pins that plan); the only join in this
     // plan is the exact FP-labeling pass
     val bloom = plans("q_bloom_dedup")
-    assert(bloom.contains("forall"),
+    assert(bloom.contains("graft_hash56") && bloom.contains("shiftleft"),
       "q_bloom_dedup verdicts are not the scan-local bit-test probe")
+    assert(!bloom.contains("forall"),
+      "q_bloom_dedup probe regressed to the array-HOF spelling")
     assert(!bloom.contains("CartesianProduct"))
     // hll: the register build must partial-aggregate so at most m rows
     // per group leave each map partition — never the raw key set
@@ -262,8 +264,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!uc.toLowerCase.contains("join"), "q_url_canon grew a join")
     // bloom semi-join: the scan-local probe precedes the real join
     val bs = plans("q_bloom_semijoin")
-    assert(bs.contains("forall"),
+    assert(bs.contains("graft_hash56") && bs.contains("shiftleft"),
       "q_bloom_semijoin verdicts are not the scan-local bit-test probe")
+    assert(!bs.contains("forall"),
+      "q_bloom_semijoin probe regressed to the array-HOF spelling")
   }
 
   test("round-9 operators keep their scale-critical shapes") {
