@@ -1448,6 +1448,16 @@ object DocQueries {
       CorpusOps.mixtureAllocation(documents(s, dir),
         budgetTokens = 84000L, alpha = 0.5, maxRepeat = 3.0)
         .orderBy("source")),
+    "q_mix_divcap" -> ((s, dir) =>
+      // diversity-capped mixture (round 14): a source's achievable
+      // tokens are bounded by its 10 hash-picked documents at 3 epochs
+      // (the q_sample_k pick), not its full mass — the 28k budget
+      // straddles the pick-based caps at sf0.01, so both verdict
+      // polarities land in the oracle rows
+      CorpusOps.mixtureDiversityCap(documents(s, dir),
+          budgetTokens = 28000L, kPerSource = 10, alpha = 0.5,
+          maxRepeat = 3.0)
+        .orderBy("source")),
     "q_mix_waterfill" -> ((s, dir) =>
       // exact water-filling (round 13): the 80k budget sits inside the
       // cap spread at sf0.01 (caps 3xn ~ 3.8k-4.7k, proportional share
@@ -4952,8 +4962,45 @@ object DocQueries {
          |  round(least(target_tokens, cap)::DOUBLE / n_tokens::DOUBLE, 9) AS epochs
          |FROM a ORDER BY source""".stripMargin,
 
+    "q_mix_divcap" ->
+      // mirrors CorpusOps.mixtureDiversityCap(28000, k=10, alpha=0.5,
+      // maxRepeat=3): the q_mix_alloc weight chain with the cap taken
+      // from the q_sample_k hash-pick's token mass
+      s"""WITH t AS (SELECT source, doc_id, len($toksExpr)::BIGINT AS tk
+         |  FROM documents),
+         |hp AS (SELECT source, doc_id, tk,
+         |  ${hash56("'pick:graft:' || doc_id::VARCHAR")} AS hv FROM t),
+         |rk AS (SELECT source, tk,
+         |  row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+         |    AS rn FROM hp),
+         |p AS (SELECT source, count(*) FILTER (rn <= 10) AS cap_docs,
+         |  sum(tk) FILTER (rn <= 10) AS pick_tok FROM rk GROUP BY source),
+         |d AS (SELECT source, count(*) AS n_docs, sum(tk) AS n_tokens
+         |  FROM t GROUP BY source),
+         |s AS (SELECT source, n_docs, n_tokens,
+         |  n_tokens::DOUBLE / (sum(n_tokens) OVER ())::DOUBLE AS share FROM d),
+         |m AS (SELECT source, n_docs, n_tokens,
+         |  CAST(round(sqrt(share) * 1e15, 0) AS HUGEINT) AS fm FROM s),
+         |w AS (SELECT source, n_docs, n_tokens,
+         |  round(fm::DOUBLE / (sum(fm) OVER ())::DOUBLE, 9) AS weight FROM m),
+         |a AS (SELECT w.source, n_docs, n_tokens, weight,
+         |  CAST(round(weight * 28000.0, 0) AS BIGINT) AS target_tokens,
+         |  cap_docs::BIGINT AS cap_docs,
+         |  CAST(round(3.0 * pick_tok::DOUBLE, 0) AS BIGINT) AS cap_tokens,
+         |  pick_tok
+         |  FROM w JOIN p ON w.source = p.source)
+         |SELECT source, n_docs::BIGINT AS n_docs,
+         |  n_tokens::BIGINT AS n_tokens, weight, target_tokens, cap_docs,
+         |  cap_tokens,
+         |  least(target_tokens, cap_tokens) AS achieved_tokens,
+         |  target_tokens - least(target_tokens, cap_tokens) AS deficit_tokens,
+         |  CASE WHEN pick_tok > 0 THEN round(
+         |    least(target_tokens, cap_tokens)::DOUBLE / pick_tok::DOUBLE, 9)
+         |  END AS epochs
+         |FROM a ORDER BY source""".stripMargin,
+
     "q_mix_waterfill" ->
-      s"""WITH t AS (SELECT source, len($toksExpr)::BIGINT AS tk FROM documents),
+s"""WITH t AS (SELECT source, len($toksExpr)::BIGINT AS tk FROM documents),
          |d AS (SELECT source, count(*) AS n_docs, sum(tk) AS n_tokens
          |  FROM t GROUP BY source),
          |sh AS (SELECT source, n_docs, n_tokens,

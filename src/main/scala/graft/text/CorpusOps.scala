@@ -487,6 +487,62 @@ object CorpusOps {
         "achieved_tokens", "deficit_tokens", "epochs")
   }
 
+  /** [[mixtureAllocation]] under a DIVERSITY cap — the per-domain
+    * diversity knob of a crawl pipeline: a source's achievable tokens
+    * are bounded by its `kPerSource` hash-picked documents (the
+    * [[sampleKPerGroup]] pick — deterministic, growth-stable) at
+    * `maxRepeat` epochs each, instead of by the source's FULL token
+    * mass. A domain that is huge because it is repetitive (mirrors,
+    * templated pages) no longer converts bulk into budget: its cap
+    * reflects what k diverse documents can supply. Weights still come
+    * from the full corpus (the natural distribution); only the cap
+    * changes. `epochs` reports achieved tokens over the PICKED token
+    * mass — the repeat factor the k retained documents actually train.
+    *
+    * Scale shape: one window-ranked pick per source (bounded per-group
+    * output), one bounded per-source aggregate over the picks, one
+    * broadcast-sized join onto the tens-of-rows domain table.
+    *
+    * @return (source, n_docs, n_tokens, weight, target_tokens,
+    *         cap_docs, cap_tokens, achieved_tokens, deficit_tokens,
+    *         epochs) */
+  def mixtureDiversityCap(
+      docs: DataFrame,
+      budgetTokens: Long,
+      kPerSource: Int,
+      alpha: Double = 0.5,
+      maxRepeat: Double = 4.0,
+      salt: String = "graft",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      domainCol: String = "source"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require(kPerSource > 0, s"kPerSource must be > 0, got $kPerSource")
+    require(maxRepeat > 0, s"maxRepeat must be > 0, got $maxRepeat")
+    val picked =
+      sampleKPerGroup(docs, kPerSource, salt, idCol, domainCol)
+        .select(col(domainCol).as("source"),
+          size(tokens(col(textCol))).cast("long").as("__t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("cap_docs"), sum("__t").as("__pickTok"))
+    mixtureWeights(docs, alpha, textCol, domainCol)
+      .join(picked, Seq("source"))
+      .withColumn("target_tokens",
+        round(col("weight") * lit(budgetTokens.toDouble), 0).cast("long"))
+      .withColumn("cap_tokens",
+        round(lit(maxRepeat) * col("__pickTok").cast("double"), 0).cast("long"))
+      .withColumn("achieved_tokens", least(col("target_tokens"), col("cap_tokens")))
+      .withColumn("deficit_tokens",
+        col("target_tokens") - col("achieved_tokens"))
+      .withColumn("epochs",
+        when(col("__pickTok") > 0L,
+          round(col("achieved_tokens").cast("double") /
+            col("__pickTok").cast("double"), 9)))
+      .select("source", "n_docs", "n_tokens", "weight", "target_tokens",
+        "cap_docs", "cap_tokens", "achieved_tokens", "deficit_tokens",
+        "epochs")
+  }
+
   /** EXACT water-filling mixture allocation — the redistribution
     * [[mixtureAllocation]] deliberately omits, solved in closed form
     * instead of iteratively: find the water level t such that

@@ -327,6 +327,38 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assertClose(be2, bt2.toDouble / 24.0, 1e-9)
   }
 
+  test("mixtureDiversityCap: caps reflect the k picked docs, not the full mass") {
+    // source "bulk": 4 identical 8-token docs; "lean": 2 docs of 8 and
+    // 2 tokens. k=1 caps every source at ONE hash-picked document.
+    val d = Seq(
+      (1L, "a b c d e f g h", "bulk"), (2L, "a b c d e f g h", "bulk"),
+      (3L, "a b c d e f g h", "bulk"), (4L, "a b c d e f g h", "bulk"),
+      (5L, "a b c d e f g h", "lean"), (6L, "a b", "lean"))
+      .toDF("doc_id", "text", "source")
+    val m = CorpusOps.mixtureDiversityCap(d, budgetTokens = 1000L,
+        kPerSource = 1, alpha = 0.5, maxRepeat = 2.0).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("cap_docs"),
+          r.getAs[Long]("cap_tokens"), r.getAs[Long]("achieved_tokens"),
+          r.getAs[Long]("deficit_tokens"), r.getAs[Double]("epochs")))).toMap
+    // bulk's 32 full tokens no longer convert to budget: cap = 2x the
+    // ONE picked 8-token doc = 16, not 64; the huge target mostly
+    // lands in the deficit column
+    val (bn, bcd, bc, ba, bdf, be) = m("bulk")
+    assert(bn === 32L && bcd === 1L && bc === 16L && ba === 16L)
+    assert(bdf > 0L && be === 2.0)
+    // lean's cap depends on WHICH doc the hash picks (8 or 2 tokens) —
+    // pin it against the same sampleKPerGroup pick
+    val pick = CorpusOps.sampleKPerGroup(d, k = 1)
+      .filter(col("source") === "lean").collect()
+    assert(pick.length === 1)
+    val pickTok = if (pick(0).getAs[Long]("doc_id") == 6L) 2L else 8L
+    val (_, lcd, lc, la, _, _) = m("lean")
+    assert(lcd === 1L && lc === 2L * pickTok && la === lc)
+    // the matrix stays honest: every source appears exactly once
+    assert(m.size === 2)
+  }
+
   test("mixtureWaterfill: exact level search, redistribution sums to the budget") {
     val d = Seq(
       (1L, "a b c d e f g h", "big"), (2L, "a b c d e f g h", "big"),
