@@ -52,6 +52,29 @@ object DocQueries {
       sets
     })
 
+  /** The planted-mirror probe corpus (docs < 30 plus full mirrors of
+    * 0..4 at +700) shared by the SA-family queries, and the per-process
+    * memo of its suffix-array-with-LCP artifact: the SA is the
+    * expensive build (log-rounds of joins + prefix sums), and
+    * q_repeat_marks / q_span_cut_sa are exactly the build-once/fan-out
+    * lifecycle — repeat mining and the span cut read ONE persisted
+    * materialization (the Bm25Index pattern). */
+  private def mirrorCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    d.filter(col("doc_id") < 30).select("doc_id", "text")
+      .unionByName(d.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 700).as("doc_id"), col("text")))
+  }
+  private val mirrorSaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def mirrorSa(s: SparkSession, dir: String): DataFrame =
+    mirrorSaMemo.getOrElseUpdate(dir, {
+      val sa = graft.operators.SuffixRank.suffixArrayWithLcp(
+        mirrorCorpus(s, dir))
+      sa.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sa
+    })
+
   private val pairsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Double, Int), DataFrame]
   private def docJaccardPairs(
@@ -118,6 +141,10 @@ object DocQueries {
     idx.postings.count(); idx.df.count(); idx.stats.count()
     coarseCentroids(spark, dir)
     pqBooks(spark, dir)
+    // the shared SA+LCP artifact (q_repeat_marks / q_span_cut_sa fan
+    // out from it) — built here so its cost lands in the reported
+    // warmup entry, not in whichever query runs first
+    mirrorSa(spark, dir).count()
   }
 
   /** Corpus with planted exact duplicates (each doc twice, second copy
@@ -994,11 +1021,8 @@ object DocQueries {
       // mirrors of docs 0..4 so both polarities appear (the natural
       // 40-doc slice has no 8-token repeats); oracle = direct group
       // count on the materialized 8-token windows
-      val d = documents(s, dir)
-      val corpus = d.filter(col("doc_id") < 30).select("doc_id", "text")
-        .unionByName(d.filter(col("doc_id") < 5)
-          .select((col("doc_id") + 700).as("doc_id"), col("text")))
-      graft.operators.SuffixRank.repeatMarks(corpus, minLen = 8)
+      graft.operators.SuffixRank.repeatMarksFromSa(mirrorSa(s, dir),
+        minLen = 8)
     }),
     "q_phrase_search" -> ((s, dir) =>
       // exact phrase occurrences over the positional postings index
@@ -1029,11 +1053,8 @@ object DocQueries {
       // cuts its 8 covered positions. Same planted-mirror corpus as
       // q_repeat_marks; the oracle replays the equivalent stride-1
       // 8-token shingle cut (RewriteSpec pins spanDedup == spanDedupSA)
-      val d = documents(s, dir)
-      val corpus = d.filter(col("doc_id") < 30).select("doc_id", "text")
-        .unionByName(d.filter(col("doc_id") < 5)
-          .select((col("doc_id") + 700).as("doc_id"), col("text")))
-      Rewrite.spanDedupSA(corpus, minLen = 8).orderBy("doc_id")
+      Rewrite.spanDedupSAFromSa(mirrorSa(s, dir), mirrorCorpus(s, dir),
+        minLen = 8).orderBy("doc_id")
     }),
     "q_topk_agg" -> ((s, dir) => {
       // the AGGREGATE spelling of top-k-per-key (functions/

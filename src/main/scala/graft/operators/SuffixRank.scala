@@ -241,9 +241,17 @@ object SuffixRank {
       minLen: Int,
       textCol: String = "text",
       idCol: String = "doc_id",
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 32): DataFrame =
+    repeatMarksFromSa(
+      suffixArrayWithLcp(docs, textCol, idCol, numParts), minLen)
+
+  /** [[repeatMarks]] over a PREBUILT (ideally persisted)
+    * [[suffixArrayWithLcp]] frame — the SA is the expensive artifact;
+    * build it once and fan out repeat mining, LCP statistics, and the
+    * span cut ([[graft.text.Rewrite.spanDedupSAFromSa]]) against one
+    * materialization (the Bm25Index lifecycle). */
+  def repeatMarksFromSa(sa: DataFrame, minLen: Int): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    val sa = suffixArrayWithLcp(docs, textCol, idCol, numParts)
     val nxt = sa.select((col("seq") - 1L).as("seq"),
       col("lcp_prev").as("__lcpNext"))
     sa.join(nxt, Seq("seq"), "left")

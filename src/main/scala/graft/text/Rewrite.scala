@@ -229,10 +229,26 @@ object Rewrite {
       textCol: String = "text",
       idCol: String = "doc_id",
       minLen: Int = 5,
+      numParts: Int = 32): DataFrame =
+    spanDedupSAFromSa(
+      graft.operators.SuffixRank.suffixArrayWithLcp(
+        docs, textCol, idCol, numParts),
+      docs, textCol, idCol, minLen, numParts)
+
+  /** [[spanDedupSA]] over a PREBUILT (ideally persisted)
+    * suffix-array-with-LCP frame for the SAME `docs` — the SA is the
+    * expensive artifact; repeat mining and the cut share one
+    * materialization (the Bm25Index lifecycle; `sa` MUST be
+    * `SuffixRank.suffixArrayWithLcp(docs, textCol, idCol)` or the cut
+    * is meaningless). */
+  def spanDedupSAFromSa(
+      sa: DataFrame,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minLen: Int = 5,
       numParts: Int = 32): DataFrame = {
     require(minLen >= 1, s"span width must be positive, got $minLen")
-    val sa = graft.operators.SuffixRank.suffixArrayWithLcp(
-      docs, textCol, idCol, numParts)
     val marked = sa.select(col("seq"), col("doc_id"), col("pos"),
       when(col("lcp_prev") < minLen, lit(1L)).otherwise(lit(0L)).as("__c"))
     val blocks = graft.operators.PrefixSum.rowsBefore(marked, "seq", numParts)
