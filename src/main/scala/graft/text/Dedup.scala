@@ -276,6 +276,13 @@ object Dedup {
       .withColumn("__ml",
         greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
       .filter(col("__ml") > 0)
+      // EXACT length-gap prune before the O(len²) DP: lev >= |la−lb|
+      // always, so a pair whose gap alone caps sim below minSim can
+      // never verify — LSH hash-collision candidates between docs of
+      // very different sizes skip the edit distance entirely
+      .filter((col("__ml") -
+          abs(length(col("__ta")) - length(col("__tb"))).cast("long")) *
+        lit(1000000L) >= lit(tau) * col("__ml"))
       .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
       .filter((col("__ml") - col("lev")) * lit(1000000L) >= lit(tau) * col("__ml"))
       .select(col("doc_a"), col("doc_b"), col("lev"),
