@@ -703,6 +703,23 @@ object DocQueries {
           hex(col("content")).as("content_hex"))
         .orderBy("sample_id")
     }),
+    "q_audio_energy" -> ((s, dir) => {
+      // REAL decode path (round 14): 8-sample energy windows over the
+      // decoded PCM of genuine RIFF/WAVE containers — exact integer
+      // Σ(centered amplitude)², silence by integer cross-product. The
+      // oracle regenerates the synthetic sample bytes from the text
+      // (ASCII ≤ 0x7F, so VARCHAR code points ARE the PCM bytes)
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val wav = Multimodal.syntheticWavCorpus(documents(s, dir))
+        .select(col("sample_id"), lit("audio").as("modality"),
+          col("content"), lit(0).as("width"), lit(0).as("height"),
+          lit(8000).as("sample_rate"), lit(0).as("duration_ms"))
+        .as[graft.multimodal.MediaSample]
+      Multimodal.audioEnergyWindows(wav, windowSamples = 8,
+          silenceMeanSquare = 2500L)
+        .orderBy("sample_id", "win_idx")
+    }),
     "q_media_fp" -> ((s, dir) => {
       // content fingerprints through ALL THREE decode boundaries:
       // image aHash / audio energy-contour hash / video first+last
@@ -3828,8 +3845,25 @@ object DocQueries {
         |    || rzhex AS content_hex
         |FROM rz ORDER BY sample_id""".stripMargin,
 
+    "q_audio_energy" ->
+      // mirrors Multimodal.audioEnergyWindows(w=8, thr=2500) over the
+      // synthetic WAV corpus: data byte i = (text || '.')[i mod len],
+      // n = doc_id%40+20 samples, centered amplitude = byte - 128 —
+      // regenerated from text (ASCII: code points ARE the bytes)
+      """WITH b AS (SELECT doc_id, text || '.' AS s,
+        |    (doc_id % 40 + 20)::INT AS n FROM documents),
+        |ix AS (SELECT doc_id, s, unnest(range(n)) AS i FROM b),
+        |v AS (SELECT doc_id, (i // 8)::INT AS win_idx,
+        |  (ord(substr(s, (i % len(s) + 1)::INT, 1)) - 128)::BIGINT AS v
+        |  FROM ix),
+        |g AS (SELECT doc_id AS sample_id, win_idx, count(*)::INT AS n_samples,
+        |  sum(v * v)::BIGINT AS energy FROM v GROUP BY 1, 2)
+        |SELECT sample_id, win_idx, n_samples, energy,
+        |  energy < 2500 * n_samples AS silent
+        |FROM g ORDER BY sample_id, win_idx""".stripMargin,
+
     "q_media_fp" ->
-      // mirrors mixedCorpus + the three decoded fingerprints:
+// mirrors mixedCorpus + the three decoded fingerprints:
       // image aHash (8x8 nearest, floor-mean strict threshold), audio
       // energy hash (64 sample windows, 64*ssq_j > total exact integer
       // compare; short clips leave trailing windows 0), video

@@ -381,6 +381,51 @@ object Multimodal {
     }.toDF("sample_id", "modality", "decoded", "fingerprint")
   }
 
+  /** Audio ENERGY PROFILE over decoded content — the voice/silence
+    * feature a speech-data pipeline trims and filters on: the decoded
+    * PCM stream is cut into fixed `windowSamples`-sample windows (the
+    * final partial window included) and each window reports its energy
+    * Σ amplitude² over CENTERED integer samples ([[Wav.Audio.sample]]),
+    * an exact integer — bitwise replayable, no floats anywhere. A
+    * window is `silent` iff its MEAN square sits below
+    * `silenceMeanSquare`, compared as the integer cross-product
+    * energy < threshold·n (no division). Content the audio codec does
+    * not cover yields no rows (energy has no meaning for images). A
+    * pure mapPartitions over the scan; no shuffle. */
+  def audioEnergyWindows(
+      samples: Dataset[MediaSample],
+      windowSamples: Int = 8,
+      silenceMeanSquare: Long = 100L)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(windowSamples > 0,
+      s"windowSamples must be positive, got $windowSamples")
+    require(silenceMeanSquare >= 0,
+      s"silenceMeanSquare must be >= 0, got $silenceMeanSquare")
+    samples.mapPartitions { it =>
+      it.flatMap { s =>
+        Wav.decode(s.content) match {
+          case Some(audio) =>
+            val n = audio.numSamples
+            (0 until n by windowSamples).iterator.zipWithIndex.map {
+              case (start, wi) =>
+                val end = math.min(start + windowSamples, n)
+                var e = 0L
+                var i = start
+                while (i < end) {
+                  val v = audio.sample(i).toLong
+                  e += v * v
+                  i += 1
+                }
+                val len = end - start
+                (s.sample_id, wi, len, e, e < silenceMeanSquare * len)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }.toDF("sample_id", "win_idx", "n_samples", "energy", "silent")
+  }
+
   /** Audio resample over DECODED content: RIFF/WAVE PCM rows are
     * genuinely rate-converted ([[Wav.resampleLinear]] — exact integer
     * two-tap interpolation, re-encoded as WAV) with the `sample_rate`

@@ -487,6 +487,37 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("audioEnergyWindows: exact window energies, silence verdicts, audio-only") {
+    implicit val s = spark
+    def sample(id: Long, bytes: Array[Byte], modality: String = "audio") =
+      MediaSample(id, modality,
+        if (modality == "audio")
+          graft.multimodal.Wav.encode(
+            graft.multimodal.Wav.Audio(8000, 1, 8, bytes))
+        else bytes,
+        0, 0, 8000, 0)
+    // 8-bit PCM centered at 128: two loud windows (amp ±100), one
+    // silent (amp ±2), one PARTIAL final window of 2 samples
+    val loud = Array.fill[Byte](8)(228.toByte) ++ Array.fill[Byte](8)(28.toByte)
+    val quiet = Array.fill[Byte](8)(130.toByte)
+    val tail = Array[Byte](228.toByte, 130.toByte)
+    val ds = Seq(
+      sample(1L, loud ++ quiet ++ tail),
+      sample(2L, Array[Byte](1, 2, 3), modality = "image") // not WAV
+    ).toDS()
+    val out = Multimodal.audioEnergyWindows(ds, windowSamples = 8,
+        silenceMeanSquare = 100L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // non-audio content yields no rows at all
+    assert(out.keys.map(_._1).toSet === Set(1L))
+    assert(out((1L, 0)) === ((8, 8L * 100 * 100, false)))
+    assert(out((1L, 1)) === ((8, 8L * 100 * 100, false)))
+    assert(out((1L, 2)) === ((8, 8L * 2 * 2, true)))
+    // partial window: 100^2 + 2^2 over n=2, mean 5002 -> not silent
+    assert(out((1L, 3)) === ((2, 100L * 100 + 4, false)))
+  }
+
   test("multimodal: feature extraction is deterministic and decodes for real") {
     implicit val s = spark
     val docs = Seq((1L, "hello media world"), (2L, "other content")).toDF("doc_id", "text")
