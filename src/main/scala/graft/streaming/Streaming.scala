@@ -845,6 +845,20 @@ object Streaming {
       passthrough = Seq("ts"))
   }
 
+  /** Streaming AUDIO ENERGY gate: per-window energy/silence verdicts
+    * at ingest rate — [[graft.multimodal.Multimodal.audioEnergyWindows]]
+    * is a stateless mapPartitions over the real WAV decode boundary,
+    * so the batch operator runs UNCHANGED on a stream (the RangeJoin
+    * stream-safety pattern: no state, no watermark, no shuffle).
+    * StreamingSpec replay-pins streamed windows == batch across a
+    * micro-batch boundary. */
+  def streamingAudioEnergy(
+      samples: Dataset[graft.multimodal.MediaSample],
+      windowSamples: Int = 8,
+      silenceMeanSquare: Long = 100L): DataFrame =
+    graft.multimodal.Multimodal.audioEnergyWindows(
+      samples, windowSamples, silenceMeanSquare)(samples.sparkSession)
+
   /** Streaming cross-corpus near-dup gate — the online face of
     * [[graft.text.Dedup.crossCorpusNearDups]] (the Bloom-gate pattern
     * at LSH granularity): each streamed document computes its MinHash

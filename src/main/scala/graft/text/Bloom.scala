@@ -66,10 +66,14 @@ object Bloom {
     * 64-bit words. The single collected row is the filter itself —
     * bounded by construction (m/8 bytes), corpus-size-independent. */
   def buildFilter(existing: DataFrame, keyCol: String, mBits: Int,
-      k: Int): Array[Long] = {
+      k: Int): Array[Long] =
+    buildFilterWith(existing, positions(col(keyCol), mBits, k), mBits)
+
+  private[graft] def buildFilterWith(existing: DataFrame,
+      positionsCol: Column, mBits: Int): Array[Long] = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val agg = column(graft.functions.BloomBitsAgg(
-      expression(positions(col(keyCol), mBits, k)), mBits)
+      expression(positionsCol), mBits)
       .toAggregateExpression())
     val bytes = existing.agg(agg.as("filter")).head.getAs[Array[Byte]](0)
     val bb = ByteBuffer.wrap(bytes)
@@ -92,16 +96,49 @@ object Bloom {
     // of sequence+transform+forall: no per-row array allocations in
     // the hot probe, and codegen's subexpression elimination computes
     // h1/h2 once. A null key yields a null verdict, as before.
-    val words = typedLit(filter.toSeq)
     val h1 = TextOps.hash56(concat(lit("gb1:"), col(keyCol))) % mBits
     val h2 = lit(1L) + TextOps.hash56(concat(lit("gb2:"), col(keyCol))) % (mBits - 1)
-    val verdict = (0 until k).map { i =>
+    incoming.withColumn(out, bitTestConjuncts(h1, h2, filter, mBits, k))
+  }
+
+  /** Shared unrolled verdict: k bit-test conjuncts from a (h1, h2)
+    * double-hash pair against a literal word array. */
+  private def bitTestConjuncts(h1: Column, h2: Column,
+      filter: Array[Long], mBits: Int, k: Int): Column = {
+    val words = typedLit(filter.toSeq)
+    (0 until k).map { i =>
       val p = (h1 + lit(i.toLong) * h2) % mBits
       element_at(words, (p / 64).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L),
           (p % 64).cast("int"))) =!= lit(0L)
     }.reduce(_ && _)
-    incoming.withColumn(out, verdict)
+  }
+
+  /** [[positions]] for INTEGRAL keys — the same double-hash scheme
+    * over `xxhash64` of the RAW long, skipping the per-row string
+    * materialization entirely. Used only where the contract is
+    * composition-only (the semi-join prefilter: any hash family
+    * preserves no-false-negatives); the string path stays the
+    * engine-replayable form the dedup oracles pin bit-for-bit. */
+  private[graft] def positionsLong(key: Column, mBits: Int, k: Int): Column = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val h1 = pmod(xxhash64(lit("gb1"), key), lit(mBits.toLong))
+    val h2 = lit(1L) +
+      pmod(xxhash64(lit("gb2"), key), lit((mBits - 1).toLong))
+    transform(sequence(lit(0L), lit((k - 1).toLong)),
+      i => pmod(h1 + i * h2, lit(mBits.toLong)))
+  }
+
+  /** [[probe]] for INTEGRAL keys against a [[positionsLong]]-built
+    * filter — the same unrolled scalar conjuncts, xxhash64 hashes. */
+  private[graft] def probeLong(incoming: DataFrame, keyCol: String,
+      filter: Array[Long], mBits: Int, k: Int, out: String): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val key = col(keyCol)
+    val h1 = pmod(xxhash64(lit("gb1"), key), lit(mBits.toLong))
+    val h2 = lit(1L) +
+      pmod(xxhash64(lit("gb2"), key), lit((mBits - 1).toLong))
+    incoming.withColumn(out, bitTestConjuncts(h1, h2, filter, mBits, k))
   }
 
   // One broadcast per filter ARRAY, not per probe call: a gate probing
@@ -163,20 +200,39 @@ object Bloom {
     * shapes. q_bloom_semijoin pins the inner composition. */
   def semiJoinPrefilter(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String, mBits: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     // collision-safe temp key: never silently overwrite a caller column
     val kc = Iterator.from(0).map(i => s"__sjk$i")
       .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
     val mc = Iterator.from(0).map(i => s"__sjm$i")
       .find(n => !big.columns.contains(n)).get
-    val filter = buildFilter(
-      small.select(col(smallKey).cast("string").as(kc)), kc, mBits, k)
-    val probed =
-      if (mBits >= (1 << 24))
-        probeBcast(big.withColumn(kc, col(bigKey).cast("string")),
-          kc, filter, mBits, k, out = mc)
-      else
-        probe(big.withColumn(kc, col(bigKey).cast("string")),
-          kc, filter, mBits, k, out = mc)
-    probed.filter(col(mc)).drop(kc, mc)
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val bothIntegral =
+      integral(big.schema(bigKey).dataType) &&
+        integral(small.schema(smallKey).dataType)
+    if (bothIntegral && mBits < (1 << 24)) {
+      // INTEGRAL fast path: xxhash64 on the raw long — no per-row
+      // string materialization. Sound because this operator's contract
+      // is composition-only (any hash family keeps no-false-negatives);
+      // both sides cast to LONG so int/long keys hash identically.
+      val filter = buildFilterWith(
+        small.select(col(smallKey).cast("long").as(kc)),
+        positionsLong(col(kc), mBits, k), mBits)
+      val probed = probeLong(big.withColumn(kc, col(bigKey).cast("long")),
+        kc, filter, mBits, k, out = mc)
+      probed.filter(col(mc)).drop(kc, mc)
+    } else {
+      val filter = buildFilter(
+        small.select(col(smallKey).cast("string").as(kc)), kc, mBits, k)
+      val probed =
+        if (mBits >= (1 << 24))
+          probeBcast(big.withColumn(kc, col(bigKey).cast("string")),
+            kc, filter, mBits, k, out = mc)
+        else
+          probe(big.withColumn(kc, col(bigKey).cast("string")),
+            kc, filter, mBits, k, out = mc)
+      probed.filter(col(mc)).drop(kc, mc)
+    }
   }
 }

@@ -139,10 +139,30 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
     val preR = Bloom.semiJoinPrefilter(bigR, "k", small, "k", m, k)
     val plan = preR.join(small, "k").queryExecution.executedPlan.toString
     // the unrolled scalar probe (k bit-test conjuncts, no per-row
-    // array machinery) sits in a Filter ahead of the join
-    assert(plan.contains("graft_hash56") && plan.contains("shiftleft"), plan)
+    // array machinery) sits in a Filter ahead of the join; LONG keys
+    // take the raw-xxhash64 path — no per-row string materialization
+    assert(plan.contains("xxhash64") && plan.contains("shiftleft"), plan)
+    assert(!plan.contains("graft_hash56") && !plan.contains("cast(k"),
+      s"integral keys must not stringify for the probe:\n$plan")
     assert(!plan.contains("forall"),
       "probe regressed to the array-HOF spelling")
+    // STRING keys keep the engine-replayable hash56 path and the same
+    // composition guarantee
+    val bigS = spark.range(500).select(
+      concat(lit("key"), col("id") % 100).as("k"),
+      col("id").as("payload"))
+    val smallS = (0 until 30).map(i => (s"key$i", s"attr$i"))
+      .toDF("k", "attr")
+    val composedS = Bloom.semiJoinPrefilter(bigS, "k", smallS, "k", m, k)
+      .join(smallS.withColumnRenamed("k", "ks"), col("k") === col("ks"))
+      .select("k", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val plainS = bigS.join(smallS, "k").select("k", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(composedS == plainS && plainS.nonEmpty)
+    val planS = Bloom.semiJoinPrefilter(bigS, "k", smallS, "k", m, k)
+      .queryExecution.executedPlan.toString
+    assert(planS.contains("graft_hash56"), planS)
   }
 
   test("incrementalDedup end-to-end: new batch vs existing corpus") {

@@ -264,7 +264,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!uc.toLowerCase.contains("join"), "q_url_canon grew a join")
     // bloom semi-join: the scan-local probe precedes the real join
     val bs = plans("q_bloom_semijoin")
-    assert(bs.contains("graft_hash56") && bs.contains("shiftleft"),
+    // integral suppkey takes the raw-xxhash64 fast path (no per-row
+    // string cast); still k scalar bit tests, never the array HOF
+    assert(bs.contains("xxhash64") && bs.contains("shiftleft"),
       "q_bloom_semijoin verdicts are not the scan-local bit-test probe")
     assert(!bs.contains("forall"),
       "q_bloom_semijoin probe regressed to the array-HOF spelling")

@@ -309,6 +309,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamingGopherRules must remain a stateless projection")
   }
 
+  test("streamingAudioEnergy replays the batch windows exactly, stateless") {
+    import graft.multimodal.{MediaSample, Multimodal, Wav}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    def wav(id: Long, bytes: Array[Byte]) = MediaSample(id, "audio",
+      Wav.encode(Wav.Audio(8000, 1, 8, bytes)), 0, 0, 8000, 0)
+    val rows = (1L to 20L).map { id =>
+      wav(id, Array.tabulate[Byte]((id % 13 + 5).toInt)(i =>
+        (((id * 31 + i * 7) % 90) + 33).toByte))
+    }
+    val batch = Multimodal.audioEnergyWindows(
+        rows.toDS(), windowSamples = 4, silenceMeanSquare = 3000L)
+      .collect().map(_.toSeq).toSet
+    val in = MemoryStream[MediaSample]
+    val out = Streaming.streamingAudioEnergy(in.toDS(),
+      windowSamples = 4, silenceMeanSquare = 3000L)
+    val q = out.writeStream.format("memory").queryName("audio_stream")
+      .outputMode("append").start()
+    rows.grouped(7).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("audio_stream").collect().map(_.toSeq).toSet
+    assert(streamed === batch && batch.nonEmpty)
+    // both silence polarities genuinely exercised
+    assert(batch.exists(_.last == true) && batch.exists(_.last == false))
+  }
+
   test("streamingPhraseGate replays the batch index walk exactly, stateless") {
     import graft.streaming.StreamDoc
     implicit val sqlCtx = spark.sqlContext
