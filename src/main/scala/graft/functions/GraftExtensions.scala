@@ -94,6 +94,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${GraftExtensions.GearChunksName} takes exactly 2 arguments, got ${args.length}")
         GearChunks(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftExtensions.LevBoundedName),
+      new ExpressionInfo(classOf[LevBounded].getName,
+        GraftExtensions.LevBoundedName),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"${GraftExtensions.LevBoundedName} takes exactly 3 arguments, " +
+            s"got ${args.length}")
+        LevBounded(args.head, args(1), args(2))
+      }))
     // user queries written with the idiomatic zip_with/aggregate dot
     // composition get the fused codegen kernel automatically
     ext.injectOptimizerRule(_ => RewriteHofDot)
@@ -117,4 +127,5 @@ object GraftExtensions {
   val UrlCanonName = "graft_url_canon"
   val TextNormName = "graft_textnorm"
   val GearChunksName = "graft_gear_chunks"
+  val LevBoundedName = "graft_lev_bounded"
 }

@@ -276,15 +276,29 @@ object Dedup {
       .withColumn("__ml",
         greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
       .filter(col("__ml") > 0)
-      // EXACT length-gap prune before the O(len²) DP: lev >= |la−lb|
-      // always, so a pair whose gap alone caps sim below minSim can
-      // never verify — LSH hash-collision candidates between docs of
-      // very different sizes skip the edit distance entirely
+      // EXACT length-gap prune before the DP: lev >= |la−lb| always,
+      // so a pair whose gap alone caps sim below minSim can never
+      // verify — LSH hash-collision candidates between docs of very
+      // different sizes skip the edit distance entirely
       .filter((col("__ml") -
           abs(length(col("__ta")) - length(col("__tb"))).cast("long")) *
         lit(1000000L) >= lit(tau) * col("__ml"))
-      .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
-      .filter((col("__ml") - col("lev")) * lit(1000000L) >= lit(tau) * col("__ml"))
+      // per-pair BAND-LIMITED Levenshtein ([[graft.functions
+      // .LevBounded]]): sim >= minSim iff lev <= B(ml) =
+      // floor(ml·(1e6−tau)/1e6) — an exact integer bound per pair, the
+      // thing the builtin's global-Int threshold cannot express. The
+      // kernel returns the EXACT distance for survivors and −1 past
+      // the bound (Ukkonen band + early exit), so the output rows and
+      // lev values are identical to the full DP; the win grows as
+      // minSim tightens (band width (1−minSim)·len)
+      .withColumn("__bnd",
+        expr(s"cast((__ml * ${1000000L - tau}) div 1000000 as int)"))
+      .withColumn("lev", {
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+        column(graft.functions.LevBounded(expression(col("__ta")),
+          expression(col("__tb")), expression(col("__bnd")))).cast("long")
+      })
+      .filter(col("lev") >= 0L)
       .select(col("doc_a"), col("doc_b"), col("lev"),
         round((col("__ml") - col("lev")).cast("double") / col("__ml"), 9)
           .as("sim"))
