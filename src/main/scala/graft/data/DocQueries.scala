@@ -1051,6 +1051,16 @@ object DocQueries {
       graft.text.Search.phraseSearch(documents(s, dir),
           Seq("table", "key", "agg"))
         .orderBy("doc_id", "start")),
+    "q_phrase_batch" -> ((s, dir) =>
+      // the one-pass phrase SET walk (round 14, the decontamination
+      // shape): slots broadcast against the union of phrase terms'
+      // postings, one join + one count regardless of phrase count;
+      // oracle = UNION ALL of per-phrase window predicates
+      graft.text.Search.phraseOccurrencesBatch(
+          graft.text.Search.buildPositionalIndex(documents(s, dir)),
+          Seq(Seq("table", "key", "agg"), Seq("value", "table"),
+            Seq("query", "value")))
+        .orderBy("phrase_id", "doc_id", "start")),
     "q_phrase_gate" -> ((s, dir) =>
       // the stateless in-row spelling of the phrase walk (round 14):
       // per-document occurrence counts from one token-array HOF pass —
@@ -4361,6 +4371,23 @@ object DocQueries {
          |WHERE toks[pos + 1] = 'table' AND toks[pos + 2] = 'key'
          |  AND toks[pos + 3] = 'agg'
          |ORDER BY doc_id, start""".stripMargin,
+
+    "q_phrase_batch" ->
+      // mirrors Search.phraseOccurrencesBatch over three phrases: each
+      // arm is the direct window predicate with its phrase_id
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT 0::BIGINT AS phrase_id, doc_id, pos::BIGINT AS start
+         |FROM p WHERE toks[pos + 1] = 'table' AND toks[pos + 2] = 'key'
+         |  AND toks[pos + 3] = 'agg'
+         |UNION ALL
+         |SELECT 1::BIGINT, doc_id, pos::BIGINT FROM p
+         |WHERE toks[pos + 1] = 'value' AND toks[pos + 2] = 'table'
+         |UNION ALL
+         |SELECT 2::BIGINT, doc_id, pos::BIGINT FROM p
+         |WHERE toks[pos + 1] = 'query' AND toks[pos + 2] = 'value'
+         |ORDER BY phrase_id, doc_id, start""".stripMargin,
 
     "q_phrase_gate" ->
       // mirrors Search.phraseGate(["table","key","agg"]): per-doc count

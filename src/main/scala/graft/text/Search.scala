@@ -244,20 +244,26 @@ object Search {
     * requires the anchor term at both offsets.
     *
     * Output: (doc_id, start) — every occurrence, overlaps included. */
+  /** Postings restricted to `terms`, with directory pruning when the
+    * frame is a persisted index (the term_bucket partition key): the
+    * bucket predicate constant-folds (termBucket of a literal) and
+    * prunes before the term filter touches any row. */
+  private def prunedPostings(
+      postings: DataFrame, terms: Seq[String]): DataFrame = {
+    val bucketed =
+      if (postings.columns.contains("term_bucket"))
+        postings.filter(terms
+          .map(t => col("term_bucket") === termBucket(lit(t)))
+          .reduce(_ || _))
+      else postings
+    bucketed.filter(col("term").isin(terms: _*))
+  }
+
   def phraseOccurrences(
       postings: DataFrame,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    // a persisted index carries term_bucket as its partition key: the
-    // bucket predicate constant-folds (termBucket of a literal) and
-    // prunes directories before the term filter touches any row
-    val bucketed =
-      if (postings.columns.contains("term_bucket"))
-        postings.filter(phrase.distinct
-          .map(t => col("term_bucket") === termBucket(lit(t)))
-          .reduce(_ || _))
-      else postings
-    val sub = bucketed.filter(col("term").isin(phrase.distinct: _*))
+    val sub = prunedPostings(postings, phrase.distinct)
     val counts = sub.groupBy("term").agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val slots = phrase.zipWithIndex
@@ -271,6 +277,41 @@ object Search {
       cur = cur.join(starts(slot), Seq("doc_id", "start"), "left_semi")
     }
     cur
+  }
+
+  /** A bounded phrase SET probed in ONE pass over the positional
+    * index — the decontamination shape (every eval-set n-gram vs the
+    * corpus at once): the slot table (phrase_id, term, offset) is
+    * broadcast against the postings restricted to the UNION of phrase
+    * terms, each matching posting votes for
+    * (phrase_id, doc_id, start = pos − offset), and a start is an
+    * occurrence iff all of its phrase's slots voted — one equi-join +
+    * one map-side-combinable count, independent of how many phrases
+    * (the per-phrase walk would pay `k` joins PER phrase). Duplicate
+    * terms within a phrase vote once per SLOT (offsets are distinct,
+    * and a posting matches a slot at exactly one start), so the count
+    * test is exact. Output: (phrase_id, doc_id, start). */
+  def phraseOccurrencesBatch(
+      postings: DataFrame,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phrases must be a non-empty set of non-empty phrases")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val slots = phrases.zipWithIndex.flatMap { case (p, pid) =>
+      p.zipWithIndex.map { case (t, off) =>
+        (pid.toLong, t, off.toLong, p.length.toLong)
+      }
+    }.toDF("phrase_id", "term", "__off", "__k")
+    prunedPostings(postings, phrases.flatten.distinct)
+      .join(broadcast(slots), Seq("term"))
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos").cast("long") - col("__off")).as("start"), col("__k"))
+      .filter(col("start") >= 0)
+      .groupBy("phrase_id", "doc_id", "start")
+      .agg(count(lit(1)).as("__n"), max("__k").as("__k"))
+      .filter(col("__n") === col("__k"))
+      .select("phrase_id", "doc_id", "start")
   }
 
   /** [[phraseOccurrences]] with the index built inline. */

@@ -370,6 +370,36 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got === want && want.nonEmpty)
   }
 
+  test("phraseOccurrencesBatch == per-phrase walks, one join regardless of P") {
+    import graft.text.Search
+    val rnd = new scala.util.Random(29)
+    val corpus = (0L until 50L).map { i =>
+      i -> (0 until 5 + rnd.nextInt(30))
+        .map(_ => s"t${rnd.nextInt(4)}").mkString(" ")
+    }
+    val cd = docs(corpus: _*)
+    val idx = Search.buildPositionalIndex(cd)
+    val phrases = Seq(
+      Seq("t1", "t0", "t1"),      // duplicate-term phrase
+      Seq("t2"),                  // single term
+      Seq("t3", "t3"),            // adjacent duplicates
+      Seq("t0", "nope"))          // absent term: no rows
+    val got = Search.phraseOccurrencesBatch(idx, phrases).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = phrases.zipWithIndex.flatMap { case (p, pid) =>
+      Search.phraseOccurrences(idx, p).collect()
+        .map(r => (pid.toLong, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(got === want && want.nonEmpty)
+    assert(!got.exists(_._1 == 3L), "absent-term phrase must match nothing")
+    // plan economy: ONE posting join + one aggregate, not k joins per
+    // phrase — count the joins in the plan
+    val plan = Search.phraseOccurrencesBatch(idx, phrases)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.split("Join").length - 1 <= 2,
+      s"batch walk grew per-phrase joins:\n$plan")
+  }
+
   test("persisted positional index: identical probe results, partition-pruned scans") {
     import graft.text.Search
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
