@@ -417,6 +417,14 @@ object DocQueries {
       // integer cross-product, sim one IEEE division.
       Dedup.editVerifiedNearDups(documents(s, dir), n = 3,
         numHashes = 16, bands = 4, minSim = 0.4)),
+    "q_edit_neardup_tight" -> ((s, dir) =>
+      // the TIGHT operating point (minSim=0.8): the banded kernel's
+      // per-pair bound is now 0.2·len, so the DP runs a narrow band
+      // and dissimilar candidates exit within a few rows — the bench
+      // twin of q_edit_neardup that makes the band's asymptotic win
+      // visible in the artifact, at identical verify semantics
+      Dedup.editVerifiedNearDups(documents(s, dir), n = 3,
+        numHashes = 16, bands = 4, minSim = 0.8)),
     "q_simhash" -> ((s, dir) =>
       Dedup.simHash(documents(s, dir)).orderBy("doc_id")),
     "q_winnow" -> ((s, dir) =>
@@ -1918,6 +1926,42 @@ object DocQueries {
   // ---- DuckDB oracle SQL --------------------------------------------
 
   /** Tokens / shingle CTE fragments shared by the text oracles. */
+  /** q_edit_neardup oracle at an arbitrary 1e6-scaled similarity cut:
+    * the q_minhash_neardup candidate replay + levenshtein verify, cut
+    * on the exact integer cross-product, sim rounded at 1e-9 — shared
+    * by the loose (0.4) query and the tight (0.8) bench twin that
+    * shows the banded kernel's narrow-band regime. */
+  private def editNearDupSql(tauMicro: Long): String = {
+    val P = TextOps.HashP
+    val mins = (0 until 16).map { jj =>
+      val (a, b) = TextOps.hashParams(jj)
+      s"min(($a * h0 + $b) % $P) AS m$jj"
+    }.mkString(", ")
+    val bandKeys = (0 until 4).map { b =>
+      "'" + b + ":' || " + (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+        .mkString(" || ':' || ")
+    }.mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |sh AS (SELECT doc_id AS id, ${shinglesExpr("toks", 3)} AS s FROM t),
+       |sh2 AS (SELECT id, s FROM sh WHERE len(s) > 0),
+       |posts AS (SELECT id, ${hash56("g")} % $P AS h0 FROM
+       |  (SELECT id, unnest(s) AS g FROM sh2)),
+       |mh AS (SELECT id, $mins FROM posts GROUP BY id),
+       |bk AS (SELECT id, unnest($bandKeys) AS k FROM mh),
+       |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+       |  FROM bk a JOIN bk b ON a.k = b.k AND a.id < b.id),
+       |v AS (SELECT doc_a, doc_b,
+       |    levenshtein(da.text, db.text)::BIGINT AS lev,
+       |    greatest(length(da.text), length(db.text))::BIGINT AS ml
+       |  FROM cand JOIN documents da ON da.doc_id = doc_a
+       |  JOIN documents db ON db.doc_id = doc_b
+       |  WHERE greatest(length(da.text), length(db.text)) > 0)
+       |SELECT doc_a, doc_b, lev,
+       |  round((ml - lev)::DOUBLE / ml, 9) AS sim
+       |FROM v WHERE (ml - lev) * 1000000 >= $tauMicro * ml
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val toksExpr = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   /** CTE chain of [[graft.text.Cdc.cdcChunks]] (w=8, divisor=16) over
@@ -3017,38 +3061,8 @@ object DocQueries {
          |ORDER BY batch_id, corpus_id""".stripMargin
     },
 
-    "q_edit_neardup" -> {
-      // the q_minhash_neardup candidate replay + levenshtein verify:
-      // cut on the exact integer cross-product, sim rounded at 1e-9
-      val P = TextOps.HashP
-      val mins = (0 until 16).map { jj =>
-        val (a, b) = TextOps.hashParams(jj)
-        s"min(($a * h0 + $b) % $P) AS m$jj"
-      }.mkString(", ")
-      val bandKeys = (0 until 4).map { b =>
-        "'" + b + ":' || " + (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
-          .mkString(" || ':' || ")
-      }.mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |sh AS (SELECT doc_id AS id, ${shinglesExpr("toks", 3)} AS s FROM t),
-         |sh2 AS (SELECT id, s FROM sh WHERE len(s) > 0),
-         |posts AS (SELECT id, ${hash56("g")} % $P AS h0 FROM
-         |  (SELECT id, unnest(s) AS g FROM sh2)),
-         |mh AS (SELECT id, $mins FROM posts GROUP BY id),
-         |bk AS (SELECT id, unnest($bandKeys) AS k FROM mh),
-         |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-         |  FROM bk a JOIN bk b ON a.k = b.k AND a.id < b.id),
-         |v AS (SELECT doc_a, doc_b,
-         |    levenshtein(da.text, db.text)::BIGINT AS lev,
-         |    greatest(length(da.text), length(db.text))::BIGINT AS ml
-         |  FROM cand JOIN documents da ON da.doc_id = doc_a
-         |  JOIN documents db ON db.doc_id = doc_b
-         |  WHERE greatest(length(da.text), length(db.text)) > 0)
-         |SELECT doc_a, doc_b, lev,
-         |  round((ml - lev)::DOUBLE / ml, 9) AS sim
-         |FROM v WHERE (ml - lev) * 1000000 >= 400000 * ml
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q_edit_neardup" -> editNearDupSql(400000L),
+    "q_edit_neardup_tight" -> editNearDupSql(800000L),
 
     "q_simhash" -> {
       val sums = (0 until 56).map(b =>
