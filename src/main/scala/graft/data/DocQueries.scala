@@ -149,6 +149,31 @@ object DocQueries {
 
   /** Corpus with planted exact duplicates (each doc twice, second copy
     * id-shifted) — the documents table itself has no exact dups. */
+  /** Shared frames for the asymmetric overlap pair (q_overlap_win /
+    * q_overlap_win_bcast): 600k lineitem transit intervals on the left,
+    * 3 deterministic per-supplier audit windows on the right — the
+    * |right| << |left| shape the broadcast overlap join exists for.
+    * Window starts spread over the shipdate epoch-day range so the
+    * join is selective but non-trivial. */
+  def overlapWinFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val lo = unix_date(col("l_shipdate").cast("date")).cast("long")
+    val a = li.select(col("l_suppkey"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("lid"),
+      lo.as("lo_a"),
+      (lo + lit(60L) +
+        pmod(col("l_orderkey") * 11 + col("l_linenumber") * 3, lit(180L)))
+        .as("hi_a"))
+    val wlo = lit(8036L) +
+      pmod(col("l_suppkey") * 37 + col("wid") * 797, lit(2400L))
+    val w = s.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").as("l_suppkey"))
+      .withColumn("wid", explode(sequence(lit(0L), lit(2L))))
+      .select(col("l_suppkey"), col("wid"), wlo.as("lo_b"),
+        (wlo + lit(30L) + pmod(col("l_suppkey"), lit(7L))).as("hi_b"))
+    (a, w)
+  }
+
   private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir).select("doc_id", "text")
     d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
@@ -1030,6 +1055,60 @@ object DocQueries {
         .filter(col("lid_a") < col("lid_b"))
         .groupBy("l_suppkey").agg(count(lit(1)).as("n_overlaps"))
         .orderBy("l_suppkey")
+    }),
+    "q_overlap_bcast" -> ((s, dir) => {
+      // the BROADCAST twin of q_overlap_join (round 15): identical
+      // pair semantics and oracle, but the right side rides a per-key
+      // max-hi interval-tree broadcast and the left is scanned once in
+      // place — no double-sided bucket expansion, no shuffle, no
+      // bucketWidth to tune (the PointsInRangeBcast pattern lifted
+      // from points to intervals)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val lo = unix_date(col("l_shipdate").cast("date")).cast("long")
+      val base = li.select(col("l_suppkey"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("lid"),
+        lo.as("lo"),
+        (lo + lit(1L) +
+          pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(21L)))
+          .as("hi"))
+      val a = base.select(col("l_suppkey"), col("lid").as("lid_a"),
+        col("lo").as("lo_a"), col("hi").as("hi_a"))
+      val b = base.select(col("l_suppkey"), col("lid").as("lid_b"),
+        col("lo").as("lo_b"), col("hi").as("hi_b"))
+      graft.operators.RangeJoin.intervalOverlapBroadcast(a, b,
+          "lo_a", "hi_a", "lo_b", "hi_b", equiKeys = Seq("l_suppkey"))
+        .filter(col("lid_a") < col("lid_b"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("l_suppkey")
+    }),
+    "q_overlap_win" -> ((s, dir) => {
+      // the ASYMMETRIC overlap shape (round 15): 600k LONG-HAUL
+      // transit intervals (60-240 days — the fat-interval regime where
+      // bucket expansion replicates hardest) vs 3 synthetic audit
+      // windows per supplier — the
+      // workload the broadcast variant exists for. This is the
+      // EXPANSION baseline: both sides replicate into buckets and the
+      // big side shuffles just to meet a window set that fits in one
+      // broadcast block (see q_overlap_win_bcast, identical oracle)
+      val (a, w) = DocQueries.overlapWinFrames(s, dir)
+      graft.operators.RangeJoin.intervalOverlap(a, w,
+          "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 128,
+          equiKeys = Seq("l_suppkey"))
+        .groupBy("l_suppkey", "wid")
+        .agg(count(lit(1)).as("n_lines"), sum("lid").as("sum_lid"))
+        .orderBy("l_suppkey", "wid")
+    }),
+    "q_overlap_win_bcast" -> ((s, dir) => {
+      // broadcast twin of q_overlap_win: the window side rides the
+      // per-key interval-tree broadcast, the 600k transit side is
+      // scanned once in place — no expansion, no shuffle of the big
+      // side, the bench pair quantifies the gap
+      val (a, w) = DocQueries.overlapWinFrames(s, dir)
+      graft.operators.RangeJoin.intervalOverlapBroadcast(a, w,
+          "lo_a", "hi_a", "lo_b", "hi_b", equiKeys = Seq("l_suppkey"))
+        .groupBy("l_suppkey", "wid")
+        .agg(count(lit(1)).as("n_lines"), sum("lid").as("sum_lid"))
+        .orderBy("l_suppkey", "wid")
     }),
     "q_suffix_lcp" -> ((s, dir) =>
       // suffix array + LCP (round 13, the Lee et al. exact
@@ -3887,7 +3966,7 @@ object DocQueries {
         |FROM g ORDER BY sample_id, win_idx""".stripMargin,
 
     "q_media_fp" ->
-// mirrors mixedCorpus + the three decoded fingerprints:
+      // mirrors mixedCorpus + the three decoded fingerprints:
       // image aHash (8x8 nearest, floor-mean strict threshold), audio
       // energy hash (64 sample windows, 64*ssq_j > total exact integer
       // compare; short clips leave trailing windows 0), video
@@ -4355,6 +4434,55 @@ object DocQueries {
         |FROM b a JOIN b c ON a.l_suppkey = c.l_suppkey AND a.lid < c.lid
         |  AND a.lo <= c.hi AND c.lo <= a.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_overlap_bcast" ->
+      // IDENTICAL oracle to q_overlap_join: the broadcast interval-tree
+      // venue must reproduce the expansion join's pairs exactly
+      """WITH b AS (SELECT l_suppkey, l_orderkey * 8 + l_linenumber AS lid,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS lo,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 1
+        |      + (l_orderkey * 7 + l_linenumber) % 21 AS hi
+        |  FROM lineitem)
+        |SELECT a.l_suppkey, count(*) AS n_overlaps
+        |FROM b a JOIN b c ON a.l_suppkey = c.l_suppkey AND a.lid < c.lid
+        |  AND a.lo <= c.hi AND c.lo <= a.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_overlap_win" ->
+      // lineitem transit intervals vs 3 per-supplier audit windows;
+      // identical oracle for the expansion and broadcast venues
+      """WITH li AS (SELECT l_suppkey, l_orderkey * 8 + l_linenumber AS lid,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS lo,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 60
+        |      + (l_orderkey * 11 + l_linenumber * 3) % 180 AS hi
+        |  FROM lineitem),
+        |w AS (SELECT s_suppkey AS l_suppkey, g.wid,
+        |    8036 + (s_suppkey * 37 + g.wid * 797) % 2400 AS wlo,
+        |    8036 + (s_suppkey * 37 + g.wid * 797) % 2400
+        |      + 30 + s_suppkey % 7 AS whi
+        |  FROM supplier, (SELECT unnest(generate_series(0, 2)) AS wid) g)
+        |SELECT li.l_suppkey, w.wid, count(*) AS n_lines,
+        |  sum(li.lid)::BIGINT AS sum_lid
+        |FROM li JOIN w ON li.l_suppkey = w.l_suppkey
+        |  AND li.lo <= w.whi AND w.wlo <= li.hi
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_overlap_win_bcast" ->
+      """WITH li AS (SELECT l_suppkey, l_orderkey * 8 + l_linenumber AS lid,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS lo,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 60
+        |      + (l_orderkey * 11 + l_linenumber * 3) % 180 AS hi
+        |  FROM lineitem),
+        |w AS (SELECT s_suppkey AS l_suppkey, g.wid,
+        |    8036 + (s_suppkey * 37 + g.wid * 797) % 2400 AS wlo,
+        |    8036 + (s_suppkey * 37 + g.wid * 797) % 2400
+        |      + 30 + s_suppkey % 7 AS whi
+        |  FROM supplier, (SELECT unnest(generate_series(0, 2)) AS wid) g)
+        |SELECT li.l_suppkey, w.wid, count(*) AS n_lines,
+        |  sum(li.lid)::BIGINT AS sum_lid
+        |FROM li JOIN w ON li.l_suppkey = w.l_suppkey
+        |  AND li.lo <= w.whi AND w.wlo <= li.hi
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_suffix_lcp" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents
@@ -5096,7 +5224,7 @@ object DocQueries {
          |FROM a ORDER BY source""".stripMargin,
 
     "q_mix_waterfill" ->
-s"""WITH t AS (SELECT source, len($toksExpr)::BIGINT AS tk FROM documents),
+      s"""WITH t AS (SELECT source, len($toksExpr)::BIGINT AS tk FROM documents),
          |d AS (SELECT source, count(*) AS n_docs, sum(tk) AS n_tokens
          |  FROM t GROUP BY source),
          |sh AS (SELECT source, n_docs, n_tokens,

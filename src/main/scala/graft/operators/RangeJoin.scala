@@ -146,6 +146,20 @@ object RangeJoin {
       loCol: String,
       hiCol: String): DataFrame = {
     requireDisjointColumns(points, intervals, "pointInIntervalBroadcast")
+    // the kernel works in long space — require integral columns eagerly
+    // instead of an NPE at getLong / a silent LongType retype (advice r11)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    Seq(pointCol -> points.schema(pointCol).dataType,
+        loCol -> intervals.schema(loCol).dataType,
+        hiCol -> intervals.schema(hiCol).dataType).foreach { case (n, t) =>
+      require(integral(t),
+        s"pointInIntervalBroadcast requires integral (byte/short/int/long) " +
+          s"columns — epoch days/seconds/micros; $n is $t. Cast upstream " +
+          "(e.g. unix_date/unix_micros) or use pointInInterval")
+    }
+    val pointType = points.schema(pointCol).dataType
     val spark = points.sparkSession
     val max = spark.conf.getOption(MaxBroadcastPointsKey)
       .map(_.toInt).getOrElse(MaxBroadcastPointsDefault)
@@ -165,8 +179,152 @@ object RangeJoin {
       expression(col(loCol).cast("long")),
       expression(col(hiCol).cast("long")), bc))
     intervals.withColumn(pointCol, explode(covered))
+      .withColumn(pointCol, col(pointCol).cast(pointType))
       .join(broadcast(points), Seq(pointCol))
       .select((points.columns ++ intervals.columns).map(col): _*)
+  }
+
+  /** Conf key bounding the collected interval side for
+    * [[intervalOverlapBroadcast]] — 2M rows of (lo, hi, rid) plus
+    * payload is a comfortable broadcast block. */
+  val MaxBroadcastIntervalsKey = "spark.graft.rangejoin.maxBroadcastIntervals"
+  val MaxBroadcastIntervalsDefault: Int = 2 << 20
+
+  /** [[intervalOverlap]] with the RIGHT side broadcast — the pair-
+    * producing twin of [[pointInIntervalBroadcast]]: when one interval
+    * set is small (audit windows, outage periods, a dimension of
+    * validity ranges — or a self-join whose table fits the bound),
+    * bucket expansion replicates and shuffles BOTH sides just to meet
+    * a frame that fits in one broadcast block. Here the left side is
+    * scanned ONCE in place: each row probes a per-key lo-sorted /
+    * max-hi-segment-tree index of the broadcast side
+    * ([[graft.functions.OverlapRidsBcast]], O(log n + matches) per
+    * probe) and explodes directly into its partner row ids; one
+    * broadcast equi-join on the rid restores the right payload. No
+    * expansion, no shuffle, no bucketWidth to tune — and the output
+    * row set is identical to [[intervalOverlap]] (RangeJoinSpec pins
+    * parity), including duplicate-row multiplicity on both sides.
+    *
+    * `equiKeys` (present in both frames, like [[intervalOverlap]])
+    * carve the index into cells; key columns must be integral or
+    * string (they ride a concatenated key — a null in any key drops
+    * the row, matching the equi-join). lo/hi columns must be integral
+    * on both sides. Fails fast past
+    * `spark.graft.rangejoin.maxBroadcastIntervals` distinct right
+    * rows — fall back to the shuffling [[intervalOverlap]] when
+    * neither side fits a broadcast. */
+  def intervalOverlapBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      loA: String, hiA: String,
+      loB: String, hiB: String,
+      equiKeys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
+    val shared =
+      left.columns.toSet.intersect(right.columns.toSet) -- equiKeys
+    require(shared.isEmpty,
+      s"intervalOverlapBroadcast requires left/right column names disjoint " +
+        s"outside equiKeys; shared: ${shared.toSeq.sorted.mkString(", ")} — " +
+        s"rename one side first")
+    val working = Set("__rid", "__rids", "__ks")
+    val reserved = (left.columns ++ right.columns).filter(working.contains) ++
+      right.columns.filter(c => c.startsWith("__rk"))
+    require(reserved.isEmpty,
+      s"intervalOverlapBroadcast reserves __rid, __rids, __ks and __rk*; " +
+        s"rename the caller's ${reserved.distinct.mkString(", ")}")
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    Seq(loA -> left.schema(loA).dataType, hiA -> left.schema(hiA).dataType,
+        loB -> right.schema(loB).dataType, hiB -> right.schema(hiB).dataType)
+      .foreach { case (n, t) =>
+        require(integral(t),
+          s"intervalOverlapBroadcast requires integral interval bounds; " +
+            s"$n is $t — cast upstream (epoch days/seconds/micros)")
+      }
+    equiKeys.foreach { k =>
+      val t = left.schema(k).dataType
+      require(integral(t) || t == StringType,
+        s"intervalOverlapBroadcast equiKeys must be integral or string " +
+          s"(they ride the concatenated cell key); $k is $t")
+    }
+    val spark = left.sparkSession
+    val max = spark.conf.getOption(MaxBroadcastIntervalsKey)
+      .map(_.toInt).getOrElse(MaxBroadcastIntervalsDefault)
+    require(max >= 1, s"$MaxBroadcastIntervalsKey must be >= 1, got $max")
+    // single integral key -> raw long cell keys (no per-row string
+    // materialization, the Bloom integral-probe lesson); otherwise the
+    // concatenated string key
+    val integralKey =
+      equiKeys.lengthCompare(1) == 0 && integral(left.schema(equiKeys.head).dataType)
+    def keyCol(df: DataFrame): Column =
+      if (integralKey) col(equiKeys.head).cast("long")
+      else equiKeys match {
+        case Seq() => lit("")
+        case ks => // concat (NOT concat_ws): any null key nulls the row out
+          concat(ks.flatMap(k =>
+            Seq(col(k).cast("string"), lit("\u0001"))).init: _*)
+      }
+    // rid = monotonically_increasing_id PINNED by an eager
+    // localCheckpoint: the index build and the join-back read the same
+    // materialized numbering, and the join-back broadcast carries the
+    // compact checkpointed frame instead of a driver-built
+    // LocalRelation (which would serialize every payload row into the
+    // plan — measured 1.5x SLOWER than the expansion join it is meant
+    // to beat). Only the four slim index columns reach the driver,
+    // bounded by limit(max+1) — the CalendarIndex guard pattern. The
+    // cell key string is computed by the SAME Spark expression on both
+    // sides, so driver/executor key agreement is by construction.
+    val rightRid = right
+      .withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint()
+    val slimDf = rightRid.select(keyCol(rightRid).as("__ks"),
+        col(loB).cast("long").as("__lo"), col(hiB).cast("long").as("__hi"),
+        col("__rid"))
+      .filter(col("__ks").isNotNull && col("__hi") >= col("__lo"))
+    // count-then-collect: the guard stays driver-bounded, and the
+    // collect fetches partitions in parallel instead of funneling
+    // through a GlobalLimit's single partition
+    val nSlim = slimDf.limit(max + 1).count()
+    require(nSlim <= max,
+      s"intervalOverlapBroadcast collected more than $max right rows; " +
+        s"raise $MaxBroadcastIntervalsKey or use intervalOverlap")
+    val slim = slimDf.collect()
+    val byKey = new scala.collection.mutable.HashMap[
+      AnyRef, scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]]
+    var i = 0
+    while (i < slim.length) {
+      val r = slim(i)
+      val k: AnyRef =
+        if (integralKey) java.lang.Long.valueOf(r.getLong(0)) else r.getString(0)
+      byKey.getOrElseUpdate(k,
+        new scala.collection.mutable.ArrayBuffer) +=
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))
+      i += 1
+    }
+    val idx = new java.util.HashMap[AnyRef, graft.functions.OverlapRidsBcast.Bucket]
+    byKey.foreach { case (k, v) =>
+      idx.put(k, graft.functions.OverlapRidsBcast.bucketOf(v.toArray))
+    }
+    val bc = spark.sparkContext.broadcast(idx)
+    val rightRenamed = rightRid.withColumnsRenamed(equiKeys.zipWithIndex
+      .map { case (k, j) => k -> s"__rk$j" }.toMap)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val ridsCol = column(graft.functions.OverlapRidsBcast(
+      expression(keyCol(left)),
+      expression(col(loA).cast("long")),
+      expression(col(hiA).cast("long")), bc))
+    val joined = left
+      .withColumn("__rid", explode(ridsCol))
+      .join(broadcast(rightRenamed), Seq("__rid"))
+    // exact key equality re-check: a multi-part concatenated key could
+    // in principle collide across a \u0001 inside a string key part
+    val checked = equiKeys.zipWithIndex.foldLeft(joined) {
+      case (df, (k, j)) => df.filter(col(k) === col(s"__rk$j"))
+    }
+    val outCols = equiKeys ++
+      left.columns.filterNot(equiKeys.contains) ++
+      right.columns.filterNot(equiKeys.contains)
+    checked.select(outCols.map(col): _*)
   }
 
   /** Per-key count of OVERLAPPING interval pairs with ZERO pair
@@ -200,6 +358,17 @@ object RangeJoin {
       "overlapPairCounts requires equiKeys — a keyless corpus-wide " +
         "overlap count would funnel one window partition; carve cells " +
         "first or use intervalOverlap")
+    // eager reserved-name check (advice r11): a caller column matching a
+    // sweep working name would otherwise fail later as an ambiguous-
+    // column AnalysisException instead of a clear message
+    val working = Set("__v", "__t", "__n", "__nh", "__sep")
+    val clash = (equiKeys :+ loCol :+ hiCol :+ outCol)
+      .filter(working.contains) ++
+      intervals.columns.filter(working.contains)
+    require(clash.isEmpty,
+      s"overlapPairCounts reserves the working column names " +
+        s"${working.toSeq.sorted.mkString(", ")}; rename the caller's " +
+        s"${clash.distinct.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val iv = intervals
       .filter(equiKeys.map(col(_).isNotNull).reduce(_ && _))

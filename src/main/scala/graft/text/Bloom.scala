@@ -221,7 +221,10 @@ object Bloom {
         positionsLong(col(kc), mBits, k), mBits)
       val probed = probeLong(big.withColumn(kc, col(bigKey).cast("long")),
         kc, filter, mBits, k, out = mc)
-      probed.filter(col(mc)).drop(kc, mc)
+      // xxhash64 skips null children, so a null key would get a
+      // non-null position set here — gate on the key so both paths
+      // agree on dropping null-keyed rows (advice r11).
+      probed.filter(col(kc).isNotNull && col(mc)).drop(kc, mc)
     } else {
       val filter = buildFilter(
         small.select(col(smallKey).cast("string").as(kc)), kc, mBits, k)

@@ -161,10 +161,18 @@ object LmPerplexity {
       val v: Long,
       val d: Double) extends Serializable
 
+  /** Conf key bounding the driver-collected bigram table (default 5M
+    * rows ≈ a few hundred MB of strings — the [[CalendarIndex]]
+    * fail-fast pattern). */
+  val MaxModelRowsKey = "spark.graft.lm.maxModelRows"
+  val MaxModelRowsDefault = 5000000
+
   /** Collect the KN model tables to the driver. BOUNDED ONLY IF the
     * training corpus is vocabulary-pruned ([[pruneVocab]]) — the
     * contract every shipped LM honors; the join-based [[score]] has no
-    * such requirement and stays fully distributed. */
+    * such requirement and stays fully distributed. The bigram-table
+    * size is enforced against [[MaxModelRowsKey]] before any collect,
+    * so an un-pruned corpus fails fast instead of OOMing the driver. */
   def collectModel(train: DataFrame, d: Double = 0.75,
       textCol: String = "text", idCol: String = "doc_id"): LmModel = {
     require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
@@ -172,6 +180,16 @@ object LmPerplexity {
       .groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
       .persist()
     try {
+      val max = train.sparkSession.conf
+        .get(MaxModelRowsKey, MaxModelRowsDefault.toString).toLong
+      val nBig = trbg.limit(
+        (max + 1).min(Int.MaxValue.toLong).toInt).count()
+      if (nBig > max)
+        throw new IllegalArgumentException(
+          s"KN bigram table has more than $max distinct bigrams; " +
+            s"collectModel is driver-bounded by $MaxModelRowsKey " +
+            "(prune the training vocabulary with pruneVocab, or use " +
+            "the fully distributed join-based score instead)")
       val big = new java.util.HashMap[String, java.lang.Long]()
       trbg.collect().foreach(r => big.put(
         r.getString(0) + " " + r.getString(1),

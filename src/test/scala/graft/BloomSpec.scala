@@ -165,6 +165,30 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
     assert(planS.contains("graft_hash56"), planS)
   }
 
+  test("semiJoinPrefilter drops null big-side keys on BOTH paths") {
+    import spark.implicits._
+    // integral path: xxhash64 would skip a null child and hand the row
+    // a live position set — the explicit key gate must drop it anyway
+    val bigI = Seq((Some(1L), "a"), (None, "null-key"), (Some(7L), "miss"))
+      .toDF("k", "payload")
+    val smallI = Seq((1L, "x"), (2L, "y")).toDF("k", "attr")
+    val gotI = Bloom.semiJoinPrefilter(bigI, "k", smallI, "k", m, k)
+      .select("payload").as[String].collect().sorted.toSeq
+    assert(!gotI.contains("null-key") && gotI.contains("a"))
+    // and a null key on the SMALL side must not resurrect big nulls
+    val smallN = Seq((Some(1L), "x"), (Option.empty[Long], "ynull"))
+      .toDF("k", "attr")
+    val gotN = Bloom.semiJoinPrefilter(bigI, "k", smallN, "k", m, k)
+      .select("payload").as[String].collect().sorted.toSeq
+    assert(!gotN.contains("null-key"))
+    // string path agrees (its null probe already yields a null verdict)
+    val bigS = Seq((Some("a"), "s1"), (None, "snull")).toDF("k", "payload")
+    val smallS = Seq(("a", "x")).toDF("k", "attr")
+    val gotS = Bloom.semiJoinPrefilter(bigS, "k", smallS, "k", m, k)
+      .select("payload").as[String].collect().toSeq
+    assert(gotS === Seq("s1"))
+  }
+
   test("incrementalDedup end-to-end: new batch vs existing corpus") {
     val existing = corpus((1L to 100L).map(i => i -> s"crawl-a $i"))
     val incoming = corpus(

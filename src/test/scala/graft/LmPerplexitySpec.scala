@@ -106,6 +106,23 @@ class LmPerplexitySpec extends AnyFunSuite with SparkSpec {
     assert(viaBc === pruned)
   }
 
+  test("collectModel fails fast past spark.graft.lm.maxModelRows") {
+    val train = Seq((1L, "a b c d e"), (2L, "b c d e f")).toDF("doc_id", "text")
+    // 8 distinct bigrams in train; a bound of 3 must raise before any
+    // unbounded collect, and the message must name the conf key
+    spark.conf.set(LmPerplexity.MaxModelRowsKey, "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LmPerplexity.collectModel(train)
+      }
+      assert(e.getMessage.contains(LmPerplexity.MaxModelRowsKey))
+    } finally spark.conf.unset(LmPerplexity.MaxModelRowsKey)
+    // default bound: same corpus collects fine and scores as before
+    // (7 distinct bigrams: BOS-a, BOS-b, a-b, b-c, c-d, d-e, e-f)
+    val m = LmPerplexity.collectModel(train)
+    assert(m.nn === 7L)
+  }
+
   test("scoring is partitioning-independent (exact integer sums)") {
     val train = (0 until 30).map(i => (i.toLong,
       s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 7}")).toDF("doc_id", "text")

@@ -210,5 +210,102 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     val ok = RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
       bucketWidth = 10, equiKeys = Seq("k")).collect()
     assert(ok.length === 1)
+    // overlapPairCounts: a caller column colliding with a sweep working
+    // name fails with the clear require, not an AnalysisException
+    val clash = intercept[IllegalArgumentException] {
+      RangeJoin.overlapPairCounts(
+        a.withColumnRenamed("lo_a", "__v"), "__v", "hi_a", Seq("k"))
+    }
+    assert(clash.getMessage.contains("__v"))
+    val clash2 = intercept[IllegalArgumentException] {
+      RangeJoin.overlapPairCounts(
+        a.withColumn("__sep", lit(1)), "lo_a", "hi_a", Seq("k"))
+    }
+    assert(clash2.getMessage.contains("__sep"))
+  }
+
+  test("intervalOverlapBroadcast: identical rows to the expansion join, no shuffle") {
+    val rnd = new scala.util.Random(43)
+    // duplicate rows on both sides + degenerates + null keys/bounds,
+    // so multiplicity and drop semantics are all exercised
+    val leftRows = (0 until 400).map { i =>
+      val lo = rnd.nextInt(300).toLong
+      (if (i % 37 == 0) null else java.lang.Long.valueOf(rnd.nextInt(5).toLong),
+        i.toLong % 350, // dup lids
+        java.lang.Long.valueOf(lo),
+        if (i % 41 == 0) null
+        else java.lang.Long.valueOf(lo + rnd.nextInt(30) - 3)) // some hi<lo
+    }
+    val rightRows = (0 until 300).map { i =>
+      val lo = rnd.nextInt(300).toLong
+      (if (i % 31 == 0) null else java.lang.Long.valueOf(rnd.nextInt(5).toLong),
+        i.toLong % 260,
+        java.lang.Long.valueOf(lo),
+        java.lang.Long.valueOf(lo + rnd.nextInt(25) - 2))
+    }
+    val a = leftRows.toDF("k", "lid_a", "lo_a", "hi_a")
+    val b = rightRows.toDF("k", "lid_b", "lo_b", "hi_b")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "lid_a", "lo_a", "hi_a", "lid_b", "lo_b", "hi_b")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val expansion = RangeJoin.intervalOverlap(a, b,
+      "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 7, equiKeys = Seq("k"))
+    val bcast = RangeJoin.intervalOverlapBroadcast(a, b,
+      "lo_a", "hi_a", "lo_b", "hi_b", equiKeys = Seq("k"))
+    assert(canon(bcast) === canon(expansion))
+    assert(canon(bcast).nonEmpty)
+    assert(bcast.schema === expansion.schema)
+    // plan: the only join is the broadcast rid join-back — the big side
+    // is never exchanged and nothing nested-loops
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_overlap_rids_bcast"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop"), plan)
+    // empty equiKeys: one global cell, still exact
+    val a0 = a.filter(col("k").isNotNull).drop("k")
+    val b0 = b.filter(col("k").isNotNull).drop("k")
+    def canon0(df: org.apache.spark.sql.DataFrame) = df
+      .select("lid_a", "lo_a", "hi_a", "lid_b", "lo_b", "hi_b")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    assert(canon0(RangeJoin.intervalOverlapBroadcast(a0, b0,
+        "lo_a", "hi_a", "lo_b", "hi_b")) ===
+      canon0(RangeJoin.intervalOverlap(a0, b0,
+        "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 7)))
+    // right-side cap fails fast with the conf key in the message
+    spark.conf.set(RangeJoin.MaxBroadcastIntervalsKey, "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        RangeJoin.intervalOverlapBroadcast(a, b,
+          "lo_a", "hi_a", "lo_b", "hi_b", equiKeys = Seq("k"))
+      }
+      assert(e.getMessage.contains(RangeJoin.MaxBroadcastIntervalsKey))
+    } finally spark.conf.unset(RangeJoin.MaxBroadcastIntervalsKey)
+    // non-integral bounds rejected eagerly, naming the column
+    val bad = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlapBroadcast(
+        a.withColumn("lo_a", col("lo_a").cast("double")), b,
+        "lo_a", "hi_a", "lo_b", "hi_b", equiKeys = Seq("k"))
+    }
+    assert(bad.getMessage.contains("lo_a"))
+  }
+
+  test("pointInIntervalBroadcast requires integral columns, keeps point type") {
+    // a date/timestamp point would NPE at getLong or silently retype —
+    // the eager require names the offending column instead
+    val datePoints = Seq("2024-01-01").toDF("s")
+      .select(to_date(col("s")).as("p"))
+    val intervals = Seq((0L, 5L)).toDF("lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInIntervalBroadcast(datePoints, intervals, "p", "lo", "hi")
+    }
+    assert(e.getMessage.contains("integral") && e.getMessage.contains("p is"))
+    // INT points stay INT in the output (schema parity with the
+    // expansion join, which never retypes the point column)
+    val intPoints = Seq(1, 3, 9).toDF("p")
+    val got = RangeJoin.pointInIntervalBroadcast(
+      intPoints, intervals, "p", "lo", "hi")
+    assert(got.schema("p").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(got.select("p").collect().map(_.getInt(0)).sorted.toSeq ===
+      Seq(1, 3))
   }
 }
