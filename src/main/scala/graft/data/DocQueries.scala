@@ -773,7 +773,12 @@ object DocQueries {
       // so the FULL JPEG decode chain (markers, canonical Huffman, DC
       // prediction, dequant, IDCT, level shift) feeds hashes the oracle
       // derives from the raw doc bytes — decoded=1 pins that no planted
-      // row fell back to the md5 stub.
+      // row fell back to the md5 stub. Round 15: every other planted
+      // row (%10==7) ships as PROGRESSIVE (SOF2, DC first + refine
+      // successive approximation) with the SAME tile values — one
+      // oracle covers both entropy layouts, and decoded=1 pins that
+      // the progressive path really decodes (a stub fallback would
+      // flip decoded AND break the hash).
       implicit val sp: SparkSession = s
       import s.implicits._
       val plain = Multimodal.syntheticCorpus(
@@ -786,8 +791,11 @@ object DocQueries {
           val b = (text + ".").getBytes("UTF-8")
           val dcs = Array.tabulate(4)(t =>
             (((b(t % b.length) & 0xFF) + 13 * t) % 255) - 128)
-          graft.multimodal.MediaSample(id, "image",
-            graft.multimodal.Jpeg.dcOnlyGray(16, 16, dcs), 16, 16, 0, 0)
+          val bytes =
+            if (id % 10 == 7)
+              graft.multimodal.Jpeg.dcOnlyGrayProgressive(16, 16, dcs)
+            else graft.multimodal.Jpeg.dcOnlyGray(16, 16, dcs)
+          graft.multimodal.MediaSample(id, "image", bytes, 16, 16, 0, 0)
         }
       Multimodal.imageHashes(plain.unionByName(planted))
         .select(col("sample_id"), col("modality"),

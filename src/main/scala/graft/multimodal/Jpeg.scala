@@ -12,16 +12,30 @@ package graft.multimodal
   * markers, 8- or 16-bit quantization entries, arbitrary sampling
   * factors with nearest-neighbour chroma upsampling, double-precision
   * separable-order IDCT with a fixed operation order (deterministic on
-  * the JVM), ITU-R BT.601 YCbCr -> RGB. Progressive (SOF2),
-  * arithmetic-coded, hierarchical, and 12-bit streams stay the
-  * declared stub path: `decode` returns None and callers fall back to
-  * the exact-dup fingerprint, flagged `decoded = false`.
+  * the JVM), ITU-R BT.601 YCbCr -> RGB.
+  *
+  * PROGRESSIVE (SOF2, round 15) is decoded too: multi-scan coefficient
+  * accumulation with spectral selection (Ss/Se bands, EOB-run coding,
+  * T.81 G.1.2.2) and successive approximation (DC/AC first + refine
+  * scans, point transforms, correction bits, G.1.2.3), interleaved and
+  * single-component DC scans, restart markers per scan, then ONE
+  * dequant + IDCT + upsample pass over the accumulated blocks — the
+  * identical reconstruction tail as baseline, so a spectrally-selected
+  * re-encode of a baseline stream decodes bit-identically (JpegSpec
+  * pins that parity on fuzzed images). Arithmetic-coded, hierarchical,
+  * and 12-bit streams stay the declared stub path: `decode` returns
+  * None and callers fall back to the exact-dup fingerprint, flagged
+  * `decoded = false`.
   *
   * Production note: the per-block direct IDCT is O(64*64) multiplies —
   * fine for the corpus scale this library tests at; a throughput build
   * swaps in AAN/fixed-point without touching the layer above.
   */
 object Jpeg {
+
+  /** Decode-boundary pixel cap (~33 MP): frames declaring more take
+    * the stub path instead of allocating executor-killing planes. */
+  val MaxPixels: Long = 1L << 25
 
   private final class Bits(data: Array[Byte], var pos: Int) {
     private var cur = 0
@@ -182,13 +196,20 @@ object Jpeg {
     var comps: Array[Component] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    var progressive = false
+    // progressive coefficient store: per component, padded-MCU-grid
+    // blocks x 64 quantized coefficients accumulated across scans
+    var coefStore: Array[Array[Int]] = null
 
     while (pos < bytes.length) {
       if (u8 != 0xFF) return None
       var marker = u8
       while (marker == 0xFF) marker = u8 // fill bytes
       marker match {
-        case 0xD9 => return None // EOI before any scan
+        case 0xD9 => // EOI: reconstruct an accumulated progressive frame
+          if (progressive && coefStore != null)
+            return reconstructProgressive(comps, coefStore, qt, width, height)
+          return None // EOI before any scan
         case 0xDB => // DQT
           // NB: read the length FIRST — `pos + u16` would capture pos
           // before u16's side effect advances it past the length field.
@@ -213,10 +234,16 @@ object Jpeg {
             val h = new Huff(counts, syms)
             if ((tc >> 4) == 0) dcT(tc & 0x0F) = h else acT(tc & 0x0F) = h
           }
-        case 0xC0 => // SOF0 baseline
+        case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
+          progressive = marker == 0xC2
           u16
           if (u8 != 8) return None // 8-bit samples only
           height = u16; width = u16
+          // decode-boundary allocation guard: a hostile SOF declaring
+          // 65535 x 65535 would OOM the executor (fatal, uncatchable)
+          // before any entropy byte is read; 2^25 pixels (~33 MP,
+          // past 8K stills) bounds every plane/coefficient array
+          if (width.toLong * height.toLong > MaxPixels) return None
           val nc = u8
           if (nc != 1 && nc != 3) return None
           comps = Array.fill(nc) {
@@ -229,17 +256,38 @@ object Jpeg {
           if (comps == null) return None
           u16
           val ns = u8
+          val scanComps = new Array[Component](ns)
           var i = 0
           while (i < ns) {
             val cs = u8; val t = u8
-            comps.find(_.id == cs).foreach { c => c.td = t >> 4; c.ta = t & 0x0F }
+            val cOpt = comps.find(_.id == cs)
+            if (cOpt.isEmpty) return None
+            cOpt.get.td = t >> 4; cOpt.get.ta = t & 0x0F
+            scanComps(i) = cOpt.get
             i += 1
           }
-          pos += 3 // Ss, Se, Ah/Al (fixed for baseline)
-          return decodeScan(bytes, pos, comps, qt, dcT, acT,
-            width, height, restartInterval)
-        case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
-          return None // progressive/arithmetic/hierarchical: stub path
+          if (!progressive) {
+            pos += 3 // Ss, Se, Ah/Al (fixed for baseline)
+            return decodeScan(bytes, pos, comps, qt, dcT, acT,
+              width, height, restartInterval)
+          } else {
+            val ss = u8; val se = u8
+            val ahal = u8; val ah = ahal >> 4; val al = ahal & 0x0F
+            if (coefStore == null) {
+              if (width <= 0 || height <= 0) return None
+              val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+              val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+              val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+              coefStore = comps.map(c =>
+                new Array[Int](mcusX * c.h * mcusY * c.v * 64))
+            }
+            pos = decodeProgressiveScan(bytes, pos, comps, scanComps,
+              coefStore, dcT, acT, width, height, restartInterval,
+              ss, se, ah, al)
+            if (pos < 0) return None
+          }
+        case m if m >= 0xC1 && m <= 0xCF && m != 0xC2 && m != 0xC4 && m != 0xC8 =>
+          return None // arithmetic/hierarchical/12-bit: stub path
         case _ => // APPn / COM / anything skippable
           val skipLen = u16
           pos += skipLen - 2
@@ -325,7 +373,14 @@ object Jpeg {
       mcu += 1
     }
 
-    // assemble RGB at full resolution; chroma nearest-neighbour upsample
+    assemble(comps, planes, planeW, width, height, hMax, vMax)
+  }
+
+  /** Shared reconstruction tail: RGB at full resolution from the
+    * per-component sample planes; chroma nearest-neighbour upsample. */
+  private def assemble(comps: Array[Component], planes: Array[Array[Int]],
+      planeW: Array[Int], width: Int, height: Int,
+      hMax: Int, vMax: Int): Option[Ppm.Image] = {
     val out = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -353,6 +408,252 @@ object Jpeg {
       y += 1
     }
     Some(Ppm.Image(width, height, 255, out))
+  }
+
+  // ---- progressive (SOF2) scan decode --------------------------------
+
+  /** Position of the next true marker (FF + non-stuffing, non-fill,
+    * non-RST byte) at or after `from` — where the outer marker loop
+    * resumes once a progressive scan's entropy bits end. */
+  private def nextMarkerPos(bytes: Array[Byte], from: Int): Int = {
+    var p = math.max(from, 0)
+    while (p + 1 < bytes.length) {
+      if ((bytes(p) & 0xFF) == 0xFF) {
+        val m = bytes(p + 1) & 0xFF
+        if (m != 0x00 && m != 0xFF && !(m >= 0xD0 && m <= 0xD7)) return p
+      }
+      p += 1
+    }
+    bytes.length
+  }
+
+  /** Decode ONE progressive scan into the coefficient store, returning
+    * the byte position of the next marker (or −1 on a corrupt scan).
+    *
+    * T.81 Annex G: DC scans (Ss=0) may be interleaved (MCU walk over
+    * the padded grid) or single-component; AC scans are always
+    * single-component and walk the component's OWN block grid
+    * (ceil(compW/8) x ceil(compH/8) — smaller than the padded MCU grid
+    * when sampling factors differ). First scans (Ah=0) decode point-
+    * transformed values shifted by Al; refinement scans (Ah>0) add one
+    * magnitude bit per coefficient. AC band coding carries EOB runs
+    * across blocks; restarts reset DC predictors AND the EOB run. */
+  private def decodeProgressiveScan(
+      bytes: Array[Byte], scanPos: Int,
+      comps: Array[Component], scanComps: Array[Component],
+      coefStore: Array[Array[Int]], dcT: Array[Huff], acT: Array[Huff],
+      width: Int, height: Int, restartInterval: Int,
+      ss: Int, se: Int, ah: Int, al: Int): Int = {
+    if (ss < 0 || se > 63 || se < ss) return -1
+    if (ss == 0 && se != 0) return -1 // DC scan is exactly the 0 band
+    if (ss > 0 && scanComps.length != 1) return -1 // AC: single component
+    val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val in = new Bits(bytes, scanPos)
+    val pred = new Array[Int](scanComps.length)
+    var eobrun = 0
+
+    // one coefficient block refined/filled in place
+    def dcFirst(c: Component, si: Int, coef: Array[Int], off: Int): Boolean = {
+      val s = dcT(c.td).decode(in)
+      if (s < 0 || s > 15) return false
+      pred(si) += extend(in.bits(s), s)
+      coef(off) = pred(si) << al
+      true
+    }
+    def dcRefine(coef: Array[Int], off: Int): Unit =
+      if (in.bit() == 1) coef(off) |= (1 << al)
+
+    def acFirst(c: Component, coef: Array[Int], off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = acT(c.ta).decode(in)
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 0x0F
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += in.bits(r)
+            k = 64 // end of band
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          coef(off + zigzag(k)) = extend(in.bits(s), s) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    // successive-approximation AC refinement (T.81 G.1.2.3): one
+    // correction bit per already-nonzero coefficient crossed, newly
+    // significant coefficients arrive as +-1 << Al
+    val p1 = 1 << al
+    val m1 = -1 << al
+    def refineNonzero(coef: Array[Int], idx: Int): Unit =
+      if (in.bit() == 1 && (coef(idx) & p1) == 0) {
+        if (coef(idx) >= 0) coef(idx) += p1 else coef(idx) += m1
+      }
+    def acRefine(c: Component, coef: Array[Int], off: Int): Boolean = {
+      var k = ss
+      if (eobrun == 0) {
+        var inBand = true
+        while (inBand && k <= se) {
+          val rs = acT(c.ta).decode(in)
+          if (rs < 0) return false
+          var r = rs >> 4; val s = rs & 0x0F
+          var newVal = 0
+          if (s == 0) {
+            if (r < 15) { // EOB run: stop coding new coefficients here
+              eobrun = (1 << r)
+              if (r > 0) eobrun += in.bits(r)
+              inBand = false
+            }
+            // r == 15: ZRL — skip 16 zero-history coefficients
+          } else {
+            if (s != 1) return false // refinement emits only +-1
+            newVal = if (in.bit() == 1) p1 else m1
+          }
+          if (inBand) {
+            var advancing = true
+            while (advancing && k <= se) {
+              val idx = off + zigzag(k)
+              if (coef(idx) != 0) refineNonzero(coef, idx)
+              else {
+                if (r == 0) {
+                  if (newVal != 0) coef(idx) = newVal
+                  advancing = false
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (advancing && newVal != 0) return false // ran off the band
+          }
+        }
+      }
+      if (eobrun > 0) { // correction bits for the rest of the band
+        while (k <= se) {
+          val idx = off + zigzag(k)
+          if (coef(idx) != 0) refineNonzero(coef, idx)
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    def restartNow(): Unit = {
+      in.restart()
+      java.util.Arrays.fill(pred, 0)
+      eobrun = 0
+    }
+
+    if (scanComps.length > 1) {
+      // interleaved DC scan: MCU walk over the padded grid
+      if (ss != 0) return -1
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0)
+          restartNow()
+        val my = mcu / mcusX; val mx = mcu % mcusX
+        var si = 0
+        while (si < scanComps.length) {
+          val c = scanComps(si)
+          val ci = comps.indexWhere(_.id == c.id)
+          val bw = mcusX * c.h
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val bi = (my * c.v + by) * bw + (mx * c.h + bx)
+              if (ah == 0) {
+                if (!dcFirst(c, si, coefStore(ci), bi * 64)) return -1
+              } else dcRefine(coefStore(ci), bi * 64)
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // single-component scan over the component's own block grid,
+      // stored at the padded grid's row stride
+      val c = scanComps(0)
+      val ci = comps.indexWhere(_.id == c.id)
+      val compW = (width * c.h + hMax - 1) / hMax
+      val compH = (height * c.v + vMax - 1) / vMax
+      val cbw = (compW + 7) / 8; val cbh = (compH + 7) / 8
+      val stride = mcusX * c.h
+      var bi = 0
+      val nBlocks = cbw * cbh
+      while (bi < nBlocks) {
+        if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0)
+          restartNow()
+        val off = ((bi / cbw) * stride + (bi % cbw)) * 64
+        val ok =
+          if (ss == 0) {
+            if (ah == 0) dcFirst(c, 0, coefStore(ci), off)
+            else { dcRefine(coefStore(ci), off); true }
+          } else {
+            if (ah == 0) acFirst(c, coefStore(ci), off)
+            else acRefine(c, coefStore(ci), off)
+          }
+        if (!ok) return -1
+        bi += 1
+      }
+    }
+    nextMarkerPos(bytes, math.max(scanPos, in.pos - 2))
+  }
+
+  /** Dequantize + IDCT every accumulated block, then the shared
+    * assembly tail — the single reconstruction pass after all
+    * progressive scans. */
+  private def reconstructProgressive(
+      comps: Array[Component], coefStore: Array[Array[Int]],
+      qt: Array[Array[Int]], width: Int, height: Int): Option[Ppm.Image] = {
+    if (width <= 0 || height <= 0) return None
+    val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = comps.indices.map(i =>
+      new Array[Int](planeW(i) * planeH(i))).toArray
+    val coef = new Array[Double](64)
+    val px = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = qt(c.tq)
+      val bw = mcusX * c.h; val bh = mcusY * c.v
+      val store = coefStore(ci)
+      var bi = 0
+      while (bi < bw * bh) {
+        var i = 0
+        while (i < 64) { coef(i) = store(bi * 64 + i).toDouble * q(i); i += 1 }
+        idct(coef, px)
+        val ox = (bi % bw) * 8; val oy = (bi / bw) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(ci)((oy + yy) * planeW(ci) + ox + xx) = px(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        bi += 1
+      }
+      ci += 1
+    }
+    assemble(comps, planes, planeW, width, height, hMax, vMax)
   }
 
   // ---- baseline encoder ----------------------------------------------
@@ -523,6 +824,272 @@ object Jpeg {
     out.toByteArray
   }
 
+  // ---- progressive (SOF2) encoder -------------------------------------
+
+  // flat tables for progressive scans: the Annex K luminance AC table
+  // has no EOBn symbols beyond EOB0 (baseline never needs them), so
+  // progressive EOB-run coding uses a complete flat code space instead
+  // — DC categories 0..11 at 4 bits, all 256 AC symbols split 128 at
+  // 8 bits + 128 at 9 bits (DHT counts are single bytes, so one
+  // length cannot hold 256; the split leaves the all-ones code unused,
+  // as T.81 C.2 requires)
+  private val dcCountsFlat =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val dcSymsFlat = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val acCountsFlat =
+    Array(0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0)
+  private val acSymsFlat = Array.tabulate(256)(identity)
+
+  /** Encode an RGB [[Ppm.Image]] as a PROGRESSIVE (SOF2) 4:4:4 JFIF
+    * stream carrying the exact same quantized coefficients as
+    * [[encode]] with the same `quant` — decoded output is therefore
+    * bit-identical to the baseline stream's decode (JpegSpec pins it).
+    * Scan script exercises the full progressive machinery: interleaved
+    * DC first (Al=1) + DC refine, then per component AC first
+    * (1..63, Al=1, EOB-run coded) + AC refine (Ah=1, correction
+    * bits). */
+  def encodeProgressive(img: Ppm.Image,
+      quant: Array[Int] = AnnexKLumaQ): Array[Byte] = {
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant must be 64 entries in [1, 255]")
+    val w = img.width; val h = img.height
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val pw = bw * 8; val ph = bh * 8
+    // planar YCbCr, edge-replicated — identical to [[encode]]
+    val planes = Array.ofDim[Double](3, pw * ph)
+    var y = 0
+    while (y < ph) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < pw) {
+        val sx = math.min(x, w - 1)
+        val o = (sy * w + sx) * 3
+        val r = img.pixels(o) & 0xFF
+        val g = img.pixels(o + 1) & 0xFF
+        val b = img.pixels(o + 2) & 0xFF
+        planes(0)(y * pw + x) = 0.299 * r + 0.587 * g + 0.114 * b
+        planes(1)(y * pw + x) =
+          -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        planes(2)(y * pw + x) =
+          0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        x += 1
+      }
+      y += 1
+    }
+    // all quantized coefficient blocks up front (natural order),
+    // sharing the baseline clamp so coefficients match bit-for-bit
+    val nBlocks = bw * bh
+    val coefs = Array.ofDim[Int](3, nBlocks, 64)
+    val blockPx = new Array[Double](64)
+    val dct = new Array[Double](64)
+    var bi = 0
+    while (bi < nBlocks) {
+      val bx = bi % bw; val by = bi / bw
+      var ci = 0
+      while (ci < 3) {
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            blockPx(yy * 8 + xx) =
+              planes(ci)((by * 8 + yy) * pw + bx * 8 + xx) - 128.0
+            xx += 1
+          }
+          yy += 1
+        }
+        fdct(blockPx, dct)
+        var i = 0
+        while (i < 64) {
+          val q0 = math.round(dct(i) / quant(i)).toInt
+          coefs(ci)(bi)(i) =
+            if (i == 0) q0
+            else if (q0 > 1023) 1023 else if (q0 < -1023) -1023 else q0
+          i += 1
+        }
+        ci += 1
+      }
+      bi += 1
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def b16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xFF); b(0xD8) // SOI
+    b(0xFF); b(0xDB); b16(2 + 1 + 64); b(0x00)
+    (0 until 64).foreach(i => b(quant(zigzag(i))))
+    b(0xFF); b(0xC2); b16(2 + 6 + 9) // SOF2, 3 components 1x1
+    b(8); b16(h); b16(w); b(3)
+    Seq(1, 2, 3).foreach { id => b(id); b(0x11); b(0) }
+    b(0xFF); b(0xC4) // DHT: the flat progressive pair on slot 0
+    b16(2 + (1 + 16 + dcSymsFlat.length) + (1 + 16 + acSymsFlat.length))
+    b(0x00); dcCountsFlat.foreach(b); dcSymsFlat.foreach(b)
+    b(0x10); acCountsFlat.foreach(b); acSymsFlat.foreach(b)
+    val dcCodes = canonicalCodes(dcCountsFlat, dcSymsFlat)
+    val acCodes = canonicalCodes(acCountsFlat, acSymsFlat)
+    def cat(v: Int): Int = {
+      val m = math.abs(v); var s = 0
+      while ((m >> s) != 0) s += 1
+      s
+    }
+    def sos(ids: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      b(0xFF); b(0xDA); b16(2 + 1 + 2 * ids.length + 3)
+      b(ids.length); ids.foreach { id => b(id); b(0x00) }
+      b(ss); b(se); b((ah << 4) | al)
+    }
+
+    // scan 1: DC first, interleaved, Al=1 (arithmetic >> on DC)
+    sos(Seq(1, 2, 3), 0, 0, 0, 1)
+    locally {
+      val bwr = new BitWriter(out)
+      val pred = new Array[Int](3)
+      var m = 0
+      while (m < nBlocks) {
+        var ci = 0
+        while (ci < 3) {
+          val v = coefs(ci)(m)(0) >> 1
+          val diff = v - pred(ci); pred(ci) = v
+          val s = cat(diff)
+          val (c, l) = dcCodes(s)
+          bwr.putBits(c, l)
+          if (s > 0)
+            bwr.putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+          ci += 1
+        }
+        m += 1
+      }
+      bwr.pad()
+    }
+    // scan 2: DC refine, interleaved, Ah=1 Al=0 (one LSB per block)
+    sos(Seq(1, 2, 3), 0, 0, 1, 0)
+    locally {
+      val bwr = new BitWriter(out)
+      var m = 0
+      while (m < nBlocks) {
+        var ci = 0
+        while (ci < 3) {
+          bwr.putBits(coefs(ci)(m)(0) & 1, 1)
+          ci += 1
+        }
+        m += 1
+      }
+      bwr.pad()
+    }
+    // scans 3-5: AC first per component, band 1..63, Al=1
+    var ci = 0
+    while (ci < 3) {
+      sos(Seq(ci + 1), 1, 63, 0, 1)
+      val bwr = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        var r = 0
+        while ((eobrun >> (r + 1)) != 0) r += 1
+        val (c, l) = acCodes(r << 4)
+        bwr.putBits(c, l)
+        if (r > 0) bwr.putBits(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      var m = 0
+      while (m < nBlocks) {
+        val blk = coefs(ci)(m)
+        // point-transformed band values (toward zero, T.81 G.1.2.2)
+        var lastNz = 0
+        var k = 1
+        while (k <= 63) {
+          if (blk(zigzag(k)) / 2 != 0) lastNz = k
+          k += 1
+        }
+        if (lastNz == 0) {
+          eobrun += 1
+          if (eobrun == 0x7FFF) flushEob()
+        } else {
+          flushEob()
+          var run = 0
+          k = 1
+          while (k <= lastNz) {
+            val v = blk(zigzag(k)) / 2
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (zc, zl) = acCodes(0xF0); bwr.putBits(zc, zl)
+                run -= 16
+              }
+              val s = cat(v)
+              val (ac, al2) = acCodes((run << 4) | s)
+              bwr.putBits(ac, al2)
+              bwr.putBits(if (v >= 0) v else v + (1 << s) - 1, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (lastNz < 63) eobrun += 1 // trailing zeros end this block
+        }
+        m += 1
+      }
+      flushEob()
+      bwr.pad()
+      ci += 1
+    }
+    // scans 6-8: AC refine per component, band 1..63, Ah=1 Al=0
+    ci = 0
+    while (ci < 3) {
+      sos(Seq(ci + 1), 1, 63, 1, 0)
+      val bwr = new BitWriter(out)
+      var eobrun = 0
+      val be = new scala.collection.mutable.ArrayBuffer[Int] // EOB-run bits
+      def flushEob(): Unit = {
+        if (eobrun > 0) {
+          var r = 0
+          while ((eobrun >> (r + 1)) != 0) r += 1
+          val (c, l) = acCodes(r << 4)
+          bwr.putBits(c, l)
+          if (r > 0) bwr.putBits(eobrun - (1 << r), r)
+          eobrun = 0
+        }
+        be.foreach(bit => bwr.putBits(bit, 1))
+        be.clear()
+      }
+      var m = 0
+      while (m < nBlocks) {
+        val blk = coefs(ci)(m)
+        var r = 0
+        val br = new scala.collection.mutable.ArrayBuffer[Int]
+        def flushBr(): Unit = { br.foreach(bit => bwr.putBits(bit, 1)); br.clear() }
+        var k = 1
+        while (k <= 63) {
+          val v = blk(zigzag(k))
+          val tAbs = math.abs(v) // >> Al with Al = 0
+          if (tAbs == 0) r += 1
+          else if (tAbs > 1) br += (tAbs & 1)
+          else { // newly significant at this precision
+            flushEob()
+            while (r > 15) {
+              val (zc, zl) = acCodes(0xF0); bwr.putBits(zc, zl)
+              flushBr()
+              r -= 16
+            }
+            val (c, l) = acCodes((r << 4) | 1)
+            bwr.putBits(c, l)
+            bwr.putBits(if (v > 0) 1 else 0, 1)
+            flushBr()
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0 || br.nonEmpty) {
+          eobrun += 1
+          be ++= br
+          if (eobrun == 0x7FFF) flushEob()
+        }
+        m += 1
+      }
+      flushEob()
+      bwr.pad()
+      ci += 1
+    }
+    b(0xFF); b(0xD9) // EOI
+    out.toByteArray
+  }
+
   // ---- deterministic DC-only test-vector builder ----------------------
 
   /** Annex K.3.1 luminance DC Huffman spec (counts per length, then
@@ -657,6 +1224,59 @@ object Jpeg {
     }
     bw.pad()
     out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** The PROGRESSIVE (SOF2) twin of [[dcOnlyGray]]: the same flat
+    * 8x8-tile semantics — tile t decodes to exactly
+    * `clamp(dcs(t) + 128)` — delivered as two successive-approximation
+    * DC scans (first at Al=1 with the arithmetic-shifted predictor
+    * chain, then the LSB refinement scan), so the whole progressive DC
+    * path is hand-checkable and SQL-replayable per tile. */
+  def dcOnlyGrayProgressive(w: Int, h: Int, dcs: Array[Int]): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "dcOnlyGrayProgressive needs multiple-of-8 dims")
+    require(dcs.length == (w / 8) * (h / 8), "one DC per 8x8 tile")
+    require(dcs.forall(d => d >= -128 && d <= 127), "DC in [-128, 127]")
+    val dcCodes = canonicalCodes(dcCounts, dcSyms)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def b16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xFF); b(0xD8) // SOI
+    b(0xFF); b(0xDB); b16(2 + 1 + 64); b(0x00) // DQT, q0 = 8 rest 16
+    (0 until 64).foreach(i => b(if (i == 0) 8 else 16))
+    b(0xFF); b(0xC2); b16(2 + 6 + 3) // SOF2, one component
+    b(8); b16(h); b16(w); b(1)
+    b(1); b(0x11); b(0)
+    b(0xFF); b(0xC4) // DHT: Annex K luminance DC + AC on slot 0
+    b16(2 + (1 + 16 + dcSyms.length) + (1 + 16 + acSyms.length))
+    b(0x00); dcCounts.foreach(b); dcSyms.foreach(b)
+    b(0x10); acCounts.foreach(b); acSyms.foreach(b)
+    // scan 1: DC first, Al=1 — predictor chain over dc >> 1
+    b(0xFF); b(0xDA); b16(2 + 1 + 2 + 3)
+    b(1); b(1); b(0x00); b(0); b(0); b(0x01)
+    var bw = new BitWriter(out)
+    var prev = 0
+    var i = 0
+    while (i < dcs.length) {
+      val v = dcs(i) >> 1
+      val diff = v - prev; prev = v
+      val mag = math.abs(diff)
+      var s = 0
+      while ((mag >> s) != 0) s += 1
+      val (c, l) = dcCodes(s)
+      bw.putBits(c, l)
+      if (s > 0) bw.putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      i += 1
+    }
+    bw.pad()
+    // scan 2: DC refine, Ah=1 Al=0 — one LSB per tile
+    b(0xFF); b(0xDA); b16(2 + 1 + 2 + 3)
+    b(1); b(1); b(0x00); b(0); b(0); b(0x10)
+    bw = new BitWriter(out)
+    i = 0
+    while (i < dcs.length) { bw.putBits(dcs(i) & 1, 1); i += 1 }
+    bw.pad()
+    b(0xFF); b(0xD9) // EOI
     out.toByteArray
   }
 

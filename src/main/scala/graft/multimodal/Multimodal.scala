@@ -38,13 +38,14 @@ case class MediaFrame(
   *
   * The decode boundary is [[Ppm]] (complete in-container binary-PPM P6
   * image codec) plus [[Jpeg]] (baseline-sequential JFIF decoder, round
-  * 9 — the dominant crawl image format no longer stubs) plus [[Wav]]
+  * 9; progressive SOF2 too since round 15 — the dominant crawl image
+  * format no longer stubs in either entropy layout) plus [[Wav]]
   * (complete in-container RIFF/WAVE integer PCM audio codec) plus
   * [[Y4m]] (complete in-container YUV4MPEG2 uncompressed video codec):
   * content that parses as any of the four is genuinely decoded to its
   * pixel/sample/frame grid and the downstream operators run on real
-  * data. Formats that still need external codecs (progressive/
-  * arithmetic JPEG, compressed audio, H.264/VP9 video — libjpeg-turbo,
+  * data. Formats that still need external codecs (arithmetic-coded or
+  * hierarchical JPEG, compressed audio, H.264/VP9 video — libjpeg-turbo,
   * libsndfile, ffmpeg) are NOT in this container; bytes that fail
   * every parse take the clearly-marked deterministic STUB path
   * ([[fakeDecode]] / byte-window slicing / proportional truncation),

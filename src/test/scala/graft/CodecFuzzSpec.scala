@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.{Ppm, Wav, Y4m}
+import graft.multimodal.{Jpeg, Ppm, Wav, Y4m}
 
 /** Hostile-input fuzz for the three in-container codecs: the decode
   * boundary's contract is DEGRADE (return None), never throw — a task
@@ -25,6 +25,12 @@ class CodecFuzzSpec extends AnyFunSuite {
       assert(back.frames.map(_.toSeq).toSeq === v.frames.map(_.toSeq).toSeq)
       Y4m.featurize(v, 8).foreach(f => assert(!f.isNaN && !f.isInfinite))
     }
+    // JPEG is lossy — survivors just need sane dims and pixel buffers
+    Jpeg.decode(bytes).foreach { img =>
+      assert(img.width > 0 && img.height > 0 &&
+        img.width.toLong * img.height <= Jpeg.MaxPixels)
+      assert(img.pixels.length == img.width * img.height * 3)
+    }
   }
 
   test("random bytes never throw; accidental decodes round-trip") {
@@ -42,7 +48,11 @@ class CodecFuzzSpec extends AnyFunSuite {
       Ppm.encode(Ppm.Image(4, 3, 255, Array.tabulate[Byte](36)(_.toByte))),
       Wav.encode(Wav.Audio(8000, 1, 16, Array.tabulate[Byte](24)(i => (i * 9).toByte))),
       Y4m.encode(Y4m.Video(4, 2, 30, 1, "420",
-        Array.tabulate(2)(fi => Array.tabulate[Byte](12)(i => (fi * 31 + i).toByte)))))
+        Array.tabulate(2)(fi => Array.tabulate[Byte](12)(i => (fi * 31 + i).toByte)))),
+      Jpeg.dcOnlyGray(16, 16, Array(-80, 0, 64, 127)),
+      Jpeg.dcOnlyGrayProgressive(16, 16, Array(-80, 0, 64, 127)),
+      Jpeg.encodeProgressive(Ppm.Image(8, 8, 255,
+        Array.tabulate[Byte](192)(i => (i * 5).toByte))))
     for (_ <- 0 until 20000) {
       val base = seeds(rnd.nextInt(seeds.length))
       val mutated = base.clone()
@@ -68,6 +78,18 @@ class CodecFuzzSpec extends AnyFunSuite {
     val w = Wav.encode(Wav.Audio(8000, 1, 16, new Array[Byte](4)))
     w(40) = 0xFF.toByte; w(41) = 0xFF.toByte; w(42) = 0xFF.toByte; w(43) = 0x7F
     assert(Wav.decode(w) === None)
+    // a JPEG SOF declaring 65504x65504 must hit the pixel cap before
+    // any plane/coefficient allocation (baseline AND progressive)
+    for (sof <- Seq(0xC0, 0xC2)) {
+      val j = Jpeg.dcOnlyGray(16, 16, Array(0, 0, 0, 0))
+      val at = j.indices.find(i => (j(i) & 0xFF) == 0xFF &&
+        i + 1 < j.length && (j(i + 1) & 0xFF) == 0xC0).get
+      j(at + 1) = sof.toByte
+      // height/width fields sit at SOF + 5
+      j(at + 5) = 0xFF.toByte; j(at + 6) = 0xE0.toByte
+      j(at + 7) = 0xFF.toByte; j(at + 8) = 0xE0.toByte
+      assert(Jpeg.decode(j) === None)
+    }
     // a y4m geometry above MaxEdge must be rejected before any frame work
     assert(Y4m.decode("YUV4MPEG2 W16385 H2\nFRAME\n".getBytes("US-ASCII") ++
       new Array[Byte](1 << 16)) === None)

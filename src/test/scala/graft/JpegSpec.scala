@@ -110,12 +110,18 @@ class JpegSpec extends AnyFunSuite {
 
   test("non-baseline and malformed bytes take the stub path (None)") {
     val ok = Jpeg.dcOnlyGray(8, 8, Array(10))
-    // progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    // flipping SOF0 to SOF2 leaves a CORRUPT progressive stream (a
+    // baseline SOS declares band 0..63, illegal for a DC scan): still
+    // None, now via the progressive scan validator
     val prog = ok.clone()
     val sof = prog.indices.find(i => (prog(i) & 0xFF) == 0xFF &&
       i + 1 < prog.length && (prog(i + 1) & 0xFF) == 0xC0).get
     prog(sof + 1) = 0xC2.toByte
     assert(Jpeg.decode(prog).isEmpty)
+    // arithmetic-coded (SOF9) stays the declared stub path
+    val arith = ok.clone()
+    arith(sof + 1) = 0xC9.toByte
+    assert(Jpeg.decode(arith).isEmpty)
     assert(Jpeg.decode(ok.take(20)).isEmpty) // truncated mid-header
     assert(Jpeg.decode("not a jpeg".getBytes).isEmpty)
     assert(Jpeg.decode(Array[Byte]()).isEmpty)
@@ -170,6 +176,55 @@ class JpegSpec extends AnyFunSuite {
     val back = Jpeg.decode(Jpeg.encode(Ppm.Image(w, h, 255, px), Jpeg.FlatQ)).get
     assert(back.width == w && back.height == h)
     assert(back.pixels.length == w * h * 3)
+  }
+
+  test("progressive DC-only: two successive-approximation scans, same tiles") {
+    // identical tile semantics to dcOnlyGray — the DC first scan
+    // carries dc >> 1 through the predictor chain, the refinement scan
+    // restores each LSB; odd and even, positive and negative DCs all
+    // reassemble exactly
+    val dcs = Array(-81, -80, 0, 1, 63, 64, 126, 127, -128)
+    val img = Jpeg.decode(Jpeg.dcOnlyGrayProgressive(24, 24, dcs)).get
+    assert(img.width == 24 && img.height == 24)
+    val want = dcs.map(d => math.max(0, math.min(255, d + 128)))
+    for (y <- 0 until 24; x <- 0 until 24) {
+      val t = (y / 8) * 3 + (x / 8)
+      assert((img.pixels((y * 24 + x) * 3) & 0xFF) == want(t), s"($x,$y)")
+    }
+    // and the baseline twin of the same DCs decodes identically
+    val base = Jpeg.decode(Jpeg.dcOnlyGray(24, 24, dcs)).get
+    assert(java.util.Arrays.equals(img.pixels, base.pixels))
+  }
+
+  test("progressive re-encode decodes bit-identically to baseline (fuzz)") {
+    // encodeProgressive carries the same quantized coefficients as
+    // encode, delivered through DC first/refine + AC first/refine
+    // scans — after accumulation the reconstruction must match the
+    // baseline decode BIT FOR BIT (same coefficients, same IDCT)
+    val rnd = new scala.util.Random(7)
+    val shapes = Seq((8, 8), (24, 16), (10, 6), (17, 9), (32, 32))
+    for (((w, h), si) <- shapes.zipWithIndex; q <- Seq(Jpeg.FlatQ, Jpeg.AnnexKLumaQ)) {
+      val px = new Array[Byte](w * h * 3)
+      si match {
+        case 0 => // flat image: every AC band empty -> one long EOB run
+          java.util.Arrays.fill(px, 77.toByte)
+        case 1 => // smooth gradient: sparse ACs, ZRL-heavy
+          for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+            px((y * w + x) * 3 + c) = (30 + 5 * x + 7 * y + 20 * c).toByte
+        case _ => rnd.nextBytes(px) // dense ACs, refinement-heavy
+      }
+      val img = Ppm.Image(w, h, 255, px)
+      val fromBase = Jpeg.decode(Jpeg.encode(img, q)).get
+      val prog = Jpeg.encodeProgressive(img, q)
+      val fromProg = Jpeg.decode(prog).get
+      assert(fromProg.width == w && fromProg.height == h, s"shape $w x $h")
+      assert(java.util.Arrays.equals(fromProg.pixels, fromBase.pixels),
+        s"pixel mismatch at $w x $h q=${q(0)}")
+      // the stream really is SOF2 (and deterministic)
+      assert(prog.indices.exists(i => (prog(i) & 0xFF) == 0xFF &&
+        i + 1 < prog.length && (prog(i + 1) & 0xFF) == 0xC2))
+      assert(java.util.Arrays.equals(prog, Jpeg.encodeProgressive(img, q)))
+    }
   }
 
   test("aHash over a decoded JPEG matches the flat-tile integer math") {
