@@ -52,25 +52,25 @@ object DocQueries {
       sets
     })
 
-  /** The planted-mirror probe corpus (docs < 30 plus full mirrors of
-    * 0..4 at +700) shared by the SA-family queries, and the per-process
-    * memo of its suffix-array-with-LCP artifact: the SA is the
-    * expensive build (log-rounds of joins + prefix sums), and
-    * q_repeat_marks / q_span_cut_sa are exactly the build-once/fan-out
-    * lifecycle — repeat mining and the span cut read ONE persisted
-    * materialization (the Bm25Index pattern). */
-  private def mirrorCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = documents(s, dir)
-    d.filter(col("doc_id") < 30).select("doc_id", "text")
-      .unionByName(d.filter(col("doc_id") < 5)
-        .select((col("doc_id") + 700).as("doc_id"), col("text")))
-  }
-  private val mirrorSaMemo =
+  /** Per-process memo of the FULL-corpus suffix-array-with-LCP
+    * artifact: the SA is the expensive build (log-rounds of joins +
+    * prefix sums), and the whole SA family — q_suffix_rank,
+    * q_suffix_lcp, q_repeat_marks, q_span_cut_sa — is exactly the
+    * build-once/fan-out lifecycle: ranks, LCP stats, repeat mining and
+    * the span cut all read ONE persisted materialization (the
+    * Bm25Index pattern). */
+  private val fullSaMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def mirrorSa(s: SparkSession, dir: String): DataFrame =
-    mirrorSaMemo.getOrElseUpdate(dir, {
+  /** SA+LCP over the FULL corpus — ONE persisted artifact fanned out
+    * to q_suffix_rank / q_suffix_lcp / q_repeat_marks / q_span_cut_sa
+    * (round 15: the family runs on the whole documents table, whose
+    * organic repeat surface replaced the old 35-doc planted-mirror
+    * slice). Built in [[warm]] so the cost lands in the reported
+    * warmup entry. */
+  private def fullSa(s: SparkSession, dir: String): DataFrame =
+    fullSaMemo.getOrElseUpdate(dir, {
       val sa = graft.operators.SuffixRank.suffixArrayWithLcp(
-        mirrorCorpus(s, dir))
+        documents(s, dir).select("doc_id", "text"))
       sa.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sa
     })
@@ -141,10 +141,10 @@ object DocQueries {
     idx.postings.count(); idx.df.count(); idx.stats.count()
     coarseCentroids(spark, dir)
     pqBooks(spark, dir)
-    // the shared SA+LCP artifact (q_repeat_marks / q_span_cut_sa fan
-    // out from it) — built here so its cost lands in the reported
-    // warmup entry, not in whichever query runs first
-    mirrorSa(spark, dir).count()
+    // the shared SA+LCP artifact (the whole SA family fans out from
+    // it) — built here so its cost lands in the reported warmup
+    // entry, not in whichever query runs first
+    fullSa(spark, dir).count()
   }
 
   /** Corpus with planted exact duplicates (each doc twice, second copy
@@ -955,15 +955,17 @@ object DocQueries {
           gapSeconds = 1800)
         .orderBy("user_id", "session_start")),
     "q_suffix_rank" -> ((s, dir) =>
-      // distributed suffix ranking by prefix doubling (round 13,
-      // operators/SuffixRank.scala): the Manber-Myers SA strategy —
-      // log(max doc length) rounds of (rank, rank+h) re-keying, each
-      // one equi-join + one composite-key PrefixSum pass; the oracle
-      // replays the global suffix order directly as rank() over the
-      // materialized suffix strings (space-joined tokens: every token
-      // char sorts above 0x20, so string order == sequence order)
-      graft.operators.SuffixRank.suffixRanks(
-        documents(s, dir).filter(col("doc_id") < 40))),
+      // suffix ranks DERIVED from the shared full-corpus SA artifact
+      // (round 15 — the build-once/fan-out lifecycle; the standalone
+      // prefix-doubling suffixRanks stays spec-pinned equal): tie runs
+      // collapse where lcp_prev covers both remaining suffixes, every
+      // member takes the run head's seq. Oracle replays the global
+      // order as rank() over the materialized suffix strings
+      // (space-joined tokens: every token char sorts above 0x20, so
+      // string order == sequence order)
+      graft.operators.SuffixRank.ranksFromSa(
+        DocQueries.fullSa(s, dir),
+        documents(s, dir).select("doc_id", "text"))),
     "q_in_transit" -> ((s, dir) => {
       // generic point-in-interval RANGE JOIN via bucket expansion
       // (operators/RangeJoin.scala, round 13): per ship-date, how many
@@ -1124,16 +1126,14 @@ object DocQueries {
       // level and the sparse-table descent extends the common prefix
       // by 2^k wherever level-k ranks agree; oracle = lag over the
       // materialized suffix strings + first-mismatch scan
-      graft.operators.SuffixRank.suffixArrayWithLcp(
-        documents(s, dir).filter(col("doc_id") < 40))),
+      DocQueries.fullSa(s, dir).orderBy("doc_id", "pos")),
     "q_repeat_marks" -> ((s, dir) => {
-      // the Lee et al. repeat surface off the LCP column (round 13):
-      // position p starts a repeated 8-token substring iff it shares
-      // a >= 8 prefix with a rank-neighbor; the corpus plants full-doc
-      // mirrors of docs 0..4 so both polarities appear (the natural
-      // 40-doc slice has no 8-token repeats); oracle = direct group
-      // count on the materialized 8-token windows
-      graft.operators.SuffixRank.repeatMarksFromSa(mirrorSa(s, dir),
+      // the Lee et al. repeat surface off the LCP column (round 13;
+      // full corpus since round 15 — the whole documents table carries
+      // 1000+ organic repeated 8-windows at sf0.01, so no planted
+      // mirrors are needed for polarity); oracle = direct group count
+      // on the materialized 8-token windows
+      graft.operators.SuffixRank.repeatMarksFromSa(DocQueries.fullSa(s, dir),
         minLen = 8)
     }),
     "q_phrase_search" -> ((s, dir) =>
@@ -1172,10 +1172,12 @@ object DocQueries {
       // Lee et al. exact substring dedup executed off the suffix
       // array — contiguous >= 8-lcp blocks are the duplicate classes,
       // min(doc,pos) keeps the first occurrence, every other member
-      // cuts its 8 covered positions. Same planted-mirror corpus as
-      // q_repeat_marks; the oracle replays the equivalent stride-1
-      // 8-token shingle cut (RewriteSpec pins spanDedup == spanDedupSA)
-      Rewrite.spanDedupSAFromSa(mirrorSa(s, dir), mirrorCorpus(s, dir),
+      // cuts its 8 covered positions. Full corpus off the shared SA
+      // artifact (round 15); the oracle replays the equivalent
+      // stride-1 8-token shingle cut (RewriteSpec pins
+      // spanDedup == spanDedupSA)
+      Rewrite.spanDedupSAFromSa(DocQueries.fullSa(s, dir),
+        documents(s, dir).select("doc_id", "text"),
         minLen = 8).orderBy("doc_id")
     }),
     "q_topk_agg" -> ((s, dir) => {
@@ -4368,8 +4370,7 @@ object DocQueries {
     // sum numbers them, exact cents totals; ms granularity matches the
     // batch operator (and the streaming state's epoch-ms compares)
     "q_suffix_rank" ->
-      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents
-         |  WHERE doc_id < 40),
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
          |  FROM t WHERE len(toks) > 0),
          |p AS (SELECT doc_id, (i - 1)::INTEGER AS pos,
@@ -4493,8 +4494,7 @@ object DocQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_suffix_lcp" ->
-      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents
-         |  WHERE doc_id < 40),
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
          |  FROM t WHERE len(toks) > 0),
          |p AS (SELECT doc_id, (i - 1)::INTEGER AS pos, toks[i:] AS suf,
@@ -4554,11 +4554,7 @@ object DocQueries {
       // mirrors Rewrite.spanDedupSA(minLen=8) over the planted-mirror
       // corpus; replayed as the equivalent stride-1 8-token shingle cut
       // (the SA blocks ARE the equal-8-window classes — RewriteSpec)
-      s"""WITH docs2 AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id < 30
-         |  UNION ALL
-         |  SELECT doc_id + 700 AS doc_id, text FROM documents WHERE doc_id < 5),
-         |t AS (SELECT doc_id, $toksExpr AS toks FROM docs2),
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |tok AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks
          |  FROM t WHERE len(toks) > 0),
          |tk AS (SELECT doc_id, pos, toks[pos + 1] AS token FROM tok),
@@ -4584,11 +4580,7 @@ object DocQueries {
          |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_repeat_marks" ->
-      s"""WITH docs2 AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id < 30
-         |  UNION ALL
-         |  SELECT doc_id + 700 AS doc_id, text FROM documents WHERE doc_id < 5),
-         |t AS (SELECT doc_id, $toksExpr AS toks FROM docs2),
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
          |  FROM t WHERE len(toks) > 0),
          |w AS (SELECT doc_id, (i - 1)::INTEGER AS pos,

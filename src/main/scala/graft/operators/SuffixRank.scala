@@ -85,6 +85,42 @@ object SuffixRank {
       .orderBy("doc_id", "pos")
   }
 
+  /** [[suffixRanks]] DERIVED from a prebuilt [[suffixArrayWithLcp]]
+    * artifact — the build-once/fan-out path (the repeatMarksFromSa
+    * lifecycle): ranks-with-ties collapse out of the SA exactly,
+    * because two ADJACENT suffixes in seq order are identical iff
+    * `lcp_prev` equals BOTH remaining lengths (the capped LCP reaches
+    * a suffix's end only when the whole suffix matches), so tie runs
+    * are maximal chains of that predicate and every member takes the
+    * run head's `seq` as its rank. One rows-before pass numbers the
+    * run heads; no doubling chain re-run. SuffixRankSpec pins equality
+    * with the standalone [[suffixRanks]]. */
+  def ranksFromSa(
+      sa: DataFrame,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numParts: Int = 32): DataFrame = {
+    val docLen = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("__n"))
+    val withRem = sa.join(docLen, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("seq"), col("lcp_prev"),
+        (col("__n") - col("pos")).as("__rem"))
+    val prev = withRem.select((col("seq") + 1L).as("seq"),
+      col("__rem").as("__prevRem"))
+    val flagged = withRem.join(prev, Seq("seq"), "left")
+      .withColumn("__c",
+        when(col("__prevRem").isNotNull &&
+          col("lcp_prev") === col("__rem") &&
+          col("__prevRem") === col("__rem"), 0L).otherwise(1L))
+    val grp = PrefixSum.rowsBefore(flagged, "seq", numParts)
+      .withColumn("__g", col("__rb") + col("__c"))
+    val heads = grp.groupBy("__g").agg(min("seq").as("suffix_rank"))
+    grp.join(heads, Seq("__g"))
+      .select(col("doc_id"), col("pos"), col("suffix_rank"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Suffix array WITH the LCP column — the structure Lee et al. '22's
     * exact substring dedup thresholds on (a repeat of length >= L
     * exists wherever lcp_prev >= L). Output one row per token
@@ -94,22 +130,48 @@ object SuffixRank {
     * tokens of the longest common prefix with the seq−1 suffix (0 for
     * seq 0).
     *
-    * Build: the doubling chain retains EVERY level (no early
-    * convergence exit — LCP descent needs level k to discriminate
-    * exactly prefixes of length 2^k), then the classic sparse-table
-    * descent: for k from high to low, if the level-k ranks at
-    * (pos + lcp) agree on both sides, the common prefix extends by
-    * 2^k. Cost shape: levels = log(max DOC length), each retained
-    * frame positions-sized (the standard O(n log n) sparse-table
-    * space), plus two equi-joins per level for the descent — the
-    * published distributed-LCP recipe. [[graft.text.Rewrite]]'s
-    * spanDedup remains the CHEAP dedup path; this is the exact-order
-    * structure for repeat mining / LCP statistics. */
+    * Build: the doubling chain retains one positions-sized frame per
+    * level (LCP descent needs level k to discriminate exactly
+    * prefixes of length 2^k), then the classic sparse-table descent:
+    * for k from high to low, if the level-k ranks at (pos + lcp)
+    * agree on both sides, the common prefix extends by 2^k.
+    *
+    * RETENTION CONTRACT (the sparse-table tradeoff, measured and
+    * bounded rather than hidden): retained memory is O(n x levels)
+    * where levels stops at the corpus's TRUE repeat structure
+    * (ceil(log2(longest repeated span)) + 1, the early-exit below) —
+    * NOT log(max doc length). A corpus of full-document duplicates is
+    * the adversarial worst case (longest tie = doc length;
+    * SuffixRankSpec probes exactly that). The chain fails fast past
+    * `spark.graft.sa.maxRetainedLevels` (default 24 — a 16M-token
+    * repeated span) instead of silently holding an unbounded frame
+    * list. Exact O(n)-retained alternatives were weighed and
+    * rejected: rolling-hash binary search drops bitwise exactness
+    * (hash equality is probabilistic), Kasai's descent is inherently
+    * sequential, and the Flick-Aluru split-round LCP needs a
+    * distributed RMQ over the in-flight LCP array — a sparse table
+    * again. [[graft.text.Rewrite]]'s spanDedup remains the CHEAP
+    * dedup path; this is the exact-order structure for repeat
+    * mining / LCP statistics. */
   def suffixArrayWithLcp(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 32): DataFrame =
+    suffixArrayWithLcpAndLevels(docs, textCol, idCol, numParts)._1
+
+  /** Conf key bounding the retained doubling-chain levels (each one
+    * positions-sized); 24 levels = a 16M-token repeated span. */
+  val MaxRetainedLevelsKey = "spark.graft.sa.maxRetainedLevels"
+  val MaxRetainedLevelsDefault = 24
+
+  /** [[suffixArrayWithLcp]] + the retained-level count, so tests and
+    * capacity planning can assert the retention contract directly. */
+  private[graft] def suffixArrayWithLcpAndLevels(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numParts: Int = 32): (DataFrame, Int) = {
     val positions = docs
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
@@ -144,10 +206,20 @@ object SuffixRank {
       .select(col("doc_id"), col("pos"), col("__rank"),
         (col("__n") - col("pos")).as("__rem"))
       .localCheckpoint()
+    val maxLevels = docs.sparkSession.conf
+      .get(MaxRetainedLevelsKey, MaxRetainedLevelsDefault.toString).toInt
+    require(maxLevels >= 1, s"$MaxRetainedLevelsKey must be >= 1")
     var levels = List((1L, ranks))
     var h = 1L
     var tiedDone = false
     while (h < maxLen && !tiedDone) {
+      if (levels.length >= maxLevels)
+        throw new IllegalStateException(
+          s"suffixArrayWithLcp would retain more than $maxLevels " +
+            s"positions-sized level frames (repeated spans past " +
+            s"2^$maxLevels tokens); raise $MaxRetainedLevelsKey if the " +
+            "cluster has the memory, or pre-cut pathological repeats " +
+            "(Rewrite.spanDedup) before building the suffix array")
       val shifted = remRanks.select(col("doc_id"), (col("pos") - h).as("pos"),
         col("__rank").as("__r2"))
       val keyed = remRanks.join(shifted, Seq("doc_id", "pos"), "left")
@@ -216,10 +288,11 @@ object SuffixRank {
       .select(col("seq"),
         least(col("__lcp"), col("__na") - col("__pa"),
           col("__nb") - col("__pb")).as("lcp_prev"))
-    seqed.join(lcpOfSeq, Seq("seq"), "left")
+    (seqed.join(lcpOfSeq, Seq("seq"), "left")
       .select(col("doc_id"), col("pos"), col("seq"),
         coalesce(col("lcp_prev"), lit(0L)).as("lcp_prev"))
-      .orderBy("doc_id", "pos")
+      .orderBy("doc_id", "pos"),
+      levels.length)
   }
 
   /** Exact repeated-substring marks — the Lee et al. '22 threshold

@@ -102,4 +102,55 @@ class SuffixRankSpec extends AnyFunSuite with SparkSpec {
         s"($id,$p): got ${got((id, p))}, want ($i, $expLcp)")
     }
   }
+
+  test("ranksFromSa equals the standalone prefix-doubling suffixRanks") {
+    import spark.implicits._
+    // duplicate docs + shared tails force tie runs of every flavor
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box the quick brown fox"),
+      (3L, "a a b a a b a"),
+      (4L, "a a b a a b a"), // full duplicate
+      (5L, "dog")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val direct = canon(SuffixRank.suffixRanks(docs))
+    val derived = canon(SuffixRank.ranksFromSa(
+      SuffixRank.suffixArrayWithLcp(docs), docs))
+    assert(derived === direct && direct.nonEmpty)
+  }
+
+  test("retention contract: levels track the TRUE repeat structure, guard fires") {
+    import spark.implicits._
+    // adversarial worst case: FULL-document duplicates — every suffix
+    // of doc 2 ties its twin in doc 1 to its end, so the chain cannot
+    // exit before spans cover the whole doc: levels =
+    // ceil(log2(len)) + 1 retained frames (the documented O(n log r))
+    val tok = (i: Int) => s"t${i % 97}"
+    val body = (0 until 300).map(tok).mkString(" ")
+    val dup = Seq((1L, body), (2L, body)).toDF("doc_id", "text")
+    val (dupSa, dupLevels) =
+      SuffixRank.suffixArrayWithLcpAndLevels(dup)
+    // spans 1,2,...,512 >= 300 -> 10 or 11 frames, never more
+    assert(dupLevels >= 9 && dupLevels <= 11, s"dupLevels $dupLevels")
+    // top lcp really reaches the full duplicate length
+    assert(dupSa.agg(org.apache.spark.sql.functions.max("lcp_prev"))
+      .collect()(0).getLong(0) === 300L)
+    // repeat-free corpus (all tokens distinct): the early exit holds
+    // retention at the floor even though docs are equally long
+    val flat = Seq((1L, (0 until 300).map(i => s"u$i").mkString(" ")),
+      (2L, (300 until 600).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (_, flatLevels) = SuffixRank.suffixArrayWithLcpAndLevels(flat)
+    assert(flatLevels <= 5, s"flatLevels $flatLevels") // exit probes from h=8
+    // the fail-fast guard names the conf and fires BEFORE the chain
+    // would retain past the bound
+    spark.conf.set(SuffixRank.MaxRetainedLevelsKey, "4")
+    try {
+      val e = intercept[IllegalStateException] {
+        SuffixRank.suffixArrayWithLcp(dup).collect()
+      }
+      assert(e.getMessage.contains(SuffixRank.MaxRetainedLevelsKey))
+    } finally spark.conf.unset(SuffixRank.MaxRetainedLevelsKey)
+  }
 }
