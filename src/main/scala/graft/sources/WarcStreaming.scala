@@ -39,7 +39,7 @@ import org.apache.spark.sql.types.StructType
   * visible, so re-listing is idempotent and a restart from a committed
   * offset re-reads nothing.
   */
-private[sources] class WarcMicroBatchStream(
+private[graft] class WarcMicroBatchStream(
     required: StructType,
     typeFilter: Option[Set[String]],
     options: Map[String, String])

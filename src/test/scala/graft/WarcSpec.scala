@@ -329,4 +329,59 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     val n = Warc.read(spark, dir.toString).rdd.getNumPartitions
     assert(n == 3, s"expected 3 file-partitions, got $n")
   }
+
+  test("listing + compacted-offset planning at crawl scale (12k segments)") {
+    // a Common Crawl crawl is ~72k segment files behind one prefix;
+    // this probe pins the driver-side costs that shape depends on —
+    // directory listing, one-partition-per-file batch planning, and
+    // the compacted streaming offset — at 12k names, with measured
+    // wall-time ceilings (generous: local FS lists this in well under
+    // a second; the assert catches accidental quadratic regressions)
+    val dir = tmpDir("crawl12k")
+    val rec = enc(0)
+    val n = 12000
+    var i = 0
+    while (i < n) {
+      Files.write(dir.resolve(f"segment-$i%05d.warc"), rec)
+      i += 1
+    }
+    // batch: list + plan (no read) — one partition per file
+    val t0 = System.nanoTime()
+    val parts = Warc.read(spark, dir.toString).rdd.getNumPartitions
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(parts === n, s"expected $n file-partitions, got $parts")
+    assert(planSec < 30.0, f"batch listing+planning took $planSec%.1f s")
+    // streaming: first offset carries the full fresh frontier; after
+    // the commit, the next listing compacts everything but the keep
+    // window behind one per-directory watermark
+    import graft.sources.{WarcDataSource, WarcMicroBatchStream, WarcOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val mbs = new WarcMicroBatchStream(WarcDataSource.schema, None,
+      Map("path" -> (dir.toString + "/*.warc")))
+    val t1 = System.nanoTime()
+    val o1 = mbs.latestOffset(WarcOffset.empty, ReadLimit.allAvailable())
+      .asInstanceOf[WarcOffset]
+    val offSec = (System.nanoTime() - t1) / 1e9
+    assert(o1.frontier.length === n)
+    assert(offSec < 30.0, f"first offset listing took $offSec%.1f s")
+    assert(mbs.planInputPartitions(WarcOffset.empty, o1).length === n)
+    mbs.commit(o1)
+    Files.write(dir.resolve("segment-99999.warc"), rec) // one late arrival
+    val t2 = System.nanoTime()
+    val o2 = mbs.latestOffset(o1, ReadLimit.allAvailable())
+      .asInstanceOf[WarcOffset]
+    val compactSec = (System.nanoTime() - t2) / 1e9
+    assert(compactSec < 30.0, f"compacting offset took $compactSec%.1f s")
+    // frontier bounded by the keep window (default 1024) + arrivals,
+    // NOT by the 12k history; the serialized offset stays checkpoint-
+    // log sized
+    assert(o2.frontier.length <= 1024 + 1,
+      s"frontier not compacted: ${o2.frontier.length} names")
+    assert(o2.watermarks.nonEmpty)
+    assert(o2.json().length < 200000,
+      s"offset json ${o2.json().length} bytes — checkpoint log at risk")
+    // exactly the late arrival plans against the committed anchor
+    val fresh = mbs.planInputPartitions(o1, o2)
+    assert(fresh.length === 1)
+  }
 }
