@@ -753,6 +753,27 @@ object DocQueries {
           silenceMeanSquare = 2500L)
         .orderBy("sample_id", "win_idx")
     }),
+    "q_audio_trim" -> ((s, dir) => {
+      // per-document KEEP/TRIM verdict composed off the energy windows
+      // (round 15): leading/trailing silent windows cut, the kept PCM
+      // span re-encoded through the REAL Wav.encode (payload compared
+      // byte-for-byte in hex space — the all-ASCII container the
+      // q_cdc_media_wav oracle already rebuilds), all-silent clips
+      // dropped with an empty payload
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val wav = Multimodal.syntheticWavCorpus(documents(s, dir))
+        .select(col("sample_id"), lit("audio").as("modality"),
+          col("content"), lit(0).as("width"), lit(0).as("height"),
+          lit(8000).as("sample_rate"), lit(0).as("duration_ms"))
+        .as[graft.multimodal.MediaSample]
+      Multimodal.audioTrim(wav, windowSamples = 8,
+          silenceMeanSquare = 2500L)
+        .select(col("sample_id"), col("n_windows"), col("keep"),
+          col("trim_start"), col("trim_end"), col("n_kept"),
+          hex(col("payload")).as("payload_hex"))
+        .orderBy("sample_id")
+    }),
     "q_media_fp" -> ((s, dir) => {
       // content fingerprints through ALL THREE decode boundaries:
       // image aHash / audio energy-contour hash / video first+last
@@ -1156,6 +1177,30 @@ object DocQueries {
           Seq(Seq("table", "key", "agg"), Seq("value", "table"),
             Seq("query", "value")))
         .orderBy("phrase_id", "doc_id", "start")),
+    "q_phrase_set" -> ((s, dir) =>
+      // stateless PHRASE-SET gate (round 15): the whole set rides one
+      // broadcast kernel pass per row (PhraseSetHitsBcast) — docs x
+      // phrases verdict rows, zero-hit pairs included, an absent
+      // phrase pinning the all-zero column; runs unchanged on a
+      // stream (streamingPhraseSetGate, replay-pinned)
+      graft.text.Search.phraseSetGate(documents(s, dir),
+          Seq(Seq("table", "key", "agg"), Seq("value", "table"),
+            Seq("query", "value"), Seq("zzz", "qqq")))
+        .orderBy("doc_id", "phrase_id")),
+    "q_decontam" -> ((s, dir) => {
+      // decontamination composite through the batch walk (round 15):
+      // the eval set = each sub-10 doc's leading 6-gram, ALL probed in
+      // one phraseOccurrencesBatch pass (one join + one count for the
+      // whole set), verdicts joined back onto every corpus document
+      val evalPhrases = documents(s, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          slice(graft.text.TextOps.tokens(col("text")), 1, 6).as("__p"))
+        .orderBy("doc_id").collect()
+        .map(_.getSeq[String](1).toSeq).filter(_.nonEmpty).toSeq
+      graft.text.Search.decontaminationVerdicts(
+          documents(s, dir).select("doc_id", "text"), evalPhrases)
+        .orderBy("doc_id")
+    }),
     "q_phrase_gate" -> ((s, dir) =>
       // the stateless in-row spelling of the phrase walk (round 14):
       // per-document occurrence counts from one token-array HOF pass —
@@ -3975,6 +4020,55 @@ object DocQueries {
         |  energy < 2500 * n_samples AS silent
         |FROM g ORDER BY sample_id, win_idx""".stripMargin,
 
+    "q_audio_trim" ->
+      // mirrors Multimodal.audioTrim(w=8, thr=2500): same window
+      // verdicts as q_audio_energy, first/last loud window -> sample
+      // bounds, and the kept-span WAV container rebuilt byte-for-byte
+      // in VARCHAR space (all bytes <= 0x7F: ASCII data + small header
+      // fields — the wavPayloadCte layout with the trimmed length)
+      """WITH b AS (SELECT doc_id, text || '.' AS s,
+        |    (doc_id % 40 + 20)::INT AS n FROM documents),
+        |ix AS (SELECT doc_id, s, n, unnest(range(n)) AS i FROM b),
+        |v AS (SELECT doc_id, n, (i // 8)::INT AS w,
+        |  (ord(substr(s, (i % len(s) + 1)::INT, 1)) - 128)::BIGINT AS v
+        |  FROM ix),
+        |g AS (SELECT doc_id, n, w, count(*) AS len, sum(v * v) AS e
+        |  FROM v GROUP BY 1, 2, 3),
+        |l AS (SELECT doc_id, n, count(*)::INT AS n_windows,
+        |  min(CASE WHEN e >= 2500 * len THEN w END) AS fw,
+        |  max(CASE WHEN e >= 2500 * len THEN w END) AS lw
+        |  FROM g GROUP BY 1, 2),
+        |tb AS (SELECT l.doc_id, l.n, n_windows, fw IS NOT NULL AS keep,
+        |  coalesce(fw * 8, 0)::BIGINT AS trim_start,
+        |  (CASE WHEN lw IS NULL THEN 0
+        |    ELSE least(l.n::BIGINT, (lw + 1) * 8) END)::BIGINT AS trim_end,
+        |  substr(repeat(b.s, ((l.n + len(b.s) - 1) // len(b.s))::INT),
+        |    1, l.n) AS pcm
+        |  FROM l JOIN b ON b.doc_id = l.doc_id),
+        |pay AS (SELECT doc_id, n_windows, keep, trim_start, trim_end,
+        |  (trim_end - trim_start)::BIGINT AS nk,
+        |  CASE WHEN keep THEN
+        |    'RIFF' ||
+        |    chr((36 + (trim_end - trim_start)
+        |      + ((trim_end - trim_start) % 2))::INT) ||
+        |    chr(0) || chr(0) || chr(0) || 'WAVE' ||
+        |    'fmt ' || chr(16) || chr(0) || chr(0) || chr(0) ||
+        |    chr(1) || chr(0) || chr(1) || chr(0) ||
+        |    chr(64) || chr(31) || chr(0) || chr(0) ||
+        |    chr(64) || chr(31) || chr(0) || chr(0) ||
+        |    chr(1) || chr(0) || chr(8) || chr(0) ||
+        |    'data' || chr((trim_end - trim_start)::INT) ||
+        |    chr(0) || chr(0) || chr(0) ||
+        |    substr(pcm, trim_start::INT + 1,
+        |      (trim_end - trim_start)::INT) ||
+        |    CASE WHEN (trim_end - trim_start) % 2 = 1
+        |      THEN chr(0) ELSE '' END
+        |  ELSE '' END AS pay
+        |  FROM tb)
+        |SELECT doc_id AS sample_id, n_windows, keep, trim_start,
+        |  trim_end, nk AS n_kept, hex(encode(pay)) AS payload_hex
+        |FROM pay ORDER BY sample_id""".stripMargin,
+
     "q_media_fp" ->
       // mirrors mixedCorpus + the three decoded fingerprints:
       // image aHash (8x8 nearest, floor-mean strict threshold), audio
@@ -4549,6 +4643,54 @@ object DocQueries {
          |      AND toks[p + 3] = 'agg')) AS n_hits FROM t)
          |SELECT doc_id, n_hits::BIGINT AS n_hits, n_hits > 0 AS has_phrase
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_phrase_set" ->
+      // mirrors Search.phraseSetGate over the 4-phrase set (one absent
+      // phrase pins the all-zero column): per (doc, phrase) the count
+      // of start positions whose every slot matches
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |p(phrase_id, ph) AS (VALUES
+         |  (0, ['table', 'key', 'agg']), (1, ['value', 'table']),
+         |  (2, ['query', 'value']), (3, ['zzz', 'qqq'])),
+         |m AS (SELECT t.doc_id, p.phrase_id, count(*)::BIGINT AS n
+         |  FROM t CROSS JOIN p
+         |  CROSS JOIN unnest(generate_series(0,
+         |    len(t.toks) - len(p.ph))) u(s)
+         |  WHERE NOT list_contains(list_transform(
+         |    generate_series(1, len(p.ph)),
+         |    i -> t.toks[s + i] = p.ph[i]), false)
+         |  GROUP BY 1, 2)
+         |SELECT t.doc_id AS doc_id, p.phrase_id::BIGINT AS phrase_id,
+         |  coalesce(m.n, 0)::BIGINT AS n_hits,
+         |  coalesce(m.n, 0) > 0 AS has_phrase
+         |FROM t CROSS JOIN p
+         |LEFT JOIN m ON m.doc_id = t.doc_id AND m.phrase_id = p.phrase_id
+         |ORDER BY t.doc_id, phrase_id""".stripMargin,
+
+    "q_decontam" ->
+      // mirrors Search.decontaminationVerdicts with the eval set =
+      // each sub-10 doc's leading 6-gram; duplicate eval phrases (if
+      // two docs open identically) stay distinct pids on both sides
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |ev AS (SELECT doc_id AS pid, list_slice(toks, 1, 6) AS ph
+         |  FROM t WHERE doc_id < 10 AND len(toks) > 0),
+         |m AS (SELECT t.doc_id, ev.pid, count(*)::BIGINT AS n
+         |  FROM t CROSS JOIN ev
+         |  CROSS JOIN unnest(generate_series(0,
+         |    len(t.toks) - len(ev.ph))) u(s)
+         |  WHERE NOT list_contains(list_transform(
+         |    generate_series(1, len(ev.ph)),
+         |    i -> t.toks[s + i] = ev.ph[i]), false)
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, sum(n)::BIGINT AS n_eval_hits,
+         |  count(DISTINCT pid)::BIGINT AS n_eval_phrases
+         |  FROM m GROUP BY 1)
+         |SELECT t.doc_id,
+         |  coalesce(agg.n_eval_hits, 0)::BIGINT AS n_eval_hits,
+         |  coalesce(agg.n_eval_phrases, 0)::BIGINT AS n_eval_phrases,
+         |  coalesce(agg.n_eval_hits, 0) > 0 AS contaminated
+         |FROM t LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_span_cut_sa" ->
       // mirrors Rewrite.spanDedupSA(minLen=8) over the planted-mirror

@@ -1227,6 +1227,103 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** The PROGRESSIVE twin of [[dcOnlyColor420]], and the pin for the
+    * one scan geometry no 4:4:4 stream exercises: single-component AC
+    * scans walk the COMPONENT block grid (ceil(compW/8) x
+    * ceil(compH/8)), which for a subsampled frame with w % 16 != 0 is
+    * SMALLER than the padded MCU grid the coefficients are stored on
+    * (e.g. w = 24: Y component 3 blocks wide, storage stride 4). The
+    * scan script sandwiches per-component all-EOB AC scans between the
+    * DC first and DC refine scans, so a decoder walking the wrong
+    * grid over-consumes entropy bits and garbles the refinement —
+    * decoded output must equal the baseline twin exactly. */
+  def dcOnlyColor420Progressive(w: Int, h: Int, yDcs: Array[Int],
+      cbDcs: Array[Int], crDcs: Array[Int]): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "blocks are 8x8")
+    val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+    val nMcu = mcusX * mcusY
+    require(yDcs.length == 4 * nMcu && cbDcs.length == nMcu &&
+      crDcs.length == nMcu, "4 Y + 1 Cb + 1 Cr DCs per (padded) MCU")
+    require((yDcs ++ cbDcs ++ crDcs).forall(d => d >= -128 && d <= 127),
+      "DC in [-128, 127]")
+    val dcCodes = canonicalCodes(dcCounts, dcSyms)
+    val eob = canonicalCodes(acCounts, acSyms)(0x00)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def b16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xFF); b(0xD8) // SOI
+    b(0xFF); b(0xDB); b16(2 + 1 + 64); b(0x00) // DQT, q0 = 8 rest 16
+    (0 until 64).foreach(i => b(if (i == 0) 8 else 16))
+    b(0xFF); b(0xC2); b16(2 + 6 + 9) // SOF2, 4:2:0
+    b(8); b16(h); b16(w); b(3)
+    b(1); b(0x22); b(0); b(2); b(0x11); b(0); b(3); b(0x11); b(0)
+    b(0xFF); b(0xC4) // DHT: Annex K luminance DC + AC on slot 0
+    b16(2 + (1 + 16 + dcSyms.length) + (1 + 16 + acSyms.length))
+    b(0x00); dcCounts.foreach(b); dcSyms.foreach(b)
+    b(0x10); acCounts.foreach(b); acSyms.foreach(b)
+    def sos(ids: Seq[Int], ss: Int, se: Int, ahal: Int): Unit = {
+      b(0xFF); b(0xDA); b16(2 + 1 + 2 * ids.length + 3)
+      b(ids.length); ids.foreach { id => b(id); b(0x00) }
+      b(ss); b(se); b(ahal)
+    }
+    def putDcFirst(bw: BitWriter, v: Int, prev: Int): Unit = {
+      val diff = v - prev
+      val mag = math.abs(diff)
+      var s = 0
+      while ((mag >> s) != 0) s += 1
+      val (c, l) = dcCodes(s)
+      bw.putBits(c, l)
+      if (s > 0) bw.putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+    // scan 1: DC first, interleaved MCU walk over the PADDED grid
+    sos(Seq(1, 2, 3), 0, 0, 0x01)
+    locally {
+      val bw = new BitWriter(out)
+      var py = 0; var pcb = 0; var pcr = 0
+      var m = 0
+      while (m < nMcu) {
+        var k = 0
+        while (k < 4) {
+          putDcFirst(bw, yDcs(4 * m + k) >> 1, py)
+          py = yDcs(4 * m + k) >> 1; k += 1
+        }
+        putDcFirst(bw, cbDcs(m) >> 1, pcb); pcb = cbDcs(m) >> 1
+        putDcFirst(bw, crDcs(m) >> 1, pcr); pcr = crDcs(m) >> 1
+        m += 1
+      }
+      bw.pad()
+    }
+    // scans 2-4: all-EOB AC scans over each COMPONENT's own grid —
+    // one EOB0 per component-grid block, never the padded stride
+    val compBlocks = Seq(
+      (1, ((w + 7) / 8) * ((h + 7) / 8)), // Y at full res
+      (2, ((w / 2 + 7) / 8) * ((h / 2 + 7) / 8)),
+      (3, ((w / 2 + 7) / 8) * ((h / 2 + 7) / 8)))
+    compBlocks.foreach { case (id, n) =>
+      sos(Seq(id), 1, 63, 0x00)
+      val bw = new BitWriter(out)
+      var i = 0
+      while (i < n) { bw.putBits(eob._1, eob._2); i += 1 }
+      bw.pad()
+    }
+    // scan 5: DC refine, interleaved — garbled if scans 2-4 miswalked
+    sos(Seq(1, 2, 3), 0, 0, 0x10)
+    locally {
+      val bw = new BitWriter(out)
+      var m = 0
+      while (m < nMcu) {
+        var k = 0
+        while (k < 4) { bw.putBits(yDcs(4 * m + k) & 1, 1); k += 1 }
+        bw.putBits(cbDcs(m) & 1, 1)
+        bw.putBits(crDcs(m) & 1, 1)
+        m += 1
+      }
+      bw.pad()
+    }
+    b(0xFF); b(0xD9) // EOI
+    out.toByteArray
+  }
+
   /** The PROGRESSIVE (SOF2) twin of [[dcOnlyGray]]: the same flat
     * 8x8-tile semantics — tile t decodes to exactly
     * `clamp(dcs(t) + 128)` — delivered as two successive-approximation
@@ -1284,11 +1381,14 @@ object Jpeg {
     * tiles: per MCU m (raster order) the four Y blocks carry
     * `yDcs(4m .. 4m+3)` and chroma `cbDcs(m)` / `crDcs(m)` — decoded
     * YCbCr values are dc + 128 per the same flat-tile argument as
-    * [[dcOnlyGray]], then BT.601 converts to RGB. */
+    * [[dcOnlyGray]], then BT.601 converts to RGB. Non-multiple-of-16
+    * dims are allowed (round 15): the interleaved MCU walk always
+    * covers the PADDED grid, so callers supply DCs for padding blocks
+    * too and the decode crops to the true size. */
   def dcOnlyColor420(w: Int, h: Int, yDcs: Array[Int],
       cbDcs: Array[Int], crDcs: Array[Int]): Array[Byte] = {
-    require(w % 16 == 0 && h % 16 == 0, "4:2:0 MCUs are 16x16")
-    val nMcu = (w / 16) * (h / 16)
+    require(w % 8 == 0 && h % 8 == 0, "blocks are 8x8")
+    val nMcu = ((w + 15) / 16) * ((h + 15) / 16)
     require(yDcs.length == 4 * nMcu && cbDcs.length == nMcu &&
       crDcs.length == nMcu, "4 Y + 1 Cb + 1 Cr DCs per MCU")
     val dcCodes = canonicalCodes(dcCounts, dcSyms)

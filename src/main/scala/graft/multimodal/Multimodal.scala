@@ -393,6 +393,73 @@ object Multimodal {
     * energy < threshold·n (no division). Content the audio codec does
     * not cover yields no rows (energy has no meaning for images). A
     * pure mapPartitions over the scan; no shuffle. */
+  /** Per-document KEEP/TRIM verdict composed off the energy-window
+    * math (the speech-pipeline silence trim): leading and trailing
+    * SILENT windows (same exact-integer verdict as
+    * [[audioEnergyWindows]]) are cut, the kept span re-encodes through
+    * the REAL [[Wav.encode]], and an all-silent clip reports
+    * keep = false with an empty payload. Trim bounds are in samples
+    * (window-aligned at the start; the end is the decoded length when
+    * the last loud window is the final partial one). Non-audio rows
+    * yield nothing; pure mapPartitions, no shuffle — so the gate runs
+    * unchanged on a stream.
+    *
+    * Output: (sample_id, n_windows, keep, trim_start, trim_end,
+    * n_kept, payload — the re-encoded WAV, empty when dropped). */
+  def audioTrim(
+      samples: Dataset[MediaSample],
+      windowSamples: Int = 8,
+      silenceMeanSquare: Long = 100L)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(windowSamples > 0,
+      s"windowSamples must be positive, got $windowSamples")
+    require(silenceMeanSquare >= 0,
+      s"silenceMeanSquare must be >= 0, got $silenceMeanSquare")
+    samples.mapPartitions { it =>
+      it.flatMap { s =>
+        Wav.decode(s.content) match {
+          case Some(audio) =>
+            val n = audio.numSamples
+            val nw = (n + windowSamples - 1) / windowSamples
+            var first = -1
+            var last = -1
+            var wi = 0
+            while (wi < nw) {
+              val start = wi * windowSamples
+              val end = math.min(start + windowSamples, n)
+              var e = 0L
+              var i = start
+              while (i < end) {
+                val v = audio.sample(i).toLong
+                e += v * v
+                i += 1
+              }
+              if (e >= silenceMeanSquare * (end - start)) {
+                if (first < 0) first = wi
+                last = wi
+              }
+              wi += 1
+            }
+            if (first < 0)
+              Iterator.single((s.sample_id, nw, false, 0L, 0L, 0L,
+                Array.emptyByteArray))
+            else {
+              val ts = first.toLong * windowSamples
+              val te = math.min(n.toLong, (last + 1).toLong * windowSamples)
+              val bps = audio.bytesPerSample
+              val slice = java.util.Arrays.copyOfRange(audio.data,
+                (ts * bps).toInt, (te * bps).toInt)
+              Iterator.single((s.sample_id, nw, true, ts, te, te - ts,
+                Wav.encode(audio.copy(data = slice))))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }.toDF("sample_id", "n_windows", "keep", "trim_start", "trim_end",
+      "n_kept", "payload")
+  }
+
   def audioEnergyWindows(
       samples: Dataset[MediaSample],
       windowSamples: Int = 8,

@@ -419,6 +419,16 @@ object Streaming {
       phrase: Seq[String]): DataFrame =
     graft.text.Search.phraseGate(docs.toDF(), phrase)
 
+  /** Stateless PHRASE-SET gate at ingest rate — the streaming twin of
+    * the multi-phrase batch walk (the decontamination shape): the
+    * whole eval set rides one broadcast kernel pass per row
+    * ([[graft.text.Search.phraseSetGate]] — projection + posexplode,
+    * no state, no watermark, no shuffle). */
+  def streamingPhraseSetGate(
+      docs: Dataset[StreamDoc],
+      phrases: Seq[Seq[String]]): DataFrame =
+    graft.text.Search.phraseSetGate(docs.toDF(), phrases)
+
   /** Streaming QUALITY GATE, corpus half: online boilerplate detection,
     * the streaming analogue of [[graft.text.Rewrite.stripBoilerplate]].
     * State per chunk tracks the distinct-document frequency UP TO

@@ -354,4 +354,56 @@ object Search {
     docs.withColumn("phrase_starts",
         phraseStartsCol(tokens(col(textCol)), phrase))
       .withColumn("has_phrase", size(col("phrase_starts")) > 0)
+
+  /** Per-document verdicts for a PHRASE SET in one stateless pass —
+    * the gate form of [[phraseOccurrencesBatch]]: the set rides one
+    * broadcast handle through the
+    * [[graft.functions.PhraseSetHitsBcast]] kernel (one token-array
+    * walk per row regardless of phrase count; a per-phrase HOF column
+    * would re-scan per phrase and grow the plan with the set), then
+    * posexplode emits one (doc, phrase_id, n_hits) row per pair —
+    * zero-hit pairs included, so the output shape is docs x phrases.
+    * No index, no join, no aggregation: runs unchanged on a stream
+    * ([[graft.streaming.Streaming.streamingPhraseSetGate]]). */
+  def phraseSetGate(
+      docs: DataFrame,
+      phrases: Seq[Seq[String]],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phrases must be a non-empty set of non-empty phrases")
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(phrases.map(_.toArray).toArray)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val hitsCol = column(graft.functions.PhraseSetHitsBcast(
+      expression(tokens(col(textCol))), bc))
+    docs.withColumn("__hits", hitsCol)
+      .select(col(idCol), posexplode(col("__hits")).as(Seq("phrase_id", "n_hits")))
+      .select(col(idCol), col("phrase_id").cast("long").as("phrase_id"),
+        col("n_hits"), (col("n_hits") > 0).as("has_phrase"))
+  }
+
+  /** DECONTAMINATION verdicts through the batch walk — the one-pass
+    * composite of the q_contamination semantics: every eval-set
+    * phrase probes the corpus index via [[phraseOccurrencesBatch]]
+    * (one join + one count for the WHOLE set), occurrences collapse
+    * to per-document totals, and every corpus document comes back
+    * with (n_eval_hits, n_eval_phrases matched, contaminated). */
+  def decontaminationVerdicts(
+      docs: DataFrame,
+      phrases: Seq[Seq[String]],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val occ = phraseOccurrencesBatch(
+        buildPositionalIndex(docs, textCol, idCol), phrases)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_hits"),
+        countDistinct(col("phrase_id")).as("n_eval_phrases"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(occ, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        coalesce(col("n_eval_phrases"), lit(0L)).as("n_eval_phrases"))
+      .withColumn("contaminated", col("n_eval_hits") > 0)
+  }
 }

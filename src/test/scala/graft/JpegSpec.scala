@@ -227,6 +227,30 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive 4:2:0: component-grid AC scans, baseline parity at w%16!=0") {
+    // w = 24 under 4:2:0: the Y component grid is 3x3 blocks while the
+    // padded MCU storage stride is 4 — the geometry every real odd-size
+    // progressive photo hits. The builder sandwiches per-component
+    // all-EOB AC scans between DC first and DC refine, so a decoder
+    // walking the padded grid in a single-component scan over-consumes
+    // entropy bits and garbles the refinement.
+    val w = 24; val h = 24
+    val y = Array.tabulate(16)(i => (i * 13 % 200) - 100) // odd+even DCs
+    val cb = Array.tabulate(4)(i => i * 21 - 30)
+    val cr = Array.tabulate(4)(i => 41 - i * 15)
+    val base = Jpeg.decode(Jpeg.dcOnlyColor420(w, h, y, cb, cr)).get
+    val prog = Jpeg.decode(Jpeg.dcOnlyColor420Progressive(w, h, y, cb, cr)).get
+    assert(prog.width == w && prog.height == h)
+    assert(java.util.Arrays.equals(prog.pixels, base.pixels))
+    // and the multiple-of-16 case agrees too (comp grid == padded grid)
+    val y2 = Array.tabulate(4)(i => i * 31 - 60)
+    val base2 = Jpeg.decode(Jpeg.dcOnlyColor420(16, 16, y2,
+      Array(7), Array(-9))).get
+    val prog2 = Jpeg.decode(Jpeg.dcOnlyColor420Progressive(16, 16, y2,
+      Array(7), Array(-9))).get
+    assert(java.util.Arrays.equals(prog2.pixels, base2.pixels))
+  }
+
   test("aHash over a decoded JPEG matches the flat-tile integer math") {
     // 16x16 flat quadrants -> the 8x8 resize samples tiles by quadrant;
     // gray luma == pixel value; mean = sum // 64

@@ -518,6 +518,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out((1L, 3)) === ((2, 100L * 100 + 4, false)))
   }
 
+  test("audioTrim: silence bounds, re-encoded kept span, all-silent drop") {
+    implicit val s = spark
+    def wav(bytes: Array[Byte]) = graft.multimodal.Wav.encode(
+      graft.multimodal.Wav.Audio(8000, 1, 8, bytes))
+    def sample(id: Long, content: Array[Byte], modality: String = "audio") =
+      MediaSample(id, modality, content, 0, 0, 8000, 0)
+    val loud = Array.fill[Byte](8)(228.toByte)
+    val quiet = Array.fill[Byte](8)(130.toByte)
+    val ds = Seq(
+      // silent, loud, silent, loud, silent -> trim to windows 1..3
+      sample(1L, wav(quiet ++ loud ++ quiet ++ loud ++ quiet)),
+      // all silent -> dropped
+      sample(2L, wav(quiet ++ quiet)),
+      // loud PARTIAL last window -> trim_end = true length, not padded
+      sample(3L, wav(quiet ++ Array[Byte](228.toByte, 228.toByte))),
+      sample(4L, Array[Byte](1, 2, 3), modality = "image") // not WAV
+    ).toDS()
+    val out = Multimodal.audioTrim(ds, windowSamples = 8,
+        silenceMeanSquare = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getAs[Array[Byte]](6)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    val (nw1, k1, ts1, te1, nk1, p1) = out(1L)
+    assert((nw1, k1, ts1, te1, nk1) === ((5, true, 8L, 32L, 24L)))
+    // payload decodes back to exactly the kept bytes
+    val back = graft.multimodal.Wav.decode(p1).get
+    assert(back.data.toSeq === (loud ++ quiet ++ loud).toSeq)
+    val (nw2, k2, ts2, te2, nk2, p2) = out(2L)
+    assert((nw2, k2, ts2, te2, nk2) === ((2, false, 0L, 0L, 0L)))
+    assert(p2.isEmpty)
+    val (nw3, k3, ts3, te3, nk3, p3) = out(3L)
+    assert((nw3, k3, ts3, te3, nk3) === ((2, true, 8L, 10L, 2L)))
+    assert(graft.multimodal.Wav.decode(p3).get.data.toSeq ===
+      Seq(228.toByte, 228.toByte))
+  }
+
   test("multimodal: feature extraction is deterministic and decodes for real") {
     implicit val s = spark
     val docs = Seq((1L, "hello media world"), (2L, "other content")).toDF("doc_id", "text")

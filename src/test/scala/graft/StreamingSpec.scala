@@ -378,6 +378,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamingPhraseGate must remain a stateless projection")
   }
 
+  test("streamingPhraseSetGate replays the batch walk per phrase, stateless") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val phrases = Seq(Seq("table", "key", "agg"), Seq("value", "table"),
+      Seq("zzz", "qqq"))
+    // batch truth = the multi-phrase batch walk's per-(doc, phrase) counts
+    val batch = graft.text.Search.phraseOccurrencesBatch(
+        graft.text.Search.buildPositionalIndex(docs), phrases)
+      .groupBy("phrase_id", "doc_id").count().collect()
+      .map(r => (r.getLong(1), r.getLong(0)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty && batch.values.sum > 0)
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val out = Streaming.streamingPhraseSetGate(in.toDS(), phrases)
+    val q = out.writeStream.format("memory").queryName("phrase_set_stream")
+      .outputMode("append").start()
+    rows.grouped(100).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val gate = spark.table("phrase_set_stream").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phrase_id")) ->
+        r.getAs[Long]("n_hits")).toMap
+    assert(gate.size === rows.size * phrases.length)
+    gate.foreach { case (k, n) =>
+      assert(n === batch.getOrElse(k, 0L), s"pair $k") }
+    // the absent phrase is all-zero; the present ones hit somewhere
+    assert(gate.filter(_._1._2 == 2L).values.forall(_ == 0L))
+    assert(gate.filter(_._1._2 == 0L).values.exists(_ > 0L))
+    // stateless: projection + generator only
+    val plan = Streaming.streamingPhraseSetGate(in.toDS(), phrases)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"),
+      "streamingPhraseSetGate must remain a stateless projection")
+  }
+
   test("streamingIngestGate composes the batch gate+quality stages bitwise") {
     import graft.streaming.StreamDoc
     implicit val sqlCtx = spark.sqlContext

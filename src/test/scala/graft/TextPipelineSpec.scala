@@ -400,6 +400,78 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
       s"batch walk grew per-phrase joins:\n$plan")
   }
 
+  test("phraseSetGate == per-phrase gates; kernel paths agree; stream-shaped plan") {
+    import graft.text.Search
+    val rnd = new scala.util.Random(31)
+    val corpus = (0L until 40L).map { i =>
+      i -> (0 until 3 + rnd.nextInt(25))
+        .map(_ => s"t${rnd.nextInt(4)}").mkString(" ")
+    }
+    val cd = docs(corpus: _*)
+    val phrases = Seq(
+      Seq("t1", "t0", "t1"), Seq("t2"), Seq("t3", "t3"),
+      Seq("t0", "nope"))
+    val got = Search.phraseSetGate(cd, phrases).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    // docs x phrases shape, zero-hit pairs included
+    assert(got.size === corpus.size * phrases.length)
+    // counts equal the single-phrase HOF gate for every phrase
+    phrases.zipWithIndex.foreach { case (p, pid) =>
+      val single = Search.phraseGate(cd, p).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[scala.collection.Seq[Long]]("phrase_starts").size.toLong)
+        .toMap
+      corpus.foreach { case (id, _) =>
+        assert(got((id, pid.toLong)) === ((single(id), single(id) > 0)),
+          s"doc $id phrase $pid")
+      }
+    }
+    assert(got.exists(_._2._1 > 0) && got.exists(_._2._1 == 0))
+    // interpreted eval matches codegen (the shared-kernel contract)
+    val before = got
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = Search.phraseSetGate(cd, phrases).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getBoolean(3)))).toMap
+      assert(interp === before)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // stateless stream shape: no join, no aggregate, one kernel (a
+    // local fixture folds to LocalRelation and hides the projection —
+    // the BloomSpec spark.range precedent)
+    val rangeDocs = spark.range(20).select(col("id").as("doc_id"),
+      concat(lit("t1 t0 t1 t2 d"), col("id")).as("text"))
+    val plan = Search.phraseSetGate(rangeDocs, phrases)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
+    assert(plan.contains("graft_phrase_set_hits_bcast"), plan)
+  }
+
+  test("decontaminationVerdicts == batch walk totals over every corpus doc") {
+    import graft.text.Search
+    val cd = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with the quick brown fox inside",
+      3L -> "completely unrelated content here",
+      4L -> "the quick brown fox appears twice the quick brown fox")
+    val evalSet = Seq(
+      Seq("the", "quick", "brown", "fox"),
+      Seq("lazy", "dog"),
+      Seq("absent", "gram"))
+    val got = Search.decontaminationVerdicts(cd, evalSet).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((2L, 2L, true))) // both real phrases hit
+    assert(got(2L) === ((1L, 1L, true)))
+    assert(got(3L) === ((0L, 0L, false))) // clean doc still reported
+    assert(got(4L) === ((2L, 1L, true))) // two hits, ONE distinct phrase
+  }
+
   test("persisted positional index: identical probe results, partition-pruned scans") {
     import graft.text.Search
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
