@@ -1330,7 +1330,8 @@ object Jpeg {
     * DC scans (first at Al=1 with the arithmetic-shifted predictor
     * chain, then the LSB refinement scan), so the whole progressive DC
     * path is hand-checkable and SQL-replayable per tile. */
-  def dcOnlyGrayProgressive(w: Int, h: Int, dcs: Array[Int]): Array[Byte] = {
+  def dcOnlyGrayProgressive(w: Int, h: Int, dcs: Array[Int],
+      restartEvery: Int = 0): Array[Byte] = {
     require(w % 8 == 0 && h % 8 == 0, "dcOnlyGrayProgressive needs multiple-of-8 dims")
     require(dcs.length == (w / 8) * (h / 8), "one DC per 8x8 tile")
     require(dcs.forall(d => d >= -128 && d <= 127), "DC in [-128, 127]")
@@ -1341,6 +1342,7 @@ object Jpeg {
     b(0xFF); b(0xD8) // SOI
     b(0xFF); b(0xDB); b16(2 + 1 + 64); b(0x00) // DQT, q0 = 8 rest 16
     (0 until 64).foreach(i => b(if (i == 0) 8 else 16))
+    if (restartEvery > 0) { b(0xFF); b(0xDD); b16(4); b16(restartEvery) }
     b(0xFF); b(0xC2); b16(2 + 6 + 3) // SOF2, one component
     b(8); b16(h); b16(w); b(1)
     b(1); b(0x11); b(0)
@@ -1348,13 +1350,20 @@ object Jpeg {
     b16(2 + (1 + 16 + dcSyms.length) + (1 + 16 + acSyms.length))
     b(0x00); dcCounts.foreach(b); dcSyms.foreach(b)
     b(0x10); acCounts.foreach(b); acSyms.foreach(b)
-    // scan 1: DC first, Al=1 — predictor chain over dc >> 1
+    // scan 1: DC first, Al=1 — predictor chain over dc >> 1, reset at
+    // every restart marker (T.81: intervals apply per scan)
     b(0xFF); b(0xDA); b16(2 + 1 + 2 + 3)
     b(1); b(1); b(0x00); b(0); b(0); b(0x01)
     var bw = new BitWriter(out)
     var prev = 0
     var i = 0
     while (i < dcs.length) {
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+        bw.pad()
+        out.write(0xFF); out.write(0xD0 + ((i / restartEvery - 1) % 8))
+        bw = new BitWriter(out)
+        prev = 0
+      }
       val v = dcs(i) >> 1
       val diff = v - prev; prev = v
       val mag = math.abs(diff)
@@ -1366,12 +1375,21 @@ object Jpeg {
       i += 1
     }
     bw.pad()
-    // scan 2: DC refine, Ah=1 Al=0 — one LSB per tile
+    // scan 2: DC refine, Ah=1 Al=0 — one LSB per tile; restarts only
+    // re-align the bit stream (no predictor in a refinement scan)
     b(0xFF); b(0xDA); b16(2 + 1 + 2 + 3)
     b(1); b(1); b(0x00); b(0); b(0); b(0x10)
     bw = new BitWriter(out)
     i = 0
-    while (i < dcs.length) { bw.putBits(dcs(i) & 1, 1); i += 1 }
+    while (i < dcs.length) {
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+        bw.pad()
+        out.write(0xFF); out.write(0xD0 + ((i / restartEvery - 1) % 8))
+        bw = new BitWriter(out)
+      }
+      bw.putBits(dcs(i) & 1, 1)
+      i += 1
+    }
     bw.pad()
     b(0xFF); b(0xD9) // EOI
     out.toByteArray

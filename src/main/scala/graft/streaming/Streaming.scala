@@ -869,6 +869,19 @@ object Streaming {
     graft.multimodal.Multimodal.audioEnergyWindows(
       samples, windowSamples, silenceMeanSquare)(samples.sparkSession)
 
+  /** Streaming silence TRIM at ingest rate — the keep/trim verdict +
+    * re-encoded kept payload ([[graft.multimodal.Multimodal.audioTrim]]
+    * is a stateless mapPartitions, so it runs unchanged on a stream;
+    * replay-pinned in StreamingSpec). The storage-side composition: a
+    * sink keeps only `payload` where `keep`, shipping
+    * Σ(n_kept)/Σ(n) of the raw audio bytes. */
+  def streamingAudioTrim(
+      samples: Dataset[graft.multimodal.MediaSample],
+      windowSamples: Int = 8,
+      silenceMeanSquare: Long = 100L): DataFrame =
+    graft.multimodal.Multimodal.audioTrim(
+      samples, windowSamples, silenceMeanSquare)(samples.sparkSession)
+
   /** Streaming cross-corpus near-dup gate — the online face of
     * [[graft.text.Dedup.crossCorpusNearDups]] (the Bloom-gate pattern
     * at LSH granularity): each streamed document computes its MinHash

@@ -194,6 +194,15 @@ class JpegSpec extends AnyFunSuite {
     // and the baseline twin of the same DCs decodes identically
     val base = Jpeg.decode(Jpeg.dcOnlyGray(24, 24, dcs)).get
     assert(java.util.Arrays.equals(img.pixels, base.pixels))
+    // restart markers inside BOTH progressive scans: the DC-first
+    // predictor resets per interval, the refinement scan re-aligns —
+    // same tiles as the restart-bearing baseline twin
+    val withRst = Jpeg.decode(
+      Jpeg.dcOnlyGrayProgressive(24, 24, dcs, restartEvery = 4)).get
+    val baseRst = Jpeg.decode(
+      Jpeg.dcOnlyGray(24, 24, dcs, restartEvery = 4)).get
+    assert(java.util.Arrays.equals(withRst.pixels, base.pixels))
+    assert(java.util.Arrays.equals(baseRst.pixels, base.pixels))
   }
 
   test("progressive re-encode decodes bit-identically to baseline (fuzz)") {

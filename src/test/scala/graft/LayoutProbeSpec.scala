@@ -165,4 +165,56 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
     assert(stats.getAs[Long]("occ") >= 10L * baseStore,
       "occurrence count must cover every replica")
   }
+
+  test("6M-row SKEWED broadcast overlap: hot key immune, expansion parity") {
+    import graft.operators.RangeJoin
+    // 6M intervals, ~30% funneled onto ONE hot key (the AQE-skew
+    // shape): the broadcast path never shuffles the big side, so the
+    // hot key costs exactly its row share — no straggler reducer —
+    // while the expansion join shuffles (key, bucket) with the hot
+    // key's replicas concentrated
+    val base = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate")
+    val reps = spark.range(0, 10).select(col("id").as("k"))
+    val lo = unix_date(col("l_shipdate").cast("date")).cast("long")
+    val left = base.crossJoin(reps)
+      .select(
+        when(pmod(col("l_orderkey") * 10 + col("k"), lit(10L)) < 3, lit(7L))
+          .otherwise(pmod(col("l_suppkey") * 7 + col("k"), lit(500L)))
+          .as("key"),
+        (col("l_orderkey") * 80 + col("l_linenumber") * 10 + col("k"))
+          .as("lid_a"),
+        lo.as("lo_a"),
+        (lo + lit(1L) +
+          pmod(col("l_orderkey") * 7 + col("k"), lit(21L))).as("hi_a"))
+      .localCheckpoint()
+    val hotShare = left.filter(col("key") === 7L).count().toDouble /
+      left.count()
+    assert(hotShare > 0.25, f"hot-key share $hotShare%.2f — probe mis-built")
+    val wlo = lit(8036L) + pmod(col("key") * 37 + col("wid") * 797, lit(2400L))
+    val right = spark.range(0, 500).select(col("id").as("key"))
+      .withColumn("wid", explode(sequence(lit(0L), lit(2L))))
+      .select(col("key"), col("wid"), wlo.as("lo_b"),
+        (wlo + lit(33L)).as("hi_b"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("key", "wid")
+      .agg(count(lit(1)).as("n"), sum("lid_a").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val t0 = System.nanoTime()
+    val bc = agg(RangeJoin.intervalOverlapBroadcast(left, right,
+      "lo_a", "hi_a", "lo_b", "hi_b", equiKeys = Seq("key")))
+    val bcSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val exp = agg(RangeJoin.intervalOverlap(left, right,
+      "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 16,
+      equiKeys = Seq("key")))
+    val expSec = (System.nanoTime() - t1) / 1e9
+    info(f"6M skewed overlap: broadcast $bcSec%.1f s vs expansion $expSec%.1f s")
+    assert(bc === exp && bc.nonEmpty)
+    // the hot key's pairs really dominate — the skew was exercised
+    val hotPairs = bc.collect { case ((7L, _), (n, _)) => n }.sum
+    assert(hotPairs > bc.values.map(_._1).sum / 10,
+      "hot key contributed too little — skew not exercised")
+  }
 }

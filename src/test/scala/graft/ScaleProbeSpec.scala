@@ -217,4 +217,51 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
     // mirrors link at exactly 1.0
     hits.filter(h => planted((h._1, h._2))).foreach(h => assert(h._3 === 1.0))
   }
+
+  test("1200-phrase decontamination probe: one join regardless of set size, " +
+      "batch walk == kernel gate") {
+    import graft.text.Search
+    // 5k synthetic docs over a small vocab so eval 4-grams genuinely
+    // recur; eval set = 1200 4-grams sampled deterministically
+    val rnd = new scala.util.Random(47)
+    val corpus = (0L until 5000L).map { i =>
+      i -> (0 until 20 + rnd.nextInt(60))
+        .map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+    }
+    import spark.implicits._
+    val cd = corpus.toDF("doc_id", "text").repartition(16).localCheckpoint()
+    val phrases = (0 until 1200).map { p =>
+      val r = new scala.util.Random(1000 + p)
+      Seq.fill(4)(s"w${r.nextInt(30)}")
+    }
+    // plan economy holds at 1200 phrases exactly as at 4: ONE posting
+    // join + the start-vote aggregate — never a join per phrase
+    val occ = Search.phraseOccurrencesBatch(
+      Search.buildPositionalIndex(cd), phrases.distinct)
+    val plan = occ.queryExecution.optimizedPlan.toString
+    assert(plan.split("Join").length - 1 <= 2,
+      s"batch walk grew per-phrase joins at 1200 phrases")
+    val t0 = System.nanoTime()
+    val batchCounts = occ.groupBy("phrase_id", "doc_id").count().collect()
+      .map(r => (r.getLong(1), r.getLong(0)) -> r.getLong(2)).toMap
+    info(f"batch walk @1200 phrases x 5k docs: " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s, ${batchCounts.size} pairs")
+    assert(batchCounts.nonEmpty)
+    // cross-check against the COMPLETELY INDEPENDENT kernel gate
+    // implementation (per-row token walk vs postings join) on a
+    // deterministic 1-in-8 document sample
+    val t1 = System.nanoTime()
+    val sample = cd.filter(col("doc_id") % 8 === 3)
+    val gate = Search.phraseSetGate(sample, phrases.distinct).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    info(f"kernel gate @1200 phrases x 625 docs: " +
+      f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+    val sampleIds = sample.select("doc_id").collect().map(_.getLong(0)).toSet
+    gate.foreach { case ((d, p), n) =>
+      assert(n === batchCounts.getOrElse((d, p), 0L), s"pair ($d,$p)")
+    }
+    batchCounts.foreach { case ((d, p), n) =>
+      if (sampleIds(d)) assert(gate((d, p)) === n, s"pair ($d,$p) missing")
+    }
+  }
 }

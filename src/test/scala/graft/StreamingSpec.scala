@@ -337,6 +337,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exists(_.last == true) && batch.exists(_.last == false))
   }
 
+  test("streamingAudioTrim replays the batch trim exactly, payloads included") {
+    import graft.multimodal.{MediaSample, Multimodal, Wav}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    def wav(id: Long, bytes: Array[Byte]) = MediaSample(id, "audio",
+      Wav.encode(Wav.Audio(8000, 1, 8, bytes)), 0, 0, 8000, 0)
+    // quiet heads/tails around loud bursts + some all-quiet clips
+    val rows = (1L to 20L).map { id =>
+      wav(id, Array.tabulate[Byte]((id % 17 + 6).toInt) { i =>
+        if ((i + id) % 5 == 0 && id % 4 != 0) 228.toByte else 130.toByte
+      })
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        r.getAs[Array[Byte]](6).map("%02X".format(_)).mkString)
+    }.toSet
+    val batch = canon(Multimodal.audioTrim(
+      rows.toDS(), windowSamples = 4, silenceMeanSquare = 3000L))
+    assert(batch.exists(_._3) && batch.exists(!_._3)) // both polarities
+    val in = MemoryStream[MediaSample]
+    val out = Streaming.streamingAudioTrim(in.toDS(),
+      windowSamples = 4, silenceMeanSquare = 3000L)
+    val q = out.writeStream.format("memory").queryName("trim_stream")
+      .outputMode("append").start()
+    rows.grouped(7).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    assert(canon(spark.table("trim_stream")) === batch)
+  }
+
   test("streamingPhraseGate replays the batch index walk exactly, stateless") {
     import graft.streaming.StreamDoc
     implicit val sqlCtx = spark.sqlContext
