@@ -774,6 +774,32 @@ object DocQueries {
           hex(col("payload")).as("payload_hex"))
         .orderBy("sample_id")
     }),
+    "q_trim_report" -> ((s, dir) => {
+      // the storage-saving CARD over the trim verdicts (round 15):
+      // container bytes in vs re-encoded bytes out, exact integers —
+      // what a curation run reports before committing the rewrite
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val corpus = Multimodal.syntheticWavCorpus(documents(s, dir))
+      val wav = corpus
+        .select(col("sample_id"), lit("audio").as("modality"),
+          col("content"), lit(0).as("width"), lit(0).as("height"),
+          lit(8000).as("sample_rate"), lit(0).as("duration_ms"))
+        .as[graft.multimodal.MediaSample]
+      val trims = Multimodal.audioTrim(wav, windowSamples = 8,
+        silenceMeanSquare = 2500L)
+      trims.join(corpus.select(col("sample_id"),
+          length(col("content")).cast("long").as("__in")), Seq("sample_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept_docs"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped_docs"),
+          sum(col("__in")).as("bytes_in"),
+          sum(when(col("keep"), length(col("payload")).cast("long"))
+            .otherwise(0L)).as("bytes_out"))
+        .select(col("n_docs"), col("n_kept_docs"), col("n_dropped_docs"),
+          col("bytes_in"), col("bytes_out"),
+          (col("bytes_in") - col("bytes_out")).as("bytes_saved"))
+    }),
     "q_media_fp" -> ((s, dir) => {
       // content fingerprints through ALL THREE decode boundaries:
       // image aHash / audio energy-contour hash / video first+last
@@ -4068,6 +4094,35 @@ object DocQueries {
         |SELECT doc_id AS sample_id, n_windows, keep, trim_start,
         |  trim_end, nk AS n_kept, hex(encode(pay)) AS payload_hex
         |FROM pay ORDER BY sample_id""".stripMargin,
+
+    "q_trim_report" ->
+      // container accounting over the same trim verdicts: WAV size =
+      // 44 header bytes + data + odd-length pad, in and out
+      """WITH b AS (SELECT doc_id, text || '.' AS s,
+        |    (doc_id % 40 + 20)::INT AS n FROM documents),
+        |ix AS (SELECT doc_id, s, n, unnest(range(n)) AS i FROM b),
+        |v AS (SELECT doc_id, n, (i // 8)::INT AS w,
+        |  (ord(substr(s, (i % len(s) + 1)::INT, 1)) - 128)::BIGINT AS v
+        |  FROM ix),
+        |g AS (SELECT doc_id, n, w, count(*) AS len, sum(v * v) AS e
+        |  FROM v GROUP BY 1, 2, 3),
+        |l AS (SELECT doc_id, n,
+        |  min(CASE WHEN e >= 2500 * len THEN w END) AS fw,
+        |  max(CASE WHEN e >= 2500 * len THEN w END) AS lw
+        |  FROM g GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, n, fw IS NOT NULL AS keep,
+        |  CASE WHEN lw IS NULL THEN 0
+        |    ELSE least(n::BIGINT, (lw + 1) * 8) - fw * 8 END AS nk
+        |  FROM l)
+        |SELECT count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept_docs,
+        |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped_docs,
+        |  sum(44 + n + n % 2)::BIGINT AS bytes_in,
+        |  sum(CASE WHEN keep THEN 44 + nk + nk % 2 ELSE 0 END)::BIGINT
+        |    AS bytes_out,
+        |  (sum(44 + n + n % 2) - sum(CASE WHEN keep
+        |    THEN 44 + nk + nk % 2 ELSE 0 END))::BIGINT AS bytes_saved
+        |FROM tb""".stripMargin,
 
     "q_media_fp" ->
       // mirrors mixedCorpus + the three decoded fingerprints:

@@ -1395,6 +1395,105 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Progressive grayscale test vector for the ONE entropy-state
+    * interaction no other golden drives: EOB-RUN accumulation in an
+    * AC-first scan CROSSED with restart intervals. Each 8x8 block
+    * carries `dcs(i)` and one optional AC coefficient `acs(i)` at
+    * zigzag index 1; zero-AC blocks pool into EOBn runs (the flat
+    * tables carry every EOBn symbol, unlike Annex K) and every run is
+    * flushed at restart boundaries, where the decoder must reset the
+    * run and re-align. Two scans: DC first at Al=0, then the AC band.
+    * With every `acs` zero the decode equals [[dcOnlyGray]] exactly
+    * (same flat-tile argument); with restarts it must equal its own
+    * restart-free twin bit-for-bit. */
+  def progressiveAcRestartGray(w: Int, h: Int, dcs: Array[Int],
+      acs: Array[Int], restartEvery: Int = 0): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "multiple-of-8 dims")
+    val nb = (w / 8) * (h / 8)
+    require(dcs.length == nb && acs.length == nb, "one DC + one AC per tile")
+    require(dcs.forall(d => d >= -128 && d <= 127), "DC in [-128, 127]")
+    require(acs.forall(a => a > -512 && a < 512), "AC in (-512, 512)")
+    val dcCodes = canonicalCodes(dcCountsFlat, dcSymsFlat)
+    val acCodes = canonicalCodes(acCountsFlat, acSymsFlat)
+    def cat(v: Int): Int = {
+      val m = math.abs(v); var s = 0
+      while ((m >> s) != 0) s += 1
+      s
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def b16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xFF); b(0xD8)
+    b(0xFF); b(0xDB); b16(2 + 1 + 64); b(0x00)
+    (0 until 64).foreach(i => b(if (i == 0) 8 else 16))
+    if (restartEvery > 0) { b(0xFF); b(0xDD); b16(4); b16(restartEvery) }
+    b(0xFF); b(0xC2); b16(2 + 6 + 3)
+    b(8); b16(h); b16(w); b(1)
+    b(1); b(0x11); b(0)
+    b(0xFF); b(0xC4) // DHT: the flat progressive pair on slot 0
+    b16(2 + (1 + 16 + dcSymsFlat.length) + (1 + 16 + acSymsFlat.length))
+    b(0x00); dcCountsFlat.foreach(b); dcSymsFlat.foreach(b)
+    b(0x10); acCountsFlat.foreach(b); acSymsFlat.foreach(b)
+    // scan 1: DC first, Al=0 (no refinement scan needed)
+    b(0xFF); b(0xDA); b16(2 + 1 + 2 + 3)
+    b(1); b(1); b(0x00); b(0); b(0); b(0x00)
+    var bw = new BitWriter(out)
+    var prev = 0
+    var i = 0
+    while (i < nb) {
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+        bw.pad()
+        out.write(0xFF); out.write(0xD0 + ((i / restartEvery - 1) % 8))
+        bw = new BitWriter(out)
+        prev = 0
+      }
+      val diff = dcs(i) - prev; prev = dcs(i)
+      val s = cat(diff)
+      val (c, l) = dcCodes(s)
+      bw.putBits(c, l)
+      if (s > 0) bw.putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      i += 1
+    }
+    bw.pad()
+    // scan 2: AC first 1..63, Al=0 — EOB runs pooled across zero
+    // blocks, FLUSHED at every restart boundary
+    b(0xFF); b(0xDA); b16(2 + 1 + 2 + 3)
+    b(1); b(1); b(0x00); b(1); b(63); b(0x00)
+    bw = new BitWriter(out)
+    var eobrun = 0
+    def flushEob(): Unit = if (eobrun > 0) {
+      var r = 0
+      while ((eobrun >> (r + 1)) != 0) r += 1
+      val (c, l) = acCodes(r << 4)
+      bw.putBits(c, l)
+      if (r > 0) bw.putBits(eobrun - (1 << r), r)
+      eobrun = 0
+    }
+    i = 0
+    while (i < nb) {
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+        flushEob()
+        bw.pad()
+        out.write(0xFF); out.write(0xD0 + ((i / restartEvery - 1) % 8))
+        bw = new BitWriter(out)
+      }
+      if (acs(i) == 0) eobrun += 1
+      else {
+        flushEob()
+        val s = cat(acs(i))
+        val (c, l) = acCodes(s) // run 0, size s at k = 1
+        bw.putBits(c, l)
+        bw.putBits(if (acs(i) >= 0) acs(i) else acs(i) + (1 << s) - 1, s)
+        eobrun += 1 // zigzag 2..63 of this block end via an EOB run
+      }
+      i += 1
+    }
+    flushEob()
+    bw.pad()
+    b(0xFF); b(0xD9)
+    out.toByteArray
+  }
+
   /** A deterministic baseline 4:2:0 color JPEG of flat 16x16 MCU
     * tiles: per MCU m (raster order) the four Y blocks carry
     * `yDcs(4m .. 4m+3)` and chroma `cbDcs(m)` / `crDcs(m)` — decoded

@@ -236,6 +236,34 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive AC scan: EOB runs pooled across blocks, flushed at restarts") {
+    // 8 blocks in a row: AC-bearing blocks interleaved with zero runs
+    // so EOBn codes (run > 1) genuinely appear, and a restart interval
+    // that lands inside a pooled run forces the flush + reset path
+    val w = 64; val h = 8
+    val dcs = Array(-80, 0, 64, 10, -5, 99, -128, 127)
+    val acs = Array(40, 0, 0, -7, 0, 0, 0, 300)
+    val plain = Jpeg.decode(
+      Jpeg.progressiveAcRestartGray(w, h, dcs, acs)).get
+    val rst = Jpeg.decode(
+      Jpeg.progressiveAcRestartGray(w, h, dcs, acs, restartEvery = 3)).get
+    assert(java.util.Arrays.equals(rst.pixels, plain.pixels),
+      "restart boundaries changed the decoded pixels")
+    // all-zero AC band == the baseline DC-only stream (flat tables and
+    // the pooled-EOB path included)
+    val z = Jpeg.decode(Jpeg.progressiveAcRestartGray(
+      w, h, dcs, Array.fill(8)(0), restartEvery = 2)).get
+    val base = Jpeg.decode(Jpeg.dcOnlyGray(w, h, dcs)).get
+    assert(java.util.Arrays.equals(z.pixels, base.pixels))
+    // the AC coefficients genuinely reached the pixels
+    assert(!java.util.Arrays.equals(plain.pixels, base.pixels))
+    // and only the AC-bearing blocks differ from their flat tiles
+    for (blk <- 0 until 8; x <- 0 until 8) {
+      val same = plain.pixels((blk * 8 + x) * 3) == base.pixels((blk * 8 + x) * 3)
+      if (acs(blk) == 0) assert(same, s"zero-AC block $blk drifted at x=$x")
+    }
+  }
+
   test("progressive 4:2:0: component-grid AC scans, baseline parity at w%16!=0") {
     // w = 24 under 4:2:0: the Y component grid is 3x3 blocks while the
     // padded MCU storage stride is 4 — the geometry every real odd-size

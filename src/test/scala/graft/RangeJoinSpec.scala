@@ -288,6 +288,45 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(bad.getMessage.contains("lo_a"))
   }
 
+  test("intervalOverlapBroadcast join-back broadcast prunes unused payload") {
+    // the checkpointed-rid frame carries every right column, but the
+    // broadcast EXCHANGE must carry only what the query references —
+    // the bytes-on-the-wire detail that matters when the broadcast
+    // side has fat payloads (column pruning projects above the
+    // ExistingRDD scan before the exchange)
+    val a = spark.range(2000).select((col("id") % 40).as("k"),
+      col("id").as("lid_a"), (col("id") % 300).as("lo_a"),
+      (col("id") % 300 + 10).as("hi_a"))
+    val b = spark.range(100).select((col("id") % 40).as("k"),
+      col("id").as("lid_b"), (col("id") * 3 % 300).as("lo_b"),
+      (col("id") * 3 % 300 + 8).as("hi_b"),
+      concat(lit("x"), col("id")).as("fat_payload"))
+    val slim = RangeJoin.intervalOverlapBroadcast(a, b,
+        "lo_a", "hi_a", "lo_b", "hi_b", equiKeys = Seq("k"))
+      .select("k", "lid_a", "lid_b") // fat_payload never referenced
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val joins = slim.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected the rid join-back broadcast join")
+    joins.foreach { j =>
+      // the build side is what the exchange will broadcast; its
+      // projected output must not carry the unreferenced payload
+      val buildOut = (j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }).output.map(_.name)
+      assert(!buildOut.contains("fat_payload"),
+        s"unreferenced payload rode the broadcast: $buildOut")
+      assert(buildOut.contains("__rid"), s"not the rid join-back: $buildOut")
+    }
+    // and when referenced, it IS there (the pin is pruning, not loss)
+    val wide = RangeJoin.intervalOverlapBroadcast(a, b,
+        "lo_a", "hi_a", "lo_b", "hi_b", equiKeys = Seq("k"))
+      .select("k", "lid_a", "fat_payload")
+    assert(wide.filter(col("fat_payload").isNotNull).count() > 0)
+  }
+
   test("pointInIntervalBroadcast requires integral columns, keeps point type") {
     // a date/timestamp point would NPE at getLong or silently retype —
     // the eager require names the offending column instead
