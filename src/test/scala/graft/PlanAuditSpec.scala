@@ -364,4 +364,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         s"$q plan does not contain the native $kernel kernel " +
           "(silent fallback to the builtin composition)")
   }
+
+  test("round-15 operators keep their scale-critical shapes") {
+    // broadcast overlap family: the interval-tree kernel feeds the
+    // explode and the ONLY join is the rid broadcast join-back — the
+    // big side never rides a shuffle join
+    for (q <- Seq("q_overlap_bcast", "q_overlap_win_bcast")) {
+      assert(plans(q).contains("graft_overlap_rids_bcast"),
+        s"$q lost the interval-tree kernel")
+      assert(!plans(q).contains("SortMergeJoin"),
+        s"$q shuffled the big side")
+    }
+    // the phrase-SET gate stays one kernel projection: no join, no
+    // aggregation before the presentation sort
+    assert(plans("q_phrase_set").contains("graft_phrase_set_hits_bcast"),
+      "q_phrase_set lost the set kernel")
+    assert(!plans("q_phrase_set").contains("Join"),
+      "q_phrase_set grew a join; the set rides the broadcast handle")
+    // decontamination goes through the ONE-join batch walk: posting
+    // join + slot-vote aggregate + verdict join-back, never per-phrase
+    assert(plans("q_decontam").split("Join").length - 1 <= 4,
+      "q_decontam grew per-phrase joins")
+    // audio trim family is scan-local: deserialize -> mapPartitions,
+    // no exchange before the verdict rows exist
+    assert(!plans("q_audio_trim").contains("Join"),
+      "q_audio_trim must stay a per-row decode map")
+  }
 }
