@@ -804,9 +804,30 @@ object DocQueries {
       // content fingerprints through ALL THREE decode boundaries:
       // image aHash / audio energy-contour hash / video first+last
       // frame hashes — pure integer arithmetic over decoded data,
-      // every hex digit oracle-pinned, decoded=1 pins no stub fallback
+      // every hex digit oracle-pinned, decoded=1 pins no stub fallback.
+      // Round 17: every 5th doc (%5==2) ships as a planted JPEG — the
+      // q_image_hash treatment — with the %10==7 half PROGRESSIVE
+      // (SOF2, DC first + refine), so the fingerprint family also
+      // pins both entropy layouts (a stub fallback would flip decoded
+      // AND break the quadrant hash).
       implicit val sp: SparkSession = s
-      Multimodal.mediaFingerprints(Multimodal.mixedCorpus(documents(s, dir)))
+      import s.implicits._
+      val plain = Multimodal.mixedCorpus(
+        documents(s, dir).filter(col("doc_id") % 5 =!= 2))
+      val planted = documents(s, dir).filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = (text + ".").getBytes("UTF-8")
+          val dcs = Array.tabulate(4)(t =>
+            (((b(t % b.length) & 0xFF) + 13 * t) % 255) - 128)
+          val bytes =
+            if (id % 10 == 7)
+              graft.multimodal.Jpeg.dcOnlyGrayProgressive(16, 16, dcs)
+            else graft.multimodal.Jpeg.dcOnlyGray(16, 16, dcs)
+          graft.multimodal.MediaSample(id, "image", bytes, 16, 16, 0, 0)
+        }
+      Multimodal.mediaFingerprints(plain.unionByName(planted))
         .select(col("sample_id"), col("modality"),
           col("decoded").cast("int").as("decoded"), col("fingerprint"))
         .orderBy("sample_id")
@@ -4129,7 +4150,10 @@ object DocQueries {
       // image aHash (8x8 nearest, floor-mean strict threshold), audio
       // energy hash (64 sample windows, 64*ssq_j > total exact integer
       // compare; short clips leave trailing windows 0), video
-      // first||last frame hash over the mono luma plane
+      // first||last frame hash over the mono luma plane. Planted-JPEG
+      // rows (%5==2, progressive on %10==7): flat 8x8 tiles
+      // v_t = (b_t + 13t) mod 255 collapse to two quadrant-row bytes
+      // (the q_image_hash jm..jh chain)
       """WITH m AS (SELECT doc_id::BIGINT AS sample_id, (doc_id % 3) AS md,
         |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |       ELSE 'video' END AS modality,
@@ -4137,7 +4161,7 @@ object DocQueries {
         |  (doc_id % 50) + 20 AS ns, (doc_id % 4) + 2 AS nf,
         |  hex(encode(text || '.')) AS thx,
         |  octet_length(encode(text || '.')) AS blen
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 5 <> 2),
         |ipx AS (SELECT sample_id, modality, w0, h0,
         |  substr(repeat(thx, ((w0*h0*3 + blen - 1) // blen)::INT),
         |         1, w0*h0*3*2) AS pxhex
@@ -4193,10 +4217,34 @@ object DocQueries {
         |  GROUP BY 1, 2, 3, 4),
         |vh AS (SELECT sample_id, modality,
         |  string_agg(printf('%02X', byte::BIGINT), '' ORDER BY fi, y) AS fp
-        |  FROM vb GROUP BY 1, 2)
+        |  FROM vb GROUP BY 1, 2),
+        |jm AS (SELECT doc_id::BIGINT AS sample_id,
+        |  hex(encode(text || '.')) AS thx,
+        |  octet_length(encode(text || '.')) AS blen
+        |  FROM documents WHERE doc_id % 5 = 2),
+        |jv AS (SELECT sample_id, t,
+        |  (('0x' || substr(thx, ((t % blen)::INT) * 2 + 1, 2))::BIGINT
+        |    + 13 * t) % 255 AS v
+        |  FROM jm CROSS JOIN range(4) tt(t)),
+        |jq AS (SELECT sample_id,
+        |  max(CASE WHEN t = 0 THEN v END) AS v0,
+        |  max(CASE WHEN t = 1 THEN v END) AS v1,
+        |  max(CASE WHEN t = 2 THEN v END) AS v2,
+        |  max(CASE WHEN t = 3 THEN v END) AS v3
+        |  FROM jv GROUP BY 1),
+        |jb AS (SELECT sample_id, (v0 + v1 + v2 + v3) // 4 AS mean,
+        |  v0, v1, v2, v3 FROM jq),
+        |jh AS (SELECT sample_id, 'image' AS modality,
+        |  repeat(printf('%02X',
+        |    CASE WHEN v0 > mean THEN 240 ELSE 0 END +
+        |    CASE WHEN v1 > mean THEN 15 ELSE 0 END), 4) ||
+        |  repeat(printf('%02X',
+        |    CASE WHEN v2 > mean THEN 240 ELSE 0 END +
+        |    CASE WHEN v3 > mean THEN 15 ELSE 0 END), 4) AS fp
+        |  FROM jb)
         |SELECT sample_id, modality, 1 AS decoded, fp AS fingerprint
         |FROM (SELECT * FROM ih UNION ALL SELECT * FROM ah
-        |      UNION ALL SELECT * FROM vh)
+        |      UNION ALL SELECT * FROM vh UNION ALL SELECT * FROM jh)
         |ORDER BY sample_id""".stripMargin,
 
     "q_image_hash" ->
