@@ -1234,6 +1234,27 @@ object DocQueries {
           Seq(Seq("table", "key", "agg"), Seq("value", "table"),
             Seq("query", "value"), Seq("zzz", "qqq")))
         .orderBy("doc_id", "phrase_id")),
+    "q_blocklist" -> ((s, dir) =>
+      // CHARACTER-level blocklist gate (round 17): the whole needle
+      // set rides one broadcast Aho–Corasick pass per row
+      // (AcScanBcast) — docs x patterns verdict rows, zero-hit pairs
+      // included. The set exercises the automaton's corners: nested
+      // needles ("ta"/"le" inside "table"), self-overlap ("a a" twice
+      // in "a a a"), a cross-word span ("scan s"), a long multiword,
+      // and one absent needle pinning the all-zero column; runs
+      // unchanged on a stream (streamingBlocklistGate, replay-pinned)
+      graft.text.Blocklist.blocklistGate(documents(s, dir),
+          Seq("table", "ta", "a a", "scan s", "value table part",
+            "agg", "zzqx", " the ", "batch", "le"))
+        .orderBy("doc_id", "pattern_id")),
+    "q_blocklist_clean" -> ((s, dir) =>
+      // the per-document keep/drop card off the same one-pass scan:
+      // total hits, distinct patterns present, clean verdict — the
+      // aggregate folds inside the projection (stream-safe)
+      graft.text.Blocklist.blocklistVerdicts(documents(s, dir),
+          Seq("table", "ta", "a a", "scan s", "value table part",
+            "agg", "zzqx", " the ", "batch", "le"))
+        .orderBy("doc_id")),
     "q_decontam" -> ((s, dir) => {
       // decontamination composite through the batch walk (round 15):
       // the eval set = each sub-10 doc's leading 6-gram, ALL probed in
@@ -4769,6 +4790,53 @@ object DocQueries {
          |FROM t CROSS JOIN p
          |LEFT JOIN m ON m.doc_id = t.doc_id AND m.phrase_id = p.phrase_id
          |ORDER BY t.doc_id, phrase_id""".stripMargin,
+
+    "q_blocklist" ->
+      // mirrors Blocklist.blocklistGate: per (doc, pattern) the count
+      // of character start positions where the pattern matches as a
+      // raw substring — overlapping and nested matches all counted
+      // (start-position count == the kernel's end-position count)
+      """WITH pats(pid, pat) AS (VALUES
+        |  (0, 'table'), (1, 'ta'), (2, 'a a'), (3, 'scan s'),
+        |  (4, 'value table part'), (5, 'agg'), (6, 'zzqx'),
+        |  (7, ' the '), (8, 'batch'), (9, 'le')),
+        |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+        |st AS (SELECT doc_id, pid, pat, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN pats),
+        |cnt AS (SELECT doc_id, pid,
+        |  sum(CASE WHEN substr(text, (s + 1)::INT, length(pat)::INT) = pat
+        |      THEN 1 ELSE 0 END)::BIGINT AS n
+        |  FROM st GROUP BY 1, 2)
+        |SELECT d.doc_id AS doc_id, p.pid::BIGINT AS pattern_id,
+        |  coalesce(c.n, 0)::BIGINT AS n_hits,
+        |  coalesce(c.n, 0) > 0 AS hit
+        |FROM d CROSS JOIN pats p
+        |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.pid = p.pid
+        |ORDER BY d.doc_id, pattern_id""".stripMargin,
+
+    "q_blocklist_clean" ->
+      // mirrors Blocklist.blocklistVerdicts: the per-document card
+      // folded over the same per-pattern counts
+      """WITH pats(pid, pat) AS (VALUES
+        |  (0, 'table'), (1, 'ta'), (2, 'a a'), (3, 'scan s'),
+        |  (4, 'value table part'), (5, 'agg'), (6, 'zzqx'),
+        |  (7, ' the '), (8, 'batch'), (9, 'le')),
+        |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+        |st AS (SELECT doc_id, pid, pat, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN pats),
+        |cnt AS (SELECT doc_id, pid,
+        |  sum(CASE WHEN substr(text, (s + 1)::INT, length(pat)::INT) = pat
+        |      THEN 1 ELSE 0 END)::BIGINT AS n
+        |  FROM st GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  coalesce(sum(c.n), 0)::BIGINT AS n_hits,
+        |  coalesce(sum(CASE WHEN c.n > 0 THEN 1 ELSE 0 END), 0)::BIGINT
+        |    AS n_patterns,
+        |  coalesce(sum(c.n), 0) = 0 AS clean
+        |FROM d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_decontam" ->
       // mirrors Search.decontaminationVerdicts with the eval set =

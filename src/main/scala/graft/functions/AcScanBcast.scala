@@ -1,0 +1,227 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Frozen Aho–Corasick automaton over UTF-8 BYTES — built once per
+  * executor from the broadcast pattern set, shared by the interpreted
+  * and generated paths of [[AcScanBcast]]. Matching on raw bytes is
+  * codepoint-exact for valid UTF-8: a pattern's first byte is a lead
+  * byte (0x00–0x7F, 0xC2–0xF4) and continuation bytes live in
+  * 0x80–0xBF, so a byte-level match can never start (or end)
+  * mid-codepoint.
+  *
+  * Layout: trie edges live in one open-addressing long→int table
+  * (key = node << 8 | byte — no 256-wide per-node rows, so memory is
+  * O(total pattern bytes), not O(nodes × alphabet)); `fail` is the
+  * classic BFS failure link; `dictFail` short-circuits the failure
+  * chain to the nearest output-bearing node, so per-position match
+  * collection is O(#matches at that position), not O(depth); outputs
+  * are a per-node linked list (`outHead`/`outPid`/`outNext`) so
+  * duplicate patterns each keep their own slot. Plain public final
+  * fields — the generated Java reads them directly. */
+final class AcAutomaton(
+    val fail: Array[Int],
+    val dictFail: Array[Int],
+    val outHead: Array[Int],
+    val outPid: Array[Int],
+    val outNext: Array[Int],
+    val edgeKeys: Array[Long],
+    val edgeVals: Array[Int],
+    val mask: Int,
+    val nPatterns: Int) extends Serializable {
+
+  /** Child of `node` on byte `b` (0..255), or -1. */
+  def edge(node: Int, b: Int): Int = {
+    val key = (node.toLong << 8) | b
+    var i = (AcAutomaton.mix(key) & mask).toInt
+    while (true) {
+      val k = edgeKeys(i)
+      if (k == key) return edgeVals(i)
+      if (k == -1L) return -1
+      i = (i + 1) & mask
+    }
+    -1
+  }
+}
+
+object AcAutomaton {
+  private[functions] def mix(key: Long): Long = {
+    val h = key * 0x9E3779B97F4A7C15L
+    h ^ (h >>> 32)
+  }
+}
+
+/** Occurrence counts of a BROADCAST string pattern set in one text
+  * value — the CHARACTER-level sibling of [[PhraseSetHitsBcast]]'s
+  * token-phrase gate, for blocklist / needle-set scans where patterns
+  * are raw substrings (slurs, license boilerplate, secret prefixes,
+  * canary strings) rather than token n-grams: returns `counts(pid)` =
+  * number of positions where pattern `pid` ends a match (overlapping
+  * and nested matches all counted), in ONE Aho–Corasick pass per row
+  * regardless of pattern count.
+  *
+  * The naive spelling is |patterns| `instr`/`locate` scans per row —
+  * linear plan growth AND linear re-scans; a blocklist runs to
+  * thousands of entries. Here the set rides one broadcast handle, the
+  * automaton is built once per executor, and each row is a single
+  * O(bytes + matches) walk. Like the other *Bcast kernels the
+  * expression carries only the broadcast HANDLE; constructed via the
+  * sql-namespace column bridge ([[graft.text.Blocklist]]). */
+case class AcScanBcast(
+    child: Expression,
+    bc: Broadcast[Array[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_ac_scan_bcast requires a string column, got ${t.sql}")
+    }
+
+  @transient private lazy val auto: AcAutomaton = AcScanBcast.build(bc.value)
+
+  override def nullSafeEval(textV: Any): Any =
+    AcScanBcast.hits(auto, textV.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      val bcRef = ctx.addReferenceObj("acPatternsBc", bc,
+        classOf[Broadcast[Array[String]]].getName)
+      val cls = AcScanBcast.getClass.getName.stripSuffix("$")
+      val a = ctx.addMutableState("graft.functions.AcAutomaton", "acAuto",
+        v => s"$v = $cls.build((String[]) $bcRef.value());")
+      s"""
+         |${ev.value} = $cls.hits($a, $text);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): AcScanBcast =
+    copy(child = c)
+
+  override def prettyName: String = "graft_ac_scan_bcast"
+}
+
+object AcScanBcast {
+
+  /** Build the frozen automaton: trie insert, BFS failure links,
+    * dict-suffix short circuits, then freeze edges into one
+    * open-addressing table. Build cost is O(total pattern bytes);
+    * runs once per executor off the broadcast value. */
+  def build(patterns: Array[String]): AcAutomaton = {
+    require(patterns.nonEmpty, "pattern set must be non-empty")
+    val pats = patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(pats.forall(_.length > 0), "patterns must be non-empty strings")
+
+    // growable trie with a build-time edge map
+    val edges = new java.util.HashMap[java.lang.Long, Integer]()
+    var nNodes = 1
+    val outHeadB = scala.collection.mutable.ArrayBuffer(-1)
+    val outPidB = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val outNextB = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var pid = 0
+    while (pid < pats.length) {
+      val p = pats(pid)
+      var node = 0
+      var i = 0
+      while (i < p.length) {
+        val key = java.lang.Long.valueOf((node.toLong << 8) | (p(i) & 0xFF))
+        val child = edges.get(key)
+        if (child == null) {
+          edges.put(key, nNodes)
+          outHeadB += -1
+          node = nNodes
+          nNodes += 1
+        } else node = child.intValue()
+        i += 1
+      }
+      outPidB += pid
+      outNextB += outHeadB(node)
+      outHeadB(node) = outPidB.length - 1
+      pid += 1
+    }
+
+    // freeze edges into open addressing (power-of-two, keys >= 0)
+    var cap = 4
+    while (cap < edges.size * 2) cap <<= 1
+    val edgeKeys = Array.fill(cap)(-1L)
+    val edgeVals = new Array[Int](cap)
+    val mask = cap - 1
+    val it = edges.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val key = e.getKey.longValue()
+      var i = (AcAutomaton.mix(key) & mask).toInt
+      while (edgeKeys(i) != -1L) i = (i + 1) & mask
+      edgeKeys(i) = key
+      edgeVals(i) = e.getValue.intValue()
+    }
+
+    val outHead = outHeadB.toArray
+    val fail = new Array[Int](nNodes)
+    val dictFail = Array.fill(nNodes)(-1)
+    val auto = new AcAutomaton(fail, dictFail, outHead,
+      outPidB.toArray, outNextB.toArray, edgeKeys, edgeVals, mask,
+      patterns.length)
+
+    // BFS failure links off the frozen edge table
+    val queue = new java.util.ArrayDeque[Integer]()
+    var b = 0
+    while (b < 256) {
+      val c = auto.edge(0, b)
+      if (c != -1) { fail(c) = 0; queue.add(c) }
+      b += 1
+    }
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      dictFail(u) =
+        if (outHead(fail(u)) != -1) fail(u) else dictFail(fail(u))
+      var bb = 0
+      while (bb < 256) {
+        val v = auto.edge(u, bb)
+        if (v != -1) {
+          var f = fail(u)
+          var nxt = auto.edge(f, bb)
+          while (nxt == -1 && f != 0) { f = fail(f); nxt = auto.edge(f, bb) }
+          fail(v) = if (nxt == -1 || nxt == v) 0 else nxt
+          queue.add(v)
+        }
+        bb += 1
+      }
+    }
+    auto
+  }
+
+  /** Shared by the interpreted and generated paths: one byte walk,
+    * counts(pid) = match END positions of pattern pid (overlaps and
+    * nested patterns all counted). */
+  def hits(auto: AcAutomaton, text: UTF8String): GenericArrayData = {
+    val out = new Array[Long](auto.nPatterns)
+    val n = text.numBytes()
+    var state = 0
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i) & 0xFF
+      var s = state
+      var nxt = auto.edge(s, b)
+      while (nxt == -1 && s != 0) { s = auto.fail(s); nxt = auto.edge(s, b) }
+      state = if (nxt == -1) 0 else nxt
+      var t = if (auto.outHead(state) != -1) state else auto.dictFail(state)
+      while (t != -1) {
+        var e = auto.outHead(t)
+        while (e != -1) { out(auto.outPid(e)) += 1L; e = auto.outNext(e) }
+        t = auto.dictFail(t)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -429,6 +429,15 @@ object Streaming {
       phrases: Seq[Seq[String]]): DataFrame =
     graft.text.Search.phraseSetGate(docs.toDF(), phrases)
 
+  /** Streaming CHARACTER-level blocklist gate: the Aho–Corasick scan
+    * ([[graft.text.Blocklist.blocklistGate]]) is one stateless
+    * projection — no index, no join, no aggregation — so the batch
+    * operator runs unchanged at ingest rate. */
+  def streamingBlocklistGate(
+      docs: Dataset[StreamDoc],
+      patterns: Seq[String]): DataFrame =
+    graft.text.Blocklist.blocklistGate(docs.toDF(), patterns)
+
   /** Streaming QUALITY GATE, corpus half: online boilerplate detection,
     * the streaming analogue of [[graft.text.Rewrite.stripBoilerplate]].
     * State per chunk tracks the distinct-document frequency UP TO

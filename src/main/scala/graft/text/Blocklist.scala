@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Character-level blocklist / needle-set scanning — the substring
+  * sibling of [[Search.phraseSetGate]]'s token-phrase gate. A
+  * curation pipeline screens every document against thousands of raw
+  * substrings (slurs, license boilerplate, canary strings, secret
+  * prefixes) where token n-grams don't apply: the needles cross token
+  * boundaries, carry punctuation, or must match mid-word. The whole
+  * set rides ONE broadcast Aho–Corasick automaton
+  * ([[graft.functions.AcScanBcast]]): one O(bytes + matches) pass per
+  * row regardless of set size, against the naive |patterns| `instr`
+  * scans whose plan AND per-row work grow linearly with the set.
+  *
+  * No index, no join, no aggregation — the scan is a single
+  * projection, so it runs unchanged on a stream
+  * ([[graft.streaming.Streaming.streamingBlocklistGate]]). */
+object Blocklist {
+
+  /** Column of per-pattern occurrence counts (`array<long>`, index =
+    * pattern position in `patterns`): counts match END positions, so
+    * overlapping and nested matches all count (`"a a"` twice in
+    * `"a a a"`; `"ta"` inside every `"table"`). Duplicate patterns
+    * each keep their own slot. */
+  def blocklistHitsCol(text: Column, patterns: Seq[String]): Column = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be a non-empty set of non-empty strings")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(patterns.toArray)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.AcScanBcast(expression(text), bc))
+  }
+
+  /** Per-document verdicts for the whole pattern set: posexplode
+    * emits one (doc, pattern_id, n_hits, hit) row per pair — zero-hit
+    * pairs included, so the output shape is docs x patterns and an
+    * absent pattern is visible as an all-zero column. */
+  def blocklistGate(
+      docs: DataFrame,
+      patterns: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("__hits", blocklistHitsCol(col(textCol), patterns))
+      .select(col(idCol),
+        posexplode(col("__hits")).as(Seq("pattern_id", "n_hits")))
+      .select(col(idCol), col("pattern_id").cast("long").as("pattern_id"),
+        col("n_hits"), (col("n_hits") > 0).as("hit"))
+
+  /** One verdict row per document — the keep/drop spelling: total
+    * hits across the set, number of distinct patterns present, and
+    * `clean` (no pattern matched). The aggregate folds inside the
+    * projection (one `aggregate` over the counts array), so this face
+    * is also stream-safe. */
+  def blocklistVerdicts(
+      docs: DataFrame,
+      patterns: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("__hits", blocklistHitsCol(col(textCol), patterns))
+      .select(col(idCol),
+        aggregate(col("__hits"), lit(0L), (a, x) => a + x).as("n_hits"),
+        aggregate(col("__hits"), lit(0L),
+          (a, x) => a + when(x > 0L, 1L).otherwise(0L)).as("n_patterns"))
+      .withColumn("clean", col("n_hits") === 0L)
+}

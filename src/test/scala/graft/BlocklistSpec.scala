@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.AcScanBcast
+import graft.text.Blocklist
+
+class BlocklistSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Byte-level truth: start positions where pat matches as a raw
+    * UTF-8 substring (overlaps included) — the semantics the kernel's
+    * end-position count must equal. */
+  private def naive(text: String, pat: String): Long = {
+    val t = text.getBytes("UTF-8")
+    val p = pat.getBytes("UTF-8")
+    (0 to t.length - p.length)
+      .count(s => p.indices.forall(i => t(s + i) == p(i))).toLong
+  }
+
+  private def gateMap(texts: Seq[(Long, String)], pats: Seq[String])
+      : Map[(Long, Long), Long] =
+    Blocklist.blocklistGate(texts.toDF("doc_id", "text"), pats)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pattern_id")) ->
+        r.getAs[Long]("n_hits")).toMap
+
+  test("counts match the brute-force substring walk, overlaps included") {
+    val texts = Seq(
+      1L -> "a a a table scan scan slow",
+      2L -> "the table is on the table top",
+      3L -> "aaaa",
+      4L -> "",
+      5L -> "zz")
+    val pats = Seq("table", "ta", "a a", "aa", "the", "zz", "absent!")
+    val got = gateMap(texts, pats)
+    assert(got.size === texts.size * pats.length)
+    for ((id, t) <- texts; (p, pid) <- pats.zipWithIndex)
+      assert(got((id, pid.toLong)) === naive(t, p), s"doc $id pat '$p'")
+    // the cases the fixture is built around, pinned explicitly:
+    assert(got((1L, 2L)) === 2L) // "a a" overlaps itself in "a a a"
+    assert(got((3L, 3L)) === 3L) // "aa" three times in "aaaa"
+    assert(got((2L, 1L)) === 2L) // "ta" nested inside both "table"s
+    assert(got((4L, 0L)) === 0L) // empty text
+  }
+
+  test("nested and shared-prefix patterns all fire at one position") {
+    // "able", "ble", "le" all end where "table" ends — the dictFail
+    // chain must surface every one of them at that position
+    val pats = Seq("table", "able", "ble", "le", "t")
+    val got = gateMap(Seq(1L -> "table"), pats)
+    assert(pats.indices.forall(pid =>
+      got((1L, pid.toLong)) === naive("table", pats(pid))))
+    assert(got((1L, 0L)) === 1L && got((1L, 1L)) === 1L &&
+      got((1L, 2L)) === 1L && got((1L, 3L)) === 1L && got((1L, 4L)) === 1L)
+  }
+
+  test("duplicate patterns each keep their own slot") {
+    val got = gateMap(Seq(1L -> "x table y table z"), Seq("table", "table"))
+    assert(got((1L, 0L)) === 2L && got((1L, 1L)) === 2L)
+  }
+
+  test("multibyte UTF-8 patterns match codepoint-exactly") {
+    val texts = Seq(1L -> "héhé ohé café", 2L -> "naïve café au lait",
+      3L -> "ééé")
+    val pats = Seq("hé", "é", "café", "éé", "ï")
+    val got = gateMap(texts, pats)
+    for ((id, t) <- texts; (p, pid) <- pats.zipWithIndex)
+      assert(got((id, pid.toLong)) === naive(t, p), s"doc $id pat '$p'")
+    assert(got((3L, 3L)) === 2L) // "éé" overlaps in "ééé"
+  }
+
+  test("interpreted and codegen paths agree") {
+    val texts = (0L until 64L).map(i =>
+      i -> s"tok$i a a table ${"ab" * (i % 7).toInt} scan s")
+    val pats = Seq("table", "a a", "ab", "ba", "scan s", "zzqx")
+    val d = texts.toDF("doc_id", "text").repartition(3)
+    def run(mode: String): Map[Long, Seq[Long]] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try d.select(col("doc_id"),
+          Blocklist.blocklistHitsCol(col("text"), pats).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val cg = run("CODEGEN_ONLY")
+    val in = run("NO_CODEGEN")
+    assert(cg === in)
+    texts.foreach { case (id, t) =>
+      assert(cg(id) === pats.map(naive(t, _)), s"doc $id") }
+  }
+
+  test("null text yields a null counts column; the gate drops the row") {
+    val d = Seq((1L, Option("table")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text").repartition(2)
+    val hits = d.select(col("doc_id"),
+        Blocklist.blocklistHitsCol(col("text"), Seq("ta")).as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(hits(1L).isDefined && hits(2L).isEmpty)
+    val gate = Blocklist.blocklistGate(d, Seq("ta")).collect()
+    assert(gate.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+  }
+
+  test("blocklistVerdicts folds the per-doc card off the same counts") {
+    val d = Seq(1L -> "table table agg", 2L -> "nothing here", 3L -> "agg")
+      .toDF("doc_id", "text")
+    val got = Blocklist.blocklistVerdicts(d, Seq("table", "agg", "zz"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("n_patterns"),
+          r.getAs[Boolean]("clean")))).toMap
+    assert(got(1L) === ((3L, 2L, false)))
+    assert(got(2L) === ((0L, 0L, true)))
+    assert(got(3L) === ((1L, 1L, false)))
+  }
+
+  test("empty pattern set and empty patterns are rejected eagerly") {
+    val d = Seq(1L -> "x").toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Blocklist.blocklistGate(d, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Blocklist.blocklistGate(d, Seq("ok", ""))
+    }
+  }
+
+  test("the scan is one kernel projection: no join, no aggregate") {
+    val d = Seq(1L -> "x").toDF("doc_id", "text")
+      .repartition(2) // defeat local-relation constant folding
+    val plan = Blocklist.blocklistGate(d, Seq("a", "b"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      s"expected a join/aggregate-free plan, got:\n$plan")
+    assert(plan.contains("graft_ac_scan_bcast"))
+  }
+
+  test("automaton handles a dense byte alphabet and long fail chains") {
+    // worst-ish case: periodic text with patterns that force fail-link
+    // walks every byte, plus a pattern set nesting 6 deep
+    val t = ("abcab" * 40) + "abcabd"
+    val pats = Seq("abcabd", "abcab", "bcab", "cab", "ab", "b")
+    val got = gateMap(Seq(1L -> t), pats)
+    pats.zipWithIndex.foreach { case (p, pid) =>
+      assert(got((1L, pid.toLong)) === naive(t, p), s"pat '$p'") }
+  }
+
+  test("build rejects empty input and the automaton stays serializable") {
+    intercept[IllegalArgumentException] { AcScanBcast.build(Array.empty) }
+    val auto = AcScanBcast.build(Array("ab", "b"))
+    val bytes = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bytes)
+    oos.writeObject(auto); oos.close()
+    assert(bytes.size() > 0)
+  }
+}

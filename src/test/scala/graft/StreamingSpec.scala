@@ -452,6 +452,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamingPhraseSetGate must remain a stateless projection")
   }
 
+  test("streamingBlocklistGate replays the batch AC scan exactly, stateless") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val pats = Seq("table", "ta", "a a", "zzqx")
+    val batch = graft.text.Blocklist.blocklistGate(docs, pats).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pattern_id")) ->
+        r.getAs[Long]("n_hits")).toMap
+    assert(batch.nonEmpty && batch.values.sum > 0)
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val out = Streaming.streamingBlocklistGate(in.toDS(), pats)
+    val q = out.writeStream.format("memory").queryName("blocklist_stream")
+      .outputMode("append").start()
+    rows.grouped(100).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val gate = spark.table("blocklist_stream").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pattern_id")) ->
+        r.getAs[Long]("n_hits")).toMap
+    assert(gate.size === rows.size * pats.length)
+    gate.foreach { case (k, n) => assert(n === batch(k), s"pair $k") }
+    // the absent needle stays all-zero; nested "ta" out-hits "table"
+    assert(gate.filter(_._1._2 == 3L).values.forall(_ == 0L))
+    assert(gate.filter(_._1._2 == 1L).values.sum >=
+      gate.filter(_._1._2 == 0L).values.sum)
+    val plan = Streaming.streamingBlocklistGate(in.toDS(), pats)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"),
+      "streamingBlocklistGate must remain a stateless projection")
+  }
+
   test("streamingIngestGate composes the batch gate+quality stages bitwise") {
     import graft.streaming.StreamDoc
     implicit val sqlCtx = spark.sqlContext
