@@ -1255,6 +1255,19 @@ object DocQueries {
           Seq("table", "ta", "a a", "scan s", "value table part",
             "agg", "zzqx", " the ", "batch", "le"))
         .orderBy("doc_id")),
+    "q_blocklist_ci" -> ((s, dir) =>
+      // CASE-INSENSITIVE arm: normalize -> scan composition (the
+      // graft_textnorm kernel feeds the AC kernel in one projection).
+      // The text is roughed up with an uppercased 40-char prefix so
+      // the case fold is load-bearing: without it every prefix
+      // needle match disappears
+      graft.text.Blocklist.blocklistGate(
+          documents(s, dir).select(col("doc_id"),
+            TextOps.normalizeText(concat(
+              upper(substring(col("text"), 1, 40)),
+              expr("substr(text, 41)"))).as("text")),
+          Seq("table", "a a", "agg", "zzqx"))
+        .orderBy("doc_id", "pattern_id")),
     "q_decontam" -> ((s, dir) => {
       // decontamination composite through the batch walk (round 15):
       // the eval set = each sub-10 doc's leading 6-gram, ALL probed in
@@ -4837,6 +4850,30 @@ object DocQueries {
         |  coalesce(sum(c.n), 0) = 0 AS clean
         |FROM d LEFT JOIN cnt c ON c.doc_id = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_blocklist_ci" ->
+      // mirrors the normalize -> scan composition: the roughed-up
+      // uppercased prefix folds back to the original lowercase text
+      // (nfc_normalize + lower = the graft_textnorm contract)
+      """WITH pats(pid, pat) AS (VALUES
+        |  (0, 'table'), (1, 'a a'), (2, 'agg'), (3, 'zzqx')),
+        |d AS (SELECT doc_id::BIGINT AS doc_id,
+        |  lower(nfc_normalize(upper(substr(text, 1, 40)) || substr(text, 41)))
+        |    AS text
+        |  FROM documents),
+        |st AS (SELECT doc_id, pid, pat, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN pats),
+        |cnt AS (SELECT doc_id, pid,
+        |  sum(CASE WHEN substr(text, (s + 1)::INT, length(pat)::INT) = pat
+        |      THEN 1 ELSE 0 END)::BIGINT AS n
+        |  FROM st GROUP BY 1, 2)
+        |SELECT d.doc_id AS doc_id, p.pid::BIGINT AS pattern_id,
+        |  coalesce(c.n, 0)::BIGINT AS n_hits,
+        |  coalesce(c.n, 0) > 0 AS hit
+        |FROM d CROSS JOIN pats p
+        |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.pid = p.pid
+        |ORDER BY d.doc_id, pattern_id""".stripMargin,
 
     "q_decontam" ->
       // mirrors Search.decontaminationVerdicts with the eval set =

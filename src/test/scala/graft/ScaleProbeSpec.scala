@@ -264,4 +264,50 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
       if (sampleIds(d)) assert(gate((d, p)) === n, s"pair ($d,$p) missing")
     }
   }
+
+  test("1500-needle blocklist probe: one automaton pass, plan flat with set size") {
+    import graft.text.Blocklist
+    // 5k synthetic docs over a small vocab so needles genuinely recur
+    val rnd = new scala.util.Random(53)
+    val corpus = (0L until 5000L).map { i =>
+      i -> (0 until 20 + rnd.nextInt(60))
+        .map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+    }
+    import spark.implicits._
+    val cd = corpus.toDF("doc_id", "text").repartition(16).localCheckpoint()
+    // ~1500 distinct needles: cross-token three-word spans plus a
+    // deterministic absent tail — the blocklist shape
+    val needles = ((0 until 1200).map { p =>
+      val r = new scala.util.Random(2000 + p)
+      s"w${r.nextInt(30)} w${r.nextInt(30)} w${r.nextInt(30)}"
+    } ++ (0 until 300).map(p => s"zq${p}x")).distinct
+    // the plan carries ONE kernel expression however large the set is
+    // (a per-needle instr spelling would grow the plan 1500-wide)
+    val hits = cd.select(col("doc_id"),
+      Blocklist.blocklistHitsCol(col("text"), needles).as("h"))
+    val plan = hits.queryExecution.optimizedPlan.toString
+    assert(plan.split("graft_ac_scan_bcast").length - 1 === 1,
+      "expected exactly one kernel expression for the whole set")
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"))
+    val t0 = System.nanoTime()
+    val counts = hits.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    info(f"AC scan @${needles.length} needles x 5k docs: " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // absent tail is all-zero everywhere; present needles hit somewhere
+    val absentFrom = needles.length - 300
+    assert(counts.values.forall(_.drop(absentFrom).forall(_ == 0L)))
+    assert(counts.values.exists(_.take(absentFrom).exists(_ > 0L)))
+    // brute-force byte-walk truth on a deterministic 1-in-50 sample
+    def naive(text: String, pat: String): Long = {
+      val t = text.getBytes("UTF-8"); val p = pat.getBytes("UTF-8")
+      (0 to t.length - p.length)
+        .count(s => p.indices.forall(i => t(s + i) == p(i))).toLong
+    }
+    corpus.filter(_._1 % 50 == 7).foreach { case (id, text) =>
+      val got = counts(id)
+      needles.zipWithIndex.foreach { case (p, pid) =>
+        assert(got(pid) === naive(text, p), s"doc $id needle '$p'") }
+    }
+  }
 }
