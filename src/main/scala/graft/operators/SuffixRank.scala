@@ -137,17 +137,32 @@ object SuffixRank {
     * agree on both sides, the common prefix extends by 2^k.
     *
     * RETENTION CONTRACT (the sparse-table tradeoff, measured and
-    * bounded rather than hidden): retained memory is O(n x levels)
-    * where levels stops at the corpus's TRUE repeat structure
+    * bounded rather than hidden): the descent needs one rank frame
+    * per level, and levels stop at the corpus's TRUE repeat structure
     * (ceil(log2(longest repeated span)) + 1, the early-exit below) —
-    * NOT log(max doc length). A corpus of full-document duplicates is
-    * the adversarial worst case (longest tie = doc length;
-    * SuffixRankSpec probes exactly that). The chain fails fast past
-    * `spark.graft.sa.maxRetainedLevels` (default 24 — a 16M-token
-    * repeated span) instead of silently holding an unbounded frame
-    * list. Exact O(n)-retained alternatives were weighed and
-    * rejected: rolling-hash binary search drops bitwise exactness
-    * (hash equality is probabilistic), Kasai's descent is inherently
+    * NOT log(max doc length). WHERE those frames park is
+    * `spark.graft.sa.levelStorage`:
+    *
+    *  - `memory` (default, the fast path): localCheckpoint blocks,
+    *    O(n x levels) block-manager retention, guarded by
+    *    `spark.graft.sa.maxRetainedLevels` (default 24 — a 16M-token
+    *    repeated span) so an adversarial corpus of full-document
+    *    duplicates (longest tie = doc length; SuffixRankSpec probes
+    *    exactly that) fails fast instead of silently holding an
+    *    unbounded frame list.
+    *  - `disk`: every level spills to scratch parquet
+    *    (`spark.graft.sa.scratchDir`, default java.io.tmpdir; point
+    *    it at shared scratch on a cluster) and is read back once
+    *    during its descent step, then deleted. Peak block-manager
+    *    retention drops to O(n) — one chain frame, the pairs frame,
+    *    one level in flight — and the O(n log n) sparse table becomes
+    *    scratch-disk bytes, the cheap resource at 100 TB. Outputs are
+    *    bitwise identical to the memory path (SuffixRankSpec pins
+    *    it); the cost is one parquet write + read per level.
+    *
+    * Exact O(n)-EVERYTHING alternatives were weighed and rejected:
+    * rolling-hash binary search drops bitwise exactness (hash
+    * equality is probabilistic), Kasai's descent is inherently
     * sequential, and the Flick-Aluru split-round LCP needs a
     * distributed RMQ over the in-flight LCP array — a sparse table
     * again. [[graft.text.Rewrite]]'s spanDedup remains the CHEAP
@@ -161,9 +176,91 @@ object SuffixRank {
     suffixArrayWithLcpAndLevels(docs, textCol, idCol, numParts)._1
 
   /** Conf key bounding the retained doubling-chain levels (each one
-    * positions-sized); 24 levels = a 16M-token repeated span. */
+    * positions-sized); 24 levels = a 16M-token repeated span. Applies
+    * to the MEMORY level store only — the disk store's levels are
+    * scratch files, not block-manager residents. */
   val MaxRetainedLevelsKey = "spark.graft.sa.maxRetainedLevels"
   val MaxRetainedLevelsDefault = 24
+
+  /** Conf key selecting where the doubling chain's level frames live
+    * between build and descent: `memory` (default — localCheckpoint
+    * blocks, the fast path, guarded by [[MaxRetainedLevelsKey]]) or
+    * `disk` (each level spills to scratch parquet and is read back
+    * once during its descent step, then deleted — peak
+    * block-manager retention drops to O(n): the chain frame, the
+    * pairs frame, and ONE level in flight; the O(n log n) sparse
+    * table becomes scratch-disk bytes, the cheap resource at scale).
+    * Outputs are bitwise identical either way (SuffixRankSpec pins
+    * it): the store changes where a deterministic artifact parks,
+    * never its values. */
+  val LevelStorageKey = "spark.graft.sa.levelStorage"
+
+  /** Conf key for the disk store's scratch root (a per-build UUID
+    * subdirectory is created beneath it and removed after the
+    * descent); defaults to java.io.tmpdir. On a cluster point it at
+    * shared scratch storage. */
+  val ScratchDirKey = "spark.graft.sa.scratchDir"
+
+  /** Where the doubling chain parks level frames between build and
+    * descent: memory (localCheckpoint, guarded) or scratch parquet
+    * (O(n) block-manager peak). `put` receives the round's
+    * CHECKPOINTED frame in build order (a projection would hide the
+    * checkpoint from the release path); `levels` lists coarsest-first
+    * (doc_id, pos, __rank) thunks for the descent; `release` frees
+    * one level after its descent step; `close` removes whatever is
+    * left. */
+  private sealed trait LevelStore {
+    def put(span: Long, cp: DataFrame): Unit
+    def levels: List[(Long, () => DataFrame)]
+    def release(span: Long): Unit
+    def close(): Unit
+  }
+
+  private val levelCols = Seq("doc_id", "pos", "__rank")
+
+  private final class MemoryLevelStore extends LevelStore {
+    private var frames = List.empty[(Long, DataFrame)] // head = coarsest
+    def put(span: Long, cp: DataFrame): Unit = frames ::= (span, cp)
+    def levels: List[(Long, () => DataFrame)] =
+      frames.map { case (s, f) =>
+        (s, () => f.select(levelCols.map(col): _*)) }
+    def release(span: Long): Unit =
+      frames.find(_._1 == span).foreach { case (_, f) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .unpersistLocalCheckpoint(f) }
+    def close(): Unit = ()
+  }
+
+  private final class DiskLevelStore(spark: org.apache.spark.sql.SparkSession)
+      extends LevelStore {
+    private val root = {
+      val base = spark.conf.get(ScratchDirKey,
+        System.getProperty("java.io.tmpdir"))
+      val d = new java.io.File(base,
+        s"graft-sa-levels-${java.util.UUID.randomUUID()}")
+      require(d.mkdirs(), s"cannot create SA scratch dir $d")
+      d
+    }
+    private var paths = List.empty[(Long, java.io.File)] // head = coarsest
+    def put(span: Long, cp: DataFrame): Unit = {
+      val p = new java.io.File(root, s"level-$span")
+      cp.select(levelCols.map(col): _*)
+        .write.mode("overwrite").parquet(p.toString)
+      paths ::= (span, p)
+    }
+    def levels: List[(Long, () => DataFrame)] =
+      paths.map { case (s, p) => (s, () => spark.read.parquet(p.toString)) }
+    def release(span: Long): Unit = {
+      paths.filter(_._1 == span).foreach(p => deleteRec(p._2))
+      paths = paths.filterNot(_._1 == span)
+    }
+    def close(): Unit = deleteRec(root)
+    private def deleteRec(f: java.io.File): Unit = {
+      val fs = f.listFiles()
+      if (fs != null) fs.foreach(deleteRec)
+      f.delete(): Unit
+    }
+  }
 
   /** [[suffixArrayWithLcp]] + the retained-level count, so tests and
     * capacity planning can assert the retention contract directly. */
@@ -209,17 +306,37 @@ object SuffixRank {
     val maxLevels = docs.sparkSession.conf
       .get(MaxRetainedLevelsKey, MaxRetainedLevelsDefault.toString).toInt
     require(maxLevels >= 1, s"$MaxRetainedLevelsKey must be >= 1")
-    var levels = List((1L, ranks))
+    val storageMode = docs.sparkSession.conf.get(LevelStorageKey, "memory")
+    val store: LevelStore = storageMode match {
+      case "memory" => new MemoryLevelStore
+      case "disk" => new DiskLevelStore(docs.sparkSession)
+      case other => throw new IllegalArgumentException(
+        s"$LevelStorageKey must be 'memory' or 'disk', got '$other'")
+    }
+    val diskMode = storageMode == "disk"
+    val free = org.apache.spark.sql.graftbridge.ColumnBridge
+      .unpersistLocalCheckpoint(_)
+    val baseRanks = ranks
+    var totalLevels = 1
+    store.put(1L, ranks)
+    // the chain's one resident checkpoint in disk mode (the previous
+    // round's frame dies once the next is checkpointed — its level
+    // copy is already on scratch parquet)
+    var chainCp = remRanks
     var h = 1L
     var tiedDone = false
     while (h < maxLen && !tiedDone) {
-      if (levels.length >= maxLevels)
+      // the guard protects block-manager RETENTION, so it applies to
+      // the memory store only; disk levels are scratch files
+      if (!diskMode && totalLevels >= maxLevels)
         throw new IllegalStateException(
           s"suffixArrayWithLcp would retain more than $maxLevels " +
             s"positions-sized level frames (repeated spans past " +
             s"2^$maxLevels tokens); raise $MaxRetainedLevelsKey if the " +
-            "cluster has the memory, or pre-cut pathological repeats " +
-            "(Rewrite.spanDedup) before building the suffix array")
+            s"cluster has the memory, set $LevelStorageKey=disk to " +
+            "spill the sparse table to scratch parquet, or pre-cut " +
+            "pathological repeats (Rewrite.spanDedup) before building " +
+            "the suffix array")
       val shifted = remRanks.select(col("doc_id"), (col("pos") - h).as("pos"),
         col("__rank").as("__r2"))
       val keyed = remRanks.join(shifted, Seq("doc_id", "pos"), "left")
@@ -231,8 +348,13 @@ object SuffixRank {
           col("__rem"), col("__c"))
         .localCheckpoint()
       h *= 2L
-      levels ::= (h, next.select("doc_id", "pos", "__rank")) // head = coarsest
+      store.put(h, next) // head = coarsest
+      totalLevels += 1
       remRanks = next.drop("__c")
+      // The memory store's chain frames ARE its level entries —
+      // released during the descent instead.
+      if (diskMode) { free(chainCp); if (h == 2L) free(baseRanks) }
+      chainCp = next
       if (h >= 8L && h < maxLen) {
         val tiedRow = next
           .agg(max(when(col("__c") >= 2L, col("__rem")))).collect()(0)
@@ -249,6 +371,10 @@ object SuffixRank {
         Seq("__rank", "doc_id", "pos"), numParts)
       .select(col("doc_id"), col("pos"), col("__rb").as("seq"))
       .localCheckpoint()
+    // with seq checkpointed the final chain frame is dead too; in disk
+    // mode its level copy lives on scratch parquet for the descent
+    // (freeing twice is a no-op, so the no-round corpus is safe)
+    if (diskMode) { free(chainCp); free(baseRanks) }
 
     // adjacent pairs in suffix order, then the sparse-table descent
     val succ = seqed.select(col("doc_id").as("__da"), col("pos").as("__pa"),
@@ -258,7 +384,9 @@ object SuffixRank {
         col("doc_id").as("__db"), col("pos").as("__pb"))
       .withColumn("__lcp", lit(0L))
       .localCheckpoint()
-    levels.foreach { case (span, lvl) =>
+    store.levels.foreach { case (span, lvlThunk) =>
+      val lvl = lvlThunk()
+      val prevPairs = pairs
       val la = lvl.select(col("doc_id").as("__da"),
         col("pos").as("__ja"), col("__rank").as("__rka"))
       val lb = lvl.select(col("doc_id").as("__db"),
@@ -274,7 +402,13 @@ object SuffixRank {
             .otherwise(col("__lcp")))
         .select("seq", "__da", "__pa", "__db", "__pb", "__lcp")
         .localCheckpoint()
+      // the eager checkpoint above cut the new pairs' lineage from
+      // both this level and the previous pairs frame: free them
+      // (disk: delete the scratch files; memory: unpersist)
+      free(prevPairs)
+      store.release(span)
     }
+    store.close()
     // identical suffixes agree at EVERY retained level (content + end
     // markers), so the descent reaches at least their length before
     // the cap — the true LCP of identical suffixes is their length;
@@ -292,7 +426,7 @@ object SuffixRank {
       .select(col("doc_id"), col("pos"), col("seq"),
         coalesce(col("lcp_prev"), lit(0L)).as("lcp_prev"))
       .orderBy("doc_id", "pos"),
-      levels.length)
+      totalLevels)
   }
 
   /** Exact repeated-substring marks — the Lee et al. '22 threshold

@@ -153,4 +153,55 @@ class SuffixRankSpec extends AnyFunSuite with SparkSpec {
       assert(e.getMessage.contains(SuffixRank.MaxRetainedLevelsKey))
     } finally spark.conf.unset(SuffixRank.MaxRetainedLevelsKey)
   }
+
+  test("disk level store: bitwise parity, O(n) block-manager peak, " +
+      "scratch cleanup, guard bypassed") {
+    import spark.implicits._
+    // the adversarial full-duplicate corpus again — the shape whose
+    // sparse table is deepest relative to its size
+    val tok = (i: Int) => s"t${i % 97}"
+    val body = (0 until 300).map(tok).mkString(" ")
+    val dup = Seq((1L, body), (2L, body)).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val mem = canon(SuffixRank.suffixArrayWithLcp(dup))
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-sa-spec").toFile
+    spark.conf.set(SuffixRank.LevelStorageKey, "disk")
+    spark.conf.set(SuffixRank.ScratchDirKey, scratch.toString)
+    // disk mode ignores the memory guard: a bound the memory chain
+    // would trip is fine when the sparse table lives on scratch disk
+    spark.conf.set(SuffixRank.MaxRetainedLevelsKey, "4")
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val disk = canon(SuffixRank.suffixArrayWithLcp(dup))
+      assert(disk === mem, "disk and memory level stores must agree bitwise")
+      // O(n) peak: after the build only the frames backing the result
+      // remain resident (positions, seq, the final pairs) — the chain
+      // and level frames were freed round by round
+      val after = spark.sparkContext.getPersistentRDDs.size
+      assert(after <= before + 3,
+        s"disk mode retained $before -> $after persistent RDDs")
+      // the per-build scratch subdirectory is gone
+      assert(scratch.listFiles() == null || scratch.listFiles().isEmpty,
+        s"scratch not cleaned: ${scratch.listFiles().mkString(",")}")
+    } finally {
+      spark.conf.unset(SuffixRank.LevelStorageKey)
+      spark.conf.unset(SuffixRank.ScratchDirKey)
+      spark.conf.unset(SuffixRank.MaxRetainedLevelsKey)
+      scratch.delete()
+    }
+  }
+
+  test("level storage conf rejects unknown modes") {
+    import spark.implicits._
+    spark.conf.set(SuffixRank.LevelStorageKey, "tape")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SuffixRank.suffixArrayWithLcp(Seq((1L, "a b")).toDF("doc_id", "text"))
+      }
+      assert(e.getMessage.contains(SuffixRank.LevelStorageKey))
+    } finally spark.conf.unset(SuffixRank.LevelStorageKey)
+  }
 }
