@@ -1255,6 +1255,15 @@ object DocQueries {
           Seq("table", "ta", "a a", "scan s", "value table part",
             "agg", "zzqx", " the ", "batch", "le"))
         .orderBy("doc_id")),
+    "q_blocklist_prov" -> ((s, dir) =>
+      // provenance report: per (source, pattern) document counts,
+      // hit-document counts, and total occurrences — the "which
+      // source carries the canary" card; one kernel projection + one
+      // 200-group map-side-combinable aggregate
+      graft.text.Blocklist.provenanceReport(documents(s, dir),
+          Seq("table", "ta", "a a", "scan s", "value table part",
+            "agg", "zzqx", " the ", "batch", "le"))
+        .orderBy("source", "pattern_id")),
     "q_blocklist_ci" -> ((s, dir) =>
       // CASE-INSENSITIVE arm: normalize -> scan composition (the
       // graft_textnorm kernel feeds the AC kernel in one projection).
@@ -4850,6 +4859,31 @@ object DocQueries {
         |  coalesce(sum(c.n), 0) = 0 AS clean
         |FROM d LEFT JOIN cnt c ON c.doc_id = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_blocklist_prov" ->
+      // mirrors Blocklist.provenanceReport: the per-pattern counts
+      // folded per source
+      """WITH pats(pid, pat) AS (VALUES
+        |  (0, 'table'), (1, 'ta'), (2, 'a a'), (3, 'scan s'),
+        |  (4, 'value table part'), (5, 'agg'), (6, 'zzqx'),
+        |  (7, ' the '), (8, 'batch'), (9, 'le')),
+        |d AS (SELECT doc_id::BIGINT AS doc_id, source, text
+        |  FROM documents),
+        |st AS (SELECT doc_id, pid, pat, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN pats),
+        |cnt AS (SELECT doc_id, pid,
+        |  sum(CASE WHEN substr(text, (s + 1)::INT, length(pat)::INT) = pat
+        |      THEN 1 ELSE 0 END)::BIGINT AS n
+        |  FROM st GROUP BY 1, 2),
+        |fl AS (SELECT d.source, p.pid, coalesce(c.n, 0) AS n
+        |  FROM d CROSS JOIN pats p
+        |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.pid = p.pid)
+        |SELECT source, pid::BIGINT AS pattern_id,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_hit,
+        |  sum(n)::BIGINT AS n_hits
+        |FROM fl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_blocklist_ci" ->
       // mirrors the normalize -> scan composition: the roughed-up

@@ -48,6 +48,27 @@ object Blocklist {
       .select(col(idCol), col("pattern_id").cast("long").as("pattern_id"),
         col("n_hits"), (col("n_hits") > 0).as("hit"))
 
+  /** Provenance report — the "which source carries the canary"
+    * question: per (source, pattern) the document count, how many of
+    * those documents hit, and total occurrences. One kernel
+    * projection + one small groupBy (|sources| x |patterns| groups,
+    * map-side combinable) — the scan itself never shuffles, only the
+    * tiny aggregate does. `byCol` defaults to the corpus's `source`
+    * column; point it at a crawl-segment or WARC-path column for
+    * file-level attribution. */
+  def provenanceReport(
+      docs: DataFrame,
+      patterns: Seq[String],
+      textCol: String = "text",
+      byCol: String = "source"): DataFrame =
+    docs.withColumn("__hits", blocklistHitsCol(col(textCol), patterns))
+      .select(col(byCol),
+        posexplode(col("__hits")).as(Seq("pattern_id", "n_hits")))
+      .groupBy(col(byCol), col("pattern_id").cast("long").as("pattern_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0L, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum(col("n_hits")).as("n_hits"))
+
   /** One verdict row per document — the keep/drop spelling: total
     * hits across the set, number of distinct patterns present, and
     * `clean` (no pattern matched). The aggregate folds inside the

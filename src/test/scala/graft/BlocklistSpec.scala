@@ -114,6 +114,21 @@ class BlocklistSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) === ((1L, 1L, false)))
   }
 
+  test("provenanceReport folds per-(source, pattern) attribution") {
+    val d = Seq(
+      (1L, "s1", "table table"), (2L, "s1", "nothing"),
+      (3L, "s2", "table"), (4L, "s2", "agg"), (5L, "s2", "agg agg"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.text.Blocklist.provenanceReport(d, Seq("table", "agg"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("pattern_id")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_docs_hit"),
+          r.getAs[Long]("n_hits")))).toMap
+    assert(got === Map(
+      ("s1", 0L) -> ((2L, 1L, 2L)), ("s1", 1L) -> ((2L, 0L, 0L)),
+      ("s2", 0L) -> ((3L, 1L, 1L)), ("s2", 1L) -> ((3L, 2L, 3L))))
+  }
+
   test("empty pattern set and empty patterns are rejected eagerly") {
     val d = Seq(1L -> "x").toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
