@@ -1255,6 +1255,16 @@ object DocQueries {
           Seq("table", "ta", "a a", "scan s", "value table part",
             "agg", "zzqx", " the ", "batch", "le"))
         .orderBy("doc_id")),
+    "q_redact" -> ((s, dir) =>
+      // REDACTION through the same one-pass automaton: every
+      // codepoint covered by ANY needle match becomes one '*'
+      // (union-of-spans masking — nested "ta"/"le" inside "table"
+      // and the self-overlapping "a a" scrub cleanly), with the
+      // masked-codepoint count coming out of the kernel itself
+      graft.text.Blocklist.redactDocs(documents(s, dir),
+          Seq("table", "ta", "a a", "scan s", "value table part",
+            "agg", "zzqx", " the ", "batch", "le"))
+        .orderBy("doc_id")),
     "q_blocklist_prov" -> ((s, dir) =>
       // provenance report: per (source, pattern) document counts,
       // hit-document counts, and total occurrences — the "which
@@ -4859,6 +4869,36 @@ object DocQueries {
         |  coalesce(sum(c.n), 0) = 0 AS clean
         |FROM d LEFT JOIN cnt c ON c.doc_id = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_redact" ->
+      // mirrors Blocklist.redactDocs: the union of all match spans,
+      // each covered character rebuilt as '*'
+      """WITH pats(pid, pat) AS (VALUES
+        |  (0, 'table'), (1, 'ta'), (2, 'a a'), (3, 'scan s'),
+        |  (4, 'value table part'), (5, 'agg'), (6, 'zzqx'),
+        |  (7, ' the '), (8, 'batch'), (9, 'le')),
+        |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+        |st AS MATERIALIZED (SELECT doc_id, pat, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN pats),
+        |mt AS (SELECT doc_id, s, length(pat) AS k FROM st
+        |  WHERE substr(text, (s + 1)::INT, length(pat)::INT) = pat),
+        |cov0 AS (SELECT doc_id, s, unnest(range(k)) AS o FROM mt),
+        |cov AS (SELECT DISTINCT doc_id, s + o AS p FROM cov0),
+        |ch AS (SELECT doc_id, text,
+        |  unnest(range(length(text))) AS i FROM d),
+        |red AS (SELECT ch.doc_id,
+        |  string_agg(CASE WHEN cov.p IS NOT NULL THEN '*'
+        |    ELSE substr(ch.text, (ch.i + 1)::INT, 1) END, ''
+        |    ORDER BY ch.i) AS redacted,
+        |  sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_masked
+        |  FROM ch LEFT JOIN cov ON cov.doc_id = ch.doc_id AND cov.p = ch.i
+        |  GROUP BY 1)
+        |SELECT d.doc_id, coalesce(red.redacted, d.text) AS redacted,
+        |  coalesce(red.n_masked, 0)::BIGINT AS n_masked
+        |FROM d LEFT JOIN red ON red.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_blocklist_prov" ->
       // mirrors Blocklist.provenanceReport: the per-pattern counts

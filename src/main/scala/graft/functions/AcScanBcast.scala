@@ -34,7 +34,8 @@ final class AcAutomaton(
     val edgeKeys: Array[Long],
     val edgeVals: Array[Int],
     val mask: Int,
-    val nPatterns: Int) extends Serializable {
+    val nPatterns: Int,
+    val patLen: Array[Int]) extends Serializable {
 
   /** Child of `node` on byte `b` (0..255), or -1. */
   def edge(node: Int, b: Int): Int = {
@@ -110,6 +111,61 @@ case class AcScanBcast(
   override def prettyName: String = "graft_ac_scan_bcast"
 }
 
+/** REDACTION through the same broadcast automaton — the PII-scrub /
+  * canary-strip spelling of the blocklist scan: every codepoint
+  * covered by ANY needle match is replaced with one `maskChar`
+  * (matches are codepoint-aligned — see [[AcAutomaton]] — so a
+  * multibyte character is always masked whole, never torn into
+  * invalid UTF-8). Masking the UNION of all match spans is the safe
+  * redaction semantic: overlapping and nested needles scrub
+  * everything any needle touches, and the output is independent of
+  * pattern order. One O(bytes + matches) pass per row; the span
+  * union resolves in one backward sweep, so even pathologically
+  * overlapping matches stay linear. Returns struct<redacted: string,
+  * n_masked: bigint> — the masked-codepoint count rides along so
+  * callers don't re-derive it from string arithmetic. */
+case class AcRedactBcast(
+    child: Expression,
+    bc: Broadcast[Array[String]],
+    maskChar: Byte)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("redacted", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_masked", LongType,
+        nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_ac_redact_bcast requires a string column, got ${t.sql}")
+    }
+
+  @transient private lazy val auto: AcAutomaton = AcScanBcast.build(bc.value)
+
+  override def nullSafeEval(textV: Any): Any =
+    AcScanBcast.redact(auto, textV.asInstanceOf[UTF8String], maskChar)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      val bcRef = ctx.addReferenceObj("acPatternsBc", bc,
+        classOf[Broadcast[Array[String]]].getName)
+      val cls = AcScanBcast.getClass.getName.stripSuffix("$")
+      val a = ctx.addMutableState("graft.functions.AcAutomaton", "acAuto",
+        v => s"$v = $cls.build((String[]) $bcRef.value());")
+      s"""
+         |${ev.value} = $cls.redact($a, $text, (byte) $maskChar);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): AcRedactBcast =
+    copy(child = c)
+
+  override def prettyName: String = "graft_ac_redact_bcast"
+}
+
 object AcScanBcast {
 
   /** Build the frozen automaton: trie insert, BFS failure links,
@@ -170,7 +226,7 @@ object AcScanBcast {
     val dictFail = Array.fill(nNodes)(-1)
     val auto = new AcAutomaton(fail, dictFail, outHead,
       outPidB.toArray, outNextB.toArray, edgeKeys, edgeVals, mask,
-      patterns.length)
+      patterns.length, pats.map(_.length))
 
     // BFS failure links off the frozen edge table
     val queue = new java.util.ArrayDeque[Integer]()
@@ -223,5 +279,72 @@ object AcScanBcast {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Shared by the interpreted and generated paths of
+    * [[AcRedactBcast]]: mask every codepoint any match covers. The
+    * walk records, per byte, the LONGEST needle whose match ends
+    * there (the union of spans ending at one byte is the longest
+    * one); a backward sweep then resolves the union of all spans in
+    * exactly one pass — byte b is covered iff some match ends at
+    * j >= b with j − b < reach(j), which the sweep carries as a
+    * decrementing `need` counter, so even pathologically overlapping
+    * matches stay O(n). The rebuild emits one maskChar per covered
+    * CODEPOINT (matches are codepoint-aligned, so coverage never
+    * tears a multibyte char). Returns (redacted, n_masked) as an
+    * InternalRow. */
+  def redact(auto: AcAutomaton, text: UTF8String, maskChar: Byte)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = text.numBytes()
+    val reach = new Array[Int](n) // longest match ending at each byte
+    var state = 0
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i) & 0xFF
+      var s = state
+      var nxt = auto.edge(s, b)
+      while (nxt == -1 && s != 0) { s = auto.fail(s); nxt = auto.edge(s, b) }
+      state = if (nxt == -1) 0 else nxt
+      var maxLen = 0
+      var t = if (auto.outHead(state) != -1) state else auto.dictFail(state)
+      while (t != -1) {
+        var e = auto.outHead(t)
+        while (e != -1) {
+          val l = auto.patLen(auto.outPid(e))
+          if (l > maxLen) maxLen = l
+          e = auto.outNext(e)
+        }
+        t = auto.dictFail(t)
+      }
+      reach(i) = maxLen
+      i += 1
+    }
+    val covered = new Array[Boolean](n)
+    var need = 0
+    i = n - 1
+    while (i >= 0) {
+      if (reach(i) > need) need = reach(i)
+      if (need > 0) { covered(i) = true; need -= 1 }
+      i -= 1
+    }
+    // rebuild per codepoint: lead bytes are < 0x80 or >= 0xC0
+    val out = new Array[Byte](n)
+    var w = 0
+    var masked = 0L
+    i = 0
+    while (i < n) {
+      val b = text.getByte(i)
+      val isLead = (b & 0xFF) < 0x80 || (b & 0xFF) >= 0xC0
+      if (isLead) {
+        if (covered(i)) { out(w) = maskChar; w += 1; masked += 1L }
+        else { out(w) = b; w += 1 }
+      } else if (!covered(i)) { out(w) = b; w += 1 }
+      // covered continuation bytes drop: their codepoint's single
+      // maskChar was emitted at the lead byte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromBytes(java.util.Arrays.copyOf(out, w)),
+        masked))
   }
 }

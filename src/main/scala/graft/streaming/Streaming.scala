@@ -438,6 +438,16 @@ object Streaming {
       patterns: Seq[String]): DataFrame =
     graft.text.Blocklist.blocklistGate(docs.toDF(), patterns)
 
+  /** Streaming REDACTION: the scrub ([[graft.text.Blocklist
+    * .redactDocs]]) is the same stateless kernel projection, so PII /
+    * canary masking runs at ingest rate before anything persists the
+    * raw text. */
+  def streamingRedact(
+      docs: Dataset[StreamDoc],
+      patterns: Seq[String],
+      mask: Char = '*'): DataFrame =
+    graft.text.Blocklist.redactDocs(docs.toDF(), patterns, mask = mask)
+
   /** Streaming QUALITY GATE, corpus half: online boilerplate detection,
     * the streaming analogue of [[graft.text.Rewrite.stripBoilerplate]].
     * State per chunk tracks the distinct-document frequency UP TO

@@ -48,6 +48,40 @@ object Blocklist {
       .select(col(idCol), col("pattern_id").cast("long").as("pattern_id"),
         col("n_hits"), (col("n_hits") > 0).as("hit"))
 
+  /** Redaction column: every codepoint covered by ANY needle match
+    * becomes one `mask` character — the PII-scrub / canary-strip
+    * spelling of the scan (union-of-spans masking, so overlapping and
+    * nested needles scrub everything any needle touches and the
+    * output is independent of pattern order; multibyte characters are
+    * masked whole). Returns struct<redacted, n_masked> so the
+    * masked-codepoint count comes out of the kernel itself. Same
+    * one-pass automaton; still a pure projection — stream-safe. */
+  def redactCol(text: Column, patterns: Seq[String],
+      mask: Char = '*'): Column = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be a non-empty set of non-empty strings")
+    require(mask >= 0x20 && mask < 0x7F,
+      s"mask must be a printable ASCII char, got ${mask.toInt}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(patterns.toArray)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.AcRedactBcast(expression(text), bc, mask.toByte))
+  }
+
+  /** Per-document redaction: the original id, the scrubbed text, and
+    * `n_masked` (codepoints replaced — 0 means the document was
+    * already clean). One projection, no shuffle. */
+  def redactDocs(
+      docs: DataFrame,
+      patterns: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      mask: Char = '*'): DataFrame =
+    docs.select(col(idCol),
+        redactCol(col(textCol), patterns, mask).as("__r"))
+      .select(col(idCol), col("__r.redacted").as("redacted"),
+        col("__r.n_masked").as("n_masked"))
+
   /** Provenance report — the "which source carries the canary"
     * question: per (source, pattern) the document count, how many of
     * those documents hit, and total occurrences. One kernel

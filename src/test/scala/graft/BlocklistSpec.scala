@@ -114,6 +114,97 @@ class BlocklistSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) === ((1L, 1L, false)))
   }
 
+  /** Independent redaction truth: naive byte-level match cover,
+    * rebuilt per codepoint. */
+  private def naiveRedact(text: String, pats: Seq[String]): (String, Long) = {
+    val t = text.getBytes("UTF-8")
+    val covered = new Array[Boolean](t.length)
+    for (pat <- pats) {
+      val p = pat.getBytes("UTF-8")
+      for (s <- 0 to t.length - p.length
+           if p.indices.forall(i => t(s + i) == p(i));
+           j <- s until s + p.length) covered(j) = true
+    }
+    val sb = new StringBuilder
+    var masked = 0L
+    var i = 0
+    while (i < t.length) {
+      val lead = (t(i) & 0xFF) < 0x80 || (t(i) & 0xFF) >= 0xC0
+      var e = i + 1
+      while (e < t.length &&
+        !((t(e) & 0xFF) < 0x80 || (t(e) & 0xFF) >= 0xC0)) e += 1
+      assert(lead)
+      if (covered(i)) { sb.append('*'); masked += 1L }
+      else sb.append(new String(t.slice(i, e), "UTF-8"))
+      i = e
+    }
+    (sb.toString, masked)
+  }
+
+  private def redactMap(texts: Seq[(Long, String)], pats: Seq[String])
+      : Map[Long, (String, Long)] =
+    graft.text.Blocklist.redactDocs(texts.toDF("doc_id", "text"), pats)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("redacted"), r.getAs[Long]("n_masked")))).toMap
+
+  test("redaction masks the union of match spans, counts exactly") {
+    val texts = Seq(
+      1L -> "a a a table scan scan slow",
+      2L -> "the table is on the table top",
+      3L -> "aaaa", 4L -> "", 5L -> "clean text here")
+    val pats = Seq("table", "ta", "a a", "aa", " the ")
+    val got = redactMap(texts, pats)
+    texts.foreach { case (id, t) =>
+      assert(got(id) === naiveRedact(t, pats), s"doc $id") }
+    // self-overlap: "aaaa" fully covered by "aa" at 0,1,2
+    assert(got(3L) === (("****", 4L)))
+    // clean doc passes through untouched
+    assert(got(5L) === (("clean text here", 0L)))
+    // redaction preserves character length
+    texts.foreach { case (id, t) =>
+      assert(got(id)._1.length === t.length, s"doc $id length") }
+  }
+
+  test("redaction masks multibyte codepoints whole") {
+    val texts = Seq(1L -> "héllo café ok", 2L -> "ééé x", 3L -> "naïve")
+    val pats = Seq("hé", "café", "éé", "ï")
+    val got = redactMap(texts, pats)
+    texts.foreach { case (id, t) =>
+      assert(got(id) === naiveRedact(t, pats), s"doc $id") }
+    assert(got(1L)._1 === "**llo **** ok")
+    assert(got(2L)._1 === "*** x") // union of overlapping "éé" spans
+    assert(got(3L)._1 === "na*ve")
+    // character length preserved even though byte length shrinks
+    texts.foreach { case (id, t) =>
+      assert(got(id)._1.codePointCount(0, got(id)._1.length) ===
+        t.codePointCount(0, t.length), s"doc $id") }
+  }
+
+  test("redaction interpreted and codegen paths agree") {
+    val texts = (0L until 48L).map(i =>
+      i -> s"a a table ${"ab" * (i % 5).toInt} café #$i")
+    val pats = Seq("table", "a a", "ab", "café")
+    val d = texts.toDF("doc_id", "text").repartition(3)
+    def run(mode: String): Map[Long, (String, Long)] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try graft.text.Blocklist.redactDocs(d, pats).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val cg = run("CODEGEN_ONLY")
+    val in = run("NO_CODEGEN")
+    assert(cg === in)
+    texts.foreach { case (id, t) =>
+      assert(cg(id) === naiveRedact(t, pats), s"doc $id") }
+  }
+
+  test("redaction rejects non-printable mask chars") {
+    intercept[IllegalArgumentException] {
+      graft.text.Blocklist.redactCol(col("text"), Seq("x"), '\n')
+    }
+  }
+
   test("provenanceReport folds per-(source, pattern) attribution") {
     val d = Seq(
       (1L, "s1", "table table"), (2L, "s1", "nothing"),

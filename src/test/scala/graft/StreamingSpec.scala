@@ -490,6 +490,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamingBlocklistGate must remain a stateless projection")
   }
 
+  test("streamingRedact replays the batch scrub exactly, stateless") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val pats = Seq("table", "a a", "agg")
+    val batch = graft.text.Blocklist.redactDocs(docs, pats).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("redacted"), r.getAs[Long]("n_masked")))).toMap
+    assert(batch.values.exists(_._2 > 0L))
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val q = Streaming.streamingRedact(in.toDS(), pats)
+      .writeStream.format("memory").queryName("redact_stream")
+      .outputMode("append").start()
+    rows.grouped(100).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("redact_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("redacted"), r.getAs[Long]("n_masked")))).toMap
+    assert(got === batch)
+    val plan = Streaming.streamingRedact(in.toDS(), pats)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"),
+      "streamingRedact must remain a stateless projection")
+  }
+
   test("streamingIngestGate composes the batch gate+quality stages bitwise") {
     import graft.streaming.StreamDoc
     implicit val sqlCtx = spark.sqlContext
