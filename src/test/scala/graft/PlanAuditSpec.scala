@@ -390,4 +390,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!plans("q_audio_trim").contains("Join"),
       "q_audio_trim must stay a per-row decode map")
   }
+
+  test("round-17 operators keep their scale-critical shapes") {
+    // the blocklist family rides the broadcast automaton kernel and
+    // never a join (single-EXPRESSION economy at 1480 needles is
+    // pinned on the optimized plan in ScaleProbeSpec)
+    for (q <- Seq("q_blocklist", "q_blocklist_clean", "q_blocklist_ci")) {
+      assert(plans(q).contains("graft_ac_scan_bcast"),
+        s"$q lost the AC kernel")
+      assert(!plans(q).contains("Join"), s"$q grew a join")
+    }
+    // provenance adds exactly the one small aggregate, still no join
+    assert(plans("q_blocklist_prov").contains("graft_ac_scan_bcast") &&
+      !plans("q_blocklist_prov").contains("Join"),
+      "q_blocklist_prov must stay kernel scan + aggregate")
+    // redaction is one kernel projection end to end
+    assert(plans("q_redact").contains("graft_ac_redact_bcast"),
+      "q_redact lost the redact kernel")
+    assert(!plans("q_redact").contains("Join") &&
+      !plans("q_redact").contains("Aggregate"),
+      "q_redact must stay a stateless projection")
+  }
 }
