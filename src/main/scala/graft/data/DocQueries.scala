@@ -1255,6 +1255,16 @@ object DocQueries {
           Seq("table", "ta", "a a", "scan s", "value table part",
             "agg", "zzqx", " the ", "batch", "le"))
         .orderBy("doc_id")),
+    "q_blocklist_table" -> ((s, dir) => {
+      // the operational shape: needles read from a pattern TABLE
+      // (sorted-distinct collect bounded by the maxPatterns
+      // fail-fast); needle set = each sub-8 doc's leading 8 chars,
+      // so hits genuinely recur across the corpus
+      val pats = documents(s, dir).filter(col("doc_id") < 8)
+        .select(substring(col("text"), 1, 8).as("pattern"))
+      graft.text.Blocklist.blocklistGateFrom(documents(s, dir), pats)
+        .orderBy("doc_id", "pattern_id")
+    }),
     "q_redact" -> ((s, dir) =>
       // REDACTION through the same one-pass automaton: every
       // codepoint covered by ANY needle match becomes one '*'
@@ -4869,6 +4879,29 @@ object DocQueries {
         |  coalesce(sum(c.n), 0) = 0 AS clean
         |FROM d LEFT JOIN cnt c ON c.doc_id = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_blocklist_table" ->
+      // mirrors blocklistGateFrom: pattern_id = the needle's 0-based
+      // position in the sorted distinct set
+      """WITH p0 AS (SELECT DISTINCT substr(text, 1, 8) AS pat
+        |  FROM documents WHERE doc_id < 8
+        |    AND length(substr(text, 1, 8)) > 0),
+        |pats AS (SELECT row_number() OVER (ORDER BY pat) - 1 AS pid, pat
+        |  FROM p0),
+        |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+        |st AS (SELECT doc_id, pid, pat, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN pats),
+        |cnt AS (SELECT doc_id, pid,
+        |  sum(CASE WHEN substr(text, (s + 1)::INT, length(pat)::INT) = pat
+        |      THEN 1 ELSE 0 END)::BIGINT AS n
+        |  FROM st GROUP BY 1, 2)
+        |SELECT d.doc_id AS doc_id, p.pid::BIGINT AS pattern_id,
+        |  coalesce(c.n, 0)::BIGINT AS n_hits,
+        |  coalesce(c.n, 0) > 0 AS hit
+        |FROM d CROSS JOIN pats p
+        |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.pid = p.pid
+        |ORDER BY d.doc_id, pattern_id""".stripMargin,
 
     "q_redact" ->
       // mirrors Blocklist.redactDocs: the union of all match spans,

@@ -33,6 +33,48 @@ object Blocklist {
     column(graft.functions.AcScanBcast(expression(text), bc))
   }
 
+  /** Conf key bounding how many needles [[patternsFrom]] will collect
+    * to the driver (the automaton is a driver-built broadcast, so an
+    * unbounded pattern TABLE must fail fast, not OOM silently — the
+    * CalendarIndex discipline). Default 1,000,000: a million short
+    * needles is tens of MB of automaton, the practical broadcast
+    * ceiling. */
+  val MaxPatternsKey = "spark.graft.blocklist.maxPatterns"
+  val MaxPatternsDefault = 1000000
+
+  /** Collect a needle set from a pattern TABLE (the operational shape:
+    * blocklists live in governed tables, not literals) in a
+    * DETERMINISTIC order (sorted, distinct), bounded by
+    * [[MaxPatternsKey]] — `limit(max + 1)` first, so the failure mode
+    * is an exception naming the conf, never a driver OOM. */
+  def patternsFrom(patterns: DataFrame, patCol: String = "pattern")
+      : Seq[String] = {
+    val max = patterns.sparkSession.conf
+      .get(MaxPatternsKey, MaxPatternsDefault.toString).toInt
+    require(max >= 1, s"$MaxPatternsKey must be >= 1")
+    val rows = patterns.select(col(patCol).cast("string"))
+      .filter(col(patCol).isNotNull && length(col(patCol)) > 0)
+      .distinct().orderBy(patCol).limit(max + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (rows.length > max)
+      throw new IllegalStateException(
+        s"pattern table exceeds $max distinct needles; raise " +
+          s"$MaxPatternsKey if the driver and broadcast budget allow, " +
+          "or pre-filter the blocklist")
+    rows
+  }
+
+  /** [[blocklistGate]] with the needle set read from a pattern table;
+    * `pattern_id` is the needle's 0-based position in the sorted
+    * distinct set (deterministic across runs and engines). */
+  def blocklistGateFrom(
+      docs: DataFrame,
+      patterns: DataFrame,
+      patCol: String = "pattern",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    blocklistGate(docs, patternsFrom(patterns, patCol), textCol, idCol)
+
   /** Per-document verdicts for the whole pattern set: posexplode
     * emits one (doc, pattern_id, n_hits, hit) row per pair — zero-hit
     * pairs included, so the output shape is docs x patterns and an

@@ -220,6 +220,24 @@ class BlocklistSpec extends AnyFunSuite with SparkSpec {
       ("s2", 0L) -> ((3L, 1L, 1L)), ("s2", 1L) -> ((3L, 2L, 3L))))
   }
 
+  test("patternsFrom: sorted-distinct, null/empty dropped, guard fires") {
+    import graft.text.Blocklist
+    val p = Seq(Some("beta"), Some("alpha"), Some("beta"), None, Some(""))
+      .toDF("pattern")
+    assert(Blocklist.patternsFrom(p) === Seq("alpha", "beta"))
+    // gateFrom == gate with the equivalent literal list
+    val d = Seq(1L -> "alpha beta alpha").toDF("doc_id", "text")
+    val viaTable = Blocklist.blocklistGateFrom(d, p).collect()
+      .map(r => r.getAs[Long]("pattern_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(viaTable === Map(0L -> 2L, 1L -> 1L))
+    // the bounded collect fails fast naming the conf, never OOMs
+    spark.conf.set(Blocklist.MaxPatternsKey, "1")
+    try {
+      val e = intercept[IllegalStateException] { Blocklist.patternsFrom(p) }
+      assert(e.getMessage.contains(Blocklist.MaxPatternsKey))
+    } finally spark.conf.unset(Blocklist.MaxPatternsKey)
+  }
+
   test("empty pattern set and empty patterns are rejected eagerly") {
     val d = Seq(1L -> "x").toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
