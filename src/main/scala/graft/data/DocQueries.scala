@@ -1275,6 +1275,18 @@ object DocQueries {
           Seq("table", "ta", "a a", "scan s", "value table part",
             "agg", "zzqx", " the ", "batch", "le"))
         .orderBy("doc_id")),
+    "q_redact_ci" -> ((s, dir) =>
+      // case-folded redaction: the scrub runs ON the normalized text
+      // (normalize changes offsets, so masking the original through
+      // normalized matches would tear spans — the contract is
+      // normalize -> redact, output in normal form)
+      graft.text.Blocklist.redactDocs(
+          documents(s, dir).select(col("doc_id"),
+            TextOps.normalizeText(concat(
+              upper(substring(col("text"), 1, 40)),
+              expr("substr(text, 41)"))).as("text")),
+          Seq("table", "a a", "agg", "zzqx"))
+        .orderBy("doc_id")),
     "q_blocklist_prov" -> ((s, dir) =>
       // provenance report: per (source, pattern) document counts,
       // hit-document counts, and total occurrences — the "which
@@ -4911,6 +4923,37 @@ object DocQueries {
         |  (4, 'value table part'), (5, 'agg'), (6, 'zzqx'),
         |  (7, ' the '), (8, 'batch'), (9, 'le')),
         |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+        |st AS MATERIALIZED (SELECT doc_id, pat, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN pats),
+        |mt AS (SELECT doc_id, s, length(pat) AS k FROM st
+        |  WHERE substr(text, (s + 1)::INT, length(pat)::INT) = pat),
+        |cov0 AS (SELECT doc_id, s, unnest(range(k)) AS o FROM mt),
+        |cov AS (SELECT DISTINCT doc_id, s + o AS p FROM cov0),
+        |ch AS (SELECT doc_id, text,
+        |  unnest(range(length(text))) AS i FROM d),
+        |red AS (SELECT ch.doc_id,
+        |  string_agg(CASE WHEN cov.p IS NOT NULL THEN '*'
+        |    ELSE substr(ch.text, (ch.i + 1)::INT, 1) END, ''
+        |    ORDER BY ch.i) AS redacted,
+        |  sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_masked
+        |  FROM ch LEFT JOIN cov ON cov.doc_id = ch.doc_id AND cov.p = ch.i
+        |  GROUP BY 1)
+        |SELECT d.doc_id, coalesce(red.redacted, d.text) AS redacted,
+        |  coalesce(red.n_masked, 0)::BIGINT AS n_masked
+        |FROM d LEFT JOIN red ON red.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_redact_ci" ->
+      // mirrors the normalize -> redact composition over the same
+      // roughed-up text as q_blocklist_ci
+      """WITH pats(pid, pat) AS (VALUES
+        |  (0, 'table'), (1, 'a a'), (2, 'agg'), (3, 'zzqx')),
+        |d AS (SELECT doc_id::BIGINT AS doc_id,
+        |  lower(nfc_normalize(upper(substr(text, 1, 40)) || substr(text, 41)))
+        |    AS text
+        |  FROM documents),
         |st AS MATERIALIZED (SELECT doc_id, pat, text,
         |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
         |  FROM d CROSS JOIN pats),
