@@ -1275,6 +1275,32 @@ object DocQueries {
           Seq("table", "ta", "a a", "scan s", "value table part",
             "agg", "zzqx", " the ", "batch", "le"))
         .orderBy("doc_id")),
+    "q_redact_report" -> ((s, dir) => {
+      // the mask-then-re-admit curation pass as ONE card: scrub the
+      // corpus, RE-GATE the scrubbed text against the same needle
+      // set (n_rehits is computed, not assumed — masking can never
+      // mint a new needle match since needles never contain the mask
+      // char), and report volume/scrub-share on the 1e-6 grid
+      val pats = Seq("table", "ta", "a a", "scan s", "value table part",
+        "agg", "zzqx", " the ", "batch", "le")
+      val red = graft.text.Blocklist.redactDocs(documents(s, dir), pats)
+      val reGate = graft.text.Blocklist.blocklistVerdicts(
+        red.select(col("doc_id"), col("redacted").as("text")), pats)
+      val totals = red.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_masked") > 0, 1L).otherwise(0L))
+          .as("n_docs_scrubbed"),
+        sum(length(col("redacted")).cast("long")).as("n_chars"),
+        sum(col("n_masked")).as("n_masked_total"))
+      val rh = reGate.agg(
+        coalesce(sum(col("n_hits")), lit(0L)).as("n_rehits"))
+      totals.crossJoin(broadcast(rh))
+        .select(col("n_docs"), col("n_docs_scrubbed"), col("n_chars"),
+          col("n_masked_total"),
+          expr("(2 * n_masked_total * 1000000 + n_chars) div (2 * n_chars)")
+            .as("masked_share_micro"),
+          col("n_rehits"))
+    }),
     "q_redact_ci" -> ((s, dir) =>
       // case-folded redaction: the scrub runs ON the normalized text
       // (normalize changes offsets, so masking the original through
@@ -4944,6 +4970,51 @@ object DocQueries {
         |  coalesce(red.n_masked, 0)::BIGINT AS n_masked
         |FROM d LEFT JOIN red ON red.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_redact_report" ->
+      // mirrors the scrub -> re-gate -> card composite: rebuild every
+      // redacted string, scan it AGAIN for the needle set, fold
+      """WITH pats(pid, pat) AS (VALUES
+        |  (0, 'table'), (1, 'ta'), (2, 'a a'), (3, 'scan s'),
+        |  (4, 'value table part'), (5, 'agg'), (6, 'zzqx'),
+        |  (7, ' the '), (8, 'batch'), (9, 'le')),
+        |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+        |st AS MATERIALIZED (SELECT doc_id, pat, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN pats),
+        |mt AS (SELECT doc_id, s, length(pat) AS k FROM st
+        |  WHERE substr(text, (s + 1)::INT, length(pat)::INT) = pat),
+        |cov0 AS (SELECT doc_id, s, unnest(range(k)) AS o FROM mt),
+        |cov AS (SELECT DISTINCT doc_id, s + o AS p FROM cov0),
+        |ch AS (SELECT doc_id, text,
+        |  unnest(range(length(text))) AS i FROM d),
+        |red AS (SELECT ch.doc_id,
+        |  string_agg(CASE WHEN cov.p IS NOT NULL THEN '*'
+        |    ELSE substr(ch.text, (ch.i + 1)::INT, 1) END, ''
+        |    ORDER BY ch.i) AS redacted,
+        |  sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_masked
+        |  FROM ch LEFT JOIN cov ON cov.doc_id = ch.doc_id AND cov.p = ch.i
+        |  GROUP BY 1),
+        |rd AS (SELECT d.doc_id, coalesce(red.redacted, d.text) AS rt,
+        |  coalesce(red.n_masked, 0)::BIGINT AS n_masked
+        |  FROM d LEFT JOIN red ON red.doc_id = d.doc_id),
+        |st2 AS MATERIALIZED (SELECT doc_id, pat, rt,
+        |  unnest(range(greatest(length(rt) - length(pat) + 1, 0))) AS s
+        |  FROM rd CROSS JOIN pats),
+        |reh AS (SELECT coalesce(sum(CASE WHEN
+        |    substr(rt, (s + 1)::INT, length(pat)::INT) = pat
+        |    THEN 1 ELSE 0 END), 0)::BIGINT AS n_rehits FROM st2),
+        |tot AS (SELECT count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN n_masked > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_docs_scrubbed,
+        |  sum(length(rt))::BIGINT AS n_chars,
+        |  sum(n_masked)::BIGINT AS n_masked_total FROM rd)
+        |SELECT n_docs, n_docs_scrubbed, n_chars, n_masked_total,
+        |  (2 * n_masked_total * 1000000 + n_chars) // (2 * n_chars)
+        |    AS masked_share_micro,
+        |  reh.n_rehits AS n_rehits
+        |FROM tot CROSS JOIN reh""".stripMargin,
 
     "q_redact_ci" ->
       // mirrors the normalize -> redact composition over the same
