@@ -1275,6 +1275,21 @@ object DocQueries {
           Seq("table", "ta", "a a", "scan s", "value table part",
             "agg", "zzqx", " the ", "batch", "le"))
         .orderBy("doc_id")),
+    "q_decontam_exact" -> ((s, dir) => {
+      // CHARACTER-level exact decontamination: each sub-10 doc's FULL
+      // text is a needle (the pattern-table face, bounded collect),
+      // swept against the whole corpus in ONE automaton pass — the
+      // raw-substring complement of q_decontam's token-phrase walk
+      // (catches eval text embedded mid-word or across token edits)
+      val evalPats = documents(s, dir).filter(col("doc_id") < 10)
+        .select(col("text").as("pattern"))
+      graft.text.Blocklist.blocklistGateFrom(documents(s, dir), evalPats)
+        .groupBy("doc_id")
+        .agg(sum(col("n_hits")).as("n_eval_hits"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_eval_needles"))
+        .withColumn("contaminated", col("n_eval_hits") > 0)
+        .orderBy("doc_id")
+    }),
     "q_redact_report" -> ((s, dir) => {
       // the mask-then-re-admit curation pass as ONE card: scrub the
       // corpus, RE-GATE the scrubbed text against the same needle
@@ -4970,6 +4985,30 @@ object DocQueries {
         |  coalesce(red.n_masked, 0)::BIGINT AS n_masked
         |FROM d LEFT JOIN red ON red.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_decontam_exact" ->
+      // mirrors the exact-substring sweep: needles = the sub-10 docs'
+      // full distinct texts; per corpus doc the total occurrences and
+      // the count of distinct needles present
+      """WITH p0 AS (SELECT DISTINCT text AS pat FROM documents
+        |  WHERE doc_id < 10 AND length(text) > 0),
+        |pats AS (SELECT row_number() OVER (ORDER BY pat) - 1 AS pid, pat
+        |  FROM p0),
+        |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+        |st AS (SELECT doc_id, pid, pat, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN pats),
+        |cnt AS (SELECT doc_id, pid,
+        |  sum(CASE WHEN substr(text, (s + 1)::INT, length(pat)::INT) = pat
+        |      THEN 1 ELSE 0 END)::BIGINT AS n
+        |  FROM st GROUP BY 1, 2)
+        |SELECT d.doc_id AS doc_id,
+        |  coalesce(sum(c.n), 0)::BIGINT AS n_eval_hits,
+        |  coalesce(sum(CASE WHEN c.n > 0 THEN 1 ELSE 0 END), 0)::BIGINT
+        |    AS n_eval_needles,
+        |  coalesce(sum(c.n), 0) > 0 AS contaminated
+        |FROM d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_redact_report" ->
       // mirrors the scrub -> re-gate -> card composite: rebuild every

@@ -448,6 +448,33 @@ object Streaming {
       mask: Char = '*'): DataFrame =
     graft.text.Blocklist.redactDocs(docs.toDF(), patterns, mask = mask)
 
+  /** Windowed needle MONITORING — the alarm face of the blocklist
+    * scan: per (event-time window, pattern) the document count, hit
+    * documents, and total occurrences, emitted when the watermark
+    * closes the window ("this hour's crawl spiked on canary #3").
+    * The scan is the stateless kernel projection; the only state is
+    * the windows-x-patterns aggregate (bounded: |patterns| longs per
+    * open window). Running the same operator over a batch frame is
+    * the oracle-able twin (the watermark is a no-op there) —
+    * replay-pinned in StreamingSpec. */
+  def streamingBlocklistCounts(
+      docs: Dataset[StreamDoc],
+      patterns: Seq[String],
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .withColumn("__hits",
+        graft.text.Blocklist.blocklistHitsCol(col("text"), patterns))
+      .select(window(col("ts"), windowLength).as("window"),
+        posexplode(col("__hits")).as(Seq("pattern_id", "n_hits")))
+      .groupBy(col("window"), col("pattern_id").cast("long").as("pattern_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0L, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum(col("n_hits")).as("n_hits"))
+      .select(col("window.start").as("window_start"), col("pattern_id"),
+        col("n_docs"), col("n_docs_hit"), col("n_hits"))
+
   /** Streaming QUALITY GATE, corpus half: online boilerplate detection,
     * the streaming analogue of [[graft.text.Rewrite.stripBoilerplate]].
     * State per chunk tracks the distinct-document frequency UP TO

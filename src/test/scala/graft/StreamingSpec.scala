@@ -1035,6 +1035,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     corpusSets.unpersist()
   }
 
+  test("streamingBlocklistCounts: windowed needle monitor == batch twin") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val pats = Seq("table", "a a", "zzqx")
+    // two hour-windows over the sf0.001 corpus, split by doc parity
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        val ts = if (id % 2 == 0) t("2024-01-01 00:10:00")
+          else t("2024-01-01 01:20:00")
+        StreamDoc(id, ts, text) }
+    val in = MemoryStream[StreamDoc]
+    val q = Streaming.streamingBlocklistCounts(in.toDS(), pats)
+      .writeStream.format("memory").queryName("bl_counts_stream")
+      .outputMode("append").start()
+    docs.grouped(20).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    // a far-future doc advances the watermark past both windows
+    in.addData(StreamDoc(9999L, t("2024-01-02 12:00:00"), "x"))
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val streamed = canon(spark.table("bl_counts_stream")
+      .filter(col("window_start") < t("2024-01-02 00:00:00")))
+    assert(streamed.size === 2 * pats.length) // 2 windows x 3 needles
+    // batch twin: the same operator over one batch frame
+    val batchDs = spark.createDataset(docs.toIndexedSeq)(
+      org.apache.spark.sql.Encoders.product[StreamDoc])
+    val batch = canon(Streaming.streamingBlocklistCounts(batchDs, pats)
+      .filter(col("window_start") < t("2024-01-02 00:00:00")))
+    assert(streamed === batch)
+    // the absent needle reports full doc counts with zero hits
+    streamed.filter(_._1._2 == 2L).values.foreach { case (nd, ndh, nh) =>
+      assert(nd > 0L && ndh === 0L && nh === 0L) }
+    assert(streamed.filter(_._1._2 == 0L).values.exists(_._3 > 0L))
+  }
+
   test("streamingTopKPerKey: streamed leaderboards == batch twin across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
