@@ -314,18 +314,22 @@ object SuffixRank {
         s"$LevelStorageKey must be 'memory' or 'disk', got '$other'")
     }
     val diskMode = storageMode == "disk"
+    // a failed job must not leak the scratch directory: any throw
+    // between store creation and the normal close removes it first
+    def cleanOnError[T](f: => T): T =
+      try f catch { case e: Throwable => store.close(); throw e }
     val free = org.apache.spark.sql.graftbridge.ColumnBridge
       .unpersistLocalCheckpoint(_)
     val baseRanks = ranks
     var totalLevels = 1
-    store.put(1L, ranks)
+    cleanOnError(store.put(1L, ranks))
     // the chain's one resident checkpoint in disk mode (the previous
     // round's frame dies once the next is checkpointed — its level
     // copy is already on scratch parquet)
     var chainCp = remRanks
     var h = 1L
     var tiedDone = false
-    while (h < maxLen && !tiedDone) {
+    while (h < maxLen && !tiedDone) cleanOnError {
       // the guard protects block-manager RETENTION, so it applies to
       // the memory store only; disk levels are scratch files
       if (!diskMode && totalLevels >= maxLevels)
@@ -384,7 +388,7 @@ object SuffixRank {
         col("doc_id").as("__db"), col("pos").as("__pb"))
       .withColumn("__lcp", lit(0L))
       .localCheckpoint()
-    store.levels.foreach { case (span, lvlThunk) =>
+    cleanOnError(store.levels.foreach { case (span, lvlThunk) =>
       val lvl = lvlThunk()
       val prevPairs = pairs
       val la = lvl.select(col("doc_id").as("__da"),
@@ -407,7 +411,7 @@ object SuffixRank {
       // (disk: delete the scratch files; memory: unpersist)
       free(prevPairs)
       store.release(span)
-    }
+    })
     store.close()
     // identical suffixes agree at EVERY retained level (content + end
     // markers), so the descent reaches at least their length before

@@ -268,6 +268,30 @@ class BlocklistSpec extends AnyFunSuite with SparkSpec {
       assert(got((1L, pid.toLong)) === naive(t, p), s"pat '$p'") }
   }
 
+  test("randomized sweep: scan and redact match the naive walk on " +
+      "adversarial small-alphabet corpora") {
+    // small alphabets maximize overlap/nesting/fail-chain traffic;
+    // the multibyte char lands mid-pattern and mid-text
+    val rnd = new scala.util.Random(101)
+    val alphabets = Seq("ab", "abc", "aé ")
+    for ((alpha, round) <- alphabets.zipWithIndex) {
+      def randStr(maxLen: Int): String =
+        (0 until 1 + rnd.nextInt(maxLen))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val pats = (0 until 12).map(_ => randStr(4)).distinct
+      val texts = (0L until 40L).map(i => i -> randStr(60))
+      val gate = gateMap(texts, pats)
+      val red = redactMap(texts, pats)
+      for ((id, t) <- texts) {
+        pats.zipWithIndex.foreach { case (p, pid) =>
+          assert(gate((id, pid.toLong)) === naive(t, p),
+            s"round $round doc $id pat '$p' text '$t'") }
+        assert(red(id) === naiveRedact(t, pats),
+          s"round $round doc $id text '$t'")
+      }
+    }
+  }
+
   test("build rejects empty input and the automaton stays serializable") {
     intercept[IllegalArgumentException] { AcScanBcast.build(Array.empty) }
     val auto = AcScanBcast.build(Array("ab", "b"))
