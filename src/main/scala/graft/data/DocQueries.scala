@@ -1275,6 +1275,17 @@ object DocQueries {
           Seq("table", "ta", "a a", "scan s", "value table part",
             "agg", "zzqx", " the ", "batch", "le"))
         .orderBy("doc_id")),
+    "q_canon" -> ((s, dir) =>
+      // leftmost-longest dictionary canonicalization in one pass:
+      // nested needles ("tab" loses to "table" wherever both start),
+      // self-overlap consumption ("a a a" -> "aa a": the first match
+      // eats its span, the scan resumes after it), deletion (empty
+      // replacement), and a longer-than-needle replacement
+      graft.text.Blocklist.canonicalizeDocs(documents(s, dir),
+          Seq("table" -> "tbl", "tab" -> "T", "a a" -> "aa",
+            "value" -> "", " the " -> " exactly the ",
+            "zzqx" -> "never"))
+        .orderBy("doc_id")),
     "q_decontam_exact" -> ((s, dir) => {
       // CHARACTER-level exact decontamination: each sub-10 doc's FULL
       // text is a needle (the pattern-table face, bounded collect),
@@ -4984,6 +4995,50 @@ object DocQueries {
         |SELECT d.doc_id, coalesce(red.redacted, d.text) AS redacted,
         |  coalesce(red.n_masked, 0)::BIGINT AS n_masked
         |FROM d LEFT JOIN red ON red.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_canon" ->
+      // mirrors the leftmost-longest dictionary walk: best match per
+      // start (longest, tie lowest pid), then a per-MATCH recursive
+      // scan (jump from chosen match to next candidate >= resume
+      // position — rounds = chosen matches, not characters; the
+      // NULLS LAST row pick doubles as the no-more-matches tail)
+      """WITH RECURSIVE maps(pid, pat, rep) AS (VALUES
+        |  (0, 'table', 'tbl'), (1, 'tab', 'T'), (2, 'a a', 'aa'),
+        |  (3, 'value', ''), (4, ' the ', ' exactly the '),
+        |  (5, 'zzqx', 'never')),
+        |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+        |st AS MATERIALIZED (SELECT doc_id, pid, pat, rep, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN maps),
+        |mt AS (SELECT doc_id, s, pid, rep, length(pat) AS k FROM st
+        |  WHERE substr(text, (s + 1)::INT, length(pat)::INT) = pat),
+        |best AS MATERIALIZED (SELECT doc_id, s, k, rep FROM (
+        |  SELECT doc_id, s, k, rep, row_number() OVER (
+        |    PARTITION BY doc_id, s ORDER BY k DESC, pid) AS rn FROM mt) b
+        |  WHERE rn = 1),
+        |walk(doc_id, pos, acc, nrep) AS (
+        |  SELECT doc_id, 0::BIGINT AS pos, '' AS acc, 0::BIGINT AS nrep
+        |  FROM d
+        |  UNION ALL
+        |  SELECT w.doc_id,
+        |    CASE WHEN b.s IS NULL THEN length(d.text)::BIGINT
+        |      ELSE b.s + b.k END,
+        |    w.acc || CASE WHEN b.s IS NULL
+        |      THEN substr(d.text, (w.pos + 1)::INT)
+        |      ELSE substr(d.text, (w.pos + 1)::INT, (b.s - w.pos)::INT)
+        |        || b.rep END,
+        |    w.nrep + CASE WHEN b.s IS NULL THEN 0 ELSE 1 END
+        |  FROM walk w JOIN d ON d.doc_id = w.doc_id
+        |  LEFT JOIN best b ON b.doc_id = w.doc_id AND b.s >= w.pos
+        |  WHERE w.pos < length(d.text)
+        |  QUALIFY row_number() OVER (PARTITION BY w.doc_id, w.pos
+        |    ORDER BY b.s NULLS LAST) = 1),
+        |fin AS (SELECT w.doc_id, w.acc, w.nrep FROM walk w
+        |  JOIN d ON d.doc_id = w.doc_id WHERE w.pos >= length(d.text))
+        |SELECT d.doc_id, coalesce(f.acc, '') AS canonical,
+        |  coalesce(f.nrep, 0)::BIGINT AS n_replaced
+        |FROM d LEFT JOIN fin f ON f.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_decontam_exact" ->

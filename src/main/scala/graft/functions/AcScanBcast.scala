@@ -166,7 +166,135 @@ case class AcRedactBcast(
   override def prettyName: String = "graft_ac_redact_bcast"
 }
 
+/** The replace automaton: the scan automaton plus the replacement
+  * byte strings, frozen together per executor. */
+final class AcReplaceAutomaton(
+    val auto: AcAutomaton,
+    val reps: Array[Array[Byte]]) extends Serializable
+
+/** Leftmost-longest multi-pattern REPLACEMENT through the broadcast
+  * automaton — the canonicalization spelling of the needle scan
+  * (alias → canonical form, typo → fix, banned term → substitute):
+  * scanning left to right, at each position the LONGEST needle
+  * starting there is replaced (ties in length are the same substring,
+  * i.e. duplicate needles — the first one listed wins) and the scan
+  * resumes after it; everything else copies verbatim. This is the
+  * classic sed/str.replace semantics lifted to a whole dictionary in
+  * ONE O(bytes + matches) pass — a fold of per-needle replace calls
+  * is both slower (|needles| passes) and WRONG (later replacements
+  * see earlier ones' output, so the result depends on needle order
+  * and can cascade: "ab"→"bc" then "bc"→"x" turns "ab" into "x").
+  * Returns struct<canonical: string, n_replaced: bigint>. */
+case class AcReplaceBcast(
+    child: Expression,
+    bc: Broadcast[Array[Array[String]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("canonical", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_replaced", LongType,
+        nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_ac_replace_bcast requires a string column, got ${t.sql}")
+    }
+
+  @transient private lazy val auto: AcReplaceAutomaton =
+    AcScanBcast.buildReplace(bc.value)
+
+  override def nullSafeEval(textV: Any): Any =
+    AcScanBcast.replace(auto, textV.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      val bcRef = ctx.addReferenceObj("acMappingsBc", bc,
+        classOf[Broadcast[Array[Array[String]]]].getName)
+      val cls = AcScanBcast.getClass.getName.stripSuffix("$")
+      val a = ctx.addMutableState("graft.functions.AcReplaceAutomaton",
+        "acReplaceAuto",
+        v => s"$v = $cls.buildReplace((String[][]) $bcRef.value());")
+      s"""
+         |${ev.value} = $cls.replace($a, $text);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): AcReplaceBcast =
+    copy(child = c)
+
+  override def prettyName: String = "graft_ac_replace_bcast"
+}
+
 object AcScanBcast {
+
+  /** Build the replace automaton: `raw(0)` = patterns, `raw(1)` =
+    * their replacements (parallel arrays — the two-row layout keeps
+    * the broadcast and the generated code free of tuple types). */
+  def buildReplace(raw: Array[Array[String]]): AcReplaceAutomaton = {
+    require(raw.length == 2 && raw(0).length == raw(1).length,
+      "mappings must be two parallel arrays [patterns, replacements]")
+    new AcReplaceAutomaton(build(raw(0)),
+      raw(1).map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  /** Shared by the interpreted and generated paths of
+    * [[AcReplaceBcast]]: one AC walk records, per START position, the
+    * longest needle beginning there (length tie → lowest pattern id,
+    * i.e. the first-listed duplicate); the rebuild walks left to
+    * right consuming a replacement where a best match starts and
+    * copying bytes verbatim elsewhere. Matches are codepoint-aligned,
+    * so the resume position never lands mid-codepoint. */
+  def replace(ra: AcReplaceAutomaton, text: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val auto = ra.auto
+    val n = text.numBytes()
+    val bestLen = new Array[Int](n)
+    val bestPid = new Array[Int](n)
+    var state = 0
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i) & 0xFF
+      var s = state
+      var nxt = auto.edge(s, b)
+      while (nxt == -1 && s != 0) { s = auto.fail(s); nxt = auto.edge(s, b) }
+      state = if (nxt == -1) 0 else nxt
+      var t = if (auto.outHead(state) != -1) state else auto.dictFail(state)
+      while (t != -1) {
+        var e = auto.outHead(t)
+        while (e != -1) {
+          val pid = auto.outPid(e)
+          val l = auto.patLen(pid)
+          val start = i - l + 1
+          if (l > bestLen(start) ||
+            (l == bestLen(start) && pid < bestPid(start))) {
+            bestLen(start) = l
+            bestPid(start) = pid
+          }
+          e = auto.outNext(e)
+        }
+        t = auto.dictFail(t)
+      }
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(n)
+    var replaced = 0L
+    i = 0
+    while (i < n) {
+      if (bestLen(i) > 0) {
+        out.write(ra.reps(bestPid(i)), 0, ra.reps(bestPid(i)).length)
+        replaced += 1L
+        i += bestLen(i)
+      } else {
+        out.write(text.getByte(i).toInt)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromBytes(out.toByteArray), replaced))
+  }
 
   /** Build the frozen automaton: trie insert, BFS failure links,
     * dict-suffix short circuits, then freeze edges into one

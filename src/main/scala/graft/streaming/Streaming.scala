@@ -448,6 +448,15 @@ object Streaming {
       mask: Char = '*'): DataFrame =
     graft.text.Blocklist.redactDocs(docs.toDF(), patterns, mask = mask)
 
+  /** Streaming CANONICALIZATION: the leftmost-longest dictionary
+    * replacement ([[graft.text.Blocklist.canonicalizeDocs]]) is the
+    * same stateless kernel projection — alias and typo normalization
+    * runs at ingest rate, upstream of every content hash. */
+  def streamingCanonicalize(
+      docs: Dataset[StreamDoc],
+      mappings: Seq[(String, String)]): DataFrame =
+    graft.text.Blocklist.canonicalizeDocs(docs.toDF(), mappings)
+
   /** Windowed needle MONITORING — the alarm face of the blocklist
     * scan: per (event-time window, pattern) the document count, hit
     * documents, and total occurrences, emitted when the watermark

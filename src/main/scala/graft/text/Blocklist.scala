@@ -33,6 +33,36 @@ object Blocklist {
     column(graft.functions.AcScanBcast(expression(text), bc))
   }
 
+  /** Canonicalization column: leftmost-longest dictionary replacement
+    * in one pass ([[graft.functions.AcReplaceBcast]]) — alias →
+    * canonical form, typo → fix, banned term → substitute. Unlike a
+    * fold of per-needle replace calls, the result is independent of
+    * mapping order and never cascades (later replacements cannot see
+    * earlier ones' output). Returns struct<canonical, n_replaced>;
+    * still one kernel projection — stream-safe. */
+  def canonicalizeCol(text: Column, mappings: Seq[(String, String)])
+      : Column = {
+    require(mappings.nonEmpty && mappings.forall(_._1.nonEmpty),
+      "mappings must be a non-empty set with non-empty patterns")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(
+      Array(mappings.map(_._1).toArray, mappings.map(_._2).toArray))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.AcReplaceBcast(expression(text), bc))
+  }
+
+  /** Per-document canonicalization: (id, canonical text, replacement
+    * count). One projection, no shuffle. */
+  def canonicalizeDocs(
+      docs: DataFrame,
+      mappings: Seq[(String, String)],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        canonicalizeCol(col(textCol), mappings).as("__c"))
+      .select(col(idCol), col("__c.canonical").as("canonical"),
+        col("__c.n_replaced").as("n_replaced"))
+
   /** Conf key bounding how many needles [[patternsFrom]] will collect
     * to the driver (the automaton is a driver-built broadcast, so an
     * unbounded pattern TABLE must fail fast, not OOM silently — the

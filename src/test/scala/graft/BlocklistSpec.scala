@@ -268,6 +268,92 @@ class BlocklistSpec extends AnyFunSuite with SparkSpec {
       assert(got((1L, pid.toLong)) === naive(t, p), s"pat '$p'") }
   }
 
+  /** Independent canonicalization truth: naive leftmost-longest walk
+    * in byte space (longest needle starting at the scan position,
+    * length tie → first listed). */
+  private def naiveCanon(text: String, maps: Seq[(String, String)])
+      : (String, Long) = {
+    val t = text.getBytes("UTF-8")
+    val pb = maps.map(_._1.getBytes("UTF-8"))
+    val out = new java.io.ByteArrayOutputStream()
+    var n = 0L
+    var i = 0
+    while (i < t.length) {
+      var bestLen = 0
+      var bestPid = -1
+      pb.zipWithIndex.foreach { case (p, pid) =>
+        if (p.length > bestLen && i + p.length <= t.length &&
+          p.indices.forall(j => t(i + j) == p(j))) {
+          bestLen = p.length; bestPid = pid
+        }
+      }
+      if (bestLen > 0) {
+        val r = maps(bestPid)._2.getBytes("UTF-8")
+        out.write(r, 0, r.length); n += 1L; i += bestLen
+      } else { out.write(t(i).toInt); i += 1 }
+    }
+    (new String(out.toByteArray, "UTF-8"), n)
+  }
+
+  private def canonMap(texts: Seq[(Long, String)],
+      maps: Seq[(String, String)]): Map[Long, (String, Long)] =
+    graft.text.Blocklist.canonicalizeDocs(texts.toDF("doc_id", "text"), maps)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("canonical"), r.getAs[Long]("n_replaced")))).toMap
+
+  test("canonicalization is leftmost-longest, order-independent, " +
+      "non-cascading") {
+    val maps = Seq("table" -> "tbl", "tab" -> "T", "a a" -> "aa",
+      "value" -> "", "ab" -> "ba")
+    val texts = Seq(
+      1L -> "a a a table tab value",
+      2L -> "tabtable abab",
+      3L -> "", 4L -> "no needles here!")
+    val got = canonMap(texts, maps)
+    texts.foreach { case (id, t) =>
+      assert(got(id) === naiveCanon(t, maps), s"doc $id") }
+    // leftmost-longest: "table" wins over "tab" where both start;
+    // self-overlap consumption: "a a a" -> "aa a"
+    assert(got(1L) === (("aa a tbl T ", 4L)))
+    // "tabtable": "tab" at 0 consumes 0-2, "table" at 3 -> "Ttbl";
+    // "abab" -> "ba"+"ba" (no cascade: the output "ba" is never
+    // re-scanned even though it contains a fresh "ab" after the join)
+    assert(got(2L) === (("Ttbl baba", 4L)))
+    assert(got(3L) === (("", 0L)) && got(4L) === (("no needles here!", 0L)))
+    // order independence: shuffling the dictionary changes nothing
+    // (except which duplicate wins, and there are none here)
+    assert(canonMap(texts, maps.reverse).view.mapValues(_._1).toMap ===
+      got.view.mapValues(_._1).toMap)
+  }
+
+  test("canonicalization handles multibyte and replacement growth") {
+    val maps = Seq("café" -> "coffee house", "é" -> "e", "x" -> "")
+    val texts = Seq(1L -> "café éx café", 2L -> "ééé")
+    val got = canonMap(texts, maps)
+    texts.foreach { case (id, t) =>
+      assert(got(id) === naiveCanon(t, maps), s"doc $id") }
+    assert(got(1L) === (("coffee house e coffee house", 4L)))
+    assert(got(2L) === (("eee", 3L)))
+  }
+
+  test("canonicalization interpreted and codegen paths agree") {
+    val maps = Seq("table" -> "tbl", "a a" -> "aa", "ab" -> "ba")
+    val texts = (0L until 48L).map(i =>
+      i -> s"a a table ${"ab" * (i % 5).toInt} end$i")
+    val d = texts.toDF("doc_id", "text").repartition(3)
+    def run(mode: String): Map[Long, (String, Long)] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try graft.text.Blocklist.canonicalizeDocs(d, maps).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val cg = run("CODEGEN_ONLY")
+    assert(cg === run("NO_CODEGEN"))
+    texts.foreach { case (id, t) =>
+      assert(cg(id) === naiveCanon(t, maps), s"doc $id") }
+  }
+
   test("randomized sweep: scan and redact match the naive walk on " +
       "adversarial small-alphabet corpora") {
     // small alphabets maximize overlap/nesting/fail-chain traffic;

@@ -1035,6 +1035,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     corpusSets.unpersist()
   }
 
+  test("streamingCanonicalize replays the batch dictionary walk, stateless") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val maps = Seq("table" -> "tbl", "a a" -> "aa")
+    val batch = graft.text.Blocklist.canonicalizeDocs(docs, maps).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("canonical"), r.getAs[Long]("n_replaced")))).toMap
+    assert(batch.values.exists(_._2 > 0L))
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val q = Streaming.streamingCanonicalize(in.toDS(), maps)
+      .writeStream.format("memory").queryName("canon_stream")
+      .outputMode("append").start()
+    rows.grouped(100).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("canon_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("canonical"), r.getAs[Long]("n_replaced")))).toMap
+    assert(got === batch)
+    val plan = Streaming.streamingCanonicalize(in.toDS(), maps)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"),
+      "streamingCanonicalize must remain a stateless projection")
+  }
+
   test("streamingBlocklistCounts: windowed needle monitor == batch twin") {
     import graft.streaming.StreamDoc
     implicit val sqlCtx = spark.sqlContext
