@@ -327,6 +327,16 @@ class BlocklistSpec extends AnyFunSuite with SparkSpec {
       got.view.mapValues(_._1).toMap)
   }
 
+  test("canonicalization duplicate needles: the first listed wins") {
+    val got = canonMap(Seq(1L -> "x table y"),
+      Seq("table" -> "FIRST", "table" -> "SECOND"))
+    assert(got(1L) === (("x FIRST y", 1L)))
+    // and reversed, the new first wins — the tie rule, not list luck
+    val rev = canonMap(Seq(1L -> "x table y"),
+      Seq("table" -> "SECOND", "table" -> "FIRST"))
+    assert(rev(1L) === (("x SECOND y", 1L)))
+  }
+
   test("canonicalization handles multibyte and replacement growth") {
     val maps = Seq("café" -> "coffee house", "é" -> "e", "x" -> "")
     val texts = Seq(1L -> "café éx café", 2L -> "ééé")

@@ -411,5 +411,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!plans("q_redact").contains("Join") &&
       !plans("q_redact").contains("Aggregate"),
       "q_redact must stay a stateless projection")
+    // canonicalization is one kernel projection end to end
+    assert(plans("q_canon").contains("graft_ac_replace_bcast"),
+      "q_canon lost the replace kernel")
+    assert(!plans("q_canon").contains("Join") &&
+      !plans("q_canon").contains("Aggregate"),
+      "q_canon must stay a stateless projection")
+    // exact decontamination: the corpus side never joins — the only
+    // aggregate is the per-doc fold of the kernel's counts
+    assert(plans("q_decontam_exact").contains("graft_ac_scan_bcast") &&
+      !plans("q_decontam_exact").contains("Join"),
+      "q_decontam_exact must stay kernel scan + per-doc fold")
   }
 }

@@ -316,5 +316,18 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
       needles.zipWithIndex.foreach { case (p, pid) =>
         assert(got(pid) === naive(text, p), s"doc $id needle '$p'") }
     }
+    // the REPLACE kernel carries the same one-expression economy at
+    // dictionary scale (1480 mappings, one plan node)
+    val maps = needles.map(n => n -> s"<${n.take(3)}>")
+    val canon = cd.select(col("doc_id"),
+      Blocklist.canonicalizeCol(col("text"), maps).as("c"))
+    val cPlan = canon.queryExecution.optimizedPlan.toString
+    assert(cPlan.split("graft_ac_replace_bcast").length - 1 === 1 &&
+      !cPlan.contains("Join"))
+    val t1 = System.nanoTime()
+    val nRep = canon.select(sum(col("c.n_replaced"))).collect()(0).getLong(0)
+    info(f"replace @${maps.length} mappings x 5k docs: " +
+      f"${(System.nanoTime() - t1) / 1e9}%.1f s, $nRep replacements")
+    assert(nRep > 0L)
   }
 }
