@@ -1275,6 +1275,13 @@ object DocQueries {
           Seq("table", "ta", "a a", "scan s", "value table part",
             "agg", "zzqx", " the ", "batch", "le"))
         .orderBy("doc_id")),
+    "q_blocklist_spans" -> ((s, dir) =>
+      // the forensic face: every (doc, pattern, start) occurrence as
+      // a 0-based codepoint offset — overlapping and nested spans all
+      // reported; same one-pass kernel, plus only a generator
+      graft.text.Blocklist.blocklistSpans(documents(s, dir),
+          Seq("table", "ta", "a a", "scan s", "zzqx"))
+        .orderBy("doc_id", "start", "pattern_id")),
     "q_canon" -> ((s, dir) =>
       // leftmost-longest dictionary canonicalization in one pass:
       // nested needles ("tab" loses to "table" wherever both start),
@@ -4996,6 +5003,21 @@ object DocQueries {
         |  coalesce(red.n_masked, 0)::BIGINT AS n_masked
         |FROM d LEFT JOIN red ON red.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_blocklist_spans" ->
+      // mirrors blocklistSpans: match start positions per (doc,
+      // pattern), 0-based
+      """WITH pats(pid, pat) AS (VALUES
+        |  (0, 'table'), (1, 'ta'), (2, 'a a'), (3, 'scan s'),
+        |  (4, 'zzqx')),
+        |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+        |st AS MATERIALIZED (SELECT doc_id, pid, pat, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN pats)
+        |SELECT doc_id, pid::BIGINT AS pattern_id, s::BIGINT AS start
+        |FROM st
+        |WHERE substr(text, (s + 1)::INT, length(pat)::INT) = pat
+        |ORDER BY doc_id, start, pattern_id""".stripMargin,
 
     "q_canon" ->
       // mirrors the leftmost-longest dictionary walk: best match per

@@ -166,6 +166,65 @@ case class AcRedactBcast(
   override def prettyName: String = "graft_ac_redact_bcast"
 }
 
+/** Match SPANS through the broadcast automaton — the forensic face of
+  * the blocklist scan: every (pattern_id, start) pair where a needle
+  * matches, as CHARACTER offsets (0-based codepoints, so downstream
+  * `substring`-style tooling lands exactly on the match in both
+  * engines' char space). One O(bytes + matches) pass; the output
+  * array is sorted by (start, pattern_id) so the value is a pure
+  * function of the text + set, independent of walk internals.
+  * Returns array<struct<pattern_id: bigint, start: bigint>>. */
+case class AcSpansBcast(
+    child: Expression,
+    bc: Broadcast[Array[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pattern_id", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("start", LongType,
+        nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_ac_spans_bcast requires a string column, got ${t.sql}")
+    }
+
+  @transient private lazy val auto: AcSpansAutomaton =
+    AcScanBcast.buildSpans(bc.value)
+
+  override def nullSafeEval(textV: Any): Any =
+    AcScanBcast.spans(auto, textV.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      val bcRef = ctx.addReferenceObj("acPatternsBc", bc,
+        classOf[Broadcast[Array[String]]].getName)
+      val cls = AcScanBcast.getClass.getName.stripSuffix("$")
+      val a = ctx.addMutableState("graft.functions.AcSpansAutomaton",
+        "acSpansAuto",
+        v => s"$v = $cls.buildSpans((String[]) $bcRef.value());")
+      s"""
+         |${ev.value} = $cls.spans($a, $text);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): AcSpansBcast =
+    copy(child = c)
+
+  override def prettyName: String = "graft_ac_spans_bcast"
+}
+
+/** The spans automaton: the scan automaton plus each pattern's length
+  * in CODEPOINTS (byte lengths live on the automaton itself). */
+final class AcSpansAutomaton(
+    val auto: AcAutomaton,
+    val patCharLen: Array[Int]) extends Serializable
+
 /** The replace automaton: the scan automaton plus the replacement
   * byte strings, frozen together per executor. */
 final class AcReplaceAutomaton(
@@ -229,6 +288,53 @@ case class AcReplaceBcast(
 }
 
 object AcScanBcast {
+
+  /** Build the spans automaton: the scan automaton plus codepoint
+    * lengths per pattern. */
+  def buildSpans(patterns: Array[String]): AcSpansAutomaton =
+    new AcSpansAutomaton(build(patterns),
+      patterns.map(p => p.codePointCount(0, p.length)))
+
+  /** Shared by the interpreted and generated paths of
+    * [[AcSpansBcast]]: the scan walk carries a codepoint counter
+    * (incremented at every UTF-8 lead byte), each match END yields
+    * start = chars − patCharLen, and the collected pairs sort by
+    * (start, pattern_id) before packing. */
+  def spans(sa: AcSpansAutomaton, text: UTF8String): GenericArrayData = {
+    val auto = sa.auto
+    val n = text.numBytes()
+    val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+    var state = 0
+    var chars = 0L
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i) & 0xFF
+      if (b < 0x80 || b >= 0xC0) chars += 1L
+      var s = state
+      var nxt = auto.edge(s, b)
+      while (nxt == -1 && s != 0) { s = auto.fail(s); nxt = auto.edge(s, b) }
+      state = if (nxt == -1) 0 else nxt
+      var t = if (auto.outHead(state) != -1) state else auto.dictFail(state)
+      while (t != -1) {
+        var e = auto.outHead(t)
+        while (e != -1) {
+          val pid = auto.outPid(e)
+          // pack (start, pid) into one long for a cheap exact sort:
+          // both fit 31 bits (starts < 2^31 chars, pids < 2^31)
+          buf += ((chars - sa.patCharLen(pid)) << 31) | pid.toLong
+          e = auto.outNext(e)
+        }
+        t = auto.dictFail(t)
+      }
+      i += 1
+    }
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr.map { packed =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](packed & ((1L << 31) - 1), packed >>> 31)): Any
+    })
+  }
 
   /** Build the replace automaton: `raw(0)` = patterns, `raw(1)` =
     * their replacements (parallel arrays — the two-row layout keeps

@@ -33,6 +33,29 @@ object Blocklist {
     column(graft.functions.AcScanBcast(expression(text), bc))
   }
 
+  /** Match SPANS — the forensic face: one row per (doc, pattern,
+    * start) occurrence, `start` a 0-based CODEPOINT offset (what
+    * `substring`-style tooling consumes in both engines). Docs with
+    * no matches emit nothing (unlike the gate's zero-hit pairs —
+    * spans answer "where exactly", not "which are clean"). Still one
+    * kernel projection + a generator; stream-safe. */
+  def blocklistSpans(
+      docs: DataFrame,
+      patterns: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be a non-empty set of non-empty strings")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(patterns.toArray)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    docs.withColumn("__spans",
+        column(graft.functions.AcSpansBcast(expression(col(textCol)), bc)))
+      .select(col(idCol), explode(col("__spans")).as("__m"))
+      .select(col(idCol), col("__m.pattern_id").as("pattern_id"),
+        col("__m.start").as("start"))
+  }
+
   /** Canonicalization column: leftmost-longest dictionary replacement
     * in one pass ([[graft.functions.AcReplaceBcast]]) — alias →
     * canonical form, typo → fix, banned term → substitute. Unlike a

@@ -327,6 +327,42 @@ class BlocklistSpec extends AnyFunSuite with SparkSpec {
       got.view.mapValues(_._1).toMap)
   }
 
+  private def spansSet(texts: Seq[(Long, String)], pats: Seq[String])
+      : Set[(Long, Long, Long)] =
+    graft.text.Blocklist.blocklistSpans(texts.toDF("doc_id", "text"), pats)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pattern_id"),
+        r.getAs[Long]("start"))).toSet
+
+  test("spans report every occurrence at its codepoint offset") {
+    val texts = Seq(1L -> "a a a table", 2L -> "clean", 3L -> "")
+    val got = spansSet(texts, Seq("table", "ta", "a a"))
+    // naive truth in char space
+    val want = (for {
+      (id, t) <- texts
+      (p, pid) <- Seq("table", "ta", "a a").zipWithIndex
+      s <- 0 to t.length - p.length
+      if t.substring(s, s + p.length) == p
+    } yield (id, pid.toLong, s.toLong)).toSet
+    assert(got === want)
+    // overlap ("a a" at 0 and 2) and nesting ("ta" inside "table")
+    assert(got((1L, 2L, 0L)) && got((1L, 2L, 2L)) && got((1L, 1L, 6L)))
+    // clean and empty docs emit nothing
+    assert(!got.exists(x => x._1 == 2L || x._1 == 3L))
+  }
+
+  test("spans are codepoint offsets, not byte offsets") {
+    // "é" is 2 bytes / 1 codepoint: matches after it shift in byte
+    // space but not in char space
+    val got = spansSet(Seq(1L -> "éé table"), Seq("table", "é"))
+    assert(got === Set((1L, 1L, 0L), (1L, 1L, 1L), (1L, 0L, 3L)))
+    // Spark's own substring agrees with the reported offset
+    import spark.implicits._
+    val check = Seq(1L -> "éé table").toDF("doc_id", "text")
+      .select(expr("substring(text, 4, 5)")).collect()(0).getString(0)
+    assert(check === "table")
+  }
+
   test("canonicalization duplicate needles: the first listed wins") {
     val got = canonMap(Seq(1L -> "x table y"),
       Seq("table" -> "FIRST", "table" -> "SECOND"))
