@@ -1275,6 +1275,17 @@ object DocQueries {
           Seq("table", "ta", "a a", "scan s", "value table part",
             "agg", "zzqx", " the ", "batch", "le"))
         .orderBy("doc_id")),
+    "q_canon_table" -> ((s, dir) => {
+      // dictionary from a MAPPING TABLE (the governed-table shape):
+      // each sub-8 doc's 6-char prefix maps to its uppercased 3-char
+      // prefix; bounded sorted-distinct collect, then the same
+      // one-pass leftmost-longest walk
+      val maps = documents(s, dir).filter(col("doc_id") < 8)
+        .select(substring(col("text"), 1, 6).as("pattern"),
+          upper(substring(col("text"), 1, 3)).as("replacement"))
+      graft.text.Blocklist.canonicalizeDocsFrom(documents(s, dir), maps)
+        .orderBy("doc_id")
+    }),
     "q_blocklist_spans" -> ((s, dir) =>
       // the forensic face: every (doc, pattern, start) occurrence as
       // a 0-based codepoint offset — overlapping and nested spans all
@@ -5002,6 +5013,51 @@ object DocQueries {
         |SELECT d.doc_id, coalesce(red.redacted, d.text) AS redacted,
         |  coalesce(red.n_masked, 0)::BIGINT AS n_masked
         |FROM d LEFT JOIN red ON red.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_canon_table" ->
+      // mirrors canonicalizeDocsFrom: dictionary = sorted distinct
+      // (6-char prefix -> min uppercased 3-char prefix) of the sub-8
+      // docs, then the q_canon per-match recursive walk (no pid
+      // tiebreak needed: distinct patterns of equal length matching
+      // one start would be identical strings)
+      """WITH RECURSIVE m0 AS (SELECT DISTINCT substr(text, 1, 6) AS pat,
+        |  upper(substr(text, 1, 3)) AS rep
+        |  FROM documents WHERE doc_id < 8
+        |    AND length(substr(text, 1, 6)) > 0),
+        |maps AS (SELECT pat, min(rep) AS rep FROM m0 GROUP BY pat),
+        |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+        |st AS MATERIALIZED (SELECT doc_id, pat, rep, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN maps),
+        |mt AS (SELECT doc_id, s, rep, length(pat) AS k FROM st
+        |  WHERE substr(text, (s + 1)::INT, length(pat)::INT) = pat),
+        |best AS MATERIALIZED (SELECT doc_id, s, k, rep FROM (
+        |  SELECT doc_id, s, k, rep, row_number() OVER (
+        |    PARTITION BY doc_id, s ORDER BY k DESC) AS rn FROM mt) b
+        |  WHERE rn = 1),
+        |walk(doc_id, pos, acc, nrep) AS (
+        |  SELECT doc_id, 0::BIGINT AS pos, '' AS acc, 0::BIGINT AS nrep
+        |  FROM d
+        |  UNION ALL
+        |  SELECT w.doc_id,
+        |    CASE WHEN b.s IS NULL THEN length(d.text)::BIGINT
+        |      ELSE b.s + b.k END,
+        |    w.acc || CASE WHEN b.s IS NULL
+        |      THEN substr(d.text, (w.pos + 1)::INT)
+        |      ELSE substr(d.text, (w.pos + 1)::INT, (b.s - w.pos)::INT)
+        |        || b.rep END,
+        |    w.nrep + CASE WHEN b.s IS NULL THEN 0 ELSE 1 END
+        |  FROM walk w JOIN d ON d.doc_id = w.doc_id
+        |  LEFT JOIN best b ON b.doc_id = w.doc_id AND b.s >= w.pos
+        |  WHERE w.pos < length(d.text)
+        |  QUALIFY row_number() OVER (PARTITION BY w.doc_id, w.pos
+        |    ORDER BY b.s NULLS LAST) = 1),
+        |fin AS (SELECT w.doc_id, w.acc, w.nrep FROM walk w
+        |  JOIN d ON d.doc_id = w.doc_id WHERE w.pos >= length(d.text))
+        |SELECT d.doc_id, coalesce(f.acc, '') AS canonical,
+        |  coalesce(f.nrep, 0)::BIGINT AS n_replaced
+        |FROM d LEFT JOIN fin f ON f.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_blocklist_spans" ->

@@ -117,6 +117,49 @@ object Blocklist {
     rows
   }
 
+  /** Collect a canonicalization DICTIONARY from a mapping table
+    * (pattern → replacement), deterministic and bounded like
+    * [[patternsFrom]]: null/empty patterns and null replacements
+    * drop, a pattern mapped to several replacements resolves to the
+    * LEXICOGRAPHICALLY SMALLEST (a governed dictionary should never
+    * collide — the rule just keeps the operator a pure function of
+    * the table's content), sorted by pattern, `limit(max + 1)`
+    * fail-fast on [[MaxPatternsKey]]. */
+  def mappingsFrom(
+      mappings: DataFrame,
+      patCol: String = "pattern",
+      repCol: String = "replacement"): Seq[(String, String)] = {
+    val max = mappings.sparkSession.conf
+      .get(MaxPatternsKey, MaxPatternsDefault.toString).toInt
+    require(max >= 1, s"$MaxPatternsKey must be >= 1")
+    val rows = mappings
+      .select(col(patCol).cast("string").as("__p"),
+        col(repCol).cast("string").as("__r"))
+      .filter(col("__p").isNotNull && length(col("__p")) > 0 &&
+        col("__r").isNotNull)
+      .groupBy("__p").agg(min("__r").as("__r"))
+      .orderBy("__p").limit(max + 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    if (rows.length > max)
+      throw new IllegalStateException(
+        s"mapping table exceeds $max distinct patterns; raise " +
+          s"$MaxPatternsKey if the driver and broadcast budget allow, " +
+          "or pre-filter the dictionary")
+    rows
+  }
+
+  /** [[canonicalizeDocs]] with the dictionary read from a mapping
+    * table ([[mappingsFrom]] semantics). */
+  def canonicalizeDocsFrom(
+      docs: DataFrame,
+      mappings: DataFrame,
+      patCol: String = "pattern",
+      repCol: String = "replacement",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    canonicalizeDocs(docs, mappingsFrom(mappings, patCol, repCol),
+      textCol, idCol)
+
   /** [[blocklistGate]] with the needle set read from a pattern table;
     * `pattern_id` is the needle's 0-based position in the sorted
     * distinct set (deterministic across runs and engines). */

@@ -363,6 +363,21 @@ class BlocklistSpec extends AnyFunSuite with SparkSpec {
     assert(check === "table")
   }
 
+  test("mappingsFrom: sorted, min-replacement collision rule, guard") {
+    import graft.text.Blocklist
+    val m = Seq(("beta", Some("B2")), ("alpha", Some("A")),
+      ("beta", Some("B1")), ("", Some("x")), ("gamma", None))
+      .toDF("pattern", "replacement")
+    assert(Blocklist.mappingsFrom(m) ===
+      Seq("alpha" -> "A", "beta" -> "B1"))
+    val d = Seq(1L -> "alpha beta gamma").toDF("doc_id", "text")
+    val got = Blocklist.canonicalizeDocsFrom(d, m).collect()(0)
+    assert(got.getString(1) === "A B1 gamma" && got.getLong(2) === 2L)
+    spark.conf.set(Blocklist.MaxPatternsKey, "1")
+    try intercept[IllegalStateException] { Blocklist.mappingsFrom(m) }
+    finally spark.conf.unset(Blocklist.MaxPatternsKey)
+  }
+
   test("canonicalization duplicate needles: the first listed wins") {
     val got = canonMap(Seq(1L -> "x table y"),
       Seq("table" -> "FIRST", "table" -> "SECOND"))
