@@ -19,19 +19,25 @@ import org.apache.spark.sql.functions._
   * ([[graft.streaming.Streaming.streamingBlocklistGate]]). */
 object Blocklist {
 
-  /** Column of per-pattern occurrence counts (`array<long>`, index =
-    * pattern position in `patterns`): counts match END positions, so
-    * overlapping and nested matches all count (`"a a"` twice in
-    * `"a a a"`; `"ta"` inside every `"table"`). Duplicate patterns
-    * each keep their own slot. */
-  def blocklistHitsCol(text: Column, patterns: Seq[String]): Column = {
+  private def hitsColOn(spark: org.apache.spark.sql.SparkSession,
+      text: Column, patterns: Seq[String]): Column = {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
       "patterns must be a non-empty set of non-empty strings")
-    val spark = org.apache.spark.sql.SparkSession.active
     val bc = spark.sparkContext.broadcast(patterns.toArray)
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(graft.functions.AcScanBcast(expression(text), bc))
   }
+
+  /** Column of per-pattern occurrence counts (`array<long>`, index =
+    * pattern position in `patterns`): counts match END positions, so
+    * overlapping and nested matches all count (`"a a"` twice in
+    * `"a a a"`; `"ta"` inside every `"table"`). Duplicate patterns
+    * each keep their own slot. NULL text yields a NULL counts array
+    * (standard null propagation). This column-only convenience
+    * broadcasts on the ACTIVE session; the DataFrame faces below
+    * broadcast on their own frame's session. */
+  def blocklistHitsCol(text: Column, patterns: Seq[String]): Column =
+    hitsColOn(org.apache.spark.sql.SparkSession.active, text, patterns)
 
   /** Match SPANS — the forensic face: one row per (doc, pattern,
     * start) occurrence, `start` a 0-based CODEPOINT offset (what
@@ -46,7 +52,7 @@ object Blocklist {
       idCol: String = "doc_id"): DataFrame = {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
       "patterns must be a non-empty set of non-empty strings")
-    val spark = org.apache.spark.sql.SparkSession.active
+    val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(patterns.toArray)
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     docs.withColumn("__spans",
@@ -62,12 +68,18 @@ object Blocklist {
     * fold of per-needle replace calls, the result is independent of
     * mapping order and never cascades (later replacements cannot see
     * earlier ones' output). Returns struct<canonical, n_replaced>;
-    * still one kernel projection — stream-safe. */
+    * still one kernel projection — stream-safe. Column-only
+    * convenience on the ACTIVE session (see [[blocklistHitsCol]]). */
   def canonicalizeCol(text: Column, mappings: Seq[(String, String)])
-      : Column = {
+      : Column =
+    canonicalizeColOn(org.apache.spark.sql.SparkSession.active,
+      text, mappings)
+
+  private def canonicalizeColOn(
+      spark: org.apache.spark.sql.SparkSession,
+      text: Column, mappings: Seq[(String, String)]): Column = {
     require(mappings.nonEmpty && mappings.forall(_._1.nonEmpty),
       "mappings must be a non-empty set with non-empty patterns")
-    val spark = org.apache.spark.sql.SparkSession.active
     val bc = spark.sparkContext.broadcast(
       Array(mappings.map(_._1).toArray, mappings.map(_._2).toArray))
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -82,7 +94,8 @@ object Blocklist {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol),
-        canonicalizeCol(col(textCol), mappings).as("__c"))
+        canonicalizeColOn(docs.sparkSession, col(textCol), mappings)
+          .as("__c"))
       .select(col(idCol), col("__c.canonical").as("canonical"),
         col("__c.n_replaced").as("n_replaced"))
 
@@ -180,7 +193,8 @@ object Blocklist {
       patterns: Seq[String],
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    docs.withColumn("__hits", blocklistHitsCol(col(textCol), patterns))
+    docs.withColumn("__hits",
+        hitsColOn(docs.sparkSession, col(textCol), patterns))
       .select(col(idCol),
         posexplode(col("__hits")).as(Seq("pattern_id", "n_hits")))
       .select(col(idCol), col("pattern_id").cast("long").as("pattern_id"),
@@ -195,12 +209,16 @@ object Blocklist {
     * masked-codepoint count comes out of the kernel itself. Same
     * one-pass automaton; still a pure projection — stream-safe. */
   def redactCol(text: Column, patterns: Seq[String],
-      mask: Char = '*'): Column = {
+      mask: Char = '*'): Column =
+    redactColOn(org.apache.spark.sql.SparkSession.active,
+      text, patterns, mask)
+
+  private def redactColOn(spark: org.apache.spark.sql.SparkSession,
+      text: Column, patterns: Seq[String], mask: Char): Column = {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
       "patterns must be a non-empty set of non-empty strings")
     require(mask >= 0x20 && mask < 0x7F,
       s"mask must be a printable ASCII char, got ${mask.toInt}")
-    val spark = org.apache.spark.sql.SparkSession.active
     val bc = spark.sparkContext.broadcast(patterns.toArray)
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(graft.functions.AcRedactBcast(expression(text), bc, mask.toByte))
@@ -216,7 +234,8 @@ object Blocklist {
       idCol: String = "doc_id",
       mask: Char = '*'): DataFrame =
     docs.select(col(idCol),
-        redactCol(col(textCol), patterns, mask).as("__r"))
+        redactColOn(docs.sparkSession, col(textCol), patterns, mask)
+          .as("__r"))
       .select(col(idCol), col("__r.redacted").as("redacted"),
         col("__r.n_masked").as("n_masked"))
 
@@ -233,7 +252,8 @@ object Blocklist {
       patterns: Seq[String],
       textCol: String = "text",
       byCol: String = "source"): DataFrame =
-    docs.withColumn("__hits", blocklistHitsCol(col(textCol), patterns))
+    docs.withColumn("__hits",
+        hitsColOn(docs.sparkSession, col(textCol), patterns))
       .select(col(byCol),
         posexplode(col("__hits")).as(Seq("pattern_id", "n_hits")))
       .groupBy(col(byCol), col("pattern_id").cast("long").as("pattern_id"))
@@ -251,7 +271,8 @@ object Blocklist {
       patterns: Seq[String],
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    docs.withColumn("__hits", blocklistHitsCol(col(textCol), patterns))
+    docs.withColumn("__hits",
+        hitsColOn(docs.sparkSession, col(textCol), patterns))
       .select(col(idCol),
         aggregate(col("__hits"), lit(0L), (a, x) => a + x).as("n_hits"),
         aggregate(col("__hits"), lit(0L),
