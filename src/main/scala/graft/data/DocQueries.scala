@@ -1275,6 +1275,23 @@ object DocQueries {
           Seq("table", "ta", "a a", "scan s", "value table part",
             "agg", "zzqx", " the ", "batch", "le"))
         .orderBy("doc_id")),
+    "q_canon_dedup" -> ((s, dir) => {
+      // WHY canonicalization precedes content hashes: every 7th doc
+      // gets an alias'd twin (its text with "table" already rewritten
+      // to "tbl", id-shifted) — raw texts differ, canonical forms
+      // collapse, so the exact-dedup group of each twin pair is ONE
+      // keeper. canon -> groupBy(canonical) is the composite shape
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val aliased = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "table", "tbl").as("text"))
+      val canon = graft.text.Blocklist.canonicalizeDocs(
+        d.unionByName(aliased), Seq("table" -> "tbl"))
+      canon.groupBy("canonical")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .select("keep_id", "n_docs")
+        .orderBy("keep_id")
+    }),
     "q_canon_table" -> ((s, dir) => {
       // dictionary from a MAPPING TABLE (the governed-table shape):
       // each sub-8 doc's 6-char prefix maps to its uppercased 3-char
@@ -5014,6 +5031,20 @@ object DocQueries {
         |  coalesce(red.n_masked, 0)::BIGINT AS n_masked
         |FROM d LEFT JOIN red ON red.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_canon_dedup" ->
+      // mirrors the canon -> hash-dedup composite: for the single
+      // borderless needle "table" (no self-overlap possible) the
+      // leftmost-longest walk equals plain replace(), so the oracle
+      // replays it directly
+      """WITH d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+        |al AS (SELECT doc_id + 100000 AS doc_id,
+        |  replace(text, 'table', 'tbl') AS text
+        |  FROM d WHERE doc_id % 7 = 0),
+        |c AS (SELECT doc_id, replace(text, 'table', 'tbl') AS canonical
+        |  FROM (SELECT * FROM d UNION ALL SELECT * FROM al))
+        |SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_docs
+        |FROM c GROUP BY canonical ORDER BY keep_id""".stripMargin,
 
     "q_canon_table" ->
       // mirrors canonicalizeDocsFrom: dictionary = sorted distinct
