@@ -1280,13 +1280,24 @@ object DocQueries {
       // gets an alias'd twin (its text with "table" already rewritten
       // to "tbl", id-shifted) — raw texts differ, canonical forms
       // collapse, so the exact-dedup group of each twin pair is ONE
-      // keeper. canon -> groupBy(canonical) is the composite shape
+      // keeper. canon -> groupBy(canonical) is the composite shape.
+      // The dictionary carries OVERLAPPING needles (round 13: "ta" a
+      // prefix of "table", "le" its suffix), so the composite itself
+      // exercises the leftmost-longest walk — at every "table" start
+      // the longest needle must win or the twins fail to collapse; a
+      // fold of per-needle replaces would break the equality. Twins
+      // still collapse: "table" starts can never be consumed by a
+      // "ta"/"le" match beginning earlier (both would need the 't' to
+      // be a different character), and no replacement string mints a
+      // needle, so canonical(text) == canonical(text with "table"
+      // pre-replaced) exactly.
+      val dict = Seq("table" -> "tbl", "ta" -> "tX", "le" -> "lY")
       val d = documents(s, dir).select(col("doc_id"), col("text"))
       val aliased = d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           regexp_replace(col("text"), "table", "tbl").as("text"))
       val canon = graft.text.Blocklist.canonicalizeDocs(
-        d.unionByName(aliased), Seq("table" -> "tbl"))
+        d.unionByName(aliased), dict)
       canon.groupBy("canonical")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
         .select("keep_id", "n_docs")
@@ -1358,7 +1369,11 @@ object DocQueries {
       totals.crossJoin(broadcast(rh))
         .select(col("n_docs"), col("n_docs_scrubbed"), col("n_chars"),
           col("n_masked_total"),
-          expr("(2 * n_masked_total * 1000000 + n_chars) div (2 * n_chars)")
+          // n_chars = 0 guard (advice r12): on an all-empty corpus
+          // Spark's div yields NULL while DuckDB's // raises — both
+          // twins pin the share to 0 so degenerate corpora agree
+          when(col("n_chars") === 0L, lit(0L)).otherwise(
+            expr("(2 * n_masked_total * 1000000 + n_chars) div (2 * n_chars)"))
             .as("masked_share_micro"),
           col("n_rehits"))
     }),
@@ -5033,16 +5048,50 @@ object DocQueries {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_canon_dedup" ->
-      // mirrors the canon -> hash-dedup composite: for the single
-      // borderless needle "table" (no self-overlap possible) the
-      // leftmost-longest walk equals plain replace(), so the oracle
-      // replays it directly
-      """WITH d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+      // mirrors the canon -> hash-dedup composite with the OVERLAPPING
+      // three-needle dictionary (round 13): the q_canon recursive
+      // leftmost-longest walk replayed over the union of the corpus
+      // and the alias'd twins, then the keeper groupBy — the plain
+      // replace() shortcut of the old single-needle dictionary would
+      // now be WRONG (a per-needle fold cascades where "ta"/"le"
+      // overlap "table")
+      """WITH RECURSIVE maps(pid, pat, rep) AS (VALUES
+        |  (0, 'table', 'tbl'), (1, 'ta', 'tX'), (2, 'le', 'lY')),
+        |d0 AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
         |al AS (SELECT doc_id + 100000 AS doc_id,
         |  replace(text, 'table', 'tbl') AS text
-        |  FROM d WHERE doc_id % 7 = 0),
-        |c AS (SELECT doc_id, replace(text, 'table', 'tbl') AS canonical
-        |  FROM (SELECT * FROM d UNION ALL SELECT * FROM al))
+        |  FROM d0 WHERE doc_id % 7 = 0),
+        |d AS (SELECT * FROM d0 UNION ALL SELECT * FROM al),
+        |st AS MATERIALIZED (SELECT doc_id, pid, pat, rep, text,
+        |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+        |  FROM d CROSS JOIN maps),
+        |mt AS (SELECT doc_id, s, pid, rep, length(pat) AS k FROM st
+        |  WHERE substr(text, (s + 1)::INT, length(pat)::INT) = pat),
+        |best AS MATERIALIZED (SELECT doc_id, s, k, rep FROM (
+        |  SELECT doc_id, s, k, rep, row_number() OVER (
+        |    PARTITION BY doc_id, s ORDER BY k DESC, pid) AS rn FROM mt) b
+        |  WHERE rn = 1),
+        |walk(doc_id, pos, acc, nrep) AS (
+        |  SELECT doc_id, 0::BIGINT AS pos, '' AS acc, 0::BIGINT AS nrep
+        |  FROM d
+        |  UNION ALL
+        |  SELECT w.doc_id,
+        |    CASE WHEN b.s IS NULL THEN length(d.text)::BIGINT
+        |      ELSE b.s + b.k END,
+        |    w.acc || CASE WHEN b.s IS NULL
+        |      THEN substr(d.text, (w.pos + 1)::INT)
+        |      ELSE substr(d.text, (w.pos + 1)::INT, (b.s - w.pos)::INT)
+        |        || b.rep END,
+        |    w.nrep + CASE WHEN b.s IS NULL THEN 0 ELSE 1 END
+        |  FROM walk w JOIN d ON d.doc_id = w.doc_id
+        |  LEFT JOIN best b ON b.doc_id = w.doc_id AND b.s >= w.pos
+        |  WHERE w.pos < length(d.text)
+        |  QUALIFY row_number() OVER (PARTITION BY w.doc_id, w.pos
+        |    ORDER BY b.s NULLS LAST) = 1),
+        |fin AS (SELECT w.doc_id, w.acc FROM walk w
+        |  JOIN d ON d.doc_id = w.doc_id WHERE w.pos >= length(d.text)),
+        |c AS (SELECT d.doc_id, coalesce(f.acc, '') AS canonical
+        |  FROM d LEFT JOIN fin f ON f.doc_id = d.doc_id)
         |SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_docs
         |FROM c GROUP BY canonical ORDER BY keep_id""".stripMargin,
 
@@ -5214,8 +5263,9 @@ object DocQueries {
         |  sum(length(rt))::BIGINT AS n_chars,
         |  sum(n_masked)::BIGINT AS n_masked_total FROM rd)
         |SELECT n_docs, n_docs_scrubbed, n_chars, n_masked_total,
-        |  (2 * n_masked_total * 1000000 + n_chars) // (2 * n_chars)
-        |    AS masked_share_micro,
+        |  CASE WHEN n_chars = 0 THEN 0 ELSE
+        |    (2 * n_masked_total * 1000000 + n_chars) // (2 * n_chars)
+        |  END AS masked_share_micro,
         |  reh.n_rehits AS n_rehits
         |FROM tot CROSS JOIN reh""".stripMargin,
 

@@ -9,8 +9,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Frozen Aho–Corasick automaton over UTF-8 BYTES — built once per
-  * executor from the broadcast pattern set, shared by the interpreted
-  * and generated paths of [[AcScanBcast]]. Matching on raw bytes is
+  * executor JVM from the broadcast pattern set (a process-level cache
+  * keyed by broadcast id — see [[AcScanBcast.cachedScan]] — so every
+  * generated-class instance and interpreted task shares ONE build;
+  * advice r12: addMutableState init alone would rebuild per
+  * task/partition, a multi-second, tens-of-MB rebuild at the 1M-needle
+  * ceiling), shared by the interpreted and generated paths of
+  * [[AcScanBcast]]. Matching on raw bytes is
   * codepoint-exact for valid UTF-8: a pattern's first byte is a lead
   * byte (0x00–0x7F, 0xC2–0xF4) and continuation bytes live in
   * 0x80–0xBF, so a byte-level match can never start (or end)
@@ -88,7 +93,7 @@ case class AcScanBcast(
         s"graft_ac_scan_bcast requires a string column, got ${t.sql}")
     }
 
-  @transient private lazy val auto: AcAutomaton = AcScanBcast.build(bc.value)
+  @transient private lazy val auto: AcAutomaton = AcScanBcast.cachedScan(bc)
 
   override def nullSafeEval(textV: Any): Any =
     AcScanBcast.hits(auto, textV.asInstanceOf[UTF8String])
@@ -99,7 +104,7 @@ case class AcScanBcast(
         classOf[Broadcast[Array[String]]].getName)
       val cls = AcScanBcast.getClass.getName.stripSuffix("$")
       val a = ctx.addMutableState("graft.functions.AcAutomaton", "acAuto",
-        v => s"$v = $cls.build((String[]) $bcRef.value());")
+        v => s"$v = $cls.cachedScan($bcRef);")
       s"""
          |${ev.value} = $cls.hits($a, $text);
        """.stripMargin
@@ -143,7 +148,7 @@ case class AcRedactBcast(
         s"graft_ac_redact_bcast requires a string column, got ${t.sql}")
     }
 
-  @transient private lazy val auto: AcAutomaton = AcScanBcast.build(bc.value)
+  @transient private lazy val auto: AcAutomaton = AcScanBcast.cachedScan(bc)
 
   override def nullSafeEval(textV: Any): Any =
     AcScanBcast.redact(auto, textV.asInstanceOf[UTF8String], maskChar)
@@ -154,7 +159,7 @@ case class AcRedactBcast(
         classOf[Broadcast[Array[String]]].getName)
       val cls = AcScanBcast.getClass.getName.stripSuffix("$")
       val a = ctx.addMutableState("graft.functions.AcAutomaton", "acAuto",
-        v => s"$v = $cls.build((String[]) $bcRef.value());")
+        v => s"$v = $cls.cachedScan($bcRef);")
       s"""
          |${ev.value} = $cls.redact($a, $text, (byte) $maskChar);
        """.stripMargin
@@ -195,7 +200,7 @@ case class AcSpansBcast(
     }
 
   @transient private lazy val auto: AcSpansAutomaton =
-    AcScanBcast.buildSpans(bc.value)
+    AcScanBcast.cachedSpans(bc)
 
   override def nullSafeEval(textV: Any): Any =
     AcScanBcast.spans(auto, textV.asInstanceOf[UTF8String])
@@ -207,7 +212,7 @@ case class AcSpansBcast(
       val cls = AcScanBcast.getClass.getName.stripSuffix("$")
       val a = ctx.addMutableState("graft.functions.AcSpansAutomaton",
         "acSpansAuto",
-        v => s"$v = $cls.buildSpans((String[]) $bcRef.value());")
+        v => s"$v = $cls.cachedSpans($bcRef);")
       s"""
          |${ev.value} = $cls.spans($a, $text);
        """.stripMargin
@@ -263,7 +268,7 @@ case class AcReplaceBcast(
     }
 
   @transient private lazy val auto: AcReplaceAutomaton =
-    AcScanBcast.buildReplace(bc.value)
+    AcScanBcast.cachedReplace(bc)
 
   override def nullSafeEval(textV: Any): Any =
     AcScanBcast.replace(auto, textV.asInstanceOf[UTF8String])
@@ -275,7 +280,7 @@ case class AcReplaceBcast(
       val cls = AcScanBcast.getClass.getName.stripSuffix("$")
       val a = ctx.addMutableState("graft.functions.AcReplaceAutomaton",
         "acReplaceAuto",
-        v => s"$v = $cls.buildReplace((String[][]) $bcRef.value());")
+        v => s"$v = $cls.cachedReplace($bcRef);")
       s"""
          |${ev.value} = $cls.replace($a, $text);
        """.stripMargin
@@ -288,6 +293,37 @@ case class AcReplaceBcast(
 }
 
 object AcScanBcast {
+
+  /** Per-JVM automaton cache keyed by (kind, broadcast id): one build
+    * per executor process regardless of how many task threads /
+    * generated-class instances / interpreted expressions reference the
+    * same broadcast pattern set (advice r12 — the addMutableState init
+    * alone rebuilt per generated-class instance). Frozen automata are
+    * immutable after build, so sharing across task threads is safe.
+    * Bounded: past [[MaxCachedAutomata]] distinct sets the cache
+    * clears (a whole-cache reset, not LRU — distinct long-lived
+    * pattern sets per executor are few in practice, and a rare rebuild
+    * beats tracking access order on the hot path). */
+  private val MaxCachedAutomata = 32
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def cached[T <: AnyRef](key: String, make: => T): T = {
+    if (cache.size > MaxCachedAutomata) cache.clear()
+    cache.computeIfAbsent(key, _ => make).asInstanceOf[T]
+  }
+
+  /** The scan automaton for `bc`, built once per executor JVM. */
+  def cachedScan(bc: Broadcast[Array[String]]): AcAutomaton =
+    cached(s"scan:${bc.id}", build(bc.value))
+
+  /** The spans automaton for `bc`, built once per executor JVM. */
+  def cachedSpans(bc: Broadcast[Array[String]]): AcSpansAutomaton =
+    cached(s"spans:${bc.id}", buildSpans(bc.value))
+
+  /** The replace automaton for `bc`, built once per executor JVM. */
+  def cachedReplace(bc: Broadcast[Array[Array[String]]]): AcReplaceAutomaton =
+    cached(s"replace:${bc.id}", buildReplace(bc.value))
 
   /** Build the spans automaton: the scan automaton plus codepoint
     * lengths per pattern. */
@@ -346,19 +382,98 @@ object AcScanBcast {
       raw(1).map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
+  /** Growable open-addressing start → packed(len, pid) map for the
+    * replace walk: match candidates are recorded SPARSELY (memory
+    * O(#matches), not two dense Int arrays sized to the text — advice
+    * r12: 8 scratch bytes per input byte made one huge document
+    * inflate per-row memory far past the redact path's footprint).
+    * Value packing orders exactly by the leftmost-longest rule:
+    * `len << 31 | (Int.MaxValue - pid)` — a bigger packed value is a
+    * longer needle, ties resolve to the LOWEST pattern id (the
+    * first-listed duplicate). -1 is the empty sentinel (packed values
+    * are always >= 0: len >= 1, pid <= Int.MaxValue). */
+  private final class BestStarts(expected: Int) {
+    private var cap = {
+      var c = 16
+      while (c < expected * 2) c <<= 1
+      c
+    }
+    private var mask = cap - 1
+    private var keys = {
+      val k = new Array[Int](cap)
+      java.util.Arrays.fill(k, -1)
+      k
+    }
+    private var vals = new Array[Long](cap)
+    private var n = 0
+
+    def offer(start: Int, len: Int, pid: Int): Unit = {
+      val packed = (len.toLong << 31) | (Int.MaxValue - pid).toLong
+      var i = (AcAutomaton.mix(start.toLong) & mask).toInt
+      while (true) {
+        val k = keys(i)
+        if (k == start) {
+          if (packed > vals(i)) vals(i) = packed
+          return
+        }
+        if (k == -1) {
+          keys(i) = start
+          vals(i) = packed
+          n += 1
+          if (n * 2 > cap) grow()
+          return
+        }
+        i = (i + 1) & mask
+      }
+    }
+
+    /** packed best at `start`, or -1. */
+    def get(start: Int): Long = {
+      var i = (AcAutomaton.mix(start.toLong) & mask).toInt
+      while (true) {
+        val k = keys(i)
+        if (k == start) return vals(i)
+        if (k == -1) return -1L
+        i = (i + 1) & mask
+      }
+      -1L
+    }
+
+    private def grow(): Unit = {
+      val ok = keys
+      val ov = vals
+      cap <<= 1
+      mask = cap - 1
+      keys = new Array[Int](cap)
+      java.util.Arrays.fill(keys, -1)
+      vals = new Array[Long](cap)
+      var j = 0
+      while (j < ok.length) {
+        val k = ok(j)
+        if (k != -1) {
+          var i = (AcAutomaton.mix(k.toLong) & mask).toInt
+          while (keys(i) != -1) i = (i + 1) & mask
+          keys(i) = k
+          vals(i) = ov(j)
+        }
+        j += 1
+      }
+    }
+  }
+
   /** Shared by the interpreted and generated paths of
     * [[AcReplaceBcast]]: one AC walk records, per START position, the
     * longest needle beginning there (length tie → lowest pattern id,
-    * i.e. the first-listed duplicate); the rebuild walks left to
-    * right consuming a replacement where a best match starts and
-    * copying bytes verbatim elsewhere. Matches are codepoint-aligned,
-    * so the resume position never lands mid-codepoint. */
+    * i.e. the first-listed duplicate) in a sparse O(#matches) map
+    * ([[BestStarts]]); the rebuild walks left to right consuming a
+    * replacement where a best match starts and copying bytes verbatim
+    * elsewhere. Matches are codepoint-aligned, so the resume position
+    * never lands mid-codepoint. */
   def replace(ra: AcReplaceAutomaton, text: UTF8String)
       : org.apache.spark.sql.catalyst.InternalRow = {
     val auto = ra.auto
     val n = text.numBytes()
-    val bestLen = new Array[Int](n)
-    val bestPid = new Array[Int](n)
+    val best = new BestStarts(16)
     var state = 0
     var i = 0
     while (i < n) {
@@ -373,12 +488,7 @@ object AcScanBcast {
         while (e != -1) {
           val pid = auto.outPid(e)
           val l = auto.patLen(pid)
-          val start = i - l + 1
-          if (l > bestLen(start) ||
-            (l == bestLen(start) && pid < bestPid(start))) {
-            bestLen(start) = l
-            bestPid(start) = pid
-          }
+          best.offer(i - l + 1, l, pid)
           e = auto.outNext(e)
         }
         t = auto.dictFail(t)
@@ -389,10 +499,12 @@ object AcScanBcast {
     var replaced = 0L
     i = 0
     while (i < n) {
-      if (bestLen(i) > 0) {
-        out.write(ra.reps(bestPid(i)), 0, ra.reps(bestPid(i)).length)
+      val packed = best.get(i)
+      if (packed >= 0L) {
+        val pid = Int.MaxValue - (packed & 0x7FFFFFFFL).toInt
+        out.write(ra.reps(pid), 0, ra.reps(pid).length)
         replaced += 1L
-        i += bestLen(i)
+        i += (packed >>> 31).toInt
       } else {
         out.write(text.getByte(i).toInt)
         i += 1

@@ -236,6 +236,30 @@ object SuffixRank {
     private val root = {
       val base = spark.conf.get(ScratchDirKey,
         System.getProperty("java.io.tmpdir"))
+      // advice r12: the scratch default is DRIVER-LOCAL java.io.tmpdir.
+      // On a multi-executor cluster each executor would write its part
+      // files to its own local filesystem and the descent read-back
+      // would find an empty directory only AFTER the expensive build —
+      // fail fast at store creation instead. An EXPLICIT scratch path
+      // on a cluster is accepted (it may genuinely be shared NFS/
+      // FUSE-mounted object storage — indistinguishable from local by
+      // probing the driver alone) with a logged warning of the
+      // must-be-shared contract.
+      val master = spark.sparkContext.master
+      val isLocalMaster = master.startsWith("local")
+      if (!isLocalMaster) {
+        require(spark.conf.getOption(ScratchDirKey).isDefined,
+          s"$LevelStorageKey=disk with the default scratch root " +
+            s"(driver-local java.io.tmpdir) cannot work on a " +
+            s"multi-executor cluster (master=$master): executors write " +
+            "level part files to their own local filesystems and the " +
+            s"descent read-back misses them. Point $ScratchDirKey at " +
+            "scratch storage shared by the driver and every executor")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$LevelStorageKey=disk on master=$master: $ScratchDirKey=" +
+            s"$base must be readable and writable from the driver and " +
+            "EVERY executor (shared NFS / object store)")
+      }
       val d = new java.io.File(base,
         s"graft-sa-levels-${java.util.UUID.randomUUID()}")
       require(d.mkdirs(), s"cannot create SA scratch dir $d")
@@ -262,6 +286,29 @@ object SuffixRank {
     }
   }
 
+  /** RDD ids of the localCheckpoints created by the most recent
+    * [[suffixArrayWithLcpAndLevels]] build ON THIS THREAD — the
+    * deterministic handle for SuffixRankSpec's O(n)-retention probe:
+    * intersecting these ids with `getPersistentRDDs` counts only the
+    * frames THIS build parked, immune to concurrent suites'
+    * checkpoints inflating the context-global registry (the round-12
+    * flaky-gate fix). Thread-local: builds are driver-thread-confined
+    * and parallel suites each see their own build's ids. */
+  private[graft] val lastBuildCheckpointIds =
+    new ThreadLocal[scala.collection.mutable.Set[Int]] {
+      override def initialValue(): scala.collection.mutable.Set[Int] =
+        scala.collection.mutable.Set.empty[Int]
+    }
+
+  /** localCheckpoint + record the backing RDD id for the retention
+    * probe. */
+  private def trackedCp(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRddId(c)
+      .foreach(lastBuildCheckpointIds.get += _)
+    c
+  }
+
   /** [[suffixArrayWithLcp]] + the retained-level count, so tests and
     * capacity planning can assert the retention contract directly. */
   private[graft] def suffixArrayWithLcpAndLevels(
@@ -269,16 +316,15 @@ object SuffixRank {
       textCol: String = "text",
       idCol: String = "doc_id",
       numParts: Int = 32): (DataFrame, Int) = {
-    val positions = docs
+    lastBuildCheckpointIds.get.clear()
+    val positions = trackedCp(docs
       .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
-      .localCheckpoint()
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok"))))
     val tokHist = positions.groupBy("__tok").agg(count(lit(1)).as("__c"))
     val tokRank = PrefixSum.rowsBefore(tokHist, "__tok", numParts)
       .select(col("__tok"), col("__rb"))
-    var ranks = positions.join(tokRank, Seq("__tok"))
-      .select(col("doc_id"), col("pos"), col("__rb").as("__rank"))
-      .localCheckpoint()
+    var ranks = trackedCp(positions.join(tokRank, Seq("__tok"))
+      .select(col("doc_id"), col("pos"), col("__rb").as("__rank")))
     val maxLenRow = positions.groupBy("doc_id").agg(count(lit(1)).as("__n"))
       .agg(max("__n")).collect()(0)
     val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
@@ -299,10 +345,9 @@ object SuffixRank {
     // first rounds skip it (an exit at spans < 8 is a corpus with no
     // 4-token repeat; not worth three collect jobs to detect).
     val docLen = positions.groupBy("doc_id").agg(count(lit(1)).as("__n"))
-    var remRanks = ranks.join(docLen, Seq("doc_id"))
+    var remRanks = trackedCp(ranks.join(docLen, Seq("doc_id"))
       .select(col("doc_id"), col("pos"), col("__rank"),
-        (col("__n") - col("pos")).as("__rem"))
-      .localCheckpoint()
+        (col("__n") - col("pos")).as("__rem")))
     val maxLevels = docs.sparkSession.conf
       .get(MaxRetainedLevelsKey, MaxRetainedLevelsDefault.toString).toInt
     require(maxLevels >= 1, s"$MaxRetainedLevelsKey must be >= 1")
@@ -347,10 +392,9 @@ object SuffixRank {
         .withColumn("__r2", coalesce(col("__r2"), lit(-1L)))
       val pairHist = keyed.groupBy("__rank", "__r2").agg(count(lit(1)).as("__c"))
       val pairRank = PrefixSum.rowsBefore(pairHist, Seq("__rank", "__r2"), numParts)
-      val next = keyed.join(pairRank, Seq("__rank", "__r2"))
+      val next = trackedCp(keyed.join(pairRank, Seq("__rank", "__r2"))
         .select(col("doc_id"), col("pos"), col("__rb").as("__rank"),
-          col("__rem"), col("__c"))
-        .localCheckpoint()
+          col("__rem"), col("__c")))
       h *= 2L
       store.put(h, next) // head = coarsest
       totalLevels += 1
@@ -369,12 +413,11 @@ object SuffixRank {
 
     // global suffix order: rows-before over the UNIQUE (rank, doc,
     // pos) triples = a dense 0-based suffix-array index
-    val seqed = PrefixSum.rowsBefore(
+    val seqed = trackedCp(PrefixSum.rowsBefore(
         ranks.select(col("__rank"), col("doc_id"), col("pos"))
           .withColumn("__c", lit(1L)),
         Seq("__rank", "doc_id", "pos"), numParts)
-      .select(col("doc_id"), col("pos"), col("__rb").as("seq"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("pos"), col("__rb").as("seq")))
     // with seq checkpointed the final chain frame is dead too; in disk
     // mode its level copy lives on scratch parquet for the descent
     // (freeing twice is a no-op, so the no-round corpus is safe)
@@ -383,11 +426,10 @@ object SuffixRank {
     // adjacent pairs in suffix order, then the sparse-table descent
     val succ = seqed.select(col("doc_id").as("__da"), col("pos").as("__pa"),
       (col("seq") + 1L).as("seq"))
-    var pairs = seqed.join(succ, Seq("seq"))
+    var pairs = trackedCp(seqed.join(succ, Seq("seq"))
       .select(col("seq"), col("__da"), col("__pa"),
         col("doc_id").as("__db"), col("pos").as("__pb"))
-      .withColumn("__lcp", lit(0L))
-      .localCheckpoint()
+      .withColumn("__lcp", lit(0L)))
     cleanOnError(store.levels.foreach { case (span, lvlThunk) =>
       val lvl = lvlThunk()
       val prevPairs = pairs
@@ -395,7 +437,7 @@ object SuffixRank {
         col("pos").as("__ja"), col("__rank").as("__rka"))
       val lb = lvl.select(col("doc_id").as("__db"),
         col("pos").as("__jb"), col("__rank").as("__rkb"))
-      pairs = pairs
+      pairs = trackedCp(pairs
         .withColumn("__ja", col("__pa") + col("__lcp"))
         .withColumn("__jb", col("__pb") + col("__lcp"))
         .join(la, Seq("__da", "__ja"), "left")
@@ -404,8 +446,7 @@ object SuffixRank {
           when(col("__rka").isNotNull && col("__rkb").isNotNull &&
             col("__rka") === col("__rkb"), col("__lcp") + span)
             .otherwise(col("__lcp")))
-        .select("seq", "__da", "__pa", "__db", "__pb", "__lcp")
-        .localCheckpoint()
+        .select("seq", "__da", "__pa", "__db", "__pb", "__lcp"))
       // the eager checkpoint above cut the new pairs' lineage from
       // both this level and the previous pairs frame: free them
       // (disk: delete the scratch files; memory: unpersist)

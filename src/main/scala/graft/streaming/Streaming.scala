@@ -473,8 +473,11 @@ object Streaming {
       watermark: String = "2 hours"): DataFrame =
     docs.toDF()
       .withWatermark("ts", watermark)
-      .withColumn("__hits",
-        graft.text.Blocklist.blocklistHitsCol(col("text"), patterns))
+      // broadcast on the OWNING frame's session, not SparkSession
+      // .active — the discipline every other DataFrame face follows
+      // (advice r12)
+      .withColumn("__hits", graft.text.Blocklist.hitsColOn(
+        docs.sparkSession, col("text"), patterns))
       .select(window(col("ts"), windowLength).as("window"),
         posexplode(col("__hits")).as(Seq("pattern_id", "n_hits")))
       .groupBy(col("window"), col("pattern_id").cast("long").as("pattern_id"))

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * ([[graft.streaming.Streaming.streamingBlocklistGate]]). */
 object Blocklist {
 
-  private def hitsColOn(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def hitsColOn(spark: org.apache.spark.sql.SparkSession,
       text: Column, patterns: Seq[String]): Column = {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
       "patterns must be a non-empty set of non-empty strings")

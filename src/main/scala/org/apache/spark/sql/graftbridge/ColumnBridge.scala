@@ -31,4 +31,17 @@ object ColumnBridge {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** The block-manager RDD id backing a `localCheckpoint()`ed Dataset
+    * (None for non-checkpoint plans). Lets an iterative builder record
+    * exactly WHICH persistent RDDs it created, so a retention probe can
+    * set-intersect against `sparkContext.getPersistentRDDs` instead of
+    * counting the context-GLOBAL registry — concurrent suites sharing
+    * the SparkContext made the global count nondeterministic (the
+    * round-12 flaky-gate finding). */
+  def checkpointRddId(df: org.apache.spark.sql.Dataset[_]): Option[Int] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd.id)
+      case _ => None
+    }
 }

@@ -174,15 +174,24 @@ class SuffixRankSpec extends AnyFunSuite with SparkSpec {
     // would trip is fine when the sparse table lives on scratch disk
     spark.conf.set(SuffixRank.MaxRetainedLevelsKey, "4")
     try {
-      val before = spark.sparkContext.getPersistentRDDs.size
       val disk = canon(SuffixRank.suffixArrayWithLcp(dup))
       assert(disk === mem, "disk and memory level stores must agree bitwise")
       // O(n) peak: after the build only the frames backing the result
       // remain resident (positions, seq, the final pairs) — the chain
-      // and level frames were freed round by round
-      val after = spark.sparkContext.getPersistentRDDs.size
-      assert(after <= before + 3,
-        s"disk mode retained $before -> $after persistent RDDs")
+      // and level frames were freed round by round. Counted over the
+      // ids THIS build checkpointed (lastBuildCheckpointIds ∩ the
+      // persistent registry), never the context-global registry size:
+      // suites share the SparkContext and run concurrently, so sibling
+      // localCheckpoints between two global reads made the old
+      // before/after count nondeterministic (round-12 flaky gate).
+      val created = SuffixRank.lastBuildCheckpointIds.get.toSet
+      assert(created.size >= 10,
+        s"probe expects the full doubling chain tracked, got $created")
+      val live = created
+        .intersect(spark.sparkContext.getPersistentRDDs.keySet)
+      assert(live.size <= 3,
+        s"disk mode retained ${live.size} of ${created.size} " +
+          s"build-created persistent RDDs (ids $live)")
       // the per-build scratch subdirectory is gone
       assert(scratch.listFiles() == null || scratch.listFiles().isEmpty,
         s"scratch not cleaned: ${scratch.listFiles().mkString(",")}")
