@@ -36,6 +36,25 @@ object DocQueries {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The regex-needle scrub set shared by q_blocklist_rx / q_rx_spans /
+    * q_redact_rx (and their oracles verbatim — [[rxPatsValues]]):
+    * (regex, literal anchor, max codepoints from match start to anchor
+    * start). Engine-portable subset only (classes, greedy/counted
+    * quantifiers — Java and DuckDB's RE2 agree); every match contains
+    * its anchor within the declared gap (the
+    * [[graft.functions.RxNeedle]] contract, brute-parity-pinned in
+    * RxScanSpec). */
+  private val RxNeedleSet: Seq[(String, String, Int)] = Seq(
+    ("ta[a-z]+", "ta", 0),
+    ("[a-z]+ble", "ble", 24),
+    ("b[a-z]{2}ch", "ch", 3),
+    ("[0-9]{3}-[0-9]{2}", "-", 3))
+
+  /** The same set as DuckDB VALUES rows. */
+  private val rxPatsValues: String =
+    RxNeedleSet.zipWithIndex
+      .map { case ((re, _, _), i) => s"($i, '$re')" }.mkString(", ")
+
   /** Per-process memo of the tokenize→shingle→distinct prefix and of
     * the exact-Jaccard pair graph — the same "cache the common prefix,
     * fan out" lifecycle Pipelines applies to factorData: the Jaccard,
@@ -1389,6 +1408,30 @@ object DocQueries {
               expr("substr(text, 41)"))).as("text")),
           Seq("table", "a a", "agg", "zzqx"))
         .orderBy("doc_id")),
+    "q_blocklist_rx" -> ((s, dir) =>
+      // REGEX-class needles (round 13): the anchor-prefiltered scan —
+      // one AC pass over the literal anchors ("ta"/"ble"/"ch"/"-"),
+      // bounded greedy verifies only on anchor neighborhoods; clean
+      // docs never touch the regex engine. All-starts semantics (a
+      // match reported at every position the regex matches — the
+      // literal family's occurrence rule), so the oracle replays it
+      // per-position with regexp_extract. The set exercises a
+      // zero-gap prefix anchor, an unbounded-prefix suffix anchor
+      // (greedy backtracking: "[a-z]+ble"), a counted quantifier, and
+      // an absent digit shape pinning the all-zero column
+      graft.text.Blocklist.rxGate(documents(s, dir), RxNeedleSet)
+        .orderBy("doc_id", "pattern_id")),
+    "q_rx_spans" -> ((s, dir) =>
+      // the forensic face of the regex arm: every (doc, pattern,
+      // start, len) occurrence at codepoint offsets, greedy lengths
+      graft.text.Blocklist.rxSpans(documents(s, dir), RxNeedleSet)
+        .orderBy("doc_id", "start", "pattern_id")),
+    "q_redact_rx" -> ((s, dir) =>
+      // regex redaction: union of ALL greedy match spans masked (the
+      // q_redact semantic lifted to shapes) — overlapping all-start
+      // matches of "[a-z]+ble" and "ta[a-z]+" scrub cleanly
+      graft.text.Blocklist.rxRedact(documents(s, dir), RxNeedleSet)
+        .orderBy("doc_id")),
     "q_blocklist_prov" -> ((s, dir) =>
       // provenance report: per (source, pattern) document counts,
       // hit-document counts, and total occurrences — the "which
@@ -1824,6 +1867,18 @@ object DocQueries {
       // and unseen-continuation backoff paths.
       val docs = documents(s, dir)
       LmPerplexity.buckets(docs.filter(col("doc_id") % 3 === 0), docs)
+        .orderBy("doc_id")
+    }),
+    "q_lm_ppl3" -> ((s, dir) => {
+      // interpolated Kneser-Ney TRIGRAM tier (round 13): same
+      // train/score split as q_lm_ppl, one order higher — seen
+      // trigram contexts discount-and-interpolate into the EXACT
+      // bigram model, unseen contexts fall through to it, so scoring
+      // the full corpus against the one-third model genuinely
+      // exercises both backoff paths (plus the bigram's own two
+      // beneath them)
+      val docs = documents(s, dir)
+      LmPerplexity.buckets3(docs.filter(col("doc_id") % 3 === 0), docs)
         .orderBy("doc_id")
     }),
     "q_pca_gram" -> ((s, dir) =>
@@ -2802,6 +2857,95 @@ object DocQueries {
   /** The q_lm_ppl / quality-stack instantiation: train on the
     * doc_id%3==0 third, score the whole corpus, unprefixed names. */
   private def lmPplCtes: String = lmChainCtes(
+    "(SELECT text FROM documents WHERE doc_id % 3 = 0)", "documents")
+
+  /** CTE chain of the interpolated Kneser-Ney TRIGRAM stage (round 13
+    * — LmPerplexity.score3/buckets3 replayed CTE-for-CTE): the trigram
+    * stream pads two `<s>` BOS markers, the seen-context branch
+    * discounts trigram counts and re-spends the freed mass on the
+    * EXACT bigram model of [[lmChainCtes]] (the (w2, w3) pairs of the
+    * trigram stream ARE the bigram stream), the unseen branch falls
+    * through to it, and the one ln snaps at 1e-6. Ends in
+    * `fin3(doc_id, n, s, ppl, bucket)`. */
+  private def lm3ChainCtes(trainRel: String, scoreRel: String): String =
+    s"""t3k AS (SELECT $toksExpr AS toks FROM $trainRel),
+         |t3g AS (SELECT
+         |    CASE WHEN pos <= 1 THEN '<s>' ELSE toks[pos - 1] END AS w1,
+         |    CASE WHEN pos = 0 THEN '<s>' ELSE toks[pos] END AS w2,
+         |    toks[pos + 1] AS w3
+         |  FROM (SELECT toks, unnest(range(len(toks))) AS pos
+         |        FROM t3k WHERE len(toks) > 0)),
+         |tr3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c123 FROM t3g
+         |  GROUP BY 1, 2, 3),
+         |cx3 AS (SELECT w1, w2, sum(c123)::BIGINT AS c12,
+         |  count(*)::BIGINT AS n3p FROM tr3 GROUP BY 1, 2),
+         |bg3 AS (SELECT w2 AS w1, w3 AS w2, count(*)::BIGINT AS c23
+         |  FROM t3g GROUP BY 1, 2),
+         |cx2 AS (SELECT w1, sum(c23)::BIGINT AS c1, count(*)::BIGINT AS n1p
+         |  FROM bg3 GROUP BY 1),
+         |cn3 AS (SELECT w2, count(*)::BIGINT AS nc FROM bg3 GROUP BY 1),
+         |to3 AS (SELECT count(*)::BIGINT AS nn,
+         |  count(DISTINCT w2)::BIGINT AS v FROM bg3),
+         |s3k AS (SELECT doc_id, $toksExpr AS toks FROM $scoreRel),
+         |s3g AS (SELECT doc_id,
+         |    CASE WHEN pos <= 1 THEN '<s>' ELSE toks[pos - 1] END AS w1,
+         |    CASE WHEN pos = 0 THEN '<s>' ELSE toks[pos] END AS w2,
+         |    toks[pos + 1] AS w3
+         |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+         |        FROM s3k WHERE len(toks) > 0)),
+         |sc3 AS (SELECT b.doc_id,
+         |    round(ln(CASE WHEN c3.c12 IS NOT NULL THEN
+         |        (greatest(coalesce(t3.c123, 0)::DOUBLE - 0.75, 0.0)
+         |          + 0.75 * c3.n3p *
+         |            (CASE WHEN c2.c1 IS NOT NULL THEN
+         |              (greatest(coalesce(g3.c23, 0)::DOUBLE - 0.75, 0.0)
+         |                + 0.75 * c2.n1p *
+         |                  ((coalesce(k3.nc, 0) + 1)::DOUBLE
+         |                    / (tt.nn + tt.v + 1)))
+         |              / c2.c1
+         |            ELSE (coalesce(k3.nc, 0) + 1)::DOUBLE
+         |              / (tt.nn + tt.v + 1) END))
+         |        / c3.c12
+         |      WHEN c2.c1 IS NOT NULL THEN
+         |        (greatest(coalesce(g3.c23, 0)::DOUBLE - 0.75, 0.0)
+         |          + 0.75 * c2.n1p *
+         |            ((coalesce(k3.nc, 0) + 1)::DOUBLE / (tt.nn + tt.v + 1)))
+         |        / c2.c1
+         |      ELSE (coalesce(k3.nc, 0) + 1)::DOUBLE / (tt.nn + tt.v + 1)
+         |      END) * 1e6, 0)::BIGINT AS lp
+         |  FROM s3g b
+         |  LEFT JOIN tr3 t3 ON b.w1 = t3.w1 AND b.w2 = t3.w2 AND b.w3 = t3.w3
+         |  LEFT JOIN cx3 c3 ON b.w1 = c3.w1 AND b.w2 = c3.w2
+         |  LEFT JOIN bg3 g3 ON b.w2 = g3.w1 AND b.w3 = g3.w2
+         |  LEFT JOIN cx2 c2 ON b.w2 = c2.w1
+         |  LEFT JOIN cn3 k3 ON b.w3 = k3.w2
+         |  CROSS JOIN to3 tt),
+         |ds3 AS (SELECT doc_id, count(*)::BIGINT AS n, sum(lp)::BIGINT AS s
+         |  FROM sc3 GROUP BY 1),
+         |rt3 AS (SELECT doc_id, n, s,
+         |    (CASE WHEN s * 1000 < 0 THEN -1 ELSE 1 END)
+         |      * ((2 * abs(s * 1000) + n) // (2 * n)) AS rate FROM ds3),
+         |hc3 AS (SELECT rate AS v, count(*)::BIGINT AS c FROM rt3 GROUP BY 1),
+         |hr3 AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |        AS rb, c FROM hc3),
+         |hn3 AS (SELECT sum(c)::BIGINT AS n FROM hc3),
+         |ks3 AS (SELECT j, greatest(1, (j * n + 2) // 3)::BIGINT AS rank
+         |  FROM (SELECT unnest([1, 2]) AS j) CROSS JOIN hn3),
+         |ct3 AS (SELECT
+         |    max(CASE WHEN j = 1 THEN v END) AS c33,
+         |    max(CASE WHEN j = 2 THEN v END) AS c67
+         |  FROM ks3 kk JOIN hr3 hr ON hr.rb < kk.rank
+         |    AND kk.rank <= hr.rb + hr.c),
+         |fin3 AS (SELECT rt3.doc_id, rt3.n, rt3.s,
+         |    round(exp(rt3.s::DOUBLE * -1.0 / 1e6 / rt3.n), 6) AS ppl,
+         |    CASE WHEN rt3.rate <= ct3.c33 THEN 'tail'
+         |         WHEN rt3.rate <= ct3.c67 THEN 'middle' ELSE 'head' END
+         |      AS bucket
+         |  FROM rt3 CROSS JOIN ct3)""".stripMargin
+
+  /** The q_lm_ppl3 instantiation: same train/score split as q_lm_ppl. */
+  private def lm3PplCtes: String = lm3ChainCtes(
     "(SELECT text FROM documents WHERE doc_id % 3 = 0)", "documents")
 
   /** q_pagerank oracle: the integer-exact picorank power iteration of
@@ -5047,6 +5191,68 @@ object DocQueries {
         |FROM d LEFT JOIN red ON red.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_blocklist_rx" ->
+      // mirrors rxGate's all-starts regex semantics: at every 0-based
+      // start s the pattern either greedy-matches or not —
+      // regexp_extract('^(...)') on the suffix replays Java's
+      // lookingAt exactly for the engine-portable subset
+      s"""WITH pats(pid, pat) AS (VALUES $rxPatsValues),
+         |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+         |st AS (SELECT doc_id, pid, pat, text,
+         |  unnest(range(length(text))) AS s FROM d CROSS JOIN pats),
+         |cnt AS (SELECT doc_id, pid,
+         |  sum(CASE WHEN length(regexp_extract(substr(text, (s + 1)::INT),
+         |      '^(' || pat || ')')) > 0 THEN 1 ELSE 0 END)::BIGINT AS n
+         |  FROM st GROUP BY 1, 2)
+         |SELECT d.doc_id AS doc_id, p.pid::BIGINT AS pattern_id,
+         |  coalesce(c.n, 0)::BIGINT AS n_hits,
+         |  coalesce(c.n, 0) > 0 AS hit
+         |FROM d CROSS JOIN pats p
+         |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.pid = p.pid
+         |ORDER BY d.doc_id, pattern_id""".stripMargin,
+
+    "q_rx_spans" ->
+      // mirrors rxSpans: per-position greedy match lengths
+      s"""WITH pats(pid, pat) AS (VALUES $rxPatsValues),
+         |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+         |st AS MATERIALIZED (SELECT doc_id, pid, pat, text,
+         |  unnest(range(length(text))) AS s FROM d CROSS JOIN pats),
+         |m AS (SELECT doc_id, pid, s,
+         |  length(regexp_extract(substr(text, (s + 1)::INT),
+         |    '^(' || pat || ')'))::BIGINT AS len FROM st)
+         |SELECT doc_id, pid::BIGINT AS pattern_id, s::BIGINT AS start, len
+         |FROM m WHERE len > 0
+         |ORDER BY doc_id, start, pattern_id""".stripMargin,
+
+    "q_redact_rx" ->
+      // mirrors rxRedact: the union of every greedy match span
+      // rebuilt as '*' per covered character
+      s"""WITH pats(pid, pat) AS (VALUES $rxPatsValues),
+         |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+         |st AS MATERIALIZED (SELECT doc_id, pat, text,
+         |  unnest(range(length(text))) AS s FROM d CROSS JOIN pats),
+         |mt AS (SELECT doc_id, s,
+         |  length(regexp_extract(substr(text, (s + 1)::INT),
+         |    '^(' || pat || ')')) AS k FROM st
+         |  WHERE length(regexp_extract(substr(text, (s + 1)::INT),
+         |    '^(' || pat || ')')) > 0),
+         |cov0 AS (SELECT doc_id, s, unnest(range(k)) AS o FROM mt),
+         |cov AS (SELECT DISTINCT doc_id, s + o AS p FROM cov0),
+         |ch AS (SELECT doc_id, text,
+         |  unnest(range(length(text))) AS i FROM d),
+         |red AS (SELECT ch.doc_id,
+         |  string_agg(CASE WHEN cov.p IS NOT NULL THEN '*'
+         |    ELSE substr(ch.text, (ch.i + 1)::INT, 1) END, ''
+         |    ORDER BY ch.i) AS redacted,
+         |  sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_masked
+         |  FROM ch LEFT JOIN cov ON cov.doc_id = ch.doc_id AND cov.p = ch.i
+         |  GROUP BY 1)
+         |SELECT d.doc_id, coalesce(red.redacted, d.text) AS redacted,
+         |  coalesce(red.n_masked, 0)::BIGINT AS n_masked
+         |FROM d LEFT JOIN red ON red.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_canon_dedup" ->
       // mirrors the canon -> hash-dedup composite with the OVERLAPPING
       // three-needle dictionary (round 13): the q_canon recursive
@@ -5915,6 +6121,18 @@ object DocQueries {
          |  coalesce(f.ppl, -1.0) AS ppl,
          |  coalesce(f.bucket, 'empty') AS bucket
          |FROM documents d LEFT JOIN fin f USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors LmPerplexity.buckets3: the KN trigram chain replayed
+    // CTE-for-CTE (seen-context discount over the exact bigram
+    // backoff, 1e-6 ln snap, 1e-9-grid rate, percentile_disc terciles)
+    "q_lm_ppl3" ->
+      s"""WITH $lm3PplCtes
+         |SELECT d.doc_id, coalesce(f.n, 0)::BIGINT AS n_trigrams,
+         |  coalesce(f.s, 0)::BIGINT AS lp_micro,
+         |  coalesce(f.ppl, -1.0) AS ppl,
+         |  coalesce(f.bucket, 'empty') AS bucket
+         |FROM documents d LEFT JOIN fin3 f USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     

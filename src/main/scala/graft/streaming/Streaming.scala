@@ -457,6 +457,24 @@ object Streaming {
       mappings: Seq[(String, String)]): DataFrame =
     graft.text.Blocklist.canonicalizeDocs(docs.toDF(), mappings)
 
+  /** Streaming REGEX gate: the anchor-prefiltered regex scan
+    * ([[graft.text.Blocklist.rxGate]]) is a stateless kernel
+    * projection, so secret/PII shape screening runs at ingest rate —
+    * clean documents never touch the regex engine. */
+  def streamingRxGate(
+      docs: Dataset[StreamDoc],
+      needles: Seq[(String, String, Int)]): DataFrame =
+    graft.text.Blocklist.rxGate(docs.toDF(), needles)
+
+  /** Streaming REGEX redaction ([[graft.text.Blocklist.rxRedact]]):
+    * shape-based PII masking before anything persists the raw
+    * text — the regex sibling of [[streamingRedact]]. */
+  def streamingRxRedact(
+      docs: Dataset[StreamDoc],
+      needles: Seq[(String, String, Int)],
+      mask: Char = '*'): DataFrame =
+    graft.text.Blocklist.rxRedact(docs.toDF(), needles, mask = mask)
+
   /** Windowed needle MONITORING — the alarm face of the blocklist
     * scan: per (event-time window, pattern) the document count, hit
     * documents, and total occurrences, emitted when the watermark

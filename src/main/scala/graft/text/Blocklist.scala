@@ -261,6 +261,90 @@ object Blocklist {
         sum(when(col("n_hits") > 0L, 1L).otherwise(0L)).as("n_docs_hit"),
         sum(col("n_hits")).as("n_hits"))
 
+  // ------------------------------------------------------------------
+  // REGEX-class needles (round 13 — VERDICT r12 residue #1): the scrub
+  // family for patterns literals can't express (API-key shapes, phone
+  // formats, dashed-number PII). One Aho–Corasick pass over the
+  // needles' LITERAL ANCHORS prefilters the corpus — clean documents
+  // never touch the regex engine — and a bounded greedy verify runs
+  // only on anchor neighborhoods ([[graft.functions.RxScanBcast]];
+  // the contract and all-starts match semantics live there). Every
+  // face is a pure projection — stream-safe like the literal family.
+  // ------------------------------------------------------------------
+
+  private def rxNeedles(needles: Seq[(String, String, Int)])
+      : Array[graft.functions.RxNeedle] = {
+    require(needles.nonEmpty, "needle set must be non-empty")
+    needles.map { case (re, anchor, gap) =>
+      new graft.functions.RxNeedle(re, anchor, gap) }.toArray
+  }
+
+  private def rxSpansColOn(spark: org.apache.spark.sql.SparkSession,
+      text: Column, needles: Seq[(String, String, Int)]): Column = {
+    val bc = spark.sparkContext.broadcast(rxNeedles(needles))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.RxSpansBcast(expression(text), bc))
+  }
+
+  /** Regex match SPANS: one row per (doc, pattern, start) occurrence
+    * with the greedy match length, start/len 0-based CODEPOINT
+    * offsets (all-starts semantics — every position where the regex
+    * matches reports, the occurrence rule of the literal family).
+    * `needles` are (regex, literalAnchor, maxGap) triples — see
+    * [[graft.functions.RxNeedle]] for the anchor contract. */
+  def rxSpans(
+      docs: DataFrame,
+      needles: Seq[(String, String, Int)],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("__m",
+        rxSpansColOn(docs.sparkSession, col(textCol), needles))
+      .select(col(idCol), explode(col("__m")).as("__s"))
+      .select(col(idCol), col("__s.pattern_id").as("pattern_id"),
+        col("__s.start").as("start"), col("__s.len").as("len"))
+
+  /** Per-(doc, pattern) regex verdicts — docs x patterns rows,
+    * zero-hit pairs included (the [[blocklistGate]] shape): `n_hits`
+    * counts match START positions (all-starts semantics). */
+  def rxGate(
+      docs: DataFrame,
+      needles: Seq[(String, String, Int)],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val nPat = needles.length
+    docs.withColumn("__m",
+        rxSpansColOn(docs.sparkSession, col(textCol), needles))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(nPat - 1)),
+          p => size(filter(col("__m"),
+            m => m.getField("pattern_id") === p.cast("long"))).cast("long")))
+          .as(Seq("pattern_id", "n_hits")))
+      .select(col(idCol), col("pattern_id").cast("long").as("pattern_id"),
+        col("n_hits"), (col("n_hits") > 0).as("hit"))
+  }
+
+  /** Regex REDACTION: every codepoint covered by ANY regex match
+    * becomes one `mask` char (union-of-spans — the [[redactDocs]]
+    * semantic lifted to the regex arm). Returns (id, redacted,
+    * n_masked); one projection, no shuffle, stream-safe. */
+  def rxRedact(
+      docs: DataFrame,
+      needles: Seq[(String, String, Int)],
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      mask: Char = '*'): DataFrame = {
+    require(mask >= 0x20 && mask < 0x7F,
+      s"mask must be a printable ASCII char, got ${mask.toInt}")
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(rxNeedles(needles))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    docs.select(col(idCol),
+        column(graft.functions.RxRedactBcast(
+          expression(col(textCol)), bc, mask.toByte)).as("__r"))
+      .select(col(idCol), col("__r.redacted").as("redacted"),
+        col("__r.n_masked").as("n_masked"))
+  }
+
   /** One verdict row per document — the keep/drop spelling: total
     * hits across the set, number of distinct patterns present, and
     * `clean` (no pattern matched). The aggregate folds inside the

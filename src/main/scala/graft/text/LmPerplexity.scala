@@ -219,26 +219,130 @@ object LmPerplexity {
     * (n_bigrams 0, lp_micro 0, ppl −1, bucket 'empty').
     * @return (doc_id, n_bigrams, lp_micro, ppl, bucket) */
   def buckets(train: DataFrame, docs: DataFrame, d: Double = 0.75,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val scored = score(train, docs, d, textCol, idCol)
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bucketTail(score(train, docs, d, textCol, idCol), "n_bigrams",
+      docs, idCol)
+
+  /** The shared tercile tail of [[buckets]] / [[buckets3]]: exact
+    * 1e-9-grid per-event rate, percentile_disc cuts, worse-bucket
+    * tie rule, token-less sentinel rows. */
+  private def bucketTail(scored0: DataFrame, nCol: String,
+      docs: DataFrame, idCol: String): DataFrame = {
+    val scored = scored0
       // exact per-token rate: sign · (2·|lp·1000| + n) div (2n) — the
       // unigramLogProb half-away-division pattern, 1e-9 grid
       .withColumn("__rate",
         when(col("lp_micro") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr("(2 * abs(lp_micro * 1000) + n_bigrams) div (2 * n_bigrams)"))
+          expr(s"(2 * abs(lp_micro * 1000) + $nCol) div (2 * $nCol)"))
     val cuts = graft.stats.Quantiles.exactQuantiles(scored, "__rate", 3)
       .agg(max(when(col("j") === 1, col("__rate"))).as("__c33"),
         max(when(col("j") === 2, col("__rate"))).as("__c67"))
     val bucketed = scored.crossJoin(broadcast(cuts))
-      .select(col("doc_id"), col("n_bigrams"), col("lp_micro"), col("ppl"),
+      .select(col("doc_id"), col(nCol), col("lp_micro"), col("ppl"),
         when(col("__rate") <= col("__c33"), lit("tail"))
           .when(col("__rate") <= col("__c67"), lit("middle"))
           .otherwise(lit("head")).as("bucket"))
     docs.select(col(idCol).as("doc_id")).join(bucketed, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col(nCol), lit(0L)).as(nCol),
         coalesce(col("lp_micro"), lit(0L)).as("lp_micro"),
         coalesce(col("ppl"), lit(-1.0)).as("ppl"),
         coalesce(col("bucket"), lit("empty")).as("bucket"))
   }
+
+  /** (doc_id, w1, w2, w3): the document's trigram stream with a
+    * double-`<s>` BOS pad (w1 = two back, w2 = one back, w3 = the
+    * token), so every document contributes exactly one event per
+    * token — the same event count as [[bigrams]], which keeps
+    * per-token rates and perplexities directly comparable across
+    * orders. */
+  def trigrams(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__pos", "w3")))
+      .select(col("doc_id"),
+        when(col("__pos") <= 1, lit("<s>"))
+          .otherwise(element_at(col("__toks"), col("__pos") - 1)).as("w1"),
+        when(col("__pos") === 0, lit("<s>"))
+          .otherwise(element_at(col("__toks"), col("__pos"))).as("w2"),
+        col("w3"))
+
+  /** Per-document interpolated Kneser-Ney TRIGRAM score (round 13 —
+    * the CCNet-realism tier above the bigram; Wenzek 2020 trains a
+    * 5-gram KenLM, and a trigram with the same backoff/snap
+    * discipline closes most of that gap while every quantity stays a
+    * ratio of integer reference counts):
+    *
+    *  - seen trigram context (w1,w2): P3(w3|w1,w2) =
+    *    (max(c123 − D, 0) + D · N1+(w1,w2,·) · P2(w3|w2)) / c12 —
+    *    absolute discounting with the freed mass re-spent on the
+    *    BIGRAM model;
+    *  - unseen trigram context: P3 = P2(w3|w2) — where P2 is
+    *    EXACTLY [[score]]'s interpolated KN bigram (same tables, same
+    *    add-one continuation floor), so both backoff paths bottom out
+    *    in the identical distribution;
+    *  - the one libm step (ln) snaps at 1e-6, doc sums are exact
+    *    longs — the bit-reproducibility discipline of [[score]].
+    *
+    * The model tables stay bounded by the reference vocabulary
+    * (trigram table ≤ reference trigram types); scoring is four
+    * equi-joins + one broadcast scalar row, map-side combinable sum.
+    * @return (doc_id, n_trigrams, lp_micro, ppl) */
+  def score3(train: DataFrame, docs: DataFrame, d: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    val trtg = trigrams(train, textCol, idCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__c123"))
+    val ctx3 = trtg.groupBy("w1", "w2")
+      .agg(sum(col("__c123")).as("__c12"), count(lit(1)).as("__n3p"))
+    // the bigram backoff tables — identical to [[score]]'s (the
+    // trigram stream's (w2, w3) pairs ARE the bigram stream: w2 is
+    // the previous token or <s>)
+    val trbg = bigrams(train, textCol, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__c23"))
+    val ctx2 = trbg.groupBy("w1")
+      .agg(sum(col("__c23")).as("__c1"), count(lit(1)).as("__n1p"))
+    val cont = trbg.groupBy("w2").agg(count(lit(1)).as("__nc"))
+    val tot = trbg.agg(count(lit(1)).as("__nn"),
+      countDistinct(col("w2")).as("__v"))
+
+    val pc = (coalesce(col("__nc"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__nn") + col("__v") + lit(1L))
+    val p2seen = (greatest(
+        coalesce(col("__c23"), lit(0L)).cast("double") - lit(d), lit(0.0)) +
+      lit(d) * col("__n1p") * pc) / col("__c1")
+    val p2 = when(col("__c1").isNotNull, p2seen).otherwise(pc)
+    val p3seen = (greatest(
+        coalesce(col("__c123"), lit(0L)).cast("double") - lit(d), lit(0.0)) +
+      lit(d) * col("__n3p") * p2) / col("__c12")
+    val p3 = when(col("__c12").isNotNull, p3seen).otherwise(p2)
+
+    trigrams(docs, textCol, idCol)
+      .join(trtg, Seq("w1", "w2", "w3"), "left")
+      .join(ctx3, Seq("w1", "w2"), "left")
+      .join(trbg.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("__c23")), Seq("w2", "w3"), "left")
+      .join(ctx2.select(col("w1").as("w2"), col("__c1"), col("__n1p")),
+        Seq("w2"), "left")
+      .join(cont.select(col("w2").as("w3"), col("__nc")), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        // the one libm step, snapped immediately (ln-snap precedent)
+        round(log(p3) * lit(1e6), 0).cast("long").as("__lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("__lp")).as("lp_micro"))
+      .select(col("doc_id"), col("n_trigrams"), col("lp_micro"),
+        round(exp(col("lp_micro").cast("double") * lit(-1.0) / lit(1e6) /
+          col("n_trigrams")), 6).as("ppl"))
+  }
+
+  /** [[score3]] + the head/middle/tail tercile split — the trigram
+    * twin of [[buckets]], same exact-grid tail.
+    * @return (doc_id, n_trigrams, lp_micro, ppl, bucket) */
+  def buckets3(train: DataFrame, docs: DataFrame, d: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bucketTail(score3(train, docs, d, textCol, idCol), "n_trigrams",
+      docs, idCol)
 }

@@ -123,6 +123,89 @@ class LmPerplexitySpec extends AnyFunSuite with SparkSpec {
     assert(m.nn === 7L)
   }
 
+  test("trigrams emit the double-BOS pad and skip token-less docs") {
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = LmPerplexity.trigrams(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got === Set(
+      (1L, "<s>", "<s>", "a"), (1L, "<s>", "a", "b"), (1L, "a", "b", "c"),
+      (3L, "<s>", "<s>", "x")))
+  }
+
+  test("hand-computed KN trigram probabilities on the 4-token reference") {
+    // train "a b a b": trigram events (<s>,<s>,a) (<s>,a,b) (a,b,a)
+    // (b,a,b), each once; the bigram backoff tables are the bigram
+    // model's own (c23: (<s>,a)=1 (a,b)=2 (b,a)=1; Pc(a)=1/2,
+    // Pc(b)=1/3, Pc(oov)=1/6)
+    val train = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    // doc "a b":
+    //  (<s>,<s>,a): P2(a|<s>) = 0.625; P3 = (0.25 + 0.75·0.625)/1
+    //  (<s>,a,b):   P2(b|a)   = 0.75;  P3 = (0.25 + 0.75·0.75)/1
+    val scored = LmPerplexity.score3(train,
+      Seq((1L, "a b")).toDF("doc_id", "text")).collect().head
+    val wantLp = snapLn(0.71875) + snapLn(0.8125)
+    assert(scored.getAs[Long]("lp_micro") === wantLp)
+    assert(scored.getAs[Long]("n_trigrams") === 2L)
+  }
+
+  test("trigram: all four backoff paths on one document") {
+    val train = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    // "a b z q b a" exercises: seen-trigram/seen-bigram (first two
+    // events), seen-trigram-ctx with ZERO trigram count over an
+    // unseen continuation ((a,b,z) -> pure interpolation mass),
+    // unseen-trigram-ctx -> unseen-bigram-ctx (pure Pc), and
+    // unseen-trigram-ctx -> seen-bigram-ctx
+    val r = LmPerplexity.score3(train,
+      Seq((1L, "a b z q b a")).toDF("doc_id", "text")).collect().head
+    val want = snapLn(0.71875) + snapLn(0.8125) + snapLn(0.09375) +
+      snapLn(1.0 / 6) + snapLn(1.0 / 3) + snapLn(0.625)
+    assert(r.getAs[Long]("lp_micro") === want)
+    assert(!r.getAs[Double]("ppl").isNaN && !r.getAs[Double]("ppl").isInfinite)
+  }
+
+  test("trigram fits in-distribution text better than the bigram") {
+    // on the training text itself every trigram event's probability
+    // dominates its bigram twin (the higher order memorizes more), so
+    // the total log-prob must be strictly higher
+    val train = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    val doc = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val lp2 = LmPerplexity.score(train, doc).collect().head
+      .getAs[Long]("lp_micro")
+    val lp3 = LmPerplexity.score3(train, doc).collect().head
+      .getAs[Long]("lp_micro")
+    assert(lp3 > lp2, s"trigram lp $lp3 not above bigram lp $lp2")
+    // and on a larger natural-ish corpus the ordering holds in
+    // aggregate (score the training corpus with both orders)
+    val ref = (0 until 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog and runs"))
+      .toDF("doc_id", "text")
+    val s2 = LmPerplexity.score(ref, ref)
+      .agg(sum("lp_micro")).collect().head.getLong(0)
+    val s3 = LmPerplexity.score3(ref, ref)
+      .agg(sum("lp_micro")).collect().head.getLong(0)
+    assert(s3 > s2, s"aggregate trigram lp $s3 not above bigram $s2")
+  }
+
+  test("buckets3: tercile split, empty sentinel, partition independence") {
+    val train = (0 until 30).map(i => (i.toLong,
+      s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 7}")).toDF("doc_id", "text")
+    val docs = ((0 until 40).map(i => (i.toLong,
+      s"tok${i % 7} tok${(i + 3) % 5} oov${i % 3}")) :+
+      (99L, "")).toDF("doc_id", "text")
+    val a = LmPerplexity.buckets3(train, docs).orderBy("doc_id").collect().toSeq
+    val b = LmPerplexity.buckets3(train.repartition(7), docs.repartition(13))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    val byId = a.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("bucket")).toMap
+    assert(byId(99L) === "empty")
+    val n = a.count(_.getAs[String]("bucket") != "empty")
+    assert(n === 40)
+    assert(Set("head", "middle", "tail").subsetOf(
+      a.map(_.getAs[String]("bucket")).toSet))
+  }
+
   test("scoring is partitioning-independent (exact integer sums)") {
     val train = (0 until 30).map(i => (i.toLong,
       s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 7}")).toDF("doc_id", "text")
