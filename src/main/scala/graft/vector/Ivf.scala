@@ -481,4 +481,55 @@ object Ivf {
         col("neighbor_id"), round(col("__cos"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
+
+  /** METADATA-FILTERED ANN top-k (round 13 — VERDICT r12 residue #3):
+    * the production retrieval shape is "top-k WHERE lang = 'en' AND
+    * license permissive", and ranking the whole corpus before
+    * filtering is both wasted distance work and WRONG (k survivors of
+    * a post-filter are not the top-k OF the survivors). Here the
+    * predicate applies BEFORE any distance computation — a plain
+    * `filter` on the raw corpus scan, so Catalyst pushes it into the
+    * parquet reader (`PushedFilters`, pinned in SimilaritySpec) and
+    * non-matching rows never reach the quantizer — then the standard
+    * probed IVF search runs over the SURVIVORS against centroids
+    * trained on the FULL corpus (the index is a corpus-level artifact;
+    * retraining per predicate would make filters unusably expensive,
+    * the FAISS/Milvus convention).
+    *
+    * Selectivity fallback: highly selective predicates leave so few
+    * survivors that cell probing only LOSES recall (a survivor in an
+    * unprobed cell is unfindable while a brute pass over the tiny
+    * remainder is nearly free). When `bruteMaxSurvivors` > 0, one
+    * count over the pushed-down scan decides: at or under the
+    * threshold the search degrades to [[Similarity.bruteForceTopK]]
+    * over the survivors (EXACT within the filter); above it the
+    * probed path runs. The default 0 skips the count job entirely —
+    * callers who know their predicate is broad pay nothing extra.
+    * The exact-cosine rerank tail is shared by both arms. */
+  def ivfTopKFiltered(
+      corpus: DataFrame,
+      queries: DataFrame,
+      predicate: Column,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 5,
+      bruteMaxSurvivors: Long = 0L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trained: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(bruteMaxSurvivors >= 0L,
+      s"bruteMaxSurvivors must be >= 0, got $bruteMaxSurvivors")
+    val survivors = corpus.filter(predicate)
+    if (bruteMaxSurvivors > 0L &&
+        survivors.limit((bruteMaxSurvivors + 1L).min(Int.MaxValue.toLong)
+          .toInt).count() <= bruteMaxSurvivors)
+      Similarity.bruteForceTopK(survivors, queries, k, idCol, vecCol)
+    else {
+      val centroids = trained.getOrElse(
+        trainCentroids(corpus, nCells, iters, idCol, vecCol))
+      ivfTopK(survivors, queries, k, nCells, nProbe, iters, idCol, vecCol,
+        trained = Some(centroids))
+    }
+  }
 }

@@ -32,6 +32,27 @@ object ColumnBridge {
       case _ => ()
     }
 
+  /** Union that PRESERVES each input's partitioning. Catalyst's Union
+    * treats per-branch `coalesce`/`repartition` as collapsible hints —
+    * a union of N single-partition branches plans back to ONE
+    * partition (measured), which defeats any operator that encodes
+    * "one output file per branch" in the partitioning (the
+    * [[graft.operators.Compact]] bin-packer). This goes under the
+    * planner: each branch executes its own physical plan and the
+    * branches concatenate at the RDD level (`SparkContext.union` —
+    * still one job, one task per branch partition, no shuffle), so
+    * partition COUNT and ORDER are exactly the branch list's. All
+    * inputs must share one schema. */
+  def unionKeepingPartitions(
+      dfs: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    require(dfs.nonEmpty, "unionKeepingPartitions needs at least one input")
+    val spark = dfs.head.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = spark.sparkContext.union(dfs.map(_.queryExecution.toRdd))
+    spark.internalCreateDataFrame(rdd, dfs.head.schema)
+  }
+
   /** The block-manager RDD id backing a `localCheckpoint()`ed Dataset
     * (None for non-checkpoint plans). Lets an iterative builder record
     * exactly WHICH persistent RDDs it created, so a retention probe can

@@ -32,6 +32,93 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
           .as("v"))
   }
 
+  test("binPack compaction: fewer files, lossless rows, pruning preserved, big files byte-copied") {
+    import spark.implicits._
+    import graft.operators.{Compact, Zorder}
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(20000)((rnd.nextInt(1024).toLong,
+      rnd.nextInt(1024).toLong)).toDF("a", "b")
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    Zorder.clusterBy(rows, Seq("a", "b"), bits = 10, numFiles = 64)
+      .write.mode("overwrite").parquet(s"$base/in")
+
+    def filesTouched(dir: String, loA: Long, hiA: Long,
+        loB: Long, hiB: Long): (Long, Long) = {
+      val perFile = spark.read.parquet(dir)
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+        .agg(min("a").as("loA"), max("a").as("hiA"),
+          min("b").as("loB"), max("b").as("hiB"))
+        .collect()
+      (perFile.count(r =>
+        r.getAs[Long]("hiA") >= loA && r.getAs[Long]("loA") <= hiA &&
+          r.getAs[Long]("hiB") >= loB && r.getAs[Long]("loB") <= hiB).toLong,
+        perFile.length.toLong)
+    }
+
+    // target ~8 input files per bin
+    val inBytes = new java.io.File(s"$base/in").listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.length()).sum
+    val rep = Compact.binPack(spark, s"$base/in", s"$base/out",
+      targetBytes = inBytes / 8 + 1)
+    assert(rep.nFilesBefore === 64L)
+    assert(rep.nFilesAfter < rep.nFilesBefore / 4,
+      s"expected ~8x fewer files, got ${rep.nFilesAfter}")
+    assert(rep.nBinsRewritten === rep.nFilesAfter && rep.nFilesCopied === 0L)
+
+    // value losslessness — the compaction contract
+    val before = spark.read.parquet(s"$base/in").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val after = spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after === before)
+
+    // pruning preserved: contiguous bins merge ADJACENT z-ranges, so
+    // a box query touches no MORE files than before (merging can only
+    // fuse touched neighbors; +1 hull slack for a bin whose per-dim
+    // bounding box grows past its members'), while the hash-mix
+    // control at the same file count spreads every key range over
+    // every file and prunes nothing — the failure mode contiguous
+    // bin-packing exists to avoid
+    val (tIn, nIn) = filesTouched(s"$base/in", 256, 383, 256, 383)
+    val (tOut, nOut) = filesTouched(s"$base/out", 256, 383, 256, 383)
+    assert(nIn === 64L && nOut === rep.nFilesAfter)
+    assert(tOut <= tIn + 1,
+      s"compaction touched more files: $tIn of $nIn -> $tOut of $nOut")
+    spark.read.parquet(s"$base/in").repartition(rep.nFilesAfter.toInt)
+      .write.mode("overwrite").parquet(s"$base/ctl")
+    val (tCtl, nCtl) = filesTouched(s"$base/ctl", 256, 383, 256, 383)
+    assert(tCtl >= nCtl - 1,
+      s"hash-mix control unexpectedly pruned: $tCtl of $nCtl")
+    assert(tOut.toDouble / nOut < tCtl.toDouble / nCtl,
+      s"contiguous bins must out-prune the mixed control: " +
+        s"$tOut/$nOut vs $tCtl/$nCtl")
+
+    // byte-copy arm: with smallBytes below every file size nothing
+    // rewrites — outputs are bit-identical copies in original order
+    val rep2 = Compact.binPack(spark, s"$base/in", s"$base/out2",
+      targetBytes = inBytes, smallBytes = 1L)
+    assert(rep2.nFilesCopied === 64L && rep2.nBinsRewritten === 0L &&
+      rep2.nFilesAfter === 64L)
+    val inFiles = new java.io.File(s"$base/in").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val outFiles = new java.io.File(s"$base/out2").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(inFiles.length === outFiles.length)
+    inFiles.zip(outFiles).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(a.toPath),
+        java.nio.file.Files.readAllBytes(b.toPath)),
+        s"${a.getName} not byte-identical to ${b.getName}")
+    }
+
+    // empty-directory edge
+    val emptyDir = java.nio.file.Files
+      .createTempDirectory("graft-compact-empty").toString
+    val rep3 = Compact.binPack(spark, emptyDir, s"$base/out3",
+      targetBytes = 1000L)
+    assert(rep3 === Compact.CompactReport(0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("6M-row exact quantiles satisfy the order-statistic bounds") {
     val n = probe.count()
     assert(n > 5000000L, s"probe size $n — a decade above sf0.1")

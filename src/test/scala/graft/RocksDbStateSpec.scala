@@ -88,6 +88,49 @@ class RocksDbStateSpec extends AnyFunSuite with SparkSpec {
     pinFamily("dedup", "append")(df => Streaming.dedupEvents(df))
   }
 
+  test("watermark-TTL doc dedup state on RocksDB") {
+    import graft.streaming.StreamDoc
+    // the dropDuplicatesWithinWatermark family (streamingDocDedup):
+    // its state row carries an expiry timestamp the plain
+    // dropDuplicates row lacks, so it pins separately
+    val docBatches: Seq[Seq[StreamDoc]] = Seq(
+      (1L to 40L).map(i => StreamDoc(i, t("2024-01-01 00:10:00"),
+        s"body ${i % 7}")),
+      (30L to 80L).map(i => StreamDoc(i, t("2024-01-01 01:20:00"),
+        s"body ${i % 11}")) :+
+        StreamDoc(3L, t("2024-01-01 00:10:00"), "body 3"), // re-delivery
+      Seq(StreamDoc(9999L, t("2024-01-02 12:00:00"), "straggler")))
+    def runDocs(provider: Option[String], name: String)
+        : (Set[String], Boolean) = {
+      val prev = spark.conf.getOption(ProviderKey)
+      provider match {
+        case Some(p) => spark.conf.set(ProviderKey, p)
+        case None => spark.conf.unset(ProviderKey)
+      }
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        val in = MemoryStream[StreamDoc]
+        val q = Streaming.streamingDocDedup(in.toDS(), "1 hour")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        docBatches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val sawRocks = q.recentProgress.flatMap(_.stateOperators)
+          .exists(_.customMetrics.keySet.toArray
+            .exists(_.toString.startsWith("rocksdb")))
+        q.stop()
+        (spark.table(name).collect().map(_.mkString("|")).toSet, sawRocks)
+      } finally prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+    val (defaultRows, _) = runDocs(None, "docdedup_hdfs")
+    val (rocksRows, sawRocks) = runDocs(Some(RocksDb), "docdedup_rocks")
+    assert(sawRocks, "docdedup: no rocksdb state metrics — pin did not engage")
+    assert(rocksRows === defaultRows, "docdedup: provider changed the rows")
+    assert(rocksRows.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionizer state on RocksDB") {
     pinFamily("sessions", "append")(df =>
       Streaming.sessionize(df.as[Event], gapSeconds = 1800, "10 minutes")

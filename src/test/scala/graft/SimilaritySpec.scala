@@ -151,6 +151,59 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("ivfTopKFiltered: predicate-first semantics, brute fallback, pushdown") {
+    import graft.vector.Ivf
+    // labeled clustered corpus: label = i % 2
+    val rows = (0 until 60).map { i =>
+      val base = vec(Seq(1, 97, 43)(i % 3))
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * (((i * 7 + d) % 5) - 2) }, i % 2)
+    }
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val queries = d.filter(col("vec_id") < 3).drop("label")
+    val pred = col("label") === 0
+
+    // full probe (nProbe = nCells) == exact brute force OVER THE
+    // SURVIVORS — the filter applies before ranking, so no survivor
+    // can be displaced by a filtered-out nearer vector
+    val bfSurv = Similarity.bruteForceTopK(d.filter(pred), queries, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val full = Ivf.ivfTopKFiltered(d, queries, pred, k = 5, nCells = 6,
+      nProbe = 6, iters = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(full === bfSurv, "full-probe filtered search must equal " +
+      "brute force over the survivors")
+    // every neighbor satisfies the predicate
+    val lbl = rows.map(r => r._1 -> r._3).toMap
+    assert(full.forall(r => lbl(r(2).asInstanceOf[Long]) === 0))
+
+    // tiny-survivor brute fallback: threshold above the survivor
+    // count routes to bruteForceTopK (exact, same rows)
+    val viaFallback = Ivf.ivfTopKFiltered(d, queries, pred, k = 5,
+      nCells = 6, nProbe = 1, iters = 4, bruteMaxSurvivors = 1000L)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFallback === bfSurv)
+
+    // the predicate reaches the parquet scan BEFORE any distance work
+    val dir = java.nio.file.Files.createTempDirectory("graft-annf").toFile
+    try {
+      d.write.mode("overwrite").parquet(dir.toString)
+      val onDisk = spark.read.parquet(dir.toString)
+      val plan = Ivf.ivfTopKFiltered(onDisk, queries, pred, k = 5,
+        nCells = 6, nProbe = 2, iters = 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("EqualTo(label,0)"),
+        s"label predicate not pushed to the scan:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("ivfTopK on a corpus smaller than nCells still returns real neighbors") {
     import graft.vector.Ivf
     // 10 vectors, default nCells=16: lloydLocal clamps to 10 trained

@@ -210,6 +210,71 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streaming duplicate clusters differ from the batch operator's")
   }
 
+  test("streamingDocDedup: first arrival wins, re-delivery collapses, watermark purges") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val q = Streaming.streamingDocDedup(in.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode("append").start()
+    in.addData(StreamDoc(1L, t("2024-01-01 00:00:00"), "alpha body"),
+      StreamDoc(2L, t("2024-01-01 00:00:10"), "beta body"))
+    q.processAllAvailable()
+    // re-delivery of doc 1 + an exact duplicate under a NEW id (both
+    // drop) + genuinely new content (passes)
+    in.addData(StreamDoc(1L, t("2024-01-01 00:00:00"), "alpha body"),
+      StreamDoc(3L, t("2024-01-01 00:10:00"), "alpha body"),
+      StreamDoc(4L, t("2024-01-01 00:20:00"), "gamma body"))
+    q.processAllAvailable()
+    // advance the watermark far past alpha's TTL (00:00 + 1h), so its
+    // dedup state purges...
+    in.addData(StreamDoc(5L, t("2024-01-01 06:00:00"), "delta body"))
+    q.processAllAvailable()
+    // ...and a much-later duplicate is treated as fresh — the
+    // documented TTL trade-off (bounded state over whole-corpus memory)
+    in.addData(StreamDoc(6L, t("2024-01-01 06:30:00"), "alpha body"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("doc_dedup").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L, 2L, 4L, 5L, 6L))
+    // the content hash rides along and matches the batch operator's
+    val hashes = spark.table("doc_dedup").collect()
+      .map(_.getAs[String]("content_hash")).toSet
+    assert(hashes.size === 4) // alpha kept twice across the purge
+  }
+
+  test("streamingDocDedup replayed one doc per batch equals the batch keeper set") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    // 30 corpus docs + planted exact duplicates under shifted ids,
+    // fed ONE PER BATCH in id order (arrival order == id order, so
+    // the stream's first-arrival keeper IS the batch min-id keeper)
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val planted = base.filter(_._1 % 3 == 0)
+      .map { case (id, txt) => (id + 1000L, txt) }
+    val feed = (base ++ planted).sortBy(_._1)
+    val in = MemoryStream[StreamDoc]
+    val q = Streaming.streamingDocDedup(in.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("doc_dedup_replay")
+      .outputMode("append").start()
+    val t0 = 1704067200000L
+    feed.foreach { case (id, txt) =>
+      in.addData(StreamDoc(id, new Timestamp(t0 + id * 1000L), txt))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val keptIds = spark.table("doc_dedup_replay").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val batchKeepers = graft.text.Dedup.exactDuplicates(
+        feed.toSeq.toDF("doc_id", "text"))
+      .collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(keptIds === batchKeepers,
+      s"stream kept $keptIds, batch keeps $batchKeepers")
+  }
+
   test("streamingChunkDedup: first arrival claims a chunk across batches") {
     import graft.streaming.{StreamChunk, StreamDoc}
     implicit val sqlCtx = spark.sqlContext
