@@ -742,6 +742,20 @@ object DocQueries {
         coarseCentroids(s, dir), pqResidBooks(s, dir), dim = 64, k = 10,
         nProbe = 4)
     }),
+    "q_ann_filtered_adc" -> ((s, dir) => {
+      // the FILTERED read on the byte-budget path (round 13): the
+      // metadata predicate composes directly with ivfAdcTopK because
+      // the quantizer artifacts (coarse cells, residual codebooks)
+      // are corpus-level and passed in — filter the corpus frame,
+      // codes and candidates restrict to survivors, probes and the
+      // exact-cosine rerank tail are unchanged; the predicate pushes
+      // to the embeddings scan before any residual work
+      val e = embeddings(s, dir)
+      graft.vector.Pq.ivfAdcTopK(e.filter(col("label") % 3 === 0),
+        e.filter(col("vec_id") < 20),
+        coarseCentroids(s, dir), pqResidBooks(s, dir), dim = 64, k = 10,
+        nProbe = 4)
+    }),
     "q_cluster_sample" -> ((s, dir) => {
       // cluster-balanced (diversity) sampling (round 10): k-means
       // cells over the direction-normalized embeddings (the SemDeDup
@@ -1352,16 +1366,18 @@ object DocQueries {
       // exercises the leftmost-longest walk — at every "table" start
       // the longest needle must win or the twins fail to collapse; a
       // fold of per-needle replaces would break the equality. Twins
-      // still collapse: "table" starts can never be consumed by a
-      // "ta"/"le" match beginning earlier (both would need the 't' to
-      // be a different character), and no replacement string mints a
-      // needle, so canonical(text) == canonical(text with "table"
-      // pre-replaced) exactly.
-      val dict = Seq("table" -> "tbl", "ta" -> "tX", "le" -> "lY")
+      // still collapse, PROVABLY: "table" starts can never be
+      // consumed by a "ta"/"le" match beginning earlier (both would
+      // need the 't' to be a different character), and every
+      // replacement string is chosen UPPERCASE-bearing so no
+      // replacement can mint a lowercase needle across its boundary
+      // (a lowercase "tbl" would: "table"+"e" -> twin "tble", whose
+      // fresh "le" canonicalizes differently than the original).
+      val dict = Seq("table" -> "TBL", "ta" -> "tX", "le" -> "lY")
       val d = documents(s, dir).select(col("doc_id"), col("text"))
       val aliased = d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
-          regexp_replace(col("text"), "table", "tbl").as("text"))
+          regexp_replace(col("text"), "table", "TBL").as("text"))
       val canon = graft.text.Blocklist.canonicalizeDocs(
         d.unionByName(aliased), dict)
       canon.groupBy("canonical")
@@ -2540,7 +2556,8 @@ object DocQueries {
     * through `rk2` (query_id, neighbor_id, cos, rank). `queryPred`
     * selects the query vectors; `kShort` is the ADC shortlist bound
     * (rerank * k). */
-  private def ivfAdcOracleCtes(queryPred: String, kShort: Int): String = {
+  private def ivfAdcOracleCtes(queryPred: String, kShort: Int,
+      corpusPred: String = "TRUE"): String = {
       // replays the RESIDUAL Pq.ivfAdcTopK: the q_ann_ivf coarse chain
       // (prefix g, 5 iters over the full 64 dims) routes corpus
       // vectors to cells and queries to their 4 probe cells; residual
@@ -2610,7 +2627,9 @@ object DocQueries {
          |codes_long AS ($residCodesLong),
          |qd_long AS ($residQdLong),
          |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.cell
-         |  FROM probe p JOIN gasg a USING (cell) WHERE p.query_id <> a.vec_id),
+         |  FROM probe p JOIN gasg a USING (cell)
+         |  JOIN embeddings ce ON ce.vec_id = a.vec_id
+         |  WHERE p.query_id <> a.vec_id AND ($corpusPred)),
          |ad AS (SELECT cand.query_id, cand.neighbor_id,
          |    sum(q.dist)::BIGINT AS adc_dist
          |  FROM cand JOIN codes_long c ON c.vec_id = cand.neighbor_id
@@ -4287,6 +4306,15 @@ object DocQueries {
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
          |FROM rk2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    "q_ann_filtered_adc" ->
+      // the filtered IVFADC read: the identical residual chain with
+      // candidates restricted to the label-filter survivors (codes,
+      // probes, and the rerank tail unchanged — the quantizer is a
+      // corpus-level artifact)
+      s"""${ivfAdcOracleCtes("vec_id < 20", 80, "ce.label % 3 = 0")}
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "q_hard_negatives_adc" ->
       // the IVFADC arm of hard-negative mining: the same residual
       // read path at k = n + margin = 13 (shortlist 8*13 = 104),
@@ -5365,10 +5393,10 @@ object DocQueries {
       // now be WRONG (a per-needle fold cascades where "ta"/"le"
       // overlap "table")
       """WITH RECURSIVE maps(pid, pat, rep) AS (VALUES
-        |  (0, 'table', 'tbl'), (1, 'ta', 'tX'), (2, 'le', 'lY')),
+        |  (0, 'table', 'TBL'), (1, 'ta', 'tX'), (2, 'le', 'lY')),
         |d0 AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
         |al AS (SELECT doc_id + 100000 AS doc_id,
-        |  replace(text, 'table', 'tbl') AS text
+        |  replace(text, 'table', 'TBL') AS text
         |  FROM d0 WHERE doc_id % 7 = 0),
         |d AS (SELECT * FROM d0 UNION ALL SELECT * FROM al),
         |st AS MATERIALIZED (SELECT doc_id, pid, pat, rep, text,

@@ -165,4 +165,135 @@ object Compact {
   /** The compacted table, for reading back. */
   def read(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(outPath)
+
+  /** [[binPack]] for a BUCKETED catalog table ([[Bucketing]]'s
+    * layout): compaction must never merge ACROSS buckets — the hash
+    * layout (bucket id = pmod(hash(key), n), encoded in every part
+    * file's `_NNNNN` name suffix) is what makes joins/aggs on the
+    * bucket key exchange-free, and a cross-bucket merge would silently
+    * re-introduce the 100 TB shuffle the table was bucketed to delete.
+    * So: files group by their bucket id first, contiguous runs pack
+    * WITHIN each bucket (same one-job union as [[binPack]]), every
+    * output file carries its bucket's suffix (Spark's own parser
+    * accepts the names), rewritten bins re-sort by the table's
+    * declared sort columns (the sorted-bucket metadata must stay
+    * honest), and the result registers as `outTable` with the
+    * identical bucket spec — BucketingSpec pins that the co-located
+    * join over the compacted table still plans NO Exchange. */
+  def binPackBucketed(
+      spark: SparkSession,
+      table: String,
+      outTable: String,
+      outPath: String,
+      targetBytes: Long,
+      smallBytes: Long = 0L): CompactReport = {
+    require(targetBytes > 0L, s"targetBytes must be > 0, got $targetBytes")
+    val small = if (smallBytes > 0L) smallBytes else targetBytes
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(id)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table $table is not bucketed — use binPack for plain layouts"))
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    val conf = spark.sessionState.newHadoopConf()
+    val in = new Path(meta.location)
+    val fs = in.getFileSystem(conf)
+    val files = fs.listStatus(in).toVector
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .sortBy(_.getPath.getName)
+    val byBucket = files.groupBy { f =>
+      bridge.bucketIdOfFile(f.getPath.getName).getOrElse(
+        throw new IllegalStateException(
+          s"bucketed table $table has a part file without a bucket " +
+            s"suffix: ${f.getPath.getName}"))
+    }
+
+    val out = new Path(outPath)
+    if (!fs.exists(out)) require(fs.mkdirs(out), s"cannot create $out")
+
+    // per bucket: the same contiguous greedy packing as binPack
+    val units = Vector.newBuilder[(Int, Unit0)]
+    byBucket.keys.toSeq.sorted.foreach { b =>
+      var run = Vector.empty[FileStatus]
+      var runBytes = 0L
+      def flush(): scala.Unit = if (run.nonEmpty) {
+        if (run.length == 1) units += ((b, CopyFile(run.head)))
+        else units += ((b, RewriteBin(run)))
+        run = Vector.empty
+        runBytes = 0L
+      }
+      byBucket(b).foreach { f =>
+        if (f.getLen >= small) { flush(); units += ((b, CopyFile(f))) }
+        else {
+          if (run.nonEmpty && runBytes + f.getLen > targetBytes) flush()
+          run :+= f
+          runBytes += f.getLen
+        }
+      }
+      flush()
+    }
+    val ordered = units.result()
+
+    val bins = ordered.collect { case (_, RewriteBin(fsv)) => fsv }
+    val tmp = new Path(outPath + ".graft-compact-tmp")
+    var tmpParts = Vector.empty[Path]
+    if (bins.nonEmpty) {
+      val schema = meta.schema
+      val branches = bins.map { bfs =>
+        val df = spark.read.schema(schema)
+          .parquet(bfs.map(_.getPath.toString): _*).coalesce(1)
+        if (spec.sortColumnNames.nonEmpty)
+          df.sortWithinPartitions(spec.sortColumnNames.map(col): _*)
+        else df
+      }
+      bridge.unionKeepingPartitions(branches)
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmpParts = fs.listStatus(tmp).toVector
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName).map(_.getPath)
+      require(tmpParts.length == bins.length,
+        s"expected ${bins.length} rewritten files, got ${tmpParts.length}")
+    }
+
+    var binIdx = 0
+    var copied = 0L
+    ordered.zipWithIndex.foreach {
+      case ((b, CopyFile(f)), i) =>
+        val dst = new Path(out,
+          f"part-$i%05d-graftc${bridge.bucketIdSuffix(b)}.parquet")
+        require(FileUtil.copy(fs, f.getPath, fs, dst, false, conf),
+          s"copy failed: ${f.getPath} -> $dst")
+        copied += 1L
+      case ((b, RewriteBin(_)), i) =>
+        val dst = new Path(out,
+          f"part-$i%05d-graftc${bridge.bucketIdSuffix(b)}.parquet")
+        require(fs.rename(tmpParts(binIdx), dst),
+          s"rename failed: ${tmpParts(binIdx)} -> $dst")
+        binIdx += 1
+    }
+    if (bins.nonEmpty) fs.delete(tmp, true)
+
+    // register the compacted layout under the IDENTICAL bucket spec
+    spark.sql(s"DROP TABLE IF EXISTS `$outTable`")
+    val sorted =
+      if (spec.sortColumnNames.nonEmpty)
+        s"SORTED BY (${spec.sortColumnNames.map(c => s"`$c`").mkString(", ")}) "
+      else ""
+    spark.sql(
+      s"""CREATE TABLE `$outTable` (${meta.schema.toDDL})
+         |USING PARQUET
+         |CLUSTERED BY (${spec.bucketColumnNames.map(c => s"`$c`").mkString(", ")})
+         |${sorted}INTO ${spec.numBuckets} BUCKETS
+         |LOCATION '$outPath'""".stripMargin)
+
+    CompactReport(
+      nFilesBefore = files.length.toLong,
+      nFilesAfter = ordered.length.toLong,
+      bytesBefore = files.map(_.getLen).sum,
+      nBinsRewritten = bins.length.toLong,
+      bytesRewritten = bins.map(_.map(_.getLen).sum).sum,
+      nFilesCopied = copied)
+  }
 }

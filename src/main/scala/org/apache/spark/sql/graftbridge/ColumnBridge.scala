@@ -53,6 +53,20 @@ object ColumnBridge {
     spark.internalCreateDataFrame(rdd, dfs.head.schema)
   }
 
+  /** The bucket id encoded in a bucketed-table part-file name (Spark's
+    * own parser — `part-00000-<uuid>_00003.c000.snappy.parquet` →
+    * Some(3)), and the writer's suffix spelling for producing names the
+    * parser accepts. Bridged because BucketingUtils is private[sql];
+    * [[graft.operators.Compact.binPackBucketed]] needs both to compact
+    * a bucketed layout without breaking it. */
+  def bucketIdOfFile(name: String): Option[Int] =
+    org.apache.spark.sql.execution.datasources.BucketingUtils
+      .getBucketId(name)
+
+  def bucketIdSuffix(id: Int): String =
+    org.apache.spark.sql.execution.datasources.BucketingUtils
+      .bucketIdToString(id)
+
   /** The block-manager RDD id backing a `localCheckpoint()`ed Dataset
     * (None for non-checkpoint plans). Lets an iterative builder record
     * exactly WHICH persistent RDDs it created, so a retention probe can

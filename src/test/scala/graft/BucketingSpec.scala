@@ -101,6 +101,54 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("binPackBucketed: fewer files per bucket, layout intact, join stays exchange-free") {
+    import graft.operators.Compact
+    // three write tasks -> three small files per bucket (12 files)
+    Bucketing.writeBucketed(left(600).repartition(3), "b_cmp_in",
+      tmp("cmpin"), "doc_id", nBuckets = 4)
+    val outDir = tmp("cmpout")
+    val rep = Compact.binPackBucketed(spark, "b_cmp_in", "b_cmp_out",
+      s"$outDir/t", targetBytes = 1L << 26)
+    assert(rep.nFilesBefore === 12L)
+    assert(rep.nFilesAfter === 4L, s"expected one file per bucket: $rep")
+    assert(rep.nBinsRewritten === 4L)
+
+    // the compacted table keeps the identical declared spec...
+    assert(Bucketing.bucketSpec(spark, "b_cmp_out") ===
+      Some((Seq("doc_id"), 4)))
+    // ...the rows are lossless...
+    val before = spark.table("b_cmp_in").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val after = spark.table("b_cmp_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(after === before)
+    // ...every output file carries a parseable bucket suffix...
+    val outFiles = new java.io.File(s"$outDir/t").listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).sorted
+    val ids = outFiles.flatMap(
+      org.apache.spark.sql.graftbridge.ColumnBridge.bucketIdOfFile)
+    assert(ids.sorted.toSeq === Seq(0, 1, 2, 3), outFiles.mkString(","))
+    // ...and the whole point: a join on the bucket key over the
+    // COMPACTED table still plans no Exchange on that side
+    Bucketing.writeBucketed(right(600), "b_cmp_dim", tmp("cmpdim"),
+      "doc_id", nBuckets = 4)
+    forceMergeJoin {
+      val j = Bucketing.colocatedJoin(spark, "b_cmp_out", "b_cmp_dim",
+        "doc_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"compaction broke the exchange-free layout:\n$plan")
+      assert(j.count() === 600)
+    }
+    // a plain (unbucketed) table is refused (use binPack)
+    spark.sql("DROP TABLE IF EXISTS b_cmp_plain")
+    left(10).write.format("parquet").option("path", tmp("cmpplain"))
+      .saveAsTable("b_cmp_plain")
+    intercept[IllegalArgumentException] {
+      Compact.binPackBucketed(spark, "b_cmp_plain", "x", tmp("cmpx"), 1L)
+    }
+  }
+
   test("layout mismatches are refused, not silently re-shuffled") {
     Bucketing.writeBucketed(left(50), "b_n8", tmp("n8"), "doc_id", 8)
     Bucketing.writeBucketed(right(50), "b_n4", tmp("n4"), "doc_id", 4)

@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q_quantiles",            // q+1-row rank broadcast, interval pick
     "q_sample_quantiles",     // same rank broadcast over the k-row sample
     "q_lm_ppl",               // one-row tercile-cut broadcast (c33, c67)
+    "q_lm_ppl3",              // same tercile-cut + model-total broadcasts
     "q_quality_stack",        // inherits the LM tercile-cut broadcast
     "q_corpus_pipeline",      // inherits the LM tercile-cut broadcast
     "q_frontier",             // one-row N + dangling-mass broadcasts
@@ -72,6 +73,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // the ANN query-batch id filter reaches the embeddings scan
     assert(plans("q_ann_cosine").contains("LessThan(vec_id,20)"),
       "q_ann_cosine lost the vec_id pushdown")
+    // filtered ANN: the metadata predicate reaches the corpus scan
+    // BEFORE any distance work (the whole point of the filtered path)
+    assert(plans("q_ann_filtered").contains("IsNotNull(label)"),
+      "q_ann_filtered lost the label pushdown to the embeddings scan")
   }
 
   test("column pruning reaches the parquet scans") {
