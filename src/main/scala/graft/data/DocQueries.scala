@@ -1495,6 +1495,13 @@ object DocQueries {
       // matches of "[a-z]+ble" and "ta[a-z]+" scrub cleanly
       graft.text.Blocklist.rxRedact(documents(s, dir), RxNeedleSet)
         .orderBy("doc_id")),
+    "q_rx_prov" -> ((s, dir) =>
+      // regex provenance: per (source, pattern) document counts, hit
+      // documents, total match positions — the "which source carries
+      // the key leak" card on the regex arm; one kernel projection +
+      // one small map-side-combinable aggregate
+      graft.text.Blocklist.rxProvenance(documents(s, dir), RxNeedleSet)
+        .orderBy("source", "pattern_id")),
     "q_blocklist_prov" -> ((s, dir) =>
       // provenance report: per (source, pattern) document counts,
       // hit-document counts, and total occurrences — the "which
@@ -5341,6 +5348,27 @@ object DocQueries {
          |FROM d CROSS JOIN pats p
          |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.pid = p.pid
          |ORDER BY d.doc_id, pattern_id""".stripMargin,
+
+    "q_rx_prov" ->
+      // mirrors rxProvenance: the per-position counting CTE grouped
+      // by (source, pattern)
+      s"""WITH pats(pid, pat) AS (VALUES $rxPatsValues),
+         |d AS (SELECT doc_id::BIGINT AS doc_id, source, text
+         |  FROM documents),
+         |st AS (SELECT doc_id, pid, pat, text,
+         |  unnest(range(length(text))) AS s FROM d CROSS JOIN pats),
+         |cnt AS (SELECT doc_id, pid,
+         |  sum(CASE WHEN length(regexp_extract(substr(text, (s + 1)::INT),
+         |      '^(' || pat || ')')) > 0 THEN 1 ELSE 0 END)::BIGINT AS n
+         |  FROM st GROUP BY 1, 2)
+         |SELECT d.source, p.pid::BIGINT AS pattern_id,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN coalesce(c.n, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_docs_hit,
+         |  coalesce(sum(c.n), 0)::BIGINT AS n_hits
+         |FROM d CROSS JOIN pats p
+         |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.pid = p.pid
+         |GROUP BY 1, 2 ORDER BY source, pattern_id""".stripMargin,
 
     "q_rx_spans" ->
       // mirrors rxSpans: per-position greedy match lengths

@@ -323,6 +323,67 @@ object Blocklist {
         col("n_hits"), (col("n_hits") > 0).as("hit"))
   }
 
+  /** Regex provenance report — the "which source carries the key
+    * leak" card ([[provenanceReport]]'s regex arm): per (source,
+    * pattern) the document count, hit documents, and total match
+    * positions. One kernel projection + one |sources| x |patterns|
+    * map-side-combinable aggregate. */
+  def rxProvenance(
+      docs: DataFrame,
+      needles: Seq[(String, String, Int)],
+      textCol: String = "text",
+      byCol: String = "source"): DataFrame = {
+    val nPat = needles.length
+    docs.withColumn("__m",
+        rxSpansColOn(docs.sparkSession, col(textCol), needles))
+      .select(col(byCol),
+        posexplode(transform(sequence(lit(0), lit(nPat - 1)),
+          p => size(filter(col("__m"),
+            m => m.getField("pattern_id") === p.cast("long"))).cast("long")))
+          .as(Seq("pattern_id", "n_hits")))
+      .groupBy(col(byCol), col("pattern_id").cast("long").as("pattern_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0L, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum(col("n_hits")).as("n_hits"))
+  }
+
+  /** Collect a regex-needle set from a governed TABLE (columns:
+    * regex, anchor, max_gap — the operational shape secret-scanning
+    * rule sets live in), deterministic (sorted by regex, distinct)
+    * and bounded by [[MaxPatternsKey]] with the `limit(max + 1)`
+    * fail-fast — the [[patternsFrom]] discipline. Rows with a null /
+    * empty regex or anchor, or a negative gap, are rejected loudly
+    * (a silently dropped scanning rule is a compliance hole, not a
+    * data-quality detail). */
+  def rxNeedlesFrom(
+      needles: DataFrame,
+      regexCol: String = "regex",
+      anchorCol: String = "anchor",
+      gapCol: String = "max_gap"): Seq[(String, String, Int)] = {
+    val max = needles.sparkSession.conf
+      .get(MaxPatternsKey, MaxPatternsDefault.toString).toInt
+    require(max >= 1, s"$MaxPatternsKey must be >= 1")
+    val rows = needles
+      .select(col(regexCol).cast("string").as("__re"),
+        col(anchorCol).cast("string").as("__a"),
+        col(gapCol).cast("int").as("__g"))
+      .distinct().orderBy("__re").limit(max + 1)
+      .collect()
+    if (rows.length > max)
+      throw new IllegalStateException(
+        s"regex-needle table exceeds $max distinct rules; raise " +
+          s"$MaxPatternsKey if the driver and broadcast budget allow, " +
+          "or pre-filter the rule set")
+    rows.map { r =>
+      require(!r.isNullAt(0) && r.getString(0).nonEmpty &&
+        !r.isNullAt(1) && r.getString(1).nonEmpty &&
+        !r.isNullAt(2) && r.getInt(2) >= 0,
+        s"invalid regex-needle rule row: $r (regex and anchor must be " +
+          "non-empty, max_gap >= 0)")
+      (r.getString(0), r.getString(1), r.getInt(2))
+    }.toSeq
+  }
+
   /** Regex REDACTION: every codepoint covered by ANY regex match
     * becomes one `mask` char (union-of-spans — the [[redactDocs]]
     * semantic lifted to the regex arm). Returns (id, redacted,

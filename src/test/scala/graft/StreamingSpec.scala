@@ -210,6 +210,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streaming duplicate clusters differ from the batch operator's")
   }
 
+  test("streamingRxGate and streamingRxRedact replay the batch rx faces exactly, stateless") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val needles = Seq(("ta[a-z]+", "ta", 0), ("[a-z]+ble", "ble", 24),
+      ("[0-9]{3}-[0-9]{2}", "-", 3))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    val batchGate = graft.text.Blocklist.rxGate(docs, needles).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pattern_id")) ->
+        r.getAs[Long]("n_hits")).toMap
+    val batchRed = graft.text.Blocklist.rxRedact(docs, needles).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("redacted"), r.getAs[Long]("n_masked")))).toMap
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val qg = Streaming.streamingRxGate(in.toDS(), needles)
+      .writeStream.format("memory").queryName("rx_gate_stream")
+      .outputMode("append").start()
+    val qr = Streaming.streamingRxRedact(in.toDS(), needles)
+      .writeStream.format("memory").queryName("rx_redact_stream")
+      .outputMode("append").start()
+    rows.grouped(20).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      qg.processAllAvailable(); qr.processAllAvailable()
+    }
+    qg.stop(); qr.stop()
+    val sg = spark.table("rx_gate_stream").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pattern_id")) ->
+        r.getAs[Long]("n_hits")).toMap
+    assert(sg === batchGate)
+    val sr = spark.table("rx_redact_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("redacted"), r.getAs[Long]("n_masked")))).toMap
+    assert(sr === batchRed)
+    // stateless: pure projections, no aggregation, no watermark needed
+    assert(!Streaming.streamingRxGate(in.toDS(), needles)
+      .queryExecution.analyzed.toString.contains("Aggregate"))
+  }
+
   test("streamingDocDedup: first arrival wins, re-delivery collapses, watermark purges") {
     import graft.streaming.StreamDoc
     implicit val sqlCtx = spark.sqlContext
