@@ -742,6 +742,15 @@ object DocQueries {
         coarseCentroids(s, dir), pqResidBooks(s, dir), dim = 64, k = 10,
         nProbe = 4)
     }),
+    "q_ann_filter_card" -> ((s, dir) =>
+      // selectivity telemetry for the filtered read (round 18): one
+      // row — corpus size, survivors, 1e-6 half-away selectivity,
+      // cells the survivors touch, and the largest per-cell survivor
+      // population (predicate x cluster skew); makes the
+      // brute-fallback threshold tunable from data
+      graft.vector.Ivf.filterCard(embeddings(s, dir),
+        col("label") % 3 === 0, nCells = 16,
+        trained = Some(coarseCentroids(s, dir)))),
     "q_ann_filtered_adc" -> ((s, dir) => {
       // the FILTERED read on the byte-budget path (round 13): the
       // metadata predicate composes directly with ivfAdcTopK because
@@ -4312,6 +4321,40 @@ object DocQueries {
       s"""${ivfAdcOracleCtes("vec_id < 20", 80)}
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
          |FROM rk2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_filter_card" ->
+      // mirrors Ivf.filterCard: the shared Lloyd chain, survivor
+      // assignment, per-cell counts, one card row
+      s"""WITH cnt AS (SELECT greatest(1, count(*) // 4096) AS rate FROM embeddings),
+         |samp AS (SELECT vec_id, embedding FROM embeddings, cnt
+         |  WHERE rate <= 1 OR (vec_id * 2654435761) % 1000003 % rate = 0),
+         |eqs AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM samp CROSS JOIN range(64) t(d)),
+         |c0 AS (SELECT s.cell, e.d, e.q FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+         |    FROM samp ORDER BY vec_id LIMIT 16) s
+         |  JOIN eqs e USING (vec_id)),
+         |${lloydChain(5)},
+         |eqa AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM embeddings CROSS JOIN range(64) t(d)
+         |  WHERE label % 3 = 0),
+         |dall AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM eqa v JOIN c5 c ON v.d = c.d GROUP BY 1, 2),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM dall) WHERE rn = 1),
+         |pc AS (SELECT cell, count(*)::BIGINT AS c FROM asg GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS n_total FROM embeddings),
+         |sc AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_survivors,
+         |  count(*)::BIGINT AS n_cells_hit,
+         |  coalesce(max(c), 0)::BIGINT AS max_cell_survivors FROM pc)
+         |SELECT n_total, n_survivors,
+         |  CASE WHEN n_total = 0 THEN 0 ELSE
+         |    (2 * n_survivors * 1000000 + n_total) // (2 * n_total)
+         |  END AS selectivity_micro,
+         |  n_cells_hit, max_cell_survivors
+         |FROM tot CROSS JOIN sc""".stripMargin,
 
     "q_ann_filtered_adc" ->
       // the filtered IVFADC read: the identical residual chain with

@@ -60,6 +60,90 @@ case class LmScoreBcast(
   override def prettyName: String = "graft_lm_score_bcast"
 }
 
+/** KN-TRIGRAM log-prob sum against a broadcast pruned model — the
+  * stateless face of [[graft.text.LmPerplexity.score3]] (round 18:
+  * the trigram tier's DEPLOYMENT form, mirroring [[LmScoreBcast]]):
+  * one left-to-right walk with the double-`<s>` BOS pad, each
+  * trigram's probability assembled with the IDENTICAL IEEE shape as
+  * the Column formulation (seen context discounts and interpolates
+  * into the exact bigram value; unseen falls through to it), snapped
+  * at 1e-6 before the order-free long sum — so the fold equals the
+  * join-based score3 BITWISE and one model scores streams and
+  * batches identically. */
+case class LmScore3Bcast(
+    child: Expression,
+    bc: Broadcast[graft.text.LmPerplexity.LmModel3])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_lm_score3_bcast requires array<string> tokens, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    LmScore3Bcast.score(bc.value, v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cls = classOf[graft.text.LmPerplexity.LmModel3].getName
+      val bcRef = ctx.addReferenceObj("lm3Bc", bc,
+        classOf[Broadcast[graft.text.LmPerplexity.LmModel3]].getName)
+      val m = ctx.addMutableState(cls, "lm3Model",
+        f => s"$f = ($cls) $bcRef.value();")
+      s"${ev.value} = graft.functions.LmScore3Bcast.score($m, $v);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LmScore3Bcast =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_lm_score3_bcast"
+}
+
+object LmScore3Bcast {
+
+  /** Walk the token array once; (`<s>`, `<s>`) opens the context
+    * chain — one event per token, like the distributed [[graft.text
+    * .LmPerplexity.trigrams]] stream. */
+  def score(m: graft.text.LmPerplexity.LmModel3, toks: ArrayData): Long = {
+    val n = toks.numElements()
+    var lp = 0L
+    var w1 = "<s>"
+    var w2 = "<s>"
+    var i = 0
+    while (i < n) {
+      val w3 = toks.getUTF8String(i).toString
+      lp += LmScoreBcast.snapLn(trigramP(m, w1, w2, w3))
+      w1 = w2
+      w2 = w3
+      i += 1
+    }
+    lp
+  }
+
+  /** One trigram's P — the exact operand order of [[graft.text
+    * .LmPerplexity.score3]]'s Column expression: seen (w1,w2) context
+    * discounts c123 and re-spends the freed mass on the BIGRAM value
+    * (same `bigramP` core as [[LmScoreBcast]]); unseen falls through
+    * to it. */
+  private def trigramP(m: graft.text.LmPerplexity.LmModel3,
+      w1: String, w2: String, w3: String): Double = {
+    val p2 = LmScoreBcast.bigramP(m.bi, w2, w3)
+    val cx3 = m.ctx3.get(w1 + " " + w2)
+    if (cx3 != null) {
+      val c123: Long = {
+        val v: java.lang.Long = m.tri.get(w1 + " " + w2 + " " + w3)
+        if (v == null) 0L else v.longValue
+      }
+      (math.max(c123.toDouble - m.bi.d, 0.0) + m.bi.d * cx3(1) * p2) / cx3(0)
+    } else p2
+  }
+}
+
 object LmScoreBcast {
 
   /** Walk the token array once; `<s>` opens the context chain.
@@ -71,35 +155,38 @@ object LmScoreBcast {
     var i = 0
     while (i < n) {
       val w2 = toks.getUTF8String(i).toString
-      lp += bigramLp(m, w1, w2)
+      lp += snapLn(bigramP(m, w1, w2))
       w1 = w2
       i += 1
     }
     lp
   }
 
-  /** One bigram's 1e-6-snapped ln P — the IDENTICAL IEEE expression
-    * shape as the Column formulation in [[graft.text.LmPerplexity
-    * .score]] (same operand order, same promotions, java.lang.Math.log
-    * like Spark's codegen'd LOG), so the snap lands on the same grid
-    * cell. */
-  private def bigramLp(m: LmModel, w1: String, w2: String): Long = {
+  /** Spark round(double, 0): HALF_UP on the decimal (valueOf) repr. */
+  private[functions] def snapLn(p: Double): Long =
+    java.math.BigDecimal.valueOf(math.log(p) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+
+  /** One bigram's P — the IDENTICAL IEEE expression shape as the
+    * Column formulation in [[graft.text.LmPerplexity.score]] (same
+    * operand order, same promotions, java.lang.Math.log like Spark's
+    * codegen'd LOG), so the 1e-6 snap lands on the same grid cell.
+    * Exposed UN-logged because the trigram model interpolates on the
+    * probability VALUE ([[LmScore3Bcast]]). */
+  private[functions] def bigramP(m: LmModel, w1: String, w2: String)
+      : Double = {
     val nc: Long = {
       val v: java.lang.Long = m.cont.get(w2)
       if (v == null) 0L else v.longValue
     }
     val pc = (nc + 1L).toDouble / (m.nn + m.v + 1L)
     val cx = m.ctx.get(w1)
-    val p =
-      if (cx != null) {
-        val c12: Long = {
-          val v: java.lang.Long = m.big.get(w1 + " " + w2)
-          if (v == null) 0L else v.longValue
-        }
-        (math.max(c12.toDouble - m.d, 0.0) + m.d * cx(1) * pc) / cx(0)
-      } else pc
-    // Spark round(double, 0): HALF_UP on the decimal (valueOf) repr
-    java.math.BigDecimal.valueOf(math.log(p) * 1e6)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    if (cx != null) {
+      val c12: Long = {
+        val v: java.lang.Long = m.big.get(w1 + " " + w2)
+        if (v == null) 0L else v.longValue
+      }
+      (math.max(c12.toDouble - m.d, 0.0) + m.d * cx(1) * pc) / cx(0)
+    } else pc
   }
 }

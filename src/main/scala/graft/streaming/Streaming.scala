@@ -851,6 +851,31 @@ object Streaming {
         col("n_bigrams") === 0L || col("ppl") <= lit(maxPpl))
   }
 
+  /** [[streamingLmGate]] on the TRIGRAM tier (round 18): the same
+    * stateless one-walk gate through the broadcast
+    * [[graft.functions.LmScore3Bcast]] model — bitwise equal to the
+    * join-based `score3` (LmPerplexitySpec pins it), so the deployed
+    * stream gate and the offline tercile split score identically. */
+  def streamingLmGate3(
+      docs: DataFrame,
+      model: org.apache.spark.broadcast.Broadcast[graft.text.LmPerplexity.LmModel3],
+      maxPpl: Double,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val toks = graft.text.TextOps.tokens(col(textCol))
+    val lp = column(graft.functions.LmScore3Bcast(expression(toks), model))
+    docs
+      .withColumn("n_trigrams", size(toks).cast("long"))
+      .withColumn("lp_micro", lp)
+      .withColumn("ppl",
+        when(col("n_trigrams") > 0L,
+          round(exp(col("lp_micro").cast("double") * lit(-1.0) / lit(1e6) /
+            col("n_trigrams")), 6))
+          .otherwise(lit(-1.0)))
+      .withColumn("admitted",
+        col("n_trigrams") === 0L || col("ppl") <= lit(maxPpl))
+  }
+
   def streamingHllRegisters(
       events: DataFrame,
       key: Column,

@@ -210,6 +210,51 @@ object LmPerplexity {
     } finally trbg.unpersist()
   }
 
+  /** The TRIGRAM deployable artifact: the bigram model (the shared
+    * backoff floor) plus the trigram count table and (w1,w2) context
+    * fan-outs. Keys join tokens with single spaces — collision-free
+    * because tokens cannot contain spaces. */
+  final class LmModel3(
+      val bi: LmModel,
+      val tri: java.util.HashMap[String, java.lang.Long], // "w1 w2 w3" -> c123
+      val ctx3: java.util.HashMap[String, Array[Long]]) // "w1 w2" -> [c12, n3p]
+    extends Serializable
+
+  /** Collect the TRIGRAM KN model ([[score3]]'s tables) to the driver
+    * — bounded only if the training corpus is vocabulary-pruned, like
+    * [[collectModel]]; BOTH the bigram and trigram table sizes are
+    * enforced against [[MaxModelRowsKey]] before any collect. */
+  def collectModel3(train: DataFrame, d: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): LmModel3 = {
+    val bi = collectModel(train, d, textCol, idCol)
+    val trtg = trigrams(train, textCol, idCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__c123"))
+      .persist()
+    try {
+      val max = train.sparkSession.conf
+        .get(MaxModelRowsKey, MaxModelRowsDefault.toString).toLong
+      val nTri = trtg.limit(
+        (max + 1).min(Int.MaxValue.toLong).toInt).count()
+      if (nTri > max)
+        throw new IllegalArgumentException(
+          s"KN trigram table has more than $max distinct trigrams; " +
+            s"collectModel3 is driver-bounded by $MaxModelRowsKey " +
+            "(prune the training vocabulary with pruneVocab, or use " +
+            "the fully distributed join-based score3 instead)")
+      val tri = new java.util.HashMap[String, java.lang.Long]()
+      trtg.collect().foreach(r => tri.put(
+        r.getString(0) + " " + r.getString(1) + " " + r.getString(2),
+        java.lang.Long.valueOf(r.getAs[Long]("__c123"))))
+      val ctx3 = new java.util.HashMap[String, Array[Long]]()
+      trtg.groupBy("w1", "w2")
+        .agg(sum(col("__c123")).as("__c12"), count(lit(1)).as("__n3p"))
+        .collect().foreach(r => ctx3.put(
+          r.getString(0) + " " + r.getString(1),
+          Array(r.getAs[Long]("__c12"), r.getAs[Long]("__n3p"))))
+      new LmModel3(bi, tri, ctx3)
+    } finally trtg.unpersist()
+  }
+
   /** [[score]] + CCNet's head/middle/tail corpus split by EXACT
     * perplexity terciles: the cut keys are per-token log-prob rates on
     * the 1e-9 integer grid (exact half-away division), the cuts are

@@ -532,4 +532,48 @@ object Ivf {
         trained = Some(centroids))
     }
   }
+
+  /** Selectivity/recall TELEMETRY for a filtered read (round 18 —
+    * what makes [[ivfTopKFiltered]]'s fallback threshold tunable from
+    * data instead of folklore): one row with the corpus size, the
+    * predicate's survivor count, the half-away 1e-6-grid selectivity,
+    * how many coarse cells the survivors touch, and the largest
+    * per-cell survivor population. Reading the card: per-predicate
+    * recall shrinks as survivors thin out across probed cells —
+    * `n_survivors / n_cells_hit` is the expected candidates per
+    * probed cell (low single digits ⇒ probing loses recall; route to
+    * the brute fallback), and `max_cell_survivors` flags predicate ×
+    * cluster skew (one cell holding most survivors ⇒ probing that
+    * cell IS the search). One filter + one bounded aggregate over the
+    * pushed-down scan — no distance work beyond cell assignment. */
+  def filterCard(
+      corpus: DataFrame,
+      predicate: Column,
+      nCells: Int = 16,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trained: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(
+      trainCentroids(corpus, nCells, iters, idCol, vecCol))
+    val tot = corpus.agg(count(lit(1)).as("n_total"))
+    if (centroids.isEmpty)
+      return tot.select(col("n_total"), lit(0L).as("n_survivors"),
+        lit(0L).as("selectivity_micro"), lit(0L).as("n_cells_hit"),
+        lit(0L).as("max_cell_survivors"))
+    val perCell = corpus.filter(predicate)
+      .select(argminCell(cellDists(quantize(col(vecCol)), centroids))
+        .as("__cell"))
+      .groupBy("__cell").agg(count(lit(1)).as("__c"))
+    val sc = perCell.agg(
+      coalesce(sum("__c"), lit(0L)).as("n_survivors"),
+      count(lit(1)).as("n_cells_hit"),
+      coalesce(max("__c"), lit(0L)).as("max_cell_survivors"))
+    tot.crossJoin(broadcast(sc))
+      .select(col("n_total"), col("n_survivors"),
+        when(col("n_total") === 0L, lit(0L)).otherwise(
+          expr("(2 * n_survivors * 1000000 + n_total) div (2 * n_total)"))
+          .as("selectivity_micro"),
+        col("n_cells_hit"), col("max_cell_survivors"))
+  }
 }

@@ -206,6 +206,54 @@ class LmPerplexitySpec extends AnyFunSuite with SparkSpec {
       a.map(_.getAs[String]("bucket")).toSet))
   }
 
+  test("broadcast trigram scorer is bitwise equal to join-based score3") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val train = (0 until 25).map(i => (i.toLong,
+      s"tok${i % 4} tok${(i + 1) % 4} tok${(i + 2) % 5}")).toDF("doc_id", "text")
+    val docs = ((0 until 30).map(i => (i.toLong,
+      s"tok${i % 5} tok${(i + 3) % 4} oov${i % 2}")) :+ (99L, ""))
+      .toDF("doc_id", "text")
+    val joined = LmPerplexity.score3(train, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_trigrams"), r.getAs[Long]("lp_micro")))).toMap
+    val bc = spark.sparkContext.broadcast(LmPerplexity.collectModel3(train))
+    val toks = graft.text.TextOps.tokens(col("text"))
+    val viaKernel = docs.select(col("doc_id"),
+        size(toks).cast("long").as("n"),
+        column(graft.functions.LmScore3Bcast(expression(toks), bc)).as("lp"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("lp")))).toMap
+    // every tokened doc: identical event count AND identical exact sum
+    joined.foreach { case (id, (n, lp)) =>
+      assert(viaKernel(id) === ((n, lp)), s"doc $id diverges")
+    }
+    // token-less doc scores 0 through the kernel (no trigram events)
+    assert(viaKernel(99L) === ((0L, 0L)))
+    // and the streaming gate built on the kernel agrees per doc
+    val gated = graft.streaming.Streaming.streamingLmGate3(
+        docs, bc, maxPpl = 50.0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lp_micro")).toMap
+    joined.foreach { case (id, (_, lp)) => assert(gated(id) === lp) }
+  }
+
+  test("collectModel3 fails fast past spark.graft.lm.maxModelRows") {
+    val train = Seq((1L, "a b c d e"), (2L, "b c d e f")).toDF("doc_id", "text")
+    // 8 distinct trigrams vs 7 distinct bigrams: a bound of 7 passes
+    // the bigram table and must raise on the trigram one, naming the
+    // conf
+    spark.conf.set(LmPerplexity.MaxModelRowsKey, "7")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LmPerplexity.collectModel3(train)
+      }
+      assert(e.getMessage.contains(LmPerplexity.MaxModelRowsKey))
+      assert(e.getMessage.contains("trigram"))
+    } finally spark.conf.unset(LmPerplexity.MaxModelRowsKey)
+    val m = LmPerplexity.collectModel3(train)
+    assert(m.bi.nn === 7L && m.tri.size === 8)
+  }
+
   test("scoring is partitioning-independent (exact integer sums)") {
     val train = (0 until 30).map(i => (i.toLong,
       s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 7}")).toDF("doc_id", "text")
