@@ -1504,6 +1504,19 @@ object DocQueries {
       // matches of "[a-z]+ble" and "ta[a-z]+" scrub cleanly
       graft.text.Blocklist.rxRedact(documents(s, dir), RxNeedleSet)
         .orderBy("doc_id")),
+    "q_canon_rx" -> ((s, dir) =>
+      // regex canonicalization (round 18): the sequential per-rule
+      // fold — rule 2's anchor "T" does NOT occur in the lowercase
+      // corpus but IS minted by rule 0's replacement, so the query
+      // pins the fold's minted-anchor correctness (the prefilter only
+      // skips work on clean docs, never changes results); rule 3's
+      // digit shape is absent everywhere
+      graft.text.Blocklist.rxCanonicalize(documents(s, dir), Seq(
+          ("ta[a-z]+", "ta", "T1"),
+          ("b[a-z]{2}ch", "ch", "B"),
+          ("T[0-9]", "T", "NUM"),
+          ("[0-9]{3}-[0-9]{2}", "-", "<ID>")))
+        .orderBy("doc_id")),
     "q_rx_prov" -> ((s, dir) =>
       // regex provenance: per (source, pattern) document counts, hit
       // documents, total match positions — the "which source carries
@@ -5391,6 +5404,31 @@ object DocQueries {
          |FROM d CROSS JOIN pats p
          |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.pid = p.pid
          |ORDER BY d.doc_id, pattern_id""".stripMargin,
+
+    "q_canon_rx" ->
+      // mirrors rxCanonicalize's sequential fold: nested
+      // regexp_replace(..., 'g') in rule order, n_replaced = the sum
+      // of non-overlapping match counts against each INTERMEDIATE
+      // string state (regexp_extract_all counts exactly what a global
+      // replace replaces)
+      """WITH d AS (SELECT doc_id::BIGINT AS doc_id, text AS s0
+        |  FROM documents),
+        |f1 AS (SELECT doc_id, s0,
+        |  len(regexp_extract_all(s0, 'ta[a-z]+'))::BIGINT AS c1,
+        |  regexp_replace(s0, 'ta[a-z]+', 'T1', 'g') AS s1 FROM d),
+        |f2 AS (SELECT doc_id, c1,
+        |  len(regexp_extract_all(s1, 'b[a-z]{2}ch'))::BIGINT AS c2,
+        |  regexp_replace(s1, 'b[a-z]{2}ch', 'B', 'g') AS s2 FROM f1),
+        |f3 AS (SELECT doc_id, c1, c2,
+        |  len(regexp_extract_all(s2, 'T[0-9]'))::BIGINT AS c3,
+        |  regexp_replace(s2, 'T[0-9]', 'NUM', 'g') AS s3 FROM f2),
+        |f4 AS (SELECT doc_id, c1, c2, c3,
+        |  len(regexp_extract_all(s3, '[0-9]{3}-[0-9]{2}'))::BIGINT AS c4,
+        |  regexp_replace(s3, '[0-9]{3}-[0-9]{2}', '<ID>', 'g') AS s4
+        |  FROM f3)
+        |SELECT doc_id, s4 AS canonical,
+        |  (c1 + c2 + c3 + c4)::BIGINT AS n_replaced
+        |FROM f4 ORDER BY doc_id""".stripMargin,
 
     "q_rx_prov" ->
       // mirrors rxProvenance: the per-position counting CTE grouped

@@ -159,6 +159,88 @@ case class RxRedactBcast(
   override def prettyName: String = "graft_rx_redact_bcast"
 }
 
+/** One rewrite rule of the regex CANONICALIZATION face: a regex, its
+  * literal anchor (the [[RxNeedle]] contract — every match contains
+  * it), and a LITERAL replacement (no `$n` / `\n` group references:
+  * both engines must substitute the same bytes, so references are
+  * rejected at construction). */
+final class RxRule(
+    val regex: String,
+    val anchor: String,
+    val replacement: String) extends Serializable {
+  require(regex.nonEmpty, "regex must be non-empty")
+  require(anchor.nonEmpty, "anchor must be non-empty")
+  require(!replacement.contains("$") && !replacement.contains("\\"),
+    "replacement must be literal text (no $n / \\n group references " +
+      "- the cross-engine contract)")
+}
+
+/** Compiled rewrite rules: anchor automaton + patterns + literal
+  * replacements. */
+final class RxReplaceAutomaton(
+    val ac: AcAutomaton,
+    val patterns: Array[java.util.regex.Pattern],
+    val reps: Array[String]) extends Serializable
+
+/** Regex CANONICALIZATION through the broadcast rule set — the
+  * rewrite-to-replacement face the literal family has in
+  * [[AcReplaceBcast]] (normalize phone/date FORMATS rather than mask
+  * them). Semantics are the honest cross-engine choice: the
+  * SEQUENTIAL FOLD of per-rule global replaces, rule i + 1 seeing
+  * rule i's output — exactly `regexp_replace(…, 'g')` nested in rule
+  * order in both engines (a canonical simultaneous multi-regex
+  * ordering does not exist cheaply; the fold is what production sed
+  * chains actually run). The anchor prefilter only SKIPS work, never
+  * changes it: a document none of whose rules' anchors occur passes
+  * through untouched (no String materialization, no regex engine);
+  * once any rule has matched, every LATER rule runs unconditionally —
+  * an applied replacement may mint a later rule's anchor, and
+  * correctness never rides on it not doing so. Returns
+  * struct<canonical: string, n_replaced: bigint> (total matches
+  * replaced across the fold). */
+case class RxReplaceBcast(
+    child: Expression,
+    bc: Broadcast[Array[RxRule]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("canonical", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_replaced", LongType,
+        nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_rx_replace_bcast requires a string column, got ${t.sql}")
+    }
+
+  @transient private lazy val auto: RxReplaceAutomaton =
+    RxScanBcast.cachedRxReplace(bc)
+
+  override def nullSafeEval(textV: Any): Any =
+    RxScanBcast.replaceFold(auto, textV.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      val bcRef = ctx.addReferenceObj("rxRulesBc", bc,
+        classOf[Broadcast[Array[RxRule]]].getName)
+      val cls = RxScanBcast.getClass.getName.stripSuffix("$")
+      val a = ctx.addMutableState("graft.functions.RxReplaceAutomaton",
+        "rxReplaceAuto",
+        v => s"$v = $cls.cachedRxReplace($bcRef);")
+      s"""
+         |${ev.value} = $cls.replaceFold($a, $text);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): RxReplaceBcast =
+    copy(child = c)
+
+  override def prettyName: String = "graft_rx_replace_bcast"
+}
+
 object RxScanBcast {
 
   /** Per-JVM compiled-needle cache keyed by broadcast id (the
@@ -170,6 +252,92 @@ object RxScanBcast {
   def cachedRx(bc: Broadcast[Array[RxNeedle]]): RxAutomaton = {
     if (cache.size > 32) cache.clear()
     cache.computeIfAbsent(bc.id, _ => build(bc.value))
+  }
+
+  private val replaceCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, RxReplaceAutomaton]()
+
+  def cachedRxReplace(bc: Broadcast[Array[RxRule]]): RxReplaceAutomaton = {
+    if (replaceCache.size > 32) replaceCache.clear()
+    replaceCache.computeIfAbsent(bc.id, _ => buildReplace(bc.value))
+  }
+
+  /** Compile the rewrite rules: anchor automaton (pid = rule index) +
+    * java.util.regex patterns + literal replacements. */
+  def buildReplace(rules: Array[RxRule]): RxReplaceAutomaton = {
+    require(rules.nonEmpty, "rule set must be non-empty")
+    new RxReplaceAutomaton(
+      AcScanBcast.build(rules.map(_.anchor)),
+      rules.map(r => java.util.regex.Pattern.compile(r.regex)),
+      rules.map(_.replacement))
+  }
+
+  /** Interpreted/generated shared path of [[RxReplaceBcast]]: one AC
+    * pass computes which rules' anchors occur in the ORIGINAL text;
+    * no anchor anywhere → the text passes through untouched. Else the
+    * sequential fold runs: each present rule global-replaces
+    * (non-overlapping, left to right — `Matcher.find` +
+    * `appendReplacement` with the LITERAL replacement, counting
+    * matches); once any rule has replaced, every later rule runs
+    * regardless of its original-text anchor verdict (a replacement
+    * may mint a later anchor — correctness never rides on the
+    * prefilter). */
+  def replaceFold(ra: RxReplaceAutomaton, text: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val auto = ra.ac
+    val n = text.numBytes()
+    val present = new Array[Boolean](ra.patterns.length)
+    var any = false
+    var state = 0
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i) & 0xFF
+      var s = state
+      var nxt = auto.edge(s, b)
+      while (nxt == -1 && s != 0) { s = auto.fail(s); nxt = auto.edge(s, b) }
+      state = if (nxt == -1) 0 else nxt
+      var t = if (auto.outHead(state) != -1) state else auto.dictFail(state)
+      while (t != -1) {
+        var e = auto.outHead(t)
+        while (e != -1) {
+          present(auto.outPid(e)) = true
+          any = true
+          e = auto.outNext(e)
+        }
+        t = auto.dictFail(t)
+      }
+      i += 1
+    }
+    if (!any)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](text, 0L))
+    var s = text.toString
+    var replaced = 0L
+    var applied = false
+    var pid = 0
+    while (pid < ra.patterns.length) {
+      if (present(pid) || applied) {
+        val m = ra.patterns(pid).matcher(s)
+        var cnt = 0L
+        val sb = new java.lang.StringBuilder()
+        var last = 0
+        while (m.find()) {
+          sb.append(s, last, m.start())
+          sb.append(ra.reps(pid))
+          last = m.end()
+          cnt += 1L
+        }
+        if (cnt > 0L) {
+          sb.append(s, last, s.length)
+          s = sb.toString
+          replaced += cnt
+          applied = true
+        }
+      }
+      pid += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(s), replaced))
   }
 
   /** Compile the needle set: anchor automaton (pid = needle index) +

@@ -166,6 +166,88 @@ object Compact {
   def read(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(outPath)
 
+  private def nextDir(path: String) = new Path(path + ".graft-compact-next")
+  private def prevDir(path: String) = new Path(path + ".graft-compact-prev")
+  private val CompleteMarker = "_GRAFT_COMPACT_COMPLETE"
+
+  /** [[binPack]] SWAPPED IN PLACE (round 18 continuity item #2 —
+    * binPack writes a NEW directory, but the operational loop wants
+    * the same path to keep serving): compacts into a sibling
+    * `.graft-compact-next` directory, marks it COMPLETE, then swaps
+    * with two atomic renames (path → `.graft-compact-prev`, next →
+    * path) and deletes the prev copy. Crash-safety protocol — a torn
+    * swap must never serve half a table, so every window leaves a
+    * state [[recoverSwap]] resolves unambiguously:
+    *
+    *  - crash while writing next (no COMPLETE marker): path still
+    *    serves; recover deletes the partial next;
+    *  - crash after next completes, before the first rename: path
+    *    still serves; recover deletes next (the compaction simply
+    *    re-runs — next is a pure derivation of path);
+    *  - crash between the renames (the only no-table window —
+    *    readers momentarily see a missing path, never a partial one):
+    *    recover finishes the swap iff next carries the COMPLETE
+    *    marker, else rolls prev back;
+    *  - crash after the second rename, before cleanup: path serves
+    *    the compacted table; recover deletes the leftover prev.
+    *
+    * Renames are atomic on HDFS-like filesystems and POSIX
+    * directories; on object stores without atomic directory rename,
+    * use [[binPackBucketed]]'s catalog-re-point pattern instead (the
+    * catalog swap is the atomic step there). */
+  def binPackInPlace(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long,
+      smallBytes: Long = 0L,
+      sortCols: Seq[String] = Nil): CompactReport = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val next = nextDir(path)
+    val prev = prevDir(path)
+    require(!fs.exists(next) && !fs.exists(prev),
+      s"unfinished swap state at $next / $prev — run recoverSwap first")
+    val rep = binPack(spark, path, next.toString, targetBytes, smallBytes,
+      sortCols)
+    require(fs.createNewFile(new Path(next, CompleteMarker)),
+      s"cannot mark $next complete")
+    require(fs.rename(p, prev), s"rename $p -> $prev failed")
+    require(fs.rename(next, p), s"rename $next -> $p failed")
+    fs.delete(prev, true)
+    rep
+  }
+
+  /** Resolve any crash state a [[binPackInPlace]] left behind — see
+    * its protocol table. Returns a short description of the action
+    * taken. Idempotent; safe to run when no swap was in flight. */
+  def recoverSwap(spark: SparkSession, path: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val next = nextDir(path)
+    val prev = prevDir(path)
+    val nextComplete =
+      fs.exists(next) && fs.exists(new Path(next, CompleteMarker))
+    if (fs.exists(p)) {
+      var acted = List.empty[String]
+      if (fs.exists(next)) { fs.delete(next, true); acted ::= "deleted next" }
+      if (fs.exists(prev)) { fs.delete(prev, true); acted ::= "deleted prev" }
+      if (acted.isEmpty) "clean — no swap in flight"
+      else s"table intact; ${acted.mkString(", ")}"
+    } else if (nextComplete) {
+      require(fs.rename(next, p), s"recovery rename $next -> $p failed")
+      if (fs.exists(prev)) fs.delete(prev, true)
+      "finished the interrupted swap (next was complete)"
+    } else if (fs.exists(prev)) {
+      require(fs.rename(prev, p), s"rollback rename $prev -> $p failed")
+      if (fs.exists(next)) fs.delete(next, true)
+      "rolled back to the pre-swap table (next was incomplete)"
+    } else
+      throw new IllegalStateException(
+        s"no table at $path and no recoverable swap state — nothing to do")
+  }
+
   /** [[binPack]] for a BUCKETED catalog table ([[Bucketing]]'s
     * layout): compaction must never merge ACROSS buckets — the hash
     * layout (bucket id = pmod(hash(key), n), encoded in every part

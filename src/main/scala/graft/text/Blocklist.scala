@@ -384,6 +384,31 @@ object Blocklist {
     }.toSeq
   }
 
+  /** Regex CANONICALIZATION: sequential per-rule global rewrite
+    * (rule i + 1 sees rule i's output — nested `regexp_replace`
+    * semantics in both engines; the literal family's simultaneous
+    * leftmost-longest walk has no cheap regex analogue), with the
+    * anchor prefilter skipping the regex engine entirely for clean
+    * documents. `rules` are (regex, literalAnchor, replacement)
+    * triples; replacements must be LITERAL (no group references).
+    * Returns (id, canonical, n_replaced). */
+  def rxCanonicalize(
+      docs: DataFrame,
+      rules: Seq[(String, String, String)],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(rules.nonEmpty, "rule set must be non-empty")
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(rules.map { case (re, a, rep) =>
+      new graft.functions.RxRule(re, a, rep) }.toArray)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    docs.select(col(idCol),
+        column(graft.functions.RxReplaceBcast(
+          expression(col(textCol)), bc)).as("__c"))
+      .select(col(idCol), col("__c.canonical").as("canonical"),
+        col("__c.n_replaced").as("n_replaced"))
+  }
+
   /** Regex REDACTION: every codepoint covered by ANY regex match
     * becomes one `mask` char (union-of-spans — the [[redactDocs]]
     * semantic lifted to the regex arm). Returns (id, redacted,

@@ -119,6 +119,71 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
     assert(rep3 === Compact.CompactReport(0L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("binPackInPlace: same path keeps serving; every torn-swap state recovers") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-swap").toString
+    val rows = (0 until 5000).map(i => (i.toLong, (i * 7 % 1024).toLong))
+      .toDF("a", "b")
+    rows.repartition(16).write.mode("overwrite").parquet(s"$base/t")
+    val before = spark.read.parquet(s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val rep = Compact.binPackInPlace(spark, s"$base/t",
+      targetBytes = 1L << 26)
+    assert(rep.nFilesBefore === 16L && rep.nFilesAfter < 16L)
+    val after = spark.read.parquet(s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after === before, "in-place swap must be lossless")
+    // no swap residue
+    assert(!new java.io.File(s"$base/t.graft-compact-next").exists)
+    assert(!new java.io.File(s"$base/t.graft-compact-prev").exists)
+    assert(Compact.recoverSwap(spark, s"$base/t")
+      .startsWith("clean"))
+
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // torn state 1: crash between the renames with a COMPLETE next —
+    // recover must finish the swap
+    fs.rename(hp(s"$base/t"), hp(s"$base/t.graft-compact-prev"))
+    fs.mkdirs(hp(s"$base/t.graft-compact-next"))
+    spark.read.parquet(s"$base/t.graft-compact-prev")
+      .coalesce(1).write.parquet(s"$base/tmpcopy")
+    fs.listStatus(hp(s"$base/tmpcopy")).filter(_.isFile)
+      .filter(_.getPath.getName.startsWith("part-")).foreach { f =>
+        fs.rename(f.getPath,
+          hp(s"$base/t.graft-compact-next/" + f.getPath.getName)): Unit
+      }
+    fs.createNewFile(
+      hp(s"$base/t.graft-compact-next/_GRAFT_COMPACT_COMPLETE"))
+    assert(Compact.recoverSwap(spark, s"$base/t").startsWith("finished"))
+    assert(spark.read.parquet(s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
+    assert(!new java.io.File(s"$base/t.graft-compact-prev").exists)
+
+    // torn state 2: crash between the renames with an INCOMPLETE next
+    // — recover must roll the pre-swap table back
+    fs.rename(hp(s"$base/t"), hp(s"$base/t.graft-compact-prev"))
+    fs.mkdirs(hp(s"$base/t.graft-compact-next")) // no marker, no files
+    assert(Compact.recoverSwap(spark, s"$base/t").startsWith("rolled back"))
+    assert(spark.read.parquet(s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
+    assert(!new java.io.File(s"$base/t.graft-compact-next").exists)
+
+    // torn state 3: crash after the swap, before cleanup — recover
+    // just deletes the leftover prev
+    fs.mkdirs(hp(s"$base/t.graft-compact-prev"))
+    assert(Compact.recoverSwap(spark, s"$base/t").contains("deleted prev"))
+    // and binPackInPlace itself refuses to start over unfinished state
+    fs.mkdirs(hp(s"$base/t.graft-compact-next"))
+    intercept[IllegalArgumentException] {
+      Compact.binPackInPlace(spark, s"$base/t", targetBytes = 1L << 26)
+    }
+    fs.delete(hp(s"$base/t.graft-compact-next"), true)
+  }
+
   test("6M-row exact quantiles satisfy the order-statistic bounds") {
     val n = probe.count()
     assert(n > 5000000L, s"probe size $n — a decade above sf0.1")

@@ -214,6 +214,53 @@ class RxScanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rxCanonicalize equals the builtin regexp_replace fold, cascade included") {
+    val rules = Seq(
+      ("ta[a-z]+", "ta", "T1"),
+      ("b[a-z]{2}ch", "ch", "B"),
+      ("T[0-9]", "T", "NUM"), // anchor MINTED by rule 0's replacement
+      ("[0-9]{3}-[0-9]{2}", "-", "<ID>"))
+    val texts = Seq(
+      1L -> "table batch talk",   // cascade: table -> T1 -> NUM
+      2L -> "clean words only",   // untouched fast path
+      3L -> "999-88 batch",       // later rules without earlier ones
+      4L -> "",
+      5L -> "T5 alone")           // rule-2 anchor present in ORIGINAL
+    val d = texts.toDF("doc_id", "text")
+    val got = Blocklist.rxCanonicalize(d, rules).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("canonical"), r.getAs[Long]("n_replaced")))).toMap
+    // truth: the builtin fold (regexp_replace nested in rule order)
+    val fold = rules.foldLeft(col("text")) { case (c, (re, _, rep)) =>
+      regexp_replace(c, re, rep) }
+    val want = d.select(col("doc_id"), fold.as("c")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("c")).toMap
+    texts.foreach { case (id, _) =>
+      assert(got(id)._1 === want(id), s"doc $id fold diverges")
+    }
+    assert(got(1L) === (("NUM B NUM", 5L))) // table->T1->NUM, talk->T1->NUM
+    assert(got(2L) === (("clean words only", 0L)))
+    assert(got(3L) === (("<ID> B", 2L)))
+    assert(got(4L) === (("", 0L)))
+    assert(got(5L) === (("NUM alone", 1L)))
+    // replacement references are rejected at construction
+    intercept[IllegalArgumentException] {
+      new graft.functions.RxRule("a+", "a", "$1")
+    }
+    // codegen and interpreted paths agree
+    val many = (0L until 40L).map(i =>
+      i -> s"tok$i table batch ${"T" * (i % 3).toInt}7 999-88")
+      .toDF("doc_id", "text").repartition(3)
+    def run(mode: String): Map[Long, (String, Long)] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try Blocklist.rxCanonicalize(many, rules).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("canonical"), r.getAs[Long]("n_replaced")))).toMap
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
+  }
+
   test("needle validation fails fast") {
     intercept[IllegalArgumentException] {
       new RxNeedle("", "a", 0)
