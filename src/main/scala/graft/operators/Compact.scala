@@ -53,13 +53,57 @@ object Compact {
   private final case class CopyFile(f: FileStatus) extends Unit0
   private final case class RewriteBin(fs: Vector[FileStatus]) extends Unit0
 
+  /** Execute the rewrite bins in waves of [[MaxBinsPerJob]] (one task
+    * per bin, one union per wave — see the binPack doc), returning
+    * the written part files in GLOBAL bin order. */
+  private def rewriteBins(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      bins: Vector[Vector[FileStatus]],
+      sortCols: Seq[String],
+      tmp: Path,
+      fs: org.apache.hadoop.fs.FileSystem): Vector[Path] = {
+    bins.grouped(MaxBinsPerJob).zipWithIndex.foreach { case (wave, w) =>
+      val branches = wave.map { b =>
+        val df = spark.read.schema(schema)
+          .parquet(b.map(_.getPath.toString): _*).coalesce(1)
+        if (sortCols.nonEmpty)
+          df.sortWithinPartitions(sortCols.map(col): _*)
+        else df
+      }
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .unionKeepingPartitions(branches)
+        .write.mode("overwrite").parquet(s"$tmp/wave-" + f"$w%05d")
+    }
+    val parts = fs.listStatus(tmp).toVector
+      .filter(_.isDirectory).sortBy(_.getPath.getName)
+      .flatMap { waveDir =>
+        fs.listStatus(waveDir.getPath).toVector
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName).map(_.getPath)
+      }
+    require(parts.length == bins.length,
+      s"expected ${bins.length} rewritten files, got ${parts.length}")
+    parts
+  }
+
+  /** Rewrite bins per Spark job: each bin is one union branch in the
+    * job's plan, and a million-bin small-file tail would otherwise
+    * build a million-child plan (driver planning blows up long before
+    * the executors feel anything). 512 branches keeps planning
+    * sub-second; the waves run back to back and the output naming is
+    * identical either way. */
+  val MaxBinsPerJob = 512
+
   /** Bin-pack `inPath`'s part files into `outPath` targeting
     * `targetBytes` per output file. Files >= `smallBytes` (default:
     * `targetBytes`) copy byte-for-byte; contiguous runs of smaller
     * files pack greedily up to `targetBytes` and rewrite, one output
-    * file per bin, names preserving the original global order.
-    * `sortCols`, when given, re-sorts rows WITHIN each rewritten bin
-    * (e.g. the clustered dimensions) for row-group locality. */
+    * file per bin, names preserving the original global order —
+    * submitted in waves of [[MaxBinsPerJob]] bins so plan size stays
+    * bounded at any tail size. `sortCols`, when given, re-sorts rows
+    * WITHIN each rewritten bin (e.g. the clustered dimensions) for
+    * row-group locality. */
   def binPack(
       spark: SparkSession,
       inPath: String,
@@ -107,33 +151,19 @@ object Compact {
     flush()
     val ordered = units.result()
 
-    // one job for ALL rewritten bins: a union of single-partition
-    // per-bin reads; task i writes bin i's file. NOT a Catalyst
-    // union — the optimizer collapses per-branch coalesce hints back
-    // to one partition (measured); unionKeepingPartitions concatenates
-    // the executed branches at the RDD level, keeping one partition
-    // per bin in bin order
+    // one task per rewritten bin: a union of single-partition per-bin
+    // reads, task i writing bin i's file. NOT a Catalyst union — the
+    // optimizer collapses per-branch coalesce hints back to one
+    // partition (measured); unionKeepingPartitions concatenates the
+    // executed branches at the RDD level, keeping one partition per
+    // bin in bin order. Submitted in waves of MaxBinsPerJob so the
+    // per-job plan stays bounded regardless of tail size.
     val bins = ordered.collect { case RewriteBin(fsv) => fsv }
     val tmp = new Path(outPath + ".graft-compact-tmp")
-    var tmpParts = Vector.empty[Path]
-    if (bins.nonEmpty) {
-      val schema = spark.read.parquet(inPath).schema
-      val branches = bins.map { b =>
-        val df = spark.read.schema(schema)
-          .parquet(b.map(_.getPath.toString): _*).coalesce(1)
-        if (sortCols.nonEmpty)
-          df.sortWithinPartitions(sortCols.map(col): _*)
-        else df
-      }
-      org.apache.spark.sql.graftbridge.ColumnBridge
-        .unionKeepingPartitions(branches)
-        .write.mode("overwrite").parquet(tmp.toString)
-      tmpParts = fs.listStatus(tmp).toVector
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .sortBy(_.getPath.getName).map(_.getPath)
-      require(tmpParts.length == bins.length,
-        s"expected ${bins.length} rewritten files, got ${tmpParts.length}")
-    }
+    val tmpParts =
+      if (bins.isEmpty) Vector.empty[Path]
+      else rewriteBins(spark, spark.read.parquet(inPath).schema, bins,
+        sortCols, tmp, fs)
 
     // lay the outputs down in global order: zero-padded index names
     // keep lexicographic order == key order for downstream listings
@@ -320,24 +350,10 @@ object Compact {
 
     val bins = ordered.collect { case (_, RewriteBin(fsv)) => fsv }
     val tmp = new Path(outPath + ".graft-compact-tmp")
-    var tmpParts = Vector.empty[Path]
-    if (bins.nonEmpty) {
-      val schema = meta.schema
-      val branches = bins.map { bfs =>
-        val df = spark.read.schema(schema)
-          .parquet(bfs.map(_.getPath.toString): _*).coalesce(1)
-        if (spec.sortColumnNames.nonEmpty)
-          df.sortWithinPartitions(spec.sortColumnNames.map(col): _*)
-        else df
-      }
-      bridge.unionKeepingPartitions(branches)
-        .write.mode("overwrite").parquet(tmp.toString)
-      tmpParts = fs.listStatus(tmp).toVector
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .sortBy(_.getPath.getName).map(_.getPath)
-      require(tmpParts.length == bins.length,
-        s"expected ${bins.length} rewritten files, got ${tmpParts.length}")
-    }
+    val tmpParts =
+      if (bins.isEmpty) Vector.empty[Path]
+      else rewriteBins(spark, meta.schema, bins, spec.sortColumnNames,
+        tmp, fs)
 
     var binIdx = 0
     var copied = 0L

@@ -119,6 +119,38 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
     assert(rep3 === Compact.CompactReport(0L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("binPack waves: past MaxBinsPerJob the jobs split but global order holds") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-waves").toString
+    // 1100 range-ordered tiny files -> ~550 two-file bins: two waves
+    (0 until 44000).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+      .repartitionByRange(1100, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(s"$base/in")
+    val files = new java.io.File(s"$base/in").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(files.length === 1100)
+    // target ~2.5x the average file so bins hold 2 files (a singleton
+    // run would byte-copy instead of rewrite)
+    val avg = files.map(_.length()).sum / files.length
+    val rep = Compact.binPack(spark, s"$base/in", s"$base/out",
+      targetBytes = avg * 5 / 2)
+    assert(rep.nBinsRewritten > Compact.MaxBinsPerJob,
+      s"probe must cross the wave boundary: $rep")
+    // losslessness across the wave seam
+    val n = spark.read.parquet(s"$base/out").count()
+    assert(n === 44000L)
+    // global key order preserved: file-name order == key-range order,
+    // exactly as in the input layout (min(a) nondecreasing by name)
+    val mins = spark.read.parquet(s"$base/out")
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(min("a").as("lo"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    assert(mins.toSeq === mins.sorted.toSeq,
+      "wave split reordered the key ranges")
+  }
+
   test("binPackInPlace: same path keeps serving; every torn-swap state recovers") {
     import spark.implicits._
     import graft.operators.Compact
