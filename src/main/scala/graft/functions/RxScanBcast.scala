@@ -344,6 +344,10 @@ object RxScanBcast {
     * java.util.regex patterns. */
   def build(needles: Array[RxNeedle]): RxAutomaton = {
     require(needles.nonEmpty, "needle set must be non-empty")
+    // the walk packs (position << 20 | pid) — the same 1M ceiling the
+    // literal family's pattern tables enforce via conf
+    require(needles.length <= (1 << 20),
+      s"regex needle set exceeds 2^20 rules (${needles.length})")
     new RxAutomaton(
       AcScanBcast.build(needles.map(_.anchor)),
       needles.map(n => n.anchor.codePointCount(0, n.anchor.length)),

@@ -112,6 +112,9 @@ object Compact {
       smallBytes: Long = 0L,
       sortCols: Seq[String] = Nil): CompactReport = {
     require(targetBytes > 0L, s"targetBytes must be > 0, got $targetBytes")
+    require(new Path(inPath) != new Path(outPath),
+      "in and out paths must differ — use binPackInPlace for " +
+        "same-path compaction (it handles the atomic swap)")
     val small = if (smallBytes > 0L) smallBytes else targetBytes
     val conf = spark.sessionState.newHadoopConf()
     val in = new Path(inPath)
@@ -250,13 +253,17 @@ object Compact {
 
   /** Resolve any crash state a [[binPackInPlace]] left behind — see
     * its protocol table. Returns a short description of the action
-    * taken. Idempotent; safe to run when no swap was in flight. */
+    * taken. Idempotent; safe to run when no swap was in flight. Also
+    * sweeps the rewrite-stage scratch directory (`binPack`'s
+    * `<next>.graft-compact-tmp` sibling) a crash mid-write leaves. */
   def recoverSwap(spark: SparkSession, path: String): String = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val next = nextDir(path)
     val prev = prevDir(path)
+    val nextTmp = new Path(next.toString + ".graft-compact-tmp")
+    if (fs.exists(nextTmp)) fs.delete(nextTmp, true)
     val nextComplete =
       fs.exists(next) && fs.exists(new Path(next, CompleteMarker))
     if (fs.exists(p)) {
