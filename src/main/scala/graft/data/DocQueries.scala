@@ -673,6 +673,70 @@ object DocQueries {
             col("text"))) % 1000003L).as("content_sig"))
         .orderBy("source")
     }),
+    "q_compact_part" -> ((s, dir) => {
+      // HIVE-PARTITIONED compaction end-to-end (round 14, VERDICT r13
+      // #2): lay the corpus out partitioned by source with a small-
+      // file tail in every leaf, binPackPartitioned (bins never cross
+      // a partition boundary; all partitions share the rewrite waves
+      // and ONE distributed copy job), then the q_compact value-
+      // losslessness card off the COMPACTED table — the partition
+      // column itself comes back through directory discovery, so
+      // equal cards pin both row values and partition values.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-compact-part").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/out"), true)
+      documents(s, dir).select("doc_id", "text", "source", "n_chars")
+        .repartition(6)
+        .write.partitionBy("source").mode("overwrite")
+        .parquet(s"$root/in")
+      val rep = graft.operators.Compact.binPackPartitioned(s, s"$root/in",
+        s"$root/out", targetBytes = 1L << 20)
+      require(rep.nFilesAfter < rep.nFilesBefore,
+        s"partitioned compaction did not reduce the file count: $rep")
+      s.read.parquet(s"$root/out")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextOps.hash56(concat_ws(":", lit("cmp"), col("doc_id"),
+            col("text"))) % 1000003L).as("content_sig"))
+        .orderBy("source")
+    }),
+    "q_compact_card" -> ((s, dir) => {
+      // compaction TELEMETRY (round 14, VERDICT r13 #8): the
+      // OPTIMIZE-advisor profile card. The layout is deterministic
+      // and oracle-replayable — doc → file by hash56 mod 24, one file
+      // per bucket (unionKeepingPartitions keeps one partition per
+      // branch, so part index == bucket) — and the card's ROW-side
+      // telemetry (per-file parquet-FOOTER row counts + totals) is
+      // replayed exactly by DuckDB from the same assignment. The
+      // byte-side fields (sizes, small shares, projected bins) are
+      // environment-shaped and pinned in LayoutProbeSpec instead.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-compact-card").toString
+      val nf = 24
+      val d = documents(s, dir)
+        .select(col("doc_id"),
+          pmod(TextOps.hash56(concat(lit("card:"),
+            col("doc_id").cast("string"))), lit(nf.toLong)).as("f"))
+        .localCheckpoint()
+      require(d.select("f").distinct().count() == nf.toLong,
+        "every file bucket must be populated for index==bucket to hold")
+      val branches = (0 until nf).map(i =>
+        d.filter(col("f") === i.toLong).coalesce(1))
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .unionKeepingPartitions(branches)
+        .write.mode("overwrite").parquet(s"$root/t")
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .unpersistLocalCheckpoint(d)
+      val prof = graft.operators.Compact
+        .profileFiles(s, s"$root/t", targetBytes = 1L << 20)
+        .select(col("file_idx"), col("n_rows"))
+      val tot = prof.agg(count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("n_rows_total"))
+      prof.crossJoin(broadcast(tot)).orderBy("file_idx")
+    }),
     "q_text_stats" -> ((s, dir) =>
       TextStats.textStats(documents(s, dir)).orderBy("doc_id")),
     "q_token_counts" -> ((s, dir) =>
@@ -3937,6 +4001,31 @@ object DocQueries {
          |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
          |    % 1000003)::BIGINT AS content_sig
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_compact_part" ->
+      // the identical value-losslessness card for the PARTITIONED
+      // compaction — the partition column (source) round-trips
+      // through directory discovery, so the grouping key itself is
+      // under test
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
+         |    % 1000003)::BIGINT AS content_sig
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_compact_card" ->
+      // replays the deterministic hash-bucket layout and the profile
+      // card's row-side telemetry: per-file row counts (the parquet
+      // footer counts the operator reads distributed) and totals
+      s"""WITH f AS (SELECT
+         |    ${hash56("'card:' || doc_id::VARCHAR")} % 24 AS f
+         |  FROM documents),
+         |per AS (SELECT f AS file_idx, count(*)::BIGINT AS n_rows
+         |  FROM f GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS n_files,
+         |  sum(n_rows)::BIGINT AS n_rows_total FROM per)
+         |SELECT file_idx, n_rows, n_files, n_rows_total
+         |FROM per CROSS JOIN tot ORDER BY file_idx""".stripMargin,
 
     "q_text_stats" -> {
       val sw = sqlList(TextStats.EnglishStopwords)

@@ -79,4 +79,11 @@ object ColumnBridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd.id)
       case _ => None
     }
+
+  /** Drain the listener bus (private[spark]) — lets a spec assert on
+    * job/stage listener events deterministically instead of sleeping
+    * (LayoutProbeSpec pins that compaction's copy arm runs as a Spark
+    * job, one task per file, never on the driver). */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

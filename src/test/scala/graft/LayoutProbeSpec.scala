@@ -151,69 +151,300 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       "wave split reordered the key ranges")
   }
 
-  test("binPackInPlace: same path keeps serving; every torn-swap state recovers") {
+  test("binPackInPlace: manifest commit, large files untouched, every torn state recovers") {
     import spark.implicits._
     import graft.operators.Compact
-    val base = java.nio.file.Files.createTempDirectory("graft-swap").toString
-    val rows = (0 until 5000).map(i => (i.toLong, (i * 7 % 1024).toLong))
-      .toDF("a", "b")
-    rows.repartition(16).write.mode("overwrite").parquet(s"$base/t")
+    val base = java.nio.file.Files.createTempDirectory("graft-mswap").toString
+    // a mixed layout: 3 big files + 12 small ones in one directory
+    (0 until 60000).map(i => (i.toLong, (i * 7 % 1024).toLong)).toDF("a", "b")
+      .repartition(3).write.mode("overwrite").parquet(s"$base/t")
+    (0 until 1200).map(i => (100000L + i, (i * 3 % 1024).toLong))
+      .toDF("a", "b").repartition(12).write.mode("append").parquet(s"$base/t")
+    val dirF = new java.io.File(s"$base/t")
+    def dataFiles() = dirF.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).sortBy(_.getName)
+    val sizes = dataFiles().map(_.length()).sorted
+    val smallCut = (sizes(11) + sizes(12)) / 2 // between 12th and 13th size
+    val bigBefore = dataFiles().filter(_.length() >= smallCut)
+      .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+      .toMap
+    assert(bigBefore.size === 3)
     val before = spark.read.parquet(s"$base/t").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
 
     val rep = Compact.binPackInPlace(spark, s"$base/t",
-      targetBytes = 1L << 26)
-    assert(rep.nFilesBefore === 16L && rep.nFilesAfter < 16L)
-    val after = spark.read.parquet(s"$base/t").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    assert(after === before, "in-place swap must be lossless")
-    // no swap residue
-    assert(!new java.io.File(s"$base/t.graft-compact-next").exists)
-    assert(!new java.io.File(s"$base/t.graft-compact-prev").exists)
-    assert(Compact.recoverSwap(spark, s"$base/t")
-      .startsWith("clean"))
+      targetBytes = smallCut * 6, smallBytes = smallCut)
+    // untouched = the 3 big files plus any singleton small runs the
+    // interleaved name order produced; nothing is ever copied
+    assert(rep.nFilesBefore === 15L && rep.nFilesUntouched >= 3L &&
+      rep.nFilesCopied === 0L && rep.nBinsRewritten >= 1L &&
+      rep.nFilesAfter < 15L)
+    // the big files were not rewritten, copied, or renamed: identical
+    // names, identical bytes, in place (the zero-IO large-file arm)
+    bigBefore.foreach { case (n, bytes) =>
+      val f = new java.io.File(dirF, n)
+      assert(f.exists, s"large file $n vanished")
+      assert(java.nio.file.Files.readAllBytes(f.toPath).toSeq === bytes,
+        s"large file $n was touched")
+    }
+    // lossless through the manifest reader
+    assert(Compact.read(spark, s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
+    // managed now: exactly one manifest, no scratch, dead inputs gone
+    val manifests = dirF.listFiles()
+      .filter(_.getName.startsWith("_GRAFT_MANIFEST-g")).map(_.getName)
+    assert(manifests.toSeq === Seq("_GRAFT_MANIFEST-g000000001"))
+    assert(!new java.io.File(dirF, ".graft-compact-tmp").exists)
+    assert(dataFiles().length.toLong === rep.nFilesAfter)
+    assert(Compact.recoverSwap(spark, s"$base/t").startsWith("clean"))
+
+    // a later pass with nothing to pack commits no new generation
+    val rep2 = Compact.binPackInPlace(spark, s"$base/t",
+      targetBytes = smallCut * 6, smallBytes = 1L)
+    assert(rep2.nBinsRewritten === 0L &&
+      rep2.nFilesUntouched === rep.nFilesAfter)
+    assert(dirF.listFiles().count(_.getName.startsWith("_GRAFT_MANIFEST")) === 1)
 
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
-    // torn state 1: crash between the renames with a COMPLETE next —
-    // recover must finish the swap
-    fs.rename(hp(s"$base/t"), hp(s"$base/t.graft-compact-prev"))
-    fs.mkdirs(hp(s"$base/t.graft-compact-next"))
-    spark.read.parquet(s"$base/t.graft-compact-prev")
-      .coalesce(1).write.parquet(s"$base/tmpcopy")
-    fs.listStatus(hp(s"$base/tmpcopy")).filter(_.isFile)
-      .filter(_.getPath.getName.startsWith("part-")).foreach { f =>
-        fs.rename(f.getPath,
-          hp(s"$base/t.graft-compact-next/" + f.getPath.getName)): Unit
-      }
-    fs.createNewFile(
-      hp(s"$base/t.graft-compact-next/_GRAFT_COMPACT_COMPLETE"))
-    assert(Compact.recoverSwap(spark, s"$base/t").startsWith("finished"))
-    assert(spark.read.parquet(s"$base/t").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
-    assert(!new java.io.File(s"$base/t.graft-compact-prev").exists)
-
-    // torn state 2: crash between the renames with an INCOMPLETE next
-    // — recover must roll the pre-swap table back
-    fs.rename(hp(s"$base/t"), hp(s"$base/t.graft-compact-prev"))
-    fs.mkdirs(hp(s"$base/t.graft-compact-next")) // no marker, no files
-    assert(Compact.recoverSwap(spark, s"$base/t").startsWith("rolled back"))
-    assert(spark.read.parquet(s"$base/t").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
-    assert(!new java.io.File(s"$base/t.graft-compact-next").exists)
-
-    // torn state 3: crash after the swap, before cleanup — recover
-    // just deletes the leftover prev
-    fs.mkdirs(hp(s"$base/t.graft-compact-prev"))
-    assert(Compact.recoverSwap(spark, s"$base/t").contains("deleted prev"))
-    // and binPackInPlace itself refuses to start over unfinished state
-    fs.mkdirs(hp(s"$base/t.graft-compact-next"))
+    // torn state 1: crash mid-rewrite (scratch left) — reads serve the
+    // committed table; in-place refuses to start; recover sweeps
+    fs.mkdirs(hp(s"$base/t/.graft-compact-tmp"))
     intercept[IllegalArgumentException] {
-      Compact.binPackInPlace(spark, s"$base/t", targetBytes = 1L << 26)
+      Compact.binPackInPlace(spark, s"$base/t", targetBytes = 1L << 20)
     }
-    fs.delete(hp(s"$base/t.graft-compact-next"), true)
+    assert(Compact.recoverSwap(spark, s"$base/t")
+      .contains("deleted rewrite scratch"))
+
+    // torn state 2: crash after a packed file moved in but BEFORE the
+    // commit — manifest readers still serve the OLD set exactly
+    // (reader isolation), a plain directory read would not
+    val donor = dataFiles().head
+    val orphan = new java.io.File(dirF, "part-zzzz-orphan-packed.parquet")
+    java.nio.file.Files.copy(donor.toPath, orphan.toPath)
+    assert(Compact.read(spark, s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before,
+      "manifest reader must not see the uncommitted file")
+    assert(spark.read.parquet(s"$base/t").count() > before.length.toLong,
+      "the plain-directory read is the duplicate hazard the manifest exists for")
+    intercept[IllegalArgumentException] {
+      Compact.binPackInPlace(spark, s"$base/t", targetBytes = 1L << 20)
+    }
+    assert(Compact.recoverSwap(spark, s"$base/t").contains("outside manifest"))
+    assert(!orphan.exists)
+
+    // torn state 3: manifest temp left behind — recover deletes it
+    val mtmp = new java.io.File(dirF, "._GRAFT_MANIFEST-g000000009.tmp")
+    java.nio.file.Files.write(mtmp.toPath, "junk".getBytes)
+    assert(Compact.recoverSwap(spark, s"$base/t").contains("manifest temp"))
+    assert(!mtmp.exists)
+
+    // torn state 4: crash during step-5 cleanup — a superseded
+    // manifest and a dead input survive; latest generation wins
+    val liveNames = dataFiles().map(_.getName)
+    java.nio.file.Files.write(
+      new java.io.File(dirF, "_GRAFT_MANIFEST-g000000000").toPath,
+      liveNames.mkString("\n").getBytes)
+    val dead = new java.io.File(dirF, "part-old-dead.parquet")
+    java.nio.file.Files.copy(donor.toPath, dead.toPath)
+    val msg = Compact.recoverSwap(spark, s"$base/t")
+    assert(msg.contains("superseded") && msg.contains("outside manifest"))
+    assert(!dead.exists)
+    assert(dirF.listFiles().count(_.getName.startsWith("_GRAFT_MANIFEST")) === 1)
+    assert(Compact.read(spark, s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
+  }
+
+  test("binPack copy arm runs as ONE Spark job — a task per file, never the driver") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-cjob").toString
+    (0 until 4000).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+      .repartition(48).write.mode("overwrite").parquet(s"$base/in")
+    val stages =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.add((e.stageInfo.numTasks, e.stageInfo.name)): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rep =
+      try {
+        val r = Compact.binPack(spark, s"$base/in", s"$base/out",
+          targetBytes = 1L << 30, smallBytes = 1L) // all 48 files copy
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .drainListenerBus(spark.sparkContext)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rep.nFilesCopied === 48L && rep.nBinsRewritten === 0L)
+    // the copy stage: exactly one task per file, scheduled from
+    // Compact's copyDistributed — the driver moved no bytes
+    import scala.jdk.CollectionConverters._
+    val copyStages = stages.asScala.filter { case (n, name) =>
+      n == 48 && name.contains("Compact.scala")
+    }
+    assert(copyStages.nonEmpty,
+      s"no 48-task copy stage observed; saw ${stages.asScala.toList}")
+    // and the copies are still byte-identical in name order
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    files(s"$base/in").zip(files(s"$base/out")).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(a.toPath),
+        java.nio.file.Files.readAllBytes(b.toPath)))
+    }
+  }
+
+  test("binPack bin identity: an all-empty bin drops its file without misaligning names") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-ebin").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.mkdirs(hp(s"$base/in"))
+    // donor files: one data part (s bytes), one ZERO-ROW part (the
+    // streaming-sink shape the advice named)
+    (0 until 3000).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+      .coalesce(1).write.parquet(s"$base/data")
+    (0 until 1).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+      .filter(col("a") < 0).coalesce(1).write.parquet(s"$base/empty")
+    def part(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).head
+    val dataF = part(s"$base/data")
+    val emptyF = part(s"$base/empty")
+    assert(spark.read.parquet(emptyF.getPath).count() === 0L)
+    // layout: (aa1,aa2)=data bin, (bb1,bb2)=ALL-EMPTY bin, zz=large
+    for (n <- Seq("aa1", "aa2"))
+      java.nio.file.Files.copy(dataF.toPath,
+        new java.io.File(s"$base/in/$n.parquet").toPath)
+    for (n <- Seq("bb1", "bb2"))
+      java.nio.file.Files.copy(emptyF.toPath,
+        new java.io.File(s"$base/in/$n.parquet").toPath)
+    // zz: big enough to flush the run (>= smallBytes = target)
+    val target = dataF.length() * 2
+    (0 until 60000).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+      .coalesce(1).write.parquet(s"$base/big")
+    val bigF = part(s"$base/big")
+    assert(bigF.length() >= target, "big donor must exceed the target")
+    java.nio.file.Files.copy(bigF.toPath,
+      new java.io.File(s"$base/in/zz.parquet").toPath)
+
+    // pin maxRecordsPerFile around the call: the rewrite must ignore a
+    // would-split setting and restore it afterwards (advice r13)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    val rep =
+      try Compact.binPack(spark, s"$base/in", s"$base/out", target)
+      finally {
+        assert(spark.conf.get("spark.sql.files.maxRecordsPerFile") === "100",
+          "maxRecordsPerFile not restored")
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+    // units: bin0=(aa1,aa2) -> one file (despite maxRecordsPerFile=100),
+    // bin1=(bb1,bb2) -> NO file (zero rows), unit2=zz -> copy. The
+    // empty bin must not shift the copy onto the wrong name.
+    assert(rep.nBinsRewritten === 2L && rep.nFilesCopied === 1L &&
+      rep.nFilesAfter === 2L)
+    val names = new java.io.File(s"$base/out").listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(_.getName).sorted.toSeq
+    assert(names === Seq("part-000000000-packed.parquet",
+      "part-000000002-copy.parquet"), s"misaligned names: $names")
+    assert(spark.read.parquet(s"$base/out").count() === 2 * 3000L + 60000L)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$base/in/zz.parquet").toPath),
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$base/out/part-000000002-copy.parquet").toPath)))
+    // dirty-destination guard (advice r13): a re-run into the same
+    // directory fails fast instead of duplicating rows
+    val e = intercept[IllegalArgumentException] {
+      Compact.binPack(spark, s"$base/in", s"$base/out", target)
+    }
+    assert(e.getMessage.contains("not empty"))
+  }
+
+  test("binPackPartitioned: per-partition bins, pruning and values unchanged") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val rows = (0 until 24000).map { i =>
+      (i.toLong, (i % 3).toLong, (i % 2).toLong, (i * 13 % 997).toLong)
+    }.toDF("id", "p", "q", "v")
+    rows.repartition(8).write.partitionBy("p", "q")
+      .mode("overwrite").parquet(s"$base/in")
+    val before = spark.read.parquet(s"$base/in")
+      .select(col("id"), col("p").cast("long"), col("q").cast("long"),
+        col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val nLeafFilesIn = new java.io.File(s"$base/in/p=1/q=0").listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(nLeafFilesIn >= 4, s"probe needs small files per leaf, got $nLeafFilesIn")
+
+    val rep = Compact.binPackPartitioned(spark, s"$base/in", s"$base/out",
+      targetBytes = 1L << 26)
+    assert(rep.nFilesBefore >= 24L && rep.nFilesAfter < rep.nFilesBefore)
+    // structure reproduced: every leaf directory exists with ONE file
+    for (p <- 0 to 2; q <- 0 to 1) {
+      val leaf = new java.io.File(s"$base/out/p=$p/q=$q")
+      assert(leaf.isDirectory, s"missing leaf p=$p/q=$q")
+      assert(leaf.listFiles().count(f =>
+        f.isFile && f.getName.startsWith("part-")) === 1)
+    }
+    // value losslessness INCLUDING the partition columns
+    val after = spark.read.parquet(s"$base/out")
+      .select(col("id"), col("p").cast("long"), col("q").cast("long"),
+        col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(after === before)
+    // partition pruning unchanged: a p=1 filter touches only p=1 files
+    val touched = spark.read.parquet(s"$base/out").filter(col("p") === 1)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("/p=1/")),
+      s"pruning broken: $touched")
+  }
+
+  test("profileFiles/profileCard: the OPTIMIZE advisor matches the layout and its projection") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-prof").toString
+    (0 until 6000).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+      .repartition(12).write.mode("overwrite").parquet(s"$base/t")
+    val inFiles = new java.io.File(s"$base/t").listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val target = inFiles.map(_.length()).sum / 3 + 1
+
+    val files = Compact.profileFiles(spark, s"$base/t", target).collect()
+    assert(files.length === 12)
+    assert(files.map(_.getAs[Long]("n_rows")).sum === 6000L)
+    assert(files.forall(_.getAs[Boolean]("is_small")))
+    val card = Compact.profileCard(spark, s"$base/t", target).head
+    assert(card.getAs[Long]("n_files") === 12L)
+    assert(card.getAs[Long]("n_rows") === 6000L)
+    assert(card.getAs[Long]("n_small_files") === 12L)
+    assert(card.getAs[Long]("small_file_share_micro") === 1000000L)
+    val projected = card.getAs[Long]("projected_files_after")
+
+    // the projection is the compaction's actual outcome
+    val rep = Compact.binPackInPlace(spark, s"$base/t", targetBytes = target)
+    assert(rep.nFilesAfter === projected,
+      s"projection $projected vs actual ${rep.nFilesAfter}")
+    // after: no small-file tail is left at the packed granularity —
+    // and the profile reads the MANIFEST order on the managed table
+    val cardAfter = Compact.profileCard(spark, s"$base/t", target).head
+    assert(cardAfter.getAs[Long]("n_files") === rep.nFilesAfter)
+    assert(cardAfter.getAs[Long]("n_rows") === 6000L)
+    assert(cardAfter.getAs[Long]("n_files") <
+      card.getAs[Long]("n_files"))
   }
 
   test("6M-row exact quantiles satisfy the order-statistic bounds") {
