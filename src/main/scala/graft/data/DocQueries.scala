@@ -46,7 +46,13 @@ object DocQueries {
     * RxScanSpec). */
   private val RxNeedleSet: Seq[(String, String, Int)] = Seq(
     ("ta[a-z]+", "ta", 0),
-    ("[a-z]+ble", "ble", 24),
+    // the quantifier bound makes the declared 24-codepoint anchor gap
+    // a THEOREM of the pattern (any match's trailing "ble" starts at
+    // offset <= 24), not a property of the current fixture corpus — an
+    // unbounded [a-z]+ would silently drop match starts on any future
+    // corpus holding a >27-char lowercase run ending in "ble" with no
+    // earlier "ble" inside it (advice r13)
+    ("[a-z]{1,24}ble", "ble", 24),
     ("b[a-z]{2}ch", "ch", 3),
     ("[0-9]{3}-[0-9]{2}", "-", 3))
 
@@ -1552,9 +1558,10 @@ object DocQueries {
       // match reported at every position the regex matches — the
       // literal family's occurrence rule), so the oracle replays it
       // per-position with regexp_extract. The set exercises a
-      // zero-gap prefix anchor, an unbounded-prefix suffix anchor
-      // (greedy backtracking: "[a-z]+ble"), a counted quantifier, and
-      // an absent digit shape pinning the all-zero column
+      // zero-gap prefix anchor, a bounded-prefix suffix anchor
+      // (greedy backtracking: "[a-z]{1,24}ble" — the bound makes the
+      // declared gap a theorem, advice r13), a counted quantifier,
+      // and an absent digit shape pinning the all-zero column
       graft.text.Blocklist.rxGate(documents(s, dir), RxNeedleSet)
         .orderBy("doc_id", "pattern_id")),
     "q_rx_spans" -> ((s, dir) =>
@@ -1565,7 +1572,7 @@ object DocQueries {
     "q_redact_rx" -> ((s, dir) =>
       // regex redaction: union of ALL greedy match spans masked (the
       // q_redact semantic lifted to shapes) — overlapping all-start
-      // matches of "[a-z]+ble" and "ta[a-z]+" scrub cleanly
+      // matches of "[a-z]{1,24}ble" and "ta[a-z]+" scrub cleanly
       graft.text.Blocklist.rxRedact(documents(s, dir), RxNeedleSet)
         .orderBy("doc_id")),
     "q_canon_rx" -> ((s, dir) =>
@@ -2035,6 +2042,19 @@ object DocQueries {
       // beneath them)
       val docs = documents(s, dir)
       LmPerplexity.buckets3(docs.filter(col("doc_id") % 3 === 0), docs)
+        .orderBy("doc_id")
+    }),
+    "q_lm_ppl5" -> ((s, dir) => {
+      // the 5-GRAM tier (round 14, VERDICT r13 #6 — the
+      // CCNet-published KenLM order): the order-generic scoreN chain
+      // at n = 5, same train/score split, so scoring the full corpus
+      // against the one-third model exercises every backoff depth —
+      // seen 5-gram contexts down through 4/3/2-gram contexts to the
+      // continuation floor (LmPerplexitySpec additionally pins
+      // scoreN(3) ≡ score3 and scoreN(2) ≡ score bitwise)
+      val docs = documents(s, dir)
+      LmPerplexity.bucketsN(docs.filter(col("doc_id") % 3 === 0), docs,
+          n = 5)
         .orderBy("doc_id")
     }),
     "q_pca_gram" -> ((s, dir) =>
@@ -3105,6 +3125,105 @@ object DocQueries {
 
   /** The q_lm_ppl3 instantiation: same train/score split as q_lm_ppl. */
   private def lm3PplCtes: String = lm3ChainCtes(
+    "(SELECT text FROM documents WHERE doc_id % 3 = 0)", "documents")
+
+  /** ORDER-GENERIC Kneser-Ney CTE chain (round 14 —
+    * [[graft.text.LmPerplexity.scoreN]]/bucketsN replayed CTE-for-CTE
+    * at any n; the CCNet-published config is n = 5): one order-n
+    * training stream feeds every count table (the last m columns ARE
+    * the order-m stream — the BOS pad telescopes), the probability is
+    * the nested seen/unseen CASE chain bottoming in the add-one
+    * continuation floor (each branch the exact IEEE expression shape
+    * of the Spark kernel), the one ln snaps at 1e-6, and the tercile
+    * tail is the shared exact-quantiles replay. Ends in
+    * `q<n>fin(doc_id, n, s, ppl, bucket)`. */
+  private def lmNChainCtes(n: Int, trainRel: String,
+      scoreRel: String): String = {
+    val P = s"q$n"
+    def wExpr(j: Int): String = {
+      val shift = n - j
+      if (shift == 0) s"toks[pos + 1] AS w$j"
+      else if (shift == 1) s"CASE WHEN pos = 0 THEN '<s>' ELSE toks[pos] END AS w$j"
+      else s"CASE WHEN pos <= ${shift - 1} THEN '<s>' " +
+        s"ELSE toks[pos - ${shift - 1}] END AS w$j"
+    }
+    def gcols(m: Int): Seq[String] = ((n - m + 1) to n).map(j => s"w$j")
+    val streamCols = (1 to n).map(wExpr).mkString(",\n    ")
+    val grams = (2 to n).map { m =>
+      val ks = gcols(m)
+      val ctxKs = ks.dropRight(1)
+      s"""${P}g$m AS (SELECT ${ks.mkString(", ")}, count(*)::BIGINT AS g
+         |  FROM ${P}tg GROUP BY ${ks.indices.map(_ + 1).mkString(", ")}),
+         |${P}x$m AS (SELECT ${ctxKs.mkString(", ")}, sum(g)::BIGINT AS c,
+         |  count(*)::BIGINT AS np
+         |  FROM ${P}g$m GROUP BY ${ctxKs.indices.map(_ + 1).mkString(", ")})"""
+        .stripMargin
+    }.mkString(",\n")
+    // the nested backoff CASE, bottom-up: order 1 = continuation floor
+    def pOf(m: Int): String =
+      if (m == 1) s"(coalesce(cn.nc, 0) + 1)::DOUBLE / (tt.nn + tt.v + 1)"
+      else {
+        val inner = pOf(m - 1)
+        s"""CASE WHEN x$m.c IS NOT NULL THEN
+           |        (greatest(coalesce(g$m.g, 0)::DOUBLE - 0.75, 0.0)
+           |          + 0.75 * x$m.np * ($inner)) / x$m.c
+           |      ELSE $inner END""".stripMargin
+      }
+    val joins = (n to 2 by -1).map { m =>
+      val on = gcols(m).map(k => s"b.$k = g$m.$k").mkString(" AND ")
+      val onX = gcols(m).dropRight(1).map(k => s"b.$k = x$m.$k")
+        .mkString(" AND ")
+      s"""  LEFT JOIN ${P}g$m g$m ON $on
+         |  LEFT JOIN ${P}x$m x$m ON $onX""".stripMargin
+    }.mkString("\n")
+    s"""${P}tk AS (SELECT $toksExpr AS toks FROM $trainRel),
+       |${P}tg AS (SELECT
+       |    $streamCols
+       |  FROM (SELECT toks, unnest(range(len(toks))) AS pos
+       |        FROM ${P}tk WHERE len(toks) > 0)),
+       |$grams,
+       |${P}cn AS (SELECT w$n, count(*)::BIGINT AS nc FROM ${P}g2 GROUP BY 1),
+       |${P}tt AS (SELECT count(*)::BIGINT AS nn,
+       |  count(DISTINCT w$n)::BIGINT AS v FROM ${P}g2),
+       |${P}sk AS (SELECT doc_id, $toksExpr AS toks FROM $scoreRel),
+       |${P}sg AS (SELECT doc_id,
+       |    $streamCols
+       |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+       |        FROM ${P}sk WHERE len(toks) > 0)),
+       |${P}sc AS (SELECT b.doc_id,
+       |    round(ln(${pOf(n)}) * 1e6, 0)::BIGINT AS lp
+       |  FROM ${P}sg b
+       |$joins
+       |  LEFT JOIN ${P}cn cn ON b.w$n = cn.w$n
+       |  CROSS JOIN ${P}tt tt),
+       |${P}ds AS (SELECT doc_id, count(*)::BIGINT AS n, sum(lp)::BIGINT AS s
+       |  FROM ${P}sc GROUP BY 1),
+       |${P}rt AS (SELECT doc_id, n, s,
+       |    (CASE WHEN s * 1000 < 0 THEN -1 ELSE 1 END)
+       |      * ((2 * abs(s * 1000) + n) // (2 * n)) AS rate FROM ${P}ds),
+       |${P}hc AS (SELECT rate AS v, count(*)::BIGINT AS c FROM ${P}rt
+       |  GROUP BY 1),
+       |${P}hr AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |        AS rb, c FROM ${P}hc),
+       |${P}hn AS (SELECT sum(c)::BIGINT AS n FROM ${P}hc),
+       |${P}ks AS (SELECT j, greatest(1, (j * n + 2) // 3)::BIGINT AS rank
+       |  FROM (SELECT unnest([1, 2]) AS j) CROSS JOIN ${P}hn),
+       |${P}ct AS (SELECT
+       |    max(CASE WHEN j = 1 THEN v END) AS c33,
+       |    max(CASE WHEN j = 2 THEN v END) AS c67
+       |  FROM ${P}ks kk JOIN ${P}hr hr ON hr.rb < kk.rank
+       |    AND kk.rank <= hr.rb + hr.c),
+       |${P}fin AS (SELECT rt.doc_id, rt.n, rt.s,
+       |    round(exp(rt.s::DOUBLE * -1.0 / 1e6 / rt.n), 6) AS ppl,
+       |    CASE WHEN rt.rate <= ct.c33 THEN 'tail'
+       |         WHEN rt.rate <= ct.c67 THEN 'middle' ELSE 'head' END
+       |      AS bucket
+       |  FROM ${P}rt rt CROSS JOIN ${P}ct ct)""".stripMargin
+  }
+
+  /** The q_lm_ppl5 instantiation: same train/score split as q_lm_ppl. */
+  private def lm5PplCtes: String = lmNChainCtes(5,
     "(SELECT text FROM documents WHERE doc_id % 3 = 0)", "documents")
 
   /** q_pagerank oracle: the integer-exact picorank power iteration of
@@ -6464,7 +6583,20 @@ object DocQueries {
          |FROM documents d LEFT JOIN fin3 f USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
-    
+    // mirrors LmPerplexity.bucketsN at n=5: the order-generic KN
+    // chain (one training stream feeds every count table, nested
+    // seen/unseen backoff CASE bottoming in the continuation floor,
+    // 1e-6 ln snap, 1e-9-grid rate, percentile_disc terciles)
+    "q_lm_ppl5" ->
+      s"""WITH $lm5PplCtes
+         |SELECT d.doc_id, coalesce(f.n, 0)::BIGINT AS n_events,
+         |  coalesce(f.s, 0)::BIGINT AS lp_micro,
+         |  coalesce(f.ppl, -1.0) AS ppl,
+         |  coalesce(f.bucket, 'empty') AS bucket
+         |FROM documents d LEFT JOIN q5fin f USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+
     "q_pca_gram" ->
       // mirrors Pca.covarianceLong: 1e6 fixed-point snap, exact
       // HUGEINT second moments, one double division rounded 1e-9

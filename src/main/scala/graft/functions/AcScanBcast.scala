@@ -313,17 +313,45 @@ object AcScanBcast {
     cache.computeIfAbsent(key, _ => make).asInstanceOf[T]
   }
 
+  /** Content fingerprint of a pattern set (FNV-1a 64 with per-string
+    * separators): part of every automaton cache key because broadcast
+    * ids restart from 0 per SparkContext, so a JVM hosting successive
+    * contexts (local mode, test harnesses, embedded drivers) could
+    * otherwise serve a stale automaton built for a DIFFERENT pattern
+    * set under a reused id — silent wrong matches (advice r13). Costs
+    * O(total pattern bytes) once per expression-instance init, noise
+    * next to the automaton build it guards. */
+  private[functions] def fingerprint(parts: Iterator[String]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(b: Int): Unit = { h ^= b.toLong; h *= 0x100000001b3L }
+    parts.foreach { s =>
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        mix(c & 0xFF)
+        mix((c >> 8) & 0xFF)
+        i += 1
+      }
+      mix(0x1F) // string separator: ("ab","c") != ("a","bc")
+    }
+    h
+  }
+
   /** The scan automaton for `bc`, built once per executor JVM. */
   def cachedScan(bc: Broadcast[Array[String]]): AcAutomaton =
-    cached(s"scan:${bc.id}", build(bc.value))
+    cached(s"scan:${bc.id}:${fingerprint(bc.value.iterator)}",
+      build(bc.value))
 
   /** The spans automaton for `bc`, built once per executor JVM. */
   def cachedSpans(bc: Broadcast[Array[String]]): AcSpansAutomaton =
-    cached(s"spans:${bc.id}", buildSpans(bc.value))
+    cached(s"spans:${bc.id}:${fingerprint(bc.value.iterator)}",
+      buildSpans(bc.value))
 
   /** The replace automaton for `bc`, built once per executor JVM. */
   def cachedReplace(bc: Broadcast[Array[Array[String]]]): AcReplaceAutomaton =
-    cached(s"replace:${bc.id}", buildReplace(bc.value))
+    cached(s"replace:${bc.id}:${fingerprint(
+        bc.value.iterator.map(_.mkString("")))}",
+      buildReplace(bc.value))
 
   /** Build the spans automaton: the scan automaton plus codepoint
     * lengths per pattern. */

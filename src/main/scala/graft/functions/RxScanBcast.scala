@@ -243,23 +243,30 @@ case class RxReplaceBcast(
 
 object RxScanBcast {
 
-  /** Per-JVM compiled-needle cache keyed by broadcast id (the
-    * [[AcScanBcast.cachedScan]] discipline: one anchor-automaton +
-    * pattern-compile per executor process). */
+  /** Per-JVM compiled-needle cache keyed by broadcast id AND a content
+    * fingerprint of the needle set (the [[AcScanBcast.cachedScan]]
+    * discipline: one anchor-automaton + pattern-compile per executor
+    * process; the fingerprint guards against broadcast-id reuse across
+    * successive SparkContexts in one JVM — advice r13). */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, RxAutomaton]()
+    new java.util.concurrent.ConcurrentHashMap[String, RxAutomaton]()
 
   def cachedRx(bc: Broadcast[Array[RxNeedle]]): RxAutomaton = {
     if (cache.size > 32) cache.clear()
-    cache.computeIfAbsent(bc.id, _ => build(bc.value))
+    val fp = AcScanBcast.fingerprint(bc.value.iterator.flatMap(n =>
+      Iterator(n.regex, n.anchor, n.maxGap.toString)))
+    cache.computeIfAbsent(s"${bc.id}:$fp", _ => build(bc.value))
   }
 
   private val replaceCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, RxReplaceAutomaton]()
+    new java.util.concurrent.ConcurrentHashMap[String, RxReplaceAutomaton]()
 
   def cachedRxReplace(bc: Broadcast[Array[RxRule]]): RxReplaceAutomaton = {
     if (replaceCache.size > 32) replaceCache.clear()
-    replaceCache.computeIfAbsent(bc.id, _ => buildReplace(bc.value))
+    val fp = AcScanBcast.fingerprint(bc.value.iterator.flatMap(r =>
+      Iterator(r.regex, r.anchor, r.replacement)))
+    replaceCache.computeIfAbsent(s"${bc.id}:$fp",
+      _ => buildReplace(bc.value))
   }
 
   /** Compile the rewrite rules: anchor automaton (pid = rule index) +

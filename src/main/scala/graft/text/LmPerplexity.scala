@@ -390,4 +390,111 @@ object LmPerplexity {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     bucketTail(score3(train, docs, d, textCol, idCol), "n_trigrams",
       docs, idCol)
+
+  /** (doc_id, w1..wn): the document's order-`n` event stream with an
+    * (n−1)-deep `<s>` BOS pad — w_j is the token (n−j) back, or `<s>`
+    * when the document starts later; w_n is the token itself. Every
+    * document contributes exactly one event per token (the
+    * [[bigrams]]/[[trigrams]] convention), keeping per-token rates and
+    * perplexities directly comparable across orders. */
+  def ngrams(docs: DataFrame, n: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"order must be >= 2, got $n")
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__pos", s"w$n")))
+    val wcols = (1 until n).map { j =>
+      val shift = n - j // tokens back from the current one
+      when(col("__pos") <= shift - 1, lit("<s>"))
+        .otherwise(element_at(col("__toks"), col("__pos") - (shift - 1)))
+        .as(s"w$j")
+    }
+    base.select((col("doc_id") +: wcols :+ col(s"w$n")): _*)
+  }
+
+  /** Per-document interpolated Kneser-Ney score at ANY order `n`
+    * (round 14 — the CCNet-published stage is a 5-gram KenLM; this
+    * generalizes [[score3]]'s backoff chain with the identical
+    * discount / continuation / 1e-6 ln-snap discipline, so
+    * `scoreN(_, _, 2) ≡ score` and `scoreN(_, _, 3) ≡ score3`
+    * bitwise — LmPerplexitySpec pins both):
+    *
+    *  - for each order m in n..3, seen context: P_m =
+    *    (max(c_m − D, 0) + D · N1+(ctx_m,·) · P_{m−1}) / c(ctx_m),
+    *    unseen context: P_m = P_{m−1};
+    *  - the chain bottoms in [[score]]'s interpolated KN bigram with
+    *    the add-one continuation floor, so every backoff depth ends
+    *    in the identical distribution;
+    *  - the lower-order count tables are the ORDER-m streams' own
+    *    counts: the last m columns of the order-n stream ARE the
+    *    order-m stream (the BOS pad telescopes), so one training
+    *    stream feeds every table.
+    *
+    * Scale design: model tables bounded by the reference's order-m
+    * gram types (enforce with [[pruneVocab]] exactly as at lower
+    * orders); scoring is 2(n−1)+1 bounded equi-joins + one broadcast
+    * scalar row; the per-doc aggregate is a map-side combinable long
+    * sum. No driver collects at any order.
+    * @return (doc_id, n_events, lp_micro, ppl) */
+  def scoreN(train: DataFrame, docs: DataFrame, n: Int, d: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    require(n >= 2 && n <= 8, s"order must be in [2,8], got $n")
+    def gcols(m: Int): Seq[String] = ((n - m + 1) to n).map(j => s"w$j")
+    val tr = ngrams(train, n, textCol, idCol)
+    val gram = (2 to n).map { m =>
+      m -> tr.groupBy(gcols(m).map(col): _*)
+        .agg(count(lit(1)).as(s"__g$m"))
+    }.toMap
+    val ctx = (2 to n).map { m =>
+      m -> gram(m).groupBy(gcols(m).dropRight(1).map(col): _*)
+        .agg(sum(col(s"__g$m")).as(s"__c$m"),
+          count(lit(1)).as(s"__np$m"))
+    }.toMap
+    val cont = gram(2).groupBy(s"w$n").agg(count(lit(1)).as("__nc"))
+    val tot = gram(2).agg(count(lit(1)).as("__nn"),
+      countDistinct(col(s"w$n")).as("__v"))
+
+    // the backoff chain, bottom-up — the same IEEE expression shapes
+    // as score/score3 so the orders agree bitwise where they overlap
+    val pc = (coalesce(col("__nc"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__nn") + col("__v") + lit(1L))
+    val p2seen = (greatest(
+        coalesce(col("__g2"), lit(0L)).cast("double") - lit(d), lit(0.0)) +
+      lit(d) * col("__np2") * pc) / col("__c2")
+    var p = when(col("__c2").isNotNull, p2seen).otherwise(pc)
+    (3 to n).foreach { m =>
+      val seen = (greatest(
+          coalesce(col(s"__g$m"), lit(0L)).cast("double") - lit(d),
+          lit(0.0)) +
+        lit(d) * col(s"__np$m") * p) / col(s"__c$m")
+      p = when(col(s"__c$m").isNotNull, seen).otherwise(p)
+    }
+
+    var j = ngrams(docs, textCol = textCol, idCol = idCol, n = n)
+    (2 to n).foreach { m =>
+      j = j.join(gram(m), gcols(m), "left")
+        .join(ctx(m), gcols(m).dropRight(1), "left")
+    }
+    j.join(cont, Seq(s"w$n"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        // the one libm step, snapped immediately (ln-snap precedent)
+        round(log(p) * lit(1e6), 0).cast("long").as("__lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("__lp")).as("lp_micro"))
+      .select(col("doc_id"), col("n_events"), col("lp_micro"),
+        round(exp(col("lp_micro").cast("double") * lit(-1.0) / lit(1e6) /
+          col("n_events")), 6).as("ppl"))
+  }
+
+  /** [[scoreN]] + the head/middle/tail tercile split — the order-n
+    * twin of [[buckets]], same exact-grid tail.
+    * @return (doc_id, n_events, lp_micro, ppl, bucket) */
+  def bucketsN(train: DataFrame, docs: DataFrame, n: Int,
+      d: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    bucketTail(scoreN(train, docs, n, d, textCol, idCol), "n_events",
+      docs, idCol)
 }

@@ -264,4 +264,93 @@ class LmPerplexitySpec extends AnyFunSuite with SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("ngrams at n=5 emit the quadruple-BOS pad exactly") {
+    val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val got = LmPerplexity.ngrams(docs, n = 5).collect()
+      .map(r => (1 to 5).map(j => r.getString(j)).mkString("|")).toSet
+    assert(got === Set(
+      "<s>|<s>|<s>|<s>|a", "<s>|<s>|<s>|a|b", "<s>|<s>|a|b|c"))
+  }
+
+  test("scoreN telescopes: order 2 == score and order 3 == score3 bitwise") {
+    val train = (0 until 25).map(i => (i.toLong,
+      s"tok${i % 5} tok${(i + 1) % 4} tok${(i + 2) % 7} tok${i % 3}"))
+      .toDF("doc_id", "text")
+    val docs = ((0 until 30).map(i => (i.toLong,
+      s"tok${i % 7} tok${(i + 3) % 5} oov${i % 3} tok${i % 2}")) :+
+      ((99L, ""))).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    assert(rows(LmPerplexity.scoreN(train, docs, n = 2)) ===
+      rows(LmPerplexity.score(train, docs)))
+    assert(rows(LmPerplexity.scoreN(train, docs, n = 3)) ===
+      rows(LmPerplexity.score3(train, docs)))
+  }
+
+  test("scoreN at n=5: hand-computed values cover every backoff depth") {
+    // train "a b c d e": every order-m gram/context type appears once;
+    // bigram continuation table nc(a)=nc(b)=..=1, NN=5, V=5
+    val train = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "z"), (4L, "x a"))
+      .toDF("doc_id", "text")
+    val got = LmPerplexity.scoreN(train, docs, n = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lp_micro")).toMap
+    val pcA = 2.0 / 11; val pcB = 2.0 / 11; val pcZ = 1.0 / 11
+    // doc "a": seen gram at EVERY order (count 1, ctx 1) — the full
+    // chain of seen-seen interpolations
+    val p2a = (0.25 + 0.75 * pcA) / 1.0
+    val p5a = (0.25 + 0.75 * ((0.25 + 0.75 *
+      ((0.25 + 0.75 * p2a) / 1.0)) / 1.0)) / 1.0
+    assert(got(1L) === snapLn(p5a))
+    // doc "b": every context seen, every gram count ZERO — pure
+    // interpolation mass at each order down to the seen continuation
+    val p5b = (0.75 * ((0.75 * ((0.75 * ((0.75 * pcB) / 1.0)) / 1.0))
+      / 1.0)) / 1.0
+    assert(got(2L) === snapLn(p5b))
+    // doc "z": same chain bottoming in the UNSEEN-continuation floor
+    val p5z = (0.75 * ((0.75 * ((0.75 * ((0.75 * pcZ) / 1.0)) / 1.0))
+      / 1.0)) / 1.0
+    assert(got(3L) === snapLn(p5z))
+    // doc "x a", second event (ctx ...,x): UNSEEN context at orders
+    // 5/4/3/2 — falls through every ELSE branch to the raw floor
+    assert(got(4L) === snapLn(p5z) + snapLn(pcA))
+    // deeper match -> strictly higher probability on this fixture
+    assert(got(1L) > got(2L) && got(2L) > got(3L))
+  }
+
+  test("5-gram fits in-distribution text better than the trigram") {
+    // the trigram-vs-bigram ordering argument one level up: on the
+    // training corpus itself every seen-context interpolation adds
+    // mass (p_m - p_{m-2} = positive multiples of (1 - p)), so the
+    // 5-gram's total train log-prob strictly dominates the trigram's
+    val ref = (0 until 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog and runs"))
+      .toDF("doc_id", "text")
+    val s3 = LmPerplexity.score3(ref, ref)
+      .agg(sum("lp_micro")).collect().head.getLong(0)
+    val s5 = LmPerplexity.scoreN(ref, ref, n = 5)
+      .agg(sum("lp_micro")).collect().head.getLong(0)
+    assert(s5 > s3, s"aggregate 5-gram lp $s5 not above trigram $s3")
+  }
+
+  test("bucketsN(5): empty sentinel and partition independence") {
+    val train = (0 until 30).map(i => (i.toLong,
+      s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 7} tok${i % 4} tok${i % 6}"))
+      .toDF("doc_id", "text")
+    val docs = ((0 until 40).map(i => (i.toLong,
+      s"tok${i % 7} tok${(i + 3) % 5} oov${i % 3} tok${i % 4}")) :+
+      ((99L, ""))).toDF("doc_id", "text")
+    val a = LmPerplexity.bucketsN(train, docs, n = 5)
+      .orderBy("doc_id").collect().toSeq
+    val b = LmPerplexity.bucketsN(train.repartition(7),
+        docs.repartition(13), n = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    val empty = a.find(_.getAs[Long]("doc_id") == 99L).get
+    assert(empty.getAs[Long]("n_events") === 0L &&
+      empty.getAs[String]("bucket") === "empty")
+  }
 }
