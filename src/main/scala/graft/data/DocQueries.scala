@@ -821,6 +821,25 @@ object DocQueries {
       graft.vector.Ivf.filterCard(embeddings(s, dir),
         col("label") % 3 === 0, nCells = 16,
         trained = Some(coarseCentroids(s, dir)))),
+    "q_ann_recall" -> ((s, dir) => {
+      // ANN RECALL CARD (round 14, VERDICT r13 #5): exact brute top-k
+      // over the bounded query sample is the ground truth; the IVF
+      // probe sweep (1..16 against 16 cells — the last arm probes
+      // every cell, so its recall is exactly 1e6) and the IVFADC
+      // byte-budget path are graded against it, one row per arm with
+      // the half-away 1e-6-grid recall@10. All arms share the
+      // corpus-level quantizer artifacts.
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val cents = coarseCentroids(s, dir)
+      val truth = Similarity.bruteForceTopK(e, q, k = 10)
+      val arms = Seq(1, 2, 4, 8, 16).map(p => ("ivf", p.toLong,
+        graft.vector.Ivf.ivfTopK(e, q, k = 10, nCells = 16, nProbe = p,
+          trained = Some(cents)))) :+
+        (("ivfadc", 4L, graft.vector.Pq.ivfAdcTopK(e, q, cents,
+          pqResidBooks(s, dir), dim = 64, k = 10, nProbe = 4)))
+      graft.vector.Ivf.recallCard(truth, arms).orderBy("arm", "n_probe")
+    }),
     "q_ann_filtered_adc" -> ((s, dir) => {
       // the FILTERED read on the byte-budget path (round 13): the
       // metadata predicate composes directly with ivfAdcTopK because
@@ -4585,6 +4604,68 @@ object DocQueries {
       s"""${ivfAdcOracleCtes("vec_id < 20", 80, "ce.label % 3 = 0")}
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
          |FROM rk2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_recall" -> {
+      // mirrors Ivf.recallCard: brute ground truth over the query
+      // sample, the IVF probe sweep replayed off the SHARED coarse
+      // chain of the IVFADC oracle (gdall/gasg — identical Lloyd
+      // artifacts, so one chain serves every arm; per-arm candidate
+      // sets are the `pr <= P` prefixes of one scored table), the
+      // IVFADC arm straight from its rk2 tail, and the half-away
+      // 1e-6 recall per arm
+      def cosSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+      val armUnions = (Seq(1, 2, 4, 8, 16).map { p =>
+        s"""SELECT 'ivf' AS arm, $p::BIGINT AS n_probe,
+           |  count(*)::BIGINT AS n_hits
+           |FROM (SELECT query_id, neighbor_id FROM
+           |  (SELECT query_id, neighbor_id,
+           |     row_number() OVER (PARTITION BY query_id
+           |       ORDER BY cos DESC, neighbor_id) AS rk
+           |   FROM ivsc WHERE pr <= $p) WHERE rk <= 10) t
+           |JOIN btt USING (query_id, neighbor_id)""".stripMargin
+      } :+
+        s"""SELECT 'ivfadc' AS arm, 4::BIGINT AS n_probe,
+           |  count(*)::BIGINT AS n_hits
+           |FROM (SELECT query_id, neighbor_id FROM rk2
+           |      WHERE rank <= 10) t
+           |JOIN btt USING (query_id, neighbor_id)""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""${ivfAdcOracleCtes("vec_id < 20", 80)},
+         |btq AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 20),
+         |btc AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         |  FROM embeddings),
+         |bts AS (SELECT query_id, neighbor_id,
+         |  list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cos
+         |  FROM btc CROSS JOIN btq WHERE query_id <> neighbor_id),
+         |btt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM bts) WHERE rank <= 10),
+         |btn AS (SELECT count(*)::BIGINT AS n_truth FROM btt),
+         |prall AS (SELECT vec_id AS query_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS pr
+         |  FROM gdall WHERE vec_id < 20),
+         |ivcand AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.pr
+         |  FROM prall p JOIN gasg a USING (cell)
+         |  WHERE p.query_id <> a.vec_id),
+         |ivsc AS (SELECT query_id, neighbor_id, pr,
+         |  ${cosSql("eq", "ec")} /
+         |  (sqrt(${cosSql("eq", "eq")}) * sqrt(${cosSql("ec", "ec")})) AS cos
+         |  FROM ivcand JOIN embeddings eq ON eq.vec_id = query_id
+         |              JOIN embeddings ec ON ec.vec_id = neighbor_id),
+         |armhits AS ($armUnions)
+         |SELECT arm, n_probe, n_hits, n_truth,
+         |  CASE WHEN n_truth = 0 THEN 0
+         |       ELSE (2 * n_hits * 1000000 + n_truth) // (2 * n_truth)
+         |  END AS recall_micro
+         |FROM armhits CROSS JOIN btn
+         |ORDER BY arm, n_probe""".stripMargin
+    },
 
     "q_hard_negatives_adc" ->
       // the IVFADC arm of hard-negative mining: the same residual

@@ -576,4 +576,49 @@ object Ivf {
           .as("selectivity_micro"),
         col("n_cells_hit"), col("max_cell_survivors"))
   }
+
+  /** RECALL TELEMETRY against sampled exact ground truth (round 14 —
+    * VERDICT r13 #5: what an operator of a 100 TB index tunes nProbe
+    * from; [[filterCard]] prices selectivity, this prices the probe
+    * setting): `truth` is the exact brute top-k over a bounded QUERY
+    * SAMPLE ([[Similarity.bruteForceTopK]] — the brute pass is over
+    * the sample only, never all-pairs), each arm is one read path's
+    * result over the same sample, and the card reports hits and the
+    * half-away 1e-6-grid recall@k per arm. One row per arm; the truth
+    * set is artifact-sized (|sample| × k) and local-checkpointed so
+    * the per-arm joins share one computation.
+    *
+    * With the exact-cosine rerank every read path applies, recall is
+    * MONOTONE in the candidate set: a truth neighbor x has fewer than
+    * k corpus vectors ranked above it, so ANY candidate superset
+    * containing x reports it — more probes can only add truth hits
+    * (SimilaritySpec pins the sweep, and that full probing is exact).
+    * @param truth (query_id, neighbor_id) — the exact top-k sample
+    * @param arms (label, n_probe, result) — result needs the same two
+    *             columns; extra columns are ignored
+    * @return (arm, n_probe, n_hits, n_truth, recall_micro) */
+  def recallCard(truth: DataFrame,
+      arms: Seq[(String, Long, DataFrame)]): DataFrame = {
+    require(arms.nonEmpty, "recallCard needs at least one arm")
+    val sp = truth.sparkSession
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val tagged = arms.map { case (arm, probe, df) =>
+      df.select(lit(arm).as("arm"), lit(probe).as("n_probe"),
+        col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val hits = tagged.join(t, Seq("query_id", "neighbor_id"))
+      .groupBy("arm", "n_probe").agg(count(lit(1)).as("n_hits"))
+    val denom = t.agg(count(lit(1)).as("n_truth"))
+    import sp.implicits._
+    val spine = arms.map { case (a, p, _) => (a, p) }
+      .toDF("arm", "n_probe")
+    spine.join(hits, Seq("arm", "n_probe"), "left")
+      .crossJoin(broadcast(denom))
+      .select(col("arm"), col("n_probe"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_truth"),
+        when(col("n_truth") === 0L, lit(0L)).otherwise(
+          expr("(2 * coalesce(n_hits, 0) * 1000000 + n_truth)" +
+            " div (2 * n_truth)")).as("recall_micro"))
+  }
 }

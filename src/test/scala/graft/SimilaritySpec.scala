@@ -513,6 +513,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       f"residual codes ($rAdcOnly%.3f) must stay within tolerance of raw ($rAdcOnlyRaw%.3f)")
   }
 
+  test("recallCard: monotone in nProbe, exact at full probe, zero-hit arms kept") {
+    import graft.vector.Ivf
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val cents = Ivf.trainCentroids(e, nCells = 16, iters = 5)
+    val truth = Similarity.bruteForceTopK(e, q, k = 10)
+    val sweep = Seq(1, 2, 4, 8, 16).map(p => ("ivf", p.toLong,
+      Ivf.ivfTopK(e, q, k = 10, nCells = 16, nProbe = p,
+        trained = Some(cents))))
+    val card = Ivf.recallCard(truth,
+        sweep :+ (("empty", 0L, truth.filter(lit(false)))))
+      .orderBy("arm", "n_probe").collect()
+    val byArm = card.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getAs[Long]("n_hits"), r.getAs[Long]("recall_micro"))).toMap
+    // with the exact rerank, a probe superset can only add truth hits
+    val sweepRecalls = Seq(1L, 2L, 4L, 8L, 16L).map(p =>
+      byArm(("ivf", p))._2)
+    assert(sweepRecalls === sweepRecalls.sorted,
+      s"recall not monotone in nProbe: $sweepRecalls")
+    // probing every trained cell IS brute force: recall exactly 1
+    assert(byArm(("ivf", 16L))._2 === 1000000L)
+    // denominator = |sample| x k, and a dead arm still gets its row
+    assert(card.head.getAs[Long]("n_truth") === 200L)
+    assert(byArm(("empty", 0L)) === ((0L, 0L)))
+  }
+
   test("cosineNearDups finds planted duplicate pair only") {
     val a = vec(5)
     val dup = a.map(x => x * 1.001f)
