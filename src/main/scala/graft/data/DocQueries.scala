@@ -709,6 +709,33 @@ object DocQueries {
             col("text"))) % 1000003L).as("content_sig"))
         .orderBy("source")
     }),
+    "q_compact_part_inplace" -> ((s, dir) => {
+      // IN-PLACE partitioned compaction (round 14): the same hive
+      // layout compacted at its own path — every leaf runs the
+      // manifest protocol (identity manifest, tail rewrite, one
+      // atomic commit per leaf) with all leaves pooling shared
+      // rewrite waves; large files untouched. Read back through the
+      // manifest-aware partitioned reader; the oracle is the same
+      // value-losslessness card (partition column included).
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-compact-pinp")
+        .toString
+      documents(s, dir).select("doc_id", "text", "source", "n_chars")
+        .repartition(6)
+        .write.partitionBy("source").mode("overwrite")
+        .parquet(s"$root/t")
+      val rep = graft.operators.Compact.binPackPartitionedInPlace(s,
+        s"$root/t", targetBytes = 1L << 20)
+      require(rep.nFilesAfter < rep.nFilesBefore,
+        s"in-place partitioned compaction did not reduce files: $rep")
+      graft.operators.Compact.readPartitioned(s, s"$root/t")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextOps.hash56(concat_ws(":", lit("cmp"), col("doc_id"),
+            col("text"))) % 1000003L).as("content_sig"))
+        .orderBy("source")
+    }),
     "q_compact_card" -> ((s, dir) => {
       // compaction TELEMETRY (round 14, VERDICT r13 #8): the
       // OPTIMIZE-advisor profile card. The layout is deterministic
@@ -742,6 +769,26 @@ object DocQueries {
       val tot = prof.agg(count(lit(1)).as("n_files"),
         sum(col("n_rows")).as("n_rows_total"))
       prof.crossJoin(broadcast(tot)).orderBy("file_idx")
+    }),
+    "q_compact_part_card" -> ((s, dir) => {
+      // the PER-PARTITION OPTIMIZE advisor (round 14): deterministic
+      // layout — repartition(1) + partitionBy(source) writes exactly
+      // ONE file per source leaf, so the per-leaf card's row-side
+      // telemetry (leaf path, file count, footer row totals) is
+      // replayable from content; the multi-file-per-leaf byte
+      // behavior (small shares, bin projections) is environment-
+      // shaped and pinned in LayoutProbeSpec instead
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-compact-pcard")
+        .toString
+      documents(s, dir).select("doc_id", "source", "n_chars")
+        .repartition(1)
+        .write.partitionBy("source").mode("overwrite")
+        .parquet(s"$root/t")
+      graft.operators.Compact
+        .profileCardPartitioned(s, s"$root/t", targetBytes = 1L << 20)
+        .select(col("partition"), col("n_files"), col("n_rows"))
+        .orderBy("partition")
     }),
     "q_text_stats" -> ((s, dir) =>
       TextStats.textStats(documents(s, dir)).orderBy("doc_id")),
@@ -837,6 +884,27 @@ object DocQueries {
         graft.vector.Ivf.ivfTopK(e, q, k = 10, nCells = 16, nProbe = p,
           trained = Some(cents)))) :+
         (("ivfadc", 4L, graft.vector.Pq.ivfAdcTopK(e, q, cents,
+          pqResidBooks(s, dir), dim = 64, k = 10, nProbe = 4)))
+      graft.vector.Ivf.recallCard(truth, arms).orderBy("arm", "n_probe")
+    }),
+    "q_ann_recall_filtered" -> ((s, dir) => {
+      // the FILTERED arm of the recall card (round 14 — recallCard is
+      // truth-generic, so the filtered read paths grade against THEIR
+      // ground truth: exact brute top-k over the predicate's
+      // survivors). ivfTopKFiltered at full probe degrades to brute
+      // over survivors, so that arm's recall is exactly 1e6; the
+      // filtered IVFADC arm prices the byte-budget path under the
+      // same predicate.
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val cents = coarseCentroids(s, dir)
+      val pred = col("label") % 3 === 0
+      val surv = e.filter(pred)
+      val truth = Similarity.bruteForceTopK(surv, q, k = 10)
+      val arms = Seq(1, 4, 16).map(p => ("ivf_f", p.toLong,
+        graft.vector.Ivf.ivfTopKFiltered(e, q, pred, k = 10,
+          nCells = 16, nProbe = p, trained = Some(cents)))) :+
+        (("ivfadc_f", 4L, graft.vector.Pq.ivfAdcTopK(surv, q, cents,
           pqResidBooks(s, dir), dim = 64, k = 10, nProbe = 4)))
       graft.vector.Ivf.recallCard(truth, arms).orderBy("arm", "n_probe")
     }),
@@ -4213,6 +4281,15 @@ object DocQueries {
          |    % 1000003)::BIGINT AS content_sig
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    "q_compact_part_inplace" ->
+      // same card through the IN-PLACE manifest protocol and the
+      // manifest-aware partitioned reader
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
+         |    % 1000003)::BIGINT AS content_sig
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q_compact_card" ->
       // replays the deterministic hash-bucket layout and the profile
       // card's row-side telemetry: per-file row counts (the parquet
@@ -4226,6 +4303,15 @@ object DocQueries {
          |  sum(n_rows)::BIGINT AS n_rows_total FROM per)
          |SELECT file_idx, n_rows, n_files, n_rows_total
          |FROM per CROSS JOIN tot ORDER BY file_idx""".stripMargin,
+
+    "q_compact_part_card" ->
+      // replays the per-leaf listing telemetry: the repartition(1) +
+      // partitionBy layout writes exactly one file per source leaf,
+      // so leaf path, file count, and footer row totals all derive
+      // from content
+      """SELECT 'source=' || source AS partition, 1::BIGINT AS n_files,
+        |  count(*)::BIGINT AS n_rows
+        |FROM documents GROUP BY source ORDER BY partition""".stripMargin,
 
     "q_text_stats" -> {
       val sw = sqlList(TextStats.EnglishStopwords)
@@ -4726,6 +4812,67 @@ object DocQueries {
          |       ELSE (2 * n_hits * 1000000 + n_truth) // (2 * n_truth)
          |  END AS recall_micro
          |FROM armhits CROSS JOIN btn
+         |ORDER BY arm, n_probe""".stripMargin
+    },
+
+    "q_ann_recall_filtered" -> {
+      // the filtered recall card: ground truth = brute top-k over the
+      // label-filter SURVIVORS, the filtered IVF sweep's candidates
+      // restricted to survivors off the shared coarse chain, the
+      // filtered IVFADC arm from its own rk2 tail (corpusPred pushes
+      // the label filter into its candidate set)
+      def cosSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+      val armUnions = (Seq(1, 4, 16).map { p =>
+        s"""SELECT 'ivf_f' AS arm, $p::BIGINT AS n_probe,
+           |  count(*)::BIGINT AS n_hits
+           |FROM (SELECT query_id, neighbor_id FROM
+           |  (SELECT query_id, neighbor_id,
+           |     row_number() OVER (PARTITION BY query_id
+           |       ORDER BY cos DESC, neighbor_id) AS rk
+           |   FROM fvsc WHERE pr <= $p) WHERE rk <= 10) t
+           |JOIN fbtt USING (query_id, neighbor_id)""".stripMargin
+      } :+
+        s"""SELECT 'ivfadc_f' AS arm, 4::BIGINT AS n_probe,
+           |  count(*)::BIGINT AS n_hits
+           |FROM (SELECT query_id, neighbor_id FROM rk2
+           |      WHERE rank <= 10) t
+           |JOIN fbtt USING (query_id, neighbor_id)""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""${ivfAdcOracleCtes("vec_id < 20", 80, "ce.label % 3 = 0")},
+         |fbtq AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 20),
+         |fbtc AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         |  FROM embeddings WHERE label % 3 = 0),
+         |fbts AS (SELECT query_id, neighbor_id,
+         |  list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cos
+         |  FROM fbtc CROSS JOIN fbtq WHERE query_id <> neighbor_id),
+         |fbtt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM fbts) WHERE rank <= 10),
+         |fbtn AS (SELECT count(*)::BIGINT AS n_truth FROM fbtt),
+         |fprall AS (SELECT vec_id AS query_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS pr
+         |  FROM gdall WHERE vec_id < 20),
+         |fvcand AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.pr
+         |  FROM fprall p JOIN gasg a USING (cell)
+         |  JOIN embeddings sv ON sv.vec_id = a.vec_id
+         |  WHERE p.query_id <> a.vec_id AND sv.label % 3 = 0),
+         |fvsc AS (SELECT query_id, neighbor_id, pr,
+         |  ${cosSql("eq", "ec")} /
+         |  (sqrt(${cosSql("eq", "eq")}) * sqrt(${cosSql("ec", "ec")})) AS cos
+         |  FROM fvcand JOIN embeddings eq ON eq.vec_id = query_id
+         |              JOIN embeddings ec ON ec.vec_id = neighbor_id),
+         |farmhits AS ($armUnions)
+         |SELECT arm, n_probe, n_hits, n_truth,
+         |  CASE WHEN n_truth = 0 THEN 0
+         |       ELSE (2 * n_hits * 1000000 + n_truth) // (2 * n_truth)
+         |  END AS recall_micro
+         |FROM farmhits CROSS JOIN fbtn
          |ORDER BY arm, n_probe""".stripMargin
     },
 

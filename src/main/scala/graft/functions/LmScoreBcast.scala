@@ -144,6 +144,108 @@ object LmScore3Bcast {
   }
 }
 
+/** ORDER-n KN log-prob sum against a broadcast pruned model — the
+  * stateless face of [[graft.text.LmPerplexity.scoreN]] (round 14:
+  * the order-generic deployment form, mirroring [[LmScore3Bcast]]):
+  * one left-to-right walk over an (n−1)-token sliding context seeded
+  * with `<s>` pads, each event's probability assembled BOTTOM-UP
+  * through the backoff chain with the IDENTICAL IEEE shape as the
+  * Column formulation (seen context discounts and interpolates into
+  * the next-lower order's value; unseen passes it through), snapped
+  * at 1e-6 before the order-free long sum — so the fold equals the
+  * join-based scoreN BITWISE and one model scores streams and
+  * batches identically at any order. */
+case class LmScoreNBcast(
+    child: Expression,
+    bc: Broadcast[graft.text.LmPerplexity.LmModelN])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_lm_score_n_bcast requires array<string> tokens, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    LmScoreNBcast.score(bc.value, v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cls = classOf[graft.text.LmPerplexity.LmModelN].getName
+      val bcRef = ctx.addReferenceObj("lmNBc", bc,
+        classOf[Broadcast[graft.text.LmPerplexity.LmModelN]].getName)
+      val m = ctx.addMutableState(cls, "lmNModel",
+        f => s"$f = ($cls) $bcRef.value();")
+      s"${ev.value} = graft.functions.LmScoreNBcast.score($m, $v);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LmScoreNBcast =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_lm_score_n_bcast"
+}
+
+object LmScoreNBcast {
+
+  /** Walk the token array once with an (n−1)-slot sliding context
+    * initialized to `<s>` — one event per token, like the distributed
+    * [[graft.text.LmPerplexity.ngrams]] stream. */
+  def score(m: graft.text.LmPerplexity.LmModelN, toks: ArrayData): Long = {
+    val n = m.n
+    val ctx = Array.fill(n - 1)("<s>")
+    val cnt = toks.numElements()
+    var lp = 0L
+    var i = 0
+    while (i < cnt) {
+      val w = toks.getUTF8String(i).toString
+      lp += LmScoreBcast.snapLn(orderP(m, ctx, w))
+      var j = 0
+      while (j < n - 2) { ctx(j) = ctx(j + 1); j += 1 }
+      ctx(n - 2) = w
+      i += 1
+    }
+    lp
+  }
+
+  /** One event's P, built bottom-up through the backoff chain — the
+    * exact operand order of [[graft.text.LmPerplexity.scoreN]]'s
+    * Column expression at every order: the bigram floor first (same
+    * `bigramP` core as [[LmScoreBcast]]), then each seen order-m
+    * context discounts its gram count and re-spends the freed mass on
+    * the value below; unseen contexts pass it through unchanged. */
+  private def orderP(m: graft.text.LmPerplexity.LmModelN,
+      ctx: Array[String], w: String): Double = {
+    var p = LmScoreBcast.bigramP(m.bi, ctx(m.n - 2), w)
+    var ord = 3
+    while (ord <= m.n) {
+      // the order's context = the last (ord − 1) tokens of the window
+      val start = (m.n - 1) - (ord - 1)
+      val sb = new java.lang.StringBuilder()
+      var j = start
+      while (j < m.n - 1) {
+        if (j > start) sb.append(' ')
+        sb.append(ctx(j))
+        j += 1
+      }
+      val key = sb.toString
+      val cx = m.ctxs(ord - 3).get(key)
+      if (cx != null) {
+        val g: Long = {
+          val v: java.lang.Long = m.grams(ord - 3).get(key + " " + w)
+          if (v == null) 0L else v.longValue
+        }
+        p = (math.max(g.toDouble - m.bi.d, 0.0) + m.bi.d * cx(1) * p) / cx(0)
+      }
+      ord += 1
+    }
+    p
+  }
+}
+
 object LmScoreBcast {
 
   /** Walk the token array once; `<s>` opens the context chain.

@@ -100,6 +100,27 @@ object Compact {
   private def listDataFiles(fs: FileSystem, dir: Path): Vector[FileStatus] =
     fs.listStatus(dir).toVector.filter(isDataFile).sortBy(_.getPath.getName)
 
+  /** Leaf discovery for hive layouts: one recursive metadata walk
+    * (same cost any OPTIMIZE planner pays); a leaf is a directory
+    * holding data files. */
+  private def leafDirs(fs: FileSystem, root: Path): Vector[Path] = {
+    def walk(p: Path): Vector[Path] = {
+      val st = fs.listStatus(p)
+      val here = if (st.exists(isDataFile)) Vector(p) else Vector.empty
+      here ++ st.filter { s =>
+        s.isDirectory && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_")
+      }.toVector.sortBy(_.getPath.getName).flatMap(s => walk(s.getPath))
+    }
+    walk(root)
+  }
+
+  private def relOf(root: Path)(leaf: Path): String = {
+    val base = root.toUri.getPath
+    val lp = leaf.toUri.getPath
+    if (lp == base) "" else lp.stripPrefix(base).stripPrefix("/")
+  }
+
   /** Contiguous greedy bin-packing over an ordered file list: large
     * files flush the open run and pass through; small files pack until
     * the target. Shared by every arm. */
@@ -332,28 +353,14 @@ object Compact {
     val in = new Path(inPath)
     val fs = in.getFileSystem(conf)
 
-    // leaf discovery: one recursive metadata walk (same cost any
-    // OPTIMIZE planner pays); a leaf is a directory holding data files
-    def walk(p: Path): Vector[Path] = {
-      val st = fs.listStatus(p)
-      val here = if (st.exists(isDataFile)) Vector(p) else Vector.empty
-      here ++ st.filter { s =>
-        s.isDirectory && !s.getPath.getName.startsWith(".") &&
-          !s.getPath.getName.startsWith("_")
-      }.toVector.sortBy(_.getPath.getName).flatMap(s => walk(s.getPath))
-    }
-    val leaves = walk(in)
+    val leaves = leafDirs(fs, in)
 
     val out = new Path(outPath)
     val tmp = new Path(outPath + ".graft-compact-tmp")
     prepareOut(fs, out, tmp)
     if (leaves.isEmpty) return CompactReport(0L, 0L, 0L, 0L, 0L, 0L)
 
-    val rel = { (leaf: Path) =>
-      val base = in.toUri.getPath
-      val lp = leaf.toUri.getPath
-      if (lp == base) "" else lp.stripPrefix(base).stripPrefix("/")
-    }
+    val rel = relOf(in) _
     // per-leaf contiguous packing; rewrite bins pool across leaves
     val perLeaf = leaves.map { leaf =>
       val fls = listDataFiles(fs, leaf)
@@ -593,6 +600,169 @@ object Compact {
       nFilesUntouched = untouched)
   }
 
+  /** [[binPackInPlace]] over a HIVE-PARTITIONED layout (round 14 —
+    * the in-place OPTIMIZE loop for the layout real tables use): each
+    * LEAF runs the manifest protocol independently (identity manifest
+    * if unmanaged, tail rewritten, large files untouched, one atomic
+    * manifest write per leaf) while ALL leaves pool their rewrite
+    * bins into shared [[MaxBinsPerJob]] waves under one root-level
+    * scratch — a million partitions is a bounded number of Spark
+    * jobs. Commits are PER LEAF (the Delta OPTIMIZE convention): a
+    * crash mid-run leaves every leaf individually consistent — some
+    * already compacted, some still serving their old set — and
+    * [[recoverSwapPartitioned]] + a re-run finish the rest. Leaves
+    * with nothing to pack are untouched and stay unmanaged. Read the
+    * result with [[readPartitioned]] (partition columns reconstruct
+    * via basePath). */
+  def binPackPartitionedInPlace(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long,
+      smallBytes: Long = 0L,
+      sortCols: Seq[String] = Nil): CompactReport = {
+    require(targetBytes > 0L, s"targetBytes must be > 0, got $targetBytes")
+    val small = if (smallBytes > 0L) smallBytes else targetBytes
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"no table at $path")
+    val scratch = new Path(root, ScratchName)
+    require(!fs.exists(scratch),
+      s"unfinished compaction scratch at $scratch — run " +
+        "recoverSwapPartitioned first")
+
+    final case class LeafPlan(leaf: Path,
+        mf: Option[(Long, Vector[String])],
+        live: Vector[FileStatus], units: Vector[Unit0])
+    val plans = leafDirs(fs, root).map { leaf =>
+      require(!fs.exists(new Path(leaf, ScratchName)) &&
+          !fs.listStatus(leaf).exists(s =>
+            s.getPath.getName.startsWith("." + ManifestPrefix)),
+        s"unfinished compaction state under $leaf — run " +
+          "recoverSwapPartitioned first")
+      val mf = latestManifest0(fs, leaf)
+      val listed = listDataFiles(fs, leaf)
+      val live: Vector[FileStatus] = mf match {
+        case Some((g, names)) =>
+          val byName = listed.map(s => s.getPath.getName -> s).toMap
+          val orphans = listed.map(_.getPath.getName).toSet -- names.toSet
+          require(orphans.isEmpty,
+            s"data files under $leaf not in manifest generation $g — " +
+              s"run recoverSwapPartitioned first: " +
+              orphans.take(5).mkString(", "))
+          names.map(n => byName.getOrElse(n,
+            throw new IllegalStateException(
+              s"manifest generation $g under $leaf lists a missing " +
+                s"file: $n")))
+        case None => listed
+      }
+      LeafPlan(leaf, mf, live, packUnits(live, targetBytes, small))
+    }
+    val bins = plans.flatMap(_.units).collect { case RewriteBin(v) => v }
+    val allLive = plans.flatMap(_.live)
+    val untouchedTotal =
+      plans.map(_.units.count(_.isInstanceOf[CopyFile]).toLong).sum
+    if (bins.isEmpty)
+      return CompactReport(allLive.length.toLong, allLive.length.toLong,
+        allLive.map(_.getLen).sum, 0L, 0L, 0L,
+        nFilesUntouched = untouchedTotal)
+
+    val schema = spark.read.parquet(bins.head.head.getPath.toString).schema
+    val tmpParts = rewriteBins(spark, schema, bins, sortCols, scratch, fs)
+
+    var binIdx = 0
+    var after = 0L
+    plans.foreach { pl =>
+      val hasBins = pl.units.exists(_.isInstanceOf[RewriteBin])
+      if (!hasBins) after += pl.live.length.toLong
+      else {
+        val gen = pl.mf.map(_._1).getOrElse(0L) + 1L
+        if (pl.mf.isEmpty)
+          writeManifest(fs, pl.leaf, 0L, pl.live.map(_.getPath.getName))
+        val liveOut = Vector.newBuilder[String]
+        pl.units.zipWithIndex.foreach {
+          case (CopyFile(f), _) => liveOut += f.getPath.getName
+          case (RewriteBin(_), i) =>
+            tmpParts(binIdx) match {
+              case Some(tp) =>
+                val nm = f"part-$i%09d-g$gen%09d-packed.parquet"
+                val dst = new Path(pl.leaf, nm)
+                require(!fs.exists(dst), s"name collision at $dst")
+                require(fs.rename(tp, dst), s"rename failed: $tp -> $dst")
+                liveOut += nm
+              case None => ()
+            }
+            binIdx += 1
+        }
+        val newLive = liveOut.result()
+        writeManifest(fs, pl.leaf, gen, newLive)
+        pl.units.foreach {
+          case RewriteBin(v) => v.foreach(f => fs.delete(f.getPath, false))
+          case _ => ()
+        }
+        manifestFiles(fs, pl.leaf).filter(_._1 < gen)
+          .foreach { case (_, p) => fs.delete(p, false) }
+        after += newLive.length.toLong
+      }
+    }
+    fs.delete(scratch, true)
+
+    CompactReport(
+      nFilesBefore = allLive.length.toLong,
+      nFilesAfter = after,
+      bytesBefore = allLive.map(_.getLen).sum,
+      nBinsRewritten = bins.length.toLong,
+      bytesRewritten = bins.map(_.map(_.getLen).sum).sum,
+      nFilesCopied = 0L,
+      nFilesUntouched = untouchedTotal)
+  }
+
+  /** Read a hive-partitioned layout whose leaves may be
+    * manifest-managed: live files resolve through each leaf's latest
+    * manifest (falling back to the plain listing for unmanaged
+    * leaves) and partition columns reconstruct from the paths via
+    * `basePath`. A wholly unmanaged root reads as plain parquet. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val leaves = leafDirs(fs, root)
+    val anyManaged = leaves.exists(l => manifestFiles(fs, l).nonEmpty)
+    if (!anyManaged) spark.read.parquet(path)
+    else {
+      val files = leaves.flatMap { leaf =>
+        latestManifest0(fs, leaf) match {
+          case Some((_, names)) =>
+            names.map(n => new Path(leaf, n).toString)
+          case None => listDataFiles(fs, leaf).map(_.getPath.toString)
+        }
+      }
+      spark.read.option("basePath", path).parquet(files: _*)
+    }
+  }
+
+  /** [[recoverSwap]] over every leaf of a partitioned layout, plus
+    * the root-level pooled-rewrite scratch. Idempotent. */
+  def recoverSwapPartitioned(spark: SparkSession, path: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root))
+      throw new IllegalStateException(
+        s"no table at $path — nothing to recover")
+    val acted = scala.collection.mutable.ListBuffer.empty[String]
+    val scratch = new Path(root, ScratchName)
+    if (fs.exists(scratch)) {
+      fs.delete(scratch, true)
+      acted += "deleted pooled rewrite scratch"
+    }
+    leafDirs(fs, root).foreach { leaf =>
+      val msg = recoverSwap(spark, leaf.toString)
+      if (!msg.startsWith("clean")) acted += s"${leaf.getName}: $msg"
+    }
+    if (acted.isEmpty) "clean — no compaction in flight"
+    else acted.mkString("; ")
+  }
+
   /** Resolve any crash state a [[binPackInPlace]] left behind — see
     * its protocol table. The latest committed manifest generation is
     * the source of truth: everything else (rewrite scratch, manifest
@@ -687,21 +857,105 @@ object Compact {
       return Seq.empty[(Long, String, Long, Long, Boolean, Long)]
         .toDF("file_idx", "file_name", "bytes", "n_rows", "is_small",
           "bin_id")
+    val counts = footerCounts(spark, conf, meta.map(m => (m._1, m._3)))
+    meta.map { case (idx, name, _, bytes, isSmall, bin, _) =>
+      (idx, name, bytes, counts(idx), isSmall, bin)
+    }.toDF("file_idx", "file_name", "bytes", "n_rows", "is_small", "bin_id")
+  }
+
+  /** Parquet-footer row counts for a keyed file list, as ONE Spark
+    * job (a task per slice — the driver never opens a data file).
+    * Bounded: one (key, count) pair per file comes back. */
+  private def footerCounts(spark: SparkSession, conf: Configuration,
+      entries: Seq[(Long, String)]): Map[Long, Long] = {
+    if (entries.isEmpty) return Map.empty
     val ser = new SerConf(conf)
-    val slices = math.max(1, math.min(meta.length,
+    val slices = math.max(1, math.min(entries.length,
       spark.sparkContext.defaultParallelism * 4))
-    val counts = spark.sparkContext
-      .parallelize(meta.map(m => (m._1, m._3)), slices)
+    spark.sparkContext.parallelize(entries, slices)
       .map { case (idx, full) =>
         val p = new Path(full)
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(p, ser.value)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try (idx, r.getRecordCount) finally r.close()
-      }.collect().toMap // bounded: one (long,long) per file
-    meta.map { case (idx, name, _, bytes, isSmall, bin, _) =>
-      (idx, name, bytes, counts(idx), isSmall, bin)
-    }.toDF("file_idx", "file_name", "bytes", "n_rows", "is_small", "bin_id")
+      }.collect().toMap
+  }
+
+  /** [[profileFiles]] over a HIVE-PARTITIONED layout (round 14 —
+    * the OPTIMIZE advisor for the layout real 100 TB tables use):
+    * one row per live data file with its leaf partition's relative
+    * path, per-leaf name-ordered index and projected bin (bins never
+    * cross a partition, matching [[binPackPartitioned]]). One
+    * metadata walk + ONE distributed footer job across all
+    * partitions' files.
+    * @return (partition, file_idx, file_name, bytes, n_rows,
+    *         is_small, bin_id) */
+  def profileFilesPartitioned(spark: SparkSession, path: String,
+      targetBytes: Long, smallBytes: Long = 0L): DataFrame = {
+    require(targetBytes > 0L, s"targetBytes must be > 0, got $targetBytes")
+    val small = if (smallBytes > 0L) smallBytes else targetBytes
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val rel = relOf(root) _
+    val rows = Vector.newBuilder[(String, Long, String, String, Long,
+      Boolean, Long)]
+    leafDirs(fs, root).foreach { leaf =>
+      val listed = listDataFiles(fs, leaf)
+      val files: Vector[FileStatus] = latestManifest0(fs, leaf) match {
+        case Some((_, names)) => // manifest-managed leaf: manifest order
+          val byName = listed.map(s => s.getPath.getName -> s).toMap
+          names.flatMap(byName.get)
+        case None => listed
+      }
+      val binOf = scala.collection.mutable.HashMap.empty[String, Int]
+      packUnits(files, targetBytes, small).zipWithIndex.foreach {
+        case (CopyFile(f), i) => binOf(f.getPath.getName) = i
+        case (RewriteBin(v), i) =>
+          v.foreach(f => binOf(f.getPath.getName) = i)
+      }
+      files.zipWithIndex.foreach { case (f, i) =>
+        rows += ((rel(leaf), i.toLong, f.getPath.getName,
+          f.getPath.toString, f.getLen, f.getLen < small,
+          binOf(f.getPath.getName).toLong))
+      }
+    }
+    val meta = rows.result()
+    import spark.implicits._
+    if (meta.isEmpty)
+      return Seq.empty[(String, Long, String, Long, Long, Boolean, Long)]
+        .toDF("partition", "file_idx", "file_name", "bytes", "n_rows",
+          "is_small", "bin_id")
+    val keyed = meta.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+    val counts = footerCounts(spark, conf,
+      keyed.map { case (i, m) => (i, m._4) })
+    keyed.map { case (i, (part, idx, name, _, bytes, isSmall, bin)) =>
+      (part, idx, name, bytes, counts(i), isSmall, bin)
+    }.toDF("partition", "file_idx", "file_name", "bytes", "n_rows",
+      "is_small", "bin_id")
+  }
+
+  /** Per-partition OPTIMIZE-advisor card over
+    * [[profileFilesPartitioned]]: one row per leaf partition with its
+    * file/byte/row totals, small-file share on the 1e-6 grid, and the
+    * projected file count after a [[binPackPartitioned]] at the
+    * target. */
+  def profileCardPartitioned(spark: SparkSession, path: String,
+      targetBytes: Long, smallBytes: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    profileFilesPartitioned(spark, path, targetBytes, smallBytes)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("n_bytes"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(when(col("is_small"), 1L).otherwise(0L)).as("n_small_files"),
+        countDistinct(col("bin_id")).as("projected_files_after"))
+      .select(col("partition"), col("n_files"), col("n_bytes"),
+        col("n_rows"), col("n_small_files"),
+        expr("(2 * n_small_files * 1000000 + n_files) div (2 * n_files)")
+          .as("small_file_share_micro"),
+        col("projected_files_after"))
   }
 
   /** The one-row OPTIMIZE-advisor card over [[profileFiles]]: file and

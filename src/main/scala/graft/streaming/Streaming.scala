@@ -876,6 +876,32 @@ object Streaming {
         col("n_trigrams") === 0L || col("ppl") <= lit(maxPpl))
   }
 
+  /** [[streamingLmGate]] at ANY order (round 14): the stateless
+    * one-walk gate through the broadcast
+    * [[graft.functions.LmScoreNBcast]] model — bitwise equal to the
+    * join-based `scoreN` (LmPerplexitySpec pins it), so the deployed
+    * stream gate and the offline tercile split score identically at
+    * the CCNet-published 5-gram order too. */
+  def streamingLmGateN(
+      docs: DataFrame,
+      model: org.apache.spark.broadcast.Broadcast[graft.text.LmPerplexity.LmModelN],
+      maxPpl: Double,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val toks = graft.text.TextOps.tokens(col(textCol))
+    val lp = column(graft.functions.LmScoreNBcast(expression(toks), model))
+    docs
+      .withColumn("n_events", size(toks).cast("long"))
+      .withColumn("lp_micro", lp)
+      .withColumn("ppl",
+        when(col("n_events") > 0L,
+          round(exp(col("lp_micro").cast("double") * lit(-1.0) / lit(1e6) /
+            col("n_events")), 6))
+          .otherwise(lit(-1.0)))
+      .withColumn("admitted",
+        col("n_events") === 0L || col("ppl") <= lit(maxPpl))
+  }
+
   def streamingHllRegisters(
       events: DataFrame,
       key: Column,

@@ -497,4 +497,70 @@ object LmPerplexity {
       idCol: String = "doc_id"): DataFrame =
     bucketTail(scoreN(train, docs, n, d, textCol, idCol), "n_events",
       docs, idCol)
+
+  /** The ORDER-n deployable artifact (round 14 — [[collectModel3]]
+    * generalized): the bigram floor plus, for each order m in 3..n,
+    * the gram-count and context-fan-out tables at slot m−3. Keys join
+    * tokens with single spaces — collision-free because tokens cannot
+    * contain spaces. */
+  final class LmModelN(
+      val n: Int,
+      val bi: LmModel,
+      val grams: Array[java.util.HashMap[String, java.lang.Long]],
+      val ctxs: Array[java.util.HashMap[String, Array[Long]]])
+    extends Serializable {
+    require(n >= 2 && grams.length == n - 2 && ctxs.length == n - 2)
+  }
+
+  /** Collect the order-n KN model ([[scoreN]]'s tables) to the driver
+    * — bounded only if the training corpus is vocabulary-pruned, like
+    * [[collectModel]]; EVERY order's gram-table size is enforced
+    * against [[MaxModelRowsKey]] BEFORE any collect, so the failure
+    * mode names the conf and the offending order, never a driver
+    * OOM. */
+  def collectModelN(train: DataFrame, n: Int, d: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): LmModelN = {
+    require(n >= 2 && n <= 8, s"order must be in [2,8], got $n")
+    val bi = collectModel(train, d, textCol, idCol)
+    if (n == 2)
+      return new LmModelN(2, bi, Array.empty, Array.empty)
+    val tr = ngrams(train, n, textCol, idCol).persist()
+    try {
+      val max = train.sparkSession.conf
+        .get(MaxModelRowsKey, MaxModelRowsDefault.toString).toLong
+      val grams = new Array[java.util.HashMap[String, java.lang.Long]](n - 2)
+      val ctxs = new Array[java.util.HashMap[String, Array[Long]]](n - 2)
+      (3 to n).foreach { m =>
+        val ks = ((n - m + 1) to n).map(j => s"w$j")
+        val gm = tr.groupBy(ks.map(col): _*)
+          .agg(count(lit(1)).as("__g")).persist()
+        try {
+          val nG = gm.limit(
+            (max + 1).min(Int.MaxValue.toLong).toInt).count()
+          if (nG > max)
+            throw new IllegalArgumentException(
+              s"KN order-$m gram table has more than $max distinct " +
+                s"grams; collectModelN is driver-bounded by " +
+                s"$MaxModelRowsKey per order (prune the training " +
+                "vocabulary with pruneVocab, or use the fully " +
+                "distributed join-based scoreN instead)")
+          val g = new java.util.HashMap[String, java.lang.Long]()
+          gm.collect().foreach { r =>
+            g.put(ks.indices.map(r.getString).mkString(" "),
+              java.lang.Long.valueOf(r.getAs[Long]("__g")))
+          }
+          grams(m - 3) = g
+          val cx = new java.util.HashMap[String, Array[Long]]()
+          gm.groupBy(ks.dropRight(1).map(col): _*)
+            .agg(sum(col("__g")).as("__c"), count(lit(1)).as("__np"))
+            .collect().foreach { r =>
+              cx.put((0 until ks.length - 1).map(r.getString).mkString(" "),
+                Array(r.getAs[Long]("__c"), r.getAs[Long]("__np")))
+            }
+          ctxs(m - 3) = cx
+        } finally gm.unpersist()
+      }
+      new LmModelN(n, bi, grams, ctxs)
+    } finally tr.unpersist()
+  }
 }

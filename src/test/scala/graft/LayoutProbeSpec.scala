@@ -411,6 +411,90 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       .distinct().collect().map(_.getString(0))
     assert(touched.nonEmpty && touched.forall(_.contains("/p=1/")),
       s"pruning broken: $touched")
+
+    // the per-partition OPTIMIZE advisor reads the same layout: every
+    // leaf's file count, footer row total, and the projected file
+    // count — which must equal the compaction's actual outcome (one
+    // file per leaf at this target)
+    val cards = Compact.profileCardPartitioned(spark, s"$base/in",
+        targetBytes = 1L << 26)
+      .collect().map(r => r.getAs[String]("partition") ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("projected_files_after")))).toMap
+    assert(cards.size === 6)
+    for (p <- 0 to 2; q <- 0 to 1) {
+      val (nf, _, proj) = cards(s"p=$p/q=$q")
+      assert(nf >= 4L, s"leaf p=$p/q=$q lost files in the profile")
+      assert(proj === 1L, s"leaf p=$p/q=$q projected $proj files")
+    }
+    assert(cards.values.map(_._2).sum === 24000L)
+    val after24 = Compact.profileCardPartitioned(spark, s"$base/out",
+        targetBytes = 1L << 26)
+      .agg(sum("n_files"), sum("n_rows")).head
+    assert(after24.getLong(0) === rep.nFilesAfter &&
+      after24.getLong(1) === 24000L)
+  }
+
+  test("binPackPartitionedInPlace: per-leaf manifests, pooled waves, torn leaf recovers") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-pinp").toString
+    val rows = (0 until 24000).map { i =>
+      (i.toLong, (i % 3).toLong, (i * 13 % 997).toLong)
+    }.toDF("id", "p", "v")
+    rows.repartition(8).write.partitionBy("p")
+      .mode("overwrite").parquet(s"$base/t")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("p").cast("long"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val before = rowsOf(spark.read.parquet(s"$base/t"))
+    val nBefore = (0 to 2).map(p => new java.io.File(s"$base/t/p=$p")
+      .listFiles().count(f => f.isFile && f.getName.startsWith("part-"))).sum
+
+    val rep = Compact.binPackPartitionedInPlace(spark, s"$base/t",
+      targetBytes = 1L << 26)
+    assert(rep.nFilesBefore === nBefore.toLong &&
+      rep.nFilesAfter === 3L && rep.nFilesCopied === 0L)
+    // every leaf: exactly one packed file + one manifest generation
+    for (p <- 0 to 2) {
+      val leaf = new java.io.File(s"$base/t/p=$p")
+      assert(leaf.listFiles().count(f =>
+        f.isFile && f.getName.startsWith("part-")) === 1)
+      assert(leaf.listFiles().count(
+        _.getName.startsWith("_GRAFT_MANIFEST-g")) === 1)
+    }
+    // lossless through the manifest-aware partitioned reader,
+    // partition column included
+    assert(rowsOf(Compact.readPartitioned(spark, s"$base/t")) === before)
+    // partition pruning still directory-level
+    val touched = Compact.readPartitioned(spark, s"$base/t")
+      .filter(col("p") === 1)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("/p=1/")))
+
+    // torn state: an uncommitted packed file in ONE leaf — the
+    // partitioned reader still serves the committed set; in-place
+    // refuses; recover sweeps only that leaf
+    val leaf1 = new java.io.File(s"$base/t/p=1")
+    val donor = leaf1.listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).head
+    val orphan = new java.io.File(leaf1, "part-zz-orphan.parquet")
+    java.nio.file.Files.copy(donor.toPath, orphan.toPath)
+    assert(rowsOf(Compact.readPartitioned(spark, s"$base/t")) === before)
+    intercept[IllegalArgumentException] {
+      Compact.binPackPartitionedInPlace(spark, s"$base/t",
+        targetBytes = 1L << 26)
+    }
+    val msg = Compact.recoverSwapPartitioned(spark, s"$base/t")
+    assert(msg.contains("p=1") && msg.contains("outside manifest"))
+    assert(!orphan.exists)
+    assert(Compact.recoverSwapPartitioned(spark, s"$base/t")
+      .startsWith("clean"))
+    // a second pass has nothing to pack: no new manifest generations
+    val rep2 = Compact.binPackPartitionedInPlace(spark, s"$base/t",
+      targetBytes = 1L << 26, smallBytes = 1L)
+    assert(rep2.nBinsRewritten === 0L && rep2.nFilesUntouched === 3L)
   }
 
   test("profileFiles/profileCard: the OPTIMIZE advisor matches the layout and its projection") {

@@ -336,6 +336,66 @@ class LmPerplexitySpec extends AnyFunSuite with SparkSpec {
     assert(s5 > s3, s"aggregate 5-gram lp $s5 not above trigram $s3")
   }
 
+  test("broadcast order-n scorer: bitwise vs join-based scoreN, per-order fail-fast") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val train = (0 until 25).map(i => (i.toLong,
+      s"tok${i % 4} tok${(i + 1) % 4} tok${(i + 2) % 5} tok${i % 3}"))
+      .toDF("doc_id", "text")
+    val docs = ((0 until 30).map(i => (i.toLong,
+      s"tok${i % 5} tok${(i + 3) % 4} oov${i % 2} tok${i % 3}")) :+
+      ((99L, ""))).toDF("doc_id", "text")
+    val joined = LmPerplexity.scoreN(train, docs, n = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("lp_micro")))).toMap
+    val bc = spark.sparkContext.broadcast(
+      LmPerplexity.collectModelN(train, n = 5))
+    val toks = graft.text.TextOps.tokens(col("text"))
+    val viaKernel = docs.select(col("doc_id"),
+        size(toks).cast("long").as("n"),
+        column(graft.functions.LmScoreNBcast(expression(toks), bc)).as("lp"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("lp")))).toMap
+    joined.foreach { case (id, (n, lp)) =>
+      assert(viaKernel(id) === ((n, lp)), s"doc $id diverges")
+    }
+    assert(viaKernel(99L) === ((0L, 0L)))
+    // the order-3 instance of the generic kernel equals the dedicated
+    // trigram kernel bitwise (one more telescoping pin)
+    val bc3g = spark.sparkContext.broadcast(
+      LmPerplexity.collectModelN(train, n = 3))
+    val bc3 = spark.sparkContext.broadcast(LmPerplexity.collectModel3(train))
+    val both = docs.select(col("doc_id"),
+        column(graft.functions.LmScoreNBcast(expression(toks), bc3g))
+          .as("lpN"),
+        column(graft.functions.LmScore3Bcast(expression(toks), bc3))
+          .as("lp3"))
+      .collect()
+    both.foreach(r => assert(r.getAs[Long]("lpN") === r.getAs[Long]("lp3")))
+    // the streaming gate built on the kernel agrees per doc
+    val gated = graft.streaming.Streaming.streamingLmGateN(
+        docs, bc, maxPpl = 50.0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lp_micro")).toMap
+    joined.foreach { case (id, (_, lp)) => assert(gated(id) === lp) }
+    // fail-fast names the conf AND the offending order: bound = the
+    // bigram table size, which the floor passes and a higher order
+    // (strictly more gram types on this fixture) trips
+    val nBi = LmPerplexity.bigrams(train).select("w1", "w2")
+      .distinct().count()
+    val n5 = LmPerplexity.ngrams(train, 5)
+      .select("w1", "w2", "w3", "w4", "w5").distinct().count()
+    assert(n5 > nBi, s"fixture must fan out above the bigram table " +
+      s"($n5 vs $nBi)")
+    spark.conf.set(LmPerplexity.MaxModelRowsKey, nBi.toString)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LmPerplexity.collectModelN(train, n = 5)
+      }
+      assert(e.getMessage.contains(LmPerplexity.MaxModelRowsKey))
+      assert(e.getMessage.contains("order-"))
+    } finally spark.conf.unset(LmPerplexity.MaxModelRowsKey)
+  }
+
   test("bucketsN(5): empty sentinel and partition independence") {
     val train = (0 until 30).map(i => (i.toLong,
       s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 7} tok${i % 4} tok${i % 6}"))
