@@ -220,7 +220,11 @@ object Compact {
     if (pairs.isEmpty) return
     val ser = new SerConf(conf)
     val strs = pairs.map { case (s, d) => (s.toString, d.toString) }
-    spark.sparkContext.parallelize(strs, strs.length).foreach {
+    // one task per file up to a scheduler-friendly cap; past it each
+    // task streams a small contiguous group (still cluster-wide IO —
+    // the cap only bounds task-launch overhead on million-file tails)
+    val slices = math.min(strs.length, MaxCopyTasks)
+    spark.sparkContext.parallelize(strs, slices).foreach {
       case (s, d) =>
         val sp = new Path(s)
         val dp = new Path(d)
@@ -230,6 +234,13 @@ object Compact {
           s"copy failed: $s -> $d")
     }
   }
+
+  /** Copy-stage task ceiling: past this many files, tasks take small
+    * contiguous groups instead of single files (131072 in-flight task
+    * descriptors is comfortably inside scheduler budgets; per-file
+    * tasks beyond it would cost more in launch overhead than the
+    * copies themselves). */
+  val MaxCopyTasks = 131072
 
   /** Guard a NEW-layout destination (advice r13): compacting into a
     * directory that already holds data files would leave readers
