@@ -709,6 +709,35 @@ object DocQueries {
             col("text"))) % 1000003L).as("content_sig"))
         .orderBy("source")
     }),
+    "q_zorder_optimize" -> ((s, dir) => {
+      // OPTIMIZE ZORDER in place (round 14): a hash-mixed layout
+      // (every file spans every key range — prunes nothing)
+      // re-clusters at its own path through the manifest commit;
+      // the card proves value losslessness through the manifest
+      // reader, and LayoutProbeSpec pins the pruning restoration and
+      // torn-state behavior.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-zorder-opt")
+        .toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
+      documents(s, dir).select("doc_id", "text", "source", "n_chars")
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$root/t")
+      val rep = graft.operators.Compact.optimizeZorder(s, s"$root/t",
+        Seq("source", "n_chars"), targetBytes = 1L << 20, bits = 8)
+      require(rep.nBinsRewritten == rep.nFilesAfter &&
+        rep.nFilesCopied == 0L && rep.bytesRewritten == rep.bytesBefore,
+        s"zorder optimize must rewrite exactly the live set: $rep")
+      graft.operators.Compact.read(s, s"$root/t")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextOps.hash56(concat_ws(":", lit("cmp"), col("doc_id"),
+            col("text"))) % 1000003L).as("content_sig"))
+        .orderBy("source")
+    }),
     "q_compact_part_inplace" -> ((s, dir) => {
       // IN-PLACE partitioned compaction (round 14): the same hive
       // layout compacted at its own path — every leaf runs the
@@ -886,6 +915,23 @@ object DocQueries {
         (("ivfadc", 4L, graft.vector.Pq.ivfAdcTopK(e, q, cents,
           pqResidBooks(s, dir), dim = 64, k = 10, nProbe = 4)))
       graft.vector.Ivf.recallCard(truth, arms).orderBy("arm", "n_probe")
+    }),
+    "q_ann_tune" -> ((s, dir) => {
+      // RECALL-TARGET probe tuning (round 14): the operational close
+      // of the recall-card loop — recall is monotone in nProbe under
+      // the exact rerank, so the CHEAPEST probe setting meeting the
+      // 90% target is the one to deploy; one row out (the chosen
+      // setting with its measured recall), derived from the card by
+      // pure DataFrame ops so the verdict replays in the oracle.
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val cents = coarseCentroids(s, dir)
+      val truth = Similarity.bruteForceTopK(e, q, k = 10)
+      val sweep = Seq(1, 2, 4, 8, 16).map(p => ("ivf", p.toLong,
+        graft.vector.Ivf.ivfTopK(e, q, k = 10, nCells = 16, nProbe = p,
+          trained = Some(cents))))
+      graft.vector.Ivf.tuneNProbe(
+        graft.vector.Ivf.recallCard(truth, sweep), targetMicro = 900000L)
     }),
     "q_ann_recall_filtered" -> ((s, dir) => {
       // the FILTERED arm of the recall card (round 14 — recallCard is
@@ -4290,6 +4336,15 @@ object DocQueries {
          |    % 1000003)::BIGINT AS content_sig
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    "q_zorder_optimize" ->
+      // same value-losslessness card through the in-place ZORDER
+      // rewrite and its manifest commit
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
+         |    % 1000003)::BIGINT AS content_sig
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q_compact_card" ->
       // replays the deterministic hash-bucket layout and the profile
       // card's row-side telemetry: per-file row counts (the parquet
@@ -4815,6 +4870,82 @@ object DocQueries {
          |ORDER BY arm, n_probe""".stripMargin
     },
 
+    "q_ann_tune" -> {
+      // the recall sweep off the PLAIN ivf oracle chain (no ADC arm),
+      // then the pick: cheapest probe meeting the target, best-effort
+      // max probe otherwise
+      def cosSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+      val armUnions = Seq(1, 2, 4, 8, 16).map { p =>
+        s"""SELECT 'ivf' AS arm, $p::BIGINT AS n_probe,
+           |  count(*)::BIGINT AS n_hits
+           |FROM (SELECT query_id, neighbor_id FROM
+           |  (SELECT query_id, neighbor_id,
+           |     row_number() OVER (PARTITION BY query_id
+           |       ORDER BY cos DESC, neighbor_id) AS rk
+           |   FROM tvsc WHERE pr <= $p) WHERE rk <= 10) t
+           |JOIN tbtt USING (query_id, neighbor_id)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH cnt AS (SELECT greatest(1, count(*) // 4096) AS rate FROM embeddings),
+         |samp AS (SELECT vec_id, embedding FROM embeddings, cnt
+         |  WHERE rate <= 1 OR (vec_id * 2654435761) % 1000003 % rate = 0),
+         |eqs AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM samp CROSS JOIN range(64) t(d)),
+         |c0 AS (SELECT s.cell, e.d, e.q FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+         |    FROM samp ORDER BY vec_id LIMIT 16) s
+         |  JOIN eqs e USING (vec_id)),
+         |${lloydChain(5)},
+         |eqa AS (SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1e6, 0)::BIGINT AS q
+         |  FROM embeddings CROSS JOIN range(64) t(d)),
+         |dall AS (SELECT v.vec_id, c.cell, sum((v.q - c.q) * (v.q - c.q)) AS dist
+         |  FROM eqa v JOIN c5 c ON v.d = c.d GROUP BY 1, 2),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM dall) WHERE rn = 1),
+         |tbtq AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 20),
+         |tbtc AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         |  FROM embeddings),
+         |tbts AS (SELECT query_id, neighbor_id,
+         |  list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cos
+         |  FROM tbtc CROSS JOIN tbtq WHERE query_id <> neighbor_id),
+         |tbtt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM tbts) WHERE rank <= 10),
+         |tbtn AS (SELECT count(*)::BIGINT AS n_truth FROM tbtt),
+         |tprall AS (SELECT vec_id AS query_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS pr
+         |  FROM dall WHERE vec_id < 20),
+         |tvcand AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.pr
+         |  FROM tprall p JOIN asg a USING (cell)
+         |  WHERE p.query_id <> a.vec_id),
+         |tvsc AS (SELECT query_id, neighbor_id, pr,
+         |  ${cosSql("eq", "ec")} /
+         |  (sqrt(${cosSql("eq", "eq")}) * sqrt(${cosSql("ec", "ec")})) AS cos
+         |  FROM tvcand JOIN embeddings eq ON eq.vec_id = query_id
+         |              JOIN embeddings ec ON ec.vec_id = neighbor_id),
+         |tarm AS ($armUnions),
+         |tcard AS (SELECT arm, n_probe, n_hits, n_truth,
+         |  CASE WHEN n_truth = 0 THEN 0
+         |       ELSE (2 * n_hits * 1000000 + n_truth) // (2 * n_truth)
+         |  END AS recall_micro
+         |  FROM tarm CROSS JOIN tbtn),
+         |tpick AS (SELECT n_probe, n_hits, n_truth, recall_micro,
+         |  recall_micro >= 900000 AS target_met,
+         |  row_number() OVER (ORDER BY (recall_micro >= 900000) DESC,
+         |    CASE WHEN recall_micro >= 900000 THEN n_probe
+         |         ELSE -n_probe END) AS rk
+         |  FROM tcard)
+         |SELECT 900000::BIGINT AS target_micro, n_probe, n_hits,
+         |  n_truth, recall_micro, target_met
+         |FROM tpick WHERE rk = 1""".stripMargin
+    },
     "q_ann_recall_filtered" -> {
       // the filtered recall card: ground truth = brute top-k over the
       // label-filter SURVIVORS, the filtered IVF sweep's candidates

@@ -465,6 +465,29 @@ object Compact {
     }
   }
 
+  /** Resolve a (possibly manifest-managed) directory's LIVE file set
+    * in key order, failing fast on crash residue the caller's named
+    * recovery entry point should sweep first. Shared by every
+    * in-place arm. */
+  private def resolveLive(fs: FileSystem, dir: Path, recoverHint: String)
+      : (Option[(Long, Vector[String])], Vector[FileStatus]) = {
+    val mf = latestManifest0(fs, dir)
+    val listed = listDataFiles(fs, dir)
+    val live: Vector[FileStatus] = mf match {
+      case Some((g, names)) =>
+        val byName = listed.map(s => s.getPath.getName -> s).toMap
+        val orphans = listed.map(_.getPath.getName).toSet -- names.toSet
+        require(orphans.isEmpty,
+          s"data files under $dir not in manifest generation $g " +
+            s"(crashed compaction?) — run $recoverHint first: " +
+            orphans.take(5).mkString(", "))
+        names.map(n => byName.getOrElse(n, throw new IllegalStateException(
+          s"manifest generation $g under $dir lists a missing file: $n")))
+      case None => listed
+    }
+    (mf, live)
+  }
+
   /** Commit a manifest generation: write a hidden temp, then ONE
     * atomic rename to the (never pre-existing) final name — the
     * single-file commit every table format uses, safe on object
@@ -542,20 +565,7 @@ object Compact {
         s.getPath.getName.startsWith("." + ManifestPrefix)),
       s"uncommitted manifest temp at $path — run recoverSwap first")
 
-    val mf = latestManifest0(fs, dir)
-    val listed = listDataFiles(fs, dir)
-    val live: Vector[FileStatus] = mf match {
-      case Some((g, names)) =>
-        val byName = listed.map(s => s.getPath.getName -> s).toMap
-        val orphans = listed.map(_.getPath.getName).toSet -- names.toSet
-        require(orphans.isEmpty,
-          s"data files not in manifest generation $g (crashed " +
-            s"compaction?) — run recoverSwap first: " +
-            orphans.take(5).mkString(", "))
-        names.map(n => byName.getOrElse(n, throw new IllegalStateException(
-          s"manifest generation $g lists a missing file: $n")))
-      case None => listed
-    }
+    val (mf, live) = resolveLive(fs, dir, "recoverSwap")
     val bytesBefore = live.map(_.getLen).sum
     val units = packUnits(live, targetBytes, small)
     val bins = units.collect { case RewriteBin(v) => v }
@@ -611,6 +621,94 @@ object Compact {
       nFilesUntouched = untouched)
   }
 
+  /** OPTIMIZE ZORDER — re-CLUSTER a flat parquet directory in place
+    * (round 14; the Delta `OPTIMIZE … ZORDER BY` face): where
+    * [[binPackInPlace]] is layout-only (key order preserved, large
+    * files untouched), a re-cluster REWRITES every live row — that is
+    * inherent to changing the clustering — so the whole live set
+    * rewrites into ceil(bytes/targetBytes) z-ordered files
+    * ([[Zorder.clusterByRank]]: rank-based, skew-immune) and commits
+    * through the SAME single atomic manifest write; [[recoverSwap]]
+    * resolves the same torn states, and reader isolation holds
+    * identically (uncommitted z-files are invisible through
+    * [[read]]). Output names and the manifest's line order both carry
+    * the z order, so a later [[binPackInPlace]] keeps the clustering. */
+  def optimizeZorder(
+      spark: SparkSession,
+      path: String,
+      dims: Seq[String],
+      targetBytes: Long,
+      bits: Int = 12): CompactReport = {
+    require(targetBytes > 0L, s"targetBytes must be > 0, got $targetBytes")
+    require(dims.nonEmpty, "optimizeZorder needs at least one dimension")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    require(fs.exists(dir), s"no table at $path")
+    val scratch = new Path(dir, ScratchName)
+    require(!fs.exists(scratch),
+      s"unfinished compaction scratch at $scratch — run recoverSwap first")
+    require(!fs.listStatus(dir).exists(s =>
+        s.getPath.getName.startsWith("." + ManifestPrefix)),
+      s"uncommitted manifest temp at $path — run recoverSwap first")
+
+    val (mf, live) = resolveLive(fs, dir, "recoverSwap")
+    if (live.isEmpty) return CompactReport(0L, 0L, 0L, 0L, 0L, 0L)
+    val bytesBefore = live.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (bytesBefore + targetBytes - 1L) / targetBytes).toInt
+
+    val gen = mf.map(_._1).getOrElse(0L) + 1L
+    if (mf.isEmpty) // manage the directory before anything lands
+      writeManifest(fs, dir, 0L, live.map(_.getPath.getName))
+
+    // rewrite: one ranked shuffle into nOut range files, written to
+    // the hidden scratch (maxRecordsPerFile pinned so partition i is
+    // exactly file i — the bin-identity discipline)
+    val maxRecKey = "spark.sql.files.maxRecordsPerFile"
+    val saved = spark.conf.getOption(maxRecKey)
+    spark.conf.set(maxRecKey, "0")
+    try {
+      val df = spark.read.parquet(live.map(_.getPath.toString): _*)
+      // clusterByRank's rank-map using-joins reorder columns (join
+      // keys float left); re-select the ORIGINAL schema order so the
+      // rewrite is schema-identical, not just row-identical
+      Zorder.clusterByRank(df, dims, bits, nOut)
+        .select(df.columns.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(scratch.toString)
+    } finally saved match {
+      case Some(v) => spark.conf.set(maxRecKey, v)
+      case None => spark.conf.unset(maxRecKey)
+    }
+    val parts = fs.listStatus(scratch).toVector
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val liveOut = Vector.newBuilder[String]
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val nm = f"part-$i%09d-g$gen%09d-zorder.parquet"
+      val dst = new Path(dir, nm)
+      require(!fs.exists(dst), s"name collision at $dst")
+      require(fs.rename(p.getPath, dst), s"rename failed: ${p.getPath}")
+      liveOut += nm
+    }
+    fs.delete(scratch, true)
+    val newLive = liveOut.result()
+
+    // THE commit, then garbage
+    writeManifest(fs, dir, gen, newLive)
+    live.foreach(f => fs.delete(f.getPath, false))
+    manifestFiles(fs, dir).filter(_._1 < gen)
+      .foreach { case (_, p) => fs.delete(p, false) }
+
+    CompactReport(
+      nFilesBefore = live.length.toLong,
+      nFilesAfter = newLive.length.toLong,
+      bytesBefore = bytesBefore,
+      nBinsRewritten = newLive.length.toLong,
+      bytesRewritten = bytesBefore,
+      nFilesCopied = 0L)
+  }
+
   /** [[binPackInPlace]] over a HIVE-PARTITIONED layout (round 14 —
     * the in-place OPTIMIZE loop for the layout real tables use): each
     * LEAF runs the manifest protocol independently (identity manifest
@@ -651,22 +749,7 @@ object Compact {
             s.getPath.getName.startsWith("." + ManifestPrefix)),
         s"unfinished compaction state under $leaf — run " +
           "recoverSwapPartitioned first")
-      val mf = latestManifest0(fs, leaf)
-      val listed = listDataFiles(fs, leaf)
-      val live: Vector[FileStatus] = mf match {
-        case Some((g, names)) =>
-          val byName = listed.map(s => s.getPath.getName -> s).toMap
-          val orphans = listed.map(_.getPath.getName).toSet -- names.toSet
-          require(orphans.isEmpty,
-            s"data files under $leaf not in manifest generation $g — " +
-              s"run recoverSwapPartitioned first: " +
-              orphans.take(5).mkString(", "))
-          names.map(n => byName.getOrElse(n,
-            throw new IllegalStateException(
-              s"manifest generation $g under $leaf lists a missing " +
-                s"file: $n")))
-        case None => listed
-      }
+      val (mf, live) = resolveLive(fs, leaf, "recoverSwapPartitioned")
       LeafPlan(leaf, mf, live, packUnits(live, targetBytes, small))
     }
     val bins = plans.flatMap(_.units).collect { case RewriteBin(v) => v }

@@ -621,4 +621,30 @@ object Ivf {
           expr("(2 * coalesce(n_hits, 0) * 1000000 + n_truth)" +
             " div (2 * n_truth)")).as("recall_micro"))
   }
+
+  /** Pick the probe setting FROM the recall card (round 14 — the
+    * operational closing of the loop: recall is monotone in nProbe
+    * under the exact rerank, so the cheapest arm meeting a recall
+    * target is THE setting to deploy): the minimum `n_probe` whose
+    * `recall_micro` reaches `targetMicro`; if none does, the
+    * best-effort maximum probe. Pure DataFrame ops over the
+    * card-sized input (one window over a handful of rows), so the
+    * verdict is oracle-replayable.
+    * @return one row (target_micro, n_probe, n_hits, n_truth,
+    *         recall_micro, target_met) */
+  def tuneNProbe(card: DataFrame, targetMicro: Long): DataFrame = {
+    require(targetMicro >= 0L && targetMicro <= 1000000L,
+      s"targetMicro must be in [0, 1e6], got $targetMicro")
+    val met = col("recall_micro") >= targetMicro
+    card
+      .withColumn("target_met", met)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          met.desc,
+          when(met, col("n_probe")).otherwise(-col("n_probe")))))
+      .filter(col("__rk") === 1)
+      .select(lit(targetMicro).as("target_micro"), col("n_probe"),
+        col("n_hits"), col("n_truth"), col("recall_micro"),
+        col("target_met"))
+  }
 }

@@ -435,6 +435,71 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       after24.getLong(1) === 24000L)
   }
 
+  test("optimizeZorder: in-place re-cluster via the manifest restores pruning") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val rnd = new scala.util.Random(41)
+    val base = java.nio.file.Files.createTempDirectory("graft-zopt").toString
+    // hash-mixed layout: every file spans every key range — the worst
+    // case a re-cluster exists to fix
+    Seq.fill(20000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("a", "b").repartition(24)
+      .write.mode("overwrite").parquet(s"$base/t")
+    val before = spark.read.parquet(s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val total = new java.io.File(s"$base/t").listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+
+    def touched(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val perFile = df
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+        .agg(min("a").as("loA"), max("a").as("hiA"),
+          min("b").as("loB"), max("b").as("hiB")).collect()
+      (perFile.count(r =>
+        r.getAs[Long]("hiA") >= 256 && r.getAs[Long]("loA") <= 383 &&
+          r.getAs[Long]("hiB") >= 256 && r.getAs[Long]("loB") <= 383)
+        .toLong, perFile.length.toLong)
+    }
+    val (tBefore, nBefore) = touched(spark.read.parquet(s"$base/t"))
+    assert(nBefore === 24L && tBefore >= 23L,
+      s"hash-mixed control unexpectedly pruned: $tBefore of $nBefore")
+
+    val rep = Compact.optimizeZorder(spark, s"$base/t", Seq("a", "b"),
+      targetBytes = total / 8 + 1, bits = 10)
+    assert(rep.nFilesBefore === 24L && rep.nFilesAfter >= 6L &&
+      rep.bytesRewritten === rep.bytesBefore && rep.nFilesCopied === 0L)
+    // lossless through the manifest reader, one committed generation
+    assert(Compact.read(spark, s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
+    val dirF = new java.io.File(s"$base/t")
+    assert(dirF.listFiles().count(
+      _.getName.startsWith("_GRAFT_MANIFEST-g")) === 1)
+    // the box query now prunes: z-clustered files cover compact
+    // ranges, so most files miss the box entirely
+    val (tAfter, nAfter) = touched(Compact.read(spark, s"$base/t"))
+    assert(nAfter === rep.nFilesAfter)
+    assert(tAfter.toDouble / nAfter < tBefore.toDouble / nBefore,
+      s"re-cluster did not restore pruning: $tAfter/$nAfter vs " +
+        s"$tBefore/$nBefore")
+    // torn state: an uncommitted file stays invisible; recover sweeps
+    val donor = dirF.listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).head
+    val orphan = new java.io.File(dirF, "part-zz-orphan-zorder.parquet")
+    java.nio.file.Files.copy(donor.toPath, orphan.toPath)
+    assert(Compact.read(spark, s"$base/t").count() === 20000L)
+    assert(Compact.recoverSwap(spark, s"$base/t")
+      .contains("outside manifest"))
+    assert(!orphan.exists)
+    // a second optimize commits the next generation and stays lossless
+    val rep2 = Compact.optimizeZorder(spark, s"$base/t", Seq("a", "b"),
+      targetBytes = total, bits = 10)
+    assert(rep2.nFilesAfter <= 2L)
+    assert(dirF.listFiles().count(
+      _.getName.startsWith("_GRAFT_MANIFEST-g")) === 1)
+    assert(Compact.read(spark, s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
+  }
+
   test("binPackPartitionedInPlace: per-leaf manifests, pooled waves, torn leaf recovers") {
     import spark.implicits._
     import graft.operators.Compact
