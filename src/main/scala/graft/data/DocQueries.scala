@@ -56,6 +56,23 @@ object DocQueries {
     ("b[a-z]{2}ch", "ch", 3),
     ("[0-9]{3}-[0-9]{2}", "-", 3))
 
+  /** The scrub-STACK regex trio (round 14 — chosen for the
+    * composition seams, not reach): "tX[a-z]+" matches ONLY text the
+    * canonicalization minted (no raw document contains "tX"), the
+    * b..ch shape survives both the dictionary and the literal mask,
+    * and the digit shape is absent everywhere (the all-zero column
+    * pin). Notably "tX" also sits in the literal needle set, so the
+    * rx GATE sees it on the canonical text but the rx REDACTION never
+    * does — the literal mask eats it first, pinning stage order. */
+  private val ScrubRxNeedles: Seq[(String, String, Int)] = Seq(
+    ("tX[a-z]+", "tX", 0),
+    ("b[a-z]{2}ch", "ch", 3),
+    ("[0-9]{3}-[0-9]{2}", "-", 3))
+
+  private val scrubRxValues: String =
+    ScrubRxNeedles.zipWithIndex
+      .map { case ((re, _, _), i) => s"($i, '$re')" }.mkString(", ")
+
   /** The same set as DuckDB VALUES rows. */
   private val rxPatsValues: String =
     RxNeedleSet.zipWithIndex
@@ -1731,10 +1748,12 @@ object DocQueries {
     "q_scrub_stack" -> ((s, dir) => {
       // THE SCRUB STACK (round 14, VERDICT r13 #7): canonicalize →
       // gate (literal AC family + regex arm) → redact (literal then
-      // regex), composed over ONE corpus into one verdict card per
-      // document. The composition SEAMS are the point (the
-      // quality-stack precedent — seams are where rounds 6–11 found
-      // real bugs) and each is deliberate and oracle-pinned:
+      // regex) composed over ONE corpus into one verdict card per
+      // document, as the first-class Blocklist.scrubStack operator —
+      // one chain of pure projections (the rx per-doc counts fold
+      // over the spans array; nothing shuffles), so the identical
+      // card runs on a stream. The composition SEAMS are the point
+      // and each is oracle-pinned:
       //  - the gates run on the CANONICAL text, so the dictionary's
       //    replacements mint needles ("TBL"/"tX" exist only
       //    post-canon) and destroy others ("table" can never survive
@@ -1746,48 +1765,13 @@ object DocQueries {
       //    scrub pipelines.
       val dict = Seq("table" -> "TBL", "ta" -> "tX", "le" -> "lY")
       val lits = Seq("TBL", "tX", "a a", "table", "agg", "zzqx")
-      val canon = documents(s, dir).select(col("doc_id"),
-          graft.text.Blocklist.canonicalizeCol(col("text"), dict)
-            .as("__c"))
-        .select(col("doc_id"), col("__c.canonical").as("ctext"),
-          col("__c.n_replaced").as("n_canon"))
-      val litV = canon.select(col("doc_id"), col("n_canon"),
-          col("ctext"),
-          graft.text.Blocklist.blocklistHitsCol(col("ctext"), lits)
-            .as("__h"))
-        .select(col("doc_id"), col("n_canon"), col("ctext"),
-          aggregate(col("__h"), lit(0L), (a, x) => a + x)
-            .as("n_lit_hits"),
-          aggregate(col("__h"), lit(0L),
-            (a, x) => a + when(x > 0L, 1L).otherwise(0L))
-            .as("n_lit_patterns"))
-      val rxAgg = graft.text.Blocklist.rxGate(
-          canon.select(col("doc_id"), col("ctext")), RxNeedleSet,
-          textCol = "ctext")
-        .groupBy("doc_id")
-        .agg(sum(col("n_hits")).as("n_rx_hits"),
-          sum(when(col("hit"), 1L).otherwise(0L)).as("n_rx_patterns"))
-      val red1 = graft.text.Blocklist.redactDocs(
-          canon.select(col("doc_id"), col("ctext")), lits,
-          textCol = "ctext")
-        .select(col("doc_id"), col("redacted").as("rtext"),
-          col("n_masked").as("n_masked_lit"))
-      val red2 = graft.text.Blocklist.rxRedact(
-          red1.select(col("doc_id"), col("rtext")), RxNeedleSet,
-          textCol = "rtext")
-        .select(col("doc_id"), col("redacted").as("ftext"),
-          col("n_masked").as("n_masked_rx"))
-      litV.drop("ctext")
-        .join(rxAgg, Seq("doc_id"))
-        .join(red1.drop("rtext"), Seq("doc_id"))
-        .join(red2, Seq("doc_id"))
+      graft.text.Blocklist.scrubStack(documents(s, dir), dict, lits,
+          ScrubRxNeedles)
         .select(col("doc_id"), col("n_canon"), col("n_lit_hits"),
           col("n_lit_patterns"), col("n_rx_hits"), col("n_rx_patterns"),
-          col("n_masked_lit"), col("n_masked_rx"),
-          (col("n_lit_hits") === 0L && col("n_rx_hits") === 0L)
-            .as("clean"),
+          col("n_masked_lit"), col("n_masked_rx"), col("clean"),
           (TextOps.hash56(concat_ws(":", lit("scrub"), col("doc_id"),
-            col("ftext"))) % 1000003L).as("scrub_sig"))
+            col("scrubbed"))) % 1000003L).as("scrub_sig"))
         .orderBy("doc_id")
     }),
     "q_blocklist_prov" -> ((s, dir) =>
@@ -6117,7 +6101,7 @@ object DocQueries {
          |  coalesce(sum(CASE WHEN l.n > 0 THEN 1 ELSE 0 END), 0)::BIGINT
          |    AS n_lit_patterns
          |  FROM cn LEFT JOIN lcnt l ON l.doc_id = cn.doc_id GROUP BY 1),
-         |rpats(pid, pat) AS (VALUES $rxPatsValues),
+         |rpats(pid, pat) AS (VALUES $scrubRxValues),
          |rst AS MATERIALIZED (SELECT doc_id, pid, pat, ct,
          |  unnest(range(length(ct))) AS s FROM cn CROSS JOIN rpats),
          |rcnt AS (SELECT doc_id, pid,

@@ -502,6 +502,21 @@ object Streaming {
       mask: Char = '*'): DataFrame =
     graft.text.Blocklist.rxRedact(docs.toDF(), needles, mask = mask)
 
+  /** The full SCRUB STACK on a stream (round 14 —
+    * [[graft.text.Blocklist.scrubStack]] is a chain of pure
+    * projections, so the composed canonicalize → gate-both-families →
+    * redact-in-order card applies to in-flight documents unchanged;
+    * StreamingSpec pins the stream replay bitwise against the batch
+    * card). */
+  def streamingScrubStack(
+      docs: Dataset[StreamDoc],
+      mappings: Seq[(String, String)],
+      patterns: Seq[String],
+      needles: Seq[(String, String, Int)],
+      mask: Char = '*'): DataFrame =
+    graft.text.Blocklist.scrubStack(docs.toDF(), mappings, patterns,
+      needles, mask = mask)
+
   /** Windowed needle MONITORING — the alarm face of the blocklist
     * scan: per (event-time window, pattern) the document count, hit
     * documents, and total occurrences, emitted when the watermark

@@ -431,6 +431,66 @@ object Blocklist {
         col("__r.n_masked").as("n_masked"))
   }
 
+  /** THE SCRUB STACK as one operator (round 14 — the q_scrub_stack
+    * composition promoted to a first-class face): canonicalize with
+    * the leftmost-longest dictionary walk, gate BOTH needle families
+    * on the CANONICAL text (replacements mint and destroy needles —
+    * the seam under test), then redact literal spans and regex spans
+    * IN THAT ORDER (masked runs can break regex shapes — stage order
+    * is load-bearing). The whole card is a chain of pure projections
+    * (the rx per-doc counts fold over the spans ARRAY instead of a
+    * groupBy), so it runs UNCHANGED on a stream and shuffles nothing.
+    * All broadcasts come from the OWNING session (docs.sparkSession —
+    * the streamingBlocklistCounts discipline).
+    * @return (id, n_canon, n_lit_hits, n_lit_patterns, n_rx_hits,
+    *         n_rx_patterns, n_masked_lit, n_masked_rx, clean,
+    *         scrubbed) */
+  def scrubStack(
+      docs: DataFrame,
+      mappings: Seq[(String, String)],
+      patterns: Seq[String],
+      needles: Seq[(String, String, Int)],
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      mask: Char = '*'): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val rxBc = spark.sparkContext.broadcast(rxNeedles(needles))
+    docs
+      .select(col(idCol),
+        canonicalizeColOn(spark, col(textCol), mappings).as("__c"))
+      .select(col(idCol), col("__c.canonical").as("__ct"),
+        col("__c.n_replaced").as("n_canon"))
+      .select(col(idCol), col("n_canon"),
+        hitsColOn(spark, col("__ct"), patterns).as("__h"),
+        column(graft.functions.RxSpansBcast(
+          expression(col("__ct")), rxBc)).as("__m"),
+        redactColOn(spark, col("__ct"), patterns, mask).as("__r1"))
+      .select(col(idCol), col("n_canon"),
+        aggregate(col("__h"), lit(0L), (a, x) => a + x).as("n_lit_hits"),
+        aggregate(col("__h"), lit(0L),
+          (a, x) => a + when(x > 0L, 1L).otherwise(0L))
+          .as("n_lit_patterns"),
+        size(col("__m")).cast("long").as("n_rx_hits"),
+        size(array_distinct(transform(col("__m"),
+          m => m.getField("pattern_id")))).cast("long")
+          .as("n_rx_patterns"),
+        col("__r1.n_masked").as("n_masked_lit"),
+        col("__r1.redacted").as("__rt"))
+      .select(col(idCol), col("n_canon"), col("n_lit_hits"),
+        col("n_lit_patterns"), col("n_rx_hits"), col("n_rx_patterns"),
+        col("n_masked_lit"),
+        column(graft.functions.RxRedactBcast(
+          expression(col("__rt")), rxBc, mask.toByte)).as("__r2"))
+      .select(col(idCol), col("n_canon"), col("n_lit_hits"),
+        col("n_lit_patterns"), col("n_rx_hits"), col("n_rx_patterns"),
+        col("n_masked_lit"),
+        col("__r2.n_masked").as("n_masked_rx"),
+        (col("n_lit_hits") === 0L && col("n_rx_hits") === 0L)
+          .as("clean"),
+        col("__r2.redacted").as("scrubbed"))
+  }
+
   /** One verdict row per document — the keep/drop spelling: total
     * hits across the set, number of distinct patterns present, and
     * `clean` (no pattern matched). The aggregate folds inside the

@@ -210,6 +210,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streaming duplicate clusters differ from the batch operator's")
   }
 
+  test("streamingScrubStack replays the batch scrub-stack card bitwise") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val dict = Seq("table" -> "TBL", "ta" -> "tX", "le" -> "lY")
+    val lits = Seq("TBL", "tX", "a a", "table", "agg", "zzqx")
+    // the composition trio: "tX" exists only post-canon (minted), the
+    // b..ch shape survives the dictionary and the literal mask, the
+    // digit shape is absent (see the q_scrub_stack needle notes)
+    val needles = Seq(("tX[a-z]+", "tX", 0), ("b[a-z]{2}ch", "ch", 3),
+      ("[0-9]{3}-[0-9]{2}", "-", 3))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") -> ((
+      r.getAs[Long]("n_canon"), r.getAs[Long]("n_lit_hits"),
+      r.getAs[Long]("n_lit_patterns"), r.getAs[Long]("n_rx_hits"),
+      r.getAs[Long]("n_rx_patterns"), r.getAs[Long]("n_masked_lit"),
+      r.getAs[Long]("n_masked_rx"), r.getAs[Boolean]("clean"),
+      r.getAs[String]("scrubbed")))
+    val batch = graft.text.Blocklist.scrubStack(docs, dict, lits, needles)
+      .collect().map(key).toMap
+    val rows = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val q = Streaming.streamingScrubStack(in.toDS(), dict, lits, needles)
+      .writeStream.format("memory").queryName("scrub_stack_stream")
+      .outputMode("append").start()
+    rows.grouped(20).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("scrub_stack_stream").collect()
+      .map(key).toMap
+    assert(streamed === batch)
+    // the composed stages really fired on this fixture: canon
+    // rewrote, the rx gate saw the MINTED needle, and the rx
+    // redaction masked the canon-surviving shape
+    assert(batch.values.exists(_._1 > 0L), "no canonicalization hits")
+    assert(batch.values.exists(_._4 > 0L), "no rx gate hits")
+    assert(batch.values.exists(_._7 > 0L), "no rx redaction hits")
+  }
+
   test("streamingRxGate and streamingRxRedact replay the batch rx faces exactly, stateless") {
     import graft.streaming.StreamDoc
     implicit val sqlCtx = spark.sqlContext
