@@ -726,6 +726,37 @@ object DocQueries {
             col("text"))) % 1000003L).as("content_sig"))
         .orderBy("source")
     }),
+    "q_compact_append" -> ((s, dir) => {
+      // the managed-table LIFECYCLE in one query (round 14): seed
+      // half the corpus as a plain directory, APPEND the other half
+      // through the atomic manifest commit, OPTIMIZE in place, read
+      // through the manifest — the card equals the WHOLE corpus
+      // aggregated, so no row was lost, duplicated, or double-served
+      // across the three commits.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-compact-append")
+        .toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
+      val d = documents(s, dir)
+        .select("doc_id", "text", "source", "n_chars")
+      d.filter(col("doc_id") % 2 === 0).repartition(4)
+        .write.parquet(s"$root/t")
+      graft.operators.Compact.appendManaged(s, s"$root/t",
+        d.filter(col("doc_id") % 2 === 1).repartition(4))
+      val rep = graft.operators.Compact.binPackInPlace(s, s"$root/t",
+        targetBytes = 1L << 20)
+      require(rep.nFilesBefore == 8L,
+        s"lifecycle fixture expected 4 seed + 4 appended files: $rep")
+      graft.operators.Compact.read(s, s"$root/t")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextOps.hash56(concat_ws(":", lit("cmp"), col("doc_id"),
+            col("text"))) % 1000003L).as("content_sig"))
+        .orderBy("source")
+    }),
     "q_zorder_optimize" -> ((s, dir) => {
       // OPTIMIZE ZORDER in place (round 14): a hash-mixed layout
       // (every file spans every key range — prunes nothing)
@@ -4323,6 +4354,16 @@ object DocQueries {
     "q_zorder_optimize" ->
       // same value-losslessness card through the in-place ZORDER
       // rewrite and its manifest commit
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
+         |    % 1000003)::BIGINT AS content_sig
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_compact_append" ->
+      // the whole-corpus card through the seed → append → optimize →
+      // read lifecycle: equality proves the manifest commits neither
+      // lost, duplicated, nor double-served a row
       s"""SELECT source, count(*)::BIGINT AS n_docs,
          |  sum(n_chars)::BIGINT AS sum_chars,
          |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}

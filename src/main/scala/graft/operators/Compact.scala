@@ -621,6 +621,74 @@ object Compact {
       nFilesUntouched = untouched)
   }
 
+  /** APPEND through the manifest (round 14 — the WRITE face that
+    * completes the managed-table lifecycle: append → OPTIMIZE →
+    * read, every step committed by one atomic file write): the batch
+    * writes into the hidden scratch, its files move in under
+    * generation-unique names, and ONE manifest write commits
+    * `old live ++ new` — a reader resolves the whole batch or none
+    * of it, never a prefix. Appended files land in ARRIVAL order at
+    * the manifest's tail (the streaming-sink reality); since
+    * [[binPackInPlace]] only merges CONTIGUOUS manifest runs, later
+    * compactions respect that order. An unmanaged or missing
+    * directory is first committed as-is (identity manifest), so the
+    * manifest governs before any new file lands. */
+  def appendManaged(spark: SparkSession, path: String,
+      df: DataFrame): CompactReport = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) require(fs.mkdirs(dir), s"cannot create $dir")
+    val scratch = new Path(dir, ScratchName)
+    require(!fs.exists(scratch),
+      s"unfinished compaction scratch at $scratch — run recoverSwap first")
+    require(!fs.listStatus(dir).exists(s =>
+        s.getPath.getName.startsWith("." + ManifestPrefix)),
+      s"uncommitted manifest temp at $path — run recoverSwap first")
+    val (mf, live) = resolveLive(fs, dir, "recoverSwap")
+    val gen = mf.map(_._1).getOrElse(0L) + 1L
+    if (mf.isEmpty)
+      writeManifest(fs, dir, 0L, live.map(_.getPath.getName))
+
+    val maxRecKey = "spark.sql.files.maxRecordsPerFile"
+    val saved = spark.conf.getOption(maxRecKey)
+    spark.conf.set(maxRecKey, "0")
+    try df.write.mode("overwrite").parquet(scratch.toString)
+    finally saved match {
+      case Some(v) => spark.conf.set(maxRecKey, v)
+      case None => spark.conf.unset(maxRecKey)
+    }
+    val parts = fs.listStatus(scratch).toVector
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val appended = Vector.newBuilder[String]
+    var bytesNew = 0L
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val nm = f"part-$i%09d-g$gen%09d-append.parquet"
+      val dst = new Path(dir, nm)
+      require(!fs.exists(dst), s"name collision at $dst")
+      bytesNew += p.getLen
+      require(fs.rename(p.getPath, dst), s"rename failed: ${p.getPath}")
+      appended += nm
+    }
+    fs.delete(scratch, true)
+    val newNames = appended.result()
+
+    // THE commit, then superseded manifests
+    writeManifest(fs, dir, gen, live.map(_.getPath.getName) ++ newNames)
+    manifestFiles(fs, dir).filter(_._1 < gen)
+      .foreach { case (_, p) => fs.delete(p, false) }
+
+    CompactReport(
+      nFilesBefore = live.length.toLong,
+      nFilesAfter = live.length.toLong + newNames.length.toLong,
+      bytesBefore = live.map(_.getLen).sum,
+      nBinsRewritten = 0L,
+      bytesRewritten = 0L,
+      nFilesCopied = 0L,
+      nFilesUntouched = live.length.toLong)
+  }
+
   /** OPTIMIZE ZORDER — re-CLUSTER a flat parquet directory in place
     * (round 14; the Delta `OPTIMIZE … ZORDER BY` face): where
     * [[binPackInPlace]] is layout-only (key order preserved, large

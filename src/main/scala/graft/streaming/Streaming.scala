@@ -917,6 +917,26 @@ object Streaming {
         col("n_events") === 0L || col("ppl") <= lit(maxPpl))
   }
 
+  /** A small-file-MANAGED parquet sink (round 14 — the maintenance
+    * loop a streaming sink needs to survive at 100 TB): pass the
+    * returned function to `writeStream.foreachBatch`. Every
+    * micro-batch appends through ONE atomic manifest commit
+    * ([[graft.operators.Compact.appendManaged]] — readers resolve the
+    * whole batch or none of it), and every `compactEvery` batches the
+    * directory re-bin-packs IN PLACE
+    * ([[graft.operators.Compact.binPackInPlace]] — large files
+    * untouched, one manifest commit), so the small-file tail stays
+    * bounded while [[graft.operators.Compact.read]] is consistent at
+    * every instant. StreamingSpec drives the loop end to end. */
+  def managedParquetSink(path: String, targetBytes: Long,
+      compactEvery: Long): (DataFrame, Long) => Unit = { (batch, id) =>
+    graft.operators.Compact.appendManaged(batch.sparkSession, path,
+      batch): Unit
+    if (compactEvery > 0L && (id + 1L) % compactEvery == 0L)
+      graft.operators.Compact.binPackInPlace(batch.sparkSession, path,
+        targetBytes): Unit
+  }
+
   def streamingHllRegisters(
       events: DataFrame,
       key: Column,

@@ -210,6 +210,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streaming duplicate clusters differ from the batch operator's")
   }
 
+  test("managedParquetSink: atomic appends, periodic in-place compaction, reader consistent") {
+    import graft.streaming.StreamDoc
+    import graft.operators.Compact
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-msink").toString
+    val path = s"$base/t"
+    val rows = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(90).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        StreamDoc(id, new Timestamp(1704067200000L + id * 1000L), text) }
+    val in = MemoryStream[StreamDoc]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(
+        Streaming.managedParquetSink(path, targetBytes = 1L << 26,
+          compactEvery = 3L))
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    var fed = 0L
+    rows.grouped(15).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+      fed += chunk.length.toLong
+      // reader consistency at EVERY instant of the loop
+      assert(Compact.read(spark, path).count() === fed,
+        s"managed reader inconsistent after $fed rows")
+    }
+    q.stop()
+    // value equality over the whole feed
+    val got = Compact.read(spark, path).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got === rows.map(_.doc_id).sorted.toSeq)
+    // 6 batches appended, compactions fired after batches 3 and 6 —
+    // the small-file tail is bounded (one packed file), not 6+ parts
+    val live = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(live.length === 1,
+      s"small-file tail not compacted: ${live.map(_.getName).toSeq}")
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("_GRAFT_MANIFEST-g")) === 1)
+    assert(Compact.recoverSwap(spark, path).startsWith("clean"))
+  }
+
   test("streamingScrubStack replays the batch scrub-stack card bitwise") {
     import graft.streaming.StreamDoc
     implicit val sqlCtx = spark.sqlContext
