@@ -1776,6 +1776,18 @@ object DocQueries {
       // one small map-side-combinable aggregate
       graft.text.Blocklist.rxProvenance(documents(s, dir), RxNeedleSet)
         .orderBy("source", "pattern_id")),
+    "q_scrub_prov" -> ((s, dir) => {
+      // provenance rollup of the SCRUB STACK (round 14): per source
+      // the doc count, docs hit by each family, canon/redaction
+      // volumes, clean count — the operational "which source needs
+      // scrubbing" card over the same composed stages, every
+      // aggregate replayed off the shared oracle chain
+      val dict = Seq("table" -> "TBL", "ta" -> "tX", "le" -> "lY")
+      val lits = Seq("TBL", "tX", "a a", "table", "agg", "zzqx")
+      graft.text.Blocklist.scrubProvenance(documents(s, dir), dict,
+          lits, ScrubRxNeedles)
+        .orderBy("source")
+    }),
     "q_scrub_stack" -> ((s, dir) => {
       // THE SCRUB STACK (round 14, VERDICT r13 #7): canonicalize →
       // gate (literal AC family + regex arm) → redact (literal then
@@ -3431,6 +3443,122 @@ object DocQueries {
        |      AS bucket
        |  FROM ${P}rt rt CROSS JOIN ${P}ct ct)""".stripMargin
   }
+
+  /** The scrub-stack replay chain shared by q_scrub_stack and
+    * q_scrub_prov: the leftmost-longest canon walk, both gate
+    * families on the canonical text, and the two chained span-union
+    * redactions, ending in `scard(doc_id, n_canon, n_lit_hits,
+    * n_lit_patterns, n_rx_hits, n_rx_patterns, n_masked_lit,
+    * n_masked_rx, clean, ft)` — the per-doc card with the final
+    * scrubbed text. Callers prefix `WITH RECURSIVE `. */
+  private def scrubStackCtes: String =
+    s"""maps(pid, pat, rep) AS (VALUES
+         |  (0, 'table', 'TBL'), (1, 'ta', 'tX'), (2, 'le', 'lY')),
+         |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+         |cst AS MATERIALIZED (SELECT doc_id, pid, pat, rep, text,
+         |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
+         |  FROM d CROSS JOIN maps),
+         |cmt AS (SELECT doc_id, s, pid, rep, length(pat) AS k FROM cst
+         |  WHERE substr(text, (s + 1)::INT, length(pat)::INT) = pat),
+         |cbest AS MATERIALIZED (SELECT doc_id, s, k, rep FROM (
+         |  SELECT doc_id, s, k, rep, row_number() OVER (
+         |    PARTITION BY doc_id, s ORDER BY k DESC, pid) AS rn FROM cmt) b
+         |  WHERE rn = 1),
+         |cwalk(doc_id, pos, acc, nrep) AS (
+         |  SELECT doc_id, 0::BIGINT AS pos, '' AS acc, 0::BIGINT AS nrep
+         |  FROM d
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CASE WHEN b.s IS NULL THEN length(d.text)::BIGINT
+         |      ELSE b.s + b.k END,
+         |    w.acc || CASE WHEN b.s IS NULL
+         |      THEN substr(d.text, (w.pos + 1)::INT)
+         |      ELSE substr(d.text, (w.pos + 1)::INT, (b.s - w.pos)::INT) ||
+         |        b.rep END,
+         |    w.nrep + CASE WHEN b.s IS NULL THEN 0 ELSE 1 END
+         |  FROM cwalk w JOIN d ON d.doc_id = w.doc_id
+         |  LEFT JOIN cbest b ON b.doc_id = w.doc_id AND b.s >= w.pos
+         |  WHERE w.pos < length(d.text)
+         |  QUALIFY row_number() OVER (PARTITION BY w.doc_id, w.pos
+         |    ORDER BY b.s NULLS LAST) = 1),
+         |cfin AS (SELECT w.doc_id, w.acc, w.nrep FROM cwalk w
+         |  JOIN d ON d.doc_id = w.doc_id WHERE w.pos >= length(d.text)),
+         |cn AS (SELECT d.doc_id, coalesce(f.acc, '') AS ct,
+         |  coalesce(f.nrep, 0)::BIGINT AS n_canon
+         |  FROM d LEFT JOIN cfin f ON f.doc_id = d.doc_id),
+         |lpats(pid, pat) AS (VALUES
+         |  (0, 'TBL'), (1, 'tX'), (2, 'a a'), (3, 'table'),
+         |  (4, 'agg'), (5, 'zzqx')),
+         |lst AS MATERIALIZED (SELECT doc_id, pid, pat, ct,
+         |  unnest(range(greatest(length(ct) - length(pat) + 1, 0))) AS s
+         |  FROM cn CROSS JOIN lpats),
+         |lcnt AS (SELECT doc_id, pid,
+         |  sum(CASE WHEN substr(ct, (s + 1)::INT, length(pat)::INT) = pat
+         |      THEN 1 ELSE 0 END)::BIGINT AS n
+         |  FROM lst GROUP BY 1, 2),
+         |lagg AS (SELECT cn.doc_id,
+         |  coalesce(sum(l.n), 0)::BIGINT AS n_lit_hits,
+         |  coalesce(sum(CASE WHEN l.n > 0 THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS n_lit_patterns
+         |  FROM cn LEFT JOIN lcnt l ON l.doc_id = cn.doc_id GROUP BY 1),
+         |rpats(pid, pat) AS (VALUES $scrubRxValues),
+         |rst AS MATERIALIZED (SELECT doc_id, pid, pat, ct,
+         |  unnest(range(length(ct))) AS s FROM cn CROSS JOIN rpats),
+         |rcnt AS (SELECT doc_id, pid,
+         |  sum(CASE WHEN length(regexp_extract(substr(ct, (s + 1)::INT),
+         |      '^(' || pat || ')')) > 0 THEN 1 ELSE 0 END)::BIGINT AS n
+         |  FROM rst GROUP BY 1, 2),
+         |ragg AS (SELECT cn.doc_id,
+         |  coalesce(sum(r.n), 0)::BIGINT AS n_rx_hits,
+         |  coalesce(sum(CASE WHEN r.n > 0 THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS n_rx_patterns
+         |  FROM cn LEFT JOIN rcnt r ON r.doc_id = cn.doc_id GROUP BY 1),
+         |lmt AS (SELECT doc_id, s, length(pat) AS k FROM lst
+         |  WHERE substr(ct, (s + 1)::INT, length(pat)::INT) = pat),
+         |lcov0 AS (SELECT doc_id, s, unnest(range(k)) AS o FROM lmt),
+         |lcov AS (SELECT DISTINCT doc_id, s + o AS p FROM lcov0),
+         |lch AS (SELECT doc_id, ct, unnest(range(length(ct))) AS i FROM cn),
+         |r1 AS (SELECT lch.doc_id,
+         |  string_agg(CASE WHEN lcov.p IS NOT NULL THEN '*'
+         |    ELSE substr(lch.ct, (lch.i + 1)::INT, 1) END, ''
+         |    ORDER BY lch.i) AS rt,
+         |  sum(CASE WHEN lcov.p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_masked_lit
+         |  FROM lch LEFT JOIN lcov ON lcov.doc_id = lch.doc_id
+         |    AND lcov.p = lch.i
+         |  GROUP BY 1),
+         |r1f AS (SELECT cn.doc_id, coalesce(r1.rt, cn.ct) AS rt,
+         |  coalesce(r1.n_masked_lit, 0)::BIGINT AS n_masked_lit
+         |  FROM cn LEFT JOIN r1 ON r1.doc_id = cn.doc_id),
+         |xst AS MATERIALIZED (SELECT doc_id, pat, rt,
+         |  unnest(range(length(rt))) AS s FROM r1f CROSS JOIN rpats),
+         |xmt AS (SELECT doc_id, s,
+         |  length(regexp_extract(substr(rt, (s + 1)::INT),
+         |    '^(' || pat || ')')) AS k FROM xst
+         |  WHERE length(regexp_extract(substr(rt, (s + 1)::INT),
+         |    '^(' || pat || ')')) > 0),
+         |xcov0 AS (SELECT doc_id, s, unnest(range(k)) AS o FROM xmt),
+         |xcov AS (SELECT DISTINCT doc_id, s + o AS p FROM xcov0),
+         |xch AS (SELECT doc_id, rt, unnest(range(length(rt))) AS i
+         |  FROM r1f),
+         |r2 AS (SELECT xch.doc_id,
+         |  string_agg(CASE WHEN xcov.p IS NOT NULL THEN '*'
+         |    ELSE substr(xch.rt, (xch.i + 1)::INT, 1) END, ''
+         |    ORDER BY xch.i) AS ft,
+         |  sum(CASE WHEN xcov.p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_masked_rx
+         |  FROM xch LEFT JOIN xcov ON xcov.doc_id = xch.doc_id
+         |    AND xcov.p = xch.i
+         |  GROUP BY 1),
+         |r2f AS (SELECT r1f.doc_id, coalesce(r2.ft, r1f.rt) AS ft,
+         |  coalesce(r2.n_masked_rx, 0)::BIGINT AS n_masked_rx
+         |  FROM r1f LEFT JOIN r2 ON r2.doc_id = r1f.doc_id),
+       |scard AS (SELECT cn.doc_id, cn.n_canon, la.n_lit_hits,
+       |  la.n_lit_patterns, ra.n_rx_hits, ra.n_rx_patterns,
+       |  r1f.n_masked_lit, r2f.n_masked_rx,
+       |  (la.n_lit_hits = 0 AND ra.n_rx_hits = 0) AS clean, r2f.ft
+       |  FROM cn JOIN lagg la USING (doc_id) JOIN ragg ra USING (doc_id)
+       |  JOIN r1f USING (doc_id) JOIN r2f USING (doc_id))""".stripMargin
 
   /** The q_lm_ppl5 instantiation: same train/score split as q_lm_ppl. */
   private def lm5PplCtes: String = lmNChainCtes(5,
@@ -6085,124 +6213,33 @@ object DocQueries {
         |FROM f4 ORDER BY doc_id""".stripMargin,
 
     "q_scrub_stack" ->
-      // mirrors the composed scrub stack stage for stage: the
-      // q_canon_dedup leftmost-longest walk produces the canonical
-      // text, BOTH gate families count per-position matches on that
-      // canonical text (the mint/destroy seam), the literal redaction
-      // covers its match spans on the canonical text, and the regex
-      // redaction covers its spans on the LITERAL-REDACTED text (the
-      // stage-order seam) — finishing in the per-doc verdict card
-      // with the scrubbed-content signature
-      s"""WITH RECURSIVE maps(pid, pat, rep) AS (VALUES
-         |  (0, 'table', 'TBL'), (1, 'ta', 'tX'), (2, 'le', 'lY')),
-         |d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
-         |cst AS MATERIALIZED (SELECT doc_id, pid, pat, rep, text,
-         |  unnest(range(greatest(length(text) - length(pat) + 1, 0))) AS s
-         |  FROM d CROSS JOIN maps),
-         |cmt AS (SELECT doc_id, s, pid, rep, length(pat) AS k FROM cst
-         |  WHERE substr(text, (s + 1)::INT, length(pat)::INT) = pat),
-         |cbest AS MATERIALIZED (SELECT doc_id, s, k, rep FROM (
-         |  SELECT doc_id, s, k, rep, row_number() OVER (
-         |    PARTITION BY doc_id, s ORDER BY k DESC, pid) AS rn FROM cmt) b
-         |  WHERE rn = 1),
-         |cwalk(doc_id, pos, acc, nrep) AS (
-         |  SELECT doc_id, 0::BIGINT AS pos, '' AS acc, 0::BIGINT AS nrep
-         |  FROM d
-         |  UNION ALL
-         |  SELECT w.doc_id,
-         |    CASE WHEN b.s IS NULL THEN length(d.text)::BIGINT
-         |      ELSE b.s + b.k END,
-         |    w.acc || CASE WHEN b.s IS NULL
-         |      THEN substr(d.text, (w.pos + 1)::INT)
-         |      ELSE substr(d.text, (w.pos + 1)::INT, (b.s - w.pos)::INT)
-         |        || b.rep END,
-         |    w.nrep + CASE WHEN b.s IS NULL THEN 0 ELSE 1 END
-         |  FROM cwalk w JOIN d ON d.doc_id = w.doc_id
-         |  LEFT JOIN cbest b ON b.doc_id = w.doc_id AND b.s >= w.pos
-         |  WHERE w.pos < length(d.text)
-         |  QUALIFY row_number() OVER (PARTITION BY w.doc_id, w.pos
-         |    ORDER BY b.s NULLS LAST) = 1),
-         |cfin AS (SELECT w.doc_id, w.acc, w.nrep FROM cwalk w
-         |  JOIN d ON d.doc_id = w.doc_id WHERE w.pos >= length(d.text)),
-         |cn AS (SELECT d.doc_id, coalesce(f.acc, '') AS ct,
-         |  coalesce(f.nrep, 0)::BIGINT AS n_canon
-         |  FROM d LEFT JOIN cfin f ON f.doc_id = d.doc_id),
-         |lpats(pid, pat) AS (VALUES
-         |  (0, 'TBL'), (1, 'tX'), (2, 'a a'), (3, 'table'),
-         |  (4, 'agg'), (5, 'zzqx')),
-         |lst AS MATERIALIZED (SELECT doc_id, pid, pat, ct,
-         |  unnest(range(greatest(length(ct) - length(pat) + 1, 0))) AS s
-         |  FROM cn CROSS JOIN lpats),
-         |lcnt AS (SELECT doc_id, pid,
-         |  sum(CASE WHEN substr(ct, (s + 1)::INT, length(pat)::INT) = pat
-         |      THEN 1 ELSE 0 END)::BIGINT AS n
-         |  FROM lst GROUP BY 1, 2),
-         |lagg AS (SELECT cn.doc_id,
-         |  coalesce(sum(l.n), 0)::BIGINT AS n_lit_hits,
-         |  coalesce(sum(CASE WHEN l.n > 0 THEN 1 ELSE 0 END), 0)::BIGINT
-         |    AS n_lit_patterns
-         |  FROM cn LEFT JOIN lcnt l ON l.doc_id = cn.doc_id GROUP BY 1),
-         |rpats(pid, pat) AS (VALUES $scrubRxValues),
-         |rst AS MATERIALIZED (SELECT doc_id, pid, pat, ct,
-         |  unnest(range(length(ct))) AS s FROM cn CROSS JOIN rpats),
-         |rcnt AS (SELECT doc_id, pid,
-         |  sum(CASE WHEN length(regexp_extract(substr(ct, (s + 1)::INT),
-         |      '^(' || pat || ')')) > 0 THEN 1 ELSE 0 END)::BIGINT AS n
-         |  FROM rst GROUP BY 1, 2),
-         |ragg AS (SELECT cn.doc_id,
-         |  coalesce(sum(r.n), 0)::BIGINT AS n_rx_hits,
-         |  coalesce(sum(CASE WHEN r.n > 0 THEN 1 ELSE 0 END), 0)::BIGINT
-         |    AS n_rx_patterns
-         |  FROM cn LEFT JOIN rcnt r ON r.doc_id = cn.doc_id GROUP BY 1),
-         |lmt AS (SELECT doc_id, s, length(pat) AS k FROM lst
-         |  WHERE substr(ct, (s + 1)::INT, length(pat)::INT) = pat),
-         |lcov0 AS (SELECT doc_id, s, unnest(range(k)) AS o FROM lmt),
-         |lcov AS (SELECT DISTINCT doc_id, s + o AS p FROM lcov0),
-         |lch AS (SELECT doc_id, ct, unnest(range(length(ct))) AS i FROM cn),
-         |r1 AS (SELECT lch.doc_id,
-         |  string_agg(CASE WHEN lcov.p IS NOT NULL THEN '*'
-         |    ELSE substr(lch.ct, (lch.i + 1)::INT, 1) END, ''
-         |    ORDER BY lch.i) AS rt,
-         |  sum(CASE WHEN lcov.p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         |    AS n_masked_lit
-         |  FROM lch LEFT JOIN lcov ON lcov.doc_id = lch.doc_id
-         |    AND lcov.p = lch.i
-         |  GROUP BY 1),
-         |r1f AS (SELECT cn.doc_id, coalesce(r1.rt, cn.ct) AS rt,
-         |  coalesce(r1.n_masked_lit, 0)::BIGINT AS n_masked_lit
-         |  FROM cn LEFT JOIN r1 ON r1.doc_id = cn.doc_id),
-         |xst AS MATERIALIZED (SELECT doc_id, pat, rt,
-         |  unnest(range(length(rt))) AS s FROM r1f CROSS JOIN rpats),
-         |xmt AS (SELECT doc_id, s,
-         |  length(regexp_extract(substr(rt, (s + 1)::INT),
-         |    '^(' || pat || ')')) AS k FROM xst
-         |  WHERE length(regexp_extract(substr(rt, (s + 1)::INT),
-         |    '^(' || pat || ')')) > 0),
-         |xcov0 AS (SELECT doc_id, s, unnest(range(k)) AS o FROM xmt),
-         |xcov AS (SELECT DISTINCT doc_id, s + o AS p FROM xcov0),
-         |xch AS (SELECT doc_id, rt, unnest(range(length(rt))) AS i
-         |  FROM r1f),
-         |r2 AS (SELECT xch.doc_id,
-         |  string_agg(CASE WHEN xcov.p IS NOT NULL THEN '*'
-         |    ELSE substr(xch.rt, (xch.i + 1)::INT, 1) END, ''
-         |    ORDER BY xch.i) AS ft,
-         |  sum(CASE WHEN xcov.p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         |    AS n_masked_rx
-         |  FROM xch LEFT JOIN xcov ON xcov.doc_id = xch.doc_id
-         |    AND xcov.p = xch.i
-         |  GROUP BY 1),
-         |r2f AS (SELECT r1f.doc_id, coalesce(r2.ft, r1f.rt) AS ft,
-         |  coalesce(r2.n_masked_rx, 0)::BIGINT AS n_masked_rx
-         |  FROM r1f LEFT JOIN r2 ON r2.doc_id = r1f.doc_id)
-         |SELECT cn.doc_id, cn.n_canon, la.n_lit_hits, la.n_lit_patterns,
-         |  ra.n_rx_hits, ra.n_rx_patterns, r1f.n_masked_lit,
-         |  r2f.n_masked_rx,
-         |  (la.n_lit_hits = 0 AND ra.n_rx_hits = 0) AS clean,
-         |  ${hash56("'scrub' || ':' || cn.doc_id::VARCHAR || ':' || r2f.ft")}
+      // mirrors the composed scrub stack stage for stage — see
+      // [[scrubStackCtes]] (shared with q_scrub_prov): the per-doc
+      // verdict card with the scrubbed-content signature
+      s"""WITH RECURSIVE $scrubStackCtes
+         |SELECT doc_id, n_canon, n_lit_hits, n_lit_patterns,
+         |  n_rx_hits, n_rx_patterns, n_masked_lit, n_masked_rx, clean,
+         |  ${hash56("'scrub' || ':' || doc_id::VARCHAR || ':' || ft")}
          |    % 1000003 AS scrub_sig
-         |FROM cn JOIN lagg la USING (doc_id) JOIN ragg ra USING (doc_id)
-         |  JOIN r1f USING (doc_id) JOIN r2f USING (doc_id)
-         |ORDER BY cn.doc_id""".stripMargin,
+         |FROM scard ORDER BY doc_id""".stripMargin,
+
+    "q_scrub_prov" ->
+      // the provenance rollup of the same chain: per source the doc
+      // count, docs hit by each family, stage volumes, and the clean
+      // count — every aggregate off the shared scard CTE
+      s"""WITH RECURSIVE $scrubStackCtes
+         |SELECT d2.source, count(*)::BIGINT AS n_docs,
+         |  sum(c.n_canon)::BIGINT AS n_canon,
+         |  sum(CASE WHEN c.n_lit_hits > 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_docs_lit_hit,
+         |  sum(c.n_lit_hits)::BIGINT AS n_lit_hits,
+         |  sum(CASE WHEN c.n_rx_hits > 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_docs_rx_hit,
+         |  sum(c.n_rx_hits)::BIGINT AS n_rx_hits,
+         |  sum(c.n_masked_lit + c.n_masked_rx)::BIGINT AS n_masked,
+         |  sum(CASE WHEN c.clean THEN 1 ELSE 0 END)::BIGINT AS n_clean
+         |FROM scard c JOIN documents d2 USING (doc_id)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q_rx_prov" ->
       // mirrors rxProvenance: the per-position counting CTE grouped

@@ -491,6 +491,37 @@ object Blocklist {
         col("__r2.redacted").as("scrubbed"))
   }
 
+  /** Provenance rollup of [[scrubStack]] (round 14 — the "which
+    * source needs scrubbing" card, the [[provenanceReport]] pattern
+    * over the composed stack): per `byCol` group the document count,
+    * documents hit by each needle family, canonicalization and
+    * redaction volumes, and the clean count. One scrubStack
+    * projection + one equi-join back for the group column + one
+    * |groups|-row map-side-combinable aggregate — the scan itself
+    * never shuffles. */
+  def scrubProvenance(
+      docs: DataFrame,
+      mappings: Seq[(String, String)],
+      patterns: Seq[String],
+      needles: Seq[(String, String, Int)],
+      byCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      mask: Char = '*'): DataFrame =
+    scrubStack(docs, mappings, patterns, needles, textCol, idCol, mask)
+      .join(docs.select(col(idCol), col(byCol)), Seq(idCol))
+      .groupBy(byCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_canon")).as("n_canon"),
+        sum(when(col("n_lit_hits") > 0L, 1L).otherwise(0L))
+          .as("n_docs_lit_hit"),
+        sum(col("n_lit_hits")).as("n_lit_hits"),
+        sum(when(col("n_rx_hits") > 0L, 1L).otherwise(0L))
+          .as("n_docs_rx_hit"),
+        sum(col("n_rx_hits")).as("n_rx_hits"),
+        sum(col("n_masked_lit") + col("n_masked_rx")).as("n_masked"),
+        sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"))
+
   /** One verdict row per document — the keep/drop spelling: total
     * hits across the set, number of distinct patterns present, and
     * `clean` (no pattern matched). The aggregate folds inside the
