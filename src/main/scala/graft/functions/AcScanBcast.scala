@@ -347,10 +347,16 @@ object AcScanBcast {
     cached(s"spans:${bc.id}:${fingerprint(bc.value.iterator)}",
       buildSpans(bc.value))
 
-  /** The replace automaton for `bc`, built once per executor JVM. */
+  /** The replace automaton for `bc`, built once per executor JVM.
+    * Fingerprints the FLATTENED strings so the per-string 0x1F
+    * separator applies between pattern and replacement too (advice
+    * r14: joining each inner array erased that boundary for inputs
+    * containing the join character, so distinct replace dictionaries
+    * could share a fingerprint -- exactly the stale-automaton case
+    * this guard exists to prevent). */
   def cachedReplace(bc: Broadcast[Array[Array[String]]]): AcReplaceAutomaton =
     cached(s"replace:${bc.id}:${fingerprint(
-        bc.value.iterator.map(_.mkString("")))}",
+        bc.value.iterator.flatMap(_.iterator))}",
       buildReplace(bc.value))
 
   /** Build the spans automaton: the scan automaton plus codepoint

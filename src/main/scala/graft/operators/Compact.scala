@@ -230,7 +230,12 @@ object Compact {
         val dp = new Path(d)
         val sfs = sp.getFileSystem(ser.value)
         val dfs = dp.getFileSystem(ser.value)
-        require(FileUtil.copy(sfs, sp, dfs, dp, false, ser.value),
+        // overwrite=true: destination names are deterministic and
+        // prepareOut guarantees an empty output dir, so the only way a
+        // destination pre-exists is a partial file from THIS task's
+        // failed attempt — a retry must replace it, not fail forever
+        // on one transient executor loss (advice r14)
+        require(FileUtil.copy(sfs, sp, dfs, dp, false, true, ser.value),
           s"copy failed: $s -> $d")
     }
   }
@@ -288,7 +293,12 @@ object Compact {
     val conf = spark.sessionState.newHadoopConf()
     val in = new Path(inPath)
     val fs = in.getFileSystem(conf)
-    val files = listDataFiles(fs, in)
+    // resolve a manifest-managed INPUT through its manifest (advice
+    // r14): on a managed directory name order no longer equals key
+    // order (packed/append names interleave with original part names)
+    // and crash-residue orphans must not be read as live rows —
+    // resolveLive returns manifest order and fails fast on orphans
+    val (_, files) = resolveLive(fs, in, "recoverSwap")
 
     val out = new Path(outPath)
     val tmp = new Path(outPath + ".graft-compact-tmp")
@@ -301,7 +311,8 @@ object Compact {
     val bins = ordered.collect { case RewriteBin(fsv) => fsv }
     val tmpParts =
       if (bins.isEmpty) Vector.empty[Option[Path]]
-      else rewriteBins(spark, spark.read.parquet(inPath).schema, bins,
+      else rewriteBins(spark,
+        spark.read.parquet(bins.head.head.getPath.toString).schema, bins,
         sortCols, tmp, fs)
 
     // lay the outputs down in global order: zero-padded index names
@@ -372,9 +383,12 @@ object Compact {
     if (leaves.isEmpty) return CompactReport(0L, 0L, 0L, 0L, 0L, 0L)
 
     val rel = relOf(in) _
-    // per-leaf contiguous packing; rewrite bins pool across leaves
+    // per-leaf contiguous packing; rewrite bins pool across leaves.
+    // Leaves resolve through their manifests when managed (advice
+    // r14): manifest order carries the key order, and orphans from a
+    // crashed in-place run fail fast instead of duplicating rows
     val perLeaf = leaves.map { leaf =>
-      val fls = listDataFiles(fs, leaf)
+      val (_, fls) = resolveLive(fs, leaf, "recoverSwapPartitioned")
       (leaf, fls, packUnits(fls, targetBytes, small))
     }
     val bins = perLeaf.flatMap(_._3).collect { case RewriteBin(v) => v }
@@ -432,6 +446,30 @@ object Compact {
   private val ManifestPrefix = "_GRAFT_MANIFEST-g"
   private val ScratchName = ".graft-compact-tmp"
 
+  /** One parsed manifest generation (round 15 — format v2):
+    *
+    *  - `live`: the live data file names in KEY ORDER (the only set
+    *    [[read]] serves);
+    *  - `txns`: per-writer idempotence tokens — appId -> the highest
+    *    batch id that writer has COMMITTED (the Delta txnAppId/
+    *    txnVersion pattern: [[appendManaged]] no-ops a replayed batch
+    *    id, so `foreachBatch`'s at-least-once retries cannot
+    *    duplicate rows);
+    *  - `dead`: tombstones `(supersededAtMillis, name)` for files an
+    *    earlier generation served that this one no longer does — the
+    *    files STAY ON DISK until [[vacuum]]'s retention horizon
+    *    passes, so a reader that resolved generation g−1 an instant
+    *    before the g commit finishes its scan (advice r14: immediate
+    *    deletion was the protocol's one reader-safety hole).
+    *
+    * Every commit carries `txns` and `dead` forward, so the LATEST
+    * manifest alone describes every on-disk file: live, tombstoned,
+    * or crash residue (in neither set — [[recoverSwap]] sweeps it). */
+  final case class ManifestData(gen: Long, live: Vector[String],
+      txns: Map[String, Long], dead: Vector[(Long, String)]) {
+    def deadNames: Set[String] = dead.iterator.map(_._2).toSet
+  }
+
   private def manifestGen(name: String): Option[Long] =
     if (name.startsWith(ManifestPrefix)) {
       val d = name.stripPrefix(ManifestPrefix)
@@ -448,11 +486,48 @@ object Compact {
       path: String): Option[(Long, Vector[String])] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    latestManifest0(fs, p).map(m => (m.gen, m.live))
+  }
+
+  /** The full parsed latest manifest — live set, writer txn tokens,
+    * dead-file tombstones. */
+  def tableState(spark: SparkSession, path: String): Option[ManifestData] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     latestManifest0(fs, p)
   }
 
+  /** Parse one manifest's lines. `#txn:` / `#dead:` directives came
+    * in with format v2; plain lines are live names (v1 manifests are
+    * all-plain, so they parse as live-only — forward compatible). */
+  private def parseManifest(gen: Long, lines: Vector[String]): ManifestData = {
+    val live = Vector.newBuilder[String]
+    val txns = Map.newBuilder[String, Long]
+    val dead = Vector.newBuilder[(Long, String)]
+    lines.foreach { ln =>
+      if (ln.startsWith("#txn:")) {
+        val rest = ln.stripPrefix("#txn:")
+        val i = rest.lastIndexOf(':')
+        require(i > 0 && rest.drop(i + 1).forall(_.isDigit),
+          s"unparseable manifest txn line: $ln")
+        txns += rest.take(i) -> rest.drop(i + 1).toLong
+      } else if (ln.startsWith("#dead:")) {
+        val rest = ln.stripPrefix("#dead:")
+        val i = rest.indexOf(':')
+        require(i > 0 && rest.take(i).forall(_.isDigit),
+          s"unparseable manifest tombstone line: $ln")
+        dead += ((rest.take(i).toLong, rest.drop(i + 1)))
+      } else {
+        require(!ln.startsWith("#"),
+          s"unknown manifest directive (newer writer?): $ln")
+        live += ln
+      }
+    }
+    ManifestData(gen, live.result(), txns.result(), dead.result())
+  }
+
   private def latestManifest0(fs: FileSystem,
-      dir: Path): Option[(Long, Vector[String])] = {
+      dir: Path): Option[ManifestData] = {
     val ms = manifestFiles(fs, dir)
     if (ms.isEmpty) None
     else {
@@ -460,29 +535,33 @@ object Compact {
       val in = fs.open(p)
       try {
         val src = scala.io.Source.fromInputStream(in, "UTF-8")
-        Some((g, src.getLines().filter(_.nonEmpty).toVector))
+        Some(parseManifest(g, src.getLines().filter(_.nonEmpty).toVector))
       } finally in.close()
     }
   }
 
   /** Resolve a (possibly manifest-managed) directory's LIVE file set
     * in key order, failing fast on crash residue the caller's named
-    * recovery entry point should sweep first. Shared by every
+    * recovery entry point should sweep first (tombstoned dead files
+    * awaiting [[vacuum]] are expected, not residue). Shared by every
     * in-place arm. */
   private def resolveLive(fs: FileSystem, dir: Path, recoverHint: String)
-      : (Option[(Long, Vector[String])], Vector[FileStatus]) = {
+      : (Option[ManifestData], Vector[FileStatus]) = {
     val mf = latestManifest0(fs, dir)
     val listed = listDataFiles(fs, dir)
     val live: Vector[FileStatus] = mf match {
-      case Some((g, names)) =>
+      case Some(m) =>
         val byName = listed.map(s => s.getPath.getName -> s).toMap
-        val orphans = listed.map(_.getPath.getName).toSet -- names.toSet
+        val orphans = listed.map(_.getPath.getName).toSet --
+          m.live.toSet -- m.deadNames
         require(orphans.isEmpty,
-          s"data files under $dir not in manifest generation $g " +
+          s"data files under $dir not in manifest generation ${m.gen} " +
             s"(crashed compaction?) — run $recoverHint first: " +
             orphans.take(5).mkString(", "))
-        names.map(n => byName.getOrElse(n, throw new IllegalStateException(
-          s"manifest generation $g under $dir lists a missing file: $n")))
+        m.live.map(n => byName.getOrElse(n,
+          throw new IllegalStateException(
+            s"manifest generation ${m.gen} under $dir lists a missing " +
+              s"file: $n")))
       case None => listed
     }
     (mf, live)
@@ -493,14 +572,25 @@ object Compact {
     * single-file commit every table format uses, safe on object
     * stores where directory renames are not atomic (VERDICT r13 #4:
     * readers resolve live files through the manifest, so the commit
-    * is the only visible state change). */
+    * is the only visible state change). Txn tokens and tombstones
+    * serialize as `#`-prefixed directive lines ahead of the live
+    * names (format v2 — a data file name can never start with `#`). */
   private def writeManifest(fs: FileSystem, dir: Path, gen: Long,
-      names: Seq[String]): scala.Unit = {
+      names: Seq[String], txns: Map[String, Long] = Map.empty,
+      dead: Seq[(Long, String)] = Nil): scala.Unit = {
+    (names.iterator ++ dead.iterator.map(_._2)).foreach(n =>
+      require(!n.startsWith("#") && !n.contains("\n"),
+        s"unserializable manifest file name: $n"))
+    txns.keysIterator.foreach(a =>
+      require(!a.contains("\n"), s"unserializable txn app id: $a"))
     val fin = new Path(dir, f"$ManifestPrefix$gen%09d")
     require(!fs.exists(fin), s"manifest generation $gen already exists")
     val tmp = new Path(dir, f".$ManifestPrefix$gen%09d.tmp")
+    val lines =
+      txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn:$a:$b" } ++
+        dead.map { case (ts, n) => s"#dead:$ts:$n" } ++ names
     val outS = fs.create(tmp, true)
-    try outS.write(names.mkString("\n").getBytes("UTF-8"))
+    try outS.write(lines.mkString("\n").getBytes("UTF-8"))
     finally outS.close()
     require(fs.rename(tmp, fin), s"manifest commit failed: $tmp -> $fin")
   }
@@ -515,8 +605,8 @@ object Compact {
     val p = new Path(outPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     latestManifest0(fs, p) match {
-      case Some((_, names)) =>
-        spark.read.parquet(names.map(n => new Path(p, n).toString): _*)
+      case Some(m) =>
+        spark.read.parquet(m.live.map(n => new Path(p, n).toString): _*)
       case None => spark.read.parquet(outPath)
     }
   }
@@ -538,10 +628,14 @@ object Compact {
     *  3. move the packed files in under generation-unique names
     *     (manifest readers still serve the OLD set — isolation);
     *  4. COMMIT: write the new manifest generation — one atomic file
-    *     create (object-store safe; no directory rename anywhere);
-    *  5. clean up: delete the rewritten inputs and superseded
-    *     manifests (a crash here leaves garbage the manifest already
-    *     ignores; recoverSwap or the next run's recovery sweeps it).
+    *     create (object-store safe; no directory rename anywhere).
+    *     The rewritten inputs become TOMBSTONES in the new manifest
+    *     (`#dead:` lines stamped `nowMillis`) and STAY ON DISK: a
+    *     reader that resolved the previous generation an instant
+    *     earlier finishes its scan untouched (advice r14 — immediate
+    *     deletion was the protocol's one reader-safety hole);
+    *     superseded manifests are likewise retained. [[vacuum]]
+    *     reclaims both once the retention horizon passes.
     *
     * The manifest lists live files in KEY ORDER (untouched originals
     * keep their names, so name order alone no longer carries it);
@@ -551,7 +645,8 @@ object Compact {
       path: String,
       targetBytes: Long,
       smallBytes: Long = 0L,
-      sortCols: Seq[String] = Nil): CompactReport = {
+      sortCols: Seq[String] = Nil,
+      nowMillis: Long = System.currentTimeMillis()): CompactReport = {
     require(targetBytes > 0L, s"targetBytes must be > 0, got $targetBytes")
     val small = if (smallBytes > 0L) smallBytes else targetBytes
     val conf = spark.sessionState.newHadoopConf()
@@ -574,7 +669,7 @@ object Compact {
       return CompactReport(live.length.toLong, live.length.toLong,
         bytesBefore, 0L, 0L, 0L, nFilesUntouched = untouched)
 
-    val gen = mf.map(_._1).getOrElse(0L) + 1L
+    val gen = mf.map(_.gen).getOrElse(0L) + 1L
     if (mf.isEmpty) // step 1: manage the directory before anything lands
       writeManifest(fs, dir, 0L, live.map(_.getPath.getName))
 
@@ -603,13 +698,13 @@ object Compact {
     fs.delete(scratch, true)
     val newLive = liveOut.result()
 
-    // step 4: THE commit
-    writeManifest(fs, dir, gen, newLive)
-
-    // step 5: garbage — dead inputs, superseded manifests
-    bins.foreach(_.foreach(f => fs.delete(f.getPath, false)))
-    manifestFiles(fs, dir).filter(_._1 < gen)
-      .foreach { case (_, p) => fs.delete(p, false) }
+    // step 4: THE commit — rewritten inputs become tombstones (files
+    // stay on disk for in-flight readers until vacuum), txn tokens
+    // and earlier tombstones carry forward
+    writeManifest(fs, dir, gen, newLive,
+      txns = mf.map(_.txns).getOrElse(Map.empty),
+      dead = mf.map(_.dead).getOrElse(Vector.empty) ++
+        bins.flatMap(_.map(f => (nowMillis, f.getPath.getName))))
 
     CompactReport(
       nFilesBefore = live.length.toLong,
@@ -632,9 +727,18 @@ object Compact {
     * [[binPackInPlace]] only merges CONTIGUOUS manifest runs, later
     * compactions respect that order. An unmanaged or missing
     * directory is first committed as-is (identity manifest), so the
-    * manifest governs before any new file lands. */
+    * manifest governs before any new file lands.
+    *
+    * `txn = Some((appId, batchId))` makes the append IDEMPOTENT per
+    * writer (round 15 — the Delta txnAppId/txnVersion pattern,
+    * advice r14): the committed manifest records the highest batch id
+    * each appId has landed, and an append whose batch id is at or
+    * below it NO-OPS — so `foreachBatch`'s at-least-once replay after
+    * a crash between the sink's commit and the stream's checkpoint
+    * cannot duplicate rows. Batch ids must be nondecreasing per appId
+    * (Structured Streaming's contract). */
   def appendManaged(spark: SparkSession, path: String,
-      df: DataFrame): CompactReport = {
+      df: DataFrame, txn: Option[(String, Long)] = None): CompactReport = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -646,7 +750,14 @@ object Compact {
         s.getPath.getName.startsWith("." + ManifestPrefix)),
       s"uncommitted manifest temp at $path — run recoverSwap first")
     val (mf, live) = resolveLive(fs, dir, "recoverSwap")
-    val gen = mf.map(_._1).getOrElse(0L) + 1L
+    val replayed = txn.exists { case (appId, batchId) =>
+      mf.exists(_.txns.get(appId).exists(_ >= batchId))
+    }
+    if (replayed) // already committed: the idempotent no-op
+      return CompactReport(live.length.toLong, live.length.toLong,
+        live.map(_.getLen).sum, 0L, 0L, 0L,
+        nFilesUntouched = live.length.toLong)
+    val gen = mf.map(_.gen).getOrElse(0L) + 1L
     if (mf.isEmpty)
       writeManifest(fs, dir, 0L, live.map(_.getPath.getName))
 
@@ -674,10 +785,11 @@ object Compact {
     fs.delete(scratch, true)
     val newNames = appended.result()
 
-    // THE commit, then superseded manifests
-    writeManifest(fs, dir, gen, live.map(_.getPath.getName) ++ newNames)
-    manifestFiles(fs, dir).filter(_._1 < gen)
-      .foreach { case (_, p) => fs.delete(p, false) }
+    // THE commit: old live ++ new, the writer's txn token recorded,
+    // tombstones carried (superseded manifests stay for vacuum)
+    writeManifest(fs, dir, gen, live.map(_.getPath.getName) ++ newNames,
+      txns = mf.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
+      dead = mf.map(_.dead).getOrElse(Vector.empty))
 
     CompactReport(
       nFilesBefore = live.length.toLong,
@@ -706,7 +818,8 @@ object Compact {
       path: String,
       dims: Seq[String],
       targetBytes: Long,
-      bits: Int = 12): CompactReport = {
+      bits: Int = 12,
+      nowMillis: Long = System.currentTimeMillis()): CompactReport = {
     require(targetBytes > 0L, s"targetBytes must be > 0, got $targetBytes")
     require(dims.nonEmpty, "optimizeZorder needs at least one dimension")
     val conf = spark.sessionState.newHadoopConf()
@@ -726,7 +839,7 @@ object Compact {
     val nOut = math.max(1L,
       (bytesBefore + targetBytes - 1L) / targetBytes).toInt
 
-    val gen = mf.map(_._1).getOrElse(0L) + 1L
+    val gen = mf.map(_.gen).getOrElse(0L) + 1L
     if (mf.isEmpty) // manage the directory before anything lands
       writeManifest(fs, dir, 0L, live.map(_.getPath.getName))
 
@@ -762,11 +875,13 @@ object Compact {
     fs.delete(scratch, true)
     val newLive = liveOut.result()
 
-    // THE commit, then garbage
-    writeManifest(fs, dir, gen, newLive)
-    live.foreach(f => fs.delete(f.getPath, false))
-    manifestFiles(fs, dir).filter(_._1 < gen)
-      .foreach { case (_, p) => fs.delete(p, false) }
+    // THE commit — every old live file becomes a tombstone (a
+    // re-cluster rewrites the whole set), files retained for
+    // in-flight readers until vacuum; txn tokens carry forward
+    writeManifest(fs, dir, gen, newLive,
+      txns = mf.map(_.txns).getOrElse(Map.empty),
+      dead = mf.map(_.dead).getOrElse(Vector.empty) ++
+        live.map(f => (nowMillis, f.getPath.getName)))
 
     CompactReport(
       nFilesBefore = live.length.toLong,
@@ -796,7 +911,8 @@ object Compact {
       path: String,
       targetBytes: Long,
       smallBytes: Long = 0L,
-      sortCols: Seq[String] = Nil): CompactReport = {
+      sortCols: Seq[String] = Nil,
+      nowMillis: Long = System.currentTimeMillis()): CompactReport = {
     require(targetBytes > 0L, s"targetBytes must be > 0, got $targetBytes")
     val small = if (smallBytes > 0L) smallBytes else targetBytes
     val conf = spark.sessionState.newHadoopConf()
@@ -809,7 +925,7 @@ object Compact {
         "recoverSwapPartitioned first")
 
     final case class LeafPlan(leaf: Path,
-        mf: Option[(Long, Vector[String])],
+        mf: Option[ManifestData],
         live: Vector[FileStatus], units: Vector[Unit0])
     val plans = leafDirs(fs, root).map { leaf =>
       require(!fs.exists(new Path(leaf, ScratchName)) &&
@@ -838,7 +954,7 @@ object Compact {
       val hasBins = pl.units.exists(_.isInstanceOf[RewriteBin])
       if (!hasBins) after += pl.live.length.toLong
       else {
-        val gen = pl.mf.map(_._1).getOrElse(0L) + 1L
+        val gen = pl.mf.map(_.gen).getOrElse(0L) + 1L
         if (pl.mf.isEmpty)
           writeManifest(fs, pl.leaf, 0L, pl.live.map(_.getPath.getName))
         val liveOut = Vector.newBuilder[String]
@@ -857,13 +973,13 @@ object Compact {
             binIdx += 1
         }
         val newLive = liveOut.result()
-        writeManifest(fs, pl.leaf, gen, newLive)
-        pl.units.foreach {
-          case RewriteBin(v) => v.foreach(f => fs.delete(f.getPath, false))
-          case _ => ()
-        }
-        manifestFiles(fs, pl.leaf).filter(_._1 < gen)
-          .foreach { case (_, p) => fs.delete(p, false) }
+        // per-leaf commit: rewritten inputs become tombstones, kept
+        // on disk for in-flight readers until vacuumPartitioned
+        writeManifest(fs, pl.leaf, gen, newLive,
+          txns = pl.mf.map(_.txns).getOrElse(Map.empty),
+          dead = pl.mf.map(_.dead).getOrElse(Vector.empty) ++
+            pl.units.collect { case RewriteBin(v) =>
+              v.map(f => (nowMillis, f.getPath.getName)) }.flatten)
         after += newLive.length.toLong
       }
     }
@@ -893,8 +1009,7 @@ object Compact {
     else {
       val files = leaves.flatMap { leaf =>
         latestManifest0(fs, leaf) match {
-          case Some((_, names)) =>
-            names.map(n => new Path(leaf, n).toString)
+          case Some(m) => m.live.map(n => new Path(leaf, n).toString)
           case None => listDataFiles(fs, leaf).map(_.getPath.toString)
         }
       }
@@ -952,26 +1067,102 @@ object Compact {
       acted += s"deleted manifest temp ${s.getPath.getName}"
     }
     latestManifest0(fs, dir) match {
-      case Some((g, names)) =>
-        val liveSet = names.toSet
+      case Some(m) =>
+        // crash residue = files in NEITHER the live set NOR the
+        // tombstone set (tombstoned files are retained garbage that
+        // vacuum — not recovery — reclaims; superseded manifests are
+        // likewise vacuum's, so a reader holding one stays safe)
+        val referenced = m.live.toSet ++ m.deadNames
         val orphans = listDataFiles(fs, dir)
-          .filterNot(s => liveSet(s.getPath.getName))
+          .filterNot(s => referenced(s.getPath.getName))
         orphans.foreach(s => fs.delete(s.getPath, false))
         if (orphans.nonEmpty)
-          acted += s"deleted ${orphans.length} files outside manifest gen $g"
-        val old = manifestFiles(fs, dir).filter(_._1 < g)
-        old.foreach { case (_, p) => fs.delete(p, false) }
-        if (old.nonEmpty)
-          acted += s"deleted ${old.length} superseded manifests"
+          acted +=
+            s"deleted ${orphans.length} files outside manifest gen ${m.gen}"
         // the live set itself must be intact
         val present = listDataFiles(fs, dir).map(_.getPath.getName).toSet
-        val missing = names.filterNot(present)
+        val missing = m.live.filterNot(present)
         require(missing.isEmpty,
-          s"manifest gen $g lists missing files: ${missing.take(5)}")
+          s"manifest gen ${m.gen} lists missing files: ${missing.take(5)}")
       case None => ()
     }
     if (acted.isEmpty) "clean — no compaction in flight"
     else acted.mkString("; ")
+  }
+
+  /** What one [[vacuum]] pass reclaimed and what stayed inside the
+    * retention window. */
+  final case class VacuumReport(
+      nDataFilesDeleted: Long,
+      nManifestsDeleted: Long,
+      nTombstonesRetained: Long) {
+    def +(o: VacuumReport): VacuumReport = VacuumReport(
+      nDataFilesDeleted + o.nDataFilesDeleted,
+      nManifestsDeleted + o.nManifestsDeleted,
+      nTombstonesRetained + o.nTombstonesRetained)
+  }
+
+  /** Reclaim retained garbage past a RETENTION HORIZON (round 15 —
+    * the Delta/Iceberg VACUUM verb, VERDICT r14 #2). Commits delete
+    * NOTHING: superseded inputs become `#dead:` tombstones and
+    * superseded manifests stay on disk, so a reader that resolved
+    * generation g−1 an instant before the g commit finishes its scan.
+    * This verb is the other half of that bargain: tombstoned files
+    * stamped before `nowMillis - olderThanMillis` delete, as do
+    * superseded manifest files whose modification time is past the
+    * same horizon; everything younger stays. The CALLER supplies the
+    * clock — the protocol never reads wall time on its own, so tests
+    * and replays drive the horizon deterministically.
+    *
+    * Crash-safe ordering: a new generation WITHOUT the expired
+    * tombstones commits FIRST (one atomic manifest write — live set
+    * and txn tokens unchanged), and only then do the files delete; a
+    * crash in between leaves unreferenced files [[recoverSwap]] or
+    * the next vacuum sweeps. Vacuuming past a horizon shorter than
+    * your longest-running scan is the same contract violation it is
+    * in Delta — pick `olderThanMillis` above it. */
+  def vacuum(spark: SparkSession, path: String, olderThanMillis: Long,
+      nowMillis: Long): VacuumReport = {
+    require(olderThanMillis >= 0L,
+      s"retention must be >= 0, got $olderThanMillis")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return VacuumReport(0L, 0L, 0L)
+    val cutoff = nowMillis - olderThanMillis
+    latestManifest0(fs, dir) match {
+      case None => VacuumReport(0L, 0L, 0L)
+      case Some(m) =>
+        val (expired, kept) = m.dead.partition(_._1 < cutoff)
+        if (expired.nonEmpty) // drop the tombstones BEFORE the deletes
+          writeManifest(fs, dir, m.gen + 1L, m.live, m.txns, kept)
+        expired.foreach { case (_, n) =>
+          fs.delete(new Path(dir, n), false): scala.Unit
+        }
+        val latestGen = if (expired.nonEmpty) m.gen + 1L else m.gen
+        val oldManifests = fs.listStatus(dir).toVector.filter(_.isFile)
+          .flatMap(s => manifestGen(s.getPath.getName).map((_, s)))
+          .filter { case (g, s) =>
+            g < latestGen && s.getModificationTime < cutoff
+          }
+        oldManifests.foreach { case (_, s) =>
+          fs.delete(s.getPath, false): scala.Unit
+        }
+        VacuumReport(expired.length.toLong, oldManifests.length.toLong,
+          kept.length.toLong)
+    }
+  }
+
+  /** [[vacuum]] over every leaf of a hive-partitioned managed layout
+    * (unmanaged leaves have no retained garbage and are skipped). */
+  def vacuumPartitioned(spark: SparkSession, path: String,
+      olderThanMillis: Long, nowMillis: Long): VacuumReport = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return VacuumReport(0L, 0L, 0L)
+    leafDirs(fs, root).map(l =>
+        vacuum(spark, l.toString, olderThanMillis, nowMillis))
+      .foldLeft(VacuumReport(0L, 0L, 0L))(_ + _)
   }
 
   // ---------------------------------------------------------------
@@ -996,9 +1187,9 @@ object Compact {
     val fs = dir.getFileSystem(conf)
     val listed = listDataFiles(fs, dir)
     val live: Vector[FileStatus] = latestManifest0(fs, dir) match {
-      case Some((_, names)) =>
+      case Some(m) =>
         val byName = listed.map(s => s.getPath.getName -> s).toMap
-        names.flatMap(byName.get)
+        m.live.flatMap(byName.get)
       case None => listed
     }
     // the projected packing, file -> unit index (metadata-only)
@@ -1066,9 +1257,9 @@ object Compact {
     leafDirs(fs, root).foreach { leaf =>
       val listed = listDataFiles(fs, leaf)
       val files: Vector[FileStatus] = latestManifest0(fs, leaf) match {
-        case Some((_, names)) => // manifest-managed leaf: manifest order
+        case Some(m) => // manifest-managed leaf: manifest order
           val byName = listed.map(s => s.getPath.getName -> s).toMap
-          names.flatMap(byName.get)
+          m.live.flatMap(byName.get)
         case None => listed
       }
       val binOf = scala.collection.mutable.HashMap.empty[String, Int]

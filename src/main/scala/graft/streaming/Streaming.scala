@@ -927,11 +927,25 @@ object Streaming {
     * ([[graft.operators.Compact.binPackInPlace]] — large files
     * untouched, one manifest commit), so the small-file tail stays
     * bounded while [[graft.operators.Compact.read]] is consistent at
-    * every instant. StreamingSpec drives the loop end to end. */
+    * every instant.
+    *
+    * EXACTLY-ONCE (round 15, advice r14): `foreachBatch` is
+    * at-least-once — after a crash between the sink's manifest commit
+    * and the stream's checkpoint commit, Structured Streaming REPLAYS
+    * the last batch id. The sink therefore passes `(txnAppId,
+    * batchId)` to `appendManaged`, which records the token in the
+    * manifest and NO-OPS any batch id at or below the committed one
+    * (the Delta txnAppId/txnVersion pattern), so the replay appends
+    * nothing. `txnAppId` must be stable across restarts and unique
+    * per writer — keep the default for the one-stream-per-directory
+    * deployment; give each stream its own id if several append to one
+    * path. StreamingSpec drives the loop end to end, replay included. */
   def managedParquetSink(path: String, targetBytes: Long,
-      compactEvery: Long): (DataFrame, Long) => Unit = { (batch, id) =>
+      compactEvery: Long,
+      txnAppId: String = "graft-managed-sink"): (DataFrame, Long) => Unit =
+  { (batch, id) =>
     graft.operators.Compact.appendManaged(batch.sparkSession, path,
-      batch): Unit
+      batch, txn = Some((txnAppId, id))): Unit
     if (compactEvery > 0L && (id + 1L) % compactEvery == 0L)
       graft.operators.Compact.binPackInPlace(batch.sparkSession, path,
         targetBytes): Unit

@@ -191,13 +191,44 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
     // lossless through the manifest reader
     assert(Compact.read(spark, s"$base/t").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
-    // managed now: exactly one manifest, no scratch, dead inputs gone
+    // managed now: the identity g0 AND the committed g1 are retained
+    // (round 15 — a reader that resolved g0 an instant before the
+    // commit must finish its scan), no scratch left behind
     val manifests = dirF.listFiles()
       .filter(_.getName.startsWith("_GRAFT_MANIFEST-g")).map(_.getName)
-    assert(manifests.toSeq === Seq("_GRAFT_MANIFEST-g000000001"))
+    assert(manifests.sorted.toSeq === Seq("_GRAFT_MANIFEST-g000000000",
+      "_GRAFT_MANIFEST-g000000001"))
     assert(!new java.io.File(dirF, ".graft-compact-tmp").exists)
+    // RETENTION: the rewritten inputs are tombstoned, NOT deleted —
+    // every pre-compaction file is still on disk for in-flight
+    // readers, so the directory holds old live + new packed files
+    assert(dataFiles().length.toLong ===
+      15L + rep.nFilesAfter - rep.nFilesUntouched)
+    val st1 = Compact.tableState(spark, s"$base/t").get
+    assert(st1.live.length.toLong === rep.nFilesAfter)
+    assert(st1.dead.length.toLong === 15L - rep.nFilesUntouched)
+    assert(Compact.recoverSwap(spark, s"$base/t").startsWith("clean"),
+      "tombstoned files are vacuum's, not recovery's")
+
+    // VACUUM past the horizon: commits a generation without the
+    // expired tombstones FIRST, then deletes the dead files and the
+    // superseded manifests — the directory is now exactly the live set
+    val farFuture = System.currentTimeMillis() + (1L << 40)
+    val vac = Compact.vacuum(spark, s"$base/t",
+      olderThanMillis = 0L, nowMillis = farFuture)
+    assert(vac.nDataFilesDeleted === 15L - rep.nFilesUntouched &&
+      vac.nManifestsDeleted === 2L && vac.nTombstonesRetained === 0L)
     assert(dataFiles().length.toLong === rep.nFilesAfter)
-    assert(Compact.recoverSwap(spark, s"$base/t").startsWith("clean"))
+    assert(dirF.listFiles().filter(_.getName.startsWith("_GRAFT_MANIFEST"))
+      .map(_.getName).toSeq === Seq("_GRAFT_MANIFEST-g000000002"))
+    // idempotent: nothing left past the horizon
+    val vac2 = Compact.vacuum(spark, s"$base/t", 0L, farFuture)
+    assert(vac2 === Compact.VacuumReport(0L, 0L, 0L))
+    // a horizon in the future deletes nothing (retention honored)
+    assert(Compact.vacuum(spark, s"$base/t", Long.MaxValue / 2,
+      farFuture) === Compact.VacuumReport(0L, 0L, 0L))
+    assert(Compact.read(spark, s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
 
     // a later pass with nothing to pack commits no new generation
     val rep2 = Compact.binPackInPlace(spark, s"$base/t",
@@ -242,8 +273,10 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
     assert(Compact.recoverSwap(spark, s"$base/t").contains("manifest temp"))
     assert(!mtmp.exists)
 
-    // torn state 4: crash during step-5 cleanup — a superseded
-    // manifest and a dead input survive; latest generation wins
+    // torn state 4: a superseded manifest and an unreferenced file
+    // survive a crash; latest generation wins. Recovery sweeps ONLY
+    // the crash residue (in no manifest); the superseded manifest is
+    // retention-window state that VACUUM — not recovery — reclaims
     val liveNames = dataFiles().map(_.getName)
     java.nio.file.Files.write(
       new java.io.File(dirF, "_GRAFT_MANIFEST-g000000000").toPath,
@@ -251,11 +284,61 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
     val dead = new java.io.File(dirF, "part-old-dead.parquet")
     java.nio.file.Files.copy(donor.toPath, dead.toPath)
     val msg = Compact.recoverSwap(spark, s"$base/t")
-    assert(msg.contains("superseded") && msg.contains("outside manifest"))
+    assert(msg.contains("outside manifest") && !msg.contains("superseded"))
     assert(!dead.exists)
-    assert(dirF.listFiles().count(_.getName.startsWith("_GRAFT_MANIFEST")) === 1)
+    assert(dirF.listFiles().count(_.getName.startsWith("_GRAFT_MANIFEST")) === 2,
+      "recovery must keep the superseded manifest for in-window readers")
     assert(Compact.read(spark, s"$base/t").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
+    val vac3 = Compact.vacuum(spark, s"$base/t", 0L, farFuture)
+    assert(vac3.nManifestsDeleted === 1L && vac3.nDataFilesDeleted === 0L)
+    assert(dirF.listFiles().count(_.getName.startsWith("_GRAFT_MANIFEST")) === 1)
+  }
+
+  test("retention: a reader holding generation g-1 completes its scan " +
+      "after a g commit; vacuum honors the horizon") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-mret").toString
+    (0 until 20000).map(i => (i.toLong, (i * 13 % 512).toLong)).toDF("a", "b")
+      .repartition(8).write.mode("overwrite").parquet(s"$base/t")
+    val expect = spark.read.parquet(s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // g1: manage + compact; the READER resolves g1's file list now
+    assert(Compact.binPackInPlace(spark, s"$base/t",
+      targetBytes = 1L << 26).nBinsRewritten >= 1L)
+    val readerAtG1 = Compact.read(spark, s"$base/t")
+
+    // g2: a full re-cluster supersedes EVERY g1 file while the g1
+    // reader is still in flight — with tombstone retention its whole
+    // file set stays on disk, so the stale scan completes exactly
+    val rep = Compact.optimizeZorder(spark, s"$base/t", Seq("a", "b"),
+      targetBytes = 1L << 26, bits = 8)
+    assert(rep.bytesRewritten === rep.bytesBefore)
+    assert(readerAtG1.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === expect,
+      "the g-1 reader must finish its scan after the g commit")
+    assert(Compact.read(spark, s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === expect)
+
+    // the horizon is honored: a vacuum NOW (retention > age) keeps
+    // everything; only past the horizon does the garbage go
+    val st = Compact.tableState(spark, s"$base/t").get
+    assert(st.dead.nonEmpty)
+    assert(Compact.vacuum(spark, s"$base/t", Long.MaxValue / 2,
+      System.currentTimeMillis()) ===
+      Compact.VacuumReport(0L, 0L, st.dead.length.toLong))
+    val farFuture = System.currentTimeMillis() + (1L << 40)
+    val vac = Compact.vacuum(spark, s"$base/t", 0L, farFuture)
+    assert(vac.nDataFilesDeleted === st.dead.length.toLong)
+    val left = new java.io.File(s"$base/t").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(left.length.toLong === rep.nFilesAfter,
+      "after vacuum the directory holds exactly the live set")
+    assert(Compact.read(spark, s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === expect)
   }
 
   test("binPack copy arm runs as ONE Spark job — a task per file, never the driver") {
@@ -468,12 +551,13 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       targetBytes = total / 8 + 1, bits = 10)
     assert(rep.nFilesBefore === 24L && rep.nFilesAfter >= 6L &&
       rep.bytesRewritten === rep.bytesBefore && rep.nFilesCopied === 0L)
-    // lossless through the manifest reader, one committed generation
+    // lossless through the manifest reader; the identity g0 and the
+    // committed g1 are both retained for in-window readers (round 15)
     assert(Compact.read(spark, s"$base/t").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
     val dirF = new java.io.File(s"$base/t")
     assert(dirF.listFiles().count(
-      _.getName.startsWith("_GRAFT_MANIFEST-g")) === 1)
+      _.getName.startsWith("_GRAFT_MANIFEST-g")) === 2)
     // the box query now prunes: z-clustered files cover compact
     // ranges, so most files miss the box entirely
     val (tAfter, nAfter) = touched(Compact.read(spark, s"$base/t"))
@@ -495,7 +579,15 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       targetBytes = total, bits = 10)
     assert(rep2.nFilesAfter <= 2L)
     assert(dirF.listFiles().count(
-      _.getName.startsWith("_GRAFT_MANIFEST-g")) === 1)
+      _.getName.startsWith("_GRAFT_MANIFEST-g")) === 3)
+    assert(Compact.read(spark, s"$base/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
+    // vacuum reclaims both superseded generations' files and manifests
+    val vac = Compact.vacuum(spark, s"$base/t", 0L,
+      System.currentTimeMillis() + (1L << 40))
+    assert(vac.nManifestsDeleted === 3L && vac.nDataFilesDeleted >= 24L)
+    assert(dirF.listFiles().count(f =>
+      f.isFile && f.getName.startsWith("part-")).toLong === rep2.nFilesAfter)
     assert(Compact.read(spark, s"$base/t").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
   }
@@ -520,7 +612,23 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       targetBytes = 1L << 26)
     assert(rep.nFilesBefore === nBefore.toLong &&
       rep.nFilesAfter === 3L && rep.nFilesCopied === 0L)
-    // every leaf: exactly one packed file + one manifest generation
+    // every leaf: exactly one LIVE packed file; the rewritten inputs
+    // are tombstoned on disk and the identity g0 manifest is retained
+    // alongside the committed g1 (round 15 — reader safety window)
+    for (p <- 0 to 2) {
+      val leaf = new java.io.File(s"$base/t/p=$p")
+      val st = Compact.tableState(spark, s"$base/t/p=$p").get
+      assert(st.live.length === 1 && st.dead.nonEmpty)
+      assert(leaf.listFiles().count(f =>
+        f.isFile && f.getName.startsWith("part-")) === 1 + st.dead.length)
+      assert(leaf.listFiles().count(
+        _.getName.startsWith("_GRAFT_MANIFEST-g")) === 2)
+    }
+    // vacuumPartitioned reclaims every leaf's retained garbage
+    val vac = Compact.vacuumPartitioned(spark, s"$base/t", 0L,
+      System.currentTimeMillis() + (1L << 40))
+    assert(vac.nDataFilesDeleted === nBefore.toLong &&
+      vac.nManifestsDeleted === 6L)
     for (p <- 0 to 2) {
       val leaf = new java.io.File(s"$base/t/p=$p")
       assert(leaf.listFiles().count(f =>

@@ -245,14 +245,71 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .map(_.getLong(0)).sorted.toSeq
     assert(got === rows.map(_.doc_id).sorted.toSeq)
     // 6 batches appended, compactions fired after batches 3 and 6 —
-    // the small-file tail is bounded (one packed file), not 6+ parts
-    val live = new java.io.File(path).listFiles()
+    // the LIVE small-file tail is bounded (one packed file), not 6+
+    // parts; superseded inputs are tombstoned on disk until vacuum
+    val st = Compact.tableState(spark, path).get
+    assert(st.live.length === 1,
+      s"small-file tail not compacted: ${st.live}")
+    // the sink recorded its txn token: batch ids 0..5 committed
+    assert(st.txns === Map("graft-managed-sink" -> 5L))
+    assert(Compact.recoverSwap(spark, path).startsWith("clean"))
+    // vacuum past the horizon leaves exactly the live file on disk
+    Compact.vacuum(spark, path, 0L,
+      System.currentTimeMillis() + (1L << 40)): Unit
+    val onDisk = new java.io.File(path).listFiles()
       .filter(f => f.isFile && f.getName.startsWith("part-"))
-    assert(live.length === 1,
-      s"small-file tail not compacted: ${live.map(_.getName).toSeq}")
+    assert(onDisk.length === 1,
+      s"vacuum left garbage: ${onDisk.map(_.getName).toSeq}")
     assert(new java.io.File(path).listFiles()
       .count(_.getName.startsWith("_GRAFT_MANIFEST-g")) === 1)
-    assert(Compact.recoverSwap(spark, path).startsWith("clean"))
+  }
+
+  test("managedParquetSink is idempotent under foreachBatch replay — " +
+      "a retried batch id appends nothing") {
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-mtxn").toString
+    val path = s"$base/t"
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(40)
+    val b0 = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val b1 = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val sink = Streaming.managedParquetSink(path, targetBytes = 1L << 26,
+      compactEvery = 0L)
+    val n0 = b0.count(); val n1 = b1.count()
+
+    sink(b0, 0L)
+    assert(Compact.read(spark, path).count() === n0)
+    // the at-least-once crash window: Structured Streaming re-runs
+    // batch 0 after a failure between the sink's manifest commit and
+    // the stream's checkpoint commit — the txn token must no-op it
+    sink(b0, 0L)
+    assert(Compact.read(spark, path).count() === n0,
+      "replayed batch id duplicated rows")
+    sink(b1, 1L)
+    assert(Compact.read(spark, path).count() === n0 + n1)
+    // a replay arriving even later (checkpoint lost both commits)
+    // still no-ops: the manifest remembers the HIGHEST committed id
+    sink(b0, 0L)
+    sink(b1, 1L)
+    assert(Compact.read(spark, path).count() === n0 + n1)
+    val st = Compact.tableState(spark, path).get
+    assert(st.txns === Map("graft-managed-sink" -> 1L))
+    // distinct values never doubled
+    assert(Compact.read(spark, path).select("doc_id").distinct().count()
+      === n0 + n1)
+    // a second WRITER with its own app id is tracked independently
+    Compact.appendManaged(spark, path, b0.limit(1),
+      txn = Some(("other-writer", 0L))): Unit
+    assert(Compact.read(spark, path).count() === n0 + n1 + 1L)
+    assert(Compact.tableState(spark, path).get.txns ===
+      Map("graft-managed-sink" -> 1L, "other-writer" -> 0L))
+    // and compaction CARRIES the tokens forward (a post-compaction
+    // replay must still no-op)
+    Compact.binPackInPlace(spark, path, targetBytes = 1L << 26): Unit
+    sink(b1, 1L)
+    assert(Compact.read(spark, path).count() === n0 + n1 + 1L,
+      "compaction dropped the txn tokens — replay duplicated rows")
   }
 
   test("streamingScrubStack replays the batch scrub-stack card bitwise") {
