@@ -786,6 +786,35 @@ object DocQueries {
             col("text"))) % 1000003L).as("content_sig"))
         .orderBy("source")
     }),
+    "q_zorder_optimize_part" -> ((s, dir) => {
+      // PARTITIONED OPTIMIZE ZORDER (round 15, VERDICT r14 #3): the
+      // hive layout real tables use, every leaf re-clustered on its
+      // data dimensions through the per-leaf manifest protocol, all
+      // leaves pooling shared ranked-shuffle waves; the card through
+      // the manifest-aware partitioned reader pins value AND
+      // partition-column losslessness. LayoutProbeSpec pins the
+      // per-leaf pruning restoration and torn-state recovery.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-zorder-part")
+        .toString
+      documents(s, dir).select("doc_id", "text", "source", "n_chars")
+        .repartition(6)
+        .write.partitionBy("source").mode("overwrite")
+        .parquet(s"$root/t")
+      val rep = graft.operators.Compact.optimizeZorderPartitioned(s,
+        s"$root/t", Seq("n_chars", "doc_id"), targetBytes = 1L << 20,
+        bits = 8)
+      require(rep.nFilesCopied == 0L &&
+        rep.bytesRewritten == rep.bytesBefore,
+        s"partitioned zorder must rewrite exactly the live sets: $rep")
+      graft.operators.Compact.readPartitioned(s, s"$root/t")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextOps.hash56(concat_ws(":", lit("cmp"), col("doc_id"),
+            col("text"))) % 1000003L).as("content_sig"))
+        .orderBy("source")
+    }),
     "q_compact_part_inplace" -> ((s, dir) => {
       // IN-PLACE partitioned compaction (round 14): the same hive
       // layout compacted at its own path — every leaf runs the
@@ -4482,6 +4511,17 @@ object DocQueries {
     "q_zorder_optimize" ->
       // same value-losslessness card through the in-place ZORDER
       // rewrite and its manifest commit
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
+         |    % 1000003)::BIGINT AS content_sig
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_zorder_optimize_part" ->
+      // the same card through the PARTITIONED in-place ZORDER: every
+      // leaf re-clusters through its own manifest commit (pooled
+      // waves) and the partition column round-trips through the
+      // manifest-aware partitioned reader
       s"""SELECT source, count(*)::BIGINT AS n_docs,
          |  sum(n_chars)::BIGINT AS sum_chars,
          |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}

