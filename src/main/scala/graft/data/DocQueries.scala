@@ -1010,6 +1010,29 @@ object DocQueries {
       graft.vector.Ivf.tuneNProbe(
         graft.vector.Ivf.recallCard(truth, sweep), targetMicro = 900000L)
     }),
+    "q_ann_tune_rerank" -> ((s, dir) => {
+      // RERANK-DEPTH tuning (round 15, VERDICT r14 #4): the
+      // byte-budget path's OTHER knob — ivfAdcTopK shortlists
+      // rerank*k candidates by ADC before the exact-cosine rerank,
+      // and a larger multiplier is a candidate SUPERSET, so recall is
+      // monotone in it exactly as in nProbe (SimilaritySpec pins the
+      // sweep). The card grades the 1/2/4/8 multipliers at the
+      // deployed nProbe=4 against the same sampled exact truth; the
+      // tuner picks the cheapest multiplier meeting the target
+      // (best-effort max if the probe ceiling is below it) — the
+      // second deployment knob derived from measurement, not guessed.
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val cents = coarseCentroids(s, dir)
+      val books = pqResidBooks(s, dir)
+      val truth = Similarity.bruteForceTopK(e, q, k = 10)
+      val arms = Seq(1, 2, 4, 8).map(r => ("ivfadc", r.toLong,
+        graft.vector.Pq.ivfAdcTopK(e, q, cents, books, dim = 64, k = 10,
+          nProbe = 4, rerank = r)))
+      graft.vector.Ivf.tuneRerank(
+        graft.vector.Ivf.rerankRecallCard(truth, arms),
+        targetMicro = 750000L)
+    }),
     "q_ann_recall_filtered" -> ((s, dir) => {
       // the FILTERED arm of the recall card (round 14 — recallCard is
       // truth-generic, so the filtered read paths grade against THEIR
@@ -5138,6 +5161,56 @@ object DocQueries {
          |SELECT 900000::BIGINT AS target_micro, n_probe, n_hits,
          |  n_truth, recall_micro, target_met
          |FROM tpick WHERE rk = 1""".stripMargin
+    },
+    "q_ann_tune_rerank" -> {
+      // the rerank sweep off ONE shared IVFADC oracle chain: the ADC
+      // ranking (rk) and the exact-cosine scores (scored) are built
+      // once at the LARGEST shortlist (8*10); each multiplier arm is
+      // that chain cut at rank <= r*10 and re-ranked by cosine —
+      // exactly ivfAdcTopK(rerank = r) — then the pick replays the
+      // tuner's window (cheapest meeting 750000, best-effort max)
+      val armUnions = Seq(1, 2, 4, 8).map { r =>
+        s"""SELECT 'ivfadc' AS arm, $r::BIGINT AS rerank,
+           |  count(*)::BIGINT AS n_hits
+           |FROM (SELECT query_id, neighbor_id FROM (
+           |   SELECT s.query_id, s.neighbor_id,
+           |     row_number() OVER (PARTITION BY s.query_id
+           |       ORDER BY s.cos DESC, s.neighbor_id) AS rrk
+           |   FROM scored s JOIN rk USING (query_id, neighbor_id)
+           |   WHERE rk.rank <= ${r * 10}) WHERE rrk <= 10) t
+           |JOIN btt USING (query_id, neighbor_id)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""${ivfAdcOracleCtes("vec_id < 20", 80)},
+         |btq AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 20),
+         |btc AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         |  FROM embeddings),
+         |bts AS (SELECT query_id, neighbor_id,
+         |  list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cos
+         |  FROM btc CROSS JOIN btq WHERE query_id <> neighbor_id),
+         |btt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM bts) WHERE rank <= 10),
+         |btn AS (SELECT count(*)::BIGINT AS n_truth FROM btt),
+         |aarm AS ($armUnions),
+         |acard AS (SELECT arm, rerank, n_hits, n_truth,
+         |  CASE WHEN n_truth = 0 THEN 0
+         |       ELSE (2 * n_hits * 1000000 + n_truth) // (2 * n_truth)
+         |  END AS recall_micro
+         |  FROM aarm CROSS JOIN btn),
+         |apick AS (SELECT rerank, n_hits, n_truth, recall_micro,
+         |  recall_micro >= 750000 AS target_met,
+         |  row_number() OVER (ORDER BY (recall_micro >= 750000) DESC,
+         |    CASE WHEN recall_micro >= 750000 THEN rerank
+         |         ELSE -rerank END) AS prk
+         |  FROM acard)
+         |SELECT 750000::BIGINT AS target_micro, rerank, n_hits,
+         |  n_truth, recall_micro, target_met
+         |FROM apick WHERE prk = 1""".stripMargin
     },
     "q_ann_recall_filtered" -> {
       // the filtered recall card: ground truth = brute top-k over the

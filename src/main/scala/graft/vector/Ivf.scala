@@ -598,24 +598,38 @@ object Ivf {
     *             columns; extra columns are ignored
     * @return (arm, n_probe, n_hits, n_truth, recall_micro) */
   def recallCard(truth: DataFrame,
-      arms: Seq[(String, Long, DataFrame)]): DataFrame = {
+      arms: Seq[(String, Long, DataFrame)]): DataFrame =
+    recallCard0(truth, arms, "n_probe")
+
+  /** The recall card with the RERANK MULTIPLIER as the graded knob
+    * (round 15, VERDICT r14 #4 — the byte-budget path's second knob:
+    * [[graft.vector.Pq.ivfAdcTopK]] shortlists `rerank`·k candidates
+    * by ADC before the exact-cosine rerank, and a larger multiplier
+    * yields a candidate SUPERSET, so recall is monotone in it exactly
+    * as it is in nProbe). Same shape, knob column named `rerank`. */
+  def rerankRecallCard(truth: DataFrame,
+      arms: Seq[(String, Long, DataFrame)]): DataFrame =
+    recallCard0(truth, arms, "rerank")
+
+  private def recallCard0(truth: DataFrame,
+      arms: Seq[(String, Long, DataFrame)], knob: String): DataFrame = {
     require(arms.nonEmpty, "recallCard needs at least one arm")
     val sp = truth.sparkSession
     val t = truth.select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
-    val tagged = arms.map { case (arm, probe, df) =>
-      df.select(lit(arm).as("arm"), lit(probe).as("n_probe"),
+    val tagged = arms.map { case (arm, knobV, df) =>
+      df.select(lit(arm).as("arm"), lit(knobV).as(knob),
         col("query_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))
     val hits = tagged.join(t, Seq("query_id", "neighbor_id"))
-      .groupBy("arm", "n_probe").agg(count(lit(1)).as("n_hits"))
+      .groupBy("arm", knob).agg(count(lit(1)).as("n_hits"))
     val denom = t.agg(count(lit(1)).as("n_truth"))
     import sp.implicits._
     val spine = arms.map { case (a, p, _) => (a, p) }
-      .toDF("arm", "n_probe")
-    spine.join(hits, Seq("arm", "n_probe"), "left")
+      .toDF("arm", knob)
+    spine.join(hits, Seq("arm", knob), "left")
       .crossJoin(broadcast(denom))
-      .select(col("arm"), col("n_probe"),
+      .select(col("arm"), col(knob),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_truth"),
         when(col("n_truth") === 0L, lit(0L)).otherwise(
           expr("(2 * coalesce(n_hits, 0) * 1000000 + n_truth)" +
@@ -632,7 +646,20 @@ object Ivf {
     * verdict is oracle-replayable.
     * @return one row (target_micro, n_probe, n_hits, n_truth,
     *         recall_micro, target_met) */
-  def tuneNProbe(card: DataFrame, targetMicro: Long): DataFrame = {
+  def tuneNProbe(card: DataFrame, targetMicro: Long): DataFrame =
+    tune0(card, targetMicro, "n_probe")
+
+  /** [[tuneNProbe]]'s twin for the byte-budget path's OTHER knob
+    * (round 15, VERDICT r14 #4): pick the cheapest RERANK MULTIPLIER
+    * meeting the recall target from a [[rerankRecallCard]] — recall
+    * is monotone in the multiplier (candidate superset under the
+    * exact rerank), so minimum-meeting-target is the deployment
+    * setting; best-effort maximum if none meets it. */
+  def tuneRerank(card: DataFrame, targetMicro: Long): DataFrame =
+    tune0(card, targetMicro, "rerank")
+
+  private def tune0(card: DataFrame, targetMicro: Long,
+      knob: String): DataFrame = {
     require(targetMicro >= 0L && targetMicro <= 1000000L,
       s"targetMicro must be in [0, 1e6], got $targetMicro")
     val met = col("recall_micro") >= targetMicro
@@ -641,9 +668,9 @@ object Ivf {
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(
           met.desc,
-          when(met, col("n_probe")).otherwise(-col("n_probe")))))
+          when(met, col(knob)).otherwise(-col(knob)))))
       .filter(col("__rk") === 1)
-      .select(lit(targetMicro).as("target_micro"), col("n_probe"),
+      .select(lit(targetMicro).as("target_micro"), col(knob),
         col("n_hits"), col("n_truth"), col("recall_micro"),
         col("target_met"))
   }

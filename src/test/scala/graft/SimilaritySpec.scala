@@ -539,6 +539,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(byArm(("empty", 0L)) === ((0L, 0L)))
   }
 
+  test("rerankRecallCard + tuneRerank: monotone in the multiplier, " +
+      "tuner picks the cheapest meeting the target") {
+    import graft.vector.{Ivf, Pq}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val cents = Ivf.trainCentroids(e, nCells = 16, iters = 5)
+    val books = Pq.trainResidualCodebooks(e, cents, dim = 64, m = 8,
+      k = 16, iters = 3)
+    val truth = Similarity.bruteForceTopK(e, q, k = 10)
+    val sweep = Seq(1, 2, 4, 8).map(r => ("ivfadc", r.toLong,
+      Pq.ivfAdcTopK(e, q, cents, books, dim = 64, k = 10, nProbe = 4,
+        rerank = r)))
+    val card = Ivf.rerankRecallCard(truth, sweep)
+    val rows = card.orderBy("rerank").collect()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(1L, 2L, 4L, 8L))
+    // a larger multiplier shortlists a candidate SUPERSET, and the
+    // exact rerank keeps every truth hit a superset contains
+    val recalls = rows.map(_.getAs[Long]("recall_micro")).toSeq
+    assert(recalls === recalls.sorted,
+      s"recall not monotone in rerank: $recalls")
+    // the tuner: cheapest multiplier meeting an achievable target...
+    val achievable = recalls.head // rerank=1's recall is always achievable
+    val pick = Ivf.tuneRerank(card, achievable).collect().head
+    assert(pick.getAs[Long]("rerank") === 1L &&
+      pick.getAs[Boolean]("target_met"))
+    // ...and best-effort MAX multiplier when nothing meets the target
+    if (recalls.last < 1000000L) {
+      val over = Ivf.tuneRerank(card, 1000000L).collect().head
+      assert(over.getAs[Long]("rerank") === 8L &&
+        !over.getAs[Boolean]("target_met"))
+    }
+  }
+
   test("cosineNearDups finds planted duplicate pair only") {
     val a = vec(5)
     val dup = a.map(x => x * 1.001f)
