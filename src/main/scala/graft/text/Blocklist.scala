@@ -442,9 +442,15 @@ object Blocklist {
     * groupBy), so it runs UNCHANGED on a stream and shuffles nothing.
     * All broadcasts come from the OWNING session (docs.sparkSession —
     * the streamingBlocklistCounts discipline).
+    *
+    * `carryCols` thread PASS-THROUGH columns (e.g. `source`) through
+    * the projection chain for free (round 15, advice r14: the
+    * provenance rollup used to re-join the corpus to recover its
+    * group column — a full extra shuffle at 100 TB for a column the
+    * scan already had in hand).
     * @return (id, n_canon, n_lit_hits, n_lit_patterns, n_rx_hits,
     *         n_rx_patterns, n_masked_lit, n_masked_rx, clean,
-    *         scrubbed) */
+    *         scrubbed, carryCols...) */
   def scrubStack(
       docs: DataFrame,
       mappings: Seq[(String, String)],
@@ -452,53 +458,59 @@ object Blocklist {
       needles: Seq[(String, String, Int)],
       textCol: String = "text",
       idCol: String = "doc_id",
-      mask: Char = '*'): DataFrame = {
+      mask: Char = '*',
+      carryCols: Seq[String] = Nil): DataFrame = {
     val spark = docs.sparkSession
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val rxBc = spark.sparkContext.broadcast(rxNeedles(needles))
+    val carry = carryCols.map(col)
     docs
-      .select(col(idCol),
-        canonicalizeColOn(spark, col(textCol), mappings).as("__c"))
-      .select(col(idCol), col("__c.canonical").as("__ct"),
-        col("__c.n_replaced").as("n_canon"))
-      .select(col(idCol), col("n_canon"),
-        hitsColOn(spark, col("__ct"), patterns).as("__h"),
+      .select(col(idCol) +:
+        canonicalizeColOn(spark, col(textCol), mappings).as("__c") +:
+        carry: _*)
+      .select(col(idCol) +: col("__c.canonical").as("__ct") +:
+        col("__c.n_replaced").as("n_canon") +: carry: _*)
+      .select(col(idCol) +: col("n_canon") +:
+        hitsColOn(spark, col("__ct"), patterns).as("__h") +:
         column(graft.functions.RxSpansBcast(
-          expression(col("__ct")), rxBc)).as("__m"),
-        redactColOn(spark, col("__ct"), patterns, mask).as("__r1"))
-      .select(col(idCol), col("n_canon"),
-        aggregate(col("__h"), lit(0L), (a, x) => a + x).as("n_lit_hits"),
+          expression(col("__ct")), rxBc)).as("__m") +:
+        redactColOn(spark, col("__ct"), patterns, mask).as("__r1") +:
+        carry: _*)
+      .select(col(idCol) +: col("n_canon") +:
+        aggregate(col("__h"), lit(0L), (a, x) => a + x).as("n_lit_hits") +:
         aggregate(col("__h"), lit(0L),
           (a, x) => a + when(x > 0L, 1L).otherwise(0L))
-          .as("n_lit_patterns"),
-        size(col("__m")).cast("long").as("n_rx_hits"),
+          .as("n_lit_patterns") +:
+        size(col("__m")).cast("long").as("n_rx_hits") +:
         size(array_distinct(transform(col("__m"),
           m => m.getField("pattern_id")))).cast("long")
-          .as("n_rx_patterns"),
-        col("__r1.n_masked").as("n_masked_lit"),
-        col("__r1.redacted").as("__rt"))
-      .select(col(idCol), col("n_canon"), col("n_lit_hits"),
-        col("n_lit_patterns"), col("n_rx_hits"), col("n_rx_patterns"),
-        col("n_masked_lit"),
+          .as("n_rx_patterns") +:
+        col("__r1.n_masked").as("n_masked_lit") +:
+        col("__r1.redacted").as("__rt") +: carry: _*)
+      .select(col(idCol) +: col("n_canon") +: col("n_lit_hits") +:
+        col("n_lit_patterns") +: col("n_rx_hits") +: col("n_rx_patterns") +:
+        col("n_masked_lit") +:
         column(graft.functions.RxRedactBcast(
-          expression(col("__rt")), rxBc, mask.toByte)).as("__r2"))
-      .select(col(idCol), col("n_canon"), col("n_lit_hits"),
-        col("n_lit_patterns"), col("n_rx_hits"), col("n_rx_patterns"),
-        col("n_masked_lit"),
-        col("__r2.n_masked").as("n_masked_rx"),
+          expression(col("__rt")), rxBc, mask.toByte)).as("__r2") +:
+        carry: _*)
+      .select(col(idCol) +: col("n_canon") +: col("n_lit_hits") +:
+        col("n_lit_patterns") +: col("n_rx_hits") +: col("n_rx_patterns") +:
+        col("n_masked_lit") +:
+        col("__r2.n_masked").as("n_masked_rx") +:
         (col("n_lit_hits") === 0L && col("n_rx_hits") === 0L)
-          .as("clean"),
-        col("__r2.redacted").as("scrubbed"))
+          .as("clean") +:
+        col("__r2.redacted").as("scrubbed") +: carry: _*)
   }
 
   /** Provenance rollup of [[scrubStack]] (round 14 — the "which
     * source needs scrubbing" card, the [[provenanceReport]] pattern
     * over the composed stack): per `byCol` group the document count,
     * documents hit by each needle family, canonicalization and
-    * redaction volumes, and the clean count. One scrubStack
-    * projection + one equi-join back for the group column + one
-    * |groups|-row map-side-combinable aggregate — the scan itself
-    * never shuffles. */
+    * redaction volumes, and the clean count. ONE scrubStack
+    * projection CARRYING the group column through (round 15, advice
+    * r14: the corpus self-join this rollup used to pay just to
+    * recover `byCol` is gone — scan → |groups|-row map-side-
+    * combinable aggregate, nothing else shuffles). */
   def scrubProvenance(
       docs: DataFrame,
       mappings: Seq[(String, String)],
@@ -508,8 +520,8 @@ object Blocklist {
       textCol: String = "text",
       idCol: String = "doc_id",
       mask: Char = '*'): DataFrame =
-    scrubStack(docs, mappings, patterns, needles, textCol, idCol, mask)
-      .join(docs.select(col(idCol), col(byCol)), Seq(idCol))
+    scrubStack(docs, mappings, patterns, needles, textCol, idCol, mask,
+        carryCols = Seq(byCol))
       .groupBy(byCol)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_canon")).as("n_canon"),

@@ -439,6 +439,55 @@ class BlocklistSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("scrubStack carryCols: pass-through columns ride the projection " +
+      "chain; scrubProvenance plans NO join below its aggregate") {
+    val docs = Seq(
+      (1L, "the table is on the table", "web"),
+      (2L, "a a table agg zzqx", "web"),
+      (3L, "clean words only here", "book"),
+      (4L, "", "book"))
+      .toDF("doc_id", "text", "source")
+    val dict = Seq("table" -> "TBL", "ta" -> "tX")
+    val lits = Seq("TBL", "a a", "zzqx")
+    val needles = Seq(("tX[a-z]+", "tX", 0), ("[0-9]{3}", "-", 3))
+
+    // carried columns append after the contract columns, values intact
+    val carried = Blocklist.scrubStack(docs, dict, lits, needles,
+      carryCols = Seq("source"))
+    assert(carried.columns.last === "source")
+    val srcOf = carried.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(srcOf === Map(1L -> "web", 2L -> "web", 3L -> "book",
+      4L -> "book"))
+    // and the contract columns are bitwise the no-carry stack's
+    val base = Blocklist.scrubStack(docs, dict, lits, needles)
+    assert(carried.drop("source").collect().map(_.toString).sorted.toSeq
+      === base.collect().map(_.toString).sorted.toSeq)
+
+    // the rollup: values match the join-based spelling, but the plan
+    // has NO join anywhere (advice r14 — the corpus self-join that
+    // carried `source` was a full extra shuffle at scale)
+    val prov = Blocklist.scrubProvenance(docs, dict, lits, needles)
+    val joined = Blocklist.scrubStack(docs, dict, lits, needles)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_canon")).as("n_canon"),
+        sum(when(col("n_lit_hits") > 0L, 1L).otherwise(0L))
+          .as("n_docs_lit_hit"),
+        sum(col("n_lit_hits")).as("n_lit_hits"),
+        sum(when(col("n_rx_hits") > 0L, 1L).otherwise(0L))
+          .as("n_docs_rx_hit"),
+        sum(col("n_rx_hits")).as("n_rx_hits"),
+        sum(col("n_masked_lit") + col("n_masked_rx")).as("n_masked"),
+        sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"))
+    assert(prov.orderBy("source").collect().map(_.toString).toSeq ===
+      joined.orderBy("source").collect().map(_.toString).toSeq)
+    val physical = prov.queryExecution.executedPlan.toString
+    assert(!physical.toLowerCase.contains("join"),
+      s"scrubProvenance must be scan -> aggregate, no join:\n$physical")
+  }
+
   test("build rejects empty input and the automaton stays serializable") {
     intercept[IllegalArgumentException] { AcScanBcast.build(Array.empty) }
     val auto = AcScanBcast.build(Array("ab", "b"))
