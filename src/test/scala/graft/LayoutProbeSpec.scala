@@ -765,6 +765,60 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
     assert(rep2.nBinsRewritten === 0L && rep2.nFilesUntouched === 3L)
   }
 
+  test("partitioned metadata plane runs as Spark jobs — one snapshot " +
+      "stage over all leaves, never a per-leaf driver walk") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-mjob").toString
+    // 12 leaves x 2 files: distinct task counts separate the listing
+    // stage (12 = one task per leaf) from the footer stage (24 = one
+    // task per file)
+    val rows = (0 until 24000).map(i =>
+      (i.toLong, (i % 12).toLong, (i * 7 % 997).toLong)).toDF("id", "p", "v")
+    (0 until 12).foreach { p =>
+      rows.filter(col("p") === p.toLong).repartition(2)
+        .write.mode("append").parquet(s"$base/t/p=$p")
+    }
+    val stages =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.add((e.stageInfo.numTasks, e.stageInfo.name)): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val prof =
+      try {
+        val p = Compact.profileFilesPartitioned(spark, s"$base/t",
+          targetBytes = 1L << 26).collect()
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .drainListenerBus(spark.sparkContext)
+        p
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // values: every leaf profiled, footer counts exact
+    assert(prof.length === 24)
+    assert(prof.map(_.getAs[Long]("n_rows")).sum === 24000L)
+    assert(prof.map(_.getAs[String]("partition")).distinct.length === 12)
+    // the metadata plane ran on the CLUSTER: a 12-task stage listed
+    // the leaves (and a 12-task discovery level preceded it), a
+    // 24-task stage read the footers — all scheduled from Compact
+    import scala.jdk.CollectionConverters._
+    val compactStages = stages.asScala.filter(_._2.contains("Compact.scala"))
+    val cap = spark.sparkContext.defaultParallelism * 4
+    assert(compactStages.count(_._1 == math.min(12, cap)) >= 2,
+      s"missing the per-leaf listing/discovery stages; saw $compactStages")
+    assert(compactStages.exists(_._1 == math.min(24, cap)),
+      s"missing the all-files footer stage; saw $compactStages")
+    // and the manifest-aware arms ride the same plane end to end
+    val rep = Compact.binPackPartitionedInPlace(spark, s"$base/t",
+      targetBytes = 1L << 26)
+    assert(rep.nFilesBefore === 24L && rep.nFilesAfter === 12L)
+    assert(Compact.readPartitioned(spark, s"$base/t")
+      .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) ===
+      rows.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0))
+  }
+
   test("profileFiles/profileCard: the OPTIMIZE advisor matches the layout and its projection") {
     import spark.implicits._
     import graft.operators.Compact
