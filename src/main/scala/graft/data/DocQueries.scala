@@ -757,6 +757,71 @@ object DocQueries {
             col("text"))) % 1000003L).as("content_sig"))
         .orderBy("source")
     }),
+    "q_compact_append_part" -> ((s, dir) => {
+      // the PARTITIONED managed lifecycle (round 15): seed half the
+      // corpus as a hive layout, append the other half through ONE
+      // partitioned write + per-leaf atomic manifest commits
+      // (appendManagedPartitioned), then REPLAY the same txn token —
+      // the replay must no-op every leaf (per-leaf exactly-once), and
+      // the card through the manifest-aware partitioned reader equals
+      // the whole corpus: no row lost, duplicated, or double-served
+      // across the per-leaf commits and the replay.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-capart").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
+      val d = documents(s, dir)
+        .select("doc_id", "text", "source", "n_chars")
+      d.filter(col("doc_id") % 2 === 0).repartition(2)
+        .write.partitionBy("source").parquet(s"$root/t")
+      val odd = d.filter(col("doc_id") % 2 === 1)
+      graft.operators.Compact.appendManagedPartitioned(s, s"$root/t",
+        odd, Seq("source"), txn = Some(("q15", 0L)))
+      val replay = graft.operators.Compact.appendManagedPartitioned(s,
+        s"$root/t", odd, Seq("source"), txn = Some(("q15", 0L)))
+      require(replay.nFilesAfter == replay.nFilesBefore,
+        s"replayed txn appended files: $replay")
+      graft.operators.Compact.readPartitioned(s, s"$root/t")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextOps.hash56(concat_ws(":", lit("cmp"), col("doc_id"),
+            col("text"))) % 1000003L).as("content_sig"))
+        .orderBy("source")
+    }),
+    "q_manifest_history" -> ((s, dir) => {
+      // TIME TRAVEL through the retention window (round 15): seed the
+      // even half (identity manifest g0), append the odd half (g1),
+      // OPTIMIZE in place (g2) — then read every retained generation
+      // back with readAt and card each one. g0's card is exactly the
+      // even half; g1 and g2 are the whole corpus (the compaction is
+      // layout-only) — equal cards at different generations pin both
+      // the history contract and compaction losslessness at once.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-mhist").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
+      val d = documents(s, dir)
+        .select("doc_id", "text", "source", "n_chars")
+      d.filter(col("doc_id") % 2 === 0).repartition(4)
+        .write.parquet(s"$root/t")
+      graft.operators.Compact.appendManaged(s, s"$root/t",
+        d.filter(col("doc_id") % 2 === 1).repartition(4))
+      graft.operators.Compact.binPackInPlace(s, s"$root/t",
+        targetBytes = 1L << 20)
+      Seq(0L, 1L, 2L).map { g =>
+        graft.operators.Compact.readAt(s, s"$root/t", g)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(TextOps.hash56(concat_ws(":", lit("cmp"), col("doc_id"),
+              col("text"))) % 1000003L).as("content_sig"))
+          .withColumn("gen", lit(g))
+          .select("gen", "source", "n_docs", "sum_chars", "content_sig")
+      }.reduce(_.unionByName(_)).orderBy("gen", "source")
+    }),
     "q_zorder_optimize" -> ((s, dir) => {
       // OPTIMIZE ZORDER in place (round 14): a hash-mixed layout
       // (every file spans every key range — prunes nothing)
@@ -4560,6 +4625,31 @@ object DocQueries {
          |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
          |    % 1000003)::BIGINT AS content_sig
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_compact_append_part" ->
+      // the whole-corpus card through the PARTITIONED append: one
+      // partitioned write fans the batch to per-leaf atomic manifest
+      // commits, and the replayed txn token no-ops every leaf —
+      // equality proves per-leaf exactly-once end to end
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
+         |    % 1000003)::BIGINT AS content_sig
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_manifest_history" ->
+      // time travel through the retention window: generation 0 is the
+      // seeded even half, generations 1 (append) and 2 (in-place
+      // compaction) both card the whole corpus — the compaction is
+      // layout-only, so its card equals the append's
+      s"""WITH gens AS (SELECT * FROM (VALUES (0), (1), (2)) AS g(gen))
+         |SELECT gens.gen::BIGINT AS gen, source,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
+         |    % 1000003)::BIGINT AS content_sig
+         |FROM gens JOIN documents d ON (gens.gen > 0 OR d.doc_id % 2 = 0)
+         |GROUP BY 1, 2 ORDER BY gen, source""".stripMargin,
 
     "q_compact_card" ->
       // replays the deterministic hash-bucket layout and the profile

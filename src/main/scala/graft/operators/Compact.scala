@@ -384,6 +384,29 @@ object Compact {
     * copies themselves). */
   val MaxCopyTasks = 131072
 
+  /** Delete files as one Spark job past a small threshold (round 15 —
+    * [[vacuum]]'s reclaim set can be a whole superseded generation,
+    * and a million sequential driver deletes would serialize what the
+    * cluster does in one metadata wave); under the threshold the job
+    * overhead exceeds the deletes and the driver just does them. */
+  private def deleteDistributed(spark: SparkSession,
+      paths: Seq[String], conf: Configuration): scala.Unit = {
+    if (paths.isEmpty) return
+    if (paths.length <= 64) {
+      paths.foreach { s =>
+        val p = new Path(s)
+        p.getFileSystem(conf).delete(p, false): scala.Unit
+      }
+    } else {
+      val ser = new SerConf(conf)
+      val slices = math.min(paths.length, MaxCopyTasks)
+      spark.sparkContext.parallelize(paths, slices).foreach { s =>
+        val p = new Path(s)
+        p.getFileSystem(ser.value).delete(p, false): scala.Unit
+      }
+    }
+  }
+
   /** Guard a NEW-layout destination (advice r13): compacting into a
     * directory that already holds data files would leave readers
     * silently seeing duplicate rows (e.g. a re-run after a crash), so
@@ -750,6 +773,36 @@ object Compact {
     }
   }
 
+  /** TIME-TRAVEL read at a specific RETAINED generation (round 15 —
+    * the observable face of the retention bargain: commits delete
+    * nothing, so every generation still inside the [[vacuum]] horizon
+    * resolves exactly as it did when it was latest). Fails fast with
+    * the retained-generation list when `gen` has been vacuumed —
+    * time travel's reach IS the retention window, the Delta
+    * contract. */
+  def readAt(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val ms = manifestFiles(fs, p)
+    require(ms.nonEmpty, s"$path is not manifest-managed")
+    val mp = ms.find(_._1 == gen).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"generation $gen is not retained at $path (retained: " +
+          s"${ms.map(_._1).sorted.mkString(", ")}) — vacuumed past " +
+          "the horizon?"))
+    val in = fs.open(mp)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toVector
+    finally in.close()
+    val m = parseManifest(gen, lines)
+    require(m.live.nonEmpty, s"generation $gen at $path lists no files")
+    val missing = m.live.filterNot(n => fs.exists(new Path(p, n)))
+    require(missing.isEmpty,
+      s"generation $gen lists files vacuumed past the horizon: " +
+        missing.take(5).mkString(", "))
+    spark.read.parquet(m.live.map(n => new Path(p, n).toString): _*)
+  }
+
   /** [[binPack]] IN PLACE — the OPTIMIZE loop's face: the same path
     * keeps serving while it compacts, and files at or above
     * `smallBytes` are NEVER touched (not rewritten, not copied, not
@@ -938,6 +991,106 @@ object Compact {
       bytesRewritten = 0L,
       nFilesCopied = 0L,
       nFilesUntouched = live.length.toLong)
+  }
+
+  /** [[appendManaged]] over a HIVE-PARTITIONED layout (round 15 —
+    * the write face the partitioned lifecycle was missing: a
+    * streaming batch carries MANY partition values, and routing it
+    * through N flat appends would cost N jobs and lose batch-local
+    * atomicity per leaf): the batch writes ONCE into the root scratch
+    * partitioned by `partitionCols`, then every produced leaf runs
+    * the manifest append protocol independently — identity manifest
+    * if unmanaged, generation-unique names, ONE atomic commit per
+    * leaf carrying that leaf's txn token. Readers through
+    * [[readPartitioned]] see each leaf's whole slice or none of it.
+    *
+    * Idempotence is PER LEAF (the only granularity a per-leaf-commit
+    * protocol can promise): a crash mid-run leaves some leaves
+    * committed; after `recoverSwapPartitioned` sweeps the scratch, a
+    * REPLAY of the same `(appId, batchId)` no-ops the committed
+    * leaves (their manifests carry the token) and lands exactly the
+    * missing ones — so the whole batch converges to exactly-once
+    * across retries. Partition values must be directory-safe (the
+    * hive contract); the partition columns themselves live in the
+    * directory names, not the files, exactly as Spark writes them. */
+  def appendManagedPartitioned(spark: SparkSession, path: String,
+      df: DataFrame, partitionCols: Seq[String],
+      txn: Option[(String, Long)] = None): CompactReport = {
+    require(partitionCols.nonEmpty,
+      "appendManagedPartitioned needs partition columns — use " +
+        "appendManaged for flat layouts")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) require(fs.mkdirs(root), s"cannot create $root")
+    val scratch = new Path(root, ScratchName)
+    require(!fs.exists(scratch),
+      s"unfinished compaction scratch at $scratch — run " +
+        "recoverSwapPartitioned first")
+
+    // ONE partitioned write of the whole batch into the scratch
+    val maxRecKey = "spark.sql.files.maxRecordsPerFile"
+    val saved = spark.conf.getOption(maxRecKey)
+    spark.conf.set(maxRecKey, "0")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(scratch.toString)
+    finally saved match {
+      case Some(v) => spark.conf.set(maxRecKey, v)
+      case None => spark.conf.unset(maxRecKey)
+    }
+    val scratchLeaves = leafDirs(fs, scratch)
+    val relScratch = relOf(scratch) _
+
+    var appendedTotal = 0L
+    var liveBefore = 0L
+    var bytesBefore = 0L
+    scratchLeaves.foreach { sLeaf =>
+      val rel = relScratch(sLeaf)
+      val leaf = if (rel.isEmpty) root else new Path(root, rel)
+      if (!fs.exists(leaf)) require(fs.mkdirs(leaf), s"cannot create $leaf")
+      require(!fs.listStatus(leaf).exists(s =>
+          s.getPath.getName.startsWith("." + ManifestPrefix)),
+        s"uncommitted manifest temp under $leaf — run " +
+          "recoverSwapPartitioned first")
+      val (mf, live) = resolveLive(fs, leaf, "recoverSwapPartitioned")
+      liveBefore += live.length.toLong
+      bytesBefore += live.map(_.getLen).sum
+      val replayed = txn.exists { case (appId, batchId) =>
+        mf.exists(_.txns.get(appId).exists(_ >= batchId))
+      }
+      if (!replayed) {
+        val gen = mf.map(_.gen).getOrElse(0L) + 1L
+        if (mf.isEmpty)
+          writeManifest(fs, leaf, 0L, live.map(_.getPath.getName))
+        val parts = fs.listStatus(sLeaf).toVector
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName)
+        val appended = Vector.newBuilder[String]
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val nm = f"part-$i%09d-g$gen%09d-append.parquet"
+          val dst = new Path(leaf, nm)
+          require(!fs.exists(dst), s"name collision at $dst")
+          require(fs.rename(p.getPath, dst), s"rename failed: ${p.getPath}")
+          appended += nm
+        }
+        val newNames = appended.result()
+        writeManifest(fs, leaf, gen,
+          live.map(_.getPath.getName) ++ newNames,
+          txns = mf.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
+          dead = mf.map(_.dead).getOrElse(Vector.empty))
+        appendedTotal += newNames.length.toLong
+      }
+    }
+    fs.delete(scratch, true)
+
+    CompactReport(
+      nFilesBefore = liveBefore,
+      nFilesAfter = liveBefore + appendedTotal,
+      bytesBefore = bytesBefore,
+      nBinsRewritten = 0L,
+      bytesRewritten = 0L,
+      nFilesCopied = 0L,
+      nFilesUntouched = liveBefore)
   }
 
   /** OPTIMIZE ZORDER — re-CLUSTER a flat parquet directory in place
@@ -1314,7 +1467,10 @@ object Compact {
   }
 
   /** [[recoverSwap]] over every leaf of a partitioned layout, plus
-    * the root-level pooled-rewrite scratch. Idempotent. */
+    * the root-level pooled-rewrite scratch. Idempotent. Leaf
+    * discovery runs distributed ([[leafDirsDistributed]]); the
+    * per-leaf sweeps are driver-side (recovery is the rare path, and
+    * its work is bounded by the crash residue, not the table). */
   def recoverSwapPartitioned(spark: SparkSession, path: String): String = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
@@ -1328,7 +1484,7 @@ object Compact {
       fs.delete(scratch, true)
       acted += "deleted pooled rewrite scratch"
     }
-    leafDirs(fs, root).foreach { leaf =>
+    leafDirsDistributed(spark, conf, root).foreach { leaf =>
       val msg = recoverSwap(spark, leaf.toString)
       if (!msg.startsWith("clean")) acted += s"${leaf.getName}: $msg"
     }
@@ -1432,9 +1588,10 @@ object Compact {
         val (expired, kept) = m.dead.partition(_._1 < cutoff)
         if (expired.nonEmpty) // drop the tombstones BEFORE the deletes
           writeManifest(fs, dir, m.gen + 1L, m.live, m.txns, kept)
-        expired.foreach { case (_, n) =>
-          fs.delete(new Path(dir, n), false): scala.Unit
-        }
+        // the reclaim set can be a whole superseded generation — past
+        // a small threshold the deletes run as one Spark job
+        deleteDistributed(spark,
+          expired.map { case (_, n) => new Path(dir, n).toString }, conf)
         val latestGen = if (expired.nonEmpty) m.gen + 1L else m.gen
         val oldManifests = fs.listStatus(dir).toVector.filter(_.isFile)
           .flatMap(s => manifestGen(s.getPath.getName).map((_, s)))
@@ -1450,13 +1607,17 @@ object Compact {
   }
 
   /** [[vacuum]] over every leaf of a hive-partitioned managed layout
-    * (unmanaged leaves have no retained garbage and are skipped). */
+    * (unmanaged leaves have no retained garbage and are skipped).
+    * Leaf discovery runs distributed ([[leafDirsDistributed]]); each
+    * leaf's reclaim then shares [[vacuum]]'s thresholded distributed
+    * deletes. */
   def vacuumPartitioned(spark: SparkSession, path: String,
       olderThanMillis: Long, nowMillis: Long): VacuumReport = {
+    val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return VacuumReport(0L, 0L, 0L)
-    leafDirs(fs, root).map(l =>
+    leafDirsDistributed(spark, conf, root).map(l =>
         vacuum(spark, l.toString, olderThanMillis, nowMillis))
       .foldLeft(VacuumReport(0L, 0L, 0L))(_ + _)
   }

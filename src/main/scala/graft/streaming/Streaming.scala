@@ -939,16 +939,31 @@ object Streaming {
     * nothing. `txnAppId` must be stable across restarts and unique
     * per writer — keep the default for the one-stream-per-directory
     * deployment; give each stream its own id if several append to one
-    * path. StreamingSpec drives the loop end to end, replay included. */
+    * path. StreamingSpec drives the loop end to end, replay included.
+    *
+    * `vacuumEvery > 0` closes the maintenance loop end to end (round
+    * 15): every `vacuumEvery` batches the sink reclaims tombstoned
+    * files and superseded manifests older than `retentionMillis`
+    * through [[graft.operators.Compact.vacuum]] — pick a retention
+    * above the longest concurrent reader's scan time, exactly the
+    * Delta contract. The `clock` is injected for deterministic
+    * tests. */
   def managedParquetSink(path: String, targetBytes: Long,
       compactEvery: Long,
-      txnAppId: String = "graft-managed-sink"): (DataFrame, Long) => Unit =
+      txnAppId: String = "graft-managed-sink",
+      vacuumEvery: Long = 0L,
+      retentionMillis: Long = 0L,
+      clock: () => Long = () => System.currentTimeMillis())
+      : (DataFrame, Long) => Unit =
   { (batch, id) =>
     graft.operators.Compact.appendManaged(batch.sparkSession, path,
       batch, txn = Some((txnAppId, id))): Unit
     if (compactEvery > 0L && (id + 1L) % compactEvery == 0L)
       graft.operators.Compact.binPackInPlace(batch.sparkSession, path,
-        targetBytes): Unit
+        targetBytes, nowMillis = clock()): Unit
+    if (vacuumEvery > 0L && (id + 1L) % vacuumEvery == 0L)
+      graft.operators.Compact.vacuum(batch.sparkSession, path,
+        retentionMillis, clock()): Unit
   }
 
   def streamingHllRegisters(

@@ -819,6 +819,85 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       rows.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0))
   }
 
+  test("appendManagedPartitioned: per-leaf atomic appends, per-leaf txn " +
+      "idempotence, partial-crash replay converges to exactly-once") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-apart").toString
+    val t = s"$base/t"
+    def mk(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, (i % 3).toLong, i.toLong * 7L)).toDF("id", "p", "v")
+    def ids() = Compact.readPartitioned(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // batch 0 creates the leaves; batch 1 appends to them
+    Compact.appendManagedPartitioned(spark, t, mk(0, 300), Seq("p"),
+      txn = Some(("w", 0L))): Unit
+    assert(ids() === (0L until 300L))
+    Compact.appendManagedPartitioned(spark, t, mk(300, 600), Seq("p"),
+      txn = Some(("w", 1L))): Unit
+    assert(ids() === (0L until 600L))
+    // a replay of either batch id appends NOTHING to any leaf
+    Compact.appendManagedPartitioned(spark, t, mk(0, 300), Seq("p"),
+      txn = Some(("w", 0L))): Unit
+    Compact.appendManagedPartitioned(spark, t, mk(300, 600), Seq("p"),
+      txn = Some(("w", 1L))): Unit
+    assert(ids() === (0L until 600L), "replayed batch ids duplicated rows")
+
+    // PARTIAL-CRASH replay: batch 2 lands everywhere, then leaf p=2
+    // is rolled back to its pre-batch state (the crash-before-commit
+    // window for that leaf). The replay must no-op the committed
+    // leaves and land exactly the missing one.
+    Compact.appendManagedPartitioned(spark, t, mk(600, 900), Seq("p"),
+      txn = Some(("w", 2L))): Unit
+    assert(ids() === (0L until 900L))
+    val leaf2 = new java.io.File(s"$t/p=2")
+    val gen2 = Compact.tableState(spark, s"$t/p=2").get.gen
+    leaf2.listFiles().filter { f =>
+      f.getName == f"_GRAFT_MANIFEST-g$gen2%09d" ||
+        f.getName.contains(f"-g$gen2%09d-append")
+    }.foreach(f => assert(f.delete(), s"rollback failed for $f"))
+    assert(ids().length === 900 - 100, "rollback fixture wrong")
+    Compact.appendManagedPartitioned(spark, t, mk(600, 900), Seq("p"),
+      txn = Some(("w", 2L))): Unit
+    assert(ids() === (0L until 900L),
+      "partial-crash replay did not converge to exactly-once")
+    // per-leaf tokens ended at batch 2 everywhere
+    (0 to 2).foreach { p =>
+      assert(Compact.tableState(spark, s"$t/p=$p").get.txns === Map("w" -> 2L))
+    }
+  }
+
+  test("readAt: time travel reaches every retained generation and fails " +
+      "fast past the vacuum horizon") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val t = s"$base/t"
+    val d = (0 until 9000).map(i => (i.toLong, i.toLong % 97L)).toDF("a", "b")
+    d.filter(col("a") % 2 === 0).repartition(4).write.parquet(t)
+    Compact.appendManaged(spark, t,
+      d.filter(col("a") % 2 === 1).repartition(4)): Unit
+    Compact.binPackInPlace(spark, t, targetBytes = 1L << 26): Unit
+    def idsAt(g: Long) = Compact.readAt(spark, t, g)
+      .select("a").collect().map(_.getLong(0)).sorted.toSeq
+    // g0 = the identity manifest of the seed (even half); g1 = the
+    // committed append (full corpus); g2 = the compaction (same rows)
+    assert(idsAt(0L) === (0L until 9000L by 2L))
+    assert(idsAt(1L) === (0L until 9000L))
+    assert(idsAt(2L) === (0L until 9000L))
+    val err = intercept[IllegalArgumentException] {
+      Compact.readAt(spark, t, 99L)
+    }
+    assert(err.getMessage.contains("retained: 0, 1, 2"))
+    // vacuum past the horizon: history collapses to the latest
+    Compact.vacuum(spark, t, 0L,
+      System.currentTimeMillis() + (1L << 40)): Unit
+    intercept[IllegalArgumentException] { Compact.readAt(spark, t, 0L) }
+    assert(idsAt(3L) === (0L until 9000L),
+      "the vacuum-committed generation must remain readable")
+  }
+
   test("profileFiles/profileCard: the OPTIMIZE advisor matches the layout and its projection") {
     import spark.implicits._
     import graft.operators.Compact
