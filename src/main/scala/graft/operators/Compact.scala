@@ -164,10 +164,12 @@ object Compact {
   }
 
   /** One leaf's metadata snapshot — its data-file listing, its latest
-    * manifest's raw content, and crash-residue flags — gathered for
-    * ALL leaves by ONE Spark job ([[snapshotLeaves]]). */
+    * manifest CHAIN's raw content (the delta manifests back to their
+    * base checkpoint, oldest-first, ≤ [[ManifestCheckpointEvery]]
+    * entries), and crash-residue flags — gathered for ALL leaves by
+    * ONE Spark job ([[snapshotLeaves]]). */
   private final case class LeafSnap(leaf: String,
-      manifest: Option[(Long, Vector[String])],
+      manifest: Option[Vector[(Long, Boolean, Vector[String])]],
       files: Vector[(String, Long)],
       hasScratch: Boolean, hasManifestTemp: Boolean)
 
@@ -183,6 +185,7 @@ object Compact {
     val slices = math.max(1, math.min(leaves.length,
       spark.sparkContext.defaultParallelism * 4))
     val mPrefix = ManifestPrefix
+    val dSuffix = DeltaSuffix
     val sName = ScratchName
     val snaps = spark.sparkContext
       .parallelize(leaves.map(_.toString), slices)
@@ -197,18 +200,34 @@ object Compact {
         val gens = st.filter(_.isFile).flatMap { s =>
           val n = s.getPath.getName
           if (n.startsWith(mPrefix)) {
-            val d = n.stripPrefix(mPrefix)
-            if (d.nonEmpty && d.forall(_.isDigit)) Some((d.toLong, n))
+            val rest = n.stripPrefix(mPrefix)
+            val (d, isDelta) =
+              if (rest.endsWith(dSuffix)) (rest.dropRight(dSuffix.length), true)
+              else (rest, false)
+            if (d.nonEmpty && d.forall(_.isDigit)) Some((d.toLong, isDelta, n))
             else None
           } else None
         }
+        // walk the delta chain back to its base checkpoint (≤ the
+        // checkpoint cadence in files), oldest-first
         val manifest = if (gens.isEmpty) None else {
-          val (g, n) = gens.maxBy(_._1)
-          val in = fs.open(new Path(p, n))
-          try {
-            val src = scala.io.Source.fromInputStream(in, "UTF-8")
-            Some((g, src.getLines().filter(_.nonEmpty).toVector))
-          } finally in.close()
+          val byGen = gens.map(t => t._1 -> t).toMap
+          var g = gens.map(_._1).max
+          var acc: List[(Long, Boolean, Vector[String])] = Nil
+          var cont = true
+          while (cont) {
+            val (_, isDelta, n) = byGen.getOrElse(g,
+              throw new IllegalStateException(
+                s"manifest chain at $dir broken at generation $g"))
+            val in = fs.open(new Path(p, n))
+            val lines = try {
+              scala.io.Source.fromInputStream(in, "UTF-8")
+                .getLines().filter(_.nonEmpty).toVector
+            } finally in.close()
+            acc = (g, isDelta, lines) :: acc
+            if (isDelta) g -= 1L else cont = false
+          }
+          Some(acc.toVector)
         }
         (dir, manifest, files,
           st.exists(s => s.isDirectory && s.getPath.getName == sName),
@@ -232,7 +251,7 @@ object Compact {
     val dir = new Path(snap.leaf)
     def stat(name: String, len: Long): FileStatus =
       new FileStatus(len, false, 1, 0L, 0L, new Path(dir, name))
-    val mf = snap.manifest.map { case (g, lines) => parseManifest(g, lines) }
+    val mf = snap.manifest.map(foldChunks)
     val live: Vector[FileStatus] = mf match {
       case Some(m) =>
         val byName = snap.files.toMap
@@ -606,7 +625,18 @@ object Compact {
   // ---------------------------------------------------------------
 
   private val ManifestPrefix = "_GRAFT_MANIFEST-g"
+  private val DeltaSuffix = ".delta"
   private val ScratchName = ".graft-compact-tmp"
+
+  /** Append commits write DELTA manifests (adds + the writer's txn
+    * token only — O(batch) bytes, not O(table)) and roll a full
+    * CHECKPOINT every this-many generations, bounding every reader's
+    * chain walk (round 15 — the Delta delta-log/checkpoint economics:
+    * a 10⁶-file table must not pay a 10⁶-line manifest rewrite per
+    * streamed micro-batch). Compaction, Z-order, and vacuum always
+    * write checkpoints (their commits restate the live set anyway),
+    * so chains re-collapse at every OPTIMIZE. */
+  val ManifestCheckpointEvery = 16L
 
   /** One parsed manifest generation (round 15 — format v2):
     *
@@ -632,15 +662,26 @@ object Compact {
     def deadNames: Set[String] = dead.iterator.map(_._2).toSet
   }
 
-  private def manifestGen(name: String): Option[Long] =
+  /** Classify a manifest file name: (generation, isDelta). Kind is
+    * name-encoded (`.delta` suffix) so vacuum and the snapshot plane
+    * never open a file just to learn what it is. */
+  private def manifestKind(name: String): Option[(Long, Boolean)] =
     if (name.startsWith(ManifestPrefix)) {
-      val d = name.stripPrefix(ManifestPrefix)
-      if (d.nonEmpty && d.forall(_.isDigit)) Some(d.toLong) else None
+      val rest = name.stripPrefix(ManifestPrefix)
+      val (d, isDelta) =
+        if (rest.endsWith(DeltaSuffix))
+          (rest.dropRight(DeltaSuffix.length), true)
+        else (rest, false)
+      if (d.nonEmpty && d.forall(_.isDigit)) Some((d.toLong, isDelta))
+      else None
     } else None
 
-  private def manifestFiles(fs: FileSystem, dir: Path): Vector[(Long, Path)] =
+  private def manifestFiles(fs: FileSystem,
+      dir: Path): Vector[(Long, Boolean, Path)] =
     fs.listStatus(dir).toVector.filter(_.isFile)
-      .flatMap(s => manifestGen(s.getPath.getName).map((_, s.getPath)))
+      .flatMap(s => manifestKind(s.getPath.getName).map {
+        case (g, d) => (g, d, s.getPath)
+      })
 
   /** The highest-generation manifest at `dir`, if the directory is
     * manifest-managed: (generation, live file names in KEY ORDER). */
@@ -688,18 +729,60 @@ object Compact {
     ManifestData(gen, live.result(), txns.result(), dead.result())
   }
 
+  private def loadLines(fs: FileSystem, p: Path): Vector[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toVector
+    finally in.close()
+  }
+
+  /** Load the resolution CHAIN ending at generation `at`: the delta
+    * manifests walking back to (and including) their base checkpoint,
+    * oldest-first. Bounded by [[ManifestCheckpointEvery]] files. */
+  private def chainAt(fs: FileSystem, dir: Path,
+      ms: Vector[(Long, Boolean, Path)],
+      at: Long): Vector[(Long, Boolean, Vector[String])] = {
+    val byGen = ms.map(t => t._1 -> t).toMap
+    var g = at
+    var acc: List[(Long, Boolean, Vector[String])] = Nil
+    var cont = true
+    while (cont) {
+      val (_, isDelta, p) = byGen.getOrElse(g,
+        throw new IllegalStateException(
+          s"manifest chain at $dir broken at generation $g — " +
+            "base checkpoint vacuumed?"))
+      acc = (g, isDelta, loadLines(fs, p)) :: acc
+      if (isDelta) g -= 1L else cont = false
+    }
+    acc.toVector
+  }
+
+  /** Fold a loaded chain (oldest-first, head a checkpoint) into the
+    * resolved state: deltas APPEND live names at the tail (arrival =
+    * key order for appends), merge their writer's txn token, and
+    * concatenate new tombstones — the only three things an append
+    * commit can do, which is why appends get to be O(batch). */
+  private def foldChunks(
+      chunks: Vector[(Long, Boolean, Vector[String])]): ManifestData = {
+    require(chunks.nonEmpty, "empty manifest chain")
+    val (g0, d0, l0) = chunks.head
+    require(!d0, s"manifest chain must start at a checkpoint, got delta g$g0")
+    chunks.tail.foldLeft(parseManifest(g0, l0)) {
+      case (acc, (g, isDelta, lines)) =>
+        require(isDelta && g == acc.gen + 1L,
+          s"broken manifest chain at generation $g " +
+            s"(expected delta g${acc.gen + 1L})")
+        val d = parseManifest(g, lines)
+        ManifestData(g, acc.live ++ d.live, acc.txns ++ d.txns,
+          acc.dead ++ d.dead)
+    }
+  }
+
   private def latestManifest0(fs: FileSystem,
       dir: Path): Option[ManifestData] = {
     val ms = manifestFiles(fs, dir)
     if (ms.isEmpty) None
-    else {
-      val (g, p) = ms.maxBy(_._1)
-      val in = fs.open(p)
-      try {
-        val src = scala.io.Source.fromInputStream(in, "UTF-8")
-        Some(parseManifest(g, src.getLines().filter(_.nonEmpty).toVector))
-      } finally in.close()
-    }
+    else Some(foldChunks(chainAt(fs, dir, ms, ms.map(_._1).max)))
   }
 
   /** Resolve a (possibly manifest-managed) directory's LIVE file set
@@ -739,15 +822,20 @@ object Compact {
     * names (format v2 — a data file name can never start with `#`). */
   private def writeManifest(fs: FileSystem, dir: Path, gen: Long,
       names: Seq[String], txns: Map[String, Long] = Map.empty,
-      dead: Seq[(Long, String)] = Nil): scala.Unit = {
+      dead: Seq[(Long, String)] = Nil,
+      delta: Boolean = false): scala.Unit = {
     (names.iterator ++ dead.iterator.map(_._2)).foreach(n =>
       require(!n.startsWith("#") && !n.contains("\n"),
         s"unserializable manifest file name: $n"))
     txns.keysIterator.foreach(a =>
       require(!a.contains("\n"), s"unserializable txn app id: $a"))
-    val fin = new Path(dir, f"$ManifestPrefix$gen%09d")
-    require(!fs.exists(fin), s"manifest generation $gen already exists")
-    val tmp = new Path(dir, f".$ManifestPrefix$gen%09d.tmp")
+    val base = f"$ManifestPrefix$gen%09d"
+    require(!fs.exists(new Path(dir, base)) &&
+        !fs.exists(new Path(dir, base + DeltaSuffix)),
+      s"manifest generation $gen already exists")
+    val finName = if (delta) base + DeltaSuffix else base
+    val fin = new Path(dir, finName)
+    val tmp = new Path(dir, s".$finName.tmp")
     val lines =
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn:$a:$b" } ++
         dead.map { case (ts, n) => s"#dead:$ts:$n" } ++ names
@@ -785,16 +873,12 @@ object Compact {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val ms = manifestFiles(fs, p)
     require(ms.nonEmpty, s"$path is not manifest-managed")
-    val mp = ms.find(_._1 == gen).map(_._2).getOrElse(
+    if (!ms.exists(_._1 == gen))
       throw new IllegalArgumentException(
         s"generation $gen is not retained at $path (retained: " +
           s"${ms.map(_._1).sorted.mkString(", ")}) — vacuumed past " +
-          "the horizon?"))
-    val in = fs.open(mp)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toVector
-    finally in.close()
-    val m = parseManifest(gen, lines)
+          "the horizon?")
+    val m = foldChunks(chainAt(fs, p, ms, gen))
     require(m.live.nonEmpty, s"generation $gen at $path lists no files")
     val missing = m.live.filterNot(n => fs.exists(new Path(p, n)))
     require(missing.isEmpty,
@@ -977,11 +1061,16 @@ object Compact {
     fs.delete(scratch, true)
     val newNames = appended.result()
 
-    // THE commit: old live ++ new, the writer's txn token recorded,
-    // tombstones carried (superseded manifests stay for vacuum)
-    writeManifest(fs, dir, gen, live.map(_.getPath.getName) ++ newNames,
-      txns = mf.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
-      dead = mf.map(_.dead).getOrElse(Vector.empty))
+    // THE commit. On the checkpoint cadence the full state restates
+    // (old live ++ new, merged txn tokens, carried tombstones);
+    // otherwise a DELTA manifest records only the appended names and
+    // this writer's token — O(batch) bytes however large the table
+    if (gen % ManifestCheckpointEvery == 0L)
+      writeManifest(fs, dir, gen, live.map(_.getPath.getName) ++ newNames,
+        txns = mf.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
+        dead = mf.map(_.dead).getOrElse(Vector.empty))
+    else
+      writeManifest(fs, dir, gen, newNames, txns = txn.toMap, delta = true)
 
     CompactReport(
       nFilesBefore = live.length.toLong,
@@ -1074,10 +1163,14 @@ object Compact {
           appended += nm
         }
         val newNames = appended.result()
-        writeManifest(fs, leaf, gen,
-          live.map(_.getPath.getName) ++ newNames,
-          txns = mf.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
-          dead = mf.map(_.dead).getOrElse(Vector.empty))
+        if (gen % ManifestCheckpointEvery == 0L)
+          writeManifest(fs, leaf, gen,
+            live.map(_.getPath.getName) ++ newNames,
+            txns = mf.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
+            dead = mf.map(_.dead).getOrElse(Vector.empty))
+        else
+          writeManifest(fs, leaf, gen, newNames, txns = txn.toMap,
+            delta = true)
         appendedTotal += newNames.length.toLong
       }
     }
@@ -1456,8 +1549,8 @@ object Compact {
       val files = snaps.flatMap { snap =>
         val leaf = new Path(snap.leaf)
         snap.manifest match {
-          case Some((g, lines)) =>
-            parseManifest(g, lines).live.map(n => new Path(leaf, n).toString)
+          case Some(chain) =>
+            foldChunks(chain).live.map(n => new Path(leaf, n).toString)
           case None => snap.files.map { case (n, _) =>
             new Path(leaf, n).toString }
         }
@@ -1593,12 +1686,28 @@ object Compact {
         deleteDistributed(spark,
           expired.map { case (_, n) => new Path(dir, n).toString }, conf)
         val latestGen = if (expired.nonEmpty) m.gen + 1L else m.gen
-        val oldManifests = fs.listStatus(dir).toVector.filter(_.isFile)
-          .flatMap(s => manifestGen(s.getPath.getName).map((_, s)))
-          .filter { case (g, s) =>
-            g < latestGen && s.getModificationTime < cutoff
+        // a retained generation must keep its whole resolution CHAIN
+        // (deltas back to their base checkpoint) readable, however
+        // old those chain members are — compute the keep-closure of
+        // every generation inside the horizon, then delete the rest
+        val entries = fs.listStatus(dir).toVector.filter(_.isFile)
+          .flatMap(s => manifestKind(s.getPath.getName).map {
+            case (g, d) => (g, d, s)
+          })
+        val byGen = entries.map(t => t._1 -> t).toMap
+        val keep = scala.collection.mutable.Set.empty[Long]
+        entries.foreach { case (g0, _, s) =>
+          if (g0 >= latestGen || s.getModificationTime >= cutoff) {
+            var g = g0
+            var cont = true
+            while (cont && !keep.contains(g) && byGen.contains(g)) {
+              keep += g
+              if (byGen(g)._2) g -= 1L else cont = false
+            }
           }
-        oldManifests.foreach { case (_, s) =>
+        }
+        val oldManifests = entries.filterNot(e => keep.contains(e._1))
+        oldManifests.foreach { case (_, _, s) =>
           fs.delete(s.getPath, false): scala.Unit
         }
         VacuumReport(expired.length.toLong, oldManifests.length.toLong,
@@ -1719,9 +1828,9 @@ object Compact {
       def stat(name: String, len: Long): FileStatus =
         new FileStatus(len, false, 1, 0L, 0L, new Path(leaf, name))
       val files: Vector[FileStatus] = snap.manifest match {
-        case Some((g, lines)) => // manifest-managed leaf: manifest order
+        case Some(chain) => // manifest-managed leaf: manifest order
           val byName = snap.files.toMap
-          parseManifest(g, lines).live
+          foldChunks(chain).live
             .flatMap(n => byName.get(n).map(stat(n, _)))
         case None => snap.files.map { case (n, len) => stat(n, len) }
       }

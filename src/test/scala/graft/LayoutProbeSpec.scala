@@ -854,7 +854,7 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
     val leaf2 = new java.io.File(s"$t/p=2")
     val gen2 = Compact.tableState(spark, s"$t/p=2").get.gen
     leaf2.listFiles().filter { f =>
-      f.getName == f"_GRAFT_MANIFEST-g$gen2%09d" ||
+      f.getName.startsWith(f"_GRAFT_MANIFEST-g$gen2%09d") ||
         f.getName.contains(f"-g$gen2%09d-append")
     }.foreach(f => assert(f.delete(), s"rollback failed for $f"))
     assert(ids().length === 900 - 100, "rollback fixture wrong")
@@ -866,6 +866,64 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
     (0 to 2).foreach { p =>
       assert(Compact.tableState(spark, s"$t/p=$p").get.txns === Map("w" -> 2L))
     }
+  }
+
+  test("manifest delta chain: appends commit O(batch) bytes, checkpoints " +
+      "roll on cadence, vacuum keeps a retained delta's whole chain") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-dchain").toString
+    val t = s"$base/t"
+    (1 to 20).foreach { b =>
+      Compact.appendManaged(spark, t,
+        Seq(((b - 1).toLong, b.toLong * 3L)).toDF("id", "v").coalesce(1),
+        txn = Some(("w", b.toLong))): Unit
+    }
+    // gens 0 (identity) .. 20; checkpoints exactly at the cadence
+    // (g0 and g16), deltas everywhere else — name-encoded kind
+    val names = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.startsWith("_GRAFT_MANIFEST-g")).sorted.toSeq
+    val checkpoints = names.filterNot(_.endsWith(".delta"))
+    val deltas = names.filter(_.endsWith(".delta"))
+    assert(checkpoints === Seq("_GRAFT_MANIFEST-g000000000",
+      "_GRAFT_MANIFEST-g000000016"))
+    assert(deltas.length === 19)
+    // a delta carries ONLY its batch: one appended name + one txn line
+    val d5 = scala.io.Source.fromFile(
+      s"$t/_GRAFT_MANIFEST-g000000005.delta").getLines().toVector
+    assert(d5 === Vector("#txn:w:5", "part-000000000-g000000005-append.parquet"))
+    // the checkpoint restates the full state (16 names: none appended
+    // at g0, one per gen 1..16)
+    val c16 = scala.io.Source.fromFile(
+      s"$t/_GRAFT_MANIFEST-g000000016").getLines().toVector
+    assert(c16.count(!_.startsWith("#")) === 16)
+    // readers fold the chain: full state, merged txn token, and time
+    // travel to a mid-chain delta sees exactly its prefix
+    assert(Compact.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === (0L until 20L))
+    assert(Compact.tableState(spark, t).get.txns === Map("w" -> 20L))
+    assert(Compact.readAt(spark, t, 7L).count() === 7L)
+    // vacuum with EVERYTHING aged keeps exactly the latest
+    // generation's chain (g16 checkpoint + deltas 17..20 — the base
+    // checkpoint survives HOWEVER old it is) and reclaims the 16
+    // generations nothing retained needs
+    val farFuture = System.currentTimeMillis() + (1L << 40)
+    val r1 = Compact.vacuum(spark, t, 0L, farFuture)
+    assert(r1.nManifestsDeleted === 16L)
+    assert(Compact.readAt(spark, t, 17L).count() === 17L)
+    intercept[IllegalArgumentException] { Compact.readAt(spark, t, 7L) }
+    assert(Compact.read(spark, t).count() === 20L)
+    // compaction rolls a fresh checkpoint; now an all-aged vacuum can
+    // reclaim the entire old chain and history collapses to it
+    Compact.binPackInPlace(spark, t, targetBytes = 1L << 26): Unit
+    Compact.vacuum(spark, t, 0L, farFuture): Unit
+    val left = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.startsWith("_GRAFT_MANIFEST-g")).toSeq
+    assert(left.forall(!_.endsWith(".delta")), s"delta survived: $left")
+    intercept[IllegalArgumentException] { Compact.readAt(spark, t, 7L) }
+    assert(Compact.read(spark, t).count() === 20L)
+    assert(Compact.tableState(spark, t).get.txns === Map("w" -> 20L),
+      "txn tokens must survive checkpoint + vacuum")
   }
 
   test("readAt: time travel reaches every retained generation and fails " +
