@@ -790,6 +790,39 @@ object DocQueries {
             col("text"))) % 1000003L).as("content_sig"))
         .orderBy("source")
     }),
+    "q_read_changes" -> ((s, dir) => {
+      // INCREMENTAL CONSUMPTION (round 15): seed a third of the
+      // corpus (identity manifest g0), append the other two thirds as
+      // two committed batches (g1, g2), then read only the INCREMENT
+      // between retained generations — the change feed a downstream
+      // delta pipeline (cross-corpus dedup, index refresh) consumes
+      // instead of re-scanning the table. Cards over (0,2] and (1,2]
+      // pin that the file increment is exactly the appended batches.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-rchg").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
+      val d = documents(s, dir)
+        .select("doc_id", "text", "source", "n_chars")
+      d.filter(col("doc_id") % 3 === 0).repartition(2)
+        .write.parquet(s"$root/t")
+      graft.operators.Compact.appendManaged(s, s"$root/t",
+        d.filter(col("doc_id") % 3 === 1).repartition(2))
+      graft.operators.Compact.appendManaged(s, s"$root/t",
+        d.filter(col("doc_id") % 3 === 2).repartition(2))
+      Seq(0L, 1L).map { g =>
+        graft.operators.Compact.readChanges(s, s"$root/t", g, 2L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(TextOps.hash56(concat_ws(":", lit("cmp"), col("doc_id"),
+              col("text"))) % 1000003L).as("content_sig"))
+          .withColumn("from_gen", lit(g))
+          .select("from_gen", "source", "n_docs", "sum_chars",
+            "content_sig")
+      }.reduce(_.unionByName(_)).orderBy("from_gen", "source")
+    }),
     "q_manifest_history" -> ((s, dir) => {
       // TIME TRAVEL through the retention window (round 15): seed the
       // even half (identity manifest g0), append the odd half (g1),
@@ -4636,6 +4669,20 @@ object DocQueries {
          |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
          |    % 1000003)::BIGINT AS content_sig
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_read_changes" ->
+      // the per-source cards of the appended increment: from g0 both
+      // appended batches (doc_id % 3 in {1, 2}), from g1 only the
+      // second (doc_id % 3 = 2) — never the seeded third
+      s"""WITH gens AS (SELECT * FROM (VALUES (0), (1)) AS g(from_gen))
+         |SELECT gens.from_gen::BIGINT AS from_gen, source,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
+         |    % 1000003)::BIGINT AS content_sig
+         |FROM gens JOIN documents d
+         |  ON (d.doc_id % 3 = 2 OR (gens.from_gen = 0 AND d.doc_id % 3 = 1))
+         |GROUP BY 1, 2 ORDER BY from_gen, source""".stripMargin,
 
     "q_manifest_history" ->
       // time travel through the retention window: generation 0 is the

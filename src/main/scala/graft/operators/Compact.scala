@@ -887,6 +887,55 @@ object Compact {
     spark.read.parquet(m.live.map(n => new Path(p, n).toString): _*)
   }
 
+  /** INCREMENTAL read — the rows appended in generations
+    * `(fromGen, toGen]` (round 15; the change-data feed an
+    * incremental consumer reads instead of re-scanning the table:
+    * cross-corpus dedup on the delta, index refresh, downstream
+    * training-shard production). Appends only ever extend the live
+    * list at its tail, so over an append-only range the increment IS
+    * a file set: the files `toGen` lists beyond `fromGen`'s prefix.
+    * A compaction/Z-order inside the range rewrote rows — the
+    * increment is then not expressible as files and this FAILS FAST
+    * (re-read the table, or consume between OPTIMIZE runs; the same
+    * restriction Delta's CDF lifts only by paying per-row tracking).
+    * Both endpoints must be retained generations ([[vacuum]]
+    * horizon), and a consumer tracks its own `fromGen` watermark —
+    * [[tableState]] supplies the current generation. */
+  def readChanges(spark: SparkSession, path: String,
+      fromGen: Long, toGen: Long): DataFrame = {
+    require(fromGen < toGen,
+      s"need fromGen < toGen, got ($fromGen, $toGen]")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val ms = manifestFiles(fs, p)
+    require(ms.nonEmpty, s"$path is not manifest-managed")
+    def at(g: Long): ManifestData = {
+      if (!ms.exists(_._1 == g))
+        throw new IllegalArgumentException(
+          s"generation $g is not retained at $path (retained: " +
+            s"${ms.map(_._1).sorted.mkString(", ")}) — vacuumed past " +
+            "the horizon?")
+      foldChunks(chainAt(fs, p, ms, g))
+    }
+    val from = at(fromGen)
+    val to = at(toGen)
+    require(to.live.take(from.live.length) == from.live,
+      s"generations ($fromGen, $toGen] at $path include a rewrite " +
+        "(compaction/Z-order) — the change set is not a file " +
+        "increment; re-read the table instead")
+    val added = to.live.drop(from.live.length)
+    if (added.isEmpty) {
+      require(to.live.nonEmpty,
+        s"generation $toGen at $path lists no files to derive a schema")
+      return spark.read.parquet(new Path(p, to.live.head).toString).limit(0)
+    }
+    val missing = added.filterNot(n => fs.exists(new Path(p, n)))
+    require(missing.isEmpty,
+      s"change files vacuumed past the horizon: " +
+        missing.take(5).mkString(", "))
+    spark.read.parquet(added.map(n => new Path(p, n).toString): _*)
+  }
+
   /** [[binPack]] IN PLACE — the OPTIMIZE loop's face: the same path
     * keeps serving while it compacts, and files at or above
     * `smallBytes` are NEVER touched (not rewritten, not copied, not

@@ -966,6 +966,39 @@ object Streaming {
         retentionMillis, clock()): Unit
   }
 
+  /** [[managedParquetSink]] for a HIVE-PARTITIONED table (round 15 —
+    * the deployment shape: a stream lands `dt=…/source=…` leaves, and
+    * each micro-batch carries many partition values): every batch
+    * routes through ONE partitioned write into per-leaf atomic
+    * manifest commits
+    * ([[graft.operators.Compact.appendManagedPartitioned]]), with the
+    * `(txnAppId, batchId)` token recorded PER LEAF — a replayed batch
+    * no-ops the leaves it already committed and lands exactly the
+    * missing ones, so retries converge to exactly-once leaf by leaf.
+    * Maintenance composes the partitioned verbs: `compactEvery`
+    * batches → [[graft.operators.Compact.binPackPartitionedInPlace]]
+    * (pooled per-leaf rewrite waves), `vacuumEvery` →
+    * [[graft.operators.Compact.vacuumPartitioned]]. Readers go
+    * through [[graft.operators.Compact.readPartitioned]]. */
+  def managedParquetSinkPartitioned(path: String,
+      partitionCols: Seq[String], targetBytes: Long,
+      compactEvery: Long,
+      txnAppId: String = "graft-managed-sink",
+      vacuumEvery: Long = 0L,
+      retentionMillis: Long = 0L,
+      clock: () => Long = () => System.currentTimeMillis())
+      : (DataFrame, Long) => Unit =
+  { (batch, id) =>
+    graft.operators.Compact.appendManagedPartitioned(batch.sparkSession,
+      path, batch, partitionCols, txn = Some((txnAppId, id))): Unit
+    if (compactEvery > 0L && (id + 1L) % compactEvery == 0L)
+      graft.operators.Compact.binPackPartitionedInPlace(batch.sparkSession,
+        path, targetBytes, nowMillis = clock()): Unit
+    if (vacuumEvery > 0L && (id + 1L) % vacuumEvery == 0L)
+      graft.operators.Compact.vacuumPartitioned(batch.sparkSession, path,
+        retentionMillis, clock()): Unit
+  }
+
   def streamingHllRegisters(
       events: DataFrame,
       key: Column,

@@ -926,6 +926,40 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       "txn tokens must survive checkpoint + vacuum")
   }
 
+  test("readChanges: the appended increment between retained generations; " +
+      "rewrites in range fail fast") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-rchg").toString
+    val t = s"$base/t"
+    val d = (0 until 900).map(i => (i.toLong, i.toLong * 5L)).toDF("a", "b")
+    d.filter(col("a") % 3 === 0).repartition(2).write.parquet(t)
+    Compact.appendManaged(spark, t,
+      d.filter(col("a") % 3 === 1).repartition(2)): Unit
+    Compact.appendManaged(spark, t,
+      d.filter(col("a") % 3 === 2).repartition(2)): Unit
+    def ch(from: Long, to: Long) = Compact.readChanges(spark, t, from, to)
+      .select("a").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ch(0L, 2L) === (0L until 900L).filter(_ % 3L != 0L))
+    assert(ch(1L, 2L) === (0L until 900L).filter(_ % 3L == 2L))
+    assert(ch(0L, 1L) === (0L until 900L).filter(_ % 3L == 1L))
+    // a rewrite inside the range: the increment is no longer a file
+    // set — fail fast rather than serve rewritten rows as "changes"
+    Compact.binPackInPlace(spark, t, targetBytes = 1L << 26): Unit
+    intercept[IllegalArgumentException] {
+      Compact.readChanges(spark, t, 2L, 3L)
+    }
+    // consumption resumes across the rewrite: the next append's
+    // increment reads from the compacted generation
+    Compact.appendManaged(spark, t,
+      Seq((9000L, 1L), (9001L, 2L)).toDF("a", "b").coalesce(1)): Unit
+    assert(ch(3L, 4L) === Seq(9000L, 9001L))
+    // endpoints must be retained generations
+    intercept[IllegalArgumentException] {
+      Compact.readChanges(spark, t, 4L, 99L)
+    }
+  }
+
   test("readAt: time travel reaches every retained generation and fails " +
       "fast past the vacuum horizon") {
     import spark.implicits._

@@ -312,6 +312,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "compaction dropped the txn tokens — replay duplicated rows")
   }
 
+  test("managedParquetSinkPartitioned: per-leaf exactly-once appends with " +
+      "partitioned compaction and vacuum in the loop") {
+    import graft.operators.Compact
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-mpart").toString
+    val path = s"$base/t"
+    def mk(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, (i % 3).toLong)).toDF("id", "p")
+    def ids() = Compact.readPartitioned(spark, path)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // a strictly-advancing injected clock so every compaction's
+    // tombstones age past the zero-retention horizon by vacuum time
+    var now = 1000000L
+    val clock = () => { now += 1000000L; now }
+    val sink = Streaming.managedParquetSinkPartitioned(path, Seq("p"),
+      targetBytes = 1L << 26, compactEvery = 2L,
+      vacuumEvery = 4L, retentionMillis = 0L, clock = clock)
+
+    sink(mk(0, 30), 0L)
+    assert(ids() === (0L until 30L))
+    sink(mk(0, 30), 0L) // the at-least-once replay window
+    assert(ids() === (0L until 30L), "replayed batch duplicated rows")
+    sink(mk(30, 60), 1L) // compaction fires after this batch
+    sink(mk(60, 90), 2L)
+    sink(mk(30, 60), 1L) // late replay after a compaction: still no-op
+    sink(mk(90, 120), 3L) // compaction + vacuum fire after this batch
+    assert(ids() === (0L until 120L))
+    // every leaf carries the sink's token at the last committed batch
+    (0 to 2).foreach { pv =>
+      assert(Compact.tableState(spark, s"$path/p=$pv").get.txns ===
+        Map("graft-managed-sink" -> 3L), s"leaf p=$pv token wrong")
+    }
+    // the final sink call compacted then vacuumed (the advancing
+    // clock ages each compaction's tombstones past the horizon); one
+    // idempotent extra pass, then each leaf's on-disk files must be
+    // exactly its live set
+    Compact.vacuumPartitioned(spark, path, 0L, clock()): Unit
+    (0 to 2).foreach { pv =>
+      val leaf = new java.io.File(s"$path/p=$pv")
+      val parts = leaf.listFiles().filter(_.getName.startsWith("part-"))
+      val st = Compact.tableState(spark, s"$path/p=$pv").get
+      assert(st.live.length === parts.length.toLong,
+        s"leaf p=$pv on-disk files diverge from the live set")
+      assert(st.live.length <= 2, s"leaf p=$pv small-file tail unbounded")
+    }
+    assert(Compact.recoverSwapPartitioned(spark, path).startsWith("clean"))
+  }
+
   test("streamingScrubStack replays the batch scrub-stack card bitwise") {
     import graft.streaming.StreamDoc
     implicit val sqlCtx = spark.sqlContext
