@@ -790,6 +790,38 @@ object DocQueries {
             col("text"))) % 1000003L).as("content_sig"))
         .orderBy("source")
     }),
+    "q_skipping" -> ((s, dir) => {
+      // DATA SKIPPING (round 15): four appends, each a contiguous
+      // doc_id slab, with per-file min/max bounds recorded in the
+      // manifest at commit time (parquet-footer metadata, one
+      // distributed job per batch); readBetween drops slabs whose
+      // bounds miss [130, 240] BEFORE any footer is fetched and
+      // applies the residual filter, so the card equals the plain
+      // WHERE — the file-level pruning itself is pinned in
+      // LayoutProbeSpec via inputFiles.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-skip").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
+      val d = documents(s, dir)
+        .select("doc_id", "text", "source", "n_chars")
+      Seq((0L, 125L), (125L, 250L), (250L, 375L), (375L, Long.MaxValue))
+        .foreach { case (lo, hi) =>
+          graft.operators.Compact.appendManaged(s, s"$root/t",
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi)
+              .repartition(1),
+            statsCols = Seq("doc_id")): Unit
+        }
+      graft.operators.Compact.readBetween(s, s"$root/t", "doc_id",
+          130L, 240L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextOps.hash56(concat_ws(":", lit("cmp"), col("doc_id"),
+            col("text"))) % 1000003L).as("content_sig"))
+        .orderBy("source")
+    }),
     "q_read_changes" -> ((s, dir) => {
       // INCREMENTAL CONSUMPTION (round 15): seed a third of the
       // corpus (identity manifest g0), append the other two thirds as
@@ -4669,6 +4701,16 @@ object DocQueries {
          |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
          |    % 1000003)::BIGINT AS content_sig
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_skipping" ->
+      // the pruned range read must equal the plain WHERE — skipping
+      // is a scan-cost optimization, never a semantics change
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
+         |    % 1000003)::BIGINT AS content_sig
+         |FROM documents WHERE doc_id BETWEEN 130 AND 240
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_read_changes" ->
       // the per-source cards of the appended increment: from g0 both

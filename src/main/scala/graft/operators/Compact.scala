@@ -657,8 +657,19 @@ object Compact {
     * Every commit carries `txns` and `dead` forward, so the LATEST
     * manifest alone describes every on-disk file: live, tombstoned,
     * or crash residue (in neither set — [[recoverSwap]] sweeps it). */
+  /** One column's data-skipping bounds for one file (round 15 — the
+    * Delta/Iceberg per-file min/max stats): `kind` is `i` (integral,
+    * compared as Long), `d` (floating, compared as Double), or `s`
+    * (UTF-8 string, compared lexicographically). Values serialize
+    * as strings; bounds are CONSERVATIVE (a truncated parquet footer
+    * bound still brackets the true range), so pruning can only keep
+    * extra files, never drop a matching one. */
+  final case class ColStat(col: String, kind: String,
+      min: String, max: String)
+
   final case class ManifestData(gen: Long, live: Vector[String],
-      txns: Map[String, Long], dead: Vector[(Long, String)]) {
+      txns: Map[String, Long], dead: Vector[(Long, String)],
+      stats: Map[String, Vector[ColStat]] = Map.empty) {
     def deadNames: Set[String] = dead.iterator.map(_._2).toSet
   }
 
@@ -700,13 +711,21 @@ object Compact {
     latestManifest0(fs, p)
   }
 
+  private def b64e(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
   /** Parse one manifest's lines. `#txn:` / `#dead:` directives came
-    * in with format v2; plain lines are live names (v1 manifests are
-    * all-plain, so they parse as live-only — forward compatible). */
+    * in with format v2, `#stats:` with v3; plain lines are live names
+    * (v1 manifests are all-plain, so they parse as live-only —
+    * forward compatible). */
   private def parseManifest(gen: Long, lines: Vector[String]): ManifestData = {
     val live = Vector.newBuilder[String]
     val txns = Map.newBuilder[String, Long]
     val dead = Vector.newBuilder[(Long, String)]
+    val stats = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[ColStat]]
     lines.foreach { ln =>
       if (ln.startsWith("#txn:")) {
         val rest = ln.stripPrefix("#txn:")
@@ -720,13 +739,22 @@ object Compact {
         require(i > 0 && rest.take(i).forall(_.isDigit),
           s"unparseable manifest tombstone line: $ln")
         dead += ((rest.take(i).toLong, rest.drop(i + 1)))
+      } else if (ln.startsWith("#stats:")) {
+        val parts = ln.stripPrefix("#stats:").split(":", -1)
+        require(parts.length == 5,
+          s"unparseable manifest stats line: $ln")
+        val f = b64d(parts(0))
+        stats.updateWith(f)(prev => Some(prev.getOrElse(Vector.empty) :+
+          ColStat(b64d(parts(1)), parts(2), b64d(parts(3)), b64d(parts(4)))))
+          : scala.Unit
       } else {
         require(!ln.startsWith("#"),
           s"unknown manifest directive (newer writer?): $ln")
         live += ln
       }
     }
-    ManifestData(gen, live.result(), txns.result(), dead.result())
+    ManifestData(gen, live.result(), txns.result(), dead.result(),
+      stats.toMap)
   }
 
   private def loadLines(fs: FileSystem, p: Path): Vector[String] = {
@@ -774,7 +802,7 @@ object Compact {
             s"(expected delta g${acc.gen + 1L})")
         val d = parseManifest(g, lines)
         ManifestData(g, acc.live ++ d.live, acc.txns ++ d.txns,
-          acc.dead ++ d.dead)
+          acc.dead ++ d.dead, acc.stats ++ d.stats)
     }
   }
 
@@ -823,7 +851,8 @@ object Compact {
   private def writeManifest(fs: FileSystem, dir: Path, gen: Long,
       names: Seq[String], txns: Map[String, Long] = Map.empty,
       dead: Seq[(Long, String)] = Nil,
-      delta: Boolean = false): scala.Unit = {
+      delta: Boolean = false,
+      stats: Map[String, Vector[ColStat]] = Map.empty): scala.Unit = {
     (names.iterator ++ dead.iterator.map(_._2)).foreach(n =>
       require(!n.startsWith("#") && !n.contains("\n"),
         s"unserializable manifest file name: $n"))
@@ -838,7 +867,11 @@ object Compact {
     val tmp = new Path(dir, s".$finName.tmp")
     val lines =
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn:$a:$b" } ++
-        dead.map { case (ts, n) => s"#dead:$ts:$n" } ++ names
+        dead.map { case (ts, n) => s"#dead:$ts:$n" } ++
+        stats.toSeq.sortBy(_._1).flatMap { case (f, cs) =>
+          cs.map(c => s"#stats:${b64e(f)}:${b64e(c.col)}:${c.kind}:" +
+            s"${b64e(c.min)}:${b64e(c.max)}")
+        } ++ names
     val outS = fs.create(tmp, true)
     try outS.write(lines.mkString("\n").getBytes("UTF-8"))
     finally outS.close()
@@ -936,6 +969,100 @@ object Compact {
     spark.read.parquet(added.map(n => new Path(p, n).toString): _*)
   }
 
+  /** Establish (or extend) DATA-SKIPPING stats on a managed table:
+    * per-file min/max bounds for `cols`, read from parquet FOOTERS by
+    * one distributed metadata job and committed as `#stats:` manifest
+    * lines (round 15 — the Delta/Iceberg per-file-stats face). Files
+    * already carrying bounds for every requested column are not
+    * re-opened. Once established the stats are self-maintaining:
+    * [[appendManaged]] extends them to every new batch,
+    * [[binPackInPlace]] carries untouched files and recomputes packed
+    * ones, [[optimizeZorder]] recomputes over the re-clustered layout
+    * (where clustering makes the bounds SHARP), and [[vacuum]]
+    * carries them through its commit. [[readBetween]] consumes them.
+    * Returns the number of files profiled. */
+  def collectStats(spark: SparkSession, path: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "collectStats needs at least one column")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    require(fs.exists(dir), s"no table at $path")
+    val (mf, live) = resolveLive(fs, dir, "recoverSwap")
+    val gen = mf.map(_.gen).getOrElse(0L) + 1L
+    if (mf.isEmpty)
+      writeManifest(fs, dir, 0L, live.map(_.getPath.getName))
+    val have = mf.map(_.stats).getOrElse(Map.empty)
+    val names = live.map(_.getPath.getName)
+    val todo = names.filter(n => !cols.forall(c =>
+      have.get(n).exists(_.exists(_.col == c))))
+    val fresh = footerStats(spark, conf, dir, todo, cols)
+    writeManifest(fs, dir, gen, names,
+      txns = mf.map(_.txns).getOrElse(Map.empty),
+      dead = mf.map(_.dead).getOrElse(Vector.empty),
+      stats = have.view.filterKeys(names.toSet).toMap ++
+        fresh.map { case (f, cs) =>
+          f -> (have.getOrElse(f, Vector.empty)
+            .filterNot(s => cs.exists(_.col == s.col)) ++ cs)
+        })
+    todo.length.toLong
+  }
+
+  /** Range read with FILE-LEVEL data skipping (round 15): resolve the
+    * live set, drop every file whose manifest bounds for `col` cannot
+    * intersect `[lo, hi]`, and scan only the survivors — the residual
+    * filter still applies, so the result ALWAYS equals the plain
+    * `read(...).filter(col between lo and hi)` and pruning is purely
+    * a scan-cost optimization (files without bounds, or with an
+    * incomparable kind, are conservatively kept). Parquet's own
+    * row-group pruning works WITHIN files Spark already opened; this
+    * prunes at the MANIFEST, before any footer is fetched — on a
+    * Z-ordered 100 TB table the difference between touching every
+    * file's footer and touching the few whose range matches. */
+  def readBetween(spark: SparkSession, path: String, col: String,
+      lo: Long, hi: Long): DataFrame =
+    readBetweenImpl(spark, path, col, st => st.kind match {
+      case "i" => st.min.toLong <= hi && st.max.toLong >= lo
+      case "d" => st.min.toDouble <= hi.toDouble &&
+        st.max.toDouble >= lo.toDouble
+      case _ => true
+    }, c => c >= lo && c <= hi)
+
+  /** [[readBetween]] for string bounds (lexicographic; `s`-kind
+    * stats). */
+  def readBetween(spark: SparkSession, path: String, col: String,
+      lo: String, hi: String): DataFrame =
+    readBetweenImpl(spark, path, col, st => st.kind match {
+      case "s" => st.min <= hi && st.max >= lo
+      case _ => true
+    }, c => c >= lo && c <= hi)
+
+  private def readBetweenImpl(spark: SparkSession, path: String,
+      colName: String, keep: ColStat => Boolean,
+      residual: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = latestManifest0(fs, p).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not manifest-managed — readBetween prunes off " +
+          "manifest stats; use collectStats first"))
+    val chosen = m.live.filter { n =>
+      m.stats.get(n).flatMap(_.find(_.col == colName)) match {
+        case Some(st) => keep(st)
+        case None => true // no bounds — conservative
+      }
+    }
+    val pred = residual(col(colName))
+    if (chosen.isEmpty) {
+      require(m.live.nonEmpty, s"empty table at $path")
+      return spark.read.parquet(new Path(p, m.live.head).toString)
+        .limit(0).filter(pred)
+    }
+    spark.read.parquet(chosen.map(n => new Path(p, n).toString): _*)
+      .filter(pred)
+  }
+
   /** [[binPack]] IN PLACE — the OPTIMIZE loop's face: the same path
     * keeps serving while it compacts, and files at or above
     * `smallBytes` are NEVER touched (not rewritten, not copied, not
@@ -1025,11 +1152,23 @@ object Compact {
 
     // step 4: THE commit — rewritten inputs become tombstones (files
     // stay on disk for in-flight readers until vacuum), txn tokens
-    // and earlier tombstones carry forward
+    // and earlier tombstones carry forward; data-skipping stats carry
+    // for untouched files and RECOMPUTE (footer metadata only) for
+    // the packed ones, so skipping survives OPTIMIZE
+    val carried = mf.map(_.stats).getOrElse(Map.empty)
+    val trackCols = carried.valuesIterator
+      .flatMap(_.map(_.col)).toVector.distinct
+    val untouchedNames = units.collect {
+      case CopyFile(f) => f.getPath.getName }.toSet
+    val statsOut =
+      if (trackCols.isEmpty) Map.empty[String, Vector[ColStat]]
+      else carried.view.filterKeys(untouchedNames).toMap ++ footerStats(
+        spark, conf, dir, newLive.filterNot(untouchedNames), trackCols)
     writeManifest(fs, dir, gen, newLive,
       txns = mf.map(_.txns).getOrElse(Map.empty),
       dead = mf.map(_.dead).getOrElse(Vector.empty) ++
-        bins.flatMap(_.map(f => (nowMillis, f.getPath.getName))))
+        bins.flatMap(_.map(f => (nowMillis, f.getPath.getName))),
+      stats = statsOut)
 
     CompactReport(
       nFilesBefore = live.length.toLong,
@@ -1063,7 +1202,8 @@ object Compact {
     * cannot duplicate rows. Batch ids must be nondecreasing per appId
     * (Structured Streaming's contract). */
   def appendManaged(spark: SparkSession, path: String,
-      df: DataFrame, txn: Option[(String, Long)] = None): CompactReport = {
+      df: DataFrame, txn: Option[(String, Long)] = None,
+      statsCols: Seq[String] = Nil): CompactReport = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -1110,6 +1250,15 @@ object Compact {
     fs.delete(scratch, true)
     val newNames = appended.result()
 
+    // per-file data-skipping bounds for the NEW files only (footer
+    // metadata, one distributed job over the batch — the table's
+    // existing stats are never recomputed); the stat columns a table
+    // already tracks extend to the batch even when the caller passes
+    // none, so skipping stays whole-table once established
+    val trackCols = (statsCols ++ mf.toSeq.flatMap(
+      _.stats.valuesIterator.flatMap(_.map(_.col)))).distinct
+    val newStats = footerStats(spark, conf, dir, newNames, trackCols)
+
     // THE commit. On the checkpoint cadence the full state restates
     // (old live ++ new, merged txn tokens, carried tombstones);
     // otherwise a DELTA manifest records only the appended names and
@@ -1117,9 +1266,12 @@ object Compact {
     if (gen % ManifestCheckpointEvery == 0L)
       writeManifest(fs, dir, gen, live.map(_.getPath.getName) ++ newNames,
         txns = mf.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
-        dead = mf.map(_.dead).getOrElse(Vector.empty))
+        dead = mf.map(_.dead).getOrElse(Vector.empty),
+        stats = mf.map(m => m.stats.view
+          .filterKeys(m.live.toSet).toMap).getOrElse(Map.empty) ++ newStats)
     else
-      writeManifest(fs, dir, gen, newNames, txns = txn.toMap, delta = true)
+      writeManifest(fs, dir, gen, newNames, txns = txn.toMap, delta = true,
+        stats = newStats)
 
     CompactReport(
       nFilesBefore = live.length.toLong,
@@ -1311,11 +1463,17 @@ object Compact {
 
     // THE commit — every old live file becomes a tombstone (a
     // re-cluster rewrites the whole set), files retained for
-    // in-flight readers until vacuum; txn tokens carry forward
+    // in-flight readers until vacuum; txn tokens carry forward, and
+    // tracked data-skipping stats RECOMPUTE over the re-clustered
+    // files (this is where Z-order makes them sharp: clustered files
+    // span narrow ranges, so [[readBetween]] prunes most of them)
+    val zTrackCols = mf.map(_.stats.valuesIterator
+      .flatMap(_.map(_.col)).toVector.distinct).getOrElse(Vector.empty)
     writeManifest(fs, dir, gen, newLive,
       txns = mf.map(_.txns).getOrElse(Map.empty),
       dead = mf.map(_.dead).getOrElse(Vector.empty) ++
-        live.map(f => (nowMillis, f.getPath.getName)))
+        live.map(f => (nowMillis, f.getPath.getName)),
+      stats = footerStats(spark, conf, dir, newLive, zTrackCols))
 
     CompactReport(
       nFilesBefore = live.length.toLong,
@@ -1729,7 +1887,8 @@ object Compact {
       case Some(m) =>
         val (expired, kept) = m.dead.partition(_._1 < cutoff)
         if (expired.nonEmpty) // drop the tombstones BEFORE the deletes
-          writeManifest(fs, dir, m.gen + 1L, m.live, m.txns, kept)
+          writeManifest(fs, dir, m.gen + 1L, m.live, m.txns, kept,
+            stats = m.stats.view.filterKeys(m.live.toSet).toMap)
         // the reclaim set can be a whole superseded generation — past
         // a small threshold the deletes run as one Spark job
         deleteDistributed(spark,
@@ -1848,6 +2007,70 @@ object Compact {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try (idx, r.getRecordCount) finally r.close()
       }.collect().toMap
+  }
+
+  /** Per-file column BOUNDS read from parquet FOOTERS by one
+    * distributed job (metadata only, no data pages — the footerCounts
+    * pattern): for each requested column with valid statistics in
+    * every block, the min of block mins / max of block maxes, mapped
+    * to [[ColStat]] kinds (INT32/INT64 → `i`, FLOAT/DOUBLE → `d`,
+    * BINARY-UTF8 → `s`). A column with missing or unusable stats is
+    * simply absent — pruning then keeps the file, staying
+    * conservative. */
+  private def footerStats(spark: SparkSession, conf: Configuration,
+      dir: Path, names: Seq[String],
+      cols: Seq[String]): Map[String, Vector[ColStat]] = {
+    if (names.isEmpty || cols.isEmpty) return Map.empty
+    val ser = new SerConf(conf)
+    val dirS = dir.toString
+    val colSet = cols.toVector
+    val slices = math.max(1, math.min(names.length,
+      spark.sparkContext.defaultParallelism * 4))
+    spark.sparkContext.parallelize(names.toVector, slices)
+      .map { name =>
+        import scala.jdk.CollectionConverters._
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val p = new Path(new Path(dirS), name)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, ser.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val byCol = r.getFooter.getBlocks.asScala.toVector
+            .flatMap(_.getColumns.asScala)
+            .groupBy(_.getPath.toDotString)
+          val out = colSet.flatMap { c =>
+            byCol.get(c).filter(_.nonEmpty).flatMap { chunks =>
+              val sts = chunks.map(_.getStatistics)
+              if (sts.exists(s => s == null || s.isEmpty ||
+                  !s.hasNonNullValue)) None
+              else chunks.head.getPrimitiveType.getPrimitiveTypeName match {
+                case INT64 | INT32 =>
+                  Some(ColStat(c, "i",
+                    sts.map(_.genericGetMin.toString.toLong).min.toString,
+                    sts.map(_.genericGetMax.toString.toLong).max.toString))
+                case DOUBLE | FLOAT =>
+                  Some(ColStat(c, "d",
+                    sts.map(_.genericGetMin.toString.toDouble).min.toString,
+                    sts.map(_.genericGetMax.toString.toDouble).max.toString))
+                case BINARY =>
+                  val mins = sts.map(_.genericGetMin match {
+                    case b: org.apache.parquet.io.api.Binary =>
+                      b.toStringUsingUTF8
+                    case o => o.toString
+                  })
+                  val maxs = sts.map(_.genericGetMax match {
+                    case b: org.apache.parquet.io.api.Binary =>
+                      b.toStringUsingUTF8
+                    case o => o.toString
+                  })
+                  Some(ColStat(c, "s", mins.min, maxs.max))
+                case _ => None
+              }
+            }
+          }
+          (name, out)
+        } finally r.close()
+      }.collect().toMap.filter(_._2.nonEmpty)
   }
 
   /** [[profileFiles]] over a HIVE-PARTITIONED layout (round 14 —

@@ -926,6 +926,65 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       "txn tokens must survive checkpoint + vacuum")
   }
 
+  test("data skipping: manifest stats prune files readBetween never " +
+      "opens; maintained across append, OPTIMIZE, and Z-order") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-skip").toString
+    val t = s"$base/t"
+    // 4 appends, each a CONTIGUOUS 100-id range → sharp per-file bounds
+    (0 until 4).foreach { b =>
+      Compact.appendManaged(spark, t,
+        (b * 100 until (b + 1) * 100)
+          .map(i => (i.toLong, s"s${i / 100}", i.toDouble / 2))
+          .toDF("id", "tag", "x").coalesce(1),
+        statsCols = Seq("id", "tag")): Unit
+    }
+    def plain(lo: Long, hi: Long) = Compact.read(spark, t)
+      .filter(col("id") >= lo && col("id") <= hi)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    def pruned(lo: Long, hi: Long) = Compact.readBetween(spark, t, "id", lo, hi)
+    // correctness: identical to the plain filtered read
+    assert(pruned(150L, 249L).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === plain(150L, 249L))
+    // PRUNING: the scan opens exactly the files whose range intersects
+    assert(pruned(150L, 249L).inputFiles.length === 2)
+    assert(pruned(50L, 60L).inputFiles.length === 1)
+    assert(pruned(0L, 399L).inputFiles.length === 4)
+    // string bounds prune too; an untracked column prunes nothing but
+    // stays correct; an empty intersection reads zero rows
+    assert(Compact.readBetween(spark, t, "tag", "s1", "s2")
+      .inputFiles.length === 2)
+    assert(Compact.readBetween(spark, t, "x", 10L, 20L)
+      .inputFiles.length === 4)
+    assert(pruned(1000L, 2000L).count() === 0L)
+    // stats survive OPTIMIZE: the packed file gets recomputed bounds
+    Compact.binPackInPlace(spark, t, targetBytes = 1L << 26): Unit
+    assert(Compact.tableState(spark, t).get.stats.values
+      .flatMap(_.map(_.col)).toSet === Set("id", "tag"))
+    assert(pruned(150L, 249L).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === plain(150L, 249L))
+    assert(pruned(1000L, 2000L).count() === 0L)
+
+    // the Z-order composition: a hash-mixed layout prunes NOTHING even
+    // with stats; re-clustering makes the same bounds sharp
+    val t2 = s"$base/t2"
+    (0 until 400).map(i => (i.toLong, i.toLong * 3L)).toDF("id", "v")
+      .repartition(4, col("id")).write.parquet(t2)
+    Compact.collectStats(spark, t2, Seq("id")): Unit
+    val before = Compact.readBetween(spark, t2, "id", 10L, 40L)
+    assert(before.inputFiles.length === 4, "hash-mixed files all span " +
+      "the range — nothing prunable before Z-order")
+    Compact.optimizeZorder(spark, t2, Seq("id"), targetBytes = 1L << 10): Unit
+    val total = Compact.tableState(spark, t2).get.live.length
+    assert(total > 1, s"Z-order produced one file — fixture too small")
+    val after = Compact.readBetween(spark, t2, "id", 10L, 40L)
+    assert(after.inputFiles.length < total,
+      s"Z-ordered stats pruned nothing: ${after.inputFiles.length}/$total")
+    assert(after.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (10L to 40L))
+  }
+
   test("readChanges: the appended increment between retained generations; " +
       "rewrites in range fail fast") {
     import spark.implicits._
