@@ -822,6 +822,31 @@ object DocQueries {
             col("text"))) % 1000003L).as("content_sig"))
         .orderBy("source")
     }),
+    "q_skipping_card" -> ((s, dir) => {
+      // the skipping telemetry (round 15): the same four contiguous
+      // doc_id slabs as q_skipping, then the one-row card pricing the
+      // [130, 240] range from MANIFEST metadata alone — the number an
+      // operator reads to decide whether the layout serves the
+      // predicate (n_read/n_files ≈ 1 on a hot column ⇒ OPTIMIZE
+      // ZORDER). The oracle recomputes each slab's bounds from
+      // content, so the pruning arithmetic itself is verified.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-skipc").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
+      val d = documents(s, dir)
+        .select("doc_id", "text", "source", "n_chars")
+      Seq((0L, 125L), (125L, 250L), (250L, 375L), (375L, Long.MaxValue))
+        .foreach { case (lo, hi) =>
+          graft.operators.Compact.appendManaged(s, s"$root/t",
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi)
+              .repartition(1),
+            statsCols = Seq("doc_id")): Unit
+        }
+      graft.operators.Compact.skippingCard(s, s"$root/t", "doc_id",
+        130L, 240L)
+    }),
     "q_read_changes" -> ((s, dir) => {
       // INCREMENTAL CONSUMPTION (round 15): seed a third of the
       // corpus (identity manifest g0), append the other two thirds as
@@ -4711,6 +4736,20 @@ object DocQueries {
          |    % 1000003)::BIGINT AS content_sig
          |FROM documents WHERE doc_id BETWEEN 130 AND 240
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_skipping_card" ->
+      // each slab's footer bounds are its content min/max, so the
+      // pruning decision replays as pure arithmetic over per-slab
+      // extrema: a slab survives iff [mn, mx] intersects [130, 240]
+      """WITH slabs AS (SELECT
+        |    CASE WHEN doc_id < 125 THEN 0 WHEN doc_id < 250 THEN 1
+        |         WHEN doc_id < 375 THEN 2 ELSE 3 END AS slab,
+        |    min(doc_id) AS mn, max(doc_id) AS mx
+        |  FROM documents GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_files,
+        |  count(*) FILTER (WHERE mx < 130 OR mn > 240)::BIGINT AS n_pruned,
+        |  count(*) FILTER (WHERE mx >= 130 AND mn <= 240)::BIGINT AS n_read
+        |FROM slabs""".stripMargin,
 
     "q_read_changes" ->
       // the per-source cards of the appended increment: from g0 both

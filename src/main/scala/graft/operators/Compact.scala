@@ -1021,12 +1021,8 @@ object Compact {
     * file's footer and touching the few whose range matches. */
   def readBetween(spark: SparkSession, path: String, col: String,
       lo: Long, hi: Long): DataFrame =
-    readBetweenImpl(spark, path, col, st => st.kind match {
-      case "i" => st.min.toLong <= hi && st.max.toLong >= lo
-      case "d" => st.min.toDouble <= hi.toDouble &&
-        st.max.toDouble >= lo.toDouble
-      case _ => true
-    }, c => c >= lo && c <= hi)
+    readBetweenImpl(spark, path, col, keepLong(lo, hi),
+      c => c >= lo && c <= hi)
 
   /** [[readBetween]] for string bounds (lexicographic; `s`-kind
     * stats). */
@@ -1036,6 +1032,85 @@ object Compact {
       case "s" => st.min <= hi && st.max >= lo
       case _ => true
     }, c => c >= lo && c <= hi)
+
+  /** [[readBetween]] over a hive-partitioned managed layout: each
+    * leaf's live set resolves and prunes through its own manifest
+    * bounds (unmanaged leaves are kept whole — conservative), and the
+    * survivors read with `basePath` so partition columns
+    * reconstruct. On the partition column itself Catalyst's partition
+    * pruning already applies through the residual filter; this adds
+    * FILE-level skipping on data columns — the combination a
+    * dt-partitioned, id-clustered 100 TB table needs. Leaf discovery,
+    * listing, and manifest reads run as Spark jobs
+    * ([[snapshotLeaves]]); the pruning itself is driver arithmetic
+    * over the bounded per-leaf stats. */
+  def readBetweenPartitioned(spark: SparkSession, path: String,
+      col: String, lo: Long, hi: Long): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val snaps = snapshotLeaves(spark, conf,
+      leafDirsDistributed(spark, conf, root))
+    require(snaps.nonEmpty, s"no data under $path")
+    val files = snaps.flatMap { snap =>
+      val leaf = new Path(snap.leaf)
+      snap.manifest match {
+        case Some(chain) =>
+          pruneSplit(foldChunks(chain), col, keepLong(lo, hi))._1
+            .map(n => new Path(leaf, n).toString)
+        case None => snap.files.map { case (n, _) =>
+          new Path(leaf, n).toString }
+      }
+    }
+    val pred = org.apache.spark.sql.functions.col(col) >= lo &&
+      org.apache.spark.sql.functions.col(col) <= hi
+    if (files.isEmpty) {
+      val any = snaps.flatMap(s => s.files.headOption.map(f =>
+          new Path(new Path(s.leaf), f._1).toString)).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"empty table at $path"))
+      return spark.read.option("basePath", path).parquet(any)
+        .limit(0).filter(pred)
+    }
+    spark.read.option("basePath", path).parquet(files: _*).filter(pred)
+  }
+
+  /** The keep-test for a Long range against one file's bounds. */
+  private def keepLong(lo: Long, hi: Long)(st: ColStat): Boolean =
+    st.kind match {
+      case "i" => st.min.toLong <= hi && st.max.toLong >= lo
+      case "d" => st.min.toDouble <= hi.toDouble &&
+        st.max.toDouble >= lo.toDouble
+      case _ => true
+    }
+
+  private def pruneSplit(m: ManifestData, colName: String,
+      keep: ColStat => Boolean): (Vector[String], Vector[String]) =
+    m.live.partition { n =>
+      m.stats.get(n).flatMap(_.find(_.col == colName)) match {
+        case Some(st) => keep(st)
+        case None => true // no bounds — conservative
+      }
+    }
+
+  /** One-row telemetry pricing a [[readBetween]] BEFORE anyone runs
+    * it (round 15 — the skipping twin of [[profileCard]]): of the
+    * table's live files, how many the manifest bounds prune for
+    * `[lo, hi]` and how many a scan would open. Pure manifest
+    * metadata — no file is touched. The operator of a 100 TB table
+    * reads `n_read / n_files` as the layout's effectiveness for this
+    * predicate shape; ~1.0 on a hot column says OPTIMIZE ZORDER. */
+  def skippingCard(spark: SparkSession, path: String, col: String,
+      lo: Long, hi: Long): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = latestManifest0(fs, p).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not manifest-managed — use collectStats first"))
+    val (kept, pruned) = pruneSplit(m, col, keepLong(lo, hi))
+    import spark.implicits._
+    Seq((m.live.length.toLong, pruned.length.toLong, kept.length.toLong))
+      .toDF("n_files", "n_pruned", "n_read")
+  }
 
   private def readBetweenImpl(spark: SparkSession, path: String,
       colName: String, keep: ColStat => Boolean,
@@ -1047,12 +1122,7 @@ object Compact {
       throw new IllegalArgumentException(
         s"$path is not manifest-managed — readBetween prunes off " +
           "manifest stats; use collectStats first"))
-    val chosen = m.live.filter { n =>
-      m.stats.get(n).flatMap(_.find(_.col == colName)) match {
-        case Some(st) => keep(st)
-        case None => true // no bounds — conservative
-      }
-    }
+    val (chosen, _) = pruneSplit(m, colName, keep)
     val pred = residual(col(colName))
     if (chosen.isEmpty) {
       require(m.live.nonEmpty, s"empty table at $path")
@@ -1305,7 +1375,8 @@ object Compact {
     * directory names, not the files, exactly as Spark writes them. */
   def appendManagedPartitioned(spark: SparkSession, path: String,
       df: DataFrame, partitionCols: Seq[String],
-      txn: Option[(String, Long)] = None): CompactReport = {
+      txn: Option[(String, Long)] = None,
+      statsCols: Seq[String] = Nil): CompactReport = {
     require(partitionCols.nonEmpty,
       "appendManagedPartitioned needs partition columns — use " +
         "appendManaged for flat layouts")
@@ -1331,9 +1402,15 @@ object Compact {
     val scratchLeaves = leafDirs(fs, scratch)
     val relScratch = relOf(scratch) _
 
-    var appendedTotal = 0L
+    // phase 1 — per leaf: resolve, decide replay, move the new files
+    // in under generation-unique names; commits are deferred so the
+    // stats job below runs ONCE across every leaf's new files
+    final case class Pending(leaf: Path, rel: String, gen: Long,
+      mf: Option[ManifestData], liveNames: Vector[String],
+      newNames: Vector[String])
     var liveBefore = 0L
     var bytesBefore = 0L
+    val pending = Vector.newBuilder[Pending]
     scratchLeaves.foreach { sLeaf =>
       val rel = relScratch(sLeaf)
       val leaf = if (rel.isEmpty) root else new Path(root, rel)
@@ -1363,17 +1440,44 @@ object Compact {
           require(fs.rename(p.getPath, dst), s"rename failed: ${p.getPath}")
           appended += nm
         }
-        val newNames = appended.result()
-        if (gen % ManifestCheckpointEvery == 0L)
-          writeManifest(fs, leaf, gen,
-            live.map(_.getPath.getName) ++ newNames,
-            txns = mf.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
-            dead = mf.map(_.dead).getOrElse(Vector.empty))
-        else
-          writeManifest(fs, leaf, gen, newNames, txns = txn.toMap,
-            delta = true)
-        appendedTotal += newNames.length.toLong
+        pending += Pending(leaf, rel, gen, mf,
+          live.map(_.getPath.getName), appended.result())
       }
+    }
+    val pend = pending.result()
+
+    // phase 2 — data-skipping bounds for every leaf's new files in
+    // ONE distributed footer job (statsCols plus whatever columns
+    // each leaf already tracks)
+    val allTrack = (statsCols ++ pend.flatMap(_.mf.toSeq.flatMap(
+      _.stats.valuesIterator.flatMap(_.map(_.col))))).distinct
+    val relNames = pend.flatMap(p =>
+      p.newNames.map(n => if (p.rel.isEmpty) n else s"${p.rel}/$n"))
+    val statsByRel = footerStats(spark, conf, root, relNames, allTrack)
+
+    // phase 3 — per leaf: THE commit (checkpoint on cadence, delta
+    // otherwise), each carrying that leaf's tracked columns only
+    var appendedTotal = 0L
+    pend.foreach { p =>
+      val leafTrack = (statsCols ++ p.mf.toSeq.flatMap(
+        _.stats.valuesIterator.flatMap(_.map(_.col)))).toSet
+      val newStats = p.newNames.flatMap { n =>
+        val rn = if (p.rel.isEmpty) n else s"${p.rel}/$n"
+        statsByRel.get(rn)
+          .map(cs => n -> cs.filter(c => leafTrack(c.col)))
+          .filter(_._2.nonEmpty)
+      }.toMap
+      if (p.gen % ManifestCheckpointEvery == 0L)
+        writeManifest(fs, p.leaf, p.gen, p.liveNames ++ p.newNames,
+          txns = p.mf.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
+          dead = p.mf.map(_.dead).getOrElse(Vector.empty),
+          stats = p.mf.map(m => m.stats.view
+            .filterKeys(m.live.toSet).toMap).getOrElse(Map.empty) ++
+            newStats)
+      else
+        writeManifest(fs, p.leaf, p.gen, p.newNames, txns = txn.toMap,
+          delta = true, stats = newStats)
+      appendedTotal += p.newNames.length.toLong
     }
     fs.delete(scratch, true)
 

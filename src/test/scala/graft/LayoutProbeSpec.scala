@@ -985,6 +985,43 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       === (10L to 40L))
   }
 
+  test("partitioned data skipping and the skippingCard telemetry") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-pskip").toString
+    val t = s"$base/t"
+    // 4 batches, each a contiguous 100-id slab fanned over 2 leaves
+    // (coalesce(1) → one file per leaf per batch, slab-sharp bounds)
+    (0 until 4).foreach { b =>
+      Compact.appendManagedPartitioned(spark, t,
+        (b * 100 until (b + 1) * 100)
+          .map(i => (i.toLong, (i % 2).toLong)).toDF("id", "p").coalesce(1),
+        Seq("p"), statsCols = Seq("id")): Unit
+    }
+    val r = Compact.readBetweenPartitioned(spark, t, "id", 150L, 249L)
+    // per leaf only the [100,199] and [200,299] slab files survive
+    assert(r.inputFiles.length === 4,
+      s"expected 4 of 8 files, got ${r.inputFiles.length}")
+    assert(r.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Compact.readPartitioned(spark, t)
+        .filter(col("id") >= 150L && col("id") <= 249L)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // partition columns reconstruct on the pruned scan
+    assert(r.filter(col("p") === 1L).count() === 50L)
+
+    // the flat card prices pruning from manifest metadata alone
+    val tf = s"$base/tf"
+    (0 until 4).foreach { b =>
+      Compact.appendManaged(spark, tf,
+        (b * 100 until (b + 1) * 100).map(i => (i.toLong, 0L))
+          .toDF("id", "v").coalesce(1),
+        statsCols = Seq("id")): Unit
+    }
+    val card = Compact.skippingCard(spark, tf, "id", 130L, 240L).collect()(0)
+    assert((card.getLong(0), card.getLong(1), card.getLong(2)) ===
+      ((4L, 2L, 2L)))
+  }
+
   test("readChanges: the appended increment between retained generations; " +
       "rewrites in range fail fast") {
     import spark.implicits._
