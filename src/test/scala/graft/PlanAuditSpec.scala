@@ -50,6 +50,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q_ann_recall",           // brute-truth query-batch broadcast + one-row denominator
     "q_ann_recall_filtered",  // same card shape over the filtered truth
     "q_ann_tune",             // inherits the recall card's broadcasts
+    "q_ann_tune_rerank",      // same knob-generic card: one-row truth-size broadcast
     "q_kmv_setops",           // 20x20 sketch-pair join (s1 < s2), bounded
     "q_kmv_hip",              // same bounded 20x20 sketch-pair join
     "q_hybrid_rrf",           // inherits the brute-cosine query-batch broadcast
