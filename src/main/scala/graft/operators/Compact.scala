@@ -1647,8 +1647,15 @@ object Compact {
     val schema = spark.read.parquet(bins.head.head.getPath.toString).schema
     val tmpParts = rewriteBins(spark, schema, bins, sortCols, scratch, fs)
 
+    // phase 1 — per leaf: move packed files in (commits deferred so
+    // the data-skipping stats recompute runs as ONE pooled footer job
+    // across every leaf's packed files, not one job per leaf)
+    final case class PendingCommit(pl: LeafPlan, gen: Long,
+      newLive: Vector[String], packed: Vector[String])
     var binIdx = 0
     var after = 0L
+    val relRoot = relOf(root) _
+    val pendingC = Vector.newBuilder[PendingCommit]
     plans.foreach { pl =>
       val hasBins = pl.units.exists(_.isInstanceOf[RewriteBin])
       if (!hasBins) after += pl.live.length.toLong
@@ -1657,6 +1664,7 @@ object Compact {
         if (pl.mf.isEmpty)
           writeManifest(fs, pl.leaf, 0L, pl.live.map(_.getPath.getName))
         val liveOut = Vector.newBuilder[String]
+        val packedOut = Vector.newBuilder[String]
         pl.units.zipWithIndex.foreach {
           case (CopyFile(f), _) => liveOut += f.getPath.getName
           case (RewriteBin(_), i) =>
@@ -1667,20 +1675,52 @@ object Compact {
                 require(!fs.exists(dst), s"name collision at $dst")
                 require(fs.rename(tp, dst), s"rename failed: $tp -> $dst")
                 liveOut += nm
+                packedOut += nm
               case None => ()
             }
             binIdx += 1
         }
-        val newLive = liveOut.result()
-        // per-leaf commit: rewritten inputs become tombstones, kept
-        // on disk for in-flight readers until vacuumPartitioned
-        writeManifest(fs, pl.leaf, gen, newLive,
-          txns = pl.mf.map(_.txns).getOrElse(Map.empty),
-          dead = pl.mf.map(_.dead).getOrElse(Vector.empty) ++
-            pl.units.collect { case RewriteBin(v) =>
-              v.map(f => (nowMillis, f.getPath.getName)) }.flatten)
-        after += newLive.length.toLong
+        pendingC += PendingCommit(pl, gen, liveOut.result(),
+          packedOut.result())
       }
+    }
+    val pendC = pendingC.result()
+
+    // phase 2 — recompute bounds for packed files of stat-tracking
+    // leaves in one pooled job (untouched files keep their stats)
+    def leafCols(pl: LeafPlan): Vector[String] = pl.mf.map(
+      _.stats.valuesIterator.flatMap(_.map(_.col)).toVector.distinct)
+      .getOrElse(Vector.empty)
+    val pooledCols = pendC.flatMap(p => leafCols(p.pl)).distinct
+    val pooledNames = pendC.filter(p => leafCols(p.pl).nonEmpty)
+      .flatMap { p =>
+        val rel = relRoot(p.pl.leaf)
+        p.packed.map(n => if (rel.isEmpty) n else s"$rel/$n")
+      }
+    val pooledStats = footerStats(spark, conf, root, pooledNames, pooledCols)
+
+    // phase 3 — per-leaf commit: rewritten inputs become tombstones,
+    // kept on disk for in-flight readers until vacuumPartitioned
+    pendC.foreach { p =>
+      val rel = relRoot(p.pl.leaf)
+      val track = leafCols(p.pl).toSet
+      val untouched = p.pl.units.collect {
+        case CopyFile(f) => f.getPath.getName }.toSet
+      val statsOut =
+        if (track.isEmpty) Map.empty[String, Vector[ColStat]]
+        else p.pl.mf.map(_.stats.view.filterKeys(untouched).toMap)
+          .getOrElse(Map.empty) ++ p.packed.flatMap { n =>
+            pooledStats.get(if (rel.isEmpty) n else s"$rel/$n")
+              .map(cs => n -> cs.filter(c => track(c.col)))
+              .filter(_._2.nonEmpty)
+          }.toMap
+      writeManifest(fs, p.pl.leaf, p.gen, p.newLive,
+        txns = p.pl.mf.map(_.txns).getOrElse(Map.empty),
+        dead = p.pl.mf.map(_.dead).getOrElse(Vector.empty) ++
+          p.pl.units.collect { case RewriteBin(v) =>
+            v.map(f => (nowMillis, f.getPath.getName)) }.flatten,
+        stats = statsOut)
+      after += p.newLive.length.toLong
     }
     fs.delete(scratch, true)
 
@@ -1785,10 +1825,14 @@ object Compact {
       case None => spark.conf.unset(maxRecKey)
     }
 
-    // per-leaf commits, consuming each wave's output slots in branch
-    // order (branch partitions concatenate: leaf k's slots start at
-    // the sum of earlier leaves' nOut)
+    // phase 1 — move each wave's output slots in under their leaf
+    // (branch partitions concatenate: leaf k's slots start at the sum
+    // of earlier leaves' nOut); commits deferred for the pooled
+    // stats-recompute job
+    final case class PendingZ(p: LeafZ, gen: Long,
+      newLive: Vector[String])
     var after = 0L
+    val pendingZ = Vector.newBuilder[PendingZ]
     waves.zipWithIndex.foreach { case (wave, w) =>
       val slots = wave.map(_.nOut).sum
       val out = Array.fill[Option[Path]](slots)(None)
@@ -1823,13 +1867,44 @@ object Compact {
           require(fs.rename(tp, dst), s"rename failed: $tp -> $dst")
           liveOut += nm
         }
-        val newLive = liveOut.result()
-        writeManifest(fs, p.leaf, gen, newLive,
-          txns = p.mf.map(_.txns).getOrElse(Map.empty),
-          dead = p.mf.map(_.dead).getOrElse(Vector.empty) ++
-            p.live.map(f => (nowMillis, f.getPath.getName)))
-        after += newLive.length.toLong
+        pendingZ += PendingZ(p, gen, liveOut.result())
       }
+    }
+    val pendZ = pendingZ.result()
+
+    // phase 2 — tracked data-skipping bounds recompute over the
+    // re-clustered files in ONE pooled footer job (this is where
+    // Z-order makes them sharp per leaf)
+    val relRootZ = relOf(root) _
+    def zLeafCols(p: LeafZ): Vector[String] = p.mf.map(
+      _.stats.valuesIterator.flatMap(_.map(_.col)).toVector.distinct)
+      .getOrElse(Vector.empty)
+    val zPooledCols = pendZ.flatMap(z => zLeafCols(z.p)).distinct
+    val zPooledNames = pendZ.filter(z => zLeafCols(z.p).nonEmpty)
+      .flatMap { z =>
+        val rel = relRootZ(z.p.leaf)
+        z.newLive.map(n => if (rel.isEmpty) n else s"$rel/$n")
+      }
+    val zPooledStats = footerStats(spark, conf, root, zPooledNames,
+      zPooledCols)
+
+    // phase 3 — per-leaf commits
+    pendZ.foreach { z =>
+      val rel = relRootZ(z.p.leaf)
+      val track = zLeafCols(z.p).toSet
+      val statsOut =
+        if (track.isEmpty) Map.empty[String, Vector[ColStat]]
+        else z.newLive.flatMap { n =>
+          zPooledStats.get(if (rel.isEmpty) n else s"$rel/$n")
+            .map(cs => n -> cs.filter(c => track(c.col)))
+            .filter(_._2.nonEmpty)
+        }.toMap
+      writeManifest(fs, z.p.leaf, z.gen, z.newLive,
+        txns = z.p.mf.map(_.txns).getOrElse(Map.empty),
+        dead = z.p.mf.map(_.dead).getOrElse(Vector.empty) ++
+          z.p.live.map(f => (nowMillis, f.getPath.getName)),
+        stats = statsOut)
+      after += z.newLive.length.toLong
     }
     fs.delete(scratch, true)
 

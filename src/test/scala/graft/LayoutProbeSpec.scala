@@ -1020,6 +1020,27 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
     val card = Compact.skippingCard(spark, tf, "id", 130L, 240L).collect()(0)
     assert((card.getLong(0), card.getLong(1), card.getLong(2)) ===
       ((4L, 2L, 2L)))
+
+    // stats survive the PARTITIONED in-place verbs: compaction packs
+    // each leaf (bounds recomputed for packed files), Z-order
+    // re-clusters and the recomputed bounds prune again
+    Compact.binPackPartitionedInPlace(spark, t, targetBytes = 1L << 26): Unit
+    val rc = Compact.readBetweenPartitioned(spark, t, "id", 150L, 249L)
+    assert(rc.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (150L to 249L))
+    assert(Compact.tableState(spark, s"$t/p=0").get.stats.nonEmpty,
+      "partitioned compaction dropped the leaf's stats")
+    Compact.optimizeZorderPartitioned(spark, t, Seq("id"),
+      targetBytes = 1L << 10): Unit
+    val totalZ = (0 to 1).map(pv =>
+      Compact.tableState(spark, s"$t/p=$pv").get.live.length).sum
+    assert(totalZ > 2, s"fixture too small for a pruning pin: $totalZ")
+    val rz = Compact.readBetweenPartitioned(spark, t, "id", 0L, 40L)
+    assert(rz.inputFiles.length < totalZ,
+      s"partitioned Z-order stats pruned nothing: " +
+        s"${rz.inputFiles.length}/$totalZ")
+    assert(rz.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L to 40L))
   }
 
   test("readChanges: the appended increment between retained generations; " +
