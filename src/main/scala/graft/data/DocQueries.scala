@@ -847,6 +847,38 @@ object DocQueries {
       graft.operators.Compact.skippingCard(s, s"$root/t", "doc_id",
         130L, 240L)
     }),
+    "q_read_where" -> ((s, dir) => {
+      // STRUCTURED-CLAUSE data skipping (round 15): the same
+      // four-slab managed table, read through a CONJUNCTION of
+      // prunable clauses (range ∧ IN on the tracked column) — each
+      // clause prunes independently against the per-file bounds and
+      // both re-apply as the residual filter, so the card equals the
+      // plain WHERE with both predicates.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-rwhere").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
+      val d = documents(s, dir)
+        .select("doc_id", "text", "source", "n_chars")
+      Seq((0L, 125L), (125L, 250L), (250L, 375L), (375L, Long.MaxValue))
+        .foreach { case (lo, hi) =>
+          graft.operators.Compact.appendManaged(s, s"$root/t",
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi)
+              .repartition(1),
+            statsCols = Seq("doc_id")): Unit
+        }
+      graft.operators.Compact.readWhere(s, s"$root/t", Seq(
+          graft.operators.Compact.LongRange("doc_id", 130L, 240L),
+          graft.operators.Compact.LongIn("doc_id",
+            Seq(5L, 135L, 200L, 305L))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextOps.hash56(concat_ws(":", lit("cmp"), col("doc_id"),
+            col("text"))) % 1000003L).as("content_sig"))
+        .orderBy("source")
+    }),
     "q_read_changes" -> ((s, dir) => {
       // INCREMENTAL CONSUMPTION (round 15): seed a third of the
       // corpus (identity manifest g0), append the other two thirds as
@@ -4750,6 +4782,17 @@ object DocQueries {
         |  count(*) FILTER (WHERE mx < 130 OR mn > 240)::BIGINT AS n_pruned,
         |  count(*) FILTER (WHERE mx >= 130 AND mn <= 240)::BIGINT AS n_read
         |FROM slabs""".stripMargin,
+
+    "q_read_where" ->
+      // the clause-pruned read must equal the plain conjunction
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
+         |    % 1000003)::BIGINT AS content_sig
+         |FROM documents
+         |WHERE doc_id BETWEEN 130 AND 240
+         |  AND doc_id IN (5, 135, 200, 305)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_read_changes" ->
       // the per-source cards of the appended increment: from g0 both

@@ -1008,6 +1008,82 @@ object Compact {
     todo.length.toLong
   }
 
+  /** [[collectStats]] over a hive-partitioned layout: per-leaf
+    * resolution off the distributed snapshot plane, ONE pooled footer
+    * job across every leaf's unprofiled files, then one commit per
+    * touched leaf (leaves already fully profiled are untouched).
+    * Returns the number of files profiled. */
+  def collectStatsPartitioned(spark: SparkSession, path: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "collectStats needs at least one column")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"no table at $path")
+    val relRoot = relOf(root) _
+    final case class LeafTodo(leaf: Path, rel: String,
+      mf: Option[ManifestData], names: Vector[String],
+      todo: Vector[String])
+    val leaves = snapshotLeaves(spark, conf,
+        leafDirsDistributed(spark, conf, root)).map { snap =>
+      val (mf, live) = resolveLiveSnap(snap, "recoverSwapPartitioned")
+      val have = mf.map(_.stats).getOrElse(Map.empty)
+      val names = live.map(_.getPath.getName)
+      LeafTodo(new Path(snap.leaf), relRoot(new Path(snap.leaf)), mf,
+        names,
+        names.filter(n => !cols.forall(c =>
+          have.get(n).exists(_.exists(_.col == c)))))
+    }.filter(_.todo.nonEmpty)
+    val pooled = footerStats(spark, conf, root,
+      leaves.flatMap(l => l.todo.map(n =>
+        if (l.rel.isEmpty) n else s"${l.rel}/$n")), cols)
+    leaves.foreach { l =>
+      val have = l.mf.map(_.stats).getOrElse(Map.empty)
+      val fresh = l.todo.flatMap { n =>
+        pooled.get(if (l.rel.isEmpty) n else s"${l.rel}/$n").map(n -> _)
+      }.toMap
+      val gen = l.mf.map(_.gen).getOrElse(0L) + 1L
+      if (l.mf.isEmpty) writeManifest(fs, l.leaf, 0L, l.names)
+      writeManifest(fs, l.leaf, gen, l.names,
+        txns = l.mf.map(_.txns).getOrElse(Map.empty),
+        dead = l.mf.map(_.dead).getOrElse(Vector.empty),
+        stats = have.view.filterKeys(l.names.toSet).toMap ++
+          fresh.map { case (f, cs) =>
+            f -> (have.getOrElse(f, Vector.empty)
+              .filterNot(s => cs.exists(_.col == s.col)) ++ cs)
+          })
+    }
+    leaves.map(_.todo.length.toLong).sum
+  }
+
+  /** [[skippingCard]] over a hive-partitioned layout: the same
+    * one-row metadata-only pricing, aggregated across every leaf's
+    * manifest bounds (unmanaged leaves count as unprunable). */
+  def skippingCardPartitioned(spark: SparkSession, path: String,
+      col: String, lo: Long, hi: Long): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val snaps = snapshotLeaves(spark, conf,
+      leafDirsDistributed(spark, conf, root))
+    require(snaps.nonEmpty, s"no data under $path")
+    var nFiles = 0L; var nPruned = 0L; var nRead = 0L
+    snaps.foreach { snap =>
+      snap.manifest match {
+        case Some(chain) =>
+          val m = foldChunks(chain)
+          val (kept, pruned) = pruneSplit(m, col, keepLong(lo, hi))
+          nFiles += m.live.length.toLong
+          nPruned += pruned.length.toLong
+          nRead += kept.length.toLong
+        case None =>
+          nFiles += snap.files.length.toLong
+          nRead += snap.files.length.toLong
+      }
+    }
+    import spark.implicits._
+    Seq((nFiles, nPruned, nRead)).toDF("n_files", "n_pruned", "n_read")
+  }
+
   /** Range read with FILE-LEVEL data skipping (round 15): resolve the
     * live set, drop every file whose manifest bounds for `col` cannot
     * intersect `[lo, hi]`, and scan only the survivors — the residual
@@ -1110,6 +1186,111 @@ object Compact {
     import spark.implicits._
     Seq((m.live.length.toLong, pruned.length.toLong, kept.length.toLong))
       .toDF("n_files", "n_pruned", "n_read")
+  }
+
+  /** A file-prunable predicate clause for [[readWhere]] — the
+    * structured shapes an engine can test against per-file bounds
+    * without a full expression compiler (Iceberg's expression-pruning
+    * scope): ranges, equality, and IN, on integral or string columns.
+    * Clauses CONJOIN; each prunes independently against its column's
+    * bounds and all re-apply as the residual filter. */
+  sealed trait SkipClause { def col: String }
+  final case class LongRange(col: String, lo: Long, hi: Long)
+    extends SkipClause
+  final case class LongEq(col: String, v: Long) extends SkipClause
+  final case class LongIn(col: String, vs: Seq[Long]) extends SkipClause
+  final case class StringRange(col: String, lo: String, hi: String)
+    extends SkipClause
+  final case class StringEq(col: String, v: String) extends SkipClause
+
+  private def keepString(lo: String, hi: String)(st: ColStat): Boolean =
+    st.kind match {
+      case "s" => st.min <= hi && st.max >= lo
+      case _ => true
+    }
+
+  private def clauseKeep(cl: SkipClause)(st: ColStat): Boolean = cl match {
+    case LongRange(_, lo, hi) => keepLong(lo, hi)(st)
+    case LongEq(_, v) => keepLong(v, v)(st)
+    case LongIn(_, vs) => vs.exists(v => keepLong(v, v)(st))
+    case StringRange(_, lo, hi) => keepString(lo, hi)(st)
+    case StringEq(_, v) => keepString(v, v)(st)
+  }
+
+  private def clauseExpr(cl: SkipClause): org.apache.spark.sql.Column =
+    cl match {
+      case LongRange(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case LongEq(c, v) => col(c) === v
+      case LongIn(c, vs) => col(c).isin(vs: _*)
+      case StringRange(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case StringEq(c, v) => col(c) === v
+    }
+
+  private def clausesKeepFile(m: ManifestData,
+      clauses: Seq[SkipClause])(n: String): Boolean =
+    clauses.forall { cl =>
+      m.stats.get(n).flatMap(_.find(_.col == cl.col))
+        .forall(clauseKeep(cl)) // no bounds for the column — keep
+    }
+
+  /** [[readBetween]] generalized to a CONJUNCTION of structured
+    * clauses (round 15): a file survives only if EVERY clause's
+    * bounds test passes, so multi-column predicates compound their
+    * pruning (the Z-ordered case: both dims' bounds are narrow). The
+    * conjunction re-applies as the residual filter — the result
+    * always equals the plain read + filter. */
+  def readWhere(spark: SparkSession, path: String,
+      clauses: Seq[SkipClause]): DataFrame = {
+    require(clauses.nonEmpty, "readWhere needs at least one clause")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = latestManifest0(fs, p).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not manifest-managed — readWhere prunes off " +
+          "manifest stats; use collectStats first"))
+    val chosen = m.live.filter(clausesKeepFile(m, clauses))
+    val pred = clauses.map(clauseExpr).reduce(_ && _)
+    if (chosen.isEmpty) {
+      require(m.live.nonEmpty, s"empty table at $path")
+      return spark.read.parquet(new Path(p, m.live.head).toString)
+        .limit(0).filter(pred)
+    }
+    spark.read.parquet(chosen.map(n => new Path(p, n).toString): _*)
+      .filter(pred)
+  }
+
+  /** [[readWhere]] over a hive-partitioned managed layout — per-leaf
+    * pruning, basePath partition reconstruction, same conjunction
+    * semantics. */
+  def readWherePartitioned(spark: SparkSession, path: String,
+      clauses: Seq[SkipClause]): DataFrame = {
+    require(clauses.nonEmpty, "readWhere needs at least one clause")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val snaps = snapshotLeaves(spark, conf,
+      leafDirsDistributed(spark, conf, root))
+    require(snaps.nonEmpty, s"no data under $path")
+    val files = snaps.flatMap { snap =>
+      val leaf = new Path(snap.leaf)
+      snap.manifest match {
+        case Some(chain) =>
+          val m = foldChunks(chain)
+          m.live.filter(clausesKeepFile(m, clauses))
+            .map(n => new Path(leaf, n).toString)
+        case None => snap.files.map { case (n, _) =>
+          new Path(leaf, n).toString }
+      }
+    }
+    val pred = clauses.map(clauseExpr).reduce(_ && _)
+    if (files.isEmpty) {
+      val any = snaps.flatMap(s => s.files.headOption.map(f =>
+          new Path(new Path(s.leaf), f._1).toString)).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"empty table at $path"))
+      return spark.read.option("basePath", path).parquet(any)
+        .limit(0).filter(pred)
+    }
+    spark.read.option("basePath", path).parquet(files: _*).filter(pred)
   }
 
   private def readBetweenImpl(spark: SparkSession, path: String,

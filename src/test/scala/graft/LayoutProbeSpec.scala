@@ -1043,6 +1043,60 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
       (0L to 40L))
   }
 
+  test("readWhere conjunction pruning and the pooled partitioned " +
+      "stats verbs") {
+    import spark.implicits._
+    import graft.operators.Compact
+    import graft.operators.Compact.{LongEq, LongIn, LongRange, StringEq}
+    val base = java.nio.file.Files.createTempDirectory("graft-where").toString
+    val t = s"$base/t"
+    (0 until 4).foreach { b =>
+      Compact.appendManaged(spark, t,
+        (b * 100 until (b + 1) * 100)
+          .map(i => (i.toLong, s"t$b", i.toLong % 7L))
+          .toDF("id", "tag", "w").coalesce(1),
+        statsCols = Seq("id", "tag")): Unit
+    }
+    // conjunction compounds pruning: the id range matches slabs 1-2,
+    // the tag equality pins slab 1 — one file opened
+    val r = Compact.readWhere(spark, t,
+      Seq(LongRange("id", 150L, 249L), StringEq("tag", "t1")))
+    assert(r.inputFiles.length === 1)
+    assert(r.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (150L to 199L))
+    // IN keeps exactly the slabs containing any member
+    val ri = Compact.readWhere(spark, t, Seq(LongIn("id", Seq(5L, 305L))))
+    assert(ri.inputFiles.length === 2)
+    assert(ri.count() === 2L)
+    // equality on an untracked column prunes nothing but stays correct
+    val rw = Compact.readWhere(spark, t, Seq(LongEq("w", 3L)))
+    assert(rw.inputFiles.length === 4)
+    assert(rw.count() ===
+      Compact.read(spark, t).filter(col("w") === 3L).count())
+
+    // partitioned: establish stats AFTER the fact with ONE pooled
+    // footer job, price a range, and read through the clause pruner
+    val t2 = s"$base/t2"
+    (0 until 2).foreach { b =>
+      Compact.appendManagedPartitioned(spark, t2,
+        (b * 100 until (b + 1) * 100)
+          .map(i => (i.toLong, (i % 2).toLong)).toDF("id", "p").coalesce(1),
+        Seq("p")): Unit // no statsCols — lands unprofiled
+    }
+    assert(Compact.collectStatsPartitioned(spark, t2, Seq("id")) === 4L)
+    assert(Compact.collectStatsPartitioned(spark, t2, Seq("id")) === 0L,
+      "collectStatsPartitioned re-profiled already-covered files")
+    val card = Compact.skippingCardPartitioned(spark, t2, "id", 0L, 99L)
+      .collect()(0)
+    assert((card.getLong(0), card.getLong(1), card.getLong(2)) ===
+      ((4L, 2L, 2L)))
+    val rp = Compact.readWherePartitioned(spark, t2,
+      Seq(LongRange("id", 0L, 99L)))
+    assert(rp.inputFiles.length === 2)
+    assert(rp.count() === 100L)
+    assert(rp.filter(col("p") === 1L).count() === 50L)
+  }
+
   test("readChanges: the appended increment between retained generations; " +
       "rewrites in range fail fast") {
     import spark.implicits._
