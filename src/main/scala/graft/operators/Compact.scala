@@ -1987,17 +1987,64 @@ object Compact {
     val maxRecKey = "spark.sql.files.maxRecordsPerFile"
     val saved = spark.conf.getOption(maxRecKey)
     spark.conf.set(maxRecKey, "0")
+    // scale shape (round 15 rework): the first cut ran clusterByRank
+    // PER BRANCH — each leaf paid its own eager histogram checkpoint
+    // plus repartitionByRange's sampling jobs, so a W-leaf wave cost
+    // O(W) sequential driver-blocking jobs. Now every leaf's
+    // equi-depth ranks come from ONE grouped histogram pass
+    // (zvalueByRankGrouped), and file splitting is DETERMINISTIC
+    // z-interval slotting (slot = leaf offset + zval/width) through
+    // one identity-partitioned shuffle — an entire wave is O(1) jobs
+    // regardless of leaf count. Equi-depth marginals keep the
+    // intervals near-uniform; perfectly correlated dims can skew file
+    // sizes (the flat [[optimizeZorder]] keeps sampling-based range
+    // split for that case).
+    require(bits * dims.length <= 62,
+      s"bits * dims must be <= 62 for interval slotting, " +
+        s"got $bits * ${dims.length}")
+    val zspan = 1L << (bits * dims.length)
     try {
       waves.zipWithIndex.foreach { case (wave, w) =>
-        val branches = wave.map { p =>
-          val df = spark.read.parquet(p.live.map(_.getPath.toString): _*)
-          // re-select the ORIGINAL schema order (clusterByRank's
-          // rank-map using-joins float the join keys left)
-          Zorder.clusterByRank(df, dims, bits, p.nOut)
-            .select(df.columns.map(col).toIndexedSeq: _*)
+        val branches = wave.zipWithIndex.map { case (p, k) =>
+          spark.read.parquet(p.live.map(_.getPath.toString): _*)
+            .withColumn("__leaf",
+              org.apache.spark.sql.functions.lit(k))
         }
-        org.apache.spark.sql.graftbridge.ColumnBridge
-          .unionKeepingPartitions(branches)
+        val cols0 = branches.head.columns.filter(_ != "__leaf")
+        val offs = wave.map(_.nOut).scanLeft(0)(_ + _)
+        val offRows = wave.zipWithIndex.map { case (p, k) =>
+          org.apache.spark.sql.Row(k, offs(k).toLong,
+            (zspan + p.nOut - 1L) / p.nOut)
+        }
+        val offDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(offRows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__leaf",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("__off",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("__width",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val slotted = Zorder.zvalueByRankGrouped(
+            branches.reduce(_.unionByName(_)), "__leaf", dims, bits)
+          .join(org.apache.spark.sql.functions.broadcast(offDf),
+            Seq("__leaf"))
+          .withColumn("__slot",
+            org.apache.spark.sql.functions.expr(
+              "__off + __zval div __width"))
+          .select((cols0.map(col) :+ col("__zval") :+ col("__slot"))
+            .toIndexedSeq: _*)
+        val slots = offs.last
+        val prdd = slotted.rdd
+          .map(r => (r.getLong(r.size - 1), r))
+          .partitionBy(new org.apache.spark.Partitioner {
+            override val numPartitions: Int = slots
+            override def getPartition(key: Any): Int =
+              key.asInstanceOf[Long].toInt
+          }).map(_._2)
+        spark.createDataFrame(prdd, slotted.schema)
+          .sortWithinPartitions("__zval")
+          .drop("__zval", "__slot")
           .write.mode("overwrite")
           .parquet(new Path(scratch, f"wave-$w%09d").toString)
       }

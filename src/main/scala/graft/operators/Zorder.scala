@@ -162,4 +162,55 @@ object Zorder {
       .repartitionByRange(numFiles, col("__zval"))
       .sortWithinPartitions("__zval")
       .drop("__zval")
+
+  /** [[zvalueByRank]] with every rank computed WITHIN a group (round
+    * 15 — the pooled partitioned-OPTIMIZE path): ONE grouping-sets
+    * pass yields every (group, dim) distinct-value histogram, prefix
+    * sums run as windows PARTITIONED BY GROUP (parallel across
+    * groups; sized by a group's distinct values per dim — for a few
+    * huge high-cardinality leaves prefer the flat [[zvalueByRank]]
+    * per leaf, whose two-level prefix sum splits inside the leaf),
+    * and the equi-depth buckets join back on (group, value). The
+    * point: tagging N groups costs O(1) jobs, not O(N) — the
+    * per-branch eager histogram + range-sampling jobs are what made
+    * a many-leaf OPTIMIZE driver-bound. */
+  def zvalueByRankGrouped(df: DataFrame, groupCol: String,
+      dims: Seq[String], bits: Int,
+      zcol: String = "__zval"): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    val b = 1L << bits
+    val n = dims.length
+    val melted = df.groupingSets(
+        dims.map(d => Seq(col(groupCol), col(d))),
+        (col(groupCol) +: dims.map(col)): _*)
+      .agg(count(lit(1)).as("__c"), grouping_id().as("__gid"))
+      .localCheckpoint(true)
+    def bucketMap(j: Int): DataFrame = {
+      val dim = dims(j)
+      // gid over (group, d0..d(n-1)): group is ALWAYS grouped (bit n
+      // clear); set j additionally grounds dims(j) (bit n-1-j clear)
+      val mask = (1 << n) - 1 - (1 << (n - 1 - j))
+      val hist = melted
+        .filter(col("__gid") === mask && col(dim).isNotNull)
+        .select(col(groupCol), col(dim), col("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy(col(dim))
+        .rowsBetween(Long.MinValue, 0)
+      val tot = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol)
+      hist
+        .withColumn("__rb", sum("__c").over(w) - col("__c"))
+        .withColumn("__n", sum("__c").over(tot))
+        .select(col(groupCol), col(dim),
+          expr(s"(__rb * $b) div __n").as("__bucket"))
+    }
+    val tagged = dims.zipWithIndex.foldLeft(df) { case (d, (dim, j)) =>
+      d.join(bucketMap(j).withColumnRenamed("__bucket", s"__b$j"),
+          Seq(groupCol, dim), "left")
+        .withColumn(s"__b$j", coalesce(col(s"__b$j"), lit(0L)))
+    }
+    tagged
+      .withColumn(zcol, zvalue(dims.indices.map(j => col(s"__b$j")), bits))
+      .drop(dims.indices.map(j => s"__b$j"): _*)
+  }
 }
