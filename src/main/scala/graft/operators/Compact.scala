@@ -669,7 +669,8 @@ object Compact {
 
   final case class ManifestData(gen: Long, live: Vector[String],
       txns: Map[String, Long], dead: Vector[(Long, String)],
-      stats: Map[String, Vector[ColStat]] = Map.empty) {
+      stats: Map[String, Vector[ColStat]] = Map.empty,
+      merge: Boolean = false) {
     def deadNames: Set[String] = dead.iterator.map(_._2).toSet
   }
 
@@ -726,6 +727,7 @@ object Compact {
     val dead = Vector.newBuilder[(Long, String)]
     val stats = scala.collection.mutable.LinkedHashMap
       .empty[String, Vector[ColStat]]
+    var mergeFlag = false
     lines.foreach { ln =>
       if (ln.startsWith("#txn:")) {
         val rest = ln.stripPrefix("#txn:")
@@ -747,6 +749,8 @@ object Compact {
         stats.updateWith(f)(prev => Some(prev.getOrElse(Vector.empty) :+
           ColStat(b64d(parts(1)), parts(2), b64d(parts(3)), b64d(parts(4)))))
           : scala.Unit
+      } else if (ln.startsWith("#merge")) {
+        mergeFlag = true
       } else {
         require(!ln.startsWith("#"),
           s"unknown manifest directive (newer writer?): $ln")
@@ -754,7 +758,7 @@ object Compact {
       }
     }
     ManifestData(gen, live.result(), txns.result(), dead.result(),
-      stats.toMap)
+      stats.toMap, mergeFlag)
   }
 
   private def loadLines(fs: FileSystem, p: Path): Vector[String] = {
@@ -802,7 +806,8 @@ object Compact {
             s"(expected delta g${acc.gen + 1L})")
         val d = parseManifest(g, lines)
         ManifestData(g, acc.live ++ d.live, acc.txns ++ d.txns,
-          acc.dead ++ d.dead, acc.stats ++ d.stats)
+          acc.dead ++ d.dead, acc.stats ++ d.stats,
+          acc.merge || d.merge)
     }
   }
 
@@ -852,7 +857,8 @@ object Compact {
       names: Seq[String], txns: Map[String, Long] = Map.empty,
       dead: Seq[(Long, String)] = Nil,
       delta: Boolean = false,
-      stats: Map[String, Vector[ColStat]] = Map.empty): scala.Unit = {
+      stats: Map[String, Vector[ColStat]] = Map.empty,
+      merge: Boolean = false): scala.Unit = {
     (names.iterator ++ dead.iterator.map(_._2)).foreach(n =>
       require(!n.startsWith("#") && !n.contains("\n"),
         s"unserializable manifest file name: $n"))
@@ -866,7 +872,8 @@ object Compact {
     val fin = new Path(dir, finName)
     val tmp = new Path(dir, s".$finName.tmp")
     val lines =
-      txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn:$a:$b" } ++
+      (if (merge) Seq("#merge:1") else Nil) ++
+        txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn:$a:$b" } ++
         dead.map { case (ts, n) => s"#dead:$ts:$n" } ++
         stats.toSeq.sortBy(_._1).flatMap { case (f, cs) =>
           cs.map(c => s"#stats:${b64e(f)}:${b64e(c.col)}:${c.kind}:" +
@@ -876,6 +883,58 @@ object Compact {
     try outS.write(lines.mkString("\n").getBytes("UTF-8"))
     finally outS.close()
     require(fs.rename(tmp, fin), s"manifest commit failed: $tmp -> $fin")
+  }
+
+  /** Read a manifest-resolved file list, merging schemas when the
+    * manifest's `#merge` flag says the live set's schemas EVOLVED
+    * (a widening append landed) — without it a plain parquet read
+    * takes one file's schema and silently drops the others' new
+    * columns. */
+  private def readLive(spark: SparkSession, dir: Path,
+      m: ManifestData): DataFrame = {
+    val r = if (m.merge) spark.read.option("mergeSchema", "true")
+      else spark.read
+    r.parquet(m.live.map(n => new Path(dir, n).toString): _*)
+  }
+
+  /** Guard an append's schema against the table's (round 15 — the
+    * schema-evolution gate): identical column sets commit as-is; a
+    * type CONFLICT on a shared column always fails; a widening
+    * difference (columns added or absent — readers see nulls where a
+    * file lacks a column) commits only with `allowWiden = true` and
+    * flags the table `#merge`, which makes every managed read merge
+    * schemas from then on (until a full rewrite re-unifies the
+    * files). Returns the commit's merge flag. */
+  private def schemaGuard(spark: SparkSession, dir: Path,
+      m: Option[ManifestData], liveNames: Seq[String],
+      batch: org.apache.spark.sql.types.StructType,
+      allowWiden: Boolean, what: String): Boolean = {
+    if (liveNames.isEmpty) return m.exists(_.merge)
+    val reader =
+      if (m.exists(_.merge))
+        spark.read.option("mergeSchema", "true")
+          .parquet(liveNames.map(n => new Path(dir, n).toString): _*)
+      else spark.read.parquet(new Path(dir, liveNames.head).toString)
+    val table = reader.schema
+    val bm = batch.fields.map(f => f.name -> f.dataType).toMap
+    val tm = table.fields.map(f => f.name -> f.dataType).toMap
+    val conflicts = bm.keySet.intersect(tm.keySet)
+      .filter(k => bm(k) != tm(k))
+    require(conflicts.isEmpty,
+      s"$what: column type conflict with the table at $dir: " +
+        conflicts.take(3).map(k => s"$k (${tm(k)} vs ${bm(k)})")
+          .mkString(", "))
+    if (bm == tm) m.exists(_.merge)
+    else {
+      require(allowWiden,
+        s"$what: batch schema differs from the table at $dir " +
+          s"(batch-only: ${(bm.keySet -- tm.keySet).take(5).mkString(", ")}" +
+          s"; table-only: " +
+          s"${(tm.keySet -- bm.keySet).take(5).mkString(", ")}) — pass " +
+          "allowWiden = true to commit a widening append (readers " +
+          "then merge schemas)")
+      true
+    }
   }
 
   /** The compacted table, for reading back. Manifest-managed
@@ -888,8 +947,7 @@ object Compact {
     val p = new Path(outPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     latestManifest0(fs, p) match {
-      case Some(m) =>
-        spark.read.parquet(m.live.map(n => new Path(p, n).toString): _*)
+      case Some(m) => readLive(spark, p, m)
       case None => spark.read.parquet(outPath)
     }
   }
@@ -917,7 +975,7 @@ object Compact {
     require(missing.isEmpty,
       s"generation $gen lists files vacuumed past the horizon: " +
         missing.take(5).mkString(", "))
-    spark.read.parquet(m.live.map(n => new Path(p, n).toString): _*)
+    readLive(spark, p, m)
   }
 
   /** INCREMENTAL read — the rows appended in generations
@@ -960,13 +1018,15 @@ object Compact {
     if (added.isEmpty) {
       require(to.live.nonEmpty,
         s"generation $toGen at $path lists no files to derive a schema")
-      return spark.read.parquet(new Path(p, to.live.head).toString).limit(0)
+      return readLive(spark, p, to).limit(0)
     }
     val missing = added.filterNot(n => fs.exists(new Path(p, n)))
     require(missing.isEmpty,
       s"change files vacuumed past the horizon: " +
         missing.take(5).mkString(", "))
-    spark.read.parquet(added.map(n => new Path(p, n).toString): _*)
+    val r = if (to.merge) spark.read.option("mergeSchema", "true")
+      else spark.read
+    r.parquet(added.map(n => new Path(p, n).toString): _*)
   }
 
   /** Establish (or extend) DATA-SKIPPING stats on a managed table:
@@ -1127,11 +1187,14 @@ object Compact {
     val snaps = snapshotLeaves(spark, conf,
       leafDirsDistributed(spark, conf, root))
     require(snaps.nonEmpty, s"no data under $path")
+    var anyMerge = false
     val files = snaps.flatMap { snap =>
       val leaf = new Path(snap.leaf)
       snap.manifest match {
         case Some(chain) =>
-          pruneSplit(foldChunks(chain), col, keepLong(lo, hi))._1
+          val m = foldChunks(chain)
+          if (m.merge) anyMerge = true
+          pruneSplit(m, col, keepLong(lo, hi))._1
             .map(n => new Path(leaf, n).toString)
         case None => snap.files.map { case (n, _) =>
           new Path(leaf, n).toString }
@@ -1139,15 +1202,17 @@ object Compact {
     }
     val pred = org.apache.spark.sql.functions.col(col) >= lo &&
       org.apache.spark.sql.functions.col(col) <= hi
+    val r0 = if (anyMerge) spark.read.option("mergeSchema", "true")
+      else spark.read
     if (files.isEmpty) {
       val any = snaps.flatMap(s => s.files.headOption.map(f =>
           new Path(new Path(s.leaf), f._1).toString)).headOption
         .getOrElse(throw new IllegalArgumentException(
           s"empty table at $path"))
-      return spark.read.option("basePath", path).parquet(any)
+      return r0.option("basePath", path).parquet(any)
         .limit(0).filter(pred)
     }
-    spark.read.option("basePath", path).parquet(files: _*).filter(pred)
+    r0.option("basePath", path).parquet(files: _*).filter(pred)
   }
 
   /** The keep-test for a Long range against one file's bounds. */
@@ -1252,11 +1317,11 @@ object Compact {
     val pred = clauses.map(clauseExpr).reduce(_ && _)
     if (chosen.isEmpty) {
       require(m.live.nonEmpty, s"empty table at $path")
-      return spark.read.parquet(new Path(p, m.live.head).toString)
-        .limit(0).filter(pred)
+      return readLive(spark, p, m).limit(0).filter(pred)
     }
-    spark.read.parquet(chosen.map(n => new Path(p, n).toString): _*)
-      .filter(pred)
+    val r = if (m.merge) spark.read.option("mergeSchema", "true")
+      else spark.read
+    r.parquet(chosen.map(n => new Path(p, n).toString): _*).filter(pred)
   }
 
   /** [[readWhere]] over a hive-partitioned managed layout — per-leaf
@@ -1270,11 +1335,13 @@ object Compact {
     val snaps = snapshotLeaves(spark, conf,
       leafDirsDistributed(spark, conf, root))
     require(snaps.nonEmpty, s"no data under $path")
+    var anyMerge = false
     val files = snaps.flatMap { snap =>
       val leaf = new Path(snap.leaf)
       snap.manifest match {
         case Some(chain) =>
           val m = foldChunks(chain)
+          if (m.merge) anyMerge = true
           m.live.filter(clausesKeepFile(m, clauses))
             .map(n => new Path(leaf, n).toString)
         case None => snap.files.map { case (n, _) =>
@@ -1282,15 +1349,17 @@ object Compact {
       }
     }
     val pred = clauses.map(clauseExpr).reduce(_ && _)
+    val r0 = if (anyMerge) spark.read.option("mergeSchema", "true")
+      else spark.read
     if (files.isEmpty) {
       val any = snaps.flatMap(s => s.files.headOption.map(f =>
           new Path(new Path(s.leaf), f._1).toString)).headOption
         .getOrElse(throw new IllegalArgumentException(
           s"empty table at $path"))
-      return spark.read.option("basePath", path).parquet(any)
+      return r0.option("basePath", path).parquet(any)
         .limit(0).filter(pred)
     }
-    spark.read.option("basePath", path).parquet(files: _*).filter(pred)
+    r0.option("basePath", path).parquet(files: _*).filter(pred)
   }
 
   private def readBetweenImpl(spark: SparkSession, path: String,
@@ -1307,11 +1376,11 @@ object Compact {
     val pred = residual(col(colName))
     if (chosen.isEmpty) {
       require(m.live.nonEmpty, s"empty table at $path")
-      return spark.read.parquet(new Path(p, m.live.head).toString)
-        .limit(0).filter(pred)
+      return readLive(spark, p, m).limit(0).filter(pred)
     }
-    spark.read.parquet(chosen.map(n => new Path(p, n).toString): _*)
-      .filter(pred)
+    val r = if (m.merge) spark.read.option("mergeSchema", "true")
+      else spark.read
+    r.parquet(chosen.map(n => new Path(p, n).toString): _*).filter(pred)
   }
 
   /** [[binPack]] IN PLACE — the OPTIMIZE loop's face: the same path
@@ -1376,8 +1445,14 @@ object Compact {
     if (mf.isEmpty) // step 1: manage the directory before anything lands
       writeManifest(fs, dir, 0L, live.map(_.getPath.getName))
 
-    // step 2: rewrite the tail into the hidden scratch
-    val schema = spark.read.parquet(bins.head.head.getPath.toString).schema
+    // step 2: rewrite the tail into the hidden scratch (an evolved
+    // table rewrites on the MERGED schema — files lacking a column
+    // fill it with nulls, the mergeSchema read contract)
+    val schema =
+      if (mf.exists(_.merge))
+        spark.read.option("mergeSchema", "true")
+          .parquet(live.map(_.getPath.toString): _*).schema
+      else spark.read.parquet(bins.head.head.getPath.toString).schema
     val tmpParts = rewriteBins(spark, schema, bins, sortCols, scratch, fs)
 
     // step 3: move packed files in (generation-unique names); build
@@ -1419,7 +1494,8 @@ object Compact {
       txns = mf.map(_.txns).getOrElse(Map.empty),
       dead = mf.map(_.dead).getOrElse(Vector.empty) ++
         bins.flatMap(_.map(f => (nowMillis, f.getPath.getName))),
-      stats = statsOut)
+      stats = statsOut,
+      merge = mf.exists(_.merge) && untouchedNames.nonEmpty)
 
     CompactReport(
       nFilesBefore = live.length.toLong,
@@ -1454,7 +1530,8 @@ object Compact {
     * (Structured Streaming's contract). */
   def appendManaged(spark: SparkSession, path: String,
       df: DataFrame, txn: Option[(String, Long)] = None,
-      statsCols: Seq[String] = Nil): CompactReport = {
+      statsCols: Seq[String] = Nil,
+      allowWiden: Boolean = false): CompactReport = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -1474,6 +1551,9 @@ object Compact {
         live.map(_.getLen).sum, 0L, 0L, 0L,
         nFilesUntouched = live.length.toLong)
     val gen = mf.map(_.gen).getOrElse(0L) + 1L
+    val mergeOut = schemaGuard(spark, dir, mf,
+      live.map(_.getPath.getName), df.schema, allowWiden,
+      "appendManaged")
     if (mf.isEmpty)
       writeManifest(fs, dir, 0L, live.map(_.getPath.getName))
 
@@ -1519,10 +1599,11 @@ object Compact {
         txns = mf.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
         dead = mf.map(_.dead).getOrElse(Vector.empty),
         stats = mf.map(m => m.stats.view
-          .filterKeys(m.live.toSet).toMap).getOrElse(Map.empty) ++ newStats)
+          .filterKeys(m.live.toSet).toMap).getOrElse(Map.empty) ++ newStats,
+        merge = mergeOut)
     else
       writeManifest(fs, dir, gen, newNames, txns = txn.toMap, delta = true,
-        stats = newStats)
+        stats = newStats, merge = mergeOut)
 
     CompactReport(
       nFilesBefore = live.length.toLong,
@@ -1557,7 +1638,8 @@ object Compact {
   def appendManagedPartitioned(spark: SparkSession, path: String,
       df: DataFrame, partitionCols: Seq[String],
       txn: Option[(String, Long)] = None,
-      statsCols: Seq[String] = Nil): CompactReport = {
+      statsCols: Seq[String] = Nil,
+      allowWiden: Boolean = false): CompactReport = {
     require(partitionCols.nonEmpty,
       "appendManagedPartitioned needs partition columns — use " +
         "appendManaged for flat layouts")
@@ -1588,7 +1670,11 @@ object Compact {
     // stats job below runs ONCE across every leaf's new files
     final case class Pending(leaf: Path, rel: String, gen: Long,
       mf: Option[ManifestData], liveNames: Vector[String],
-      newNames: Vector[String])
+      newNames: Vector[String], mergeOut: Boolean)
+    // the leaf files carry the DATA columns only — partition values
+    // live in the directory names (the hive contract)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(f => partitionCols.contains(f.name)))
     var liveBefore = 0L
     var bytesBefore = 0L
     val pending = Vector.newBuilder[Pending]
@@ -1608,6 +1694,9 @@ object Compact {
       }
       if (!replayed) {
         val gen = mf.map(_.gen).getOrElse(0L) + 1L
+        val mergeOut = schemaGuard(spark, leaf, mf,
+          live.map(_.getPath.getName), dataSchema, allowWiden,
+          "appendManagedPartitioned")
         if (mf.isEmpty)
           writeManifest(fs, leaf, 0L, live.map(_.getPath.getName))
         val parts = fs.listStatus(sLeaf).toVector
@@ -1622,7 +1711,7 @@ object Compact {
           appended += nm
         }
         pending += Pending(leaf, rel, gen, mf,
-          live.map(_.getPath.getName), appended.result())
+          live.map(_.getPath.getName), appended.result(), mergeOut)
       }
     }
     val pend = pending.result()
@@ -1654,10 +1743,11 @@ object Compact {
           dead = p.mf.map(_.dead).getOrElse(Vector.empty),
           stats = p.mf.map(m => m.stats.view
             .filterKeys(m.live.toSet).toMap).getOrElse(Map.empty) ++
-            newStats)
+            newStats,
+          merge = p.mergeOut)
       else
         writeManifest(fs, p.leaf, p.gen, p.newNames, txns = txn.toMap,
-          delta = true, stats = newStats)
+          delta = true, stats = newStats, merge = p.mergeOut)
       appendedTotal += p.newNames.length.toLong
     }
     fs.delete(scratch, true)
@@ -1721,7 +1811,9 @@ object Compact {
     val saved = spark.conf.getOption(maxRecKey)
     spark.conf.set(maxRecKey, "0")
     try {
-      val df = spark.read.parquet(live.map(_.getPath.toString): _*)
+      val rz = if (mf.exists(_.merge))
+        spark.read.option("mergeSchema", "true") else spark.read
+      val df = rz.parquet(live.map(_.getPath.toString): _*)
       // clusterByRank's rank-map using-joins reorder columns (join
       // keys float left); re-select the ORIGINAL schema order so the
       // rewrite is schema-identical, not just row-identical
@@ -1825,7 +1917,15 @@ object Compact {
         allLive.map(_.getLen).sum, 0L, 0L, 0L,
         nFilesUntouched = untouchedTotal)
 
-    val schema = spark.read.parquet(bins.head.head.getPath.toString).schema
+    // an evolved table rewrites on the table-wide MERGED schema (the
+    // hive table conceptually has one schema; files lacking a column
+    // fill it with nulls)
+    val anyMergeP = plans.exists(_.mf.exists(_.merge))
+    val schema =
+      if (anyMergeP)
+        spark.read.option("mergeSchema", "true")
+          .parquet(bins.flatten.map(_.getPath.toString): _*).schema
+      else spark.read.parquet(bins.head.head.getPath.toString).schema
     val tmpParts = rewriteBins(spark, schema, bins, sortCols, scratch, fs)
 
     // phase 1 — per leaf: move packed files in (commits deferred so
@@ -1900,7 +2000,8 @@ object Compact {
         dead = p.pl.mf.map(_.dead).getOrElse(Vector.empty) ++
           p.pl.units.collect { case RewriteBin(v) =>
             v.map(f => (nowMillis, f.getPath.getName)) }.flatten,
-        stats = statsOut)
+        stats = statsOut,
+        merge = p.pl.mf.exists(_.merge) && untouched.nonEmpty)
       after += p.newLive.length.toLong
     }
     fs.delete(scratch, true)
@@ -2004,13 +2105,20 @@ object Compact {
         s"got $bits * ${dims.length}")
     val zspan = 1L << (bits * dims.length)
     try {
+      val anyMergeZ = plans.exists(_.mf.exists(_.merge))
       waves.zipWithIndex.foreach { case (wave, w) =>
         val branches = wave.zipWithIndex.map { case (p, k) =>
-          spark.read.parquet(p.live.map(_.getPath.toString): _*)
+          val rz = if (anyMergeZ)
+            spark.read.option("mergeSchema", "true") else spark.read
+          rz.parquet(p.live.map(_.getPath.toString): _*)
             .withColumn("__leaf",
               org.apache.spark.sql.functions.lit(k))
         }
-        val cols0 = branches.head.columns.filter(_ != "__leaf")
+        // an evolved table unions on the COLUMN UNION (files lacking
+        // a column read as null); the re-cluster writes the unified
+        // schema, so the per-leaf merge flags clear at commit
+        val uniRaw = branches.reduce(_.unionByName(_, anyMergeZ))
+        val cols0 = uniRaw.columns.filter(_ != "__leaf")
         val offs = wave.map(_.nOut).scanLeft(0)(_ + _)
         val offRows = wave.zipWithIndex.map { case (p, k) =>
           org.apache.spark.sql.Row(k, offs(k).toLong,
@@ -2025,8 +2133,8 @@ object Compact {
               org.apache.spark.sql.types.LongType, nullable = false),
             org.apache.spark.sql.types.StructField("__width",
               org.apache.spark.sql.types.LongType, nullable = false))))
-        val slotted = Zorder.zvalueByRankGrouped(
-            branches.reduce(_.unionByName(_)), "__leaf", dims, bits)
+        val slotted = Zorder.zvalueByRankGrouped(uniRaw, "__leaf",
+            dims, bits)
           .join(org.apache.spark.sql.functions.broadcast(offDf),
             Seq("__leaf"))
           .withColumn("__slot",
@@ -2160,16 +2268,21 @@ object Compact {
       leafDirsDistributed(spark, conf, root))
     if (!snaps.exists(_.manifest.nonEmpty)) spark.read.parquet(path)
     else {
+      var anyMerge = false
       val files = snaps.flatMap { snap =>
         val leaf = new Path(snap.leaf)
         snap.manifest match {
           case Some(chain) =>
-            foldChunks(chain).live.map(n => new Path(leaf, n).toString)
+            val m = foldChunks(chain)
+            if (m.merge) anyMerge = true
+            m.live.map(n => new Path(leaf, n).toString)
           case None => snap.files.map { case (n, _) =>
             new Path(leaf, n).toString }
         }
       }
-      spark.read.option("basePath", path).parquet(files: _*)
+      val r = if (anyMerge) spark.read.option("mergeSchema", "true")
+        else spark.read
+      r.option("basePath", path).parquet(files: _*)
     }
   }
 

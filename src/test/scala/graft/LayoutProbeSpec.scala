@@ -1097,6 +1097,74 @@ class LayoutProbeSpec extends AnyFunSuite with SparkSpec {
     assert(rp.filter(col("p") === 1L).count() === 50L)
   }
 
+  test("schema evolution: mismatched appends fail fast, allowWiden flags " +
+      "#merge, readers merge schemas, a full rewrite re-unifies") {
+    import spark.implicits._
+    import graft.operators.Compact
+    val base = java.nio.file.Files.createTempDirectory("graft-widen").toString
+    val t = s"$base/t"
+    Compact.appendManaged(spark, t,
+      (0 until 100).map(i => (i.toLong, i.toLong * 2L)).toDF("id", "v")
+        .coalesce(1)): Unit
+    // a type conflict on a shared column always fails
+    intercept[IllegalArgumentException] {
+      Compact.appendManaged(spark, t, Seq(("x", 1L)).toDF("id", "v"))
+    }
+    // widening without permission fails and the table is untouched
+    intercept[IllegalArgumentException] {
+      Compact.appendManaged(spark, t,
+        (100 until 200).map(i => (i.toLong, i.toLong * 2L, s"s$i"))
+          .toDF("id", "v", "tag"))
+    }
+    assert(Compact.read(spark, t).count() === 100L)
+    // allowWiden commits and flags the table: readers merge schemas,
+    // old rows read the new column as null
+    Compact.appendManaged(spark, t,
+      (100 until 200).map(i => (i.toLong, i.toLong * 2L, s"s$i"))
+        .toDF("id", "v", "tag").coalesce(1),
+      allowWiden = true): Unit
+    assert(Compact.tableState(spark, t).get.merge)
+    val r = Compact.read(spark, t)
+    assert(r.columns.toSet === Set("id", "v", "tag"))
+    assert(r.count() === 200L)
+    assert(r.filter(col("tag").isNull).count() === 100L)
+    // a NARROWER late batch is also an evolution — same gate
+    Compact.appendManaged(spark, t, Seq((500L, 1L)).toDF("id", "v"),
+      allowWiden = true): Unit
+    assert(Compact.read(spark, t).count() === 201L)
+    // a full rewrite re-unifies the files on the merged schema and
+    // CLEARS the flag; values survive
+    Compact.binPackInPlace(spark, t, targetBytes = 1L << 26): Unit
+    val st = Compact.tableState(spark, t).get
+    assert(!st.merge, "full rewrite should re-unify the schema")
+    val r2 = Compact.read(spark, t)
+    assert(r2.columns.toSet === Set("id", "v", "tag"))
+    assert(r2.count() === 201L)
+    assert(r2.filter(col("tag").isNotNull).count() === 100L)
+
+    // partitioned twin: the guard aborts BEFORE any leaf commits (the
+    // scratch remains for recovery), and the widened retry lands
+    val t2 = s"$base/t2"
+    Compact.appendManagedPartitioned(spark, t2,
+      (0 until 100).map(i => (i.toLong, (i % 2).toLong)).toDF("id", "p")
+        .coalesce(1), Seq("p")): Unit
+    intercept[IllegalArgumentException] {
+      Compact.appendManagedPartitioned(spark, t2,
+        (100 until 200).map(i => (i.toLong, (i % 2).toLong, i.toDouble))
+          .toDF("id", "p", "x").coalesce(1), Seq("p"))
+    }
+    assert(!Compact.recoverSwapPartitioned(spark, t2).startsWith("clean"))
+    assert(Compact.readPartitioned(spark, t2).count() === 100L)
+    Compact.appendManagedPartitioned(spark, t2,
+      (100 until 200).map(i => (i.toLong, (i % 2).toLong, i.toDouble))
+        .toDF("id", "p", "x").coalesce(1), Seq("p"),
+      allowWiden = true): Unit
+    val rp = Compact.readPartitioned(spark, t2)
+    assert(rp.columns.toSet === Set("id", "p", "x"))
+    assert(rp.count() === 200L)
+    assert(rp.filter(col("x").isNull).count() === 100L)
+  }
+
   test("readChanges: the appended increment between retained generations; " +
       "rewrites in range fail fast") {
     import spark.implicits._
