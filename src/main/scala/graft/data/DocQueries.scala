@@ -879,6 +879,35 @@ object DocQueries {
             col("text"))) % 1000003L).as("content_sig"))
         .orderBy("source")
     }),
+    "q_schema_widen" -> ((s, dir) => {
+      // SCHEMA EVOLUTION (round 15): seed the even half, then append
+      // the odd half WIDENED by a derived column under allowWiden —
+      // the manifest flags #merge and the managed read merges
+      // schemas, so seeded rows read the new column as null. The card
+      // folds the null/value split per source; equality pins both the
+      // widened write and the merged read.
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-q-widen").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
+      val d = documents(s, dir)
+        .select("doc_id", "text", "source", "n_chars")
+      graft.operators.Compact.appendManaged(s, s"$root/t",
+        d.filter(col("doc_id") % 2 === 0).repartition(2))
+      graft.operators.Compact.appendManaged(s, s"$root/t",
+        d.filter(col("doc_id") % 2 === 1)
+          .withColumn("extra", col("n_chars") * 2L).repartition(2),
+        allowWiden = true)
+      graft.operators.Compact.read(s, s"$root/t")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(coalesce(col("extra"), lit(-1L))).as("extra_sig"),
+          sum(TextOps.hash56(concat_ws(":", lit("cmp"), col("doc_id"),
+            col("text"))) % 1000003L).as("content_sig"))
+        .orderBy("source")
+    }),
     "q_read_changes" -> ((s, dir) => {
       // INCREMENTAL CONSUMPTION (round 15): seed a third of the
       // corpus (identity manifest g0), append the other two thirds as
@@ -4793,6 +4822,17 @@ object DocQueries {
          |WHERE doc_id BETWEEN 130 AND 240
          |  AND doc_id IN (5, 135, 200, 305)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_schema_widen" ->
+      // the widened column exists only on odd rows (the widening
+      // batch); seeded rows surface it as null → -1 in the fold
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * 2
+         |    ELSE -1 END)::BIGINT AS extra_sig,
+         |  sum(${hash56("'cmp' || ':' || doc_id::VARCHAR || ':' || text")}
+         |    % 1000003)::BIGINT AS content_sig
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_read_changes" ->
       // the per-source cards of the appended increment: from g0 both
