@@ -54,8 +54,8 @@ object PageRank {
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
     val M = 1000000000000L // total picorank mass
-    val n1 = nodes.select(col("node").cast("long").as("node"))
-    val nn = broadcast(n1.agg(count(lit(1)).as("__n")))
+    val spark = nodes.sparkSession
+    val P = spark.sessionState.conf.numShufflePartitions
 
     // outdeg folded into the edge list once: (src, dst, __deg).
     // localCheckpoint (eager) rather than persist: each iteration
@@ -65,14 +65,36 @@ object PageRank {
     // materialized RDD, bounding every iteration's plan at constant
     // depth (the standard iterative-graph cadence; GraphX checkpoints
     // on the same schedule).
+    //
+    // The edge table — the only corpus-scale side — is checkpointed
+    // HASH-PARTITIONED on src (explicit P partitions so the layout is
+    // deterministic, not AQE-coalesced), so each iteration's
+    // ranks ⋈ edges join leaves the heavy side in place and moves only
+    // the node-sized rank table; the node table and the dangling src
+    // set are likewise checkpointed ONCE instead of being re-derived
+    // from their upstream lineage in every iteration's job (the rank
+    // table itself is rebuilt each iteration anyway, so it is NOT
+    // re-partitioned per step — an extra exchange of the small side
+    // costs more than it saves). Partitioning cannot affect values:
+    // every cross-partition quantity is an exact long sum.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val eD = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .join(deg, Seq("src")).localCheckpoint()
-    val srcs = deg.select(col("src").as("node"))
+      .join(deg, Seq("src"))
+      .repartition(P, col("src")).localCheckpoint()
+    // distinct over the checkpointed edge layout: already clustered by
+    // src, so no exchange; node-count-sized, reused by every iteration
+    val srcs = eD.select(col("src").as("node")).distinct().localCheckpoint()
+    val n1 = nodes.select(col("node").cast("long").as("node"))
+      .repartition(P, col("node")).localCheckpoint()
+    // the node count as a driver scalar (bounded: one long) — the
+    // per-iteration crossJoin broadcast re-derived the node table
+    // every iteration just to read this one number
+    val nC = n1.count()
+    require(nC > 0, "PageRank needs at least one node")
+    val baseShare = ((dampDen - dampNum) * M / dampDen) / nC // longs > 0: / == div
 
-    var r = n1.crossJoin(nn)
-      .select(col("node"), expr(s"$M div __n").as("__r")).localCheckpoint()
+    var r = n1.select(col("node"), lit(M / nC).as("__r")).localCheckpoint()
     for (_ <- 0 until iters) {
       val prev = r
       val inbound = eD.join(prev.withColumnRenamed("node", "src"), Seq("src"))
@@ -82,10 +104,10 @@ object PageRank {
         prev.join(srcs, Seq("node"), "left_anti")
           .agg(coalesce(sum(col("__r")), lit(0L)).as("__dang")))
       r = n1.join(inbound, Seq("node"), "left")
-        .crossJoin(dang).crossJoin(nn)
+        .crossJoin(dang)
         .select(col("node"), expr(
-          s"((($dampDen - $dampNum) * $M div $dampDen) div __n) + " +
-          s"($dampNum * (coalesce(__in, 0L) + __dang div __n) div $dampDen)")
+          s"$baseShare + " +
+          s"($dampNum * (coalesce(__in, 0L) + __dang div $nC) div $dampDen)")
           .as("__r"))
         .localCheckpoint()
     }

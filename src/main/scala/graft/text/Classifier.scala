@@ -72,29 +72,39 @@ object Classifier {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(l2 >= 0.0, s"l2 must be non-negative, got $l2")
     val lrl2 = lr * l2
-    val feats = sparseFeatures(docs, dim, textCol, idCol).persist()
-    val labels = docs.select(col(idCol).as("doc_id"),
-      col(labelCol).cast("long").as("__y"))
+    // label attached ONCE and the feature table persisted already
+    // hash-partitioned and sorted on doc_id: each of the `iters`
+    // full-batch passes then computes the per-doc margin as a WINDOW
+    // sum over the cached layout (no exchange, no sort, no re-join of
+    // labels) and only the (dim+1)-key gradient aggregate shuffles —
+    // bitwise the same trajectory, since every cross-partition
+    // quantity is an exact long sum (order-free) and the one float op
+    // per doc snaps on the identical input
+    val feats = sparseFeatures(docs, dim, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("long").as("__y")), "doc_id")
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .persist()
     val n = docs.count()
     require(n > 0, "cannot fit on an empty corpus")
     val w = Array.fill[Long](dim + 1)(0L)
     try {
+      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       for (_ <- 0 until iters) {
         val wLit = typedlit(w.toSeq)
-        // margin*1e6 as an exact integer dot product
-        val margins = feats.groupBy("doc_id")
-          .agg(sum(element_at(wLit, col("dim").cast("int") + 1) * col("value"))
-            .as("__ms"))
+        // margin*1e6 as an exact integer dot product, per row via the
+        // doc window (identical long on every row of the doc)
+        val ms = sum(element_at(wLit, col("dim").cast("int") + 1) * col("value"))
+          .over(byDoc)
         // e = round(1e6 * sigmoid(margin)): the one float op, snapped
-        val e = margins.select(col("doc_id"),
-          round(lit(1e6) / (lit(1.0) + exp(-col("__ms").cast("double") / lit(1e6))), 0)
-            .cast("long").as("__e"))
+        val e = round(lit(1e6) / (lit(1.0) + exp(-ms.cast("double") / lit(1e6))), 0)
+          .cast("long")
         val grads = feats
-          .join(e, "doc_id")
-          .join(labels, "doc_id")
+          .select(col("dim"),
+            ((e - col("__y") * lit(1000000L)) * col("value")).as("__r"))
           .groupBy("dim")
-          .agg(sum((col("__e") - col("__y") * lit(1000000L)) * col("value"))
-            .as("__g"))
+          .agg(sum(col("__r")).as("__g"))
           .collect() // bounded: at most dim+1 rows
         grads.foreach { r =>
           val d = r.getAs[Long]("dim").toInt
@@ -198,27 +208,45 @@ object Classifier {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(l2 >= 0.0, s"l2 must be non-negative, got $l2")
     val lrl2 = lr * l2
-    val feats = sparseFeaturesNt(docs, dim, textCol, idCol).persist()
-    val labels = docs.select(col(idCol).as("doc_id"),
-      col(labelCol).cast("long").as("__y"))
+    // the [[fit]] cadence: label attached once, the feature table
+    // persisted hash-partitioned + sorted on doc_id, each pass one
+    // exchange-free window walk + the (dim+1)-key gradient shuffle —
+    // the per-doc normalized margin and the per-row gradient snap are
+    // the identical IEEE expressions, so the trajectory is bitwise
+    // unchanged
+    val feats = sparseFeaturesNt(docs, dim, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("long").as("__y")), "doc_id")
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .persist()
     val n = docs.count()
     require(n > 0, "cannot fit on an empty corpus")
     val w = Array.fill[Long](dim + 1)(0L)
     try {
+      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       for (_ <- 0 until iters) {
         val wLit = typedlit(w.toSeq)
-        val margins = normMargins(feats, wLit, dim)
-        val e = margins.select(col("doc_id"),
-          round(lit(1e6) / (lit(1.0) + exp(-col("__ms").cast("double") / lit(1e6))), 0)
-            .cast("long").as("__e"))
-        val resid = (col("__e") - col("__y") * lit(1000000L)) * col("value")
+        // normMargins's (__b, __h, max __nt) per doc, as window sums
+        val b = sum(when(col("dim") === dim,
+            element_at(wLit, col("dim").cast("int") + 1) * col("value"))
+          .otherwise(0L)).over(byDoc)
+        val h = sum(when(col("dim") =!= dim,
+            element_at(wLit, col("dim").cast("int") + 1) * col("value"))
+          .otherwise(0L)).over(byDoc)
+        val nmax = max(col("__nt")).over(byDoc)
+        val ms = b + when(nmax > 0L,
+          round(h.cast("double") / nmax, 0).cast("long")).otherwise(0L)
+        val e = round(lit(1e6) / (lit(1.0) + exp(-ms.cast("double") / lit(1e6))), 0)
+          .cast("long")
+        val resid = (e - col("__y") * lit(1000000L)) * col("value")
         val grads = feats
-          .join(e, "doc_id")
-          .join(labels, "doc_id")
+          .select(col("dim"),
+            when(col("dim") === dim, resid)
+              .otherwise(round(resid.cast("double") / col("__nt"), 0)
+                .cast("long")).as("__r"))
           .groupBy("dim")
-          .agg(sum(when(col("dim") === dim, resid)
-            .otherwise(round(resid.cast("double") / col("__nt"), 0).cast("long")))
-            .as("__g"))
+          .agg(sum(col("__r")).as("__g"))
           .collect() // bounded: at most dim+1 rows
         grads.foreach { r =>
           val d = r.getAs[Long]("dim").toInt

@@ -279,6 +279,10 @@ object LmPerplexity {
       .withColumn("__rate",
         when(col("lp_micro") < 0, lit(-1L)).otherwise(lit(1L)) *
           expr(s"(2 * abs(lp_micro * 1000) + $nCol) div (2 * $nCol)"))
+      // the scored table is consumed TWICE (tercile cuts + the bucketed
+      // output); materialize the doc-sized result once so the whole
+      // scoring chain — model tables and all — is not evaluated twice
+      .localCheckpoint()
     val cuts = graft.stats.Quantiles.exactQuantiles(scored, "__rate", 3)
       .agg(max(when(col("j") === 1, col("__rate"))).as("__c33"),
         max(when(col("j") === 2, col("__rate"))).as("__c67"))
@@ -344,9 +348,11 @@ object LmPerplexity {
       .agg(sum(col("__c123")).as("__c12"), count(lit(1)).as("__n3p"))
     // the bigram backoff tables — identical to [[score]]'s (the
     // trigram stream's (w2, w3) pairs ARE the bigram stream: w2 is
-    // the previous token or <s>)
-    val trbg = bigrams(train, textCol, idCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("__c23"))
+    // the previous token or <s>), so the bigram counts cascade from
+    // the trigram table by an exact long sum instead of a second
+    // corpus-sized pass over the training stream
+    val trbg = trtg.groupBy(col("w2").as("w1"), col("w3").as("w2"))
+      .agg(sum(col("__c123")).as("__c23"))
     val ctx2 = trbg.groupBy("w1")
       .agg(sum(col("__c23")).as("__c1"), count(lit(1)).as("__n1p"))
     val cont = trbg.groupBy("w2").agg(count(lit(1)).as("__nc"))
@@ -443,10 +449,21 @@ object LmPerplexity {
     require(n >= 2 && n <= 8, s"order must be in [2,8], got $n")
     def gcols(m: Int): Seq[String] = ((n - m + 1) to n).map(j => s"w$j")
     val tr = ngrams(train, n, textCol, idCol)
-    val gram = (2 to n).map { m =>
-      m -> tr.groupBy(gcols(m).map(col): _*)
-        .agg(count(lit(1)).as(s"__g$m"))
-    }.toMap
+    // the order-m gram counts CASCADE from order m+1: each stream
+    // position contributes one order-(m+1) row whose trailing m columns
+    // are the order-m gram at that position (the BOS pad telescopes),
+    // so summing the (m+1)-counts grouped by the trailing m columns IS
+    // the order-m count — exact long sums, bitwise the same table as
+    // re-aggregating the stream, for ONE corpus-sized pass over the
+    // training stream instead of n−1
+    val gram = {
+      val top = tr.groupBy(gcols(n).map(col): _*)
+        .agg(count(lit(1)).as(s"__g$n"))
+      (n - 1 to 2 by -1).foldLeft(Map(n -> top)) { (acc, m) =>
+        acc + (m -> acc(m + 1).groupBy(gcols(m).map(col): _*)
+          .agg(sum(col(s"__g${m + 1}")).as(s"__g$m")))
+      }
+    }
     val ctx = (2 to n).map { m =>
       m -> gram(m).groupBy(gcols(m).dropRight(1).map(col): _*)
         .agg(sum(col(s"__g$m")).as(s"__c$m"),
