@@ -87,7 +87,7 @@ object DocQueries {
     * and fresh plans hash identically. */
   private val shingleMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
-  private def docShingleSets(s: SparkSession, dir: String, n: Int): DataFrame =
+  private[graft] def docShingleSets(s: SparkSession, dir: String, n: Int): DataFrame =
     shingleMemo.getOrElseUpdate((dir, n), {
       val sets = Dedup.shingleSets(documents(s, dir), n = n)
       sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -109,7 +109,7 @@ object DocQueries {
     * organic repeat surface replaced the old 35-doc planted-mirror
     * slice). Built in [[warm]] so the cost lands in the reported
     * warmup entry. */
-  private def fullSa(s: SparkSession, dir: String): DataFrame =
+  private[graft] def fullSa(s: SparkSession, dir: String): DataFrame =
     fullSaMemo.getOrElseUpdate(dir, {
       val sa = graft.operators.SuffixRank.suffixArrayWithLcp(
         documents(s, dir).select("doc_id", "text"))
@@ -119,7 +119,7 @@ object DocQueries {
 
   private val pairsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Double, Int), DataFrame]
-  private def docJaccardPairs(
+  private[graft] def docJaccardPairs(
       s: SparkSession, dir: String, n: Int,
       minJaccard: Double, maxDf: Int): DataFrame =
     pairsMemo.getOrElseUpdate((dir, n, minJaccard, maxDf), {
@@ -136,13 +136,13 @@ object DocQueries {
     * "train once, fan out" lifecycle as the shingle/pair caches. */
   private val coarseMemo =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
-  private def coarseCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+  private[graft] def coarseCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
     coarseMemo.getOrElseUpdate(dir,
       Ivf.trainCentroids(embeddings(s, dir), nCells = 16, iters = 5))
 
   private val bookMemo =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
-  private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+  private[graft] def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
     bookMemo.getOrElseUpdate(dir,
       graft.vector.Pq.trainCodebooks(embeddings(s, dir), dim = 64, m = 8,
         k = 16, iters = 3))
@@ -162,7 +162,7 @@ object DocQueries {
     * reuses them. */
   private val bm25Memo =
     scala.collection.concurrent.TrieMap.empty[String, Search.Bm25Index]
-  private def bm25Index(s: SparkSession, dir: String): Search.Bm25Index =
+  private[graft] def bm25Index(s: SparkSession, dir: String): Search.Bm25Index =
     bm25Memo.getOrElseUpdate(dir, {
       val idx = Search.buildIndex(documents(s, dir))
       idx.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -325,9 +325,6 @@ object SuffixRank {
       .select(col("__tok"), col("__rb"))
     var ranks = trackedCp(positions.join(tokRank, Seq("__tok"))
       .select(col("doc_id"), col("pos"), col("__rb").as("__rank")))
-    val maxLenRow = positions.groupBy("doc_id").agg(count(lit(1)).as("__n"))
-      .agg(max("__n")).collect()(0)
-    val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
 
     // levels(k) discriminates prefixes of length exactly 2^k. The
     // chain may stop BEFORE maxLen once every still-tied position's
@@ -344,10 +341,28 @@ object SuffixRank {
     // over the round's already-checkpointed frame, no join — and the
     // first rounds skip it (an exit at spans < 8 is a corpus with no
     // 4-token repeat; not worth three collect jobs to detect).
-    val docLen = positions.groupBy("doc_id").agg(count(lit(1)).as("__n"))
-    var remRanks = trackedCp(ranks.join(docLen, Seq("doc_id"))
+    // the chain frame checkpoints SORTED on its self-join key: the
+    // doc_id ⋈ brings it out of the SMJ hash-partitioned by doc_id and
+    // sorted by (doc_id, pos) within partitions, and the checkpoint
+    // preserves both, so every round's (doc_id, pos) self-join needs
+    // NO exchange of the straight side and no re-sort of it — only the
+    // shifted projection (whose pos alias hides the ordering) sorts.
+    // Partitioning cannot affect values (rows-before ranks are
+    // partitioning-independent by the PrefixSum contract).
+    val docLen0 = positions.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    var remRanks = trackedCp(ranks.join(docLen0, Seq("doc_id"))
       .select(col("doc_id"), col("pos"), col("__rank"),
-        (col("__n") - col("pos")).as("__rem")))
+        (col("__n") - col("pos")).as("__rem"))
+      .sortWithinPartitions("doc_id", "pos"))
+    // max doc length read off the just-checkpointed frame (pos 0 rows
+    // carry __rem = doc length) instead of a second corpus-wide
+    // groupBy over positions
+    val maxLenRow = remRanks.agg(max("__rem")).collect()(0)
+    val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
+    // the per-doc length table for the final LCP cap — lazy off the
+    // retained positions checkpoint (the chain frames are freed during
+    // the build, so they cannot back it)
+    val docLen = docLen0
     val maxLevels = docs.sparkSession.conf
       .get(MaxRetainedLevelsKey, MaxRetainedLevelsDefault.toString).toInt
     require(maxLevels >= 1, s"$MaxRetainedLevelsKey must be >= 1")
@@ -374,7 +389,12 @@ object SuffixRank {
     var chainCp = remRanks
     var h = 1L
     var tiedDone = false
+    val dbg = sys.env.contains("GRAFT_SA_DEBUG")
+    var tRound = System.nanoTime()
     while (h < maxLen && !tiedDone) cleanOnError {
+      if (dbg) { val now = System.nanoTime()
+        System.err.println(f"[sa] round h=$h%-8d +${(now - tRound) / 1e9}%6.2f s")
+        tRound = now }
       // the guard protects block-manager RETENTION, so it applies to
       // the memory store only; disk levels are scratch files
       if (!diskMode && totalLevels >= maxLevels)
@@ -388,13 +408,19 @@ object SuffixRank {
             "the suffix array")
       val shifted = remRanks.select(col("doc_id"), (col("pos") - h).as("pos"),
         col("__rank").as("__r2"))
-      val keyed = remRanks.join(shifted, Seq("doc_id", "pos"), "left")
-        .withColumn("__r2", coalesce(col("__r2"), lit(-1L)))
+      // the round's (rank, rank+h) keying is consumed THREE times
+      // (the histogram's range-partition sampling pass, the histogram
+      // checkpoint, and the re-ranked next frame) — checkpoint it once
+      // so the positions-sized self-join runs once per round, and free
+      // it as soon as the next frame is materialized
+      val keyed = trackedCp(remRanks.join(shifted, Seq("doc_id", "pos"), "left")
+        .withColumn("__r2", coalesce(col("__r2"), lit(-1L))))
       val pairHist = keyed.groupBy("__rank", "__r2").agg(count(lit(1)).as("__c"))
       val pairRank = PrefixSum.rowsBefore(pairHist, Seq("__rank", "__r2"), numParts)
       val next = trackedCp(keyed.join(pairRank, Seq("__rank", "__r2"))
         .select(col("doc_id"), col("pos"), col("__rb").as("__rank"),
           col("__rem"), col("__c")))
+      free(keyed)
       h *= 2L
       store.put(h, next) // head = coarsest
       totalLevels += 1
@@ -430,7 +456,13 @@ object SuffixRank {
       .select(col("seq"), col("__da"), col("__pa"),
         col("doc_id").as("__db"), col("pos").as("__pb"))
       .withColumn("__lcp", lit(0L)))
+    if (dbg) { val now = System.nanoTime()
+      System.err.println(f"[sa] seqed       +${(now - tRound) / 1e9}%6.2f s")
+      tRound = now }
     cleanOnError(store.levels.foreach { case (span, lvlThunk) =>
+      if (dbg) { val now = System.nanoTime()
+        System.err.println(f"[sa] descent span=$span%-8d +${(now - tRound) / 1e9}%6.2f s")
+        tRound = now }
       val lvl = lvlThunk()
       val prevPairs = pairs
       val la = lvl.select(col("doc_id").as("__da"),
