@@ -38,10 +38,19 @@ private[graft] object PrefixSum {
   /** [[rowsBefore]] over a COMPOSITE key (lexicographic order of
     * `dims`) — the shape [[SuffixRank]]'s per-round (rank, rank+h)
     * pair re-ranking needs. Range partitioning colocates equal keys,
-    * so ties share one `__rb` exactly. */
+    * so ties share one `__rb` exactly.
+    *
+    * `numParts <= 0` resolves to the session's shuffle-partition
+    * count, so callers that don't pin a width scale with the
+    * deployment (the Bench contract sets shuffle partitions to the
+    * driver's core count) instead of inheriting a constant tuned to
+    * one machine. The OUTPUT is partitioning-independent either way —
+    * rows_before(v) is defined by the value order alone. */
   def rowsBefore(counts: DataFrame, dims: Seq[String],
       numParts: Int): DataFrame = {
-    val parted = counts.repartitionByRange(numParts, dims.map(col): _*)
+    val np = if (numParts > 0) numParts
+      else counts.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = counts.repartitionByRange(np, dims.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val wIn = Window.partitionBy("__pid").orderBy(dims.map(col): _*)

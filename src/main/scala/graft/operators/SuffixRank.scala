@@ -45,7 +45,7 @@ object SuffixRank {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 0): DataFrame = {
     val positions = docs
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
@@ -100,7 +100,7 @@ object SuffixRank {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 0): DataFrame = {
     val docLen = docs.select(col(idCol).cast("long").as("doc_id"),
       size(TextOps.tokens(col(textCol))).cast("long").as("__n"))
     val withRem = sa.join(docLen, Seq("doc_id"))
@@ -172,7 +172,7 @@ object SuffixRank {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      numParts: Int = 32): DataFrame =
+      numParts: Int = 0): DataFrame =
     suffixArrayWithLcpAndLevels(docs, textCol, idCol, numParts)._1
 
   /** Conf key bounding the retained doubling-chain levels (each one
@@ -315,7 +315,7 @@ object SuffixRank {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      numParts: Int = 32): (DataFrame, Int) = {
+      numParts: Int = 0): (DataFrame, Int) = {
     lastBuildCheckpointIds.get.clear()
     val positions = trackedCp(docs
       .select(col(idCol).cast("long").as("doc_id"),
@@ -525,7 +525,7 @@ object SuffixRank {
       minLen: Int,
       textCol: String = "text",
       idCol: String = "doc_id",
-      numParts: Int = 32): DataFrame =
+      numParts: Int = 0): DataFrame =
     repeatMarksFromSa(
       suffixArrayWithLcp(docs, textCol, idCol, numParts), minLen)
 

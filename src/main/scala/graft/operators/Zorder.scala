@@ -80,7 +80,7 @@ object Zorder {
     * oracle-replayable by a plain SQL window. Returns (value ->
     * bucket); join it back on `dim` to tag rows. */
   def rankBuckets(df: DataFrame, dim: String, bits: Int,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 0): DataFrame = {
     require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
     bucketsFromHist(
       df.na.drop(Seq(dim)).groupBy(dim).agg(count(lit(1)).as("__c")),
@@ -140,7 +140,7 @@ object Zorder {
         bucketsFromHist(
           melted.filter(col("__gid") === mask && col(dim).isNotNull)
             .select(col(dim), col("__c")),
-          dim, bits, numParts = 32)
+          dim, bits, numParts = 0)
       }
     }
     val tagged = dims.zipWithIndex.foldLeft(df) { case (d, (dim, j)) =>

@@ -35,7 +35,7 @@ object Quantiles {
       df: DataFrame,
       dim: String,
       q: Int,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 0): DataFrame = {
     require(q >= 1 && q <= 10000, s"q must be in [1, 10000], got $q")
     val spark = df.sparkSession
     val counts = df.na.drop(Seq(dim))
