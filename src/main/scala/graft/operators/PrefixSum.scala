@@ -32,7 +32,7 @@ private[graft] object PrefixSum {
     * distinct value (in `dim` order) to a histogram `counts` carrying
     * (dim, __c = per-value row count). Output: (dim, __c, __rb). */
   def rowsBefore(counts: DataFrame, dim: String,
-      numParts: Int = 32): DataFrame =
+      numParts: Int = 0): DataFrame =
     rowsBefore(counts, Seq(dim), numParts)
 
   /** [[rowsBefore]] over a COMPOSITE key (lexicographic order of

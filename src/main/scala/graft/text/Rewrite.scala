@@ -229,7 +229,7 @@ object Rewrite {
       textCol: String = "text",
       idCol: String = "doc_id",
       minLen: Int = 5,
-      numParts: Int = 32): DataFrame =
+      numParts: Int = 0): DataFrame =
     spanDedupSAFromSa(
       graft.operators.SuffixRank.suffixArrayWithLcp(
         docs, textCol, idCol, numParts),
@@ -247,7 +247,7 @@ object Rewrite {
       textCol: String = "text",
       idCol: String = "doc_id",
       minLen: Int = 5,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 0): DataFrame = {
     require(minLen >= 1, s"span width must be positive, got $minLen")
     val marked = sa.select(col("seq"), col("doc_id"), col("pos"),
       when(col("lcp_prev") < minLen, lit(1L)).otherwise(lit(0L)).as("__c"))

@@ -14,10 +14,13 @@ only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 for name, sql in oracle.items():
     if only is not None and name not in only:
         continue
-    spark_files = glob.glob(f"{out}/{name}/*.parquet")
+    spark_files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
     if not spark_files:
         print(f"{name}: NO SPARK OUTPUT"); continue
-    sdf = pd.read_parquet(spark_files[0])
+    # read EVERY part file: a multi-part output read via its first part
+    # alone would silently truncate and report spurious mismatches
+    sdf = pd.concat([pd.read_parquet(f) for f in spark_files],
+                    ignore_index=True)
     try:
         ddf = con.execute(sql).df()
     except Exception as e:
