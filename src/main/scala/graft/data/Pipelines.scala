@@ -190,11 +190,33 @@ object Pipelines {
             .join(broadcast(groupMap(spark, dir)), Seq("asset"), "left")
             .filter(col("group").isNotNull)
         else {
+          // fwd returns and the lagged factor in ONE window pass over
+          // the panel (round 16): the old form built two frames off the
+          // same aggregate (prices->lead windows, factor->lag window)
+          // and inner-joined them back on (date, asset) — but (date,
+          // asset) is the panel's grouping key, so the join was an
+          // identity alignment costing a second panel evaluation plus a
+          // join exchange. All three window columns share one
+          // partitionBy(asset).orderBy(date) spec (date is unique per
+          // asset, so the sort — and every lead/lag — is deterministic),
+          // i.e. one shuffle + one sort, values bitwise identical.
           val hs = horizons(periods)
           val pan = panel(spark, dir)
-          val fwd = forwardReturns(prices(pan), hs)
-          val f = factor(pan).filter(col("factor").isNotNull && !isnan(col("factor")))
-          fwd.join(f, Seq("date", "asset"), "inner").na.drop()
+          val w = Window.partitionBy("asset").orderBy("date")
+          // the [[prices]] expression inline (exact IEEE arithmetic)
+          val price = lit(100.0) +
+            ((col("qty").cast("long") * 7919L + col("asset").cast("long") * 131L) % 9973L)
+              .cast("double") / 128.0
+          val withRets = hs.foldLeft(pan.withColumn("__price", price)) {
+            (df, h) => df.withColumn(h.label,
+              lead(col("__price"), h.period).over(w) / col("__price") - 1.0)
+          }
+          withRets
+            .withColumn("factor", lag(col("revenue"), 1).over(w))
+            .filter(col("factor").isNotNull && !isnan(col("factor")))
+            .select((Seq(col("date"), col("asset")) ++
+              hs.map(h => col(h.label)) :+ col("factor")): _*)
+            .na.drop()
         }
       m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
