@@ -2909,8 +2909,13 @@ object DocQueries {
         .localCheckpoint()
       val gsurv = gated.filter(col("gate_kept")).select("doc_id", "ntext")
       // quality: rule half (gopher) + learned half (pre-trained
-      // classifier, the q_quality_clf weights) — kept = both agree
-      val gq = TextStats.gopherRules(gsurv, textCol = "ntext")
+      // classifier, the q_quality_clf weights) — kept = both agree.
+      // The STATELESS gopher variant (round 16): a pure per-row
+      // projection over the gated leaf — no 2-gram aggregate, no
+      // join-back — with quality_pass pinned column-identical to
+      // gopherRules by TextStatsSpec, so the stage's shuffles drop
+      // from two aggregations + a join to zero
+      val gq = TextStats.gopherRulesStateless(gsurv, textCol = "ntext")
         .select("doc_id", "quality_pass")
       // the learned gate runs at a CALIBRATED operating point (score
       // >= 1e-6, i.e. any positive evidence on the snapped grid), not
@@ -2940,12 +2945,17 @@ object DocQueries {
         .localCheckpoint()
       val lsurv = qsurv.join(
         lm.filter(col("lm_kept")).select("doc_id"), Seq("doc_id"))
-      // exact dedup among LM survivors: min-id keeper per content
-      val exact = lsurv
+      // exact dedup among LM survivors: min-id keeper per content.
+      // NOT checkpointed (round 16): the keeper join reads only
+      // checkpointed leaves (gated/qual/lm) and has ONE consumer —
+      // the span stage below — because the verdict row derives
+      // exact_kept from span presence (spanDedup emits exactly one
+      // row per input doc, so doc ∈ span ⟺ exact_kept; a doc dropped
+      // here or earlier coalesces to false either way)
+      val esurv = lsurv
         .join(lsurv.groupBy("ntext").agg(min("doc_id").as("__keep")), "ntext")
-        .withColumn("exact_kept", col("doc_id") === col("__keep"))
-        .localCheckpoint()
-      val esurv = exact.filter(col("exact_kept")).select("doc_id", "ntext")
+        .filter(col("doc_id") === col("__keep"))
+        .select("doc_id", "ntext")
       // span-dedup rewrite over the surviving batch (k=5)
       val span = Rewrite.spanDedup(
         esurv.withColumnRenamed("ntext", "text"), k = 5)
@@ -2976,9 +2986,13 @@ object DocQueries {
         .join(lm.select(col("doc_id"), col("n_bigrams"), col("lp_micro"),
           col("ppl"), col("bucket").as("lm_bucket"), col("lm_kept")),
           Seq("doc_id"), "left")
-        .join(exact.select("doc_id", "exact_kept"), Seq("doc_id"), "left")
         .join(span.select(col("doc_id"), col("n_kept"),
-          md5(col("text")).as("span_hash")), Seq("doc_id"), "left")
+          md5(col("text")).as("span_hash"),
+          // exact_kept ⟺ the doc reached the span stage (spanDedup
+          // keeps one row per exact-dedup keeper); docs dropped at or
+          // before exact dedup miss this join and coalesce to false —
+          // the identical verdict the materialized exact frame carried
+          lit(true).as("exact_kept")), Seq("doc_id"), "left")
         .join(merged.select("doc_id", "verdict"), Seq("doc_id"), "left")
         .join(shards, Seq("doc_id"), "left")
         .select(col("doc_id"), col("url"), col("wet_hash"), col("norm_hash"),
