@@ -67,16 +67,28 @@ object PageRank {
     // on the same schedule).
     //
     // The edge table — the only corpus-scale side — is checkpointed
-    // HASH-PARTITIONED on src (explicit P partitions so the layout is
-    // deterministic, not AQE-coalesced), so each iteration's
-    // ranks ⋈ edges join leaves the heavy side in place and moves only
-    // the node-sized rank table; the node table and the dangling src
-    // set are likewise checkpointed ONCE instead of being re-derived
-    // from their upstream lineage in every iteration's job (the rank
-    // table itself is rebuilt each iteration anyway, so it is NOT
-    // re-partitioned per step — an extra exchange of the small side
-    // costs more than it saves). Partitioning cannot affect values:
-    // every cross-partition quantity is an exact long sum.
+    // once (explicit P partitions on src so the materialized layout is
+    // deterministic); the node table and the dangling src set are
+    // likewise checkpointed ONCE instead of being re-derived from
+    // their upstream lineage in every iteration's job. MEASURED NOTE
+    // (round 16): under AQE the checkpoint's LogicalRDD reports
+    // UnknownPartitioning, so the src layout is NOT visible to the
+    // planner — what makes the iteration fast is AQE itself, which
+    // sees the node-sized rank shuffle at runtime and converts each
+    // iteration's join to a broadcast of the RANK table with local
+    // shuffle reads of the edge side. Alternatives that pin the
+    // layout statically were tried and REVERTED as strictly slower at
+    // sf0.1/32: persist()+merge hint (sorted InMemoryRelation, no
+    // edge exchange) ran q_pagerank 5.5→8.6 s — columnar cache decode
+    // per iteration outweighs the saved exchange; an AQE-off
+    // checkpoint (partitioning captured, SMJ with edge side in place)
+    // ran 5.5→7.9 s — the static SMJ forgoes the adaptive rank-table
+    // broadcast. At cluster scale, where ranks outgrow broadcast, AQE
+    // falls back to SMJ on its own — the adaptive form stays right.
+    // (The rank table itself is rebuilt each iteration anyway, so it
+    // is NOT re-partitioned per step — an extra exchange of the small
+    // side costs more than it saves.) Partitioning cannot affect
+    // values: every cross-partition quantity is an exact long sum.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val eD = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))

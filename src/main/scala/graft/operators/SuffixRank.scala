@@ -341,19 +341,19 @@ object SuffixRank {
     // over the round's already-checkpointed frame, no join — and the
     // first rounds skip it (an exit at spans < 8 is a corpus with no
     // 4-token repeat; not worth three collect jobs to detect).
-    // the chain frame checkpoints SORTED on its self-join key: the
-    // doc_id ⋈ brings it out of the SMJ hash-partitioned by doc_id and
-    // sorted by (doc_id, pos) within partitions, and the checkpoint
-    // preserves both, so every round's (doc_id, pos) self-join needs
-    // NO exchange of the straight side and no re-sort of it — only the
-    // shifted projection (whose pos alias hides the ordering) sorts.
-    // Partitioning cannot affect values (rows-before ranks are
-    // partitioning-independent by the PrefixSum contract).
+    // CORRECTION (round 16, probed): the r15 claim that this
+    // checkpoint "preserves partitioning and ordering" does not hold
+    // under AQE (the bench default) — localCheckpoint materializes
+    // through AdaptiveSparkPlanExec and the LogicalRDD reports
+    // UnknownPartitioning / no ordering, so every round's self-join
+    // exchanges and sorts both sides regardless. The r15
+    // sortWithinPartitions here was therefore dead work and is
+    // removed. Partitioning cannot affect values (rows-before ranks
+    // are partitioning-independent by the PrefixSum contract).
     val docLen0 = positions.groupBy("doc_id").agg(count(lit(1)).as("__n"))
     var remRanks = trackedCp(ranks.join(docLen0, Seq("doc_id"))
       .select(col("doc_id"), col("pos"), col("__rank"),
-        (col("__n") - col("pos")).as("__rem"))
-      .sortWithinPartitions("doc_id", "pos"))
+        (col("__n") - col("pos")).as("__rem")))
     // max doc length read off the just-checkpointed frame (pos 0 rows
     // carry __rem = doc length) instead of a second corpus-wide
     // groupBy over positions
@@ -382,7 +382,13 @@ object SuffixRank {
       .unpersistLocalCheckpoint(_)
     val baseRanks = ranks
     var totalLevels = 1
-    cleanOnError(store.put(1L, ranks))
+    // store remRanks as the span-1 level (identical levelCols values
+    // to the base frame): the base frame — previously retained through
+    // the whole build+descent as the stored level — frees as soon as
+    // remRanks is materialized, dropping one positions-sized resident
+    // from the memory store's peak
+    cleanOnError(store.put(1L, remRanks))
+    free(baseRanks)
     // the chain's one resident checkpoint in disk mode (the previous
     // round's frame dies once the next is checkpointed — its level
     // copy is already on scratch parquet)
@@ -412,11 +418,24 @@ object SuffixRank {
       // (the histogram's range-partition sampling pass, the histogram
       // checkpoint, and the re-ranked next frame) — checkpoint it once
       // so the positions-sized self-join runs once per round, and free
-      // it as soon as the next frame is materialized
+      // it as soon as the next frame is materialized. Retention note
+      // for capacity planning: this adds ONE transient positions-sized
+      // block-manager resident per round (alive between this
+      // checkpoint and the free(keyed) below) ON TOP of the documented
+      // steady-state contract (chain frame + pairs frame + one level
+      // in disk mode; the level list in memory mode)
       val keyed = trackedCp(remRanks.join(shifted, Seq("doc_id", "pos"), "left")
         .withColumn("__r2", coalesce(col("__r2"), lit(-1L))))
       val pairHist = keyed.groupBy("__rank", "__r2").agg(count(lit(1)).as("__c"))
       val pairRank = PrefixSum.rowsBefore(pairHist, Seq("__rank", "__r2"), numParts)
+      // NOTE (round 16, measured): re-keying this frame by doc_id
+      // before the checkpoint was tried and REVERTED — with AQE on
+      // (the bench default) localCheckpoint materializes through
+      // AdaptiveSparkPlanExec and the LogicalRDD comes back with
+      // UnknownPartitioning and no ordering (probe: a repartitioned+
+      // sorted localCheckpoint reports UnknownPartitioning(0)), so the
+      // extra exchange is never reused by the next round or the
+      // descent. See the descent-plan exchange probe below.
       val next = trackedCp(keyed.join(pairRank, Seq("__rank", "__r2"))
         .select(col("doc_id"), col("pos"), col("__rb").as("__rank"),
           col("__rem"), col("__c")))
@@ -469,7 +488,7 @@ object SuffixRank {
         col("pos").as("__ja"), col("__rank").as("__rka"))
       val lb = lvl.select(col("doc_id").as("__db"),
         col("pos").as("__jb"), col("__rank").as("__rkb"))
-      pairs = trackedCp(pairs
+      val stepped = pairs
         .withColumn("__ja", col("__pa") + col("__lcp"))
         .withColumn("__jb", col("__pb") + col("__lcp"))
         .join(la, Seq("__da", "__ja"), "left")
@@ -478,7 +497,17 @@ object SuffixRank {
           when(col("__rka").isNotNull && col("__rkb").isNotNull &&
             col("__rka") === col("__rkb"), col("__lcp") + span)
             .otherwise(col("__lcp")))
-        .select("seq", "__da", "__pa", "__db", "__pb", "__lcp"))
+        .select("seq", "__da", "__pa", "__db", "__pb", "__lcp")
+      if (dbg) {
+        // plan-shape probe for the stored-level partitioning claim:
+        // with levels checkpointed hash-partitioned on doc_id, the two
+        // level-side join branches need no Exchange (2 expected — the
+        // pairs side re-keys per level by construction)
+        val plan = stepped.queryExecution.executedPlan.toString
+        System.err.println(s"[sa] descent-plan exchanges=" +
+          plan.linesIterator.count(_.contains("Exchange")))
+      }
+      pairs = trackedCp(stepped)
       // the eager checkpoint above cut the new pairs' lineage from
       // both this level and the previous pairs frame: free them
       // (disk: delete the scratch files; memory: unpersist)

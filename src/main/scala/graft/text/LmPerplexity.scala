@@ -281,7 +281,15 @@ object LmPerplexity {
           expr(s"(2 * abs(lp_micro * 1000) + $nCol) div (2 * $nCol)"))
       // the scored table is consumed TWICE (tercile cuts + the bucketed
       // output); materialize the doc-sized result once so the whole
-      // scoring chain — model tables and all — is not evaluated twice
+      // scoring chain — model tables and all — is not evaluated twice.
+      // Two constraints this checkpoint imposes downstream: (1) it
+      // erases size stats (LogicalRDD -> defaultSizeInBytes), so a
+      // future consumer joining the scored table as the SMALL side will
+      // not auto-broadcast it; (2) the checkpointed blocks live in the
+      // block manager until the returned DataFrame's RDD is
+      // garbage-collected (ContextCleaner unpersists it then) — a
+      // session that constructs many bucket frames and keeps references
+      // to them retains one doc-sized block set per frame
       .localCheckpoint()
     val cuts = graft.stats.Quantiles.exactQuantiles(scored, "__rate", 3)
       .agg(max(when(col("j") === 1, col("__rate"))).as("__c33"),
