@@ -72,7 +72,15 @@ object SuffixRank {
       val keyed = ranks.join(shifted, Seq("doc_id", "pos"), "left")
         .withColumn("__r2", coalesce(col("__r2"), lit(-1L)))
       val pairHist = keyed.groupBy("__rank", "__r2").agg(count(lit(1)).as("__c"))
-      val pairRank = PrefixSum.rowsBefore(pairHist, Seq("__rank", "__r2"), numParts)
+      // new_rank = old_rank + same-rank rows with smaller __r2 (the
+      // rank IS its rows-before count — see the telescoping note in
+      // suffixArrayWithLcpAndLevels); one histogram window replaces
+      // the two-level prefix sum per round
+      val wPair = org.apache.spark.sql.expressions.Window
+        .partitionBy("__rank").orderBy("__r2")
+        .rowsBetween(Long.MinValue, -1)
+      val pairRank = pairHist.withColumn("__rb",
+        col("__rank") + coalesce(sum("__c").over(wPair), lit(0L)))
       val next = keyed.join(pairRank, Seq("__rank", "__r2"))
         .select(col("doc_id"), col("pos"), col("__rb").as("__rank"),
           col("__c"))
@@ -427,7 +435,25 @@ object SuffixRank {
       val keyed = trackedCp(remRanks.join(shifted, Seq("doc_id", "pos"), "left")
         .withColumn("__r2", coalesce(col("__r2"), lit(-1L))))
       val pairHist = keyed.groupBy("__rank", "__r2").agg(count(lit(1)).as("__c"))
-      val pairRank = PrefixSum.rowsBefore(pairHist, Seq("__rank", "__r2"), numParts)
+      // RERANK WITHOUT the two-level prefix sum (round 16): a rank IS
+      // its rows-before count, so every position whose pair key is
+      // lex-smaller on the first component is already counted by the
+      // old rank VALUE, and the new rank telescopes to
+      //   new_rank = old_rank + (rows of the SAME old rank with
+      //                          strictly smaller __r2)
+      // — one histogram window partitioned by __rank (group size =
+      // distinct continuations of one prefix class, never corpus-wide)
+      // in place of PrefixSum's range-sampling pass + eager histogram
+      // checkpoint + offsets broadcast, i.e. ~2 fewer driver-blocking
+      // jobs per doubling round. Values identical by the rows-before
+      // definition (ties share both terms); the histogram window is
+      // hash-partitioned and deterministic, so the advice-r8
+      // range-seed hazard does not apply here at all.
+      val wPair = org.apache.spark.sql.expressions.Window
+        .partitionBy("__rank").orderBy("__r2")
+        .rowsBetween(Long.MinValue, -1)
+      val pairRank = pairHist.withColumn("__rb",
+        col("__rank") + coalesce(sum("__c").over(wPair), lit(0L)))
       // NOTE (round 16, measured): re-keying this frame by doc_id
       // before the checkpoint was tried and REVERTED — with AQE on
       // (the bench default) localCheckpoint materializes through
@@ -457,12 +483,20 @@ object SuffixRank {
     ranks = remRanks.select("doc_id", "pos", "__rank")
 
     // global suffix order: rows-before over the UNIQUE (rank, doc,
-    // pos) triples = a dense 0-based suffix-array index
-    val seqed = trackedCp(PrefixSum.rowsBefore(
-        ranks.select(col("__rank"), col("doc_id"), col("pos"))
-          .withColumn("__c", lit(1L)),
-        Seq("__rank", "doc_id", "pos"), numParts)
-      .select(col("doc_id"), col("pos"), col("__rb").as("seq")))
+    // pos) triples = a dense 0-based suffix-array index. Same
+    // telescoping as the round rerank (the rank is its own
+    // rows-before count and keys are unique), so
+    //   seq = __rank + row_number within the rank's tie group − 1
+    // — one window partitioned by __rank (group = one set of
+    // identical suffixes, almost always a handful of rows) instead of
+    // the two-level prefix sum's sampling pass + checkpoint +
+    // offsets broadcast over the positions-sized unique-triple table.
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy("__rank").orderBy("doc_id", "pos")
+    val seqed = trackedCp(ranks
+      .withColumn("seq",
+        col("__rank") + row_number().over(wSeq).cast("long") - lit(1L))
+      .select(col("doc_id"), col("pos"), col("seq")))
     // with seq checkpointed the final chain frame is dead too; in disk
     // mode its level copy lives on scratch parquet for the descent
     // (freeing twice is a no-op, so the no-round corpus is safe)
