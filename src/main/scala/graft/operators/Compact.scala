@@ -2056,6 +2056,14 @@ object Compact {
 
     final case class LeafZ(leaf: Path, mf: Option[ManifestData],
         live: Vector[FileStatus], nOut: Int)
+    // env-guarded phase timer (dev evidence only, like GRAFT_SA_DEBUG)
+    val zdbg = sys.env.contains("GRAFT_COMPACT_DEBUG")
+    var zt0 = System.nanoTime()
+    def zmark(label: String): Unit = if (zdbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[zopt] $label%-22s +${(now - zt0) / 1e9}%6.2f s")
+      zt0 = now
+    }
     val plans = snapshotLeaves(spark, conf,
         leafDirsDistributed(spark, conf, root)).map { snap =>
       require(!snap.hasScratch && !snap.hasManifestTemp,
@@ -2066,6 +2074,7 @@ object Compact {
       LeafZ(new Path(snap.leaf), mf, live,
         math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt)
     }.filter(_.live.nonEmpty)
+    zmark("snapshot")
     if (plans.isEmpty) return CompactReport(0L, 0L, 0L, 0L, 0L, 0L)
     val allLive = plans.flatMap(_.live)
     val bytesBefore = allLive.map(_.getLen).sum
@@ -2106,11 +2115,25 @@ object Compact {
     val zspan = 1L << (bits * dims.length)
     try {
       val anyMergeZ = plans.exists(_.mf.exists(_.merge))
+      // ONE schema inference for the whole rewrite (the
+      // binPackPartitionedInPlace pattern): every leaf branch read
+      // with an explicit schema skips its own footer-inference pass at
+      // analysis time — measured 1.7 s of per-wave plan-construction
+      // latency at 5 leaves, growing with leaf count. Non-merge leaves
+      // share one schema by the append protocol; an evolved table
+      // reads the table-wide MERGED schema (files lacking a column
+      // fill it with nulls on the normal parquet evolution path —
+      // the same column set unionByName(allowMissing) produced).
+      val zSchema =
+        if (anyMergeZ)
+          spark.read.option("mergeSchema", "true")
+            .parquet(allLive.map(_.getPath.toString): _*).schema
+        else spark.read.parquet(
+          plans.head.live.head.getPath.toString).schema
       waves.zipWithIndex.foreach { case (wave, w) =>
         val branches = wave.zipWithIndex.map { case (p, k) =>
-          val rz = if (anyMergeZ)
-            spark.read.option("mergeSchema", "true") else spark.read
-          rz.parquet(p.live.map(_.getPath.toString): _*)
+          spark.read.schema(zSchema)
+            .parquet(p.live.map(_.getPath.toString): _*)
             .withColumn("__leaf",
               org.apache.spark.sql.functions.lit(k))
         }
@@ -2133,8 +2156,11 @@ object Compact {
               org.apache.spark.sql.types.LongType, nullable = false),
             org.apache.spark.sql.types.StructField("__width",
               org.apache.spark.sql.types.LongType, nullable = false))))
-        val slotted = Zorder.zvalueByRankGrouped(uniRaw, "__leaf",
-            dims, bits)
+        zmark(s"wave$w-plan")
+        val zTagged = Zorder.zvalueByRankGrouped(uniRaw, "__leaf",
+          dims, bits)
+        zmark(s"wave$w-hist")
+        val slotted = zTagged
           .join(org.apache.spark.sql.functions.broadcast(offDf),
             Seq("__leaf"))
           .withColumn("__slot",
@@ -2155,11 +2181,13 @@ object Compact {
           .drop("__zval", "__slot")
           .write.mode("overwrite")
           .parquet(new Path(scratch, f"wave-$w%09d").toString)
+        zmark(s"wave$w-write")
       }
     } finally saved match {
       case Some(v) => spark.conf.set(maxRecKey, v)
       case None => spark.conf.unset(maxRecKey)
     }
+    zmark("wave-rewrite")
 
     // phase 1 — move each wave's output slots in under their leaf
     // (branch partitions concatenate: leaf k's slots start at the sum
@@ -2207,6 +2235,7 @@ object Compact {
       }
     }
     val pendZ = pendingZ.result()
+    zmark("renames")
 
     // phase 2 — tracked data-skipping bounds recompute over the
     // re-clustered files in ONE pooled footer job (this is where
@@ -2223,6 +2252,7 @@ object Compact {
       }
     val zPooledStats = footerStats(spark, conf, root, zPooledNames,
       zPooledCols)
+    zmark("footer-stats")
 
     // phase 3 — per-leaf commits
     pendZ.foreach { z =>
@@ -2243,6 +2273,7 @@ object Compact {
       after += z.newLive.length.toLong
     }
     fs.delete(scratch, true)
+    zmark("commits")
 
     CompactReport(
       nFilesBefore = allLive.length.toLong,
